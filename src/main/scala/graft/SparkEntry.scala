@@ -1,13 +1,216 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.data.TpchGraph
+import graft.expr.P
+import graft.query.{Direction, VertexCentricQuery}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry runs a graph-engine operator (SURVEY.md §2) over the TPC-H-ish
+  * property-graph mapping (FIXTURES.md §4) and is paired with ANSI SQL over the
+  * flat tables for the DuckDB oracle. Double aggregates go through exact
+  * DECIMAL accumulation and one final cast to DOUBLE so both engines produce
+  * bit-identical results regardless of summation order; dates are emitted as
+  * 'yyyy-MM-dd' strings for representation-independent hashing.
+  */
 object SparkEntry {
+
+  private def graph(s: SparkSession, dir: String) = TpchGraph.load(s, dir)
+  /** vertex id → source uid */
+  private def uidOf(c: Column, tag: Int): Column =
+    (c - lit(tag.toLong * (1L << graft.core.GraphIds.TagBits))).cast(LongType)
+  /** order-insensitive exact double sum: decimal-accumulate, cast once. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(28, scale))).cast(DoubleType)
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  /** events.parquet stores TIMESTAMP(NANOS); Spark reads it as long under the
+    * legacy conf. `ts` is exposed as a proper timestamp column (µs precision). */
+  def readEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    traversal3Hop(spark, "/root/testdata/sf0.001", 100000.0)
+
+  /** 2.E traversal: customers → orders (filtered) → parts, dedup'd. */
+  private def traversal3Hop(s: SparkSession, dir: String, minTotal: Double): DataFrame =
+    graph(s, dir).traversal.V()
+      .hasLabel("customer").has("mktsegment", "BUILDING")
+      .out("placed").has("totalprice", P.gt(minTotal))
+      .out("contains").dedup()
+      .values("uid", "name")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- 2.F aggregation (map-side combinable groupBy over edge properties) ----
+    "q1_agg" -> ((s, dir) => {
+      graph(s, dir).E().hasLabel("contains").dataframe
+        .groupBy(col("returnflag"), col("linestatus"))
+        .agg(
+          dsum(col("quantity")).as("sum_qty"),
+          dsum(col("extendedprice")).as("sum_base"),
+          dsum((col("extendedprice") * (lit(1.0) - col("discount"))), 8).as("revenue"),
+          count(lit(1)).as("cnt"))
+    }),
+    // ---- 2.B has(key, value) — Cmp.EQUAL over an indexed-style key ----
+    "q_has_eq" -> ((s, dir) => {
+      graph(s, dir).V().hasLabel("customer").has("mktsegment", "BUILDING").dataframe
+        .select(col("uid"), col("name"), col("mktsegment"))
+    }),
+    // ---- 2.B has(key) existence (GraphCentricQueryBuilder.java:99-106) ----
+    "q_has_exists" -> ((s, dir) => {
+      graph(s, dir).V().has("acctbal").dataframe
+        .select(col("uid"), col("label"), col("acctbal"))
+    }),
+    // ---- 2.B interval(key, start, end) = [start, end) ----
+    "q_interval" -> ((s, dir) => {
+      graph(s, dir).V().hasLabel("order").interval("totalprice", 50000.0, 100000.0).dataframe
+        .select(col("uid"), col("totalprice"))
+    }),
+    // ---- 2.B/2.H orderBy + limit (TakeOrderedAndProject top-k) ----
+    "q_orderby_limit" -> ((s, dir) => {
+      graph(s, dir).V().hasLabel("order").orderBy("totalprice", asc = false).limit(10).dataframe
+        .select(col("uid"), col("totalprice"))
+    }),
+    // ---- 2.D Contain.IN ----
+    "q_contain_in" -> ((s, dir) => {
+      graph(s, dir).V().hasLabel("part").has("brand", P.within("Brand#12", "Brand#23", "Brand#9")).dataframe
+        .select(col("uid"), col("brand"))
+    }),
+    // ---- 2.D Text.CONTAINS (tokenized, case-insensitive) ----
+    "q_text_contains" -> ((s, dir) => {
+      graph(s, dir).V().hasLabel("part").has("name", P.textContains("widget")).dataframe
+        .select(col("uid"), col("name"))
+    }),
+    // ---- 2.D Text.CONTAINS_PREFIX ----
+    "q_text_prefix" -> ((s, dir) => {
+      graph(s, dir).V().hasLabel("part").has("name", P.textContainsPrefix("gi")).dataframe
+        .select(col("uid"), col("name"))
+    }),
+    // ---- 2.D Text.CONTAINS_REGEX ----
+    "q_text_regex" -> ((s, dir) => {
+      graph(s, dir).V().hasLabel("part").has("name", P.textContainsRegex("g.z.*")).dataframe
+        .select(col("uid"), col("name"))
+    }),
+    // ---- 2.C multiQuery: frontier ⨝ edges (edgeMultiQuery as a join) ----
+    "q_multiquery" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val frontier = g.V().hasLabel("customer").has("mktsegment", "BUILDING")
+        .dataframe.select(col("id").as("vid"))
+      VertexCentricQuery(g).onFrontier(frontier).labels("placed").direction(Direction.OUT)
+        .edgeCount()
+        .select(uidOf(col("vid"), TpchGraph.CustomerTag).as("uid"), col("count").as("cnt"))
+    }),
+    // ---- 2.C/2.G per-vertex ordered limit (sort-key slice ⇒ Window top-k) ----
+    "q_vc_topk" -> ((s, dir) => {
+      val g = graph(s, dir)
+      VertexCentricQuery(g).labels("contains").direction(Direction.OUT)
+        .orderBy("extendedprice", asc = false).limit(2)
+        .edges()
+        .select(uidOf(col("vid"), TpchGraph.OrderTag).as("o_uid"),
+          uidOf(col("other"), TpchGraph.PartTag).as("p_uid"),
+          col("extendedprice"))
+    }),
+    // ---- 2.C interval slice on the sort key (vertex-centric index emulation) ----
+    "q_vc_interval" -> ((s, dir) => {
+      val g = graph(s, dir)
+      VertexCentricQuery(g).labels("contains").direction(Direction.OUT)
+        .interval("shipdate", d("1996-01-01"), d("1997-01-01"))
+        .edges()
+        .select(uidOf(col("vid"), TpchGraph.OrderTag).as("o_uid"),
+          uidOf(col("other"), TpchGraph.PartTag).as("p_uid"),
+          col("quantity"), date_format(col("shipdate"), "yyyy-MM-dd").as("ship"))
+    }),
+    // ---- 2.E traversal 3-hop ----
+    "q_traversal_3hop" -> ((s, dir) => traversal3Hop(s, dir, 400000.0)),
+    // ---- 2.E groupCount ----
+    "q_groupcount" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer").groupCount("mktsegment")
+        .withColumnRenamed("count", "cnt")
+    }),
+    // ---- 2.I union + dedup (QueryProcessor OR-merge) ----
+    "q_union" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val a = g.traversal.V().hasLabel("customer").has("mktsegment", "BUILDING")
+      val b = g.traversal.V().hasLabel("customer").has("mktsegment", "MACHINERY")
+      a.union(b).dedup().values("uid", "mktsegment")
+    }),
+    // ---- 2.K degree (VertexScanJob analogue: per-vertex edge count) ----
+    "q_degree" -> ((s, dir) => {
+      val g = graph(s, dir)
+      VertexCentricQuery(g).labels("contains").direction(Direction.IN).edgeCount()
+        .select(uidOf(col("vid"), TpchGraph.PartTag).as("uid"), col("count").as("cnt"))
+    }),
+    // ---- 2.J change-table batch view (stream parity lives in graft.stream) ----
+    "q_events_agg" -> ((s, dir) => {
+      readEvents(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value"), 6).as("sum_value"))
+    }),
+  )
+
+  /** Headline subset timed by Bench (others still verified for correctness). */
+  def benchQueries: Seq[String] = Seq(
+    "q1_agg", "q_has_eq", "q_orderby_limit", "q_multiquery",
+    "q_vc_topk", "q_traversal_3hop", "q_degree", "q_text_contains")
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base,
+        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS cnt FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_has_eq" ->
+      "SELECT c_custkey AS uid, c_name AS name, c_mktsegment AS mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'",
+    "q_has_exists" ->
+      """SELECT c_custkey AS uid, 'customer' AS label, c_acctbal AS acctbal FROM customer
+        |UNION ALL SELECT s_suppkey, 'supplier', s_acctbal FROM supplier""".stripMargin,
+    "q_interval" ->
+      "SELECT o_orderkey AS uid, o_totalprice AS totalprice FROM orders WHERE o_totalprice >= 50000.0 AND o_totalprice < 100000.0",
+    "q_orderby_limit" ->
+      "SELECT o_orderkey AS uid, o_totalprice AS totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q_contain_in" ->
+      "SELECT p_partkey AS uid, p_brand AS brand FROM part WHERE p_brand IN ('Brand#12', 'Brand#23', 'Brand#9')",
+    "q_text_contains" ->
+      "SELECT p_partkey AS uid, p_name AS name FROM part WHERE list_contains(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), t -> length(t) > 1), 'widget')",
+    "q_text_prefix" ->
+      "SELECT p_partkey AS uid, p_name AS name FROM part WHERE len(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), t -> length(t) > 1 AND t LIKE 'gi%')) > 0",
+    "q_text_regex" ->
+      "SELECT p_partkey AS uid, p_name AS name FROM part WHERE len(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), t -> length(t) > 1 AND regexp_full_match(t, 'g.z.*'))) > 0",
+    "q_multiquery" ->
+      """SELECT c_custkey AS uid, COUNT(*) AS cnt FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' GROUP BY 1""".stripMargin,
+    "q_vc_topk" ->
+      """SELECT l_orderkey AS o_uid, l_partkey AS p_uid, l_extendedprice AS extendedprice FROM (
+        |SELECT l_orderkey, l_partkey, l_extendedprice,
+        |ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        |FROM lineitem) WHERE rn <= 2""".stripMargin,
+    "q_vc_interval" ->
+      """SELECT l_orderkey AS o_uid, l_partkey AS p_uid, l_quantity AS quantity,
+        |strftime(l_shipdate, '%Y-%m-%d') AS ship FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'""".stripMargin,
+    "q_traversal_3hop" ->
+      """SELECT DISTINCT l_partkey AS uid, p_name AS name FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 400000.0""".stripMargin,
+    "q_groupcount" ->
+      "SELECT c_mktsegment AS mktsegment, COUNT(*) AS cnt FROM customer GROUP BY 1",
+    "q_union" ->
+      "SELECT c_custkey AS uid, c_mktsegment AS mktsegment FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')",
+    "q_degree" ->
+      "SELECT l_partkey AS uid, COUNT(*) AS cnt FROM lineitem GROUP BY 1",
+    "q_events_agg" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+  )
 }

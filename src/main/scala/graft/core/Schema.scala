@@ -1,0 +1,217 @@
+package graft.core
+
+import org.apache.spark.sql.types._
+
+/** Schema catalog for the property-graph engine.
+  *
+  * Mirrors the schema surface of the reference graph database
+  * (titan-core/src/main/java/com/thinkaurelius/titan/core/schema/TitanManagement.java:37,
+  * PropertyKeyMaker.java:22-41, EdgeLabelMaker.java:22-46, VertexLabelMaker.java:17-39)
+  * as pure case classes validated at ingest / query time. Schema elements in the
+  * reference are hidden vertices (IDManager.java:348-350); here they are an immutable
+  * in-memory catalog — idiomatic for a batch/columnar engine.
+  */
+
+/** Property cardinality — reference: tc/core/Cardinality.java:17-28. */
+sealed trait Cardinality
+object Cardinality {
+  case object SINGLE extends Cardinality
+  case object LIST extends Cardinality
+  case object SET extends Cardinality
+}
+
+/** Edge multiplicity — reference: tc/core/Multiplicity.java:20-41. */
+sealed trait Multiplicity {
+  /** Constraint as (maxOutDegreePerVertex, maxInDegreePerVertex); None = unbounded. */
+  def outLimit: Option[Int] = None
+  def inLimit: Option[Int] = None
+}
+object Multiplicity {
+  case object MULTI extends Multiplicity
+  /** At most one edge between any pair (u,v) per label. */
+  case object SIMPLE extends Multiplicity
+  case object ONE2MANY extends Multiplicity { override val inLimit = Some(1) }
+  case object MANY2ONE extends Multiplicity { override val outLimit = Some(1) }
+  case object ONE2ONE extends Multiplicity {
+    override val outLimit = Some(1); override val inLimit = Some(1)
+  }
+}
+
+/** Mixed-index mapping — reference: tc/core/schema/Mapping.java:18-21. */
+sealed trait Mapping
+object Mapping {
+  case object DEFAULT extends Mapping
+  case object TEXT extends Mapping      // tokenized full-text
+  case object STRING extends Mapping    // exact string
+  case object TEXTSTRING extends Mapping
+}
+
+/** Index lifecycle status — reference: tc/core/schema/SchemaStatus.java. */
+sealed trait SchemaStatus
+object SchemaStatus {
+  case object INSTALLED extends SchemaStatus
+  case object REGISTERED extends SchemaStatus
+  case object ENABLED extends SchemaStatus
+  case object DISABLED extends SchemaStatus
+}
+
+/** Index lifecycle actions — reference: tc/core/schema/SchemaAction.java:18-39. */
+sealed trait SchemaAction
+object SchemaAction {
+  case object REGISTER_INDEX extends SchemaAction
+  case object REINDEX extends SchemaAction
+  case object ENABLE_INDEX extends SchemaAction
+  case object DISABLE_INDEX extends SchemaAction
+  case object REMOVE_INDEX extends SchemaAction
+}
+
+/** Consistency modifier — reference: tc/core/schema/ConsistencyModifier.java.
+  * In a snapshot/batch engine LOCK degenerates to a uniqueness constraint check
+  * and FORK to last-writer-wins merge; kept for catalog parity. */
+sealed trait ConsistencyModifier
+object ConsistencyModifier {
+  case object DEFAULT extends ConsistencyModifier
+  case object LOCK extends ConsistencyModifier
+  case object FORK extends ConsistencyModifier
+}
+
+/** Element categories — reference: tc/graphdb/internal/ElementCategory.java. */
+sealed trait ElementCategory
+object ElementCategory {
+  case object VERTEX extends ElementCategory
+  case object EDGE extends ElementCategory
+  case object PROPERTY extends ElementCategory
+}
+
+sealed trait SortOrder
+object SortOrder { case object ASC extends SortOrder; case object DESC extends SortOrder }
+
+/** Property key — reference: tc/core/schema/PropertyKeyMaker.java:22,38,41.
+  * `dataType` uses Spark SQL types (the §1.4 mapping); exact-type enforcement
+  * (docs/titanbasics.txt:1404-1406) happens at ingest validation. */
+final case class PropertyKeyDef(
+    name: String,
+    dataType: DataType,
+    cardinality: Cardinality = Cardinality.SINGLE,
+    consistency: ConsistencyModifier = ConsistencyModifier.DEFAULT,
+    ttlSeconds: Option[Long] = None) {
+  /** Column type as stored in the canonical DataFrames: LIST/SET → ArrayType. */
+  def columnType: DataType = cardinality match {
+    case Cardinality.SINGLE => dataType
+    case _ => ArrayType(dataType, containsNull = false)
+  }
+}
+
+/** Edge label — reference: tc/core/schema/EdgeLabelMaker.java:22-46,
+  * StandardEdgeLabelMaker.java:38-56. `sortKey` gives the vertex-centric
+  * clustering order (docs/titanbasics.txt:844-905); in this engine it drives
+  * the sorted-bucket layout (min/max-prunable slices). */
+final case class EdgeLabelDef(
+    name: String,
+    multiplicity: Multiplicity = Multiplicity.MULTI,
+    unidirected: Boolean = false,
+    signature: Seq[String] = Nil,
+    sortKey: Seq[String] = Nil,
+    sortOrder: SortOrder = SortOrder.ASC,
+    consistency: ConsistencyModifier = ConsistencyModifier.DEFAULT,
+    ttlSeconds: Option[Long] = None)
+
+/** Vertex label — reference: tc/core/schema/VertexLabelMaker.java:17-39.
+  * `partitioned` marks supernode labels (skew-salted in joins/aggs);
+  * `static` marks immutable-after-create labels. */
+final case class VertexLabelDef(
+    name: String,
+    partitioned: Boolean = false,
+    static: Boolean = false,
+    ttlSeconds: Option[Long] = None)
+
+/** Graph index (composite or mixed) —
+  * reference: tc/core/schema/TitanManagement.java:160-221. */
+final case class IndexDef(
+    name: String,
+    element: ElementCategory,
+    keys: Seq[String],
+    unique: Boolean = false,
+    composite: Boolean = true,            // false = mixed (text/geo-capable)
+    mappings: Map[String, Mapping] = Map.empty,
+    onlyLabel: Option[String] = None,     // index restricted to one label
+    status: SchemaStatus = SchemaStatus.ENABLED)
+
+/** Vertex-centric (relation) index: sort-key prefix layout for one edge label —
+  * reference: TitanManagement.java:53-94 buildEdgeIndex. */
+final case class RelationIndexDef(
+    name: String,
+    edgeLabel: String,
+    sortKey: Seq[String],
+    sortOrder: SortOrder = SortOrder.ASC,
+    status: SchemaStatus = SchemaStatus.ENABLED)
+
+/** The catalog. Immutable; management ops return updated copies
+  * (mgmt layer holds the mutable reference). */
+final case class GraphSchema(
+    propertyKeys: Map[String, PropertyKeyDef] = Map.empty,
+    edgeLabels: Map[String, EdgeLabelDef] = Map.empty,
+    vertexLabels: Map[String, VertexLabelDef] = Map.empty,
+    indexes: Map[String, IndexDef] = Map.empty,
+    relationIndexes: Map[String, RelationIndexDef] = Map.empty) {
+
+  def propertyKey(name: String): PropertyKeyDef =
+    propertyKeys.getOrElse(name, throw new NoSuchElementException(s"property key '$name' not defined"))
+  def edgeLabel(name: String): EdgeLabelDef =
+    edgeLabels.getOrElse(name, throw new NoSuchElementException(s"edge label '$name' not defined"))
+  def vertexLabel(name: String): VertexLabelDef =
+    vertexLabels.getOrElse(name, throw new NoSuchElementException(s"vertex label '$name' not defined"))
+
+  def withPropertyKey(k: PropertyKeyDef): GraphSchema = {
+    require(!propertyKeys.contains(k.name), s"property key '${k.name}' already defined (types are immutable once created)")
+    copy(propertyKeys = propertyKeys + (k.name -> k))
+  }
+  def withEdgeLabel(l: EdgeLabelDef): GraphSchema = {
+    require(!edgeLabels.contains(l.name), s"edge label '${l.name}' already defined")
+    (l.signature ++ l.sortKey).foreach(propertyKey) // must pre-exist, like the reference makers
+    copy(edgeLabels = edgeLabels + (l.name -> l))
+  }
+  def withVertexLabel(l: VertexLabelDef): GraphSchema = {
+    require(!vertexLabels.contains(l.name), s"vertex label '${l.name}' already defined")
+    copy(vertexLabels = vertexLabels + (l.name -> l))
+  }
+  def withIndex(ix: IndexDef): GraphSchema = {
+    require(!indexes.contains(ix.name), s"index '${ix.name}' already defined")
+    ix.keys.foreach(propertyKey)
+    copy(indexes = indexes + (ix.name -> ix))
+  }
+  def withRelationIndex(ix: RelationIndexDef): GraphSchema = {
+    require(!relationIndexes.contains(ix.name), s"relation index '${ix.name}' already defined")
+    edgeLabel(ix.edgeLabel); ix.sortKey.foreach(propertyKey)
+    copy(relationIndexes = relationIndexes + (ix.name -> ix))
+  }
+
+  /** Rename a type (the only mutation the reference allows on committed types —
+    * docs/titanbasics.txt:1414-1417). */
+  def renamePropertyKey(from: String, to: String): GraphSchema = {
+    val k = propertyKey(from)
+    require(!propertyKeys.contains(to), s"property key '$to' already defined")
+    copy(propertyKeys = propertyKeys - from + (to -> k.copy(name = to)))
+  }
+
+  /** Composite indexes usable for an equality-constrained key set
+    * (the index-selection candidate set; cf. GraphCentricQueryBuilder.java:234-308). */
+  def compositeIndexCandidates(element: ElementCategory, eqKeys: Set[String]): Seq[IndexDef] =
+    indexes.values.toSeq
+      .filter(ix => ix.composite && ix.element == element && ix.status == SchemaStatus.ENABLED)
+      .filter(ix => ix.keys.forall(eqKeys.contains))
+      .sortBy(-_.keys.size)
+}
+
+object GraphIds {
+  /** Synthesized 64-bit ids: [8-bit type tag | 56-bit local id] — mirrors the
+    * reference's padded partitioned id layout (IDManager.java:429-438) without
+    * the partition bits (partitioning is Spark's job here). */
+  val TagBits = 56
+  def vertexId(typeTag: Int, localId: Long): Long = {
+    require(typeTag > 0 && typeTag < 256 && localId >= 0 && localId < (1L << TagBits))
+    (typeTag.toLong << TagBits) | localId
+  }
+  def typeTag(id: Long): Int = (id >>> TagBits).toInt
+  def localId(id: Long): Long = id & ((1L << TagBits) - 1)
+}

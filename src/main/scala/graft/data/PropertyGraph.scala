@@ -1,0 +1,117 @@
+package graft.data
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph, VertexId}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.storage.StorageLevel
+
+/** Canonical property-graph container.
+  *
+  * Vertices: `id: LONG, label: STRING, <property columns...>` (absent property = null,
+  * LIST/SET cardinality = array column). Edges: `id: LONG, src: LONG, dst: LONG,
+  * label: STRING, <property columns...>`. Every edge is stored ONCE (the reference
+  * stores each edge twice, once per endpoint — docs/datamodel.txt:7 — because its
+  * storage is vertex-partitioned adjacency rows; a columnar scan engine gets both
+  * directions from one copy with `src = v OR dst = v`).
+  */
+final case class PropertyGraph(
+    schema: GraphSchema,
+    vertices: DataFrame,
+    edges: DataFrame) {
+
+  def spark: SparkSession = vertices.sparkSession
+
+  /** Property columns present on the vertex table. */
+  def vertexPropColumns: Seq[String] = vertices.columns.filterNot(Set("id", "label"))
+  def edgePropColumns: Seq[String] = edges.columns.filterNot(Set("id", "src", "dst", "label"))
+
+  /** Entry points (reference: graph.query() / tx.query() — TitanGraphQuery). */
+  def V(): graft.query.GraphQuery = graft.query.GraphQuery.vertices(this)
+  def E(): graft.query.GraphQuery = graft.query.GraphQuery.edges(this)
+
+  /** Traversal entry (Gremlin g.V() analogue). */
+  def traversal: graft.traverse.TraversalSource = new graft.traverse.TraversalSource(this)
+
+  /** Vertices by point lookup — reference: StandardTitanTx.java:383-420. */
+  def vertexById(ids: Long*): DataFrame =
+    if (ids.size == 1) vertices.filter(col("id") === ids.head)
+    else vertices.filter(col("id").isin(ids: _*))
+
+  /** GraphX bridge for iterative analytics. Vertex attr = label; edge attr =
+    * (label, weightCol) when provided, else 1.0. */
+  def toGraphX(weightCol: Option[String] = None): GxGraph[String, Double] = {
+    val vrdd: RDD[(VertexId, String)] =
+      vertices.select(col("id"), col("label")).rdd
+        .map(r => (r.getLong(0), r.getString(1)))
+    val w: Column = weightCol.map(c => coalesce(col(c).cast("double"), lit(1.0))).getOrElse(lit(1.0))
+    val erdd: RDD[GxEdge[Double]] =
+      edges.select(col("src"), col("dst"), w.as("w")).rdd
+        .map(r => GxEdge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    GxGraph(vrdd, erdd, defaultVertexAttr = "",
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Degenerate (id-only) GraphX graph — cheapest bridge for structure-only algorithms. */
+  def toGraphXStructure: GxGraph[Unit, Unit] = {
+    val erdd: RDD[GxEdge[Unit]] =
+      edges.select(col("src"), col("dst")).rdd
+        .map(r => GxEdge(r.getLong(0), r.getLong(1), ()))
+    GxGraph.fromEdges(erdd, (),
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Validate multiplicity constraints (reference: Multiplicity.java:50-75, enforced
+    * transactionally there; here a batch check returning violations).
+    * Returns (label, src|dst, key, count) rows for every violated bound. */
+  def multiplicityViolations(): DataFrame = {
+    val checks = schema.edgeLabels.values.flatMap { el =>
+      val lbl = el.name
+      val base = edges.filter(col("label") === lbl)
+      val out = el.multiplicity.outLimit.map { lim =>
+        base.groupBy(col("src").as("key")).count()
+          .filter(col("count") > lim)
+          .select(lit(lbl).as("label"), lit("out").as("side"), col("key"), col("count"))
+      }
+      val in = el.multiplicity.inLimit.map { lim =>
+        base.groupBy(col("dst").as("key")).count()
+          .filter(col("count") > lim)
+          .select(lit(lbl).as("label"), lit("in").as("side"), col("key"), col("count"))
+      }
+      val simple = if (el.multiplicity == Multiplicity.SIMPLE) Some {
+        base.groupBy(col("src"), col("dst")).count().filter(col("count") > 1)
+          .select(lit(lbl).as("label"), lit("pair").as("side"), col("src").as("key"), col("count"))
+      } else None
+      out ++ in ++ simple
+    }.toSeq
+    checks.reduceOption(_ union _).getOrElse(emptyViolations(Seq("label", "side", "key", "count")))
+  }
+
+  private def emptyViolations(names: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields = names.map {
+      case n @ ("label" | "side" | "index") => StructField(n, StringType)
+      case "key" if names.contains("index") => StructField("key", StringType)
+      case n => StructField(n, LongType)
+    }
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
+  }
+
+  /** Unique-index violations (composite unique index ⇔ LOCK consistency in the
+    * reference — GraphOfTheGodsFactory.java:57-61). */
+  def uniqueIndexViolations(): DataFrame = {
+    val uniques = schema.indexes.values.filter(ix => ix.unique && ix.composite).toSeq
+    val dfs = uniques.map { ix =>
+      val table = if (ix.element == ElementCategory.VERTEX) vertices else edges
+      val scoped = ix.onlyLabel.map(l => table.filter(col("label") === l)).getOrElse(table)
+      scoped.groupBy(ix.keys.map(col): _*).count().filter(col("count") > 1)
+        .select(lit(ix.name).as("index"),
+          concat_ws("|", ix.keys.map(k => col(k).cast("string")): _*).as("key"),
+          col("count"))
+    }
+    dfs.reduceOption(_ union _).getOrElse(emptyViolations(Seq("index", "key", "count")))
+  }
+}

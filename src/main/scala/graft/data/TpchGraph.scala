@@ -1,0 +1,165 @@
+package graft.data
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Maps the driver's TPC-H-ish parquet tables onto the canonical property graph
+  * (FIXTURES.md §4). Vertex ids are `typeTag << 56 | uid` (disjoint across
+  * labels — mirrors the reference's padded id layout, IDManager.java:429-438).
+  *
+  * Scale notes: every derived frame is a narrow projection over one parquet
+  * scan — column pruning reaches the file scan; no shuffles happen at load
+  * time (unions are partition-local). Edge ids are synthesized arithmetically
+  * from source keys (no windows / zipWithIndex, which would shuffle).
+  */
+object TpchGraph {
+  // vertex type tags
+  val RegionTag = 1; val NationTag = 2; val CustomerTag = 3
+  val SupplierTag = 4; val PartTag = 5; val OrderTag = 6
+  // edge type tags (for edge ids)
+  private val EInRegion = 1L; private val EInNationC = 2L; private val EInNationS = 3L
+  private val EPlaced = 4L; private val EContains = 5L; private val ESuppliedBy = 6L
+
+  def vid(tag: Int, uid: org.apache.spark.sql.Column) =
+    (lit(tag.toLong * (1L << GraphIds.TagBits)) + uid.cast(LongType)).as("id")
+  private def eid(tag: Long, local: org.apache.spark.sql.Column) =
+    (lit(tag * (1L << GraphIds.TagBits)) + local.cast(LongType)).as("id")
+
+  /** The engine-level schema catalog for this graph. */
+  val schema: GraphSchema = GraphSchema()
+    .withPropertyKey(PropertyKeyDef("uid", LongType))
+    .withPropertyKey(PropertyKeyDef("name", StringType))
+    .withPropertyKey(PropertyKeyDef("acctbal", DoubleType))
+    .withPropertyKey(PropertyKeyDef("mktsegment", StringType))
+    .withPropertyKey(PropertyKeyDef("brand", StringType))
+    .withPropertyKey(PropertyKeyDef("ptype", StringType))
+    .withPropertyKey(PropertyKeyDef("size", IntegerType))
+    .withPropertyKey(PropertyKeyDef("retailprice", DoubleType))
+    .withPropertyKey(PropertyKeyDef("orderdate", DateType))
+    .withPropertyKey(PropertyKeyDef("totalprice", DoubleType))
+    .withPropertyKey(PropertyKeyDef("orderstatus", StringType))
+    .withPropertyKey(PropertyKeyDef("orderpriority", StringType))
+    .withPropertyKey(PropertyKeyDef("quantity", DoubleType))
+    .withPropertyKey(PropertyKeyDef("extendedprice", DoubleType))
+    .withPropertyKey(PropertyKeyDef("discount", DoubleType))
+    .withPropertyKey(PropertyKeyDef("tax", DoubleType))
+    .withPropertyKey(PropertyKeyDef("returnflag", StringType))
+    .withPropertyKey(PropertyKeyDef("linestatus", StringType))
+    .withPropertyKey(PropertyKeyDef("shipdate", DateType))
+    .withPropertyKey(PropertyKeyDef("linenumber", IntegerType))
+    .withVertexLabel(VertexLabelDef("region"))
+    .withVertexLabel(VertexLabelDef("nation"))
+    .withVertexLabel(VertexLabelDef("customer"))
+    .withVertexLabel(VertexLabelDef("supplier"))
+    .withVertexLabel(VertexLabelDef("part"))
+    .withVertexLabel(VertexLabelDef("order"))
+    .withEdgeLabel(EdgeLabelDef("in_region", Multiplicity.MANY2ONE))
+    .withEdgeLabel(EdgeLabelDef("in_nation", Multiplicity.MANY2ONE))
+    .withEdgeLabel(EdgeLabelDef("placed", Multiplicity.MULTI, sortKey = Seq("orderdate")))
+    .withEdgeLabel(EdgeLabelDef("contains", Multiplicity.MULTI,
+      signature = Seq("quantity", "extendedprice", "discount"), sortKey = Seq("shipdate")))
+    .withEdgeLabel(EdgeLabelDef("supplied_by", Multiplicity.MULTI))
+    .withIndex(IndexDef("byUid", ElementCategory.VERTEX, Seq("uid"), unique = false))
+    .withIndex(IndexDef("byName", ElementCategory.VERTEX, Seq("name"), unique = false))
+    .withRelationIndex(RelationIndexDef("containsByShip", "contains", Seq("shipdate")))
+    .withRelationIndex(RelationIndexDef("placedByDate", "placed", Seq("orderdate")))
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** All vertex property columns, in canonical order. Absent props are null. */
+  private val vertexProps = Seq(
+    "uid" -> LongType, "name" -> StringType, "acctbal" -> DoubleType,
+    "mktsegment" -> StringType, "brand" -> StringType, "ptype" -> StringType,
+    "size" -> IntegerType, "retailprice" -> DoubleType, "orderdate" -> DateType,
+    "totalprice" -> DoubleType, "orderstatus" -> StringType, "orderpriority" -> StringType)
+
+  def load(spark: SparkSession, dir: String): PropertyGraph = {
+    def pad(df: DataFrame): DataFrame = {
+      val present = df.columns.toSet
+      val cols = Seq(col("id"), col("label")) ++ vertexProps.map { case (n, t) =>
+        if (present(n)) col(n).cast(t).as(n) else lit(null).cast(t).as(n)
+      }
+      df.select(cols: _*)
+    }
+    val region = table(spark, dir, "region").select(
+      vid(RegionTag, col("r_regionkey")), lit("region").as("label"),
+      col("r_regionkey").cast(LongType).as("uid"), col("r_name").as("name"))
+    val nation = table(spark, dir, "nation").select(
+      vid(NationTag, col("n_nationkey")), lit("nation").as("label"),
+      col("n_nationkey").cast(LongType).as("uid"), col("n_name").as("name"))
+    val customer = table(spark, dir, "customer").select(
+      vid(CustomerTag, col("c_custkey")), lit("customer").as("label"),
+      col("c_custkey").as("uid"), col("c_name").as("name"),
+      col("c_acctbal").as("acctbal"), col("c_mktsegment").as("mktsegment"))
+    val supplier = table(spark, dir, "supplier").select(
+      vid(SupplierTag, col("s_suppkey")), lit("supplier").as("label"),
+      col("s_suppkey").as("uid"), col("s_name").as("name"), col("s_acctbal").as("acctbal"))
+    val part = table(spark, dir, "part").select(
+      vid(PartTag, col("p_partkey")), lit("part").as("label"),
+      col("p_partkey").as("uid"), col("p_name").as("name"), col("p_brand").as("brand"),
+      col("p_type").as("ptype"), col("p_size").as("size"), col("p_retailprice").as("retailprice"))
+    val orders = table(spark, dir, "orders").select(
+      vid(OrderTag, col("o_orderkey")), lit("order").as("label"),
+      col("o_orderkey").as("uid"), col("o_orderdate").cast(DateType).as("orderdate"),
+      col("o_totalprice").as("totalprice"), col("o_orderstatus").as("orderstatus"),
+      col("o_orderpriority").as("orderpriority"))
+    val vertices = Seq(region, nation, customer, supplier, part, orders).map(pad).reduce(_ unionAll _)
+
+    // ---- edges ----
+    val eProps = Seq("orderdate" -> DateType, "quantity" -> DoubleType,
+      "extendedprice" -> DoubleType, "discount" -> DoubleType, "tax" -> DoubleType,
+      "returnflag" -> StringType, "linestatus" -> StringType,
+      "shipdate" -> DateType, "linenumber" -> IntegerType)
+    def padE(df: DataFrame): DataFrame = {
+      val present = df.columns.toSet
+      val cols = Seq(col("id"), col("src"), col("dst"), col("label")) ++ eProps.map { case (n, t) =>
+        if (present(n)) col(n).cast(t).as(n) else lit(null).cast(t).as(n)
+      }
+      df.select(cols: _*)
+    }
+    val nationT = table(spark, dir, "nation")
+    val inRegion = nationT.select(
+      eid(EInRegion, col("n_nationkey")),
+      vid(NationTag, col("n_nationkey")).as("src"),
+      vid(RegionTag, col("n_regionkey")).as("dst"), lit("in_region").as("label"))
+    val custT = table(spark, dir, "customer")
+    val inNationC = custT.select(
+      eid(EInNationC, col("c_custkey")),
+      vid(CustomerTag, col("c_custkey")).as("src"),
+      vid(NationTag, col("c_nationkey")).as("dst"), lit("in_nation").as("label"))
+    val suppT = table(spark, dir, "supplier")
+    val inNationS = suppT.select(
+      eid(EInNationS, col("s_suppkey")),
+      vid(SupplierTag, col("s_suppkey")).as("src"),
+      vid(NationTag, col("s_nationkey")).as("dst"), lit("in_nation").as("label"))
+    val ordT = table(spark, dir, "orders")
+    val placed = ordT.select(
+      eid(EPlaced, col("o_orderkey")),
+      vid(CustomerTag, col("o_custkey")).as("src"),
+      vid(OrderTag, col("o_orderkey")).as("dst"), lit("placed").as("label"),
+      col("o_orderdate").cast(DateType).as("orderdate"))
+    val liT = table(spark, dir, "lineitem")
+    // lineitem local id: orderkey*8 + linenumber (linenumber ≤ 7 in TPC-H)
+    val liLocal = col("l_orderkey") * 8 + col("l_linenumber")
+    val contains = liT.select(
+      eid(EContains, liLocal),
+      vid(OrderTag, col("l_orderkey")).as("src"),
+      vid(PartTag, col("l_partkey")).as("dst"), lit("contains").as("label"),
+      col("l_quantity").as("quantity"), col("l_extendedprice").as("extendedprice"),
+      col("l_discount").as("discount"), col("l_tax").as("tax"),
+      col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"),
+      col("l_shipdate").cast(DateType).as("shipdate"), col("l_linenumber").as("linenumber"))
+    val suppliedBy = liT.select(
+      eid(ESuppliedBy, liLocal),
+      vid(OrderTag, col("l_orderkey")).as("src"),
+      vid(SupplierTag, col("l_suppkey")).as("dst"), lit("supplied_by").as("label"),
+      col("l_shipdate").cast(DateType).as("shipdate"), col("l_linenumber").as("linenumber"))
+    val edges = Seq(inRegion, inNationC, inNationS, placed, contains, suppliedBy)
+      .map(padE).reduce(_ unionAll _)
+
+    PropertyGraph(schema, vertices, edges)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.query
+
+import graft.data.PropertyGraph
+import graft.expr.P
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph-centric query builder — reference surface `TitanGraphQuery`
+  * (tc/core/TitanGraphQuery.java:18-92, compiled by
+  * tc/graphdb/query/graph/GraphCentricQueryBuilder.java).
+  *
+  * The reference's pipeline (QNF normalization → greedy index selection →
+  * backend subqueries → residual filter → merge/dedup/sort/limit) collapses to a
+  * declarative DataFrame plan: Catalyst performs boolean simplification,
+  * predicate pushdown into the parquet scan (the moral equivalent of "fitted"
+  * subqueries), and `TakeOrderedAndProject` for orderBy+limit. Index selection
+  * (GraphCentricQueryBuilder.java:185-323) is subsumed by columnar pruning +
+  * min/max stats; see graft.index for the materialized-index variant.
+  */
+final case class GraphQuery(
+    graph: PropertyGraph,
+    target: DataFrame,
+    conds: Vector[Column] = Vector.empty,
+    orders: Vector[Column] = Vector.empty,
+    limitN: Option[Int] = None) {
+
+  /** has(key, value) — Cmp.EQUAL; has(key, null) ≡ hasNot(key)
+    * (GraphCentricQueryBuilder.java:109-116). */
+  def has(key: String, value: Any): GraphQuery = has(key, P.eq(value))
+
+  /** has(key, predicate) — arbitrary TitanPredicate analogue. */
+  def has(key: String, p: P): GraphQuery = copy(conds = conds :+ p.apply(col(key)))
+
+  /** has(key) — existence (GraphCentricQueryBuilder.java:99-106). */
+  def has(key: String): GraphQuery = copy(conds = conds :+ col(key).isNotNull)
+  def hasNot(key: String): GraphQuery = copy(conds = conds :+ col(key).isNull)
+  def hasNot(key: String, value: Any): GraphQuery = has(key, P.neq(value))
+
+  def hasLabel(labels: String*): GraphQuery =
+    if (labels.size == 1) copy(conds = conds :+ (col("label") === labels.head))
+    else copy(conds = conds :+ col("label").isin(labels: _*))
+
+  def hasId(ids: Long*): GraphQuery =
+    copy(conds = conds :+ (if (ids.size == 1) col("id") === ids.head else col("id").isin(ids: _*)))
+
+  /** interval(key, start, end) = start ≤ key < end (GraphCentricQueryBuilder.java:119-122). */
+  def interval(key: String, start: Any, end: Any): GraphQuery =
+    has(key, P.between(start, end))
+
+  /** orderBy on a SINGLE-cardinality comparable key (…:132-142). Secondary calls
+    * append (stable multi-key order, as the reference's OrderList). */
+  def orderBy(key: String, asc: Boolean = true): GraphQuery =
+    copy(orders = orders :+ (if (asc) col(key).asc else col(key).desc))
+
+  def limit(n: Int): GraphQuery = copy(limitN = Some(n))
+
+  /** Compile to a DataFrame plan. Orders get `id` appended as a deterministic
+    * tie-break (the reference's element iterator order is storage-deterministic). */
+  def dataframe: DataFrame = {
+    val filtered = conds.foldLeft(target)((df, c) => df.filter(c))
+    val ordered =
+      if (orders.nonEmpty) filtered.orderBy(orders :+ col("id").asc: _*)
+      else filtered
+    limitN.fold(ordered)(ordered.limit)
+  }
+
+  def vertices(): DataFrame = dataframe
+  def edges(): DataFrame = dataframe
+  def count(): Long = dataframe.count() // limit caps counts, as in the reference
+}
+
+object GraphQuery {
+  def vertices(g: PropertyGraph): GraphQuery = GraphQuery(g, g.vertices)
+  def edges(g: PropertyGraph): GraphQuery = GraphQuery(g, g.edges)
+}

@@ -1,0 +1,135 @@
+package graft.query
+
+import graft.data.PropertyGraph
+import graft.expr.P
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+sealed trait Direction
+object Direction {
+  case object OUT extends Direction
+  case object IN extends Direction
+  case object BOTH extends Direction
+}
+
+/** Vertex-centric query — reference surface `BaseVertexQuery`
+  * (tc/core/BaseVertexQuery.java:27-167, compiled by
+  * tc/graphdb/query/vertex/BasicVertexCentricQueryBuilder.java:391-583) and its
+  * batched form `TitanMultiVertexQuery` (tc/core/TitanMultiVertexQuery.java:26-117).
+  *
+  * The engine always plans the SET version: the single-vertex query is a
+  * degenerate frontier. A frontier (DataFrame of vertex ids) joined against the
+  * edge table IS the reference's `edgeMultiQuery` batching
+  * (StandardTitanGraph.java:416-424); per-vertex order/limit becomes a window
+  * over `partitionBy(vid)` — the sort-key slice semantics
+  * (BasicVertexCentricQueryBuilder.java:486-583) without byte-range machinery.
+  *
+  * Result edge frame: `vid` (the anchor vertex), `other` (the other endpoint),
+  * `dir` ('OUT'|'IN'), plus all edge columns. Loops under BOTH are emitted once
+  * (the reference filters the duplicate — StandardTitanTx.java:1054-1071).
+  */
+final case class VertexCentricQuery(
+    graph: PropertyGraph,
+    frontier: Option[DataFrame] = None,       // df with column `vid`; None = all vertices
+    labels: Seq[String] = Nil,
+    dir: Direction = Direction.BOTH,
+    conds: Vector[Column] = Vector.empty,
+    orders: Vector[(String, Boolean)] = Vector.empty,
+    limitN: Option[Int] = None,
+    adjacentId: Option[Long] = None) {
+
+  // ---- builder surface (BaseVertexQuery.java:27-167) ----
+  def labels(ls: String*): VertexCentricQuery = copy(labels = ls)
+  def direction(d: Direction): VertexCentricQuery = copy(dir = d)
+  def has(key: String, value: Any): VertexCentricQuery = has(key, P.eq(value))
+  def has(key: String, p: P): VertexCentricQuery = copy(conds = conds :+ p.apply(col(key)))
+  def has(key: String): VertexCentricQuery = copy(conds = conds :+ col(key).isNotNull)
+  def hasNot(key: String): VertexCentricQuery = copy(conds = conds :+ col(key).isNull)
+  def interval(key: String, start: Any, end: Any): VertexCentricQuery =
+    has(key, P.between(start, end))
+  /** Restrict to edges whose other endpoint is `v` — the `~adjacent` implicit key
+    * (BaseVertexQuery.java:40, ImplicitKey.ADJACENT_ID). */
+  def adjacent(v: Long): VertexCentricQuery = copy(adjacentId = Some(v))
+  def orderBy(key: String, asc: Boolean = true): VertexCentricQuery =
+    copy(orders = orders :+ (key -> asc))
+  def limit(n: Int): VertexCentricQuery = copy(limitN = Some(n))
+
+  /** Anchor on an explicit vertex set (multiQuery). `df` must expose `vid`. */
+  def onFrontier(df: DataFrame): VertexCentricQuery = copy(frontier = Some(df))
+  def onVertices(ids: Long*): VertexCentricQuery = {
+    val df = graph.spark.createDataFrame(
+      java.util.Arrays.asList(ids.map(java.lang.Long.valueOf).map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vid", org.apache.spark.sql.types.LongType, nullable = false))))
+    copy(frontier = Some(df))
+  }
+
+  private def edgeBase: DataFrame = {
+    val e0 = graph.edges
+    val e1 = if (labels.isEmpty) e0
+             else if (labels.size == 1) e0.filter(col("label") === labels.head)
+             else e0.filter(col("label").isin(labels: _*))
+    conds.foldLeft(e1)((df, c) => df.filter(c))
+  }
+
+  /** Orient edges relative to the anchor vertex, before any frontier restriction. */
+  private def oriented: DataFrame = {
+    val e = edgeBase
+    def out = e.select(col("src").as("vid"), col("dst").as("other"), lit("OUT").as("dir"), col("*"))
+    def in = e.select(col("dst").as("vid"), col("src").as("other"), lit("IN").as("dir"), col("*"))
+    val d = dir match {
+      case Direction.OUT => out
+      case Direction.IN => in
+      case Direction.BOTH => out.unionAll(in.filter(col("src") =!= col("dst")))
+    }
+    adjacentId.fold(d)(v => d.filter(col("other") === v))
+  }
+
+  /** The per-vertex slice: frontier semi-restriction, then window order/limit.
+    * Broadcast the frontier when it is small (the planner's AQE handles the
+    * general case; an explicit broadcast hint would pin it). */
+  def edges(): DataFrame = {
+    val o = oriented
+    val restricted = frontier match {
+      case None => o
+      case Some(f) => o.join(f.select(col("vid")).distinct(), Seq("vid"), "left_semi")
+    }
+    applyWindow(restricted)
+  }
+
+  private def applyWindow(df: DataFrame): DataFrame = {
+    if (orders.isEmpty && limitN.isEmpty) df
+    else {
+      val sortCols: Seq[Column] =
+        (if (orders.nonEmpty) orders.map { case (k, asc) => if (asc) col(k).asc else col(k).desc }
+         else Seq.empty[Column]) :+ col("id").asc // deterministic tie-break
+      limitN match {
+        case Some(n) =>
+          val w = Window.partitionBy(col("vid")).orderBy(sortCols: _*)
+          df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= n).drop("_rn")
+        case None =>
+          // global sort keyed by vertex keeps per-vertex groups ordered
+          df.sortWithinPartitions(col("vid") +: sortCols: _*)
+      }
+    }
+  }
+
+  /** Other-endpoint ids (VertexList analogue — tc/core/VertexList.java:16-74). */
+  def vertexIds(): DataFrame = edges().select(col("vid"), col("other"))
+
+  /** Adjacent vertices with their properties. */
+  def vertices(): DataFrame =
+    edges().select(col("vid"), col("other"))
+      .join(graph.vertices, col("other") === graph.vertices("id"))
+      .drop("other")
+
+  /** Per-vertex edge count; limit caps the count, as in the reference
+    * (tc/core/TitanVertexQuery.java edgeCount). */
+  def edgeCount(): DataFrame =
+    edges().groupBy(col("vid")).agg(count(lit(1)).as("count"))
+}
+
+object VertexCentricQuery {
+  def apply(g: PropertyGraph): VertexCentricQuery = new VertexCentricQuery(g)
+}

@@ -1,0 +1,228 @@
+package graft.traverse
+
+import graft.data.PropertyGraph
+import graft.expr.P
+import graft.query.Direction
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.expressions.Window
+
+/** Gremlin-subset traversal DSL compiling step lists to Catalyst plans.
+  *
+  * The reference executes TinkerPop 3.0.2 traversals with provider-optimized
+  * steps: `has`/`order`/`range` fold into the start scan
+  * (tc/graphdb/tinkerpop/optimize/HasStepFolder.java:65-154, applied by
+  * TitanGraphStepStrategy.java:25-55) and frontier expansion batches into one
+  * multi-vertex backend call (TitanVertexStep.java:53-98 under query.batch).
+  * Here both optimizations are structural: predicates are Catalyst filters on
+  * the scan (pushed down to parquet), and every hop is a set-oriented join of
+  * the whole frontier against the edge table — the join IS multiQuery
+  * (StandardTitanGraph.edgeMultiQuery:416-424).
+  *
+  * Frontier layout: the current element's columns, plus `_as_<name>_<col>`
+  * columns for `as`-labeled steps and an optional `_path` array of element ids.
+  * Vertex frontier: `id, label, <props>`. Edge frontier: `vid, other, dir, id,
+  * src, dst, label, <props>` (anchor-oriented). Traverser multiplicity is
+  * preserved (a vertex reachable twice appears twice), matching Gremlin; use
+  * `dedup()` to collapse.
+  */
+final case class Traversal(
+    graph: PropertyGraph,
+    df: DataFrame,
+    isVertex: Boolean,
+    pathEnabled: Boolean = false,
+    lastOrder: Seq[Column] = Nil) {
+
+  private def asCols: Seq[String] = df.columns.filter(_.startsWith("_as_")).toSeq
+  private def hasPath: Boolean = df.columns.contains("_path")
+
+  // ---------- filter steps ----------
+  def has(key: String, value: Any): Traversal = has(key, P.eq(value))
+  def has(key: String, p: P): Traversal = copy(df = df.filter(p.apply(col(key))))
+  def has(key: String): Traversal = copy(df = df.filter(col(key).isNotNull))
+  def hasNot(key: String): Traversal = copy(df = df.filter(col(key).isNull))
+  def hasLabel(ls: String*): Traversal =
+    copy(df = if (ls.size == 1) df.filter(col("label") === ls.head)
+              else df.filter(col("label").isin(ls: _*)))
+  def hasId(ids: Long*): Traversal =
+    copy(df = if (ids.size == 1) df.filter(col("id") === ids.head)
+              else df.filter(col("id").isin(ids: _*)))
+  def filterWhere(c: Column): Traversal = copy(df = df.filter(c))
+
+  /** where(exists subtraversal) / where(not(...)) — semi/anti join formulation. */
+  def whereExists(other: Traversal, thisKey: String = "id", otherKey: String = "id"): Traversal =
+    copy(df = df.join(other.df.select(col(otherKey).as("__k")).distinct(),
+      col(thisKey) === col("__k"), "left_semi"))
+  def whereNotExists(other: Traversal, thisKey: String = "id", otherKey: String = "id"): Traversal =
+    copy(df = df.join(other.df.select(col(otherKey).as("__k")).distinct(),
+      col(thisKey) === col("__k"), "left_anti"))
+
+  // ---------- hops ----------
+  def out(labels: String*): Traversal = hop(Direction.OUT, labels, toVertex = true)
+  def in(labels: String*): Traversal = hop(Direction.IN, labels, toVertex = true)
+  def both(labels: String*): Traversal = hop(Direction.BOTH, labels, toVertex = true)
+  def outE(labels: String*): Traversal = hop(Direction.OUT, labels, toVertex = false)
+  def inE(labels: String*): Traversal = hop(Direction.IN, labels, toVertex = false)
+  def bothE(labels: String*): Traversal = hop(Direction.BOTH, labels, toVertex = false)
+  def inV(): Traversal = edgeToVertex("dst")
+  def outV(): Traversal = edgeToVertex("src")
+  def otherV(): Traversal = edgeToVertex("other")
+
+  private def carryCols: Seq[Column] = asCols.map(col) ++ (if (hasPath) Seq(col("_path")) else Nil)
+
+  private def hop(d: Direction, labels: Seq[String], toVertex: Boolean): Traversal = {
+    require(isVertex, s"$d hop requires a vertex frontier")
+    val pathInit: Seq[Column] =
+      if (pathEnabled && !hasPath) Seq(F.array(col("id")).as("_path"))
+      else if (hasPath) Seq(col("_path")) else Nil
+    val f = df.select(col("id").as("_from") +: (asCols.map(col) ++ pathInit): _*)
+    val e0 = graph.edges
+    val e = if (labels.isEmpty) e0
+            else if (labels.size == 1) e0.filter(col("label") === labels.head)
+            else e0.filter(col("label").isin(labels: _*))
+    def orient(srcCol: String, dstCol: String, tag: String) =
+      e.select(Seq(col(srcCol).as("vid"), col(dstCol).as("other"), lit(tag).as("dir"),
+        col("id"), col("src"), col("dst"), col("label")) ++
+        graph.edgePropColumns.map(col): _*)
+    val orientedE = d match {
+      case Direction.OUT => orient("src", "dst", "OUT")
+      case Direction.IN => orient("dst", "src", "IN")
+      case Direction.BOTH =>
+        orient("src", "dst", "OUT").unionAll(orient("dst", "src", "IN").filter(col("src") =!= col("dst")))
+    }
+    val joined = f.join(orientedE, col("_from") === col("vid"))
+    if (!toVertex) {
+      val cols = Seq("vid", "other", "dir", "id", "src", "dst", "label").map(col) ++
+        graph.edgePropColumns.map(col) ++ asCols.map(col) ++
+        (if (pathEnabled) Seq(F.concat(col("_path"), F.array(col("id"))).as("_path")) else Nil)
+      Traversal(graph, joined.select(cols: _*), isVertex = false, pathEnabled)
+    } else {
+      val v = graph.vertices.alias("V")
+      val res = joined.join(v, col("other") === col("V.id"))
+      val cols = Seq(col("V.*")) ++ asCols.map(col) ++
+        (if (pathEnabled) Seq(F.concat(col("_path"), F.array(col("V.id"))).as("_path")) else Nil)
+      Traversal(graph, res.select(cols: _*), isVertex = true, pathEnabled)
+    }
+  }
+
+  private def edgeToVertex(endpoint: String): Traversal = {
+    require(!isVertex, "inV/outV/otherV require an edge frontier")
+    val f = df.select(col(endpoint).as("_to") +: carryCols: _*)
+    val v = graph.vertices.alias("V")
+    val res = f.join(v, col("_to") === col("V.id"))
+    val cols = Seq(col("V.*")) ++ asCols.map(col) ++
+      (if (hasPath) Seq(F.concat(col("_path"), F.array(col("V.id"))).as("_path")) else Nil)
+    Traversal(graph, res.select(cols: _*), isVertex = true, pathEnabled)
+  }
+
+  // ---------- modulation / projection ----------
+  def as(name: String): Traversal = {
+    val keep = if (isVertex) Seq("id", "label") ++ graph.vertexPropColumns
+               else Seq("id", "src", "dst", "label") ++ graph.edgePropColumns
+    copy(df = keep.foldLeft(df)((d, c) => d.withColumn(s"_as_${name}_$c", col(c))))
+  }
+
+  /** select('a','b') → flat columns `<name>_<col>` per saved step. */
+  def select(names: String*): DataFrame = {
+    val cols = names.flatMap { n =>
+      df.columns.filter(_.startsWith(s"_as_${n}_")).toSeq
+        .map(c => col(c).as(n + "_" + c.stripPrefix(s"_as_${n}_")))
+    }
+    df.select(cols: _*)
+  }
+
+  def path(): DataFrame = df.select(col("_path").as("path"))
+
+  /** simplePath — keep only traversers that never revisit an element. */
+  def simplePath(): Traversal = {
+    require(hasPath, "simplePath requires withPath traversal source")
+    copy(df = df.filter(F.size(col("_path")) === F.size(F.array_distinct(col("_path")))))
+  }
+
+  def values(keys: String*): DataFrame = df.select(keys.map(col): _*)
+  def valueMap(keys: String*): DataFrame =
+    df.select(col("id"), F.map_from_arrays(
+      F.array(keys.map(lit): _*), F.array(keys.map(k => col(k).cast("string")): _*)).as("valueMap"))
+  def id(): DataFrame = df.select(col("id"))
+  def label(): DataFrame = df.select(col("label"))
+
+  // ---------- ordering / slicing ----------
+  def order(key: String, asc: Boolean = true): Traversal = {
+    val o = Seq(if (asc) col(key).asc else col(key).desc, col("id").asc)
+    copy(df = df.orderBy(o: _*), lastOrder = o)
+  }
+  def orderBy(cols: Column*): Traversal = copy(df = df.orderBy(cols: _*), lastOrder = cols)
+  def limit(n: Int): Traversal = copy(df = df.limit(n))
+
+  /** range(lo,hi) — zero-based slice [lo,hi); deterministic when preceded by
+    * `order` (uses the last order; Gremlin contract is the same). */
+  def range(lo: Int, hi: Int): Traversal = {
+    val ord = if (lastOrder.nonEmpty) lastOrder else Seq(col("id").asc)
+    val w = Window.orderBy(ord: _*)
+    copy(df = df.withColumn("__rn", F.row_number().over(w))
+      .filter(col("__rn") > lo && col("__rn") <= hi).drop("__rn"))
+  }
+  def dedup(): Traversal = copy(df = df.dropDuplicates("id"))
+  def dedupBy(keys: String*): Traversal = copy(df = df.dropDuplicates(keys))
+
+  // ---------- branch / merge ----------
+  def union(others: Traversal*): Traversal =
+    copy(df = (this +: others).map(_.df).reduce((a, b) => a.unionByName(b, allowMissingColumns = true)))
+
+  /** optional(step): rows that produce no step result survive unchanged
+    * (Gremlin optional = choose(step, step, identity)). */
+  def optional(step: Traversal => Traversal): Traversal = {
+    val stepped = step(this)
+    val unmatched = df.join(stepped.df.select(col("id").as("__sid")).distinct(),
+      col("id") === col("__sid"), "left_anti")
+    copy(df = stepped.df.unionByName(unmatched, allowMissingColumns = true))
+  }
+
+  // ---------- aggregation terminals ----------
+  def count(): DataFrame = df.agg(F.count(lit(1)).as("count"))
+  def countDistinct(): DataFrame = df.agg(F.count_distinct(col("id")).as("count"))
+  def sum(key: String): DataFrame = df.agg(F.sum(col(key)).as("sum"))
+  def max(key: String): DataFrame = df.agg(F.max(col(key)).as("max"))
+  def min(key: String): DataFrame = df.agg(F.min(col(key)).as("min"))
+  def mean(key: String): DataFrame = df.agg(F.avg(col(key)).as("mean"))
+  def groupCount(key: String): DataFrame =
+    df.groupBy(col(key)).agg(F.count(lit(1)).as("count"))
+  def group(key: String, valueKey: String): DataFrame =
+    df.groupBy(col(key)).agg(F.collect_list(col(valueKey)).as("values"))
+
+  // ---------- iteration ----------
+  /** repeat(n)(step) — bounded driver-side loop of joins (repeat().times(n));
+    * unbounded/conditional iteration belongs to graft.olap (Pregel). */
+  def repeat(n: Int)(step: Traversal => Traversal): Traversal =
+    (1 to n).foldLeft(this)((t, _) => step(t))
+
+  /** Loop until the frontier empties (or maxIter). One Spark job per check —
+    * driver-coordinated BSP like the reference's FulgoraGraphComputer loop
+    * (FulgoraGraphComputer.java:151-189). */
+  def repeatUntilEmpty(maxIter: Int)(step: Traversal => Traversal): Traversal = {
+    var cur = this
+    var i = 0
+    while (i < maxIter && cur.df.limit(1).count() > 0) { cur = step(cur); i += 1 }
+    cur
+  }
+
+  def toDF: DataFrame = df
+}
+
+/** g.V() / g.E() entry — the TraversalSource. */
+final class TraversalSource(val graph: PropertyGraph, val pathEnabled: Boolean = false) {
+  def withPath: TraversalSource = new TraversalSource(graph, true)
+  def V(): Traversal = {
+    val base = graph.vertices
+    val df = if (pathEnabled) base.withColumn("_path", F.array(col("id"))) else base
+    Traversal(graph, df, isVertex = true, pathEnabled)
+  }
+  def V(ids: Long*): Traversal = V().hasId(ids: _*)
+  def E(): Traversal = {
+    val e = graph.edges.select(
+      Seq(col("src").as("vid"), col("dst").as("other"), lit("OUT").as("dir")) ++
+        graph.edges.columns.map(col): _*)
+    Traversal(graph, e, isVertex = false, pathEnabled)
+  }
+}
