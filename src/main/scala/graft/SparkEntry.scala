@@ -153,6 +153,124 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"), dsum(col("value"), 6).as("sum_value"))
     }),
+    // ---- 2.J ChangeProcessor replay: ADDED/REMOVED classification ----
+    "q_change_replay" -> ((s, dir) => {
+      graft.stream.ChangeStream.replay(s, dir)
+        .groupBy(col("change")).agg(count(lit(1)).as("cnt"))
+    }),
+    // ---- 2.E as/select (path-labeled steps) ----
+    "q_select" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer").has("mktsegment", "BUILDING").as("a")
+        .out("placed").as("b")
+        .select("a", "b")
+        .select(col("a_uid").as("c_uid"), col("b_uid").as("o_uid"))
+    }),
+    // ---- 2.E where(not(...)) — anti-join traversal predicate ----
+    "q_where_not" -> ((s, dir) => {
+      val g = graph(s, dir)
+      // customers with no high-value order (NOT EXISTS as a left-anti join)
+      val bigSpenders = g.traversal.V().hasLabel("order")
+        .has("totalprice", P.gt(300000.0)).in("placed").dedup()
+      g.traversal.V().hasLabel("customer")
+        .whereNotExists(bigSpenders)
+        .values("uid", "name")
+    }),
+    // ---- 2.E optional (left-outer step semantics) ----
+    "q_optional" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer")
+        .optional(_.out("placed"))
+        .values("uid", "label")
+    }),
+    // ---- 2.C adjacent(v) — ~adjacent implicit key ----
+    "q_vc_adjacent" -> ((s, dir) => {
+      val g = graph(s, dir)
+      VertexCentricQuery(g).labels("contains").direction(Direction.OUT)
+        .adjacent(TpchGraph.PartTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L)
+        .edges()
+        .select(uidOf(col("vid"), TpchGraph.OrderTag).as("o_uid"),
+          col("quantity"), col("linenumber"))
+    }),
+    // ---- 2.B direct index query: scored text search (TitanIndexQuery) ----
+    "q_index_query" -> ((s, dir) => {
+      graft.index.Indexes.indexQuery(graph(s, dir), graft.core.ElementCategory.VERTEX,
+        "name", "small green widget", limit = 20)
+        .select(col("uid"), col("name"), col("score"))
+    }),
+    // ---- 2.K PageRank (GraphX; no SQL oracle — rows-only check) ----
+    "q_pagerank" -> ((s, dir) => {
+      graft.olap.Analytics.pageRank(graph(s, dir), iterations = 10)
+    }),
+    // ---- 2.K connected components (rows-only) ----
+    "q_connected_components" -> ((s, dir) => {
+      graft.olap.Analytics.connectedComponents(graph(s, dir))
+    }),
+    // ---- 2.K weighted SSSP (rows-only) ----
+    "q_sssp" -> ((s, dir) => {
+      val src = TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L
+      graft.olap.Analytics.shortestDistance(graph(s, dir), src, maxIter = 8)
+    }),
+    // ---- 2.K degree stats via DataFrame aggregation ----
+    "q_degrees_full" -> ((s, dir) => {
+      graft.olap.Analytics.degrees(graph(s, dir), Seq("placed"))
+        .select(uidOf(col("id"), TpchGraph.CustomerTag).as("uid"),
+          col("out_degree"))
+        .filter(col("out_degree") > 0)
+    }),
+    // ---- pipeline: exact dedup ----
+    "q_dedup_exact" -> ((s, dir) => {
+      graft.pipeline.Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))
+    }),
+    // ---- pipeline: exact n-gram Jaccard similarity join ----
+    "q_dedup_ngram" -> ((s, dir) => {
+      graft.pipeline.Dedup.ngramJaccardPairs(
+        s.read.parquet(s"$dir/documents.parquet"), threshold = 0.8)
+    }),
+    // ---- pipeline: MinHash+LSH near-dup (verified ⇒ same oracle as exact) ----
+    "q_dedup_minhash" -> ((s, dir) => {
+      graft.pipeline.Dedup.minHashLshPairs(
+        s.read.parquet(s"$dir/documents.parquet"), threshold = 0.8)
+    }),
+    // ---- pipeline: SimHash near-dup (hash-dependent — rows-only) ----
+    "q_dedup_simhash" -> ((s, dir) => {
+      graft.pipeline.Dedup.simHashPairs(
+        s.read.parquet(s"$dir/documents.parquet"), maxHamming = 10)
+    }),
+    // ---- pipeline: embedding-cosine near-dup pairs ----
+    "q_embed_pairs" -> ((s, dir) => {
+      graft.pipeline.Similarity.cosinePairs(
+        s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.4254)
+        .select(col("ida"), col("idb"))
+    }),
+    // ---- pipeline: brute-force cosine top-k (ANN baseline) ----
+    "q_ann_topk" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .select(col("qid"), col("nid"), col("rank"))
+    }),
+    // ---- pipeline: token counting ----
+    "q_token_count" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), graft.pipeline.TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+    }),
+    // ---- pipeline: quality features (integer-ratio deterministic doubles) ----
+    "q_quality" -> ((s, dir) => {
+      val f = graft.pipeline.TextAnalysis.qualityFeatures(col("text"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), f.getField("n_tokens").as("n_tokens"),
+          f.getField("n_distinct").as("n_distinct"),
+          f.getField("distinct_ratio").as("distinct_ratio"),
+          f.getField("stopword_ratio").as("stopword_ratio"))
+    }),
+    // ---- pipeline: language ID heuristic ----
+    "q_langid" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), graft.pipeline.TextAnalysis.langId(col("text")).as("lang_pred"))
+    }),
+    // ---- pipeline: document fingerprint ----
+    "q_fingerprint" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), graft.pipeline.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+    }),
   )
 
   /** Headline subset timed by Bench (others still verified for correctness). */
@@ -212,5 +330,86 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS cnt,
         |CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    "q_change_replay" ->
+      """SELECT CASE WHEN event_type = 'error' THEN 'REMOVED' ELSE 'ADDED' END AS change,
+        |COUNT(*) AS cnt FROM events GROUP BY 1""".stripMargin,
+    "q_select" ->
+      """SELECT c_custkey AS c_uid, o_orderkey AS o_uid FROM customer
+        |JOIN orders ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "q_where_not" ->
+      """SELECT c_custkey AS uid, c_name AS name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin,
+    "q_optional" ->
+      """SELECT o_orderkey AS uid, 'order' AS label FROM orders
+        |UNION ALL SELECT c_custkey, 'customer' FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_vc_adjacent" ->
+      "SELECT l_orderkey AS o_uid, l_quantity AS quantity, l_linenumber AS linenumber FROM lineitem WHERE l_partkey = 1",
+    "q_index_query" ->
+      """WITH t AS (SELECT p_partkey AS uid, p_name AS name,
+        |  list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), x -> length(x) > 1) AS tok FROM part),
+        |s AS (SELECT uid, name,
+        |  (CAST(list_contains(tok,'small') AS INT) + CAST(list_contains(tok,'green') AS INT)
+        |   + CAST(list_contains(tok,'widget') AS INT)) AS hits, len(tok) AS n FROM t)
+        |SELECT uid, name, CAST(hits AS DOUBLE)/3.0 + 0.001/CAST(n + 10 AS DOUBLE) AS score
+        |FROM s WHERE hits > 0 ORDER BY score DESC, uid LIMIT 20""".stripMargin,
+    "q_degrees_full" ->
+      "SELECT o_custkey AS uid, COUNT(*) AS out_degree FROM orders GROUP BY 1",
+    "q_dedup_exact" ->
+      "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies FROM documents GROUP BY text",
+    "q_dedup_ngram" -> ngramJaccardOracle,
+    "q_dedup_minhash" -> ngramJaccardOracle,
+    "q_embed_pairs" ->
+      """SELECT a.vec_id AS ida, b.vec_id AS idb FROM embeddings a JOIN embeddings b
+        |ON a.vec_id < b.vec_id
+        |AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4254""".stripMargin,
+    "q_ann_topk" ->
+      """SELECT qid, nid, "rank" FROM (
+        |SELECT q.vec_id AS qid, d.vec_id AS nid,
+        |ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(d.embedding AS DOUBLE[])) DESC,
+        |  d.vec_id) AS "rank"
+        |FROM embeddings q JOIN embeddings d ON d.vec_id <> q.vec_id
+        |WHERE q.vec_id < 10) WHERE "rank" <= 5""".stripMargin,
+    "q_token_count" ->
+      "SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens FROM documents",
+    "q_quality" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS tok FROM documents)
+        |SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+        |CAST(len(list_distinct(tok)) AS BIGINT) AS n_distinct,
+        |CAST(len(list_distinct(tok)) AS DOUBLE) / CAST(len(tok) AS DOUBLE) AS distinct_ratio,
+        |CAST(len(list_filter(tok, w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
+        |  / CAST(len(tok) AS DOUBLE) AS stopword_ratio
+        |FROM t""".stripMargin,
+    "q_langid" ->
+      """WITH t AS (SELECT doc_id, list_transform(string_split_regex(text,'\s+'), w -> lower(w)) AS tok FROM documents),
+        |c AS (SELECT doc_id,
+        |len(list_filter(tok, w -> list_contains(['the','a','of','and','to','is','in','it'], w))) AS c_en,
+        |len(list_filter(tok, w -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], w))) AS c_de,
+        |len(list_filter(tok, w -> list_contains(['le','la','et','les','des','un','une','est'], w))) AS c_fr,
+        |len(list_filter(tok, w -> list_contains(['el','los','las','una','es','en','que','y'], w))) AS c_es
+        |FROM t)
+        |SELECT doc_id, CASE
+        |WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+        |WHEN c_de > 0 AND c_de > c_en AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+        |WHEN c_fr > 0 AND c_fr > c_en AND c_fr > c_de AND c_fr >= c_es THEN 'fr'
+        |WHEN c_es > 0 AND c_es > c_en AND c_es > c_de AND c_es > c_fr THEN 'es'
+        |ELSE 'und' END AS lang_pred FROM c""".stripMargin,
+    "q_fingerprint" ->
+      "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
   )
+
+  /** Shared oracle for exact n-gram Jaccard and (verified) MinHash-LSH — with
+    * 32×4 banding the miss probability at J≥0.8 is < 1e-7, so LSH output
+    * equals the exact similarity join. */
+  private val ngramJaccardOracle: String =
+    """WITH w AS (SELECT doc_id, string_split_regex(text,'\s+') AS wl FROM documents),
+      |sh AS (SELECT doc_id, list_distinct([wl[i]||' '||wl[i+1]||' '||wl[i+2] for i in range(1, len(wl)-1)]) AS gs FROM w),
+      |tok AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+      |sizes AS (SELECT doc_id, len(gs) AS n FROM sh),
+      |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+      |  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT ida, idb, CAST(shared AS DOUBLE)/CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+      |FROM pairs JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+      |WHERE CAST(shared AS DOUBLE)/CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.8""".stripMargin
 }

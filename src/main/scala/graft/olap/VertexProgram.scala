@@ -1,0 +1,69 @@
+package graft.olap
+
+import graft.data.PropertyGraph
+import org.apache.spark.graphx.{Graph => GxGraph, EdgeTriplet, VertexId, PartitionStrategy}
+import org.apache.spark.sql.DataFrame
+import scala.reflect.ClassTag
+
+/** BSP vertex-program contract — the user-extension surface of the reference's
+  * OLAP engine (TinkerPop VertexProgram executed by
+  * tc/graphdb/olap/computer/VertexProgramScanJob.java:33-157, iterated with a
+  * superstep barrier by FulgoraGraphComputer.java:151-189; message combining
+  * via FulgoraVertexMemory and MessageCombiner).
+  *
+  * Spark formulation: GraphX Pregel. `combine` is the reference's
+  * MessageCombiner (applied map-side before the message shuffle), `terminate`
+  * is VertexProgram.terminate(memory) evaluated on the driver between
+  * supersteps, and `Memory` is the per-iteration global aggregate
+  * (FulgoraMemory) — here computed with an RDD aggregate, which Spark
+  * executes as a tree-reduce rather than a shared mutable map.
+  */
+trait VertexProgram[VD, Msg] extends Serializable {
+  /** Initial vertex state (setup + loadState). */
+  def initialState(id: VertexId): VD
+  /** Messages a vertex emits along an out-triplet this superstep. */
+  def send(superstep: Int, triplet: EdgeTriplet[VD, Double]): Iterator[(VertexId, Msg)]
+  /** Combine two messages bound for the same vertex (MessageCombiner). */
+  def combine(a: Msg, b: Msg): Msg
+  /** New state from (old state, combined inbound message). */
+  def apply(superstep: Int, id: VertexId, state: VD, msg: Option[Msg]): VD
+  /** Stop when true (VertexProgram.terminate). */
+  def terminate(superstep: Int, memory: Map[String, Double]): Boolean = false
+  /** Per-superstep global reductions (FulgoraMemory and/or/incr/sum). */
+  def memoryKeys(state: VD): Map[String, Double] = Map.empty
+}
+
+object VertexProgramRunner {
+  /** Run a VertexProgram over the property graph, superstep barrier per
+    * iteration, returning final vertex states. Matches the execution shape of
+    * FulgoraGraphComputer.submit (iterate → terminate check → write-back). */
+  def run[VD: ClassTag, Msg: ClassTag](
+      g: PropertyGraph,
+      program: VertexProgram[VD, Msg],
+      maxIterations: Int,
+      weightCol: Option[String] = None): GxGraph[VD, Double] = {
+    var graph = g.toGraphX(weightCol).partitionBy(PartitionStrategy.EdgePartition2D)
+      .mapVertices((id, _) => program.initialState(id))
+    var superstep = 0
+    var done = false
+    while (!done && superstep < maxIterations) {
+      val messages = graph.aggregateMessages[Msg](
+        ctx => program.send(superstep, ctx.toEdgeTriplet).foreach {
+          case (to, m) => if (to == ctx.dstId) ctx.sendToDst(m) else ctx.sendToSrc(m)
+        },
+        program.combine)
+      val newGraph = graph.outerJoinVertices(messages) {
+        (id, state, msg) => program.apply(superstep, id, state, msg)
+      }
+      newGraph.cache()
+      val memory = newGraph.vertices
+        .flatMap { case (_, st) => program.memoryKeys(st) }
+        .reduceByKey(_ + _).collectAsMap().toMap
+      graph.unpersistVertices(blocking = false)
+      graph = newGraph
+      superstep += 1
+      done = program.terminate(superstep, memory)
+    }
+    graph
+  }
+}

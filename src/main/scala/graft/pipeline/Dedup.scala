@@ -1,0 +1,167 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Document deduplication for large-scale training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash. All set-oriented DataFrame plans —
+  * no driver-side loops — designed so every stage is one shuffle keyed on
+  * something that stays balanced at 100 TB (see notes per operator).
+  */
+object Dedup {
+
+  /** Word tokens (simple whitespace model — the pipeline tokenizer, distinct
+    * from the query-predicate tokenizer in graft.expr.Text). */
+  def words(text: Column): Column = split(text, "\\s+")
+
+  /** Distinct word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = words(text)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(w) - n, lit(0)) ),
+      i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+  }
+
+  /** Exact dedup: group identical texts, keep the smallest id as survivor.
+    * Scale: single hash-aggregate shuffle on a 128-bit text hash (not the
+    * text itself) — constant-width shuffle rows even for long documents. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), md5(col(textCol)).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("copies"))
+      .select(col(idCol), col("copies"))
+
+  /** Exact n-gram Jaccard similarity join via inverted shingle index:
+    * explode distinct shingles → self-join on shingle → |A∩B| per pair →
+    * J = |A∩B| / (|A|+|B|-|A∩B|). Returns (ida, idb, jaccard) with ida<idb.
+    *
+    * Scale: the shuffle key is the shingle; frequency-skewed shingles blow up
+    * the join (a shingle shared by m docs yields m² candidate rows), so
+    * shingles above `maxDocFreq` are dropped — standard stop-shingle filtering;
+    * with n≥3 a high-frequency shingle carries almost no similarity signal. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDocFreq: Long = 100000L): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("gs"))
+      .withColumn("sz", size(col("gs")))
+    val tok = sh.select(col("id"), col("sz"), explode(col("gs")).as("g"))
+    val filtered = tok.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .filter(col("df") <= maxDocFreq).drop("df")
+    val a = filtered.select(col("id").as("ida"), col("sz").as("sza"), col("g"))
+    val b = filtered.select(col("id").as("idb"), col("sz").as("szb"), col("g"))
+    a.join(b, Seq("g")).filter(col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb"))
+      .agg(count(lit(1)).as("shared"), first(col("sza")).as("sza"), first(col("szb")).as("szb"))
+      .withColumn("jaccard", col("shared").cast(DoubleType) /
+        (col("sza") + col("szb") - col("shared")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), col("jaccard"))
+  }
+
+  // ---------------- MinHash + LSH ----------------
+
+  /** Seeded affine hash family (a,b) over the Mersenne prime p=2³¹-1.
+    * 31-bit operands keep a·x+b < 2⁶² — no long overflow under ANSI mode.
+    * Deterministic across runs/partitions (seed-derived, no RNG at exec). */
+  private val MersennePrime = 2147483647L // 2^31 - 1
+  private def hashFamily(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numHashes)((
+      (rnd.nextLong() & 0x7FFFFFFFL) | 1L,
+      rnd.nextLong() & 0x7FFFFFFFL))
+  }
+
+  /** MinHash signature column: array<long> of length numHashes over the
+    * document's shingle set. Computed with higher-order functions on the
+    * shingle array — no explode, no extra shuffle; the signature is built
+    * map-side in one pass over each row. */
+  def minHashSignature(text: Column, n: Int = 3, numHashes: Int = 128,
+      seed: Long = 42L): Column = {
+    val fam = hashFamily(numHashes, seed)
+    val base = transform(shingles(text, n), g => pmod(xxhash64(g), lit(MersennePrime)))
+    array(fam.map { case (a, b) =>
+      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
+    }: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs: signature → bands → bucket join → exact
+    * Jaccard verification ≥ threshold. With the default 32 bands × 4 rows the
+    * detection probability at J=0.8 is 1-(1-0.8⁴)³² ≈ 1-1e-7, so verified
+    * output matches the exact join (same oracle) while candidate generation
+    * scales as the number of colliding pairs, not |docs|².
+    *
+    * Scale: shuffle key is (band, bucketHash); oversized buckets (skew) are
+    * capped via maxBucketSize — a bucket of size m yields m² candidates. */
+  def minHashLshPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+      numHashes: Int = 128, bands: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucketSize: Long = 100000L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", minHashSignature(col("text"), n, numHashes))
+    val banded = sig.select(col("id"), col("text"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(rows) + 1, lit(rows)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val capped = banded.withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsz") <= maxBucketSize).drop("bsz")
+    val a = capped.select(col("band"), col("bucket"), col("id").as("ida"), col("text").as("ta"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("idb"), col("text").as("tb"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), col("ta"), col("tb"))
+      .dropDuplicates("ida", "idb")
+    // exact verification on the candidate set only
+    val ga = shingles(col("ta"), n); val gb = shingles(col("tb"), n)
+    candidates
+      .withColumn("shared", size(array_intersect(ga, gb)))
+      .withColumn("jaccard", col("shared").cast(DoubleType) /
+        (size(ga) + size(gb) - col("shared")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), col("jaccard"))
+  }
+
+  // ---------------- SimHash ----------------
+
+  /** 64-bit SimHash fingerprint of the token multiset: per bit, sum +w/-w of
+    * each distinct token's weight (its count) by whether the token-hash bit is
+    * set; fingerprint bit = sign. One pass per row, no shuffle. */
+  def simHash64(text: Column): Column = {
+    val tokenCounts = transform(
+      array_distinct(words(text)),
+      w => struct(xxhash64(w).as("h"),
+        size(filter(words(text), t => t === w)).cast(LongType).as("w")))
+    val bits = (0 until 64).map { i =>
+      val contrib = aggregate(tokenCounts, lit(0L),
+        (acc, tc) => acc + when(shiftright(tc.getField("h"), i).bitwiseAND(1) === 1,
+          tc.getField("w")).otherwise(-tc.getField("w")))
+      when(contrib > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by the
+    * standard band trick: split the 64-bit fingerprint into `pieces` 16-bit
+    * bands; any pair within distance ≤ pieces-1 must collide on ≥1 band.
+    * Verification = bit_count(xor) on candidates. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pieces = 4
+    val fp = docs.select(col(idCol).as("id"), simHash64(col(textCol)).as("fp"))
+    val banded = fp.select(col("id"), col("fp"),
+      posexplode(array((0 until pieces).map(b =>
+        pmod(shiftrightunsigned(col("fp"), b * 16), lit(65536L))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("id").as("ida"), col("fp").as("fpa"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("idb"), col("fp").as("fpb"))
+    a.join(b, Seq("band", "bucket")).filter(col("ida") < col("idb"))
+      .dropDuplicates("ida", "idb")
+      .withColumn("hamming", bit_count(col("fpa").bitwiseXOR(col("fpb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("ida"), col("idb"), col("hamming"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata, processed in partition-sized batches.
+  *
+  * The decode step is STUBBED (no image/audio codecs in this environment):
+  * `decodeStub` produces deterministic fake features from the raw bytes. The
+  * Spark-side plumbing is real and tested — schema, batch iteration shape
+  * (mapPartitions over row batches, the Scala analogue of mapInPandas), and
+  * partition sizing so a batch of payloads fits in executor memory.
+  *
+  * Scale notes: payloads ride in the row (parquet binary); repartitionByBytes
+  * bounds per-task memory by average payload size, the decode stage is a
+  * narrow transformation (no shuffle), and feature extraction prunes the
+  * binary column immediately after so downstream stages never shuffle blobs.
+  */
+object Multimodal {
+
+  /** media struct: payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("payload", BinaryType),
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("checksum", LongType),
+    StructField("feature", ArrayType(FloatType, containsNull = false))))
+
+  /** Wrap a text table into a media table (synthesizes payload bytes from the
+    * text column — stands in for real image bytes in tests/fixtures). */
+  def synthesizeMedia(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      struct(
+        encode(col(textCol), "UTF-8").as("payload"),
+        lit("fake/raw").as("format"),
+        (length(col(textCol)) % 640).cast(IntegerType).as("width"),
+        lit(480).as("height"),
+        lit(null).cast(LongType).as("duration_ms")).as("media"))
+
+  /** Cap average bytes per task: repartition so each task sees ~`targetBytes`
+    * of payload (the knob that keeps decode batches inside executor memory
+    * at 100 TB — equivalent to tuning maxPartitionBytes for blob columns). */
+  def repartitionByBytes(media: DataFrame, totalBytes: Long, targetBytes: Long = 128L << 20): DataFrame = {
+    val parts = math.max(1, (totalBytes / targetBytes).toInt)
+    media.repartition(parts, col("doc_id"))
+  }
+
+  /** STUB decode + feature extraction — deterministic fake: per-payload
+    * checksum and an 8-dim feature derived from byte histogram moments.
+    * Signature/batching mirror a real decoder: one partition = one batch of
+    * rows, iterator-in/iterator-out (constant memory, pipelined). */
+  def decodeStub(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col("doc_id"), col("media.payload").as("payload"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          var sum = 0L
+          val hist = new Array[Long](8)
+          var i = 0
+          while (i < bytes.length) {
+            sum = (sum * 31 + (bytes(i) & 0xff)) & 0x7fffffffffffffffL
+            hist((bytes(i) & 0xff) % 8) += 1
+            i += 1
+          }
+          val n = math.max(1, bytes.length)
+          Row(id, bytes.length.toLong, sum, hist.map(h => h.toFloat / n).toSeq)
+        }
+      }
+    spark.createDataFrame(out, featureSchema)
+  }
+}

@@ -170,13 +170,17 @@ final case class Traversal(
   def union(others: Traversal*): Traversal =
     copy(df = (this +: others).map(_.df).reduce((a, b) => a.unionByName(b, allowMissingColumns = true)))
 
-  /** optional(step): rows that produce no step result survive unchanged
-    * (Gremlin optional = choose(step, step, identity)). */
+  /** optional(step): rows whose step produces no result survive unchanged
+    * (Gremlin optional = choose(step, step, identity)). Source provenance is
+    * carried through the step via a reserved `as` label so the unmatched set
+    * is computed on source ids, not stepped ids. */
   def optional(step: Traversal => Traversal): Traversal = {
-    val stepped = step(this)
-    val unmatched = df.join(stepped.df.select(col("id").as("__sid")).distinct(),
-      col("id") === col("__sid"), "left_anti")
-    copy(df = stepped.df.unionByName(unmatched, allowMissingColumns = true))
+    val stepped = step(this.as("__opt"))
+    val steppedClean = stepped.df.drop(
+      stepped.df.columns.filter(_.startsWith("_as___opt_")).toSeq: _*)
+    val matchedSrc = stepped.df.select(col("_as___opt_id").as("__sid")).distinct()
+    val unmatched = df.join(matchedSrc, col("id") === col("__sid"), "left_anti")
+    copy(df = steppedClean.unionByName(unmatched, allowMissingColumns = true))
   }
 
   // ---------- aggregation terminals ----------

@@ -1,0 +1,69 @@
+package graft
+
+import graft.data.GraphOfTheGods
+import graft.olap.{Analytics, VertexProgram, VertexProgramRunner}
+import org.apache.spark.graphx.EdgeTriplet
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  lazy val gods = GraphOfTheGods.load(spark)
+
+  test("degrees: hercules has 5 incident edges (3 battled + father + mother)") {
+    val d = Analytics.degrees(gods).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("degree")).toMap
+    assert(d(GraphOfTheGods.ids("hercules")) === 5)
+    // jupiter out: father, lives, brother×2 = 4; in: brother from neptune+pluto, father from hercules = 3
+    assert(d(GraphOfTheGods.ids("jupiter")) === 7)
+  }
+
+  test("connected components: one component covers all 12 gods") {
+    val cc = Analytics.connectedComponents(gods).collect()
+    assert(cc.map(_.getAs[Long]("component")).distinct.length === 1)
+    assert(cc.length === 12)
+  }
+
+  test("triangle count: jupiter-neptune-pluto brother triangle") {
+    val tc = Analytics.triangleCount(gods).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("triangles")).toMap
+    assert(tc(GraphOfTheGods.ids("jupiter")) >= 1)
+    assert(tc(GraphOfTheGods.ids("neptune")) >= 1)
+    assert(tc(GraphOfTheGods.ids("pluto")) >= 1)
+  }
+
+  test("shortest distance: hercules → jupiter(1) → saturn(2)") {
+    val d = Analytics.shortestDistance(gods, GraphOfTheGods.ids("hercules"), maxIter = 6)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("distance")).toMap
+    assert(d(GraphOfTheGods.ids("hercules")) === 0.0)
+    assert(d(GraphOfTheGods.ids("jupiter")) === 1.0)
+    assert(d(GraphOfTheGods.ids("saturn")) === 2.0)
+  }
+
+  test("pageRank: sinks with many in-edges rank above leaves") {
+    val pr = Analytics.pageRank(gods, iterations = 15).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("rank")).toMap
+    // tartarus receives 2 'lives' edges; sky receives 1 — more in-mass
+    assert(pr(GraphOfTheGods.ids("tartarus")) > pr(GraphOfTheGods.ids("sky")))
+  }
+
+  test("custom VertexProgram: hop-count propagation reaches fixpoint") {
+    // propagate "reached" flag from hercules outward (BFS level program)
+    case class St(level: Int)
+    val src = GraphOfTheGods.ids("hercules")
+    val prog = new VertexProgram[Int, Int] {
+      def initialState(id: org.apache.spark.graphx.VertexId): Int =
+        if (id == src) 0 else Int.MaxValue
+      def send(superstep: Int, t: EdgeTriplet[Int, Double]): Iterator[(org.apache.spark.graphx.VertexId, Int)] =
+        if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr) Iterator((t.dstId, t.srcAttr + 1))
+        else Iterator.empty
+      def combine(a: Int, b: Int): Int = math.min(a, b)
+      def apply(superstep: Int, id: org.apache.spark.graphx.VertexId, state: Int, msg: Option[Int]): Int =
+        msg.fold(state)(m => math.min(state, m))
+    }
+    val res = VertexProgramRunner.run(gods, prog, maxIterations = 6)
+    val levels = res.vertices.collect().toMap
+    assert(levels(GraphOfTheGods.ids("jupiter")) === 1)
+    assert(levels(GraphOfTheGods.ids("saturn")) === 2)
+    assert(levels(GraphOfTheGods.ids("nemean")) === 1)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+  lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+  test("exact dedup: survivors = distinct texts") {
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(Dedup.exact(docs).count() === distinctTexts)
+  }
+
+  test("MinHash-LSH pairs equal exact n-gram Jaccard pairs at threshold 0.8") {
+    val exact = Dedup.ngramJaccardPairs(docs, 0.8).select("ida", "idb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(docs, 0.8).select("ida", "idb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "expected planted near-duplicates in fixture")
+    assert(lsh === exact)
+  }
+
+  test("SimHash: near-identical docs have small hamming distance") {
+    val exact = Dedup.ngramJaccardPairs(docs, 0.9).select("ida", "idb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simHashPairs(docs, maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every very-high-jaccard pair should be simhash-close
+    val missed = exact -- sim
+    assert(missed.size <= exact.size / 5, s"simhash missed too many planted dups: $missed")
+  }
+
+  test("cosine: self-similarity is 1, symmetry holds") {
+    val c = emb.limit(3).select(col("vec_id"),
+      Similarity.cosine(col("embedding"), col("embedding")).as("c")).collect()
+    c.foreach(r => assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12))
+  }
+
+  test("IVF top-k recall vs brute force >= 0.5 at nprobe=4/nlist=16") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  test("LSH signature: close vectors share more bits than far ones") {
+    val sig = emb.select(col("vec_id"), Similarity.lshSignature(col("embedding"), 64).as("s"))
+    assert(sig.count() === emb.count())
+    assert(sig.select("s").distinct().count() > 1)
+  }
+
+  test("text analysis: tokens/quality/langid/fingerprint are deterministic & sane") {
+    val r = docs.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.langId(col("text")).as("l"),
+      TextAnalysis.fingerprintMd5(col("text")).as("f"),
+      TextAnalysis.rollingFingerprint(col("text")).as("rf"),
+      TextAnalysis.subwordCount(col("text")).as("sw")).collect()
+    r.foreach { row =>
+      assert(row.getAs[Int]("n") >= 10)
+      val q = row.getAs[Double]("q"); assert(q >= 0.0 && q <= 1.0)
+      assert(Set("en", "de", "fr", "es", "und").contains(row.getAs[String]("l")))
+      assert(row.getAs[String]("f").length === 32)
+      val rf = row.getAs[Long]("rf"); assert(rf >= 0 && rf < 2147483647L)
+      assert(row.getAs[Int]("sw") >= row.getAs[Int]("n"))
+    }
+  }
+
+  test("rolling fingerprint is shift-sensitive but deterministic") {
+    import spark.implicits._
+    val df = Seq("alpha beta gamma", "alpha beta gamma", "beta alpha gamma").toDF("text")
+    val fps = df.select(TextAnalysis.rollingFingerprint(col("text"))).as[Long].collect()
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("multimodal: synthesize → repartition → stub decode plumbing") {
+    val media = Multimodal.synthesizeMedia(docs.limit(50))
+    assert(media.schema("media").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val sized = Multimodal.repartitionByBytes(media, totalBytes = 1 << 20, targetBytes = 256 << 10)
+    val feats = Multimodal.decodeStub(sized)
+    assert(feats.schema === Multimodal.featureSchema)
+    val rows = feats.collect()
+    assert(rows.length === 50)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bytes") > 0)
+      assert(r.getAs[Seq[Float]]("feature").length === 8)
+    }
+    // determinism across two runs
+    val again = Multimodal.decodeStub(sized).collect()
+    assert(rows.map(_.getLong(2)).sorted.toSeq === again.map(_.getLong(2)).sorted.toSeq)
+  }
+}

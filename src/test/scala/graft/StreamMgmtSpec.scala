@@ -1,0 +1,99 @@
+package graft
+
+import graft.core._
+import graft.mgmt.Management
+import graft.stream.ChangeStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class StreamMgmtSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+
+  test("change stream: foreachBatch listener sees exactly the full log (AvailableNow)") {
+    val checkpoint = Files.createTempDirectory("graft-ckpt").toString
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val adds = new java.util.concurrent.atomic.AtomicLong(0)
+    val stream = ChangeStream.withChange(ChangeStream.readStream(spark, dir))
+    val q = ChangeStream.addListener(stream, checkpoint) { (batch, _) =>
+      seen.addAndGet(batch.count())
+      adds.addAndGet(batch.filter(col("change") === "ADDED").count())
+    }
+    q.awaitTermination(120000)
+    val batchTotal = ChangeStream.replay(spark, dir).count()
+    val batchAdds = ChangeStream.replay(spark, dir).filter(col("change") === "ADDED").count()
+    assert(seen.get() === batchTotal)
+    assert(adds.get() === batchAdds)
+  }
+
+  test("windowed aggregation over the change stream (watermark extension)") {
+    val batch = ChangeStream.replay(spark, dir)
+    val windowed = batch.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(windowed.count() > 0)
+    val total = windowed.agg(sum("cnt")).collect()(0).getLong(0)
+    assert(total === batch.count())
+  }
+
+  test("management: maker surface + commit") {
+    val mgmt = new Management(GraphSchema())
+    mgmt.makePropertyKey("score").dataType(org.apache.spark.sql.types.DoubleType).make()
+    mgmt.makePropertyKey("tag").cardinality(Cardinality.SET).make()
+    mgmt.makeVertexLabel("doc").partition().make()
+    mgmt.makeEdgeLabel("cites").multiplicity(Multiplicity.SIMPLE).sortKey("score").make()
+    val schema = mgmt.commit()
+    assert(schema.propertyKey("tag").columnType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    assert(schema.vertexLabel("doc").partitioned)
+    assert(schema.edgeLabel("cites").multiplicity === Multiplicity.SIMPLE)
+  }
+
+  test("management: index lifecycle state machine") {
+    val mgmt = new Management(GraphSchema())
+    mgmt.makePropertyKey("name").make()
+    mgmt.buildIndex("byName", ElementCategory.VERTEX).addKey("name").buildMixedIndex()
+    assert(mgmt.indexStatus("byName") === SchemaStatus.INSTALLED)
+    assert(mgmt.updateIndex("byName", SchemaAction.REGISTER_INDEX) === SchemaStatus.REGISTERED)
+    assert(mgmt.updateIndex("byName", SchemaAction.ENABLE_INDEX) === SchemaStatus.ENABLED)
+    assert(mgmt.updateIndex("byName", SchemaAction.REINDEX) === SchemaStatus.ENABLED)
+    assert(mgmt.updateIndex("byName", SchemaAction.DISABLE_INDEX) === SchemaStatus.DISABLED)
+    intercept[IllegalStateException] {
+      mgmt.updateIndex("byName", SchemaAction.ENABLE_INDEX)
+    }
+    mgmt.updateIndex("byName", SchemaAction.REMOVE_INDEX)
+    assert(!mgmt.current.indexes.contains("byName"))
+  }
+
+  test("management: duplicate type definition rejected; rename allowed") {
+    val mgmt = new Management(GraphSchema())
+    mgmt.makePropertyKey("x").make()
+    intercept[IllegalArgumentException] { mgmt.makePropertyKey("x").make() }
+    mgmt.renamePropertyKey("x", "y")
+    assert(mgmt.current.propertyKeys.contains("y") && !mgmt.current.propertyKeys.contains("x"))
+  }
+
+  test("index: composite lookup equals direct filter; edge layout round-trips") {
+    val g = graft.data.TpchGraph.load(spark, dir)
+    val ix = graft.index.Indexes.materialize(g, g.schema.indexes("byUid"))
+    val viaIndex = graft.index.Indexes.lookup(g, ix, Map("uid" -> 42L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val direct = g.vertices.filter(col("uid") === 42L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaIndex === direct && direct.nonEmpty)
+
+    val out = Files.createTempDirectory("graft-layout").toString + "/edges"
+    graft.index.Indexes.writeEdgeLayout(g, out, buckets = 4, sortKeys = Seq("shipdate"))
+    val back = spark.read.parquet(out)
+    assert(back.count() === g.edges.count())
+  }
+
+  test("indexQuery: scored text search with limit/offset paging") {
+    val g = graft.data.TpchGraph.load(spark, dir)
+    val page1 = graft.index.Indexes.indexQuery(g, ElementCategory.VERTEX, "name", "red widget", 5, 0)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val page2 = graft.index.Indexes.indexQuery(g, ElementCategory.VERTEX, "name", "red widget", 5, 5)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(page1.size === 5 && page2.size === 5)
+    assert((page1.toSet intersect page2.toSet).isEmpty)
+  }
+}
