@@ -271,6 +271,36 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), graft.pipeline.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
     }),
+    // ---- 2.E choose (per-traverser branch) ----
+    "q_choose" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer")
+        .choose(col("acctbal") > 5000.0)(_.out("placed"), identity)
+        .values("uid", "label")
+    }),
+    // ---- 2.K partitioned-supernode aggregation: salted two-phase degree ----
+    "q_salted_degree" -> ((s, dir) => {
+      val g = graph(s, dir)
+      graft.olap.GraphOps.saltedAggregate(
+        g.edges.filter(col("label") === "contains"), col("dst"), salts = 16,
+        partialAggs = Seq(count(lit(1)).as("__c")),
+        mergeAggs = Seq(sum(col("__c")).as("cnt")))
+        .select(uidOf(col("__key"), TpchGraph.PartTag).as("uid"), col("cnt"))
+    }),
+    // ---- 2.C properties() result shape (vertex properties as relations) ----
+    "q_properties" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val frontier = g.V().hasLabel("customer").dataframe.select(col("id").as("vid"))
+      VertexCentricQuery(g).onFrontier(frontier).properties("name", "mktsegment")
+        .select(uidOf(col("vid"), TpchGraph.CustomerTag).as("uid"), col("key"), col("value"))
+    }),
+    // ---- 2.M native expression: array_jaccard over name tokens ----
+    "q_array_jaccard" -> ((s, dir) => {
+      val p = graph(s, dir).V().hasLabel("part").dataframe
+        .select(col("uid"), graft.expr.Text.tokens(col("name")).as("t"))
+      val probe = array(lit("red"), lit("widget"))
+      p.select(col("uid"), graft.functions.ArrayJaccard(col("t"), probe).as("j"))
+        .filter(col("j") > 0.0)
+    }),
   )
 
   /** Headline subset timed by Bench (others still verified for correctness). */
@@ -397,6 +427,21 @@ object SparkEntry {
         |ELSE 'und' END AS lang_pred FROM c""".stripMargin,
     "q_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
+    "q_choose" ->
+      """SELECT o_orderkey AS uid, 'order' AS label FROM orders
+        |JOIN customer ON o_custkey = c_custkey WHERE c_acctbal > 5000.0
+        |UNION ALL SELECT c_custkey, 'customer' FROM customer WHERE NOT (c_acctbal > 5000.0)""".stripMargin,
+    "q_salted_degree" ->
+      "SELECT l_partkey AS uid, COUNT(*) AS cnt FROM lineitem GROUP BY 1",
+    "q_properties" ->
+      """SELECT c_custkey AS uid, 'name' AS key, c_name AS value FROM customer
+        |UNION ALL SELECT c_custkey, 'mktsegment', c_mktsegment FROM customer""".stripMargin,
+    "q_array_jaccard" ->
+      """WITH t AS (SELECT p_partkey AS uid,
+        |  list_distinct(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), x -> length(x) > 1)) AS tok FROM part)
+        |SELECT uid, CAST(len(list_intersect(tok, ['red','widget'])) AS DOUBLE) /
+        |  CAST(len(tok) + 2 - len(list_intersect(tok, ['red','widget'])) AS DOUBLE) AS j
+        |FROM t WHERE len(list_intersect(tok, ['red','widget'])) > 0""".stripMargin,
   )
 
   /** Shared oracle for exact n-gram Jaccard and (verified) MinHash-LSH — with

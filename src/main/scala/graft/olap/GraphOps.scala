@@ -1,0 +1,72 @@
+package graft.olap
+
+import graft.data.PropertyGraph
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph maintenance jobs + skew utilities — the reference's OLAP job suite
+  * (tc/graphdb/olap/job/GhostVertexRemover.java, IndexRepairJob.java) and its
+  * partitioned-supernode machinery (PartitionedVertexProgramExecutor,
+  * FulgoraGraphComputer.java:161-174) as batch DataFrame jobs.
+  */
+object GraphOps {
+
+  /** Ghost edges: edges referencing a vertex id that no longer exists
+    * (half-deleted elements the reference's GhostVertexRemover scans for).
+    * Pure anti-join formulation. */
+  def ghostEdges(g: PropertyGraph): DataFrame = {
+    val ids = g.vertices.select(col("id").as("__vid"))
+    g.edges.join(ids, col("src") === col("__vid"), "left_anti")
+      .unionByName(
+        g.edges.join(ids, col("dst") === col("__vid"), "left_anti"))
+      .dropDuplicates("id")
+  }
+
+  /** Remove ghost edges and orphan cleanup — returns the repaired graph. */
+  def removeGhosts(g: PropertyGraph): PropertyGraph = {
+    val ids = g.vertices.select(col("id").as("__vid"))
+    val cleaned = g.edges
+      .join(ids, col("src") === col("__vid"), "left_semi")
+      .join(ids, col("dst") === col("__vid"), "left_semi")
+    g.copy(edges = cleaned)
+  }
+
+  /** Skew-safe (salted) per-vertex aggregation — the supernode answer
+    * (reference: partitioned vertex labels split hot vertices across
+    * partitions; here: two-phase aggregation through a salted key).
+    *
+    * Phase 1 shuffles on (key, salt) — hot keys spread over `salts` reducers;
+    * phase 2 merges the partials. Use for degree-like aggregations when a
+    * vertex may own an unbounded fraction of edges. `aggs` must be
+    * decomposable (sum/count/min/max). */
+  def saltedAggregate(edges: DataFrame, key: Column, salts: Int,
+      partialAggs: Seq[Column], mergeAggs: Seq[Column]): DataFrame = {
+    val salted = edges.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    val partial = salted.groupBy(key.as("__key"), col("__salt")).agg(partialAggs.head, partialAggs.tail: _*)
+    partial.groupBy(col("__key")).agg(mergeAggs.head, mergeAggs.tail: _*)
+  }
+
+  /** Salted degree count (the common case): exact per-vertex edge count with
+    * bounded reducer load regardless of skew. */
+  def saltedDegree(g: PropertyGraph, direction: String = "out", salts: Int = 64): DataFrame = {
+    val key = if (direction == "out") col("src") else col("dst")
+    saltedAggregate(g.edges, key, salts,
+      partialAggs = Seq(count(lit(1)).as("__c")),
+      mergeAggs = Seq(sum(col("__c")).as("degree")))
+      .withColumnRenamed("__key", "id")
+  }
+
+  /** TTL view (reference: per-type TTL enforced by storage cell TTL,
+    * docs/advschema.txt:20-70): filter elements whose `createdCol` is within
+    * `ttlSeconds` of `now`. Evaluated at read time — a snapshot engine's
+    * equivalent of expiring cells. */
+  def ttlView(df: DataFrame, createdCol: String, ttlSeconds: Long,
+      now: Column = current_timestamp()): DataFrame =
+    df.filter(col(createdCol) + expr(s"INTERVAL $ttlSeconds SECONDS") > now)
+
+  /** Index repair job (IndexRepairJob analogue): recompute a materialized
+    * index table from base data and persist it — callers diff/replace. */
+  def reindex(g: PropertyGraph, ix: graft.core.IndexDef, path: String): Unit =
+    graft.index.Indexes.materialize(g, ix)
+      .write.mode("overwrite").parquet(path)
+}

@@ -115,12 +115,11 @@ object Dedup {
       .filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb"), col("ta"), col("tb"))
       .dropDuplicates("ida", "idb")
-    // exact verification on the candidate set only
-    val ga = shingles(col("ta"), n); val gb = shingles(col("tb"), n)
+    // exact verification on the candidate set only — native codegen'd
+    // expression in the hot loop (graft.functions.ArrayJaccard)
     candidates
-      .withColumn("shared", size(array_intersect(ga, gb)))
-      .withColumn("jaccard", col("shared").cast(DoubleType) /
-        (size(ga) + size(gb) - col("shared")).cast(DoubleType))
+      .withColumn("jaccard", graft.functions.ArrayJaccard(
+        shingles(col("ta"), n), shingles(col("tb"), n)))
       .filter(col("jaccard") >= threshold)
       .select(col("ida"), col("idb"), col("jaccard"))
   }

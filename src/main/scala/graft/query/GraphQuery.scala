@@ -20,13 +20,17 @@ import org.apache.spark.sql.functions._
 final case class GraphQuery(
     graph: PropertyGraph,
     target: DataFrame,
+    element: graft.core.ElementCategory = graft.core.ElementCategory.VERTEX,
     conds: Vector[Column] = Vector.empty,
     orders: Vector[Column] = Vector.empty,
-    limitN: Option[Int] = None) {
+    limitN: Option[Int] = None,
+    eqKeys: Set[String] = Set.empty,
+    strictIndex: Boolean = false) {
 
   /** has(key, value) — Cmp.EQUAL; has(key, null) ≡ hasNot(key)
     * (GraphCentricQueryBuilder.java:109-116). */
-  def has(key: String, value: Any): GraphQuery = has(key, P.eq(value))
+  def has(key: String, value: Any): GraphQuery =
+    copy(conds = conds :+ P.eq(value).apply(col(key)), eqKeys = eqKeys + key)
 
   /** has(key, predicate) — arbitrary TitanPredicate analogue. */
   def has(key: String, p: P): GraphQuery = copy(conds = conds :+ p.apply(col(key)))
@@ -54,9 +58,22 @@ final case class GraphQuery(
 
   def limit(n: Int): GraphQuery = copy(limitN = Some(n))
 
+  /** force-index strict mode (reference: query.force-index config,
+    * GraphDatabaseConfiguration.java:218 + StandardTitanTx.java:1260-1281
+    * full-scan rejection): the query must be answerable from a declared
+    * composite index over its equality keys, else it is rejected. In this
+    * engine "index-covered" means an enabled composite index whose keys are a
+    * subset of the equality conjuncts — the same cover test the reference's
+    * index selector applies. */
+  def forceIndex(): GraphQuery = copy(strictIndex = true)
+
   /** Compile to a DataFrame plan. Orders get `id` appended as a deterministic
     * tie-break (the reference's element iterator order is storage-deterministic). */
   def dataframe: DataFrame = {
+    if (strictIndex &&
+        graph.schema.compositeIndexCandidates(element, eqKeys).isEmpty)
+      throw new IllegalStateException(
+        s"Could not find a suitable index to answer graph query (force-index); equality keys: $eqKeys")
     val filtered = conds.foldLeft(target)((df, c) => df.filter(c))
     val ordered =
       if (orders.nonEmpty) filtered.orderBy(orders :+ col("id").asc: _*)
@@ -70,6 +87,8 @@ final case class GraphQuery(
 }
 
 object GraphQuery {
-  def vertices(g: PropertyGraph): GraphQuery = GraphQuery(g, g.vertices)
-  def edges(g: PropertyGraph): GraphQuery = GraphQuery(g, g.edges)
+  def vertices(g: PropertyGraph): GraphQuery =
+    GraphQuery(g, g.vertices, graft.core.ElementCategory.VERTEX)
+  def edges(g: PropertyGraph): GraphQuery =
+    GraphQuery(g, g.edges, graft.core.ElementCategory.EDGE)
 }

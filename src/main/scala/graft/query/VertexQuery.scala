@@ -128,6 +128,26 @@ final case class VertexCentricQuery(
     * (tc/core/TitanVertexQuery.java edgeCount). */
   def edgeCount(): DataFrame =
     edges().groupBy(col("vid")).agg(count(lit(1)).as("count"))
+
+  /** Vertex properties as relation rows (TitanVertexProperty is a first-class
+    * relation in the reference — tc/core/TitanVertexProperty.java): one row
+    * per (vid, key, value) over the frontier, nulls omitted. `keys(...)`
+    * restriction comes through the `keys` argument. */
+  def properties(keys: String*): DataFrame = {
+    val ks: Seq[String] = if (keys.nonEmpty) keys.toSeq else graph.vertexPropColumns
+    val base = frontier match {
+      case None => graph.vertices
+      case Some(f) => graph.vertices.join(
+        f.select(col("vid")).distinct(), col("id") === col("vid"), "left_semi")
+    }
+    ks.map(k => base.select(col("id").as("vid"), lit(k).as("key"),
+        col(k).cast("string").as("value")).filter(col("value").isNotNull))
+      .reduce(_ unionAll _)
+  }
+
+  /** propertyCount with limit semantics, like edgeCount. */
+  def propertyCount(keys: String*): DataFrame =
+    properties(keys: _*).groupBy(col("vid")).agg(count(lit(1)).as("count"))
 }
 
 object VertexCentricQuery {

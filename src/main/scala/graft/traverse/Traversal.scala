@@ -183,6 +183,47 @@ final case class Traversal(
     copy(df = steppedClean.unionByName(unmatched, allowMissingColumns = true))
   }
 
+  /** choose(predicate, trueStep, falseStep) — per-traverser branch
+    * (Gremlin choose ⇒ filter-split + union). */
+  def choose(pred: Column)(trueStep: Traversal => Traversal,
+      falseStep: Traversal => Traversal): Traversal = {
+    val t = trueStep(copy(df = df.filter(pred)))
+    val f = falseStep(copy(df = df.filter(!F.coalesce(pred, lit(false)))))
+    t.copy(df = t.df.unionByName(f.df, allowMissingColumns = true))
+  }
+
+  /** coalesce(step1, step2, ...) — per source element, results of the FIRST
+    * step that produces any; later steps only fire for sources where all
+    * earlier ones were empty (Gremlin coalesce). Provenance via reserved
+    * `as`-labels, like optional(). */
+  def coalesceSteps(steps: (Traversal => Traversal)*): Traversal = {
+    require(steps.nonEmpty)
+    var remaining = this
+    var acc: Option[org.apache.spark.sql.DataFrame] = None
+    steps.foreach { step =>
+      val stepped = step(remaining.as("__coal"))
+      val clean = stepped.df.drop(
+        stepped.df.columns.filter(_.startsWith("_as___coal_")).toSeq: _*)
+      val matchedSrc = stepped.df.select(col("_as___coal_id").as("__sid")).distinct()
+      acc = Some(acc.fold(clean)(a => a.unionByName(clean, allowMissingColumns = true)))
+      remaining = remaining.copy(df =
+        remaining.df.join(matchedSrc, col("id") === col("__sid"), "left_anti"))
+    }
+    copy(df = acc.get)
+  }
+
+  /** tail(n) — last n by the traversal's last order (Gremlin tail). Global
+    * like range(); computes the frontier size (one count job). */
+  def tail(n: Int): Traversal = {
+    val cnt = df.count()
+    range(math.max(0, (cnt - n).toInt), cnt.toInt)
+  }
+
+  /** aggregate('x') — side-effect barrier collecting the current frontier ids
+    * (Gremlin aggregate/cap). Returned as a broadcastable DataFrame; the
+    * traversal itself continues unchanged. */
+  def aggregateSet(): org.apache.spark.sql.DataFrame = df.select(col("id")).distinct()
+
   // ---------- aggregation terminals ----------
   def count(): DataFrame = df.agg(F.count(lit(1)).as("count"))
   def countDistinct(): DataFrame = df.agg(F.count_distinct(col("id")).as("count"))

@@ -1,0 +1,129 @@
+package graft
+
+import graft.data.{GraphIO, GraphOfTheGods, TpchGraph}
+import graft.functions.ArrayJaccard
+import graft.olap.{GraphOps, MapReduce}
+import graft.query.GraphQuery
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class GraphOpsIoSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  lazy val gods = GraphOfTheGods.load(spark)
+  val dir = "/root/testdata/sf0.001"
+
+  test("GraphIO: parquet save/load round-trip preserves counts and layout") {
+    val path = Files.createTempDirectory("graft-io").toString
+    GraphIO.save(gods, path, buckets = 2)
+    val back = GraphIO.load(spark, path, gods.schema)
+    assert(back.vertices.count() === 12)
+    assert(back.edges.count() === 17)
+  }
+
+  test("GraphIO: JSON export/import round-trip") {
+    val path = Files.createTempDirectory("graft-json").toString
+    GraphIO.exportJson(gods, path)
+    val back = GraphIO.importJson(spark, path, gods.schema)
+    assert(back.vertices.count() === 12)
+    assert(back.edges.count() === 17)
+  }
+
+  test("GraphIO: mutations — add/delete with edge cascade") {
+    import spark.implicits._
+    val newV = Seq((100L, "god", "minerva", 2000)).toDF("id", "label", "name", "age")
+    val g1 = GraphIO.applyMutations(gods, addVertices = Some(newV))
+    assert(g1.vertices.count() === 13)
+    // delete hercules: his 5 incident edges must cascade away
+    val del = Seq(Tuple1(GraphOfTheGods.ids("hercules"))).toDF("id")
+    val g2 = GraphIO.applyMutations(g1, deleteVertexIds = Some(del))
+    assert(g2.vertices.count() === 12)
+    assert(g2.edges.count() === 12)
+    assert(GraphOps.ghostEdges(g2).count() === 0)
+  }
+
+  test("GraphOps: ghost edge detection + removal") {
+    // fabricate a ghost by dropping a vertex without cascading
+    val broken = gods.copy(vertices = gods.vertices.filter(col("name") =!= "cerberus"))
+    val ghosts = GraphOps.ghostEdges(broken)
+    // cerberus edges: pet(pluto→cerberus), lives(cerberus→tartarus), battled(hercules→cerberus)
+    assert(ghosts.count() === 3)
+    val repaired = GraphOps.removeGhosts(broken)
+    assert(GraphOps.ghostEdges(repaired).count() === 0)
+    assert(repaired.edges.count() === 14)
+  }
+
+  test("GraphOps: salted degree equals plain degree") {
+    val g = TpchGraph.load(spark, dir)
+    val plain = g.edges.groupBy(col("src")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = GraphOps.saltedDegree(g, "out", salts = 8)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("degree")).toMap
+    assert(salted === plain)
+  }
+
+  test("GraphOps: ttlView filters expired rows") {
+    import spark.implicits._
+    val now = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2025-12-31 23:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2025-12-01 00:00:00"))).toDF("id", "created")
+    val alive = GraphOps.ttlView(df, "created", ttlSeconds = 7200, now = lit(now))
+    assert(alive.select("id").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("MapReduce adapter: word histogram over vertex names") {
+    import spark.implicits._
+    val out = MapReduce.run[String, Int, (String, Int)](gods.vertices)(
+      r => Seq((r.getAs[String]("label"), 1)))(
+      (k, vs) => (k, vs.sum))
+    val m = out.collect().toMap
+    assert(m("god") === 3 && m("location") === 3 && m("monster") === 3)
+  }
+
+  test("ArrayJaccard: native expression semantics + SQL registration") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a", "a", "b"), Seq("a", "b")),   // duplicates collapse
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("x"), Seq("y"))).toDF("l", "r")
+    val got = df.select(ArrayJaccard(col("l"), col("r"))).as[Double].collect().toSeq
+    assert(got === Seq(0.5, 1.0, 0.0, 0.0))
+    ArrayJaccard.register(spark)
+    val viaSql = df.selectExpr("array_jaccard(l, r)").as[Double].collect().toSeq
+    assert(viaSql === got)
+    // null propagation
+    val nulls = Seq((null.asInstanceOf[Seq[String]], Seq("a"))).toDF("l", "r")
+    assert(nulls.select(ArrayJaccard(col("l"), col("r"))).collect()(0).isNullAt(0))
+  }
+
+  test("force-index: covered query runs, uncovered query rejected") {
+    val g = TpchGraph.load(spark, dir)
+    // byUid composite index covers uid equality
+    assert(GraphQuery.vertices(g).has("uid", 7L).forceIndex().dataframe.count() > 0)
+    intercept[IllegalStateException] {
+      GraphQuery.vertices(g).has("mktsegment", "BUILDING").forceIndex().dataframe
+    }
+  }
+
+  test("traversal: choose branches and coalesce first-non-empty") {
+    val t = gods.traversal.V().hasLabel("god")
+      .choose(col("name") === "jupiter")(_.out("father"), identity)
+      .values("name").collect().map(_.getString(0)).toSet
+    assert(t === Set("saturn", "neptune", "pluto"))
+
+    // coalesce: pet edge if present, else lives edge
+    val c = gods.traversal.V().hasLabel("god")
+      .coalesceSteps(_.out("pet"), _.out("lives"))
+      .values("name").collect().map(_.getString(0)).toSet
+    // pluto has pet → cerberus; jupiter/neptune fall through to lives → sky/sea
+    assert(c === Set("cerberus", "sky", "sea"))
+  }
+
+  test("traversal: tail returns the last elements of the order") {
+    val names = gods.traversal.V().has("age")
+      .order("age").tail(2).values("name").collect().map(_.getString(0)).toSet
+    assert(names === Set("jupiter", "saturn"))
+  }
+}
