@@ -293,6 +293,10 @@ object SparkEntry {
       VertexCentricQuery(g).onFrontier(frontier).properties("name", "mktsegment")
         .select(uidOf(col("vid"), TpchGraph.CustomerTag).as("uid"), col("key"), col("value"))
     }),
+    // ---- 2.J/2.G sessionization (gap-based, lag+running-sum windows) ----
+    "q_sessionize" -> ((s, dir) => {
+      graft.stream.ChangeStream.sessionStats(readEvents(s, dir), gapSeconds = 3600)
+    }),
     // ---- 2.M native expression: array_jaccard over name tokens ----
     "q_array_jaccard" -> ((s, dir) => {
       val p = graph(s, dir).V().hasLabel("part").dataframe
@@ -436,6 +440,14 @@ object SparkEntry {
     "q_properties" ->
       """SELECT c_custkey AS uid, 'name' AS key, c_name AS value FROM customer
         |UNION ALL SELECT c_custkey, 'mktsegment', c_mktsegment FROM customer""".stripMargin,
+    "q_sessionize" ->
+      """WITH o AS (SELECT user_id, ts, event_id,
+        |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (SELECT user_id,
+        |  CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > CAST(3600 AS BIGINT) * 1000000 THEN 1 ELSE 0 END AS ns
+        |  FROM o)
+        |SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM s GROUP BY 1""".stripMargin,
     "q_array_jaccard" ->
       """WITH t AS (SELECT p_partkey AS uid,
         |  list_distinct(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), x -> length(x) > 1)) AS tok FROM part)

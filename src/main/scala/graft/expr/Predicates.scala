@@ -21,16 +21,25 @@ object Cmp {
     if (v == null) c.isNull else c <=> lit(v)
   def neq(c: Column, v: Any): Column =
     if (v == null) c.isNotNull else !(c <=> lit(v))
-  def lt(c: Column, v: Any): Column = coalesce(c < lit(v), lit(false))
-  def lte(c: Column, v: Any): Column = coalesce(c <= lit(v), lit(false))
-  def gt(c: Column, v: Any): Column = coalesce(c > lit(v), lit(false))
-  def gte(c: Column, v: Any): Column = coalesce(c >= lit(v), lit(false))
+  // Orderings are left as bare comparisons: in filter context NULL drops the
+  // row, which IS the reference's "false on null" — and unlike a
+  // coalesce(...,false) wrapper, a bare comparison stays a pushable source
+  // filter (PushedFilters reaches the parquet scan).
+  def lt(c: Column, v: Any): Column = c < lit(v)
+  def lte(c: Column, v: Any): Column = c <= lit(v)
+  def gt(c: Column, v: Any): Column = c > lit(v)
+  def gte(c: Column, v: Any): Column = c >= lit(v)
 }
 
 object Contain {
+  /** IN: bare isin stays pushable (In source filter); NULL value drops the
+    * row — the reference's contains(null)=false for null-free conditions. */
   def in(c: Column, vs: Seq[Any]): Column =
-    if (vs.isEmpty) lit(false) else coalesce(c.isin(vs: _*), lit(false))
-  def notIn(c: Column, vs: Seq[Any]): Column = !in(c, vs)
+    if (vs.isEmpty) lit(false) else c.isin(vs: _*)
+  /** NOT_IN(null, col) must be TRUE (Contain.java:38-48) — here the coalesce
+    * is semantically required, not just cosmetic. */
+  def notIn(c: Column, vs: Seq[Any]): Column =
+    if (vs.isEmpty) lit(true) else !coalesce(c.isin(vs: _*), lit(false))
 }
 
 /** A graph-query predicate: a column transformer, named for plan introspection.
@@ -101,11 +110,12 @@ object Text {
   def containsRegex(c: Column, regexStr: String): Column =
     exists(tokens(c), t => t.rlike(anchored(regexStr)))
 
-  /** Text.PREFIX — whole string starts with prefix (case-sensitive, trimmed condition). */
-  def prefix(c: Column, p: String): Column = coalesce(c.startsWith(p.trim), lit(false))
+  /** Text.PREFIX — whole string starts with prefix (case-sensitive, trimmed
+    * condition). Bare startsWith ⇒ pushable StringStartsWith source filter. */
+  def prefix(c: Column, p: String): Column = c.startsWith(p.trim)
 
   /** Text.REGEX — whole string matches (case-sensitive). */
-  def regex(c: Column, r: String): Column = coalesce(c.rlike(anchored(r)), lit(false))
+  def regex(c: Column, r: String): Column = c.rlike(anchored(r))
 
   private def anchored(r: String): String = "^(?:" + r + ")$"
 }

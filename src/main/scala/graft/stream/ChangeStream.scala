@@ -66,4 +66,59 @@ object ChangeStream {
     * derived state from the log from scratch, idempotently). */
   def replay(spark: SparkSession, dir: String): DataFrame =
     withChange(graft.SparkEntry.readEvents(spark, dir))
+
+  /** Batch sessionization: assign gap-based session ids per user (a new
+    * session starts after `gapSeconds` of inactivity). Lag + running-count
+    * windows — one shuffle on user_id. The streaming twin is
+    * `sessionizeStream`. */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev").isNull, 1)
+          .when(unix_micros(col("ts")) - unix_micros(col("__prev")) > gapSeconds * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("__new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__prev", "__new_session")
+  }
+
+  /** Session aggregates per user: number of sessions and events. */
+  def sessionStats(events: DataFrame, gapSeconds: Long): DataFrame =
+    sessionizeBatch(events, gapSeconds)
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+
+  /** Streaming sessionization via flatMapGroupsWithState — the custom-state
+    * extension point (KeyValueGroupedDataset, SURVEY §2.J "stateful ops are
+    * beyond reference parity"). Emits one row per closed session. */
+  def sessionizeStream(events: DataFrame, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    case class SessionState(start: Long, last: Long, count: Long)
+    val spark0 = events.sparkSession
+    import spark0.implicits._
+    val typed = events.select(col("user_id"), unix_micros(col("ts")).as("tsus"))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Long, Long)], (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[List[(Long, Long, Long)]]) =>
+          // sessions as (start, last, count); batch-sorted fold
+          val sorted = rows.map(_._2).toSeq.sorted
+          val init = state.getOption.getOrElse(Nil)
+          val gap = gapSeconds * 1000000L
+          val sessions = sorted.foldLeft(init) { (acc, ts) =>
+            acc match {
+              case (s, l, c) :: tail if ts - l <= gap => (s, ts, c + 1) :: tail
+              case _ => (ts, ts, 1L) :: acc
+            }
+          }
+          state.update(sessions)
+          // emit closed sessions (all but the most recent open one)
+          sessions.drop(1).map { case (s, l, c) => (uid, s, c) }.iterator
+      }.toDF("user_id", "session_start_us", "n_events")
+  }
 }

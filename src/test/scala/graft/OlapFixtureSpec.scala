@@ -1,0 +1,88 @@
+package graft
+
+import graft.core._
+import graft.data.PropertyGraph
+import graft.olap.Analytics
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FIXTURES.md §3 — the reference's OLAP random graph
+  * (OLAPTest.java:61-88 generateRandomGraph): vertex i has uid=i+1 and a LIST
+  * property; vertex i emits i+1 'knows' edges to uniform-random targets ⇒
+  * exactly n(n+1)/2 edges. Degree/PageRank/SSSP checks in the reference's
+  * style (OLAPTest.java:91,496,565).
+  */
+class OlapFixtureSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  val n = 200
+
+  lazy val fixture: PropertyGraph = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val schema = GraphSchema()
+      .withPropertyKey(PropertyKeyDef("uid", IntegerType))
+      .withPropertyKey(PropertyKeyDef("numvals", IntegerType))
+      .withPropertyKey(PropertyKeyDef("values", IntegerType, Cardinality.LIST))
+      .withPropertyKey(PropertyKeyDef("weight", IntegerType))
+      .withVertexLabel(VertexLabelDef("node"))
+      .withEdgeLabel(EdgeLabelDef("knows", signature = Seq("weight")))
+    val verts = (0 until n).map { i =>
+      val numvals = rnd.nextInt(5) + 1
+      (i.toLong + 1, "node", i + 1, numvals, Seq.fill(numvals)(rnd.nextInt(100)))
+    }.toDF("id", "label", "uid", "numvals", "values")
+    var eid = 0L
+    val edges = (0 until n).flatMap { i =>
+      (0 to i).map { _ =>
+        eid += 1
+        (eid, i.toLong + 1, rnd.nextInt(n).toLong + 1, "knows", rnd.nextInt(10) + 1)
+      }
+    }.toDF("id", "src", "dst", "label", "weight")
+    PropertyGraph(schema, verts, edges)
+  }
+
+  test("random graph has exactly n(n+1)/2 edges (OLAPTest degree invariant)") {
+    assert(fixture.edges.count() === n.toLong * (n + 1) / 2)
+    // out-degree of vertex i is i+1 by construction
+    val outDeg = Analytics.degrees(fixture).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("out_degree")).toMap
+    (1 to n).foreach(i => assert(outDeg.getOrElse(i.toLong, 0L) === i.toLong))
+  }
+
+  test("LIST cardinality property survives the round trip") {
+    val r = fixture.vertices.selectExpr("numvals", "size(values) AS s").collect()
+    r.foreach(row => assert(row.getAs[Int]("numvals") === row.getAs[Int]("s")))
+  }
+
+  test("PageRank matches the analytic fixed point on a directed star") {
+    import spark.implicits._
+    // leaves 2..m+1 each point at center 1; center has no out-edges
+    val m = 50
+    val verts = (1 to m + 1).map(i => (i.toLong, "node")).toDF("id", "label")
+    val edges = (2 to m + 1).map(i => (i.toLong, i.toLong, 1L, "to")).toDF("id", "src", "dst", "label")
+    val star = PropertyGraph(GraphSchema(), verts, edges)
+    val pr = Analytics.pageRank(star, iterations = 30).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("rank")).toMap
+    // Fixed point (up to GraphX's sum-to-n normalization): leaf ∝ 0.15,
+    // center ∝ 0.15 + 0.85·m·0.15 ⇒ ratio = 1 + 0.85·m; all leaves equal.
+    assert(math.abs(pr(1L) / pr(2L) - (1 + 0.85 * m)) < 1e-3)
+    assert((2L to m + 1).map(pr).distinct.size === 1)
+  }
+
+  test("weighted SSSP: exact distances on a weighted path graph") {
+    import spark.implicits._
+    // path 1 →(w=2) 2 →(w=3) 3 →(w=5) 4, plus shortcut 1 →(w=9) 4
+    val verts = (1 to 4).map(i => (i.toLong, "node")).toDF("id", "label")
+    val edges = Seq(
+      (1L, 1L, 2L, "e", 2), (2L, 2L, 3L, "e", 3), (3L, 3L, 4L, "e", 5),
+      (4L, 1L, 4L, "e", 9)).toDF("id", "src", "dst", "label", "weight")
+    val g = PropertyGraph(GraphSchema(), verts, edges)
+    val d = Analytics.shortestDistance(g, 1L, weightCol = Some("weight"), maxIter = 10)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("distance")).toMap
+    assert(d === Map(1L -> 0.0, 2L -> 2.0, 3L -> 5.0, 4L -> 9.0))
+  }
+
+  test("weighted SSSP on the random graph reaches most vertices") {
+    val d = Analytics.shortestDistance(fixture, 1L, weightCol = Some("weight"), maxIter = 15)
+    assert(d.count() > n / 2)
+  }
+}

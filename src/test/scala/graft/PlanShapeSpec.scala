@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions — the reference's EXPLAIN-test discipline
+  * (TitanGraphTest.evaluateQuery asserts subquery count + isFitted/isSorted
+  * flags, :3227-3298). Here: the physical plan must show that label-dispatch
+  * pruned the union to the right parquet file, that predicates reached the
+  * scan (PushedFilters — "fitted"), and that per-vertex slices use Window
+  * rather than a global sort ("ordered"). */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("label filter prunes the vertex union to one parquet scan (fitted)") {
+    val p = plan("q_has_eq")
+    assert(p.contains("customer.parquet"))
+    assert(!p.contains("supplier.parquet") && !p.contains("orders.parquet"))
+    assert(p.contains("PushedFilters") && p.contains("c_mktsegment"))
+  }
+
+  test("edge-label filter prunes the edge union to lineitem only") {
+    val p = plan("q1_agg")
+    assert(p.contains("lineitem.parquet"))
+    assert(!p.contains("orders.parquet") && !p.contains("customer.parquet"))
+  }
+
+  test("aggregation is partial before the exchange (map-side combine)") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum") || p.contains("partial_count"))
+  }
+
+  test("projection pruning reaches the scan (ReadSchema is narrow)") {
+    val p = plan("q_has_eq")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("c_acctbal"), s"unpruned column in $readSchema")
+  }
+
+  test("per-vertex top-k uses Window, not global sort of all edges") {
+    val p = plan("q_vc_topk")
+    assert(p.contains("Window") || p.contains("RunningWindowFunction"))
+    assert(p.contains("row_number"))
+  }
+
+  test("interval predicate is pushed to the scan as range filters") {
+    val p = plan("q_vc_interval")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("LessThan(l_shipdate"))
+  }
+
+  test("traversal hop joins are broadcast (small frontier, no shuffle join)") {
+    val p = plan("q_traversal_3hop")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("orderBy+limit compiles to top-k (TakeOrderedAndProject)") {
+    val p = plan("q_orderby_limit")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    val p = plan("q_has_eq")
+    assert(p.contains("codegen id"))
+  }
+}

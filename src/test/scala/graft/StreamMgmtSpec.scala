@@ -36,6 +36,35 @@ class StreamMgmtSpec extends AnyFunSuite {
     assert(total === batch.count())
   }
 
+  test("batch sessionization: session count bounded by events; gap=0 ⇒ one session per event") {
+    val events = ChangeStream.replay(spark, dir)
+    val stats = ChangeStream.sessionStats(events, gapSeconds = 3600).collect()
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_sessions") >= 1 && r.getAs[Long]("n_sessions") <= r.getAs[Long]("n_events"))
+    }
+    // gap larger than the whole time range ⇒ exactly one session per user
+    val one = ChangeStream.sessionStats(events, gapSeconds = 10L * 365 * 24 * 3600).collect()
+    one.foreach(r => assert(r.getAs[Long]("n_sessions") === 1))
+  }
+
+  test("streaming sessionization (flatMapGroupsWithState) emits closed sessions") {
+    val checkpoint = Files.createTempDirectory("graft-ckpt2").toString
+    val stream = ChangeStream.readStream(spark, dir)
+    val sessions = ChangeStream.sessionizeStream(stream, gapSeconds = 3600)
+    val q = sessions.writeStream
+      .option("checkpointLocation", checkpoint)
+      .format("memory").queryName("graft_sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("graft_sessions")
+    // closed sessions = total sessions - one open session per user
+    val batch = ChangeStream.sessionStats(ChangeStream.replay(spark, dir), 3600)
+    val expectedClosed = batch.agg(sum(col("n_sessions"))).collect()(0).getLong(0) - batch.count()
+    assert(out.count() === expectedClosed)
+  }
+
   test("management: maker surface + commit") {
     val mgmt = new Management(GraphSchema())
     mgmt.makePropertyKey("score").dataType(org.apache.spark.sql.types.DoubleType).make()
