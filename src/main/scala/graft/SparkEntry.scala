@@ -310,7 +310,8 @@ object SparkEntry {
   /** Headline subset timed by Bench (others still verified for correctness). */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q_has_eq", "q_orderby_limit", "q_multiquery",
-    "q_vc_topk", "q_traversal_3hop", "q_degree", "q_text_contains")
+    "q_vc_topk", "q_traversal_3hop", "q_degree", "q_text_contains",
+    "q_dedup_minhash", "q_ann_topk", "q_sessionize", "q_pagerank")
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->

@@ -100,6 +100,31 @@ final case class PropertyGraph(
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
   }
 
+  /** Schema conformance: every property column must exist with the cataloged
+    * type (exact-type property enforcement, docs/titanbasics.txt:1404-1406 —
+    * checked structurally here since parquet is already typed), and SET
+    * cardinality columns must not contain duplicate elements. Returns
+    * human-readable violation strings (empty = conformant). */
+  def schemaViolations(): Seq[String] = {
+    val structural = schema.propertyKeys.values.toSeq.flatMap { pk =>
+      (vertices.schema.fields.find(_.name == pk.name) orElse
+        edges.schema.fields.find(_.name == pk.name)) match {
+        case None => Nil // key defined but unused — allowed
+        case Some(f) if f.dataType == pk.columnType => Nil
+        case Some(f) =>
+          Seq(s"property '${pk.name}': declared ${pk.columnType.simpleString}, stored ${f.dataType.simpleString}")
+      }
+    }
+    val setDups = schema.propertyKeys.values.toSeq
+      .filter(_.cardinality == Cardinality.SET)
+      .filter(pk => vertices.columns.contains(pk.name))
+      .flatMap { pk =>
+        val dups = vertices.filter(size(col(pk.name)) =!= size(array_distinct(col(pk.name)))).count()
+        if (dups > 0) Seq(s"SET property '${pk.name}': $dups rows contain duplicate elements") else Nil
+      }
+    structural ++ setDups
+  }
+
   /** Unique-index violations (composite unique index ⇔ LOCK consistency in the
     * reference — GraphOfTheGodsFactory.java:57-61). */
   def uniqueIndexViolations(): DataFrame = {

@@ -84,6 +84,18 @@ final case class GraphQuery(
   def vertices(): DataFrame = dataframe
   def edges(): DataFrame = dataframe
   def count(): Long = dataframe.count() // limit caps counts, as in the reference
+
+  /** PROPERTY element category (graph.query().properties() — properties are
+    * first-class relations in the reference, TitanVertexProperty.java): the
+    * filtered elements unpivoted to (element id, key, value) rows. */
+  def properties(keys: String*): DataFrame = {
+    val base = dataframe
+    val candidates = base.columns.filterNot(Set("id", "label", "src", "dst")).toSeq
+    val ks = if (keys.nonEmpty) keys.toSeq else candidates
+    ks.map(k => base.select(col("id"), lit(k).as("key"),
+        col(k).cast("string").as("value")).filter(col("value").isNotNull))
+      .reduce(_ unionAll _)
+  }
 }
 
 object GraphQuery {
