@@ -293,6 +293,13 @@ object SparkEntry {
       VertexCentricQuery(g).onFrontier(frontier).properties("name", "mktsegment")
         .select(uidOf(col("vid"), TpchGraph.CustomerTag).as("uid"), col("key"), col("value"))
     }),
+    // ---- semi-structured props: JSON extraction over the change table ----
+    "q_events_props" -> ((s, dir) => {
+      readEvents(s, dir)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))
+    }),
     // ---- 2.J/2.G sessionization (gap-based, lag+running-sum windows) ----
     "q_sessionize" -> ((s, dir) => {
       graft.stream.ChangeStream.sessionStats(readEvents(s, dir), gapSeconds = 3600)
@@ -441,6 +448,9 @@ object SparkEntry {
     "q_properties" ->
       """SELECT c_custkey AS uid, 'name' AS key, c_name AS value FROM customer
         |UNION ALL SELECT c_custkey, 'mktsegment', c_mktsegment FROM customer""".stripMargin,
+    "q_events_props" ->
+      """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |COUNT(*) AS cnt FROM events GROUP BY 1""".stripMargin,
     "q_sessionize" ->
       """WITH o AS (SELECT user_id, ts, event_id,
         |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

@@ -142,21 +142,30 @@ object Dedup {
 
   // ---------------- SimHash ----------------
 
-  /** 64-bit SimHash fingerprint of the token multiset: per bit, sum +w/-w of
-    * each distinct token's weight (its count) by whether the token-hash bit is
-    * set; fingerprint bit = sign. One pass per row, no shuffle. */
-  def simHash64(text: Column): Column = {
-    val tokenCounts = transform(
-      array_distinct(words(text)),
-      w => struct(xxhash64(w).as("h"),
-        size(filter(words(text), t => t === w)).cast(LongType).as("w")))
-    val bits = (0 until 64).map { i =>
-      val contrib = aggregate(tokenCounts, lit(0L),
-        (acc, tc) => acc + when(shiftright(tc.getField("h"), i).bitwiseAND(1) === 1,
-          tc.getField("w")).otherwise(-tc.getField("w")))
-      when(contrib > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+  /** 64-bit SimHash fingerprints as a DataFrame (id, fp): per bit, sum +w/-w
+    * of each distinct token's weight (its count) by whether the token-hash bit
+    * is set; fingerprint bit = sign of the sum.
+    *
+    * Same scale formulation as minHashSignatures: explode tokens once, count
+    * weights with one aggregation, then 64 codegen'd conditional-sum
+    * aggregates — all map-side combinable, no interpreted higher-order
+    * expressions in the hot path. */
+  def simHashes(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val tok = base.select(col("id"), explode(words(col("text"))).as("w"))
+    val weighted = tok.groupBy(col("id"), col("w"))
+      .agg(count(lit(1)).as("wgt"))
+      .withColumn("__h", xxhash64(col("w")))
+    val bitAggs = (0 until 64).map { i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, col("wgt"))
+        .otherwise(-col("wgt"))).as(s"__b$i")
     }
-    bits.reduce(_ + _)
+    weighted.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i =>
+          when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by the
@@ -166,7 +175,7 @@ object Dedup {
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val pieces = 4
-    val fp = docs.select(col(idCol).as("id"), simHash64(col(textCol)).as("fp"))
+    val fp = simHashes(docs, idCol, textCol)
     val banded = fp.select(col("id"), col("fp"),
       posexplode(array((0 until pieces).map(b =>
         pmod(shiftrightunsigned(col("fp"), b * 16), lit(65536L))): _*)))
