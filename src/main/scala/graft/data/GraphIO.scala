@@ -19,7 +19,11 @@ object GraphIO {
     * queries prune on min/max stats — the default layout a 100 TB deployment
     * wants (SURVEY §1.4 adjacency mapping). */
   def save(g: PropertyGraph, path: String, buckets: Int = 32): Unit = {
-    g.vertices.write.mode(SaveMode.Overwrite).parquet(s"$path/vertices")
+    // vertices partitioned by label: label-filtered scans prune whole
+    // directories (the columnar analogue of the reference's per-label
+    // partitioned vertex ids, IDManager.java:348-356)
+    g.vertices.write.mode(SaveMode.Overwrite)
+      .partitionBy("label").parquet(s"$path/vertices")
     g.edges.repartition(buckets, col("src"))
       .sortWithinPartitions(col("src"), col("label"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/edges")

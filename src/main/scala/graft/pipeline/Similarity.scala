@@ -104,6 +104,36 @@ object Similarity {
       .select(col("ida"), col("idb"), col("cos"))
   }
 
+  /** LSH-bucketed cosine pair join — the scale path for cosinePairs: band the
+    * random-hyperplane signature, join on (band, 16-bit bucket), verify the
+    * true cosine on candidates only. Near-duplicate vectors (cosine → 1)
+    * collide in some band with high probability; recall depends on threshold
+    * (angle θ: per-bit collision prob = 1-θ/π). bruteForce is the exactness
+    * oracle in tests. */
+  def lshCosinePairs(data: DataFrame, threshold: Double, dim: Int,
+      bits: Int = 64, bandBits: Int = 16, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Long = 100000L): DataFrame = {
+    require(bits % bandBits == 0)
+    val bands = bits / bandBits
+    val sig = data.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshSignature(col(vecCol), dim, bits, seed).as("s"))
+    val banded = sig.select(col("id"), col("v"),
+      posexplode(array((0 until bands).map(b =>
+        pmod(shiftrightunsigned(col("s"), b * bandBits), lit(1L << bandBits))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val capped = banded.withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsz") <= maxBucketSize).drop("bsz")
+    val a = capped.select(col("band"), col("bucket"), col("id").as("ida"), col("v").as("va"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("idb"), col("v").as("vb"))
+    a.join(b, Seq("band", "bucket")).filter(col("ida") < col("idb"))
+      .dropDuplicates("ida", "idb")
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("ida"), col("idb"), col("cos"))
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign bits of projections onto
     * seed-derived pseudo-random directions (deterministic; directions built
     * from xxhash64 of (seed, bit, dim) — no RNG at execution time). */

@@ -242,6 +242,18 @@ final case class Traversal(
   def repeat(n: Int)(step: Traversal => Traversal): Traversal =
     (1 to n).foldLeft(this)((t, _) => step(t))
 
+  /** repeat(n).emit() — union every intermediate frontier with the final one
+    * (Gremlin emit(): traversers surface at each loop turn). */
+  def repeatEmit(n: Int)(step: Traversal => Traversal): Traversal = {
+    var cur = this
+    var acc = this.df
+    (1 to n).foreach { _ =>
+      cur = step(cur)
+      acc = acc.unionByName(cur.df, allowMissingColumns = true)
+    }
+    copy(df = acc)
+  }
+
   /** Loop until the frontier empties (or maxIter). One Spark job per check —
     * driver-coordinated BSP like the reference's FulgoraGraphComputer loop
     * (FulgoraGraphComputer.java:151-189). */

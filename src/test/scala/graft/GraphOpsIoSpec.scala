@@ -121,6 +121,26 @@ class GraphOpsIoSpec extends AnyFunSuite {
     assert(c === Set("cerberus", "sky", "sea"))
   }
 
+  test("traversal: repeatEmit surfaces intermediate frontiers") {
+    // hercules → father(jupiter) → father(saturn): emit both hops + start
+    val got = gods.traversal.V().has("name", "hercules")
+      .repeatEmit(2)(_.out("father"))
+      .values("name").collect().map(_.getString(0)).toSet
+    assert(got === Set("hercules", "jupiter", "saturn"))
+  }
+
+  test("meta-properties: LIST-of-struct property round-trips and is queryable") {
+    import spark.implicits._
+    // multi-property with annotations (docs/advschema.txt:73-92): name values
+    // carrying a 'date' meta-property, modeled as ARRAY<STRUCT<value,date>>
+    val df = Seq(
+      (1L, "v", Seq(("alpha", 2020), ("beta", 2023))),
+      (2L, "v", Seq(("gamma", 2021)))).toDF("id", "label", "names")
+    val exploded = df.select(col("id"), explode(col("names")).as("p"))
+      .select(col("id"), col("p._1").as("value"), col("p._2").as("date"))
+    assert(exploded.filter(col("date") > 2020).count() === 2)
+  }
+
   test("traversal: tail returns the last elements of the order") {
     val names = gods.traversal.V().has("age")
       .order("age").tail(2).values("name").collect().map(_.getString(0)).toSet

@@ -56,6 +56,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(sig.select("s").distinct().count() > 1)
   }
 
+  test("LSH-bucketed cosine pairs ⊆ brute force; decent recall at 0.4") {
+    val bf = Similarity.cosinePairs(emb, 0.4).select("ida", "idb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cos 0.4 ⇒ per-bit collision ≈ 0.63; 4-bit bands × 16 ⇒ recall ≈ 0.94
+    val lsh = Similarity.lshCosinePairs(emb, 0.4, dim = 64, bandBits = 4)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.nonEmpty)
+    assert((lsh -- bf).isEmpty, "LSH must not invent pairs (verification step)")
+    val recall = (lsh intersect bf).size.toDouble / bf.size
+    assert(recall >= 0.6, s"recall $recall too low for 4-bit bands")
+  }
+
   test("text analysis: tokens/quality/langid/fingerprint are deterministic & sane") {
     val r = docs.select(
       TextAnalysis.tokenCount(col("text")).as("n"),
