@@ -230,6 +230,24 @@ object SparkEntry {
       graft.pipeline.Dedup.minHashLshPairs(
         s.read.parquet(s"$dir/documents.parquet"), threshold = 0.8)
     }),
+    // ---- pipeline: end-to-end dedup (LSH pairs → CC → survivors; rows-only) ----
+    "q_dedup_documents" -> ((s, dir) => {
+      graft.pipeline.Dedup.dedupDocuments(
+        s.read.parquet(s"$dir/documents.parquet"), threshold = 0.8)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+    // ---- pipeline: IVF approximate top-k (scale path; rows-only) ----
+    "q_ivf_topk" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .select(col("qid"), col("nid"), col("rank"))
+    }),
+    // ---- pipeline: LSH-bucketed cosine pairs (scale path; rows-only) ----
+    "q_lsh_cosine_pairs" -> ((s, dir) => {
+      graft.pipeline.Similarity.lshCosinePairs(
+        s.read.parquet(s"$dir/embeddings.parquet"), 0.4, dim = 64, bandBits = 4)
+        .select(col("ida"), col("idb"))
+    }),
     // ---- pipeline: SimHash near-dup (hash-dependent — rows-only) ----
     "q_dedup_simhash" -> ((s, dir) => {
       graft.pipeline.Dedup.simHashPairs(

@@ -140,6 +140,29 @@ object Dedup {
       .select(col("ida"), col("idb"), col("jaccard"))
   }
 
+  /** End-to-end near-dup removal: candidate pairs (MinHash-LSH, verified) →
+    * transitive closure via GraphX connected components (near-duplication is
+    * not transitive, but dedup must be — the standard cluster-then-keep-one) →
+    * survivors = min doc id per component plus all unpaired docs.
+    * Returns the deduplicated documents. */
+  def dedupDocuments(docs: DataFrame, threshold: Double, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
+    val pairs = minHashLshPairs(docs, threshold, n, idCol = idCol, textCol = textCol)
+    val spark = docs.sparkSession
+    val edgeRdd = pairs.select(col("ida"), col("idb")).rdd
+      .map(r => GxEdge(r.getLong(0), r.getLong(1), ()))
+    val cc = GxGraph.fromEdges(edgeRdd, ()).connectedComponents().vertices
+    val ccDf = spark.createDataFrame(cc.map { case (id, comp) => (id, comp) })
+      .toDF("id", "component")
+    val losers = ccDf // every paired doc that is not its component's minimum
+      .groupBy(col("component")).agg(min(col("id")).as("keep"))
+      .join(ccDf, Seq("component"))
+      .filter(col("id") =!= col("keep"))
+      .select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
+
   // ---------------- SimHash ----------------
 
   /** 64-bit SimHash fingerprints as a DataFrame (id, fp): per bit, sum +w/-w

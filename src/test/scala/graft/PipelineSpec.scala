@@ -24,6 +24,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh === exact)
   }
 
+  test("dedupDocuments removes exactly the non-survivor of each dup cluster") {
+    val pairs = Dedup.minHashLshPairs(docs, 0.8).select("ida", "idb")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val survivors = Dedup.dedupDocuments(docs, 0.8)
+    // union-find on the pairs to get expected component count
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val comps = members.map(find).distinct.length
+    assert(survivors.count() === docs.count() - (members.length - comps))
+    // survivors contain the min id of each component
+    val survivorIds = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    members.groupBy(find).values.foreach(g => assert(survivorIds.contains(g.min)))
+  }
+
   test("SimHash: near-identical docs have small hamming distance") {
     val exact = Dedup.ngramJaccardPairs(docs, 0.9).select("ida", "idb")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -44,6 +44,11 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q_vc_topk")
     assert(p.contains("Window") || p.contains("RunningWindowFunction"))
     assert(p.contains("row_number"))
+    // rank-limit pushdown: bounded per-key heap BEFORE the shuffle, so the
+    // exchange moves ≤k rows per vertex, not the full adjacency
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.indexOf("WindowGroupLimit") != p.lastIndexOf("WindowGroupLimit"),
+      "expected both map-side (partial) and reduce-side WindowGroupLimit")
   }
 
   test("interval predicate is pushed to the scan as range filters") {
