@@ -190,6 +190,27 @@ object SparkEntry {
         .select(uidOf(col("vid"), TpchGraph.OrderTag).as("o_uid"),
           col("quantity"), col("linenumber"))
     }),
+    // ---- 2.B/2.L mixed-index lookup via materialized inverted token table ----
+    "q_mixed_index" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val ix = graft.core.IndexDef("nameText", graft.core.ElementCategory.VERTEX,
+        Seq("name"), composite = false,
+        mappings = Map("name" -> graft.core.Mapping.TEXT))
+      val inverted = graft.index.Indexes.materializeMixed(g, ix)
+      graft.index.Indexes.lookupText(g, inverted, "name", "widget")
+        .filter(col("label") === "part")
+        .select(col("uid"), col("name"))
+    }),
+    // ---- 2.E match — pattern conjunction as semi-join on shared binding ----
+    "q_match" -> ((s, dir) => {
+      val g = graph(s, dir)
+      // match(a placed high-value order, a in BUILDING segment) → a
+      val p1 = g.traversal.V().hasLabel("customer").as("a")
+        .out("placed").has("totalprice", P.gt(400000.0))
+      val p2 = g.traversal.V().hasLabel("customer").has("mktsegment", "BUILDING").as("a")
+      p1.matchOn(p2, "a")
+        .toDF.select(col("_as_a_uid").as("uid")).distinct()
+    }),
     // ---- 2.B direct index query: scored text search (TitanIndexQuery) ----
     "q_index_query" -> ((s, dir) => {
       graft.index.Indexes.indexQuery(graph(s, dir), graft.core.ElementCategory.VERTEX,
@@ -405,6 +426,11 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "q_vc_adjacent" ->
       "SELECT l_orderkey AS o_uid, l_quantity AS quantity, l_linenumber AS linenumber FROM lineitem WHERE l_partkey = 1",
+    "q_mixed_index" ->
+      "SELECT p_partkey AS uid, p_name AS name FROM part WHERE list_contains(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), t -> length(t) > 1), 'widget')",
+    "q_match" ->
+      """SELECT DISTINCT c_custkey AS uid FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 400000.0""".stripMargin,
     "q_index_query" ->
       """WITH t AS (SELECT p_partkey AS uid, p_name AS name,
         |  list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), x -> length(x) > 1) AS tok FROM part),

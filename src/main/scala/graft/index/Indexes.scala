@@ -36,6 +36,36 @@ object Indexes {
     g.vertices.join(broadcast(matches.select(col("id"))), Seq("id"), "left_semi")
   }
 
+  /** Materialize a mixed (text) index as an inverted token table: one row per
+    * (token, element id) over the TEXT-mapped keys — the engine-internal
+    * stand-in for the reference's external Elasticsearch/Lucene backend
+    * (Mapping.TEXT, tc/core/schema/Mapping.java:18-21). Persist + bucket by
+    * token for a broadcast/semi-join lookup side at scale. */
+  def materializeMixed(g: PropertyGraph, ix: IndexDef): DataFrame = {
+    require(!ix.composite, s"index '${ix.name}' is composite; use materialize")
+    val table = if (ix.element == ElementCategory.VERTEX) g.vertices else g.edges
+    val scoped = ix.onlyLabel.map(l => table.filter(col("label") === l)).getOrElse(table)
+    val textKeys = ix.keys.filter { k =>
+      ix.mappings.getOrElse(k, graft.core.Mapping.DEFAULT) match {
+        case graft.core.Mapping.TEXT | graft.core.Mapping.TEXTSTRING => true
+        case _ => false
+      }
+    }
+    require(textKeys.nonEmpty, s"index '${ix.name}' has no TEXT-mapped keys")
+    textKeys.map { k =>
+      scoped.select(lit(k).as("key"), explode(Text.tokens(col(k))).as("token"), col("id"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Token lookup through a materialized mixed index: ids whose `key` field
+    * contains `term` as a token — Text.CONTAINS via the index path (semi-join
+    * on the inverted table instead of scanning/tokenizing the base data). */
+  def lookupText(g: PropertyGraph, mixedIx: DataFrame, key: String, term: String): DataFrame = {
+    val ids = mixedIx.filter(col("key") === key && col("token") === term.toLowerCase.trim)
+      .select(col("id"))
+    g.vertices.join(ids, Seq("id"), "left_semi")
+  }
+
   /** Write edges in the vertex-centric index layout: hash-bucketed by src,
     * sorted within files by (src, label, sortKey...). Parquet min/max stats on
     * the sort columns then prune slice queries the way the reference's

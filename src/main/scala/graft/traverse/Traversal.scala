@@ -183,6 +183,17 @@ final case class Traversal(
     copy(df = steppedClean.unionByName(unmatched, allowMissingColumns = true))
   }
 
+  /** match()-style pattern conjunction (Gremlin match ⇒ multi-way join
+    * planning): keep traversers whose binding for `alias` also appears as the
+    * `alias` binding of `other` — a semi-join of the two patterns on the
+    * shared variable. Compose repeatedly for multi-pattern match; use
+    * whereNotExists for negated patterns. */
+  def matchOn(other: Traversal, alias: String): Traversal = {
+    val key = s"_as_${alias}_id"
+    copy(df = df.join(other.df.select(col(key).as("__mid")).distinct(),
+      col(key) === col("__mid"), "left_semi"))
+  }
+
   /** choose(predicate, trueStep, falseStep) — per-traverser branch
     * (Gremlin choose ⇒ filter-split + union). */
   def choose(pred: Column)(trueStep: Traversal => Traversal,
