@@ -18,7 +18,13 @@ import org.apache.spark.sql.types._
   */
 object SparkEntry {
 
-  private def graph(s: SparkSession, dir: String) = TpchGraph.load(s, dir)
+  /** Memoized per (session, dir): the graph's DataFrames are immutable plan
+    * fragments, so reuse skips re-deriving the 12-branch union analysis and
+    * parquet footer reads on every query. */
+  private val graphCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.data.PropertyGraph]()
+  private def graph(s: SparkSession, dir: String): graft.data.PropertyGraph =
+    graphCache.computeIfAbsent((s, dir), _ => TpchGraph.load(s, dir))
   /** vertex id → source uid */
   private def uidOf(c: Column, tag: Int): Column =
     (c - lit(tag.toLong * (1L << graft.core.GraphIds.TagBits))).cast(LongType)
@@ -129,6 +135,25 @@ object SparkEntry {
     }),
     // ---- 2.E traversal 3-hop ----
     "q_traversal_3hop" -> ((s, dir) => traversal3Hop(s, dir, 400000.0)),
+    // ---- 2.E/2.H range (order + offset slice) ----
+    "q_range" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("order")
+        .order("totalprice", asc = false).range(10, 20)
+        .values("uid", "totalprice")
+    }),
+    // ---- 2.E repeat(n) — bounded loop of hops ----
+    "q_repeat" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("region")
+        .repeat(2)(_.in())
+        .values("uid", "label")
+    }),
+    // ---- 2.E group().by() — collect per key ----
+    "q_group" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer")
+        .group("mktsegment", "uid")
+        .select(col("mktsegment"),
+          concat_ws(",", sort_array(col("values"))).as("uids"))
+    }),
     // ---- 2.E groupCount ----
     "q_groupcount" -> ((s, dir) => {
       graph(s, dir).traversal.V().hasLabel("customer").groupCount("mktsegment")
@@ -403,6 +428,13 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 400000.0""".stripMargin,
     "q_groupcount" ->
       "SELECT c_mktsegment AS mktsegment, COUNT(*) AS cnt FROM customer GROUP BY 1",
+    "q_range" ->
+      "SELECT o_orderkey AS uid, o_totalprice AS totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey OFFSET 10 LIMIT 10",
+    "q_repeat" ->
+      """SELECT c_custkey AS uid, 'customer' AS label FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |UNION ALL SELECT s_suppkey, 'supplier' FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+    "q_group" ->
+      "SELECT c_mktsegment AS mktsegment, array_to_string(list_sort(list(c_custkey)), ',') AS uids FROM customer GROUP BY 1",
     "q_union" ->
       "SELECT c_custkey AS uid, c_mktsegment AS mktsegment FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')",
     "q_degree" ->
