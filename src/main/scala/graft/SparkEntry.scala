@@ -20,11 +20,21 @@ object SparkEntry {
 
   /** Memoized per (session, dir): the graph's DataFrames are immutable plan
     * fragments, so reuse skips re-deriving the 12-branch union analysis and
-    * parquet footer reads on every query. */
+    * parquet footer reads on every query. Weak session keys let stopped
+    * sessions (and their pinned file indexes/plans) be collected. Note the
+    * cached plans freeze the parquet file listing — fine here because the
+    * testdata directories are immutable by contract. */
   private val graphCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.data.PropertyGraph]()
-  private def graph(s: SparkSession, dir: String): graft.data.PropertyGraph =
-    graphCache.computeIfAbsent((s, dir), _ => TpchGraph.load(s, dir))
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, graft.data.PropertyGraph]]())
+  private def graph(s: SparkSession, dir: String): graft.data.PropertyGraph = {
+    val perSession = graphCache.synchronized {
+      var m = graphCache.get(s)
+      if (m == null) { m = scala.collection.mutable.Map.empty; graphCache.put(s, m) }
+      m
+    }
+    perSession.synchronized(perSession.getOrElseUpdate(dir, TpchGraph.load(s, dir)))
+  }
   /** vertex id → source uid */
   private def uidOf(c: Column, tag: Int): Column =
     (c - lit(tag.toLong * (1L << graft.core.GraphIds.TagBits))).cast(LongType)
@@ -431,8 +441,10 @@ object SparkEntry {
     "q_range" ->
       "SELECT o_orderkey AS uid, o_totalprice AS totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey OFFSET 10 LIMIT 10",
     "q_repeat" ->
-      """SELECT c_custkey AS uid, 'customer' AS label FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |UNION ALL SELECT s_suppkey, 'supplier' FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+      """SELECT c_custkey AS uid, 'customer' AS label FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |UNION ALL SELECT s_suppkey, 'supplier' FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey""".stripMargin,
     "q_group" ->
       "SELECT c_mktsegment AS mktsegment, array_to_string(list_sort(list(c_custkey)), ',') AS uids FROM customer GROUP BY 1",
     "q_union" ->

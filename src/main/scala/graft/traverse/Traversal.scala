@@ -156,12 +156,12 @@ final case class Traversal(
   def limit(n: Int): Traversal = copy(df = df.limit(n))
 
   /** range(lo,hi) — zero-based slice [lo,hi); deterministic when preceded by
-    * `order` (uses the last order; Gremlin contract is the same). */
+    * `order` (uses the last order; Gremlin contract is the same). Compiles to
+    * sort + offset + limit (distributed GlobalLimit/Offset), not a
+    * single-partition global window. */
   def range(lo: Int, hi: Int): Traversal = {
     val ord = if (lastOrder.nonEmpty) lastOrder else Seq(col("id").asc)
-    val w = Window.orderBy(ord: _*)
-    copy(df = df.withColumn("__rn", F.row_number().over(w))
-      .filter(col("__rn") > lo && col("__rn") <= hi).drop("__rn"))
+    copy(df = df.orderBy(ord: _*).offset(lo).limit(hi - lo))
   }
   def dedup(): Traversal = copy(df = df.dropDuplicates("id"))
   def dedupBy(keys: String*): Traversal = copy(df = df.dropDuplicates(keys))
