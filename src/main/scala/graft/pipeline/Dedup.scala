@@ -46,9 +46,12 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("gs"))
       .withColumn("sz", size(col("gs")))
     val tok = sh.select(col("id"), col("sz"), explode(col("gs")).as("g"))
-    val filtered = tok.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
-      .filter(col("df") <= maxDocFreq).drop("df")
+    // stop-shingle removal: heavy keys are few by definition — aggregate
+    // them (map-side combinable) and broadcast an anti-join, instead of a
+    // window that would sort the entire exploded token table
+    val heavy = tok.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select(col("g"))
+    val filtered = tok.join(broadcast(heavy), Seq("g"), "left_anti")
     val a = filtered.select(col("id").as("ida"), col("sz").as("sza"), col("g"))
     val b = filtered.select(col("id").as("idb"), col("sz").as("szb"), col("g"))
     a.join(b, Seq("g")).filter(col("ida") < col("idb"))
@@ -122,9 +125,10 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(rows) + 1, lit(rows)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val capped = banded.withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bsz") <= maxBucketSize).drop("bsz")
+    val heavyBuckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val capped = banded.join(broadcast(heavyBuckets), Seq("band", "bucket"), "left_anti")
     val a = capped.select(col("band"), col("bucket"), col("id").as("ida"), col("text").as("ta"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("idb"), col("text").as("tb"))
     val candidates = a.join(b, Seq("band", "bucket"))

@@ -122,9 +122,10 @@ object Similarity {
       posexplode(array((0 until bands).map(b =>
         pmod(shiftrightunsigned(col("s"), b * bandBits), lit(1L << bandBits))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val capped = banded.withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bsz") <= maxBucketSize).drop("bsz")
+    val heavyBuckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val capped = banded.join(broadcast(heavyBuckets), Seq("band", "bucket"), "left_anti")
     val a = capped.select(col("band"), col("bucket"), col("id").as("ida"), col("v").as("va"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("idb"), col("v").as("vb"))
     a.join(b, Seq("band", "bucket")).filter(col("ida") < col("idb"))

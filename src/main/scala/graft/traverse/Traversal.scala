@@ -141,6 +141,18 @@ final case class Traversal(
   }
 
   def values(keys: String*): DataFrame = df.select(keys.map(col): _*)
+
+  /** properties(keys*) step — the element's properties as relation rows
+    * (id, key, value); nulls omitted, like TitanVertexProperty iteration. */
+  def properties(keys: String*): DataFrame = {
+    val candidates = df.columns
+      .filterNot(c => Set("id", "label", "src", "dst", "vid", "other", "dir").contains(c))
+      .filterNot(Traversal.isCarryColumn).toSeq
+    val ks = if (keys.nonEmpty) keys.toSeq else candidates
+    ks.map(k => df.select(col("id"), lit(k).as("key"), col(k).cast("string").as("value"))
+        .filter(col("value").isNotNull))
+      .reduce(_ unionAll _)
+  }
   def valueMap(keys: String*): DataFrame =
     df.select(col("id"), F.map_from_arrays(
       F.array(keys.map(lit): _*), F.array(keys.map(k => col(k).cast("string")): _*)).as("valueMap"))
@@ -276,6 +288,11 @@ final case class Traversal(
   }
 
   def toDF: DataFrame = df
+}
+
+object Traversal {
+  private[traverse] def isCarryColumn(c: String): Boolean =
+    c.startsWith("_as_") || c == "_path"
 }
 
 /** g.V() / g.E() entry — the TraversalSource. */
