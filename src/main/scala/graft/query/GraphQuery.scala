@@ -85,6 +85,9 @@ final case class GraphQuery(
   def edges(): DataFrame = dataframe
   def count(): Long = dataframe.count() // limit caps counts, as in the reference
 
+  /** profile() — plan-shape introspection (reference QueryProfiler parity). */
+  def profile(): QueryProfile = Profiler.profile(dataframe)
+
   /** PROPERTY element category (graph.query().properties() — properties are
     * first-class relations in the reference, TitanVertexProperty.java): the
     * filtered elements unpivoted to (element id, key, value) rows. */

@@ -288,6 +288,9 @@ final case class Traversal(
   }
 
   def toDF: DataFrame = df
+
+  /** profile() step — plan-shape introspection (QueryProfiler parity). */
+  def profile(): graft.query.QueryProfile = graft.query.Profiler.profile(df)
 }
 
 object Traversal {

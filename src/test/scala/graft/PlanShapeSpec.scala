@@ -70,4 +70,17 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q_has_eq")
     assert(p.contains("codegen id"))
   }
+
+  test("Profiler: fitted/sorted introspection (QueryProfiler parity)") {
+    val g = graft.data.TpchGraph.load(spark, dir)
+    val prof = g.V().hasLabel("order").has("orderstatus", "F")
+      .orderBy("totalprice", asc = false).limit(5).profile()
+    assert(prof.numScans === 1)
+    assert(prof.scannedFiles.exists(_.contains("orders.parquet")))
+    assert(prof.isFitted, s"expected pushed filters, got: $prof")
+    assert(prof.isSorted && prof.hasTakeOrderedAndProject)
+    assert(prof.wholeStageCodegenIds >= 1)
+    val tp = g.traversal.V().hasLabel("customer").out("placed").profile()
+    assert(tp.usesBroadcastJoin || tp.usesSortMergeJoin)
+  }
 }
