@@ -100,6 +100,18 @@ final case class PropertyGraph(
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
   }
 
+  /** Dedup-on-write for SET-cardinality properties (§1.4: SET ⇒ ArrayType +
+    * dedup at ingest, mirroring the reference's Cardinality.SET insert
+    * semantics): returns a graph with array_distinct applied to every SET
+    * column present on either element table. */
+  def normalizedSets(): PropertyGraph = {
+    val setKeys = schema.propertyKeys.values.filter(_.cardinality == Cardinality.SET).map(_.name).toSet
+    def fix(df: DataFrame): DataFrame =
+      df.columns.filter(setKeys.contains).foldLeft(df)((d, c) =>
+        d.withColumn(c, array_distinct(col(c))))
+    copy(vertices = fix(vertices), edges = fix(edges))
+  }
+
   /** Schema conformance: every property column must exist with the cataloged
     * type (exact-type property enforcement, docs/titanbasics.txt:1404-1406 —
     * checked structurally here since parquet is already typed), and SET
@@ -110,7 +122,8 @@ final case class PropertyGraph(
       (vertices.schema.fields.find(_.name == pk.name) orElse
         edges.schema.fields.find(_.name == pk.name)) match {
         case None => Nil // key defined but unused — allowed
-        case Some(f) if f.dataType == pk.columnType => Nil
+        case Some(f) if org.apache.spark.sql.types.DataType.equalsStructurally(
+          f.dataType, pk.columnType, ignoreNullability = true) => Nil
         case Some(f) =>
           Seq(s"property '${pk.name}': declared ${pk.columnType.simpleString}, stored ${f.dataType.simpleString}")
       }

@@ -93,6 +93,24 @@ class StreamMgmtSpec extends AnyFunSuite {
     assert(!mgmt.current.indexes.contains("byName"))
   }
 
+  test("SET cardinality: dedup-on-write + violation detection") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = GraphSchema()
+      .withPropertyKey(PropertyKeyDef("tags", StringType, Cardinality.SET))
+    val v = Seq((1L, "d", Seq("a", "b", "a")), (2L, "d", Seq("x")))
+      .toDF("id", "label", "tags")
+    val e = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType), StructField("src", LongType),
+        StructField("dst", LongType), StructField("label", StringType))))
+    val g = graft.data.PropertyGraph(schema, v, e)
+    assert(g.schemaViolations().exists(_.contains("duplicate")))
+    val fixed = g.normalizedSets()
+    assert(fixed.schemaViolations().isEmpty)
+    assert(fixed.vertices.filter(col("id") === 1)
+      .select(size(col("tags"))).collect()(0).getInt(0) === 2)
+  }
+
   test("management: duplicate type definition rejected; rename allowed") {
     val mgmt = new Management(GraphSchema())
     mgmt.makePropertyKey("x").make()
