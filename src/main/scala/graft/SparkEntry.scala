@@ -335,6 +335,17 @@ object SparkEntry {
           f.getField("distinct_ratio").as("distinct_ratio"),
           f.getField("stopword_ratio").as("stopword_ratio"))
     }),
+    // ---- pipeline: composite quality score (deterministic double math) ----
+    "q_quality_score" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), graft.pipeline.TextAnalysis.qualityScore(col("text")).as("score"))
+    }),
+    // ---- pipeline: BPE-ish subword count (RE2 can't express the lookarounds — rows-only) ----
+    "q_subword_count" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.subwordCount(col("text")).cast(LongType).as("n_subwords"))
+    }),
     // ---- pipeline: language ID heuristic ----
     "q_langid" -> ((s, dir) => {
       s.read.parquet(s"$dir/documents.parquet")
@@ -511,6 +522,17 @@ object SparkEntry {
         |CAST(len(list_filter(tok, w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
         |  / CAST(len(tok) AS DOUBLE) AS stopword_ratio
         |FROM t""".stripMargin,
+    "q_quality_score" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS tok FROM documents),
+        |c AS (SELECT doc_id,
+        |CAST(len(list_distinct(tok)) AS DOUBLE) / CAST(len(tok) AS DOUBLE) AS dr,
+        |CAST(len(list_filter(tok, w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
+        |  / CAST(len(tok) AS DOUBLE) AS sr,
+        |CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |  / CAST(length(text) AS DOUBLE) AS pr
+        |FROM t)
+        |SELECT doc_id, least(dr * 2.0, 1.0) * 0.4 + least(sr * 5.0, 1.0) * 0.3
+        |  + greatest(1.0 - pr * 4.0, 0.0) * 0.3 AS score FROM c""".stripMargin,
     "q_langid" ->
       """WITH t AS (SELECT doc_id, list_transform(string_split_regex(text,'\s+'), w -> lower(w)) AS tok FROM documents),
         |c AS (SELECT doc_id,

@@ -98,6 +98,30 @@ class GraphOpsIoSpec extends AnyFunSuite {
     assert(nulls.select(ArrayJaccard(col("l"), col("r"))).collect()(0).isNullAt(0))
   }
 
+  test("TopKAggregator: map-side-combining bounded top-k equals window top-k") {
+    import spark.implicits._
+    val g = TpchGraph.load(spark, dir)
+    val pairs = g.edges.filter(col("label") === "contains")
+      .select(col("src"), col("extendedprice"), col("dst"))
+      .as[(Long, Double, Long)]
+    val agg = new graft.functions.TopKAggregator(2)
+    val viaAgg = pairs.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(agg.toColumn)
+      .collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("extendedprice").desc, col("dst").asc)
+    val viaWindow = g.edges.filter(col("label") === "contains")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select(col("src"), col("extendedprice"), col("dst"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getDouble(1), r.getLong(2))).toSeq).toMap
+    viaAgg.foreach { case (k, topk) =>
+      assert(topk.toList.sortBy(x => (-x._1, x._2)) ===
+        viaWindow(k).sortBy(x => (-x._1, x._2)).toList, s"key $k")
+    }
+  }
+
   test("force-index: covered query runs, uncovered query rejected") {
     val g = TpchGraph.load(spark, dir)
     // byUid composite index covers uid equality
