@@ -93,17 +93,21 @@ object Dedup {
       seed: Long = 42L, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val fam = hashFamily(numHashes, seed)
     // two-step select: referencing the just-aliased text column inside the
-    // same projection as explode() trips lateral-column-alias resolution
+    // same projection as explode() trips lateral-column-alias resolution.
+    // Only (id, hash) rides through the explode + aggregation shuffle — the
+    // text column would be duplicated per shingle (~300×) otherwise; it
+    // rejoins from the base table afterwards (one row per doc).
     val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-    val exploded = base.select(col("id"), col("text"),
+    val exploded = base.select(col("id"),
       explode(shingleHashes(col("text"), n)).as("__h"))
     val aggs = fam.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("__h") * lit(a) + lit(b), lit(MersennePrime))).as(s"__m$i")
     }
     exploded.groupBy(col("id"))
-      .agg(first(col("text")).as("text"), aggs: _*)
-      .select(col("id"), col("text"),
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
         array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
+      .join(base, Seq("id"))
   }
 
   /** MinHash+LSH near-dup pairs: signature → bands → bucket join → exact
@@ -121,7 +125,10 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = minHashSignatures(docs, n, numHashes, idCol = idCol, textCol = textCol)
-    val banded = sig.select(col("id"), col("text"),
+    // band on ids only: exploding bands multiplies rows by `bands`, so the
+    // payload through this shuffle must be (id, band, bucket) — never the
+    // document text (texts rejoin only for the small candidate set)
+    val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(rows) + 1, lit(rows)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
@@ -129,15 +136,19 @@ object Dedup {
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
       .select(col("band"), col("bucket"))
     val capped = banded.join(broadcast(heavyBuckets), Seq("band", "bucket"), "left_anti")
-    val a = capped.select(col("band"), col("bucket"), col("id").as("ida"), col("text").as("ta"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("idb"), col("text").as("tb"))
+    val a = capped.select(col("band"), col("bucket"), col("id").as("ida"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("idb"))
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"), col("ta"), col("tb"))
+      .select(col("ida"), col("idb"))
       .dropDuplicates("ida", "idb")
+    val texts = docs.select(col(idCol).as("__tid"), col(textCol).as("__text"))
+    val withTexts = candidates
+      .join(texts, col("ida") === col("__tid")).withColumnRenamed("__text", "ta").drop("__tid")
+      .join(texts, col("idb") === col("__tid")).withColumnRenamed("__text", "tb").drop("__tid")
     // exact verification on the candidate set only — native codegen'd
     // expression in the hot loop (graft.functions.ArrayJaccard)
-    candidates
+    withTexts
       .withColumn("jaccard", graft.functions.ArrayJaccard(
         shingles(col("ta"), n), shingles(col("tb"), n)))
       .filter(col("jaccard") >= threshold)
