@@ -193,6 +193,39 @@ object SparkEntry {
       graft.stream.ChangeStream.replay(s, dir)
         .groupBy(col("change")).agg(count(lit(1)).as("cnt"))
     }),
+    // ---- 2.G running aggregate over an ordered per-vertex window ----
+    "q_running_total" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val placed = g.edges.filter(col("label") === "placed")
+        .join(g.vertices.select(col("id").as("dst"), col("totalprice")), Seq("dst"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("orderdate"), col("dst"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      placed.select(
+        uidOf(col("src"), TpchGraph.CustomerTag).as("c_uid"),
+        uidOf(col("dst"), TpchGraph.OrderTag).as("o_uid"),
+        sum(col("totalprice").cast(DecimalType(28, 2))).over(w).cast(DoubleType).as("running"))
+    }),
+    // ---- 2.F distinct counting across a 2-hop join ----
+    "q_count_distinct" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val placed = g.edges.filter(col("label") === "placed")
+        .select(col("src").as("cust"), col("dst").as("ord"))
+      val contains = g.edges.filter(col("label") === "contains")
+        .select(col("src").as("ord"), col("dst").as("part"))
+      placed.join(contains, Seq("ord"))
+        .groupBy(col("cust"))
+        .agg(count_distinct(col("part")).as("n_parts"))
+        .select(uidOf(col("cust"), TpchGraph.CustomerTag).as("uid"), col("n_parts"))
+    }),
+    // ---- 2.J event-time tumbling window aggregation ----
+    "q_events_window" -> ((s, dir) => {
+      readEvents(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"), col("cnt"))
+    }),
     // ---- 2.E as/select (path-labeled steps) ----
     "q_select" -> ((s, dir) => {
       graph(s, dir).traversal.V().hasLabel("customer").has("mktsegment", "BUILDING").as("a")
@@ -469,6 +502,17 @@ object SparkEntry {
     "q_change_replay" ->
       """SELECT CASE WHEN event_type = 'error' THEN 'REMOVED' ELSE 'ADDED' END AS change,
         |COUNT(*) AS cnt FROM events GROUP BY 1""".stripMargin,
+    "q_running_total" ->
+      """SELECT o_custkey AS c_uid, o_orderkey AS o_uid,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
+        |FROM orders""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT o_custkey AS uid, COUNT(DISTINCT l_partkey) AS n_parts FROM orders
+        |JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1""".stripMargin,
+    "q_events_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        |event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2""".stripMargin,
     "q_select" ->
       """SELECT c_custkey AS c_uid, o_orderkey AS o_uid FROM customer
         |JOIN orders ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING'""".stripMargin,
