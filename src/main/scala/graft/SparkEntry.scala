@@ -126,8 +126,12 @@ object SparkEntry {
     // ---- 2.C/2.G per-vertex ordered limit (sort-key slice ⇒ Window top-k) ----
     "q_vc_topk" -> ((s, dir) => {
       val g = graph(s, dir)
+      // tie-break chain (linenumber, dst, suppkey) is unique per order in the
+      // data, so both engines pick identical top-k rows
       VertexCentricQuery(g).labels("contains").direction(Direction.OUT)
-        .orderBy("extendedprice", asc = false).limit(2)
+        .orderBy("extendedprice", asc = false)
+        .orderBy("linenumber").orderBy("dst").orderBy("suppkey")
+        .limit(2)
         .edges()
         .select(uidOf(col("vid"), TpchGraph.OrderTag).as("o_uid"),
           uidOf(col("other"), TpchGraph.PartTag).as("p_uid"),
@@ -192,6 +196,62 @@ object SparkEntry {
     "q_change_replay" -> ((s, dir) => {
       graft.stream.ChangeStream.replay(s, dir)
         .groupBy(col("change")).agg(count(lit(1)).as("cnt"))
+    }),
+    // ---- multi-hop analytical join: TPC-H Q3-style shipping priority ----
+    "q_tpch_q3" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val cust = g.V().hasLabel("customer").has("mktsegment", "BUILDING").dataframe
+        .select(col("id").as("cust"))
+      val placed = g.edges.filter(col("label") === "placed")
+        .filter(col("orderdate") < d("1998-01-01"))
+        .select(col("src").as("cust"), col("dst").as("ord"), col("orderdate"))
+      val items = g.edges.filter(col("label") === "contains")
+        .filter(col("shipdate") > d("1998-01-01"))
+        .select(col("src").as("ord"), col("extendedprice"), col("discount"))
+      cust.join(placed, Seq("cust")).join(items, Seq("ord"))
+        .groupBy(col("ord"), col("orderdate"))
+        .agg(dsum(col("extendedprice") * (lit(1.0) - col("discount")), 8).as("revenue"))
+        .select(uidOf(col("ord"), TpchGraph.OrderTag).as("o_uid"),
+          date_format(col("orderdate"), "yyyy-MM-dd").as("odate"), col("revenue"))
+        .orderBy(col("revenue").desc, col("o_uid")).limit(10)
+    }),
+    // ---- 6-way join: TPC-H Q5-style local supplier volume ----
+    "q_tpch_q5" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val asia = g.V().hasLabel("region").has("name", "ASIA").dataframe
+        .select(col("id").as("reg"))
+      val nations = g.edges.filter(col("label") === "in_region")
+        .select(col("src").as("nat"), col("dst").as("reg"))
+        .join(asia, Seq("reg"))
+        .join(g.vertices.select(col("id").as("nat"), col("name").as("n_name")), Seq("nat"))
+      val custNat = g.edges.filter(col("label") === "in_nation")
+        .filter(col("src") < lit((TpchGraph.CustomerTag + 1).toLong * (1L << graft.core.GraphIds.TagBits)))
+        .filter(col("src") >= lit(TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits)))
+        .select(col("src").as("cust"), col("dst").as("nat"))
+      val suppNat = g.edges.filter(col("label") === "in_nation")
+        .filter(col("src") >= lit(TpchGraph.SupplierTag.toLong * (1L << graft.core.GraphIds.TagBits)))
+        .filter(col("src") < lit((TpchGraph.SupplierTag + 1).toLong * (1L << graft.core.GraphIds.TagBits)))
+        .select(col("src").as("supp"), col("dst").as("nat"))
+      val placed = g.edges.filter(col("label") === "placed")
+        .filter(col("orderdate") >= d("1996-01-01") && col("orderdate") < d("1998-01-01"))
+        .select(col("src").as("cust"), col("dst").as("ord"))
+      // a lineitem's contains edge and its supplied_by edge share the same
+      // 56-bit local id (TpchGraph synthesizes both from orderkey×8+linenumber)
+      val localId = pmod(col("id"), lit(1L << graft.core.GraphIds.TagBits))
+      val items = g.edges.filter(col("label") === "contains")
+        .select(col("src").as("ord"), localId.as("li"), col("extendedprice"), col("discount"))
+      val supplied = g.edges.filter(col("label") === "supplied_by")
+        .select(localId.as("li"), col("dst").as("supp"))
+      // join chain: region-scoped nations → customers → orders → lineitems →
+      // supplier, requiring supplier nation = customer nation (Q5's n1 = n2)
+      nations.join(custNat, Seq("nat")).join(placed, Seq("cust"))
+        .join(items, Seq("ord"))
+        .join(supplied, Seq("li"))
+        .join(suppNat.withColumnRenamed("nat", "snat"), Seq("supp"))
+        .filter(col("snat") === col("nat"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("extendedprice") * (lit(1.0) - col("discount")), 8).as("revenue"))
+        .select(col("n_name").as("nation"), col("revenue"))
     }),
     // ---- 2.G running aggregate over an ordered per-vertex window ----
     "q_running_total" -> ((s, dir) => {
@@ -436,7 +496,8 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q_has_eq", "q_orderby_limit", "q_multiquery",
     "q_vc_topk", "q_traversal_3hop", "q_degree", "q_text_contains",
-    "q_dedup_minhash", "q_ann_topk", "q_sessionize", "q_pagerank")
+    "q_dedup_minhash", "q_ann_topk", "q_sessionize", "q_pagerank",
+    "q_tpch_q3", "q_tpch_q5")
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -468,7 +529,8 @@ object SparkEntry {
     "q_vc_topk" ->
       """SELECT l_orderkey AS o_uid, l_partkey AS p_uid, l_extendedprice AS extendedprice FROM (
         |SELECT l_orderkey, l_partkey, l_extendedprice,
-        |ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        |ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |  ORDER BY l_extendedprice DESC, l_linenumber, l_partkey, l_suppkey) AS rn
         |FROM lineitem) WHERE rn <= 2""".stripMargin,
     "q_vc_interval" ->
       """SELECT l_orderkey AS o_uid, l_partkey AS p_uid, l_quantity AS quantity,
@@ -502,6 +564,26 @@ object SparkEntry {
     "q_change_replay" ->
       """SELECT CASE WHEN event_type = 'error' THEN 'REMOVED' ELSE 'ADDED' END AS change,
         |COUNT(*) AS cnt FROM events GROUP BY 1""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT o_orderkey AS o_uid, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1998-01-01'
+        |AND l_shipdate > DATE '1998-01-01'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, o_uid LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name AS nation,
+        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= DATE '1996-01-01'
+        |AND o_orderdate < DATE '1998-01-01'
+        |GROUP BY 1""".stripMargin,
     "q_running_total" ->
       """SELECT o_custkey AS c_uid, o_orderkey AS o_uid,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER (PARTITION BY o_custkey

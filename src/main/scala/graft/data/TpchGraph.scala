@@ -49,6 +49,7 @@ object TpchGraph {
     .withPropertyKey(PropertyKeyDef("linestatus", StringType))
     .withPropertyKey(PropertyKeyDef("shipdate", DateType))
     .withPropertyKey(PropertyKeyDef("linenumber", IntegerType))
+    .withPropertyKey(PropertyKeyDef("suppkey", LongType))
     .withVertexLabel(VertexLabelDef("region"))
     .withVertexLabel(VertexLabelDef("nation"))
     .withVertexLabel(VertexLabelDef("customer"))
@@ -59,7 +60,8 @@ object TpchGraph {
     .withEdgeLabel(EdgeLabelDef("in_nation", Multiplicity.MANY2ONE))
     .withEdgeLabel(EdgeLabelDef("placed", Multiplicity.MULTI, sortKey = Seq("orderdate")))
     .withEdgeLabel(EdgeLabelDef("contains", Multiplicity.MULTI,
-      signature = Seq("quantity", "extendedprice", "discount"), sortKey = Seq("shipdate")))
+      signature = Seq("quantity", "extendedprice", "discount", "suppkey"),
+      sortKey = Seq("shipdate")))
     .withEdgeLabel(EdgeLabelDef("supplied_by", Multiplicity.MULTI))
     .withIndex(IndexDef("byUid", ElementCategory.VERTEX, Seq("uid"), unique = false))
     .withIndex(IndexDef("byName", ElementCategory.VERTEX, Seq("name"), unique = false))
@@ -112,7 +114,7 @@ object TpchGraph {
     val eProps = Seq("orderdate" -> DateType, "quantity" -> DoubleType,
       "extendedprice" -> DoubleType, "discount" -> DoubleType, "tax" -> DoubleType,
       "returnflag" -> StringType, "linestatus" -> StringType,
-      "shipdate" -> DateType, "linenumber" -> IntegerType)
+      "shipdate" -> DateType, "linenumber" -> IntegerType, "suppkey" -> LongType)
     def padE(df: DataFrame): DataFrame = {
       val present = df.columns.toSet
       val cols = Seq(col("id"), col("src"), col("dst"), col("label")) ++ eProps.map { case (n, t) =>
@@ -142,8 +144,14 @@ object TpchGraph {
       vid(OrderTag, col("o_orderkey")).as("dst"), lit("placed").as("label"),
       col("o_orderdate").cast(DateType).as("orderdate"))
     val liT = table(spark, dir, "lineitem")
-    // lineitem local id: orderkey*8 + linenumber (linenumber ≤ 7 in TPC-H)
-    val liLocal = col("l_orderkey") * 8 + col("l_linenumber")
+    // lineitem local id: 56-bit hash of the identifying tuple. The synthetic
+    // data repeats (orderkey, linenumber) pairs, so a positional id would
+    // collide; (orderkey, linenumber, partkey, suppkey) is unique, and the
+    // same hash on both derived edges preserves the contains ↔ supplied_by
+    // pairing of one source lineitem.
+    val liLocal = pmod(
+      xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+      lit(1L << GraphIds.TagBits))
     val contains = liT.select(
       eid(EContains, liLocal),
       vid(OrderTag, col("l_orderkey")).as("src"),
@@ -151,7 +159,8 @@ object TpchGraph {
       col("l_quantity").as("quantity"), col("l_extendedprice").as("extendedprice"),
       col("l_discount").as("discount"), col("l_tax").as("tax"),
       col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"),
-      col("l_shipdate").cast(DateType).as("shipdate"), col("l_linenumber").as("linenumber"))
+      col("l_shipdate").cast(DateType).as("shipdate"), col("l_linenumber").as("linenumber"),
+      col("l_suppkey").as("suppkey"))
     val suppliedBy = liT.select(
       eid(ESuppliedBy, liLocal),
       vid(OrderTag, col("l_orderkey")).as("src"),
