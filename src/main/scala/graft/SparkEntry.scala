@@ -253,6 +253,28 @@ object SparkEntry {
         .agg(dsum(col("extendedprice") * (lit(1.0) - col("discount")), 8).as("revenue"))
         .select(col("n_name").as("nation"), col("revenue"))
     }),
+    // ---- aggregation + post-filter (HAVING): high-volume customers ----
+    "q_having" -> ((s, dir) => {
+      val g = graph(s, dir)
+      g.edges.filter(col("label") === "placed")
+        .join(g.vertices.select(col("id").as("dst"), col("totalprice")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(dsum(col("totalprice")).as("spend"), count(lit(1)).as("n_orders"))
+        .filter(col("spend") > 1500000.0)
+        .select(uidOf(col("src"), TpchGraph.CustomerTag).as("uid"),
+          col("spend"), col("n_orders"))
+    }),
+    // ---- 2.D Geo predicate over synthesized coordinates (rows-only: libm
+    //      trig differs across engines in the last ulp) ----
+    "q_geo_within" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val parts = g.V().hasLabel("part").dataframe
+        .withColumn("loc", graft.expr.Geo.pointCol(
+          pmod(col("uid"), lit(180)) - 90, pmod(col("uid") * 7, lit(360)) - 180))
+      parts.filter(graft.expr.Geo.within(col("loc"),
+          graft.expr.Geo.circle(0.0, 0.0, 5000.0)))
+        .select(col("uid"))
+    }),
     // ---- 2.G running aggregate over an ordered per-vertex window ----
     "q_running_total" -> ((s, dir) => {
       val g = graph(s, dir)
@@ -564,6 +586,11 @@ object SparkEntry {
     "q_change_replay" ->
       """SELECT CASE WHEN event_type = 'error' THEN 'REMOVED' ELSE 'ADDED' END AS change,
         |COUNT(*) AS cnt FROM events GROUP BY 1""".stripMargin,
+    "q_having" ->
+      """SELECT o_custkey AS uid,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS spend,
+        |COUNT(*) AS n_orders FROM orders GROUP BY 1
+        |HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) > 1500000.0""".stripMargin,
     "q_tpch_q3" ->
       """SELECT o_orderkey AS o_uid, strftime(o_orderdate, '%Y-%m-%d') AS odate,
         |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
