@@ -21,6 +21,23 @@ class GraphOpsIoSpec extends AnyFunSuite {
     assert(back.edges.count() === 17)
   }
 
+  test("GraphIO: queries on a persisted+reloaded graph match the in-memory graph") {
+    val path = Files.createTempDirectory("graft-io-rt").toString
+    val g = TpchGraph.load(spark, dir)
+    GraphIO.save(g, path, buckets = 4)
+    val back = GraphIO.load(spark, path, g.schema)
+    // same query through both storage paths
+    def q(gr: graft.data.PropertyGraph) =
+      gr.traversal.V().hasLabel("customer").has("mktsegment", "BUILDING")
+        .out("placed").groupCount("orderstatus")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q(back) === q(g))
+    // label-partitioned vertices: the label filter prunes to one directory
+    val prof = graft.query.Profiler.profile(
+      back.V().hasLabel("part").dataframe)
+    assert(prof.numScans === 1)
+  }
+
   test("GraphIO: JSON export/import round-trip") {
     val path = Files.createTempDirectory("graft-json").toString
     GraphIO.exportJson(gods, path)
