@@ -143,15 +143,24 @@ object TpchGraph {
       vid(CustomerTag, col("o_custkey")).as("src"),
       vid(OrderTag, col("o_orderkey")).as("dst"), lit("placed").as("label"),
       col("o_orderdate").cast(DateType).as("orderdate"))
+    // lineitem local id: collision-FREE composite `orderkey·256 + linenumber·32
+    // + dupSeq`. The synthetic data repeats (orderkey, linenumber) pairs (up to
+    // 6×), so dupSeq disambiguates via a row_number window keyed on the pair —
+    // deterministic because the full tuple ordering (partkey, suppkey) is a
+    // total order up to fully-identical rows (interchangeable by definition).
+    // A truncated 56-bit hash would hit birthday collisions at the 10⁸+ rows
+    // this engine targets, silently corrupting the contains ↔ supplied_by
+    // pairing. Bounds: linenumber ≤ 7, dupSeq ≤ 31, orderkey < 2⁴⁸ — fits the
+    // 56-bit local space at far beyond 100 TB scale. Cost: one window shuffle
+    // keyed (orderkey, linenumber) — balanced, and Catalyst prunes the window
+    // entirely for queries that never reference the edge id.
+    val liW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_partkey"), col("l_suppkey"))
     val liT = table(spark, dir, "lineitem")
-    // lineitem local id: 56-bit hash of the identifying tuple. The synthetic
-    // data repeats (orderkey, linenumber) pairs, so a positional id would
-    // collide; (orderkey, linenumber, partkey, suppkey) is unique, and the
-    // same hash on both derived edges preserves the contains ↔ supplied_by
-    // pairing of one source lineitem.
-    val liLocal = pmod(
-      xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
-      lit(1L << GraphIds.TagBits))
+      .withColumn("__dup", row_number().over(liW) - 1)
+    val liLocal = col("l_orderkey").cast(LongType) * 256L +
+      col("l_linenumber").cast(LongType) * 32L + col("__dup").cast(LongType)
     val contains = liT.select(
       eid(EContains, liLocal),
       vid(OrderTag, col("l_orderkey")).as("src"),

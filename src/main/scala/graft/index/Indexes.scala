@@ -30,10 +30,16 @@ object Indexes {
 
   /** Index-accelerated equality lookup: semi-join the materialized index on
     * the key values, then fetch full rows by id. Equivalent plan shape to the
-    * reference's composite point-read + element load. */
-  def lookup(g: PropertyGraph, indexDf: DataFrame, keyValues: Map[String, Any]): DataFrame = {
+    * reference's composite point-read + element load. `element` selects the
+    * base table the ids refer to — vertex and edge ids share the same tag
+    * space, so fetching from the wrong table would silently return unrelated
+    * elements (IndexSerializer resolves against the index's element category,
+    * tc/graphdb/database/IndexSerializer.java:511-546). */
+  def lookup(g: PropertyGraph, indexDf: DataFrame, keyValues: Map[String, Any],
+      element: ElementCategory = ElementCategory.VERTEX): DataFrame = {
     val matches = keyValues.foldLeft(indexDf) { case (df, (k, v)) => df.filter(col(k) === lit(v)) }
-    g.vertices.join(broadcast(matches.select(col("id"))), Seq("id"), "left_semi")
+    val base = if (element == ElementCategory.VERTEX) g.vertices else g.edges
+    base.join(broadcast(matches.select(col("id"))), Seq("id"), "left_semi")
   }
 
   /** Materialize a mixed (text) index as an inverted token table: one row per
@@ -60,10 +66,12 @@ object Indexes {
   /** Token lookup through a materialized mixed index: ids whose `key` field
     * contains `term` as a token — Text.CONTAINS via the index path (semi-join
     * on the inverted table instead of scanning/tokenizing the base data). */
-  def lookupText(g: PropertyGraph, mixedIx: DataFrame, key: String, term: String): DataFrame = {
+  def lookupText(g: PropertyGraph, mixedIx: DataFrame, key: String, term: String,
+      element: ElementCategory = ElementCategory.VERTEX): DataFrame = {
     val ids = mixedIx.filter(col("key") === key && col("token") === term.toLowerCase.trim)
       .select(col("id"))
-    g.vertices.join(ids, Seq("id"), "left_semi")
+    val base = if (element == ElementCategory.VERTEX) g.vertices else g.edges
+    base.join(ids, Seq("id"), "left_semi")
   }
 
   /** Write edges in the vertex-centric index layout: hash-bucketed by src,
@@ -105,13 +113,9 @@ object Indexes {
     val scored = table
       .withColumn("score", tokenOverlapScore(col(field), query))
       .filter(col("score") > 0)
+    // distributed paging: sort + GlobalLimit/Offset (top offset+limit rows per
+    // partition, merged) — not a single-partition global window
     if (offset == 0) scored.orderBy(col("score").desc, col("id").asc).limit(limit)
-    else {
-      // offset: row_number over the global score order (small result sets only,
-      // as in the reference where offset pages a scored index response)
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("id").asc)
-      scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") > offset && col("__rn") <= offset + limit).drop("__rn")
-    }
+    else scored.orderBy(col("score").desc, col("id").asc).offset(offset).limit(limit)
   }
 }

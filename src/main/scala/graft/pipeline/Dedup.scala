@@ -15,12 +15,16 @@ object Dedup {
     * from the query-predicate tokenizer in graft.expr.Text). */
   def words(text: Column): Column = split(text, "\\s+")
 
-  /** Distinct word n-gram shingles of a text column. */
+  /** Distinct word n-gram shingles of a text column. A document with fewer
+    * than n words has NO shingles (empty array) — a truncated partial shingle
+    * would make sub-n-word documents compare as near-identical. */
   def shingles(text: Column, n: Int = 3): Column = {
     val w = words(text)
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(w) - n, lit(0)) ),
-      i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+    when(size(w) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n))))))
+      .otherwise(array().cast(ArrayType(StringType)))
   }
 
   /** Exact dedup: group identical texts, keep the smallest id as survivor.

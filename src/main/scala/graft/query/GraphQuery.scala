@@ -90,14 +90,13 @@ final case class GraphQuery(
 
   /** PROPERTY element category (graph.query().properties() — properties are
     * first-class relations in the reference, TitanVertexProperty.java): the
-    * filtered elements unpivoted to (element id, key, value) rows. */
+    * filtered elements unpivoted to (element id, key, value) rows in a single
+    * scan (explode of a struct array, not one scan per key). */
   def properties(keys: String*): DataFrame = {
     val base = dataframe
     val candidates = base.columns.filterNot(Set("id", "label", "src", "dst")).toSeq
     val ks = if (keys.nonEmpty) keys.toSeq else candidates
-    ks.map(k => base.select(col("id"), lit(k).as("key"),
-        col(k).cast("string").as("value")).filter(col("value").isNotNull))
-      .reduce(_ unionAll _)
+    graft.traverse.Traversal.unpivot(base, col("id"), ks)
   }
 }
 

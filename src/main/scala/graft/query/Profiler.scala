@@ -26,8 +26,9 @@ final case class QueryProfile(
     hasPartialAggregate: Boolean,
     wholeStageCodegenIds: Int) {
   /** "Fitted" in the reference's sense: at least one predicate was pushed to
-    * every scan (vacuously true for scan-less plans). */
-  def isFitted: Boolean = pushedFilters.nonEmpty
+    * every scan (vacuously true for scan-less plans). `pushedFilters` keeps
+    * only non-empty entries, so the test is an exact per-scan count. */
+  def isFitted: Boolean = numScans == 0 || pushedFilters.size == numScans
   /** "Sorted" analogue: ordering satisfied by top-k or window machinery
     * rather than nothing at all. */
   def isSorted: Boolean = hasTakeOrderedAndProject || hasWindow

@@ -140,9 +140,9 @@ final case class VertexCentricQuery(
       case Some(f) => graph.vertices.join(
         f.select(col("vid")).distinct(), col("id") === col("vid"), "left_semi")
     }
-    ks.map(k => base.select(col("id").as("vid"), lit(k).as("key"),
-        col(k).cast("string").as("value")).filter(col("value").isNotNull))
-      .reduce(_ unionAll _)
+    // single-scan unpivot — k filtered scans union'd would read the vertex
+    // table k times at scale
+    graft.traverse.Traversal.unpivot(base, col("id"), ks, outName = "vid")
   }
 
   /** propertyCount with limit semantics, like edgeCount. */

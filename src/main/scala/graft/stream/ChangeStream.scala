@@ -116,8 +116,11 @@ object ChangeStream {
               case _ => (ts, ts, 1L) :: acc
             }
           }
-          state.update(sessions)
-          // emit closed sessions (all but the most recent open one)
+          // emit closed sessions (all but the most recent open one) and keep
+          // ONLY the open head in state — retaining closed sessions would both
+          // re-emit them on every later micro-batch (duplicate Append output)
+          // and grow state unboundedly per user
+          state.update(sessions.take(1))
           sessions.drop(1).map { case (s, l, c) => (uid, s, c) }.iterator
       }.toDF("user_id", "session_start_us", "n_events")
   }

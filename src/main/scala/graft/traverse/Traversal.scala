@@ -143,15 +143,14 @@ final case class Traversal(
   def values(keys: String*): DataFrame = df.select(keys.map(col): _*)
 
   /** properties(keys*) step — the element's properties as relation rows
-    * (id, key, value); nulls omitted, like TitanVertexProperty iteration. */
+    * (id, key, value); nulls omitted, like TitanVertexProperty iteration.
+    * Single-scan unpivot (explode of a struct array), not one scan per key. */
   def properties(keys: String*): DataFrame = {
     val candidates = df.columns
       .filterNot(c => Set("id", "label", "src", "dst", "vid", "other", "dir").contains(c))
       .filterNot(Traversal.isCarryColumn).toSeq
     val ks = if (keys.nonEmpty) keys.toSeq else candidates
-    ks.map(k => df.select(col("id"), lit(k).as("key"), col(k).cast("string").as("value"))
-        .filter(col("value").isNotNull))
-      .reduce(_ unionAll _)
+    Traversal.unpivot(df, col("id"), ks)
   }
   def valueMap(keys: String*): DataFrame =
     df.select(col("id"), F.map_from_arrays(
@@ -235,11 +234,14 @@ final case class Traversal(
     copy(df = acc.get)
   }
 
-  /** tail(n) — last n by the traversal's last order (Gremlin tail). Global
-    * like range(); computes the frontier size (one count job). */
+  /** tail(n) — last n by the traversal's last order (Gremlin tail). Compiled
+    * as top-n under the REVERSED order (TakeOrderedAndProject — distributed,
+    * no count job, no 32-bit row-count cap), then re-sorted to the requested
+    * presentation order (cheap: ≤ n rows). */
   def tail(n: Int): Traversal = {
-    val cnt = df.count()
-    range(math.max(0, (cnt - n).toInt), cnt.toInt)
+    val ord = if (lastOrder.nonEmpty) lastOrder else Seq(col("id").asc)
+    val lastN = df.orderBy(ord.map(Traversal.reverseOrder): _*).limit(n)
+    copy(df = lastN.orderBy(ord: _*))
   }
 
   /** aggregate('x') — side-effect barrier collecting the current frontier ids
@@ -296,6 +298,30 @@ final case class Traversal(
 object Traversal {
   private[traverse] def isCarryColumn(c: String): Boolean =
     c.startsWith("_as_") || c == "_path"
+
+  /** Single-scan unpivot: (idCol, key, value) rows for `ks`, nulls dropped.
+    * One explode over a struct array instead of k filtered scans union'd —
+    * at 10¹⁰-row tables the k-scan version reads the base data k times. */
+  private[graft] def unpivot(df: DataFrame, idCol: Column, ks: Seq[String],
+      outName: String = "id"): DataFrame =
+    df.select(idCol.as("__uid"), F.explode(F.array(ks.map(k =>
+        F.struct(lit(k).as("key"), col(k).cast("string").as("value"))): _*)).as("kv"))
+      .select(col("__uid").as(outName), col("kv.key").as("key"), col("kv.value").as("value"))
+      .filter(col("value").isNotNull)
+
+  /** Flip a sort-order Column (asc↔desc) at the expression level; a bare
+    * column (implicitly ascending) flips to descending. */
+  private[traverse] def reverseOrder(c: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    org.apache.spark.sql.GraftColumnBridge.expression(c) match {
+      case so: SortOrder =>
+        // rebuild through the Column API so orderBy recognizes the sort node
+        // (a raw catalyst SortOrder Column would get double-wrapped)
+        val base = org.apache.spark.sql.GraftColumnBridge.column(so.child)
+        if (so.direction == Ascending) base.desc else base.asc
+      case _ => c.desc // bare column is implicitly ascending — flip to desc
+    }
+  }
 }
 
 /** g.V() / g.E() entry — the TraversalSource. */
