@@ -18,12 +18,14 @@ import org.apache.spark.sql.types._
   */
 object SparkEntry {
 
-  /** Memoized per (session, dir): the graph's DataFrames are immutable plan
-    * fragments, so reuse skips re-deriving the 12-branch union analysis and
-    * parquet footer reads on every query. Weak session keys let stopped
-    * sessions (and their pinned file indexes/plans) be collected. Note the
-    * cached plans freeze the parquet file listing — fine here because the
-    * testdata directories are immutable by contract. */
+  /** Memoized per (session, dir): the graph is served from TpchGraph's
+    * materialized layout (derived vertex/edge tables written once per data
+    * dir — the lineitem edge-id window is paid at ingest, never inside a
+    * query plan, and `label` filters prune partitions at file-listing time).
+    * Weak session keys let stopped sessions (and their pinned file
+    * indexes/plans) be collected. The cached plans freeze the parquet file
+    * listing — fine here because the testdata directories are immutable by
+    * contract. */
   private val graphCache =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, graft.data.PropertyGraph]]())
@@ -33,7 +35,7 @@ object SparkEntry {
       if (m == null) { m = scala.collection.mutable.Map.empty; graphCache.put(s, m) }
       m
     }
-    perSession.synchronized(perSession.getOrElseUpdate(dir, TpchGraph.load(s, dir)))
+    perSession.synchronized(perSession.getOrElseUpdate(dir, TpchGraph.loadMaterialized(s, dir)))
   }
   /** vertex id → source uid */
   private def uidOf(c: Column, tag: Int): Column =
@@ -236,7 +238,8 @@ object SparkEntry {
         .filter(col("orderdate") >= d("1996-01-01") && col("orderdate") < d("1998-01-01"))
         .select(col("src").as("cust"), col("dst").as("ord"))
       // a lineitem's contains edge and its supplied_by edge share the same
-      // 56-bit local id (TpchGraph synthesizes both from orderkey×8+linenumber)
+      // 56-bit local id (TpchGraph packs orderkey·256 + linenumber·32 + dupSeq,
+      // assigned once at ingest in the materialized layout)
       val localId = pmod(col("id"), lit(1L << graft.core.GraphIds.TagBits))
       val items = g.edges.filter(col("label") === "contains")
         .select(col("src").as("ord"), localId.as("li"), col("extendedprice"), col("discount"))
@@ -264,15 +267,26 @@ object SparkEntry {
         .select(uidOf(col("src"), TpchGraph.CustomerTag).as("uid"),
           col("spend"), col("n_orders"))
     }),
-    // ---- 2.D Geo predicate over synthesized coordinates (rows-only: libm
-    //      trig differs across engines in the last ulp) ----
+    // ---- 2.D Geo.WITHIN over synthesized coordinates — distance rounded to
+    //      meters on both engines, so the oracle compare is exact ----
     "q_geo_within" -> ((s, dir) => {
       val g = graph(s, dir)
       val parts = g.V().hasLabel("part").dataframe
         .withColumn("loc", graft.expr.Geo.pointCol(
           pmod(col("uid"), lit(180)) - 90, pmod(col("uid") * 7, lit(360)) - 180))
       parts.filter(graft.expr.Geo.within(col("loc"),
-          graft.expr.Geo.circle(0.0, 0.0, 5000.0)))
+          graft.expr.Geo.circle(0.0, 0.0, 5000.0), roundScale = Some(3)))
+        .select(col("uid"))
+    }),
+    // ---- 2.D Geo.INTERSECT: per-part circles vs a query circle ----
+    "q_geo_intersects" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val parts = g.V().hasLabel("part").dataframe
+        .withColumn("zone", graft.expr.Geo.circleCol(
+          pmod(col("uid"), lit(180)) - 90, pmod(col("uid") * 7, lit(360)) - 180,
+          lit(1000.0)))
+      parts.filter(graft.expr.Geo.intersects(col("zone"),
+          graft.expr.Geo.circle(30.0, 40.0, 4000.0), roundScale = Some(3)))
         .select(col("uid"))
     }),
     // ---- 2.G running aggregate over an ordered per-vertex window ----
@@ -367,18 +381,18 @@ object SparkEntry {
         "name", "small green widget", limit = 20)
         .select(col("uid"), col("name"), col("score"))
     }),
-    // ---- 2.K PageRank (GraphX; no SQL oracle — rows-only check) ----
+    // ---- 2.K PageRank (exact fixed-point integer — DuckDB-oracle-checkable) ----
     "q_pagerank" -> ((s, dir) => {
-      graft.olap.Analytics.pageRank(graph(s, dir), iterations = 10)
+      graft.olap.Analytics.pageRankFixedPoint(graph(s, dir), iterations = 10)
     }),
-    // ---- 2.K connected components (rows-only) ----
+    // ---- 2.K connected components (min-label propagation, oracle-checkable) ----
     "q_connected_components" -> ((s, dir) => {
-      graft.olap.Analytics.connectedComponents(graph(s, dir))
+      graft.olap.Analytics.connectedComponentsExact(graph(s, dir), iterations = 12)
     }),
-    // ---- 2.K weighted SSSP (rows-only) ----
+    // ---- 2.K SSSP (synchronous Bellman-Ford hop distance, oracle-checkable) ----
     "q_sssp" -> ((s, dir) => {
       val src = TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L
-      graft.olap.Analytics.shortestDistance(graph(s, dir), src, maxIter = 8)
+      graft.olap.Analytics.shortestHopsExact(graph(s, dir), src, maxIter = 8)
     }),
     // ---- 2.K degree stats via DataFrame aggregation ----
     "q_degrees_full" -> ((s, dir) => {
@@ -503,6 +517,137 @@ object SparkEntry {
     // ---- 2.J/2.G sessionization (gap-based, lag+running-sum windows) ----
     "q_sessionize" -> ((s, dir) => {
       graft.stream.ChangeStream.sessionStats(readEvents(s, dir), gapSeconds = 3600)
+    }),
+    // ---- 2.E/2.H tail — last n under the traversal's order ----
+    "q_tail" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("order")
+        .order("totalprice", asc = false).tail(5)
+        .values("uid", "totalprice")
+    }),
+    // ---- 2.A vertex lookup by id(s) (StandardTitanTx.getVertices) ----
+    "q_vertex_by_id" -> ((s, dir) => {
+      val t = 1L << graft.core.GraphIds.TagBits
+      graph(s, dir).vertexById(
+        TpchGraph.CustomerTag * t + 1L, TpchGraph.SupplierTag * t + 1L,
+        TpchGraph.PartTag * t + 10L)
+        .select(col("uid"), col("label"))
+    }),
+    // ---- 2.A edge lookup by RelationIdentifier (composite edge id) ----
+    "q_relation_lookup" -> ((s, dir) => {
+      val t = 1L << graft.core.GraphIds.TagBits
+      val rid = graft.data.RelationIdentifier(
+        1L * t + 5L, // in_region edge tag = 1, local id = n_nationkey 5
+        TpchGraph.NationTag * t + 5L, "in_region", None)
+      graft.data.RelationIdentifier.lookup(graph(s, dir), rid)
+        .select(uidOf(col("src"), TpchGraph.NationTag).as("n_uid"),
+          uidOf(col("dst"), TpchGraph.RegionTag).as("r_uid"), col("label"))
+    }),
+    // ---- 2.B composite-index exact lookup (vertex element) ----
+    "q_index_lookup" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val ixDf = graft.index.Indexes.materialize(g, g.schema.indexes("byName"))
+      graft.index.Indexes.lookup(g, ixDf, Map("name" -> "NATION_5"))
+        .select(col("uid"), col("label"), col("name"))
+    }),
+    // ---- 2.B AUTOMATIC index selection: no manual index call — the planner
+    //      consults the catalog and picks the backed byName index ----
+    "q_index_auto" -> ((s, dir) => {
+      graph(s, dir).V().has("name", "NATION_5").dataframe
+        .select(col("uid"), col("label"), col("name"))
+    }),
+    // ---- 2.B composite-index lookup, EDGE element category ----
+    "q_index_lookup_edge" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val ix = graft.core.IndexDef("edgeByFlag", graft.core.ElementCategory.EDGE,
+        Seq("returnflag"), onlyLabel = Some("contains"))
+      val ixDf = graft.index.Indexes.materialize(g, ix)
+      graft.index.Indexes.lookup(g, ixDf, Map("returnflag" -> "R"),
+        element = graft.core.ElementCategory.EDGE)
+        .select(uidOf(col("src"), TpchGraph.OrderTag).as("o_uid"),
+          uidOf(col("dst"), TpchGraph.PartTag).as("p_uid"),
+          col("quantity"), col("linenumber"))
+    }),
+    // ---- 2.A mutation sink: delete-with-cascade + add, snapshot merge ----
+    "q_mutations" -> ((s, dir) => {
+      val t = 1L << graft.core.GraphIds.TagBits
+      val g = graph(s, dir)
+      val del = s.range(1).select(lit(TpchGraph.CustomerTag * t + 1L).as("id"))
+      val add = s.range(1).select(lit(TpchGraph.PartTag * t + 999999L).as("id"),
+        lit("part").as("label"), lit(999999L).as("uid"))
+      val m = graft.data.GraphIO.applyMutations(g,
+        addVertices = Some(add), deleteVertexIds = Some(del))
+      m.vertices.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+        .select(lit("v").as("kind"), col("label"), col("cnt"))
+        .unionAll(m.edges.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+          .select(lit("e").as("kind"), col("label"), col("cnt")))
+    }),
+    // ---- 2.L TTL read-time view over the event table ----
+    "q_ttl" -> ((s, dir) => {
+      graft.olap.GraphOps.ttlView(readEvents(s, dir), "ts", 7L * 24 * 3600,
+        now = to_timestamp(lit("2024-01-31 00:00:00")))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    }),
+    // ---- 2.E coalesce — first step with results per source element ----
+    "q_coalesce" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer")
+        .coalesceSteps(
+          _.out("placed").has("totalprice", P.gt(400000.0)),
+          _.out("placed"))
+        .values("uid", "totalprice")
+    }),
+    // ---- 2.E repeat().emit() — every intermediate frontier surfaces ----
+    "q_repeat_emit" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("region")
+        .repeatEmit(2)(_.in())
+        .values("uid", "label")
+    }),
+    // ---- 2.E project().by() — named value projection ----
+    "q_project" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer")
+        .project("uid" -> col("uid"), "seg" -> col("mktsegment"),
+          "rich" -> (col("acctbal") > 5000.0))
+    }),
+    // ---- 2.E local(step.limit(n)) — per-source-element limit ----
+    "q_local_topk" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer")
+        .localLimit(2, Seq(col("totalprice").desc, col("id").asc))(_.out("placed"))
+        .values("uid", "totalprice")
+    }),
+    // ---- 2.E sample(n) — deterministic hash-ordered sample ----
+    "q_sample" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("part").sample(20).values("uid")
+    }),
+    // ---- 2.E coin(p) — deterministic Bernoulli filter ----
+    "q_coin" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("order").coin(0.25).values("uid")
+    }),
+    // ---- 2.E repeat(step).until(predicate) ----
+    "q_repeat_until" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer")
+        .repeatUntil(col("label") === "region", 4)(_.out("in_nation", "in_region"))
+        .values("uid", "label")
+    }),
+    // ---- 2.E cyclicPath — traversers that revisit an element ----
+    "q_cyclic_path" -> ((s, dir) => {
+      graph(s, dir).traversal.withPath.V().hasLabel("region")
+        .both().both().cyclicPath()
+        .values("uid", "label")
+    }),
+    // ---- 2.E subgraph — induced subgraph from an edge predicate ----
+    "q_subgraph" -> ((s, dir) => {
+      val sg = graph(s, dir).subgraph(
+        col("label") === "placed" && col("orderdate") < lit(d("1997-01-01")))
+      sg.vertices.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+        .select(lit("v").as("kind"), col("label"), col("cnt"))
+        .unionAll(sg.edges.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+          .select(lit("e").as("kind"), col("label"), col("cnt")))
+    }),
+    // ---- 2.E sum()/mean() terminals (exact: integer column) ----
+    "q_sum_terminal" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("part").sum("size")
+    }),
+    "q_mean_terminal" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("part").mean("size")
     }),
     // ---- 2.M native expression: array_jaccard over name tokens ----
     "q_array_jaccard" -> ((s, dir) => {
@@ -649,6 +794,92 @@ object SparkEntry {
         |FROM s WHERE hits > 0 ORDER BY score DESC, uid LIMIT 20""".stripMargin,
     "q_degrees_full" ->
       "SELECT o_custkey AS uid, COUNT(*) AS out_degree FROM orders GROUP BY 1",
+    "q_geo_within" ->
+      """WITH t AS (SELECT p_partkey AS uid,
+        |  CAST(p_partkey % 180 - 90 AS DOUBLE) AS lat,
+        |  CAST((p_partkey * 7) % 360 - 180 AS DOUBLE) AS lon FROM part)
+        |SELECT uid FROM t WHERE round(2 * 6371.0087714 * asin(sqrt(
+        |  pow(sin(radians(0.0 - lat) / 2), 2) +
+        |  cos(radians(lat)) * cos(radians(0.0)) * pow(sin(radians(0.0 - lon) / 2), 2))), 3)
+        |  <= 5000.0""".stripMargin,
+    "q_geo_intersects" ->
+      """WITH t AS (SELECT p_partkey AS uid,
+        |  CAST(p_partkey % 180 - 90 AS DOUBLE) AS lat,
+        |  CAST((p_partkey * 7) % 360 - 180 AS DOUBLE) AS lon FROM part)
+        |SELECT uid FROM t WHERE round(2 * 6371.0087714 * asin(sqrt(
+        |  pow(sin(radians(30.0 - lat) / 2), 2) +
+        |  cos(radians(lat)) * cos(radians(30.0)) * pow(sin(radians(40.0 - lon) / 2), 2))), 3)
+        |  <= 1000.0 + 4000.0""".stripMargin,
+    "q_tail" ->
+      "SELECT o_orderkey AS uid, o_totalprice AS totalprice FROM orders ORDER BY o_totalprice ASC, o_orderkey DESC LIMIT 5",
+    "q_vertex_by_id" ->
+      """SELECT c_custkey AS uid, 'customer' AS label FROM customer WHERE c_custkey = 1
+        |UNION ALL SELECT s_suppkey, 'supplier' FROM supplier WHERE s_suppkey = 1
+        |UNION ALL SELECT p_partkey, 'part' FROM part WHERE p_partkey = 10""".stripMargin,
+    "q_relation_lookup" ->
+      "SELECT n_nationkey AS n_uid, n_regionkey AS r_uid, 'in_region' AS label FROM nation WHERE n_nationkey = 5",
+    "q_index_lookup" ->
+      "SELECT n_nationkey AS uid, 'nation' AS label, n_name AS name FROM nation WHERE n_name = 'NATION_5'",
+    "q_index_auto" ->
+      "SELECT n_nationkey AS uid, 'nation' AS label, n_name AS name FROM nation WHERE n_name = 'NATION_5'",
+    "q_index_lookup_edge" ->
+      """SELECT l_orderkey AS o_uid, l_partkey AS p_uid, l_quantity AS quantity,
+        |l_linenumber AS linenumber FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+    "q_mutations" ->
+      """SELECT 'v' AS kind, 'region' AS label, COUNT(*) AS cnt FROM region
+        |UNION ALL SELECT 'v', 'nation', COUNT(*) FROM nation
+        |UNION ALL SELECT 'v', 'customer', COUNT(*) - 1 FROM customer
+        |UNION ALL SELECT 'v', 'supplier', COUNT(*) FROM supplier
+        |UNION ALL SELECT 'v', 'part', COUNT(*) + 1 FROM part
+        |UNION ALL SELECT 'v', 'order', COUNT(*) FROM orders
+        |UNION ALL SELECT 'e', 'in_region', COUNT(*) FROM nation
+        |UNION ALL SELECT 'e', 'in_nation',
+        |  (SELECT COUNT(*) FROM customer WHERE c_custkey <> 1) + (SELECT COUNT(*) FROM supplier)
+        |UNION ALL SELECT 'e', 'placed', COUNT(*) FROM orders WHERE o_custkey <> 1
+        |UNION ALL SELECT 'e', 'contains', COUNT(*) FROM lineitem
+        |UNION ALL SELECT 'e', 'supplied_by', COUNT(*) FROM lineitem""".stripMargin,
+    "q_ttl" ->
+      """SELECT event_type, COUNT(*) AS cnt FROM events
+        |WHERE ts + INTERVAL 604800 SECOND > TIMESTAMP '2024-01-31 00:00:00' GROUP BY 1""".stripMargin,
+    "q_coalesce" ->
+      """SELECT o_orderkey AS uid, o_totalprice AS totalprice FROM orders WHERE o_totalprice > 400000.0
+        |UNION ALL SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)""".stripMargin,
+    "q_repeat_emit" ->
+      """SELECT r_regionkey AS uid, 'region' AS label FROM region
+        |UNION ALL SELECT n_nationkey, 'nation' FROM nation
+        |UNION ALL SELECT c_custkey, 'customer' FROM customer
+        |UNION ALL SELECT s_suppkey, 'supplier' FROM supplier""".stripMargin,
+    "q_project" ->
+      "SELECT c_custkey AS uid, c_mktsegment AS seg, c_acctbal > 5000.0 AS rich FROM customer",
+    "q_local_topk" ->
+      """SELECT o_orderkey AS uid, o_totalprice AS totalprice FROM (
+        |SELECT o_orderkey, o_totalprice, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) WHERE rn <= 2""".stripMargin,
+    "q_sample" ->
+      s"""SELECT p_partkey AS uid FROM part
+         |ORDER BY md5(CAST(5 * $T + p_partkey AS VARCHAR) || '42'), p_partkey LIMIT 20""".stripMargin,
+    "q_coin" ->
+      s"""SELECT o_orderkey AS uid FROM orders
+         |WHERE substr(md5(CAST(6 * $T + o_orderkey AS VARCHAR) || '42'), 1, 2) < '40'""".stripMargin,
+    "q_repeat_until" ->
+      """SELECT r_regionkey AS uid, 'region' AS label FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "q_cyclic_path" ->
+      "SELECT n_regionkey AS uid, 'region' AS label FROM nation",
+    "q_subgraph" ->
+      """SELECT 'v' AS kind, 'customer' AS label, COUNT(DISTINCT o_custkey) AS cnt
+        |FROM orders WHERE o_orderdate < DATE '1997-01-01'
+        |UNION ALL SELECT 'v', 'order', COUNT(*) FROM orders WHERE o_orderdate < DATE '1997-01-01'
+        |UNION ALL SELECT 'e', 'placed', COUNT(*) FROM orders WHERE o_orderdate < DATE '1997-01-01'""".stripMargin,
+    "q_sum_terminal" ->
+      """SELECT CAST(SUM(p_size) AS BIGINT) AS "sum" FROM part""",
+    "q_mean_terminal" ->
+      """SELECT AVG(p_size) AS "mean" FROM part""",
+    "q_pagerank" -> pageRankOracle(10),
+    "q_sssp" -> ssspOracle(
+      TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 8),
+    "q_connected_components" -> ccOracle(12),
     "q_dedup_exact" ->
       "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies FROM documents GROUP BY text",
     "q_dedup_ngram" -> ngramJaccardOracle,
@@ -729,6 +960,83 @@ object SparkEntry {
         |  CAST(len(tok) + 2 - len(list_intersect(tok, ['red','widget'])) AS DOUBLE) AS j
         |FROM t WHERE len(list_intersect(tok, ['red','widget'])) > 0""".stripMargin,
   )
+
+  // ---- analytics oracle generators: the TPC-H property graph re-derived in
+  // ---- SQL (vertex id = tag·2⁵⁶ + key) + fixed-round iteration as chained
+  // ---- MATERIALIZED CTEs (multi-referenced CTEs must not be inlined or the
+  // ---- plan blows up 2^rounds).
+
+  private val T = "72057594037927936" // 2^56 = 1L << GraphIds.TagBits
+
+  /** vg = all vertex ids; eg = all directed edges, as SQL over the flat tables
+    * (mirrors TpchGraph.load's derivation). */
+  private val graphCtes: String =
+    s"""vg AS MATERIALIZED (SELECT 1*$T + r_regionkey AS id FROM region
+       |  UNION ALL SELECT 2*$T + n_nationkey FROM nation
+       |  UNION ALL SELECT 3*$T + c_custkey FROM customer
+       |  UNION ALL SELECT 4*$T + s_suppkey FROM supplier
+       |  UNION ALL SELECT 5*$T + p_partkey FROM part
+       |  UNION ALL SELECT 6*$T + o_orderkey FROM orders),
+       |eg AS MATERIALIZED (SELECT 2*$T + n_nationkey AS src, 1*$T + n_regionkey AS dst FROM nation
+       |  UNION ALL SELECT 3*$T + c_custkey, 2*$T + c_nationkey FROM customer
+       |  UNION ALL SELECT 4*$T + s_suppkey, 2*$T + s_nationkey FROM supplier
+       |  UNION ALL SELECT 3*$T + o_custkey, 6*$T + o_orderkey FROM orders
+       |  UNION ALL SELECT 6*$T + l_orderkey, 5*$T + l_partkey FROM lineitem
+       |  UNION ALL SELECT 6*$T + l_orderkey, 4*$T + l_suppkey FROM lineitem)""".stripMargin
+
+  /** Fixed-point PageRank: rank' = 0.15·10¹² + 85·(Σ(rank DIV outdeg) DIV 100),
+    * all-BIGINT (mirrors Analytics.pageRankFixedPoint bit-for-bit). */
+  private def pageRankOracle(iterations: Int): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT vg.id,
+         |  150000000000 + 85 * (CAST(COALESCE(SUM(m.c), 0) AS BIGINT) // 100) AS r
+         |  FROM vg LEFT JOIN (
+         |    SELECT eg.dst AS id, p${k - 1}.r // deg.d AS c
+         |    FROM eg JOIN p${k - 1} ON p${k - 1}.id = eg.src
+         |    JOIN deg ON deg.src = eg.src) m ON m.id = vg.id
+         |  GROUP BY vg.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM eg GROUP BY 1),
+       |p0 AS MATERIALIZED (SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM vg),
+       |$iters
+       |SELECT id, r AS rank_fp FROM p$iterations""".stripMargin
+  }
+
+  /** Synchronous Bellman-Ford hop distance (mirrors Analytics.shortestHopsExact). */
+  private def ssspOracle(sourceId: Long, rounds: Int): String = {
+    val iters = (1 to rounds).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT p.id,
+         |  CASE WHEN n.nd IS NULL THEN p.d WHEN p.d IS NULL THEN n.nd
+         |       WHEN n.nd < p.d THEN n.nd ELSE p.d END AS d
+         |  FROM d${k - 1} p LEFT JOIN (
+         |    SELECT eg.dst AS id, MIN(q.d + 1) AS nd FROM eg
+         |    JOIN d${k - 1} q ON q.id = eg.src WHERE q.d IS NOT NULL GROUP BY 1) n
+         |  ON n.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |d0 AS MATERIALIZED (SELECT id,
+       |  CASE WHEN id = $sourceId THEN CAST(0 AS BIGINT) END AS d FROM vg),
+       |$iters
+       |SELECT id, d AS distance FROM d$rounds WHERE d IS NOT NULL""".stripMargin
+  }
+
+  /** Min-label propagation over the undirected edge set (mirrors
+    * Analytics.connectedComponentsExact). */
+  private def ccOracle(rounds: Int): String = {
+    val iters = (1 to rounds).map { k =>
+      s"""c$k AS MATERIALIZED (SELECT p.id,
+         |  CASE WHEN n.nl IS NOT NULL AND n.nl < p.l THEN n.nl ELSE p.l END AS l
+         |  FROM c${k - 1} p LEFT JOIN (
+         |    SELECT e2.src AS id, MIN(q.l) AS nl FROM e2
+         |    JOIN c${k - 1} q ON q.id = e2.dst GROUP BY 1) n ON n.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |e2 AS MATERIALIZED (SELECT src, dst FROM eg UNION ALL SELECT dst, src FROM eg),
+       |c0 AS MATERIALIZED (SELECT id, id AS l FROM vg),
+       |$iters
+       |SELECT id, l AS component FROM c$rounds""".stripMargin
+  }
 
   /** Shared oracle for exact n-gram Jaccard and (verified) MinHash-LSH — with
     * 32×4 banding the miss probability at J≥0.8 is < 1e-7, so LSH output

@@ -19,9 +19,18 @@ import org.apache.spark.storage.StorageLevel
 final case class PropertyGraph(
     schema: GraphSchema,
     vertices: DataFrame,
-    edges: DataFrame) {
+    edges: DataFrame,
+    indexTables: Map[String, DataFrame] = Map.empty) {
 
   def spark: SparkSession = vertices.sparkSession
+
+  /** Register a materialized composite-index table (key columns + id) under
+    * the declared index's name — the backing store the automatic index
+    * selection in GraphQuery consults (reference: an index must be ENABLED
+    * and backed by storage before the query planner may choose it,
+    * GraphCentricQueryBuilder.java:185-323 + SchemaStatus). */
+  def withIndexTable(name: String, table: DataFrame): PropertyGraph =
+    copy(indexTables = indexTables + (name -> table))
 
   /** Property columns present on the vertex table. */
   def vertexPropColumns: Seq[String] = vertices.columns.filterNot(Set("id", "label"))
@@ -38,6 +47,17 @@ final case class PropertyGraph(
   def vertexById(ids: Long*): DataFrame =
     if (ids.size == 1) vertices.filter(col("id") === ids.head)
     else vertices.filter(col("id").isin(ids: _*))
+
+  /** Induced subgraph from an edge predicate (Gremlin SubgraphStep,
+    * TinkerPop SubgraphStrategy): the matching edges plus exactly their
+    * incident vertices. Distributed: edge filter (pushed to the scan) + a
+    * semi-join of vertices against the incident-id set. */
+  def subgraph(edgeCond: Column): PropertyGraph = {
+    val e = edges.filter(edgeCond)
+    val incident = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    copy(vertices = vertices.join(incident, Seq("id"), "left_semi"), edges = e)
+  }
 
   /** GraphX bridge for iterative analytics. Vertex attr = label; edge attr =
     * (label, weightCol) when provided, else 1.0. */

@@ -10,9 +10,13 @@ import org.apache.spark.sql.types._
   * labels — mirrors the reference's padded id layout, IDManager.java:429-438).
   *
   * Scale notes: every derived frame is a narrow projection over one parquet
-  * scan — column pruning reaches the file scan; no shuffles happen at load
-  * time (unions are partition-local). Edge ids are synthesized arithmetically
-  * from source keys (no windows / zipWithIndex, which would shuffle).
+  * scan — column pruning reaches the file scan; unions are partition-local.
+  * The ONE load-time shuffle is the row_number window on (l_orderkey,
+  * l_linenumber) that disambiguates duplicate lineitem rows for edge ids; use
+  * `loadMaterialized` to pay it exactly once per data directory (the derived
+  * vertex/edge tables are written to a label-partitioned parquet layout and
+  * every query reads the materialized files — also giving partition pruning
+  * on `label` filters instead of re-deriving a 12-branch union per query).
   */
 object TpchGraph {
   // vertex type tags
@@ -145,22 +149,31 @@ object TpchGraph {
       col("o_orderdate").cast(DateType).as("orderdate"))
     // lineitem local id: collision-FREE composite `orderkey·256 + linenumber·32
     // + dupSeq`. The synthetic data repeats (orderkey, linenumber) pairs (up to
-    // 6×), so dupSeq disambiguates via a row_number window keyed on the pair —
-    // deterministic because the full tuple ordering (partkey, suppkey) is a
-    // total order up to fully-identical rows (interchangeable by definition).
-    // A truncated 56-bit hash would hit birthday collisions at the 10⁸+ rows
-    // this engine targets, silently corrupting the contains ↔ supplied_by
-    // pairing. Bounds: linenumber ≤ 7, dupSeq ≤ 31, orderkey < 2⁴⁸ — fits the
-    // 56-bit local space at far beyond 100 TB scale. Cost: one window shuffle
-    // keyed (orderkey, linenumber) — balanced, and Catalyst prunes the window
-    // entirely for queries that never reference the edge id.
+    // 6×), so dupSeq disambiguates via a row_number window keyed on the pair.
+    // The window order is TOTAL over every attribute that distinguishes rows
+    // (rows identical on all of them are interchangeable by definition), so
+    // dupSeq is deterministic across branches and task retries — the same eid
+    // always carries the same attributes in both the contains and supplied_by
+    // edge sets. A truncated 56-bit hash would hit birthday collisions at the
+    // 10⁸+ rows this engine targets. Bounds: linenumber ≤ 7, dupSeq ≤ 31,
+    // orderkey < 2⁴⁸ — fits the 56-bit local space far beyond 100 TB scale,
+    // and violations raise at materialization time instead of silently
+    // colliding into neighbor ids. Cost: one window shuffle keyed
+    // (l_orderkey, l_linenumber) — paid once per data dir via
+    // `loadMaterialized`, never inside a query plan.
     val liW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("l_orderkey"), col("l_linenumber"))
-      .orderBy(col("l_partkey"), col("l_suppkey"))
+      .orderBy(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
     val liT = table(spark, dir, "lineitem")
       .withColumn("__dup", row_number().over(liW) - 1)
-    val liLocal = col("l_orderkey").cast(LongType) * 256L +
-      col("l_linenumber").cast(LongType) * 32L + col("__dup").cast(LongType)
+    val boundsOk = col("l_linenumber") < 8 && col("__dup") < 32 &&
+      col("l_orderkey") >= 0 && col("l_orderkey") < (1L << 48)
+    val liLocal = when(boundsOk,
+      col("l_orderkey").cast(LongType) * 256L +
+        col("l_linenumber").cast(LongType) * 32L + col("__dup").cast(LongType))
+      .otherwise(raise_error(concat(lit("lineitem edge id out of packing bounds: orderkey="),
+        col("l_orderkey"), lit(" linenumber="), col("l_linenumber"), lit(" dup="), col("__dup"))))
     val contains = liT.select(
       eid(EContains, liLocal),
       vid(OrderTag, col("l_orderkey")).as("src"),
@@ -180,4 +193,57 @@ object TpchGraph {
 
     PropertyGraph(schema, vertices, edges)
   }
+
+  /** Bump when the derivation in `load` changes — invalidates materialized
+    * layouts written by earlier versions. */
+  private val LayoutVersion = 1
+
+  /** Ingest-time materialization: derive the graph once, write it to a
+    * label-partitioned parquet layout under `cacheRoot`, and serve all queries
+    * from the materialized files. This is the layout a production deployment
+    * would bulk-load into (reference: TitanHadoop bulk loading,
+    * th/formats/util/input/TitanHadoopSetupCommon.java): the edge-id window
+    * and the 12-branch union analysis are paid once per data directory, not
+    * once per query, and `label = ...` filters prune to single partitions at
+    * file-listing time. Idempotent: a layout with _SUCCESS markers is reused
+    * (testdata dirs are immutable by contract). */
+  def loadMaterialized(spark: SparkSession, dir: String,
+      cacheRoot: String = defaultCacheRoot): PropertyGraph = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = s"$cacheRoot/v$LayoutVersion/$key"
+    val vPath = s"$base/vertices"
+    val ePath = s"$base/edges"
+    def ready(p: String) = new java.io.File(p, "_SUCCESS").exists
+    if (!ready(vPath) || !ready(ePath)) {
+      val g = load(spark, dir)
+      // repartition by the partition column so each label writes few files
+      g.vertices.repartition(col("label"))
+        .write.mode("overwrite").partitionBy("label").parquet(vPath)
+      g.edges.repartition(col("label"))
+        .write.mode("overwrite").partitionBy("label").parquet(ePath)
+    }
+    // restore canonical column order (partition columns read back last)
+    def reorder(df: DataFrame, lead: Seq[String]): DataFrame = {
+      val rest = df.columns.filterNot(lead.contains).toSeq
+      df.select((lead ++ rest).map(col): _*)
+    }
+    val g0 = PropertyGraph(schema,
+      reorder(spark.read.parquet(vPath), Seq("id", "label")),
+      reorder(spark.read.parquet(ePath), Seq("id", "src", "dst", "label")))
+    // materialize every enabled composite index once (key columns + id) and
+    // register it — the backing store automatic index selection requires
+    val withIx = schema.indexes.values
+      .filter(ix => ix.composite && ix.status == graft.core.SchemaStatus.ENABLED)
+      .foldLeft(g0) { (g, ix) =>
+        val ixPath = s"$base/indexes/${ix.name}"
+        if (!ready(ixPath))
+          graft.index.Indexes.materialize(g0, ix).write.mode("overwrite").parquet(ixPath)
+        g.withIndexTable(ix.name, spark.read.parquet(ixPath))
+      }
+    withIx
+  }
+
+  private def defaultCacheRoot: String =
+    sys.env.getOrElse("GRAFT_LAYOUT_DIR",
+      s"${sys.props.getOrElse("user.dir", "/tmp")}/target/graft-layout")
 }

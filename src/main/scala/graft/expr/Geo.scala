@@ -38,6 +38,9 @@ object Geo {
     struct(lit("box").as("type"), array(lit(swLat), lit(swLon), lit(neLat), lit(neLon)).as("coords"))
   def pointCol(lat: Column, lon: Column): Column =
     struct(lit("point").as("type"), array(lat.cast("double"), lon.cast("double")).as("coords"))
+  def circleCol(lat: Column, lon: Column, radiusKm: Column): Column =
+    struct(lit("circle").as("type"),
+      array(lat.cast("double"), lon.cast("double"), radiusKm.cast("double")).as("coords"))
 
   private def typ(s: Column) = s.getField("type")
   private def coord(s: Column, i: Int) = s.getField("coords").getItem(i)
@@ -77,9 +80,17 @@ object Geo {
   private def bothCircular(a: Column, b: Column): Column =
     typ(a).isin("point", "circle") && typ(b).isin("point", "circle")
 
+  /** Optional fixed-scale rounding of the great-circle distance before the
+    * relation comparison. Engines differ in the last ulp of libm trig, so a
+    * cross-engine-reproducible predicate (e.g. against a SQL oracle) rounds
+    * the distance to `scale` decimals on both sides — at scale 3 (meters) a
+    * disagreement needs a distance within ~1e-9 km of a rounding boundary. */
+  private def maybeRound(c: Column, scale: Option[Int]): Column =
+    scale.fold(c)(s => round(c, s))
+
   /** Geo.INTERSECT — non-empty intersection (Geo.java:18-41). */
-  def intersects(a: Column, b: Column): Column = {
-    val circ = distanceKm(a, b) <= radiusOf(a) + radiusOf(b)
+  def intersects(a: Column, b: Column, roundScale: Option[Int] = None): Column = {
+    val circ = maybeRound(distanceKm(a, b), roundScale) <= radiusOf(a) + radiusOf(b)
     val (aLatLo, aLatHi) = latInterval(a); val (aLonLo, aLonHi) = lonInterval(a)
     val (bLatLo, bLatHi) = latInterval(b); val (bLonLo, bLonHi) = lonInterval(b)
     val boxes = aLatLo <= bLatHi && bLatLo <= aLatHi && aLonLo <= bLonHi && bLonLo <= aLonHi
@@ -87,11 +98,12 @@ object Geo {
   }
 
   /** Geo.DISJOINT — empty intersection (Geo.java:44-67). */
-  def disjoint(a: Column, b: Column): Column = coalesce(!intersects(a, b), lit(false))
+  def disjoint(a: Column, b: Column, roundScale: Option[Int] = None): Column =
+    coalesce(!intersects(a, b, roundScale), lit(false))
 
   /** Geo.WITHIN — a completely contained in b (Geo.java:70-93). */
-  def within(a: Column, b: Column): Column = {
-    val circ = distanceKm(a, b) + radiusOf(a) <= radiusOf(b)
+  def within(a: Column, b: Column, roundScale: Option[Int] = None): Column = {
+    val circ = maybeRound(distanceKm(a, b), roundScale) + radiusOf(a) <= radiusOf(b)
     val (aLatLo, aLatHi) = latInterval(a); val (aLonLo, aLonHi) = lonInterval(a)
     val (bLatLo, bLatHi) = latInterval(b); val (bLonLo, bLonHi) = lonInterval(b)
     val boxes = aLatLo >= bLatLo && aLatHi <= bLatHi && aLonLo >= bLonLo && aLonHi <= bLonHi

@@ -22,6 +22,7 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+  require(k > 0, s"TopKAggregator requires k > 0, got $k")
 
   override def zero: List[(Double, Long)] = Nil
 

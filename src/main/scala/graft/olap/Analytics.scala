@@ -78,6 +78,88 @@ object Analytics {
     toDF(g.spark, lp.map { case (id, l) => (id, l) }, "id", "community")
   }
 
+  /** PageRank in exact fixed-point integer arithmetic — bit-identical across
+    * engines and run orders, so it can be oracle-checked (double PageRank is
+    * summation-order dependent). Ranks are scaled by 10¹² (rank 1.0 = 10¹²);
+    * one iteration is `rank' = 0.15·S + 85·(Σ contrib DIV 100)` with
+    * `contrib = rank DIV outdeg` — all BIGINT ops, order-insensitive integer
+    * sums. Damping/iteration semantics follow the reference's
+    * PageRankVertexProgram (tt/olap/PageRankVertexProgram.java:31-110,
+    * damping 0.85, fixed iteration count; dangling mass is dropped, as in
+    * GraphX staticPageRank). Scale: each iteration is one edge-keyed join +
+    * one map-side-combinable integer sum — the same shuffle profile as
+    * message-passing BSP; the (src,dst,outdeg) projection is cached so the 10
+    * iterations reread a 16-byte-row table, not the full edge set. */
+  def pageRankFixedPoint(g: PropertyGraph, iterations: Int = 10): DataFrame = {
+    val S = 1000000000000L // 10^12
+    val e = g.edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val ed = e.join(deg, Seq("src"))
+      .select(col("src"), col("dst"), col("__deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ids = g.vertices.select(col("id")).persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = ids.select(col("id"), lit(S).as("r"))
+    (1 to iterations).foreach { _ =>
+      val msgs = ed.join(ranks, ed("src") === ranks("id"))
+        .select(col("dst").as("id"), expr("r DIV __deg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      ranks = ids.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(15L * (S / 100L)) + lit(85L) * expr("coalesce(s, 0L) DIV 100")).as("r"))
+    }
+    ranks.select(col("id"), col("r").as("rank_fp"))
+  }
+
+  /** Synchronous Bellman-Ford hop-distance from `source` — `maxIter` full
+    * relaxation rounds (≡ Pregel min-combiner after maxIter supersteps,
+    * reference tt/olap/ShortestDistanceVertexProgram.java:26-146). Integer
+    * distances, so exactly oracle-checkable. Only reached vertices are
+    * returned. Scale: per round one edges⨝frontier join + min-combine — the
+    * frontier is the only growing state. */
+  def shortestHopsExact(g: PropertyGraph, source: Long, maxIter: Int = 8): DataFrame = {
+    val e = g.edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = g.vertices.select(col("id"))
+      .select(col("id"), when(col("id") === source, lit(0L)).as("d"))
+      .localCheckpoint(true)
+    (1 to maxIter).foreach { _ =>
+      val relaxed = e.join(dist.filter(col("d").isNotNull), e("src") === dist("id"))
+        .select(col("dst").as("id"), (col("d") + 1L).as("nd"))
+        .groupBy(col("id")).agg(min(col("nd")).as("nd"))
+      // each round references the previous frontier TWICE (base + messages);
+      // an eager localCheckpoint truncates the lineage so the plan stays
+      // constant-size instead of doubling per round (2^maxIter analysis blowup)
+      // — the materialize-per-superstep every BSP engine performs
+      dist = dist.join(relaxed, Seq("id"), "left")
+        .select(col("id"), least(col("d"), col("nd")).as("d"))
+        .localCheckpoint(true)
+    }
+    dist.filter(col("d").isNotNull).select(col("id"), col("d").as("distance"))
+  }
+
+  /** Connected components by synchronous min-label propagation over the
+    * undirected edge set, fixed `iterations` rounds — identical semantics are
+    * expressible in SQL, so the result is oracle-checkable (GraphX
+    * connectedComponents converges to the same labels; a fixed round count ≥
+    * graph diameter reaches the fixed point). Integer labels = min vertex id
+    * in the component. */
+  def connectedComponentsExact(g: PropertyGraph, iterations: Int = 12): DataFrame = {
+    val und = g.edges.select(col("src"), col("dst"))
+      .unionAll(g.edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = g.vertices.select(col("id"), col("id").as("l")).localCheckpoint(true)
+    (1 to iterations).foreach { _ =>
+      val nb = und.join(labels, und("dst") === labels("id"))
+        .select(und("src").as("id"), col("l").as("nl"))
+        .groupBy(col("id")).agg(min(col("nl")).as("nl"))
+      // see shortestHopsExact: double self-reference per round ⇒ eager
+      // lineage truncation keeps the plan constant-size
+      labels = labels.join(nb, Seq("id"), "left")
+        .select(col("id"), least(col("l"), col("nl")).as("l"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("id"), col("l").as("component"))
+  }
+
   private def toDF[T <: Product : scala.reflect.runtime.universe.TypeTag](
       spark: SparkSession, rdd: org.apache.spark.rdd.RDD[T], names: String*): DataFrame = {
     val df = spark.createDataFrame(rdd)

@@ -92,7 +92,13 @@ object Dedup {
     * slower. Instead: explode the shingle hashes once (string work happens
     * exactly once per shingle) and compute the 128 permutation minima as
     * codegen'd `min` aggregates with map-side partial aggregation — one
-    * shuffle of 5·10³-wide partial rows per doc, not the raw shingles. */
+    * shuffle of 5·10³-wide partial rows per doc, not the raw shingles.
+    *
+    * Contract: documents shorter than `n` words produce NO shingles and are
+    * dropped from the output (no signature row) — they can never be near-dups
+    * under shingle Jaccard, matching the pair-generation semantics of
+    * `minHashLshPairs`/`dedupDocuments`. Callers needing one row per input
+    * doc should left-join the result back to their doc table. */
   def minHashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
       seed: Long = 42L, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val fam = hashFamily(numHashes, seed)

@@ -24,13 +24,16 @@ final case class GraphQuery(
     conds: Vector[Column] = Vector.empty,
     orders: Vector[Column] = Vector.empty,
     limitN: Option[Int] = None,
-    eqKeys: Set[String] = Set.empty,
+    eqPairs: Map[String, Any] = Map.empty,
     strictIndex: Boolean = false) {
+
+  def eqKeys: Set[String] = eqPairs.keySet
 
   /** has(key, value) — Cmp.EQUAL; has(key, null) ≡ hasNot(key)
     * (GraphCentricQueryBuilder.java:109-116). */
   def has(key: String, value: Any): GraphQuery =
-    copy(conds = conds :+ P.eq(value).apply(col(key)), eqKeys = eqKeys + key)
+    copy(conds = conds :+ P.eq(value).apply(col(key)),
+      eqPairs = if (value == null) eqPairs else eqPairs + (key -> value))
 
   /** has(key, predicate) — arbitrary TitanPredicate analogue. */
   def has(key: String, p: P): GraphQuery = copy(conds = conds :+ p.apply(col(key)))
@@ -67,14 +70,38 @@ final case class GraphQuery(
     * index selector applies. */
   def forceIndex(): GraphQuery = copy(strictIndex = true)
 
-  /** Compile to a DataFrame plan. Orders get `id` appended as a deterministic
-    * tie-break (the reference's element iterator order is storage-deterministic). */
+  /** Automatic index selection (GraphCentricQueryBuilder.java:185-323): the
+    * best ENABLED composite index whose keys are covered by the equality
+    * conjuncts AND whose materialized table is registered on the graph
+    * (an unbacked index would make the query strictly worse — two scans of
+    * the same base data instead of one pushed-down scan). Greedy best =
+    * most keys covered, the reference's primary selectivity proxy. */
+  private def selectedIndex: Option[graft.core.IndexDef] =
+    graph.schema.compositeIndexCandidates(element, eqKeys)
+      .find(ix => graph.indexTables.contains(ix.name))
+
+  /** Compile to a DataFrame plan. If a backed composite index covers the
+    * equality conjuncts, the plan becomes: filter the (small) index table on
+    * the key values → broadcast semi-join ids against the base — the same
+    * shape as the reference's index point-read + element load
+    * (IndexSerializer.java:511-546). ALL conditions are still applied as
+    * residual filters, so an index can never change results, only access
+    * paths. Orders get `id` appended as a deterministic tie-break (the
+    * reference's element iterator order is storage-deterministic). */
   def dataframe: DataFrame = {
     if (strictIndex &&
         graph.schema.compositeIndexCandidates(element, eqKeys).isEmpty)
       throw new IllegalStateException(
         s"Could not find a suitable index to answer graph query (force-index); equality keys: $eqKeys")
-    val filtered = conds.foldLeft(target)((df, c) => df.filter(c))
+    val base = selectedIndex match {
+      case Some(ix) =>
+        val matches = ix.keys.foldLeft(graph.indexTables(ix.name)) {
+          (df, k) => df.filter(col(k) === lit(eqPairs(k)))
+        }
+        target.join(broadcast(matches.select(col("id"))), Seq("id"), "left_semi")
+      case None => target
+    }
+    val filtered = conds.foldLeft(base)((df, c) => df.filter(c))
     val ordered =
       if (orders.nonEmpty) filtered.orderBy(orders :+ col("id").asc: _*)
       else filtered

@@ -93,35 +93,51 @@ object ChangeStream {
 
   /** Streaming sessionization via flatMapGroupsWithState — the custom-state
     * extension point (KeyValueGroupedDataset, SURVEY §2.J "stateful ops are
-    * beyond reference parity"). Emits one row per closed session. */
-  def sessionizeStream(events: DataFrame, gapSeconds: Long): DataFrame = {
+    * beyond reference parity"). Emits one row per closed session.
+    *
+    * With `flushTimeout` set (a processing-time duration, e.g. "5 minutes"),
+    * a user idle across micro-batches for that long has their open head
+    * session flushed and state cleared — without it, the final session per
+    * user would never be emitted (and state would be held forever for
+    * one-shot users). */
+  def sessionizeStream(events: DataFrame, gapSeconds: Long,
+      flushTimeout: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import org.apache.spark.sql.{Encoders, Row}
-    case class SessionState(start: Long, last: Long, count: Long)
     val spark0 = events.sparkSession
     import spark0.implicits._
     val typed = events.select(col("user_id"), unix_micros(col("ts")).as("tsus"))
       .as[(Long, Long)]
+    val timeoutConf =
+      if (flushTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[List[(Long, Long, Long)], (Long, Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (uid, rows, state: GroupState[List[(Long, Long, Long)]]) =>
-          // sessions as (start, last, count); batch-sorted fold
-          val sorted = rows.map(_._2).toSeq.sorted
-          val init = state.getOption.getOrElse(Nil)
-          val gap = gapSeconds * 1000000L
-          val sessions = sorted.foldLeft(init) { (acc, ts) =>
-            acc match {
-              case (s, l, c) :: tail if ts - l <= gap => (s, ts, c + 1) :: tail
-              case _ => (ts, ts, 1L) :: acc
+          if (state.hasTimedOut) {
+            // idle past flushTimeout: emit the open head session and clear
+            val open = state.getOption.getOrElse(Nil)
+            state.remove()
+            open.map { case (s, _, c) => (uid, s, c) }.iterator
+          } else {
+            // sessions as (start, last, count); batch-sorted fold
+            val sorted = rows.map(_._2).toSeq.sorted
+            val init = state.getOption.getOrElse(Nil)
+            val gap = gapSeconds * 1000000L
+            val sessions = sorted.foldLeft(init) { (acc, ts) =>
+              acc match {
+                case (s, l, c) :: tail if ts - l <= gap => (s, ts, c + 1) :: tail
+                case _ => (ts, ts, 1L) :: acc
+              }
             }
+            // emit closed sessions (all but the most recent open one) and keep
+            // ONLY the open head in state — retaining closed sessions would both
+            // re-emit them on every later micro-batch (duplicate Append output)
+            // and grow state unboundedly per user
+            state.update(sessions.take(1))
+            flushTimeout.foreach(state.setTimeoutDuration)
+            sessions.drop(1).map { case (s, l, c) => (uid, s, c) }.iterator
           }
-          // emit closed sessions (all but the most recent open one) and keep
-          // ONLY the open head in state — retaining closed sessions would both
-          // re-emit them on every later micro-batch (duplicate Append output)
-          // and grow state unboundedly per user
-          state.update(sessions.take(1))
-          sessions.drop(1).map { case (s, l, c) => (uid, s, c) }.iterator
       }.toDF("user_id", "session_start_us", "n_events")
   }
 }

@@ -140,6 +140,60 @@ final case class Traversal(
     copy(df = df.filter(F.size(col("_path")) === F.size(F.array_distinct(col("_path")))))
   }
 
+  /** cyclicPath — keep only traversers that DID revisit an element (Gremlin
+    * CyclicPathStep, the complement of simplePath). */
+  def cyclicPath(): Traversal = {
+    require(hasPath, "cyclicPath requires withPath traversal source")
+    copy(df = df.filter(F.size(col("_path")) =!= F.size(F.array_distinct(col("_path")))))
+  }
+
+  /** tree() — the traversal's paths grouped under their root element (Gremlin
+    * TreeStep materializes the same information as a nested map; rows
+    * (root, path) are its relational form). */
+  def tree(): DataFrame = {
+    require(hasPath, "tree requires withPath traversal source")
+    df.select(col("_path").getItem(0).as("root"), col("_path").as("path"))
+  }
+
+  /** project('a' -> expr, ...) — named value projection per traverser
+    * (Gremlin project().by() with explicit by-expressions). */
+  def project(fields: (String, Column)*): DataFrame =
+    df.select(fields.map { case (n, c) => c.as(n) }: _*)
+
+  /** local(step).limit(n) — the sub-traversal runs in per-element scope, so
+    * the limit applies PER SOURCE ELEMENT, not globally (Gremlin LocalStep's
+    * canonical use). Compiled as a provenance-window top-n: row_number over
+    * the source element id with a deterministic order, pre-shuffle-limited by
+    * Spark's WindowGroupLimit. */
+  def localLimit(n: Int, orderCols: Seq[Column] = Seq(col("id").asc))(
+      step: Traversal => Traversal): Traversal = {
+    val stepped = step(this.as("__local"))
+    val w = Window.partitionBy(col("_as___local_id"))
+      .orderBy(orderCols.map(Traversal.normalizeOrder): _*)
+    val limited = stepped.df.withColumn("__rn", F.row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+    val clean = limited.drop(limited.columns.filter(_.startsWith("_as___local_")).toSeq: _*)
+    copy(df = clean)
+  }
+
+  /** sample(n) — deterministic pseudo-random sample: order by the md5 of the
+    * element id + seed, take n. Gremlin's sample is random per run; a
+    * content-keyed hash order makes it reproducible across engines and runs
+    * (same trick as the reference's deterministic test fixtures). */
+  def sample(n: Int, seed: String = "42"): Traversal =
+    copy(df = df.orderBy(F.md5(F.concat(col("id").cast("string"), lit(seed))), col("id")).limit(n))
+
+  /** coin(p) — deterministic per-element Bernoulli filter at granularity
+    * 1/256: keep elements whose md5(id+seed) first byte < floor(p·256).
+    * Cross-engine reproducible (md5 of the same string everywhere). */
+  def coin(p: Double, seed: String = "42"): Traversal =
+    if (p >= 1.0) this
+    else {
+      val threshold = f"${math.max(0, (p * 256).toInt)}%02x"
+      copy(df = df.filter(
+        F.substring(F.md5(F.concat(col("id").cast("string"), lit(seed))), 1, 2) < lit(threshold)))
+    }
+
   def values(keys: String*): DataFrame = df.select(keys.map(col): _*)
 
   /** properties(keys*) step — the element's properties as relation rows
@@ -171,7 +225,8 @@ final case class Traversal(
     * sort + offset + limit (distributed GlobalLimit/Offset), not a
     * single-partition global window. */
   def range(lo: Int, hi: Int): Traversal = {
-    val ord = if (lastOrder.nonEmpty) lastOrder else Seq(col("id").asc)
+    val ord = if (lastOrder.nonEmpty) lastOrder.map(Traversal.normalizeOrder)
+              else Seq(col("id").asc)
     copy(df = df.orderBy(ord: _*).offset(lo).limit(hi - lo))
   }
   def dedup(): Traversal = copy(df = df.dropDuplicates("id"))
@@ -237,11 +292,13 @@ final case class Traversal(
   /** tail(n) — last n by the traversal's last order (Gremlin tail). Compiled
     * as top-n under the REVERSED order (TakeOrderedAndProject — distributed,
     * no count job, no 32-bit row-count cap), then re-sorted to the requested
-    * presentation order (cheap: ≤ n rows). */
+    * presentation order (cheap: ≤ n rows). Both sorts rebuild the SortOrder
+    * fresh from its child — reusing a stored SortOrder Column verbatim in a
+    * second orderBy nests SortOrder(SortOrder(..)) which codegen rejects. */
   def tail(n: Int): Traversal = {
     val ord = if (lastOrder.nonEmpty) lastOrder else Seq(col("id").asc)
     val lastN = df.orderBy(ord.map(Traversal.reverseOrder): _*).limit(n)
-    copy(df = lastN.orderBy(ord: _*))
+    copy(df = lastN.orderBy(ord.map(Traversal.normalizeOrder): _*))
   }
 
   /** aggregate('x') — side-effect barrier collecting the current frontier ids
@@ -289,6 +346,22 @@ final case class Traversal(
     cur
   }
 
+  /** repeat(step).until(cond) — traversers satisfying `cond` exit the loop
+    * and are emitted; the rest keep stepping. After `maxIter` rounds the
+    * remaining frontier is emitted as-is (the times()-bounded until of
+    * Gremlin's RepeatStep). Pure plan composition — no driver-side counting;
+    * the loop unrolls to maxIter filtered step-unions. */
+  def repeatUntil(cond: Column, maxIter: Int)(step: Traversal => Traversal): Traversal = {
+    var frontier = this
+    var done: Option[DataFrame] = None
+    (1 to maxIter).foreach { _ =>
+      val finished = frontier.df.filter(cond)
+      done = Some(done.fold(finished)(_.unionByName(finished, allowMissingColumns = true)))
+      frontier = step(frontier.copy(df = frontier.df.filter(!F.coalesce(cond, lit(false)))))
+    }
+    copy(df = done.get.unionByName(frontier.df, allowMissingColumns = true))
+  }
+
   def toDF: DataFrame = df
 
   /** profile() step — plan-shape introspection (QueryProfiler parity). */
@@ -309,19 +382,36 @@ object Traversal {
       .select(col("__uid").as(outName), col("kv.key").as("key"), col("kv.value").as("value"))
       .filter(col("value").isNotNull)
 
-  /** Flip a sort-order Column (asc↔desc) at the expression level; a bare
-    * column (implicitly ascending) flips to descending. */
-  private[traverse] def reverseOrder(c: Column): Column = {
-    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
-    org.apache.spark.sql.GraftColumnBridge.expression(c) match {
-      case so: SortOrder =>
-        // rebuild through the Column API so orderBy recognizes the sort node
-        // (a raw catalyst SortOrder Column would get double-wrapped)
-        val base = org.apache.spark.sql.GraftColumnBridge.column(so.child)
-        if (so.direction == Ascending) base.desc else base.asc
-      case _ => c.desc // bare column is implicitly ascending — flip to desc
+  /** Exact reversal of a sort-order Column: both the direction AND the null
+    * ordering flip (rows that sorted first must sort last), so tail/range are
+    * correct for all four SortOrder combinations. Decomposition happens at the
+    * ColumnNode layer (GraftColumnBridge.sortOrderParts) — `expression(c)`
+    * returns a lazy wrapper, never a catalyst SortOrder, and wrapping a sort
+    * Column in another sort nests SortOrder(SortOrder(..)) which codegen
+    * rejects. */
+  private[traverse] def reverseOrder(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.sortOrderParts(c) match {
+      case Some((base, asc, nullsFirst)) => (asc, nullsFirst) match {
+        case (true, true)   => base.desc_nulls_last
+        case (true, false)  => base.desc_nulls_first
+        case (false, true)  => base.asc_nulls_last
+        case (false, false) => base.asc_nulls_first
+      }
+      case None => c.desc_nulls_last // bare column ≡ asc_nulls_first — exact flip
     }
-  }
+
+  /** Rebuild a sort-order Column fresh (same direction and null ordering) so
+    * a stored order can be re-applied without nesting SortOrder nodes. */
+  private[traverse] def normalizeOrder(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.sortOrderParts(c) match {
+      case Some((base, asc, nullsFirst)) => (asc, nullsFirst) match {
+        case (true, true)   => base.asc_nulls_first
+        case (true, false)  => base.asc_nulls_last
+        case (false, true)  => base.desc_nulls_first
+        case (false, false) => base.desc_nulls_last
+      }
+      case None => c
+    }
 }
 
 /** g.V() / g.E() entry — the TraversalSource. */

@@ -10,6 +10,34 @@ class PipelineSpec extends AnyFunSuite {
   lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
   lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
 
+  test("IVF scale path: 20k×64 clustered vectors — high recall, no data×data cartesian") {
+    // synthetic clustered embeddings (64 clusters, deterministic hash noise):
+    // 10× the sf0.1 embeddings table, enough that the bucketed join — not a
+    // broadcast — is the plan that runs. Cluster base + small per-vector
+    // noise ⇒ true nearest neighbors are in-cluster, so IVF with one
+    // centroid per cluster must recover them.
+    val n = 20000
+    val emb20k = spark.range(n).select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 63), j ->
+        cast(pmod(hash((id % 64) * 64 + j), 1000) as double) / 1000.0 - 0.5 +
+        cast(pmod(hash(id * 64 + j), 100) as double) / 2000.0)""").as("embedding"))
+      .cache()
+    emb20k.count()
+    val queries = emb20k.filter(col("vec_id") < 15)
+    val ivfDf = Similarity.ivfTopK(emb20k, queries, 5, nlist = 64, nprobe = 4)
+    // scale guard: only the centroid table may cross-join (broadcast);
+    // a data×data cartesian would be the brute-force anti-plan
+    val plan = ivfDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "IVF plan must not cartesian data×data")
+    val ivf = ivfDf.select("qid", "nid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = Similarity.bruteForceTopK(emb20k, queries, 5).select("qid", "nid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"IVF recall $recall on clustered vectors too low")
+    emb20k.unpersist()
+  }
+
   test("exact dedup: survivors = distinct texts") {
     val distinctTexts = docs.select("text").distinct().count()
     assert(Dedup.exact(docs).count() === distinctTexts)

@@ -16,17 +16,22 @@ class PlanShapeSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
-  test("label filter prunes the vertex union to one parquet scan (fitted)") {
+  test("label filter prunes the vertex scan to one partition (fitted)") {
+    // materialized layout: vertices are label-partitioned, so hasLabel becomes
+    // a PartitionFilter (pruned at file listing) and the property equality is
+    // a PushedFilter on the parquet scan
     val p = plan("q_has_eq")
-    assert(p.contains("customer.parquet"))
-    assert(!p.contains("supplier.parquet") && !p.contains("orders.parquet"))
-    assert(p.contains("PushedFilters") && p.contains("c_mktsegment"))
+    assert(p.contains("graft-layout") && p.contains("/vertices"))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("label") && pf.contains("= customer"), pf)
+    assert(p.contains("PushedFilters") && p.contains("mktsegment"))
   }
 
-  test("edge-label filter prunes the edge union to lineitem only") {
+  test("edge-label filter prunes the edge scan to the contains partition") {
     val p = plan("q1_agg")
-    assert(p.contains("lineitem.parquet"))
-    assert(!p.contains("orders.parquet") && !p.contains("customer.parquet"))
+    assert(p.contains("graft-layout") && p.contains("/edges"))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("label") && pf.contains("= contains"), pf)
   }
 
   test("aggregation is partial before the exchange (map-side combine)") {
@@ -37,7 +42,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("projection pruning reaches the scan (ReadSchema is narrow)") {
     val p = plan("q_has_eq")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
-    assert(!readSchema.contains("c_acctbal"), s"unpruned column in $readSchema")
+    assert(!readSchema.contains("acctbal"), s"unpruned column in $readSchema")
   }
 
   test("per-vertex top-k uses Window, not global sort of all edges") {
@@ -51,9 +56,23 @@ class PlanShapeSpec extends AnyFunSuite {
       "expected both map-side (partial) and reduce-side WindowGroupLimit")
   }
 
+  test("automatic index selection rewrites an equality query to an index semi-join") {
+    // with a registered backing table the planner picks the byName composite
+    // index: filter the index table → broadcast semi-join ids against base
+    // (GraphCentricQueryBuilder.java:185-323 parity)
+    val p = plan("q_index_auto")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("indexes/byName"), p)
+    // an unbacked index must NOT trigger the rewrite (it would double-scan)
+    val raw = graft.data.TpchGraph.load(spark, dir)
+    val p2 = raw.V().has("name", "NATION_5").dataframe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p2.contains("LeftSemi"), p2)
+  }
+
   test("interval predicate is pushed to the scan as range filters") {
     val p = plan("q_vc_interval")
-    assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("LessThan(l_shipdate"))
+    assert(p.contains("GreaterThanOrEqual(shipdate") && p.contains("LessThan(shipdate"))
   }
 
   test("traversal hop joins are broadcast (small frontier, no shuffle join)") {

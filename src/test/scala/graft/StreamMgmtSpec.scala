@@ -65,6 +65,80 @@ class StreamMgmtSpec extends AnyFunSuite {
     assert(out.count() === expectedClosed)
   }
 
+  private def writeEventFile(inDir: String, name: String,
+      rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-evt-tmp").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, new java.io.File(inDir, name).toPath)
+  }
+
+  /** Run one AvailableNow pass, appending emitted sessions to `sink`
+    * (foreachBatch — the memory sink cannot recover from a checkpoint, so
+    * cross-restart tests must collect this way). */
+  private def runSessionQuery(inDir: String, checkpoint: String,
+      sink: scala.collection.mutable.ArrayBuffer[(Long, Long, Long)],
+      flushTimeout: Option[String] = None): Unit = {
+    val stream = spark.readStream.schema(ChangeStream.eventsSchema).parquet(inDir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val sessions = ChangeStream.sessionizeStream(stream, gapSeconds = 3600,
+      flushTimeout = flushTimeout)
+    val q = sessions.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        sink.synchronized { sink ++= rows }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+  }
+
+  test("streaming sessionization across micro-batches: closed session emitted once, never re-emitted") {
+    val inDir = Files.createTempDirectory("graft-sess-in").toString
+    val checkpoint = Files.createTempDirectory("graft-sess-ckpt").toString
+    val ns = 1000000000L
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    // batch 1: user 1, two events 10s apart — one open session, nothing closed
+    writeEventFile(inDir, "a.parquet", Seq(
+      (1L, 0L, 1L, "click", 0.0, "{}"), (2L, 10L * ns, 1L, "click", 0.0, "{}")))
+    runSessionQuery(inDir, checkpoint, sink)
+    assert(sink.isEmpty, s"open session must not be emitted early: $sink")
+    // batch 2 (separate micro-batch via restart): user 1 returns 8h later —
+    // closes the first session, opens a new one. The round-1 bug kept closed
+    // sessions in state and re-emitted them every batch.
+    writeEventFile(inDir, "b.parquet", Seq(
+      (3L, 8L * 3600L * ns, 1L, "click", 0.0, "{}")))
+    runSessionQuery(inDir, checkpoint, sink)
+    assert(sink.toList === List((1L, 0L, 2L)),
+      s"exactly one closed session (start 0, 2 events), got $sink")
+  }
+
+  test("streaming sessionization: flushTimeout emits the final open session exactly once") {
+    val inDir = Files.createTempDirectory("graft-flush-in").toString
+    val checkpoint = Files.createTempDirectory("graft-flush-ckpt").toString
+    val ns = 1000000000L
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    writeEventFile(inDir, "a.parquet", Seq(
+      (1L, 0L, 1L, "click", 0.0, "{}"), (2L, 5L * ns, 1L, "click", 0.0, "{}")))
+    runSessionQuery(inDir, checkpoint, sink, flushTimeout = Some("1 millisecond"))
+    Thread.sleep(100) // let user 1's processing-time timeout lapse
+    // a later batch (other user) triggers timeout processing for idle user 1
+    // (if AvailableNow already ran a trailing batch past the timeout, the
+    // flush legitimately happened in the first pass — either way, exactly one
+    // emission with both events)
+    writeEventFile(inDir, "b.parquet", Seq(
+      (3L, 9L * 3600L * ns, 99L, "click", 0.0, "{}")))
+    runSessionQuery(inDir, checkpoint, sink, flushTimeout = Some("10 minutes"))
+    val user1 = sink.filter(_._1 == 1L)
+    assert(user1.toList === List((1L, 0L, 2L)),
+      s"idle user's open session must flush exactly once with 2 events, got $sink")
+  }
+
   test("management: maker surface + commit") {
     val mgmt = new Management(GraphSchema())
     mgmt.makePropertyKey("score").dataType(org.apache.spark.sql.types.DoubleType).make()
