@@ -375,6 +375,62 @@ object SparkEntry {
       p1.matchOn(p2, "a")
         .toDF.select(col("_as_a_uid").as("uid")).distinct()
     }),
+    // ---- 2.B mixed-index STRING mapping: exact-value lookup via index ----
+    "q_mixed_string" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val ix = graft.core.IndexDef("brandString", graft.core.ElementCategory.VERTEX,
+        Seq("brand"), composite = false,
+        mappings = Map("brand" -> graft.core.Mapping.STRING))
+      val sIx = graft.index.Indexes.materializeString(g, ix)
+      graft.index.Indexes.lookupString(g, sIx, "brand", "Brand#12")
+        .select(col("uid"), col("brand"))
+    }),
+    // ---- 2.B mixed-index numeric mapping: range lookup via index ----
+    "q_mixed_range" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val ix = graft.core.IndexDef("priceNum", graft.core.ElementCategory.VERTEX,
+        Seq("retailprice"), composite = false)
+      val nIx = graft.index.Indexes.materializeNumeric(g, ix, Seq("retailprice"))
+      graft.index.Indexes.lookupRange(g, nIx, "retailprice", 905.0, 915.0)
+        .select(col("uid"), col("retailprice"))
+    }),
+    // ---- 2.B direct index query, Lucene syntax: multi-field AND ----
+    "q_index_lucene" -> ((s, dir) => {
+      graft.index.Indexes.indexQueryLucene(graph(s, dir),
+        graft.core.ElementCategory.VERTEX, "v.name:(small widget) v.brand:Brand#12",
+        limit = 20)
+        .select(col("uid"), col("name"), col("brand"), col("score"))
+    }),
+    // ---- 2.B/2.L multi-properties + meta-properties round-trip ----
+    "q_multiprops" -> ((s, dir) => {
+      import graft.data.MultiProperties
+      val g = graph(s, dir)
+      // build a multi-property per order: one cell per contains edge, value =
+      // part uid, meta-properties = {rf: returnflag}; then property-element
+      // filtering (cells whose meta rf = 'R') and relational unpivot
+      val cells = g.edges.filter(col("label") === "contains")
+        .select(col("src"),
+          MultiProperties.cell(uidOf(col("dst"), TpchGraph.PartTag),
+            "rf" -> col("returnflag")).as("c"))
+      val mp = MultiProperties.collect(cells, col("src"), col("c"))
+        .withColumn("cells", MultiProperties.cellsWithMeta(col("cells"), "rf", "R"))
+        .filter(size(col("cells")) > 0)
+      MultiProperties.explodeCells(mp, "cells")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("value")).as("sum_part"))
+        .select(uidOf(col("id"), TpchGraph.OrderTag).as("uid"),
+          col("n_cells"), col("sum_part"))
+    }),
+    // ---- 2.E match() as a planner: selectivity-ordered pattern join ----
+    "q_match_planner" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val p1 = g.traversal.V().hasLabel("customer").as("a")
+        .out("placed").has("totalprice", P.gt(400000.0))
+      val p2 = g.traversal.V().hasLabel("customer").has("mktsegment", "BUILDING").as("a")
+      val p3 = g.traversal.V().hasLabel("customer").has("acctbal", P.gt(0.0)).as("a")
+      g.traversal.V().matchAll("a", p1, p2, p3)
+        .toDF.select(col("_as_a_uid").as("uid")).distinct()
+    }),
     // ---- 2.B direct index query: scored text search (TitanIndexQuery) ----
     "q_index_query" -> ((s, dir) => {
       graft.index.Indexes.indexQuery(graph(s, dir), graft.core.ElementCategory.VERTEX,
@@ -784,6 +840,31 @@ object SparkEntry {
     "q_match" ->
       """SELECT DISTINCT c_custkey AS uid FROM customer JOIN orders ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 400000.0""".stripMargin,
+    "q_mixed_string" ->
+      "SELECT p_partkey AS uid, p_brand AS brand FROM part WHERE p_brand = 'Brand#12'",
+    "q_mixed_range" ->
+      "SELECT p_partkey AS uid, p_retailprice AS retailprice FROM part WHERE p_retailprice >= 905.0 AND p_retailprice < 915.0",
+    "q_index_lucene" ->
+      """WITH t AS (SELECT p_partkey AS uid, p_name AS name, p_brand AS brand,
+        |  list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), x -> length(x) > 1) AS tn,
+        |  list_filter(string_split_regex(lower(p_brand), '[^a-z0-9]+'), x -> length(x) > 1) AS tb
+        |  FROM part),
+        |s AS (SELECT uid, name, brand,
+        |  (CAST(list_contains(tn,'small') AS INT) + CAST(list_contains(tn,'widget') AS INT)) AS hn,
+        |  (CAST(list_contains(tb,'brand') AS INT) + CAST(list_contains(tb,'12') AS INT)) AS hb,
+        |  len(tn) AS nn, len(tb) AS nb FROM t)
+        |SELECT uid, name, brand,
+        |  (CAST(hn AS DOUBLE)/2.0 + 0.001/CAST(nn + 10 AS DOUBLE)) +
+        |  (CAST(hb AS DOUBLE)/2.0 + 0.001/CAST(nb + 10 AS DOUBLE)) AS score
+        |FROM s WHERE hn > 0 AND hb > 0 ORDER BY score DESC, uid LIMIT 20""".stripMargin,
+    "q_multiprops" ->
+      """SELECT l_orderkey AS uid, COUNT(*) AS n_cells,
+        |CAST(SUM(l_partkey) AS BIGINT) AS sum_part FROM lineitem
+        |WHERE l_returnflag = 'R' GROUP BY 1""".stripMargin,
+    "q_match_planner" ->
+      """SELECT DISTINCT c_custkey AS uid FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0.0
+        |AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin,
     "q_index_query" ->
       """WITH t AS (SELECT p_partkey AS uid, p_name AS name,
         |  list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), x -> length(x) > 1) AS tok FROM part),

@@ -1,0 +1,61 @@
+package graft.expr
+
+import graft.core.GraphSchema
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Implicit keys — reference: tc/graphdb/types/system/ImplicitKey.java:28-52
+  * (ID, LABEL, ADJACENT_ID, TIMESTAMP, VISIBILITY, TTL).
+  *
+  * `~id`/`~label` are real columns; `~adjacent` is the vertex-centric
+  * `adjacent()` restriction. `~timestamp` and `~visibility` read the system
+  * columns `_ts` (timestamp) / `_vis` (string) that a provenance-tracking
+  * ingest writes next to the data columns — the engine treats them as plain
+  * columns, so predicates on them push down like any other. `~ttl` is a
+  * CATALOG constant per label (docs/advschema.txt:20-70: TTL is declared on
+  * the type), resolved to a CASE expression over `label`. */
+object ImplicitKeys {
+  val Id = "~id"; val Label = "~label"; val Adjacent = "~adjacent"
+  val Timestamp = "~timestamp"; val Visibility = "~visibility"; val Ttl = "~ttl"
+
+  val TimestampColumn = "_ts"
+  val VisibilityColumn = "_vis"
+
+  def isImplicit(key: String): Boolean = key.startsWith("~")
+
+  /** Resolve an implicit key to a Column over an element frame. */
+  def resolve(schema: GraphSchema, df: DataFrame, key: String,
+      isVertex: Boolean): Column = key match {
+    case Id => col("id")
+    case Label => col("label")
+    case Timestamp =>
+      require(df.columns.contains(TimestampColumn),
+        s"$Timestamp requires a '$TimestampColumn' system column (provenance-tracking ingest)")
+      col(TimestampColumn)
+    case Visibility =>
+      require(df.columns.contains(VisibilityColumn),
+        s"$Visibility requires a '$VisibilityColumn' system column")
+      col(VisibilityColumn)
+    case Ttl =>
+      val defs: Seq[(String, Long)] =
+        if (isVertex) schema.vertexLabels.values.toSeq.flatMap(v => v.ttlSeconds.map(v.name -> _))
+        else schema.edgeLabels.values.toSeq.flatMap(e => e.ttlSeconds.map(e.name -> _))
+      defs.foldLeft(lit(null).cast("long")) { case (acc, (name, ttl)) =>
+        when(col("label") === name, lit(ttl)).otherwise(acc)
+      }
+    case other =>
+      throw new IllegalArgumentException(s"unknown implicit key: $other")
+  }
+
+  /** Catalog-TTL read-time view: drop elements whose label declares a TTL and
+    * whose `_ts` is older than it (cell-TTL expiry semantics of the
+    * reference's storage, applied at scan time — same filter shape as
+    * GraphOps.ttlView but driven by the per-type catalog). Elements of
+    * labels without TTL are kept. */
+  def ttlCatalogFilter(schema: GraphSchema, df: DataFrame, isVertex: Boolean,
+      now: Column): Column = {
+    val ttl = resolve(schema, df, Ttl, isVertex)
+    ttl.isNull ||
+      unix_micros(col(TimestampColumn)) + ttl * 1000000L > unix_micros(now)
+  }
+}

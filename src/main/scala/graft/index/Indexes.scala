@@ -74,6 +74,58 @@ object Indexes {
     base.join(ids, Seq("id"), "left_semi")
   }
 
+  /** Materialize the STRING-exact side of a mixed index: one (key, value, id)
+    * row per element, the untokenized full value (Mapping.STRING —
+    * docs/searchpredicates.txt:70-86: STRING supports Cmp/eq on the whole
+    * field where TEXT supports tokenized textContains). */
+  def materializeString(g: PropertyGraph, ix: IndexDef): DataFrame = {
+    require(!ix.composite, s"index '${ix.name}' is composite; use materialize")
+    val table = if (ix.element == ElementCategory.VERTEX) g.vertices else g.edges
+    val scoped = ix.onlyLabel.map(l => table.filter(col("label") === l)).getOrElse(table)
+    val stringKeys = ix.keys.filter { k =>
+      ix.mappings.getOrElse(k, graft.core.Mapping.DEFAULT) match {
+        case graft.core.Mapping.STRING | graft.core.Mapping.TEXTSTRING => true
+        case _ => false
+      }
+    }
+    require(stringKeys.nonEmpty, s"index '${ix.name}' has no STRING-mapped keys")
+    stringKeys.map { k =>
+      scoped.filter(col(k).isNotNull)
+        .select(lit(k).as("key"), col(k).cast("string").as("value"), col("id"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Exact-value lookup through a STRING-mapped mixed index (Cmp.EQUAL on the
+    * whole field via the index path). */
+  def lookupString(g: PropertyGraph, stringIx: DataFrame, key: String, value: String,
+      element: ElementCategory = ElementCategory.VERTEX): DataFrame = {
+    val ids = stringIx.filter(col("key") === key && col("value") === value).select(col("id"))
+    val base = if (element == ElementCategory.VERTEX) g.vertices else g.edges
+    base.join(ids, Seq("id"), "left_semi")
+  }
+
+  /** Materialize the numeric side of a mixed index: (key, numvalue, id) rows
+    * — the range-queryable backend the reference gets from an external
+    * index's numeric fields. Persisted sorted-by-value, parquet min/max
+    * stats prune range lookups to the matching row groups. */
+  def materializeNumeric(g: PropertyGraph, ix: IndexDef, keys: Seq[String]): DataFrame = {
+    val table = if (ix.element == ElementCategory.VERTEX) g.vertices else g.edges
+    val scoped = ix.onlyLabel.map(l => table.filter(col("label") === l)).getOrElse(table)
+    keys.map { k =>
+      scoped.filter(col(k).isNotNull)
+        .select(lit(k).as("key"), col(k).cast("double").as("numvalue"), col("id"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Range lookup [lo, hi) through a numeric mixed index. */
+  def lookupRange(g: PropertyGraph, numIx: DataFrame, key: String, lo: Double, hi: Double,
+      element: ElementCategory = ElementCategory.VERTEX): DataFrame = {
+    val ids = numIx.filter(col("key") === key && col("numvalue") >= lo && col("numvalue") < hi)
+      .select(col("id"))
+    val base = if (element == ElementCategory.VERTEX) g.vertices else g.edges
+    base.join(ids, Seq("id"), "left_semi")
+  }
+
   /** Write edges in the vertex-centric index layout: hash-bucketed by src,
     * sorted within files by (src, label, sortKey...). Parquet min/max stats on
     * the sort columns then prune slice queries the way the reference's
@@ -115,6 +167,41 @@ object Indexes {
       .filter(col("score") > 0)
     // distributed paging: sort + GlobalLimit/Offset (top offset+limit rows per
     // partition, merged) — not a single-partition global window
+    if (offset == 0) scored.orderBy(col("score").desc, col("id").asc).limit(limit)
+    else scored.orderBy(col("score").desc, col("id").asc).offset(offset).limit(limit)
+  }
+
+  /** One parsed `field:(terms…)` clause of a direct index query. */
+  final case class QueryClause(field: String, terms: String)
+
+  /** Parse the reference's Lucene-flavored direct-index query syntax:
+    * `v.name:(small green)`, `name:widget`, multi-field
+    * `name:(small) brand:(Brand#12)` — element prefixes (`v.`/`e.`/`p.`)
+    * are stripped, parenthesized groups or single terms per field, multiple
+    * clauses AND-ed (tc/graphdb/query/graph/IndexQueryBuilder.java:46-105,
+    * IndexSerializer.java:601-658 — the reference rewrites field names and
+    * hands the rest to Lucene; our scorer is tokenOverlapScore). */
+  def parseQuery(q: String): Seq[QueryClause] = {
+    val clause = """(?:[vep]\.)?([\w~][\w.]*)\s*:\s*(\(([^)]*)\)|\S+)""".r
+    clause.findAllMatchIn(q).map { m =>
+      val terms = Option(m.group(3)).getOrElse(m.group(2))
+      QueryClause(m.group(1), terms)
+    }.toSeq
+  }
+
+  /** Direct index query in Lucene syntax over one or more fields: each
+    * clause is scored with tokenOverlapScore against its field; clause
+    * scores are summed and every clause must hit (AND semantics). */
+  def indexQueryLucene(g: PropertyGraph, element: ElementCategory, query: String,
+      limit: Int = 50, offset: Int = 0): DataFrame = {
+    val clauses = parseQuery(query)
+    require(clauses.nonEmpty, s"no field:(terms) clauses in query: $query")
+    val table = if (element == ElementCategory.VERTEX) g.vertices else g.edges
+    val perClause = clauses.map(c => tokenOverlapScore(col(c.field), c.terms))
+    val allHit = perClause.map(_ > 0.0).reduce(_ && _)
+    val scored = table
+      .withColumn("score", perClause.reduce(_ + _))
+      .filter(allHit)
     if (offset == 0) scored.orderBy(col("score").desc, col("id").asc).limit(limit)
     else scored.orderBy(col("score").desc, col("id").asc).offset(offset).limit(limit)
   }

@@ -29,17 +29,26 @@ final case class GraphQuery(
 
   def eqKeys: Set[String] = eqPairs.keySet
 
+  /** `~`-prefixed keys resolve through ImplicitKeys (~id/~label/~timestamp/
+    * ~visibility/~ttl — ImplicitKey.java:28-52). */
+  private def keyCol(key: String): Column =
+    if (graft.expr.ImplicitKeys.isImplicit(key))
+      graft.expr.ImplicitKeys.resolve(graph.schema, target, key,
+        element == graft.core.ElementCategory.VERTEX)
+    else col(key)
+
   /** has(key, value) — Cmp.EQUAL; has(key, null) ≡ hasNot(key)
     * (GraphCentricQueryBuilder.java:109-116). */
   def has(key: String, value: Any): GraphQuery =
-    copy(conds = conds :+ P.eq(value).apply(col(key)),
-      eqPairs = if (value == null) eqPairs else eqPairs + (key -> value))
+    copy(conds = conds :+ P.eq(value).apply(keyCol(key)),
+      eqPairs = if (value == null || graft.expr.ImplicitKeys.isImplicit(key)) eqPairs
+                else eqPairs + (key -> value))
 
   /** has(key, predicate) — arbitrary TitanPredicate analogue. */
-  def has(key: String, p: P): GraphQuery = copy(conds = conds :+ p.apply(col(key)))
+  def has(key: String, p: P): GraphQuery = copy(conds = conds :+ p.apply(keyCol(key)))
 
   /** has(key) — existence (GraphCentricQueryBuilder.java:99-106). */
-  def has(key: String): GraphQuery = copy(conds = conds :+ col(key).isNotNull)
+  def has(key: String): GraphQuery = copy(conds = conds :+ keyCol(key).isNotNull)
   def hasNot(key: String): GraphQuery = copy(conds = conds :+ col(key).isNull)
   def hasNot(key: String, value: Any): GraphQuery = has(key, P.neq(value))
 

@@ -73,11 +73,18 @@ final case class VertexCentricQuery(
     conds.foldLeft(e1)((df, c) => df.filter(c))
   }
 
-  /** Orient edges relative to the anchor vertex, before any frontier restriction. */
+  /** Orient edges relative to the anchor vertex, before any frontier
+    * restriction. Unidirected labels (EdgeLabelMaker.unidirected,
+    * docs/advschema.txt:96-103) are visible ONLY from their out-vertex — the
+    * IN orientation drops them, mirroring the reference storing such edges
+    * on one adjacency row only. */
   private def oriented: DataFrame = {
     val e = edgeBase
+    val uni = graph.schema.edgeLabels.values.filter(_.unidirected).map(_.name).toSeq
+    def dropUni(df: DataFrame) =
+      if (uni.isEmpty) df else df.filter(!col("label").isin(uni: _*))
     def out = e.select(col("src").as("vid"), col("dst").as("other"), lit("OUT").as("dir"), col("*"))
-    def in = e.select(col("dst").as("vid"), col("src").as("other"), lit("IN").as("dir"), col("*"))
+    def in = dropUni(e).select(col("dst").as("vid"), col("src").as("other"), lit("IN").as("dir"), col("*"))
     val d = dir match {
       case Direction.OUT => out
       case Direction.IN => in

@@ -38,9 +38,15 @@ final case class Traversal(
   private def hasPath: Boolean = df.columns.contains("_path")
 
   // ---------- filter steps ----------
+  /** `~`-prefixed keys resolve through ImplicitKeys (~id/~label/~timestamp/
+    * ~visibility/~ttl — ImplicitKey.java:28-52). */
+  private def keyCol(key: String): Column =
+    if (graft.expr.ImplicitKeys.isImplicit(key))
+      graft.expr.ImplicitKeys.resolve(graph.schema, df, key, isVertex)
+    else col(key)
   def has(key: String, value: Any): Traversal = has(key, P.eq(value))
-  def has(key: String, p: P): Traversal = copy(df = df.filter(p.apply(col(key))))
-  def has(key: String): Traversal = copy(df = df.filter(col(key).isNotNull))
+  def has(key: String, p: P): Traversal = copy(df = df.filter(p.apply(keyCol(key))))
+  def has(key: String): Traversal = copy(df = df.filter(keyCol(key).isNotNull))
   def hasNot(key: String): Traversal = copy(df = df.filter(col(key).isNull))
   def hasLabel(ls: String*): Traversal =
     copy(df = if (ls.size == 1) df.filter(col("label") === ls.head)
@@ -81,10 +87,17 @@ final case class Traversal(
     val e = if (labels.isEmpty) e0
             else if (labels.size == 1) e0.filter(col("label") === labels.head)
             else e0.filter(col("label").isin(labels: _*))
-    def orient(srcCol: String, dstCol: String, tag: String) =
-      e.select(Seq(col(srcCol).as("vid"), col(dstCol).as("other"), lit(tag).as("dir"),
+    // unidirected labels are visible only from their out-vertex — the IN
+    // orientation drops them (docs/advschema.txt:96-103)
+    val uni = graph.schema.edgeLabels.values.filter(_.unidirected).map(_.name).toSeq
+    def dropUni(df0: DataFrame) =
+      if (uni.isEmpty) df0 else df0.filter(!col("label").isin(uni: _*))
+    def orient(srcCol: String, dstCol: String, tag: String) = {
+      val base = if (tag == "IN") dropUni(e) else e
+      base.select(Seq(col(srcCol).as("vid"), col(dstCol).as("other"), lit(tag).as("dir"),
         col("id"), col("src"), col("dst"), col("label")) ++
         graph.edgePropColumns.map(col): _*)
+    }
     val orientedE = d match {
       case Direction.OUT => orient("src", "dst", "OUT")
       case Direction.IN => orient("dst", "src", "IN")
@@ -258,6 +271,21 @@ final case class Traversal(
     val key = s"_as_${alias}_id"
     copy(df = df.join(other.df.select(col(key).as("__mid")).distinct(),
       col(key) === col("__mid"), "left_semi"))
+  }
+
+  /** match(patterns…) as a PLANNER (TinkerPop MatchStep semantics with the
+    * reference's selectivity ordering, GraphCentricQueryBuilder.java:185-323 /
+    * MatchStep's CountMatchAlgorithm): all patterns share binding `alias`;
+    * the result keeps bindings present in EVERY pattern. Patterns are joined
+    * in ascending estimated-size order (Catalyst logical stats — no count jobs),
+    * so the most selective pattern anchors the chain and each semi-join
+    * shrinks the frontier as early as possible. */
+  def matchAll(alias: String, patterns: Traversal*): Traversal = {
+    require(patterns.nonEmpty)
+    def estSize(t: Traversal): BigInt =
+      t.df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val ordered = patterns.sortBy(estSize)
+    ordered.tail.foldLeft(copy(df = ordered.head.df))((acc, p) => acc.matchOn(p, alias))
   }
 
   /** choose(predicate, trueStep, falseStep) — per-traverser branch

@@ -1,0 +1,128 @@
+package graft
+
+import graft.core._
+import graft.data.{MultiProperties, PropertyGraph}
+import graft.expr.{ImplicitKeys, P}
+import graft.query.{Direction, VertexCentricQuery}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Advanced schema semantics — reference docs/advschema.txt: unidirected
+  * edges (:96-103), multi/meta-properties (:73-92), per-type TTL (:20-70),
+  * implicit keys (ImplicitKey.java:28-52), plus the match() planner and the
+  * Lucene-syntax direct index query parser. */
+class AdvancedSchemaSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+
+  /** a --follows--> b (unidirected), b --likes--> c (normal). */
+  lazy val uniGraph: PropertyGraph = {
+    import spark.implicits._
+    val schema = GraphSchema()
+      .withEdgeLabel(EdgeLabelDef("follows", unidirected = true))
+      .withEdgeLabel(EdgeLabelDef("likes"))
+    val v = Seq((1L, "user"), (2L, "user"), (3L, "user")).toDF("id", "label")
+    val e = Seq((10L, 1L, 2L, "follows"), (11L, 2L, 3L, "likes"))
+      .toDF("id", "src", "dst", "label")
+    PropertyGraph(schema, v, e)
+  }
+
+  test("unidirected edge is visible from OUT but not IN/BOTH on the in-vertex") {
+    // from the out-vertex: visible
+    val fromA = uniGraph.traversal.V().hasId(1L).out("follows").toDF.collect()
+    assert(fromA.map(_.getAs[Long]("id")).toSeq === Seq(2L))
+    // from the in-vertex: invisible (the reference stores no adjacency row there)
+    val fromB = uniGraph.traversal.V().hasId(2L).in("follows").toDF.collect()
+    assert(fromB.isEmpty)
+    val bothB = uniGraph.traversal.V().hasId(2L).both().toDF.collect()
+    assert(bothB.map(_.getAs[Long]("id")).toSeq === Seq(3L)) // likes only
+    // VertexCentricQuery agrees: IN edges of vertex 2 exclude the unidirected label
+    val vc = VertexCentricQuery(uniGraph).onVertices(2L)
+      .direction(Direction.IN).edges().collect()
+    assert(!vc.exists(_.getAs[String]("label") == "follows"))
+  }
+
+  lazy val ttlGraph: PropertyGraph = {
+    import spark.implicits._
+    val schema = GraphSchema()
+      .withVertexLabel(VertexLabelDef("session", ttlSeconds = Some(3600L)))
+      .withVertexLabel(VertexLabelDef("user"))
+    val v = Seq(
+      (1L, "session", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "session", java.sql.Timestamp.valueOf("2024-01-01 02:00:00")),
+      (3L, "user", java.sql.Timestamp.valueOf("2023-01-01 00:00:00")))
+      .toDF("id", "label", ImplicitKeys.TimestampColumn)
+    PropertyGraph(schema, v, v.limit(0).select(col("id"), col("id").as("src"),
+      col("id").as("dst"), col("label")))
+  }
+
+  test("implicit keys: ~label/~timestamp predicates; ~ttl catalog constant") {
+    val g = ttlGraph
+    val sessions = g.traversal.V().has("~label", "session").toDF.count()
+    assert(sessions === 2)
+    val recent = g.traversal.V()
+      .has("~timestamp", P.gt(java.sql.Timestamp.valueOf("2024-01-01 01:00:00")))
+      .toDF.collect()
+    assert(recent.map(_.getLong(0)).toSeq === Seq(2L))
+    val ttls = g.vertices
+      .select(col("id"), ImplicitKeys.resolve(g.schema, g.vertices, "~ttl", isVertex = true).as("t"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(ttls(1L) === 3600L && ttls(3L) === -1L)
+  }
+
+  test("catalog TTL view: expired elements dropped, no-TTL labels kept") {
+    val g = ttlGraph
+    val now = to_timestamp(lit("2024-01-01 02:30:00"))
+    val live = g.vertices
+      .filter(ImplicitKeys.ttlCatalogFilter(g.schema, g.vertices, isVertex = true, now))
+      .collect().map(_.getLong(0)).toSet
+    // session 1 expired (ts 00:00 + 1h < 02:30), session 2 live (02:00 + 1h),
+    // user 3 has no TTL — kept despite being ancient
+    assert(live === Set(2L, 3L))
+  }
+
+  test("multi-properties: SET add, meta filter, explode round-trip") {
+    import spark.implicits._
+    val base = Seq((1L, "a", "x"), (1L, "b", "y"), (2L, "c", "x"))
+      .toDF("id", "v", "m")
+      .select(col("id"), MultiProperties.cell(col("v"), "tag" -> col("m")).as("c"))
+    val mp = MultiProperties.collect(base, col("id"), col("c"))
+    // meta filter keeps only tag=x cells
+    val xs = MultiProperties.explodeCells(
+      mp.withColumn("cells", MultiProperties.cellsWithMeta(col("cells"), "tag", "x")), "cells")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(xs === Set((1L, "a"), (2L, "c")))
+    // anyMetaEquals predicate
+    val withY = mp.filter(MultiProperties.anyMetaEquals(col("cells"), "tag", "y"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(withY === Seq(1L))
+    // SET-cardinality add: duplicate value is a no-op, new value appends
+    val one = mp.filter(col("id") === 1L)
+      .select(MultiProperties.addValueSet(col("cells"),
+        MultiProperties.cell(lit("a"), "tag" -> lit("z"))).as("cells"))
+    assert(one.select(size(col("cells"))).collect()(0).getInt(0) === 2)
+    val two = mp.filter(col("id") === 1L)
+      .select(MultiProperties.addValueSet(col("cells"),
+        MultiProperties.cell(lit("new"), "tag" -> lit("z"))).as("cells"))
+    assert(two.select(size(col("cells"))).collect()(0).getInt(0) === 3)
+  }
+
+  test("Lucene-syntax query parser: prefixes, groups, bare terms, multi-field") {
+    import graft.index.Indexes
+    assert(Indexes.parseQuery("v.name:(small green)") ===
+      Seq(Indexes.QueryClause("name", "small green")))
+    assert(Indexes.parseQuery("name:widget") ===
+      Seq(Indexes.QueryClause("name", "widget")))
+    assert(Indexes.parseQuery("v.name:(a b) e.brand:Brand#12") ===
+      Seq(Indexes.QueryClause("name", "a b"), Indexes.QueryClause("brand", "Brand#12")))
+  }
+
+  test("matchAll orders patterns by estimated size (most selective anchors)") {
+    val g = graft.data.TpchGraph.load(spark, "/root/testdata/sf0.001")
+    val selective = g.traversal.V().hasLabel("region").has("name", "ASIA").as("a")
+    val broad = g.traversal.V().hasLabel("region").as("a")
+    val m = g.traversal.V().matchAll("a", broad, selective)
+    val ids = m.toDF.select(col("_as_a_uid")).distinct().collect()
+    assert(ids.length === 1) // only ASIA satisfies both patterns
+  }
+}
