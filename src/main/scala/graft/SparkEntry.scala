@@ -570,6 +570,17 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))
     }),
+    // ---- 2.G/2.J as-of join: most recent strictly-prior event per key ----
+    "q_asof" -> ((s, dir) => {
+      val ev = readEvents(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.AsOfJoin.join(purchases, clicks, "user_id", "ts", "event_id",
+        carry = Seq("event_id"))
+        .select(col("event_id"), col("event_id_asof").as("click_id"))
+    }),
     // ---- 2.J/2.G sessionization (gap-based, lag+running-sum windows) ----
     "q_sessionize" -> ((s, dir) => {
       graft.stream.ChangeStream.sessionStats(readEvents(s, dir), gapSeconds = 3600)
@@ -965,6 +976,7 @@ object SparkEntry {
       "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies FROM documents GROUP BY text",
     "q_dedup_ngram" -> ngramJaccardOracle,
     "q_dedup_minhash" -> ngramJaccardOracle,
+    "q_dedup_documents" -> dedupDocsOracle(8),
     "q_embed_pairs" ->
       """SELECT a.vec_id AS ida, b.vec_id AS idb FROM embeddings a JOIN embeddings b
         |ON a.vec_id < b.vec_id
@@ -1026,6 +1038,12 @@ object SparkEntry {
     "q_events_props" ->
       """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |COUNT(*) AS cnt FROM events GROUP BY 1""".stripMargin,
+    "q_asof" ->
+      """SELECT l.event_id,
+        |  (SELECT r.event_id FROM events r
+        |   WHERE r.user_id = l.user_id AND r.event_type = 'click' AND r.ts < l.ts
+        |   ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS click_id
+        |FROM events l WHERE l.event_type = 'purchase'""".stripMargin,
     "q_sessionize" ->
       """WITH o AS (SELECT user_id, ts, event_id,
         |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -1117,6 +1135,36 @@ object SparkEntry {
        |c0 AS MATERIALIZED (SELECT id, id AS l FROM vg),
        |$iters
        |SELECT id, l AS component FROM c$rounds""".stripMargin
+  }
+
+  /** Transitive-dedup oracle: exact n-gram Jaccard pairs (same CTEs as
+    * ngramJaccardOracle) → `rounds` min-label-propagation iterations over the
+    * pair graph (clusters are tiny chains, diameter ≪ rounds ⇒ converged =
+    * GraphX connectedComponents) → survivors are docs that are not a
+    * non-minimum member of any component. */
+  private def dedupDocsOracle(rounds: Int): String = {
+    val iters = (1 to rounds).map { k =>
+      s"""k$k AS MATERIALIZED (SELECT p.id,
+         |  CASE WHEN n.nl IS NOT NULL AND n.nl < p.l THEN n.nl ELSE p.l END AS l
+         |  FROM k${k - 1} p LEFT JOIN (
+         |    SELECT e2.src AS id, MIN(q.l) AS nl FROM e2
+         |    JOIN k${k - 1} q ON q.id = e2.dst GROUP BY 1) n ON n.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT doc_id, string_split_regex(text,'\\s+') AS wl FROM documents),
+       |sh AS (SELECT doc_id, list_distinct([wl[i]||' '||wl[i+1]||' '||wl[i+2] for i in range(1, len(wl)-1)]) AS gs FROM w),
+       |tok AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+       |sizes AS (SELECT doc_id, len(gs) AS n FROM sh),
+       |pairs AS MATERIALIZED (SELECT ida, idb FROM (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+       |  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) p
+       |  JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+       |  WHERE CAST(shared AS DOUBLE)/CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.8),
+       |e2 AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM pairs
+       |  UNION ALL SELECT idb, ida FROM pairs),
+       |k0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS l FROM e2),
+       |$iters
+       |SELECT d.doc_id, d.n_chars FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM k$rounds c WHERE c.id = d.doc_id AND c.l <> d.doc_id)""".stripMargin
   }
 
   /** Shared oracle for exact n-gram Jaccard and (verified) MinHash-LSH — with

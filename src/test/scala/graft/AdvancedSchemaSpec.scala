@@ -117,6 +117,25 @@ class AdvancedSchemaSpec extends AnyFunSuite {
       Seq(Indexes.QueryClause("name", "a b"), Indexes.QueryClause("brand", "Brand#12")))
   }
 
+  test("asOfJoin: strictly-prior match, deterministic tie-break, null when none") {
+    import graft.operators.AsOfJoin
+    import spark.implicits._
+    val left = Seq((100L, 1L, 10L), (101L, 1L, 20L), (102L, 2L, 5L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (200L, 1L, 10L),  // same ts as left 100 — must NOT match it (strict <)
+      (201L, 1L, 15L), (202L, 1L, 15L), // tie at ts 15 — max event_id wins
+      (203L, 3L, 1L))   // other key
+      .toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.join(left, right, "user_id", "ts", "event_id",
+      carry = Seq("event_id"))
+      .select(col("event_id"), col("event_id_asof"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(100L) === -1L)  // nothing strictly before ts 10
+    assert(out(101L) === 202L) // ts 15 tie → larger event_id
+    assert(out(102L) === -1L)  // user 2 has no clicks
+  }
+
   test("matchAll orders patterns by estimated size (most selective anchors)") {
     val g = graft.data.TpchGraph.load(spark, "/root/testdata/sf0.001")
     val selective = g.traversal.V().hasLabel("region").has("name", "ASIA").as("a")
