@@ -1120,22 +1120,27 @@ object SparkEntry {
        |SELECT id, d AS distance FROM d$rounds WHERE d IS NOT NULL""".stripMargin
   }
 
+  /** Shared min-label-propagation CTE chain: `prefix0` must be defined by the
+    * caller as (id, l) seeds and `e2` as the (src, dst) edge set; emits
+    * `prefix1..prefixN`. Used by both the connected-components and the
+    * transitive-dedup oracles so their propagation semantics cannot drift. */
+  private def minLabelIters(prefix: String, rounds: Int): String =
+    (1 to rounds).map { k =>
+      s"""$prefix$k AS MATERIALIZED (SELECT p.id,
+         |  CASE WHEN n.nl IS NOT NULL AND n.nl < p.l THEN n.nl ELSE p.l END AS l
+         |  FROM $prefix${k - 1} p LEFT JOIN (
+         |    SELECT e2.src AS id, MIN(q.l) AS nl FROM e2
+         |    JOIN $prefix${k - 1} q ON q.id = e2.dst GROUP BY 1) n ON n.id = p.id)""".stripMargin
+    }.mkString(",\n")
+
   /** Min-label propagation over the undirected edge set (mirrors
     * Analytics.connectedComponentsExact). */
-  private def ccOracle(rounds: Int): String = {
-    val iters = (1 to rounds).map { k =>
-      s"""c$k AS MATERIALIZED (SELECT p.id,
-         |  CASE WHEN n.nl IS NOT NULL AND n.nl < p.l THEN n.nl ELSE p.l END AS l
-         |  FROM c${k - 1} p LEFT JOIN (
-         |    SELECT e2.src AS id, MIN(q.l) AS nl FROM e2
-         |    JOIN c${k - 1} q ON q.id = e2.dst GROUP BY 1) n ON n.id = p.id)""".stripMargin
-    }.mkString(",\n")
+  private def ccOracle(rounds: Int): String =
     s"""WITH $graphCtes,
        |e2 AS MATERIALIZED (SELECT src, dst FROM eg UNION ALL SELECT dst, src FROM eg),
        |c0 AS MATERIALIZED (SELECT id, id AS l FROM vg),
-       |$iters
+       |${minLabelIters("c", rounds)}
        |SELECT id, l AS component FROM c$rounds""".stripMargin
-  }
 
   /** Transitive-dedup oracle: exact n-gram Jaccard pairs (same CTEs as
     * ngramJaccardOracle) → `rounds` min-label-propagation iterations over the
@@ -1143,13 +1148,7 @@ object SparkEntry {
     * GraphX connectedComponents) → survivors are docs that are not a
     * non-minimum member of any component. */
   private def dedupDocsOracle(rounds: Int): String = {
-    val iters = (1 to rounds).map { k =>
-      s"""k$k AS MATERIALIZED (SELECT p.id,
-         |  CASE WHEN n.nl IS NOT NULL AND n.nl < p.l THEN n.nl ELSE p.l END AS l
-         |  FROM k${k - 1} p LEFT JOIN (
-         |    SELECT e2.src AS id, MIN(q.l) AS nl FROM e2
-         |    JOIN k${k - 1} q ON q.id = e2.dst GROUP BY 1) n ON n.id = p.id)""".stripMargin
-    }.mkString(",\n")
+    val iters = minLabelIters("k", rounds)
     s"""WITH w AS (SELECT doc_id, string_split_regex(text,'\\s+') AS wl FROM documents),
        |sh AS (SELECT doc_id, list_distinct([wl[i]||' '||wl[i+1]||' '||wl[i+2] for i in range(1, len(wl)-1)]) AS gs FROM w),
        |tok AS (SELECT doc_id, unnest(gs) AS g FROM sh),

@@ -194,6 +194,10 @@ final case class GraphSchema(
     copy(propertyKeys = propertyKeys - from + (to -> k.copy(name = to)))
   }
 
+  /** Edge labels visible only from their out-vertex (EdgeLabelMaker.unidirected). */
+  def unidirectedLabels: Seq[String] =
+    edgeLabels.values.filter(_.unidirected).map(_.name).toSeq
+
   /** Composite indexes usable for an equality-constrained key set
     * (the index-selection candidate set; cf. GraphCentricQueryBuilder.java:234-308). */
   def compositeIndexCandidates(element: ElementCategory, eqKeys: Set[String]): Seq[IndexDef] =

@@ -164,7 +164,8 @@ object TpchGraph {
     val liW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("l_orderkey"), col("l_linenumber"))
       .orderBy(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
-        col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+        col("l_extendedprice"), col("l_discount"), col("l_shipdate"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"))
     val liT = table(spark, dir, "lineitem")
       .withColumn("__dup", row_number().over(liW) - 1)
     val boundsOk = col("l_linenumber") < 8 && col("__dup") < 32 &&
@@ -196,7 +197,7 @@ object TpchGraph {
 
   /** Bump when the derivation in `load` changes — invalidates materialized
     * layouts written by earlier versions. */
-  private val LayoutVersion = 1
+  private val LayoutVersion = 2
 
   /** Ingest-time materialization: derive the graph once, write it to a
     * label-partitioned parquet layout under `cacheRoot`, and serve all queries
@@ -209,11 +210,21 @@ object TpchGraph {
     * (testdata dirs are immutable by contract). */
   def loadMaterialized(spark: SparkSession, dir: String,
       cacheRoot: String = defaultCacheRoot): PropertyGraph = {
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    // sanitized name + hash of the raw dir: two distinct dirs that sanitize
+    // to the same string must not collide onto one layout
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      f"-${dir.hashCode & 0xffffffffL}%08x"
     val base = s"$cacheRoot/v$LayoutVersion/$key"
     val vPath = s"$base/vertices"
     val ePath = s"$base/edges"
-    def ready(p: String) = new java.io.File(p, "_SUCCESS").exists
+    // Hadoop FS probe so non-local cacheRoots (hdfs://, s3a://) work too.
+    // NOTE: idempotence is per-path, not transactional — concurrent first
+    // loads of the same dir from separate processes can race on the
+    // overwrite write; arrange ingest so one writer materializes first.
+    def ready(p: String): Boolean = {
+      val path = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+    }
     if (!ready(vPath) || !ready(ePath)) {
       val g = load(spark, dir)
       // repartition by the partition column so each label writes few files

@@ -54,8 +54,14 @@ object ImplicitKeys {
     * labels without TTL are kept. */
   def ttlCatalogFilter(schema: GraphSchema, df: DataFrame, isVertex: Boolean,
       now: Column): Column = {
-    val ttl = resolve(schema, df, Ttl, isVertex)
-    ttl.isNull ||
-      unix_micros(col(TimestampColumn)) + ttl * 1000000L > unix_micros(now)
+    val anyTtl =
+      if (isVertex) schema.vertexLabels.values.exists(_.ttlSeconds.isDefined)
+      else schema.edgeLabels.values.exists(_.ttlSeconds.isDefined)
+    if (!anyTtl) lit(true) // no label declares TTL — keep all, no _ts needed
+    else {
+      val ttl = resolve(schema, df, Ttl, isVertex)
+      ttl.isNull ||
+        unix_micros(col(TimestampColumn)) + ttl * 1000000L > unix_micros(now)
+    }
   }
 }

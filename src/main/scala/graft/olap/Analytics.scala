@@ -133,6 +133,7 @@ object Analytics {
         .select(col("id"), least(col("d"), col("nd")).as("d"))
         .localCheckpoint(true)
     }
+    e.unpersist(false) // final dist is checkpointed; the edge cache is done
     dist.filter(col("d").isNotNull).select(col("id"), col("d").as("distance"))
   }
 
@@ -157,6 +158,7 @@ object Analytics {
         .select(col("id"), least(col("l"), col("nl")).as("l"))
         .localCheckpoint(true)
     }
+    und.unpersist(false) // final labels frame is checkpointed
     labels.select(col("id"), col("l").as("component"))
   }
 

@@ -49,7 +49,7 @@ final case class GraphQuery(
 
   /** has(key) — existence (GraphCentricQueryBuilder.java:99-106). */
   def has(key: String): GraphQuery = copy(conds = conds :+ keyCol(key).isNotNull)
-  def hasNot(key: String): GraphQuery = copy(conds = conds :+ col(key).isNull)
+  def hasNot(key: String): GraphQuery = copy(conds = conds :+ keyCol(key).isNull)
   def hasNot(key: String, value: Any): GraphQuery = has(key, P.neq(value))
 
   def hasLabel(labels: String*): GraphQuery =
@@ -84,9 +84,14 @@ final case class GraphQuery(
     * conjuncts AND whose materialized table is registered on the graph
     * (an unbacked index would make the query strictly worse — two scans of
     * the same base data instead of one pushed-down scan). Greedy best =
-    * most keys covered, the reference's primary selectivity proxy. */
+    * most keys covered, the reference's primary selectivity proxy.
+    * Label-scoped indexes (onlyLabel) are excluded: their tables only hold
+    * one label's elements, so choosing one for an unconstrained query would
+    * drop matches of other labels — use Indexes.lookup explicitly for
+    * scoped point reads. */
   private def selectedIndex: Option[graft.core.IndexDef] =
     graph.schema.compositeIndexCandidates(element, eqKeys)
+      .filter(_.onlyLabel.isEmpty)
       .find(ix => graph.indexTables.contains(ix.name))
 
   /** Compile to a DataFrame plan. If a backed composite index covers the

@@ -80,7 +80,7 @@ final case class VertexCentricQuery(
     * on one adjacency row only. */
   private def oriented: DataFrame = {
     val e = edgeBase
-    val uni = graph.schema.edgeLabels.values.filter(_.unidirected).map(_.name).toSeq
+    val uni = graph.schema.unidirectedLabels
     def dropUni(df: DataFrame) =
       if (uni.isEmpty) df else df.filter(!col("label").isin(uni: _*))
     def out = e.select(col("src").as("vid"), col("dst").as("other"), lit("OUT").as("dir"), col("*"))

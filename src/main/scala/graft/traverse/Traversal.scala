@@ -47,7 +47,7 @@ final case class Traversal(
   def has(key: String, value: Any): Traversal = has(key, P.eq(value))
   def has(key: String, p: P): Traversal = copy(df = df.filter(p.apply(keyCol(key))))
   def has(key: String): Traversal = copy(df = df.filter(keyCol(key).isNotNull))
-  def hasNot(key: String): Traversal = copy(df = df.filter(col(key).isNull))
+  def hasNot(key: String): Traversal = copy(df = df.filter(keyCol(key).isNull))
   def hasLabel(ls: String*): Traversal =
     copy(df = if (ls.size == 1) df.filter(col("label") === ls.head)
               else df.filter(col("label").isin(ls: _*)))
@@ -89,7 +89,7 @@ final case class Traversal(
             else e0.filter(col("label").isin(labels: _*))
     // unidirected labels are visible only from their out-vertex — the IN
     // orientation drops them (docs/advschema.txt:96-103)
-    val uni = graph.schema.edgeLabels.values.filter(_.unidirected).map(_.name).toSeq
+    val uni = graph.schema.unidirectedLabels
     def dropUni(df0: DataFrame) =
       if (uni.isEmpty) df0 else df0.filter(!col("label").isin(uni: _*))
     def orient(srcCol: String, dstCol: String, tag: String) = {
@@ -374,18 +374,20 @@ final case class Traversal(
     cur
   }
 
-  /** repeat(step).until(cond) — traversers satisfying `cond` exit the loop
-    * and are emitted; the rest keep stepping. After `maxIter` rounds the
-    * remaining frontier is emitted as-is (the times()-bounded until of
-    * Gremlin's RepeatStep). Pure plan composition — no driver-side counting;
-    * the loop unrolls to maxIter filtered step-unions. */
+  /** repeat(step).until(cond) — DO-WHILE like Gremlin's RepeatStep with a
+    * trailing until(): every traverser takes at least one step, then those
+    * satisfying `cond` exit and are emitted; the rest keep stepping. After
+    * `maxIter` rounds the remaining frontier is emitted as-is (the
+    * times()-bounded until). Pure plan composition — no driver-side
+    * counting; the loop unrolls to maxIter filtered step-unions. */
   def repeatUntil(cond: Column, maxIter: Int)(step: Traversal => Traversal): Traversal = {
     var frontier = this
     var done: Option[DataFrame] = None
     (1 to maxIter).foreach { _ =>
+      frontier = step(frontier)
       val finished = frontier.df.filter(cond)
       done = Some(done.fold(finished)(_.unionByName(finished, allowMissingColumns = true)))
-      frontier = step(frontier.copy(df = frontier.df.filter(!F.coalesce(cond, lit(false)))))
+      frontier = frontier.copy(df = frontier.df.filter(!F.coalesce(cond, lit(false))))
     }
     copy(df = done.get.unionByName(frontier.df, allowMissingColumns = true))
   }
