@@ -989,6 +989,25 @@ object SparkEntry {
         |  d.vec_id) AS "rank"
         |FROM embeddings q JOIN embeddings d ON d.vec_id <> q.vec_id
         |WHERE q.vec_id < 10) WHERE "rank" <= 5""".stripMargin,
+    "q_ivf_topk" ->
+      """WITH cents AS MATERIALIZED (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |asg AS MATERIALIZED (
+        |  SELECT vec_id AS nid, embedding AS dvec, cid FROM (
+        |    SELECT e.vec_id, e.embedding, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) DESC, c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        |probes AS MATERIALIZED (
+        |  SELECT qid, qvec, cid FROM (
+        |    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cid, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) DESC, c.cid) AS rn
+        |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10) WHERE rn <= 4)
+        |SELECT qid, nid, "rank" FROM (
+        |  SELECT p.qid, a.nid, ROW_NUMBER() OVER (PARTITION BY p.qid
+        |    ORDER BY list_cosine_similarity(CAST(p.qvec AS DOUBLE[]), CAST(a.dvec AS DOUBLE[])) DESC, a.nid) AS "rank"
+        |  FROM probes p JOIN asg a ON a.cid = p.cid WHERE a.nid <> p.qid)
+        |WHERE "rank" <= 5""".stripMargin,
     "q_token_count" ->
       "SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens FROM documents",
     "q_quality" ->

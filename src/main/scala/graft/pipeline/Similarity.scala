@@ -49,11 +49,16 @@ object Similarity {
 
   /** Deterministic coarse centroids: the first `nlist` vectors by id (a fixed,
     * seedless choice — replace with k-means output in production; the engine
-    * only cares that centroids are a small broadcastable table). */
+    * only cares that centroids are a small broadcastable table). cid is the
+    * id-order rank (0-based) — fully deterministic, so downstream cid
+    * tie-breaks are reproducible across engines (the nlist-row window is a
+    * single tiny partition, not a scale concern). */
   def centroids(data: DataFrame, nlist: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     data.orderBy(col(idCol)).limit(nlist)
-      .select(monotonically_increasing_id().as("cid"), col(vecCol).as("cvec"))
+      .select((row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(idCol))) - 1).as("cid"),
+        col(vecCol).as("cvec"))
 
   /** Assign every vector to its nearest centroid (one broadcast join, rank-1
     * window over nlist candidates). */
