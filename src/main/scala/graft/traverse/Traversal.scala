@@ -334,6 +334,27 @@ final case class Traversal(
     * traversal itself continues unchanged. */
   def aggregateSet(): org.apache.spark.sql.DataFrame = df.select(col("id")).distinct()
 
+  /** fold() — all traverser ids collected into one sorted list (Gremlin fold;
+    * sorted for determinism). Driver-size bounded by definition — a global
+    * fold IS a collect, use aggregates for scale paths. */
+  def fold(): DataFrame =
+    df.agg(F.sort_array(F.collect_list(col("id"))).as("ids"))
+
+  /** unfold(arrayCol) — one traverser per array element (Gremlin unfold). */
+  def unfold(arrayCol: String, outName: String = "value"): DataFrame =
+    df.select(F.explode(col(arrayCol)).as(outName))
+
+  /** barrier() — materialization boundary: everything before is computed
+    * before anything after consumes it (Gremlin's bulk-synchronous barrier;
+    * here a lazy lineage checkpoint, materialized at first downstream
+    * action). */
+  def barrier(): Traversal = copy(df = df.localCheckpoint(false))
+
+  /** sideEffect(f) — observe the current frontier without altering it
+    * (Gremlin sideEffect; f runs at plan-build time on the lazy frame —
+    * counters/logging should use Spark accumulators inside f). */
+  def sideEffect(f: DataFrame => Unit): Traversal = { f(df); this }
+
   // ---------- aggregation terminals ----------
   def count(): DataFrame = df.agg(F.count(lit(1)).as("count"))
   def countDistinct(): DataFrame = df.agg(F.count_distinct(col("id")).as("count"))

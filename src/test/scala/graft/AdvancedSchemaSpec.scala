@@ -136,6 +136,24 @@ class AdvancedSchemaSpec extends AnyFunSuite {
     assert(out(102L) === -1L)  // user 2 has no clicks
   }
 
+  test("fold/unfold/barrier/sideEffect steps") {
+    val g = graft.data.TpchGraph.load(spark, "/root/testdata/sf0.001")
+    val folded = g.traversal.V().hasLabel("region").fold().collect()(0)
+      .getAs[scala.collection.Seq[Long]]("ids")
+    assert(folded.length === 5 && folded === folded.sorted)
+    import spark.implicits._
+    val arr = Seq((1L, Seq("a", "b"))).toDF("id", "xs")
+    val unfolded = graft.traverse.Traversal(g, arr, isVertex = false)
+      .unfold("xs").collect().map(_.getString(0)).toSeq
+    assert(unfolded === Seq("a", "b"))
+    var observed = -1L
+    val t = g.traversal.V().hasLabel("nation")
+      .sideEffect(d => observed = d.count())
+      .barrier()
+    assert(observed === 25L)
+    assert(t.toDF.count() === 25L)
+  }
+
   test("matchAll orders patterns by estimated size (most selective anchors)") {
     val g = graft.data.TpchGraph.load(spark, "/root/testdata/sf0.001")
     val selective = g.traversal.V().hasLabel("region").has("name", "ASIA").as("a")
