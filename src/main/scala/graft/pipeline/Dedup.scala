@@ -138,10 +138,16 @@ object Dedup {
     // band on ids only: exploding bands multiplies rows by `bands`, so the
     // payload through this shuffle must be (id, band, bucket) — never the
     // document text (texts rejoin only for the small candidate set)
+    // persisted: the plan references this frame from THREE branches (heavy-
+    // bucket stats + both sides of the bucket self-join); without the cache
+    // each branch re-runs the 128-aggregate signature computation — the
+    // dominant cost. (id, band, bucket) is 24 bytes/row — |docs|·bands total,
+    // trivially cacheable at any scale that fits the shuffle anyway.
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(rows) + 1, lit(rows)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val heavyBuckets = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
       .select(col("band"), col("bucket"))
