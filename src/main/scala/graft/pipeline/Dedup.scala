@@ -230,10 +230,13 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val pieces = 4
     val fp = simHashes(docs, idCol, textCol)
+    // persisted for the same reason as minHashLshPairs: both sides of the
+    // band self-join would re-run the 64-aggregate fingerprint computation
     val banded = fp.select(col("id"), col("fp"),
       posexplode(array((0 until pieces).map(b =>
         pmod(shiftrightunsigned(col("fp"), b * 16), lit(65536L))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band"), col("bucket"), col("id").as("ida"), col("fp").as("fpa"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("idb"), col("fp").as("fpb"))
     a.join(b, Seq("band", "bucket")).filter(col("ida") < col("idb"))

@@ -123,10 +123,13 @@ object Similarity {
     val bands = bits / bandBits
     val sig = data.select(col(idCol).as("id"), col(vecCol).as("v"),
       lshSignature(col(vecCol), dim, bits, seed).as("s"))
+    // persisted: heavy-bucket stats + both self-join sides would otherwise
+    // re-run the `bits` interpreted projection aggregates per branch
     val banded = sig.select(col("id"), col("v"),
       posexplode(array((0 until bands).map(b =>
         pmod(shiftrightunsigned(col("s"), b * bandBits), lit(1L << bandBits))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val heavyBuckets = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
       .select(col("band"), col("bucket"))
