@@ -525,7 +525,7 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), graft.pipeline.TextAnalysis.qualityScore(col("text")).as("score"))
     }),
-    // ---- pipeline: BPE-ish subword count (RE2 can't express the lookarounds — rows-only) ----
+    // ---- pipeline: BPE-ish subword count (same-class runs, RE2-mirrorable) ----
     "q_subword_count" -> ((s, dir) => {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"),
@@ -1045,6 +1045,9 @@ object SparkEntry {
         |ELSE 'und' END AS lang_pred FROM c""".stripMargin,
     "q_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
+    "q_subword_count" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text,
+        |'[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]+')) AS BIGINT) AS n_subwords FROM documents""".stripMargin,
     "q_choose" ->
       """SELECT o_orderkey AS uid, 'order' AS label FROM orders
         |JOIN customer ON o_custkey = c_custkey WHERE c_acctbal > 5000.0

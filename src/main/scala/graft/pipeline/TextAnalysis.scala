@@ -14,12 +14,14 @@ object TextAnalysis {
   def tokens(text: Column): Column = split(text, "\\s+")
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword count: splits on whitespace AND letter/digit/other
-    * boundaries (a cheap proxy for byte-pair tokenizers: "x12ab" → x, 12, ab). */
+  /** BPE-ish subword count: maximal runs of letters / digits / other
+    * non-space (a cheap proxy for byte-pair tokenizers: "x12ab" → x, 12, ab).
+    * Formulated as run extraction rather than lookaround splitting — same
+    * count, but the pattern is RE2-compatible, so a SQL oracle can mirror it
+    * exactly. */
   def subwordCount(text: Column): Column =
-    size(filter(split(text,
-      "\\s+|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})|(?<=[\\p{L}\\p{N}])(?=[^\\p{L}\\p{N}\\s])|(?<=[^\\p{L}\\p{N}\\s])(?=[\\p{L}\\p{N}])"),
-      t => length(t) > 0))
+    size(regexp_extract_all(text,
+      lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]+"), lit(0)))
 
   /** Quality features: token count, distinct-token ratio (repetition signal),
     * mean token length, stopword ratio, punctuation ratio. */
