@@ -570,6 +570,18 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))
     }),
+    // ---- 2.G/2.H interval join: point-in-range via bucketed equi-join ----
+    "q_interval_join" -> ((s, dir) => {
+      val ev = readEvents(s, dir).select(col("event_id"), col("ts"))
+      val base = unix_micros(to_timestamp(lit("2024-01-01 00:00:00")))
+      val hour = 3600L * 1000000L
+      val ranges = s.range(50).select(col("id").as("window_id"),
+        timestamp_micros((base + col("id") * lit(14L * hour)).cast("long")).as("wstart"),
+        timestamp_micros((base + col("id") * lit(14L * hour) + lit(2L * hour)).cast("long")).as("wend"))
+      graft.operators.IntervalJoin.join(ev, ranges, "ts", "wstart", "wend",
+        widthMicros = 2L * hour)
+        .select(col("event_id"), col("window_id"))
+    }),
     // ---- 2.G/2.J as-of join: most recent strictly-prior event per key ----
     "q_asof" -> ((s, dir) => {
       val ev = readEvents(s, dir)
@@ -1060,6 +1072,11 @@ object SparkEntry {
     "q_events_props" ->
       """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |COUNT(*) AS cnt FROM events GROUP BY 1""".stripMargin,
+    "q_interval_join" ->
+      """SELECT e.event_id, r.i AS window_id FROM events e JOIN
+        |(SELECT i, TIMESTAMP '2024-01-01 00:00:00' + to_hours(CAST(i * 14 AS BIGINT)) AS ws
+        | FROM range(50) t(i)) r
+        |ON e.ts >= r.ws AND e.ts < r.ws + INTERVAL 2 HOUR""".stripMargin,
     "q_asof" ->
       """SELECT l.event_id,
         |  (SELECT r.event_id FROM events r

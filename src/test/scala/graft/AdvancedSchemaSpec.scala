@@ -154,6 +154,21 @@ class AdvancedSchemaSpec extends AnyFunSuite {
     assert(t.toDF.count() === 25L)
   }
 
+  test("intervalJoin: equi-join plan (no nested loop), exact range semantics") {
+    import graft.operators.IntervalJoin
+    import spark.implicits._
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 19L), (4L, 20L)).toDF("pid", "ts")
+    val ranges = Seq((100L, 0L, 10L), (200L, 10L, 20L), (300L, 18L, 25L))
+      .toDF("rid", "s", "e")
+    val out = IntervalJoin.join(points, ranges, "ts", "s", "e", widthMicros = 10L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "interval join must compile to a bucketed equi-join")
+    val got = out.select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ts=5 ∈ [0,10); ts=10 ∈ [10,20); ts=19 ∈ [10,20) and [18,25); ts=20 ∈ [18,25)
+    assert(got === Set((1L, 100L), (2L, 200L), (3L, 200L), (3L, 300L), (4L, 300L)))
+  }
+
   test("matchAll orders patterns by estimated size (most selective anchors)") {
     val g = graft.data.TpchGraph.load(spark, "/root/testdata/sf0.001")
     val selective = g.traversal.V().hasLabel("region").has("name", "ASIA").as("a")
