@@ -541,6 +541,13 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), graft.pipeline.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
     }),
+    // ---- pipeline: PII redaction (hash of the scrubbed text — proves the
+    //      regex pipeline applied identically on both engines) ----
+    "q_redact" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          md5(graft.pipeline.TextAnalysis.redactPii(col("text"))).as("fp_redacted"))
+    }),
     // ---- 2.E choose (per-traverser branch) ----
     "q_choose" -> ((s, dir) => {
       graph(s, dir).traversal.V().hasLabel("customer")
@@ -1057,6 +1064,11 @@ object SparkEntry {
         |ELSE 'und' END AS lang_pred FROM c""".stripMargin,
     "q_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
+    "q_redact" ->
+      """SELECT doc_id, md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |  'https?://[^\s]+', '<URL>', 'g'),
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g')) AS fp_redacted FROM documents""".stripMargin,
     "q_subword_count" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text,
         |'[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]+')) AS BIGINT) AS n_subwords FROM documents""".stripMargin,

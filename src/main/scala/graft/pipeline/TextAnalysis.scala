@@ -90,4 +90,19 @@ object TextAnalysis {
   def rollingFingerprint(text: Column, p: Long = 2147483647L): Column =
     aggregate(tokens(text), lit(7L),
       (acc, w) => pmod(acc * 31 + pmod(xxhash64(w), lit(p)), lit(p)))
+
+  /** PII scrubbing for training corpora: URLs, emails, then phone-like digit
+    * runs replaced with typed placeholder tokens. Deliberately RE2-compatible
+    * patterns (no lookarounds/backrefs) so any engine — and the SQL oracle —
+    * applies the identical pipeline. Order matters: URLs first (may contain
+    * '@'), then emails, then phones. */
+  val UrlPattern = "https?://[^\\s]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
 }

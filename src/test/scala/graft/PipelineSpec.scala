@@ -38,6 +38,15 @@ class PipelineSpec extends AnyFunSuite {
     emb20k.unpersist()
   }
 
+  test("PII redaction replaces urls/emails/phones with typed tokens") {
+    import spark.implicits._
+    val t = Seq("contact a@b.co or https://x.io/page?q=1 call +1 (555) 123-4567 now")
+      .toDF("text")
+    val out = t.select(TextAnalysis.redactPii(col("text")).as("r")).collect()(0).getString(0)
+    assert(out.contains("<EMAIL>") && out.contains("<URL>") && out.contains("<PHONE>"), out)
+    assert(!out.contains("a@b.co") && !out.contains("x.io"), out)
+  }
+
   test("exact dedup: survivors = distinct texts") {
     val distinctTexts = docs.select("text").distinct().count()
     assert(Dedup.exact(docs).count() === distinctTexts)
