@@ -489,10 +489,14 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"), 0.4, dim = 64, bandBits = 4)
         .select(col("ida"), col("idb"))
     }),
-    // ---- pipeline: SimHash near-dup (hash-dependent — rows-only) ----
+    // ---- pipeline: SimHash near-dup — engine-portable md5 token-hash
+    //      family, maxHamming ≤ pieces-1 so banding is provably complete and
+    //      the output equals the brute-force Hamming join (exact oracle) ----
     "q_dedup_simhash" -> ((s, dir) => {
       graft.pipeline.Dedup.simHashPairs(
-        s.read.parquet(s"$dir/documents.parquet"), maxHamming = 10)
+        s.read.parquet(s"$dir/documents.parquet"), maxHamming = 2,
+        bits = 48, tokenHash = graft.pipeline.Dedup.md5Hash48)
+        .select(col("ida"), col("idb"), col("hamming").cast(LongType).as("hamming"))
     }),
     // ---- pipeline: embedding-cosine near-dup pairs ----
     "q_embed_pairs" -> ((s, dir) => {
@@ -995,6 +999,8 @@ object SparkEntry {
       "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies FROM documents GROUP BY text",
     "q_dedup_ngram" -> ngramJaccardOracle,
     "q_dedup_minhash" -> ngramJaccardOracle,
+    "q_dedup_simhash" -> simHashOracle,
+    "q_lsh_cosine_pairs" -> lshCosineOracle,
     "q_dedup_documents" -> dedupDocsOracle(8),
     "q_embed_pairs" ->
       """SELECT a.vec_id AS ida, b.vec_id AS idb FROM embeddings a JOIN embeddings b
@@ -1216,6 +1222,49 @@ object SparkEntry {
        |SELECT d.doc_id, d.n_chars FROM documents d
        |WHERE NOT EXISTS (SELECT 1 FROM k$rounds c WHERE c.id = d.doc_id AND c.l <> d.doc_id)""".stripMargin
   }
+
+  /** Exact mirror of Similarity.lshCosinePairs(threshold=0.4, dim=64,
+    * bits=64, bandBits=4, seed=42): the seed-derived ±1 hyperplane directions
+    * are inlined as literal arrays (the same driver-precomputed matrix the
+    * Spark plan uses), per-band 4-bit buckets are assembled from projection
+    * signs, candidates join on (band, bucket), and the true cosine verifies —
+    * both engines fold the dot product left-to-right, so every projection,
+    * bucket, and cosine is bit-identical. */
+  private def lshCosineOracle: String = {
+    val dim = 64; val bits = 64; val bandBits = 4; val threshold = 0.4
+    val dirs = graft.pipeline.Similarity.lshDirections(dim, bits)
+    val bandSelects = (0 until bits / bandBits).map { b =>
+      val bucket = (0 until bandBits).map { j =>
+        val arr = dirs(b * bandBits + j).map(d => if (d > 0) "1.0" else "-1.0").mkString(",")
+        s"(CASE WHEN list_dot_product(v, [$arr]) > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $bucket AS bucket FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT ida, idb FROM cand
+       |JOIN e ea ON ea.vec_id = ida JOIN e eb ON eb.vec_id = idb
+       |WHERE list_cosine_similarity(ea.v, eb.v) >= $threshold""".stripMargin
+  }
+
+  /** SimHash with the engine-portable md5-low-48-bit token hash
+    * (Dedup.md5Hash48): weighted bit votes per token, fingerprint = sign
+    * bits, brute-force Hamming ≤ 2 join. With 3 16-bit bands, banding is
+    * complete at distance ≤ 2, so the Spark banded plan must produce exactly
+    * this brute-force result. */
+  private val simHashOracle: String =
+    """WITH tk AS (SELECT doc_id, w, COUNT(*) AS wgt FROM (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents) GROUP BY doc_id, w),
+      |h AS (SELECT doc_id, wgt, ('0x' || substr(md5(w), 21, 12))::BIGINT AS th FROM tk),
+      |v AS (SELECT doc_id, b, SUM(CASE WHEN ((th >> b) & 1) = 1 THEN wgt ELSE -wgt END) AS s
+      |  FROM h CROSS JOIN range(48) t(b) GROUP BY doc_id, b),
+      |fp AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS f
+      |  FROM v GROUP BY doc_id)
+      |SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.f, b.f)) <= 2""".stripMargin
 
   /** Shared oracle for exact n-gram Jaccard and (verified) MinHash-LSH — with
     * 32×4 banding the miss probability at J≥0.8 is < 1e-7, so LSH output

@@ -218,20 +218,30 @@ object TpchGraph {
     val vPath = s"$base/vertices"
     val ePath = s"$base/edges"
     // Hadoop FS probe so non-local cacheRoots (hdfs://, s3a://) work too.
-    // NOTE: idempotence is per-path, not transactional — concurrent first
-    // loads of the same dir from separate processes can race on the
-    // overwrite write; arrange ingest so one writer materializes first.
     def ready(p: String): Boolean = {
       val path = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
       path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
     }
+    // Concurrent first-loaders of the same dir write to a private temp
+    // directory and publish with one atomic rename — a reader (or a racing
+    // writer's frozen file listing) can never observe a partially written
+    // layout. The loser of the publish race discards its copy; both copies
+    // are byte-equivalent (derived deterministically from an immutable dir).
+    def writeAtomic(write: String => Unit, finalPath: String): Unit = {
+      val dest = new org.apache.hadoop.fs.Path(finalPath)
+      val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(
+        finalPath + ".__tmp-" + java.util.UUID.randomUUID().toString)
+      write(tmp.toString)
+      if (fs.exists(dest) || !fs.rename(tmp, dest)) fs.delete(tmp, true)
+    }
     if (!ready(vPath) || !ready(ePath)) {
       val g = load(spark, dir)
       // repartition by the partition column so each label writes few files
-      g.vertices.repartition(col("label"))
-        .write.mode("overwrite").partitionBy("label").parquet(vPath)
-      g.edges.repartition(col("label"))
-        .write.mode("overwrite").partitionBy("label").parquet(ePath)
+      if (!ready(vPath)) writeAtomic(p => g.vertices.repartition(col("label"))
+        .write.partitionBy("label").parquet(p), vPath)
+      if (!ready(ePath)) writeAtomic(p => g.edges.repartition(col("label"))
+        .write.partitionBy("label").parquet(p), ePath)
     }
     // restore canonical column order (partition columns read back last)
     def reorder(df: DataFrame, lead: Seq[String]): DataFrame = {
@@ -248,7 +258,8 @@ object TpchGraph {
       .foldLeft(g0) { (g, ix) =>
         val ixPath = s"$base/indexes/${ix.name}"
         if (!ready(ixPath))
-          graft.index.Indexes.materialize(g0, ix).write.mode("overwrite").parquet(ixPath)
+          writeAtomic(p =>
+            graft.index.Indexes.materialize(g0, ix).write.parquet(p), ixPath)
         g.withIndexTable(ix.name, spark.read.parquet(ixPath))
       }
     withIx

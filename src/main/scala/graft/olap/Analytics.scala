@@ -107,7 +107,12 @@ object Analytics {
         .select(col("id"),
           (lit(15L * (S / 100L)) + lit(85L) * expr("coalesce(s, 0L) DIV 100")).as("r"))
     }
-    ranks.select(col("id"), col("r").as("rank_fp"))
+    // mirror shortestHopsExact: checkpoint the final ranks, then release the
+    // iteration caches — they must not outlive the call
+    val out = ranks.select(col("id"), col("r").as("rank_fp")).localCheckpoint(true)
+    ed.unpersist(false)
+    ids.unpersist(false)
+    out
   }
 
   /** Synchronous Bellman-Ford hop-distance from `source` — `maxIter` full

@@ -28,6 +28,10 @@ object AsOfJoin {
     * @param carry   right-side columns to attach (renamed with `suffix`) */
   def join(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
       ordCol: String, carry: Seq[String], suffix: String = "_asof"): DataFrame = {
+    // carrying the key/ts column would rename away the right side's join/order
+    // inputs, silently voiding the strict as-of semantics — reject up front
+    require(!carry.contains(keyCol) && !carry.contains(tsCol),
+      s"carry must not contain the key ('$keyCol') or ts ('$tsCol') column")
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__side", lit(1))
@@ -35,7 +39,7 @@ object AsOfJoin {
     // right rows sort AFTER left rows at the same timestamp (side 1 < 2), so
     // a same-ts right row is outside the left row's preceding window — strict "<"
     val r = right
-      .select((Seq(keyCol, tsCol) ++ carry).distinct.map(col): _*)
+      .select((Seq(keyCol, tsCol, ordCol) ++ carry).distinct.map(col): _*)
       .withColumnsRenamed(carry.map(c => c -> s"$c$suffix").toMap)
       .withColumn("__side", lit(2))
       .withColumn("__ord", col(if (carry.contains(ordCol)) s"$ordCol$suffix" else ordCol))

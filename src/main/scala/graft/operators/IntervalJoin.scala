@@ -36,6 +36,11 @@ object IntervalJoin {
     def toLong(c: Column): Column = if (isTs) unix_micros(c) else c.cast("long")
     val l = left.withColumn("__bucket", floor(toLong(col(pointCol)) / widthMicros))
     val r = right
+      // an inverted interval (end <= start) can never contain a point, and an
+      // unguarded sequence(lo, hi) with hi < lo would generate a huge
+      // DESCENDING bucket array from a single corrupt row (OOM risk) — drop
+      // such rows before the explode instead of after it
+      .filter(toLong(col(endCol)) > toLong(col(startCol)))
       .withColumn("__bucket", explode(sequence(
         floor(toLong(col(startCol)) / widthMicros),
         // end is exclusive: an interval ending exactly on a bucket boundary

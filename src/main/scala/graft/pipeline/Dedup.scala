@@ -154,10 +154,16 @@ object Dedup {
     val capped = banded.join(broadcast(heavyBuckets), Seq("band", "bucket"), "left_anti")
     val a = capped.select(col("band"), col("bucket"), col("id").as("ida"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("idb"))
+    // the candidate set is tiny (near-dup pairs only) — materialize it
+    // eagerly (lineage cut; storage reclaimed on GC via ContextCleaner) so
+    // the banded cache can be released NOW instead of leaking for the
+    // session lifetime (repeated calls would otherwise accumulate entries)
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb"))
       .dropDuplicates("ida", "idb")
+      .localCheckpoint(true)
+    banded.unpersist(false)
     val texts = docs.select(col(idCol).as("__tid"), col(textCol).as("__text"))
     val withTexts = candidates
       .join(texts, col("ida") === col("__tid")).withColumnRenamed("__text", "ta").drop("__tid")
@@ -196,40 +202,53 @@ object Dedup {
 
   // ---------------- SimHash ----------------
 
-  /** 64-bit SimHash fingerprints as a DataFrame (id, fp): per bit, sum +w/-w
-    * of each distinct token's weight (its count) by whether the token-hash bit
-    * is set; fingerprint bit = sign of the sum.
+  /** Token hash on the LOW 48 BITS of md5 — engine-portable (DuckDB computes
+    * the identical value as `('0x' || substr(md5(w), 21, 12))::BIGINT`), so
+    * SimHash built on it is exactly oracle-checkable across engines. The
+    * default xxhash64 family is faster; this one buys cross-engine equality. */
+  val md5Hash48: Column => Column =
+    w => conv(substring(md5(w), 21, 12), 16, 10).cast(LongType)
+
+  /** `bits`-wide SimHash fingerprints as a DataFrame (id, fp): per bit, sum
+    * +w/-w of each distinct token's weight (its count) by whether the
+    * token-hash bit is set; fingerprint bit = sign of the sum.
     *
     * Same scale formulation as minHashSignatures: explode tokens once, count
-    * weights with one aggregation, then 64 codegen'd conditional-sum
+    * weights with one aggregation, then `bits` codegen'd conditional-sum
     * aggregates — all map-side combinable, no interpreted higher-order
     * expressions in the hot path. */
   def simHashes(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", bits: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(bits > 0 && bits <= 64)
     val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
     val tok = base.select(col("id"), explode(words(col("text"))).as("w"))
     val weighted = tok.groupBy(col("id"), col("w"))
       .agg(count(lit(1)).as("wgt"))
-      .withColumn("__h", xxhash64(col("w")))
-    val bitAggs = (0 until 64).map { i =>
+      .withColumn("__h", tokenHash(col("w")))
+    val bitAggs = (0 until bits).map { i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, col("wgt"))
         .otherwise(-col("wgt"))).as(s"__b$i")
     }
     weighted.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("id"),
-        (0 until 64).map(i =>
+        (0 until bits).map(i =>
           when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
           .reduce(_ + _).as("fp"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by the
-    * standard band trick: split the 64-bit fingerprint into `pieces` 16-bit
-    * bands; any pair within distance ≤ pieces-1 must collide on ≥1 band.
+    * standard band trick: split the `bits`-wide fingerprint into bits/16
+    * 16-bit bands; any pair within distance ≤ pieces-1 must collide on ≥1
+    * band (so with maxHamming ≤ pieces-1 the output is exactly the set of
+    * all pairs within the distance — band-independent and oracle-checkable).
     * Verification = bit_count(xor) on candidates. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val pieces = 4
-    val fp = simHashes(docs, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text", bits: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(bits % 16 == 0, "bits must be a multiple of the 16-bit band width")
+    val pieces = bits / 16
+    val fp = simHashes(docs, idCol, textCol, bits, tokenHash)
     // persisted for the same reason as minHashLshPairs: both sides of the
     // band self-join would re-run the 64-aggregate fingerprint computation
     val banded = fp.select(col("id"), col("fp"),
@@ -239,10 +258,15 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band"), col("bucket"), col("id").as("ida"), col("fp").as("fpa"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("idb"), col("fp").as("fpb"))
-    a.join(b, Seq("band", "bucket")).filter(col("ida") < col("idb"))
+    // materialize the (small) verified pair set eagerly so the banded cache
+    // is released per call rather than leaking for the session lifetime
+    val out = a.join(b, Seq("band", "bucket")).filter(col("ida") < col("idb"))
       .dropDuplicates("ida", "idb")
       .withColumn("hamming", bit_count(col("fpa").bitwiseXOR(col("fpb"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("ida"), col("idb"), col("hamming"))
+      .localCheckpoint(true)
+    banded.unpersist(false)
+    out
   }
 }

@@ -77,7 +77,9 @@ object Similarity {
     * unprobed bucket); bruteForceTopK is the exactness oracle in tests. */
   def ivfTopK(data: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
       nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = centroids(data, nlist, idCol, vecCol).cache()
+    // nlist rows — materialized eagerly (GC-reclaimed) rather than cache()d,
+    // which would leak a CacheManager entry per call for the session lifetime
+    val cents = centroids(data, nlist, idCol, vecCol).localCheckpoint(true)
     val bucketed = assign(data, cents, idCol, vecCol)
       .select(col(idCol).as("nid"), col(vecCol).as("dvec"), col("cid"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
@@ -136,23 +138,37 @@ object Similarity {
     val capped = banded.join(broadcast(heavyBuckets), Seq("band", "bucket"), "left_anti")
     val a = capped.select(col("band"), col("bucket"), col("id").as("ida"), col("v").as("va"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("idb"), col("v").as("vb"))
-    a.join(b, Seq("band", "bucket")).filter(col("ida") < col("idb"))
+    // materialize the (small) verified pair set eagerly so the banded cache
+    // is released per call rather than leaking for the session lifetime
+    val out = a.join(b, Seq("band", "bucket")).filter(col("ida") < col("idb"))
       .dropDuplicates("ida", "idb")
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("ida"), col("idb"), col("cos"))
+      .localCheckpoint(true)
+    banded.unpersist(false)
+    out
+  }
+
+  /** Seed-derived ±1 (Rademacher) hyperplane directions, precomputed ON THE
+    * DRIVER: deterministic, broadcast as plan literals, and inlinable into a
+    * cross-engine oracle query. Precomputing removes the dim×bits per-row
+    * hash evaluations the previous formulation paid at execution time. */
+  def lshDirections(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
   /** Random-hyperplane LSH signature: `bits` sign bits of projections onto
-    * seed-derived pseudo-random directions (deterministic; directions built
-    * from xxhash64 of (seed, bit, dim) — no RNG at execution time). */
+    * the seed-derived ±1 directions (literal arrays — no RNG and no hashing
+    * at execution time; the zip_with/aggregate fold sums left-to-right, so
+    * the projection is bit-identical across engines that fold in order). */
   def lshSignature(vec: Column, dim: Int, bits: Int = 16, seed: Long = 42L): Column = {
+    val dirs = lshDirections(dim, bits, seed)
     val bitCols = (0 until bits).map { b =>
-      // pseudo-random ±1 direction per (bit, dim index)
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, i) =>
-          x.cast(DoubleType) * when(
-            pmod(xxhash64(lit(seed), lit(b), i), lit(2)) === 0, 1.0).otherwise(-1.0)),
+        zip_with(vec, array(dirs(b).toIndexedSeq.map(lit): _*),
+          (x, s) => x.cast(DoubleType) * s),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }

@@ -103,8 +103,10 @@ final case class GraphQuery(
     * paths. Orders get `id` appended as a deterministic tie-break (the
     * reference's element iterator order is storage-deterministic). */
   def dataframe: DataFrame = {
-    if (strictIndex &&
-        graph.schema.compositeIndexCandidates(element, eqKeys).isEmpty)
+    // the strict check must test the SAME predicate the selector applies
+    // (backed + label-unscoped) — a declared-but-unbacked index must not
+    // satisfy force-index while the query silently runs as a full scan
+    if (strictIndex && selectedIndex.isEmpty)
       throw new IllegalStateException(
         s"Could not find a suitable index to answer graph query (force-index); equality keys: $eqKeys")
     val base = selectedIndex match {

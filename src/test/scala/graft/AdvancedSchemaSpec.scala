@@ -136,6 +136,25 @@ class AdvancedSchemaSpec extends AnyFunSuite {
     assert(out(102L) === -1L)  // user 2 has no clicks
   }
 
+  test("asOfJoin: ordCol outside carry resolves; carrying key/ts is rejected") {
+    import graft.operators.AsOfJoin
+    import spark.implicits._
+    val left = Seq((100L, 1L, 10L)).toDF("event_id", "user_id", "ts")
+    val right = Seq((201L, 1L, 5L, "a"), (202L, 1L, 5L, "b"))
+      .toDF("event_id", "user_id", "ts", "tag")
+    // ordCol (event_id) NOT in carry — must still resolve on the right side
+    val out = AsOfJoin.join(left, right, "user_id", "ts", "event_id",
+      carry = Seq("tag")).collect()
+    assert(out.length === 1 && out(0).getAs[String]("tag_asof") === "b") // ts tie → max event_id
+    // carrying the key or ts column would silently break strict semantics
+    intercept[IllegalArgumentException] {
+      AsOfJoin.join(left, right, "user_id", "ts", "event_id", carry = Seq("ts"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.join(left, right, "user_id", "ts", "event_id", carry = Seq("user_id"))
+    }
+  }
+
   test("fold/unfold/barrier/sideEffect steps") {
     val g = graft.data.TpchGraph.load(spark, "/root/testdata/sf0.001")
     val folded = g.traversal.V().hasLabel("region").fold().collect()(0)
@@ -167,6 +186,18 @@ class AdvancedSchemaSpec extends AnyFunSuite {
     val got = out.select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // ts=5 ∈ [0,10); ts=10 ∈ [10,20); ts=19 ∈ [10,20) and [18,25); ts=20 ∈ [18,25)
     assert(got === Set((1L, 100L), (2L, 200L), (3L, 200L), (3L, 300L), (4L, 300L)))
+  }
+
+  test("intervalJoin: inverted interval rows are dropped, not exploded") {
+    import graft.operators.IntervalJoin
+    import spark.implicits._
+    val points = Seq((1L, 5L)).toDF("pid", "ts")
+    // end ≪ start: would generate a ~10⁷-element descending bucket array if
+    // the explode were unguarded; must simply contribute zero matches
+    val ranges = Seq((100L, 0L, 10L), (666L, 100000000L, 0L)).toDF("rid", "s", "e")
+    val got = IntervalJoin.join(points, ranges, "ts", "s", "e", widthMicros = 10L)
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 100L)))
   }
 
   test("matchAll orders patterns by estimated size (most selective anchors)") {

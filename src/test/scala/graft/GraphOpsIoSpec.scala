@@ -139,9 +139,17 @@ class GraphOpsIoSpec extends AnyFunSuite {
     }
   }
 
-  test("force-index: covered query runs, uncovered query rejected") {
-    val g = TpchGraph.load(spark, dir)
-    // byUid composite index covers uid equality
+  test("force-index: covered query runs, uncovered or unbacked rejected") {
+    // force-index accepts only queries a BACKED index can serve — the strict
+    // check tests the same predicate as automatic selection, so a declared
+    // index with no materialized table cannot satisfy it while the query
+    // silently runs as a full scan
+    val unbacked = TpchGraph.load(spark, dir)
+    intercept[IllegalStateException] {
+      GraphQuery.vertices(unbacked).has("uid", 7L).forceIndex().dataframe
+    }
+    val g = TpchGraph.loadMaterialized(spark, dir)
+    // byUid composite index covers uid equality (and is backed)
     assert(GraphQuery.vertices(g).has("uid", 7L).forceIndex().dataframe.count() > 0)
     intercept[IllegalStateException] {
       GraphQuery.vertices(g).has("mktsegment", "BUILDING").forceIndex().dataframe
