@@ -498,6 +498,23 @@ object SparkEntry {
         bits = 48, tokenHash = graft.pipeline.Dedup.md5Hash48)
         .select(col("ida"), col("idb"), col("hamming").cast(LongType).as("hamming"))
     }),
+    // ---- pipeline: Gopher-style repetition quality signals ----
+    "q_repetition" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.repetitionSignals(
+        s.read.parquet(s"$dir/documents.parquet"))
+    }),
+    // ---- pipeline: train/eval decontamination (shared 8-grams) ----
+    "q_contamination" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.pipeline.Dedup.contamination(
+        d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20), n = 8)
+    }),
+    // ---- pipeline: deterministic per-source mixture sampling ----
+    "q_mixture_sample" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.mixtureSample(
+        s.read.parquet(s"$dir/documents.parquet"), MixtureRates)
+        .select(col("doc_id"), col("source"))
+    }),
     // ---- pipeline: embedding-cosine near-dup pairs ----
     "q_embed_pairs" -> ((s, dir) => {
       graft.pipeline.Similarity.cosinePairs(
@@ -1001,6 +1018,9 @@ object SparkEntry {
     "q_dedup_minhash" -> ngramJaccardOracle,
     "q_dedup_simhash" -> simHashOracle,
     "q_lsh_cosine_pairs" -> lshCosineOracle,
+    "q_repetition" -> repetitionOracle,
+    "q_contamination" -> contaminationOracle,
+    "q_mixture_sample" -> mixtureSampleOracle,
     "q_dedup_documents" -> dedupDocsOracle(8),
     "q_embed_pairs" ->
       """SELECT a.vec_id AS ida, b.vec_id AS idb FROM embeddings a JOIN embeddings b
@@ -1221,6 +1241,64 @@ object SparkEntry {
        |$iters
        |SELECT d.doc_id, d.n_chars FROM documents d
        |WHERE NOT EXISTS (SELECT 1 FROM k$rounds c WHERE c.id = d.doc_id AND c.l <> d.doc_id)""".stripMargin
+  }
+
+  /** Rates for the q_mixture_sample probe: a skewed training mix over the
+    * synthetic sources (unlisted sources default to rate 0 = dropped). */
+  private val MixtureRates: Map[String, Double] = Map(
+    "src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
+
+  /** Mirror of TextAnalysis.mixtureSample(MixtureRates): md5-bucket of the
+    * doc id vs the source's rate — both engines hash the identical ":<id>"
+    * string, so the kept set is bit-identical. */
+  private def mixtureSampleOracle: String = {
+    val cases = MixtureRates.toSeq.sortBy(_._1)
+      .map { case (s, r) => s"WHEN '$s' THEN $r" }.mkString(" ")
+    s"""SELECT doc_id, source FROM documents
+       |WHERE CAST(('0x' || substr(md5(':' || CAST(doc_id AS VARCHAR)), 21, 12))::BIGINT % 1000000 AS DOUBLE)
+       |  < (CASE source $cases ELSE 0.0 END) * 1000000.0""".stripMargin
+  }
+
+  /** Mirror of Dedup.contamination(n=8) with eval = doc_id < 20: distinct
+    * 8-gram shingles per doc (same index arithmetic as the Jaccard oracles),
+    * corpus side inner-joined against the eval side's distinct gram set. */
+  private def contaminationOracle: String = {
+    val gram = (0 until 8).map(j => if (j == 0) "wl[i]" else s"wl[i+$j]").mkString("||' '||")
+    s"""WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS wl FROM documents),
+       |sh AS (SELECT doc_id, list_distinct([$gram for i in range(1, len(wl)-6)]) AS gs FROM w WHERE len(wl) >= 8),
+       |eg AS (SELECT DISTINCT unnest(gs) AS g FROM sh WHERE doc_id < 20),
+       |cg AS (SELECT doc_id, unnest(gs) AS g FROM sh WHERE doc_id >= 20)
+       |SELECT doc_id, COUNT(*) AS n_shared FROM cg JOIN eg USING (g) GROUP BY doc_id""".stripMargin
+  }
+
+  /** Mirror of TextAnalysis.repetitionSignals: line metrics from list
+    * arithmetic, top-{2,3}-gram char fraction via (chars DESC, gram DESC)
+    * — the same tie-break as Spark's max(struct(chars, gram)). */
+  private def repetitionOracle: String = {
+    def gramCte(n: Int): String = {
+      val gram = (0 until n).map(j => if (j == 0) "wl[i]" else s"wl[i+$j]").mkString("||' '||")
+      s"""t$n AS (SELECT doc_id, len, g, COUNT(*) AS c FROM (
+         |  SELECT doc_id, len, unnest([$gram for i in range(1, len(wl)-${n - 2})]) AS g
+         |  FROM w WHERE len(wl) >= $n) GROUP BY doc_id, len, g),
+         |m$n AS (SELECT doc_id, CAST(c*length(g) AS DOUBLE)/len AS f,
+         |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c*length(g) DESC, g DESC) AS rn FROM t$n)""".stripMargin
+    }
+    s"""WITH base AS (SELECT doc_id, string_split(text, chr(10)) AS ls, length(text) AS len, text FROM documents),
+       |w AS (SELECT doc_id, len, string_split_regex(text, '\\s+') AS wl FROM base),
+       |lm AS (SELECT doc_id, len,
+       |  CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls) AS dup_line_frac,
+       |  CASE WHEN list_sum(list_transform(ls, x -> length(x))) = 0 THEN 0.0
+       |    ELSE CAST(list_sum(list_transform(ls, x -> length(x))) - list_sum(list_transform(list_distinct(ls), x -> length(x))) AS DOUBLE)
+       |      / list_sum(list_transform(ls, x -> length(x))) END AS dup_line_char_frac
+       |  FROM base),
+       |${gramCte(2)},
+       |${gramCte(3)}
+       |SELECT lm.doc_id, dup_line_frac, dup_line_char_frac,
+       |  COALESCE(m2.f, 0.0) AS top2gram_char_frac,
+       |  COALESCE(m3.f, 0.0) AS top3gram_char_frac
+       |FROM lm
+       |LEFT JOIN (SELECT doc_id, f FROM m2 WHERE rn = 1) m2 ON m2.doc_id = lm.doc_id
+       |LEFT JOIN (SELECT doc_id, f FROM m3 WHERE rn = 1) m3 ON m3.doc_id = lm.doc_id""".stripMargin
   }
 
   /** Exact mirror of Similarity.lshCosinePairs(threshold=0.4, dim=64,

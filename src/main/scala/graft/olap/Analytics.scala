@@ -94,10 +94,16 @@ object Analytics {
     val S = 1000000000000L // 10^12
     val e = g.edges.select(col("src"), col("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-    val ed = e.join(deg, Seq("src"))
-      .select(col("src"), col("dst"), col("__deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val ids = g.vertices.select(col("id")).persist(StorageLevel.MEMORY_AND_DISK)
+    // both frames are reread every iteration — served from the bounded
+    // per-session LRU so repeated calls reuse them without a per-call leak
+    val ed = graft.core.PlanCache.cached(g.spark,
+      graft.core.PlanCache.key("pagerank-edges", g.edges)) {
+      e.join(deg, Seq("src")).select(col("src"), col("dst"), col("__deg"))
+    }
+    val ids = graft.core.PlanCache.cached(g.spark,
+      graft.core.PlanCache.key("pagerank-ids", g.vertices)) {
+      g.vertices.select(col("id"))
+    }
     var ranks = ids.select(col("id"), lit(S).as("r"))
     (1 to iterations).foreach { _ =>
       val msgs = ed.join(ranks, ed("src") === ranks("id"))
@@ -107,12 +113,7 @@ object Analytics {
         .select(col("id"),
           (lit(15L * (S / 100L)) + lit(85L) * expr("coalesce(s, 0L) DIV 100")).as("r"))
     }
-    // mirror shortestHopsExact: checkpoint the final ranks, then release the
-    // iteration caches — they must not outlive the call
-    val out = ranks.select(col("id"), col("r").as("rank_fp")).localCheckpoint(true)
-    ed.unpersist(false)
-    ids.unpersist(false)
-    out
+    ranks.select(col("id"), col("r").as("rank_fp"))
   }
 
   /** Synchronous Bellman-Ford hop-distance from `source` — `maxIter` full

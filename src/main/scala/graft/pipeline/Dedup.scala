@@ -67,6 +67,26 @@ object Dedup {
       .select(col("ida"), col("idb"), col("jaccard"))
   }
 
+  /** Train/eval decontamination: documents sharing at least one word n-gram
+    * with the evaluation set, with the count of distinct shared n-grams —
+    * the standard benchmark-leakage check run before training. Returns
+    * (idCol, n_shared) for contaminated docs only.
+    *
+    * Scale: the eval side is small by definition — its distinct shingle set
+    * broadcasts; the corpus side explodes shingles once and inner-joins, so
+    * the cost is one broadcast hash join over the exploded corpus with no
+    * shuffle of the corpus at all (count agg is map-side combinable keyed by
+    * doc id). An 8-gram is specific enough that cross-doc collisions are
+    * near-certain leaks, per the public decontamination recipes. */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(shingles(col(textCol), n)).as("g")).distinct()
+    corpus.select(col(idCol), explode(shingles(col(textCol), n)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+  }
+
   // ---------------- MinHash + LSH ----------------
 
   /** Seeded affine hash family (a,b) over the Mersenne prime p=2³¹-1.
@@ -138,32 +158,30 @@ object Dedup {
     // band on ids only: exploding bands multiplies rows by `bands`, so the
     // payload through this shuffle must be (id, band, bucket) — never the
     // document text (texts rejoin only for the small candidate set)
-    // persisted: the plan references this frame from THREE branches (heavy-
-    // bucket stats + both sides of the bucket self-join); without the cache
-    // each branch re-runs the 128-aggregate signature computation — the
-    // dominant cost. (id, band, bucket) is 24 bytes/row — |docs|·bands total,
-    // trivially cacheable at any scale that fits the shuffle anyway.
-    val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(rows) + 1, lit(rows)))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cached via PlanCache: the plan references this frame from THREE
+    // branches (heavy-bucket stats + both sides of the bucket self-join);
+    // without the cache each branch re-runs the 128-aggregate signature
+    // computation — the dominant cost. (id, band, bucket) is 24 bytes/row —
+    // |docs|·bands total, trivially cacheable at any scale that fits the
+    // shuffle anyway. The bounded LRU also serves repeated calls over the
+    // same input without leaking an entry per call.
+    val banded = graft.core.PlanCache.cached(docs.sparkSession,
+      graft.core.PlanCache.key("minhash-banded", docs, n, numHashes, bands, idCol, textCol)) {
+      sig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(rows) + 1, lit(rows)))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    }
     val heavyBuckets = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
       .select(col("band"), col("bucket"))
     val capped = banded.join(broadcast(heavyBuckets), Seq("band", "bucket"), "left_anti")
     val a = capped.select(col("band"), col("bucket"), col("id").as("ida"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("idb"))
-    // the candidate set is tiny (near-dup pairs only) — materialize it
-    // eagerly (lineage cut; storage reclaimed on GC via ContextCleaner) so
-    // the banded cache can be released NOW instead of leaking for the
-    // session lifetime (repeated calls would otherwise accumulate entries)
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb"))
       .dropDuplicates("ida", "idb")
-      .localCheckpoint(true)
-    banded.unpersist(false)
     val texts = docs.select(col(idCol).as("__tid"), col(textCol).as("__text"))
     val withTexts = candidates
       .join(texts, col("ida") === col("__tid")).withColumnRenamed("__text", "ta").drop("__tid")
@@ -249,24 +267,24 @@ object Dedup {
     require(bits % 16 == 0, "bits must be a multiple of the 16-bit band width")
     val pieces = bits / 16
     val fp = simHashes(docs, idCol, textCol, bits, tokenHash)
-    // persisted for the same reason as minHashLshPairs: both sides of the
-    // band self-join would re-run the 64-aggregate fingerprint computation
-    val banded = fp.select(col("id"), col("fp"),
-      posexplode(array((0 until pieces).map(b =>
-        pmod(shiftrightunsigned(col("fp"), b * 16), lit(65536L))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cached for the same reason as minHashLshPairs: both sides of the band
+    // self-join would re-run the 64-aggregate fingerprint computation
+    // (bounded LRU — repeated calls reuse, no per-call leak)
+    val banded = graft.core.PlanCache.cached(docs.sparkSession,
+      // the rendered hash expression distinguishes token-hash families
+      graft.core.PlanCache.key("simhash-banded", docs, bits, idCol, textCol,
+        tokenHash(col("w")).toString)) {
+      fp.select(col("id"), col("fp"),
+        posexplode(array((0 until pieces).map(b =>
+          pmod(shiftrightunsigned(col("fp"), b * 16), lit(65536L))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    }
     val a = banded.select(col("band"), col("bucket"), col("id").as("ida"), col("fp").as("fpa"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("idb"), col("fp").as("fpb"))
-    // materialize the (small) verified pair set eagerly so the banded cache
-    // is released per call rather than leaking for the session lifetime
-    val out = a.join(b, Seq("band", "bucket")).filter(col("ida") < col("idb"))
+    a.join(b, Seq("band", "bucket")).filter(col("ida") < col("idb"))
       .dropDuplicates("ida", "idb")
       .withColumn("hamming", bit_count(col("fpa").bitwiseXOR(col("fpb"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("ida"), col("idb"), col("hamming"))
-      .localCheckpoint(true)
-    banded.unpersist(false)
-    out
   }
 }

@@ -77,9 +77,12 @@ object Similarity {
     * unprobed bucket); bruteForceTopK is the exactness oracle in tests. */
   def ivfTopK(data: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
       nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // nlist rows — materialized eagerly (GC-reclaimed) rather than cache()d,
-    // which would leak a CacheManager entry per call for the session lifetime
-    val cents = centroids(data, nlist, idCol, vecCol).localCheckpoint(true)
+    // nlist rows, referenced from two broadcast branches — served from the
+    // bounded per-session LRU (reuse across calls, no per-call cache leak)
+    val cents = graft.core.PlanCache.cached(data.sparkSession,
+      graft.core.PlanCache.key("ivf-cents", data, nlist, idCol, vecCol)) {
+      centroids(data, nlist, idCol, vecCol)
+    }
     val bucketed = assign(data, cents, idCol, vecCol)
       .select(col(idCol).as("nid"), col(vecCol).as("dvec"), col("cid"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
@@ -125,29 +128,27 @@ object Similarity {
     val bands = bits / bandBits
     val sig = data.select(col(idCol).as("id"), col(vecCol).as("v"),
       lshSignature(col(vecCol), dim, bits, seed).as("s"))
-    // persisted: heavy-bucket stats + both self-join sides would otherwise
+    // cached: heavy-bucket stats + both self-join sides would otherwise
     // re-run the `bits` interpreted projection aggregates per branch
-    val banded = sig.select(col("id"), col("v"),
-      posexplode(array((0 until bands).map(b =>
-        pmod(shiftrightunsigned(col("s"), b * bandBits), lit(1L << bandBits))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (bounded LRU — repeated calls reuse, no per-call leak)
+    val banded = graft.core.PlanCache.cached(data.sparkSession,
+      graft.core.PlanCache.key("lsh-banded", data, dim, bits, bandBits, seed, idCol, vecCol)) {
+      sig.select(col("id"), col("v"),
+        posexplode(array((0 until bands).map(b =>
+          pmod(shiftrightunsigned(col("s"), b * bandBits), lit(1L << bandBits))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    }
     val heavyBuckets = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
       .select(col("band"), col("bucket"))
     val capped = banded.join(broadcast(heavyBuckets), Seq("band", "bucket"), "left_anti")
     val a = capped.select(col("band"), col("bucket"), col("id").as("ida"), col("v").as("va"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("idb"), col("v").as("vb"))
-    // materialize the (small) verified pair set eagerly so the banded cache
-    // is released per call rather than leaking for the session lifetime
-    val out = a.join(b, Seq("band", "bucket")).filter(col("ida") < col("idb"))
+    a.join(b, Seq("band", "bucket")).filter(col("ida") < col("idb"))
       .dropDuplicates("ida", "idb")
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("ida"), col("idb"), col("cos"))
-      .localCheckpoint(true)
-    banded.unpersist(false)
-    out
   }
 
   /** Seed-derived ±1 (Rademacher) hyperplane directions, precomputed ON THE

@@ -91,6 +91,67 @@ object TextAnalysis {
     aggregate(tokens(text), lit(7L),
       (acc, w) => pmod(acc * 31 + pmod(xxhash64(w), lit(p)), lit(p)))
 
+  /** Gopher-style repetition signals per document (public quality heuristics
+    * for web-scale corpus filtering): duplicate-line fraction, fraction of
+    * characters in surplus duplicate lines, and the fraction of characters
+    * covered by the most frequent word {2,3}-gram. Line metrics are pure
+    * array expressions (no shuffle); n-gram mode finding is explode →
+    * (id, gram) count → max-struct aggregate — two map-side-combinable
+    * aggregations keyed by doc id, the same shuffle profile at any corpus
+    * size. Every ratio is integer/integer, so cross-engine exact. */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val lines = split(col("text"), "\n")
+    val lineChars = aggregate(lines, lit(0L), (a, x) => a + length(x))
+    val dLineChars = aggregate(array_distinct(lines), lit(0L), (a, x) => a + length(x))
+    val lineMetrics = base.select(col("id"),
+      ((size(lines) - size(array_distinct(lines))).cast(DoubleType) /
+        size(lines).cast(DoubleType)).as("dup_line_frac"),
+      when(lineChars === 0L, lit(0.0))
+        .otherwise((lineChars - dLineChars).cast(DoubleType) / lineChars.cast(DoubleType))
+        .as("dup_line_char_frac"))
+    // most frequent word n-gram, ties broken by gram string (max struct —
+    // identical to ORDER BY chars DESC, gram DESC in the oracle)
+    def topGramFrac(n: Int): DataFrame = {
+      val w = tokens(col("text"))
+      val grams = transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n))))
+      base.filter(size(w) >= n)
+        .select(col("id"), length(col("text")).as("len"), explode(grams).as("g"))
+        .groupBy(col("id"), col("len"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("id"), col("len"))
+        .agg(max(struct((col("c") * length(col("g"))).as("chars"), col("g").as("g"))).as("m"))
+        .select(col("id"),
+          (col("m.chars").cast(DoubleType) / col("len").cast(DoubleType))
+            .as(s"top${n}gram_char_frac"))
+    }
+    lineMetrics
+      .join(topGramFrac(2), Seq("id"), "left")
+      .join(topGramFrac(3), Seq("id"), "left")
+      .select(col("id").as(idCol), col("dup_line_frac"), col("dup_line_char_frac"),
+        coalesce(col("top2gram_char_frac"), lit(0.0)).as("top2gram_char_frac"),
+        coalesce(col("top3gram_char_frac"), lit(0.0)).as("top3gram_char_frac"))
+  }
+
+  /** Deterministic per-source mixture sampling — the training-mix weighting
+    * step of a data pipeline. A document rides iff the md5-derived bucket of
+    * its id (uniform in [0, 1e6)) falls below its source's rate. No RNG:
+    * reproducible across runs, engines, and partitionings; changing one
+    * source's rate never resamples another source (per-key stability). Pure
+    * filter — pushes down, no shuffle. */
+  def mixtureSample(docs: DataFrame, rates: Map[String, Double],
+      sourceCol: String = "source", idCol: String = "doc_id",
+      salt: String = ""): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(concat_ws(":", lit(salt), col(idCol).cast(StringType))), 21, 12),
+        16, 10).cast(LongType), lit(1000000L))
+    val rate = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
+      when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    docs.filter(bucket.cast(DoubleType) < rate * 1000000.0)
+  }
+
   /** PII scrubbing for training corpora: URLs, emails, then phone-like digit
     * runs replaced with typed placeholder tokens. Deliberately RE2-compatible
     * patterns (no lookarounds/backrefs) so any engine — and the SQL oracle —

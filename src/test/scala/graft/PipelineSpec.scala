@@ -147,6 +147,71 @@ class PipelineSpec extends AnyFunSuite {
     assert(fps(0) !== fps(2))
   }
 
+  test("repetition signals: planted duplicate lines and repeated bigrams detected") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x y\nx y\nz w"),          // 3 lines, one duplicated
+      (2L, "a b a b a b c"),          // dominant bigram "a b"
+      (3L, "q")                       // single token: no bigrams at all
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(math.abs(out(1L).getDouble(1) - 1.0 / 3) < 1e-12)  // dup_line_frac
+    // surplus duplicate chars: "x y" (3 chars) counted twice, once surplus; 9 line chars total
+    assert(math.abs(out(1L).getDouble(2) - 3.0 / 9) < 1e-12)
+    // doc 2: "a b" occurs 3× → 9 chars of 13
+    assert(math.abs(out(2L).getDouble(3) - 9.0 / 13) < 1e-12)
+    assert(out(3L).getDouble(3) === 0.0 && out(3L).getDouble(4) === 0.0)
+  }
+
+  test("contamination: docs sharing an 8-gram with the eval set are flagged") {
+    import spark.implicits._
+    val words = (1 to 12).map(i => s"w$i").mkString(" ")
+    val evalSet = Seq((100L, words)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, words),                                     // full overlap
+      (2L, (1 to 7).map(i => s"w$i").mkString(" ")),   // < 8 words: no shingles
+      (3L, "entirely different words " * 3)            // no overlap
+    ).toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, evalSet, n = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 12 words → 5 distinct 8-grams, all shared
+    assert(out === Map(1L -> 5L))
+  }
+
+  test("mixture sampling: deterministic, per-source rates, stable across reruns") {
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src5" -> 0.0)
+    val s1 = TextAnalysis.mixtureSample(docs, rates).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = TextAnalysis.mixtureSample(docs, rates).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 === s2, "resampling must be bit-stable")
+    val bySource = TextAnalysis.mixtureSample(docs, rates)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.filter(col("source") === "src0").count()
+    assert(bySource("src0") === total)            // rate 1.0 keeps everything
+    assert(!bySource.contains("src5"))            // rate 0.0 drops everything
+    assert(bySource.getOrElse("src1", 0L) < total) // rate 0.5 subsamples
+    // unlisted sources default to rate 0
+    assert(bySource.keySet.subsetOf(Set("src0", "src1")))
+  }
+
+  test("PlanCache: repeated key reuses the frame; eviction and clear unpersist") {
+    import spark.implicits._
+    val base = Seq((1L, "a")).toDF("id", "v")
+    val k = graft.core.PlanCache.key("test-op", base, 7)
+    val a = graft.core.PlanCache.cached(spark, k)(base.select(col("id")))
+    val b = graft.core.PlanCache.cached(spark, k)(base.select(col("id")))
+    assert(a eq b, "same key must return the registered frame")
+    assert(a.storageLevel.useMemory, "registered frame must be persisted")
+    // semantically identical input built twice yields the same key
+    val k2 = graft.core.PlanCache.key("test-op", Seq((1L, "a")).toDF("id", "v"), 7)
+    assert(k === k2)
+    graft.core.PlanCache.clear(spark)
+    assert(!a.storageLevel.useMemory && !a.storageLevel.useDisk,
+      "clear must unpersist registered frames")
+  }
+
   test("multimodal: synthesize → repartition → stub decode plumbing") {
     val media = Multimodal.synthesizeMedia(docs.limit(50))
     assert(media.schema("media").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
