@@ -509,6 +509,16 @@ object SparkEntry {
       graft.pipeline.Dedup.contamination(
         d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20), n = 8)
     }),
+    // ---- pipeline: sliding-window chunking (sequence packing) ----
+    "q_chunk" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.chunkDocuments(
+        s.read.parquet(s"$dir/documents.parquet"), maxTokens = 24, overlap = 8)
+    }),
+    // ---- pipeline: corpus token document frequency (vocabulary stats) ----
+    "q_token_df" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.tokenDocFrequency(
+        s.read.parquet(s"$dir/documents.parquet"), k = 20)
+    }),
     // ---- pipeline: deterministic per-source mixture sampling ----
     "q_mixture_sample" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.mixtureSample(
@@ -1019,6 +1029,12 @@ object SparkEntry {
     "q_dedup_simhash" -> simHashOracle,
     "q_lsh_cosine_pairs" -> lshCosineOracle,
     "q_repetition" -> repetitionOracle,
+    "q_chunk" -> chunkOracle(24, 8),
+    "q_token_df" ->
+      """SELECT token, COUNT(*) AS df FROM (
+        |  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY df DESC, token ASC LIMIT 20""".stripMargin,
     "q_contamination" -> contaminationOracle,
     "q_mixture_sample" -> mixtureSampleOracle,
     "q_dedup_documents" -> dedupDocsOracle(8),
@@ -1257,6 +1273,22 @@ object SparkEntry {
     s"""SELECT doc_id, source FROM documents
        |WHERE CAST(('0x' || substr(md5(':' || CAST(doc_id AS VARCHAR)), 21, 12))::BIGINT % 1000000 AS DOUBLE)
        |  < (CASE source $cases ELSE 0.0 END) * 1000000.0""".stripMargin
+  }
+
+  /** Mirror of TextAnalysis.chunkDocuments: chunk i covers tokens
+    * [i·stride, i·stride+maxTokens), last chunk = first window reaching the
+    * end (ceil((n-maxTokens)/stride) in integer arithmetic on both sides). */
+  private def chunkOracle(maxTokens: Int, overlap: Int): String = {
+    val s = maxTokens - overlap
+    s"""WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS wl FROM documents),
+       |c AS (SELECT doc_id, wl, len(wl) AS n,
+       |  unnest(range(0, CASE WHEN len(wl) <= $maxTokens THEN 1
+       |    ELSE CAST(ceil(CAST(len(wl) - $maxTokens AS DOUBLE) / $s) AS BIGINT) + 1 END)) AS i
+       |  FROM w)
+       |SELECT doc_id, i AS chunk_id,
+       |  array_to_string(wl[i*$s + 1 : i*$s + $maxTokens], ' ') AS chunk_text,
+       |  least($maxTokens, n - i*$s)::BIGINT AS n_tokens
+       |FROM c""".stripMargin
   }
 
   /** Mirror of Dedup.contamination(n=8) with eval = doc_id < 20: distinct

@@ -18,10 +18,11 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Dot product of two array columns in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two array columns in double precision — a native codegen
+    * Expression (graft.functions.ArrayDot) with the same left-to-right fold
+    * semantics as `aggregate(zip_with(...))`, which is interpreted
+    * (CodegenFallback) and pays closure dispatch per element. */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -167,10 +168,7 @@ object Similarity {
   def lshSignature(vec: Column, dim: Int, bits: Int = 16, seed: Long = 42L): Column = {
     val dirs = lshDirections(dim, bits, seed)
     val bitCols = (0 until bits).map { b =>
-      val proj = aggregate(
-        zip_with(vec, array(dirs(b).toIndexedSeq.map(lit): _*),
-          (x, s) => x.cast(DoubleType) * s),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = graft.functions.ArrayDot(vec, array(dirs(b).toIndexedSeq.map(lit): _*))
       when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)

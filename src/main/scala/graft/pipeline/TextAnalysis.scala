@@ -152,6 +152,43 @@ object TextAnalysis {
     docs.filter(bucket.cast(DoubleType) < rate * 1000000.0)
   }
 
+  /** Sliding-window document chunking — the sequence-packing step that turns
+    * raw documents into bounded-length training samples. Chunk i covers
+    * tokens [i·stride, i·stride + maxTokens) with stride = maxTokens −
+    * overlap; the last chunk is the first one that reaches the document end
+    * (no fully-redundant trailing windows). Pure expressions: one explode
+    * with bounded fan-out (≈ n_tokens/stride per doc), no shuffle at all —
+    * the chunker is a map over the corpus at any scale. */
+  def chunkDocuments(docs: DataFrame, maxTokens: Int, overlap: Int = 0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      "need 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    val w = tokens(col(textCol))
+    val n = size(w)
+    // index of the first chunk whose window reaches the end:
+    // ceil((n - maxTokens)/stride) in integer arithmetic
+    val lastIdx = when(n <= maxTokens, lit(0L))
+      .otherwise(floor((n - maxTokens + (stride - 1)).cast(DoubleType) / stride).cast(LongType))
+    docs.select(col(idCol), posexplode(transform(sequence(lit(0L), lastIdx),
+        i => struct(
+          concat_ws(" ", slice(w, (i * stride + 1).cast(IntegerType), lit(maxTokens))).as("chunk_text"),
+          least(lit(maxTokens), n - i.cast(IntegerType) * stride).cast(LongType).as("n_tokens")))))
+      .select(col(idCol), col("pos").cast(LongType).as("chunk_id"),
+        col("col.chunk_text").as("chunk_text"), col("col.n_tokens").as("n_tokens"))
+  }
+
+  /** Corpus token document frequency, top `k` by (df DESC, token ASC) —
+    * the vocabulary/IDF statistic of a corpus. Distinct-per-doc explode →
+    * one map-side-combinable count keyed by token → TakeOrdered top-k (no
+    * full sort at scale). */
+  def tokenDocFrequency(docs: DataFrame, k: Int,
+      textCol: String = "text"): DataFrame =
+    docs.select(explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(k)
+
   /** PII scrubbing for training corpora: URLs, emails, then phone-like digit
     * runs replaced with typed placeholder tokens. Deliberately RE2-compatible
     * patterns (no lookarounds/backrefs) so any engine — and the SQL oracle —

@@ -147,6 +147,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(fps(0) !== fps(2))
   }
 
+  test("ArrayDot: bit-equal to the higher-order fold; null on length mismatch") {
+    import graft.functions.ArrayDot
+    val native = emb.select(col("vec_id"), ArrayDot(col("embedding"), col("embedding")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fold = emb.select(col("vec_id"),
+      aggregate(zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(native === fold, "codegen dot must reproduce the interpreted fold bit-for-bit")
+    import spark.implicits._
+    val mismatch = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(ArrayDot(col("a"), col("b")).as("d")).collect()(0)
+    assert(mismatch.isNullAt(0), "length mismatch must yield null (zip_with padding semantics)")
+    // participates in whole-stage codegen (the "*(n)" star in the plan):
+    // the projection containing array_dot must sit inside a codegen stage
+    val plan = emb.select(ArrayDot(col("embedding"), col("embedding"))).queryExecution.executedPlan
+    val codegenned = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.toString
+    }
+    assert(codegenned.exists(_.contains("array_dot")),
+      s"array_dot must run inside a WholeStageCodegen stage:\n$plan")
+  }
+
   test("repetition signals: planted duplicate lines and repeated bigrams detected") {
     import spark.implicits._
     val d = Seq(
@@ -194,6 +217,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(bySource.getOrElse("src1", 0L) < total) // rate 0.5 subsamples
     // unlisted sources default to rate 0
     assert(bySource.keySet.subsetOf(Set("src0", "src1")))
+  }
+
+  test("chunking: windows cover the doc once, overlap respected, no redundant tail") {
+    import spark.implicits._
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),  // 10 tokens
+                (2L, "a b c")).toDF("doc_id", "text")            // fits one chunk
+    val out = TextAnalysis.chunkDocuments(d, maxTokens = 8, overlap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+    // stride 4: chunk 0 = tokens 1-8, chunk 1 = tokens 5-10 (reaches end, last)
+    assert(out((1L, 0L)) === ((1 to 8).map(i => s"t$i").mkString(" "), 8L))
+    assert(out((1L, 1L)) === ((5 to 10).map(i => s"t$i").mkString(" "), 6L))
+    assert(!out.contains((1L, 2L)), "no fully-redundant trailing window")
+    assert(out((2L, 0L)) === (("a b c", 3L)))
+    // every token of doc 1 appears in some chunk
+    val covered = out.collect { case ((1L, _), (t, _)) => t.split(" ") }.flatten.toSet
+    assert(covered === (1 to 10).map(i => s"t$i").toSet)
+  }
+
+  test("token document frequency: df counts docs not occurrences, top-k deterministic") {
+    import spark.implicits._
+    val d = Seq((1L, "x x x y"), (2L, "x z"), (3L, "z z y")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenDocFrequency(d, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList
+    // x: 2 docs, y: 2, z: 2 — ties broken by token ascending
+    assert(out === List(("x", 2L), ("y", 2L), ("z", 2L)))
   }
 
   test("PlanCache: repeated key reuses the frame; eviction and clear unpersist") {
