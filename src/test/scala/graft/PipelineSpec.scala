@@ -38,6 +38,31 @@ class PipelineSpec extends AnyFunSuite {
     emb20k.unpersist()
   }
 
+  test("MinHash-LSH scale path: 20k docs — planted near-dup pairs found, no cartesian") {
+    // synthetic corpus: 60 words from a 5k vocabulary, deterministic per doc;
+    // ids < 600 come in consecutive pairs sharing all 60 words plus one
+    // unique suffix word each (J = 60/62 ≈ 0.97) — the planted near-dups.
+    val n = 20000
+    val base = when(col("id") < 600, col("id") - pmod(col("id"), lit(2))).otherwise(col("id"))
+    val docs20k = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        concat_ws(" ", transform(sequence(lit(0), lit(59)),
+          j => concat(lit("w"), pmod(hash(base * 60 + j), lit(5000))))),
+        concat(lit("u"), col("id"))).as("text"))
+      .cache()
+    docs20k.count()
+    val pairsDf = Dedup.minHashLshPairs(docs20k, threshold = 0.8)
+    val plan = pairsDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "LSH pair generation must never fall back to an all-pairs join")
+    val got = pairsDf.select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 600L by 2).map(i => (i, i + 1)).toSet
+    assert(got === expected,
+      s"missing=${(expected -- got).take(5)} spurious=${(got -- expected).take(5)}")
+    docs20k.unpersist()
+  }
+
   test("PII redaction replaces urls/emails/phones with typed tokens") {
     import spark.implicits._
     val t = Seq("contact a@b.co or https://x.io/page?q=1 call +1 (555) 123-4567 now")

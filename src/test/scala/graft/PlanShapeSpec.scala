@@ -90,6 +90,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("codegen id"))
   }
 
+  test("contamination joins the exploded corpus against a BROADCAST eval-gram set") {
+    // the corpus side must not shuffle: eval grams broadcast, corpus explode
+    // feeds a BroadcastHashJoin, and the per-doc count is partial first
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"eval grams must broadcast:\n$p")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("mixture sampling is a pure filter — no shuffle, no aggregation") {
+    val p = plan("q_mixture_sample")
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+    assert(!p.contains("HashAggregate"))
+  }
+
+  test("chunking is shuffle-free (generate over the scan, no Exchange)") {
+    val p = plan("q_chunk")
+    assert(p.contains("Generate"), "chunk fan-out must be a Generate (explode)")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
+  test("token-df compiles to TakeOrdered top-k, not a global sort") {
+    val p = plan("q_token_df")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
+  }
+
   test("Profiler: fitted/sorted introspection (QueryProfiler parity)") {
     val g = graft.data.TpchGraph.load(spark, dir)
     val prof = g.V().hasLabel("order").has("orderstatus", "F")
