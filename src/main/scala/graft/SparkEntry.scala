@@ -329,6 +329,14 @@ object SparkEntry {
         .select("a", "b")
         .select(col("a_uid").as("c_uid"), col("b_uid").as("o_uid"))
     }),
+    // ---- 2.E sack (per-traverser accumulator along the path) ----
+    "q_sack" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer").has("mktsegment", "BUILDING")
+        .withSack(lit(0.0))
+        .out("placed").sackOp(_ + col("totalprice"))
+        .outE("contains").sackOp(_ + col("extendedprice"))
+        .sackValues()
+    }),
     // ---- 2.E where(not(...)) — anti-join traversal predicate ----
     "q_where_not" -> ((s, dir) => {
       val g = graph(s, dir)
@@ -887,6 +895,11 @@ object SparkEntry {
     "q_select" ->
       """SELECT c_custkey AS c_uid, o_orderkey AS o_uid FROM customer
         |JOIN orders ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "q_sack" ->
+      """SELECT 0.0 + o_totalprice + l_extendedprice AS sack FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
     "q_where_not" ->
       """SELECT c_custkey AS uid, c_name AS name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin,

@@ -75,14 +75,17 @@ final case class Traversal(
   def outV(): Traversal = edgeToVertex("src")
   def otherV(): Traversal = edgeToVertex("other")
 
-  private def carryCols: Seq[Column] = asCols.map(col) ++ (if (hasPath) Seq(col("_path")) else Nil)
+  private def hasSack: Boolean = df.columns.contains("_sack")
+  private def sackCarry: Seq[Column] = if (hasSack) Seq(col("_sack")) else Nil
+  private def carryCols: Seq[Column] =
+    asCols.map(col) ++ (if (hasPath) Seq(col("_path")) else Nil) ++ sackCarry
 
   private def hop(d: Direction, labels: Seq[String], toVertex: Boolean): Traversal = {
     require(isVertex, s"$d hop requires a vertex frontier")
     val pathInit: Seq[Column] =
       if (pathEnabled && !hasPath) Seq(F.array(col("id")).as("_path"))
       else if (hasPath) Seq(col("_path")) else Nil
-    val f = df.select(col("id").as("_from") +: (asCols.map(col) ++ pathInit): _*)
+    val f = df.select(col("id").as("_from") +: (asCols.map(col) ++ pathInit ++ sackCarry): _*)
     val e0 = graph.edges
     val e = if (labels.isEmpty) e0
             else if (labels.size == 1) e0.filter(col("label") === labels.head)
@@ -108,13 +111,15 @@ final case class Traversal(
     if (!toVertex) {
       val cols = Seq("vid", "other", "dir", "id", "src", "dst", "label").map(col) ++
         graph.edgePropColumns.map(col) ++ asCols.map(col) ++
-        (if (pathEnabled) Seq(F.concat(col("_path"), F.array(col("id"))).as("_path")) else Nil)
+        (if (pathEnabled) Seq(F.concat(col("_path"), F.array(col("id"))).as("_path")) else Nil) ++
+        sackCarry
       Traversal(graph, joined.select(cols: _*), isVertex = false, pathEnabled)
     } else {
       val v = graph.vertices.alias("V")
       val res = joined.join(v, col("other") === col("V.id"))
       val cols = Seq(col("V.*")) ++ asCols.map(col) ++
-        (if (pathEnabled) Seq(F.concat(col("_path"), F.array(col("V.id"))).as("_path")) else Nil)
+        (if (pathEnabled) Seq(F.concat(col("_path"), F.array(col("V.id"))).as("_path")) else Nil) ++
+        sackCarry
       Traversal(graph, res.select(cols: _*), isVertex = true, pathEnabled)
     }
   }
@@ -125,7 +130,8 @@ final case class Traversal(
     val v = graph.vertices.alias("V")
     val res = f.join(v, col("_to") === col("V.id"))
     val cols = Seq(col("V.*")) ++ asCols.map(col) ++
-      (if (hasPath) Seq(F.concat(col("_path"), F.array(col("V.id"))).as("_path")) else Nil)
+      (if (hasPath) Seq(F.concat(col("_path"), F.array(col("V.id"))).as("_path")) else Nil) ++
+      sackCarry
     Traversal(graph, res.select(cols: _*), isVertex = true, pathEnabled)
   }
 
@@ -146,6 +152,23 @@ final case class Traversal(
   }
 
   def path(): DataFrame = df.select(col("_path").as("path"))
+
+  // ---------- sack (per-traverser accumulator) ----------
+  /** withSack(init) — attach a per-traverser accumulator (TinkerPop sack with
+    * split = identity, no merge; the reference runs SackStep through its
+    * TinkerPop integration). The sack rides every hop/filter/order like an
+    * `as`-label, adding one column to the frontier — no extra shuffle. */
+  def withSack(init: Column): Traversal = copy(df = df.withColumn("_sack", init))
+
+  /** sack-update step: fold the current element into the accumulator, e.g.
+    * `sackOp(_ + col("weight"))` ≡ Gremlin `sack(sum).by('weight')`. */
+  def sackOp(f: Column => Column): Traversal = {
+    require(hasSack, "withSack(init) must precede sackOp")
+    copy(df = df.withColumn("_sack", f(col("_sack"))))
+  }
+
+  /** sack() terminal — the accumulator value per surviving traverser. */
+  def sackValues(): DataFrame = df.select(col("_sack").as("sack"))
 
   /** simplePath — keep only traversers that never revisit an element. */
   def simplePath(): Traversal = {

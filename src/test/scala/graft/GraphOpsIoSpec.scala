@@ -156,6 +156,28 @@ class GraphOpsIoSpec extends AnyFunSuite {
     }
   }
 
+  test("sack: per-traverser accumulator rides hops, updates from element columns") {
+    val g = TpchGraph.load(spark, dir)
+    val sacks = g.traversal.V().hasLabel("customer").has("uid", 7L)
+      .withSack(lit(0.0))
+      .out("placed").sackOp(_ + col("totalprice"))
+      .outE("contains").sackOp(_ + col("extendedprice"))
+      .sackValues().collect().map(_.getDouble(0)).sorted
+    // relational mirror of the same accumulation
+    val c = spark.read.parquet(s"$dir/customer.parquet").filter(col("c_custkey") === 7L)
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val expected = c.join(o, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_totalprice") + col("l_extendedprice")).as("s"))
+      .collect().map(_.getDouble(0)).sorted
+    assert(sacks.length > 0 && sacks.toSeq === expected.toSeq)
+    // sack requires initialization
+    intercept[IllegalArgumentException] {
+      g.traversal.V().hasLabel("customer").sackOp(_ + 1.0)
+    }
+  }
+
   test("traversal: choose branches and coalesce first-non-empty") {
     val t = gods.traversal.V().hasLabel("god")
       .choose(col("name") === "jupiter")(_.out("father"), identity)
