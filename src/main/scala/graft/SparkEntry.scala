@@ -758,6 +758,24 @@ object SparkEntry {
         .both().both().cyclicPath()
         .values("uid", "label")
     }),
+    // ---- 2.E tree — paths grouped under their root element ----
+    "q_tree" -> ((s, dir) => {
+      graph(s, dir).traversal.withPath.V().hasLabel("nation")
+        .out("in_region")
+        .tree()
+        .select(col("root"), array_join(col("path"), ">").as("path"))
+    }),
+    // ---- 2.E fold — frontier collected into one sorted list ----
+    "q_fold" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("region")
+        .fold().select(array_join(col("ids"), ",").as("ids"))
+    }),
+    // ---- 2.E unfold — one traverser per sack-list element ----
+    "q_unfold" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("part")
+        .withSack(split(col("name"), " "))
+        .unfold("_sack", "token")
+    }),
     // ---- 2.E subgraph — induced subgraph from an edge predicate ----
     "q_subgraph" -> ((s, dir) => {
       val sg = graph(s, dir).subgraph(
@@ -1022,6 +1040,15 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey""".stripMargin,
     "q_cyclic_path" ->
       "SELECT n_regionkey AS uid, 'region' AS label FROM nation",
+    "q_tree" ->
+      s"""SELECT 2 * $T + n_nationkey AS root,
+         |CAST(2 * $T + n_nationkey AS VARCHAR) || '>' || CAST(1 * $T + n_regionkey AS VARCHAR) AS path
+         |FROM nation""".stripMargin,
+    "q_fold" ->
+      s"""SELECT string_agg(CAST(1 * $T + r_regionkey AS VARCHAR), ',' ORDER BY r_regionkey) AS ids
+         |FROM region""".stripMargin,
+    "q_unfold" ->
+      "SELECT unnest(string_split(p_name, ' ')) AS token FROM part",
     "q_subgraph" ->
       """SELECT 'v' AS kind, 'customer' AS label, COUNT(DISTINCT o_custkey) AS cnt
         |FROM orders WHERE o_orderdate < DATE '1997-01-01'
