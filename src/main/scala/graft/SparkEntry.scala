@@ -776,6 +776,24 @@ object SparkEntry {
         .withSack(split(col("name"), " "))
         .unfold("_sack", "token")
     }),
+    // ---- 2.E local-scope terminals (count/order/limit/max over lists) ----
+    "q_local_scope" -> ((s, dir) => {
+      import graft.functions.Local
+      graph(s, dir).traversal.V().hasLabel("customer").as("c").out("placed")
+        .group("_as_c_uid", "uid")
+        .select(col("_as_c_uid").as("c_uid"),
+          Local.count(col("values")).as("n_orders"),
+          array_join(transform(Local.limit(Local.order(col("values")), 3),
+            _.cast("string")), ",").as("first3"),
+          Local.max(col("values")).as("max_uid"))
+    }),
+    // ---- 2.E inject — extra traversers added mid-traversal ----
+    "q_inject" -> ((s, dir) => {
+      val nid = TpchGraph.NationTag.toLong * (1L << graft.core.GraphIds.TagBits)
+      graph(s, dir).traversal.V().hasLabel("region")
+        .inject(nid + 1L, nid + 2L)
+        .values("uid", "label")
+    }),
     // ---- 2.E subgraph — induced subgraph from an edge predicate ----
     "q_subgraph" -> ((s, dir) => {
       val sg = graph(s, dir).subgraph(
@@ -1049,6 +1067,14 @@ object SparkEntry {
          |FROM region""".stripMargin,
     "q_unfold" ->
       "SELECT unnest(string_split(p_name, ' ')) AS token FROM part",
+    "q_local_scope" ->
+      """SELECT c_custkey AS c_uid, COUNT(*) AS n_orders,
+        |array_to_string(list_slice(list_sort(list(o_orderkey)), 1, 3), ',') AS first3,
+        |MAX(o_orderkey) AS max_uid
+        |FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY 1""".stripMargin,
+    "q_inject" ->
+      """SELECT r_regionkey AS uid, 'region' AS label FROM region
+        |UNION ALL SELECT n_nationkey, 'nation' FROM nation WHERE n_nationkey IN (1, 2)""".stripMargin,
     "q_subgraph" ->
       """SELECT 'v' AS kind, 'customer' AS label, COUNT(DISTINCT o_custkey) AS cnt
         |FROM orders WHERE o_orderdate < DATE '1997-01-01'

@@ -62,6 +62,16 @@ object ChangeStream {
       .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
 
+  /** Streaming exact-dedup of the change log on its transaction id — the
+    * at-least-once→exactly-once bridge of the reference's recovery path
+    * (StandardTransactionLogProcessor replays the WAL idempotently; replayed
+    * entries must not double-apply). State is bounded by the watermark: an
+    * event id is remembered only until event time passes `watermark`, so a
+    * 100 TB log never accumulates unbounded dedup state. */
+  def dedupStream(changes: DataFrame, watermark: String = "2 hours"): DataFrame =
+    changes.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Batch replay of the full log (TransactionRecovery analogue: recompute
     * derived state from the log from scratch, idempotently). */
   def replay(spark: SparkSession, dir: String): DataFrame =

@@ -272,6 +272,17 @@ final case class Traversal(
   def union(others: Traversal*): Traversal =
     copy(df = (this +: others).map(_.df).reduce((a, b) => a.unionByName(b, allowMissingColumns = true)))
 
+  /** inject(ids*) — add the given graph elements to the frontier as fresh
+    * traversers (Gremlin InjectStep). New traversers carry no `as`-history or
+    * sack; with path tracking on, their path starts at the injected element. */
+  def inject(ids: Long*): Traversal = {
+    val base = if (isVertex) graph.vertices else graph.edges
+    val injected0 = base.filter(col("id").isin(ids: _*))
+    val injected =
+      if (hasPath) injected0.withColumn("_path", F.array(col("id"))) else injected0
+    copy(df = df.unionByName(injected, allowMissingColumns = true))
+  }
+
   /** optional(step): rows whose step produces no result survive unchanged
     * (Gremlin optional = choose(step, step, identity)). Source provenance is
     * carried through the step via a reserved `as` label so the unmatched set

@@ -178,6 +178,58 @@ class GraphOpsIoSpec extends AnyFunSuite {
     }
   }
 
+  test("local-scope terminals match their exploded-global equivalents") {
+    import graft.functions.Local
+    val g = TpchGraph.load(spark, dir)
+    val grouped = g.traversal.V().hasLabel("customer").as("c").out("placed")
+      .group("_as_c_uid", "totalprice")
+    val local = grouped.select(col("_as_c_uid").as("cust"),
+        Local.count(col("values")).as("n"),
+        Local.sumD(Local.order(col("values"))).as("s"),
+        Local.max(col("values")).as("mx"),
+        Local.min(col("values")).as("mn"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // global mirror: explode-free groupBy aggregation over the same hop
+    val global = g.traversal.V().hasLabel("customer").as("c").out("placed").toDF
+      .groupBy(col("_as_c_uid").as("cust"))
+      .agg(count(lit(1)).as("n"), sum(col("totalprice")).as("s"),
+        max(col("totalprice")).as("mx"), min(col("totalprice")).as("mn"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(local.keySet === global.keySet)
+    local.foreach { case (k, (n, s, mx, mn)) =>
+      val (gn, gsum, gmx, gmn) = global(k)
+      assert(n === gn && mx === gmx && mn === gmn)
+      assert(math.abs(s - gsum) <= 1e-6 * math.max(1.0, math.abs(gsum)),
+        s"local sum $s vs global $gsum for $k") // float fold order may differ
+    }
+    // list-position slices: limit + tail + range partition an ordered list
+    val slices = grouped.select(Local.order(col("values")).as("v"))
+      .select(Local.count(Local.limit(col("v"), 2)).as("a"),
+        Local.count(Local.tail(col("v"), 1)).as("b"),
+        Local.count(Local.range(col("v"), 0, 2)).as("c"),
+        Local.count(col("v")).as("total")).collect()
+    slices.foreach { r =>
+      assert(r.getLong(0) === math.min(2L, r.getLong(3)))
+      assert(r.getLong(1) === math.min(1L, r.getLong(3)))
+      assert(r.getLong(2) === math.min(2L, r.getLong(3)))
+    }
+  }
+
+  test("inject: extra traversers join the frontier as fresh elements") {
+    val g = TpchGraph.load(spark, dir)
+    val nid = TpchGraph.NationTag.toLong * (1L << graft.core.GraphIds.TagBits)
+    val base = g.traversal.V().hasLabel("region").toDF.count()
+    val injected = g.traversal.V().hasLabel("region").inject(nid + 1L, nid + 2L)
+    assert(injected.toDF.count() === base + 2)
+    assert(injected.hasLabel("nation").toDF.count() === 2)
+    // with path tracking, injected traversers start their own path
+    val withP = g.traversal.withPath.V().hasLabel("region").inject(nid + 1L)
+      .toDF.filter(col("id") === nid + 1L).select(col("_path")).collect()
+    assert(withP.length === 1 && withP(0).getSeq[Long](0) === Seq(nid + 1L))
+  }
+
   test("traversal: choose branches and coalesce first-non-empty") {
     val t = gods.traversal.V().hasLabel("god")
       .choose(col("name") === "jupiter")(_.out("father"), identity)

@@ -139,6 +139,41 @@ class StreamMgmtSpec extends AnyFunSuite {
       s"idle user's open session must flush exactly once with 2 events, got $sink")
   }
 
+  test("streaming dedup: replayed event ids across micro-batches emitted once") {
+    val inDir = Files.createTempDirectory("graft-dedup-in").toString
+    val checkpoint = Files.createTempDirectory("graft-dedup-ckpt").toString
+    val ns = 1000000000L
+    val sink = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def runPass(): Unit = {
+      val stream = spark.readStream.schema(ChangeStream.eventsSchema).parquet(inDir)
+        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      val q = ChangeStream.dedupStream(stream).writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = batch.select("event_id").collect().map(_.getLong(0))
+          sink.synchronized { sink ++= ids }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    // base event time well past epoch: rows at/below the initial watermark
+    // (epoch 0) would be discarded as late before reaching the dedup operator
+    val t0 = 1000L * 3600L * ns
+    writeEventFile(inDir, "a.parquet", Seq(
+      (1L, t0, 1L, "click", 0.0, "{}"), (2L, t0 + 1L * ns, 1L, "click", 0.0, "{}"),
+      (3L, t0 + 2L * ns, 2L, "click", 0.0, "{}")))
+    runPass()
+    // replay batch: 2 and 3 are WAL re-deliveries, 4 is new
+    writeEventFile(inDir, "b.parquet", Seq(
+      (2L, t0 + 1L * ns, 1L, "click", 0.0, "{}"), (3L, t0 + 2L * ns, 2L, "click", 0.0, "{}"),
+      (4L, t0 + 3L * ns, 2L, "click", 0.0, "{}")))
+    runPass()
+    assert(sink.sorted.toList === List(1L, 2L, 3L, 4L),
+      s"each event id must be emitted exactly once, got ${sink.sorted.toList}")
+  }
+
   test("management: maker surface + commit") {
     val mgmt = new Management(GraphSchema())
     mgmt.makePropertyKey("score").dataType(org.apache.spark.sql.types.DoubleType).make()
