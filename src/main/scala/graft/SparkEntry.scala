@@ -550,6 +550,22 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), graft.pipeline.TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))
     }),
+    // ---- pipeline: multimodal batch plumbing (payload bytes → features) ----
+    "q_multimodal" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val media = graft.pipeline.Multimodal.synthesizeMedia(docs, "doc_id", "text")
+      graft.pipeline.Multimodal.decodeStub(media)
+        .join(media.select(col("doc_id"), col("media.width").as("width")), Seq("doc_id"))
+        .select(col("doc_id"), col("n_bytes"), col("width"))
+    }),
+    // ---- 2.F superset: grouping-set rollup (Spark freebie per SURVEY 2.F) ----
+    "q_rollup" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"), col("cnt"))
+    }),
     // ---- pipeline: quality features (integer-ratio deterministic doubles) ----
     "q_quality" -> ((s, dir) => {
       val f = graft.pipeline.TextAnalysis.qualityFeatures(col("text"))
@@ -1137,6 +1153,13 @@ object SparkEntry {
         |WHERE "rank" <= 5""".stripMargin,
     "q_token_count" ->
       "SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens FROM documents",
+    "q_multimodal" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |CAST(length(text) % 640 AS INTEGER) AS width FROM documents""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |coalesce(o_orderstatus, 'ALL') AS status, COUNT(*) AS cnt
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
     "q_quality" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS tok FROM documents)
         |SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
