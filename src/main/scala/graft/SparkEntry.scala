@@ -449,6 +449,33 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) => {
       graft.olap.Analytics.pageRankFixedPoint(graph(s, dir), iterations = 10)
     }),
+    // ---- 2.K BSP vertex program end-to-end (combine + barrier + write-back) ----
+    "q_bsp" -> ((s, dir) => {
+      import s.implicits._
+      val g = graph(s, dir)
+      val sub = g.subgraph(col("label").isin("in_nation", "in_region"))
+      val states = graft.olap.VertexProgramRunner
+        .run(sub, graft.olap.NeighborDegree, maxIterations = 2)
+        .vertices.toDF("id", "v")
+      states.join(g.V().hasLabel("region").dataframe.select(col("id"), col("uid")), Seq("id"))
+        .select(col("uid"), col("v"))
+    }),
+    // ---- 2.F OLAP MapReduce stage (map emitter → shuffle → reduce emitter) ----
+    "q_mapreduce" -> ((s, dir) => {
+      import s.implicits._
+      val g = graph(s, dir)
+      graft.olap.MapReduce.run(g.vertices)(
+        r => Iterator((r.getString(r.fieldIndex("label")), 1L)))(
+        (k, vs) => (k, vs.foldLeft(0L)((a, _) => a + 1)))
+        .toDF("label", "cnt")
+    }),
+    // ---- 2.K ghost-vertex detection (half-deleted elements via anti-join) ----
+    "q_ghost" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val corrupted = g.copy(vertices = g.vertices.filter(col("label") =!= "nation"))
+      graft.olap.GraphOps.ghostEdges(corrupted)
+        .groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    }),
     // ---- 2.K connected components (min-label propagation, oracle-checkable) ----
     "q_connected_components" -> ((s, dir) => {
       graft.olap.Analytics.connectedComponentsExact(graph(s, dir), iterations = 12)
@@ -1101,6 +1128,26 @@ object SparkEntry {
     "q_mean_terminal" ->
       """SELECT AVG(p_size) AS "mean" FROM part""",
     "q_pagerank" -> pageRankOracle(10),
+    "q_bsp" ->
+      """WITH deg AS (
+        |  SELECT nk, CAST(SUM(d) AS BIGINT) AS d FROM (
+        |    SELECT c_nationkey AS nk, COUNT(*) AS d FROM customer GROUP BY 1
+        |    UNION ALL SELECT s_nationkey, COUNT(*) FROM supplier GROUP BY 1
+        |  ) GROUP BY nk)
+        |SELECT r_regionkey AS uid, CAST(SUM(deg.d) AS BIGINT) AS v
+        |FROM nation JOIN deg ON deg.nk = n_nationkey
+        |JOIN region ON r_regionkey = n_regionkey GROUP BY 1""".stripMargin,
+    "q_mapreduce" ->
+      """SELECT 'region' AS label, CAST((SELECT COUNT(*) FROM region) AS BIGINT) AS cnt
+        |UNION ALL SELECT 'nation', (SELECT COUNT(*) FROM nation)
+        |UNION ALL SELECT 'customer', (SELECT COUNT(*) FROM customer)
+        |UNION ALL SELECT 'supplier', (SELECT COUNT(*) FROM supplier)
+        |UNION ALL SELECT 'part', (SELECT COUNT(*) FROM part)
+        |UNION ALL SELECT 'order', (SELECT COUNT(*) FROM orders)""".stripMargin,
+    "q_ghost" ->
+      """SELECT 'in_nation' AS label,
+        |CAST((SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier) AS BIGINT) AS cnt
+        |UNION ALL SELECT 'in_region', (SELECT COUNT(*) FROM nation)""".stripMargin,
     "q_sssp" -> ssspOracle(
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 8),
     "q_connected_components" -> ccOracle(12),

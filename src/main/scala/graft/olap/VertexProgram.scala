@@ -33,6 +33,20 @@ trait VertexProgram[VD, Msg] extends Serializable {
   def memoryKeys(state: VD): Map[String, Double] = Map.empty
 }
 
+/** Two-superstep example program: superstep 0 computes each vertex's
+  * in-degree; superstep 1 replaces every vertex's state with the sum of its
+  * in-neighbors' in-degrees. Deterministic integer arithmetic end-to-end, so
+  * the full BSP execution path (message combine, superstep barrier, state
+  * write-back) is oracle-checkable against plain SQL aggregation. */
+object NeighborDegree extends VertexProgram[Long, Long] {
+  def initialState(id: VertexId): Long = 0L
+  def send(superstep: Int, t: EdgeTriplet[Long, Double]): Iterator[(VertexId, Long)] =
+    if (superstep == 0) Iterator((t.dstId, 1L)) else Iterator((t.dstId, t.srcAttr))
+  def combine(a: Long, b: Long): Long = a + b
+  def apply(superstep: Int, id: VertexId, state: Long, msg: Option[Long]): Long =
+    msg.getOrElse(0L)
+}
+
 object VertexProgramRunner {
   /** Run a VertexProgram over the property graph, superstep barrier per
     * iteration, returning final vertex states. Matches the execution shape of
