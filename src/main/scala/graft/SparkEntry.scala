@@ -289,6 +289,29 @@ object SparkEntry {
           graft.expr.Geo.circle(30.0, 40.0, 4000.0), roundScale = Some(3)))
         .select(col("uid"))
     }),
+    // ---- 2.D Geo.DISJOINT — complement of intersects, same rounding ----
+    "q_geo_disjoint" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val parts = g.V().hasLabel("part").dataframe
+        .withColumn("zone", graft.expr.Geo.circleCol(
+          pmod(col("uid"), lit(180)) - 90, pmod(col("uid") * 7, lit(360)) - 180,
+          lit(1000.0)))
+      parts.filter(graft.expr.Geo.disjoint(col("zone"),
+          graft.expr.Geo.circle(30.0, 40.0, 4000.0), roundScale = Some(3)))
+        .select(col("uid"))
+    }),
+    // ---- 2.A GraphSON-style JSON export/import round-trip ----
+    "q_graphson" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-gson").toString
+      val small = g.copy(
+        vertices = g.vertices.filter(col("label").isin("region", "nation")),
+        edges = g.edges.filter(col("label") === "in_region"))
+      graft.data.GraphIO.exportJson(small, tmp)
+      val back = graft.data.GraphIO.importJson(s, tmp)
+      back.vertices.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+        .unionAll(back.edges.groupBy(col("label")).agg(count(lit(1)).as("cnt")))
+    }),
     // ---- 2.G running aggregate over an ordered per-vertex window ----
     "q_running_total" -> ((s, dir) => {
       val g = graph(s, dir)
@@ -1044,6 +1067,18 @@ object SparkEntry {
         |  pow(sin(radians(30.0 - lat) / 2), 2) +
         |  cos(radians(lat)) * cos(radians(30.0)) * pow(sin(radians(40.0 - lon) / 2), 2))), 3)
         |  <= 1000.0 + 4000.0""".stripMargin,
+    "q_geo_disjoint" ->
+      """WITH t AS (SELECT p_partkey AS uid,
+        |  CAST(p_partkey % 180 - 90 AS DOUBLE) AS lat,
+        |  CAST((p_partkey * 7) % 360 - 180 AS DOUBLE) AS lon FROM part)
+        |SELECT uid FROM t WHERE round(2 * 6371.0087714 * asin(sqrt(
+        |  pow(sin(radians(30.0 - lat) / 2), 2) +
+        |  cos(radians(lat)) * cos(radians(30.0)) * pow(sin(radians(40.0 - lon) / 2), 2))), 3)
+        |  > 1000.0 + 4000.0""".stripMargin,
+    "q_graphson" ->
+      """SELECT 'region' AS label, CAST((SELECT COUNT(*) FROM region) AS BIGINT) AS cnt
+        |UNION ALL SELECT 'nation', (SELECT COUNT(*) FROM nation)
+        |UNION ALL SELECT 'in_region', (SELECT COUNT(*) FROM nation)""".stripMargin,
     "q_tail" ->
       "SELECT o_orderkey AS uid, o_totalprice AS totalprice FROM orders ORDER BY o_totalprice ASC, o_orderkey DESC LIMIT 5",
     "q_vertex_by_id" ->
