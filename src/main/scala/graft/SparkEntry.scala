@@ -842,6 +842,14 @@ object SparkEntry {
         .withSack(split(col("name"), " "))
         .unfold("_sack", "token")
     }),
+    // ---- 2.E store/cap — in-traversal side-effect barrier (within/without) ----
+    "q_store_cap" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("order").has("totalprice", P.gt(300000.0))
+        .store("big")
+        .in("placed").out("placed")
+        .capWithout("big").dedup()
+        .values("uid")
+    }),
     // ---- 2.E local-scope terminals (count/order/limit/max over lists) ----
     "q_local_scope" -> ((s, dir) => {
       import graft.functions.Local
@@ -1145,6 +1153,10 @@ object SparkEntry {
          |FROM region""".stripMargin,
     "q_unfold" ->
       "SELECT unnest(string_split(p_name, ' ')) AS token FROM part",
+    "q_store_cap" ->
+      """SELECT DISTINCT o_orderkey AS uid FROM orders
+        |WHERE o_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+        |AND NOT o_totalprice > 300000.0""".stripMargin,
     "q_local_scope" ->
       """SELECT c_custkey AS c_uid, COUNT(*) AS n_orders,
         |array_to_string(list_slice(list_sort(list(o_orderkey)), 1, 3), ',') AS first3,

@@ -32,7 +32,8 @@ final case class Traversal(
     df: DataFrame,
     isVertex: Boolean,
     pathEnabled: Boolean = false,
-    lastOrder: Seq[Column] = Nil) {
+    lastOrder: Seq[Column] = Nil,
+    stored: Map[String, DataFrame] = Map.empty) {
 
   private def asCols: Seq[String] = df.columns.filter(_.startsWith("_as_")).toSeq
   private def hasPath: Boolean = df.columns.contains("_path")
@@ -113,14 +114,14 @@ final case class Traversal(
         graph.edgePropColumns.map(col) ++ asCols.map(col) ++
         (if (pathEnabled) Seq(F.concat(col("_path"), F.array(col("id"))).as("_path")) else Nil) ++
         sackCarry
-      Traversal(graph, joined.select(cols: _*), isVertex = false, pathEnabled)
+      copy(df = joined.select(cols: _*), isVertex = false, lastOrder = Nil)
     } else {
       val v = graph.vertices.alias("V")
       val res = joined.join(v, col("other") === col("V.id"))
       val cols = Seq(col("V.*")) ++ asCols.map(col) ++
         (if (pathEnabled) Seq(F.concat(col("_path"), F.array(col("V.id"))).as("_path")) else Nil) ++
         sackCarry
-      Traversal(graph, res.select(cols: _*), isVertex = true, pathEnabled)
+      copy(df = res.select(cols: _*), isVertex = true, lastOrder = Nil)
     }
   }
 
@@ -132,7 +133,7 @@ final case class Traversal(
     val cols = Seq(col("V.*")) ++ asCols.map(col) ++
       (if (hasPath) Seq(F.concat(col("_path"), F.array(col("V.id"))).as("_path")) else Nil) ++
       sackCarry
-    Traversal(graph, res.select(cols: _*), isVertex = true, pathEnabled)
+    copy(df = res.select(cols: _*), isVertex = true, lastOrder = Nil)
   }
 
   // ---------- modulation / projection ----------
@@ -367,6 +368,32 @@ final case class Traversal(
     * (Gremlin aggregate/cap). Returned as a broadcastable DataFrame; the
     * traversal itself continues unchanged. */
   def aggregateSet(): org.apache.spark.sql.DataFrame = df.select(col("id")).distinct()
+
+  /** store('x') — record the current frontier's ids under `name` and continue
+    * (Gremlin StoreStep: lazy side-effect collection). The stored set is a
+    * lazy plan, not a driver collection — at use time (`capWithin`) it becomes
+    * one side of a semi-join, which AQE broadcasts when small. */
+  def store(name: String): Traversal =
+    copy(stored = stored + (name -> df.select(col("id")).distinct()))
+
+  /** where(within('x')) — keep traversers whose current element is in the
+    * stored set (the canonical in-traversal use of aggregate/store + cap:
+    * `aggregate('x')...where(within('x'))`). Compiled as a semi-join against
+    * the stored frontier plan — the barrier is Spark's stage boundary. */
+  def capWithin(name: String): Traversal = {
+    val set = stored.getOrElse(name,
+      throw new IllegalArgumentException(s"no stored set '$name' — call store('$name') first"))
+    copy(df = df.join(set.withColumnRenamed("id", "__cap_id"),
+      col("id") === col("__cap_id"), "left_semi"))
+  }
+
+  /** where(without('x')) — the negated form: anti-join on the stored set. */
+  def capWithout(name: String): Traversal = {
+    val set = stored.getOrElse(name,
+      throw new IllegalArgumentException(s"no stored set '$name' — call store('$name') first"))
+    copy(df = df.join(set.withColumnRenamed("id", "__cap_id"),
+      col("id") === col("__cap_id"), "left_anti"))
+  }
 
   /** fold() — all traverser ids collected into one sorted list (Gremlin fold;
     * sorted for determinism). Driver-size bounded by definition — a global

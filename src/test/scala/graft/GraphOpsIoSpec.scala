@@ -230,6 +230,25 @@ class GraphOpsIoSpec extends AnyFunSuite {
     assert(withP.length === 1 && withP(0).getSeq[Long](0) === Seq(nid + 1L))
   }
 
+  test("store/capWithin: side-effect set filters a later frontier") {
+    val g = TpchGraph.load(spark, dir)
+    // orders > 300k stored, then re-selected downstream: within == the set
+    val kept = g.traversal.V().hasLabel("order").has("totalprice", graft.expr.P.gt(300000.0))
+      .store("big").in("placed").out("placed").capWithin("big").dedup()
+      .toDF.select("id").collect().map(_.getLong(0)).toSet
+    val direct = g.traversal.V().hasLabel("order").has("totalprice", graft.expr.P.gt(300000.0))
+      .toDF.select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === direct)
+    // within + without partition the wandered frontier
+    val without = g.traversal.V().hasLabel("order").has("totalprice", graft.expr.P.gt(300000.0))
+      .store("big").in("placed").out("placed").capWithout("big").dedup()
+      .toDF.select("id").collect().map(_.getLong(0)).toSet
+    assert((kept intersect without).isEmpty)
+    intercept[IllegalArgumentException] {
+      g.traversal.V().hasLabel("order").capWithin("nope")
+    }
+  }
+
   test("traversal: choose branches and coalesce first-non-empty") {
     val t = gods.traversal.V().hasLabel("god")
       .choose(col("name") === "jupiter")(_.out("father"), identity)

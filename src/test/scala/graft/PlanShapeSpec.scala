@@ -116,6 +116,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
   }
 
+  test("local-scope terminals are per-row array expressions — no Window, no extra shuffle") {
+    val p = plan("q_local_scope")
+    assert(!p.contains("Window"), s"Scope.local must not compile to a window:\n$p")
+    assert(p.contains("sort_array") || p.contains("slice"), "expected array expressions")
+  }
+
+  test("rollup compiles to Expand + partial aggregation (no per-grouping rescans)") {
+    val p = plan("q_rollup")
+    assert(p.contains("Expand"), s"expected Expand for grouping sets:\n$p")
+    assert(p.linesIterator.count(_.contains("Location:")) === 1,
+      "rollup must scan the input once")
+  }
+
+  test("store/cap compiles to a semi/anti join, never a cartesian") {
+    val p = plan("q_store_cap")
+    assert(p.contains("LeftAnti") || p.contains("left_anti"), s"expected anti join:\n$p")
+    assert(!p.contains("Cartesian"), s"no cartesian allowed:\n$p")
+  }
+
   test("Profiler: fitted/sorted introspection (QueryProfiler parity)") {
     val g = graft.data.TpchGraph.load(spark, dir)
     val prof = g.V().hasLabel("order").has("orderstatus", "F")
