@@ -1,5 +1,6 @@
 package graft.core
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -17,13 +18,21 @@ import org.apache.spark.storage.StorageLevel
   * params). A repeated call returns the already-persisted frame; once more
   * than `MaxEntries` distinct frames are live, the least-recently-used is
   * unpersisted — so total cached storage is bounded for any call pattern,
-  * per the storage-leak review finding. Sessions are weak keys: a closed
-  * session drops its map (Spark clears its own cache on stop).
+  * per the storage-leak review finding. Session cleanup is a SparkListener:
+  * when the session's context stops, its entries are dropped (a WeakHashMap
+  * would NOT work here — the cached DataFrames strongly reference their own
+  * session, pinning the weak key forever).
+  *
+  * SNAPSHOT SEMANTICS: a cached frame is a frozen snapshot of its input at
+  * first computation, exactly like `DataFrame.persist`. If the underlying
+  * files are overwritten mid-session, call `invalidate`/`clear` before
+  * re-running the operator, or the stale frame is served (same contract as
+  * Spark's own cache over mutated paths).
   */
 object PlanCache {
   private val MaxEntries = 16
   private val caches =
-    new java.util.WeakHashMap[SparkSession, java.util.LinkedHashMap[String, DataFrame]]
+    new java.util.HashMap[SparkSession, java.util.LinkedHashMap[String, DataFrame]]
 
   /** Stable cache key: operator tag + semantic hash of the input plan +
     * operator parameters. */
@@ -34,7 +43,13 @@ object PlanCache {
     * (evicting + unpersisting the LRU entry past capacity). */
   def cached(spark: SparkSession, cacheKey: String)(build: => DataFrame): DataFrame =
     synchronized {
-      val m = caches.computeIfAbsent(spark, _ =>
+      val m = caches.computeIfAbsent(spark, s => {
+        // drop this session's entries when its context stops, so a process
+        // cycling short-lived sessions cannot accumulate dead session state
+        s.sparkContext.addSparkListener(new SparkListener {
+          override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+            PlanCache.drop(s)
+        })
         new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
           override def removeEldestEntry(
               e: java.util.Map.Entry[String, DataFrame]): Boolean = {
@@ -42,7 +57,8 @@ object PlanCache {
             if (evict) e.getValue.unpersist(false)
             evict
           }
-        })
+        }
+      })
       val hit = m.get(cacheKey)
       if (hit != null) hit
       else {
@@ -52,9 +68,24 @@ object PlanCache {
       }
     }
 
-  /** Drop and unpersist everything cached for a session (test hook). */
+  /** Unpersist and forget one cached entry (use after overwriting the files
+    * a cached operator read — see SNAPSHOT SEMANTICS above). */
+  def invalidate(spark: SparkSession, cacheKey: String): Unit = synchronized {
+    val m = caches.get(spark)
+    if (m != null) {
+      val df = m.remove(cacheKey)
+      if (df != null) df.unpersist(false)
+    }
+  }
+
+  /** Drop and unpersist everything cached for a session. */
   def clear(spark: SparkSession): Unit = synchronized {
     val m = caches.remove(spark)
     if (m != null) m.values.forEach(_.unpersist(false))
+  }
+
+  /** Forget a stopped session's entries without touching its (dead) cache. */
+  private def drop(spark: SparkSession): Unit = synchronized {
+    caches.remove(spark); ()
   }
 }

@@ -233,6 +233,10 @@ object TpchGraph {
       val tmp = new org.apache.hadoop.fs.Path(
         finalPath + ".__tmp-" + java.util.UUID.randomUUID().toString)
       write(tmp.toString)
+      // a dest without _SUCCESS is a partial layout from a crashed writer
+      // (never readable: `ready` gates every load) — replace it rather than
+      // keeping it forever; only a COMPLETE dest wins the publish race
+      if (fs.exists(dest) && !ready(finalPath)) fs.delete(dest, true)
       if (fs.exists(dest) || !fs.rename(tmp, dest)) fs.delete(tmp, true)
     }
     if (!ready(vPath) || !ready(ePath)) {

@@ -25,31 +25,33 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
   override def nullable: Boolean = true
   override def prettyName: String = "array_dot"
 
-  private def elemOk(dt: DataType): Boolean = dt match {
-    case ArrayType(FloatType | DoubleType, _) => true
-    case _ => false
-  }
-  private def isFloat(dt: DataType): Boolean = dt match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  private def elemKind(dt: DataType): Option[String] = dt match {
+    case ArrayType(FloatType, _) => Some("float")
+    case ArrayType(DoubleType, _) => Some("double")
+    case ArrayType(IntegerType, _) => Some("int")
+    case ArrayType(LongType, _) => Some("long")
+    case ArrayType(ShortType, _) => Some("short")
+    case ArrayType(ByteType, _) => Some("byte")
+    case _ => None
   }
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (elemOk(left.dataType) && elemOk(right.dataType))
+    if (elemKind(left.dataType).isDefined && elemKind(right.dataType).isDefined)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float|double> arguments, got ${left.dataType} / ${right.dataType}")
+      s"$prettyName requires two arrays of float/double/int/long/short/byte elements, " +
+        s"got ${left.dataType} / ${right.dataType}")
 
   override def nullSafeEval(a: Any, b: Any): Any =
     ArrayDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      isFloat(left.dataType), isFloat(right.dataType))
+      elemKind(left.dataType).get, elemKind(right.dataType).get)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = ArrayDot.getClass.getName.stripSuffix("$") + "$"
-    val lf = isFloat(left.dataType); val rf = isFloat(right.dataType)
+    val lk = elemKind(left.dataType).get; val rk = elemKind(right.dataType).get
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val r = ctx.freshName("dotRes")
-      s"""java.lang.Double $r = $cls.MODULE$$.compute($a, $b, $lf, $rf);
+      s"""java.lang.Double $r = $cls.MODULE$$.compute($a, $b, "$lk", "$rk");
          |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
          |""".stripMargin
     })
@@ -60,18 +62,26 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
 }
 
 object ArrayDot {
+  private def get(x: ArrayData, i: Int, kind: String): Double = kind match {
+    case "float" => x.getFloat(i).toDouble
+    case "double" => x.getDouble(i)
+    case "int" => x.getInt(i).toDouble
+    case "long" => x.getLong(i).toDouble
+    case "short" => x.getShort(i).toDouble
+    case "byte" => x.getByte(i).toDouble
+  }
+
   /** Shared by interpreted eval and generated code. Left-to-right fold from
-    * 0.0 — the summation order every mirrored oracle assumes. */
-  def compute(x: ArrayData, y: ArrayData, xf: Boolean, yf: Boolean): java.lang.Double = {
+    * 0.0 — the summation order every mirrored oracle assumes. Integral
+    * elements cast exactly (the old higher-order form's per-element cast). */
+  def compute(x: ArrayData, y: ArrayData, xk: String, yk: String): java.lang.Double = {
     val n = x.numElements()
     if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val a = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
-      val b = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += a * b
+      acc += get(x, i, xk) * get(y, i, yk)
       i += 1
     }
     acc
