@@ -585,6 +585,33 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.tokenDocFrequency(
         s.read.parquet(s"$dir/documents.parquet"), k = 20)
     }),
+    // ---- pipeline: BM25 retrieval over the corpus for a fixed term set ----
+    "q_bm25" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.bm25TopK(
+        s.read.parquet(s"$dir/documents.parquet"), Seq("hash", "scan", "merge"), k = 20)
+    }),
+    // ---- pipeline: exact interpolated token-length quantiles per source ----
+    "q_length_quantiles" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.lengthQuantiles(
+        s.read.parquet(s"$dir/documents.parquet"))
+    }),
+    // ---- 2.G lag/lead window: per-user inter-event gaps. Each raw ns long
+    // is truncated to µs with exact integer division (`div`) BEFORE
+    // differencing — DuckDB's parquet reader truncates ns→µs, and the
+    // long→double µs conversion in readEvents can be off by 1 µs, which an
+    // exact integer SUM would expose ----
+    "q_event_gaps" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet") // ts: long (ns)
+        .withColumn("ts_us", expr("ts div 1000"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      ev.withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("gap")).as("sum_gap_us"),
+          max(col("gap")).as("max_gap_us"))
+    }),
     // ---- pipeline: deterministic per-source mixture sampling ----
     "q_mixture_sample" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.mixtureSample(
@@ -1219,6 +1246,50 @@ object SparkEntry {
         |  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY df DESC, token ASC LIMIT 20""".stripMargin,
+    // BM25 (k1=1.2, b=0.75, classic Robertson idf+1): the per-term scores are
+    // pivoted into fixed columns and added in declared term order, so the
+    // float sum is order-deterministic on both engines; ROUND(_,6) absorbs
+    // last-ulp ln() differences.
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(string_split_regex(lower(text), '\s+')) AS token,
+        |         CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |matched AS (
+        |  SELECT id, token, CAST(COUNT(*) AS DOUBLE) AS tf, ANY_VALUE(dl) AS dl
+        |  FROM toks WHERE token IN ('hash', 'scan', 'merge') GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |         AVG(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE)) AS avgdl
+        |  FROM documents),
+        |dfs AS (SELECT token, CAST(COUNT(DISTINCT id) AS DOUBLE) AS dfreq FROM matched GROUP BY 1),
+        |scored AS (
+        |  SELECT m.id, m.token,
+        |    ln((s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5) + 1.0) *
+        |    (m.tf * 2.2) / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl)) AS sc
+        |  FROM matched m JOIN dfs d USING (token) CROSS JOIN stats s),
+        |piv AS (
+        |  SELECT id,
+        |    MAX(CASE WHEN token = 'hash' THEN sc END) AS s1,
+        |    MAX(CASE WHEN token = 'scan' THEN sc END) AS s2,
+        |    MAX(CASE WHEN token = 'merge' THEN sc END) AS s3
+        |  FROM scored GROUP BY 1)
+        |SELECT id AS doc_id,
+        |  ROUND(COALESCE(s1, 0) + COALESCE(s2, 0) + COALESCE(s3, 0), 6) AS score
+        |FROM piv ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_length_quantiles" ->
+      """SELECT source, COUNT(*) AS n,
+        |  ROUND(quantile_cont(len(string_split_regex(text, '\s+')), 0.25), 4) AS p25,
+        |  ROUND(quantile_cont(len(string_split_regex(text, '\s+')), 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(len(string_split_regex(text, '\s+')), 0.75), 4) AS p75
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_event_gaps" ->
+      """WITH o AS (SELECT user_id,
+        |  epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(gap) AS BIGINT) AS sum_gap_us, MAX(gap) AS max_gap_us
+        |FROM o GROUP BY 1""".stripMargin,
     "q_contamination" -> contaminationOracle,
     "q_mixture_sample" -> mixtureSampleOracle,
     "q_dedup_documents" -> dedupDocsOracle(8),

@@ -203,4 +203,66 @@ object TextAnalysis {
         regexp_replace(text, UrlPattern, "<URL>"),
         EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
+
+  /** BM25 retrieval over the corpus for a fixed term set (Robertson/Sparck
+    * Jones; the Lucene `(k1+1)`-free simplification is NOT used — we keep the
+    * classic numerator so scores match the textbook formula). Top `k` docs by
+    * (score DESC, id ASC).
+    *
+    * Scale shape: the per-doc length/term-frequency pass is one explode
+    * filtered to the query terms BEFORE the shuffle (only matching tokens
+    * move), aggregated map-side by (doc, term). Corpus stats (N, avgdl, per-
+    * term df) are two tiny aggregates broadcast back in. Per-term partial
+    * scores are pivoted into fixed columns and added in a FIXED order, so the
+    * floating-point sum is order-deterministic and a SQL oracle can reproduce
+    * it bit-for-bit (modulo last-ulp `ln` differences, absorbed by rounding).
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, "terms must be 1..8")
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("token"),
+      tokenCount(col(textCol)).cast(DoubleType).as("dl"))
+    val matched = toks.filter(col("token").isin(terms: _*))
+      .groupBy(col("id"), col("token"))
+      .agg(count(lit(1)).cast(DoubleType).as("tf"), first(col("dl")).as("dl"))
+    // corpus stats: one row — broadcast into every partial score
+    val stats = docs.agg(
+      count(lit(1)).cast(DoubleType).as("n_docs"),
+      avg(tokenCount(col(textCol)).cast(DoubleType)).as("avgdl"))
+    val dfs = matched.groupBy(col("token"))
+      .agg(countDistinct(col("id")).cast(DoubleType).as("dfreq"))
+    val scored = matched
+      .join(broadcast(dfs), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("dfreq") + lit(0.5)) /
+        (col("dfreq") + lit(0.5)) + lit(1.0)))
+      .withColumn("s", col("idf") * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    // pivot the ≤8 per-term scores into fixed columns; sum in declared term
+    // order — deterministic float addition on both engines
+    val termCols = terms.map(t =>
+      max(when(col("token") === t, col("s"))).as(s"__s_$t"))
+    val pivoted = scored.groupBy(col("id")).agg(termCols.head, termCols.tail: _*)
+    val total = terms.map(t => coalesce(col(s"__s_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    pivoted.select(col("id").as(idCol), round(total, 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Exact interpolated token-length quantiles (p25/p50/p75) per group —
+    * corpus length profiling. `percentile` is Spark's EXACT interpolated
+    * quantile, the same definition as SQL `quantile_cont`; group cardinality
+    * is small (sources/languages), so the exact sort-based agg is fine even
+    * at 100 TB (state is per-group, values spill). */
+  def lengthQuantiles(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        round(percentile(tokenCount(col(textCol)), lit(0.25)), 4).as("p25"),
+        round(percentile(tokenCount(col(textCol)), lit(0.5)), 4).as("p50"),
+        round(percentile(tokenCount(col(textCol)), lit(0.75)), 4).as("p75"))
 }

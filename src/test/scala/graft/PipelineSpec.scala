@@ -301,4 +301,38 @@ class PipelineSpec extends AnyFunSuite {
     val again = Multimodal.decodeStub(sized).collect()
     assert(rows.map(_.getLong(2)).sorted.toSeq === again.map(_.getLong(2)).sorted.toSeq)
   }
+
+  test("bm25TopK: term-frequency saturation and length normalization rank as expected") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark shuffle join"),                      // one hit, short doc
+      (2L, "join join join join"),                     // saturating tf
+      (3L, "filter scan filter scan filter scan"),     // no query terms
+      (4L, "join shuffle " + ("pad " * 40).trim)       // hits diluted by length
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.bm25TopK(corpus, Seq("join", "shuffle"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // doc 3 has no query term → excluded entirely
+    assert(!top.map(_._1).contains(3L))
+    assert(top.length === 3)
+    // doc 1 (both terms, short) must beat doc 4 (both terms, long — length
+    // normalization) and doc 2 (one term saturated)
+    assert(top.head._1 === 1L)
+    // scores strictly positive and sorted descending
+    assert(top.forall(_._2 > 0))
+    assert(top.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("lengthQuantiles: exact interpolated quartiles on a known distribution") {
+    import spark.implicits._
+    // group a: lengths 1,2,3,4 tokens → p25=1.75, p50=2.5, p75=3.25
+    val d = Seq(
+      ("a", "x"), ("a", "x x"), ("a", "x x x"), ("a", "x x x x"),
+      ("b", "y y")
+    ).toDF("source", "text")
+    val q = TextAnalysis.lengthQuantiles(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(q("a") === ((4L, 1.75, 2.5, 3.25)))
+    assert(q("b") === ((1L, 2.0, 2.0, 2.0)))
+  }
 }
