@@ -546,6 +546,13 @@ object SparkEntry {
       graft.pipeline.Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5)
         .select(col("qid"), col("nid"), col("rank"))
     }),
+    // ---- pipeline: SemDeDup-style semantic dedup (cluster → within-cluster
+    //      cosine pairs → keep min id per duplicate component) ----
+    "q_semantic_dedup" -> ((s, dir) => {
+      graft.pipeline.Similarity.semanticDedup(
+        s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.4254, nlist = 16)
+        .select(col("vec_id"), col("label"))
+    }),
     // ---- pipeline: LSH-bucketed cosine pairs (scale path). The cap is
     //      disabled HERE because the mirrored SQL keeps every banding
     //      candidate — production callers keep the default maxBucketSize ----
@@ -1293,6 +1300,7 @@ object SparkEntry {
     "q_contamination" -> contaminationOracle,
     "q_mixture_sample" -> mixtureSampleOracle,
     "q_dedup_documents" -> dedupDocsOracle(8),
+    "q_semantic_dedup" -> semanticDedupOracle(8, 0.4254, 16),
     "q_embed_pairs" ->
       """SELECT a.vec_id AS ida, b.vec_id AS idb FROM embeddings a JOIN embeddings b
         |ON a.vec_id < b.vec_id
@@ -1502,6 +1510,31 @@ object SparkEntry {
     * pair graph (clusters are tiny chains, diameter ≪ rounds ⇒ converged =
     * GraphX connectedComponents) → survivors are docs that are not a
     * non-minimum member of any component. */
+  /** Semantic-dedup oracle: same deterministic centroids + nearest-centroid
+    * assignment as the q_ivf_topk oracle, within-cluster cosine pairs, then
+    * `rounds` min-label iterations (duplicate components are tiny — diameter
+    * ≪ rounds ⇒ converged = GraphX connectedComponents). */
+  private def semanticDedupOracle(rounds: Int, threshold: Double, nlist: Int): String = {
+    val iters = minLabelIters("k", rounds)
+    s"""WITH cents AS MATERIALIZED (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+       |  FROM embeddings ORDER BY vec_id LIMIT $nlist),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id AS id, embedding AS v, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.id AS ida, b.id AS idb FROM asg a JOIN asg b ON a.cid = b.cid AND a.id < b.id
+       |  WHERE list_cosine_similarity(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) >= $threshold),
+       |e2 AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM pairs
+       |  UNION ALL SELECT idb, ida FROM pairs),
+       |k0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS l FROM e2),
+       |$iters
+       |SELECT e.vec_id, e.label FROM embeddings e
+       |WHERE NOT EXISTS (SELECT 1 FROM k$rounds c WHERE c.id = e.vec_id AND c.l <> e.vec_id)""".stripMargin
+  }
+
   private def dedupDocsOracle(rounds: Int): String = {
     val iters = minLabelIters("k", rounds)
     s"""WITH w AS (SELECT doc_id, string_split_regex(text,'\\s+') AS wl FROM documents),

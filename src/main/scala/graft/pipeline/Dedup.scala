@@ -202,20 +202,29 @@ object Dedup {
     * Returns the deduplicated documents. */
   def dedupDocuments(docs: DataFrame, threshold: Double, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
     val pairs = minHashLshPairs(docs, threshold, n, idCol = idCol, textCol = textCol)
-    val spark = docs.sparkSession
+    survivorsByPairs(docs, pairs, idCol)
+  }
+
+  /** Keep-one-per-duplicate-group: GraphX connected components over the
+    * candidate PAIR graph only (never the full corpus — unpaired rows skip
+    * the RDD bridge entirely), then anti-join away every paired id that is
+    * not its component's minimum. Shared by every dedup family (MinHash,
+    * SimHash, semantic/embedding). */
+  def survivorsByPairs(data: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
+    val spark = data.sparkSession
     val edgeRdd = pairs.select(col("ida"), col("idb")).rdd
       .map(r => GxEdge(r.getLong(0), r.getLong(1), ()))
     val cc = GxGraph.fromEdges(edgeRdd, ()).connectedComponents().vertices
     val ccDf = spark.createDataFrame(cc.map { case (id, comp) => (id, comp) })
       .toDF("id", "component")
-    val losers = ccDf // every paired doc that is not its component's minimum
+    val losers = ccDf // every paired element that is not its component's minimum
       .groupBy(col("component")).agg(min(col("id")).as("keep"))
       .join(ccDf, Seq("component"))
       .filter(col("id") =!= col("keep"))
       .select(col("id"))
-    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+    data.join(losers, data(idCol) === losers("id"), "left_anti")
   }
 
   // ---------------- SimHash ----------------

@@ -105,6 +105,30 @@ object Similarity {
   /** All pairs with cosine ≥ threshold (embedding near-dup detection).
     * Brute force O(n²/2); for scale, pre-bucket with lshSignature and join on
     * matching signatures before verifying. */
+  /** SemDeDup-style semantic deduplication (cluster-then-dedup over an
+    * embedding column): assign every vector to its nearest coarse centroid
+    * (broadcast join), find within-cluster pairs with cosine ≥ threshold,
+    * then drop all but the minimum-id member of each duplicate component.
+    *
+    * Scale shape: the quadratic pair search is confined to each cluster
+    * (shuffle keyed by cid, per-cluster n/nlist rows — raise `nlist` with
+    * corpus size to bound cluster width); the component pass touches only
+    * candidate pairs. No corpus-wide cross join anywhere. */
+  def semanticDedup(data: DataFrame, threshold: Double, nlist: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = graft.core.PlanCache.cached(data.sparkSession,
+      graft.core.PlanCache.key("ivf-cents", data, nlist, idCol, vecCol)) {
+      centroids(data, nlist, idCol, vecCol)
+    }
+    val asg = assign(data, cents, idCol, vecCol)
+    val a = asg.select(col("cid"), col(idCol).as("ida"), col(vecCol).as("va"))
+    val b = asg.select(col("cid"), col(idCol).as("idb"), col(vecCol).as("vb"))
+    val pairs = a.join(b, Seq("cid")).filter(col("ida") < col("idb"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("ida"), col("idb"))
+    Dedup.survivorsByPairs(data, pairs, idCol)
+  }
+
   def cosinePairs(data: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = data.select(col(idCol).as("ida"), col(vecCol).as("va"))

@@ -302,6 +302,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sorted.toSeq === again.map(_.getLong(2)).sorted.toSeq)
   }
 
+  test("semanticDedup: drops within-cluster near-dups, keeps min id and singletons") {
+    import spark.implicits._
+    // two tight duplicate groups along different axes + two isolated vectors;
+    // nlist=4 → first 4 vectors are the coarse centroids
+    def v(x: Double, y: Double, z: Double) = Seq(x, y, z).map(_.toFloat)
+    val data = Seq(
+      (0L, v(1, 0, 0)), (1L, v(0, 1, 0)), (2L, v(0, 0, 1)), (3L, v(1, 1, 1)),
+      (10L, v(0.99, 0.01, 0)), (11L, v(0.98, 0.02, 0)),   // dups of 0
+      (20L, v(0.01, 0.99, 0))                             // dup of 1
+    ).toDF("vec_id", "embedding")
+    val kept = graft.pipeline.Similarity.semanticDedup(data, threshold = 0.95, nlist = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // components: {0,10,11} → keep 0; {1,20} → keep 1; 2, 3 isolated
+    assert(kept === Set(0L, 1L, 2L, 3L))
+  }
+
   test("bm25TopK: term-frequency saturation and length normalization rank as expected") {
     import spark.implicits._
     val corpus = Seq(
