@@ -115,6 +115,15 @@ object Similarity {
     * corpus size to bound cluster width); the component pass touches only
     * candidate pairs. No corpus-wide cross join anywhere. */
   def semanticDedup(data: DataFrame, threshold: Double, nlist: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Dedup.survivorsByPairs(data,
+      semanticPairs(data, threshold, nlist, idCol, vecCol), idCol)
+
+  /** Within-cluster near-dup candidate pairs for semanticDedup (also useful
+    * standalone for duplicate-rate reporting): nearest-centroid assignment,
+    * then a cid-keyed equi-join — the quadratic search never leaves a
+    * cluster. */
+  def semanticPairs(data: DataFrame, threshold: Double, nlist: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = graft.core.PlanCache.cached(data.sparkSession,
       graft.core.PlanCache.key("ivf-cents", data, nlist, idCol, vecCol)) {
@@ -123,10 +132,9 @@ object Similarity {
     val asg = assign(data, cents, idCol, vecCol)
     val a = asg.select(col("cid"), col(idCol).as("ida"), col(vecCol).as("va"))
     val b = asg.select(col("cid"), col(idCol).as("idb"), col(vecCol).as("vb"))
-    val pairs = a.join(b, Seq("cid")).filter(col("ida") < col("idb"))
+    a.join(b, Seq("cid")).filter(col("ida") < col("idb"))
       .filter(cosine(col("va"), col("vb")) >= threshold)
       .select(col("ida"), col("idb"))
-    Dedup.survivorsByPairs(data, pairs, idCol)
   }
 
   def cosinePairs(data: DataFrame, threshold: Double,

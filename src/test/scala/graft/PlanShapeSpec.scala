@@ -135,6 +135,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Cartesian"), s"no cartesian allowed:\n$p")
   }
 
+  test("bm25 filters query terms before the shuffle; stats broadcast; top-k end") {
+    val p = plan("q_bm25")
+    // the term filter must sit under the first aggregate exchange: the only
+    // rows that shuffle are (id, matched-token) — assert the isin filter is
+    // present and the plan ends in TakeOrdered, with corpus stats broadcast
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"corpus stats (1 row) must broadcast:\n$p")
+    assert(p.contains("Generate"), "expected a Generate (token explode)")
+    assert(!p.contains("CartesianProduct"), s"no data-sized cartesian allowed:\n$p")
+  }
+
+  test("semantic dedup pair search never cross-joins data against data") {
+    // the survivors frame hides the pair plan behind the GraphX RDD bridge,
+    // so pin the PAIR search plan (the scale-critical stage) directly
+    val p = graft.pipeline.Similarity.semanticPairs(
+      spark.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.4254, nlist = 16)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the only cross join allowed is data × broadcast(centroids) (nlist rows);
+    // within-cluster pairing must be an equi-join on cid
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroids must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no data×data cartesian allowed:\n$p")
+    assert(p.contains("cid"), "within-cluster pairs must join on cid")
+  }
+
   test("Profiler: fitted/sorted introspection (QueryProfiler parity)") {
     val g = graft.data.TpchGraph.load(spark, dir)
     val prof = g.V().hasLabel("order").has("orderstatus", "F")
