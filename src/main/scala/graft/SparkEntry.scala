@@ -592,6 +592,22 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.tokenDocFrequency(
         s.read.parquet(s"$dir/documents.parquet"), k = 20)
     }),
+    // ---- pipeline: end-to-end corpus prep — quality filter → exact-dedup
+    //      survivors (md5 shuffle key, constant width) → per-(source, lang)
+    //      doc/token totals. Composition probe: the stages are the already-
+    //      verified operators chained as a user would chain them ----
+    "q_corpus_prep" -> ((s, dir) => {
+      val ta = graft.pipeline.TextAnalysis
+      val scored = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("score", ta.qualityScore(col("text")))
+        .filter(col("score") >= 0.7)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+      scored.withColumn("keep", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("keep"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(ta.tokenCount(col("text")).cast(LongType)).as("n_tokens"))
+    }),
     // ---- pipeline: BM25 retrieval over the corpus for a fixed term set ----
     "q_bm25" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.bm25TopK(
@@ -1253,6 +1269,23 @@ object SparkEntry {
         |  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY df DESC, token ASC LIMIT 20""".stripMargin,
+    "q_corpus_prep" ->
+      """WITH t AS (SELECT doc_id, text, source, lang,
+        |  string_split_regex(text, '\s+') AS tok FROM documents),
+        |c AS (SELECT doc_id, text, source, lang, len(tok) AS ntok,
+        |CAST(len(list_distinct(tok)) AS DOUBLE) / CAST(len(tok) AS DOUBLE) AS dr,
+        |CAST(len(list_filter(tok, w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
+        |  / CAST(len(tok) AS DOUBLE) AS sr,
+        |CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |  / CAST(length(text) AS DOUBLE) AS pr
+        |FROM t),
+        |f AS (SELECT doc_id, text, source, lang, ntok FROM c
+        |  WHERE least(dr * 2.0, 1.0) * 0.4 + least(sr * 5.0, 1.0) * 0.3
+        |    + greatest(1.0 - pr * 4.0, 0.0) * 0.3 >= 0.7),
+        |k AS (SELECT source, lang, ntok FROM f
+        |  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)))
+        |SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+        |FROM k GROUP BY 1, 2""".stripMargin,
     // BM25 (k1=1.2, b=0.75, classic Robertson idf+1): the per-term scores are
     // pivoted into fixed columns and added in declared term order, so the
     // float sum is order-deterministic on both engines; ROUND(_,6) absorbs
