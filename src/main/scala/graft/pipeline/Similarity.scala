@@ -61,17 +61,23 @@ object Similarity {
         org.apache.spark.sql.expressions.Window.orderBy(col(idCol))) - 1).as("cid"),
         col(vecCol).as("cvec"))
 
-  /** Assign every vector to its nearest centroid (one broadcast join, rank-1
-    * window over nlist candidates). */
+  /** Assign every vector to its nearest centroid: one broadcast join, then
+    * an argmax AGGREGATE (`max_by` over (sim, −cid)) rather than a rank-1
+    * window — the window formulation would shuffle the nlist×-amplified
+    * candidate frame by id before discarding all but one row per vector;
+    * the hash-agg collapses candidates map-side (broadcast keeps them
+    * colocated), so only one row per vector ever reaches the shuffle.
+    * Tie-break: highest sim, then lowest cid (−cid max) — identical to the
+    * previous window order and to the SQL oracle's rank-1. */
   def assign(data: DataFrame, cents: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val scored = data.crossJoin(broadcast(cents))
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    data.crossJoin(broadcast(cents))
       .withColumn("sim", cosine(col(vecCol), col("cvec")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("sim").desc, col("cid").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        first(col(vecCol)).as(vecCol), // constant per group
+        max_by(col("cid"), struct(col("sim"), (-col("cid")).cast("int"))).as("cid"))
       .select(col(idCol), col(vecCol), col("cid"))
-  }
 
   /** IVF top-k: probe only the `nprobe` buckets whose centroids are nearest
     * to the query. Approximate (recall < 1 when a true neighbor lives in an
