@@ -357,6 +357,11 @@ object SparkEntry {
         .select("a", "b")
         .select(col("a_uid").as("c_uid"), col("b_uid").as("o_uid"))
     }),
+    // ---- 2.E bothV — both endpoints per edge (2 traversers per edge) ----
+    "q_bothv" -> ((s, dir) => {
+      graph(s, dir).traversal.E().hasLabel("placed").bothV()
+        .values("uid", "label")
+    }),
     // ---- 2.E sack (per-traverser accumulator along the path) ----
     "q_sack" -> ((s, dir) => {
       graph(s, dir).traversal.V().hasLabel("customer").has("mktsegment", "BUILDING")
@@ -1269,6 +1274,9 @@ object SparkEntry {
         |  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY df DESC, token ASC LIMIT 20""".stripMargin,
+    "q_bothv" ->
+      """SELECT o_custkey AS uid, 'customer' AS label FROM orders
+        |UNION ALL SELECT o_orderkey, 'order' FROM orders""".stripMargin,
     "q_corpus_prep" ->
       """WITH t AS (SELECT doc_id, text, source, lang,
         |  string_split_regex(text, '\s+') AS tok FROM documents),

@@ -75,6 +75,12 @@ final case class Traversal(
   def inV(): Traversal = edgeToVertex("dst")
   def outV(): Traversal = edgeToVertex("src")
   def otherV(): Traversal = edgeToVertex("other")
+  /** bothV(): BOTH endpoints per edge — two traversers per edge (Gremlin
+    * multiplicity), as one union of the two endpoint joins. */
+  def bothV(): Traversal = {
+    val o = outV()
+    o.copy(df = o.df.unionByName(inV().df, allowMissingColumns = true))
+  }
 
   private def hasSack: Boolean = df.columns.contains("_sack")
   private def sackCarry: Seq[Column] = if (hasSack) Seq(col("_sack")) else Nil

@@ -302,6 +302,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sorted.toSeq === again.map(_.getLong(2)).sorted.toSeq)
   }
 
+  test("survivorsByPairs matches a driver-side union-find on random pair graphs") {
+    import spark.implicits._
+    // deterministic pseudo-random pair graphs (no Random: fixed seeds via hash)
+    for (seed <- 1 to 3) {
+      val n = 60
+      val ids = (0L until n).toSeq
+      val pairs = (for {
+        i <- 0 until n; j <- (i + 1) until n
+        if math.abs((i * 2654435761L + j * 40503L + seed * 97L) % 23) == 0
+      } yield (i.toLong, j.toLong)).toSeq
+      // reference: driver-side union-find
+      val parent = scala.collection.mutable.ArrayBuffer.range(0, n)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = ids.filter(i => find(i.toInt) == i.toInt).toSet
+      val data = ids.toDF("vec_id")
+      val pairsDf = pairs.toDF("ida", "idb")
+      val got = graft.pipeline.Dedup.survivorsByPairs(data, pairsDf, "vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got === expect, s"seed=$seed pairs=${pairs.size}")
+    }
+  }
+
   test("semanticDedup: drops within-cluster near-dups, keeps min id and singletons") {
     import spark.implicits._
     // two tight duplicate groups along different axes + two isolated vectors;
