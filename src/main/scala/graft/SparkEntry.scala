@@ -45,13 +45,34 @@ object SparkEntry {
     sum(c.cast(DecimalType(28, scale))).cast(DoubleType)
   private def d(s: String) = java.sql.Date.valueOf(s)
 
-  /** events.parquet stores TIMESTAMP(NANOS); Spark reads it as long under the
-    * legacy conf. `ts` is exposed as a proper timestamp column (µs precision). */
-  def readEvents(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+  /** Session clone carrying `spark.sql.legacy.parquet.nanosAsLong`. The flag
+    * must be live when the scan EXECUTES (the parquet reader resolves confs
+    * through the relation's session, captured at read time), so save/restore
+    * around the read would break; and setting it on the caller's session is
+    * an ordering-dependent side effect across probes. Binding events reads to
+    * a dedicated clone gives every downstream plan the flag without mutating
+    * shared session state. Weak keys: entries die with the parent session. */
+  private val nsSessions = new java.util.WeakHashMap[SparkSession, SparkSession]()
+  private[graft] def nsSession(s: SparkSession): SparkSession = nsSessions.synchronized {
+    var c = nsSessions.get(s)
+    if (c == null) {
+      c = s.newSession()
+      c.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      nsSessions.put(s, c)
+    }
+    c
   }
+
+  /** events.parquet stores TIMESTAMP(NANOS); Spark reads it as long under the
+    * legacy conf (applied on an isolated session clone, see [[nsSession]]).
+    * Raw variant keeps `ts` as the parquet ns long. */
+  def readEventsRaw(s: SparkSession, dir: String): DataFrame =
+    nsSession(s).read.parquet(s"$dir/events.parquet")
+
+  /** `ts` exposed as a proper timestamp column (µs precision). */
+  def readEvents(s: SparkSession, dir: String): DataFrame =
+    readEventsRaw(s, dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -598,20 +619,11 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), k = 20)
     }),
     // ---- pipeline: end-to-end corpus prep — quality filter → exact-dedup
-    //      survivors (md5 shuffle key, constant width) → per-(source, lang)
-    //      doc/token totals. Composition probe: the stages are the already-
-    //      verified operators chained as a user would chain them ----
+    //      survivors (constant-width md5 agg + semi-join; text never enters
+    //      an Exchange) → per-(source, lang) doc/token totals ----
     "q_corpus_prep" -> ((s, dir) => {
-      val ta = graft.pipeline.TextAnalysis
-      val scored = s.read.parquet(s"$dir/documents.parquet")
-        .withColumn("score", ta.qualityScore(col("text")))
-        .filter(col("score") >= 0.7)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
-      scored.withColumn("keep", min(col("doc_id")).over(w))
-        .filter(col("doc_id") === col("keep"))
-        .groupBy(col("source"), col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(ta.tokenCount(col("text")).cast(LongType)).as("n_tokens"))
+      graft.pipeline.TextAnalysis.corpusPrep(
+        s.read.parquet(s"$dir/documents.parquet"), minScore = 0.7)
     }),
     // ---- pipeline: BM25 retrieval over the corpus for a fixed term set ----
     "q_bm25" -> ((s, dir) => {
@@ -629,8 +641,7 @@ object SparkEntry {
     // long→double µs conversion in readEvents can be off by 1 µs, which an
     // exact integer SUM would expose ----
     "q_event_gaps" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet") // ts: long (ns)
+      val ev = readEventsRaw(s, dir) // ts: long (ns)
         .withColumn("ts_us", expr("ts div 1000"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
@@ -962,7 +973,8 @@ object SparkEntry {
     "q1_agg", "q_has_eq", "q_orderby_limit", "q_multiquery",
     "q_vc_topk", "q_traversal_3hop", "q_degree", "q_text_contains",
     "q_dedup_minhash", "q_ann_topk", "q_sessionize", "q_pagerank",
-    "q_tpch_q3", "q_tpch_q5")
+    "q_tpch_q3", "q_tpch_q5",
+    "q_semantic_dedup", "q_bm25", "q_lsh_cosine_pairs")
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1573,7 +1585,11 @@ object SparkEntry {
        |k0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS l FROM e2),
        |$iters
        |SELECT e.vec_id, e.label FROM embeddings e
-       |WHERE NOT EXISTS (SELECT 1 FROM k$rounds c WHERE c.id = e.vec_id AND c.l <> e.vec_id)""".stripMargin
+       |WHERE NOT EXISTS (SELECT 1 FROM k$rounds c WHERE c.id = e.vec_id AND c.l <> e.vec_id)
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(-1 AS INTEGER)
+       |WHERE EXISTS (SELECT 1 FROM k$rounds a JOIN k${rounds - 1} b
+       |  ON a.id = b.id AND a.l <> b.l)""".stripMargin
   }
 
   private def dedupDocsOracle(rounds: Int): String = {
@@ -1592,7 +1608,11 @@ object SparkEntry {
        |k0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS l FROM e2),
        |$iters
        |SELECT d.doc_id, d.n_chars FROM documents d
-       |WHERE NOT EXISTS (SELECT 1 FROM k$rounds c WHERE c.id = d.doc_id AND c.l <> d.doc_id)""".stripMargin
+       |WHERE NOT EXISTS (SELECT 1 FROM k$rounds c WHERE c.id = d.doc_id AND c.l <> d.doc_id)
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+       |WHERE EXISTS (SELECT 1 FROM k$rounds a JOIN k${rounds - 1} b
+       |  ON a.id = b.id AND a.l <> b.l)""".stripMargin
   }
 
   /** Rates for the q_mixture_sample probe: a skewed training mix over the

@@ -214,7 +214,9 @@ object Dedup {
   def survivorsByPairs(data: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
     val spark = data.sparkSession
-    val edgeRdd = pairs.select(col("ida"), col("idb")).rdd
+    // cast up front: an Int (or other integral) id column satisfies the
+    // generic signature but would ClassCastException on getLong in the bridge
+    val edgeRdd = pairs.select(col("ida").cast(LongType), col("idb").cast(LongType)).rdd
       .map(r => GxEdge(r.getLong(0), r.getLong(1), ()))
     val cc = GxGraph.fromEdges(edgeRdd, ()).connectedComponents().vertices
     val ccDf = spark.createDataFrame(cc.map { case (id, comp) => (id, comp) })

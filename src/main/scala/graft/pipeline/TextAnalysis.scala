@@ -221,6 +221,7 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty && terms.size <= 8, "terms must be 1..8")
+    require(terms.distinct.size == terms.size, "terms must be distinct")
     val toks = docs.select(col(idCol).as("id"),
       explode(tokens(lower(col(textCol)))).as("token"),
       tokenCount(col(textCol)).cast(DoubleType).as("dl"))
@@ -241,15 +242,41 @@ object TextAnalysis {
       .withColumn("s", col("idf") * (col("tf") * lit(k1 + 1.0)) /
         (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
     // pivot the ≤8 per-term scores into fixed columns; sum in declared term
-    // order — deterministic float addition on both engines
-    val termCols = terms.map(t =>
-      max(when(col("token") === t, col("s"))).as(s"__s_$t"))
+    // order — deterministic float addition on both engines. Index-based
+    // aliases: a raw term embedded in an alias would parse as a nested-field
+    // reference if it contained '.' or '`'
+    val termCols = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("token") === t, col("s"))).as(s"__s_$i") }
     val pivoted = scored.groupBy(col("id")).agg(termCols.head, termCols.tail: _*)
-    val total = terms.map(t => coalesce(col(s"__s_$t"), lit(0.0)))
+    val total = terms.indices.map(i => coalesce(col(s"__s_$i"), lit(0.0)))
       .reduceLeft(_ + _)
     pivoted.select(col("id").as(idCol), round(total, 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** End-to-end corpus prep: quality filter → exact-dedup survivors →
+    * per-group doc/token totals — the stages a training-data pipeline chains
+    * before tokenization.
+    *
+    * Scale shape: the text column is consumed at scan time (score, token
+    * count, md5) and NEVER enters an Exchange — every shuffled row is the
+    * constant-width (id, group…, n_tok, h) projection regardless of document
+    * length. Survivors are a (hash → min id) aggregate semi-joined back on
+    * the id (both map-side combinable), not a window over the text hash. */
+  def corpusPrep(docs: DataFrame, minScore: Double = 0.7,
+      idCol: String = "doc_id", textCol: String = "text",
+      groupCols: Seq[String] = Seq("source", "lang")): DataFrame = {
+    val slim = docs
+      .filter(qualityScore(col(textCol)) >= minScore)
+      .select(col(idCol) +: groupCols.map(col) :+
+        tokenCount(col(textCol)).cast(LongType).as("__n_tok") :+
+        md5(col(textCol)).as("__h"): _*)
+    val keep = slim.groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    slim.join(keep, Seq(idCol), "left_semi")
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n_tok")).as("n_tokens"))
   }
 
   /** Exact interpolated token-length quantiles (p25/p50/p75) per group —

@@ -31,6 +31,10 @@ object ChangeStream {
   /** Streaming source over the change table. The file stream source requires a
     * directory, so stream the sf dir with a glob pinned to the events table. */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
+    // DOCUMENTED side effect: the ns-as-long flag is set on the caller's
+    // session. A clone (as batch readEvents uses) would also re-home memory
+    // sinks and temp views to the clone's catalog — surprising for streaming
+    // consumers that query the sink table from the session they passed in.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")

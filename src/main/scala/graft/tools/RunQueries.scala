@@ -25,6 +25,21 @@ object RunQueries {
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       println(f"[runq] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // dump the full oracle map alongside (same shape Verify writes) so the
+    // local checker can cross-check the subset without a full Verify run
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = graft.SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }

@@ -162,6 +162,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("cid"), "within-cluster pairs must join on cid")
   }
 
+  test("corpus prep never shuffles document text (constant-width exchanges)") {
+    val p = plan("q_corpus_prep")
+    // formatted explain: each detail block "(N) Exchange\nInput [k]: [...]"
+    // lists exactly the columns that cross that exchange
+    val blocks = p.split("\n\n").filter(
+      _.linesIterator.nextOption().exists(_.matches("""\(\d+\) Exchange.*""")))
+    assert(blocks.nonEmpty, s"expected at least one Exchange:\n$p")
+    blocks.foreach { b =>
+      val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("text#"), s"text column crosses an exchange:\n$b")
+    }
+  }
+
   test("Profiler: fitted/sorted introspection (QueryProfiler parity)") {
     val g = graft.data.TpchGraph.load(spark, dir)
     val prof = g.V().hasLabel("order").has("orderstatus", "F")
