@@ -435,7 +435,7 @@ object SparkEntry {
         .out("placed").has("totalprice", P.gt(400000.0))
       val p2 = g.traversal.V().hasLabel("customer").has("mktsegment", "BUILDING").as("a")
       p1.matchOn(p2, "a")
-        .toDF.select(col("_as_a_uid").as("uid")).distinct()
+        .toDF.select(uidOf(col("_as_a_id"), TpchGraph.CustomerTag).as("uid")).distinct()
     }),
     // ---- 2.B mixed-index STRING mapping: exact-value lookup via index ----
     "q_mixed_string" -> ((s, dir) => {
@@ -491,7 +491,7 @@ object SparkEntry {
       val p2 = g.traversal.V().hasLabel("customer").has("mktsegment", "BUILDING").as("a")
       val p3 = g.traversal.V().hasLabel("customer").has("acctbal", P.gt(0.0)).as("a")
       g.traversal.V().matchAll("a", p1, p2, p3)
-        .toDF.select(col("_as_a_uid").as("uid")).distinct()
+        .toDF.select(uidOf(col("_as_a_id"), TpchGraph.CustomerTag).as("uid")).distinct()
     }),
     // ---- 2.B direct index query: scored text search (TitanIndexQuery) ----
     "q_index_query" -> ((s, dir) => {
@@ -733,6 +733,45 @@ object SparkEntry {
         .choose(col("acctbal") > 5000.0)(_.out("placed"), identity)
         .values("uid", "label")
     }),
+    // ---- 2.E choose with a TRAVERSAL predicate (TinkerPop
+    //      choose(out('knows'), t, f): branch on sub-traversal emptiness) ----
+    "q_choose_traversal" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer").has("mktsegment", "BUILDING")
+        .chooseSub(_.out("placed").has("totalprice", P.gt(400000.0)))(
+          t => t.out("placed"), f => f)
+        .values("uid", "label")
+    }),
+    // ---- 2.E where with a traversal predicate (where(out(...).has(...))) ----
+    "q_where_sub" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer")
+        .whereSub(_.out("placed").has("totalprice", P.gt(300000.0)))
+        .values("uid", "name")
+    }),
+    // ---- 2.E repeat().until(traversal) — exit when out() dries up ----
+    "q_repeat_until_sub" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer")
+        .repeatUntilSub(_.out(), maxIter = 3)(_.out("in_nation", "in_region"))
+        .values("uid", "label")
+    }),
+    // ---- 2.E order().by(sub-traversal): degree-ordered top-k ----
+    "q_order_by_degree" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer")
+        .orderBySub(_.out("placed"), count(lit(1)), asc = false)
+        .limit(10)
+        .values("uid")
+    }),
+    // ---- 2.E group().by(key).by(sub-traversal agg) ----
+    "q_group_by_agg" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer")
+        .groupBySub("mktsegment", _.out("placed"), count(lit(1)))
+        .select(col("mktsegment"), col("value"))
+    }),
+    // ---- 2.E select().by(property) — by-modulated select ----
+    "q_select_by" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer").has("mktsegment", "BUILDING").as("a")
+        .out("placed").as("b")
+        .selectBy("a" -> "name", "b" -> "totalprice")
+    }),
     // ---- 2.K partitioned-supernode aggregation: salted two-phase degree ----
     "q_salted_degree" -> ((s, dir) => {
       val g = graph(s, dir)
@@ -927,9 +966,10 @@ object SparkEntry {
     // ---- 2.E local-scope terminals (count/order/limit/max over lists) ----
     "q_local_scope" -> ((s, dir) => {
       import graft.functions.Local
-      graph(s, dir).traversal.V().hasLabel("customer").as("c").out("placed")
-        .group("_as_c_uid", "uid")
-        .select(col("_as_c_uid").as("c_uid"),
+      graph(s, dir).traversal.V().hasLabel("customer").as("c").out("placed").toDF
+        .groupBy(uidOf(col("_as_c_id"), TpchGraph.CustomerTag).as("c_uid"))
+        .agg(collect_list(col("uid")).as("values"))
+        .select(col("c_uid"),
           Local.count(col("values")).as("n_orders"),
           array_join(transform(Local.limit(Local.order(col("values")), 3),
             _.cast("string")), ",").as("first3"),
@@ -1441,6 +1481,32 @@ object SparkEntry {
       """SELECT o_orderkey AS uid, 'order' AS label FROM orders
         |JOIN customer ON o_custkey = c_custkey WHERE c_acctbal > 5000.0
         |UNION ALL SELECT c_custkey, 'customer' FROM customer WHERE NOT (c_acctbal > 5000.0)""".stripMargin,
+    "q_choose_traversal" ->
+      """WITH cust AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |SELECT o_orderkey AS uid, 'order' AS label FROM orders
+        |JOIN cust ON o_custkey = c_custkey
+        |WHERE c_custkey IN (SELECT o_custkey FROM big)
+        |UNION ALL SELECT c_custkey, 'customer' FROM cust
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM big)""".stripMargin,
+    "q_where_sub" ->
+      """SELECT c_custkey AS uid, c_name AS name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin,
+    "q_repeat_until_sub" ->
+      """SELECT r_regionkey AS uid, 'region' AS label FROM customer
+        |JOIN nation ON n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = n_regionkey""".stripMargin,
+    "q_order_by_degree" ->
+      """SELECT uid FROM (
+        |  SELECT c_custkey AS uid, count(o_orderkey) AS cnt
+        |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY 1) ORDER BY cnt DESC, uid ASC LIMIT 10""".stripMargin,
+    "q_group_by_agg" ->
+      """SELECT c_mktsegment AS mktsegment, count(o_orderkey) AS value
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY 1""".stripMargin,
+    "q_select_by" ->
+      """SELECT c_name AS a_name, o_totalprice AS b_totalprice FROM customer
+        |JOIN orders ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING'""".stripMargin,
     "q_salted_degree" ->
       "SELECT l_partkey AS uid, COUNT(*) AS cnt FROM lineitem GROUP BY 1",
     "q_properties" ->

@@ -33,7 +33,8 @@ final case class Traversal(
     isVertex: Boolean,
     pathEnabled: Boolean = false,
     lastOrder: Seq[Column] = Nil,
-    stored: Map[String, DataFrame] = Map.empty) {
+    stored: Map[String, DataFrame] = Map.empty,
+    asMeta: Map[String, Boolean] = Map.empty) {
 
   private def asCols: Seq[String] = df.columns.filter(_.startsWith("_as_")).toSeq
   private def hasPath: Boolean = df.columns.contains("_path")
@@ -64,6 +65,22 @@ final case class Traversal(
   def whereNotExists(other: Traversal, thisKey: String = "id", otherKey: String = "id"): Traversal =
     copy(df = df.join(other.df.select(col(otherKey).as("__k")).distinct(),
       col(thisKey) === col("__k"), "left_anti"))
+
+  /** The ids of source elements for which `step` yields ≥1 result —
+    * the shared engine behind every traversal-valued predicate. Compiled as
+    * provenance-carrying sub-traversal + distinct on the source id; consumers
+    * semi/anti-join it (never a count — emptiness is all Gremlin asks). */
+  private def subMatches(step: Traversal => Traversal, tag: String): DataFrame =
+    step(this.as(tag)).df.select(col(s"_as_${tag}_id").as("__sid")).distinct()
+
+  /** where(subTraversal) — keep traversers whose sub-traversal produces at
+    * least one result (TinkerPop `where(out('knows'))`). */
+  def whereSub(step: Traversal => Traversal): Traversal =
+    copy(df = df.join(subMatches(step, "__whr"), col("id") === col("__sid"), "left_semi"))
+
+  /** where(not(subTraversal)) — the negated form (anti-join). */
+  def whereNotSub(step: Traversal => Traversal): Traversal =
+    copy(df = df.join(subMatches(step, "__whr"), col("id") === col("__sid"), "left_anti"))
 
   // ---------- hops ----------
   def out(labels: String*): Traversal = hop(Direction.OUT, labels, toVertex = true)
@@ -143,20 +160,90 @@ final case class Traversal(
   }
 
   // ---------- modulation / projection ----------
-  def as(name: String): Traversal = {
-    val keep = if (isVertex) Seq("id", "label") ++ graph.vertexPropColumns
-               else Seq("id", "src", "dst", "label") ++ graph.edgePropColumns
-    copy(df = keep.foldLeft(df)((d, c) => d.withColumn(s"_as_${name}_$c", col(c))))
+  /** as(name) — label the current step. Only the element ID is carried through
+    * subsequent joins (`_as_<name>_id`); `select` re-resolves full element
+    * rows from the graph by id at projection time, so a multi-label traversal
+    * does not drag label-count × column-count extra columns through every hop
+    * (TinkerPop path processors keep element references, not copies). */
+  def as(name: String): Traversal =
+    copy(df = df.withColumn(s"_as_${name}_id", col("id")),
+      asMeta = asMeta + (name -> isVertex))
+
+  private def elementKeep(isV: Boolean): Seq[String] =
+    if (isV) Seq("id", "label") ++ graph.vertexPropColumns
+    else Seq("id", "src", "dst", "label") ++ graph.edgePropColumns
+
+  /** select('a','b') → flat columns `<name>_<col>` per saved step. Each label
+    * joins the graph's element table back on the carried id — ids stream
+    * through the traversal, full rows materialize only here. */
+  def select(names: String*): DataFrame = {
+    var cur = df
+    val out = Seq.newBuilder[Column]
+    names.foreach { n =>
+      val idc = s"_as_${n}_id"
+      require(cur.columns.contains(idc), s"no as('$n') label in traversal")
+      val keep = elementKeep(asMeta.getOrElse(n, true))
+      val base = (if (asMeta.getOrElse(n, true)) graph.vertices else graph.edges)
+        .select(keep.map(c => col(c).as(s"__sel_${n}_$c")): _*)
+      cur = cur.join(base, col(idc) === col(s"__sel_${n}_id"))
+      out ++= keep.map(c => col(s"__sel_${n}_$c").as(s"${n}_$c"))
+    }
+    cur.select(out.result(): _*)
   }
 
-  /** select('a','b') → flat columns `<name>_<col>` per saved step. */
-  def select(names: String*): DataFrame = {
-    val cols = names.flatMap { n =>
-      df.columns.filter(_.startsWith(s"_as_${n}_")).toSeq
-        .map(c => col(c).as(n + "_" + c.stripPrefix(s"_as_${n}_")))
+  /** select('a').by('name') — by-modulated select (TinkerPop SelectStep with
+    * by()): each label contributes only the named property. Indexed join
+    * aliases allow the same label twice with different keys. */
+  def selectBy(pairs: (String, String)*): DataFrame = {
+    var cur = df
+    val out = Seq.newBuilder[Column]
+    pairs.zipWithIndex.foreach { case ((n, k), i) =>
+      val idc = s"_as_${n}_id"
+      require(cur.columns.contains(idc), s"no as('$n') label in traversal")
+      val base = (if (asMeta.getOrElse(n, true)) graph.vertices else graph.edges)
+        .select(col("id").as(s"__sb${i}_id"), col(k).as(s"__sb${i}_v"))
+      cur = cur.join(base, col(idc) === col(s"__sb${i}_id"))
+      out += col(s"__sb${i}_v").as(s"${n}_$k")
     }
-    df.select(cols: _*)
+    cur.select(out.result(): _*)
   }
+
+  // ---------- by()-modulation (traversal-valued by) ----------
+  /** Correlated by()-core: run `step` from this frontier with id provenance,
+    * aggregate `value` per source element, left-join the scalar back onto the
+    * frontier as `__byv`. Sources whose sub-traversal is empty get `default`
+    * (Gremlin by(out().count()) yields 0 there). One aggregate + one join —
+    * never a per-element subquery. */
+  private def bySubValue(step: Traversal => Traversal, value: Column,
+      default: Column): DataFrame = {
+    val stepped = step(this.as("__by"))
+    val vals = stepped.df.groupBy(col("_as___by_id").as("__bid"))
+      .agg(value.as("__byv"))
+    df.join(vals, col("id") === col("__bid"), "left")
+      .withColumn("__byv", F.coalesce(col("__byv"), default))
+      .drop("__bid")
+  }
+
+  /** order().by(subTraversal) — traversal-valued ordering (TinkerPop
+    * `order().by(outE().count(), desc)`): each element sorts by an aggregate
+    * over a sub-traversal rooted at it; ties break on id. `value` is the
+    * aggregate over the stepped frontier (count, sum('weight'), …). */
+  def orderBySub(step: Traversal => Traversal, value: Column = F.count(lit(1)),
+      asc: Boolean = true, default: Column = lit(0L)): Traversal = {
+    val withV = bySubValue(step, value, default)
+    val o = Seq(if (asc) col("__byv").asc else col("__byv").desc, col("id").asc)
+    copy(df = withV.orderBy(o: _*).drop("__byv"), lastOrder = Nil)
+  }
+
+  /** group().by(key).by(subTraversal) — keys from the element, per-element
+    * values computed by a sub-traversal, folded per group (TinkerPop
+    * `group().by('k').by(out().count())` shape, group fold ⇒ `groupAgg`). */
+  def groupBySub(key: String, step: Traversal => Traversal,
+      value: Column = F.count(lit(1)), groupAgg: Column => Column = F.sum,
+      default: Column = lit(0L)): DataFrame =
+    bySubValue(step, value, default)
+      .groupBy(keyCol(key).as(key))
+      .agg(groupAgg(col("__byv")).as("value"))
 
   def path(): DataFrame = df.select(col("_path").as("path"))
 
@@ -338,6 +425,22 @@ final case class Traversal(
     t.copy(df = t.df.unionByName(f.df, allowMissingColumns = true))
   }
 
+  /** choose(predTraversal)(trueStep, falseStep) — Gremlin's canonical
+    * `choose(out('knows'), t, f)`: traversers whose predicate sub-traversal
+    * is non-empty take the true branch, the rest the false branch. One semi-
+    * plus one anti-join against the same predicate frame (computed once,
+    * reused by both branches). */
+  def chooseSub(predStep: Traversal => Traversal)(
+      trueStep: Traversal => Traversal,
+      falseStep: Traversal => Traversal): Traversal = {
+    val matched = subMatches(predStep, "__chs")
+    val t = trueStep(copy(df =
+      df.join(matched, col("id") === col("__sid"), "left_semi")))
+    val f = falseStep(copy(df =
+      df.join(matched, col("id") === col("__sid"), "left_anti")))
+    t.copy(df = t.df.unionByName(f.df, allowMissingColumns = true))
+  }
+
   /** coalesce(step1, step2, ...) — per source element, results of the FIRST
     * step that produces any; later steps only fire for sources where all
     * earlier ones were empty (Gremlin coalesce). Provenance via reserved
@@ -476,6 +579,28 @@ final case class Traversal(
       val finished = frontier.df.filter(cond)
       done = Some(done.fold(finished)(_.unionByName(finished, allowMissingColumns = true)))
       frontier = frontier.copy(df = frontier.df.filter(!F.coalesce(cond, lit(false))))
+    }
+    copy(df = done.get.unionByName(frontier.df, allowMissingColumns = true))
+  }
+
+  /** repeat(step).until(condTraversal) — traversers exit when their condition
+    * sub-traversal becomes empty (`exitWhenEmpty=true` — Gremlin's
+    * `until(__.out().count().is(0))`) or non-empty (`until(__.out('knows'))`).
+    * Same unrolled do-while as repeatUntil with the Column predicate replaced
+    * by a per-source semi/anti-join on the condition frame. */
+  def repeatUntilSub(condStep: Traversal => Traversal, maxIter: Int,
+      exitWhenEmpty: Boolean = true)(step: Traversal => Traversal): Traversal = {
+    val (exitType, stayType) =
+      if (exitWhenEmpty) ("left_anti", "left_semi") else ("left_semi", "left_anti")
+    var frontier = this
+    var done: Option[DataFrame] = None
+    (1 to maxIter).foreach { _ =>
+      frontier = step(frontier)
+      val matched = frontier.subMatches(condStep, "__unt")
+      val finished = frontier.df.join(matched, col("id") === col("__sid"), exitType)
+      done = Some(done.fold(finished)(_.unionByName(finished, allowMissingColumns = true)))
+      frontier = frontier.copy(df =
+        frontier.df.join(matched, col("id") === col("__sid"), stayType))
     }
     copy(df = done.get.unionByName(frontier.df, allowMissingColumns = true))
   }

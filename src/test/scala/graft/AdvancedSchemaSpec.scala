@@ -205,7 +205,7 @@ class AdvancedSchemaSpec extends AnyFunSuite {
     val selective = g.traversal.V().hasLabel("region").has("name", "ASIA").as("a")
     val broad = g.traversal.V().hasLabel("region").as("a")
     val m = g.traversal.V().matchAll("a", broad, selective)
-    val ids = m.toDF.select(col("_as_a_uid")).distinct().collect()
+    val ids = m.toDF.select(col("_as_a_id")).distinct().collect()
     assert(ids.length === 1) // only ASIA satisfies both patterns
   }
 }

@@ -182,8 +182,8 @@ class GraphOpsIoSpec extends AnyFunSuite {
     import graft.functions.Local
     val g = TpchGraph.load(spark, dir)
     val grouped = g.traversal.V().hasLabel("customer").as("c").out("placed")
-      .group("_as_c_uid", "totalprice")
-    val local = grouped.select(col("_as_c_uid").as("cust"),
+      .group("_as_c_id", "totalprice")
+    val local = grouped.select(col("_as_c_id").as("cust"),
         Local.count(col("values")).as("n"),
         Local.sumD(Local.order(col("values"))).as("s"),
         Local.max(col("values")).as("mx"),
@@ -192,7 +192,7 @@ class GraphOpsIoSpec extends AnyFunSuite {
       .toMap
     // global mirror: explode-free groupBy aggregation over the same hop
     val global = g.traversal.V().hasLabel("customer").as("c").out("placed").toDF
-      .groupBy(col("_as_c_uid").as("cust"))
+      .groupBy(col("_as_c_id").as("cust"))
       .agg(count(lit(1)).as("n"), sum(col("totalprice")).as("s"),
         max(col("totalprice")).as("mx"), min(col("totalprice")).as("mn"))
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.expr.P
+
+/** by()-modulation and traversal-valued predicates (TinkerPop semantics the
+  * reference inherits: order().by(outE().count()), group().by(k).by(agg),
+  * select('a').by('name'), choose(out(...), t, f), until(out().count().is(0))
+  * — tt/graphdb/TitanGraphTest.java:3520-3843), plus the narrowed `as`
+  * frontier layout. */
+class TraversalModulationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+  lazy val g = graft.data.TpchGraph.load(spark, dir)
+
+  test("as() carries only the id; no prop columns are duplicated per label") {
+    val t = g.traversal.V().hasLabel("customer").as("a").out("placed").as("b")
+    val extras = t.toDF.columns.filter(_.startsWith("_as_")).toSeq
+    assert(extras.sorted === Seq("_as_a_id", "_as_b_id"),
+      s"expected id-only carry, got $extras")
+  }
+
+  test("select() re-resolves full element rows from the carried ids") {
+    val out = g.traversal.V().hasLabel("customer").has("mktsegment", "BUILDING").as("a")
+      .out("placed").as("b").select("a", "b")
+    assert(out.columns.contains("a_name") && out.columns.contains("b_totalprice"))
+    // spot-check: every b_totalprice matches the order row joined manually
+    val manual = g.vertices.filter(col("label") === "customer")
+      .filter(col("mktsegment") === "BUILDING").select(col("id").as("cid"))
+      .join(g.edges.filter(col("label") === "placed"), col("cid") === col("src"))
+      .count()
+    assert(out.count() === manual)
+  }
+
+  test("selectBy projects exactly the modulated property per label") {
+    val out = g.traversal.V().hasLabel("customer").as("a")
+      .out("placed").as("b").selectBy("a" -> "name", "b" -> "totalprice")
+    assert(out.columns.toSeq === Seq("a_name", "b_totalprice"))
+    assert(out.count() > 0)
+  }
+
+  test("orderBySub orders by the sub-traversal aggregate with default for empty") {
+    // ascending: zero-order customers (sub-traversal empty → default 0) first
+    val first = g.traversal.V().hasLabel("customer")
+      .orderBySub(_.out("placed"), count(lit(1)), asc = true)
+      .limit(1).toDF.select("id").collect()(0).getLong(0)
+    val deg = g.traversal.V().hasLabel("customer").toDF.select(col("id").as("cid"))
+      .join(g.edges.filter(col("label") === "placed"), col("cid") === col("src"), "left")
+      .groupBy(col("cid")).agg(count(col("src")).as("cnt"))
+    val minDeg = deg.orderBy(col("cnt").asc, col("cid").asc).limit(1)
+      .collect()(0).getLong(0)
+    assert(first === minDeg)
+  }
+
+  test("groupBySub equals the manual two-level aggregate") {
+    val got = g.traversal.V().hasLabel("customer")
+      .groupBySub("mktsegment", _.out("placed"), count(lit(1)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = g.vertices.filter(col("label") === "customer")
+      .select(col("id").as("cid"), col("mktsegment"))
+      .join(g.edges.filter(col("label") === "placed"), col("cid") === col("src"), "left")
+      .groupBy(col("mktsegment")).agg(count(col("src")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("whereSub/whereNotSub partition the frontier") {
+    val base = g.traversal.V().hasLabel("customer")
+    val total = base.toDF.count()
+    val yes = base.whereSub(_.out("placed").has("totalprice", P.gt(300000.0))).toDF.count()
+    val no = base.whereNotSub(_.out("placed").has("totalprice", P.gt(300000.0))).toDF.count()
+    assert(yes + no === total && yes > 0 && no > 0)
+  }
+
+  test("chooseSub routes each source through exactly one branch") {
+    val pred: graft.traverse.Traversal => graft.traverse.Traversal =
+      _.out("placed").has("totalprice", P.gt(400000.0))
+    val out = g.traversal.V().hasLabel("customer").has("mktsegment", "BUILDING")
+      .chooseSub(pred)(t => t.out("placed"), f => f)
+    val labels = out.toDF.select("label").distinct().collect().map(_.getString(0)).toSet
+    assert(labels === Set("order", "customer"))
+    // false branch = customers with no qualifying order
+    val falseCnt = out.toDF.filter(col("label") === "customer").count()
+    val wantFalse = g.traversal.V().hasLabel("customer").has("mktsegment", "BUILDING")
+      .whereNotSub(pred).toDF.count()
+    assert(falseCnt === wantFalse)
+  }
+
+  test("repeatUntilSub exits traversers whose condition traversal is empty") {
+    val out = g.traversal.V().hasLabel("customer")
+      .repeatUntilSub(_.out(), maxIter = 3)(_.out("in_nation", "in_region"))
+    // every customer's traverser ends at its region (regions have no out())
+    val cnt = g.traversal.V().hasLabel("customer").toDF.count()
+    assert(out.toDF.count() === cnt)
+    assert(out.toDF.select("label").distinct().collect().map(_.getString(0)).toSeq === Seq("region"))
+  }
+}
