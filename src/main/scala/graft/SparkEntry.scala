@@ -447,6 +447,19 @@ object SparkEntry {
       graft.index.Indexes.lookupString(g, sIx, "brand", "Brand#12")
         .select(col("uid"), col("brand"))
     }),
+    // ---- 2.B mixed-index TEXTSTRING mapping: ONE index, BOTH families ----
+    "q_mixed_textstring" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val ix = graft.core.IndexDef("nameTS", graft.core.ElementCategory.VERTEX,
+        Seq("name"), composite = false,
+        mappings = Map("name" -> graft.core.Mapping.TEXTSTRING),
+        onlyLabel = Some("part"))
+      val ts = graft.index.Indexes.materializeTextString(g, ix)
+      graft.index.Indexes.lookupTextStringContains(g, ts, "name", "widget")
+        .select(col("uid"), col("name"), lit("contains").as("via"))
+        .unionAll(graft.index.Indexes.lookupTextStringEquals(g, ts, "name", "red plate")
+          .select(col("uid"), col("name"), lit("exact").as("via")))
+    }),
     // ---- 2.B mixed-index numeric mapping: range lookup via index ----
     "q_mixed_range" -> ((s, dir) => {
       val g = graph(s, dir)
@@ -885,6 +898,39 @@ object SparkEntry {
         .unionAll(m.edges.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
           .select(lit("e").as("kind"), col("label"), col("cnt")))
     }),
+    // ---- 2.L mutation-time static-label enforcement: a LEGAL batch against
+    //      a schema with a static label passes the eager checks (creating a
+    //      NEW static-label vertex is allowed — static = immutable after
+    //      creation); rejection paths are spec-tested (StreamMgmtSpec) ----
+    "q_mutations_static" -> ((s, dir) => {
+      val t = 1L << graft.core.GraphIds.TagBits
+      val g0 = graph(s, dir)
+      val g = g0.copy(schema = g0.schema.copy(vertexLabels = g0.schema.vertexLabels +
+        ("region" -> graft.core.VertexLabelDef("region", static = true))))
+      val add = s.range(1).select(lit(TpchGraph.RegionTag * t + 99L).as("id"),
+        lit("region").as("label"), lit(99L).as("uid"), lit("NEWREGION").as("name"))
+      val del = s.range(1).select(lit(TpchGraph.CustomerTag * t + 2L).as("id"))
+      val m = graft.data.GraphIO.applyMutations(g,
+        addVertices = Some(add), deleteVertexIds = Some(del))
+      m.vertices.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    }),
+    // ---- 2.L catalog-TTL auto-read: the label declares a TTL, ingest
+    //      provenance is `_ts`, and a PLAIN V() scan hides expired elements
+    //      (no explicit filter anywhere in the query) ----
+    "q_ttl_catalog" -> ((s, dir) => {
+      val t = 1L << graft.core.GraphIds.TagBits
+      val v = readEvents(s, dir).select((lit(7L * t) + col("event_id")).as("id"),
+        lit("event").as("label"), col("event_id").as("uid"),
+        col("event_type"), col("ts").as("_ts"))
+      val schema = graft.core.GraphSchema(
+        vertexLabels = Map("event" -> graft.core.VertexLabelDef("event",
+          ttlSeconds = Some(7L * 24 * 3600))),
+        ttlReadTime = Some(java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-31T00:00:00Z"))))
+      val g = graft.data.PropertyGraph(schema, v,
+        v.limit(0).select(col("id"), col("id").as("src"), col("id").as("dst"), col("label")))
+      g.V().dataframe.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    }),
     // ---- 2.L TTL read-time view over the event table ----
     "q_ttl" -> ((s, dir) => {
       graft.olap.GraphOps.ttlView(readEvents(s, dir), "ts", 7L * 24 * 3600,
@@ -1141,6 +1187,10 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 400000.0""".stripMargin,
     "q_mixed_string" ->
       "SELECT p_partkey AS uid, p_brand AS brand FROM part WHERE p_brand = 'Brand#12'",
+    "q_mixed_textstring" ->
+      """SELECT p_partkey AS uid, p_name AS name, 'contains' AS via FROM part
+        |WHERE list_contains(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), t -> length(t) > 1), 'widget')
+        |UNION ALL SELECT p_partkey, p_name, 'exact' FROM part WHERE p_name = 'red plate'""".stripMargin,
     "q_mixed_range" ->
       "SELECT p_partkey AS uid, p_retailprice AS retailprice FROM part WHERE p_retailprice >= 905.0 AND p_retailprice < 915.0",
     "q_index_lucene" ->
@@ -1230,7 +1280,17 @@ object SparkEntry {
         |UNION ALL SELECT 'e', 'placed', COUNT(*) FROM orders WHERE o_custkey <> 1
         |UNION ALL SELECT 'e', 'contains', COUNT(*) FROM lineitem
         |UNION ALL SELECT 'e', 'supplied_by', COUNT(*) FROM lineitem""".stripMargin,
+    "q_mutations_static" ->
+      """SELECT 'region' AS label, COUNT(*) + 1 AS cnt FROM region
+        |UNION ALL SELECT 'nation', COUNT(*) FROM nation
+        |UNION ALL SELECT 'customer', COUNT(*) - 1 FROM customer
+        |UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+        |UNION ALL SELECT 'part', COUNT(*) FROM part
+        |UNION ALL SELECT 'order', COUNT(*) FROM orders""".stripMargin,
     "q_ttl" ->
+      """SELECT event_type, COUNT(*) AS cnt FROM events
+        |WHERE ts + INTERVAL 604800 SECOND > TIMESTAMP '2024-01-31 00:00:00' GROUP BY 1""".stripMargin,
+    "q_ttl_catalog" ->
       """SELECT event_type, COUNT(*) AS cnt FROM events
         |WHERE ts + INTERVAL 604800 SECOND > TIMESTAMP '2024-01-31 00:00:00' GROUP BY 1""".stripMargin,
     "q_coalesce" ->

@@ -1,5 +1,6 @@
 package graft.core
 
+import org.apache.spark.SparkContext
 import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
@@ -17,11 +18,18 @@ import org.apache.spark.storage.StorageLevel
   * Resolution: a small LRU keyed by (operator, input-plan semantic hash,
   * params). A repeated call returns the already-persisted frame; once more
   * than `MaxEntries` distinct frames are live, the least-recently-used is
-  * unpersisted — so total cached storage is bounded for any call pattern,
-  * per the storage-leak review finding. Session cleanup is a SparkListener:
-  * when the session's context stops, its entries are dropped (a WeakHashMap
-  * would NOT work here — the cached DataFrames strongly reference their own
-  * session, pinning the weak key forever).
+  * unpersisted — so total cached storage is bounded for any call pattern.
+  *
+  * Session hygiene is bounded on THREE axes (a WeakHashMap alone would NOT
+  * work — the cached DataFrames strongly reference their own session,
+  * pinning the weak key forever):
+  *  - the per-session map count is itself an LRU capped at `MaxSessions`:
+  *    a process cycling `newSession()` clones (which share one context and
+  *    never individually "stop") evicts the oldest clone's entries instead
+  *    of accumulating dead maps;
+  *  - every `cached` call sweeps sessions whose context has stopped;
+  *  - one listener per CONTEXT (not per session — a listener per clone would
+  *    itself leak) drops all that context's session maps on application end.
   *
   * SNAPSHOT SEMANTICS: a cached frame is a frozen snapshot of its input at
   * first computation, exactly like `DataFrame.persist`. If the underlying
@@ -31,8 +39,24 @@ import org.apache.spark.storage.StorageLevel
   */
 object PlanCache {
   private val MaxEntries = 16
+  private val MaxSessions = 8
+
+  private type EntryMap = java.util.LinkedHashMap[String, DataFrame]
+
   private val caches =
-    new java.util.HashMap[SparkSession, java.util.LinkedHashMap[String, DataFrame]]
+    new java.util.LinkedHashMap[SparkSession, EntryMap](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession, EntryMap]): Boolean = {
+        val evict = size() > MaxSessions
+        if (evict && !e.getKey.sparkContext.isStopped)
+          e.getValue.values.forEach(_.unpersist(false))
+        evict
+      }
+    }
+
+  // contexts that already carry the cleanup listener (weak: dies with the SC)
+  private val listenerInstalled = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkContext, java.lang.Boolean]())
 
   /** Stable cache key: operator tag + semantic hash of the input plan +
     * operator parameters. */
@@ -43,14 +67,17 @@ object PlanCache {
     * (evicting + unpersisting the LRU entry past capacity). */
   def cached(spark: SparkSession, cacheKey: String)(build: => DataFrame): DataFrame =
     synchronized {
-      val m = caches.computeIfAbsent(spark, s => {
-        // drop this session's entries when its context stops, so a process
-        // cycling short-lived sessions cannot accumulate dead session state
-        s.sparkContext.addSparkListener(new SparkListener {
-          override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
-            PlanCache.drop(s)
-        })
-        new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+      sweepStopped()
+      var m = caches.get(spark)
+      if (m == null) {
+        val sc = spark.sparkContext
+        if (listenerInstalled.add(sc)) {
+          sc.addSparkListener(new SparkListener {
+            override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+              PlanCache.dropContext(sc)
+          })
+        }
+        m = new EntryMap(16, 0.75f, true) {
           override def removeEldestEntry(
               e: java.util.Map.Entry[String, DataFrame]): Boolean = {
             val evict = size() > MaxEntries
@@ -58,7 +85,8 @@ object PlanCache {
             evict
           }
         }
-      })
+        caches.put(spark, m)
+      }
       val hit = m.get(cacheKey)
       if (hit != null) hit
       else {
@@ -67,6 +95,9 @@ object PlanCache {
         df
       }
     }
+
+  /** Live session-map count (bounded by MaxSessions; exposed for tests). */
+  def sessionCount: Int = synchronized { caches.size() }
 
   /** Unpersist and forget one cached entry (use after overwriting the files
     * a cached operator read — see SNAPSHOT SEMANTICS above). */
@@ -84,8 +115,16 @@ object PlanCache {
     if (m != null) m.values.forEach(_.unpersist(false))
   }
 
-  /** Forget a stopped session's entries without touching its (dead) cache. */
-  private def drop(spark: SparkSession): Unit = synchronized {
-    caches.remove(spark); ()
+  /** Forget entries of sessions whose context has stopped (their cached
+    * blocks died with the executors — nothing to unpersist). */
+  private def sweepStopped(): Unit = {
+    val it = caches.keySet().iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+  }
+
+  /** Forget every session map of a stopped context. */
+  private def dropContext(sc: SparkContext): Unit = synchronized {
+    val it = caches.keySet().iterator()
+    while (it.hasNext) if (it.next().sparkContext eq sc) it.remove()
   }
 }

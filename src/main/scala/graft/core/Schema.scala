@@ -153,7 +153,14 @@ final case class GraphSchema(
     edgeLabels: Map[String, EdgeLabelDef] = Map.empty,
     vertexLabels: Map[String, VertexLabelDef] = Map.empty,
     indexes: Map[String, IndexDef] = Map.empty,
-    relationIndexes: Map[String, RelationIndexDef] = Map.empty) {
+    relationIndexes: Map[String, RelationIndexDef] = Map.empty,
+    // TTL evaluation instant for catalog-TTL reads (None = wall clock).
+    // Pinning it makes expiry reproducible — the analogue of the reference's
+    // test-time TimestampProvider override (tc/diskstorage/util/time/*).
+    ttlReadTime: Option[java.sql.Timestamp] = None) {
+
+  def hasVertexTtl: Boolean = vertexLabels.values.exists(_.ttlSeconds.isDefined)
+  def hasEdgeTtl: Boolean = edgeLabels.values.exists(_.ttlSeconds.isDefined)
 
   def propertyKey(name: String): PropertyKeyDef =
     propertyKeys.getOrElse(name, throw new NoSuchElementException(s"property key '$name' not defined"))

@@ -49,15 +49,38 @@ object GraphIO {
 
   /** Mutation sink (KCVS mutate analogue, KeyColumnValueStore.java:79): apply
     * a batch of additions and deletions as a snapshot merge — last-writer-wins
-    * by element id, deletions as an anti-join. Locks are N/A in snapshot batch
-    * semantics (ConsistencyModifier.LOCK degenerates to the unique checks in
-    * PropertyGraph.uniqueIndexViolations). */
+    * by element id, deletions as an anti-join.
+    *
+    * With `enforce=true` (default) the batch is validated the way the
+    * reference's transaction commit does: static-label immutability is checked
+    * against the PRE-mutation graph (StandardTitanTx verifies vertex label
+    * constraints; docs/advschema.txt:9-18) and unique-index / multiplicity
+    * consistency (ConsistencyModifier.LOCK / Multiplicity.java:50-75) is
+    * re-checked on the POST-mutation graph, scoped to the keys the batch
+    * touched — never a full-graph sweep. Checks are eager (they run Spark
+    * jobs); a violation throws before any result is returned. */
   def applyMutations(g: PropertyGraph,
       addVertices: Option[DataFrame] = None, deleteVertexIds: Option[DataFrame] = None,
-      addEdges: Option[DataFrame] = None, deleteEdgeIds: Option[DataFrame] = None): PropertyGraph = {
+      addEdges: Option[DataFrame] = None, deleteEdgeIds: Option[DataFrame] = None,
+      enforce: Boolean = true): PropertyGraph = {
+    if (enforce) {
+      val sv = staticLabelViolations(g, addVertices, deleteVertexIds, addEdges, deleteEdgeIds)
+      require(sv.isEmpty, s"static-label mutation rejected: ${sv.mkString("; ")}")
+    }
     var v = g.vertices
     var e = g.edges
-    addVertices.foreach { av =>
+    // catalog-declared TTL ⇒ ingest stamps write-time provenance `_ts` on the
+    // added set (docs/advschema.txt:20-70: expiry counts from write time);
+    // rows already carrying _ts keep theirs (idempotent replay)
+    import graft.expr.ImplicitKeys
+    def stamp(df: DataFrame, isVertex: Boolean): DataFrame = {
+      val declared = if (isVertex) g.schema.hasVertexTtl else g.schema.hasEdgeTtl
+      if (declared && !df.columns.contains(ImplicitKeys.TimestampColumn))
+        df.withColumn(ImplicitKeys.TimestampColumn, ImplicitKeys.ttlNow(g.schema))
+      else df
+    }
+    addVertices.foreach { av0 =>
+      val av = stamp(av0, isVertex = true)
       v = v.join(av.select(col("id").as("__nid")), col("id") === col("__nid"), "left_anti")
         .unionByName(av, allowMissingColumns = true)
     }
@@ -69,13 +92,98 @@ object GraphIO {
       e = e.join(ids, col("src") === col("__did"), "left_anti")
         .join(ids, col("dst") === col("__did"), "left_anti")
     }
-    addEdges.foreach { ae =>
+    addEdges.foreach { ae0 =>
+      val ae = stamp(ae0, isVertex = false)
       e = e.join(ae.select(col("id").as("__nid")), col("id") === col("__nid"), "left_anti")
         .unionByName(ae, allowMissingColumns = true)
     }
     deleteEdgeIds.foreach { de =>
       e = e.join(de.select(col("id").as("__did")), col("id") === col("__did"), "left_anti")
     }
-    g.copy(vertices = v, edges = e)
+    val result = g.copy(vertices = v, edges = e)
+    if (enforce) {
+      val cv = addedSetViolations(result, addVertices, addEdges)
+      require(cv.isEmpty, s"consistency violation on mutated keys: ${cv.mkString("; ")}")
+    }
+    result
+  }
+
+  private def firstId(df: DataFrame): Option[Any] =
+    df.limit(1).collect().headOption.map(_.get(0))
+
+  /** Static vertex labels are immutable after creation: updating or deleting
+    * an EXISTING static-label vertex, or touching its adjacency, is rejected;
+    * creating a new one is allowed (VertexLabelMaker.setStatic —
+    * tc/core/schema/VertexLabelMaker.java:17-39, docs/advschema.txt:9-18). */
+  def staticLabelViolations(g: PropertyGraph,
+      addVertices: Option[DataFrame], deleteVertexIds: Option[DataFrame],
+      addEdges: Option[DataFrame], deleteEdgeIds: Option[DataFrame]): Seq[String] = {
+    val staticLabels = g.schema.vertexLabels.values.filter(_.static).map(_.name).toSeq
+    if (staticLabels.isEmpty) return Nil
+    val staticV = g.vertices.filter(col("label").isin(staticLabels: _*))
+      .select(col("id").as("__sid"))
+    def hit(ids: DataFrame, what: String): Option[String] =
+      firstId(ids.join(staticV, ids("id") === col("__sid"), "left_semi"))
+        .map(id => s"$what static-label vertex id=$id")
+    val upd = addVertices.flatMap(av => hit(av.select(col("id")), "update of"))
+    val del = deleteVertexIds.flatMap(dv => hit(dv.select(col("id")), "delete of"))
+    val addE = addEdges.flatMap(ae => hit(
+      ae.select(col("src").as("id")).unionAll(ae.select(col("dst").as("id"))),
+      "edge added incident to"))
+    val delE = deleteEdgeIds.flatMap { de =>
+      val doomed = g.edges.join(de.select(col("id").as("__did")),
+        col("id") === col("__did"), "left_semi")
+      hit(doomed.select(col("src").as("id"))
+        .unionAll(doomed.select(col("dst").as("id"))), "edge removed incident to")
+    }
+    Seq(upd, del, addE, delE).flatten
+  }
+
+  /** Post-mutation consistency re-check SCOPED to the touched keys: unique
+    * composite indexes are re-grouped only for key values present in the
+    * added set, multiplicity bounds only for the src/dst the batch touched —
+    * the batch-commit analogue of the reference's per-key LOCK acquisition,
+    * and the only shape that survives a 100 TB graph (the full-graph sweeps
+    * remain available as PropertyGraph.{uniqueIndex,multiplicity}Violations). */
+  def addedSetViolations(g2: PropertyGraph,
+      addVertices: Option[DataFrame], addEdges: Option[DataFrame]): Seq[String] = {
+    val unique = (for {
+      added <- Seq(addVertices -> ElementCategory.VERTEX, addEdges -> ElementCategory.EDGE)
+      (addedDf, cat) = added
+      df <- addedDf.toSeq
+      ix <- g2.schema.indexes.values if ix.unique && ix.composite && ix.element == cat
+      if ix.keys.forall(df.columns.contains)
+    } yield {
+      val table0 = if (cat == ElementCategory.VERTEX) g2.vertices else g2.edges
+      val table = ix.onlyLabel.map(l => table0.filter(col("label") === l)).getOrElse(table0)
+      val touched = df.select(ix.keys.map(col): _*).distinct()
+      val dup = table.join(broadcast(touched), ix.keys, "left_semi")
+        .groupBy(ix.keys.map(col): _*).count().filter(col("count") > 1)
+      firstId(dup).map(k => s"unique index '${ix.name}' violated at key=$k")
+    }).flatten
+    val mult = addEdges.toSeq.filter(_.columns.contains("label")).flatMap { ae =>
+      g2.schema.edgeLabels.values.toSeq.flatMap { el =>
+        val lbl = el.name
+        val base = g2.edges.filter(col("label") === lbl)
+        val touched = ae.filter(col("label") === lbl)
+        def bound(side: String, lim: Long): Option[String] = {
+          val keys = touched.select(col(side).as("__k")).distinct()
+          val over = base.join(broadcast(keys), col(side) === col("__k"), "left_semi")
+            .groupBy(col(side)).count().filter(col("count") > lim)
+          firstId(over).map(k => s"multiplicity ${el.multiplicity} of '$lbl' exceeded at $side=$k")
+        }
+        val out = el.multiplicity.outLimit.flatMap(bound("src", _))
+        val in = el.multiplicity.inLimit.flatMap(bound("dst", _))
+        val simple = if (el.multiplicity == Multiplicity.SIMPLE) {
+          val pairs = touched.select(col("src").as("__s"), col("dst").as("__d")).distinct()
+          val over = base.join(broadcast(pairs),
+            col("src") === col("__s") && col("dst") === col("__d"), "left_semi")
+            .groupBy(col("src"), col("dst")).count().filter(col("count") > 1)
+          firstId(over).map(k => s"SIMPLE multiplicity of '$lbl' violated at src=$k")
+        } else None
+        Seq(out, in, simple).flatten
+      }
+    }
+    unique ++ mult
   }
 }

@@ -47,6 +47,22 @@ object ImplicitKeys {
       throw new IllegalArgumentException(s"unknown implicit key: $other")
   }
 
+  /** The catalog's TTL evaluation instant: the pinned `ttlReadTime` when set
+    * (reproducible reads), wall clock otherwise. */
+  def ttlNow(schema: GraphSchema): Column =
+    schema.ttlReadTime.map(lit(_)).getOrElse(current_timestamp())
+
+  /** Auto-applied catalog-TTL scan filter: identity when no label of this
+    * element kind declares a TTL or the frame carries no `_ts` provenance
+    * column (nothing to expire against); otherwise the read-time expiry
+    * filter. V()/E() and the traversal source call this on every scan —
+    * expired elements vanish from plain reads (docs/advschema.txt:20-70). */
+  def ttlAutoFilter(schema: GraphSchema, df: DataFrame, isVertex: Boolean): DataFrame = {
+    val declared = if (isVertex) schema.hasVertexTtl else schema.hasEdgeTtl
+    if (!declared || !df.columns.contains(TimestampColumn)) df
+    else df.filter(ttlCatalogFilter(schema, df, isVertex, ttlNow(schema)))
+  }
+
   /** Catalog-TTL read-time view: drop elements whose label declares a TTL and
     * whose `_ts` is older than it (cell-TTL expiry semantics of the
     * reference's storage, applied at scan time — same filter shape as
@@ -60,7 +76,10 @@ object ImplicitKeys {
     if (!anyTtl) lit(true) // no label declares TTL — keep all, no _ts needed
     else {
       val ttl = resolve(schema, df, Ttl, isVertex)
-      ttl.isNull ||
+      // null _ts = no write-time provenance — such rows cannot expire (the
+      // reference's cells always carry a timestamp; rows predating TTL
+      // adoption must not vanish retroactively)
+      ttl.isNull || col(TimestampColumn).isNull ||
         unix_micros(col(TimestampColumn)) + ttl * 1000000L > unix_micros(now)
     }
   }

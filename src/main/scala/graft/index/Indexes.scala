@@ -104,6 +104,48 @@ object Indexes {
     base.join(ids, Seq("id"), "left_semi")
   }
 
+  /** Materialize a TEXTSTRING-mapped key as ONE index table serving BOTH
+    * predicate families (Mapping.TEXTSTRING — tc/core/schema/Mapping.java:
+    * 18-21, docs/searchpredicates.txt:70-86: the combined mapping indexes the
+    * field tokenized AND as the full value): kind='tok' rows carry tokens for
+    * textContains, kind='str' rows carry the untokenized value for Cmp
+    * equality / string prefix. Partition-prune on `kind` at lookup — each
+    * family touches only its half. */
+  def materializeTextString(g: PropertyGraph, ix: IndexDef): DataFrame = {
+    require(!ix.composite, s"index '${ix.name}' is composite; use materialize")
+    val table = if (ix.element == ElementCategory.VERTEX) g.vertices else g.edges
+    val scoped = ix.onlyLabel.map(l => table.filter(col("label") === l)).getOrElse(table)
+    val tsKeys = ix.keys.filter(k =>
+      ix.mappings.getOrElse(k, graft.core.Mapping.DEFAULT) == graft.core.Mapping.TEXTSTRING)
+    require(tsKeys.nonEmpty, s"index '${ix.name}' has no TEXTSTRING-mapped keys")
+    tsKeys.map { k =>
+      val tok = scoped.select(lit(k).as("key"), lit("tok").as("kind"),
+        explode(Text.tokens(col(k))).as("value"), col("id"))
+      val str = scoped.filter(col(k).isNotNull)
+        .select(lit(k).as("key"), lit("str").as("kind"),
+          col(k).cast("string").as("value"), col("id"))
+      tok.unionAll(str)
+    }.reduce(_ unionAll _)
+  }
+
+  /** textContains through the TEXTSTRING index (token half). */
+  def lookupTextStringContains(g: PropertyGraph, tsIx: DataFrame, key: String,
+      term: String, element: ElementCategory = ElementCategory.VERTEX): DataFrame = {
+    val ids = tsIx.filter(col("key") === key && col("kind") === "tok" &&
+      col("value") === term.toLowerCase.trim).select(col("id"))
+    val base = if (element == ElementCategory.VERTEX) g.vertices else g.edges
+    base.join(ids, Seq("id"), "left_semi")
+  }
+
+  /** Exact full-value equality through the SAME TEXTSTRING index (string half). */
+  def lookupTextStringEquals(g: PropertyGraph, tsIx: DataFrame, key: String,
+      value: String, element: ElementCategory = ElementCategory.VERTEX): DataFrame = {
+    val ids = tsIx.filter(col("key") === key && col("kind") === "str" &&
+      col("value") === value).select(col("id"))
+    val base = if (element == ElementCategory.VERTEX) g.vertices else g.edges
+    base.join(ids, Seq("id"), "left_semi")
+  }
+
   /** Materialize the numeric side of a mixed index: (key, numvalue, id) rows
     * — the range-queryable backend the reference gets from an external
     * index's numeric fields. Persisted sorted-by-value, parquet min/max

@@ -144,8 +144,12 @@ final case class GraphQuery(
 }
 
 object GraphQuery {
+  // catalog-TTL is auto-applied at the scan: expired elements never enter a
+  // plain V()/E() read (identity when the catalog declares no TTL)
   def vertices(g: PropertyGraph): GraphQuery =
-    GraphQuery(g, g.vertices, graft.core.ElementCategory.VERTEX)
+    GraphQuery(g, graft.expr.ImplicitKeys.ttlAutoFilter(g.schema, g.vertices, isVertex = true),
+      graft.core.ElementCategory.VERTEX)
   def edges(g: PropertyGraph): GraphQuery =
-    GraphQuery(g, g.edges, graft.core.ElementCategory.EDGE)
+    GraphQuery(g, graft.expr.ImplicitKeys.ttlAutoFilter(g.schema, g.edges, isVertex = false),
+      graft.core.ElementCategory.EDGE)
 }

@@ -661,15 +661,17 @@ object Traversal {
 final class TraversalSource(val graph: PropertyGraph, val pathEnabled: Boolean = false) {
   def withPath: TraversalSource = new TraversalSource(graph, true)
   def V(): Traversal = {
-    val base = graph.vertices
+    // catalog-TTL auto-applies at the source scan (identity without TTL)
+    val base = graft.expr.ImplicitKeys.ttlAutoFilter(graph.schema, graph.vertices, isVertex = true)
     val df = if (pathEnabled) base.withColumn("_path", F.array(col("id"))) else base
     Traversal(graph, df, isVertex = true, pathEnabled)
   }
   def V(ids: Long*): Traversal = V().hasId(ids: _*)
   def E(): Traversal = {
-    val e = graph.edges.select(
+    val live = graft.expr.ImplicitKeys.ttlAutoFilter(graph.schema, graph.edges, isVertex = false)
+    val e = live.select(
       Seq(col("src").as("vid"), col("dst").as("other"), lit("OUT").as("dir")) ++
-        graph.edges.columns.map(col): _*)
+        live.columns.map(col): _*)
     Traversal(graph, e, isVertex = false, pathEnabled)
   }
 }

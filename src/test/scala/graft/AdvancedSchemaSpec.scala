@@ -44,9 +44,14 @@ class AdvancedSchemaSpec extends AnyFunSuite {
 
   lazy val ttlGraph: PropertyGraph = {
     import spark.implicits._
+    // V()/traversal scans auto-apply catalog TTL; pin the read time to an
+    // instant where both session vertices are still live so the implicit-key
+    // tests see the full fixture (expiry itself is tested separately below
+    // and in MutationEnforcementSpec)
     val schema = GraphSchema()
       .withVertexLabel(VertexLabelDef("session", ttlSeconds = Some(3600L)))
       .withVertexLabel(VertexLabelDef("user"))
+      .copy(ttlReadTime = Some(java.sql.Timestamp.valueOf("2024-01-01 00:30:00")))
     val v = Seq(
       (1L, "session", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
       (2L, "session", java.sql.Timestamp.valueOf("2024-01-01 02:00:00")),

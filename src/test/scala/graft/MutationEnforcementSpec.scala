@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.data.{GraphIO, PropertyGraph, TpchGraph}
+
+/** Mutation-time schema enforcement: static-label immutability
+  * (VertexLabelMaker.setStatic, docs/advschema.txt:9-18) and scoped
+  * unique-index / multiplicity re-checks at batch commit, plus catalog-TTL
+  * auto-reads (docs/advschema.txt:20-70). */
+class MutationEnforcementSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+  val T: Long = 1L << GraphIds.TagBits
+
+  private def staticRegionGraph: PropertyGraph = {
+    val g = TpchGraph.load(spark, dir)
+    g.copy(schema = g.schema.copy(vertexLabels = g.schema.vertexLabels +
+      ("region" -> VertexLabelDef("region", static = true))))
+  }
+
+  test("updating an existing static-label vertex is rejected") {
+    val g = staticRegionGraph
+    val upd = spark.range(1).select(lit(TpchGraph.RegionTag * T + 0L).as("id"),
+      lit("region").as("label"), lit(0L).as("uid"), lit("RENAMED").as("name"))
+    val ex = intercept[IllegalArgumentException] {
+      GraphIO.applyMutations(g, addVertices = Some(upd))
+    }
+    assert(ex.getMessage.contains("static-label"))
+  }
+
+  test("deleting a static-label vertex is rejected; creating a new one is allowed") {
+    val g = staticRegionGraph
+    val del = spark.range(1).select(lit(TpchGraph.RegionTag * T + 1L).as("id"))
+    intercept[IllegalArgumentException] {
+      GraphIO.applyMutations(g, deleteVertexIds = Some(del))
+    }
+    val fresh = spark.range(1).select(lit(TpchGraph.RegionTag * T + 77L).as("id"),
+      lit("region").as("label"), lit(77L).as("uid"), lit("NEW").as("name"))
+    val m = GraphIO.applyMutations(g, addVertices = Some(fresh))
+    assert(m.vertices.filter(col("label") === "region").count() === 6)
+  }
+
+  test("adding an edge incident to a static-label vertex is rejected") {
+    val g = staticRegionGraph
+    val e = spark.range(1).select(lit(999999999L).as("id"),
+      lit(TpchGraph.NationTag * T + 0L).as("src"),
+      lit(TpchGraph.RegionTag * T + 0L).as("dst"), lit("in_region").as("label"))
+    val ex = intercept[IllegalArgumentException] {
+      GraphIO.applyMutations(g, addEdges = Some(e))
+    }
+    assert(ex.getMessage.contains("edge added incident to"))
+  }
+
+  test("MANY2ONE multiplicity violation on the added set is rejected") {
+    val g = TpchGraph.load(spark, dir)
+    // nation 0 already has an in_region edge; a second one breaks outLimit=1
+    val e = spark.range(1).select(lit(999999998L).as("id"),
+      lit(TpchGraph.NationTag * T + 0L).as("src"),
+      lit(TpchGraph.RegionTag * T + 1L).as("dst"), lit("in_region").as("label"))
+    val ex = intercept[IllegalArgumentException] {
+      GraphIO.applyMutations(g, addEdges = Some(e))
+    }
+    assert(ex.getMessage.contains("multiplicity"))
+  }
+
+  test("unique-index violation on the added set is rejected") {
+    val g0 = TpchGraph.load(spark, dir)
+    val g = g0.copy(schema = g0.schema.copy(indexes = g0.schema.indexes +
+      ("uniqName" -> IndexDef("uniqName", ElementCategory.VERTEX, Seq("name"),
+        unique = true, onlyLabel = Some("region")))))
+    // a SECOND region named like an existing one (fresh id → passes static/merge)
+    val existingName = g.vertices.filter(col("label") === "region")
+      .select(col("name")).limit(1).collect()(0).getString(0)
+    val dup = spark.range(1).select(lit(TpchGraph.RegionTag * T + 88L).as("id"),
+      lit("region").as("label"), lit(88L).as("uid"), lit(existingName).as("name"))
+    val ex = intercept[IllegalArgumentException] {
+      GraphIO.applyMutations(g, addVertices = Some(dup))
+    }
+    assert(ex.getMessage.contains("unique index 'uniqName'"))
+  }
+
+  test("catalog TTL: ingest stamps _ts and a plain V() scan hides expired elements") {
+    val schema = GraphSchema(
+      vertexLabels = Map("ev" -> VertexLabelDef("ev", ttlSeconds = Some(3600L))),
+      ttlReadTime = Some(java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-06-01T12:00:00Z"))))
+    def ts(s: String) = to_timestamp(lit(s))
+    val v = spark.range(2).select((col("id") + 1000L).as("id"), lit("ev").as("label"),
+      when(col("id") === 0, ts("2024-06-01 11:30:00"))
+        .otherwise(ts("2024-06-01 09:00:00")).as("_ts"))
+    val empty = v.limit(0).select(col("id"), col("id").as("src"),
+      col("id").as("dst"), col("label"))
+    val g = PropertyGraph(schema, v, empty)
+    // fresh element survives, 3h-old one is expired from the plain scan
+    assert(g.V().dataframe.count() === 1)
+    assert(g.traversal.V().toDF.count() === 1)
+    // rows with no _ts provenance never expire
+    val g2 = PropertyGraph(schema, v.withColumn("_ts", lit(null).cast("timestamp")), empty)
+    assert(g2.V().dataframe.count() === 2)
+    // ingest stamping: added rows get _ts = ttlReadTime when absent
+    val add = spark.range(1).select(lit(3000L).as("id"), lit("ev").as("label"))
+    val m = GraphIO.applyMutations(g, addVertices = Some(add))
+    val stamped = m.vertices.filter(col("id") === 3000L).select(col("_ts")).collect()(0)
+    assert(!stamped.isNullAt(0))
+  }
+}

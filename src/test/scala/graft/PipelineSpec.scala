@@ -285,6 +285,18 @@ class PipelineSpec extends AnyFunSuite {
       "clear must unpersist registered frames")
   }
 
+  test("PlanCache: cycling session clones keeps the session-map count bounded") {
+    import spark.implicits._
+    val base = Seq((1L, "a")).toDF("id", "v")
+    (1 to 100).foreach { i =>
+      val clone = spark.newSession()
+      val k = graft.core.PlanCache.key("clone-op", base, i)
+      graft.core.PlanCache.cached(clone, k)(base.select(col("id")))
+    }
+    assert(graft.core.PlanCache.sessionCount <= 8,
+      s"expected bounded session maps, got ${graft.core.PlanCache.sessionCount}")
+  }
+
   test("multimodal: synthesize → repartition → stub decode plumbing") {
     val media = Multimodal.synthesizeMedia(docs.limit(50))
     assert(media.schema("media").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
