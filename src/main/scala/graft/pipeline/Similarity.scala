@@ -165,14 +165,16 @@ object Similarity {
       maxBucketSize: Long = 100000L): DataFrame = {
     require(bits % bandBits == 0)
     val bands = bits / bandBits
-    val sig = data.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val sig = data.select(col(idCol).as("id"),
       lshSignature(col(vecCol), dim, bits, seed).as("s"))
     // cached: heavy-bucket stats + both self-join sides would otherwise
-    // re-run the `bits` interpreted projection aggregates per branch
-    // (bounded LRU — repeated calls reuse, no per-call leak)
+    // re-run the `bits` projection aggregates per branch (bounded LRU —
+    // repeated calls reuse, no per-call leak). (id, band, bucket) ONLY:
+    // vectors never enter the banded frame, the bucket join, or the
+    // candidate dedup — every exchange on the explosion path is 3 longs wide
     val banded = graft.core.PlanCache.cached(data.sparkSession,
       graft.core.PlanCache.key("lsh-banded", data, dim, bits, bandBits, seed, idCol, vecCol)) {
-      sig.select(col("id"), col("v"),
+      sig.select(col("id"),
         posexplode(array((0 until bands).map(b =>
           pmod(shiftrightunsigned(col("s"), b * bandBits), lit(1L << bandBits))): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
@@ -181,10 +183,16 @@ object Similarity {
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
       .select(col("band"), col("bucket"))
     val capped = banded.join(broadcast(heavyBuckets), Seq("band", "bucket"), "left_anti")
-    val a = capped.select(col("band"), col("bucket"), col("id").as("ida"), col("v").as("va"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("idb"), col("v").as("vb"))
-    a.join(b, Seq("band", "bucket")).filter(col("ida") < col("idb"))
-      .dropDuplicates("ida", "idb")
+    val a = capped.select(col("band"), col("bucket"), col("id").as("ida"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("idb"))
+    // candidates collapse to DISTINCT id pairs before any vector touches the
+    // plan (a pair colliding in many bands is verified once); vectors join
+    // back per distinct candidate for the true-cosine check
+    val candidates = a.join(b, Seq("band", "bucket")).filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb")).dropDuplicates("ida", "idb")
+    val va = data.select(col(idCol).as("ida"), col(vecCol).as("va"))
+    val vb = data.select(col(idCol).as("idb"), col(vecCol).as("vb"))
+    candidates.join(va, Seq("ida")).join(vb, Seq("idb"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("ida"), col("idb"), col("cos"))
