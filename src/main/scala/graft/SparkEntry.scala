@@ -638,6 +638,22 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.corpusPrep(
         s.read.parquet(s"$dir/documents.parquet"), minScore = 0.7)
     }),
+    // ---- pipeline: unigram log-prob (cheap perplexity-proxy quality) ----
+    "q_unigram_logprob" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.unigramLogProb(
+        s.read.parquet(s"$dir/documents.parquet"))
+    }),
+    // ---- pipeline: contiguous sequence packing into fixed token bins ----
+    "q_pack_sequences" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.packSequences(
+        s.read.parquet(s"$dir/documents.parquet"), capacityTokens = 2048)
+    }),
+    // ---- pipeline: cross-document duplicated-span fraction (exact
+    //      substring-dedup signal over 8-gram spans) ----
+    "q_dup_span_frac" -> ((s, dir) => {
+      graft.pipeline.Dedup.dupSpanFraction(
+        s.read.parquet(s"$dir/documents.parquet"), n = 8)
+    }),
     // ---- pipeline: BM25 retrieval over the corpus for a fixed term set ----
     "q_bm25" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.bm25TopK(
@@ -1386,6 +1402,29 @@ object SparkEntry {
         |  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY df DESC, token ASC LIMIT 20""".stripMargin,
+    "q_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+        |counts AS (SELECT token, COUNT(*) AS tc FROM toks GROUP BY 1),
+        |tot AS (SELECT SUM(tc) AS n FROM counts)
+        |SELECT doc_id,
+        |  ROUND(CAST(SUM(CAST(ROUND(ln(CAST(tc AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS DECIMAL(28,12))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_logp
+        |FROM toks JOIN counts USING (token) CROSS JOIN tot GROUP BY 1""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens FROM documents)
+        |SELECT doc_id, source, n_tokens,
+        |  (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens) // 2048 AS bin
+        |FROM t""".stripMargin,
+    "q_dup_span_frac" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS wl FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [array_to_string(wl[i:i+7], ' ') for i in range(1, len(wl)-6)])) AS g
+        |  FROM w WHERE len(wl) >= 8),
+        |df AS (SELECT g, COUNT(*) AS ndocs FROM sh GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_spans,
+        |  ROUND(CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+        |FROM sh JOIN df USING (g) GROUP BY 1""".stripMargin,
     "q_bothv" ->
       """SELECT o_custkey AS uid, 'customer' AS label FROM orders
         |UNION ALL SELECT o_orderkey, 'order' FROM orders""".stripMargin,

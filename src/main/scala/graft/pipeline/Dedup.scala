@@ -87,6 +87,28 @@ object Dedup {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Cross-document duplicated-span fraction (the exact-substring dedup
+    * signal of the public RefinedWeb/Gopher recipes): per document, the share
+    * of its DISTINCT word n-grams that also occur in at least one OTHER
+    * document. High values mark boilerplate/templated documents that survive
+    * document-level dedup. Returns (idCol, n_spans, dup_frac); documents
+    * shorter than n tokens yield no row (no spans to measure).
+    *
+    * Scale shape: same inverted shingle index as the Jaccard join — explode
+    * distinct shingles once, a map-side-combinable doc-count per shingle,
+    * join back, per-doc ratio of two integers (deterministic division,
+    * rounded). No pair explosion: cost is linear in total distinct spans. */
+  def dupSpanFraction(docs: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol), explode(shingles(col(textCol), n)).as("g"))
+    val docFreq = sh.groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
+    sh.join(docFreq, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        round(sum(when(col("ndocs") > 1, 1L).otherwise(0L)).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), 6).as("dup_frac"))
+  }
+
   // ---------------- MinHash + LSH ----------------
 
   /** Seeded affine hash family (a,b) over the Mersenne prime p=2³¹-1.

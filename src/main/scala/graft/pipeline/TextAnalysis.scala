@@ -255,6 +255,56 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus-conditional unigram log-probability per document — the classic
+    * cheap perplexity proxy for quality filtering (a document of globally
+    * rare tokens scores low; boilerplate of corpus-dominant tokens scores
+    * high). p(token) is the corpus unigram MLE; the score is the mean
+    * ln p(token) over the document's tokens.
+    *
+    * Scale shape: one explode → map-side-combinable (token) count agg →
+    * shuffle join of the exploded tokens against the vocab table (vocab ≪
+    * corpus; Spark broadcasts it when small) → per-doc agg. Determinism:
+    * each per-token ln is rounded to 9 dp (absorbing last-ulp ln differences
+    * across engines), summed EXACTLY as DECIMAL, and the mean rounded to
+    * 6 dp — bit-identical on any engine with the same tokens. */
+  def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("tc"))
+    val total = counts.agg(sum(col("tc")).as("n"))
+    toks.join(counts, Seq("token"))
+      .crossJoin(broadcast(total))
+      .withColumn("logp",
+        round(log(col("tc").cast(DoubleType) / col("n").cast(DoubleType)), 9))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("logp").cast(DecimalType(28, 12))).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType), 6).as("mean_logp"))
+  }
+
+  /** Contiguous token packing: per source, documents in id order fill
+    * fixed-capacity training bins; a document's bin is the number of whole
+    * capacities consumed BEFORE it (greedy contiguous fill — the standard
+    * sequence-packing prepass before tokenization). Returns
+    * (id, source, n_tokens, bin).
+    *
+    * Scale shape: one running-sum window partitioned by source (the packing
+    * unit) over constant-width (id, source, n_tok) rows — text is consumed
+    * at scan time. A single global ordering would serialize the corpus
+    * through one partition; per-source packing is what a sharded training
+    * pipeline does anyway. */
+  def packSequences(docs: DataFrame, capacityTokens: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      groupCol: String = "source"): DataFrame = {
+    require(capacityTokens > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+    docs.select(col(idCol), col(groupCol),
+        tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+      .withColumn("__prev", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin", expr(s"__prev div $capacityTokens"))
+      .drop("__prev")
+  }
+
   /** End-to-end corpus prep: quality filter → exact-dedup survivors →
     * per-group doc/token totals — the stages a training-data pipeline chains
     * before tokenization.

@@ -285,6 +285,43 @@ class PipelineSpec extends AnyFunSuite {
       "clear must unpersist registered frames")
   }
 
+  test("unigramLogProb: common-token docs outscore rare-token docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the the the the"),          // corpus-dominant token
+      (2L, "zzz qqq xyzzy plugh"),      // singletons
+      (3L, "the the zzz the")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > got(3L) && got(3L) > got(2L))
+  }
+
+  test("packSequences: greedy contiguous fill by preceding cumulative tokens") {
+    import spark.implicits._
+    // 3 docs x 3 tokens in one source, capacity 4:
+    // prev cumsum 0,3,6 -> bins 0,0,1
+    val d = Seq(
+      (1L, "a b c", "s"), (2L, "d e f", "s"), (3L, "g h i", "s"),
+      (4L, "x y", "t")                      // other source packs independently
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.packSequences(d, capacityTokens = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("dupSpanFraction: shared spans counted, unique docs score 0") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens = 3 8-grams
+    val d = Seq(
+      (1L, shared), (2L, shared),                       // all spans shared
+      (3L, (11 to 20).map(i => s"u$i").mkString(" "))   // all spans unique
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanFraction(d, n = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList.sortBy(_._1)
+    assert(got === List((1L, 3L, 1.0), (2L, 3L, 1.0), (3L, 3L, 0.0)))
+  }
+
   test("PlanCache: cycling session clones keeps the session-map count bounded") {
     import spark.implicits._
     val base = Seq((1L, "a")).toDF("id", "v")
