@@ -795,6 +795,13 @@ object SparkEntry {
         .groupBySub("mktsegment", _.out("placed"), count(lit(1)))
         .select(col("mktsegment"), col("value"))
     }),
+    // ---- 2.E project().by(sub-traversal): per-element aggregates ----
+    "q_project_by" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer")
+        .projectSubs(("uid", uidOf(col("id"), TpchGraph.CustomerTag)),
+          ("n_orders", _.out("placed"), count(lit(1)), lit(0L)),
+          ("spend", _.out("placed"), dsum(col("totalprice")), lit(0.0)))
+    }),
     // ---- 2.E select().by(property) — by-modulated select ----
     "q_select_by" -> ((s, dir) => {
       graph(s, dir).traversal.V().hasLabel("customer").has("mktsegment", "BUILDING").as("a")
@@ -1606,6 +1613,10 @@ object SparkEntry {
     "q_select_by" ->
       """SELECT c_name AS a_name, o_totalprice AS b_totalprice FROM customer
         |JOIN orders ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "q_project_by" ->
+      """SELECT c_custkey AS uid, COUNT(o_orderkey) AS n_orders,
+        |CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(28,2))), 0) AS DOUBLE) AS spend
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY 1""".stripMargin,
     "q_salted_degree" ->
       "SELECT l_partkey AS uid, COUNT(*) AS cnt FROM lineitem GROUP BY 1",
     "q_properties" ->

@@ -245,6 +245,26 @@ final case class Traversal(
       .groupBy(keyCol(key).as(key))
       .agg(groupAgg(col("__byv")).as("value"))
 
+  /** project('a','b').by(subTraversal)... — one output column per named
+    * field, each a per-element aggregate of its own sub-traversal (TinkerPop
+    * by-modulated project). Sub-traversals run independently and join back on
+    * the element id — k fields cost k aggregate-joins, never a k-way
+    * cartesian. Plain-column fields use `project` directly. */
+  def projectSubs(idField: (String, Column),
+      fields: (String, Traversal => Traversal, Column, Column)*): DataFrame = {
+    val withVals = fields.zipWithIndex.foldLeft(df) {
+      case (cur, ((_, step, value, default), i)) =>
+        val stepped = step(this.as(s"__pj$i"))
+        val vals = stepped.df.groupBy(col(s"_as___pj${i}_id").as(s"__pjk$i"))
+          .agg(value.as(s"__pjv$i"))
+        cur.join(vals, col("id") === col(s"__pjk$i"), "left")
+          .withColumn(s"__pjv$i", F.coalesce(col(s"__pjv$i"), default))
+          .drop(s"__pjk$i")
+    }
+    withVals.select(idField._2.as(idField._1) +:
+      fields.zipWithIndex.map { case ((n, _, _, _), i) => col(s"__pjv$i").as(n) }: _*)
+  }
+
   def path(): DataFrame = df.select(col("_path").as("path"))
 
   // ---------- sack (per-traverser accumulator) ----------

@@ -87,6 +87,32 @@ class TraversalModulationSpec extends AnyFunSuite {
     assert(falseCnt === wantFalse)
   }
 
+  test("select/selectBy resolve EDGE labels against the edge table") {
+    val t = g.traversal.E().hasLabel("placed").as("e").inV().as("v")
+    val out = t.select("e", "v")
+    assert(out.columns.contains("e_src") && out.columns.contains("v_name"))
+    assert(out.count() === g.edges.filter(col("label") === "placed").count())
+    val by = t.selectBy("e" -> "orderdate", "v" -> "uid")
+    assert(by.columns.toSeq === Seq("e_orderdate", "v_uid"))
+    assert(by.count() === out.count())
+  }
+
+  test("projectSubs: independent per-field aggregate joins with defaults") {
+    val out = g.traversal.V().hasLabel("customer")
+      .projectSubs(("id", col("id")),
+        ("n_orders", _.out("placed"), count(lit(1)), lit(0L)),
+        ("n_nation", _.out("in_nation"), count(lit(1)), lit(0L)))
+    assert(out.columns.toSeq === Seq("id", "n_orders", "n_nation"))
+    val rows = out.collect()
+    assert(rows.length === g.vertices.filter(col("label") === "customer").count())
+    assert(rows.forall(_.getLong(2) === 1L)) // every customer has one nation
+    val want = g.vertices.filter(col("label") === "customer").select(col("id").as("cid"))
+      .join(g.edges.filter(col("label") === "placed"), col("cid") === col("src"), "left")
+      .groupBy(col("cid")).agg(count(col("src")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall(r => r.getLong(1) === want(r.getLong(0))))
+  }
+
   test("repeatUntilSub exits traversers whose condition traversal is empty") {
     val out = g.traversal.V().hasLabel("customer")
       .repeatUntilSub(_.out(), maxIter = 3)(_.out("in_nation", "in_region"))
