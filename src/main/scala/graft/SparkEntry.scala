@@ -686,6 +686,18 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), MixtureRates)
         .select(col("doc_id"), col("source"))
     }),
+    // ---- pipeline: per-domain quota (anti-domination cap, WindowGroupLimit) ----
+    "q_domain_quota" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.domainQuota(
+        s.read.parquet(s"$dir/documents.parquet"), n = 50)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+    // ---- pipeline: deterministic global shuffle (epoch permutation key) ----
+    "q_shuffled" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.shuffled(
+        s.read.parquet(s"$dir/documents.parquet"), salt = "epoch1")
+        .limit(200).select(col("doc_id"), col("_shuffle_key"))
+    }),
     // ---- pipeline: embedding-cosine near-dup pairs ----
     "q_embed_pairs" -> ((s, dir) => {
       graft.pipeline.Similarity.cosinePairs(
@@ -959,6 +971,71 @@ object SparkEntry {
       graft.olap.GraphOps.ttlView(readEvents(s, dir), "ts", 7L * 24 * 3600,
         now = to_timestamp(lit("2024-01-31 00:00:00")))
         .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    }),
+    // ---- 2.L ConsistencyModifier.FORK — updating a FORK-label edge deletes
+    //      the old edge and writes a NEW id (CacheEdge.java:75-85); DEFAULT
+    //      labels update in place. `forked` counts post-update ids above the
+    //      pre-update max; the oracle mirrors it as the update-batch size ----
+    "q_fork_update" -> ((s, dir) => {
+      val g0 = graph(s, dir)
+      val g = g0.copy(schema = g0.schema.copy(edgeLabels = g0.schema.edgeLabels +
+        ("contains" -> graft.core.EdgeLabelDef("contains",
+          consistency = graft.core.ConsistencyModifier.FORK))))
+      val maxBefore = g.edges.agg(max(col("id")).as("__premax"))
+      val updFork = g.edges.filter(col("label") === "contains" &&
+          col("linenumber") === 1 && col("quantity") >= 45.0)
+        .withColumn("quantity", col("quantity") + 1.0)
+      val updInPlace = g.edges.filter(col("label") === "supplied_by" &&
+          col("shipdate") < lit(d("1992-06-01")))
+        .withColumn("linenumber", col("linenumber") + 10)
+      val m = graft.data.GraphIO.updateEdges(g, updFork.unionByName(updInPlace))
+      m.edges.crossJoin(broadcast(maxBefore))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("quantity")).as("qty_sum"),
+          sum(col("linenumber").cast(LongType)).as("ln_sum"),
+          count(when(col("id") > col("__premax"), 1)).as("forked"))
+    }),
+    // ---- 2.L TTL compaction — physically reclaim expired elements; the RAW
+    //      post-compaction frame (no read-time filter anywhere) proves the
+    //      rows are gone from storage, not just hidden ----
+    "q_ttl_compact" -> ((s, dir) => {
+      val t = 1L << graft.core.GraphIds.TagBits
+      val v = readEvents(s, dir).select((lit(7L * t) + col("event_id")).as("id"),
+        lit("event").as("label"), col("event_id").as("uid"),
+        col("event_type"), col("ts").as("_ts"))
+      val schema = graft.core.GraphSchema(
+        vertexLabels = Map("event" -> graft.core.VertexLabelDef("event",
+          ttlSeconds = Some(7L * 24 * 3600))),
+        ttlReadTime = Some(java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-31T00:00:00Z"))))
+      val g = graft.data.PropertyGraph(schema, v,
+        v.limit(0).select(col("id"), col("id").as("src"), col("id").as("dst"), col("label")))
+      graft.data.GraphIO.compactExpired(g).vertices
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    }),
+    // ---- 2.E elementMap — id + label + requested keys per element ----
+    "q_elementmap" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("nation").elementMap("name", "uid")
+    }),
+    // ---- 2.H skip(n) — order + Offset without an upper limit ----
+    "q_skip" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer")
+        .order("acctbal", asc = false).skip(100)
+        .values("uid", "acctbal")
+    }),
+    // ---- 2.E repeat().emit().until() — emit each round, exit on predicate:
+    //      nations surface at depth 1 and leave the loop; depth 2 is empty.
+    //      (Plain emit(2) would also surface customers+suppliers — the oracle
+    //      pins the difference.) ----
+    "q_repeat_emit_until" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("region")
+        .repeatEmitUntil(col("label") === "nation", 2)(_.in())
+        .values("uid", "label")
+    }),
+    // ---- 2.E path().by(key) — path elements rendered by a property ----
+    "q_path_by" -> ((s, dir) => {
+      graph(s, dir).traversal.withPath.V().hasLabel("region").in().pathBy("name")
     }),
     // ---- 2.E coalesce — first step with results per source element ----
     "q_coalesce" -> ((s, dir) => {
@@ -1316,6 +1393,41 @@ object SparkEntry {
     "q_ttl_catalog" ->
       """SELECT event_type, COUNT(*) AS cnt FROM events
         |WHERE ts + INTERVAL 604800 SECOND > TIMESTAMP '2024-01-31 00:00:00' GROUP BY 1""".stripMargin,
+    "q_ttl_compact" ->
+      """SELECT event_type, COUNT(*) AS cnt FROM events
+        |WHERE ts + INTERVAL 604800 SECOND > TIMESTAMP '2024-01-31 00:00:00' GROUP BY 1""".stripMargin,
+    "q_fork_update" ->
+      """WITH u AS (SELECT COUNT(*) AS n FROM lineitem WHERE l_linenumber = 1 AND l_quantity >= 45),
+        |     s AS (SELECT COUNT(*) AS n FROM lineitem WHERE l_shipdate < DATE '1992-06-01')
+        |SELECT 'in_region' AS label, CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS cnt,
+        |       CAST(NULL AS DOUBLE) AS qty_sum, CAST(NULL AS BIGINT) AS ln_sum, CAST(0 AS BIGINT) AS forked
+        |UNION ALL SELECT 'in_nation',
+        |  (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier), NULL, NULL, 0
+        |UNION ALL SELECT 'placed', (SELECT COUNT(*) FROM orders), NULL, NULL, 0
+        |UNION ALL SELECT 'contains', (SELECT COUNT(*) FROM lineitem),
+        |  CAST((SELECT SUM(CAST(l_quantity AS DECIMAL(28,2))) FROM lineitem) + (SELECT n FROM u) AS DOUBLE),
+        |  (SELECT SUM(CAST(l_linenumber AS BIGINT)) FROM lineitem), (SELECT n FROM u)
+        |UNION ALL SELECT 'supplied_by', (SELECT COUNT(*) FROM lineitem), NULL,
+        |  (SELECT SUM(CAST(l_linenumber AS BIGINT)) FROM lineitem) + 10 * (SELECT n FROM s), 0""".stripMargin,
+    "q_elementmap" ->
+      """SELECT 2 * 72057594037927936 + n_nationkey AS id, 'nation' AS label,
+        |n_name AS name, n_nationkey AS uid FROM nation""".stripMargin,
+    "q_skip" ->
+      """SELECT c_custkey AS uid, c_acctbal AS acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey OFFSET 100""".stripMargin,
+    "q_repeat_emit_until" ->
+      "SELECT n_nationkey AS uid, 'nation' AS label FROM nation",
+    "q_path_by" ->
+      """SELECT [r_name, n_name] AS path FROM nation
+        |JOIN region ON r_regionkey = n_regionkey""".stripMargin,
+    "q_domain_quota" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 50""".stripMargin,
+    "q_shuffled" ->
+      """SELECT doc_id, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS _shuffle_key
+        |FROM documents ORDER BY 2 LIMIT 200""".stripMargin,
     "q_coalesce" ->
       """SELECT o_orderkey AS uid, o_totalprice AS totalprice FROM orders WHERE o_totalprice > 400000.0
         |UNION ALL SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey NOT IN

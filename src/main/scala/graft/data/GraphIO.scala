@@ -186,4 +186,64 @@ object GraphIO {
     }
     unique ++ mult
   }
+
+  /** Edge UPDATE with ConsistencyModifier.FORK semantics (reference:
+    * tc/graphdb/relations/CacheEdge.java:75-85 — modifying an edge whose
+    * label is FORK deletes the stored edge and writes a NEW edge with a
+    * fresh id carrying the updated values, avoiding concurrent write
+    * conflicts; DEFAULT/LOCK labels update in place under the same id).
+    *
+    * `updates` carries full edge rows keyed by the EXISTING edge id. Fresh
+    * ids for forked rows are `max(existing id) + row_number() over the
+    * batch` — deterministic, and the single-partition window spans only the
+    * mutation batch (bounded, human-scale), never the graph. */
+  def updateEdges(g: PropertyGraph, updates: DataFrame): PropertyGraph = {
+    import org.apache.spark.sql.expressions.Window
+    val forkLabels = g.schema.edgeLabels.values
+      .filter(_.consistency == ConsistencyModifier.FORK).map(_.name).toSeq
+    val isFork =
+      if (forkLabels.isEmpty) lit(false) else col("label").isin(forkLabels: _*)
+    val inPlace = updates.filter(!isFork)
+    val forked = updates.filter(isFork)
+    val maxId = g.edges.agg(max(col("id")).as("__maxid"))
+    val forkedFresh = forked
+      .withColumn("__rn", row_number().over(Window.orderBy(col("id"))))
+      .crossJoin(broadcast(maxId))
+      .withColumn("id", (col("__maxid") + col("__rn")).cast("long"))
+      .drop("__rn", "__maxid")
+    applyMutations(g,
+      addEdges = Some(inPlace.unionByName(forkedFresh)),
+      deleteEdgeIds = Some(forked.select(col("id"))),
+      enforce = false)
+  }
+
+  /** TTL compaction: physically remove catalog-expired elements (the batch
+    * analogue of the storage backend's cell-TTL compaction the reference
+    * relies on — docs/advschema.txt:20-70). Read-time views already hide
+    * expired elements (ImplicitKeys.ttlAutoFilter); compaction reclaims the
+    * storage and keeps plans from re-filtering history forever. Expired
+    * vertices cascade to their incident edges (the adjacency row dies with
+    * the vertex). Pure column filters + two anti-joins — no shuffle beyond
+    * what the joins need, safe at any scale. */
+  def compactExpired(g: PropertyGraph): PropertyGraph = {
+    import graft.expr.ImplicitKeys
+    val now = ImplicitKeys.ttlNow(g.schema)
+    val v =
+      if (g.schema.hasVertexTtl && g.vertices.columns.contains(ImplicitKeys.TimestampColumn))
+        g.vertices.filter(ImplicitKeys.ttlCatalogFilter(g.schema, g.vertices, isVertex = true, now))
+      else g.vertices
+    val e0 =
+      if (g.schema.hasEdgeTtl && g.edges.columns.contains(ImplicitKeys.TimestampColumn))
+        g.edges.filter(ImplicitKeys.ttlCatalogFilter(g.schema, g.edges, isVertex = false, now))
+      else g.edges
+    // cascade: if any vertex label declares TTL, edges incident to a removed
+    // vertex go with it (semi-join against the surviving vertex set)
+    val e =
+      if (g.schema.hasVertexTtl && g.vertices.columns.contains(ImplicitKeys.TimestampColumn)) {
+        val ids = v.select(col("id").as("__vid"))
+        e0.join(ids, col("src") === col("__vid"), "left_semi")
+          .join(ids.withColumnRenamed("__vid", "__vid2"), col("dst") === col("__vid2"), "left_semi")
+      } else e0
+    g.copy(vertices = v, edges = e)
+  }
 }

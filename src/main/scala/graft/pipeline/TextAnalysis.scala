@@ -342,4 +342,33 @@ object TextAnalysis {
         round(percentile(tokenCount(col(textCol)), lit(0.25)), 4).as("p25"),
         round(percentile(tokenCount(col(textCol)), lit(0.5)), 4).as("p50"),
         round(percentile(tokenCount(col(textCol)), lit(0.75)), 4).as("p75"))
+
+  /** Per-domain quota: keep at most `n` documents per group, best-first by
+    * `orderCol` (ties broken by id — fully deterministic). The Common-Crawl
+    * move that stops one domain from dominating the corpus. Compiles to a
+    * rank-limit window — Spark's WindowGroupLimit pushes the ≤n cut to the
+    * map side, so only n rows per group ever cross the exchange; no group's
+    * full membership is materialized anywhere. */
+  def domainQuota(docs: DataFrame, n: Int, groupCol: String = "source",
+      orderCol: Column = col("n_chars").desc, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "quota must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderCol, col(idCol).asc)
+    docs.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= n).drop("__rank")
+  }
+
+  /** Deterministic global shuffle: the training-order permutation as a
+    * sortable key, `md5(salt:id)`, instead of a stateful RNG. The same
+    * (salt, corpus) always yields the same order on any cluster layout;
+    * changing the salt is a fresh epoch permutation. Emitting the key and
+    * sorting downstream keeps the operator itself shuffle-free (one map);
+    * a global sort by the key is Spark's range-partitioned sort — the
+    * standard, scalable way to write a shuffled corpus. */
+  def shuffleKey(idCol: Column, salt: String = ""): Column =
+    md5(concat_ws(":", lit(salt), idCol.cast(StringType)))
+
+  def shuffled(docs: DataFrame, salt: String = "", idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("_shuffle_key", shuffleKey(col(idCol), salt))
+      .orderBy(col("_shuffle_key"))
 }

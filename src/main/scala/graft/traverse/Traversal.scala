@@ -267,6 +267,29 @@ final case class Traversal(
 
   def path(): DataFrame = df.select(col("_path").as("path"))
 
+  /** path().by(key) — each path element rendered by a property instead of its
+    * id (Gremlin PathStep by-modulation). Resolution: posexplode the bounded
+    * path array, one join against the (vertex ∪ edge) id→value map, regroup
+    * by a per-row key and re-sort by position. The join is id-keyed (shuffle
+    * or AQE-broadcast of the value map's projection); path length bounds the
+    * explode fan-out, so no row amplification beyond hops. */
+  def pathBy(key: String): DataFrame = {
+    require(hasPath, "pathBy requires withPath traversal source")
+    def side(t: DataFrame) =
+      if (t.columns.contains(key))
+        Some(t.select(col("id").as("__pid"), col(key).cast("string").as("__pv")))
+      else None
+    val lookup = (side(graph.vertices) ++ side(graph.edges))
+      .reduceOption(_.unionByName(_))
+      .getOrElse(sys.error(s"pathBy: no element set carries '$key'"))
+    val rows = df.select(col("_path")).withColumn("__rid", F.monotonically_increasing_id())
+    rows.select(col("__rid"), F.posexplode(col("_path")).as(Seq("__pos", "__pid")))
+      .join(lookup, "__pid")
+      .groupBy(col("__rid"))
+      .agg(F.array_sort(F.collect_list(F.struct(col("__pos"), col("__pv")))).as("__s"))
+      .select(F.transform(col("__s"), s => s.getField("__pv")).as("path"))
+  }
+
   // ---------- sack (per-traverser accumulator) ----------
   /** withSack(init) — attach a per-traverser accumulator (TinkerPop sack with
     * split = identity, no merge; the reference runs SackStep through its
@@ -359,6 +382,11 @@ final case class Traversal(
   def valueMap(keys: String*): DataFrame =
     df.select(col("id"), F.map_from_arrays(
       F.array(keys.map(lit): _*), F.array(keys.map(k => col(k).cast("string")): _*)).as("valueMap"))
+
+  /** elementMap(keys*) — valueMap plus the element's id and label as columns
+    * (Gremlin ElementMapStep; TinkerPop 3's flattened per-element view). */
+  def elementMap(keys: String*): DataFrame =
+    df.select(col("id") +: col("label") +: keys.map(col): _*)
   def id(): DataFrame = df.select(col("id"))
   def label(): DataFrame = df.select(col("label"))
 
@@ -378,6 +406,14 @@ final case class Traversal(
     val ord = if (lastOrder.nonEmpty) lastOrder.map(Traversal.normalizeOrder)
               else Seq(col("id").asc)
     copy(df = df.orderBy(ord: _*).offset(lo).limit(hi - lo))
+  }
+  /** skip(n) — drop the first n traversers of the last declared order
+    * (Gremlin RangeGlobalStep with high = -1, i.e. `range(n, -1)`). Compiles
+    * to sort + Offset — no upper limit materialized. */
+  def skip(n: Int): Traversal = {
+    val ord = if (lastOrder.nonEmpty) lastOrder.map(Traversal.normalizeOrder)
+              else Seq(col("id").asc)
+    copy(df = df.orderBy(ord: _*).offset(n))
   }
   def dedup(): Traversal = copy(df = df.dropDuplicates("id"))
   def dedupBy(keys: String*): Traversal = copy(df = df.dropDuplicates(keys))
@@ -601,6 +637,21 @@ final case class Traversal(
       frontier = frontier.copy(df = frontier.df.filter(!F.coalesce(cond, lit(false))))
     }
     copy(df = done.get.unionByName(frontier.df, allowMissingColumns = true))
+  }
+
+  /** repeat(step).emit().until(cond) — each round's frontier is emitted, and
+    * traversers satisfying `cond` exit the loop (Gremlin's combined
+    * emit()+until(): an element emitted at depth d keeps stepping while the
+    * until-condition fails, so its successors surface at depth d+1 too). */
+  def repeatEmitUntil(cond: Column, maxIter: Int)(step: Traversal => Traversal): Traversal = {
+    var frontier = this
+    var acc: Option[DataFrame] = None
+    (1 to maxIter).foreach { _ =>
+      frontier = step(frontier)
+      acc = Some(acc.fold(frontier.df)(_.unionByName(frontier.df, allowMissingColumns = true)))
+      frontier = frontier.copy(df = frontier.df.filter(!F.coalesce(cond, lit(false))))
+    }
+    copy(df = acc.get)
   }
 
   /** repeat(step).until(condTraversal) — traversers exit when their condition

@@ -105,4 +105,45 @@ class MutationEnforcementSpec extends AnyFunSuite {
     val stamped = m.vertices.filter(col("id") === 3000L).select(col("_ts")).collect()(0)
     assert(!stamped.isNullAt(0))
   }
+
+  test("FORK edge label: update forks a fresh id; DEFAULT label updates in place") {
+    val g0 = TpchGraph.load(spark, dir)
+    val g = g0.copy(schema = g0.schema.copy(edgeLabels = g0.schema.edgeLabels +
+      ("in_region" -> EdgeLabelDef("in_region",
+        consistency = ConsistencyModifier.FORK))))
+    val maxBefore = g.edges.agg(max(col("id"))).collect()(0).getLong(0)
+    // one FORK-label edge (nation 0 → its region) and one DEFAULT-label edge
+    val fork = g.edges.filter(col("label") === "in_region" &&
+      col("src") === TpchGraph.NationTag * T + 0L)
+    val forkOldId = fork.select(col("id")).collect()(0).getLong(0)
+    val inPlace = g.edges.filter(col("label") === "placed").limit(1)
+    val inPlaceId = inPlace.select(col("id")).collect()(0).getLong(0)
+    val m = GraphIO.updateEdges(g, fork.unionByName(inPlace))
+    // edge count unchanged (delete + re-add)
+    assert(m.edges.count() === g.edges.count())
+    // FORK: the old id is gone, exactly one fresh id above the old max
+    assert(m.edges.filter(col("id") === forkOldId).count() === 0)
+    assert(m.edges.filter(col("id") > maxBefore).count() === 1)
+    // DEFAULT: same id survives
+    assert(m.edges.filter(col("id") === inPlaceId).count() === 1)
+  }
+
+  test("compactExpired physically removes expired vertices and cascades their edges") {
+    val schema = GraphSchema(
+      vertexLabels = Map("ev" -> VertexLabelDef("ev", ttlSeconds = Some(3600L))),
+      ttlReadTime = Some(java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-06-01T12:00:00Z"))))
+    def ts(s: String) = to_timestamp(lit(s))
+    val v = spark.range(2).select((col("id") + 1000L).as("id"), lit("ev").as("label"),
+      when(col("id") === 0, ts("2024-06-01 11:30:00"))
+        .otherwise(ts("2024-06-01 09:00:00")).as("_ts"))
+    // one edge between the fresh (1000) and expired (1001) vertex
+    val e = spark.range(1).select(lit(1L).as("id"), lit(1000L).as("src"),
+      lit(1001L).as("dst"), lit("rel").as("label"))
+    val m = GraphIO.compactExpired(PropertyGraph(schema, v, e))
+    // the RAW frames (no read-time filter) prove physical removal
+    assert(m.vertices.count() === 1)
+    assert(m.vertices.select(col("id")).collect()(0).getLong(0) === 1000L)
+    assert(m.edges.count() === 0) // cascaded with the expired endpoint
+  }
 }

@@ -426,4 +426,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(q("a") === ((4L, 1.75, 2.5, 3.25)))
     assert(q("b") === ((1L, 2.0, 2.0, 2.0)))
   }
+
+  test("domainQuota keeps at most n best-first docs per source, deterministically") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.domainQuota(docs, n = 10)
+    val perSource = out.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource.values.forall(_ <= 10))
+    // best-first: the kept docs are exactly the top-10 by (n_chars desc, id)
+    val src = perSource.keys.head
+    val want = docs.filter(col("source") === src)
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(10).select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = out.filter(col("source") === src)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    // deterministic across evaluations
+    val again = TextAnalysis.domainQuota(docs, n = 10)
+      .filter(col("source") === src).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === got)
+  }
+
+  test("shuffled: salt-keyed permutation is stable per salt and differs across salts") {
+    import org.apache.spark.sql.functions._
+    val a1 = TextAnalysis.shuffled(docs, "s1").select("doc_id").collect().map(_.getLong(0)).toSeq
+    val a2 = TextAnalysis.shuffled(docs, "s1").select("doc_id").collect().map(_.getLong(0)).toSeq
+    val b = TextAnalysis.shuffled(docs, "s2").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(a1 === a2)           // same salt → identical order
+    assert(a1 !== b)            // different salt → a different epoch order
+    assert(a1.toSet === b.toSet) // …but the same corpus
+  }
 }

@@ -121,4 +121,40 @@ class TraversalModulationSpec extends AnyFunSuite {
     assert(out.toDF.count() === cnt)
     assert(out.toDF.select("label").distinct().collect().map(_.getString(0)).toSeq === Seq("region"))
   }
+
+  test("elementMap returns id + label + requested keys") {
+    val out = g.traversal.V().hasLabel("region").elementMap("name")
+    assert(out.columns.toSeq === Seq("id", "label", "name"))
+    assert(out.count() === 5)
+  }
+
+  test("skip(n) drops the first n of the declared order and keeps the rest") {
+    val all = g.traversal.V().hasLabel("nation")
+      .order("uid").toDF.select("uid").collect().map(_.getLong(0)).toSeq
+    val rest = g.traversal.V().hasLabel("nation")
+      .order("uid").skip(10).toDF.select("uid").collect().map(_.getLong(0)).toSeq
+    assert(rest === all.drop(10))
+  }
+
+  test("repeatEmitUntil emits each round and exits matching traversers") {
+    // until(label==='nation'): nations surface at depth 1 and stop the walk,
+    // so depth 2 contributes nothing — unlike plain repeatEmit(2)
+    val emitted = g.traversal.V().hasLabel("region")
+      .repeatEmitUntil(col("label") === "nation", 2)(_.in())
+      .toDF.select("label").distinct().collect().map(_.getString(0)).toSet
+    assert(emitted === Set("nation"))
+    val plain = g.traversal.V().hasLabel("region")
+      .repeatEmit(2)(_.in())
+      .toDF.select("label").distinct().collect().map(_.getString(0)).toSet
+    assert(plain.contains("customer")) // the until() is what cut depth 2
+  }
+
+  test("pathBy renders each path element through the property") {
+    val rows = g.traversal.withPath.V().hasLabel("region").in().pathBy("name")
+      .collect().map(_.getSeq[String](0).toList)
+    assert(rows.length === 25) // one path per nation
+    assert(rows.forall(_.length === 2))
+    val regions = rows.map(_.head).toSet
+    assert(regions.subsetOf(Set("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")))
+  }
 }
