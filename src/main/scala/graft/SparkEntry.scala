@@ -299,6 +299,22 @@ object SparkEntry {
           graft.expr.Geo.circle(0.0, 0.0, 5000.0), roundScale = Some(3)))
         .select(col("uid"))
     }),
+    // ---- 2.B mixed GEO index: grid-cell pruning + exact residual — must
+    //      return exactly the brute-force geoWithin result ----
+    "q_geo_index" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val parts = g.V().hasLabel("part").dataframe
+        .withColumn("loc", graft.expr.Geo.pointCol(
+          pmod(col("uid"), lit(180)) - 90, pmod(col("uid") * 7, lit(360)) - 180))
+      val g2 = g.copy(vertices = parts)
+      val ix = graft.core.IndexDef("partGeo", graft.core.ElementCategory.VERTEX,
+        Seq("loc"), composite = false, onlyLabel = Some("part"))
+      val cells = graft.index.Indexes.materializeGeo(g2, ix, col("loc"), cellDeg = 5.0)
+      graft.index.Indexes.lookupGeoWithinCircle(g2, cells, col("loc"),
+          centerLat = 0.0, centerLon = 0.0, radiusKm = 5000.0,
+          cellDeg = 5.0, roundScale = Some(3))
+        .select(col("uid"))
+    }),
     // ---- 2.D Geo.INTERSECT: per-part circles vs a query circle ----
     "q_geo_intersects" -> ((s, dir) => {
       val g = graph(s, dir)
@@ -547,6 +563,33 @@ object SparkEntry {
     "q_connected_components" -> ((s, dir) => {
       graft.olap.Analytics.connectedComponentsExact(graph(s, dir), iterations = 12)
     }),
+    // ---- 2.K per-vertex triangle count (GraphX canonical-orientation) over
+    //      a co-location graph: customer↔supplier edges within a nation close
+    //      triangles with the shared nation vertex, so every count has a
+    //      closed-form mirror (nation: nc·ns; customer: ns; supplier: nc) ----
+    "q_triangles" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val t = 1L << graft.core.GraphIds.TagBits
+      val tag = shiftrightunsigned(col("src"), graft.core.GraphIds.TagBits)
+      val inN = g.edges.filter(col("label") === "in_nation")
+      val custN = inN.filter(tag === TpchGraph.CustomerTag)
+        .select(col("src").as("c"), col("dst").as("nk"))
+      val suppN = inN.filter(tag === TpchGraph.SupplierTag)
+        .select(col("src").as("s2"), col("dst").as("nk"))
+      val cs = custN.join(suppN, "nk")
+        .select(lit(0L).as("id"), col("c").as("src"), col("s2").as("dst"),
+          lit("colocated").as("label"))
+      val verts = g.vertices.filter(col("label").isin("nation", "customer", "supplier"))
+      val derived = g.copy(vertices = verts,
+        edges = inN.select(col("id"), col("src"), col("dst"), col("label")).unionByName(cs))
+      val kind = when(shiftrightunsigned(col("id"), graft.core.GraphIds.TagBits) ===
+          TpchGraph.NationTag, "nation")
+        .when(shiftrightunsigned(col("id"), graft.core.GraphIds.TagBits) ===
+          TpchGraph.CustomerTag, "customer")
+        .otherwise("supplier")
+      graft.olap.Analytics.triangleCount(derived)
+        .select(kind.as("kind"), (col("id") % t).as("uid"), col("triangles"))
+    }),
     // ---- 2.K SSSP (synchronous Bellman-Ford hop distance, oracle-checkable) ----
     "q_sssp" -> ((s, dir) => {
       val src = TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L
@@ -722,6 +765,22 @@ object SparkEntry {
       graft.pipeline.Multimodal.decodeStub(media)
         .join(media.select(col("doc_id"), col("media.width").as("width")), Seq("doc_id"))
         .select(col("doc_id"), col("n_bytes"), col("width"))
+    }),
+    // ---- 2.M multimodal: video frame-sampling plan (bounded explode of
+    //      decode timestamps — the plumbing, not the codec) ----
+    "q_frame_sample" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val media = docs.select(col("doc_id"), struct(
+        encode(col("text"), "UTF-8").as("payload"), lit("fake/video").as("format"),
+        lit(640).as("width"), lit(480).as("height"),
+        (col("n_chars") * 40L).cast(LongType).as("duration_ms")).as("media"))
+      graft.pipeline.Multimodal.frameSamplePlan(media, everyMs = 2000, maxFrames = 16)
+    }),
+    // ---- 2.M multimodal: fixed-size payload chunk ranges (audio windowing) ----
+    "q_chunk_plan" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val media = graft.pipeline.Multimodal.synthesizeMedia(docs, "doc_id", "text")
+      graft.pipeline.Multimodal.chunkPlan(media, chunkBytes = 1000)
     }),
     // ---- 2.F superset: grouping-set rollup (Spark freebie per SURVEY 2.F) ----
     "q_rollup" -> ((s, dir) => {
@@ -1332,6 +1391,14 @@ object SparkEntry {
         |  pow(sin(radians(0.0 - lat) / 2), 2) +
         |  cos(radians(lat)) * cos(radians(0.0)) * pow(sin(radians(0.0 - lon) / 2), 2))), 3)
         |  <= 5000.0""".stripMargin,
+    "q_geo_index" ->
+      """WITH t AS (SELECT p_partkey AS uid,
+        |  CAST(p_partkey % 180 - 90 AS DOUBLE) AS lat,
+        |  CAST((p_partkey * 7) % 360 - 180 AS DOUBLE) AS lon FROM part)
+        |SELECT uid FROM t WHERE round(2 * 6371.0087714 * asin(sqrt(
+        |  pow(sin(radians(0.0 - lat) / 2), 2) +
+        |  cos(radians(lat)) * cos(radians(0.0)) * pow(sin(radians(0.0 - lon) / 2), 2))), 3)
+        |  <= 5000.0""".stripMargin,
     "q_geo_intersects" ->
       """WITH t AS (SELECT p_partkey AS uid,
         |  CAST(p_partkey % 180 - 90 AS DOUBLE) AS lat,
@@ -1508,6 +1575,16 @@ object SparkEntry {
     "q_sssp" -> ssspOracle(
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 8),
     "q_connected_components" -> ccOracle(12),
+    "q_triangles" ->
+      """WITH cn AS (SELECT c_custkey AS c, c_nationkey AS nk FROM customer),
+        |     sn AS (SELECT s_suppkey AS s, s_nationkey AS nk FROM supplier),
+        |     cc AS (SELECT nk, COUNT(*) AS nc FROM cn GROUP BY 1),
+        |     sc AS (SELECT nk, COUNT(*) AS ns FROM sn GROUP BY 1)
+        |SELECT 'nation' AS kind, n_nationkey AS uid,
+        |       COALESCE(nc, 0) * COALESCE(ns, 0) AS triangles
+        |FROM nation LEFT JOIN cc ON cc.nk = n_nationkey LEFT JOIN sc ON sc.nk = n_nationkey
+        |UNION ALL SELECT 'customer', c, COALESCE(ns, 0) FROM cn LEFT JOIN sc USING (nk)
+        |UNION ALL SELECT 'supplier', s, COALESCE(nc, 0) FROM sn LEFT JOIN cc USING (nk)""".stripMargin,
     "q_dedup_exact" ->
       "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies FROM documents GROUP BY text",
     "q_dedup_ngram" -> ngramJaccardOracle,
@@ -1648,6 +1725,17 @@ object SparkEntry {
     "q_multimodal" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |CAST(length(text) % 640 AS INTEGER) AS width FROM documents""".stripMargin,
+    "q_frame_sample" ->
+      """WITH f AS (SELECT doc_id, unnest(generate_series(0, n_chars * 40 - 1, 2000)) AS o
+        |           FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, CAST(o / 2000 AS INTEGER) AS frame_idx, o AS offset_ms
+        |FROM f WHERE o < 32000""".stripMargin,
+    "q_chunk_plan" ->
+      """WITH d AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n FROM documents),
+        |     f AS (SELECT doc_id, n, unnest(generate_series(0, n - 1, 1000)) AS o
+        |           FROM d WHERE n > 0)
+        |SELECT doc_id, n AS n_bytes, CAST(o / 1000 AS INTEGER) AS chunk_idx,
+        |       o AS "start", least(o + 1000, n) AS "end" FROM f""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
         |coalesce(o_orderstatus, 'ALL') AS status, COUNT(*) AS cnt

@@ -247,4 +247,56 @@ object Indexes {
     if (offset == 0) scored.orderBy(col("score").desc, col("id").asc).limit(limit)
     else scored.orderBy(col("score").desc, col("id").asc).offset(offset).limit(limit)
   }
+
+  // ---------- mixed GEO mapping: grid-cell spatial index ----------
+
+  /** Materialize a mixed GEO index as a grid-cell table: one row per element
+    * with its point bucketed into `cellDeg`-degree cells — the engine-internal
+    * stand-in for the reference's external geo backend (mixed indexes support
+    * Geoshape points: docs/searchpredicates.txt:70-86). Two int cell
+    * coordinates are range-filterable, so a circle query prunes to the cells
+    * its bounding box covers (partition/min-max pruning when the table is
+    * written sorted by cell) instead of scanning every point on earth. */
+  def materializeGeo(g: PropertyGraph, ix: IndexDef, pointCol: Column,
+      cellDeg: Double = 5.0): DataFrame = {
+    require(cellDeg > 0, "cell size must be positive")
+    val table = if (ix.element == ElementCategory.VERTEX) g.vertices else g.edges
+    val scoped = ix.onlyLabel.map(l => table.filter(col("label") === l)).getOrElse(table)
+    val lat = pointCol.getField("coords").getItem(0)
+    val lon = pointCol.getField("coords").getItem(1)
+    scoped.select(
+      floor(lat / cellDeg).cast("int").as("cell_lat"),
+      floor(lon / cellDeg).cast("int").as("cell_lon"),
+      col("id"))
+  }
+
+  /** Circle lookup through the grid index: derive the circle's bounding box
+    * in degrees (central angle + a lon stretch of 1/cos at the extreme
+    * latitude), range-filter the cell table, semi-join the candidate ids,
+    * and apply the EXACT geoWithin as a residual — the index only prunes, it
+    * never changes results (same residual-filtering contract as the
+    * reference's mixed-index queries). Near-polar circles degrade to a full
+    * lon range (cos→0 guard), still correct. */
+  def lookupGeoWithinCircle(g: PropertyGraph, geoIx: DataFrame, pointCol: Column,
+      centerLat: Double, centerLon: Double, radiusKm: Double,
+      cellDeg: Double = 5.0, roundScale: Option[Int] = None,
+      element: ElementCategory = ElementCategory.VERTEX): DataFrame = {
+    import graft.expr.Geo
+    val rDeg = math.toDegrees(radiusKm / Geo.EarthRadiusKm) * 1.0001
+    val latLo = centerLat - rDeg
+    val latHi = centerLat + rDeg
+    val extremeLat = math.min(89.9, math.max(math.abs(latLo), math.abs(latHi)))
+    val lonStretch = 1.0 / math.max(1e-3, math.cos(math.toRadians(extremeLat)))
+    val lonDeg = rDeg * lonStretch
+    val fullLon = lonDeg >= 180.0 || latLo <= -89.0 || latHi >= 89.0
+    def cell(v: Double) = math.floor(v / cellDeg).toInt
+    var cand = geoIx.filter(
+      col("cell_lat") >= cell(latLo) && col("cell_lat") <= cell(latHi))
+    if (!fullLon)
+      cand = cand.filter(
+        col("cell_lon") >= cell(centerLon - lonDeg) && col("cell_lon") <= cell(centerLon + lonDeg))
+    val base = if (element == ElementCategory.VERTEX) g.vertices else g.edges
+    base.join(cand.select(col("id")), Seq("id"), "left_semi")
+      .filter(Geo.within(pointCol, Geo.circle(centerLat, centerLon, radiusKm), roundScale))
+  }
 }

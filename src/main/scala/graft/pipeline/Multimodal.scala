@@ -79,4 +79,34 @@ object Multimodal {
       }
     spark.createDataFrame(out, featureSchema)
   }
+
+  /** Video frame-sampling plan: the timestamps a decoder would extract, one
+    * row per sampled frame — `everyMs` spacing across `duration_ms`, capped
+    * at `maxFrames` (uniform head sample). Pure expressions (sequence +
+    * explode, bounded fan-out); the actual pixel decode happens downstream in
+    * the stubbed batch stage. This is the Spark-side plumbing a real video
+    * pipeline needs: the explode shape, not the codec. */
+  def frameSamplePlan(media: DataFrame, everyMs: Long, maxFrames: Int = 32): DataFrame = {
+    require(everyMs > 0 && maxFrames > 0, "need positive sampling interval and cap")
+    val dur = col("media.duration_ms")
+    val offsets = slice(sequence(lit(0L), greatest(dur - 1, lit(0L)), lit(everyMs)),
+      1, maxFrames)
+    media.filter(dur.isNotNull && dur > 0)
+      .select(col("doc_id"), posexplode(offsets).as(Seq("frame_idx", "offset_ms")))
+  }
+
+  /** Fixed-size payload chunking (audio/binary windowing): byte ranges
+    * [i·chunk, min((i+1)·chunk, n)) per payload — the shape a chunked
+    * transcription or fingerprinting stage consumes. Emits ranges, not
+    * sliced blobs: the binary column is pruned unless a downstream stage
+    * explicitly slices, so chunk planning never amplifies shuffle bytes. */
+  def chunkPlan(media: DataFrame, chunkBytes: Int): DataFrame = {
+    require(chunkBytes > 0, "chunk size must be positive")
+    val n = length(col("media.payload")).cast(LongType)
+    val starts = sequence(lit(0L), greatest(n - 1, lit(0L)), lit(chunkBytes.toLong))
+    media.filter(n > 0)
+      .select(col("doc_id"), n.as("n_bytes"),
+        posexplode(starts).as(Seq("chunk_idx", "start")))
+      .withColumn("end", least(col("start") + chunkBytes, col("n_bytes")))
+  }
 }

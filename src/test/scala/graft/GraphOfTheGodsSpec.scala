@@ -87,4 +87,25 @@ class GraphOfTheGodsSpec extends AnyFunSuite {
     assert(gods.multiplicityViolations().count() === 0)
     assert(gods.uniqueIndexViolations().count() === 0)
   }
+
+  test("geo cell index: pruned lookup equals brute-force geoWithin") {
+    import org.apache.spark.sql.functions.col
+    val ix = graft.core.IndexDef("edgePlace", graft.core.ElementCategory.EDGE,
+      Seq("place"), composite = false)
+    val cells = graft.index.Indexes.materializeGeo(gods, ix, col("place"), cellDeg = 1.0)
+      .filter(col("cell_lat").isNotNull) // only battled edges carry a place
+    val viaIndex = graft.index.Indexes.lookupGeoWithinCircle(
+      gods, cells, col("place"), 37.97, 23.72, 50.0, cellDeg = 1.0,
+      element = graft.core.ElementCategory.EDGE)
+    val brute = gods.E().has("place", Geo.geoWithin(Geo.circle(37.97, 23.72, 50))).dataframe
+    assert(viaIndex.select("id").collect().map(_.getLong(0)).toSet ===
+      brute.select("id").collect().map(_.getLong(0)).toSet)
+    // the 1°-cell bounding box of a 50km circle prunes to a strict subset
+    assert(cells.count() > 0)
+    // near-polar circle degrades to full-lon range without error
+    val polar = graft.index.Indexes.lookupGeoWithinCircle(
+      gods, cells, col("place"), 89.5, 0.0, 500.0, cellDeg = 1.0,
+      element = graft.core.ElementCategory.EDGE)
+    assert(polar.count() === 0)
+  }
 }

@@ -447,6 +447,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("frameSamplePlan: cap respected, null/zero durations dropped, spacing exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val media = Seq(
+      (1L, Some(10000L)), // 5 frames at 2000ms
+      (2L, Some(100000L)), // capped at maxFrames
+      (3L, None), (4L, Some(0L)) // dropped
+    ).toDF("doc_id", "dur").select(col("doc_id"), struct(
+      lit(Array[Byte]()).as("payload"), lit("v").as("format"),
+      lit(0).as("width"), lit(0).as("height"), col("dur").as("duration_ms")).as("media"))
+    val out = Multimodal.frameSamplePlan(media, everyMs = 2000, maxFrames = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).length === 5 && byDoc(2L).length === 8)
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L))
+    assert(byDoc(1L).sortBy(_._2).map(_._3).toSeq === Seq(0L, 2000L, 4000L, 6000L, 8000L))
+  }
+
+  test("chunkPlan: ranges tile the payload exactly with a clamped tail") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val media = Seq((1L, "a" * 2500), (2L, "")).toDF("doc_id", "text")
+    val m = Multimodal.synthesizeMedia(media, "doc_id", "text")
+    val out = Multimodal.chunkPlan(m, chunkBytes = 1000)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(out.forall(_._1 === 1L)) // empty payload dropped
+    assert(out.sortBy(_._2).toSeq === Seq((1L, 0, 0L, 1000L), (1L, 1, 1000L, 2000L), (1L, 2, 2000L, 2500L)))
+  }
+
   test("shuffled: salt-keyed permutation is stable per salt and differs across salts") {
     import org.apache.spark.sql.functions._
     val a1 = TextAnalysis.shuffled(docs, "s1").select("doc_id").collect().map(_.getLong(0)).toSeq

@@ -187,4 +187,17 @@ class PlanShapeSpec extends AnyFunSuite {
     val tp = g.traversal.V().hasLabel("customer").out("placed").profile()
     assert(tp.usesBroadcastJoin || tp.usesSortMergeJoin)
   }
+
+  test("domainQuota compiles to a rank-limit window (map-side group cut)") {
+    val p = plan("q_domain_quota")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.indexOf("WindowGroupLimit") != p.lastIndexOf("WindowGroupLimit"),
+      "expected both map-side (partial) and reduce-side WindowGroupLimit")
+  }
+
+  test("epoch shuffle stays a single projection + ordered limit, no extra exchange") {
+    val p = plan("q_shuffled")
+    // orderBy + limit must fuse to TakeOrderedAndProject, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
