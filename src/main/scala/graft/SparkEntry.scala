@@ -220,6 +220,35 @@ object SparkEntry {
       graft.stream.ChangeStream.replay(s, dir)
         .groupBy(col("change")).agg(count(lit(1)).as("cnt"))
     }),
+    // ---- 2.J streaming exact-dedup: an at-least-once log (every event
+    //      delivered twice) streamed through the watermarked dedup collapses
+    //      to exactly-once — final table equals the batch distinct ----
+    "q_stream_dedup" -> ((s, dir) => {
+      val src = readEvents(s, dir).select(col("event_id"), col("ts"), col("event_type"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+      src.unionAll(src).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema(src.schema).parquet(s"$tmp/in")
+      val qname = s"graft_sdedup_${System.nanoTime()}"
+      val q = graft.stream.ChangeStream.dedupStream(stream)
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      s.table(qname).groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    }),
+    // ---- 2.A storage round-trip: save → load through the bucketed parquet
+    //      layout preserves every element (counts per label over both sets) ----
+    "q_store_roundtrip" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-store").toString
+      graft.data.GraphIO.save(g, tmp)
+      val back = graft.data.GraphIO.load(s, tmp, g.schema)
+      back.vertices.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+        .select(lit("v").as("kind"), col("label"), col("cnt"))
+        .unionAll(back.edges.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+          .select(lit("e").as("kind"), col("label"), col("cnt")))
+    }),
     // ---- multi-hop analytical join: TPC-H Q3-style shipping priority ----
     "q_tpch_q3" -> ((s, dir) => {
       val g = graph(s, dir)
@@ -746,6 +775,11 @@ object SparkEntry {
       graft.pipeline.Similarity.cosinePairs(
         s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.4254)
         .select(col("ida"), col("idb"))
+    }),
+    // ---- pipeline: mean-pooled embedding centroid per class ----
+    "q_embed_meanpool" -> ((s, dir) => {
+      graft.pipeline.Similarity.meanPool(s.read.parquet(s"$dir/embeddings.parquet"))
+        .select(col("label"), col("dim"), round(col("centroid"), 6).as("centroid"))
     }),
     // ---- pipeline: brute-force cosine top-k (ANN baseline) ----
     "q_ann_topk" -> ((s, dir) => {
@@ -1463,6 +1497,21 @@ object SparkEntry {
     "q_ttl_compact" ->
       """SELECT event_type, COUNT(*) AS cnt FROM events
         |WHERE ts + INTERVAL 604800 SECOND > TIMESTAMP '2024-01-31 00:00:00' GROUP BY 1""".stripMargin,
+    "q_stream_dedup" ->
+      "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1",
+    "q_store_roundtrip" ->
+      """SELECT 'v' AS kind, 'region' AS label, COUNT(*) AS cnt FROM region
+        |UNION ALL SELECT 'v', 'nation', COUNT(*) FROM nation
+        |UNION ALL SELECT 'v', 'customer', COUNT(*) FROM customer
+        |UNION ALL SELECT 'v', 'supplier', COUNT(*) FROM supplier
+        |UNION ALL SELECT 'v', 'part', COUNT(*) FROM part
+        |UNION ALL SELECT 'v', 'order', COUNT(*) FROM orders
+        |UNION ALL SELECT 'e', 'in_region', COUNT(*) FROM nation
+        |UNION ALL SELECT 'e', 'in_nation',
+        |  (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier)
+        |UNION ALL SELECT 'e', 'placed', COUNT(*) FROM orders
+        |UNION ALL SELECT 'e', 'contains', COUNT(*) FROM lineitem
+        |UNION ALL SELECT 'e', 'supplied_by', COUNT(*) FROM lineitem""".stripMargin,
     "q_fork_update" ->
       """WITH u AS (SELECT COUNT(*) AS n FROM lineitem WHERE l_linenumber = 1 AND l_quantity >= 45),
         |     s AS (SELECT COUNT(*) AS n FROM lineitem WHERE l_shipdate < DATE '1992-06-01')
@@ -1693,6 +1742,12 @@ object SparkEntry {
       """SELECT a.vec_id AS ida, b.vec_id AS idb FROM embeddings a JOIN embeddings b
         |ON a.vec_id < b.vec_id
         |AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4254""".stripMargin,
+    "q_embed_meanpool" ->
+      """WITH x AS (SELECT label, unnest(range(len(embedding))) AS dim,
+        |                  unnest(embedding) AS e FROM embeddings)
+        |SELECT label, CAST(dim AS INTEGER) AS dim,
+        |       round(CAST(SUM(CAST(e AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS centroid
+        |FROM x GROUP BY 1, 2""".stripMargin,
     "q_ann_topk" ->
       """SELECT qid, nid, "rank" FROM (
         |SELECT q.vec_id AS qid, d.vec_id AS nid,

@@ -447,6 +447,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("l2Normalize: unit norm for all embeddings; zero vector unchanged") {
+    import org.apache.spark.sql.functions._
+    val norms = emb.select(
+      Similarity.norm(Similarity.l2Normalize(col("embedding"))).as("n")).collect()
+    assert(norms.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+    val z = spark.range(1).select(array(lit(0.0f), lit(0.0f)).as("v"))
+    assert(z.select(Similarity.norm(Similarity.l2Normalize(col("v")))).collect()(0).getDouble(0) === 0.0)
+  }
+
+  test("meanPool: centroid rows match a hand-computed group mean") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), (1, Seq(2.0f, 2.0f)))
+      .toDF("label", "embedding")
+    val got = Similarity.meanPool(d).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got((0, 0)) === 2.0 && got((0, 1)) === 4.0)
+    assert(got((1, 0)) === 2.0 && got((1, 1)) === 2.0)
+  }
+
   test("frameSamplePlan: cap respected, null/zero durations dropped, spacing exact") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
