@@ -619,6 +619,22 @@ object SparkEntry {
       graft.olap.Analytics.triangleCount(derived)
         .select(kind.as("kind"), (col("id") % t).as("uid"), col("triangles"))
     }),
+    // ---- 2.K k-core decomposition — synchronous peeling to fixpoint; the
+    //      oracle mirrors the rounds and carries a NOT_CONVERGED sentinel so
+    //      an insufficient round budget fails loudly, not silently ----
+    "q_kcore" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val t = 1L << graft.core.GraphIds.TagBits
+      val tag = shiftrightunsigned(col("id"), graft.core.GraphIds.TagBits)
+      val kind = when(tag === TpchGraph.RegionTag, "region")
+        .when(tag === TpchGraph.NationTag, "nation")
+        .when(tag === TpchGraph.CustomerTag, "customer")
+        .when(tag === TpchGraph.SupplierTag, "supplier")
+        .when(tag === TpchGraph.PartTag, "part")
+        .otherwise("order")
+      graft.olap.Analytics.kCore(g, k = 2, maxRounds = 6)
+        .select(kind.as("kind"), (col("id") % t).as("uid"))
+    }),
     // ---- 2.K SSSP (synchronous Bellman-Ford hop distance, oracle-checkable) ----
     "q_sssp" -> ((s, dir) => {
       val src = TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L
@@ -1000,6 +1016,21 @@ object SparkEntry {
       graph(s, dir).V().has("name", "NATION_5").dataframe
         .select(col("uid"), col("label"), col("name"))
     }),
+    // ---- 2.B AUTOMATIC mixed-index selection: a plain has(textContains)
+    //      routes through the backed inverted token table (the reference's
+    //      planner considers mixed indexes too); residual re-verification
+    //      keeps results identical to the full scan ----
+    "q_index_auto_text" -> ((s, dir) => {
+      val g0 = graph(s, dir)
+      val ix = graft.core.IndexDef("nameTextAuto", graft.core.ElementCategory.VERTEX,
+        Seq("name"), composite = false,
+        mappings = Map("name" -> graft.core.Mapping.TEXT))
+      val g = g0.copy(schema = g0.schema.copy(indexes = g0.schema.indexes + (ix.name -> ix)))
+        .withIndexTable(ix.name, graft.index.Indexes.materializeMixed(g0, ix))
+      g.V().has("name", P.textContains("green")).dataframe
+        .filter(col("label") === "part")
+        .select(col("uid"), col("name"))
+    }),
     // ---- 2.B composite-index lookup, EDGE element category ----
     "q_index_lookup_edge" -> ((s, dir) => {
       val g = graph(s, dir)
@@ -1375,6 +1406,8 @@ object SparkEntry {
       "SELECT l_orderkey AS o_uid, l_quantity AS quantity, l_linenumber AS linenumber FROM lineitem WHERE l_partkey = 1",
     "q_mixed_index" ->
       "SELECT p_partkey AS uid, p_name AS name FROM part WHERE list_contains(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), t -> length(t) > 1), 'widget')",
+    "q_index_auto_text" ->
+      "SELECT p_partkey AS uid, p_name AS name FROM part WHERE list_contains(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), t -> length(t) > 1), 'green')",
     "q_match" ->
       """SELECT DISTINCT c_custkey AS uid FROM customer JOIN orders ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 400000.0""".stripMargin,
@@ -1624,6 +1657,7 @@ object SparkEntry {
     "q_sssp" -> ssspOracle(
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 8),
     "q_connected_components" -> ccOracle(12),
+    "q_kcore" -> kcoreOracle(2, 6),
     "q_triangles" ->
       """WITH cn AS (SELECT c_custkey AS c, c_nationkey AS nk FROM customer),
         |     sn AS (SELECT s_suppkey AS s, s_nationkey AS nk FROM supplier),
@@ -1982,6 +2016,28 @@ object SparkEntry {
 
   /** Min-label propagation over the undirected edge set (mirrors
     * Analytics.connectedComponentsExact). */
+  /** k-core oracle: `rounds` synchronous peel iterations (each keeps vertices
+    * whose surviving-endpoint degree is ≥ k), the exact SQL mirror of
+    * Analytics.kCore. The trailing sentinel row fires when round `rounds`
+    * still changed the set — a too-small round budget surfaces as a
+    * row-count mismatch instead of a silently-wrong core. */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val iters = (1 to rounds).map { r =>
+      s"""a$r AS MATERIALIZED (SELECT e2.a AS id FROM e2
+         |  JOIN a${r - 1} x ON e2.a = x.id JOIN a${r - 1} y ON e2.b = y.id
+         |  GROUP BY 1 HAVING COUNT(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |e2 AS MATERIALIZED (SELECT src AS a, dst AS b FROM eg UNION ALL SELECT dst, src FROM eg),
+       |a0 AS MATERIALIZED (SELECT id FROM vg),
+       |$iters
+       |SELECT CASE id // $T WHEN 1 THEN 'region' WHEN 2 THEN 'nation' WHEN 3 THEN 'customer'
+       |  WHEN 4 THEN 'supplier' WHEN 5 THEN 'part' ELSE 'order' END AS kind,
+       |  id % $T AS uid FROM a$rounds
+       |UNION ALL SELECT 'NOT_CONVERGED', CAST(-1 AS BIGINT)
+       |WHERE (SELECT COUNT(*) FROM a$rounds) <> (SELECT COUNT(*) FROM a${rounds - 1})""".stripMargin
+  }
+
   private def ccOracle(rounds: Int): String =
     s"""WITH $graphCtes,
        |e2 AS MATERIALIZED (SELECT src, dst FROM eg UNION ALL SELECT dst, src FROM eg),

@@ -212,6 +212,19 @@ final case class GraphSchema(
       .filter(ix => ix.composite && ix.element == element && ix.status == SchemaStatus.ENABLED)
       .filter(ix => ix.keys.forall(eqKeys.contains))
       .sortBy(-_.keys.size)
+
+  /** ENABLED mixed indexes with a TEXT/TEXTSTRING-mapped key among the
+    * query's textContains keys — the mixed-backend side of the reference's
+    * index selection (GraphCentricQueryBuilder considers both composite and
+    * mixed indexes; docs/searchpredicates.txt:70-86). */
+  def mixedTextIndexCandidates(element: ElementCategory, textKeys: Set[String]): Seq[IndexDef] =
+    indexes.values.toSeq
+      .filter(ix => !ix.composite && ix.element == element && ix.status == SchemaStatus.ENABLED)
+      .filter(ix => ix.keys.exists(k => textKeys.contains(k) &&
+        (ix.mappings.getOrElse(k, Mapping.DEFAULT) match {
+          case Mapping.TEXT | Mapping.TEXTSTRING => true
+          case _ => false
+        })))
 }
 
 object GraphIds {

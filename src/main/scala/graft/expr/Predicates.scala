@@ -47,7 +47,8 @@ object Contain {
   * Being a plain function over `Column`, arbitrary boolean structure (And/Or/Not,
   * QNF — QueryUtil.constraints2QNF:162-226 in the reference) is delegated to
   * Catalyst's BooleanSimplification. */
-final case class P(name: String, apply: Column => Column) {
+final case class P(name: String, apply: Column => Column,
+    op: String = "", operand: Any = null) {
   def negate: P = P(s"not($name)", c => !apply(c))
 }
 
@@ -61,7 +62,10 @@ object P {
   def between(lo: Any, hi: Any): P = P(s"[$lo,$hi)", c => Cmp.gte(c, lo) && Cmp.lt(c, hi))
   def within(vs: Any*): P = P(s"within", Contain.in(_, vs))
   def without(vs: Any*): P = P(s"without", Contain.notIn(_, vs))
-  def textContains(terms: String): P = P(s"textContains($terms)", Text.contains(_, terms))
+  // op/operand expose the predicate's identity to the query planner (mixed
+  // text-index selection needs the terms, GraphCentricQueryBuilder parity)
+  def textContains(terms: String): P =
+    P(s"textContains($terms)", Text.contains(_, terms), "textContains", terms)
   def textContainsPrefix(p: String): P = P(s"textContainsPrefix($p)", Text.containsPrefix(_, p))
   def textContainsRegex(r: String): P = P(s"textContainsRegex($r)", Text.containsRegex(_, r))
   def textPrefix(p: String): P = P(s"textPrefix($p)", Text.prefix(_, p))

@@ -168,6 +168,37 @@ object Analytics {
     labels.select(col("id"), col("l").as("component"))
   }
 
+  /** k-core decomposition by synchronous peeling: each round removes every
+    * vertex whose undirected degree (incident edge count over SURVIVING
+    * endpoints; multi-edges count) is below k, until no vertex is removed or
+    * `maxRounds` elapse. Returns the surviving vertex ids. Fixed synchronous
+    * rounds make the result expressible in SQL (oracle-checkable, like
+    * connectedComponentsExact); the fixpoint is reached once a round removes
+    * nothing. Per round: two semi-joins + one count agg, each keyed by
+    * vertex id — the same shuffle profile as one BSP superstep; eager
+    * lineage truncation keeps the plan constant-size across rounds. */
+  def kCore(g: PropertyGraph, k: Int, maxRounds: Int = 10): DataFrame = {
+    val und = g.edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(g.edges.select(col("dst").as("a"), col("src").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var alive = g.vertices.select(col("id")).localCheckpoint(true)
+    var round = 0
+    var removed = true
+    while (round < maxRounds && removed) {
+      val live = und
+        .join(alive.select(col("id").as("__x")), col("a") === col("__x"), "left_semi")
+        .join(alive.select(col("id").as("__y")), col("b") === col("__y"), "left_semi")
+      val next = live.groupBy(col("a")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("a").as("id"))
+        .localCheckpoint(true)
+      removed = next.count() < alive.count()
+      alive = next
+      round += 1
+    }
+    und.unpersist(false)
+    alive
+  }
+
   private def toDF[T <: Product : scala.reflect.runtime.universe.TypeTag](
       spark: SparkSession, rdd: org.apache.spark.rdd.RDD[T], names: String*): DataFrame = {
     val df = spark.createDataFrame(rdd)

@@ -25,6 +25,7 @@ final case class GraphQuery(
     orders: Vector[Column] = Vector.empty,
     limitN: Option[Int] = None,
     eqPairs: Map[String, Any] = Map.empty,
+    textPairs: Map[String, String] = Map.empty,
     strictIndex: Boolean = false) {
 
   def eqKeys: Set[String] = eqPairs.keySet
@@ -44,8 +45,14 @@ final case class GraphQuery(
       eqPairs = if (value == null || graft.expr.ImplicitKeys.isImplicit(key)) eqPairs
                 else eqPairs + (key -> value))
 
-  /** has(key, predicate) — arbitrary TitanPredicate analogue. */
-  def has(key: String, p: P): GraphQuery = copy(conds = conds :+ p.apply(keyCol(key)))
+  /** has(key, predicate) — arbitrary TitanPredicate analogue. textContains
+    * predicates additionally register for mixed-index selection. */
+  def has(key: String, p: P): GraphQuery = copy(
+    conds = conds :+ p.apply(keyCol(key)),
+    textPairs =
+      if (p.op == "textContains" && !graft.expr.ImplicitKeys.isImplicit(key))
+        textPairs + (key -> String.valueOf(p.operand))
+      else textPairs)
 
   /** has(key) — existence (GraphCentricQueryBuilder.java:99-106). */
   def has(key: String): GraphQuery = copy(conds = conds :+ keyCol(key).isNotNull)
@@ -94,6 +101,22 @@ final case class GraphQuery(
       .filter(_.onlyLabel.isEmpty)
       .find(ix => graph.indexTables.contains(ix.name))
 
+  /** Mixed-index selection for textContains predicates: a backed ENABLED
+    * mixed index whose TEXT/TEXTSTRING key carries one of the query's
+    * textContains conditions. Returns the index, the key, and the condition's
+    * tokens (Text.CONTAINS semantics: ALL tokens must occur). */
+  private def selectedTextIndex: Option[(graft.core.IndexDef, String, Seq[String])] =
+    graph.schema.mixedTextIndexCandidates(element, textPairs.keySet)
+      .filter(_.onlyLabel.isEmpty)
+      .find(ix => graph.indexTables.contains(ix.name))
+      .flatMap { ix =>
+        ix.keys.find(textPairs.contains).map { k =>
+          val toks = textPairs(k).toLowerCase
+            .split("[^\\p{L}\\p{N}]+").filter(_.length > 1).toSeq
+          (ix, k, toks)
+        }
+      }
+
   /** Compile to a DataFrame plan. If a backed composite index covers the
     * equality conjuncts, the plan becomes: filter the (small) index table on
     * the key values → broadcast semi-join ids against the base — the same
@@ -106,7 +129,7 @@ final case class GraphQuery(
     // the strict check must test the SAME predicate the selector applies
     // (backed + label-unscoped) — a declared-but-unbacked index must not
     // satisfy force-index while the query silently runs as a full scan
-    if (strictIndex && selectedIndex.isEmpty)
+    if (strictIndex && selectedIndex.isEmpty && selectedTextIndex.isEmpty)
       throw new IllegalStateException(
         s"Could not find a suitable index to answer graph query (force-index); equality keys: $eqKeys")
     val base = selectedIndex match {
@@ -115,7 +138,19 @@ final case class GraphQuery(
           (df, k) => df.filter(col(k) === lit(eqPairs(k)))
         }
         target.join(broadcast(matches.select(col("id"))), Seq("id"), "left_semi")
-      case None => target
+      case None => selectedTextIndex match {
+        // inverted token table: ids holding ALL condition tokens (the
+        // grouped count-distinct enforces CONTAINS' conjunction); the
+        // residual textContains filter below re-verifies, so the index can
+        // only change the access path, never the results
+        case Some((ix, k, toks)) if toks.nonEmpty =>
+          val ids = graph.indexTables(ix.name)
+            .filter(col("key") === k && col("token").isin(toks: _*))
+            .groupBy(col("id")).agg(count_distinct(col("token")).as("__nt"))
+            .filter(col("__nt") === toks.size).select(col("id"))
+          target.join(broadcast(ids), Seq("id"), "left_semi")
+        case _ => target
+      }
     }
     val filtered = conds.foldLeft(base)((df, c) => df.filter(c))
     val ordered =

@@ -66,4 +66,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(levels(GraphOfTheGods.ids("saturn")) === 2)
     assert(levels(GraphOfTheGods.ids("nemean")) === 1)
   }
+
+  test("kCore: a triangle with a pendant chain peels to the triangle at k=2") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 1-2-3 triangle; 3-4-5 chain hangs off it
+    val v = (1L to 5L).toDF("id").withColumn("label", lit("n"))
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).zipWithIndex
+      .map { case ((s, d), i) => (i.toLong, s, d, "rel") }
+      .toDF("id", "src", "dst", "label")
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+    val core = Analytics.kCore(g, k = 2, maxRounds = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(core === Set(1L, 2L, 3L)) // 5 peels first, then 4; triangle stays
+    // k above the max degree empties the graph
+    assert(Analytics.kCore(g, k = 4, maxRounds = 10).count() === 0)
+  }
 }

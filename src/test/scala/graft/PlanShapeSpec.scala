@@ -188,6 +188,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(tp.usesBroadcastJoin || tp.usesSortMergeJoin)
   }
 
+  test("textContains auto-selects a backed mixed index (semi-join); unbacked stays a scan") {
+    import org.apache.spark.sql.functions.col
+    val p = plan("q_index_auto_text")
+    assert(p.contains("LeftSemi"), p)
+    // without a registered token table, the same query must NOT semi-join
+    val g = graft.data.TpchGraph.load(spark, dir)
+    val bare = g.V().has("name", graft.expr.P.textContains("green")).dataframe
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!bare.contains("LeftSemi"), bare)
+  }
+
   test("domainQuota compiles to a rank-limit window (map-side group cut)") {
     val p = plan("q_domain_quota")
     assert(p.contains("WindowGroupLimit"), p)
