@@ -234,7 +234,10 @@ object SparkEntry {
         .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
+      // a timed-out stream would leave a PARTIAL memory table — fail loudly
+      // instead of reporting a fast-looking wrong count
+      val finished = q.awaitTermination(300000)
+      if (!finished) { q.stop(); sys.error("q_stream_dedup: stream did not finish in 300s") }
       s.table(qname).groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
     }),
     // ---- 2.A storage round-trip: save → load through the bucketed parquet
@@ -792,6 +795,14 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.4254)
         .select(col("ida"), col("idb"))
     }),
+    // ---- pipeline: symmetric int8 embedding quantization ----
+    "q_quantize_int8" -> ((s, dir) => {
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          graft.pipeline.Similarity.quantizeInt8(col("embedding")).as("q"))
+        .select(col("vec_id"), round(col("q.scale"), 6).as("scale"),
+          col("q.codes").as("codes"))
+    }),
     // ---- pipeline: mean-pooled embedding centroid per class ----
     "q_embed_meanpool" -> ((s, dir) => {
       graft.pipeline.Similarity.meanPool(s.read.parquet(s"$dir/embeddings.parquet"))
@@ -1027,7 +1038,7 @@ object SparkEntry {
         mappings = Map("name" -> graft.core.Mapping.TEXT))
       val g = g0.copy(schema = g0.schema.copy(indexes = g0.schema.indexes + (ix.name -> ix)))
         .withIndexTable(ix.name, graft.index.Indexes.materializeMixed(g0, ix))
-      g.V().has("name", P.textContains("green")).dataframe
+      g.V().has("name", P.textContains("widget")).dataframe
         .filter(col("label") === "part")
         .select(col("uid"), col("name"))
     }),
@@ -1407,7 +1418,7 @@ object SparkEntry {
     "q_mixed_index" ->
       "SELECT p_partkey AS uid, p_name AS name FROM part WHERE list_contains(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), t -> length(t) > 1), 'widget')",
     "q_index_auto_text" ->
-      "SELECT p_partkey AS uid, p_name AS name FROM part WHERE list_contains(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), t -> length(t) > 1), 'green')",
+      "SELECT p_partkey AS uid, p_name AS name FROM part WHERE list_contains(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), t -> length(t) > 1), 'widget')",
     "q_match" ->
       """SELECT DISTINCT c_custkey AS uid FROM customer JOIN orders ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 400000.0""".stripMargin,
@@ -1776,6 +1787,14 @@ object SparkEntry {
       """SELECT a.vec_id AS ida, b.vec_id AS idb FROM embeddings a JOIN embeddings b
         |ON a.vec_id < b.vec_id
         |AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4254""".stripMargin,
+    "q_quantize_int8" ->
+      """WITH q AS (SELECT vec_id,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s,
+        |  embedding FROM embeddings)
+        |SELECT vec_id, round(s, 6) AS scale,
+        |  CASE WHEN s = 0 THEN list_transform(embedding, x -> 0)
+        |       ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127 / s + 0.5) AS INTEGER)) END AS codes
+        |FROM q""".stripMargin,
     "q_embed_meanpool" ->
       """WITH x AS (SELECT label, unnest(range(len(embedding))) AS dim,
         |                  unnest(embedding) AS e FROM embeddings)

@@ -136,7 +136,19 @@ object GraphIO {
       hit(doomed.select(col("src").as("id"))
         .unionAll(doomed.select(col("dst").as("id"))), "edge removed incident to")
     }
-    Seq(upd, del, addE, delE).flatten
+    // vertex deletion cascades edge removal — those cascaded edges must pass
+    // the same static-adjacency check as an explicit edge delete (an edge
+    // between a doomed vertex and a static vertex mutates the static
+    // vertex's adjacency). The doomed vertices themselves are checked above.
+    val cascE = deleteVertexIds.flatMap { dv =>
+      val ids = dv.select(col("id").as("__did"))
+      val doomed = g.edges
+        .join(ids, col("src") === col("__did") || col("dst") === col("__did"), "left_semi")
+      hit(doomed.select(col("src").as("id"))
+        .unionAll(doomed.select(col("dst").as("id"))),
+        "cascaded edge removal incident to")
+    }
+    Seq(upd, del, addE, delE, cascE).flatten
   }
 
   /** Post-mutation consistency re-check SCOPED to the touched keys: unique
@@ -196,8 +208,14 @@ object GraphIO {
     * `updates` carries full edge rows keyed by the EXISTING edge id. Fresh
     * ids for forked rows are `max(existing id) + row_number() over the
     * batch` — deterministic, and the single-partition window spans only the
-    * mutation batch (bounded, human-scale), never the graph. */
-  def updateEdges(g: PropertyGraph, updates: DataFrame): PropertyGraph = {
+    * mutation batch (bounded, human-scale), never the graph.
+    *
+    * Updates run through the same mutation-time enforcement as adds/deletes
+    * (static adjacency, scoped unique/multiplicity re-checks) — an update
+    * that retargets an edge onto a static vertex or past a multiplicity
+    * bound is rejected like the equivalent add would be. */
+  def updateEdges(g: PropertyGraph, updates: DataFrame,
+      enforce: Boolean = true): PropertyGraph = {
     import org.apache.spark.sql.expressions.Window
     val forkLabels = g.schema.edgeLabels.values
       .filter(_.consistency == ConsistencyModifier.FORK).map(_.name).toSeq
@@ -214,7 +232,7 @@ object GraphIO {
     applyMutations(g,
       addEdges = Some(inPlace.unionByName(forkedFresh)),
       deleteEdgeIds = Some(forked.select(col("id"))),
-      enforce = false)
+      enforce = enforce)
   }
 
   /** TTL compaction: physically remove catalog-expired elements (the batch

@@ -288,7 +288,11 @@ object Indexes {
     val extremeLat = math.min(89.9, math.max(math.abs(latLo), math.abs(latHi)))
     val lonStretch = 1.0 / math.max(1e-3, math.cos(math.toRadians(extremeLat)))
     val lonDeg = rDeg * lonStretch
-    val fullLon = lonDeg >= 180.0 || latLo <= -89.0 || latHi >= 89.0
+    // a box crossing the antimeridian would need two cell ranges; degrade to
+    // full longitude instead (the exact residual still prunes correctly — an
+    // index may widen candidates, never narrow results)
+    val fullLon = lonDeg >= 180.0 || latLo <= -89.0 || latHi >= 89.0 ||
+      centerLon - lonDeg < -180.0 || centerLon + lonDeg > 180.0
     def cell(v: Double) = math.floor(v / cellDeg).toInt
     var cand = geoIx.filter(
       col("cell_lat") >= cell(latLo) && col("cell_lat") <= cell(latHi))

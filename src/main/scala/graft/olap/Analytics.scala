@@ -182,6 +182,7 @@ object Analytics {
       .unionAll(g.edges.select(col("dst").as("a"), col("src").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var alive = g.vertices.select(col("id")).localCheckpoint(true)
+    var aliveCount = alive.count()
     var round = 0
     var removed = true
     while (round < maxRounds && removed) {
@@ -191,8 +192,12 @@ object Analytics {
       val next = live.groupBy(col("a")).agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k).select(col("a").as("id"))
         .localCheckpoint(true)
-      removed = next.count() < alive.count()
+      // peeling is monotone ⇒ count equality ≡ set equality; carry the prior
+      // round's count so each round runs ONE job, not two
+      val nextCount = next.count()
+      removed = nextCount < aliveCount
       alive = next
+      aliveCount = nextCount
       round += 1
     }
     und.unpersist(false)

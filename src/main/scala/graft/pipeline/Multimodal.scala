@@ -89,8 +89,11 @@ object Multimodal {
   def frameSamplePlan(media: DataFrame, everyMs: Long, maxFrames: Int = 32): DataFrame = {
     require(everyMs > 0 && maxFrames > 0, "need positive sampling interval and cap")
     val dur = col("media.duration_ms")
-    val offsets = slice(sequence(lit(0L), greatest(dur - 1, lit(0L)), lit(everyMs)),
-      1, maxFrames)
+    // bound the sequence END at the cap, don't slice after generating: a
+    // 10-hour payload must never materialize a million-element array to
+    // keep 16 entries (and Spark's sequence errors past its array limit)
+    val last = least(greatest(dur - 1, lit(0L)), lit(everyMs * (maxFrames - 1)))
+    val offsets = sequence(lit(0L), last, lit(everyMs))
     media.filter(dur.isNotNull && dur > 0)
       .select(col("doc_id"), posexplode(offsets).as(Seq("frame_idx", "offset_ms")))
   }

@@ -229,6 +229,21 @@ object Similarity {
     when(n === 0.0, vec).otherwise(transform(vec, x => x / n))
   }
 
+  /** Symmetric int8 quantization of a vector column: per-vector scale
+    * s = max|x|, codes = floor(x·127/s + 0.5) ∈ [-127, 127] (floor(x+0.5)
+    * instead of round() — identical halfway behavior in every engine, so the
+    * codes are oracle-mirrorable). Zero vectors stay zero with scale 0. At
+    * corpus scale this is the 4× storage/bandwidth cut before ANN serving;
+    * dequantization is codes·s/127. Pure higher-order expressions. */
+  def quantizeInt8(vec: Column): Column = {
+    val s = aggregate(transform(vec, x => abs(x)), lit(0.0d), (a, x) => greatest(a, x))
+    struct(
+      s.as("scale"),
+      when(s === 0.0, transform(vec, _ => lit(0).cast("int")))
+        .otherwise(transform(vec, x => floor(x * 127.0 / s + 0.5).cast("int")))
+        .as("codes"))
+  }
+
   /** Mean-pooled centroid per group as (group, dim, centroid) rows — the
     * chunk→document (or document→cluster) pooling step of an embedding
     * pipeline. One posexplode + one map-side-combinable aggregate keyed

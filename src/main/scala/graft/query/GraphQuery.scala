@@ -111,8 +111,11 @@ final case class GraphQuery(
       .find(ix => graph.indexTables.contains(ix.name))
       .flatMap { ix =>
         ix.keys.find(textPairs.contains).map { k =>
+          // distinct: CONTAINS("green green") must behave like CONTAINS("green")
+          // — the grouped count-distinct below compares against the number of
+          // DISTINCT condition tokens, or repeated terms would match nothing
           val toks = textPairs(k).toLowerCase
-            .split("[^\\p{L}\\p{N}]+").filter(_.length > 1).toSeq
+            .split("[^\\p{L}\\p{N}]+").filter(_.length > 1).distinct.toSeq
           (ix, k, toks)
         }
       }
@@ -142,11 +145,17 @@ final case class GraphQuery(
         // inverted token table: ids holding ALL condition tokens (the
         // grouped count-distinct enforces CONTAINS' conjunction); the
         // residual textContains filter below re-verifies, so the index can
-        // only change the access path, never the results
+        // only change the access path, never the results. Both inverted
+        // layouts are accepted: (key, token, id) from materializeMixed and
+        // (key, kind, value, id) from materializeTextString (token half).
         case Some((ix, k, toks)) if toks.nonEmpty =>
-          val ids = graph.indexTables(ix.name)
-            .filter(col("key") === k && col("token").isin(toks: _*))
-            .groupBy(col("id")).agg(count_distinct(col("token")).as("__nt"))
+          val table = graph.indexTables(ix.name)
+          val (tokenCol, scoped) =
+            if (table.columns.contains("token")) (col("token"), table)
+            else (col("value"), table.filter(col("kind") === "tok"))
+          val ids = scoped
+            .filter(col("key") === k && tokenCol.isin(toks: _*))
+            .groupBy(col("id")).agg(count_distinct(tokenCol).as("__nt"))
             .filter(col("__nt") === toks.size).select(col("id"))
           target.join(broadcast(ids), Seq("id"), "left_semi")
         case _ => target

@@ -230,9 +230,12 @@ final case class Traversal(
     * aggregate over the stepped frontier (count, sum('weight'), …). */
   def orderBySub(step: Traversal => Traversal, value: Column = F.count(lit(1)),
       asc: Boolean = true, default: Column = lit(0L)): Traversal = {
+    // the sort value stays aboard as a carry column so a following
+    // range()/skip() re-sorts by THIS order (the Gremlin contract), not by id
     val withV = bySubValue(step, value, default)
-    val o = Seq(if (asc) col("__byv").asc else col("__byv").desc, col("id").asc)
-    copy(df = withV.orderBy(o: _*).drop("__byv"), lastOrder = Nil)
+      .withColumnRenamed("__byv", "_by_ord")
+    val o = Seq(if (asc) col("_by_ord").asc else col("_by_ord").desc, col("id").asc)
+    copy(df = withV.orderBy(o: _*), lastOrder = o)
   }
 
   /** group().by(key).by(subTraversal) — keys from the element, per-element
@@ -684,7 +687,7 @@ final case class Traversal(
 
 object Traversal {
   private[traverse] def isCarryColumn(c: String): Boolean =
-    c.startsWith("_as_") || c == "_path"
+    c.startsWith("_as_") || c == "_path" || c == "_by_ord"
 
   /** Single-scan unpivot: (idCol, key, value) rows for `ks`, nulls dropped.
     * One explode over a struct array instead of k filtered scans union'd —

@@ -106,6 +106,18 @@ class MutationEnforcementSpec extends AnyFunSuite {
     assert(!stamped.isNullAt(0))
   }
 
+  test("vertex-delete cascade cannot touch a static vertex's adjacency") {
+    val g = staticRegionGraph
+    // deleting nation 0 would cascade-remove its in_region edge — that edge
+    // is part of static region 0's adjacency, so the batch must be rejected
+    // exactly like an explicit delete of the same edge
+    val del = spark.range(1).select(lit(TpchGraph.NationTag * T + 0L).as("id"))
+    val ex = intercept[IllegalArgumentException] {
+      GraphIO.applyMutations(g, deleteVertexIds = Some(del))
+    }
+    assert(ex.getMessage.contains("cascaded edge removal incident to"))
+  }
+
   test("FORK edge label: update forks a fresh id; DEFAULT label updates in place") {
     val g0 = TpchGraph.load(spark, dir)
     val g = g0.copy(schema = g0.schema.copy(edgeLabels = g0.schema.edgeLabels +

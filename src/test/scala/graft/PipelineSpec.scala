@@ -456,6 +456,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(z.select(Similarity.norm(Similarity.l2Normalize(col("v")))).collect()(0).getDouble(0) === 0.0)
   }
 
+  test("quantizeInt8: codes bounded, dequantization within half a step") {
+    import org.apache.spark.sql.functions._
+    val q = emb.select(col("embedding").as("v"),
+      Similarity.quantizeInt8(col("embedding")).as("q"))
+    val checked = q.select(
+      aggregate(transform(col("q.codes"), c => abs(c)), lit(0), (a, c) => greatest(a, c)).as("maxc"),
+      aggregate(
+        zip_with(col("v"), col("q.codes"), (x, c) =>
+          abs(x - c * col("q.scale") / 127.0)),
+        lit(0.0d), (a, e) => greatest(a, e)).as("maxerr"),
+      col("q.scale").as("s")).collect()
+    assert(checked.forall(_.getInt(0) <= 127))
+    assert(checked.forall(r => r.getDouble(1) <= r.getDouble(2) / 254.0 * 1.0001))
+    // zero vector: scale 0, all-zero codes
+    val z = spark.range(1).select(array(lit(0.0f), lit(0.0f)).as("v"))
+      .select(Similarity.quantizeInt8(col("v")).as("q")).collect()(0)
+    assert(z.getStruct(0).getDouble(0) === 0.0)
+    assert(z.getStruct(0).getSeq[Int](1).forall(_ === 0))
+  }
+
   test("meanPool: centroid rows match a hand-computed group mean") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

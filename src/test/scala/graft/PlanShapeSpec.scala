@@ -194,10 +194,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
     // without a registered token table, the same query must NOT semi-join
     val g = graft.data.TpchGraph.load(spark, dir)
-    val bare = g.V().has("name", graft.expr.P.textContains("green")).dataframe
+    val bare = g.V().has("name", graft.expr.P.textContains("widget")).dataframe
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!bare.contains("LeftSemi"), bare)
+  }
+
+  test("indexed textContains matches the full scan, incl. duplicate condition tokens") {
+    import org.apache.spark.sql.functions.col
+    val g0 = graft.data.TpchGraph.load(spark, dir)
+    val ix = graft.core.IndexDef("nameTextDup", graft.core.ElementCategory.VERTEX,
+      Seq("name"), composite = false,
+      mappings = Map("name" -> graft.core.Mapping.TEXT))
+    val g = g0.copy(schema = g0.schema.copy(indexes = g0.schema.indexes + (ix.name -> ix)))
+      .withIndexTable(ix.name, graft.index.Indexes.materializeMixed(g0, ix))
+    // "green green" must behave exactly like "green" — the index is an
+    // access path, never a result change
+    val dup = g.V().has("name", graft.expr.P.textContains("widget widget"))
+      .dataframe.select("id").collect().map(_.getLong(0)).toSet
+    val scan = g0.V().has("name", graft.expr.P.textContains("widget"))
+      .dataframe.select("id").collect().map(_.getLong(0)).toSet
+    assert(dup === scan)
+    assert(scan.nonEmpty)
   }
 
   test("domainQuota compiles to a rank-limit window (map-side group cut)") {

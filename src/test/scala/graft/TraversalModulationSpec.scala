@@ -122,6 +122,19 @@ class TraversalModulationSpec extends AnyFunSuite {
     assert(out.toDF.select("label").distinct().collect().map(_.getString(0)).toSeq === Seq("region"))
   }
 
+  test("orderBySub order survives a following range()/skip()") {
+    // range() re-sorts by lastOrder; it must be the degree order, not id
+    val top = g.traversal.V().hasLabel("customer")
+      .orderBySub(_.out("placed"), count(lit(1)), asc = false)
+      .range(0, 3).toDF.select("id").collect().map(_.getLong(0)).toSeq
+    val want = g.traversal.V().hasLabel("customer").toDF.select(col("id").as("cid"))
+      .join(g.edges.filter(col("label") === "placed"), col("cid") === col("src"), "left")
+      .groupBy(col("cid")).agg(count(col("src")).as("n"))
+      .orderBy(col("n").desc, col("cid").asc)
+      .limit(3).collect().map(_.getLong(0)).toSeq
+    assert(top === want)
+  }
+
   test("elementMap returns id + label + requested keys") {
     val out = g.traversal.V().hasLabel("region").elementMap("name")
     assert(out.columns.toSeq === Seq("id", "label", "name"))
