@@ -240,6 +240,30 @@ object SparkEntry {
       if (!finished) { q.stop(); sys.error("q_stream_dedup: stream did not finish in 300s") }
       s.table(qname).groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
     }),
+    // ---- 2.J streaming windowed aggregation: tumbling event-time windows
+    //      over the change log; the AvailableNow final table must equal the
+    //      batch GROUP BY of the same buckets ----
+    "q_stream_window" -> ((s, dir) => {
+      val src = readEvents(s, dir).select(col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-swin").toString
+      src.write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema(src.schema).parquet(s"$tmp/in")
+      val qname = s"graft_swin_${System.nanoTime()}"
+      val q = graft.stream.ChangeStream.windowedCounts(stream,
+          windowDur = "1 hour", slide = "1 hour")
+        .writeStream.format("memory").queryName(qname).outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val finished = q.awaitTermination(300000)
+      if (!finished) { q.stop(); sys.error("q_stream_window: stream did not finish in 300s") }
+      // counts only: the double value-sum is accumulation-order dependent
+      // (same reason q_events_window pins counts; sums go through dsum there)
+      s.table(qname).select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("wstart"),
+        col("event_type"), col("cnt"))
+    }),
     // ---- 2.A storage round-trip: save → load through the bucketed parquet
     //      layout preserves every element (counts per label over both sets) ----
     "q_store_roundtrip" -> ((s, dir) => {
@@ -1543,6 +1567,9 @@ object SparkEntry {
         |WHERE ts + INTERVAL 604800 SECOND > TIMESTAMP '2024-01-31 00:00:00' GROUP BY 1""".stripMargin,
     "q_stream_dedup" ->
       "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1",
+    "q_stream_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M') AS wstart,
+        |event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2""".stripMargin,
     "q_store_roundtrip" ->
       """SELECT 'v' AS kind, 'region' AS label, COUNT(*) AS cnt FROM region
         |UNION ALL SELECT 'v', 'nation', COUNT(*) FROM nation

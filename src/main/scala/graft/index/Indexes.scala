@@ -67,12 +67,9 @@ object Indexes {
     * contains `term` as a token — Text.CONTAINS via the index path (semi-join
     * on the inverted table instead of scanning/tokenizing the base data). */
   def lookupText(g: PropertyGraph, mixedIx: DataFrame, key: String, term: String,
-      element: ElementCategory = ElementCategory.VERTEX): DataFrame = {
-    val ids = mixedIx.filter(col("key") === key && col("token") === term.toLowerCase.trim)
-      .select(col("id"))
-    val base = if (element == ElementCategory.VERTEX) g.vertices else g.edges
-    base.join(ids, Seq("id"), "left_semi")
-  }
+      element: ElementCategory = ElementCategory.VERTEX): DataFrame =
+    semiJoinIds(g, mixedIx.filter(col("key") === key &&
+      col("token") === term.toLowerCase.trim), element)
 
   /** Materialize the STRING-exact side of a mixed index: one (key, value, id)
     * row per element, the untokenized full value (Mapping.STRING —
@@ -95,14 +92,20 @@ object Indexes {
     }.reduce(_ unionAll _)
   }
 
+  /** Shared lookup shape of every mixed-index family: filter the index table,
+    * project ids, semi-join the element base. One join shape to maintain —
+    * the four public lookups differ only in their index-side predicate. */
+  private def semiJoinIds(g: PropertyGraph, ids: DataFrame,
+      element: ElementCategory): DataFrame = {
+    val base = if (element == ElementCategory.VERTEX) g.vertices else g.edges
+    base.join(ids.select(col("id")), Seq("id"), "left_semi")
+  }
+
   /** Exact-value lookup through a STRING-mapped mixed index (Cmp.EQUAL on the
     * whole field via the index path). */
   def lookupString(g: PropertyGraph, stringIx: DataFrame, key: String, value: String,
-      element: ElementCategory = ElementCategory.VERTEX): DataFrame = {
-    val ids = stringIx.filter(col("key") === key && col("value") === value).select(col("id"))
-    val base = if (element == ElementCategory.VERTEX) g.vertices else g.edges
-    base.join(ids, Seq("id"), "left_semi")
-  }
+      element: ElementCategory = ElementCategory.VERTEX): DataFrame =
+    semiJoinIds(g, stringIx.filter(col("key") === key && col("value") === value), element)
 
   /** Materialize a TEXTSTRING-mapped key as ONE index table serving BOTH
     * predicate families (Mapping.TEXTSTRING — tc/core/schema/Mapping.java:
@@ -130,21 +133,15 @@ object Indexes {
 
   /** textContains through the TEXTSTRING index (token half). */
   def lookupTextStringContains(g: PropertyGraph, tsIx: DataFrame, key: String,
-      term: String, element: ElementCategory = ElementCategory.VERTEX): DataFrame = {
-    val ids = tsIx.filter(col("key") === key && col("kind") === "tok" &&
-      col("value") === term.toLowerCase.trim).select(col("id"))
-    val base = if (element == ElementCategory.VERTEX) g.vertices else g.edges
-    base.join(ids, Seq("id"), "left_semi")
-  }
+      term: String, element: ElementCategory = ElementCategory.VERTEX): DataFrame =
+    semiJoinIds(g, tsIx.filter(col("key") === key && col("kind") === "tok" &&
+      col("value") === term.toLowerCase.trim), element)
 
   /** Exact full-value equality through the SAME TEXTSTRING index (string half). */
   def lookupTextStringEquals(g: PropertyGraph, tsIx: DataFrame, key: String,
-      value: String, element: ElementCategory = ElementCategory.VERTEX): DataFrame = {
-    val ids = tsIx.filter(col("key") === key && col("kind") === "str" &&
-      col("value") === value).select(col("id"))
-    val base = if (element == ElementCategory.VERTEX) g.vertices else g.edges
-    base.join(ids, Seq("id"), "left_semi")
-  }
+      value: String, element: ElementCategory = ElementCategory.VERTEX): DataFrame =
+    semiJoinIds(g, tsIx.filter(col("key") === key && col("kind") === "str" &&
+      col("value") === value), element)
 
   /** Materialize the numeric side of a mixed index: (key, numvalue, id) rows
     * — the range-queryable backend the reference gets from an external

@@ -85,4 +85,21 @@ class OlapFixtureSpec extends AnyFunSuite {
     val d = Analytics.shortestDistance(fixture, 1L, weightCol = Some("weight"), maxIter = 15)
     assert(d.count() > n / 2)
   }
+
+  test("kCore invariants on the random graph: nested cores, internal degree ≥ k") {
+    import org.apache.spark.sql.functions._
+    val c2 = Analytics.kCore(fixture, k = 2, maxRounds = 20)
+      .collect().map(_.getLong(0)).toSet
+    val c5 = Analytics.kCore(fixture, k = 5, maxRounds = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(c5.subsetOf(c2)) // cores are nested: higher k ⇒ smaller core
+    assert(c2.nonEmpty)     // n(n+1)/2 edges over n vertices is dense enough
+    // every member of the 5-core has ≥5 incident edges INSIDE the core
+    val und = fixture.edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(fixture.edges.select(col("dst").as("a"), col("src").as("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = und.filter { case (a, b) => c5.contains(a) && c5.contains(b) }
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    assert(c5.forall(v => deg.getOrElse(v, 0) >= 5))
+  }
 }
