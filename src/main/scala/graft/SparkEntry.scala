@@ -819,6 +819,16 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.4254)
         .select(col("ida"), col("idb"))
     }),
+    // ---- pipeline: top-k corpus bigram collocations ----
+    "q_top_bigrams" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.topBigrams(
+        s.read.parquet(s"$dir/documents.parquet"), k = 30)
+    }),
+    // ---- pipeline: per-source vocabulary richness (type-token ratio) ----
+    "q_vocab_stats" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.vocabStats(
+        s.read.parquet(s"$dir/documents.parquet"))
+    }),
     // ---- pipeline: symmetric int8 embedding quantization ----
     "q_quantize_int8" -> ((s, dir) => {
       s.read.parquet(s"$dir/embeddings.parquet")
@@ -1814,6 +1824,17 @@ object SparkEntry {
       """SELECT a.vec_id AS ida, b.vec_id AS idb FROM embeddings a JOIN embeddings b
         |ON a.vec_id < b.vec_id
         |AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4254""".stripMargin,
+    "q_top_bigrams" ->
+      """WITH toks AS (SELECT string_split_regex(text, '\s+') AS t FROM documents),
+        |b AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        |      FROM toks WHERE len(t) >= 2)
+        |SELECT bigram, COUNT(*) AS cnt FROM b GROUP BY 1
+        |ORDER BY cnt DESC, bigram LIMIT 30""".stripMargin,
+    "q_vocab_stats" ->
+      """WITH tk AS (SELECT source, unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+        |SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_distinct,
+        |round(CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*), 6) AS ttr
+        |FROM tk GROUP BY 1""".stripMargin,
     "q_quantize_int8" ->
       """WITH q AS (SELECT vec_id,
         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s,

@@ -100,12 +100,37 @@ object GraphIO {
     deleteEdgeIds.foreach { de =>
       e = e.join(de.select(col("id").as("__did")), col("id") === col("__did"), "left_anti")
     }
-    val result = g.copy(vertices = v, edges = e)
+    val result = refreshIndexTables(g.copy(vertices = v, edges = e))
     if (enforce) {
       val cv = addedSetViolations(result, addVertices, addEdges)
       require(cv.isEmpty, s"consistency violation on mutated keys: ${cv.mkString("; ")}")
     }
     result
+  }
+
+  /** Index maintenance across a mutation (the reference updates indexes
+    * inside the same transaction — IndexSerializer mutation hooks; a stale
+    * index would silently MISS newly written elements, because the
+    * access-path semi-join runs before any residual filter can restore
+    * rows). Composite index tables re-derive lazily from the mutated graph
+    * (a plan rebuild, no recompute until queried). Mixed tables have
+    * materializer-specific layouts the catalog cannot reconstruct blindly
+    * (token/string/numeric/geo), so they are DROPPED: the planner falls back
+    * to the pushed-down full scan — correct, just unaccelerated until the
+    * caller re-materializes. */
+  private def refreshIndexTables(g2: PropertyGraph): PropertyGraph = {
+    if (g2.indexTables.isEmpty) return g2
+    val refreshed = g2.indexTables.flatMap { case (name, _) =>
+      g2.schema.indexes.get(name) match {
+        case Some(ix) if ix.composite =>
+          val base = if (ix.element == ElementCategory.VERTEX) g2.vertices else g2.edges
+          if (ix.keys.forall(base.columns.contains))
+            Some(name -> graft.index.Indexes.materialize(g2, ix))
+          else None
+        case _ => None // mixed or unknown: drop — stale must not change results
+      }
+    }
+    g2.copy(indexTables = refreshed)
   }
 
   private def firstId(df: DataFrame): Option[Any] =
@@ -262,6 +287,6 @@ object GraphIO {
         e0.join(ids, col("src") === col("__vid"), "left_semi")
           .join(ids.withColumnRenamed("__vid", "__vid2"), col("dst") === col("__vid2"), "left_semi")
       } else e0
-    g.copy(vertices = v, edges = e)
+    refreshIndexTables(g.copy(vertices = v, edges = e))
   }
 }

@@ -371,4 +371,31 @@ object TextAnalysis {
   def shuffled(docs: DataFrame, salt: String = "", idCol: String = "doc_id"): DataFrame =
     docs.withColumn("_shuffle_key", shuffleKey(col(idCol), salt))
       .orderBy(col("_shuffle_key"))
+
+  /** Top-k corpus bigrams (collocation mining — phrase vocabulary for
+    * tokenizer training / boilerplate detection). Adjacent-token pairs via a
+    * bounded per-row sequence (no self-join!), one map-side-combinable count,
+    * TakeOrdered top-k with the bigram as tie-break — never a global sort. */
+  def topBigrams(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val bigrams = transform(sequence(lit(0), size(t) - 2),
+      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)))
+    docs.filter(size(t) >= 2)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram").asc).limit(k)
+  }
+
+  /** Per-source vocabulary statistics: total tokens, distinct tokens, and
+    * type-token ratio (vocabulary richness — a dataset-mix diagnostic).
+    * Distinct counting is exact (the group count is small; per-group state
+    * spills); the ratio is a quotient of two exact longs. */
+  def vocabStats(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("token")).as("n_distinct"))
+      .withColumn("ttr",
+        round(col("n_distinct").cast(DoubleType) / col("n_tokens"), 6))
 }

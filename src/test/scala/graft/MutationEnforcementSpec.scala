@@ -106,6 +106,30 @@ class MutationEnforcementSpec extends AnyFunSuite {
     assert(!stamped.isNullAt(0))
   }
 
+  test("mutations refresh composite index tables and drop mixed ones (no stale reads)") {
+    val g0 = TpchGraph.load(spark, dir)
+    val ixC = IndexDef("byNameT", ElementCategory.VERTEX, Seq("name"))
+    val ixM = IndexDef("nameTok", ElementCategory.VERTEX, Seq("name"),
+      composite = false, mappings = Map("name" -> Mapping.TEXT))
+    val g = g0.copy(schema = g0.schema.copy(indexes =
+        g0.schema.indexes ++ Map("byNameT" -> ixC, "nameTok" -> ixM)))
+      .withIndexTable("byNameT", graft.index.Indexes.materialize(g0, ixC))
+      .withIndexTable("nameTok", graft.index.Indexes.materializeMixed(g0, ixM))
+    val newId = TpchGraph.RegionTag * T + 99L
+    val add = spark.range(1).select(lit(newId).as("id"),
+      lit("region").as("label"), lit(99L).as("uid"), lit("ATLANTIS").as("name"))
+    val m = GraphIO.applyMutations(g, addVertices = Some(add))
+    // composite table re-derived: the index-accelerated path sees the new row
+    assert(m.indexTables.contains("byNameT"))
+    val hit = m.V().has("name", "ATLANTIS").dataframe.select("id").collect()
+    assert(hit.length === 1 && hit(0).getLong(0) === newId)
+    // mixed table dropped (layout not reconstructible) — query still correct
+    // via full scan, never through a stale token table
+    assert(!m.indexTables.contains("nameTok"))
+    assert(m.V().has("name", graft.expr.P.textContains("atlantis"))
+      .dataframe.count() === 1)
+  }
+
   test("vertex-delete cascade cannot touch a static vertex's adjacency") {
     val g = staticRegionGraph
     // deleting nation 0 would cascade-remove its in_region edge — that edge

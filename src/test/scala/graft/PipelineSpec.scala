@@ -456,6 +456,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(z.select(Similarity.norm(Similarity.l2Normalize(col("v")))).collect()(0).getDouble(0) === 0.0)
   }
 
+  test("topBigrams: adjacent pairs counted, ties broken by bigram text") {
+    import spark.implicits._
+    val d = Seq("a b a b", "b a").toDF("text")
+    val got = TextAnalysis.topBigrams(d, k = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // "a b a b" → [a b, b a, a b]; "b a" → [b a] ⇒ both bigrams ×2, tie → text asc
+    assert(got === Seq("a b" -> 2L, "b a" -> 2L))
+  }
+
+  test("vocabStats: exact token/distinct counts and type-token ratio") {
+    import spark.implicits._
+    val d = Seq(("x", "a a b"), ("y", "c")).toDF("source", "text")
+    val got = TextAnalysis.vocabStats(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("x") === ((3L, 2L, 0.666667)))
+    assert(got("y") === ((1L, 1L, 1.0)))
+  }
+
   test("quantizeInt8: codes bounded, dequantization within half a step") {
     import org.apache.spark.sql.functions._
     val q = emb.select(col("embedding").as("v"),
