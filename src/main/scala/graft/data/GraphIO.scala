@@ -167,8 +167,11 @@ object GraphIO {
     // vertex's adjacency). The doomed vertices themselves are checked above.
     val cascE = deleteVertexIds.flatMap { dv =>
       val ids = dv.select(col("id").as("__did"))
-      val doomed = g.edges
-        .join(ids, col("src") === col("__did") || col("dst") === col("__did"), "left_semi")
+      // two equi semi-joins (hash-joinable), not one OR-condition join (a
+      // disjunction has no equi-conjunct and would plan as a nested loop
+      // over the whole edge table)
+      val doomed = g.edges.join(ids, col("src") === col("__did"), "left_semi")
+        .unionAll(g.edges.join(ids, col("dst") === col("__did"), "left_semi"))
       hit(doomed.select(col("src").as("id"))
         .unionAll(doomed.select(col("dst").as("id"))),
         "cascaded edge removal incident to")
@@ -199,7 +202,13 @@ object GraphIO {
       firstId(dup).map(k => s"unique index '${ix.name}' violated at key=$k")
     }).flatten
     val mult = addEdges.toSeq.filter(_.columns.contains("label")).flatMap { ae =>
-      g2.schema.edgeLabels.values.toSeq.flatMap { el =>
+      // one small distinct job up front; labels the batch never touches are
+      // skipped entirely instead of paying an eager empty-semi-join sweep
+      // per declared label
+      val batchLabels = ae.select(col("label")).distinct()
+        .collect().map(_.getString(0)).toSet
+      g2.schema.edgeLabels.values.toSeq
+        .filter(el => batchLabels.contains(el.name)).flatMap { el =>
         val lbl = el.name
         val base = g2.edges.filter(col("label") === lbl)
         val touched = ae.filter(col("label") === lbl)

@@ -150,14 +150,23 @@ final case class GraphQuery(
         // (key, kind, value, id) from materializeTextString (token half).
         case Some((ix, k, toks)) if toks.nonEmpty =>
           val table = graph.indexTables(ix.name)
-          val (tokenCol, scoped) =
-            if (table.columns.contains("token")) (col("token"), table)
-            else (col("value"), table.filter(col("kind") === "tok"))
-          val ids = scoped
-            .filter(col("key") === k && tokenCol.isin(toks: _*))
-            .groupBy(col("id")).agg(count_distinct(tokenCol).as("__nt"))
-            .filter(col("__nt") === toks.size).select(col("id"))
-          target.join(broadcast(ids), Seq("id"), "left_semi")
+          // recognized layouts only; anything else (e.g. a STRING-exact
+          // table registered under a text-mapped name) falls back to the
+          // pushed-down scan — an unusable index must degrade, not crash
+          val layout: Option[(Column, DataFrame)] =
+            if (table.columns.contains("token")) Some((col("token"), table))
+            else if (table.columns.contains("kind") && table.columns.contains("value"))
+              Some((col("value"), table.filter(col("kind") === "tok")))
+            else None
+          layout match {
+            case Some((tokenCol, scoped)) =>
+              val ids = scoped
+                .filter(col("key") === k && tokenCol.isin(toks: _*))
+                .groupBy(col("id")).agg(count_distinct(tokenCol).as("__nt"))
+                .filter(col("__nt") === toks.size).select(col("id"))
+              target.join(broadcast(ids), Seq("id"), "left_semi")
+            case None => target
+          }
         case _ => target
       }
     }

@@ -231,9 +231,12 @@ final case class Traversal(
   def orderBySub(step: Traversal => Traversal, value: Column = F.count(lit(1)),
       asc: Boolean = true, default: Column = lit(0L)): Traversal = {
     // the sort value stays aboard as a carry column so a following
-    // range()/skip() re-sorts by THIS order (the Gremlin contract), not by id
+    // range()/skip() re-sorts by THIS order (the Gremlin contract), not by
+    // id; a prior orderBySub's carry is dropped first (re-ordering replaces
+    // the order — two same-named columns would be ambiguous). range/skip
+    // retire the column once the slice is taken.
     val withV = bySubValue(step, value, default)
-      .withColumnRenamed("__byv", "_by_ord")
+      .drop("_by_ord").withColumnRenamed("__byv", "_by_ord")
     val o = Seq(if (asc) col("_by_ord").asc else col("_by_ord").desc, col("id").asc)
     copy(df = withV.orderBy(o: _*), lastOrder = o)
   }
@@ -408,7 +411,12 @@ final case class Traversal(
   def range(lo: Int, hi: Int): Traversal = {
     val ord = if (lastOrder.nonEmpty) lastOrder.map(Traversal.normalizeOrder)
               else Seq(col("id").asc)
-    copy(df = df.orderBy(ord: _*).offset(lo).limit(hi - lo))
+    // the orderBySub carry is retired with the slice; lastOrder must not
+    // keep referencing the dropped column
+    val sliced = df.orderBy(ord: _*).offset(lo).limit(hi - lo)
+    if (df.columns.contains("_by_ord"))
+      copy(df = sliced.drop("_by_ord"), lastOrder = Nil)
+    else copy(df = sliced)
   }
   /** skip(n) — drop the first n traversers of the last declared order
     * (Gremlin RangeGlobalStep with high = -1, i.e. `range(n, -1)`). Compiles
@@ -416,7 +424,10 @@ final case class Traversal(
   def skip(n: Int): Traversal = {
     val ord = if (lastOrder.nonEmpty) lastOrder.map(Traversal.normalizeOrder)
               else Seq(col("id").asc)
-    copy(df = df.orderBy(ord: _*).offset(n))
+    val sliced = df.orderBy(ord: _*).offset(n)
+    if (df.columns.contains("_by_ord"))
+      copy(df = sliced.drop("_by_ord"), lastOrder = Nil)
+    else copy(df = sliced)
   }
   def dedup(): Traversal = copy(df = df.dropDuplicates("id"))
   def dedupBy(keys: String*): Traversal = copy(df = df.dropDuplicates(keys))

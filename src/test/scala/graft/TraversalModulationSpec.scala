@@ -135,6 +135,16 @@ class TraversalModulationSpec extends AnyFunSuite {
     assert(top === want)
   }
 
+  test("orderBySub can be re-applied (second by() replaces the first order)") {
+    val t = g.traversal.V().hasLabel("customer")
+      .orderBySub(_.out("placed"), count(lit(1)), asc = true)
+      .orderBySub(_.out("placed"), count(lit(1)), asc = false)
+      .range(0, 2)
+    val ids = t.toDF.select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids.length === 2)
+    assert(!t.toDF.columns.contains("_by_ord")) // carry retired by the slice
+  }
+
   test("elementMap returns id + label + requested keys") {
     val out = g.traversal.V().hasLabel("region").elementMap("name")
     assert(out.columns.toSeq === Seq("id", "label", "name"))
