@@ -3,7 +3,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** Timed repetitions per query. The box has documented multi-x run-to-run
     * variance; the per-query minimum over several reps is the stable signal
-    * (min, not mean: noise on a shared box is strictly additive). */
+    * (min, not mean: noise on a shared box is strictly additive). Reps are
+    * INTERLEAVED — the full query list runs once per round, Reps rounds — so a
+    * noisy co-tenant window poisons at most one rep of each query instead of
+    * all reps of one query (r5 showed q_tpch_q3 at 3.56s committed vs 0.49s
+    * on a quiet re-run with the old back-to-back scheme). */
   val Reps = 3
 
   def main(args: Array[String]): Unit = {
@@ -20,31 +24,38 @@ object Bench {
     // whole-stage-codegen compilation so timings reflect steady-state execution
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
-    // Reps timed passes per query; keep the min. A query that throws is
-    // reported as an explicit error, never as a (fast-looking) timing.
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = names.flatMap { name =>
-      val fn = SparkEntry.queries(name)
-      val times = (1 to Reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case e: Throwable =>
-            errors.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-            None
-        }
+      catch {
+        case e: Throwable =>
+          // warmup failures are not timings, but they must not be silent: the
+          // timed reps will re-surface the error; this line flags warmup-only ones
+          System.err.println(s"[bench] warmup $name: ${e.getClass.getSimpleName}")
       }
-      if (times.isEmpty) None else Some(name -> times.min)
-    }.toMap
+    }
+    // Reps interleaved rounds over the full list; keep min per query across
+    // rounds and report every per-rep time so the driver can see variance.
+    // A query that throws is an explicit error, never a (fast-looking) timing.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val times = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    for (_ <- 1 to Reps; name <- names) {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        times(name) = times.getOrElse(name, Vector.empty) :+ (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      }
+    }
+    val results = times.map { case (k, v) => k -> v.min }
     val qs = names.filter(results.contains)
       .map(k => "\"" + k + "\":" + results(k)).mkString("{", ",", "}")
+    val repsJson = names.filter(times.contains)
+      .map(k => "\"" + k + "\":[" + times(k).mkString(",") + "]").mkString("{", ",", "}")
     val errJson = errors
       .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":$qs,"rep_times":$repsJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -178,6 +178,18 @@ object Analytics {
     * vertex id — the same shuffle profile as one BSP superstep; eager
     * lineage truncation keeps the plan constant-size across rounds. */
   def kCore(g: PropertyGraph, k: Int, maxRounds: Int = 10): DataFrame = {
+    val (result, converged) = kCoreConverged(g, k, maxRounds)
+    // fail loudly (not silently superset): direct API callers get a signal
+    // when peeling ran out of rounds, matching the oracle's NOT_CONVERGED stance
+    if (!converged)
+      System.err.println(
+        s"[graft] kCore(k=$k): maxRounds=$maxRounds elapsed with removals still occurring — " +
+          "result is a SUPERSET of the true k-core; raise maxRounds or use kCoreConverged")
+    result
+  }
+
+  /** kCore with an explicit convergence flag: (survivors, converged). */
+  def kCoreConverged(g: PropertyGraph, k: Int, maxRounds: Int = 10): (DataFrame, Boolean) = {
     val und = g.edges.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(g.edges.select(col("dst").as("a"), col("src").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -201,7 +213,7 @@ object Analytics {
       round += 1
     }
     und.unpersist(false)
-    alive
+    (alive, !removed)
   }
 
   private def toDF[T <: Product : scala.reflect.runtime.universe.TypeTag](

@@ -57,8 +57,12 @@ object Similarity {
   def centroids(data: DataFrame, nlist: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     data.orderBy(col(idCol)).limit(nlist)
+      // partitionBy(lit(0)): the frame is already nlist rows (tiny) — the
+      // explicit constant partition key silences Spark's "No Partition
+      // Defined" warning without changing the single-partition plan
       .select((row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col(idCol))) - 1).as("cid"),
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          .orderBy(col(idCol))) - 1).as("cid"),
         col(vecCol).as("cvec"))
 
   /** Assign every vector to its nearest centroid: one broadcast join, then

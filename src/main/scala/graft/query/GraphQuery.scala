@@ -26,6 +26,7 @@ final case class GraphQuery(
     limitN: Option[Int] = None,
     eqPairs: Map[String, Any] = Map.empty,
     textPairs: Map[String, String] = Map.empty,
+    labelEqs: Set[String] = Set.empty,
     strictIndex: Boolean = false) {
 
   def eqKeys: Set[String] = eqPairs.keySet
@@ -60,7 +61,11 @@ final case class GraphQuery(
   def hasNot(key: String, value: Any): GraphQuery = has(key, P.neq(value))
 
   def hasLabel(labels: String*): GraphQuery =
-    if (labels.size == 1) copy(conds = conds :+ (col("label") === labels.head))
+    // single-label constraints also register in labelEqs: they prove the
+    // query wants ONLY that label, which makes label-scoped (onlyLabel)
+    // indexes safe access paths (see selectedIndex)
+    if (labels.size == 1) copy(conds = conds :+ (col("label") === labels.head),
+      labelEqs = labelEqs + labels.head)
     else copy(conds = conds :+ col("label").isin(labels: _*))
 
   def hasId(ids: Long*): GraphQuery =
@@ -86,39 +91,65 @@ final case class GraphQuery(
     * index selector applies. */
   def forceIndex(): GraphQuery = copy(strictIndex = true)
 
+  /** A label-scoped index (onlyLabel) is a safe access path only when the
+    * query itself restricts to that exact label — its table holds one label's
+    * elements, so using it elsewhere would drop matches of other labels.
+    * The reference scores label-restricted indexes against the query's label
+    * condition the same way (GraphCentricQueryBuilder.java:185-323,
+    * label-condition handling ~:210-230). */
+  private def labelCovers(ix: graft.core.IndexDef): Boolean =
+    ix.onlyLabel.forall(labelEqs.contains)
+
   /** Automatic index selection (GraphCentricQueryBuilder.java:185-323): the
     * best ENABLED composite index whose keys are covered by the equality
-    * conjuncts AND whose materialized table is registered on the graph
+    * conjuncts, whose label scope (if any) matches the query's hasLabel
+    * constraint, AND whose materialized table is registered on the graph
     * (an unbacked index would make the query strictly worse — two scans of
     * the same base data instead of one pushed-down scan). Greedy best =
-    * most keys covered, the reference's primary selectivity proxy.
-    * Label-scoped indexes (onlyLabel) are excluded: their tables only hold
-    * one label's elements, so choosing one for an unconstrained query would
-    * drop matches of other labels — use Indexes.lookup explicitly for
-    * scoped point reads. */
+    * most keys covered, the reference's primary selectivity proxy. */
   private def selectedIndex: Option[graft.core.IndexDef] =
     graph.schema.compositeIndexCandidates(element, eqKeys)
-      .filter(_.onlyLabel.isEmpty)
+      .filter(labelCovers)
       .find(ix => graph.indexTables.contains(ix.name))
 
   /** Mixed-index selection for textContains predicates: a backed ENABLED
     * mixed index whose TEXT/TEXTSTRING key carries one of the query's
-    * textContains conditions. Returns the index, the key, and the condition's
-    * tokens (Text.CONTAINS semantics: ALL tokens must occur). */
-  private def selectedTextIndex: Option[(graft.core.IndexDef, String, Seq[String])] =
+    * textContains conditions. Returns the key-scoped token table, its token
+    * column, and the condition's tokens (Text.CONTAINS semantics: ALL tokens
+    * must occur). ALL usability validation is folded in here — recognized
+    * inverted layout, ≥1 condition token — so the force-index strict check
+    * and the chosen access path test the SAME predicate: if this returns
+    * Some, compile() WILL take the index path (never a silent scan). Both
+    * inverted layouts are accepted: (key, token, id) from materializeMixed
+    * and (key, kind, value, id) from materializeTextString (token half);
+    * an unrecognized layout makes the candidate unusable and selection moves
+    * to the next one. */
+  private def selectedTextIndex: Option[(DataFrame, Column, Seq[String])] =
     graph.schema.mixedTextIndexCandidates(element, textPairs.keySet)
-      .filter(_.onlyLabel.isEmpty)
-      .find(ix => graph.indexTables.contains(ix.name))
+      .filter(ix => labelCovers(ix) && graph.indexTables.contains(ix.name))
+      .iterator
       .flatMap { ix =>
-        ix.keys.find(textPairs.contains).map { k =>
+        ix.keys.find(textPairs.contains).flatMap { k =>
           // distinct: CONTAINS("green green") must behave like CONTAINS("green")
-          // — the grouped count-distinct below compares against the number of
-          // DISTINCT condition tokens, or repeated terms would match nothing
+          // — the grouped count-distinct in compile() compares against the
+          // number of DISTINCT condition tokens, or repeated terms would
+          // match nothing
           val toks = textPairs(k).toLowerCase
             .split("[^\\p{L}\\p{N}]+").filter(_.length > 1).distinct.toSeq
-          (ix, k, toks)
+          if (toks.isEmpty) None
+          else {
+            val table = graph.indexTables(ix.name)
+            val layout: Option[(Column, DataFrame)] =
+              if (table.columns.contains("token")) Some((col("token"), table))
+              else if (table.columns.contains("kind") && table.columns.contains("value"))
+                Some((col("value"), table.filter(col("kind") === "tok")))
+              else None
+            layout.map { case (tokenCol, scoped) =>
+              (scoped.filter(col("key") === k), tokenCol, toks)
+            }
+          }
         }
-      }
+      }.nextOption()
 
   /** Compile to a DataFrame plan. If a backed composite index covers the
     * equality conjuncts, the plan becomes: filter the (small) index table on
@@ -130,8 +161,9 @@ final case class GraphQuery(
     * reference's element iterator order is storage-deterministic). */
   def dataframe: DataFrame = {
     // the strict check must test the SAME predicate the selector applies
-    // (backed + label-unscoped) — a declared-but-unbacked index must not
-    // satisfy force-index while the query silently runs as a full scan
+    // (backed + label-scope-covered + usable layout + ≥1 token) — a
+    // declared-but-unusable index must not satisfy force-index while the
+    // query silently runs as a full scan
     if (strictIndex && selectedIndex.isEmpty && selectedTextIndex.isEmpty)
       throw new IllegalStateException(
         s"Could not find a suitable index to answer graph query (force-index); equality keys: $eqKeys")
@@ -145,29 +177,16 @@ final case class GraphQuery(
         // inverted token table: ids holding ALL condition tokens (the
         // grouped count-distinct enforces CONTAINS' conjunction); the
         // residual textContains filter below re-verifies, so the index can
-        // only change the access path, never the results. Both inverted
-        // layouts are accepted: (key, token, id) from materializeMixed and
-        // (key, kind, value, id) from materializeTextString (token half).
-        case Some((ix, k, toks)) if toks.nonEmpty =>
-          val table = graph.indexTables(ix.name)
-          // recognized layouts only; anything else (e.g. a STRING-exact
-          // table registered under a text-mapped name) falls back to the
-          // pushed-down scan — an unusable index must degrade, not crash
-          val layout: Option[(Column, DataFrame)] =
-            if (table.columns.contains("token")) Some((col("token"), table))
-            else if (table.columns.contains("kind") && table.columns.contains("value"))
-              Some((col("value"), table.filter(col("kind") === "tok")))
-            else None
-          layout match {
-            case Some((tokenCol, scoped)) =>
-              val ids = scoped
-                .filter(col("key") === k && tokenCol.isin(toks: _*))
-                .groupBy(col("id")).agg(count_distinct(tokenCol).as("__nt"))
-                .filter(col("__nt") === toks.size).select(col("id"))
-              target.join(broadcast(ids), Seq("id"), "left_semi")
-            case None => target
-          }
-        case _ => target
+        // only change the access path, never the results. Layout and token
+        // validation already happened in selectedTextIndex — Some here means
+        // this path is definitely taken (force-index soundness).
+        case Some((scoped, tokenCol, toks)) =>
+          val ids = scoped
+            .filter(tokenCol.isin(toks: _*))
+            .groupBy(col("id")).agg(count_distinct(tokenCol).as("__nt"))
+            .filter(col("__nt") === toks.size).select(col("id"))
+          target.join(broadcast(ids), Seq("id"), "left_semi")
+        case None => target
       }
     }
     val filtered = conds.foldLeft(base)((df, c) => df.filter(c))

@@ -289,8 +289,12 @@ final case class Traversal(
       .reduceOption(_.unionByName(_))
       .getOrElse(sys.error(s"pathBy: no element set carries '$key'"))
     val rows = df.select(col("_path")).withColumn("__rid", F.monotonically_increasing_id())
+    // LEFT join + id-string fallback: a path element missing the key keeps its
+    // slot (Gremlin raises there; we preserve arity with the id as placeholder
+    // rather than silently shortening or dropping the path).
     rows.select(col("__rid"), F.posexplode(col("_path")).as(Seq("__pos", "__pid")))
-      .join(lookup, "__pid")
+      .join(lookup, Seq("__pid"), "left")
+      .withColumn("__pv", F.coalesce(col("__pv"), col("__pid").cast("string")))
       .groupBy(col("__rid"))
       .agg(F.array_sort(F.collect_list(F.struct(col("__pos"), col("__pv")))).as("__s"))
       .select(F.transform(col("__s"), s => s.getField("__pv")).as("path"))
@@ -464,11 +468,28 @@ final case class Traversal(
     * planning): keep traversers whose binding for `alias` also appears as the
     * `alias` binding of `other` — a semi-join of the two patterns on the
     * shared variable. Compose repeatedly for multi-pattern match; use
-    * whereNotExists for negated patterns. */
-  def matchOn(other: Traversal, alias: String): Traversal = {
-    val key = s"_as_${alias}_id"
-    copy(df = df.join(other.df.select(col(key).as("__mid")).distinct(),
-      col(key) === col("__mid"), "left_semi"))
+    * whereNotExists for negated patterns. For patterns sharing SEVERAL
+    * variables use matchOnAll — this single-alias form over-matches there
+    * (it accepts (a₁,b₂) combinations that only occur in separate rows of
+    * the other pattern). */
+  def matchOn(other: Traversal, alias: String): Traversal =
+    matchOnAll(other, Seq(alias))
+
+  /** Multi-variable match conjunction: semi-join `other` on ALL shared
+    * binding variables SIMULTANEOUSLY (TinkerPop MatchStep joins patterns on
+    * every shared variable — the reference runs MatchStep through its
+    * TinkerPop integration, AbstractTitanGraphProvider.java:57). One
+    * multi-column left-semi hash join; the distinct binding projection is
+    * id-only and AQE-broadcastable. */
+  def matchOnAll(other: Traversal, aliases: Seq[String]): Traversal = {
+    require(aliases.nonEmpty, "matchOnAll needs at least one shared alias")
+    val keys = aliases.map(a => s"_as_${a}_id")
+    val bindings = other.df
+      .select(keys.zipWithIndex.map { case (k, i) => col(k).as(s"__m$i") }: _*)
+      .distinct()
+    val cond = keys.zipWithIndex
+      .map { case (k, i) => col(k) === col(s"__m$i") }.reduce(_ && _)
+    copy(df = df.join(bindings, cond, "left_semi"))
   }
 
   /** match(patterns…) as a PLANNER (TinkerPop MatchStep semantics with the
@@ -478,12 +499,18 @@ final case class Traversal(
     * in ascending estimated-size order (Catalyst logical stats — no count jobs),
     * so the most selective pattern anchors the chain and each semi-join
     * shrinks the frontier as early as possible. */
-  def matchAll(alias: String, patterns: Traversal*): Traversal = {
+  def matchAll(alias: String, patterns: Traversal*): Traversal =
+    matchAllOn(Seq(alias), patterns: _*)
+
+  /** matchAll over SEVERAL shared binding variables: every pattern must carry
+    * all `aliases`; each semi-join keys on the full alias tuple. Same
+    * selectivity-ordered planning as the single-alias form. */
+  def matchAllOn(aliases: Seq[String], patterns: Traversal*): Traversal = {
     require(patterns.nonEmpty)
     def estSize(t: Traversal): BigInt =
       t.df.queryExecution.optimizedPlan.stats.sizeInBytes
     val ordered = patterns.sortBy(estSize)
-    ordered.tail.foldLeft(copy(df = ordered.head.df))((acc, p) => acc.matchOn(p, alias))
+    ordered.tail.foldLeft(copy(df = ordered.head.df))((acc, p) => acc.matchOnAll(p, aliases))
   }
 
   /** choose(predicate, trueStep, falseStep) — per-traverser branch
@@ -509,6 +536,35 @@ final case class Traversal(
     val f = falseStep(copy(df =
       df.join(matched, col("id") === col("__sid"), "left_anti")))
     t.copy(df = t.df.unionByName(f.df, allowMissingColumns = true))
+  }
+
+  /** choose(selector).option(v1, s1).option(v2, s2)….option(none, sN) —
+    * TinkerPop's general n-ary value-switch ChooseStep (part of the
+    * ProcessStandardSuite the reference passes,
+    * titan-test/.../AbstractTitanGraphProvider.java:57; the binary
+    * predicate forms above cover only two-way branching). Compiled as one
+    * filter-split per option + union — each branch filters on null-safe
+    * selector equality (a pure codegen'd Column predicate; the selector is
+    * never materialized), so the n branches share the scan and Catalyst
+    * prunes each to its slice. Traversers whose selector value matches no
+    * option take the `none` branch when given, else are dropped (TinkerPop
+    * Pick.none semantics). A null selector value matches no option and
+    * routes to `none`. */
+  def chooseOption(selector: Column,
+      options: Seq[(Any, Traversal => Traversal)],
+      none: Option[Traversal => Traversal] = None): Traversal = {
+    require(options.nonEmpty, "chooseOption needs at least one option branch")
+    val branches = options.map { case (v, step) =>
+      step(copy(df = df.filter(selector <=> lit(v)))).df
+    }
+    val noneBranch = none.map { step =>
+      val vals = options.map(_._1)
+      // isin yields null for a null selector; coalesce(false) routes it here
+      step(copy(df = df.filter(
+        !F.coalesce(selector.isin(vals: _*), lit(false))))).df
+    }
+    copy(df = (branches ++ noneBranch)
+      .reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 
   /** coalesce(step1, step2, ...) — per source element, results of the FIRST

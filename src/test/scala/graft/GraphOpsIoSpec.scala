@@ -21,6 +21,24 @@ class GraphOpsIoSpec extends AnyFunSuite {
     assert(back.edges.count() === 17)
   }
 
+  test("GraphIO: Gryo binary frames round-trip every row and value exactly") {
+    val path = Files.createTempDirectory("graft-gryo").toString
+    val g = TpchGraph.load(spark, dir)
+    val small = g.copy(
+      vertices = g.vertices.filter(col("label").isin("region", "nation", "customer")),
+      edges = g.edges.filter(col("label").isin("in_region", "in_nation")))
+    GraphIO.exportGryo(small, path)
+    val back = GraphIO.importGryo(spark, path, g.schema)
+    // schema preserved (types, not just names) and full-row set equality —
+    // binary encode/decode must lose nothing, in either direction
+    assert(back.vertices.schema === small.vertices.schema)
+    assert(back.edges.schema === small.edges.schema)
+    assert(back.vertices.exceptAll(small.vertices).isEmpty)
+    assert(small.vertices.exceptAll(back.vertices).isEmpty)
+    assert(back.edges.exceptAll(small.edges).isEmpty)
+    assert(small.edges.exceptAll(back.edges).isEmpty)
+  }
+
   test("GraphIO: queries on a persisted+reloaded graph match the in-memory graph") {
     val path = Files.createTempDirectory("graft-io-rt").toString
     val g = TpchGraph.load(spark, dir)

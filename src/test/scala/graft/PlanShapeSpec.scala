@@ -70,6 +70,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p2.contains("LeftSemi"), p2)
   }
 
+  test("label-scoped composite index is auto-selected only under a matching hasLabel") {
+    // hasLabel("customer") covers the index's onlyLabel scope → semi-join path
+    val p = plan("q_index_auto_scoped")
+    assert(p.contains("LeftSemi"), p)
+    // the SAME equality WITHOUT the label constraint must NOT use the scoped
+    // index: its table holds only customer rows, so the semi-join would drop
+    // matching elements of every other label
+    val g0 = graft.data.TpchGraph.load(spark, dir)
+    val ix = graft.core.IndexDef("custBySegment", graft.core.ElementCategory.VERTEX,
+      Seq("mktsegment"), onlyLabel = Some("customer"))
+    val g = g0.copy(schema = g0.schema.copy(indexes = g0.schema.indexes + (ix.name -> ix)))
+      .withIndexTable(ix.name, graft.index.Indexes.materialize(g0, ix))
+    val p2 = g.V().has("mktsegment", "BUILDING").dataframe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p2.contains("LeftSemi"), p2)
+  }
+
   test("interval predicate is pushed to the scan as range filters") {
     val p = plan("q_vc_interval")
     assert(p.contains("GreaterThanOrEqual(shipdate") && p.contains("LessThan(shipdate"))
