@@ -127,7 +127,15 @@ object Analytics {
     var dist = g.vertices.select(col("id"))
       .select(col("id"), when(col("id") === source, lit(0L)).as("d"))
       .localCheckpoint(true)
-    (1 to maxIter).foreach { _ =>
+    // Early exit: the (reached-count, exact distance-sum) pair is a monotone
+    // state signature — reached only grows, and for a fixed reached set
+    // distances only shrink — so an unchanged pair ⇒ fixed point reached and
+    // the remaining relaxation rounds are no-ops (same trick as
+    // connectedComponentsExact; one tiny agg per round).
+    var prev: (Long, java.math.BigDecimal) = null
+    var round = 0
+    var converged = false
+    while (round < maxIter && !converged) {
       val relaxed = e.join(dist.filter(col("d").isNotNull), e("src") === dist("id"))
         .select(col("dst").as("id"), (col("d") + 1L).as("nd"))
         .groupBy(col("id")).agg(min(col("nd")).as("nd"))
@@ -138,31 +146,66 @@ object Analytics {
       dist = dist.join(relaxed, Seq("id"), "left")
         .select(col("id"), least(col("d"), col("nd")).as("d"))
         .localCheckpoint(true)
+      val r = dist.filter(col("d").isNotNull)
+        .agg(count(lit(1)).as("n"), sum(col("d").cast("decimal(38,0)")).as("s")).head
+      val sig = (r.getLong(0), r.getDecimal(1))
+      converged = prev != null && sig._1 == prev._1 && sig._2 != null &&
+        prev._2 != null && sig._2.compareTo(prev._2) == 0
+      prev = sig
+      round += 1
     }
     e.unpersist(false) // final dist is checkpointed; the edge cache is done
     dist.filter(col("d").isNotNull).select(col("id"), col("d").as("distance"))
   }
 
-  /** Connected components by synchronous min-label propagation over the
-    * undirected edge set, fixed `iterations` rounds — identical semantics are
-    * expressible in SQL, so the result is oracle-checkable (GraphX
-    * connectedComponents converges to the same labels; a fixed round count ≥
-    * graph diameter reaches the fixed point). Integer labels = min vertex id
-    * in the component. */
+  /** Connected components by synchronous min-label propagation PLUS pointer
+    * jumping over the undirected edge set. Labels = min vertex id in the
+    * component — the same fixed point as plain neighbor-min (GraphX
+    * connectedComponents, and the SQL oracle's `iterations`-round propagation
+    * once `iterations` ≥ diameter), but the per-round pointer jump
+    * (l ← min(l, label(l)), the classic Shiloach–Vishkin doubling step)
+    * shortcuts label chains so convergence needs ~log(diameter) rounds, not
+    * ~diameter. At 100 TB each SAVED round is an edge-set-sized shuffle; the
+    * jump itself is a vertex-set join (3 longs wide), far cheaper than the
+    * neighbor join it replaces rounds of. */
   def connectedComponentsExact(g: PropertyGraph, iterations: Int = 12): DataFrame = {
     val und = g.edges.select(col("src"), col("dst"))
       .unionAll(g.edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = g.vertices.select(col("id"), col("id").as("l")).localCheckpoint(true)
-    (1 to iterations).foreach { _ =>
+    // Early exit at the fixed point: min-label propagation is MONOTONE
+    // (labels only ever decrease), so the EXACT decimal label-sum strictly
+    // decreases until convergence — equal consecutive sums ⇒ every remaining
+    // round is a no-op. The check is one tiny agg per round over the
+    // already-checkpointed (id, label) frame; each round it skips saves a
+    // full keyed shuffle of the vertex set (what a wasted superstep costs
+    // at 100 TB). decimal(38,0), not long: a big-id × big-vertex-count sum
+    // overflows int64, and an overflow wraparound could fake convergence.
+    var prevSum: java.math.BigDecimal = null
+    var round = 0
+    var converged = false
+    while (round < iterations && !converged) {
       val nb = und.join(labels, und("dst") === labels("id"))
         .select(und("src").as("id"), col("l").as("nl"))
         .groupBy(col("id")).agg(min(col("nl")).as("nl"))
       // see shortestHopsExact: double self-reference per round ⇒ eager
       // lineage truncation keeps the plan constant-size
-      labels = labels.join(nb, Seq("id"), "left")
+      // checkpointed BEFORE the jump: the jump self-joins this frame, and an
+      // unmaterialized self-reference would run the neighbor join twice
+      val stepped = labels.join(nb, Seq("id"), "left")
         .select(col("id"), least(col("l"), col("nl")).as("l"))
         .localCheckpoint(true)
+      // pointer jump: follow the label one hop (labels are vertex ids, so
+      // label(l) always resolves) — halves the remaining chain length
+      val jumped = stepped.join(
+          stepped.select(col("id").as("__jid"), col("l").as("__jl")),
+          col("l") === col("__jid"), "left")
+        .select(col("id"), least(col("l"), col("__jl")).as("l"))
+      labels = jumped.localCheckpoint(true)
+      val s = labels.agg(sum(col("l").cast("decimal(38,0)")).as("s")).head.getDecimal(0)
+      converged = prevSum != null && s != null && s.compareTo(prevSum) == 0
+      prevSum = s
+      round += 1
     }
     und.unpersist(false) // final labels frame is checkpointed
     labels.select(col("id"), col("l").as("component"))

@@ -212,17 +212,13 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH signature: `bits` sign bits of projections onto
-    * the seed-derived ±1 directions (literal arrays — no RNG and no hashing
-    * at execution time; the zip_with/aggregate fold sums left-to-right, so
-    * the projection is bit-identical across engines that fold in order). */
-  def lshSignature(vec: Column, dim: Int, bits: Int = 16, seed: Long = 42L): Column = {
-    val dirs = lshDirections(dim, bits, seed)
-    val bitCols = (0 until bits).map { b =>
-      val proj = graft.functions.ArrayDot(vec, array(dirs(b).toIndexedSeq.map(lit): _*))
-      when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+    * the seed-derived ±1 directions, computed by the single-pass
+    * LshSignature codegen expression (one element read updates all `bits`
+    * accumulators — bit-identical to summing per-direction ArrayDots
+    * left-to-right, which is what the cross-engine oracle mirrors, but
+    * ~`bits`× fewer array traversals per row). */
+  def lshSignature(vec: Column, dim: Int, bits: Int = 16, seed: Long = 42L): Column =
+    graft.functions.LshSignature(vec, lshDirections(dim, bits, seed))
 
   /** L2-normalize a vector column (unit sphere; zero vectors stay zero).
     * Normalizing once at ingest turns every downstream cosine into a plain

@@ -134,6 +134,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(sig.select("s").distinct().count() > 1)
   }
 
+  test("LshSignature expression matches the per-direction ArrayDot fold bit-for-bit") {
+    // the single-pass codegen expression must reproduce the reference
+    // formulation (bits separate ArrayDots, summed) EXACTLY — the DuckDB
+    // oracle mirrors that formulation's float semantics
+    val dirs = Similarity.lshDirections(64, 64, seed = 42L)
+    val reference = (0 until 64).map { b =>
+      val proj = graft.functions.ArrayDot(col("embedding"),
+        array(dirs(b).toIndexedSeq.map(lit): _*))
+      when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val mismatches = emb.select(
+      Similarity.lshSignature(col("embedding"), 64, bits = 64).as("fast"),
+      reference.as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mismatches === 0L)
+  }
+
   test("LSH-bucketed cosine pairs ⊆ brute force; decent recall at 0.4") {
     val bf = Similarity.cosinePairs(emb, 0.4).select("ida", "idb")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
