@@ -190,15 +190,15 @@ object Analytics {
         .groupBy(col("id")).agg(min(col("nl")).as("nl"))
       // see shortestHopsExact: double self-reference per round ⇒ eager
       // lineage truncation keeps the plan constant-size
-      // checkpointed BEFORE the jump: the jump self-joins this frame, and an
-      // unmaterialized self-reference would run the neighbor join twice
       val stepped = labels.join(nb, Seq("id"), "left")
         .select(col("id"), least(col("l"), col("nl")).as("l"))
-        .localCheckpoint(true)
-      // pointer jump: follow the label one hop (labels are vertex ids, so
-      // label(l) always resolves) — halves the remaining chain length
+      // pointer jump: follow the label one hop through the PREVIOUS round's
+      // (already-checkpointed) labels — a slightly stale but still monotone
+      // shortcut with the same fixed point, chosen over jumping through
+      // `stepped` itself because that self-reference would either run the
+      // neighbor join twice or cost a second materialization per round
       val jumped = stepped.join(
-          stepped.select(col("id").as("__jid"), col("l").as("__jl")),
+          labels.select(col("id").as("__jid"), col("l").as("__jl")),
           col("l") === col("__jid"), "left")
         .select(col("id"), least(col("l"), col("__jl")).as("l"))
       labels = jumped.localCheckpoint(true)
