@@ -513,6 +513,34 @@ final case class Traversal(
     ordered.tail.foldLeft(copy(df = ordered.head.df))((acc, p) => acc.matchOnAll(p, aliases))
   }
 
+  /** match with HETEROGENEOUS binding sets (TinkerPop MatchStep's general
+    * case — patterns need not all carry the same variables): the FIRST
+    * pattern anchors the result (its binding tuple is what survives);
+    * every other pattern is a constraint, semi-joined on exactly the
+    * aliases it shares with the anchor, in ascending estimated-size order
+    * (most selective constraint prunes first). A constraint sharing no
+    * alias with the anchor would be a cartesian — rejected, as MatchStep
+    * rejects disconnected patterns. Note the composition is
+    * anchor-centric (like matchAll): constraints are enforced against the
+    * anchor's bindings, not pairwise against each other — two constraints
+    * sharing a variable absent from the anchor are each checked
+    * independently. */
+  def matchAllShared(anchor: Traversal, constraints: Traversal*): Traversal = {
+    def aliases(d: org.apache.spark.sql.DataFrame): Set[String] =
+      d.columns.collect {
+        case c if c.startsWith("_as_") && c.endsWith("_id") =>
+          c.stripPrefix("_as_").stripSuffix("_id")
+      }.toSet
+    def estSize(t: Traversal): BigInt =
+      t.df.queryExecution.optimizedPlan.stats.sizeInBytes
+    constraints.sortBy(estSize).foldLeft(copy(df = anchor.df)) { (acc, p) =>
+      val shared = (aliases(acc.df) intersect aliases(p.df)).toSeq.sorted
+      require(shared.nonEmpty,
+        "matchAllShared: pattern shares no binding variable with the anchor pattern")
+      acc.matchOnAll(p, shared)
+    }
+  }
+
   /** choose(predicate, trueStep, falseStep) — per-traverser branch
     * (Gremlin choose ⇒ filter-split + union). */
   def choose(pred: Column)(trueStep: Traversal => Traversal,

@@ -36,6 +36,29 @@ class MatchChooseSpec extends AnyFunSuite {
       s"single-alias should over-match: single=$single multi=$multi")
   }
 
+  test("matchAllShared joins each pattern on exactly the aliases it shares") {
+    // p1 binds (a, b); p2 binds (a, b); p3 binds only a — heterogeneous sets
+    def p1 = g.traversal.V().hasLabel("customer").as("a")
+      .out("placed").has("totalprice", P.gt(300000.0)).as("b")
+    def p2 = g.traversal.V().hasLabel("customer").has("mktsegment", "BUILDING").as("a")
+      .out("placed").has("totalprice", P.lt(400000.0)).as("b")
+    def p3 = g.traversal.V().hasLabel("customer").has("acctbal", P.gt(0.0)).as("a")
+    val got = g.traversal.V().matchAllShared(p1, p2, p3).toDF
+      .select(col("_as_a_id"), col("_as_b_id")).distinct().count()
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+    val expected = cust.join(ord, col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 0.0 &&
+        col("o_totalprice") > 300000.0 && col("o_totalprice") < 400000.0)
+      .select(col("c_custkey"), col("o_orderkey")).distinct().count()
+    assert(got == expected)
+    // a disconnected pattern (no shared alias) must be rejected, not crossed
+    val disconnected = g.traversal.V().hasLabel("supplier").as("z")
+    assertThrows[IllegalArgumentException] {
+      g.traversal.V().matchAllShared(p1, disconnected).toDF.count()
+    }
+  }
+
   test("chooseOption routes by selector value; none branch catches the rest") {
     val cust = spark.read.parquet(s"$dir/customer.parquet")
     val nBuildingOrders = spark.read.parquet(s"$dir/orders.parquet")
