@@ -553,6 +553,20 @@ object SparkEntry {
         .toDF.select(uidOf(col("_as_a_id"), TpchGraph.CustomerTag).as("cust_uid"),
           uidOf(col("_as_b_id"), TpchGraph.OrderTag).as("order_uid")).distinct()
     }),
+    // ---- 2.E heterogeneous-binding match(): anchor binds (a,b); one
+    //      constraint shares (a,b), another shares only (a) — each is
+    //      semi-joined on exactly the aliases it shares with the anchor ----
+    "q_match_shared" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val anchor = g.traversal.V().hasLabel("customer").as("a")
+        .out("placed").has("totalprice", P.gt(300000.0)).as("b")
+      val c1 = g.traversal.V().hasLabel("customer").has("mktsegment", "BUILDING").as("a")
+        .out("placed").has("totalprice", P.lt(400000.0)).as("b")
+      val c2 = g.traversal.V().hasLabel("customer").has("acctbal", P.gt(0.0)).as("a")
+      g.traversal.V().matchAllShared(anchor, c1, c2)
+        .toDF.select(uidOf(col("_as_a_id"), TpchGraph.CustomerTag).as("cust_uid"),
+          uidOf(col("_as_b_id"), TpchGraph.OrderTag).as("order_uid")).distinct()
+    }),
     // ---- 2.E n-ary choose(selector).option(v, branch)…: TinkerPop's general
     //      value-switch ChooseStep; non-matching traversers take `none` ----
     "q_choose_option" -> ((s, dir) => {
@@ -1537,6 +1551,11 @@ object SparkEntry {
         |FROM customer JOIN orders ON o_custkey = c_custkey
         |WHERE o_totalprice > 300000.0 AND o_totalprice < 400000.0
         |AND c_mktsegment = 'BUILDING'""".stripMargin,
+    "q_match_shared" ->
+      """SELECT DISTINCT c_custkey AS cust_uid, o_orderkey AS order_uid
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE o_totalprice > 300000.0 AND o_totalprice < 400000.0
+        |AND c_mktsegment = 'BUILDING' AND c_acctbal > 0.0""".stripMargin,
     "q_choose_option" ->
       """SELECT o_orderkey AS uid, 'order' AS label FROM orders
         |JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING'

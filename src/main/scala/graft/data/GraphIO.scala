@@ -131,52 +131,52 @@ object GraphIO {
     * document text doesn't fit); timestamps keep full nanosecond precision
     * (millis + nanos, the java.sql.Timestamp split). Arrays recurse. */
   private[data] object GryoCodec {
-  import java.io.{DataInputStream, DataOutputStream}
+    import java.io.{DataInputStream, DataOutputStream}
 
-  def write(out: DataOutputStream, v: Any): Unit = v match {
-    case null => out.writeByte(0)
-    case x: Long => out.writeByte(1); out.writeLong(x)
-    case x: Int => out.writeByte(2); out.writeInt(x)
-    case x: Double => out.writeByte(3); out.writeDouble(x)
-    case x: String =>
-      out.writeByte(4)
-      val b = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      out.writeInt(b.length); out.write(b)
-    case x: Boolean => out.writeByte(5); out.writeBoolean(x)
-    case x: Float => out.writeByte(6); out.writeFloat(x)
-    case x: Array[Byte] => out.writeByte(7); out.writeInt(x.length); out.write(x)
-    case x: java.sql.Date => out.writeByte(8); out.writeLong(x.getTime)
-    case x: java.sql.Timestamp =>
-      out.writeByte(9); out.writeLong(x.getTime); out.writeInt(x.getNanos)
-    case x: java.math.BigDecimal => out.writeByte(10); out.writeUTF(x.toString)
-    case x: Seq[_] =>
-      out.writeByte(11); out.writeInt(x.length); x.foreach(write(out, _))
-    case x: Short => out.writeByte(12); out.writeShort(x)
-    case x: Byte => out.writeByte(13); out.writeByte(x)
-    case other => throw new IllegalArgumentException(
-      s"gryo frame: unsupported value class ${other.getClass.getName}")
-  }
+    def write(out: DataOutputStream, v: Any): Unit = v match {
+      case null => out.writeByte(0)
+      case x: Long => out.writeByte(1); out.writeLong(x)
+      case x: Int => out.writeByte(2); out.writeInt(x)
+      case x: Double => out.writeByte(3); out.writeDouble(x)
+      case x: String =>
+        out.writeByte(4)
+        val b = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(b.length); out.write(b)
+      case x: Boolean => out.writeByte(5); out.writeBoolean(x)
+      case x: Float => out.writeByte(6); out.writeFloat(x)
+      case x: Array[Byte] => out.writeByte(7); out.writeInt(x.length); out.write(x)
+      case x: java.sql.Date => out.writeByte(8); out.writeLong(x.getTime)
+      case x: java.sql.Timestamp =>
+        out.writeByte(9); out.writeLong(x.getTime); out.writeInt(x.getNanos)
+      case x: java.math.BigDecimal => out.writeByte(10); out.writeUTF(x.toString)
+      case x: Seq[_] =>
+        out.writeByte(11); out.writeInt(x.length); x.foreach(write(out, _))
+      case x: Short => out.writeByte(12); out.writeShort(x)
+      case x: Byte => out.writeByte(13); out.writeByte(x)
+      case other => throw new IllegalArgumentException(
+        s"gryo frame: unsupported value class ${other.getClass.getName}")
+    }
 
-  def read(in: DataInputStream): Any = in.readByte() match {
-    case 0 => null
-    case 1 => in.readLong()
-    case 2 => in.readInt()
-    case 3 => in.readDouble()
-    case 4 =>
-      val b = new Array[Byte](in.readInt()); in.readFully(b)
-      new String(b, java.nio.charset.StandardCharsets.UTF_8)
-    case 5 => in.readBoolean()
-    case 6 => in.readFloat()
-    case 7 => val b = new Array[Byte](in.readInt()); in.readFully(b); b
-    case 8 => new java.sql.Date(in.readLong())
-    case 9 =>
-      val ts = new java.sql.Timestamp(in.readLong()); ts.setNanos(in.readInt()); ts
-    case 10 => new java.math.BigDecimal(in.readUTF())
-    case 11 => IndexedSeq.fill(in.readInt())(read(in))
-    case 12 => in.readShort()
-    case 13 => in.readByte()
-    case t => throw new IllegalStateException(s"gryo frame: unknown type tag $t")
-  }
+    def read(in: DataInputStream): Any = in.readByte() match {
+      case 0 => null
+      case 1 => in.readLong()
+      case 2 => in.readInt()
+      case 3 => in.readDouble()
+      case 4 =>
+        val b = new Array[Byte](in.readInt()); in.readFully(b)
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      case 5 => in.readBoolean()
+      case 6 => in.readFloat()
+      case 7 => val b = new Array[Byte](in.readInt()); in.readFully(b); b
+      case 8 => new java.sql.Date(in.readLong())
+      case 9 =>
+        val ts = new java.sql.Timestamp(in.readLong()); ts.setNanos(in.readInt()); ts
+      case 10 => new java.math.BigDecimal(in.readUTF())
+      case 11 => IndexedSeq.fill(in.readInt())(read(in))
+      case 12 => in.readShort()
+      case 13 => in.readByte()
+      case t => throw new IllegalStateException(s"gryo frame: unknown type tag $t")
+    }
   }
 
   /** Mutation sink (KCVS mutate analogue, KeyColumnValueStore.java:79): apply
@@ -245,21 +245,50 @@ object GraphIO {
     * index would silently MISS newly written elements, because the
     * access-path semi-join runs before any residual filter can restore
     * rows). Composite index tables re-derive lazily from the mutated graph
-    * (a plan rebuild, no recompute until queried). Mixed tables have
-    * materializer-specific layouts the catalog cannot reconstruct blindly
-    * (token/string/numeric/geo), so they are DROPPED: the planner falls back
-    * to the pushed-down full scan — correct, just unaccelerated until the
-    * caller re-materializes. */
+    * (a plan rebuild, no recompute until queried). Mixed tables re-derive by
+    * sniffing the registered table's LAYOUT — the same recognition the
+    * planner's access path applies — so the rebuild uses exactly the
+    * materializer the caller chose: (key,token,id) → materializeMixed,
+    * (key,kind,value,id) → materializeTextString, (key,value,id) →
+    * materializeString, (key,numvalue,id) → materializeNumeric (its key
+    * subset is recorded in the table itself). Geo tables are DROPPED — the
+    * cell size is not recoverable from the layout — as is any unrecognized
+    * layout: the planner falls back to the pushed-down full scan, correct
+    * but unaccelerated until the caller re-materializes. */
   private def refreshIndexTables(g2: PropertyGraph): PropertyGraph = {
     if (g2.indexTables.isEmpty) return g2
-    val refreshed = g2.indexTables.flatMap { case (name, _) =>
+    val refreshed = g2.indexTables.flatMap { case (name, old) =>
       g2.schema.indexes.get(name) match {
         case Some(ix) if ix.composite =>
           val base = if (ix.element == ElementCategory.VERTEX) g2.vertices else g2.edges
           if (ix.keys.forall(base.columns.contains))
             Some(name -> graft.index.Indexes.materialize(g2, ix))
           else None
-        case _ => None // mixed or unknown: drop — stale must not change results
+        case Some(ix) =>
+          val cols = old.columns.toSet
+          try {
+            if (cols == Set("key", "token", "id"))
+              Some(name -> graft.index.Indexes.materializeMixed(g2, ix))
+            else if (cols == Set("key", "kind", "value", "id"))
+              Some(name -> graft.index.Indexes.materializeTextString(g2, ix))
+            else if (cols == Set("key", "value", "id"))
+              Some(name -> graft.index.Indexes.materializeString(g2, ix))
+            else if (cols == Set("key", "numvalue", "id")) {
+              // the caller's key subset is the table's distinct `key` set —
+              // a tiny eager agg (key names, not data), like the other
+              // eager enforcement jobs in applyMutations
+              val ks = old.select(col("key")).distinct()
+                .collect().map(_.getString(0)).toSeq
+              if (ks.nonEmpty)
+                Some(name -> graft.index.Indexes.materializeNumeric(g2, ix, ks))
+              else None
+            } else None // geo / unknown layout: drop
+          } catch {
+            // a layout/mapping mismatch the materializer rejects ⇒ drop —
+            // stale must not change results
+            case _: IllegalArgumentException => None
+          }
+        case None => None
       }
     }
     g2.copy(indexTables = refreshed)

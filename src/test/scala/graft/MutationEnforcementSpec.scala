@@ -106,7 +106,7 @@ class MutationEnforcementSpec extends AnyFunSuite {
     assert(!stamped.isNullAt(0))
   }
 
-  test("mutations refresh composite index tables and drop mixed ones (no stale reads)") {
+  test("mutations refresh composite AND mixed index tables (no stale reads)") {
     val g0 = TpchGraph.load(spark, dir)
     val ixC = IndexDef("byNameT", ElementCategory.VERTEX, Seq("name"))
     val ixM = IndexDef("nameTok", ElementCategory.VERTEX, Seq("name"),
@@ -123,11 +123,19 @@ class MutationEnforcementSpec extends AnyFunSuite {
     assert(m.indexTables.contains("byNameT"))
     val hit = m.V().has("name", "ATLANTIS").dataframe.select("id").collect()
     assert(hit.length === 1 && hit(0).getLong(0) === newId)
-    // mixed table dropped (layout not reconstructible) — query still correct
-    // via full scan, never through a stale token table
-    assert(!m.indexTables.contains("nameTok"))
+    // mixed token table re-derived from its layout: still registered, and the
+    // index-accelerated textContains path sees the NEW row (never stale)
+    assert(m.indexTables.contains("nameTok"))
+    assert(m.indexTables("nameTok").filter(col("token") === "atlantis").count() === 1)
     assert(m.V().has("name", graft.expr.P.textContains("atlantis"))
       .dataframe.count() === 1)
+    // an unrecognizable layout (e.g. geo cells — cell size not recorded)
+    // must DROP rather than serve stale results
+    val geoish = g0.vertices.limit(1).select(lit(0).as("cell_lat"),
+      lit(0).as("cell_lon"), col("id"))
+    val g2 = g.withIndexTable("nameTok", geoish)
+    val m2 = GraphIO.applyMutations(g2, addVertices = Some(add))
+    assert(!m2.indexTables.contains("nameTok"))
   }
 
   test("vertex-delete cascade cannot touch a static vertex's adjacency") {

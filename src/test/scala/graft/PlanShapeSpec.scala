@@ -146,6 +146,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "rollup must scan the input once")
   }
 
+  test("multi-variable match compiles to one multi-column semi-join, no cartesian") {
+    val p = plan("q_match_multi")
+    assert(p.contains("LeftSemi"), s"expected a semi-join on the alias tuple:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
+
+  test("chooseOption compiles to a union of filtered branches, no cartesian") {
+    val p = plan("q_choose_option")
+    assert(p.contains("Union"), s"expected filter-split + union:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
+
   test("store/cap compiles to a semi/anti join, never a cartesian") {
     val p = plan("q_store_cap")
     assert(p.contains("LeftAnti") || p.contains("left_anti"), s"expected anti join:\n$p")
