@@ -254,6 +254,27 @@ object SparkEntry {
     // ---- 2.J streaming windowed aggregation: tumbling event-time windows
     //      over the change log; the AvailableNow final table must equal the
     //      batch GROUP BY of the same buckets ----
+    // ---- 2.J stream-static enrichment: per-batch broadcast of the static
+    //      dimension; the log side flows through append mode unshuffled ----
+    "q_stream_join" -> ((s, dir) => {
+      val src = readEvents(s, dir).select(col("event_id"), col("ts"), col("user_id"))
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("user_id"), col("c_name").as("name"),
+          col("c_nationkey").as("nationkey"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sjoin").toString
+      src.write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema(src.schema).parquet(s"$tmp/in")
+      val qname = s"graft_sjoin_${System.nanoTime()}"
+      val q = graft.stream.ChangeStream.enrich(stream, dim, "user_id")
+        .select(col("event_id"), col("user_id"), col("name"), col("nationkey"))
+        .writeStream.format("memory").queryName(qname).outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val finished = q.awaitTermination(300000)
+      if (!finished) { q.stop(); sys.error("q_stream_join: stream did not finish in 300s") }
+      s.table(qname)
+    }),
     "q_stream_window" -> ((s, dir) => {
       val src = readEvents(s, dir).select(col("event_id"), col("ts"),
         col("event_type"), col("value"))
@@ -763,6 +784,13 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), threshold = 0.8)
         .select(col("doc_id"), col("n_chars"))
     }),
+    // ---- pipeline: dedup with priority survivor selection (keep longest) ----
+    "q_dedup_priority" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = graft.pipeline.Dedup.minHashLshPairs(docs, threshold = 0.8)
+      graft.pipeline.Dedup.survivorsByPriority(docs, pairs, "doc_id", col("n_chars"))
+        .select(col("doc_id"), col("n_chars"))
+    }),
     // ---- pipeline: IVF approximate top-k (scale path; rows-only) ----
     "q_ivf_topk" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -875,6 +903,29 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.domainQuota(
         s.read.parquet(s"$dir/documents.parquet"), n = 50)
         .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+    // ---- pipeline: linear quality-classifier scoring (fastText-shaped) ----
+    "q_quality_linear" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.scoreLinear(
+        s.read.parquet(s"$dir/documents.parquet"), QualityVocab,
+        bias = 0.05, threshold = 0.1)
+        .select(col("doc_id"), col("n_tokens"), col("score"), col("keep"))
+    }),
+    // ---- pipeline: BPE merge-pair counting (tokenizer training inner loop) ----
+    "q_bpe_pairs" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.bpePairCounts(
+        s.read.parquet(s"$dir/documents.parquet"), k = 30)
+    }),
+    // ---- pipeline: deterministic train/val/test splits ----
+    "q_split_hash" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.hashSplit(
+        s.read.parquet(s"$dir/documents.parquet"), SplitWeights, salt = "split1")
+        .select(col("doc_id"), col("split"))
+    }),
+    "q_split_stratified" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.stratifiedSplit(
+        s.read.parquet(s"$dir/documents.parquet"), SplitWeights, salt = "split1")
+        .select(col("doc_id"), col("source"), col("split"))
     }),
     // ---- pipeline: deterministic global shuffle (epoch permutation key) ----
     "q_shuffled" -> ((s, dir) => {
@@ -1695,6 +1746,9 @@ object SparkEntry {
     "q_stream_window" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M') AS wstart,
         |event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2""".stripMargin,
+    "q_stream_join" ->
+      """SELECT e.event_id, e.user_id, c.c_name AS name, c.c_nationkey AS nationkey
+        |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id""".stripMargin,
     "q_store_roundtrip" ->
       """SELECT 'v' AS kind, 'region' AS label, COUNT(*) AS cnt FROM region
         |UNION ALL SELECT 'v', 'nation', COUNT(*) FROM nation
@@ -1933,7 +1987,18 @@ object SparkEntry {
         |FROM o GROUP BY 1""".stripMargin,
     "q_contamination" -> contaminationOracle,
     "q_mixture_sample" -> mixtureSampleOracle,
+    "q_split_hash" -> hashSplitOracle(SplitWeights, "split1"),
+    "q_split_stratified" -> stratifiedSplitOracle(SplitWeights, "split1"),
+    "q_quality_linear" -> qualityLinearOracle(QualityVocab, 0.05, 0.1),
+    "q_bpe_pairs" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+        |wf AS (SELECT w, COUNT(*) AS f FROM toks GROUP BY 1),
+        |p0 AS (SELECT w, f, unnest(range(1, len(w))) AS i FROM wf WHERE len(w) >= 2),
+        |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, f FROM p0)
+        |SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM p
+        |GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 30""".stripMargin,
     "q_dedup_documents" -> dedupDocsOracle(8),
+    "q_dedup_priority" -> dedupPriorityOracle(8),
     "q_semantic_dedup" -> semanticDedupOracle(8, 0.4254, 16),
     "q_embed_pairs" ->
       """SELECT a.vec_id AS ida, b.vec_id AS idb FROM embeddings a JOIN embeddings b
@@ -2285,6 +2350,37 @@ object SparkEntry {
        |  ON a.id = b.id AND a.l <> b.l)""".stripMargin
   }
 
+  /** Priority-survivor variant of dedupDocsOracle: within each duplicate
+    * component keep the doc maximizing n_chars (ties → min doc_id), mirroring
+    * Dedup.survivorsByPriority. Same CC fixed point + NOT_CONVERGED sentinel. */
+  private def dedupPriorityOracle(rounds: Int): String = {
+    val iters = minLabelIters("k", rounds)
+    s"""WITH w AS (SELECT doc_id, string_split_regex(text,'\\s+') AS wl FROM documents),
+       |sh AS (SELECT doc_id, list_distinct([wl[i]||' '||wl[i+1]||' '||wl[i+2] for i in range(1, len(wl)-1)]) AS gs FROM w),
+       |tok AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+       |sizes AS (SELECT doc_id, len(gs) AS n FROM sh),
+       |pairs AS MATERIALIZED (SELECT ida, idb FROM (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+       |  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) p
+       |  JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+       |  WHERE CAST(shared AS DOUBLE)/CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.8),
+       |e2 AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM pairs
+       |  UNION ALL SELECT idb, ida FROM pairs),
+       |k0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS l FROM e2),
+       |$iters,
+       |surv AS (SELECT id FROM (
+       |  SELECT c.id, row_number() OVER (PARTITION BY c.l
+       |    ORDER BY d.n_chars DESC, c.id ASC) AS rn
+       |  FROM k$rounds c JOIN documents d ON d.doc_id = c.id) WHERE rn = 1)
+       |SELECT d.doc_id, d.n_chars FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT id FROM k$rounds)
+       |   OR d.doc_id IN (SELECT id FROM surv)
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+       |WHERE EXISTS (SELECT 1 FROM k$rounds a JOIN k${rounds - 1} b
+       |  ON a.id = b.id AND a.l <> b.l)""".stripMargin
+  }
+
   /** Rates for the q_mixture_sample probe: a skewed training mix over the
     * synthetic sources (unlisted sources default to rate 0 = dropped). */
   private val MixtureRates: Map[String, Double] = Map(
@@ -2299,6 +2395,63 @@ object SparkEntry {
     s"""SELECT doc_id, source FROM documents
        |WHERE CAST(('0x' || substr(md5(':' || CAST(doc_id AS VARCHAR)), 21, 12))::BIGINT % 1000000 AS DOUBLE)
        |  < (CASE source $cases ELSE 0.0 END) * 1000000.0""".stripMargin
+  }
+
+  /** Vocabulary weights for the q_quality_linear probe — a hand-weighted
+    * linear model over the synthetic corpus vocabulary. */
+  private val QualityVocab: Map[String, Double] = Map(
+    "spark" -> 1.2, "stream" -> 0.6, "scan" -> 0.4, "hash" -> 0.3,
+    "merge" -> 0.2, "window" -> -0.2, "batch" -> -0.4, "dup" -> -2.5)
+
+  /** Mirror of TextAnalysis.scoreLinear(QualityVocab): DECIMAL(18,6) weight
+    * accumulation on both engines, one DOUBLE divide per document. */
+  private def qualityLinearOracle(weights: Map[String, Double],
+      bias: Double, threshold: Double): String = {
+    val cases = weights.toSeq.sortBy(_._1)
+      .map { case (t, w) => s"WHEN '$t' THEN CAST($w AS DECIMAL(18,6))" }
+      .mkString(" ")
+    s"""WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+       |           FROM documents),
+       |j AS (SELECT doc_id, CASE token $cases ELSE NULL END AS w FROM t),
+       |g AS (SELECT doc_id, COUNT(*) AS n_tokens,
+       |        round($bias + CAST(COALESCE(SUM(w), 0) AS DOUBLE) / COUNT(*), 6) AS score
+       |      FROM j GROUP BY 1)
+       |SELECT doc_id, n_tokens, score, score >= $threshold AS keep FROM g""".stripMargin
+  }
+
+  /** Weights for the split probes (assignment order matters). */
+  private val SplitWeights: Seq[(String, Double)] = Seq(
+    "train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** Mirror of TextAnalysis.hashSplit: identical md5 bucket integers vs the
+    * same Scala-rounded integer thresholds, so assignment is bit-identical. */
+  private def hashSplitOracle(weights: Seq[(String, Double)], salt: String): String = {
+    val total = weights.map(_._2).sum
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(f => math.round(f * 1000000.0)).dropRight(1)
+    val cases = weights.map(_._1).zip(cuts)
+      .map { case (n, c) => s"WHEN b < $c THEN '$n'" }.mkString(" ")
+    s"""SELECT doc_id, CASE $cases ELSE '${weights.last._1}' END AS split FROM (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 21, 12))::BIGINT % 1000000 AS b
+       |  FROM documents)""".stripMargin
+  }
+
+  /** Mirror of TextAnalysis.stratifiedSplit: same per-stratum rank over the
+    * md5 shuffle key, same IEEE cut doubles (Scala Double.toString round-trips
+    * through DuckDB's parser), so the ceil boundaries agree exactly. */
+  private def stratifiedSplitOracle(weights: Seq[(String, Double)], salt: String): String = {
+    val total = weights.map(_._2).sum
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val cases = weights.map(_._1).zip(cuts)
+      .map { case (nm, c) => s"WHEN rk <= CAST(ceil($c * n) AS BIGINT) THEN '$nm'" }
+      .mkString(" ")
+    s"""SELECT doc_id, source, CASE $cases ELSE '${weights.last._1}' END AS split FROM (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY md5('$salt:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM documents)""".stripMargin
   }
 
   /** Mirror of TextAnalysis.chunkDocuments: chunk i covers tokens

@@ -251,6 +251,31 @@ object Dedup {
     data.join(losers, data(idCol) === losers("id"), "left_anti")
   }
 
+  /** Survivor selection by PRIORITY instead of min-id: within each duplicate
+    * component keep the row maximizing `priority` (ties → smallest id) —
+    * "keep the best-quality / longest copy", the selection real corpus
+    * pipelines want. Same CC bridge as survivorsByPairs; the argmax is one
+    * map-side-combinable max_by over the (small) paired-id set. */
+  def survivorsByPriority(data: DataFrame, pairs: DataFrame, idCol: String,
+      priority: Column): DataFrame = {
+    import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
+    val spark = data.sparkSession
+    val edgeRdd = pairs.select(col("ida").cast(LongType), col("idb").cast(LongType)).rdd
+      .map(r => GxEdge(r.getLong(0), r.getLong(1), ()))
+    val cc = GxGraph.fromEdges(edgeRdd, ()).connectedComponents().vertices
+    val ccDf = spark.createDataFrame(cc.map { case (id, comp) => (id, comp) })
+      .toDF("id", "component")
+    val withP = ccDf.join(
+      data.select(col(idCol).cast(LongType).as("id"), priority.as("__p")), Seq("id"))
+    val losers = withP
+      .groupBy(col("component"))
+      .agg(max_by(col("id"), struct(col("__p"), (-col("id")).as("__nid"))).as("keep"))
+      .join(withP, Seq("component"))
+      .filter(col("id") =!= col("keep"))
+      .select(col("id"))
+    data.join(losers, data(idCol) === losers("id"), "left_anti")
+  }
+
   // ---------------- SimHash ----------------
 
   /** Token hash on the LOW 48 BITS of md5 — engine-portable (DuckDB computes

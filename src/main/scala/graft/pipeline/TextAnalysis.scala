@@ -398,4 +398,96 @@ object TextAnalysis {
         count_distinct(col("token")).as("n_distinct"))
       .withColumn("ttr",
         round(col("n_distinct").cast(DoubleType) / col("n_tokens"), 6))
+
+  /** Linear quality-classifier scoring (the fastText-shaped filter every
+    * corpus pipeline runs): score = bias + Σ weight(token) / n_tokens over an
+    * explicit vocabulary. The vocab rides a broadcast join (it is model-sized,
+    * not corpus-sized), the sum is map-side-combinable, and the weight
+    * accumulation is DECIMAL so the score is bit-identical on any partition
+    * layout; the final divide happens once per document in DOUBLE. */
+  def scoreLinear(docs: DataFrame, weights: Map[String, Double],
+      bias: Double = 0.0, threshold: Double = 0.0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = broadcast(
+      weights.toSeq.toDF("token", "__w")
+        .select(col("token"), col("__w").cast(DecimalType(18, 6)).as("__w")))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .join(vocab, Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum(col("__w")), lit(0).cast(DecimalType(18, 6))).as("__sum"))
+      .withColumn("score", round(
+        lit(bias) + col("__sum").cast(DoubleType) / col("n_tokens"), 6))
+      .withColumn("keep", col("score") >= threshold)
+      .drop("__sum")
+  }
+
+  /** One BPE merge-round statistic: adjacent character-pair frequencies
+    * weighted by word frequency — the inner loop of byte-pair-encoding
+    * tokenizer training. The corpus collapses to its vocabulary FIRST (one
+    * hash agg), then pairs explode over the vocab only — at 100 TB the pair
+    * stage touches |vocab| rows, not the corpus. Top-k with pair tie-break. */
+  def bpePairCounts(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    val wf = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    wf.filter(length(col("w")) >= 2)
+      .select(col("f"), explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc).limit(k)
+  }
+
+  /** Deterministic hash split — train/val/test assignment by md5-bucket of
+    * the row id. Pure map (zero shuffle at any scale), and STABLE: a row's
+    * split never changes when other rows are added or removed, which is the
+    * property decontamination pipelines depend on (eval rows must not drift
+    * into train across corpus refreshes). `weights` are (name, weight) in
+    * assignment order; buckets are integer thresholds over one million so
+    * both engines compare the identical integers. */
+  def hashSplit(docs: DataFrame, weights: Seq[(String, Double)],
+      idCol: String = "doc_id", salt: String = ""): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    val total = weights.map(_._2).sum
+    val bucket = pmod(
+      conv(substring(md5(concat_ws(":", lit(salt), col(idCol).cast(StringType))), 21, 12),
+        16, 10).cast(LongType), lit(1000000L))
+    // cumulative integer thresholds; the final split takes the remainder so
+    // rounding never leaves a bucket unassigned
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(f => math.round(f * 1000000.0)).dropRight(1)
+    val assign = weights.map(_._1).zip(cuts :+ 1000000L)
+      .foldRight(lit(weights.last._1)) { case ((name, cut), acc) =>
+        when(bucket < cut, lit(name)).otherwise(acc)
+      }
+    docs.withColumn("split", assign)
+  }
+
+  /** Stratified split with EXACT per-stratum proportions: rank rows inside
+    * each stratum by the deterministic shuffle key, then cut the ranked list
+    * at ceil(fraction·stratum_count) boundaries. One shuffle (window by
+    * stratum); strata are dataset sources — few and fat — so per-partition
+    * state is a counter, not a buffer (row_number needs no frame). Use
+    * hashSplit when assignment stability across corpus refreshes matters
+    * more than exact counts. */
+  def stratifiedSplit(docs: DataFrame, weights: Seq[(String, Double)],
+      strataCol: String = "source", idCol: String = "doc_id",
+      salt: String = ""): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val total = weights.map(_._2).sum
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(shuffleKey(col(idCol), salt), col(idCol).asc)
+    val n = Window.partitionBy(col(strataCol))
+    val ranked = docs
+      .withColumn("__rk", row_number().over(w).cast(LongType))
+      .withColumn("__n", count(lit(1)).over(n))
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, wt)) => acc + wt / total }.tail
+    val assign = weights.map(_._1).zip(cuts)
+      .foldRight(lit(weights.last._1)) { case ((name, cut), acc) =>
+        when(col("__rk") <= ceil(lit(cut) * col("__n")).cast(LongType), lit(name)).otherwise(acc)
+      }
+    ranked.withColumn("split", assign).drop("__rk", "__n")
+  }
 }

@@ -66,6 +66,15 @@ object ChangeStream {
       .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
 
+  /** Stream-static enrichment join: each change-log event picks up its
+    * user's static profile row. The static side is broadcast per micro-batch
+    * (dimension-sized, not log-sized), so the streaming side never shuffles —
+    * the standard scale shape for log enrichment; Spark re-plans the static
+    * side each batch, so a catalog refresh is picked up without restart. */
+  def enrich(changes: DataFrame, dim: DataFrame, key: String,
+      joinType: String = "left"): DataFrame =
+    changes.join(broadcast(dim), Seq(key), joinType)
+
   /** Streaming exact-dedup of the change log on its transaction id — the
     * at-least-once→exactly-once bridge of the reference's recovery path
     * (StandardTransactionLogProcessor replays the WAL idempotently; replayed

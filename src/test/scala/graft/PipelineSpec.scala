@@ -551,6 +551,77 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.sortBy(_._2).toSeq === Seq((1L, 0, 0L, 1000L), (1L, 1, 1000L, 2000L), (1L, 2, 2000L, 2500L)))
   }
 
+  test("survivorsByPriority: keeps the max-priority row per component, ties to min id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val data = Seq((1L, 10), (2L, 30), (3L, 30), (4L, 5), (9L, 7))
+      .toDF("doc_id", "prio")
+    // component {1,2,3}: 2 and 3 tie on prio 30 → keep min id 2; 4 and 9 unpaired → kept
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("ida", "idb")
+    val kept = Dedup.survivorsByPriority(data, pairs, "doc_id", col("prio"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L, 9L))
+  }
+
+  test("scoreLinear: exact decimal accumulation, unknown tokens weightless") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = Seq((1L, "good good bad zz"), (2L, "zz zz"), (3L, "bad"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scoreLinear(d, Map("good" -> 1.0, "bad" -> -0.5),
+      bias = 0.1, threshold = 0.2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(1L) === ((4L, 0.475, true)))   // 0.1 + (2*1.0 - 0.5)/4
+    assert(out(2L) === ((2L, 0.1, false)))    // no vocab hits → bias only
+    assert(out(3L) === ((1L, -0.4, false)))
+  }
+
+  test("bpePairCounts: pair counts weighted by word frequency, single-char words dropped") {
+    import spark.implicits._
+    val d = Seq((1L, "abc ab a"), (2L, "abc x")).toDF("doc_id", "text")
+    // word freqs: abc:2 ab:1 a:1 x:1 → pairs ab:2+1=3, bc:2
+    val out = TextAnalysis.bpePairCounts(d, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(out === Seq("ab" -> 3L, "bc" -> 2L))
+  }
+
+  test("hashSplit: total partition, stable under corpus growth, ~weight proportions") {
+    import org.apache.spark.sql.functions._
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val full = TextAnalysis.hashSplit(docs, w, salt = "s")
+    val n = docs.count()
+    assert(full.count() === n) // every row assigned exactly once
+    val counts = full.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts("train").toDouble / n > 0.7 && counts("train").toDouble / n < 0.9)
+    // stability: the assignment of a row must not depend on the rest of the corpus
+    val half = TextAnalysis.hashSplit(docs.filter(col("doc_id") % 2 === 0), w, salt = "s")
+    val fullEven = full.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    half.select("doc_id", "split").collect().foreach { r =>
+      assert(fullEven(r.getLong(0)) === r.getString(1))
+    }
+  }
+
+  test("stratifiedSplit: exact ceil boundaries per stratum, deterministic") {
+    import org.apache.spark.sql.functions._
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = TextAnalysis.stratifiedSplit(docs, w, salt = "s").cache()
+    val perStratum = out.groupBy("source").pivot("split", Seq("train", "val", "test"))
+      .count().na.fill(0L).collect()
+    perStratum.foreach { r =>
+      val (tr, va, te) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val n = tr + va + te
+      // rank cuts: train = ceil(0.8n), train+val = ceil((0.8+0.1)n)
+      assert(tr === math.ceil(0.8 * n).toLong)
+      assert(tr + va === math.ceil((0.8 + 0.1) * n).toLong)
+    }
+    val again = TextAnalysis.stratifiedSplit(docs, w, salt = "s")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    out.unpersist()
+  }
+
   test("shuffled: salt-keyed permutation is stable per salt and differs across salts") {
     import org.apache.spark.sql.functions._
     val a1 = TextAnalysis.shuffled(docs, "s1").select("doc_id").collect().map(_.getLong(0)).toSeq

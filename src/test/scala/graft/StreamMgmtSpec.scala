@@ -95,7 +95,21 @@ class StreamMgmtSpec extends AnyFunSuite {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    // A pending ProcessingTimeTimeout keeps AvailableNow scheduling (empty)
+    // micro-batches indefinitely, so flush passes never self-terminate: wait
+    // for the sink to go quiet, then stop — otherwise the query leaks and
+    // burns CPU under the whole remaining suite.
+    val finished = q.awaitTermination(if (flushTimeout.isDefined) 5000 else 120000)
+    if (!finished) {
+      var last = sink.synchronized(sink.size)
+      var stable = 0
+      while (q.isActive && stable < 10) { // 5s of sink quiescence
+        Thread.sleep(500)
+        val now = sink.synchronized(sink.size)
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      q.stop()
+    }
   }
 
   test("streaming sessionization across micro-batches: closed session emitted once, never re-emitted") {
