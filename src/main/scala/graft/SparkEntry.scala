@@ -429,6 +429,25 @@ object SparkEntry {
     //      per data dir to a deterministic cache path (vertices/_SUCCESS as
     //      the ready marker) so repeated probe builds don't re-export or
     //      accumulate temp directories ----
+    // ---- 2.A Graph-of-the-Gods loader: the reference tutorial's canonical
+    //      queries (battled time-filter, 2-hop father, geo-within) against
+    //      the loader's fixed dataset — oracle is the documented answer set ----
+    "q_gotg" -> ((s, _) => {
+      val gods = graft.data.GraphOfTheGods.load(s)
+      val t = gods.traversal
+      val battled = t.V().has("name", "hercules")
+        .outE("battled").has("time", graft.expr.P.gt(1)).inV().values("name")
+        .select(lit("battled_gt1").as("kind"), col("name"))
+      val grand = t.V().has("name", "hercules")
+        .out("father").out("father").values("name")
+        .select(lit("grandfather").as("kind"), col("name"))
+      val geo = gods.E()
+        .has("place", graft.expr.Geo.geoWithin(graft.expr.Geo.circle(37.97, 23.72, 50)))
+        .dataframe
+        .join(gods.vertices.select(col("id").as("dst"), col("name")), Seq("dst"))
+        .select(lit("geo50km").as("kind"), col("name"))
+      battled.unionAll(grand).unionAll(geo)
+    }),
     "q_graphson" -> ((s, dir) => {
       val out = s"target/graft-gson/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       if (!new java.io.File(s"$out/vertices/_SUCCESS").exists()) {
@@ -708,6 +727,11 @@ object SparkEntry {
     // ---- 2.K connected components (min-label propagation, oracle-checkable) ----
     "q_connected_components" -> ((s, dir) => {
       graft.olap.Analytics.connectedComponentsExact(graph(s, dir), iterations = 12)
+    }),
+    // ---- 2.K deterministic label propagation (most-frequent neighbor label,
+    //      ties → min; GraphX LPA's hash-order ties are not reproducible) ----
+    "q_lpa" -> ((s, dir) => {
+      graft.olap.Analytics.labelPropagationExact(graph(s, dir), rounds = 3)
     }),
     // ---- 2.K per-vertex triangle count (GraphX canonical-orientation) over
     //      a co-location graph: customer↔supplier edges within a nation close
@@ -1175,6 +1199,38 @@ object SparkEntry {
       val ixDf = graft.index.Indexes.materialize(g, g.schema.indexes("byName"))
       graft.index.Indexes.lookup(g, ixDf, Map("name" -> "NATION_5"))
         .select(col("uid"), col("label"), col("name"))
+    }),
+    // ---- 2.D unidirected edge label: adjacency exists ONLY from the
+    //      out-vertex (advschema.txt:96-103) — with `placed` marked
+    //      unidirected, customer.out sees every order but order.in sees none ----
+    "q_unidirected" -> ((s, dir) => {
+      val g0 = graph(s, dir)
+      val g = g0.copy(schema = g0.schema.copy(edgeLabels = g0.schema.edgeLabels +
+        ("placed" -> graft.core.EdgeLabelDef("placed", unidirected = true))))
+      val t = g.traversal
+      val out = t.V().hasLabel("customer").out("placed").toDF
+        .agg(count(lit(1)).as("cnt")).select(lit("out").as("dir"), col("cnt"))
+      val in = t.V().hasLabel("order").in("placed").toDF
+        .agg(count(lit(1)).as("cnt")).select(lit("in").as("dir"), col("cnt"))
+      out.unionAll(in)
+    }),
+    // ---- 2.K index repair: mutate the graph, REINDEX from current state,
+    //      then serve lookups from the rebuilt table — it must see both the
+    //      newly added vertex and the pre-existing rows ----
+    "q_reindex" -> ((s, dir) => {
+      val t = 1L << graft.core.GraphIds.TagBits
+      val g = graph(s, dir)
+      val add = s.range(1).select(lit(TpchGraph.PartTag * t + 999999L).as("id"),
+        lit("part").as("label"), lit(999999L).as("uid"),
+        lit("REINDEXED_PART").as("name"))
+      val m = graft.data.GraphIO.applyMutations(g, addVertices = Some(add))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-reindex").toString
+      graft.olap.GraphOps.reindex(m, g.schema.indexes("byName"), tmp)
+      val ixDf = s.read.parquet(tmp)
+      graft.index.Indexes.lookup(m, ixDf, Map("name" -> "REINDEXED_PART"))
+        .select(col("uid"), col("label"), col("name"))
+        .unionAll(graft.index.Indexes.lookup(m, ixDf, Map("name" -> "NATION_5"))
+          .select(col("uid"), col("label"), col("name")))
     }),
     // ---- 2.B AUTOMATIC index selection: no manual index call — the planner
     //      consults the catalog and picks the backed byName index ----
@@ -1691,6 +1747,19 @@ object SparkEntry {
       """SELECT 'region' AS label, CAST((SELECT COUNT(*) FROM region) AS BIGINT) AS cnt
         |UNION ALL SELECT 'nation', (SELECT COUNT(*) FROM nation)
         |UNION ALL SELECT 'in_region', (SELECT COUNT(*) FROM nation)""".stripMargin,
+    "q_unidirected" ->
+      """SELECT 'out' AS dir, CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS cnt
+        |UNION ALL SELECT 'in', 0""".stripMargin,
+    "q_reindex" ->
+      """SELECT CAST(999999 AS BIGINT) AS uid, 'part' AS label, 'REINDEXED_PART' AS name
+        |UNION ALL SELECT n_nationkey, 'nation', n_name FROM nation
+        |WHERE n_name = 'NATION_5'""".stripMargin,
+    "q_gotg" ->
+      """SELECT 'battled_gt1' AS kind, 'hydra' AS name
+        |UNION ALL SELECT 'battled_gt1', 'cerberus'
+        |UNION ALL SELECT 'grandfather', 'saturn'
+        |UNION ALL SELECT 'geo50km', 'nemean'
+        |UNION ALL SELECT 'geo50km', 'hydra'""".stripMargin,
     "q_gryo" ->
       """SELECT 'region' AS label, CAST((SELECT COUNT(*) FROM region) AS BIGINT) AS cnt,
         |  CAST((SELECT SUM(r_regionkey) FROM region) AS BIGINT) AS sum_uid
@@ -1874,6 +1943,7 @@ object SparkEntry {
     "q_sssp" -> ssspOracle(
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 8),
     "q_connected_components" -> ccOracle(12),
+    "q_lpa" -> lpaOracle(3),
     "q_kcore" -> kcoreOracle(2, 6),
     "q_triangles" ->
       """WITH cn AS (SELECT c_custkey AS c, c_nationkey AS nk FROM customer),
@@ -2284,6 +2354,26 @@ object SparkEntry {
        |  id % $T AS uid FROM a$rounds
        |UNION ALL SELECT 'NOT_CONVERGED', CAST(-1 AS BIGINT)
        |WHERE (SELECT COUNT(*) FROM a$rounds) <> (SELECT COUNT(*) FROM a${rounds - 1})""".stripMargin
+  }
+
+  /** Deterministic LPA oracle (mirrors Analytics.labelPropagationExact):
+    * per round, per-vertex neighbor-label frequencies, adopt argmax with
+    * (count DESC, label ASC) tie-break; isolated vertices keep their label. */
+  private def lpaOracle(rounds: Int): String = {
+    val iters = (1 to rounds).map { k =>
+      s"""f$k AS MATERIALIZED (SELECT e2.src AS id, q.l AS l, COUNT(*) AS c
+         |  FROM e2 JOIN a${k - 1} q ON q.id = e2.dst GROUP BY 1, 2),
+         |x$k AS MATERIALIZED (SELECT id, l FROM (
+         |  SELECT id, l, ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, l ASC) AS rn
+         |  FROM f$k) WHERE rn = 1),
+         |a$k AS MATERIALIZED (SELECT p.id, COALESCE(x.l, p.l) AS l
+         |  FROM a${k - 1} p LEFT JOIN x$k x ON x.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |e2 AS MATERIALIZED (SELECT src, dst FROM eg UNION ALL SELECT dst, src FROM eg),
+       |a0 AS MATERIALIZED (SELECT id, id AS l FROM vg),
+       |$iters
+       |SELECT id, l AS community FROM a$rounds""".stripMargin
   }
 
   private def ccOracle(rounds: Int): String =

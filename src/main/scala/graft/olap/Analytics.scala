@@ -78,6 +78,39 @@ object Analytics {
     toDF(g.spark, lp.map { case (id, l) => (id, l) }, "id", "community")
   }
 
+  /** Deterministic synchronous label propagation — `rounds` supersteps; each
+    * vertex adopts the MOST FREQUENT label among its undirected neighbors,
+    * ties broken by the smallest label. GraphX's LPA leaves ties to hash-map
+    * iteration order, so its communities are not reproducible across runs;
+    * this variant is bit-deterministic and therefore oracle-checkable.
+    * Same partition-once / broadcast-regime scaling as
+    * connectedComponentsExact: the edge list is laid out on the aggregation
+    * key once, the vertex-sized label frame broadcasts while it fits, and
+    * each round is two map-side-combinable aggregates (count, then argmax)
+    * plus lineage truncation. Isolated vertices keep their own label. */
+  def labelPropagationExact(g: PropertyGraph, rounds: Int = 3): DataFrame = {
+    val und = g.edges.select(col("src"), col("dst"))
+      .unionAll(g.edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ids = g.vertices.select(col("id"))
+    var labels = ids.select(col("id"), col("id").as("l")).localCheckpoint(true)
+    val bcast = labels.count() <= 10000000L
+    def hint(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    (1 to rounds).foreach { _ =>
+      val freq = und.join(hint(labels), und("dst") === labels("id"))
+        .groupBy(und("src").as("id"), col("l"))
+        .agg(count(lit(1)).as("__c"))
+      val adopted = freq.groupBy(col("id"))
+        .agg(max_by(col("l"), struct(col("__c"), (-col("l")).as("__nl"))).as("__a"))
+      labels = labels.join(adopted, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__a"), col("l")).as("l"))
+        .localCheckpoint(true)
+    }
+    und.unpersist(false)
+    labels.select(col("id"), col("l").as("community"))
+  }
+
   /** PageRank in exact fixed-point integer arithmetic — bit-identical across
     * engines and run orders, so it can be oracle-checked (double PageRank is
     * summation-order dependent). Ranks are scaled by 10¹² (rank 1.0 = 10¹²);
@@ -169,10 +202,24 @@ object Analytics {
     * jump itself is a vertex-set join (3 longs wide), far cheaper than the
     * neighbor join it replaces rounds of. */
   def connectedComponentsExact(g: PropertyGraph, iterations: Int = 12): DataFrame = {
+    // partition-once, iterate: the undirected edge list is hash-partitioned
+    // on the AGGREGATION key (src — the vertex receiving the neighbor-min)
+    // BEFORE persisting. While the (id, label) frame fits a broadcast it is
+    // explicitly broadcast into the neighbor join (16-byte rows — fine up to
+    // tens of millions of vertices; localCheckpoint hides size stats, so
+    // without the hint AQE plans a shuffle join), the join preserves this
+    // layout, and the groupBy(src) needs NO exchange — the |E|-sized frame
+    // never moves after the initial layout shuffle. Past the broadcast
+    // threshold the join degrades to one |E| exchange per round, the same
+    // floor any orientation has; the agg stays exchange-free either way.
     val und = g.edges.select(col("src"), col("dst"))
       .unionAll(g.edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = g.vertices.select(col("id"), col("id").as("l")).localCheckpoint(true)
+    // one cheap count decides the regime for the whole run
+    val bcastLabels = labels.count() <= 10000000L
+    def hint(df: DataFrame): DataFrame = if (bcastLabels) broadcast(df) else df
     // Early exit at the fixed point: min-label propagation is MONOTONE
     // (labels only ever decrease), so the EXACT decimal label-sum strictly
     // decreases until convergence — equal consecutive sums ⇒ every remaining
@@ -185,21 +232,27 @@ object Analytics {
     var round = 0
     var converged = false
     while (round < iterations && !converged) {
-      val nb = und.join(labels, und("dst") === labels("id"))
+      val nb = und.join(hint(labels), und("dst") === labels("id"))
         .select(und("src").as("id"), col("l").as("nl"))
         .groupBy(col("id")).agg(min(col("nl")).as("nl"))
       // see shortestHopsExact: double self-reference per round ⇒ eager
       // lineage truncation keeps the plan constant-size
       val stepped = labels.join(nb, Seq("id"), "left")
         .select(col("id"), least(col("l"), col("nl")).as("l"))
-      // pointer jump: follow the label one hop through the PREVIOUS round's
+      // pointer jump: follow the label through the PREVIOUS round's
       // (already-checkpointed) labels — a slightly stale but still monotone
       // shortcut with the same fixed point, chosen over jumping through
       // `stepped` itself because that self-reference would either run the
-      // neighbor join twice or cost a second materialization per round
-      val jumped = stepped.join(
-          labels.select(col("id").as("__jid"), col("l").as("__jl")),
-          col("l") === col("__jid"), "left")
+      // neighbor join twice or cost a second materialization per round.
+      // The stale mapping is first compressed one step against itself
+      // (m2[x] = min(m[x], m[m[x]]) — pointer doubling), so each round
+      // shortcuts two hops for the price of two vertex-sized joins; the
+      // |E|-sized neighbor join stays once per round.
+      val m = labels.select(col("id").as("__jid"), col("l").as("__jl"))
+      val m2 = m.join(m.select(col("__jid").as("__kid"), col("__jl").as("__kl")),
+          col("__jl") === col("__kid"), "left")
+        .select(col("__jid"), least(col("__jl"), col("__kl")).as("__jl"))
+      val jumped = stepped.join(hint(m2), col("l") === col("__jid"), "left")
         .select(col("id"), least(col("l"), col("__jl")).as("l"))
       labels = jumped.localCheckpoint(true)
       val s = labels.agg(sum(col("l").cast("decimal(38,0)")).as("s")).head.getDecimal(0)
@@ -233,17 +286,26 @@ object Analytics {
 
   /** kCore with an explicit convergence flag: (survivors, converged). */
   def kCoreConverged(g: PropertyGraph, k: Int, maxRounds: Int = 10): (DataFrame, Boolean) = {
+    // partition-once, iterate (see connectedComponentsExact): laid out by the
+    // degree-count key so the per-round groupBy(a) never exchanges the edge
+    // list — the alive-set semi-joins broadcast (it only shrinks) or exchange
+    // the vertex-sized side only.
     val und = g.edges.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(g.edges.select(col("dst").as("a"), col("src").as("b")))
+      .repartition(col("a"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var alive = g.vertices.select(col("id")).localCheckpoint(true)
     var aliveCount = alive.count()
+    // aliveCount is maintained every round anyway — use it to pick the
+    // broadcast regime per round for free (checkpointed frames hide size
+    // stats from AQE, so the hint must be explicit; see connectedComponentsExact)
+    def hint(df: DataFrame, n: Long): DataFrame = if (n <= 10000000L) broadcast(df) else df
     var round = 0
     var removed = true
     while (round < maxRounds && removed) {
       val live = und
-        .join(alive.select(col("id").as("__x")), col("a") === col("__x"), "left_semi")
-        .join(alive.select(col("id").as("__y")), col("b") === col("__y"), "left_semi")
+        .join(hint(alive.select(col("id").as("__x")), aliveCount), col("a") === col("__x"), "left_semi")
+        .join(hint(alive.select(col("id").as("__y")), aliveCount), col("b") === col("__y"), "left_semi")
       val next = live.groupBy(col("a")).agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k).select(col("a").as("id"))
         .localCheckpoint(true)

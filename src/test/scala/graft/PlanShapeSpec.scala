@@ -128,6 +128,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
   }
 
+  test("hash split is a pure projection — no shuffle, no aggregation") {
+    val p = plan("q_split_hash")
+    assert(!p.contains("Exchange"), s"hashSplit must not shuffle:\n$p")
+    assert(!p.contains("HashAggregate"))
+  }
+
+  test("linear quality scoring broadcasts the vocab and combines map-side") {
+    val p = plan("q_quality_linear")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"weight sum must be map-side combinable:\n$p")
+  }
+
+  test("BPE pair counting: vocab collapse aggregate feeds the pair explode; top-k end") {
+    val df = SparkEntry.queries("q_bpe_pairs")(spark, dir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("Generate"), s"pair fan-out must be an explode:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k, not global sort:\n$p")
+    // the explode's child subtree must contain the word-frequency aggregate —
+    // i.e. pairs are generated from the collapsed vocab, not raw tokens
+    val optimized = df.queryExecution.optimizedPlan
+    val gen = optimized.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }.head
+    val aggBelow = gen.child.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+    assert(aggBelow.nonEmpty, s"explode must consume the vocab aggregate:\n$optimized")
+  }
+
   test("token-df compiles to TakeOrdered top-k, not a global sort") {
     val p = plan("q_token_df")
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
