@@ -254,6 +254,28 @@ object SparkEntry {
     // ---- 2.J streaming windowed aggregation: tumbling event-time windows
     //      over the change log; the AvailableNow final table must equal the
     //      batch GROUP BY of the same buckets ----
+    // ---- 2.J stream-stream interval join: click→purchase attribution within
+    //      30 minutes; watermarks bound the join state on both sides ----
+    "q_stream_stream_join" -> ((s, dir) => {
+      val src = readEvents(s, dir).select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+      src.write.mode("overwrite").parquet(s"$tmp/in")
+      def side(t: String) = s.readStream.schema(src.schema).parquet(s"$tmp/in")
+        .filter(col("event_type") === t)
+      val joined = graft.stream.ChangeStream.streamIntervalJoin(
+          side("click"), side("purchase"), "user_id", within = "30 minutes")
+        .select(col("l.event_id").as("click_id"), col("r.event_id").as("purchase_id"),
+          col("l.user_id").as("user_id"))
+      val qname = s"graft_ssj_${System.nanoTime()}"
+      val q = joined.writeStream.format("memory").queryName(qname).outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val finished = q.awaitTermination(300000)
+      if (!finished) { q.stop(); sys.error("q_stream_stream_join: stream did not finish in 300s") }
+      s.table(qname)
+    }),
     // ---- 2.J stream-static enrichment: per-batch broadcast of the static
     //      dimension; the log side flows through append mode unshuffled ----
     "q_stream_join" -> ((s, dir) => {
@@ -1818,6 +1840,11 @@ object SparkEntry {
     "q_stream_join" ->
       """SELECT e.event_id, e.user_id, c.c_name AS name, c.c_nationkey AS nationkey
         |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id""".stripMargin,
+    "q_stream_stream_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |AND a.event_type = 'click' AND b.event_type = 'purchase'
+        |AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 30 MINUTE""".stripMargin,
     "q_store_roundtrip" ->
       """SELECT 'v' AS kind, 'region' AS label, COUNT(*) AS cnt FROM region
         |UNION ALL SELECT 'v', 'nation', COUNT(*) FROM nation

@@ -75,6 +75,20 @@ object ChangeStream {
       joinType: String = "left"): DataFrame =
     changes.join(broadcast(dim), Seq(key), joinType)
 
+  /** Stream-stream interval join: left events matched to right events of the
+    * same key within [l.ts, l.ts + within]. Both sides carry watermarks, so
+    * join state is bounded — a row is held only until the other side's
+    * watermark passes its match window, never O(log length). Inner matches
+    * emit as soon as both rows arrive (the watermark only gates state
+    * eviction), so AvailableNow drains the full result. */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+      within: String = "30 minutes", watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r, expr(
+      s"l.$key = r.$key AND r.ts BETWEEN l.ts AND l.ts + INTERVAL $within"))
+  }
+
   /** Streaming exact-dedup of the change log on its transaction id — the
     * at-least-once→exactly-once bridge of the reference's recovery path
     * (StandardTransactionLogProcessor replays the WAL idempotently; replayed
