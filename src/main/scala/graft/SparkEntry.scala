@@ -63,11 +63,23 @@ object SparkEntry {
     c
   }
 
-  /** events.parquet stores TIMESTAMP(NANOS); Spark reads it as long under the
-    * legacy conf (applied on an isolated session clone, see [[nsSession]]).
-    * Raw variant keeps `ts` as the parquet ns long. */
-  def readEventsRaw(s: SparkSession, dir: String): DataFrame =
-    nsSession(s).read.parquet(s"$dir/events.parquet")
+  /** events.parquet has stored `ts` as TIMESTAMP(NANOS) in some data drops
+    * and timestamp[us] in others; downstream probes and the vertex-property
+    * model want the ns-long form either way. TIMESTAMP(NANOS) surfaces as a
+    * ns long under the legacy conf (isolated session clone, see
+    * [[nsSession]]); µs timestamps (with or without tz) are converted to ns
+    * longs here (session tz is UTC in every entry point, so the NTZ cast is
+    * exact). Raw variant always yields `ts` as an epoch-ns long. */
+  def readEventsRaw(s: SparkSession, dir: String): DataFrame = {
+    val df = nsSession(s).read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(s"events.ts: unsupported parquet type $other")
+    }
+  }
 
   /** `ts` exposed as a proper timestamp column (µs precision). */
   def readEvents(s: SparkSession, dir: String): DataFrame =
