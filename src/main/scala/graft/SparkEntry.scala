@@ -73,7 +73,20 @@ object SparkEntry {
   def readEventsRaw(s: SparkSession, dir: String): DataFrame = {
     val df = nsSession(s).read.parquet(s"$dir/events.parquet")
     df.schema("ts").dataType match {
-      case LongType => df
+      case LongType =>
+        // A long ts is only ever TIMESTAMP(NANOS) surfaced under the legacy
+        // conf. A plain (unannotated) int64 micros/millis column would also
+        // land here and be silently 1000x/1e6x off, so sanity-check magnitude
+        // on one row: epoch-ns for any plausible event date is > 1e17
+        // (~1973); epoch-µs is ~1e15. limit(1) short-circuits the scan.
+        df.select(col("ts")).filter(col("ts").isNotNull).limit(1).collect()
+          .foreach { r =>
+            val ts = r.getLong(0)
+            if (ts < 100000000000000000L) throw new IllegalStateException(
+              s"events.ts: int64 value $ts is not plausible epoch-nanoseconds; " +
+                "plain-int64 micros/millis drops are out of contract")
+          }
+        df
       case TimestampType | TimestampNTZType =>
         df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
       case other =>
@@ -1203,6 +1216,26 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) => {
       graft.stream.ChangeStream.sessionStats(readEvents(s, dir), gapSeconds = 3600)
     }),
+    // ---- 2.J native change-stream source end-to-end: sessionizeStream over
+    //      ChangeStream.readStream itself (NOT a probe-local temp stream), so
+    //      the CDC front door's event-time clock is oracle-covered — this is
+    //      exactly where the round-7 µs-vs-ns 1000x bug lived undetected.
+    //      Single file → single AvailableNow micro-batch; emitted rows are the
+    //      closed sessions (every session but each user's open head), which
+    //      the oracle re-derives in SQL with a QUALIFY on the last session ----
+    "q_change_sessionize" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csess").toString
+      val stream = graft.stream.ChangeStream.readStream(s, dir)
+      val qname = s"graft_csess_${System.nanoTime()}"
+      val q = graft.stream.ChangeStream.sessionizeStream(stream, gapSeconds = 3600)
+        .writeStream.format("memory").queryName(qname).outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val finished = q.awaitTermination(300000)
+      if (!finished) { q.stop(); sys.error("q_change_sessionize: stream did not finish in 300s") }
+      s.table(qname)
+    }),
     // ---- 2.E/2.H tail — last n under the traversal's order ----
     "q_tail" -> ((s, dir) => {
       graph(s, dir).traversal.V().hasLabel("order")
@@ -2290,6 +2323,21 @@ object SparkEntry {
         |  CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > CAST(3600 AS BIGINT) * 1000000 THEN 1 ELSE 0 END AS ns
         |  FROM o)
         |SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM s GROUP BY 1""".stripMargin,
+    "q_change_sessionize" ->
+      """WITH o AS (SELECT user_id, ts, event_id,
+        |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > CAST(3600 AS BIGINT) * 1000000 THEN 1 ELSE 0 END AS ns
+        |  FROM o),
+        |t AS (SELECT user_id, ts,
+        |  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+        |  FROM s),
+        |sess AS (SELECT user_id, sid, CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM t GROUP BY 1, 2)
+        |SELECT user_id, session_start_us, n_events
+        |FROM sess QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id)""".stripMargin,
     "q_array_jaccard" ->
       """WITH t AS (SELECT p_partkey AS uid,
         |  list_distinct(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), x -> length(x) > 1)) AS tok FROM part)

@@ -28,18 +28,39 @@ object ChangeStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Events schema with `ts` carried as `tsType` (the sniffed parquet type). */
+  private def eventsSchemaFor(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
   /** Streaming source over the change table. The file stream source requires a
-    * directory, so stream the sf dir with a glob pinned to the events table. */
+    * directory, so stream the sf dir with a glob pinned to the events table.
+    *
+    * Data drops have stored `ts` as either TIMESTAMP(NANOS) (surfacing as an
+    * epoch-ns long under the legacy conf) or timestamp[us]; a one-off batch
+    * schema sniff picks the branch — exactly mirroring the batch reader
+    * ([[graft.SparkEntry.readEventsRaw]]). Hard-coding either form mis-scales
+    * every event-time computation 1000x when the drop changes. */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     // DOCUMENTED side effect: the ns-as-long flag is set on the caller's
     // session. A clone (as batch readEvents uses) would also re-home memory
     // sinks and temp views to the clone's catalog — surprising for streaming
     // consumers that query the sink table from the session they passed in.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema)
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream.schema(eventsSchemaFor(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+    tsType match {
+      case LongType => // epoch-ns long → µs timestamp
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      case TimestampType => raw
+      case TimestampNTZType => // session tz is UTC in every entry point: exact
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(s"events.ts: unsupported parquet type $other")
+    }
   }
 
   /** Change classification — Change.ADDED/REMOVED (tc/core/log/Change.java).

@@ -20,7 +20,7 @@ class StreamMgmtSpec extends AnyFunSuite {
       seen.addAndGet(batch.count())
       adds.addAndGet(batch.filter(col("change") === "ADDED").count())
     }
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "listener stream did not finish within 120s")
     val batchTotal = ChangeStream.replay(spark, dir).count()
     val batchAdds = ChangeStream.replay(spark, dir).filter(col("change") === "ADDED").count()
     assert(seen.get() === batchTotal)
@@ -57,7 +57,7 @@ class StreamMgmtSpec extends AnyFunSuite {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "sessionization stream did not finish within 120s")
     val out = spark.table("graft_sessions")
     // closed sessions = total sessions - one open session per user
     val batch = ChangeStream.sessionStats(ChangeStream.replay(spark, dir), 3600)
@@ -170,7 +170,7 @@ class StreamMgmtSpec extends AnyFunSuite {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "dedup stream pass did not finish within 120s")
     }
     // base event time well past epoch: rows at/below the initial watermark
     // (epoch 0) would be discarded as late before reaching the dedup operator
