@@ -1236,6 +1236,36 @@ object SparkEntry {
       if (!finished) { q.stop(); sys.error("q_change_sessionize: stream did not finish in 300s") }
       s.table(qname)
     }),
+    // ---- 2.L DefaultSchemaMaker: undeclared-type ingest auto-creates the
+    //      catalog (Tp3DefaultSchemaMaker parity). The probe ingests raw
+    //      tables against an EMPTY schema, emits the synthesized catalog
+    //      (oracle re-derives it from DuckDB's DESCRIBE of the same parquet,
+    //      so type-inference drift fails the compare), proves the completed
+    //      catalog passes strict mode + structural conformance, and runs a
+    //      query through the auto-schema'd graph ----
+    "q_auto_schema" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val vertices = c.select(col("c_custkey").as("id"), lit("customer").as("label"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val edges = o.select(col("o_orderkey").as("id"), col("o_custkey").as("src"),
+        col("o_orderkey").as("dst"), lit("placed").as("label"), col("o_totalprice"))
+      val schema = graft.mgmt.DefaultSchemaMaker.complete(
+        graft.core.GraphSchema(), vertices, edges)
+      // the completed catalog must satisfy strict mode (nothing left undeclared)
+      graft.mgmt.DefaultSchemaMaker.require(schema, vertices, edges)
+      val g = graft.data.PropertyGraph(schema, vertices, edges)
+      val violations = g.schemaViolations().size
+      val cnt = g.V().has("c_mktsegment", "BUILDING").count()
+      val rows =
+        schema.propertyKeys.values.toSeq.map(pk => ("property", pk.name, pk.columnType.simpleString)) ++
+        schema.vertexLabels.keys.toSeq.map(l => ("vertex_label", l, "-")) ++
+        schema.edgeLabels.keys.toSeq.map(l => ("edge_label", l, "-")) ++
+        Seq(("stat", "building_customers", cnt.toString),
+          ("stat", "violations", violations.toString))
+      import s.implicits._
+      rows.toDF("kind", "name", "dtype")
+    }),
     // ---- 2.E/2.H tail — last n under the traversal's order ----
     "q_tail" -> ((s, dir) => {
       graph(s, dir).traversal.V().hasLabel("order")
@@ -2181,19 +2211,17 @@ object SparkEntry {
         |FROM embeddings q JOIN embeddings d ON d.vec_id <> q.vec_id
         |WHERE q.vec_id < 10) WHERE "rank" <= 5""".stripMargin,
     "q_ivf_topk" ->
-      """WITH cents AS MATERIALIZED (
-        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
-        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      s"""WITH ${kmeansCtes(16, 2)},
         |asg AS MATERIALIZED (
         |  SELECT vec_id AS nid, embedding AS dvec, cid FROM (
         |    SELECT e.vec_id, e.embedding, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) DESC, c.cid) AS rn
-        |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC, c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN cents2 c) WHERE rn = 1),
         |probes AS MATERIALIZED (
         |  SELECT qid, qvec, cid FROM (
         |    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cid, ROW_NUMBER() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) DESC, c.cid) AS rn
-        |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10) WHERE rn <= 4)
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC, c.cid) AS rn
+        |    FROM embeddings q CROSS JOIN cents2 c WHERE q.vec_id < 10) WHERE rn <= 4)
         |SELECT qid, nid, "rank" FROM (
         |  SELECT p.qid, a.nid, ROW_NUMBER() OVER (PARTITION BY p.qid
         |    ORDER BY list_cosine_similarity(CAST(p.qvec AS DOUBLE[]), CAST(a.dvec AS DOUBLE[])) DESC, a.nid) AS "rank"
@@ -2323,6 +2351,18 @@ object SparkEntry {
         |  CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > CAST(3600 AS BIGINT) * 1000000 THEN 1 ELSE 0 END AS ns
         |  FROM o)
         |SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM s GROUP BY 1""".stripMargin,
+    "q_auto_schema" ->
+      """WITH vc AS (SELECT column_name AS name,
+        |  CASE column_type WHEN 'VARCHAR' THEN 'string' WHEN 'INTEGER' THEN 'int'
+        |    ELSE lower(column_type) END AS dtype
+        |  FROM (DESCRIBE SELECT * FROM customer))
+        |SELECT 'property' AS kind, name, dtype FROM vc WHERE name <> 'c_custkey'
+        |UNION ALL SELECT 'property', 'o_totalprice', 'double'
+        |UNION ALL SELECT 'vertex_label', 'customer', '-'
+        |UNION ALL SELECT 'edge_label', 'placed', '-'
+        |UNION ALL SELECT 'stat', 'building_customers',
+        |  CAST((SELECT COUNT(*) FROM customer WHERE c_mktsegment = 'BUILDING') AS VARCHAR)
+        |UNION ALL SELECT 'stat', 'violations', '0'""".stripMargin,
     "q_change_sessionize" ->
       """WITH o AS (SELECT user_id, ts, event_id,
         |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -2479,16 +2519,40 @@ object SparkEntry {
     * assignment as the q_ivf_topk oracle, within-cluster cosine pairs, then
     * `rounds` min-label iterations (duplicate components are tiny — diameter
     * ≪ rounds ⇒ converged = GraphX connectedComponents). */
+  /** CTE chain mirroring Similarity.kMeansCentroids over `embeddings`:
+    * cents0 = first nlist vectors by id; each round r: rank-1 cosine
+    * assignment against cents{r-1}, then per-dim DECIMAL(27,10)-accumulated
+    * mean rounded to 6 dp, re-listed in dim order. Yields `cents{rounds}`.
+    * The 6-dp rounding on BOTH sides is what makes the centroid doubles
+    * bit-identical across engines (the proven q_embed_meanpool recipe). */
+  private def kmeansCtes(nlist: Int, rounds: Int): String = {
+    val init =
+      s"""cents0 AS MATERIALIZED (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM embeddings ORDER BY vec_id LIMIT $nlist)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""kasg$r AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cents${r - 1} c) WHERE rn = 1),
+         |cm$r AS MATERIALIZED (
+         |  SELECT cid, dim, round(CAST(SUM(CAST(e AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS m FROM (
+         |    SELECT cid, unnest(range(len(embedding))) AS dim, unnest(CAST(embedding AS DOUBLE[])) AS e
+         |    FROM kasg$r) GROUP BY 1, 2),
+         |cents$r AS MATERIALIZED (SELECT cid, list(m ORDER BY dim) AS cvec FROM cm$r GROUP BY 1)""".stripMargin
+    }
+    (init +: rs).mkString(",\n")
+  }
+
   private def semanticDedupOracle(rounds: Int, threshold: Double, nlist: Int): String = {
     val iters = minLabelIters("k", rounds)
-    s"""WITH cents AS MATERIALIZED (
-       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
-       |  FROM embeddings ORDER BY vec_id LIMIT $nlist),
+    s"""WITH ${kmeansCtes(nlist, 2)},
        |asg AS MATERIALIZED (
        |  SELECT vec_id AS id, embedding AS v, cid FROM (
        |    SELECT e.vec_id, e.embedding, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) DESC, c.cid) AS rn
-       |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+       |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents2 c) WHERE rn = 1),
        |pairs AS MATERIALIZED (
        |  SELECT a.id AS ida, b.id AS idb FROM asg a JOIN asg b ON a.cid = b.cid AND a.id < b.id
        |  WHERE list_cosine_similarity(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) >= $threshold),

@@ -205,6 +205,12 @@ final case class GraphSchema(
   def unidirectedLabels: Seq[String] =
     edgeLabels.values.filter(_.unidirected).map(_.name).toSeq
 
+  /** Vertex labels flagged partitioned (VertexLabelMaker.partition(),
+    * docs/partitioning.txt) — supernode labels whose per-vertex aggregations
+    * route through the salted two-phase plan transparently. */
+  def partitionedLabels: Seq[String] =
+    vertexLabels.values.filter(_.partitioned).map(_.name).toSeq
+
   /** Composite indexes usable for an equality-constrained key set
     * (the index-selection candidate set; cf. GraphCentricQueryBuilder.java:234-308). */
   def compositeIndexCandidates(element: ElementCategory, eqKeys: Set[String]): Seq[IndexDef] =

@@ -217,8 +217,10 @@ object Analytics {
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = g.vertices.select(col("id"), col("id").as("l")).localCheckpoint(true)
-    // one cheap count decides the regime for the whole run
-    val bcastLabels = labels.count() <= 10000000L
+    // one cheap count decides the regime for the whole run (threshold is a
+    // conf so the shuffle-join regime — the 100× branch — is rehearsable
+    // in tests without a 10M-vertex fixture)
+    val bcastLabels = labels.count() <= broadcastMaxRows(g)
     def hint(df: DataFrame): DataFrame = if (bcastLabels) broadcast(df) else df
     // Early exit at the fixed point: min-label propagation is MONOTONE
     // (labels only ever decrease), so the EXACT decimal label-sum strictly
@@ -299,7 +301,8 @@ object Analytics {
     // aliveCount is maintained every round anyway — use it to pick the
     // broadcast regime per round for free (checkpointed frames hide size
     // stats from AQE, so the hint must be explicit; see connectedComponentsExact)
-    def hint(df: DataFrame, n: Long): DataFrame = if (n <= 10000000L) broadcast(df) else df
+    val maxBcast = broadcastMaxRows(g)
+    def hint(df: DataFrame, n: Long): DataFrame = if (n <= maxBcast) broadcast(df) else df
     var round = 0
     var removed = true
     while (round < maxRounds && removed) {
@@ -320,6 +323,13 @@ object Analytics {
     und.unpersist(false)
     (alive, !removed)
   }
+
+  /** Vertex-frame broadcast regime for the iterative jobs: frames at or
+    * under this many rows are hinted into broadcast joins (checkpointing
+    * hides stats from AQE, so the hint is load-bearing). Past it the joins
+    * degrade to one exchange per round — the floor any orientation has. */
+  private def broadcastMaxRows(g: PropertyGraph): Long =
+    g.spark.conf.get("spark.graft.broadcast.maxRows", "10000000").toLong
 
   private def toDF[T <: Product : scala.reflect.runtime.universe.TypeTag](
       spark: SparkSession, rdd: org.apache.spark.rdd.RDD[T], names: String*): DataFrame = {

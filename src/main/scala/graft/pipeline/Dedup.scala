@@ -228,21 +228,26 @@ object Dedup {
     survivorsByPairs(docs, pairs, idCol)
   }
 
-  /** Keep-one-per-duplicate-group: GraphX connected components over the
-    * candidate PAIR graph only (never the full corpus — unpaired rows skip
-    * the RDD bridge entirely), then anti-join away every paired id that is
-    * not its component's minimum. Shared by every dedup family (MinHash,
-    * SimHash, semantic/embedding). */
-  def survivorsByPairs(data: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+  /** GraphX connected components over the candidate PAIR graph only (never
+    * the full corpus — unpaired rows skip the RDD bridge entirely), as an
+    * (id, component) frame. The one RDD bridge shared by every dedup family
+    * (MinHash, SimHash, semantic/embedding) and both survivor policies. */
+  private def pairComponents(pairs: DataFrame): DataFrame = {
     import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
-    val spark = data.sparkSession
+    val spark = pairs.sparkSession
     // cast up front: an Int (or other integral) id column satisfies the
     // generic signature but would ClassCastException on getLong in the bridge
     val edgeRdd = pairs.select(col("ida").cast(LongType), col("idb").cast(LongType)).rdd
       .map(r => GxEdge(r.getLong(0), r.getLong(1), ()))
     val cc = GxGraph.fromEdges(edgeRdd, ()).connectedComponents().vertices
-    val ccDf = spark.createDataFrame(cc.map { case (id, comp) => (id, comp) })
+    spark.createDataFrame(cc.map { case (id, comp) => (id, comp) })
       .toDF("id", "component")
+  }
+
+  /** Keep-one-per-duplicate-group: components over the candidate pairs, then
+    * anti-join away every paired id that is not its component's minimum. */
+  def survivorsByPairs(data: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val ccDf = pairComponents(pairs)
     val losers = ccDf // every paired element that is not its component's minimum
       .groupBy(col("component")).agg(min(col("id")).as("keep"))
       .join(ccDf, Seq("component"))
@@ -258,14 +263,7 @@ object Dedup {
     * map-side-combinable max_by over the (small) paired-id set. */
   def survivorsByPriority(data: DataFrame, pairs: DataFrame, idCol: String,
       priority: Column): DataFrame = {
-    import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
-    val spark = data.sparkSession
-    val edgeRdd = pairs.select(col("ida").cast(LongType), col("idb").cast(LongType)).rdd
-      .map(r => GxEdge(r.getLong(0), r.getLong(1), ()))
-    val cc = GxGraph.fromEdges(edgeRdd, ()).connectedComponents().vertices
-    val ccDf = spark.createDataFrame(cc.map { case (id, comp) => (id, comp) })
-      .toDF("id", "component")
-    val withP = ccDf.join(
+    val withP = pairComponents(pairs).join(
       data.select(col(idCol).cast(LongType).as("id"), priority.as("__p")), Seq("id"))
     val losers = withP
       .groupBy(col("component"))

@@ -48,12 +48,11 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("cos"))
   }
 
-  /** Deterministic coarse centroids: the first `nlist` vectors by id (a fixed,
-    * seedless choice — replace with k-means output in production; the engine
-    * only cares that centroids are a small broadcastable table). cid is the
-    * id-order rank (0-based) — fully deterministic, so downstream cid
-    * tie-breaks are reproducible across engines (the nlist-row window is a
-    * single tiny partition, not a scale concern). */
+  /** Deterministic INITIAL coarse centroids: the first `nlist` vectors by id
+    * (a fixed, seedless choice). cid is the id-order rank (0-based) — fully
+    * deterministic, so downstream cid tie-breaks are reproducible across
+    * engines (the nlist-row window is a single tiny partition, not a scale
+    * concern). Refined by [[kMeansCentroids]]. */
   def centroids(data: DataFrame, nlist: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     data.orderBy(col(idCol)).limit(nlist)
@@ -64,6 +63,47 @@ object Similarity {
         org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
           .orderBy(col(idCol))) - 1).as("cid"),
         col(vecCol).as("cvec"))
+
+  /** Deterministic spherical k-means (Lloyd) coarse quantizer: seeded by the
+    * first `nlist` vectors by id, then `rounds` FIXED reassign/recenter
+    * iterations (fixed, not converge-until-stable, so a cross-engine oracle
+    * can mirror the exact computation round by round).
+    *
+    * Each round: nearest-centroid assignment by cosine (ties → lowest cid,
+    * identical to [[assign]]), then per-dimension mean with DECIMAL
+    * accumulation (order-insensitive, same recipe as [[meanPool]]) rounded to
+    * 6 dp — the rounding pins the centroid doubles to values every engine
+    * reproduces bit-identically, so downstream cosine comparisons cannot be
+    * flipped by last-ulp division differences. Empty clusters drop out (a
+    * GROUP BY mirrors this for free).
+    *
+    * Scale shape: one data pass per round — nearest-centroid is a broadcast
+    * crossJoin against the nlist-row frame collapsed map-side by the argmax
+    * agg; the recenter is one (cid, dim)-keyed partial-agg shuffle of
+    * constant width. Centroids materialize on the driver between rounds
+    * (nlist × dim doubles — a bounded control read, the standard iterative
+    * k-means shape) so the per-round plans stay flat instead of nesting
+    * `rounds` deep. */
+  def kMeansCentroids(data: DataFrame, nlist: Int, rounds: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = data.sparkSession
+    var cents = centroids(data, nlist, idCol, vecCol)
+    for (_ <- 0 until rounds) {
+      val means = assign(data, cents, idCol, vecCol)
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(round(sum(col("v").cast(DecimalType(27, 10))).cast(DoubleType) /
+          count(lit(1)), 6).as("m"))
+        .groupBy(col("cid"))
+        // array_sort on struct(dim, m): dim is distinct per cid, so the
+        // collect_list order never matters — fully deterministic
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cid"), transform(col("dm"), x => x("m")).as("cvec"))
+      val rows = means.collect() // ≤ nlist rows — driver-bounded control read
+      cents = spark.createDataFrame(java.util.Arrays.asList(rows: _*), means.schema)
+    }
+    cents
+  }
 
   /** Assign every vector to its nearest centroid: one broadcast join, then
     * an argmax AGGREGATE (`max_by` over (sim, −cid)) rather than a rank-1
@@ -87,12 +127,13 @@ object Similarity {
     * to the query. Approximate (recall < 1 when a true neighbor lives in an
     * unprobed bucket); bruteForceTopK is the exactness oracle in tests. */
   def ivfTopK(data: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
-      nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding",
+      kmeansRounds: Int = 2): DataFrame = {
     // nlist rows, referenced from two broadcast branches — served from the
     // bounded per-session LRU (reuse across calls, no per-call cache leak)
     val cents = graft.core.PlanCache.cached(data.sparkSession,
-      graft.core.PlanCache.key("ivf-cents", data, nlist, idCol, vecCol)) {
-      centroids(data, nlist, idCol, vecCol)
+      graft.core.PlanCache.key("ivf-cents", data, nlist, idCol, vecCol, kmeansRounds)) {
+      kMeansCentroids(data, nlist, kmeansRounds, idCol, vecCol)
     }
     val bucketed = assign(data, cents, idCol, vecCol)
       .select(col(idCol).as("nid"), col(vecCol).as("dvec"), col("cid"))
@@ -125,19 +166,21 @@ object Similarity {
     * corpus size to bound cluster width); the component pass touches only
     * candidate pairs. No corpus-wide cross join anywhere. */
   def semanticDedup(data: DataFrame, threshold: Double, nlist: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      kmeansRounds: Int = 2): DataFrame =
     Dedup.survivorsByPairs(data,
-      semanticPairs(data, threshold, nlist, idCol, vecCol), idCol)
+      semanticPairs(data, threshold, nlist, idCol, vecCol, kmeansRounds), idCol)
 
   /** Within-cluster near-dup candidate pairs for semanticDedup (also useful
     * standalone for duplicate-rate reporting): nearest-centroid assignment,
     * then a cid-keyed equi-join — the quadratic search never leaves a
     * cluster. */
   def semanticPairs(data: DataFrame, threshold: Double, nlist: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      kmeansRounds: Int = 2): DataFrame = {
     val cents = graft.core.PlanCache.cached(data.sparkSession,
-      graft.core.PlanCache.key("ivf-cents", data, nlist, idCol, vecCol)) {
-      centroids(data, nlist, idCol, vecCol)
+      graft.core.PlanCache.key("ivf-cents", data, nlist, idCol, vecCol, kmeansRounds)) {
+      kMeansCentroids(data, nlist, kmeansRounds, idCol, vecCol)
     }
     val asg = assign(data, cents, idCol, vecCol)
     val a = asg.select(col("cid"), col(idCol).as("ida"), col(vecCol).as("va"))

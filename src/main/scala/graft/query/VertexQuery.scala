@@ -132,9 +132,25 @@ final case class VertexCentricQuery(
       .drop("other")
 
   /** Per-vertex edge count; limit caps the count, as in the reference
-    * (tc/core/TitanVertexQuery.java edgeCount). */
+    * (tc/core/TitanVertexQuery.java edgeCount).
+    *
+    * Supernode routing (VertexLabelMaker.partition(), docs/partitioning.txt,
+    * PartitionedVertexProgramExecutor): when the schema declares a
+    * partitioned vertex label, the plain per-vertex count would funnel a
+    * supernode's whole adjacency through one reducer; route transparently
+    * through the salted two-phase aggregate instead — identical results
+    * (count is decomposable), bounded reducer load. Windowed queries
+    * (orderBy/limit) already hash by vid for the window, so the plain
+    * aggregation adds no second skew point there. Salt count comes from
+    * `spark.graft.supernode.salts` (default 64). */
   def edgeCount(): DataFrame =
-    edges().groupBy(col("vid")).agg(count(lit(1)).as("count"))
+    if (graph.schema.partitionedLabels.nonEmpty && orders.isEmpty && limitN.isEmpty) {
+      val salts = graph.spark.conf.get("spark.graft.supernode.salts", "64").toInt
+      graft.olap.GraphOps.saltedAggregate(edges(), col("vid"), salts,
+        partialAggs = Seq(count(lit(1)).as("__c")),
+        mergeAggs = Seq(sum(col("__c")).as("count")))
+        .withColumnRenamed("__key", "vid")
+    } else edges().groupBy(col("vid")).agg(count(lit(1)).as("count"))
 
   /** Vertex properties as relation rows (TitanVertexProperty is a first-class
     * relation in the reference — tc/core/TitanVertexProperty.java): one row

@@ -67,6 +67,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(levels(GraphOfTheGods.ids("nemean")) === 1)
   }
 
+  test("shuffle-join regime (bcast=false) matches broadcast results for CC and kCore") {
+    // force the threshold to 0 so every vertex-frame join runs in the
+    // shuffle-join regime — the branch that executes at 100× scale and is
+    // otherwise never exercised by small fixtures
+    val g = graft.data.TpchGraph.load(spark, "/root/testdata/sf0.001")
+    def ccSet() = Analytics.connectedComponentsExact(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def coreSet() = Analytics.kCore(g, k = 4, maxRounds = 10)
+      .collect().map(_.getLong(0)).toSet
+    val (ccB, coreB) = (ccSet(), coreSet())
+    spark.conf.set("spark.graft.broadcast.maxRows", "0")
+    try {
+      val (ccS, coreS) = (ccSet(), coreSet())
+      assert(ccS === ccB, "connected components differ between join regimes")
+      assert(coreS === coreB, "k-core differs between join regimes")
+    } finally spark.conf.unset("spark.graft.broadcast.maxRows")
+  }
+
   test("kCore: a triangle with a pendant chain peels to the triangle at k=2") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -118,6 +118,36 @@ class PipelineSpec extends AnyFunSuite {
     c.foreach(r => assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12))
   }
 
+  test("k-means centroids beat id-order init on misaligned clusters") {
+    // 8k vectors in 32 planted clusters assigned by HASH of id — the first 32
+    // ids hit a random multiset of clusters (some clusters get several seed
+    // centroids, others none), the exact misalignment where the id-order
+    // stand-in loses recall and Lloyd rounds recover it by re-centering.
+    val n = 8000
+    val embH = spark.range(n).select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 31), j ->
+        cast(pmod(hash(pmod(hash(id), 32) * 32 + j), 1000) as double) / 1000.0 - 0.5 +
+        cast(pmod(hash(id * 32 + j), 100) as double) / 250.0)""").as("embedding"))
+      .cache()
+    embH.count()
+    // queries DISJOINT from the first-nlist seed ids: a query that IS an init
+    // centroid gets a bucket centered on itself, which flatters the id-order
+    // baseline and hides exactly the effect this test measures
+    val queries = embH.filter(col("vec_id") >= 200 && col("vec_id") < 215)
+    val bf = Similarity.bruteForceTopK(embH, queries, 5).select("qid", "nid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(rounds: Int): Double = {
+      val ivf = Similarity.ivfTopK(embH, queries, 5, nlist = 32, nprobe = 1,
+        kmeansRounds = rounds).select("qid", "nid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bf intersect ivf).size.toDouble / bf.size
+    }
+    val (r0, r2) = (recall(0), recall(2))
+    assert(r2 > r0, s"k-means recall $r2 must beat id-order init $r0")
+    assert(r2 >= 0.9, s"k-means recall $r2 too low on clustered vectors")
+    embH.unpersist()
+  }
+
   test("IVF top-k recall vs brute force >= 0.5 at nprobe=4/nlist=16") {
     val queries = emb.filter(col("vec_id") < 20)
     val bf = Similarity.bruteForceTopK(emb, queries, 5)

@@ -56,6 +56,27 @@ class PlanShapeSpec extends AnyFunSuite {
       "expected both map-side (partial) and reduce-side WindowGroupLimit")
   }
 
+  test("partitioned vertex label routes edgeCount through a salted two-phase aggregate") {
+    import graft.query.{Direction, VertexCentricQuery}
+    val g = graft.data.TpchGraph.load(spark, dir)
+    // flag order vertices as partitioned (VertexLabelMaker.partition()) — the
+    // routing must engage from the schema alone, with no caller opt-in
+    val pg = g.copy(schema = g.schema.copy(vertexLabels = g.schema.vertexLabels
+      .updated("order", g.schema.vertexLabel("order").copy(partitioned = true))))
+    val salted = VertexCentricQuery(pg).labels("contains").direction(Direction.OUT).edgeCount()
+    val p = salted.queryExecution.optimizedPlan.toString
+    assert(p.contains("__salt"), s"expected salted two-phase aggregate:\n$p")
+    // two aggregation levels: (key, salt) partial then key merge
+    val hashAggs = salted.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, "expected partial + merge aggregate pair")
+    // identical results to the unsalted plan
+    val plain = VertexCentricQuery(g).labels("contains").direction(Direction.OUT).edgeCount()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaSalt = salted.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSalt === plain)
+  }
+
   test("automatic index selection rewrites an equality query to an index semi-join") {
     // with a registered backing table the planner picks the byName composite
     // index: filter the index table → broadcast semi-join ids against base

@@ -234,6 +234,37 @@ class StreamMgmtSpec extends AnyFunSuite {
       .select(size(col("tags"))).collect()(0).getInt(0) === 2)
   }
 
+  test("DefaultSchemaMaker: auto-creates undeclared types on first use; strict mode rejects") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val v = Seq((1L, "doc", "hello", 3.5, Seq("a", "b")))
+      .toDF("id", "label", "title", "score", "tags")
+    val e = Seq((1L, 1L, 1L, "cites", 2)).toDF("id", "src", "dst", "label", "weight")
+    // schema.default=none (DisableDefaultSchemaMaker): undeclared types throw
+    val ex = intercept[IllegalArgumentException] {
+      graft.mgmt.DefaultSchemaMaker.require(GraphSchema(), v, e)
+    }
+    assert(ex.getMessage.contains("'title'") && ex.getMessage.contains("'cites'"))
+    // schema.default=default: exact-type inference, maker defaults
+    val schema = graft.mgmt.DefaultSchemaMaker.complete(GraphSchema(), v, e)
+    assert(schema.propertyKey("title").columnType === StringType)
+    assert(schema.propertyKey("score").columnType === DoubleType)
+    assert(schema.propertyKey("weight").columnType === IntegerType)
+    assert(schema.propertyKey("tags").cardinality === Cardinality.LIST)
+    assert(!schema.vertexLabel("doc").partitioned)
+    assert(schema.edgeLabel("cites").multiplicity === Multiplicity.MULTI)
+    // completed catalog passes strict mode; completion is idempotent
+    graft.mgmt.DefaultSchemaMaker.require(schema, v, e)
+    assert(graft.mgmt.DefaultSchemaMaker.complete(schema, v, e) === schema)
+    // a pre-declared type keeps its definition — only gaps are filled
+    val pre = GraphSchema().withPropertyKey(
+      PropertyKeyDef("score", DoubleType, Cardinality.SET))
+    assert(graft.mgmt.DefaultSchemaMaker.complete(pre, v, e)
+      .propertyKey("score").cardinality === Cardinality.SET)
+    // the synthesized catalog structurally conforms to the frames it came from
+    assert(graft.data.PropertyGraph(schema, v, e).schemaViolations().isEmpty)
+  }
+
   test("management: duplicate type definition rejected; rename allowed") {
     val mgmt = new Management(GraphSchema())
     mgmt.makePropertyKey("x").make()
