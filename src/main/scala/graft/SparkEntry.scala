@@ -74,18 +74,10 @@ object SparkEntry {
     val df = nsSession(s).read.parquet(s"$dir/events.parquet")
     df.schema("ts").dataType match {
       case LongType =>
-        // A long ts is only ever TIMESTAMP(NANOS) surfaced under the legacy
-        // conf. A plain (unannotated) int64 micros/millis column would also
-        // land here and be silently 1000x/1e6x off, so sanity-check magnitude
-        // on one row: epoch-ns for any plausible event date is > 1e17
-        // (~1973); epoch-µs is ~1e15. limit(1) short-circuits the scan.
-        df.select(col("ts")).filter(col("ts").isNotNull).limit(1).collect()
-          .foreach { r =>
-            val ts = r.getLong(0)
-            if (ts < 100000000000000000L) throw new IllegalStateException(
-              s"events.ts: int64 value $ts is not plausible epoch-nanoseconds; " +
-                "plain-int64 micros/millis drops are out of contract")
-          }
+        // shared plain-int64 magnitude guard (see its doc) — the streaming
+        // source applies the identical check, so batch and stream cannot
+        // diverge on a malformed drop
+        graft.stream.ChangeStream.requirePlausibleNanos(df)
         df
       case TimestampType | TimestampNTZType =>
         df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
@@ -215,6 +207,18 @@ object SparkEntry {
     "q_repeat" -> ((s, dir) => {
       graph(s, dir).traversal.V().hasLabel("region")
         .repeat(2)(_.in())
+        .values("uid", "label")
+    }),
+    // ---- 2.E nested repeat (repeat-within-repeat): outer repeat(2) of an
+    //      inner repeat(2)(both) unrolls to FOUR undirected hops with full
+    //      traverser multiplicity preserved through both nesting levels
+    //      (TinkerPop RepeatStep nests arbitrarily — reference corpus
+    //      tt/graphdb/TitanGraphTest.java:3520-3843 ProcessStandardSuite).
+    //      On the bipartite region↔nation relation every 4-walk returns to
+    //      its start region, so the oracle is the closed-form two-join ----
+    "q_repeat_nested" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("region")
+        .repeat(2)(_.repeat(2)(_.both("in_region")))
         .values("uid", "label")
     }),
     // ---- 2.E group().by() — collect per key ----
@@ -1153,6 +1157,14 @@ object SparkEntry {
         .groupBySub("mktsegment", _.out("placed"), count(lit(1)))
         .select(col("mktsegment"), col("value"))
     }),
+    // ---- 2.E group().by(keySubTraversal): by-modulation on the group KEY
+    //      itself (TinkerPop group().by(out('placed').count()) — customers
+    //      bucketed by how many orders they placed), not just the value ----
+    "q_group_by_key_sub" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer")
+        .groupByKeySub(_.out("placed"))
+        .select(col("key").as("n_orders"), col("value").as("n_customers"))
+    }),
     // ---- 2.E project().by(sub-traversal): per-element aggregates ----
     "q_project_by" -> ((s, dir) => {
       graph(s, dir).traversal.V().hasLabel("customer")
@@ -1224,17 +1236,31 @@ object SparkEntry {
     //      closed sessions (every session but each user's open head), which
     //      the oracle re-derives in SQL with a QUALIFY on the last session ----
     "q_change_sessionize" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-csess").toString
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csess")
       val stream = graft.stream.ChangeStream.readStream(s, dir)
       val qname = s"graft_csess_${System.nanoTime()}"
-      val q = graft.stream.ChangeStream.sessionizeStream(stream, gapSeconds = 3600)
+      val sessions = graft.stream.ChangeStream.sessionizeStream(stream, gapSeconds = 3600)
+      // the memory sink registers in the catalog of the session the stream
+      // was BUILT on (the caller's for µs drops, the ns clone for NANOS
+      // drops) — resolve the table there, not on `s`
+      val sinkSession = sessions.sparkSession
+      val q = sessions
         .writeStream.format("memory").queryName(qname).outputMode("append")
         .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       val finished = q.awaitTermination(300000)
       if (!finished) { q.stop(); sys.error("q_change_sessionize: stream did not finish in 300s") }
-      s.table(qname)
+      // materialized sink rows survive dropping the catalog name (the Dataset
+      // pins the memory-sink plan), so the probe leaves no temp view or
+      // checkpoint files behind
+      val out = sinkSession.table(qname)
+      sinkSession.catalog.dropTempView(qname)
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+      out
     }),
     // ---- 2.L DefaultSchemaMaker: undeclared-type ingest auto-creates the
     //      catalog (Tp3DefaultSchemaMaker parity). The probe ingests raw
@@ -1265,6 +1291,37 @@ object SparkEntry {
           ("stat", "violations", violations.toString))
       import s.implicits._
       rows.toDF("kind", "name", "dtype")
+    }),
+    // ---- 2.L DefaultSchemaMaker wired into the WRITE path: a mutation batch
+    //      carrying an undeclared property key against schema.default=default
+    //      (the conf's default) auto-creates the key INSIDE applyMutations —
+    //      Titan creates types transparently inside the write transaction
+    //      (StandardTitanTx getOrCreate paths). The probe proves the key was
+    //      absent before the write, present after, and queryable; strict mode
+    //      (`none` rejects the same batch) is the MutationEnforcementSpec twin ----
+    "q_schema_maker_write" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val vertices = c.select(col("c_custkey").as("id"), lit("customer").as("label"),
+        col("c_name"), col("c_acctbal"))
+      val edges = vertices.limit(0).select(col("id"), col("id").as("src"),
+        col("id").as("dst"), col("label"))
+      val g = graft.data.PropertyGraph(
+        graft.mgmt.DefaultSchemaMaker.complete(graft.core.GraphSchema(), vertices, edges),
+        vertices, edges)
+      assert(!g.schema.propertyKeys.contains("vip"), "probe precondition: 'vip' undeclared")
+      val adds = c.filter(col("c_acctbal") > 9000)
+        .select((col("c_custkey") + lit(1000000L)).as("id"), lit("customer").as("label"),
+          col("c_name"), col("c_acctbal"), (col("c_acctbal") > 9500).as("vip"))
+      val g2 = graft.data.GraphIO.applyMutations(g, addVertices = Some(adds))
+      val vipKey = g2.schema.propertyKeys("vip") // throws if the maker didn't fire
+      val vipTrue = g2.V().has("vip", true).count()
+      val total = g2.vertices.count()
+      import s.implicits._
+      Seq(
+        ("key", "vip", vipKey.columnType.simpleString),
+        ("stat", "vip_true", vipTrue.toString),
+        ("stat", "vertices", total.toString))
+        .toDF("kind", "name", "dtype")
     }),
     // ---- 2.E/2.H tail — last n under the traversal's order ----
     "q_tail" -> ((s, dir) => {
@@ -1623,7 +1680,11 @@ object SparkEntry {
     "q_semantic_dedup", "q_bm25", "q_lsh_cosine_pairs",
     // iterative-join analytics: regressions hide in lineage truncation and
     // cache lifecycle, so the bench times them every round
-    "q_kcore", "q_triangles", "q_connected_components")
+    "q_kcore", "q_triangles", "q_connected_components",
+    // native CDC source end-to-end (readStream → stateful sessionize →
+    // memory sink): the one streaming family wall-time, so source/state
+    // throughput regressions surface in the bench, not just correctness
+    "q_change_sessionize")
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -2363,6 +2424,23 @@ object SparkEntry {
         |UNION ALL SELECT 'stat', 'building_customers',
         |  CAST((SELECT COUNT(*) FROM customer WHERE c_mktsegment = 'BUILDING') AS VARCHAR)
         |UNION ALL SELECT 'stat', 'violations', '0'""".stripMargin,
+    "q_repeat_nested" ->
+      """SELECT r_regionkey AS uid, 'region' AS label
+        |FROM region
+        |JOIN nation n1 ON n1.n_regionkey = r_regionkey
+        |JOIN nation n2 ON n2.n_regionkey = r_regionkey""".stripMargin,
+    "q_group_by_key_sub" ->
+      """WITH oc AS (SELECT c_custkey,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o WHERE o.o_custkey = c_custkey) AS n_orders
+        |  FROM customer)
+        |SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers FROM oc GROUP BY 1""".stripMargin,
+    "q_schema_maker_write" ->
+      """SELECT 'key' AS kind, 'vip' AS name, 'boolean' AS dtype
+        |UNION ALL SELECT 'stat', 'vip_true',
+        |  CAST((SELECT COUNT(*) FROM customer WHERE c_acctbal > 9500) AS VARCHAR)
+        |UNION ALL SELECT 'stat', 'vertices',
+        |  CAST((SELECT COUNT(*) FROM customer) +
+        |       (SELECT COUNT(*) FROM customer WHERE c_acctbal > 9000) AS VARCHAR)""".stripMargin,
     "q_change_sessionize" ->
       """WITH o AS (SELECT user_id, ts, event_id,
         |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -2520,16 +2598,20 @@ object SparkEntry {
     * `rounds` min-label iterations (duplicate components are tiny — diameter
     * ≪ rounds ⇒ converged = GraphX connectedComponents). */
   /** CTE chain mirroring Similarity.kMeansCentroids over `embeddings`:
-    * cents0 = first nlist vectors by id; each round r: rank-1 cosine
-    * assignment against cents{r-1}, then per-dim DECIMAL(27,10)-accumulated
-    * mean rounded to 6 dp, re-listed in dim order. Yields `cents{rounds}`.
-    * The 6-dp rounding on BOTH sides is what makes the centroid doubles
-    * bit-identical across engines (the proven q_embed_meanpool recipe). */
+    * cents0 = the nlist vectors with the smallest md5(vec_id) (the
+    * hash-sampled seed — both engines hash the identical decimal rendering
+    * of the id to lowercase hex, so the order matches bit-for-bit); each
+    * round r: rank-1 cosine assignment against cents{r-1}, then per-dim
+    * DECIMAL(27,10)-accumulated mean rounded to 6 dp, re-listed in dim
+    * order. Yields `cents{rounds}`. The 6-dp rounding on BOTH sides is what
+    * makes the centroid doubles bit-identical across engines (the proven
+    * q_embed_meanpool recipe). */
   private def kmeansCtes(nlist: Int, rounds: Int): String = {
     val init =
       s"""cents0 AS MATERIALIZED (
-         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-         |  FROM embeddings ORDER BY vec_id LIMIT $nlist)""".stripMargin
+         |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+         |    CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlist)""".stripMargin
     val rs = (1 to rounds).map { r =>
       s"""kasg$r AS MATERIALIZED (
          |  SELECT vec_id, embedding, cid FROM (

@@ -29,10 +29,16 @@ object GraphIO {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/edges")
   }
 
-  def load(spark: SparkSession, path: String, schema: GraphSchema = GraphSchema()): PropertyGraph =
-    PropertyGraph(schema,
-      spark.read.parquet(s"$path/vertices"),
-      spark.read.parquet(s"$path/edges"))
+  /** Load consults the configured schema maker (`spark.graft.schema.default`,
+    * the reference's `schema.default` graph config): `default` auto-completes
+    * the catalog from the stored frames (columns/labels the caller's schema
+    * does not declare are created first-use, Titan's transparent maker);
+    * `none` throws on anything undeclared (DisableDefaultSchemaMaker). */
+  def load(spark: SparkSession, path: String, schema: GraphSchema = GraphSchema()): PropertyGraph = {
+    val v = spark.read.parquet(s"$path/vertices")
+    val e = spark.read.parquet(s"$path/edges")
+    PropertyGraph(graft.mgmt.DefaultSchemaMaker.applyConfigured(spark, schema, v, e), v, e)
+  }
 
   /** GraphSON-style export: one JSON object per element, vertices and edges in
     * separate directories (TinkerPop 3 GraphSON is line-JSON too). */
@@ -191,10 +197,21 @@ object GraphIO {
     * re-checked on the POST-mutation graph, scoped to the keys the batch
     * touched — never a full-graph sweep. Checks are eager (they run Spark
     * jobs); a violation throws before any result is returned. */
-  def applyMutations(g: PropertyGraph,
+  def applyMutations(g0: PropertyGraph,
       addVertices: Option[DataFrame] = None, deleteVertexIds: Option[DataFrame] = None,
       addEdges: Option[DataFrame] = None, deleteEdgeIds: Option[DataFrame] = None,
       enforce: Boolean = true): PropertyGraph = {
+    // First-use schema maker (Titan runs schema.default inside the write
+    // transaction): an added frame carrying an undeclared property key /
+    // label auto-creates it (`default`) or throws (`none`) BEFORE the merge,
+    // so no mutation can bypass the maker. Runs only when something is added
+    // — deletes introduce no types.
+    val g =
+      if (addVertices.isEmpty && addEdges.isEmpty) g0
+      else g0.copy(schema = graft.mgmt.DefaultSchemaMaker.applyConfigured(
+        g0.spark, g0.schema,
+        addVertices.getOrElse(g0.spark.emptyDataFrame),
+        addEdges.getOrElse(g0.spark.emptyDataFrame)))
     if (enforce) {
       val sv = staticLabelViolations(g, addVertices, deleteVertexIds, addEdges, deleteEdgeIds)
       require(sv.isEmpty, s"static-label mutation rejected: ${sv.mkString("; ")}")

@@ -48,26 +48,35 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("cos"))
   }
 
-  /** Deterministic INITIAL coarse centroids: the first `nlist` vectors by id
-    * (a fixed, seedless choice). cid is the id-order rank (0-based) — fully
-    * deterministic, so downstream cid tie-breaks are reproducible across
-    * engines (the nlist-row window is a single tiny partition, not a scale
-    * concern). Refined by [[kMeansCentroids]]. */
+  /** Deterministic INITIAL coarse centroids: a HASH-SAMPLED seed — the
+    * `nlist` vectors with the smallest `md5(id)` digest (id tie-break). An
+    * id-ordered seed ("first nlist by id") collapses when ids correlate with
+    * content (a corpus sorted by topic puts every seed in one true cluster);
+    * md5 order is a uniform pseudo-random draw independent of id order, yet
+    * fully deterministic and seedless, so a cross-engine SQL oracle mirrors
+    * it verbatim (`ORDER BY md5(CAST(id AS VARCHAR))` — both engines emit
+    * lowercase hex over identical decimal renderings of the id). cid is the
+    * hash-order rank (0-based). The nlist-row window is a single tiny
+    * partition, not a scale concern; the hash sort itself is a top-k
+    * (TakeOrdered), never a full sort. Refined by [[kMeansCentroids]]. */
   def centroids(data: DataFrame, nlist: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    data.orderBy(col(idCol)).limit(nlist)
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val h = md5(col(idCol).cast("string").cast("binary"))
+    data.select(col(idCol), col(vecCol), h.as("__h"))
+      .orderBy(col("__h"), col(idCol)).limit(nlist)
       // partitionBy(lit(0)): the frame is already nlist rows (tiny) — the
       // explicit constant partition key silences Spark's "No Partition
       // Defined" warning without changing the single-partition plan
       .select((row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
-          .orderBy(col(idCol))) - 1).as("cid"),
+          .orderBy(col("__h"), col(idCol))) - 1).as("cid"),
         col(vecCol).as("cvec"))
+  }
 
   /** Deterministic spherical k-means (Lloyd) coarse quantizer: seeded by the
-    * first `nlist` vectors by id, then `rounds` FIXED reassign/recenter
-    * iterations (fixed, not converge-until-stable, so a cross-engine oracle
-    * can mirror the exact computation round by round).
+    * hash-sampled draw of [[centroids]], then `rounds` FIXED
+    * reassign/recenter iterations (fixed, not converge-until-stable, so a
+    * cross-engine oracle can mirror the exact computation round by round).
     *
     * Each round: nearest-centroid assignment by cosine (ties → lowest cid,
     * identical to [[assign]]), then per-dimension mean with DECIMAL

@@ -37,7 +37,13 @@ final case class VertexCentricQuery(
     conds: Vector[Column] = Vector.empty,
     orders: Vector[(String, Boolean)] = Vector.empty,
     limitN: Option[Int] = None,
-    adjacentId: Option[Long] = None) {
+    adjacentId: Option[Long] = None,
+    // The vertex-label universe the anchor frontier can contain (None =
+    // unknown/all). Used ONLY to scope supernode salting — a query whose
+    // anchors provably exclude every partitioned label skips the two-phase
+    // aggregate (Titan scopes partitioned-vertex handling per label:
+    // VertexLabelMaker.partition(), PartitionedVertexProgramExecutor).
+    frontierLabels: Option[Seq[String]] = None) {
 
   // ---- builder surface (BaseVertexQuery.java:27-167) ----
   def labels(ls: String*): VertexCentricQuery = copy(labels = ls)
@@ -57,6 +63,10 @@ final case class VertexCentricQuery(
 
   /** Anchor on an explicit vertex set (multiQuery). `df` must expose `vid`. */
   def onFrontier(df: DataFrame): VertexCentricQuery = copy(frontier = Some(df))
+  /** Anchor on an explicit vertex set whose label universe is known — lets
+    * the planner skip supernode salting when no partitioned label can occur. */
+  def onFrontier(df: DataFrame, anchorLabels: Seq[String]): VertexCentricQuery =
+    copy(frontier = Some(df), frontierLabels = Some(anchorLabels))
   def onVertices(ids: Long*): VertexCentricQuery = {
     val df = graph.spark.createDataFrame(
       java.util.Arrays.asList(ids.map(java.lang.Long.valueOf).map(org.apache.spark.sql.Row(_)): _*),
@@ -131,22 +141,34 @@ final case class VertexCentricQuery(
       .join(graph.vertices, col("other") === graph.vertices("id"))
       .drop("other")
 
+  /** True when the anchor frontier may contain a partitioned (supernode)
+    * vertex label: the schema declares one AND the frontier's label universe
+    * (if known) intersects it. Unknown universe → engage conservatively. */
+  private def mayHitPartitioned: Boolean = {
+    val part = graph.schema.partitionedLabels
+    part.nonEmpty && frontierLabels.forall(_.exists(part.contains))
+  }
+
+  private def saltCount: Int =
+    graph.spark.conf.get("spark.graft.supernode.salts", "64").toInt
+
   /** Per-vertex edge count; limit caps the count, as in the reference
     * (tc/core/TitanVertexQuery.java edgeCount).
     *
     * Supernode routing (VertexLabelMaker.partition(), docs/partitioning.txt,
-    * PartitionedVertexProgramExecutor): when the schema declares a
-    * partitioned vertex label, the plain per-vertex count would funnel a
+    * PartitionedVertexProgramExecutor): when the anchor frontier can contain
+    * a partitioned vertex label, the plain per-vertex count would funnel a
     * supernode's whole adjacency through one reducer; route transparently
     * through the salted two-phase aggregate instead — identical results
-    * (count is decomposable), bounded reducer load. Windowed queries
-    * (orderBy/limit) already hash by vid for the window, so the plain
-    * aggregation adds no second skew point there. Salt count comes from
-    * `spark.graft.supernode.salts` (default 64). */
+    * (count is decomposable), bounded reducer load. Scoped by the frontier's
+    * label set (Titan scopes partitioned handling per label): a query
+    * anchored on provably non-partitioned labels plans the plain single
+    * aggregate. Windowed queries (orderBy/limit) already hash by vid for the
+    * window, so the plain aggregation adds no second skew point there. Salt
+    * count comes from `spark.graft.supernode.salts` (default 64). */
   def edgeCount(): DataFrame =
-    if (graph.schema.partitionedLabels.nonEmpty && orders.isEmpty && limitN.isEmpty) {
-      val salts = graph.spark.conf.get("spark.graft.supernode.salts", "64").toInt
-      graft.olap.GraphOps.saltedAggregate(edges(), col("vid"), salts,
+    if (mayHitPartitioned && orders.isEmpty && limitN.isEmpty) {
+      graft.olap.GraphOps.saltedAggregate(edges(), col("vid"), saltCount,
         partialAggs = Seq(count(lit(1)).as("__c")),
         mergeAggs = Seq(sum(col("__c")).as("count")))
         .withColumnRenamed("__key", "vid")
@@ -168,9 +190,17 @@ final case class VertexCentricQuery(
     graft.traverse.Traversal.unpivot(base, col("id"), ks, outName = "vid")
   }
 
-  /** propertyCount with limit semantics, like edgeCount. */
+  /** propertyCount with the same supernode routing as edgeCount: a
+    * partitioned-label vertex with LIST/SET-cardinality properties is the
+    * same one-reducer funnel as its adjacency (count is decomposable, so the
+    * salted two-phase result is identical). */
   def propertyCount(keys: String*): DataFrame =
-    properties(keys: _*).groupBy(col("vid")).agg(count(lit(1)).as("count"))
+    if (mayHitPartitioned) {
+      graft.olap.GraphOps.saltedAggregate(properties(keys: _*), col("vid"), saltCount,
+        partialAggs = Seq(count(lit(1)).as("__c")),
+        mergeAggs = Seq(sum(col("__c")).as("count")))
+        .withColumnRenamed("__key", "vid")
+    } else properties(keys: _*).groupBy(col("vid")).agg(count(lit(1)).as("count"))
 }
 
 object VertexCentricQuery {

@@ -34,22 +34,49 @@ object ChangeStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** A long-typed events.ts is only ever TIMESTAMP(NANOS) surfaced under the
+    * legacy ns-as-long conf. A plain (unannotated) int64 micros/millis column
+    * would land in the same branch and silently mis-scale every event-time
+    * computation 1000x/1e6x, so sanity-check magnitude on one row: epoch-ns
+    * for any plausible event date is > 1e17 (~1973); epoch-µs is ~1e15.
+    * limit(1) short-circuits the scan. Shared by the batch reader
+    * ([[graft.SparkEntry.readEventsRaw]]) and the streaming source — the
+    * round-7 1000x bug lived exactly where the two paths diverged. */
+  private[graft] def requirePlausibleNanos(df: DataFrame): Unit =
+    df.select(col("ts")).filter(col("ts").isNotNull).limit(1).collect()
+      .foreach { r =>
+        val ts = r.getLong(0)
+        if (ts < 100000000000000000L) throw new IllegalStateException(
+          s"events.ts: int64 value $ts is not plausible epoch-nanoseconds; " +
+            "plain-int64 micros/millis drops are out of contract")
+      }
+
   /** Streaming source over the change table. The file stream source requires a
     * directory, so stream the sf dir with a glob pinned to the events table.
     *
     * Data drops have stored `ts` as either TIMESTAMP(NANOS) (surfacing as an
     * epoch-ns long under the legacy conf) or timestamp[us]; a one-off batch
     * schema sniff picks the branch — exactly mirroring the batch reader
-    * ([[graft.SparkEntry.readEventsRaw]]). Hard-coding either form mis-scales
-    * every event-time computation 1000x when the drop changes. */
+    * ([[graft.SparkEntry.readEventsRaw]]), including its plain-int64
+    * magnitude guard. The caller's session conf is NEVER mutated: µs/NTZ
+    * drops need no conf and stream on the caller's session; a NANOS drop
+    * builds the stream on the dedicated ns clone ([[graft.SparkEntry
+    * .nsSession]]) so the legacy flag is live when the scan executes without
+    * leaking into shared state. Consequence for memory sinks: the sink table
+    * registers in the catalog of the RETURNED frame's session — consumers
+    * should resolve it via `df.sparkSession.table(...)`, which is correct in
+    * both branches. */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
-    // DOCUMENTED side effect: the ns-as-long flag is set on the caller's
-    // session. A clone (as batch readEvents uses) would also re-home memory
-    // sinks and temp views to the clone's catalog — surprising for streaming
-    // consumers that query the sink table from the session they passed in.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
-    val raw = spark.readStream.schema(eventsSchemaFor(tsType))
+    // schema sniff on the ns clone: yields LongType for a NANOS drop (under
+    // the clone's legacy conf) and real timestamp types for µs drops
+    val nsClone = graft.SparkEntry.nsSession(spark)
+    val sniff = nsClone.read.parquet(s"$dir/events.parquet")
+    val tsType = sniff.schema("ts").dataType
+    val session = tsType match {
+      case LongType => requirePlausibleNanos(sniff); nsClone
+      case _ => spark
+    }
+    val raw = session.readStream.schema(eventsSchemaFor(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
     tsType match {

@@ -34,7 +34,12 @@ final case class Traversal(
     pathEnabled: Boolean = false,
     lastOrder: Seq[Column] = Nil,
     stored: Map[String, DataFrame] = Map.empty,
-    asMeta: Map[String, Boolean] = Map.empty) {
+    asMeta: Map[String, Boolean] = Map.empty,
+    // Label universe the current frontier can contain (None = unknown/all).
+    // Narrowed by hasLabel, reset by element-changing steps (hops, branch
+    // merges). A routing hint only — it scopes supernode salting (stale
+    // `None` = conservative two-phase, never a wrong result). */
+    frontierLabels: Option[Set[String]] = None) {
 
   private def asCols: Seq[String] = df.columns.filter(_.startsWith("_as_")).toSeq
   private def hasPath: Boolean = df.columns.contains("_path")
@@ -52,7 +57,8 @@ final case class Traversal(
   def hasNot(key: String): Traversal = copy(df = df.filter(keyCol(key).isNull))
   def hasLabel(ls: String*): Traversal =
     copy(df = if (ls.size == 1) df.filter(col("label") === ls.head)
-              else df.filter(col("label").isin(ls: _*)))
+              else df.filter(col("label").isin(ls: _*)),
+      frontierLabels = Some(frontierLabels.fold(ls.toSet)(_ intersect ls.toSet)))
   def hasId(ids: Long*): Traversal =
     copy(df = if (ids.size == 1) df.filter(col("id") === ids.head)
               else df.filter(col("id").isin(ids: _*)))
@@ -137,14 +143,16 @@ final case class Traversal(
         graph.edgePropColumns.map(col) ++ asCols.map(col) ++
         (if (pathEnabled) Seq(F.concat(col("_path"), F.array(col("id"))).as("_path")) else Nil) ++
         sackCarry
-      copy(df = joined.select(cols: _*), isVertex = false, lastOrder = Nil)
+      copy(df = joined.select(cols: _*), isVertex = false, lastOrder = Nil,
+        frontierLabels = None)
     } else {
       val v = graph.vertices.alias("V")
       val res = joined.join(v, col("other") === col("V.id"))
       val cols = Seq(col("V.*")) ++ asCols.map(col) ++
         (if (pathEnabled) Seq(F.concat(col("_path"), F.array(col("V.id"))).as("_path")) else Nil) ++
         sackCarry
-      copy(df = res.select(cols: _*), isVertex = true, lastOrder = Nil)
+      copy(df = res.select(cols: _*), isVertex = true, lastOrder = Nil,
+        frontierLabels = None)
     }
   }
 
@@ -156,7 +164,8 @@ final case class Traversal(
     val cols = Seq(col("V.*")) ++ asCols.map(col) ++
       (if (hasPath) Seq(F.concat(col("_path"), F.array(col("V.id"))).as("_path")) else Nil) ++
       sackCarry
-    copy(df = res.select(cols: _*), isVertex = true, lastOrder = Nil)
+    copy(df = res.select(cols: _*), isVertex = true, lastOrder = Nil,
+      frontierLabels = None)
   }
 
   // ---------- modulation / projection ----------
@@ -250,6 +259,20 @@ final case class Traversal(
     bySubValue(step, value, default)
       .groupBy(keyCol(key).as(key))
       .agg(groupAgg(col("__byv")).as("value"))
+
+  /** group().by(keySubTraversal) — by-modulation on the group KEY, not the
+    * value (TinkerPop `group().by(out('placed').count())`): each element's
+    * key is an aggregate over a sub-traversal rooted at it; elements fold
+    * per computed key. `keyValue` is that per-element aggregate (elements
+    * with an empty sub-traversal key as `default`); `groupAgg` folds each
+    * group (count of members by default). Same one-aggregate-plus-one-join
+    * compilation as every by()-modulation — never a per-element subquery. */
+  def groupByKeySub(keyStep: Traversal => Traversal,
+      keyValue: Column = F.count(lit(1)), default: Column = lit(0L),
+      groupAgg: Column = F.count(lit(1))): DataFrame =
+    bySubValue(keyStep, keyValue, default)
+      .groupBy(col("__byv").as("key"))
+      .agg(groupAgg.as("value"))
 
   /** project('a','b').by(subTraversal)... — one output column per named
     * field, each a per-element aggregate of its own sub-traversal (TinkerPop
@@ -438,7 +461,9 @@ final case class Traversal(
 
   // ---------- branch / merge ----------
   def union(others: Traversal*): Traversal =
-    copy(df = (this +: others).map(_.df).reduce((a, b) => a.unionByName(b, allowMissingColumns = true)))
+    copy(df = (this +: others).map(_.df).reduce((a, b) => a.unionByName(b, allowMissingColumns = true)),
+      frontierLabels = (this +: others).map(_.frontierLabels)
+        .reduce((a, b) => for { x <- a; y <- b } yield x union y))
 
   /** inject(ids*) — add the given graph elements to the frontier as fresh
     * traversers (Gremlin InjectStep). New traversers carry no `as`-history or
@@ -686,8 +711,25 @@ final case class Traversal(
   def max(key: String): DataFrame = df.agg(F.max(col(key)).as("max"))
   def min(key: String): DataFrame = df.agg(F.min(col(key)).as("min"))
   def mean(key: String): DataFrame = df.agg(F.avg(col(key)).as("mean"))
-  def groupCount(key: String): DataFrame =
-    df.groupBy(col(key)).agg(F.count(lit(1)).as("count"))
+  /** groupCount routes through the salted two-phase aggregate when the
+    * frontier can contain a partitioned (supernode) vertex label — a grouped
+    * count over a supernode's expanded neighborhood funnels its whole group
+    * through one reducer otherwise (parity:
+    * PartitionedVertexProgramExecutor; count is decomposable, results are
+    * identical). Scoped by the tracked frontier label set: a traversal
+    * anchored on provably non-partitioned labels plans the plain single
+    * aggregate. group() (collect_list) is NOT decomposable order-stably and
+    * stays single-phase. */
+  def groupCount(key: String): DataFrame = {
+    val part = graph.schema.partitionedLabels
+    if (part.nonEmpty && frontierLabels.forall(_.exists(part.contains))) {
+      val salts = graph.spark.conf.get("spark.graft.supernode.salts", "64").toInt
+      graft.olap.GraphOps.saltedAggregate(df, col(key), salts,
+        partialAggs = Seq(F.count(lit(1)).as("__c")),
+        mergeAggs = Seq(F.sum(col("__c")).as("count")))
+        .withColumnRenamed("__key", key)
+    } else df.groupBy(col(key)).agg(F.count(lit(1)).as("count"))
+  }
   def group(key: String, valueKey: String): DataFrame =
     df.groupBy(col(key)).agg(F.collect_list(col(valueKey)).as("values"))
 

@@ -172,6 +172,47 @@ class MutationEnforcementSpec extends AnyFunSuite {
     assert(m.edges.filter(col("id") === inPlaceId).count() === 1)
   }
 
+  test("write-path schema maker: default auto-creates, none rejects, conflicts throw") {
+    val g = TpchGraph.load(spark, dir)
+    // a mutation batch carrying an UNDECLARED property key 'vip'
+    val add = spark.range(1).select(lit(TpchGraph.RegionTag * T + 55L).as("id"),
+      lit("region").as("label"), lit(55L).as("uid"), lit("MU").as("name"),
+      lit(true).as("vip"))
+    // schema.default unset (= default): the maker auto-creates the key inside
+    // the write and the result graph can query through it
+    assert(!g.schema.propertyKeys.contains("vip"))
+    val m = GraphIO.applyMutations(g, addVertices = Some(add))
+    assert(m.schema.propertyKeys.contains("vip"))
+    assert(m.V().has("vip", true).dataframe.count() === 1)
+    // schema.default=none (DisableDefaultSchemaMaker): the SAME batch throws
+    spark.conf.set(graft.mgmt.DefaultSchemaMaker.ConfKey, "none")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        GraphIO.applyMutations(g, addVertices = Some(add))
+      }
+      assert(ex.getMessage.contains("vip"))
+      // strict mode still allows batches with only declared types
+      val ok = spark.range(1).select(lit(TpchGraph.RegionTag * T + 56L).as("id"),
+        lit("region").as("label"), lit(56L).as("uid"), lit("NU").as("name"))
+      GraphIO.applyMutations(g, addVertices = Some(ok))
+      // unknown maker names are rejected, not silently permissive
+      spark.conf.set(graft.mgmt.DefaultSchemaMaker.ConfKey, "bogus")
+      intercept[IllegalArgumentException] {
+        GraphIO.applyMutations(g, addVertices = Some(ok))
+      }
+    } finally spark.conf.unset(graft.mgmt.DefaultSchemaMaker.ConfKey)
+    // conflicting types for the same auto-created key across frames: rejected
+    // (property key types are immutable once created — no silent first-wins)
+    val av = spark.range(1).select(lit(1L).as("id"), lit("a").as("label"),
+      lit(1L).as("flag"))
+    val ae = av.limit(0).select(col("id"), col("id").as("src"),
+      col("id").as("dst"), col("label"), lit("x").as("flag"))
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.mgmt.DefaultSchemaMaker.complete(GraphSchema(), av, ae)
+    }
+    assert(ex2.getMessage.contains("conflicting types") && ex2.getMessage.contains("flag"))
+  }
+
   test("compactExpired physically removes expired vertices and cascades their edges") {
     val schema = GraphSchema(
       vertexLabels = Map("ev" -> VertexLabelDef("ev", ttlSeconds = Some(3600L))),

@@ -118,11 +118,11 @@ class PipelineSpec extends AnyFunSuite {
     c.foreach(r => assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12))
   }
 
-  test("k-means centroids beat id-order init on misaligned clusters") {
-    // 8k vectors in 32 planted clusters assigned by HASH of id — the first 32
-    // ids hit a random multiset of clusters (some clusters get several seed
-    // centroids, others none), the exact misalignment where the id-order
-    // stand-in loses recall and Lloyd rounds recover it by re-centering.
+  test("k-means centroids: Lloyd rounds beat the raw seed; hash seeding survives id-sorted corpora") {
+    // 8k vectors in 32 planted clusters assigned by HASH of id — a uniform
+    // 32-draw seed hits a random multiset of clusters (some get several seed
+    // centroids, others none), the misalignment Lloyd rounds recover from by
+    // re-centering.
     val n = 8000
     val embH = spark.range(n).select(col("id").as("vec_id"),
       expr("""transform(sequence(0, 31), j ->
@@ -130,9 +130,9 @@ class PipelineSpec extends AnyFunSuite {
         cast(pmod(hash(id * 32 + j), 100) as double) / 250.0)""").as("embedding"))
       .cache()
     embH.count()
-    // queries DISJOINT from the first-nlist seed ids: a query that IS an init
-    // centroid gets a bucket centered on itself, which flatters the id-order
-    // baseline and hides exactly the effect this test measures
+    // queries DISJOINT from likely seed ids: a query that IS an init centroid
+    // gets a bucket centered on itself, which flatters the raw-seed baseline
+    // and hides exactly the effect this test measures
     val queries = embH.filter(col("vec_id") >= 200 && col("vec_id") < 215)
     val bf = Similarity.bruteForceTopK(embH, queries, 5).select("qid", "nid")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -143,9 +143,32 @@ class PipelineSpec extends AnyFunSuite {
       (bf intersect ivf).size.toDouble / bf.size
     }
     val (r0, r2) = (recall(0), recall(2))
-    assert(r2 > r0, s"k-means recall $r2 must beat id-order init $r0")
+    assert(r2 > r0, s"k-means recall $r2 must beat seed-init recall $r0")
     assert(r2 >= 0.9, s"k-means recall $r2 too low on clustered vectors")
     embH.unpersist()
+
+    // the id-SORTED corpus (cluster = id div 250): an id-ordered seed would
+    // put all 32 seeds inside planted cluster 0 by construction; the
+    // md5-sampled seed draws uniformly across ids, so even the RAW seed
+    // (rounds=0) buckets most clusters usefully at nprobe=1
+    val embR = spark.range(n).select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 31), j ->
+        cast(pmod(hash(cast(id div 250 as int) * 32 + j), 1000) as double) / 1000.0 - 0.5 +
+        cast(pmod(hash(id * 32 + j), 100) as double) / 250.0)""").as("embedding"))
+      .cache()
+    embR.count()
+    val queriesR = embR.filter(col("vec_id") % 250 === 7) // one query per planted cluster
+    val bfR = Similarity.bruteForceTopK(embR, queriesR, 5).select("qid", "nid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallR(rounds: Int): Double = {
+      val ivf = Similarity.ivfTopK(embR, queriesR, 5, nlist = 32, nprobe = 1,
+        kmeansRounds = rounds).select("qid", "nid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bfR intersect ivf).size.toDouble / bfR.size
+    }
+    assert(recallR(0) >= 0.3, s"hash-seeded raw recall ${recallR(0)} collapsed on id-sorted corpus")
+    assert(recallR(2) >= 0.6, s"k-means recall ${recallR(2)} too low on id-sorted corpus")
+    embR.unpersist()
   }
 
   test("IVF top-k recall vs brute force >= 0.5 at nprobe=4/nlist=16") {
@@ -427,14 +450,17 @@ class PipelineSpec extends AnyFunSuite {
   test("semanticDedup: drops within-cluster near-dups, keeps min id and singletons") {
     import spark.implicits._
     // two tight duplicate groups along different axes + two isolated vectors;
-    // nlist=4 → first 4 vectors are the coarse centroids
+    // nlist=2 → the md5-sampled seeds are ids 11 (x-axis) and 20 (y-axis),
+    // so each planted duplicate group co-clusters with its seed (a larger
+    // nlist here would make BOTH members of a dup pair their own centroid
+    // and legitimately never pair them — cluster-confined search semantics)
     def v(x: Double, y: Double, z: Double) = Seq(x, y, z).map(_.toFloat)
     val data = Seq(
       (0L, v(1, 0, 0)), (1L, v(0, 1, 0)), (2L, v(0, 0, 1)), (3L, v(1, 1, 1)),
       (10L, v(0.99, 0.01, 0)), (11L, v(0.98, 0.02, 0)),   // dups of 0
       (20L, v(0.01, 0.99, 0))                             // dup of 1
     ).toDF("vec_id", "embedding")
-    val kept = graft.pipeline.Similarity.semanticDedup(data, threshold = 0.95, nlist = 4)
+    val kept = graft.pipeline.Similarity.semanticDedup(data, threshold = 0.95, nlist = 2)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     // components: {0,10,11} → keep 0; {1,20} → keep 1; 2, 3 isolated
     assert(kept === Set(0L, 1L, 2L, 3L))

@@ -77,6 +77,48 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(viaSalt === plain)
   }
 
+  test("salted routing is scoped by the frontier's label set and covers propertyCount/groupCount") {
+    import graft.query.{Direction, VertexCentricQuery}
+    import org.apache.spark.sql.functions.col
+    val g = graft.data.TpchGraph.load(spark, dir)
+    val pg = g.copy(schema = g.schema.copy(vertexLabels = g.schema.vertexLabels
+      .updated("order", g.schema.vertexLabel("order").copy(partitioned = true))))
+    // (a) a frontier provably restricted to NON-partitioned labels plans the
+    // plain single aggregate — no salt column, one aggregation level
+    val custFrontier = pg.vertices.filter(col("label") === "customer")
+      .select(col("id").as("vid"))
+    val scoped = VertexCentricQuery(pg).onFrontier(custFrontier, Seq("customer"))
+      .direction(Direction.OUT).edgeCount()
+    assert(!scoped.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "non-partitioned anchor labels must skip the two-phase aggregate")
+    // (b) a frontier that CAN contain the partitioned label still salts
+    val orderFrontier = pg.vertices.filter(col("label") === "order")
+      .select(col("id").as("vid"))
+    val salted = VertexCentricQuery(pg).onFrontier(orderFrontier, Seq("order"))
+      .direction(Direction.OUT).edgeCount()
+    assert(salted.queryExecution.optimizedPlan.toString.contains("__salt"))
+    // (c) propertyCount routes too, with identical results to the plain plan
+    val pc = VertexCentricQuery(pg).onFrontier(orderFrontier, Seq("order"))
+      .propertyCount("totalprice", "orderdate")
+    assert(pc.queryExecution.optimizedPlan.toString.contains("__salt"))
+    val pcPlain = VertexCentricQuery(g).onFrontier(orderFrontier)
+      .propertyCount("totalprice", "orderdate")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === pcPlain)
+    // (d) traversal groupCount: partitioned-label frontier plans salted
+    // two-phase with identical results; a hasLabel-scoped non-partitioned
+    // frontier plans the plain single aggregate
+    val gcSalted = pg.traversal.V().hasLabel("order").out("contains").groupCount("label")
+    assert(gcSalted.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "post-hop frontier labels are unknown -> conservative salting must engage")
+    val gcPlain = g.traversal.V().hasLabel("order").out("contains").groupCount("label")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gcSalted.collect().map(r => r.getString(0) -> r.getLong(1)).toMap === gcPlain)
+    val gcScoped = pg.traversal.V().hasLabel("customer").groupCount("mktsegment")
+    assert(!gcScoped.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "hasLabel-scoped non-partitioned frontier must plan the plain aggregate")
+  }
+
   test("automatic index selection rewrites an equality query to an index semi-join") {
     // with a registered backing table the planner picks the byName composite
     // index: filter the index table → broadcast semi-join ids against base

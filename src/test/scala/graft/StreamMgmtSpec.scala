@@ -188,6 +188,37 @@ class StreamMgmtSpec extends AnyFunSuite {
       s"each event id must be emitted exactly once, got ${sink.sorted.toList}")
   }
 
+  test("readStream leaves the caller session's conf untouched after a full run") {
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(confKey)
+    val checkpoint = Files.createTempDirectory("graft-ckpt-conf").toString
+    val stream = ChangeStream.readStream(spark, dir)
+    val q = ChangeStream.addListener(stream, checkpoint) { (_, _) => () }
+    assert(q.awaitTermination(120000), "conf-isolation stream did not finish within 120s")
+    assert(spark.conf.getOption(confKey) === before,
+      "readStream must not mutate the caller session's conf")
+  }
+
+  test("plain-int64 events.ts drop fails loudly in BOTH batch and stream readers") {
+    // a malformed drop: ts stored as unannotated int64 carrying MICROseconds
+    // (~1.7e15) — silently treating it as nanos would mis-scale event time
+    // 1000x; the magnitude guard must throw instead, on both paths
+    val tmp = Files.createTempDirectory("graft-int64").toString
+    val base = 1700000000000000L // epoch-µs, far below the 1e17 ns floor
+    spark.range(5).selectExpr(
+      "id AS event_id", s"CAST($base + id AS LONG) AS ts", "id AS user_id",
+      "'click' AS event_type", "CAST(id AS DOUBLE) AS value", "'{}' AS props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val exBatch = intercept[IllegalStateException] {
+      SparkEntry.readEventsRaw(spark, tmp)
+    }
+    assert(exBatch.getMessage.contains("not plausible epoch-nanoseconds"))
+    val exStream = intercept[IllegalStateException] {
+      ChangeStream.readStream(spark, tmp)
+    }
+    assert(exStream.getMessage.contains("not plausible epoch-nanoseconds"))
+  }
+
   test("management: maker surface + commit") {
     val mgmt = new Management(GraphSchema())
     mgmt.makePropertyKey("score").dataType(org.apache.spark.sql.types.DoubleType).make()
