@@ -571,6 +571,22 @@ object SparkEntry {
         .select("a", "b")
         .select(col("a_uid").as("c_uid"), col("b_uid").as("o_uid"))
     }),
+    // ---- 2.E select(Pop.first) over a REUSED as-label (TinkerPop Pop;
+    //      plain select on a repeated label ≡ Pop.last, covered by q_select) ----
+    "q_select_pop" -> ((s, dir) => {
+      graph(s, dir).traversal.V()
+        .hasLabel("customer").has("mktsegment", "BUILDING").as("x")
+        .out("placed").as("x")
+        .selectPop("x", graft.traverse.Pop.First)
+        .select(col("x_uid").as("first_uid"), col("x_label").as("first_label"))
+    }),
+    // ---- 2.E select(Pop.all) — the full occurrence id list, stringified ----
+    "q_select_pop_all" -> ((s, dir) => {
+      graph(s, dir).traversal.V()
+        .hasLabel("customer").has("mktsegment", "BUILDING").as("x")
+        .out("placed").as("x")
+        .selectPop("x", graft.traverse.Pop.All)
+    }),
     // ---- 2.E bothV — both endpoints per edge (2 traversers per edge) ----
     "q_bothv" -> ((s, dir) => {
       graph(s, dir).traversal.E().hasLabel("placed").bothV()
@@ -747,6 +763,12 @@ object SparkEntry {
     // ---- 2.K PageRank (exact fixed-point integer — DuckDB-oracle-checkable) ----
     "q_pagerank" -> ((s, dir) => {
       graft.olap.Analytics.pageRankFixedPoint(graph(s, dir), iterations = 10)
+    }),
+    // ---- 2.K personalized PageRank (teleport mass on one source; sparse
+    //      non-zero-rank result; exact fixed-point ⇒ hash-oracle-checkable) ----
+    "q_ppr" -> ((s, dir) => {
+      val src = TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L
+      graft.olap.Analytics.personalizedPageRankFixedPoint(graph(s, dir), Seq(src), iterations = 10)
     }),
     // ---- 2.K BSP vertex program end-to-end (combine + barrier + write-back) ----
     "q_bsp" -> ((s, dir) => {
@@ -1463,6 +1485,25 @@ object SparkEntry {
         addVertices = Some(add), deleteVertexIds = Some(del))
       m.vertices.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
     }),
+    // ---- 2.E drop() step (TinkerPop DropStep → the transaction delete
+    //      path): remove the BUILDING customers; incident placed/in_nation
+    //      edges cascade with the adjacency row ----
+    "q_drop_step" -> ((s, dir) => {
+      val m = graph(s, dir).traversal.V()
+        .hasLabel("customer").has("mktsegment", "BUILDING").drop()
+      m.vertices.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+        .select(lit("v").as("kind"), col("label"), col("cnt"))
+        .unionAll(m.edges.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+          .select(lit("e").as("kind"), col("label"), col("cnt")))
+    }),
+    // ---- 2.E addE step (TinkerPop AddEdgeStep): materialize the reverse of
+    //      'placed' as placed_by; the undeclared edge label auto-creates
+    //      through the first-use schema maker inside applyMutations ----
+    "q_add_edge" -> ((s, dir) => {
+      val m = graph(s, dir).traversal.V().hasLabel("customer").as("c")
+        .out("placed").addE("placed_by", "c")
+      m.edges.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    }),
     // ---- 2.L catalog-TTL auto-read: the label declares a TTL, ingest
     //      provenance is `_ts`, and a PLAIN V() scan hides expired elements
     //      (no explicit filter anywhere in the query) ----
@@ -1790,6 +1831,14 @@ object SparkEntry {
     "q_select" ->
       """SELECT c_custkey AS c_uid, o_orderkey AS o_uid FROM customer
         |JOIN orders ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "q_select_pop" ->
+      """SELECT c_custkey AS first_uid, 'customer' AS first_label FROM customer
+        |JOIN orders ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "q_select_pop_all" ->
+      s"""SELECT CAST(${TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits)} + c_custkey AS VARCHAR)
+         | || ',' || CAST(${TpchGraph.OrderTag.toLong * (1L << graft.core.GraphIds.TagBits)} + o_orderkey AS VARCHAR) AS x_ids
+         |FROM customer JOIN orders ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
     "q_sack" ->
       """SELECT 0.0 + o_totalprice + l_extendedprice AS sack FROM customer
         |JOIN orders ON o_custkey = c_custkey
@@ -1959,6 +2008,31 @@ object SparkEntry {
         |UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
         |UNION ALL SELECT 'part', COUNT(*) FROM part
         |UNION ALL SELECT 'order', COUNT(*) FROM orders""".stripMargin,
+    "q_drop_step" ->
+      """SELECT 'v' AS kind, 'region' AS label, COUNT(*) AS cnt FROM region
+        |UNION ALL SELECT 'v', 'nation', COUNT(*) FROM nation
+        |UNION ALL SELECT 'v', 'customer',
+        |  (SELECT COUNT(*) FROM customer WHERE c_mktsegment <> 'BUILDING')
+        |UNION ALL SELECT 'v', 'supplier', COUNT(*) FROM supplier
+        |UNION ALL SELECT 'v', 'part', COUNT(*) FROM part
+        |UNION ALL SELECT 'v', 'order', COUNT(*) FROM orders
+        |UNION ALL SELECT 'e', 'in_region', COUNT(*) FROM nation
+        |UNION ALL SELECT 'e', 'in_nation',
+        |  (SELECT COUNT(*) FROM customer WHERE c_mktsegment <> 'BUILDING')
+        |  + (SELECT COUNT(*) FROM supplier)
+        |UNION ALL SELECT 'e', 'placed',
+        |  (SELECT COUNT(*) FROM orders JOIN customer ON c_custkey = o_custkey
+        |   WHERE c_mktsegment <> 'BUILDING')
+        |UNION ALL SELECT 'e', 'contains', COUNT(*) FROM lineitem
+        |UNION ALL SELECT 'e', 'supplied_by', COUNT(*) FROM lineitem""".stripMargin,
+    "q_add_edge" ->
+      """SELECT 'in_region' AS label, COUNT(*) AS cnt FROM nation
+        |UNION ALL SELECT 'in_nation',
+        |  (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier)
+        |UNION ALL SELECT 'placed', COUNT(*) FROM orders
+        |UNION ALL SELECT 'placed_by', COUNT(*) FROM orders
+        |UNION ALL SELECT 'contains', COUNT(*) FROM lineitem
+        |UNION ALL SELECT 'supplied_by', COUNT(*) FROM lineitem""".stripMargin,
     "q_ttl" ->
       """SELECT event_type, COUNT(*) AS cnt FROM events
         |WHERE ts + INTERVAL 604800 SECOND > TIMESTAMP '2024-01-31 00:00:00' GROUP BY 1""".stripMargin,
@@ -2083,6 +2157,8 @@ object SparkEntry {
     "q_mean_terminal" ->
       """SELECT AVG(p_size) AS "mean" FROM part""",
     "q_pagerank" -> pageRankOracle(10),
+    "q_ppr" -> pprOracle(
+      TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 10),
     "q_bsp" ->
       """WITH deg AS (
         |  SELECT nk, CAST(SUM(d) AS BIGINT) AS d FROM (
@@ -2504,6 +2580,29 @@ object SparkEntry {
        |p0 AS MATERIALIZED (SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM vg),
        |$iters
        |SELECT id, r AS rank_fp FROM p$iterations""".stripMargin
+  }
+
+  /** Personalized fixed-point PageRank (mirrors
+    * Analytics.personalizedPageRankFixedPoint: teleport mass concentrated on
+    * the source, zero elsewhere; only non-zero ranks emitted). */
+  private def pprOracle(sourceId: Long, iterations: Int): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT vg.id,
+         |  (CASE WHEN vg.id = $sourceId THEN 150000000000 ELSE 0 END)
+         |  + 85 * (CAST(COALESCE(SUM(m.c), 0) AS BIGINT) // 100) AS r
+         |  FROM vg LEFT JOIN (
+         |    SELECT eg.dst AS id, p${k - 1}.r // deg.d AS c
+         |    FROM eg JOIN p${k - 1} ON p${k - 1}.id = eg.src
+         |    JOIN deg ON deg.src = eg.src) m ON m.id = vg.id
+         |  GROUP BY vg.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM eg GROUP BY 1),
+       |p0 AS MATERIALIZED (SELECT id,
+       |  CASE WHEN id = $sourceId THEN CAST(1000000000000 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS r FROM vg),
+       |$iters
+       |SELECT id, r AS rank_ppr FROM p$iterations WHERE r > 0""".stripMargin
   }
 
   /** Synchronous Bellman-Ford hop distance (mirrors Analytics.shortestHopsExact). */

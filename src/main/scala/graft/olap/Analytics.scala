@@ -149,6 +149,48 @@ object Analytics {
     ranks.select(col("id"), col("r").as("rank_fp"))
   }
 
+  /** Personalized PageRank in the same exact fixed-point integer arithmetic
+    * as [[pageRankFixedPoint]] (bit-identical across engines / run orders ⇒
+    * oracle-checkable): the teleport vector concentrates on `sources`
+    * instead of spreading uniformly — the random surfer restarts at a source
+    * with probability 0.15, so rank measures proximity to the source set
+    * (the standard PPR recommendation primitive; the reference's
+    * PageRankVertexProgram generalizes the same way by seeding its initial
+    * state). Each source carries full restart mass 0.15·S (un-normalized
+    * across sources — deterministic and scale-free; divide by |sources|
+    * downstream if a distribution is needed). Only vertices with non-zero
+    * rank return — PPR mass is sparse, so at 100 TB the result is a small
+    * frame even when the graph is not. Identical shuffle profile to
+    * pageRankFixedPoint: one edge-keyed join + one map-side-combinable
+    * integer sum per iteration over a cached 16-byte-row projection. */
+  def personalizedPageRankFixedPoint(g: PropertyGraph, sources: Seq[Long],
+      iterations: Int = 10): DataFrame = {
+    require(sources.nonEmpty, "personalized PageRank needs at least one source")
+    val S = 1000000000000L // 10^12
+    val e = g.edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val ed = graft.core.PlanCache.cached(g.spark,
+      graft.core.PlanCache.key("pagerank-edges", g.edges)) {
+      e.join(deg, Seq("src")).select(col("src"), col("dst"), col("__deg"))
+    }
+    val ids = graft.core.PlanCache.cached(g.spark,
+      graft.core.PlanCache.key("pagerank-ids", g.vertices)) {
+      g.vertices.select(col("id"))
+    }
+    val isSrc = col("id").isin(sources: _*)
+    var ranks = ids.select(col("id"), when(isSrc, lit(S)).otherwise(lit(0L)).as("r"))
+    (1 to iterations).foreach { _ =>
+      val msgs = ed.join(ranks, ed("src") === ranks("id"))
+        .select(col("dst").as("id"), expr("r DIV __deg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      ranks = ids.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          (when(isSrc, lit(15L * (S / 100L))).otherwise(lit(0L)) +
+            lit(85L) * expr("coalesce(s, 0L) DIV 100")).as("r"))
+    }
+    ranks.filter(col("r") > 0L).select(col("id"), col("r").as("rank_ppr"))
+  }
+
   /** Synchronous Bellman-Ford hop-distance from `source` — `maxIter` full
     * relaxation rounds (≡ Pregel min-combiner after maxIter supersteps,
     * reference tt/olap/ShortestDistanceVertexProgram.java:26-146). Integer

@@ -39,7 +39,10 @@ final case class Traversal(
     // Narrowed by hasLabel, reset by element-changing steps (hops, branch
     // merges). A routing hint only — it scopes supernode salting (stale
     // `None` = conservative two-phase, never a wrong result). */
-    frontierLabels: Option[Set[String]] = None) {
+    frontierLabels: Option[Set[String]] = None,
+    // Element kind (vertex?) of the FIRST occurrence of each reused as-label
+    // (Pop.first can target a different element kind than the latest). */
+    asFirstMeta: Map[String, Boolean] = Map.empty) {
 
   private def asCols: Seq[String] = df.columns.filter(_.startsWith("_as_")).toSeq
   private def hasPath: Boolean = df.columns.contains("_path")
@@ -173,10 +176,57 @@ final case class Traversal(
     * subsequent joins (`_as_<name>_id`); `select` re-resolves full element
     * rows from the graph by id at projection time, so a multi-label traversal
     * does not drag label-count × column-count extra columns through every hop
-    * (TinkerPop path processors keep element references, not copies). */
-  def as(name: String): Traversal =
-    copy(df = df.withColumn(s"_as_${name}_id", col("id")),
-      asMeta = asMeta + (name -> isVertex))
+    * (TinkerPop path processors keep element references, not copies).
+    *
+    * A REUSED label (TinkerPop allows `as('x')…as('x')`) keeps every
+    * occurrence: `_as_<name>_id` tracks the latest (plain `select` = Pop.last,
+    * the TinkerPop default for repeated labels) while `_as_<name>_ids`
+    * accumulates the full occurrence list for [[selectPop]] — one extra
+    * 8-byte array cell per reuse, only materialized when a label actually
+    * repeats. */
+  def as(name: String): Traversal = {
+    val idc = s"_as_${name}_id"
+    val allc = s"_as_${name}_ids"
+    val d =
+      if (!df.columns.contains(idc)) df.withColumn(idc, col("id"))
+      else if (df.columns.contains(allc))
+        df.withColumn(allc, F.array_append(col(allc), col("id")))
+          .withColumn(idc, col("id"))
+      else
+        df.withColumn(allc, F.array(col(idc), col("id")))
+          .withColumn(idc, col("id"))
+    copy(df = d, asMeta = asMeta + (name -> isVertex),
+      asFirstMeta = if (asFirstMeta.contains(name)) asFirstMeta
+        else asFirstMeta + (name -> isVertex))
+  }
+
+  /** select(Pop, name) — Pop semantics over a repeated `as` label (TinkerPop
+    * Pop.first/last/all, tp SelectOneStep): FIRST resolves the earliest
+    * occurrence's element, LAST the latest (≡ plain `select`), ALL yields the
+    * occurrence id list as one comma-joined string column `<name>_ids`
+    * (stringified — list cells don't survive the driver's canonicalizer).
+    * First/last resolution is the same id-carry + join-back-at-projection
+    * scheme as `select` — Pop costs nothing while the traversal streams. */
+  def selectPop(name: String, pop: Pop): DataFrame = {
+    val idc = s"_as_${name}_id"
+    val allc = s"_as_${name}_ids"
+    require(df.columns.contains(idc), s"no as('$name') label in traversal")
+    val occurs = df.columns.contains(allc)
+    pop match {
+      case Pop.All =>
+        val ids = if (occurs) col(allc) else F.array(col(idc))
+        df.select(F.concat_ws(",", ids.cast("array<string>")).as(s"${name}_ids"))
+      case Pop.First | Pop.Last =>
+        val isFirst = pop == Pop.First
+        val pick = if (isFirst && occurs) col(allc).getItem(0) else col(idc)
+        val isV = if (isFirst) asFirstMeta.getOrElse(name, true) else asMeta.getOrElse(name, true)
+        val keep = elementKeep(isV)
+        val base = (if (isV) graph.vertices else graph.edges)
+          .select(keep.map(c => col(c).as(s"__pop_$c")): _*)
+        df.join(base, pick === col("__pop_id"))
+          .select(keep.map(c => col(s"__pop_$c").as(s"${name}_$c")): _*)
+    }
+  }
 
   private def elementKeep(isV: Boolean): Seq[String] =
     if (isV) Seq("id", "label") ++ graph.vertexPropColumns
@@ -704,6 +754,64 @@ final case class Traversal(
     * counters/logging should use Spark accumulators inside f). */
   def sideEffect(f: DataFrame => Unit): Traversal = { f(df); this }
 
+  // ---------- mutation steps (TinkerPop DropStep / AddEdgeStep) ----------
+  /** drop() — remove the frontier's elements from the graph (TinkerPop
+    * DropStep; the reference routes element removal through the transaction's
+    * delete path, StandardTitanTx removeRelation/vertex deletion). A vertex
+    * frontier deletes those vertices WITH incident-edge cascade (the
+    * reference deletes the whole adjacency row); an edge frontier deletes
+    * exactly those edges. Compiles to [[graft.data.GraphIO.applyMutations]] —
+    * the transaction-commit analogue — so static-label and consistency
+    * enforcement run unless `enforce=false`. Returns the mutated graph; the
+    * id set shuffled into the anti-joins is the frontier's ids only. */
+  def drop(enforce: Boolean = true): PropertyGraph = {
+    val ids = df.select(col("id")).distinct()
+    if (isVertex)
+      graft.data.GraphIO.applyMutations(graph, deleteVertexIds = Some(ids), enforce = enforce)
+    else
+      graft.data.GraphIO.applyMutations(graph, deleteEdgeIds = Some(ids), enforce = enforce)
+  }
+
+  /** addE(label, stepLabel, dir) — add one edge per distinct (frontier
+    * vertex, saved vertex) pair between the current vertex and the vertex
+    * remembered at `as(stepLabel)` (TinkerPop 3.0 AddEdgeStep:
+    * `V().as('a').out(…).addE(Direction, 'label', 'a')`; OUT: frontier→saved
+    * is src→dst reversed per TP semantics — `addOutE` points FROM the
+    * frontier, so OUT = frontier as src). Edge ids synthesize
+    * deterministically from xxhash64(src,dst,label) under a reserved top tag
+    * byte, so replays are idempotent and pairs collapse to SIMPLE
+    * multiplicity (the deterministic-id tradeoff; callers needing MULTI
+    * duplicates supply explicit ids through applyMutations directly).
+    * Runs through applyMutations ⇒ first-use schema maker + enforcement
+    * apply. Only (src,dst) pairs shuffle; property columns can be added by
+    * `props` (frontier columns referenced by name). */
+  def addE(label: String, stepLabel: String,
+      direction: Direction = Direction.OUT,
+      props: Seq[String] = Nil, enforce: Boolean = true): PropertyGraph = {
+    require(isVertex, "addE: frontier must be vertices")
+    val idc = s"_as_${stepLabel}_id"
+    require(df.columns.contains(idc), s"no as('$stepLabel') label in traversal")
+    require(asMeta.getOrElse(stepLabel, true), s"addE: as('$stepLabel') must mark a vertex step")
+    val (srcC, dstC) = direction match {
+      case Direction.OUT => (col("id"), col(idc))
+      case Direction.IN  => (col(idc), col("id"))
+      case Direction.BOTH =>
+        throw new IllegalArgumentException("addE: direction must be IN or OUT (edges are directed)")
+    }
+    val pairs = df
+      .select(Seq(srcC.as("src"), dstC.as("dst")) ++ props.map(col): _*)
+      .dropDuplicates("src", "dst")
+    // [127 | 56-bit hash] — the reserved top tag (highest positive tag byte)
+    // keeps synthesized ids positive and disjoint from every loader-assigned
+    // tag namespace (GraphIds layout)
+    val eid = (lit(127L << graft.core.GraphIds.TagBits) +
+      F.pmod(F.xxhash64(col("src"), col("dst"), lit(label)),
+        lit(1L << graft.core.GraphIds.TagBits))).as("id")
+    val edges = pairs.select(Seq(eid, col("src"), col("dst"), lit(label).as("label")) ++
+      props.map(col): _*)
+    graft.data.GraphIO.applyMutations(graph, addEdges = Some(edges), enforce = enforce)
+  }
+
   // ---------- aggregation terminals ----------
   def count(): DataFrame = df.agg(F.count(lit(1)).as("count"))
   def countDistinct(): DataFrame = df.agg(F.count_distinct(col("id")).as("count"))
@@ -734,6 +842,21 @@ final case class Traversal(
     df.groupBy(col(key)).agg(F.collect_list(col(valueKey)).as("values"))
 
   // ---------- iteration ----------
+  /** Per-round lineage truncation for the repeat-family loops. A frontier
+    * referenced k≥2 times per round (exit-filter + continue-filter, or
+    * emit-accumulator + next step, or an until-subtraversal that hops from
+    * it again) grows the ANALYZED plan ~k^rounds without truncation —
+    * Catalyst re-walks the whole subtree per rule, so a 3-round
+    * until-subtraversal loop already costs MINUTES of driver CPU purely in
+    * analysis. A LAZY local checkpoint rewrites the logical plan to a
+    * LogicalRDD immediately (no job now; the RDD materializes with the first
+    * downstream action and stays persisted for the other references) — the
+    * per-superstep materialization every BSP engine performs, same mechanism
+    * as barrier(). Plain repeat(n) references its frontier once per round
+    * (linear plan growth) and skips the barrier. */
+  private def roundBarrier(t: Traversal): Traversal =
+    t.copy(df = t.df.localCheckpoint(false))
+
   /** repeat(n)(step) — bounded driver-side loop of joins (repeat().times(n));
     * unbounded/conditional iteration belongs to graft.olap (Pregel). */
   def repeat(n: Int)(step: Traversal => Traversal): Traversal =
@@ -745,7 +868,7 @@ final case class Traversal(
     var cur = this
     var acc = this.df
     (1 to n).foreach { _ =>
-      cur = step(cur)
+      cur = roundBarrier(step(cur))
       acc = acc.unionByName(cur.df, allowMissingColumns = true)
     }
     copy(df = acc)
@@ -757,7 +880,9 @@ final case class Traversal(
   def repeatUntilEmpty(maxIter: Int)(step: Traversal => Traversal): Traversal = {
     var cur = this
     var i = 0
-    while (i < maxIter && cur.df.limit(1).count() > 0) { cur = step(cur); i += 1 }
+    while (i < maxIter && cur.df.limit(1).count() > 0) {
+      cur = roundBarrier(step(cur)); i += 1
+    }
     cur
   }
 
@@ -771,7 +896,7 @@ final case class Traversal(
     var frontier = this
     var done: Option[DataFrame] = None
     (1 to maxIter).foreach { _ =>
-      frontier = step(frontier)
+      frontier = roundBarrier(step(frontier))
       val finished = frontier.df.filter(cond)
       done = Some(done.fold(finished)(_.unionByName(finished, allowMissingColumns = true)))
       frontier = frontier.copy(df = frontier.df.filter(!F.coalesce(cond, lit(false))))
@@ -787,7 +912,7 @@ final case class Traversal(
     var frontier = this
     var acc: Option[DataFrame] = None
     (1 to maxIter).foreach { _ =>
-      frontier = step(frontier)
+      frontier = roundBarrier(step(frontier))
       acc = Some(acc.fold(frontier.df)(_.unionByName(frontier.df, allowMissingColumns = true)))
       frontier = frontier.copy(df = frontier.df.filter(!F.coalesce(cond, lit(false))))
     }
@@ -806,7 +931,7 @@ final case class Traversal(
     var frontier = this
     var done: Option[DataFrame] = None
     (1 to maxIter).foreach { _ =>
-      frontier = step(frontier)
+      frontier = roundBarrier(step(frontier))
       val matched = frontier.subMatches(condStep, "__unt")
       val finished = frontier.df.join(matched, col("id") === col("__sid"), exitType)
       done = Some(done.fold(finished)(_.unionByName(finished, allowMissingColumns = true)))
@@ -866,6 +991,16 @@ object Traversal {
       }
       case None => c
     }
+}
+
+/** Pop semantics for repeated `as` labels — TinkerPop
+  * org.apache.tinkerpop.gremlin.process.traversal.Pop (first/last/all),
+  * consumed by [[Traversal.selectPop]]. */
+sealed trait Pop
+object Pop {
+  case object First extends Pop
+  case object Last extends Pop
+  case object All extends Pop
 }
 
 /** g.V() / g.E() entry — the TraversalSource. */

@@ -100,4 +100,19 @@ class AnalyticsSpec extends AnyFunSuite {
     // k above the max degree empties the graph
     assert(Analytics.kCore(g, k = 4, maxRounds = 10).count() === 0)
   }
+
+  test("personalized PageRank: teleport mass stays near the source, sparse result") {
+    val src = GraphOfTheGods.ids("hercules")
+    val ppr = Analytics.personalizedPageRankFixedPoint(gods, Seq(src), iterations = 10)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_ppr")).toMap
+    // the source holds the restart mass -> strictly the highest rank
+    assert(ppr(src) === ppr.values.max)
+    // jupiter (hercules' father) is reached and carries mass
+    assert(ppr.contains(GraphOfTheGods.ids("jupiter")))
+    // only vertices reachable from the source carry mass: from a sink vertex
+    // (nemean has no out-edges) the mass never leaves the source
+    val sink = Analytics.personalizedPageRankFixedPoint(
+      gods, Seq(GraphOfTheGods.ids("nemean")), iterations = 10).collect()
+    assert(sink.map(_.getAs[Long]("id")).toSeq === Seq(GraphOfTheGods.ids("nemean")))
+  }
 }

@@ -231,4 +231,56 @@ class MutationEnforcementSpec extends AnyFunSuite {
     assert(m.vertices.select(col("id")).collect()(0).getLong(0) === 1000L)
     assert(m.edges.count() === 0) // cascaded with the expired endpoint
   }
+
+  // ---------- Gremlin mutation steps (DropStep / AddEdgeStep) ----------
+
+  test("drop() on a vertex frontier removes the vertices and cascades incident edges") {
+    val g = TpchGraph.load(spark, dir)
+    val buildingOrders = g.traversal.V().hasLabel("customer")
+      .has("mktsegment", "BUILDING").out("placed").toDF.count()
+    val placedBefore = g.edges.filter(col("label") === "placed").count()
+    val m = g.traversal.V().hasLabel("customer").has("mktsegment", "BUILDING").drop()
+    assert(m.vertices.filter(col("label") === "customer" &&
+      col("mktsegment") === "BUILDING").count() === 0)
+    assert(m.vertices.filter(col("label") === "order").count() ===
+      g.vertices.filter(col("label") === "order").count()) // orders survive
+    assert(m.edges.filter(col("label") === "placed").count() ===
+      placedBefore - buildingOrders) // adjacency cascaded
+  }
+
+  test("drop() on an edge frontier removes exactly those edges, no vertices") {
+    val g = TpchGraph.load(spark, dir)
+    val m = g.traversal.E().hasLabel("in_region").drop()
+    assert(m.edges.filter(col("label") === "in_region").count() === 0)
+    assert(m.edges.count() === g.edges.count() -
+      g.edges.filter(col("label") === "in_region").count())
+    assert(m.vertices.count() === g.vertices.count())
+  }
+
+  test("addE: deterministic reserved-tag ids, auto-created label, replay-idempotent") {
+    val g = TpchGraph.load(spark, dir)
+    val m = g.traversal.V().hasLabel("customer").as("c").out("placed")
+      .addE("placed_by", "c")
+    val nb = m.edges.filter(col("label") === "placed_by")
+    assert(nb.count() === g.edges.filter(col("label") === "placed").count())
+    // synthesized ids live in the reserved top-tag namespace
+    assert(nb.filter(col("id") < lit(127L << GraphIds.TagBits)).count() === 0)
+    // the undeclared edge label auto-created through the first-use maker
+    assert(m.schema.edgeLabels.contains("placed_by"))
+    // deterministic ids make a replay a no-op (last-writer-wins by id)
+    val m2 = m.traversal.V().hasLabel("customer").as("c").out("placed")
+      .addE("placed_by", "c")
+    assert(m2.edges.count() === m.edges.count())
+  }
+
+  test("addE with Direction.IN points the edge from the saved step to the frontier") {
+    val g = TpchGraph.load(spark, dir)
+    val m = g.traversal.V().hasLabel("region").as("r").in("in_region")
+      .addE("has_nation", "r", graft.query.Direction.IN)
+    val nb = m.edges.filter(col("label") === "has_nation")
+    // region -> nation: src in the region id namespace
+    assert(nb.count() === g.vertices.filter(col("label") === "nation").count())
+    assert(nb.filter(col("src") < lit(TpchGraph.RegionTag * T) ||
+      col("src") >= lit((TpchGraph.RegionTag + 1) * T)).count() === 0)
+  }
 }

@@ -180,4 +180,31 @@ class TraversalModulationSpec extends AnyFunSuite {
     val regions = rows.map(_.head).toSet
     assert(regions.subsetOf(Set("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")))
   }
+
+  test("selectPop: Pop.first/last/all over a reused as-label") {
+    val t = g.traversal.V().hasLabel("customer").has("mktsegment", "BUILDING")
+      .as("x").out("placed").as("x")
+    val first = t.selectPop("x", graft.traverse.Pop.First)
+    assert(first.select("x_label").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("customer"))
+    val last = t.selectPop("x", graft.traverse.Pop.Last)
+    assert(last.select("x_label").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("order"))
+    val all = t.selectPop("x", graft.traverse.Pop.All).collect()
+    assert(all.nonEmpty && all.forall(_.getString(0).split(",").length == 2))
+    // a non-repeated label: first resolves the single occurrence
+    val single = g.traversal.V().hasLabel("region").as("r")
+    assert(single.selectPop("r", graft.traverse.Pop.First).count() === 5)
+  }
+
+  test("repeat-family loops truncate per-round lineage (deep loops stay analyzable)") {
+    // regression guard: pre-barrier, an until-subtraversal loop re-referenced
+    // its frontier ~5x per round, so analysis cost grew ~5^rounds — maxIter=3
+    // burned MINUTES of driver CPU and maxIter=6 was infeasible. With the
+    // per-round localCheckpoint barrier this completes in seconds.
+    val out = g.traversal.V().hasLabel("customer")
+      .repeatUntilSub(_.out(), maxIter = 6)(_.out("in_nation", "in_region"))
+    assert(out.toDF.count() ===
+      g.traversal.V().hasLabel("customer").toDF.count())
+  }
 }
