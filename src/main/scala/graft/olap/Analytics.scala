@@ -94,7 +94,11 @@ object Analytics {
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val ids = g.vertices.select(col("id"))
-    var labels = ids.select(col("id"), col("id").as("l")).localCheckpoint(true)
+    // LAZY checkpoints: the plan truncates immediately (constant-size across
+    // rounds) but materialization rides the next action over the frame — the
+    // count below, or the next round's — instead of costing a dedicated
+    // per-round job (eager localCheckpoint runs its own count internally).
+    var labels = ids.select(col("id"), col("id").as("l")).localCheckpoint(false)
     val bcast = labels.count() <= 10000000L
     def hint(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     (1 to rounds).foreach { _ =>
@@ -105,7 +109,7 @@ object Analytics {
         .agg(max_by(col("l"), struct(col("__c"), (-col("l")).as("__nl"))).as("__a"))
       labels = labels.join(adopted, Seq("id"), "left")
         .select(col("id"), coalesce(col("__a"), col("l")).as("l"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     und.unpersist(false)
     labels.select(col("id"), col("l").as("community"))
@@ -201,7 +205,7 @@ object Analytics {
     val e = g.edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     var dist = g.vertices.select(col("id"))
       .select(col("id"), when(col("id") === source, lit(0L)).as("d"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Early exit: the (reached-count, exact distance-sum) pair is a monotone
     // state signature — reached only grows, and for a fixed reached set
     // distances only shrink — so an unchanged pair ⇒ fixed point reached and
@@ -215,12 +219,15 @@ object Analytics {
         .select(col("dst").as("id"), (col("d") + 1L).as("nd"))
         .groupBy(col("id")).agg(min(col("nd")).as("nd"))
       // each round references the previous frontier TWICE (base + messages);
-      // an eager localCheckpoint truncates the lineage so the plan stays
-      // constant-size instead of doubling per round (2^maxIter analysis blowup)
-      // — the materialize-per-superstep every BSP engine performs
+      // a LAZY localCheckpoint truncates the lineage so the plan stays
+      // constant-size instead of doubling per round (2^maxIter analysis
+      // blowup) — the materialize-per-superstep every BSP engine performs.
+      // Lazy, not eager: the convergence agg just below is this round's
+      // action and materializes the checkpoint as it runs — eager would pay
+      // a SECOND full pass per round purely to persist.
       dist = dist.join(relaxed, Seq("id"), "left")
         .select(col("id"), least(col("d"), col("nd")).as("d"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val r = dist.filter(col("d").isNotNull)
         .agg(count(lit(1)).as("n"), sum(col("d").cast("decimal(38,0)")).as("s")).head
       val sig = (r.getLong(0), r.getDecimal(1))
@@ -258,7 +265,7 @@ object Analytics {
       .unionAll(g.edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = g.vertices.select(col("id"), col("id").as("l")).localCheckpoint(true)
+    var labels = g.vertices.select(col("id"), col("id").as("l")).localCheckpoint(false)
     // one cheap count decides the regime for the whole run (threshold is a
     // conf so the shuffle-join regime — the 100× branch — is rehearsable
     // in tests without a 10M-vertex fixture)
@@ -298,7 +305,9 @@ object Analytics {
         .select(col("__jid"), least(col("__jl"), col("__kl")).as("__jl"))
       val jumped = stepped.join(hint(m2), col("l") === col("__jid"), "left")
         .select(col("id"), least(col("l"), col("__jl")).as("l"))
-      labels = jumped.localCheckpoint(true)
+      // lazy checkpoint: the convergence agg on the next line is the round's
+      // action and materializes it — eager would pay a second vertex-set pass
+      labels = jumped.localCheckpoint(false)
       val s = labels.agg(sum(col("l").cast("decimal(38,0)")).as("s")).head.getDecimal(0)
       converged = prevSum != null && s != null && s.compareTo(prevSum) == 0
       prevSum = s
@@ -315,7 +324,7 @@ object Analytics {
     * rounds make the result expressible in SQL (oracle-checkable, like
     * connectedComponentsExact); the fixpoint is reached once a round removes
     * nothing. Per round: two semi-joins + one count agg, each keyed by
-    * vertex id — the same shuffle profile as one BSP superstep; eager
+    * vertex id — the same shuffle profile as one BSP superstep; lazy
     * lineage truncation keeps the plan constant-size across rounds. */
   def kCore(g: PropertyGraph, k: Int, maxRounds: Int = 10): DataFrame = {
     val (result, converged) = kCoreConverged(g, k, maxRounds)
@@ -338,7 +347,7 @@ object Analytics {
       .unionAll(g.edges.select(col("dst").as("a"), col("src").as("b")))
       .repartition(col("a"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var alive = g.vertices.select(col("id")).localCheckpoint(true)
+    var alive = g.vertices.select(col("id")).localCheckpoint(false)
     var aliveCount = alive.count()
     // aliveCount is maintained every round anyway — use it to pick the
     // broadcast regime per round for free (checkpointed frames hide size
@@ -353,7 +362,7 @@ object Analytics {
         .join(hint(alive.select(col("id").as("__y")), aliveCount), col("b") === col("__y"), "left_semi")
       val next = live.groupBy(col("a")).agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k).select(col("a").as("id"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: the count below materializes it
       // peeling is monotone ⇒ count equality ≡ set equality; carry the prior
       // round's count so each round runs ONE job, not two
       val nextCount = next.count()
