@@ -930,6 +930,14 @@ object SparkEntry {
       graft.pipeline.Dedup.contamination(
         d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20), n = 8)
     }),
+    // ---- pipeline: overlap-FRACTION decontamination (thresholded GPT-3-
+    //      style variant; short n tolerates incidental collisions) ----
+    "q_contamination_overlap" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.pipeline.Dedup.contaminationOverlap(
+        d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20),
+        n = 3, minOverlap = 0.2)
+    }),
     // ---- pipeline: sliding-window chunking (sequence packing) ----
     "q_chunk" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.chunkDocuments(
@@ -1284,6 +1292,42 @@ object SparkEntry {
       finally walk.close()
       out
     }),
+    // ---- 2.J CDC→graph materialization end-to-end: the change stream
+    //      applies per-micro-batch mutations to the property graph through
+    //      applyMutations (the reference's downstream ChangeProcessor
+    //      mutating derived state) — non-error events become event-vertices
+    //      wired to their user; REMOVED (error) changes delete ----
+    "q_stream_mutations" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cmut")
+      val t = 1L << graft.core.GraphIds.TagBits
+      val changes = graft.stream.ChangeStream.withChange(
+        graft.stream.ChangeStream.readStream(s, dir))
+      val m = try {
+        graft.stream.ChangeStream.materializeGraph(changes, s"$tmp/ckpt", graph(s, dir)) { batch =>
+          val added = batch.filter(col("change") === "ADDED")
+          graft.stream.ChangeStream.Mutations(
+            addVertices = Some(added.select((lit(8L * t) + col("event_id")).as("id"),
+              lit("event").as("label"), col("event_id").as("uid"), col("event_type"))),
+            // REMOVED events delete their own (never-added) id — a no-op, but
+            // it drives the delete path through the stream deterministically
+            deleteVertexIds = Some(batch.filter(col("change") === "REMOVED")
+              .select((lit(8L * t) + col("event_id")).as("id"))),
+            addEdges = Some(added.select((lit(9L * t) + col("event_id")).as("id"),
+              (lit(8L * t) + col("event_id")).as("src"),
+              (lit(TpchGraph.CustomerTag.toLong * t) + col("user_id")).as("dst"),
+              lit("by_user").as("label"))))
+        }
+      } finally {
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      m.vertices.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+        .select(lit("v").as("kind"), col("label"), col("cnt"))
+        .unionAll(m.edges.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+          .select(lit("e").as("kind"), col("label"), col("cnt")))
+    }),
     // ---- 2.L DefaultSchemaMaker: undeclared-type ingest auto-creates the
     //      catalog (Tp3DefaultSchemaMaker parity). The probe ingests raw
     //      tables against an EMPTY schema, emits the synthesized catalog
@@ -1503,6 +1547,17 @@ object SparkEntry {
       val m = graph(s, dir).traversal.V().hasLabel("customer").as("c")
         .out("placed").addE("placed_by", "c")
       m.edges.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    }),
+    // ---- 2.E property() step (TinkerPop AddPropertyStep): tag the BUILDING
+    //      customers with an UNDECLARED key — the first-use schema maker
+    //      creates it inside the upsert; untouched rows read back null ----
+    "q_property_step" -> ((s, dir) => {
+      val m = graph(s, dir).traversal.V()
+        .hasLabel("customer").has("mktsegment", "BUILDING")
+        .property("tier", lit("vip"))
+      m.vertices.filter(col("label") === "customer")
+        .groupBy(coalesce(col("tier"), lit("none")).as("tier"))
+        .agg(count(lit(1)).as("cnt"))
     }),
     // ---- 2.L catalog-TTL auto-read: the label declares a TTL, ingest
     //      provenance is `_ts`, and a PLAIN V() scan hides expired elements
@@ -2033,6 +2088,9 @@ object SparkEntry {
         |UNION ALL SELECT 'placed_by', COUNT(*) FROM orders
         |UNION ALL SELECT 'contains', COUNT(*) FROM lineitem
         |UNION ALL SELECT 'supplied_by', COUNT(*) FROM lineitem""".stripMargin,
+    "q_property_step" ->
+      """SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 'vip' ELSE 'none' END AS tier,
+        |COUNT(*) AS cnt FROM customer GROUP BY 1""".stripMargin,
     "q_ttl" ->
       """SELECT event_type, COUNT(*) AS cnt FROM events
         |WHERE ts + INTERVAL 604800 SECOND > TIMESTAMP '2024-01-31 00:00:00' GROUP BY 1""".stripMargin,
@@ -2295,6 +2353,7 @@ object SparkEntry {
         |  CAST(SUM(gap) AS BIGINT) AS sum_gap_us, MAX(gap) AS max_gap_us
         |FROM o GROUP BY 1""".stripMargin,
     "q_contamination" -> contaminationOracle,
+    "q_contamination_overlap" -> contaminationOverlapOracle,
     "q_mixture_sample" -> mixtureSampleOracle,
     "q_split_hash" -> hashSplitOracle(SplitWeights, "split1"),
     "q_split_stratified" -> stratifiedSplitOracle(SplitWeights, "split1"),
@@ -2517,6 +2576,23 @@ object SparkEntry {
         |UNION ALL SELECT 'stat', 'vertices',
         |  CAST((SELECT COUNT(*) FROM customer) +
         |       (SELECT COUNT(*) FROM customer WHERE c_acctbal > 9000) AS VARCHAR)""".stripMargin,
+    "q_stream_mutations" ->
+      """SELECT 'v' AS kind, 'region' AS label, COUNT(*) AS cnt FROM region
+        |UNION ALL SELECT 'v', 'nation', COUNT(*) FROM nation
+        |UNION ALL SELECT 'v', 'customer', COUNT(*) FROM customer
+        |UNION ALL SELECT 'v', 'supplier', COUNT(*) FROM supplier
+        |UNION ALL SELECT 'v', 'part', COUNT(*) FROM part
+        |UNION ALL SELECT 'v', 'order', COUNT(*) FROM orders
+        |UNION ALL SELECT 'v', 'event',
+        |  (SELECT COUNT(*) FROM events WHERE event_type <> 'error')
+        |UNION ALL SELECT 'e', 'in_region', COUNT(*) FROM nation
+        |UNION ALL SELECT 'e', 'in_nation',
+        |  (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier)
+        |UNION ALL SELECT 'e', 'placed', COUNT(*) FROM orders
+        |UNION ALL SELECT 'e', 'contains', COUNT(*) FROM lineitem
+        |UNION ALL SELECT 'e', 'supplied_by', COUNT(*) FROM lineitem
+        |UNION ALL SELECT 'e', 'by_user',
+        |  (SELECT COUNT(*) FROM events WHERE event_type <> 'error')""".stripMargin,
     "q_change_sessionize" ->
       """WITH o AS (SELECT user_id, ts, event_id,
         |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -2902,6 +2978,22 @@ object SparkEntry {
        |eg AS (SELECT DISTINCT unnest(gs) AS g FROM sh WHERE doc_id < 20),
        |cg AS (SELECT doc_id, unnest(gs) AS g FROM sh WHERE doc_id >= 20)
        |SELECT doc_id, COUNT(*) AS n_shared FROM cg JOIN eg USING (g) GROUP BY doc_id""".stripMargin
+  }
+
+  /** Mirror of Dedup.contaminationOverlap (n=3, threshold 0.2): distinct
+    * corpus trigrams LEFT-join the eval trigram set; per-doc counts give the
+    * 6dp-rounded overlap fraction, thresholded identically. */
+  private def contaminationOverlapOracle: String = {
+    s"""WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS wl FROM documents),
+       |sh AS (SELECT doc_id, list_distinct([wl[i]||' '||wl[i+1]||' '||wl[i+2]
+       |  for i in range(1, len(wl)-1)]) AS gs FROM w WHERE len(wl) >= 3),
+       |eg AS (SELECT DISTINCT unnest(gs) AS g FROM sh WHERE doc_id < 20),
+       |cg AS (SELECT doc_id, unnest(gs) AS g FROM sh WHERE doc_id >= 20),
+       |j AS (SELECT cg.doc_id, COUNT(*) AS n_grams, COUNT(eg.g) AS n_shared
+       |      FROM cg LEFT JOIN eg ON cg.g = eg.g GROUP BY cg.doc_id)
+       |SELECT doc_id, n_grams, n_shared,
+       |  ROUND(CAST(n_shared AS DOUBLE)/n_grams, 6) AS overlap
+       |FROM j WHERE ROUND(CAST(n_shared AS DOUBLE)/n_grams, 6) >= 0.2""".stripMargin
   }
 
   /** Mirror of TextAnalysis.repetitionSignals: line metrics from list

@@ -87,6 +87,36 @@ object Dedup {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Overlap-FRACTION decontamination — the thresholded variant of
+    * [[contamination]] from the public GPT-3-style recipes: per corpus
+    * document, the share of its distinct word n-grams that occur anywhere in
+    * the evaluation set; only documents at or above `minOverlap` return
+    * (any single shared 8-gram flags under [[contamination]]; the fraction
+    * variant tolerates incidental short collisions on shorter n). Returns
+    * (idCol, n_grams, n_shared, overlap), overlap rounded to 6dp for
+    * engine-exact comparison.
+    *
+    * Scale: identical to [[contamination]] — the eval shingle set broadcasts
+    * (small by definition), the corpus explodes its distinct shingles once
+    * and LEFT-joins so both counts come from one map-side-combinable
+    * aggregate; the corpus never shuffles. */
+  def contaminationOverlap(corpus: DataFrame, evalSet: DataFrame, n: Int = 8,
+      minOverlap: Double = 0.2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(shingles(col(textCol), n)).as("g")).distinct()
+      .withColumn("__hit", lit(1L))
+    corpus.select(col(idCol), explode(shingles(col(textCol), n)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+      .withColumn("overlap", round(col("n_shared").cast(DoubleType) /
+        col("n_grams").cast(DoubleType), 6))
+      .filter(col("overlap") >= minOverlap)
+      .select(col(idCol), col("n_grams"), col("n_shared"), col("overlap"))
+  }
+
   /** Cross-document duplicated-span fraction (the exact-substring dedup
     * signal of the public RefinedWeb/Gopher recipes): per document, the share
     * of its DISTINCT word n-grams that also occur in at least one OTHER

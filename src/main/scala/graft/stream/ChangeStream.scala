@@ -107,6 +107,51 @@ object ChangeStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** One micro-batch's worth of graph mutations (the reference's ChangeState
+    * added/removed element sets, tc/core/log/ChangeState.java:25-57). */
+  final case class Mutations(
+      addVertices: Option[DataFrame] = None,
+      deleteVertexIds: Option[DataFrame] = None,
+      addEdges: Option[DataFrame] = None,
+      deleteEdgeIds: Option[DataFrame] = None)
+
+  /** Materialize the change log INTO a property graph — the reference's
+    * downstream-processor pattern end-to-end (LogProcessorFramework: user
+    * transaction log → ChangeProcessor → mutate derived state). Each
+    * micro-batch maps to one mutation batch via `toMutations` and commits
+    * through [[graft.data.GraphIO.applyMutations]] — so schema auto-creation,
+    * static-label and consistency enforcement all apply per batch, exactly
+    * like the reference's triggered transactions. Blocks until the
+    * AvailableNow stream drains and returns the final graph.
+    *
+    * State handling: after each batch the merged vertex/edge frames are
+    * EAGERLY checkpointed — a batch frame is only valid while its micro-batch
+    * runs, so the merge must materialize before the callback returns (lazy
+    * truncation would read a dead source); this also keeps the cross-batch
+    * plan constant-size, the same superstep materialization the iterative
+    * jobs perform. Index tables keep their lazy re-derived plans (rebuilt
+    * per batch, computed only when queried). */
+  def materializeGraph(changes: DataFrame, checkpoint: String,
+      g0: graft.data.PropertyGraph, timeoutMs: Long = 300000L)(
+      toMutations: DataFrame => Mutations): graft.data.PropertyGraph = {
+    @volatile var g = g0
+    val q = changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val m = toMutations(batch)
+        val merged = graft.data.GraphIO.applyMutations(g,
+          m.addVertices, m.deleteVertexIds, m.addEdges, m.deleteEdgeIds)
+        g = merged.copy(
+          vertices = merged.vertices.localCheckpoint(true),
+          edges = merged.edges.localCheckpoint(true))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(timeoutMs),
+      s"materializeGraph: stream did not drain within ${timeoutMs}ms")
+    g
+  }
+
   /** Watermarked sliding-window aggregate (extension beyond reference parity). */
   def windowedCounts(changes: DataFrame, windowDur: String = "1 hour",
       slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =

@@ -772,6 +772,28 @@ final case class Traversal(
       graft.data.GraphIO.applyMutations(graph, deleteEdgeIds = Some(ids), enforce = enforce)
   }
 
+  /** property(key, value) — set a property on the frontier's elements
+    * (TinkerPop AddPropertyStep: `V().has(…).property('k', v)`; the
+    * reference routes it through the transaction's relation-write path).
+    * `value` is any Column over the element's own columns, so computed
+    * updates (`property('total', col("a") + col("b"))`) cost the same as
+    * constants. Compiles to a whole-row upsert through
+    * [[graft.data.GraphIO.applyMutations]]: the frontier's rows re-enter
+    * with the column overwritten (last-writer-wins by id), so static-label
+    * immutability and consistency checks apply, and an UNDECLARED key
+    * auto-creates through the first-use schema maker exactly like a write.
+    * Only the frontier's rows travel — untouched elements never shuffle. */
+  def property(key: String, value: Column, enforce: Boolean = true): PropertyGraph = {
+    val ids = df.select(col("id").as("__pid")).distinct()
+    val base = if (isVertex) graph.vertices else graph.edges
+    val updated = base.join(ids, col("id") === col("__pid"), "left_semi")
+      .withColumn(key, value)
+    if (isVertex)
+      graft.data.GraphIO.applyMutations(graph, addVertices = Some(updated), enforce = enforce)
+    else
+      graft.data.GraphIO.applyMutations(graph, addEdges = Some(updated), enforce = enforce)
+  }
+
   /** addE(label, stepLabel, dir) — add one edge per distinct (frontier
     * vertex, saved vertex) pair between the current vertex and the vertex
     * remembered at `as(stepLabel)` (TinkerPop 3.0 AddEdgeStep:

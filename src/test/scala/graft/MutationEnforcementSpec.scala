@@ -283,4 +283,26 @@ class MutationEnforcementSpec extends AnyFunSuite {
     assert(nb.filter(col("src") < lit(TpchGraph.RegionTag * T) ||
       col("src") >= lit((TpchGraph.RegionTag + 1) * T)).count() === 0)
   }
+
+  test("property() step: computed upsert on the frontier only; undeclared key auto-creates") {
+    val g = TpchGraph.load(spark, dir)
+    val m = g.traversal.V().hasLabel("customer").has("mktsegment", "BUILDING")
+      .property("tier", lit("vip"))
+    assert(m.schema.propertyKeys.contains("tier")) // first-use maker ran
+    val building = g.vertices.filter(col("label") === "customer" &&
+      col("mktsegment") === "BUILDING").count()
+    assert(m.vertices.filter(col("tier") === "vip").count() === building)
+    // untouched rows read back null for the new key; totals unchanged
+    assert(m.vertices.count() === g.vertices.count())
+    assert(m.vertices.filter(col("tier").isNull).count() ===
+      g.vertices.count() - building)
+  }
+
+  test("property() step routes through static-label enforcement") {
+    val g = staticRegionGraph
+    val ex = intercept[IllegalArgumentException] {
+      g.traversal.V().hasLabel("region").property("name", lit("RENAMED"))
+    }
+    assert(ex.getMessage.contains("static-label"))
+  }
 }

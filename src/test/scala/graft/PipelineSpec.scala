@@ -687,4 +687,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(a1 !== b)            // different salt → a different epoch order
     assert(a1.toSet === b.toSet) // …but the same corpus
   }
+
+  test("contaminationOverlap: fraction over distinct n-grams, thresholded; short docs yield no row") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e"),          // grams: {a b c, b c d, c d e} — 2/3 shared
+      (2L, "x y z w v"),          // no overlap
+      (3L, "a b")                 // < n words: no shingles, no row
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d q r s")).toDF("doc_id", "text")
+    val out = Dedup.contaminationOverlap(corpus, eval, n = 3, minOverlap = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 3L, 2L, 0.666667)))
+    // threshold above the fraction excludes it
+    assert(Dedup.contaminationOverlap(corpus, eval, n = 3, minOverlap = 0.7).count() === 0)
+  }
 }

@@ -328,4 +328,24 @@ class StreamMgmtSpec extends AnyFunSuite {
     assert(page1.size === 5 && page2.size === 5)
     assert((page1.toSet intersect page2.toSet).isEmpty)
   }
+
+  test("materializeGraph: per-batch enforcement fails the stream on a static-label violation") {
+    val checkpoint = Files.createTempDirectory("graft-cmut-t").toString
+    val g0 = graft.data.TpchGraph.load(spark, dir)
+    val g = g0.copy(schema = g0.schema.copy(vertexLabels = g0.schema.vertexLabels +
+      ("region" -> VertexLabelDef("region", static = true))))
+    val t = 1L << GraphIds.TagBits
+    val stream = ChangeStream.withChange(ChangeStream.readStream(spark, dir))
+    // every batch tries to overwrite an EXISTING static-label vertex -> the
+    // eager enforcement inside applyMutations must fail the streaming query
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      ChangeStream.materializeGraph(stream, s"$checkpoint/ckpt", g) { batch =>
+        ChangeStream.Mutations(addVertices = Some(
+          batch.limit(1).select(lit(1L * t + 0L).as("id"),
+            lit("region").as("label"), lit(0L).as("uid"), lit("RENAMED").as("name"))))
+      }
+    }
+    assert(ex.getMessage.contains("static-label") ||
+      Option(ex.getCause).exists(_.getMessage.contains("static-label")))
+  }
 }
