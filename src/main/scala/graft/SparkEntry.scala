@@ -195,6 +195,29 @@ object SparkEntry {
           uidOf(col("other"), TpchGraph.PartTag).as("p_uid"),
           col("quantity"), date_format(col("shipdate"), "yyyy-MM-dd").as("ship"))
     }),
+    // ---- 2.C sort-key slice over the vertex-centric edge LAYOUT: edges
+    //      re-written hash-bucketed by src and sorted by (src,label,shipdate)
+    //      so parquet min/max stats prune the slice the way the reference's
+    //      byte-ordered column ranges do; results ≡ the un-laid-out slice ----
+    "q_sortkey_slice" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-slice")
+      val g = graph(s, dir)
+      graft.index.Indexes.writeEdgeLayout(g, s"$tmp/edges", buckets = 8,
+        sortKeys = Seq("shipdate"))
+      val g2 = g.copy(edges = s.read.parquet(s"$tmp/edges"))
+      val res = VertexCentricQuery(g2).labels("contains").direction(Direction.OUT)
+        .interval("shipdate", d("1997-03-01"), d("1997-06-01"))
+        .edges()
+        .select(uidOf(col("vid"), TpchGraph.OrderTag).as("o_uid"),
+          uidOf(col("other"), TpchGraph.PartTag).as("p_uid"),
+          date_format(col("shipdate"), "yyyy-MM-dd").as("ship"))
+        .localCheckpoint(true) // materialize before the layout files vanish
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+      res
+    }),
     // ---- 2.E traversal 3-hop ----
     "q_traversal_3hop" -> ((s, dir) => traversal3Hop(s, dir, 400000.0)),
     // ---- 2.E/2.H range (order + offset slice) ----
@@ -626,6 +649,37 @@ object SparkEntry {
           col("quantity"), col("linenumber"))
     }),
     // ---- 2.B/2.L mixed-index lookup via materialized inverted token table ----
+    // ---- 2.L index lifecycle as data: INSTALLED→REGISTERED→ENABLED
+    //      (+REINDEX fixpoint), query through the enabled index, then
+    //      DISABLE→REMOVE drops it from the catalog — every transition and
+    //      the indexed hit count oracle-checked ----
+    "q_index_lifecycle" -> ((s, dir) => {
+      import s.implicits._
+      val g = graph(s, dir)
+      val mgmt = new graft.mgmt.Management(g.schema)
+      val ix0 = mgmt.buildIndex("lcText", graft.core.ElementCategory.VERTEX)
+        .addKey("name", graft.core.Mapping.TEXT).buildMixedIndex()
+      val steps = Seq.newBuilder[(String, String)]
+      steps += "0_install" -> ix0.status.toString
+      steps += "1_register" ->
+        mgmt.updateIndex("lcText", graft.core.SchemaAction.REGISTER_INDEX).toString
+      steps += "2_enable" ->
+        mgmt.updateIndex("lcText", graft.core.SchemaAction.ENABLE_INDEX).toString
+      steps += "3_reindex" ->
+        mgmt.updateIndex("lcText", graft.core.SchemaAction.REINDEX).toString
+      val enabled = mgmt.current
+      val inverted = graft.index.Indexes.materializeMixed(
+        g.copy(schema = enabled), enabled.indexes("lcText"))
+      val hits = graft.index.Indexes.lookupText(g, inverted, "name", "widget")
+        .filter(col("label") === "part").count()
+      steps += "4_query_hits" -> hits.toString
+      steps += "5_disable" ->
+        mgmt.updateIndex("lcText", graft.core.SchemaAction.DISABLE_INDEX).toString
+      steps += "6_remove" ->
+        mgmt.updateIndex("lcText", graft.core.SchemaAction.REMOVE_INDEX).toString
+      steps += "7_present" -> mgmt.current.indexes.contains("lcText").toString
+      steps.result().toDF("step", "state")
+    }),
     "q_mixed_index" -> ((s, dir) => {
       val g = graph(s, dir)
       val ix = graft.core.IndexDef("nameText", graft.core.ElementCategory.VERTEX,
@@ -1908,6 +1962,21 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "q_vc_adjacent" ->
       "SELECT l_orderkey AS o_uid, l_quantity AS quantity, l_linenumber AS linenumber FROM lineitem WHERE l_partkey = 1",
+    "q_sortkey_slice" ->
+      """SELECT l_orderkey AS o_uid, l_partkey AS p_uid,
+        |strftime(l_shipdate, '%Y-%m-%d') AS ship FROM lineitem
+        |WHERE l_shipdate >= DATE '1997-03-01' AND l_shipdate < DATE '1997-06-01'""".stripMargin,
+    "q_index_lifecycle" ->
+      """SELECT '0_install' AS step, 'INSTALLED' AS state
+        |UNION ALL SELECT '1_register', 'REGISTERED'
+        |UNION ALL SELECT '2_enable', 'ENABLED'
+        |UNION ALL SELECT '3_reindex', 'ENABLED'
+        |UNION ALL SELECT '4_query_hits', CAST((SELECT COUNT(*) FROM part
+        |  WHERE list_contains(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'),
+        |    t -> length(t) > 1), 'widget')) AS VARCHAR)
+        |UNION ALL SELECT '5_disable', 'DISABLED'
+        |UNION ALL SELECT '6_remove', 'DISABLED'
+        |UNION ALL SELECT '7_present', 'false'""".stripMargin,
     "q_mixed_index" ->
       "SELECT p_partkey AS uid, p_name AS name FROM part WHERE list_contains(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), t -> length(t) > 1), 'widget')",
     "q_index_auto_text" ->

@@ -351,4 +351,23 @@ class PlanShapeSpec extends AnyFunSuite {
     // orderBy + limit must fuse to TakeOrderedAndProject, not a global sort
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("sort-key layout slice: shipdate bounds reach the laid-out parquet scan") {
+    // the vertex-centric edge layout (bucketed by src, sorted by
+    // (src,label,shipdate)) only pays off if the slice predicate is PUSHED —
+    // parquet min/max stats then prune row groups the way the reference's
+    // byte-ordered column ranges bound the KCVS slice
+    import org.apache.spark.sql.functions._
+    val g = graft.data.TpchGraph.load(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft-slice-ps").toString + "/edges"
+    graft.index.Indexes.writeEdgeLayout(g, out, buckets = 2, sortKeys = Seq("shipdate"))
+    val laid = spark.read.parquet(out)
+    val sliced = laid.filter(col("label") === "contains" &&
+      col("shipdate") >= lit(java.sql.Date.valueOf("1997-03-01")) &&
+      col("shipdate") < lit(java.sql.Date.valueOf("1997-06-01")))
+    val p = sliced.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("shipdate"), pushed)
+  }
 }
