@@ -1141,6 +1141,19 @@ object SparkEntry {
         .join(media.select(col("doc_id"), col("media.width").as("width")), Seq("doc_id"))
         .select(col("doc_id"), col("n_bytes"), col("width"))
     }),
+    // ---- 2.M multimodal: REAL image decode — deterministic 8×8 PNGs are
+    //      encoded by the JDK's PNG writer, decoded distributed through
+    //      javax.imageio, and the luminance histogram is re-derived by the
+    //      oracle as a pure function of doc_id (pixel i = (id·31+i) mod 256,
+    //      so an encode/decode discrepancy anywhere fails the hash) ----
+    "q_image_decode" -> ((s, dir) => {
+      val ids = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+      val media = graft.pipeline.Multimodal.synthesizePngMedia(ids)
+      graft.pipeline.Multimodal.decodeImages(media)
+        .select(col("doc_id"), col("width"), col("height"),
+          posexplode(col("feature")).as(Seq("bin", "frac")))
+        .withColumn("frac", col("frac").cast(DoubleType))
+    }),
     // ---- 2.M multimodal: video frame-sampling plan (bounded explode of
     //      decode timestamps — the plumbing, not the codec) ----
     "q_frame_sample" -> ((s, dir) => {
@@ -2497,6 +2510,16 @@ object SparkEntry {
     "q_multimodal" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |CAST(length(text) % 640 AS INTEGER) AS width FROM documents""".stripMargin,
+    "q_image_decode" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |px AS (SELECT doc_id, (doc_id*31 + i) % 256 AS g
+        |       FROM ids CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+        |cnt AS (SELECT doc_id, g // 32 AS bin, COUNT(*) AS c FROM px GROUP BY 1, 2),
+        |bins AS (SELECT unnest(range(0, 8)) AS bin)
+        |SELECT ids.doc_id, 8 AS width, 8 AS height, CAST(bins.bin AS INTEGER) AS bin,
+        |  CAST(COALESCE(c, 0) AS DOUBLE) / 64 AS frac
+        |FROM ids CROSS JOIN bins
+        |LEFT JOIN cnt ON cnt.doc_id = ids.doc_id AND cnt.bin = bins.bin""".stripMargin,
     "q_frame_sample" ->
       """WITH f AS (SELECT doc_id, unnest(generate_series(0, n_chars * 40 - 1, 2000)) AS o
         |           FROM documents WHERE n_chars > 0)

@@ -7,11 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: image/audio/video payloads as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * The decode step is STUBBED (no image/audio codecs in this environment):
-  * `decodeStub` produces deterministic fake features from the raw bytes. The
-  * Spark-side plumbing is real and tested — schema, batch iteration shape
-  * (mapPartitions over row batches, the Scala analogue of mapInPandas), and
-  * partition sizing so a batch of payloads fits in executor memory.
+  * IMAGE decode is REAL ([[decodeImages]]: PNG/JPEG/BMP/GIF through the
+  * JDK's own javax.imageio — no external codec needed). Audio/video decode
+  * remains STUBBED (`decodeStub` produces deterministic fake features from
+  * the raw bytes — those codecs are genuinely absent from this JVM). The
+  * Spark-side plumbing is identical for both and tested — schema, batch
+  * iteration shape (mapPartitions over row batches, the Scala analogue of
+  * mapInPandas), and partition sizing so a batch of payloads fits in
+  * executor memory.
   *
   * Scale notes: payloads ride in the row (parquet binary); repartitionByBytes
   * bounds per-task memory by average payload size, the decode stage is a
@@ -78,6 +81,86 @@ object Multimodal {
         }
       }
     spark.createDataFrame(out, featureSchema)
+  }
+
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("feature", ArrayType(FloatType, containsNull = false))))
+
+  /** Synthesize REAL PNG payloads — deterministic 8×8 grayscale ramps keyed
+    * by the id (pixel i carries gray level (id·31 + i) mod 256), encoded by
+    * the JDK's own PNG writer. Gives tests and probes true image bytes with
+    * zero external codec or data dependency; the decoded pixels are a pure
+    * function of the id, so a SQL oracle can re-derive any feature of them
+    * without seeing the bytes. */
+  def synthesizePngMedia(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = ids.sparkSession
+    val out = ids.select(col(idCol).cast(LongType)).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val im = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < 64) {
+          val g = ((id * 31 + i) % 256).toInt
+          im.setRGB(i % 8, i / 8, (g << 16) | (g << 8) | g)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "png", bos)
+        Row(id, Row(bos.toByteArray, "image/png", 8, 8, null))
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("doc_id", LongType), StructField("media", mediaSchema))))
+  }
+
+  /** REAL image decode + feature extraction for the formats the JVM decodes
+    * natively — PNG, JPEG, BMP, GIF via javax.imageio, which ships with the
+    * JDK (no external codec). Per image: true dimensions and an 8-bin
+    * luminance histogram (Rec.601 integer weights) over an at-most-64×64
+    * subsampled pixel grid, so per-image work is constant regardless of
+    * resolution. Same iterator-in/iterator-out partition batching as
+    * [[decodeStub]]; an undecodable payload yields a null-dimension row
+    * (kept, not dropped — a real pipeline quarantines those downstream).
+    * Video/audio decode remains stubbed: THOSE codecs genuinely are absent
+    * from the JVM. */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col("doc_id"), col("media.payload").as("payload"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: Exception => None }
+          img match {
+            case Some(im) =>
+              val w = im.getWidth; val h = im.getHeight
+              val hist = new Array[Long](8)
+              val sx = math.max(1, w / 64); val sy = math.max(1, h / 64)
+              var n = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = im.getRGB(x, y)
+                  val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                    (rgb & 0xff) * 114) / 1000
+                  hist(lum / 32) += 1; n += 1
+                  x += sx
+                }
+                y += sy
+              }
+              Row(id, w, h, hist.map(v => v.toFloat / math.max(1L, n)).toSeq)
+            case None => Row(id, null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(out, imageFeatureSchema)
   }
 
   /** Video frame-sampling plan: the timestamps a decoder would extract, one

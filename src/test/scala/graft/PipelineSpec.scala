@@ -702,4 +702,29 @@ class PipelineSpec extends AnyFunSuite {
     // threshold above the fraction excludes it
     assert(Dedup.contaminationOverlap(corpus, eval, n = 3, minOverlap = 0.7).count() === 0)
   }
+
+  test("decodeImages: real JDK PNG decode — true dimensions, exact histogram, garbage tolerated") {
+    import spark.implicits._
+    val media = Multimodal.synthesizePngMedia(Seq(7L, 8L).toDF("doc_id"))
+    val rows = Multimodal.decodeImages(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(7L).getInt(1) === 8 && rows(7L).getInt(2) === 8)
+    // pixel i of image id carries gray (id*31+i) % 256 -> exact 8-bin histogram
+    def hist(id: Long): Seq[Float] = {
+      val h = new Array[Long](8)
+      (0 until 64).foreach(i => h((((id * 31 + i) % 256) / 32).toInt) += 1)
+      h.map(_.toFloat / 64).toSeq
+    }
+    assert(rows(7L).getSeq[Float](3) === hist(7L))
+    assert(rows(8L).getSeq[Float](3) === hist(8L))
+    // an undecodable payload yields a null-dimension row, not an exception
+    val bad = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(99L,
+        org.apache.spark.sql.Row("not an image".getBytes, "image/png", 0, 0, null)))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media", Multimodal.mediaSchema))))
+    val b = Multimodal.decodeImages(bad).collect()(0)
+    assert(b.getLong(0) === 99L && b.isNullAt(1) && b.isNullAt(3))
+  }
 }
