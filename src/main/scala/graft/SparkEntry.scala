@@ -1154,6 +1154,15 @@ object SparkEntry {
           posexplode(col("feature")).as(Seq("bin", "frac")))
         .withColumn("frac", col("frac").cast(DoubleType))
     }),
+    // ---- 2.M multimodal: REAL audio decode — deterministic PCM16 WAVs
+    //      (sample i = (id·7919+i·31) mod 65536 − 32768) parsed distributed
+    //      through javax.sound.sampled; integer signal statistics are
+    //      re-derived by the oracle as a pure function of doc_id ----
+    "q_audio_decode" -> ((s, dir) => {
+      val ids = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+      graft.pipeline.Multimodal.decodeAudio(
+        graft.pipeline.Multimodal.synthesizeWavMedia(ids))
+    }),
     // ---- 2.M multimodal: video frame-sampling plan (bounded explode of
     //      decode timestamps — the plumbing, not the codec) ----
     "q_frame_sample" -> ((s, dir) => {
@@ -2520,6 +2529,13 @@ object SparkEntry {
         |  CAST(COALESCE(c, 0) AS DOUBLE) / 64 AS frac
         |FROM ids CROSS JOIN bins
         |LEFT JOIN cnt ON cnt.doc_id = ids.doc_id AND cnt.bin = bins.bin""".stripMargin,
+    "q_audio_decode" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |sm AS (SELECT doc_id, CAST((doc_id*7919 + i*31) % 65536 - 32768 AS INTEGER) AS s
+        |       FROM ids CROSS JOIN (SELECT unnest(range(0, 256)) AS i))
+        |SELECT doc_id, 8000 AS sample_rate, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  MIN(s) AS smin, MAX(s) AS smax, CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs
+        |FROM sm GROUP BY doc_id""".stripMargin,
     "q_frame_sample" ->
       """WITH f AS (SELECT doc_id, unnest(generate_series(0, n_chars * 40 - 1, 2000)) AS o
         |           FROM documents WHERE n_chars > 0)

@@ -163,6 +163,89 @@ object Multimodal {
     spark.createDataFrame(out, imageFeatureSchema)
   }
 
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("smin", IntegerType),
+    StructField("smax", IntegerType),
+    StructField("sum_abs", LongType)))
+
+  /** Synthesize REAL WAV payloads — `nSamples` of PCM16LE mono at
+    * `sampleRate`, sample i carrying ((id·7919 + i·31) mod 65536) − 32768.
+    * The RIFF/WAVE container is written byte-by-byte (the format is just a
+    * 44-byte header + little-endian samples), so like [[synthesizePngMedia]]
+    * the decoded signal is a pure function of the id that a SQL oracle can
+    * re-derive without the bytes. */
+  def synthesizeWavMedia(ids: DataFrame, idCol: String = "doc_id",
+      nSamples: Int = 256, sampleRate: Int = 8000): DataFrame = {
+    val spark = ids.sparkSession
+    val out = ids.select(col(idCol).cast(LongType)).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val data = new Array[Byte](nSamples * 2)
+        var i = 0
+        while (i < nSamples) {
+          val s = (((id * 7919 + i.toLong * 31) % 65536) - 32768).toInt
+          data(2 * i) = (s & 0xff).toByte
+          data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val o = new java.io.DataOutputStream(bos)
+        def le32(v: Int): Unit = { o.writeByte(v & 0xff); o.writeByte((v >> 8) & 0xff)
+          o.writeByte((v >> 16) & 0xff); o.writeByte((v >> 24) & 0xff) }
+        def le16(v: Int): Unit = { o.writeByte(v & 0xff); o.writeByte((v >> 8) & 0xff) }
+        o.writeBytes("RIFF"); le32(36 + data.length); o.writeBytes("WAVE")
+        o.writeBytes("fmt "); le32(16); le16(1); le16(1) // PCM, mono
+        le32(sampleRate); le32(sampleRate * 2); le16(2); le16(16)
+        o.writeBytes("data"); le32(data.length); o.write(data)
+        Row(id, Row(bos.toByteArray, "audio/wav", null, null,
+          java.lang.Long.valueOf(nSamples.toLong * 1000 / sampleRate)))
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("doc_id", LongType), StructField("media", mediaSchema))))
+  }
+
+  /** REAL audio decode for the formats the JVM parses natively — WAV/PCM
+    * (and AIFF/AU) through javax.sound.sampled, which ships with the JDK.
+    * Per payload: the container-declared sample rate and exact integer
+    * signal statistics (count, min, max, Σ|s|) over the decoded PCM16
+    * stream — integer features, so engine-exact. Same batching contract and
+    * null-row behavior as [[decodeImages]]; only video decode remains
+    * stubbed. */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col("doc_id"), col("media.payload").as("payload"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = in.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian)
+            val raw = in.readAllBytes(); in.close()
+            var n = 0L; var mn = Int.MaxValue; var mx = Int.MinValue; var sabs = 0L
+            var i = 0
+            while (i + 1 < raw.length) {
+              val s = ((raw(i) & 0xff) | (raw(i + 1) << 8)).toShort.toInt
+              if (s < mn) mn = s
+              if (s > mx) mx = s
+              sabs += math.abs(s.toLong); n += 1
+              i += 2
+            }
+            Row(id, fmt.getSampleRate.toInt, n, mn, mx, sabs)
+          } catch {
+            case _: Exception => Row(id, null, null, null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(out, audioFeatureSchema)
+  }
+
   /** Video frame-sampling plan: the timestamps a decoder would extract, one
     * row per sampled frame — `everyMs` spacing across `duration_ms`, capped
     * at `maxFrames` (uniform head sample). Pure expressions (sequence +

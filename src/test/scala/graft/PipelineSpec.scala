@@ -727,4 +727,23 @@ class PipelineSpec extends AnyFunSuite {
     val b = Multimodal.decodeImages(bad).collect()(0)
     assert(b.getLong(0) === 99L && b.isNullAt(1) && b.isNullAt(3))
   }
+
+  test("decodeAudio: real JDK WAV parse — rate, exact integer signal stats, garbage tolerated") {
+    import spark.implicits._
+    val media = Multimodal.synthesizeWavMedia(Seq(3L).toDF("doc_id"), nSamples = 16, sampleRate = 16000)
+    val row = Multimodal.decodeAudio(media).collect()(0)
+    val want = (0 until 16).map(i => ((3L * 7919 + i.toLong * 31) % 65536 - 32768).toInt)
+    assert(row.getInt(1) === 16000 && row.getLong(2) === 16L)
+    assert(row.getInt(3) === want.min && row.getInt(4) === want.max)
+    assert(row.getLong(5) === want.map(s => math.abs(s.toLong)).sum)
+    // an unparsable payload yields a null row, not an exception
+    val bad = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(5L,
+        org.apache.spark.sql.Row("nope".getBytes, "audio/wav", null, null, null)))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media", Multimodal.mediaSchema))))
+    val b = Multimodal.decodeAudio(bad).collect()(0)
+    assert(b.getLong(0) === 5L && b.isNullAt(1) && b.isNullAt(5))
+  }
 }
