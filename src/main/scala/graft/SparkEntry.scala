@@ -1154,6 +1154,18 @@ object SparkEntry {
           posexplode(col("feature")).as(Seq("bin", "frac")))
         .withColumn("frac", col("frac").cast(DoubleType))
     }),
+    // ---- 2.M multimodal: REAL image resize (nearest-neighbor, JDK codec)
+    //      composed with decode — the resized 4×4's histogram is the oracle's
+    //      pure function of doc_id over the NN-sampled source pixels ----
+    "q_image_resize" -> ((s, dir) => {
+      val ids = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+      val media = graft.pipeline.Multimodal.synthesizePngMedia(ids)
+      val small = graft.pipeline.Multimodal.resizeImages(media, 4, 4)
+      graft.pipeline.Multimodal.decodeImages(small)
+        .select(col("doc_id"), col("width"), col("height"),
+          posexplode(col("feature")).as(Seq("bin", "frac")))
+        .withColumn("frac", col("frac").cast(DoubleType))
+    }),
     // ---- 2.M multimodal: REAL audio decode — deterministic PCM16 WAVs
     //      (sample i = (id·7919+i·31) mod 65536 − 32768) parsed distributed
     //      through javax.sound.sampled; integer signal statistics are
@@ -2527,6 +2539,17 @@ object SparkEntry {
         |bins AS (SELECT unnest(range(0, 8)) AS bin)
         |SELECT ids.doc_id, 8 AS width, 8 AS height, CAST(bins.bin AS INTEGER) AS bin,
         |  CAST(COALESCE(c, 0) AS DOUBLE) / 64 AS frac
+        |FROM ids CROSS JOIN bins
+        |LEFT JOIN cnt ON cnt.doc_id = ids.doc_id AND cnt.bin = bins.bin""".stripMargin,
+    "q_image_resize" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |px AS (SELECT doc_id,
+        |         (doc_id*31 + ((i // 4) * 2) * 8 + (i % 4) * 2) % 256 AS g
+        |       FROM ids CROSS JOIN (SELECT unnest(range(0, 16)) AS i)),
+        |cnt AS (SELECT doc_id, g // 32 AS bin, COUNT(*) AS c FROM px GROUP BY 1, 2),
+        |bins AS (SELECT unnest(range(0, 8)) AS bin)
+        |SELECT ids.doc_id, 4 AS width, 4 AS height, CAST(bins.bin AS INTEGER) AS bin,
+        |  CAST(COALESCE(c, 0) AS DOUBLE) / 16 AS frac
         |FROM ids CROSS JOIN bins
         |LEFT JOIN cnt ON cnt.doc_id = ids.doc_id AND cnt.bin = bins.bin""".stripMargin,
     "q_audio_decode" ->

@@ -163,6 +163,50 @@ object Multimodal {
     spark.createDataFrame(out, imageFeatureSchema)
   }
 
+  /** REAL image resize — deterministic nearest-neighbor sampling (source
+    * pixel = floor(dst·srcDim/dstDim), the classic NN map; no AWT scaling
+    * hints, whose kernels vary by JDK) re-encoded to PNG by the JDK codec.
+    * Payload-in/payload-out: the result is a media frame again, so resize
+    * composes with [[decodeImages]]/feature extraction downstream exactly
+    * like a real preprocessing pipeline. Undecodable payloads pass through
+    * with a null payload (quarantine downstream). Narrow transformation —
+    * no shuffle; blobs never leave their partition. */
+  def resizeImages(media: DataFrame, dstW: Int, dstH: Int): DataFrame = {
+    require(dstW > 0 && dstH > 0, "target dimensions must be positive")
+    val spark = media.sparkSession
+    val out = media.select(col("doc_id"), col("media.payload").as("payload"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: Exception => None }
+          img match {
+            case Some(im) =>
+              val srcW = im.getWidth; val srcH = im.getHeight
+              val dst = new java.awt.image.BufferedImage(dstW, dstH,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < dstH) {
+                var x = 0
+                while (x < dstW) {
+                  dst.setRGB(x, y, im.getRGB(x * srcW / dstW, y * srcH / dstH))
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", bos)
+              Row(id, Row(bos.toByteArray, "image/png", dstW, dstH, null))
+            case None => Row(id, Row(null, "image/unreadable", null, null, null))
+          }
+        }
+      }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("doc_id", LongType), StructField("media", mediaSchema))))
+  }
+
   val audioFeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("sample_rate", IntegerType),

@@ -746,4 +746,18 @@ class PipelineSpec extends AnyFunSuite {
     val b = Multimodal.decodeAudio(bad).collect()(0)
     assert(b.getLong(0) === 5L && b.isNullAt(1) && b.isNullAt(5))
   }
+
+  test("resizeImages: deterministic nearest-neighbor downsample composes with decode") {
+    import spark.implicits._
+    val media = Multimodal.synthesizePngMedia(Seq(11L).toDF("doc_id"))
+    val row = Multimodal.decodeImages(Multimodal.resizeImages(media, 4, 4)).collect()(0)
+    assert(row.getInt(1) === 4 && row.getInt(2) === 4)
+    // NN map: dst (x,y) samples src (2x,2y) -> src index 16*(i/4)+2*(i%4)
+    val h = new Array[Long](8)
+    (0 until 16).foreach { i =>
+      val g = (11L * 31 + 16 * (i / 4) + 2 * (i % 4)) % 256
+      h((g / 32).toInt) += 1
+    }
+    assert(row.getSeq[Float](3) === h.map(_.toFloat / 16).toSeq)
+  }
 }
