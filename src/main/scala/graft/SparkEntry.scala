@@ -1546,6 +1546,14 @@ object SparkEntry {
       graph(s, dir).V().has("name", "NATION_5").dataframe
         .select(col("uid"), col("label"), col("name"))
     }),
+    // ---- 2.B force-index strict mode (query.force-index): the same query
+    //      under forceIndex() must take the index path AND return identical
+    //      rows; the rejection path (no usable index → throw) is spec-tested
+    //      in ExtensionsSpec ----
+    "q_force_index" -> ((s, dir) => {
+      graph(s, dir).V().forceIndex().has("name", "NATION_5").dataframe
+        .select(col("uid"), col("label"), col("name"))
+    }),
     // ---- 2.B AUTOMATIC selection of a LABEL-SCOPED composite index: the
     //      index table holds only customer rows (onlyLabel), and the query's
     //      hasLabel("customer") constraint proves the scope covers it — the
@@ -2142,6 +2150,8 @@ object SparkEntry {
     "q_index_lookup" ->
       "SELECT n_nationkey AS uid, 'nation' AS label, n_name AS name FROM nation WHERE n_name = 'NATION_5'",
     "q_index_auto" ->
+      "SELECT n_nationkey AS uid, 'nation' AS label, n_name AS name FROM nation WHERE n_name = 'NATION_5'",
+    "q_force_index" ->
       "SELECT n_nationkey AS uid, 'nation' AS label, n_name AS name FROM nation WHERE n_name = 'NATION_5'",
     "q_index_lookup_edge" ->
       """SELECT l_orderkey AS o_uid, l_partkey AS p_uid, l_quantity AS quantity,
