@@ -299,7 +299,15 @@ object GraphIO {
               if (ks.nonEmpty)
                 Some(name -> graft.index.Indexes.materializeNumeric(g2, ix, ks))
               else None
-            } else None // geo / unknown layout: drop
+            } else if (cols == Set("key", "cell_deg", "cell_lat", "cell_lon", "id")) {
+              // geo grid table is self-describing (key + cell size recorded
+              // in the layout) — one 1-row control read recovers the
+              // materialization parameters
+              val hdr = old.select(col("key"), col("cell_deg")).limit(1).collect()
+              if (hdr.isEmpty || hdr(0).getString(0).isEmpty) None
+              else Some(name -> graft.index.Indexes.materializeGeo(g2, ix,
+                col(hdr(0).getString(0)), hdr(0).getDouble(1)))
+            } else None // unknown layout: drop
           } catch {
             // a layout/mapping mismatch the materializer rejects ⇒ drop —
             // stale must not change results

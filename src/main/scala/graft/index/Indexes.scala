@@ -254,6 +254,11 @@ object Indexes {
     * coordinates are range-filterable, so a circle query prunes to the cells
     * its bounding box covers (partition/min-max pruning when the table is
     * written sorted by cell) instead of scanning every point on earth. */
+  /** The table is SELF-DESCRIBING — it records the indexed key name and the
+    * cell size alongside the cells — so a mutation-time refresh can
+    * re-materialize it from layout alone (the same recognition the other
+    * mixed layouts get), instead of dropping the geo acceleration until the
+    * caller re-materializes. */
   def materializeGeo(g: PropertyGraph, ix: IndexDef, pointCol: Column,
       cellDeg: Double = 5.0): DataFrame = {
     require(cellDeg > 0, "cell size must be positive")
@@ -262,6 +267,8 @@ object Indexes {
     val lat = pointCol.getField("coords").getItem(0)
     val lon = pointCol.getField("coords").getItem(1)
     scoped.select(
+      lit(ix.keys.headOption.getOrElse("")).as("key"),
+      lit(cellDeg).as("cell_deg"),
       floor(lat / cellDeg).cast("int").as("cell_lat"),
       floor(lon / cellDeg).cast("int").as("cell_lon"),
       col("id"))

@@ -129,13 +129,40 @@ class MutationEnforcementSpec extends AnyFunSuite {
     assert(m.indexTables("nameTok").filter(col("token") === "atlantis").count() === 1)
     assert(m.V().has("name", graft.expr.P.textContains("atlantis"))
       .dataframe.count() === 1)
-    // an unrecognizable layout (e.g. geo cells — cell size not recorded)
-    // must DROP rather than serve stale results
+    // an unrecognizable layout (legacy geo cells without the recorded
+    // parameters, or anything else unknown) must DROP, never serve stale
     val geoish = g0.vertices.limit(1).select(lit(0).as("cell_lat"),
       lit(0).as("cell_lon"), col("id"))
     val g2 = g.withIndexTable("nameTok", geoish)
     val m2 = GraphIO.applyMutations(g2, addVertices = Some(add))
     assert(!m2.indexTables.contains("nameTok"))
+  }
+
+  test("mutations refresh SELF-DESCRIBING geo grid tables (key + cell size recorded)") {
+    val g0 = TpchGraph.load(spark, dir)
+    // give suppliers a point column and geo-index it at a 2-degree grid
+    val pt = graft.expr.Geo.pointCol(col("uid").cast("double") % 50.0,
+      col("uid").cast("double") % 120.0)
+    val withLoc = g0.copy(vertices = g0.vertices.withColumn("loc",
+      when(col("label") === "supplier", pt)))
+    val ix = IndexDef("supLoc", ElementCategory.VERTEX, Seq("loc"),
+      composite = false, onlyLabel = Some("supplier"))
+    val g = withLoc.copy(schema = withLoc.schema.copy(indexes =
+        withLoc.schema.indexes + ("supLoc" -> ix)))
+      .withIndexTable("supLoc", graft.index.Indexes.materializeGeo(withLoc, ix,
+        col("loc"), cellDeg = 2.0))
+    val add = spark.range(1).select(lit(TpchGraph.SupplierTag * T + 9999L).as("id"),
+      lit("supplier").as("label"), lit(9999L).as("uid"),
+      graft.expr.Geo.point(49.0, 39.0).as("loc"))
+    val m = GraphIO.applyMutations(g, addVertices = Some(add))
+    // still registered after the mutation, re-derived at the SAME cell size,
+    // and the new row is in it (9999 % 50 = 49, 9999 % 120 = 39 -> cells 24, 19)
+    assert(m.indexTables.contains("supLoc"))
+    val row = m.indexTables("supLoc")
+      .filter(col("id") === (TpchGraph.SupplierTag * T + 9999L)).collect()
+    assert(row.length === 1)
+    assert(row(0).getAs[Double]("cell_deg") === 2.0)
+    assert(row(0).getAs[Int]("cell_lat") === 24 && row(0).getAs[Int]("cell_lon") === 19)
   }
 
   test("vertex-delete cascade cannot touch a static vertex's adjacency") {
