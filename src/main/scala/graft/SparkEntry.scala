@@ -818,6 +818,15 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) => {
       graft.olap.Analytics.pageRankFixedPoint(graph(s, dir), iterations = 10)
     }),
+    // ---- 2.K WEIGHTED SSSP (exact integer Bellman-Ford: contains edges
+    //      weighted by quantity, unit weights elsewhere — the reference's
+    //      ShortestDistanceVertexProgram edge-distance property) ----
+    "q_sssp_weighted" -> ((s, dir) => {
+      val src = TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L
+      graft.olap.Analytics.shortestDistanceExact(graph(s, dir), src,
+        when(col("label") === "contains", col("quantity")).otherwise(lit(1.0)),
+        maxIter = 8)
+    }),
     // ---- 2.K personalized PageRank (teleport mass on one source; sparse
     //      non-zero-rank result; exact fixed-point ⇒ hash-oracle-checkable) ----
     "q_ppr" -> ((s, dir) => {
@@ -1636,6 +1645,17 @@ object SparkEntry {
         .unionAll(m.edges.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
           .select(lit("e").as("kind"), col("label"), col("cnt")))
     }),
+    // ---- 2.E addV step (TinkerPop AddVertexStep): one 'segment' vertex per
+    //      distinct market segment, deterministic reserved-tag ids; the new
+    //      vertex label auto-creates through the first-use schema maker ----
+    "q_add_vertex" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val segs = g.vertices.filter(col("label") === "customer")
+        .select(col("mktsegment").as("name")).distinct()
+        .withColumn("uid", xxhash64(col("name")))
+      val m = g.traversal.addV("segment", segs)
+      m.vertices.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    }),
     // ---- 2.E addE step (TinkerPop AddEdgeStep): materialize the reverse of
     //      'placed' as placed_by; the undeclared edge label auto-creates
     //      through the first-use schema maker inside applyMutations ----
@@ -2193,6 +2213,14 @@ object SparkEntry {
         |   WHERE c_mktsegment <> 'BUILDING')
         |UNION ALL SELECT 'e', 'contains', COUNT(*) FROM lineitem
         |UNION ALL SELECT 'e', 'supplied_by', COUNT(*) FROM lineitem""".stripMargin,
+    "q_add_vertex" ->
+      """SELECT 'region' AS label, COUNT(*) AS cnt FROM region
+        |UNION ALL SELECT 'nation', COUNT(*) FROM nation
+        |UNION ALL SELECT 'customer', COUNT(*) FROM customer
+        |UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+        |UNION ALL SELECT 'part', COUNT(*) FROM part
+        |UNION ALL SELECT 'order', COUNT(*) FROM orders
+        |UNION ALL SELECT 'segment', COUNT(DISTINCT c_mktsegment) FROM customer""".stripMargin,
     "q_add_edge" ->
       """SELECT 'in_region' AS label, COUNT(*) AS cnt FROM nation
         |UNION ALL SELECT 'in_nation',
@@ -2330,6 +2358,8 @@ object SparkEntry {
     "q_pagerank" -> pageRankOracle(10),
     "q_ppr" -> pprOracle(
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 10),
+    "q_sssp_weighted" -> wssspOracle(
+      TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 8),
     "q_bsp" ->
       """WITH deg AS (
         |  SELECT nk, CAST(SUM(d) AS BIGINT) AS d FROM (
@@ -2820,6 +2850,32 @@ object SparkEntry {
        |       ELSE CAST(0 AS BIGINT) END AS r FROM vg),
        |$iters
        |SELECT id, r AS rank_ppr FROM p$iterations WHERE r > 0""".stripMargin
+  }
+
+  /** Weighted Bellman-Ford (mirrors Analytics.shortestDistanceExact with
+    * quantity-weighted contains edges, unit weights elsewhere). */
+  private def wssspOracle(sourceId: Long, rounds: Int): String = {
+    val iters = (1 to rounds).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT p.id,
+         |  CASE WHEN n.nd IS NULL THEN p.d WHEN p.d IS NULL THEN n.nd
+         |       WHEN n.nd < p.d THEN n.nd ELSE p.d END AS d
+         |  FROM d${k - 1} p LEFT JOIN (
+         |    SELECT wg.dst AS id, MIN(q.d + wg.w) AS nd FROM wg
+         |    JOIN d${k - 1} q ON q.id = wg.src WHERE q.d IS NOT NULL GROUP BY 1) n
+         |  ON n.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |wg AS MATERIALIZED (
+       |  SELECT 2*$T + n_nationkey AS src, 1*$T + n_regionkey AS dst, CAST(1 AS BIGINT) AS w FROM nation
+       |  UNION ALL SELECT 3*$T + c_custkey, 2*$T + c_nationkey, 1 FROM customer
+       |  UNION ALL SELECT 4*$T + s_suppkey, 2*$T + s_nationkey, 1 FROM supplier
+       |  UNION ALL SELECT 3*$T + o_custkey, 6*$T + o_orderkey, 1 FROM orders
+       |  UNION ALL SELECT 6*$T + l_orderkey, 5*$T + l_partkey, CAST(l_quantity AS BIGINT) FROM lineitem
+       |  UNION ALL SELECT 6*$T + l_orderkey, 4*$T + l_suppkey, 1 FROM lineitem),
+       |d0 AS MATERIALIZED (SELECT id,
+       |  CASE WHEN id = $sourceId THEN CAST(0 AS BIGINT) END AS d FROM vg),
+       |$iters
+       |SELECT id, d AS distance FROM d$rounds WHERE d IS NOT NULL""".stripMargin
   }
 
   /** Synchronous Bellman-Ford hop distance (mirrors Analytics.shortestHopsExact). */

@@ -1,7 +1,7 @@
 package graft.olap
 
 import graft.data.PropertyGraph
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph, VertexId, PartitionStrategy}
 import org.apache.spark.storage.StorageLevel
@@ -201,8 +201,20 @@ object Analytics {
     * distances, so exactly oracle-checkable. Only reached vertices are
     * returned. Scale: per round one edges⨝frontier join + min-combine — the
     * frontier is the only growing state. */
-  def shortestHopsExact(g: PropertyGraph, source: Long, maxIter: Int = 8): DataFrame = {
-    val e = g.edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+  def shortestHopsExact(g: PropertyGraph, source: Long, maxIter: Int = 8): DataFrame =
+    shortestDistanceExact(g, source, lit(1L), maxIter)
+
+  /** Weighted single-source shortest distance in exact integer arithmetic —
+    * [[shortestHopsExact]] generalized with a per-edge integer `weight`
+    * column (the reference's ShortestDistanceVertexProgram reads its edge
+    * `distance` property the same way; weights must be non-negative for
+    * Bellman-Ford's monotone early exit to hold). Per round: one
+    * edges⨝frontier join + min-combine; the same monotone (reached-count,
+    * distance-sum) convergence signature. */
+  def shortestDistanceExact(g: PropertyGraph, source: Long, weight: Column,
+      maxIter: Int = 8): DataFrame = {
+    val e = g.edges.select(col("src"), col("dst"), weight.cast("long").as("__w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var dist = g.vertices.select(col("id"))
       .select(col("id"), when(col("id") === source, lit(0L)).as("d"))
       .localCheckpoint(false)
@@ -216,7 +228,7 @@ object Analytics {
     var converged = false
     while (round < maxIter && !converged) {
       val relaxed = e.join(dist.filter(col("d").isNotNull), e("src") === dist("id"))
-        .select(col("dst").as("id"), (col("d") + 1L).as("nd"))
+        .select(col("dst").as("id"), (col("d") + col("__w")).as("nd"))
         .groupBy(col("id")).agg(min(col("nd")).as("nd"))
       // each round references the previous frontier TWICE (base + messages);
       // a LAZY localCheckpoint truncates the lineage so the plan stays

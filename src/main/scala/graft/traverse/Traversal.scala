@@ -1035,6 +1035,22 @@ final class TraversalSource(val graph: PropertyGraph, val pathEnabled: Boolean =
     Traversal(graph, df, isVertex = true, pathEnabled)
   }
   def V(ids: Long*): Traversal = V().hasId(ids: _*)
+
+  /** addV(label, rows) — TinkerPop AddVertexStep, set-oriented: one new
+    * vertex per input row, properties = the row's columns. Ids synthesize
+    * deterministically from xxhash64(label, uid) under a reserved top tag
+    * (like [[Traversal.addE]]), so replays are idempotent and the same
+    * logical vertex never duplicates. Routes through
+    * [[graft.data.GraphIO.applyMutations]] — static-label/consistency
+    * enforcement and first-use schema creation apply like any write. */
+  def addV(label: String, rows: DataFrame, enforce: Boolean = true): PropertyGraph = {
+    require(rows.columns.contains("uid"), "addV: rows need a 'uid' column (identity)")
+    val vid = (lit(126L << graft.core.GraphIds.TagBits) +
+      F.pmod(F.xxhash64(lit(label), col("uid")),
+        lit(1L << graft.core.GraphIds.TagBits))).as("id")
+    val av = rows.select(Seq(vid, lit(label).as("label")) ++ rows.columns.map(col): _*)
+    graft.data.GraphIO.applyMutations(graph, addVertices = Some(av), enforce = enforce)
+  }
   def E(): Traversal = {
     val live = graft.expr.ImplicitKeys.ttlAutoFilter(graph.schema, graph.edges, isVertex = false)
     val e = live.select(
