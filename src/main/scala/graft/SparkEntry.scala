@@ -1425,6 +1425,40 @@ object SparkEntry {
         .unionAll(m.edges.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
           .select(lit("e").as("kind"), col("label"), col("cnt")))
     }),
+    // ---- 2.A/2.L catalog persistence: save writes schema.json next to the
+    //      frames; a LOAD WITH NO CALLER SCHEMA must recover every
+    //      definition (TTL, static, multiplicity, sort keys, indexes) —
+    //      the reference keeps schema vertices inside the store ----
+    "q_catalog_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cat-p")
+      val g0 = graph(s, dir)
+      val rich = g0.copy(schema = g0.schema.copy(vertexLabels =
+        g0.schema.vertexLabels + ("region" ->
+          graft.core.VertexLabelDef("region", static = true, ttlSeconds = Some(604800L)))))
+      graft.data.GraphIO.save(rich, s"$tmp/g", buckets = 4)
+      val back = graft.data.GraphIO.load(s, s"$tmp/g")
+      val sch = back.schema
+      val rows =
+        sch.edgeLabels.values.toSeq.sortBy(_.name).map(l => ("edge_label", l.name,
+          l.multiplicity.toString + ":" + l.sortKey.mkString(","))) ++
+        sch.vertexLabels.values.toSeq.sortBy(_.name).map(l => ("vertex_label", l.name,
+          s"static=${l.static},ttl=${l.ttlSeconds.getOrElse(0L)}")) ++
+        sch.relationIndexes.values.toSeq.sortBy(_.name).map(r => ("relation_index", r.name,
+          r.edgeLabel + ":" + r.sortKey.mkString(","))) ++
+        sch.indexes.values.toSeq.sortBy(_.name).map(i => ("index", i.name,
+          i.keys.mkString(",")))
+      val res = rows.toDF("kind", "name", "detail")
+        .unionAll(Seq(
+          ("stat", "vertices", back.vertices.count().toString),
+          ("stat", "edges", back.edges.count().toString)).toDF("kind", "name", "detail"))
+        .localCheckpoint(true) // materialize before the saved files vanish
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+      res
+    }),
     // ---- 2.L DefaultSchemaMaker: undeclared-type ingest auto-creates the
     //      catalog (Tp3DefaultSchemaMaker parity). The probe ingests raw
     //      tables against an EMPTY schema, emits the synthesized catalog
@@ -2718,6 +2752,30 @@ object SparkEntry {
         |  CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > CAST(3600 AS BIGINT) * 1000000 THEN 1 ELSE 0 END AS ns
         |  FROM o)
         |SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM s GROUP BY 1""".stripMargin,
+    "q_catalog_roundtrip" ->
+      """SELECT 'edge_label' AS kind, 'contains' AS name, 'MULTI:shipdate' AS detail
+        |UNION ALL SELECT 'edge_label', 'in_nation', 'MANY2ONE:'
+        |UNION ALL SELECT 'edge_label', 'in_region', 'MANY2ONE:'
+        |UNION ALL SELECT 'edge_label', 'placed', 'MULTI:orderdate'
+        |UNION ALL SELECT 'edge_label', 'supplied_by', 'MULTI:'
+        |UNION ALL SELECT 'vertex_label', 'customer', 'static=false,ttl=0'
+        |UNION ALL SELECT 'vertex_label', 'nation', 'static=false,ttl=0'
+        |UNION ALL SELECT 'vertex_label', 'order', 'static=false,ttl=0'
+        |UNION ALL SELECT 'vertex_label', 'part', 'static=false,ttl=0'
+        |UNION ALL SELECT 'vertex_label', 'region', 'static=true,ttl=604800'
+        |UNION ALL SELECT 'vertex_label', 'supplier', 'static=false,ttl=0'
+        |UNION ALL SELECT 'relation_index', 'containsByShip', 'contains:shipdate'
+        |UNION ALL SELECT 'relation_index', 'placedByDate', 'placed:orderdate'
+        |UNION ALL SELECT 'index', 'byName', 'name'
+        |UNION ALL SELECT 'index', 'byUid', 'uid'
+        |UNION ALL SELECT 'stat', 'vertices', CAST(
+        |  (SELECT COUNT(*) FROM region) + (SELECT COUNT(*) FROM nation)
+        |  + (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier)
+        |  + (SELECT COUNT(*) FROM part) + (SELECT COUNT(*) FROM orders) AS VARCHAR)
+        |UNION ALL SELECT 'stat', 'edges', CAST(
+        |  (SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM customer)
+        |  + (SELECT COUNT(*) FROM supplier) + (SELECT COUNT(*) FROM orders)
+        |  + 2 * (SELECT COUNT(*) FROM lineitem) AS VARCHAR)""".stripMargin,
     "q_auto_schema" ->
       """WITH vc AS (SELECT column_name AS name,
         |  CASE column_type WHEN 'VARCHAR' THEN 'string' WHEN 'INTEGER' THEN 'int'

@@ -27,17 +27,53 @@ object GraphIO {
     g.edges.repartition(buckets, col("src"))
       .sortWithinPartitions(col("src"), col("label"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/edges")
+    // the catalog travels WITH the data (the reference stores schema
+    // vertices inside the graph, IDManager.java:348-350) — TTLs, static/
+    // partitioned flags, multiplicities, signatures, sort keys and index
+    // definitions survive the round-trip instead of being re-derived weaker
+    // by the first-use maker on load
+    writeText(s"$path/schema.json", graft.core.SchemaJson.toJson(g.schema))
   }
 
-  /** Load consults the configured schema maker (`spark.graft.schema.default`,
-    * the reference's `schema.default` graph config): `default` auto-completes
-    * the catalog from the stored frames (columns/labels the caller's schema
-    * does not declare are created first-use, Titan's transparent maker);
-    * `none` throws on anything undeclared (DisableDefaultSchemaMaker). */
+  private def writeText(path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readTextIfExists(path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  /** Load recovers the persisted catalog (schema.json next to the frames)
+    * when present — the stored definitions are the base, and the caller's
+    * explicit `schema` entries win per name (the caller is "management").
+    * The configured schema maker (`spark.graft.schema.default`, the
+    * reference's `schema.default` graph config) then runs over the merged
+    * catalog: `default` auto-completes anything still undeclared first-use,
+    * `none` throws (DisableDefaultSchemaMaker). */
   def load(spark: SparkSession, path: String, schema: GraphSchema = GraphSchema()): PropertyGraph = {
     val v = spark.read.parquet(s"$path/vertices")
     val e = spark.read.parquet(s"$path/edges")
-    PropertyGraph(graft.mgmt.DefaultSchemaMaker.applyConfigured(spark, schema, v, e), v, e)
+    val stored = readTextIfExists(s"$path/schema.json")
+      .map(graft.core.SchemaJson.fromJson).getOrElse(GraphSchema())
+    val base = stored.copy(
+      propertyKeys = stored.propertyKeys ++ schema.propertyKeys,
+      edgeLabels = stored.edgeLabels ++ schema.edgeLabels,
+      vertexLabels = stored.vertexLabels ++ schema.vertexLabels,
+      indexes = stored.indexes ++ schema.indexes,
+      relationIndexes = stored.relationIndexes ++ schema.relationIndexes,
+      ttlReadTime = schema.ttlReadTime.orElse(stored.ttlReadTime))
+    PropertyGraph(graft.mgmt.DefaultSchemaMaker.applyConfigured(spark, base, v, e), v, e)
   }
 
   /** GraphSON-style export: one JSON object per element, vertices and edges in

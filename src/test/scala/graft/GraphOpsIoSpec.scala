@@ -306,4 +306,34 @@ class GraphOpsIoSpec extends AnyFunSuite {
       .order("age").tail(2).values("name").collect().map(_.getString(0)).toSet
     assert(names === Set("jupiter", "saturn"))
   }
+
+  test("save/load round-trips the schema catalog (TTL, static, multiplicity, indexes)") {
+    import graft.core._
+    val g0 = TpchGraph.load(spark, dir)
+    val rich = g0.copy(schema = g0.schema.copy(vertexLabels =
+      g0.schema.vertexLabels +
+        ("region" -> VertexLabelDef("region", static = true, ttlSeconds = Some(3600L)))))
+    val out = Files.createTempDirectory("graft-cat").toString
+    GraphIO.save(rich, out, buckets = 2)
+    // NO caller schema: everything must come back from the persisted catalog
+    val back = GraphIO.load(spark, out)
+    assert(back.schema.vertexLabels("region").static)
+    assert(back.schema.vertexLabels("region").ttlSeconds === Some(3600L))
+    assert(back.schema.edgeLabels("in_region").multiplicity === Multiplicity.MANY2ONE)
+    assert(back.schema.edgeLabels("contains").signature ===
+      Seq("quantity", "extendedprice", "discount", "suppkey"))
+    assert(back.schema.edgeLabels("contains").sortKey === Seq("shipdate"))
+    assert(back.schema.relationIndexes.contains("containsByShip"))
+    assert(back.schema.indexes("byName").keys === Seq("name"))
+    assert(back.schema.propertyKeys("orderdate").dataType ===
+      org.apache.spark.sql.types.DateType)
+    // the codec is the identity on the catalog
+    assert(SchemaJson.fromJson(SchemaJson.toJson(rich.schema)) === rich.schema)
+    // caller-supplied definitions override the stored ones per name
+    val override0 = GraphSchema(vertexLabels = Map(
+      "region" -> VertexLabelDef("region", static = false)))
+    val back2 = GraphIO.load(spark, out, override0)
+    assert(!back2.schema.vertexLabels("region").static)
+    assert(back2.schema.edgeLabels.contains("placed")) // rest still stored
+  }
 }
