@@ -1589,6 +1589,15 @@ object SparkEntry {
       graph(s, dir).V().has("name", "NATION_5").dataframe
         .select(col("uid"), col("label"), col("name"))
     }),
+    // ---- 2.L rename types end-to-end: the catalog cascade + frame-column
+    //      rename move together (GraphOps.renameProperty) and the composite
+    //      index re-derives under the NEW key name, so the renamed query
+    //      still takes the index path ----
+    "q_rename_key" -> ((s, dir) => {
+      val g = graft.olap.GraphOps.renameProperty(graph(s, dir), "name", "title")
+      g.V().has("title", "NATION_5").dataframe
+        .select(col("uid"), col("label"), col("title"))
+    }),
     // ---- 2.B force-index strict mode (query.force-index): the same query
     //      under forceIndex() must take the index path AND return identical
     //      rows; the rejection path (no usable index → throw) is spec-tested
@@ -2207,6 +2216,8 @@ object SparkEntry {
       "SELECT n_nationkey AS uid, 'nation' AS label, n_name AS name FROM nation WHERE n_name = 'NATION_5'",
     "q_force_index" ->
       "SELECT n_nationkey AS uid, 'nation' AS label, n_name AS name FROM nation WHERE n_name = 'NATION_5'",
+    "q_rename_key" ->
+      "SELECT n_nationkey AS uid, 'nation' AS label, n_name AS title FROM nation WHERE n_name = 'NATION_5'",
     "q_index_lookup_edge" ->
       """SELECT l_orderkey AS o_uid, l_partkey AS p_uid, l_quantity AS quantity,
         |l_linenumber AS linenumber FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,

@@ -195,10 +195,28 @@ final case class GraphSchema(
 
   /** Rename a type (the only mutation the reference allows on committed types —
     * docs/titanbasics.txt:1414-1417). */
+  /** Rename a property key AND cascade the new name through every catalog
+    * reference — index keys/mappings, edge-label signatures and sort keys,
+    * relation-index sort keys. The reference gets this for free because
+    * schema elements reference each other by vertex id, not name
+    * (changeName just relabels the schema vertex); a string-keyed catalog
+    * must rewrite the references or leave them dangling. Frame columns are
+    * data, not catalog — [[graft.olap.GraphOps.renameProperty]] renames
+    * both sides together. */
   def renamePropertyKey(from: String, to: String): GraphSchema = {
     val k = propertyKey(from)
     require(!propertyKeys.contains(to), s"property key '$to' already defined")
-    copy(propertyKeys = propertyKeys - from + (to -> k.copy(name = to)))
+    def ren(s: Seq[String]): Seq[String] = s.map(x => if (x == from) to else x)
+    copy(
+      propertyKeys = propertyKeys - from + (to -> k.copy(name = to)),
+      edgeLabels = edgeLabels.view.mapValues(l =>
+        l.copy(signature = ren(l.signature), sortKey = ren(l.sortKey))).toMap,
+      indexes = indexes.view.mapValues(ix =>
+        ix.copy(keys = ren(ix.keys),
+          mappings = ix.mappings.map { case (kk, v) =>
+            (if (kk == from) to else kk) -> v })).toMap,
+      relationIndexes = relationIndexes.view.mapValues(r =>
+        r.copy(sortKey = ren(r.sortKey))).toMap)
   }
 
   /** Edge labels visible only from their out-vertex (EdgeLabelMaker.unidirected). */

@@ -308,7 +308,7 @@ object GraphIO {
     * cell size is not recoverable from the layout — as is any unrecognized
     * layout: the planner falls back to the pushed-down full scan, correct
     * but unaccelerated until the caller re-materializes. */
-  private def refreshIndexTables(g2: PropertyGraph): PropertyGraph = {
+  private[graft] def refreshIndexTables(g2: PropertyGraph): PropertyGraph = {
     if (g2.indexTables.isEmpty) return g2
     val refreshed = g2.indexTables.flatMap { case (name, old) =>
       g2.schema.indexes.get(name) match {

@@ -69,4 +69,19 @@ object GraphOps {
   def reindex(g: PropertyGraph, ix: graft.core.IndexDef, path: String): Unit =
     graft.index.Indexes.materialize(g, ix)
       .write.mode("overwrite").parquet(path)
+
+  /** Rename a property key on BOTH sides at once — catalog (with cascaded
+    * references, GraphSchema.renamePropertyKey) and frame columns (a
+    * zero-shuffle projection) — the analogue of the reference's
+    * `mgmt.changeName` (types referenced by id there, so only the label
+    * moves; here names ARE the references, so both must move together).
+    * Registered index tables re-derive through the same refresh the
+    * mutation path uses, so an index over the renamed key keeps serving. */
+  def renameProperty(g: PropertyGraph, from: String, to: String): PropertyGraph = {
+    def ren(df: org.apache.spark.sql.DataFrame) =
+      if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df
+    graft.data.GraphIO.refreshIndexTables(g.copy(
+      schema = g.schema.renamePropertyKey(from, to),
+      vertices = ren(g.vertices), edges = ren(g.edges)))
+  }
 }

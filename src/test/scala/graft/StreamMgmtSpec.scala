@@ -348,4 +348,17 @@ class StreamMgmtSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("static-label") ||
       Option(ex.getCause).exists(_.getMessage.contains("static-label")))
   }
+
+  test("renamePropertyKey cascades through indexes, signatures and sort keys") {
+    val g = graft.data.TpchGraph.load(spark, dir)
+    val s2 = g.schema.renamePropertyKey("shipdate", "shipped")
+    assert(s2.propertyKeys.contains("shipped") && !s2.propertyKeys.contains("shipdate"))
+    assert(s2.edgeLabels("contains").sortKey === Seq("shipped"))
+    assert(s2.relationIndexes("containsByShip").sortKey === Seq("shipped"))
+    assert(g.schema.renamePropertyKey("name", "title").indexes("byName").keys === Seq("title"))
+    // graph-level rename moves the frame column too; queries follow the new name
+    val g2 = graft.olap.GraphOps.renameProperty(g, "name", "title")
+    assert(g2.vertices.columns.contains("title") && !g2.vertices.columns.contains("name"))
+    assert(g2.V().has("title", "NATION_5").dataframe.count() === 1)
+  }
 }
