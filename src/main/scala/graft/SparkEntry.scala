@@ -818,6 +818,11 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) => {
       graft.olap.Analytics.pageRankFixedPoint(graph(s, dir), iterations = 10)
     }),
+    // ---- 2.K HITS hubs/authorities (exact max-normalized integer
+    //      fixed-point — order-insensitive, hash-oracle-checkable) ----
+    "q_hits" -> ((s, dir) => {
+      graft.olap.Analytics.hitsFixedPoint(graph(s, dir), iterations = 4)
+    }),
     // ---- 2.K WEIGHTED SSSP (exact integer Bellman-Ford: contains edges
     //      weighted by quantity, unit weights elsewhere — the reference's
     //      ShortestDistanceVertexProgram edge-distance property) ----
@@ -2405,6 +2410,7 @@ object SparkEntry {
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 10),
     "q_sssp_weighted" -> wssspOracle(
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 8),
+    "q_hits" -> hitsOracle(4),
     "q_bsp" ->
       """WITH deg AS (
         |  SELECT nk, CAST(SUM(d) AS BIGINT) AS d FROM (
@@ -2919,6 +2925,33 @@ object SparkEntry {
        |       ELSE CAST(0 AS BIGINT) END AS r FROM vg),
        |$iters
        |SELECT id, r AS rank_ppr FROM p$iterations WHERE r > 0""".stripMargin
+  }
+
+  /** HITS with integer max-normalization (mirrors Analytics.hitsFixedPoint:
+    * hub = Σ auth over out-edges, auth = Σ hub over in-edges, each scaled to
+    * 10⁶ by integer division by the round's max). */
+  private def hitsOracle(iterations: Int): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""h${k}r AS MATERIALIZED (SELECT eg.src AS id, SUM(a${k - 1}.v) AS r
+         |  FROM eg JOIN a${k - 1} ON a${k - 1}.id = eg.dst GROUP BY 1),
+         |h${k}m AS MATERIALIZED (SELECT MAX(r) AS m FROM h${k}r),
+         |h$k AS MATERIALIZED (SELECT vg.id,
+         |  CASE WHEN (SELECT m FROM h${k}m) IS NULL OR (SELECT m FROM h${k}m) = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(COALESCE(r, 0) * 1000000 // (SELECT m FROM h${k}m) AS BIGINT) END AS v
+         |  FROM vg LEFT JOIN h${k}r ON h${k}r.id = vg.id),
+         |a${k}r AS MATERIALIZED (SELECT eg.dst AS id, SUM(h$k.v) AS r
+         |  FROM eg JOIN h$k ON h$k.id = eg.src GROUP BY 1),
+         |a${k}m AS MATERIALIZED (SELECT MAX(r) AS m FROM a${k}r),
+         |a$k AS MATERIALIZED (SELECT vg.id,
+         |  CASE WHEN (SELECT m FROM a${k}m) IS NULL OR (SELECT m FROM a${k}m) = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(COALESCE(r, 0) * 1000000 // (SELECT m FROM a${k}m) AS BIGINT) END AS v
+         |  FROM vg LEFT JOIN a${k}r ON a${k}r.id = vg.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |a0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS v FROM vg),
+       |$iters
+       |SELECT h$iterations.id, h$iterations.v AS hub, a$iterations.v AS auth
+       |FROM h$iterations JOIN a$iterations ON a$iterations.id = h$iterations.id""".stripMargin
   }
 
   /** Weighted Bellman-Ford (mirrors Analytics.shortestDistanceExact with

@@ -153,6 +153,49 @@ object Analytics {
     ranks.select(col("id"), col("r").as("rank_fp"))
   }
 
+  /** HITS hubs-and-authorities in exact fixed-point integer arithmetic
+    * (Kleinberg's algorithm; beyond reference parity — the reference ships
+    * only PageRank — but the same OLAP machinery): per iteration the hub
+    * score is the sum of pointed-to authority scores and vice versa, each
+    * renormalized to a 10⁶ scale by integer division by the round's maximum
+    * (floating-point L2 normalization is summation-order dependent; the
+    * integer max-norm is bit-exact on any engine, so the result is
+    * hash-oracle-checkable). Scale shape: per iteration two edge-keyed
+    * joins + two map-side-combinable integer sums + a 1-row broadcast max —
+    * the message-passing profile — over a cached 16-byte edge projection;
+    * lazy checkpoints truncate the per-round lineage. */
+  def hitsFixedPoint(g: PropertyGraph, iterations: Int = 4): DataFrame = {
+    val S = 1000000L
+    val e = graft.core.PlanCache.cached(g.spark,
+      graft.core.PlanCache.key("hits-edges", g.edges)) {
+      g.edges.select(col("src"), col("dst"))
+    }
+    val ids = graft.core.PlanCache.cached(g.spark,
+      graft.core.PlanCache.key("hits-ids", g.vertices)) {
+      g.vertices.select(col("id"))
+    }
+    def normalized(raw: DataFrame, valCol: String, outCol: String): DataFrame = {
+      val m = raw.agg(max(col(valCol)).as("__m"))
+      ids.join(raw, Seq("id"), "left").crossJoin(broadcast(m))
+        .select(col("id"),
+          when(col("__m").isNull || col("__m") === 0L, lit(0L))
+            .otherwise(expr(s"COALESCE($valCol, BIGINT(0)) * BIGINT(${S}) DIV __m"))
+            .as(outCol))
+        .localCheckpoint(false)
+    }
+    var auth = ids.select(col("id"), lit(S).as("a"))
+    var hub = ids.select(col("id"), lit(S).as("h"))
+    (1 to iterations).foreach { _ =>
+      val hraw = e.join(auth, e("dst") === auth("id"))
+        .groupBy(e("src").as("id")).agg(sum(col("a")).as("hr"))
+      hub = normalized(hraw, "hr", "h")
+      val araw = e.join(hub, e("src") === hub("id"))
+        .groupBy(e("dst").as("id")).agg(sum(col("h")).as("ar"))
+      auth = normalized(araw, "ar", "a")
+    }
+    hub.join(auth, Seq("id")).select(col("id"), col("h").as("hub"), col("a").as("auth"))
+  }
+
   /** Personalized PageRank in the same exact fixed-point integer arithmetic
     * as [[pageRankFixedPoint]] (bit-identical across engines / run orders ⇒
     * oracle-checkable): the teleport vector concentrates on `sources`

@@ -115,4 +115,16 @@ class AnalyticsSpec extends AnyFunSuite {
       gods, Seq(GraphOfTheGods.ids("nemean")), iterations = 10).collect()
     assert(sink.map(_.getAs[Long]("id")).toSeq === Seq(GraphOfTheGods.ids("nemean")))
   }
+
+  test("HITS: max-normalized integer scores; sinks have zero hub score") {
+    val r = Analytics.hitsFixedPoint(gods, iterations = 4)
+      .collect().map(x => x.getAs[Long]("id") -> (x.getAs[Long]("hub"), x.getAs[Long]("auth"))).toMap
+    assert(r.size === 12)
+    // normalization pins the round maximum at exactly 10^6
+    assert(r.values.map(_._1).max === 1000000L)
+    assert(r.values.map(_._2).max === 1000000L)
+    // nemean has no out-edges -> zero hub; hercules points at 5 elements -> positive hub
+    assert(r(GraphOfTheGods.ids("nemean"))._1 === 0L)
+    assert(r(GraphOfTheGods.ids("hercules"))._1 > 0L)
+  }
 }
