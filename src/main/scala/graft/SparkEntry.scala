@@ -1740,6 +1740,26 @@ object SparkEntry {
         v.limit(0).select(col("id"), col("id").as("src"), col("id").as("dst"), col("label")))
       g.V().dataframe.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
     }),
+    // ---- 2.L catalog-TTL on EDGE labels: the edge label declares the TTL
+    //      (docs/advschema.txt:20-40 — edge TTL is the reference's headline
+    //      TTL case), and a plain E() scan hides expired edges ----
+    "q_ttl_edges" -> ((s, dir) => {
+      val t = 1L << graft.core.GraphIds.TagBits
+      val ev = readEvents(s, dir)
+      val e = ev.select((lit(9L * t) + col("event_id")).as("id"),
+        (lit(TpchGraph.CustomerTag.toLong * t) + col("user_id")).as("src"),
+        (lit(7L * t) + col("event_id")).as("dst"),
+        lit("did").as("label"), col("event_type"), col("ts").as("_ts"))
+      val v = ev.select((lit(7L * t) + col("event_id")).as("id"),
+        lit("event").as("label"), col("event_id").as("uid"))
+      val schema = graft.core.GraphSchema(
+        edgeLabels = Map("did" -> graft.core.EdgeLabelDef("did",
+          ttlSeconds = Some(7L * 24 * 3600))),
+        ttlReadTime = Some(java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-31T00:00:00Z"))))
+      val g = graft.data.PropertyGraph(schema, v, e)
+      g.traversal.E().toDF.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    }),
     // ---- 2.L TTL read-time view over the event table ----
     "q_ttl" -> ((s, dir) => {
       graft.olap.GraphOps.ttlView(readEvents(s, dir), "ts", 7L * 24 * 3600,
@@ -2289,6 +2309,9 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS cnt FROM events
         |WHERE ts + INTERVAL 604800 SECOND > TIMESTAMP '2024-01-31 00:00:00' GROUP BY 1""".stripMargin,
     "q_ttl_compact" ->
+      """SELECT event_type, COUNT(*) AS cnt FROM events
+        |WHERE ts + INTERVAL 604800 SECOND > TIMESTAMP '2024-01-31 00:00:00' GROUP BY 1""".stripMargin,
+    "q_ttl_edges" ->
       """SELECT event_type, COUNT(*) AS cnt FROM events
         |WHERE ts + INTERVAL 604800 SECOND > TIMESTAMP '2024-01-31 00:00:00' GROUP BY 1""".stripMargin,
     "q_stream_dedup" ->
