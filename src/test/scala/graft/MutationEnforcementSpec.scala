@@ -332,4 +332,22 @@ class MutationEnforcementSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("static-label"))
   }
+
+  test("addE carries requested frontier property columns onto the new edges") {
+    val g = TpchGraph.load(spark, dir)
+    val m = g.traversal.V().hasLabel("customer").as("c").out("placed")
+      .addE("placed_by", "c", props = Seq("orderdate"))
+    val nb = m.edges.filter(col("label") === "placed_by")
+    assert(nb.count() > 0 && nb.filter(col("orderdate").isNull).count() === 0)
+  }
+
+  test("property() on an edge frontier upserts exactly those edges") {
+    val g = TpchGraph.load(spark, dir)
+    val m = g.traversal.E().hasLabel("in_region").property("weight", lit(2.0))
+    assert(m.schema.propertyKeys.contains("weight")) // first-use maker ran
+    val inRegion = g.edges.filter(col("label") === "in_region").count()
+    assert(m.edges.filter(col("weight") === 2.0).count() === inRegion)
+    assert(m.edges.filter(col("weight").isNull).count() ===
+      g.edges.count() - inRegion) // untouched edges read back null
+  }
 }
