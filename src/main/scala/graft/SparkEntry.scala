@@ -1848,6 +1848,24 @@ object SparkEntry {
         .repeatEmit(2)(_.in())
         .values("uid", "label")
     }),
+    // ---- 2.E emit(predicate).repeat(step) — filtered emit: only matching
+    //      frontiers surface, but ALL traversers keep stepping (the source
+    //      regions fail the filter; depth-1 nations and depth-2 suppliers
+    //      pass; depth-2 customers are walked but not emitted) ----
+    "q_repeat_emit_filter" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("region")
+        .repeatEmitFilter(2, col("label").isin("nation", "supplier"))(_.in())
+        .values("uid", "label")
+    }),
+    // ---- 2.E emit(subTraversal).repeat(step) — the emit test is itself a
+    //      traversal: surface a traverser iff out('in_region') is non-empty
+    //      there (true only on nations). Traverser multiplicity preserved:
+    //      one nation row PER CUSTOMER that reached it ----
+    "q_repeat_emit_sub" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer")
+        .repeatEmitSub(2, _.out("in_region"))(_.out("in_nation", "in_region"))
+        .values("uid", "label")
+    }),
     // ---- 2.E project().by() — named value projection ----
     "q_project" -> ((s, dir) => {
       graph(s, dir).traversal.V().hasLabel("customer")
@@ -2381,6 +2399,15 @@ object SparkEntry {
         |UNION ALL SELECT n_nationkey, 'nation' FROM nation
         |UNION ALL SELECT c_custkey, 'customer' FROM customer
         |UNION ALL SELECT s_suppkey, 'supplier' FROM supplier""".stripMargin,
+    // filtered emit: depth-1 nations + depth-2 suppliers; source regions and
+    // depth-2 customers are walked but fail the emit predicate
+    "q_repeat_emit_filter" ->
+      """SELECT n_nationkey AS uid, 'nation' AS label FROM nation
+        |UNION ALL SELECT s_suppkey, 'supplier' FROM supplier""".stripMargin,
+    // sub-traversal emit: only nations have out('in_region'); multiplicity is
+    // per-traverser, so each customer contributes its nation once
+    "q_repeat_emit_sub" ->
+      "SELECT c_nationkey AS uid, 'nation' AS label FROM customer",
     "q_project" ->
       "SELECT c_custkey AS uid, c_mktsegment AS seg, c_acctbal > 5000.0 AS rich FROM customer",
     "q_local_topk" ->

@@ -941,6 +941,40 @@ final case class Traversal(
     copy(df = acc.get)
   }
 
+  /** emit(predicate).repeat(step) — emit() with a FILTER: the source frontier
+    * and each round's frontier surface ONLY where `emitCond` holds, but every
+    * traverser keeps stepping regardless — unlike [[repeatEmitUntil]], where a
+    * matching traverser EXITS the loop (Gremlin RepeatStep with an emit
+    * predicate: `emit(hasLabel('person')).repeat(out())`; the until- and
+    * emit-conditions are independent controls). `emitCond` must resolve on
+    * every round's frontier — label/id and shared property columns do. */
+  def repeatEmitFilter(n: Int, emitCond: Column)(step: Traversal => Traversal): Traversal = {
+    var cur = this
+    var acc = this.df.filter(emitCond)
+    (1 to n).foreach { _ =>
+      cur = roundBarrier(step(cur))
+      acc = acc.unionByName(cur.df.filter(emitCond), allowMissingColumns = true)
+    }
+    copy(df = acc)
+  }
+
+  /** emit(subTraversal).repeat(step) — the emit filter is a sub-traversal:
+    * a traverser surfaces at a round iff its emit sub-traversal yields ≥1
+    * result there (Gremlin `emit(__.out('created')).repeat(out())`). Same
+    * per-round semi-join engine as [[whereSub]]/[[repeatUntilSub]]. */
+  def repeatEmitSub(n: Int, emitStep: Traversal => Traversal)(
+      step: Traversal => Traversal): Traversal = {
+    def emitted(t: Traversal): DataFrame =
+      t.df.join(t.subMatches(emitStep, "__emt"), col("id") === col("__sid"), "left_semi")
+    var cur = this
+    var acc = emitted(this)
+    (1 to n).foreach { _ =>
+      cur = roundBarrier(step(cur))
+      acc = acc.unionByName(emitted(cur), allowMissingColumns = true)
+    }
+    copy(df = acc)
+  }
+
   /** repeat(step).until(condTraversal) — traversers exit when their condition
     * sub-traversal becomes empty (`exitWhenEmpty=true` — Gremlin's
     * `until(__.out().count().is(0))`) or non-empty (`until(__.out('knows'))`).

@@ -172,6 +172,31 @@ class TraversalModulationSpec extends AnyFunSuite {
     assert(plain.contains("customer")) // the until() is what cut depth 2
   }
 
+  test("repeatEmitFilter emits matching frontiers but steps everyone") {
+    // filter: nations+suppliers. Depth 1 = nations (pass), depth 2 =
+    // customers+suppliers (suppliers pass); customers are walked, not emitted
+    val emitted = g.traversal.V().hasLabel("region")
+      .repeatEmitFilter(2, col("label").isin("nation", "supplier"))(_.in())
+      .toDF.select("label").distinct().collect().map(_.getString(0)).toSet
+    assert(emitted === Set("nation", "supplier"))
+    // vs repeatEmitUntil with the same predicate: a matching nation EXITS at
+    // depth 1, so its depth-2 suppliers never appear — the semantics differ
+    val exited = g.traversal.V().hasLabel("region")
+      .repeatEmitUntil(col("label").isin("nation", "supplier"), 2)(_.in())
+      .toDF.select("label").distinct().collect().map(_.getString(0)).toSet
+    assert(exited === Set("nation"))
+  }
+
+  test("repeatEmitSub: per-round sub-traversal emit test, multiplicity kept") {
+    val out = g.traversal.V().hasLabel("customer")
+      .repeatEmitSub(2, _.out("in_region"))(_.out("in_nation", "in_region"))
+      .toDF
+    assert(out.select("label").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("nation"))
+    // one emitted nation row per source customer (traverser multiplicity)
+    assert(out.count() === g.vertices.filter(col("label") === "customer").count())
+  }
+
   test("pathBy renders each path element through the property") {
     val rows = g.traversal.withPath.V().hasLabel("region").in().pathBy("name")
       .collect().map(_.getSeq[String](0).toList)
