@@ -1760,6 +1760,25 @@ object SparkEntry {
       val g = graft.data.PropertyGraph(schema, v, e)
       g.traversal.E().toDF.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
     }),
+    // ---- 2.L property-KEY TTL (docs/advschema.txt:41-55): the key declares
+    //      the TTL, so the VALUE expires while the element survives — the
+    //      scan nulls event_type on expired-provenance rows, total row count
+    //      unchanged (the NULL group absorbs the expired values) ----
+    "q_ttl_property" -> ((s, dir) => {
+      val t = 1L << graft.core.GraphIds.TagBits
+      val v = readEvents(s, dir).select((lit(7L * t) + col("event_id")).as("id"),
+        lit("event").as("label"), col("event_id").as("uid"),
+        col("event_type"), col("ts").as("_ts"))
+      val schema = graft.core.GraphSchema(
+        vertexLabels = Map("event" -> graft.core.VertexLabelDef("event")),
+        propertyKeys = Map("event_type" -> graft.core.PropertyKeyDef(
+          "event_type", StringType, ttlSeconds = Some(7L * 24 * 3600))),
+        ttlReadTime = Some(java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-31T00:00:00Z"))))
+      val g = graft.data.PropertyGraph(schema, v,
+        v.limit(0).select(col("id"), col("id").as("src"), col("id").as("dst"), col("label")))
+      g.V().dataframe.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    }),
     // ---- 2.L TTL read-time view over the event table ----
     "q_ttl" -> ((s, dir) => {
       graft.olap.GraphOps.ttlView(readEvents(s, dir), "ts", 7L * 24 * 3600,
@@ -2332,6 +2351,11 @@ object SparkEntry {
     "q_ttl_edges" ->
       """SELECT event_type, COUNT(*) AS cnt FROM events
         |WHERE ts + INTERVAL 604800 SECOND > TIMESTAMP '2024-01-31 00:00:00' GROUP BY 1""".stripMargin,
+    // property-key TTL: expired values fold into the NULL group; row totals
+    // are preserved (the element outlives its property)
+    "q_ttl_property" ->
+      """SELECT CASE WHEN ts + INTERVAL 604800 SECOND > TIMESTAMP '2024-01-31 00:00:00'
+        |THEN event_type END AS event_type, COUNT(*) AS cnt FROM events GROUP BY 1""".stripMargin,
     "q_stream_dedup" ->
       "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1",
     "q_stream_window" ->

@@ -161,6 +161,7 @@ final case class GraphSchema(
 
   def hasVertexTtl: Boolean = vertexLabels.values.exists(_.ttlSeconds.isDefined)
   def hasEdgeTtl: Boolean = edgeLabels.values.exists(_.ttlSeconds.isDefined)
+  def hasPropertyTtl: Boolean = propertyKeys.values.exists(_.ttlSeconds.isDefined)
 
   def propertyKey(name: String): PropertyKeyDef =
     propertyKeys.getOrElse(name, throw new NoSuchElementException(s"property key '$name' not defined"))

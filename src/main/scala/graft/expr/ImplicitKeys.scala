@@ -59,8 +59,36 @@ object ImplicitKeys {
     * expired elements vanish from plain reads (docs/advschema.txt:20-70). */
   def ttlAutoFilter(schema: GraphSchema, df: DataFrame, isVertex: Boolean): DataFrame = {
     val declared = if (isVertex) schema.hasVertexTtl else schema.hasEdgeTtl
-    if (!declared || !df.columns.contains(TimestampColumn)) df
-    else df.filter(ttlCatalogFilter(schema, df, isVertex, ttlNow(schema)))
+    val rows =
+      if (!declared || !df.columns.contains(TimestampColumn)) df
+      else df.filter(ttlCatalogFilter(schema, df, isVertex, ttlNow(schema)))
+    propertyTtlView(schema, rows)
+  }
+
+  /** Property-KEY TTL (docs/advschema.txt:41-55 — the reference TTLs property
+    * keys independently of their element: the VALUE expires, the element
+    * survives). Columnar adaptation: a declared-TTL property column reads as
+    * NULL once the row's `_ts` write provenance is older than the key's TTL;
+    * the row itself stays. (The reference stamps each property cell; this
+    * engine's write provenance is the per-row `_ts` that GraphIO mutations
+    * record, so a property shares its element's last-write time.) Identity
+    * when no key declares a TTL or the frame carries no `_ts` — a pure
+    * projection otherwise, no shuffle, pushdown-transparent for the
+    * untouched columns. */
+  def propertyTtlView(schema: GraphSchema, df: DataFrame): DataFrame = {
+    val keys = schema.propertyKeys.values.toSeq
+      .filter(k => k.ttlSeconds.isDefined && df.columns.contains(k.name))
+    if (keys.isEmpty || !df.columns.contains(TimestampColumn)) df
+    else {
+      val now = ttlNow(schema)
+      keys.foldLeft(df) { (d, k) =>
+        // null _ts = pre-TTL-adoption row: its values must not vanish
+        // retroactively (same rule as the element-TTL filter above)
+        val live = col(TimestampColumn).isNull ||
+          unix_micros(col(TimestampColumn)) + k.ttlSeconds.get * 1000000L > unix_micros(now)
+        d.withColumn(k.name, when(live, col(k.name)))
+      }
+    }
   }
 
   /** Catalog-TTL read-time view: drop elements whose label declares a TTL and

@@ -27,6 +27,28 @@ class AdvancedSchemaSpec extends AnyFunSuite {
     PropertyGraph(schema, v, e)
   }
 
+  test("property-key TTL nulls expired values; the element survives") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-30 00:00:00")
+    val schema = GraphSchema(
+      propertyKeys = Map("score" -> PropertyKeyDef("score", IntegerType,
+        ttlSeconds = Some(7L * 24 * 3600))),
+      ttlReadTime = Some(java.sql.Timestamp.valueOf("2024-01-31 00:00:00")))
+    val v = Seq((1L, "u", 10, t0), (2L, "u", 20, t1), (3L, "u", 30, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("id", "label", "score", "_ts")
+    val g = PropertyGraph(schema, v,
+      v.limit(0).select(col("id"), col("id").as("src"), col("id").as("dst"), col("label")))
+    val rows = g.V().dataframe.select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    // all three elements survive; only the stale-provenance value expires;
+    // a null _ts (pre-TTL-adoption row) never expires retroactively
+    assert(rows === Map(1L -> None, 2L -> Some(20), 3L -> Some(30)))
+    // no key TTL declared -> identity view (column untouched)
+    val plain = PropertyGraph(schema.copy(propertyKeys = Map.empty), v, g.edges)
+    assert(plain.V().dataframe.filter(col("score").isNull).count() === 0)
+  }
+
   test("unidirected edge is visible from OUT but not IN/BOTH on the in-vertex") {
     // from the out-vertex: visible
     val fromA = uniGraph.traversal.V().hasId(1L).out("follows").toDF.collect()
