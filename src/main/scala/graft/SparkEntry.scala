@@ -1039,6 +1039,13 @@ object SparkEntry {
       graft.pipeline.Dedup.dupSpanFraction(
         s.read.parquet(s"$dir/documents.parquet"), n = 8)
     }),
+    // ---- pipeline: exact-substring span REMOVAL (Lee et al. 2022) — cut
+    //      every token span whose 8-gram occurs in ≥2 docs, keep the rest;
+    //      the full rewritten text round-trips through the oracle ----
+    "q_remove_dup_spans" -> ((s, dir) => {
+      graft.pipeline.Dedup.removeDupSpans(
+        s.read.parquet(s"$dir/documents.parquet"), n = 8)
+    }),
     // ---- pipeline: BM25 retrieval over the corpus for a fixed term set ----
     "q_bm25" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.bm25TopK(
@@ -2556,6 +2563,23 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_spans,
         |  ROUND(CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac
         |FROM sh JOIN df USING (g) GROUP BY 1""".stripMargin,
+    // mirrors removeDupSpans stage-for-stage: positioned 8-grams → ≥2-doc
+    // duplicate set → covered positions (start+0..7, distinct) → anti-join
+    // tokens → in-order rebuild; '' (not absence) for fully-removed docs
+    "q_remove_dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS wl FROM documents),
+        |gr AS (SELECT doc_id, unnest([{'s': i-1, 'g': array_to_string(wl[i:i+7], ' ')}
+        |    for i in range(1, len(wl)-6)], recursive := true)
+        |  FROM w WHERE len(wl) >= 8),
+        |dup AS (SELECT g FROM gr GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, s + o AS pos
+        |  FROM (SELECT gr.doc_id, gr.s FROM gr JOIN dup USING (g)), unnest(range(8)) AS t(o)),
+        |toks AS (SELECT doc_id, unnest([{'pos': i-1, 'tok': wl[i]}
+        |    for i in range(1, len(wl)+1)], recursive := true) FROM w),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+        |  ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos)
+        |SELECT w.doc_id, coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text
+        |FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id GROUP BY w.doc_id""".stripMargin,
     "q_bothv" ->
       """SELECT o_custkey AS uid, 'customer' AS label FROM orders
         |UNION ALL SELECT o_orderkey, 'order' FROM orders""".stripMargin,

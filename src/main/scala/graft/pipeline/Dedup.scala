@@ -139,6 +139,49 @@ object Dedup {
           count(lit(1)).cast(DoubleType), 6).as("dup_frac"))
   }
 
+  /** Exact-substring span REMOVAL — the surgical form of the public
+    * exact-substring dedup recipe ("Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022: cut the duplicated substring,
+    * keep the rest of the document): every token position covered by ANY
+    * word n-gram that occurs in at least `minDocs` distinct documents is
+    * removed, and the survivors re-join in order. Documents shorter than n
+    * tokens (no spans) pass through untouched; a fully-duplicated document
+    * comes back as the empty string, not dropped — downstream length filters
+    * decide its fate. Returns (idCol, textCol) with the rewritten text.
+    *
+    * Scale shape: the gram frame carries (id, start, md5(gram)) — constant
+    * width through the doc-frequency shuffle no matter how long the grams
+    * are. Coverage explodes ×n only for grams that MATCHED the duplicate
+    * set; the rebuild is one anti-join plus a per-doc sort of its own kept
+    * tokens (array_sort of (pos, tok) structs — order-exact, no window).
+    * Nothing here is quadratic: cost is linear in total tokens. */
+  def removeDupSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val withL = docs.select(col(idCol).as("__id"), words(col(textCol)).as("__l"))
+    val grams = withL.filter(size(col("__l")) >= n)
+      .select(col("__id"), explode(transform(
+        sequence(lit(0), size(col("__l")) - n),
+        i => struct(i.as("start"),
+          md5(concat_ws(" ", slice(col("__l"), i + 1, lit(n)))).as("h")))).as("g"))
+      .select(col("__id"), col("g.start").as("__start"), col("g.h").as("__h"))
+    val dup = grams.groupBy(col("__h"))
+      .agg(count_distinct(col("__id")).as("__d"))
+      .filter(col("__d") >= minDocs).select(col("__h"))
+    val covered = grams.join(dup, Seq("__h"), "left_semi")
+      .select(col("__id"),
+        explode(sequence(col("__start"), col("__start") + lit(n - 1))).as("__pos"))
+      .distinct()
+    val kept = withL
+      .select(col("__id"), posexplode(col("__l")).as(Seq("__pos", "__tok")))
+      .join(covered, Seq("__id", "__pos"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__tok")))).as("__s"))
+      .select(col("__id"),
+        concat_ws(" ", transform(col("__s"), s => s.getField("__tok"))).as("__text"))
+    docs.select(col(idCol)).join(kept, col(idCol) === kept("__id"), "left")
+      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol))
+  }
+
   // ---------------- MinHash + LSH ----------------
 
   /** Seeded affine hash family (a,b) over the Mersenne prime p=2³¹-1.

@@ -392,6 +392,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === List((1L, 3L, 1.0), (2L, 3L, 1.0), (3L, 3L, 0.0)))
   }
 
+  test("removeDupSpans cuts covered positions, keeps the rest in order") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f"),    // grams "a b c","b c d" shared with doc 2
+      (2L, "x y a b c d z"),  // covered positions 2..5 -> "x y z" survives
+      (3L, "p q"),            // shorter than n: no spans, untouched
+      (4L, "m n o"), (5L, "m n o") // fully duplicated -> empty, not dropped
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDupSpans(d, n = 3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "e f", 2L -> "x y z", 3L -> "p q", 4L -> "", 5L -> ""))
+  }
+
   test("PlanCache: cycling session clones keeps the session-map count bounded") {
     import spark.implicits._
     val base = Seq((1L, "a")).toDF("id", "v")
