@@ -535,6 +535,25 @@ object SparkEntry {
       back.vertices.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
         .unionAll(back.edges.groupBy(col("label")).agg(count(lit(1)).as("cnt")))
     }),
+    // ---- 2.A GraphML IO round-trip (the third TinkerPop format): export
+    //      distributed <node>/<edge> fragments + <key> sidecars, import
+    //      through the native XML datasource, and aggregate a PROPERTY —
+    //      typed values (not just counts) must survive the XML encode ----
+    "q_graphml" -> ((s, dir) => {
+      val out = s"target/graft-gml/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      if (!new java.io.File(s"$out/nodes/_SUCCESS").exists()) {
+        val g = graph(s, dir)
+        val small = g.copy(
+          vertices = g.vertices.filter(col("label").isin("region", "nation")),
+          edges = g.edges.filter(col("label") === "in_region"))
+        graft.data.GraphIO.exportGraphml(small, out)
+      }
+      val back = graft.data.GraphIO.importGraphml(s, out)
+      back.vertices.groupBy(col("label"))
+        .agg(count(lit(1)).as("cnt"), min(col("name")).as("min_name"))
+        .unionAll(back.edges.groupBy(col("label"))
+          .agg(count(lit(1)).as("cnt"), lit(null).cast(StringType).as("min_name")))
+    }),
     // ---- 2.A Gryo-parity BINARY IO round-trip (TitanIoRegistry registers
     //      GraphSON + Gryo; this is the binary half): export framed binaries,
     //      read back, and aggregate a PROPERTY — proving values (not just
@@ -2252,6 +2271,11 @@ object SparkEntry {
       """SELECT 'region' AS label, CAST((SELECT COUNT(*) FROM region) AS BIGINT) AS cnt
         |UNION ALL SELECT 'nation', (SELECT COUNT(*) FROM nation)
         |UNION ALL SELECT 'in_region', (SELECT COUNT(*) FROM nation)""".stripMargin,
+    "q_graphml" ->
+      """SELECT 'region' AS label, CAST((SELECT COUNT(*) FROM region) AS BIGINT) AS cnt,
+        |  (SELECT MIN(r_name) FROM region) AS min_name
+        |UNION ALL SELECT 'nation', (SELECT COUNT(*) FROM nation), (SELECT MIN(n_name) FROM nation)
+        |UNION ALL SELECT 'in_region', (SELECT COUNT(*) FROM nation), CAST(NULL AS VARCHAR)""".stripMargin,
     "q_unidirected" ->
       """SELECT 'out' AS dir, CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS cnt
         |UNION ALL SELECT 'in', 0""".stripMargin,

@@ -90,6 +90,159 @@ object GraphIO {
       spark.read.json(s"$path/edges"))
 
   // ------------------------------------------------------------------
+  // GraphML IO — the third TinkerPop interchange format (GraphMLReader/
+  // Writer; reference graphs are routinely seeded from .graphml fixtures
+  // through the TinkerPop integration the reference ships,
+  // tc/graphdb/tinkerpop/TitanIoRegistry.java registers the io() surface).
+  // Spark-native re-expression: per-element <node>/<edge> fragments encoded
+  // DISTRIBUTED by the engine's native to_xml (one fragment per row, text
+  // parts — no driver materialization), plus tiny header/footer sidecars
+  // declaring the <key> types, laid out so that
+  //   header.xml + nodes/* + edges/* + zfooter.xml
+  // concatenates to ONE well-formed GraphML document (the spec proves it by
+  // DOM-parsing the concatenation). Import reads the fragments with the
+  // native XML datasource under an EXPLICIT schema (no per-file inference
+  // drift) and rebuilds typed columns from the <key> declarations via an
+  // explode + grouped first-match pivot — one shuffle keyed by element id.
+  // Values are carried as XML text; non-primitive types (timestamps, dates)
+  // are declared attr.type="string" and round-trip as strings (GraphML's
+  // attr.type vocabulary is boolean/int/long/float/double/string only —
+  // same narrowing TinkerPop's GraphMLWriter applies).
+  // ------------------------------------------------------------------
+
+  private val GraphmlReserved = Set("id", "src", "dst", "label")
+
+  private def graphmlType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType => "boolean"
+      case IntegerType => "int"
+      case LongType => "long"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case _ => "string"
+    }
+  }
+
+  private def graphmlSparkType(t: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    t match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case _ => StringType
+    }
+  }
+
+  /** One `<node>`/`<edge>` XML fragment per element row, encoded by the
+    * native to_xml — attributes via the default `_` prefix, `<data>` entries
+    * as an array of (_key, _VALUE) structs with null values dropped (GraphML
+    * has no null literal; an absent <data> IS the null). */
+  private def graphmlFragments(df: DataFrame, isVertex: Boolean): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val props = df.columns.filterNot(GraphmlReserved).toSeq
+    val labelKey = if (isVertex) "labelV" else "labelE"
+    val entries =
+      struct(lit(labelKey).as("_key"), col("label").cast("string").as("_VALUE")) +:
+        props.map(p => struct(lit(p).as("_key"), col(p).cast("string").as("_VALUE")))
+    val data = filter(array(entries: _*), s => s.getField("_VALUE").isNotNull)
+    val el =
+      if (isVertex) struct(col("id").cast("string").as("_id"), data.as("data"))
+      else struct(col("id").cast("string").as("_id"),
+        col("src").cast("string").as("_source"),
+        col("dst").cast("string").as("_target"), data.as("data"))
+    df.select(to_xml(el, Map("rowTag" -> (if (isVertex) "node" else "edge")).asJava).as("value"))
+  }
+
+  /** GraphML export: distributed fragments + header/footer sidecars (layout
+    * documented above). A property name used by both element kinds must
+    * carry ONE type (the catalog's one-type-per-key rule); a conflicting
+    * pair degrades to attr.type="string" for both rather than failing the
+    * export. */
+  def exportGraphml(g: PropertyGraph, path: String): Unit = {
+    val vTypes = g.vertices.schema.fields.filterNot(f => GraphmlReserved(f.name))
+      .map(f => f.name -> graphmlType(f.dataType)).toSeq
+    val eTypes = g.edges.schema.fields.filterNot(f => GraphmlReserved(f.name))
+      .map(f => f.name -> graphmlType(f.dataType)).toSeq
+    val byName = (vTypes ++ eTypes).groupBy(_._1)
+    def declared(side: Seq[(String, String)], forEl: String): Seq[String] =
+      side.map { case (n, t) =>
+        val tpe = if (byName(n).map(_._2).distinct.size > 1) "string" else t
+        s"""<key id="$n" for="$forEl" attr.name="$n" attr.type="$tpe"/>"""
+      }
+    val keyDecls =
+      Seq("""<key id="labelV" for="node" attr.name="labelV" attr.type="string"/>""",
+        """<key id="labelE" for="edge" attr.name="labelE" attr.type="string"/>""") ++
+        declared(vTypes, "node") ++ declared(eTypes, "edge")
+    writeText(s"$path/header.xml",
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<graphml xmlns=\"http://graphml.graphdrawing.org/xmlns\">\n" +
+        keyDecls.mkString("\n") + "\n<graph id=\"G\" edgedefault=\"directed\">")
+    writeText(s"$path/zfooter.xml", "</graph>\n</graphml>")
+    graphmlFragments(g.vertices, isVertex = true)
+      .write.mode(SaveMode.Overwrite).text(s"$path/nodes")
+    graphmlFragments(g.edges, isVertex = false)
+      .write.mode(SaveMode.Overwrite).text(s"$path/edges")
+  }
+
+  /** GraphML import: fragment parts split on the element close tag (the text
+    * source's `lineSep` — sound because XML escaping makes a literal
+    * `</node>` impossible inside text content), each fragment parsed by the
+    * native from_xml under an EXPLICIT schema, typed columns rebuilt from
+    * the header's <key> declarations. The pivot is a grouped first-match —
+    * one exchange keyed by element id, map-side combinable, no window.
+    * (The whole-file XML datasource is NOT used: it requires each part to be
+    * a well-formed single-root document, which sibling fragments aren't.) */
+  def importGraphml(spark: SparkSession, path: String,
+      schema: GraphSchema = GraphSchema()): PropertyGraph = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val header = readTextIfExists(s"$path/header.xml").getOrElse(
+      throw new IllegalStateException(s"GraphML import: $path/header.xml missing"))
+    val KeyDecl =
+      """<key id="([^"]+)" for="([^"]+)" attr.name="[^"]+" attr.type="([^"]+)"/>""".r
+    val keys = KeyDecl.findAllMatchIn(header)
+      .map(m => (m.group(1), m.group(2), m.group(3))).toSeq
+    val fragSchema = StructType(Seq(
+      StructField("_id", StringType), StructField("_source", StringType),
+      StructField("_target", StringType),
+      StructField("data", ArrayType(StructType(Seq(
+        StructField("_key", StringType), StructField("_VALUE", StringType)))))))
+    def readSide(dir: String, isVertex: Boolean): DataFrame = {
+      val labelKey = if (isVertex) "labelV" else "labelE"
+      val tag = if (isVertex) "node" else "edge"
+      val props = keys.collect { case (n, f, t) if f == tag && n != labelKey => (n, t) }
+      // every fragment has >= 1 <data> child (labelV/labelE is always
+      // present), so to_xml never emits a self-closing element and the
+      // close-tag split is exact; the trailing whitespace chunk after the
+      // last fragment has no open tag and is filtered out
+      val raw = spark.read.option("lineSep", s"</$tag>").text(dir)
+        .filter(col("value").contains(s"<$tag"))
+        .select(from_xml(concat(col("value"), lit(s"</$tag>")), fragSchema,
+          Map.empty[String, String].asJava).as("r"))
+      val kvs = raw.select(
+        Seq(col("r._id").cast(LongType).as("id")) ++
+          (if (isVertex) Nil else Seq(col("r._source").cast(LongType).as("src"),
+            col("r._target").cast(LongType).as("dst"))) ++
+          Seq(explode_outer(col("r.data")).as("kv")): _*)
+        .withColumn("k", col("kv._key")).withColumn("v", col("kv._VALUE")).drop("kv")
+      val idCols = if (isVertex) Seq(col("id")) else Seq(col("id"), col("src"), col("dst"))
+      val aggs =
+        first(when(col("k") === labelKey, col("v")), ignoreNulls = true).as("label") +:
+          props.map { case (n, t) =>
+            first(when(col("k") === n, col("v")), ignoreNulls = true)
+              .cast(graphmlSparkType(t)).as(n)
+          }
+      kvs.groupBy(idCols: _*).agg(aggs.head, aggs.tail: _*)
+    }
+    PropertyGraph(schema,
+      readSide(s"$path/nodes", isVertex = true),
+      readSide(s"$path/edges", isVertex = false))
+  }
+
+  // ------------------------------------------------------------------
   // Gryo-parity BINARY element IO. The reference registers both GraphSON
   // (JSON) and Gryo (Kryo-based binary) serializers with TinkerPop
   // (tc/graphdb/tinkerpop/TitanIoRegistry.java); exportJson above covers the

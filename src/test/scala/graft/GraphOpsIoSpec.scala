@@ -56,6 +56,47 @@ class GraphOpsIoSpec extends AnyFunSuite {
     assert(prof.numScans === 1)
   }
 
+  test("GraphIO: GraphML export/import round-trip, typed + XML-escaped") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-gml").toString
+    val v = Seq(
+      (1L, "user", "AT&T <esc> \"q\"", 9.5, true, Some(7L)),
+      (2L, "user", "plain", -0.25, false, None)
+    ).toDF("id", "label", "name", "score", "active", "rank")
+    val e = Seq((10L, 1L, 2L, "knows", 3)).toDF("id", "src", "dst", "label", "since")
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+    GraphIO.exportGraphml(g, path)
+    // concatenation property: header + nodes/* + edges/* + footer must be a
+    // well-formed XML document (DOM parse proves it)
+    def parts(d: String) = new java.io.File(d).listFiles().toSeq
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath))).mkString("\n")
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/header.xml"))) + "\n" +
+      parts(s"$path/nodes") + "\n" + parts(s"$path/edges") + "\n" +
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$path/zfooter.xml")))
+    val dom = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(doc.getBytes("UTF-8")))
+    assert(dom.getDocumentElement.getTagName === "graphml")
+    assert(dom.getElementsByTagName("node").getLength === 2)
+    assert(dom.getElementsByTagName("edge").getLength === 1)
+    // typed round-trip: longs, doubles, booleans, escapes; null -> absent -> null
+    val back = GraphIO.importGraphml(spark, path)
+    assert(back.vertices.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+      === Map("id" -> "bigint", "label" -> "string", "name" -> "string",
+        "score" -> "double", "active" -> "boolean", "rank" -> "bigint"))
+    val rows = back.vertices.collect().map(r => r.getAs[Long]("id") ->
+      (r.getAs[String]("name"), r.getAs[Double]("score"), r.getAs[Boolean]("active"),
+        Option(r.getAs[java.lang.Long]("rank")))).toMap
+    assert(rows(1L) === (("AT&T <esc> \"q\"", 9.5, true, Some(7L))))
+    assert(rows(2L) === (("plain", -0.25, false, None)))
+    val er = back.edges.collect()
+    assert(er.length === 1 && er(0).getAs[Long]("src") === 1L &&
+      er(0).getAs[Long]("dst") === 2L && er(0).getAs[Int]("since") === 3)
+  }
+
   test("GraphIO: JSON export/import round-trip") {
     val path = Files.createTempDirectory("graft-json").toString
     GraphIO.exportJson(gods, path)

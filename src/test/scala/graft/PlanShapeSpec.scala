@@ -296,6 +296,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("removeDupSpans: raw document text never crosses an exchange") {
+    // the gram doc-frequency shuffle carries (id, start, md5) — constant
+    // width; the rebuild shuffles single tokens; only the REBUILT __text may
+    // cross the final join (it IS the output). Raw text# must not.
+    val p = plan("q_remove_dup_spans")
+    val blocks = p.split("\n\n").filter(
+      _.linesIterator.nextOption().exists(_.matches("""\(\d+\) Exchange.*""")))
+    assert(blocks.nonEmpty, s"expected at least one Exchange:\n$p")
+    blocks.foreach { b =>
+      val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert("""\btext#""".r.findFirstIn(input).isEmpty,
+        s"raw text column crosses an exchange:\n$b")
+    }
+  }
+
   test("Profiler: fitted/sorted introspection (QueryProfiler parity)") {
     val g = graft.data.TpchGraph.load(spark, dir)
     val prof = g.V().hasLabel("order").has("orderstatus", "F")
