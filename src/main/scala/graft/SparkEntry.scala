@@ -1065,6 +1065,13 @@ object SparkEntry {
       graft.pipeline.Dedup.removeDupSpans(
         s.read.parquet(s"$dir/documents.parquet"), n = 8)
     }),
+    // ---- pipeline: INTRA-document repetition removal — re-occurrences of a
+    //      3-gram inside one document are cut, the first stays (n=3: the
+    //      synthetic corpus repeats trigrams within docs, not 8-grams) ----
+    "q_remove_repeated_spans" -> ((s, dir) => {
+      graft.pipeline.Dedup.removeRepeatedSpans(
+        s.read.parquet(s"$dir/documents.parquet"), n = 3)
+    }),
     // ---- pipeline: BM25 retrieval over the corpus for a fixed term set ----
     "q_bm25" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.bm25TopK(
@@ -1460,6 +1467,31 @@ object SparkEntry {
     //      frames; a LOAD WITH NO CALLER SCHEMA must recover every
     //      definition (TTL, static, multiplicity, sort keys, indexes) —
     //      the reference keeps schema vertices inside the store ----
+    // ---- 2.L Graph.Variables (TinkerPop graph.variables(); the reference
+    //      backs them with its system configuration store) — set semantics
+    //      overwrite, remove deletes; they persist with the catalog and
+    //      survive a save/load round-trip ----
+    "q_graph_variables" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-vars")
+      val v = Seq((1L, "thing")).toDF("id", "label")
+      val e = v.limit(0).select(col("id"), col("id").as("src"), col("id").as("dst"), col("label"))
+      val schema = graft.core.GraphSchema()
+        .withVariable("creator", "graft")
+        .withVariable("version", "0.9")
+        .withVariable("tmpnote", "drop me")
+        .withVariable("version", "1.0") // set overwrites
+        .removeVariable("tmpnote")      // remove deletes
+      graft.data.GraphIO.save(graft.data.PropertyGraph(schema, v, e), s"$tmp/g", buckets = 1)
+      val back = graft.data.GraphIO.load(s, s"$tmp/g")
+      val out = back.variables.toSeq.sortBy(_._1).toDF("vkey", "vval")
+      // variables are already driver-materialized — the store can go now
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+      out
+    }),
     "q_catalog_roundtrip" -> ((s, dir) => {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft-cat-p")
@@ -2604,6 +2636,23 @@ object SparkEntry {
         |  ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos)
         |SELECT w.doc_id, coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text
         |FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id GROUP BY w.doc_id""".stripMargin,
+    // mirrors removeRepeatedSpans: per-(doc, gram) first start → every later
+    // occurrence covers its positions → anti-join + in-order rebuild
+    "q_remove_repeated_spans" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS wl FROM documents),
+        |gr AS (SELECT doc_id, unnest([{'s': i-1, 'g': array_to_string(wl[i:i+2], ' ')}
+        |    for i in range(1, len(wl)-1)], recursive := true)
+        |  FROM w WHERE len(wl) >= 3),
+        |fs AS (SELECT doc_id, g, MIN(s) AS first_s FROM gr GROUP BY 1, 2),
+        |rep AS (SELECT gr.doc_id, gr.s FROM gr JOIN fs
+        |  ON gr.doc_id = fs.doc_id AND gr.g = fs.g AND gr.s > fs.first_s),
+        |cov AS (SELECT DISTINCT doc_id, s + o AS pos FROM rep, unnest(range(3)) AS t(o)),
+        |toks AS (SELECT doc_id, unnest([{'pos': i-1, 'tok': wl[i]}
+        |    for i in range(1, len(wl)+1)], recursive := true) FROM w),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+        |  ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos)
+        |SELECT w.doc_id, coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text
+        |FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id GROUP BY w.doc_id""".stripMargin,
     "q_bothv" ->
       """SELECT o_custkey AS uid, 'customer' AS label FROM orders
         |UNION ALL SELECT o_orderkey, 'order' FROM orders""".stripMargin,
@@ -2891,6 +2940,9 @@ object SparkEntry {
         |  CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > CAST(3600 AS BIGINT) * 1000000 THEN 1 ELSE 0 END AS ns
         |  FROM o)
         |SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM s GROUP BY 1""".stripMargin,
+    "q_graph_variables" ->
+      """SELECT 'creator' AS vkey, 'graft' AS vval
+        |UNION ALL SELECT 'version', '1.0'""".stripMargin,
     "q_catalog_roundtrip" ->
       """SELECT 'edge_label' AS kind, 'contains' AS name, 'MULTI:shipdate' AS detail
         |UNION ALL SELECT 'edge_label', 'in_nation', 'MANY2ONE:'

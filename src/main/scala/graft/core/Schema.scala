@@ -157,7 +157,14 @@ final case class GraphSchema(
     // TTL evaluation instant for catalog-TTL reads (None = wall clock).
     // Pinning it makes expiry reproducible — the analogue of the reference's
     // test-time TimestampProvider override (tc/diskstorage/util/time/*).
-    ttlReadTime: Option[java.sql.Timestamp] = None) {
+    ttlReadTime: Option[java.sql.Timestamp] = None,
+    // Graph variables — TinkerPop Graph.Variables, which the reference backs
+    // with its system configuration store (tc/graphdb/database/
+    // StandardTitanGraph.variables() over GraphDatabaseConfiguration's
+    // WriteConfiguration). String-valued here (the typed-Object surface
+    // narrowed to the catalog's JSON document); they persist with the graph
+    // and survive save/load like every other catalog entry.
+    variables: Map[String, String] = Map.empty) {
 
   def hasVertexTtl: Boolean = vertexLabels.values.exists(_.ttlSeconds.isDefined)
   def hasEdgeTtl: Boolean = edgeLabels.values.exists(_.ttlSeconds.isDefined)
@@ -219,6 +226,12 @@ final case class GraphSchema(
       relationIndexes = relationIndexes.view.mapValues(r =>
         r.copy(sortKey = ren(r.sortKey))).toMap)
   }
+
+  /** Graph.Variables set/remove (TinkerPop semantics: set overwrites, remove
+    * of an absent key is a no-op). */
+  def withVariable(key: String, value: String): GraphSchema =
+    copy(variables = variables + (key -> value))
+  def removeVariable(key: String): GraphSchema = copy(variables = variables - key)
 
   /** Edge labels visible only from their out-vertex (EdgeLabelMaker.unidirected). */
   def unidirectedLabels: Seq[String] =

@@ -65,7 +65,12 @@ object SchemaJson {
       "relationIndexes" -> s.relationIndexes.values.toSeq.sortBy(_.name).map(r => jm(
         "name" -> r.name, "edgeLabel" -> r.edgeLabel, "sortKey" -> r.sortKey,
         "sortOrder" -> r.sortOrder.toString, "status" -> r.status.toString)),
-      "ttlReadTime" -> s.ttlReadTime.map(_.toInstant.toString))
+      "ttlReadTime" -> s.ttlReadTime.map(_.toInstant.toString),
+      "variables" -> {
+        val m = new java.util.LinkedHashMap[String, String]()
+        s.variables.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v) }
+        m
+      })
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
@@ -165,6 +170,10 @@ object SchemaJson {
       indexes = ixs.map(i => i.name -> i).toMap,
       relationIndexes = rixs.map(r => r.name -> r).toMap,
       ttlReadTime = optStr(root, "ttlReadTime")
-        .map(s => java.sql.Timestamp.from(java.time.Instant.parse(s))))
+        .map(s => java.sql.Timestamp.from(java.time.Instant.parse(s))),
+      // absent in pre-variables documents — default empty (backwards compat)
+      variables = Option(root.get("variables"))
+        .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap)
+        .getOrElse(Map.empty))
   }
 }

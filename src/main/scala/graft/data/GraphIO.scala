@@ -72,7 +72,8 @@ object GraphIO {
       vertexLabels = stored.vertexLabels ++ schema.vertexLabels,
       indexes = stored.indexes ++ schema.indexes,
       relationIndexes = stored.relationIndexes ++ schema.relationIndexes,
-      ttlReadTime = schema.ttlReadTime.orElse(stored.ttlReadTime))
+      ttlReadTime = schema.ttlReadTime.orElse(stored.ttlReadTime),
+      variables = stored.variables ++ schema.variables)
     PropertyGraph(graft.mgmt.DefaultSchemaMaker.applyConfigured(spark, base, v, e), v, e)
   }
 

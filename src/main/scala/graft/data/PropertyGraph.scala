@@ -43,6 +43,11 @@ final case class PropertyGraph(
   /** Traversal entry (Gremlin g.V() analogue). */
   def traversal: graft.traverse.TraversalSource = new graft.traverse.TraversalSource(this)
 
+  /** Graph.Variables view (TinkerPop graph.variables().asMap() — the
+    * reference backs these with its system configuration store; here they
+    * live in the catalog and persist with it, [[graft.core.GraphSchema]]). */
+  def variables: Map[String, String] = schema.variables
+
   /** Vertices by point lookup — reference: StandardTitanTx.java:383-420. */
   def vertexById(ids: Long*): DataFrame =
     if (ids.size == 1) vertices.filter(col("id") === ids.head)

@@ -158,12 +158,7 @@ object Dedup {
   def removeDupSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val withL = docs.select(col(idCol).as("__id"), words(col(textCol)).as("__l"))
-    val grams = withL.filter(size(col("__l")) >= n)
-      .select(col("__id"), explode(transform(
-        sequence(lit(0), size(col("__l")) - n),
-        i => struct(i.as("start"),
-          md5(concat_ws(" ", slice(col("__l"), i + 1, lit(n)))).as("h")))).as("g"))
-      .select(col("__id"), col("g.start").as("__start"), col("g.h").as("__h"))
+    val grams = positionedGramHashes(withL, n)
     val dup = grams.groupBy(col("__h"))
       .agg(count_distinct(col("__id")).as("__d"))
       .filter(col("__d") >= minDocs).select(col("__h"))
@@ -171,6 +166,52 @@ object Dedup {
       .select(col("__id"),
         explode(sequence(col("__start"), col("__start") + lit(n - 1))).as("__pos"))
       .distinct()
+    rebuildWithoutCovered(docs, withL, covered, idCol, textCol)
+  }
+
+  /** INTRA-document repetition removal — the within-document half of the
+    * exact-substring recipe (templated boilerplate repeating inside one page
+    * rather than across the corpus): every token position covered by an
+    * n-gram occurrence OTHER than that gram's first occurrence in the same
+    * document is cut; the first occurrence (and everything never repeated)
+    * survives in order. Deterministic: "first" = minimal start position, no
+    * tie possible. Self-overlapping runs collapse greedily (e.g. "a a a a"
+    * at n=2 keeps exactly one "a"). Returns (idCol, textCol) rewritten.
+    *
+    * Scale: per-(doc, gram) min is one map-side-combinable aggregate over
+    * the same constant-width (id, start, md5) frame as [[removeDupSpans]];
+    * everything downstream is shared. */
+  def removeRepeatedSpans(docs: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val withL = docs.select(col(idCol).as("__id"), words(col(textCol)).as("__l"))
+    val grams = positionedGramHashes(withL, n)
+    val firstStart = grams.groupBy(col("__id"), col("__h"))
+      .agg(min(col("__start")).as("__first"))
+    val covered = grams.join(firstStart, Seq("__id", "__h"))
+      .filter(col("__start") > col("__first"))
+      .select(col("__id"),
+        explode(sequence(col("__start"), col("__start") + lit(n - 1))).as("__pos"))
+      .distinct()
+    rebuildWithoutCovered(docs, withL, covered, idCol, textCol)
+  }
+
+  /** Positioned gram hashes of (__id, __l token array): one row per n-gram
+    * occurrence, (__id, __start, __h=md5) — constant width through every
+    * downstream exchange regardless of gram length. */
+  private def positionedGramHashes(withL: DataFrame, n: Int): DataFrame =
+    withL.filter(size(col("__l")) >= n)
+      .select(col("__id"), explode(transform(
+        sequence(lit(0), size(col("__l")) - n),
+        i => struct(i.as("start"),
+          md5(concat_ws(" ", slice(col("__l"), i + 1, lit(n)))).as("h")))).as("g"))
+      .select(col("__id"), col("g.start").as("__start"), col("g.h").as("__h"))
+
+  /** Anti-join the covered (__id, __pos) set against the token stream and
+    * reassemble each document's survivors in order (array_sort of (pos, tok)
+    * structs — order-exact, no window). Docs losing every token come back as
+    * '' rather than disappearing. */
+  private def rebuildWithoutCovered(docs: DataFrame, withL: DataFrame,
+      covered: DataFrame, idCol: String, textCol: String): DataFrame = {
     val kept = withL
       .select(col("__id"), posexplode(col("__l")).as(Seq("__pos", "__tok")))
       .join(covered, Seq("__id", "__pos"), "left_anti")

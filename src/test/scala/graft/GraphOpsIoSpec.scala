@@ -56,6 +56,19 @@ class GraphOpsIoSpec extends AnyFunSuite {
     assert(prof.numScans === 1)
   }
 
+  test("Graph.Variables: set overwrites, remove deletes, JSON round-trips") {
+    val s0 = graft.core.GraphSchema()
+      .withVariable("a", "1").withVariable("a", "2")
+      .withVariable("b", "x").removeVariable("b")
+    assert(s0.variables === Map("a" -> "2"))
+    val json = graft.core.SchemaJson.toJson(s0)
+    assert(graft.core.SchemaJson.fromJson(json).variables === Map("a" -> "2"))
+    // catalog documents written before variables existed decode to empty
+    val legacy = """{"propertyKeys":[],"edgeLabels":[],"vertexLabels":[],
+      |"indexes":[],"relationIndexes":[],"ttlReadTime":null}""".stripMargin
+    assert(graft.core.SchemaJson.fromJson(legacy).variables === Map.empty)
+  }
+
   test("GraphIO: GraphML export/import round-trip, typed + XML-escaped") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-gml").toString

@@ -405,6 +405,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Map(1L -> "e f", 2L -> "x y z", 3L -> "p q", 4L -> "", 5L -> ""))
   }
 
+  test("removeRepeatedSpans: later in-doc occurrences cut, first survives") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c x a b c y"), // "a b c" repeats at 4: cut 4..6, keep 0..2 + y
+      (2L, "p q r s"),         // no repetition: untouched
+      (3L, "a a a a")          // n=2 self-overlap collapses greedily to "a"
+    ).toDF("doc_id", "text")
+    val g3 = Dedup.removeRepeatedSpans(d, n = 3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(g3(1L) === "a b c x y")
+    assert(g3(2L) === "p q r s")
+    val g2 = Dedup.removeRepeatedSpans(d.filter($"doc_id" === 3L), n = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(g2(3L) === "a")
+  }
+
   test("PlanCache: cycling session clones keeps the session-map count bounded") {
     import spark.implicits._
     val base = Seq((1L, "a")).toDF("id", "v")
