@@ -2053,6 +2053,9 @@ object SparkEntry {
     "q_dedup_minhash", "q_ann_topk", "q_sessionize", "q_pagerank",
     "q_tpch_q3", "q_tpch_q5",
     "q_semantic_dedup", "q_bm25", "q_lsh_cosine_pairs",
+    // exact-substring span removal: the heaviest text-rewrite op (positioned
+    // grams + anti-join rebuild) — bench it so gram-frame regressions surface
+    "q_remove_dup_spans",
     // iterative-join analytics: regressions hide in lineage truncation and
     // cache lifecycle, so the bench times them every round
     "q_kcore", "q_triangles", "q_connected_components",
