@@ -981,6 +981,13 @@ object SparkEntry {
       graft.pipeline.Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5)
         .select(col("qid"), col("nid"), col("rank"))
     }),
+    // ---- pipeline: spherical product-quantization encode (Jégou et al.) —
+    //      per-subspace deterministic k-means codebooks, one code column per
+    //      subspace; the oracle mirrors every subspace chain CTE-for-CTE ----
+    "q_pq_encode" -> ((s, dir) => {
+      graft.pipeline.Similarity.pqEncode(
+        s.read.parquet(s"$dir/embeddings.parquet"), m = 2, k = 8, rounds = 2)
+    }),
     // ---- pipeline: SemDeDup-style semantic dedup (cluster → within-cluster
     //      cosine pairs → keep min id per duplicate component) ----
     "q_semantic_dedup" -> ((s, dir) => {
@@ -2791,6 +2798,7 @@ object SparkEntry {
         |    ORDER BY list_cosine_similarity(CAST(p.qvec AS DOUBLE[]), CAST(a.dvec AS DOUBLE[])) DESC, a.nid) AS "rank"
         |  FROM probes p JOIN asg a ON a.cid = p.cid WHERE a.nid <> p.qid)
         |WHERE "rank" <= 5""".stripMargin,
+    "q_pq_encode" -> pqEncodeOracle(m = 2, k = 8, rounds = 2, dim = 64),
     "q_token_count" ->
       "SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens FROM documents",
     "q_multimodal" ->
@@ -3257,25 +3265,52 @@ object SparkEntry {
     * order. Yields `cents{rounds}`. The 6-dp rounding on BOTH sides is what
     * makes the centroid doubles bit-identical across engines (the proven
     * q_embed_meanpool recipe). */
-  private def kmeansCtes(nlist: Int, rounds: Int): String = {
+  private def kmeansCtes(nlist: Int, rounds: Int): String =
+    kmeansCtesOver("embeddings", "", nlist, rounds)
+
+  /** The same k-means CTE chain over an arbitrary (vec_id, embedding)
+    * source CTE, every CTE name prefixed with `pre` so multiple
+    * instantiations coexist in one WITH (PQ mirrors one chain per
+    * subspace). `pre=""`+`src=embeddings` reproduces [[kmeansCtes]]. */
+  private def kmeansCtesOver(src: String, pre: String, nlist: Int, rounds: Int): String = {
     val init =
-      s"""cents0 AS MATERIALIZED (
+      s"""${pre}cents0 AS MATERIALIZED (
          |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
          |    CAST(embedding AS DOUBLE[]) AS cvec
-         |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlist)""".stripMargin
+         |  FROM $src ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlist)""".stripMargin
     val rs = (1 to rounds).map { r =>
-      s"""kasg$r AS MATERIALIZED (
+      s"""${pre}kasg$r AS MATERIALIZED (
          |  SELECT vec_id, embedding, cid FROM (
          |    SELECT e.vec_id, e.embedding, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN cents${r - 1} c) WHERE rn = 1),
-         |cm$r AS MATERIALIZED (
+         |    FROM $src e CROSS JOIN ${pre}cents${r - 1} c) WHERE rn = 1),
+         |${pre}cm$r AS MATERIALIZED (
          |  SELECT cid, dim, round(CAST(SUM(CAST(e AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS m FROM (
          |    SELECT cid, unnest(range(len(embedding))) AS dim, unnest(CAST(embedding AS DOUBLE[])) AS e
-         |    FROM kasg$r) GROUP BY 1, 2),
-         |cents$r AS MATERIALIZED (SELECT cid, list(m ORDER BY dim) AS cvec FROM cm$r GROUP BY 1)""".stripMargin
+         |    FROM ${pre}kasg$r) GROUP BY 1, 2),
+         |${pre}cents$r AS MATERIALIZED (SELECT cid, list(m ORDER BY dim) AS cvec FROM ${pre}cm$r GROUP BY 1)""".stripMargin
     }
     (init +: rs).mkString(",\n")
+  }
+
+  /** PQ-encode oracle: one sliced source + k-means chain + rank-1 assignment
+    * per subspace, joined on vec_id — mirrors Similarity.pqEncode CTE-for-CTE
+    * (subspace s covers 1-based dims [s·sub+1, (s+1)·sub]). */
+  private def pqEncodeOracle(m: Int, k: Int, rounds: Int, dim: Int): String = {
+    val sub = dim / m
+    val blocks = (0 until m).map { s =>
+      s"""sub$s AS MATERIALIZED (SELECT vec_id,
+         |  CAST(embedding[${s * sub + 1}:${(s + 1) * sub}] AS DOUBLE[]) AS embedding FROM embeddings),
+         |${kmeansCtesOver(s"sub$s", s"s${s}_", k, rounds)},
+         |asg$s AS MATERIALIZED (
+         |  SELECT vec_id, cid AS code$s FROM (
+         |    SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC, c.cid) AS rn
+         |    FROM sub$s e CROSS JOIN s${s}_cents$rounds c) WHERE rn = 1)""".stripMargin
+    }
+    val joins = (1 until m).map(s => s"JOIN asg$s USING (vec_id)").mkString(" ")
+    val cols = (0 until m).map(s => s"code$s").mkString(", ")
+    s"WITH ${blocks.mkString(",\n")}\nSELECT vec_id, $cols FROM asg0 $joins"
   }
 
   private def semanticDedupOracle(rounds: Int, threshold: Double, nlist: Int): String = {

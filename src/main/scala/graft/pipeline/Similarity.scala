@@ -132,6 +132,35 @@ object Similarity {
         max_by(col("cid"), struct(col("sim"), (-col("cid")).cast("int"))).as("cid"))
       .select(col(idCol), col(vecCol), col("cid"))
 
+  /** Spherical product quantization (PQ) encode — the memory-compression
+    * half of the public IVF-PQ recipe (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search"): the vector splits into `m` contiguous
+    * subvectors; each subspace trains its own `k`-entry codebook with the
+    * SAME deterministic spherical k-means as the IVF quantizer
+    * ([[kMeansCentroids]] — hash-sampled seed, fixed Lloyd rounds, DECIMAL
+    * means, so a cross-engine oracle mirrors every subspace verbatim); each
+    * vector encodes as its nearest-codeword id per subspace. A 64-dim float
+    * vector (256 B) compresses to m small ints. Spherical (cosine)
+    * assignment rather than L2 — consistent with the engine's cosine-centric
+    * similarity stack; same argmax-aggregate shape as [[assign]], no window.
+    *
+    * Returns (idCol, code0..code{m-1}) — codes as plain int columns. Scale:
+    * per subspace, the codebook train is the bounded iterative k-means shape
+    * and the encode is one broadcast-argmax pass; the m results join on id
+    * (m is small and fixed; at 10¹⁰ rows each join is id-keyed and
+    * AQE-planned). */
+  def pqEncode(data: DataFrame, m: Int = 2, k: Int = 8, rounds: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = data.select(size(col(vecCol)).as("d")).limit(1).head.getInt(0)
+    require(dim % m == 0, s"PQ: dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      val sliced = data.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as(vecCol))
+      val cents = kMeansCentroids(sliced, k, rounds, idCol, vecCol)
+      assign(sliced, cents, idCol, vecCol).select(col(idCol), col("cid").as(s"code$s"))
+    }.reduce(_.join(_, Seq(idCol)))
+  }
+
   /** IVF top-k: probe only the `nprobe` buckets whose centroids are nearest
     * to the query. Approximate (recall < 1 when a true neighbor lives in an
     * unprobed bucket); bruteForceTopK is the exactness oracle in tests. */

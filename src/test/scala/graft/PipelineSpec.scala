@@ -405,6 +405,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Map(1L -> "e f", 2L -> "x y z", 3L -> "p q", 4L -> "", 5L -> ""))
   }
 
+  test("pqEncode: one in-range code per subspace, every vector, deterministic") {
+    val codes = Similarity.pqEncode(emb, m = 2, k = 8, rounds = 2).cache()
+    assert(codes.count() === emb.count())
+    assert(codes.columns.toSeq === Seq("vec_id", "code0", "code1"))
+    val mins = codes.agg(min("code0"), max("code0"), min("code1"), max("code1")).head
+    assert(mins.getInt(0) >= 0 && mins.getInt(1) < 8)
+    assert(mins.getInt(2) >= 0 && mins.getInt(3) < 8)
+    // deterministic: a second full train+encode reproduces every code
+    val again = Similarity.pqEncode(emb, m = 2, k = 8, rounds = 2)
+    assert(codes.exceptAll(again).isEmpty && again.exceptAll(codes).isEmpty)
+    codes.unpersist()
+  }
+
   test("removeRepeatedSpans: later in-doc occurrences cut, first survives") {
     import spark.implicits._
     val d = Seq(
