@@ -988,6 +988,13 @@ object SparkEntry {
       graft.pipeline.Similarity.pqEncode(
         s.read.parquet(s"$dir/embeddings.parquet"), m = 2, k = 8, rounds = 2)
     }),
+    // ---- pipeline: PQ asymmetric-distance top-k (ADC) — corpus represented
+    //      by codes only; per-query codeword lookup tables, fixed-order
+    //      summed score, rank-exact against the mirrored oracle ----
+    "q_pq_topk" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Similarity.pqTopK(e, e.filter(col("vec_id") < 10), k = 5)
+    }),
     // ---- pipeline: SemDeDup-style semantic dedup (cluster → within-cluster
     //      cosine pairs → keep min id per duplicate component) ----
     "q_semantic_dedup" -> ((s, dir) => {
@@ -2799,6 +2806,7 @@ object SparkEntry {
         |  FROM probes p JOIN asg a ON a.cid = p.cid WHERE a.nid <> p.qid)
         |WHERE "rank" <= 5""".stripMargin,
     "q_pq_encode" -> pqEncodeOracle(m = 2, k = 8, rounds = 2, dim = 64),
+    "q_pq_topk" -> pqTopKOracle(m = 2, k = 5, codes = 8, rounds = 2, dim = 64, maxQid = 10),
     "q_token_count" ->
       "SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens FROM documents",
     "q_multimodal" ->
@@ -3293,12 +3301,13 @@ object SparkEntry {
     (init +: rs).mkString(",\n")
   }
 
-  /** PQ-encode oracle: one sliced source + k-means chain + rank-1 assignment
-    * per subspace, joined on vec_id — mirrors Similarity.pqEncode CTE-for-CTE
-    * (subspace s covers 1-based dims [s·sub+1, (s+1)·sub]). */
-  private def pqEncodeOracle(m: Int, k: Int, rounds: Int, dim: Int): String = {
+  /** Per-subspace PQ CTE blocks: sliced source `sub{s}`, k-means chain
+    * `s{s}_cents{rounds}`, rank-1 code assignment `asg{s}` (vec_id, code{s})
+    * — mirrors Similarity.pqEncode CTE-for-CTE (subspace s covers 1-based
+    * dims [s·sub+1, (s+1)·sub]). */
+  private def pqBlocks(m: Int, k: Int, rounds: Int, dim: Int): Seq[String] = {
     val sub = dim / m
-    val blocks = (0 until m).map { s =>
+    (0 until m).map { s =>
       s"""sub$s AS MATERIALIZED (SELECT vec_id,
          |  CAST(embedding[${s * sub + 1}:${(s + 1) * sub}] AS DOUBLE[]) AS embedding FROM embeddings),
          |${kmeansCtesOver(s"sub$s", s"s${s}_", k, rounds)},
@@ -3308,9 +3317,42 @@ object SparkEntry {
          |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC, c.cid) AS rn
          |    FROM sub$s e CROSS JOIN s${s}_cents$rounds c) WHERE rn = 1)""".stripMargin
     }
+  }
+
+  private def pqEncodeOracle(m: Int, k: Int, rounds: Int, dim: Int): String = {
     val joins = (1 until m).map(s => s"JOIN asg$s USING (vec_id)").mkString(" ")
     val cols = (0 until m).map(s => s"code$s").mkString(", ")
-    s"WITH ${blocks.mkString(",\n")}\nSELECT vec_id, $cols FROM asg0 $joins"
+    s"WITH ${pqBlocks(m, k, rounds, dim).mkString(",\n")}\nSELECT vec_id, $cols FROM asg0 $joins"
+  }
+
+  /** PQ ADC top-k oracle: the pqBlocks chains plus one per-query lookup
+    * table per subspace (query subvector × every codeword), candidate score
+    * = sim0 + sim1 + … in FIXED subspace order (mirrors the engine's
+    * left-to-right projection), rank-1..k per query by (score desc, nid). */
+  private def pqTopKOracle(m: Int, k: Int, codes: Int, rounds: Int, dim: Int,
+      maxQid: Int): String = {
+    val luts = (0 until m).map { s =>
+      s"""lut$s AS MATERIALIZED (
+         |  SELECT q.vec_id AS qid, c.cid AS code$s,
+         |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) AS sim$s
+         |  FROM sub$s q CROSS JOIN s${s}_cents$rounds c WHERE q.vec_id < $maxQid)""".stripMargin
+    }
+    val encJoin = (1 until m).map(s => s"JOIN asg$s USING (vec_id)").mkString(" ")
+    val lutJoins = (0 until m).map(s =>
+      s"JOIN lut$s ON lut$s.code$s = a.code$s" +
+        (if (s == 0) "" else s" AND lut$s.qid = lut0.qid")).mkString(" ")
+    val score = (0 until m).map(s => s"lut$s.sim$s").mkString(" + ")
+    s"""WITH ${(pqBlocks(m, codes, rounds, dim) ++ luts).mkString(",\n")},
+       |scored AS (
+       |  SELECT lut0.qid, a.vec_id AS nid, $score AS score
+       |  FROM (SELECT asg0.vec_id, ${(0 until m).map(s => s"code$s").mkString(", ")}
+       |        FROM asg0 $encJoin) a
+       |  $lutJoins
+       |  WHERE a.vec_id <> lut0.qid)
+       |SELECT qid, nid, "rank" FROM (
+       |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, nid) AS "rank" FROM scored)
+       |WHERE "rank" <= $k""".stripMargin
   }
 
   private def semanticDedupOracle(rounds: Int, threshold: Double, nlist: Int): String = {

@@ -161,6 +161,51 @@ object Similarity {
     }.reduce(_.join(_, Seq(idCol)))
   }
 
+  /** PQ asymmetric-distance top-k (ADC — the search half of IVF-PQ): the
+    * corpus is represented ONLY by its PQ codes; each query builds an
+    * m × k lookup table of cosine similarities between its subvectors and
+    * every codeword, and a candidate's score is the sum of its m looked-up
+    * entries — the classic ADC estimate, never touching corpus vectors at
+    * query time. Approximate by construction; [[bruteForceTopK]] is the
+    * exactness baseline in tests.
+    *
+    * Determinism: the summed score adds the m lookups in FIXED subspace
+    * order inside one projection (not an aggregate), and ranking tie-breaks
+    * (score desc, id asc) — so a cross-engine oracle orders identically.
+    *
+    * Scale: codebooks and the per-query lookup tables are ≤ |Q|·m·k rows —
+    * broadcast; the only corpus-sized work is m broadcast-hash joins keyed
+    * on the code columns and one per-query top-k window over |Q|·|corpus|
+    * scored rows, the same shape (and cost ceiling) as bruteForceTopK but
+    * over code lookups instead of dim-wide dot products. */
+  def pqTopK(data: DataFrame, queries: DataFrame, k: Int, m: Int = 2,
+      codes: Int = 8, rounds: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = data.select(size(col(vecCol)).as("d")).limit(1).head.getInt(0)
+    require(dim % m == 0, s"PQ: dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val encoded = pqEncode(data, m, codes, rounds, idCol, vecCol)
+    val scored = (0 until m).foldLeft(
+      queries.select(col(idCol).as("qid")).crossJoin(encoded)) { (acc, s) =>
+      val sliced = data.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as(vecCol))
+      val cents = kMeansCentroids(sliced, codes, rounds, idCol, vecCol)
+      // per-query lookup table: sim(query subvector, codeword) for all k
+      // codewords — |Q|·k rows, broadcast into the code join
+      val lut = queries
+        .select(col(idCol).as("qid"), slice(col(vecCol), s * sub + 1, sub).as("qsub"))
+        .crossJoin(broadcast(cents))
+        .select(col("qid"), col("cid").as(s"code$s"),
+          cosine(col("qsub"), col("cvec")).as(s"sim$s"))
+      acc.join(broadcast(lut), Seq("qid", s"code$s"))
+    }
+    val score = (0 until m).map(s => col(s"sim$s")).reduce(_ + _) // fixed order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(score.desc, col(idCol).asc)
+    scored.filter(col("qid") =!= col(idCol))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col(idCol).as("nid"), col("rank"))
+  }
+
   /** IVF top-k: probe only the `nprobe` buckets whose centroids are nearest
     * to the query. Approximate (recall < 1 when a true neighbor lives in an
     * unprobed bucket); bruteForceTopK is the exactness oracle in tests. */

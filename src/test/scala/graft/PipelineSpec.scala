@@ -418,6 +418,36 @@ class PipelineSpec extends AnyFunSuite {
     codes.unpersist()
   }
 
+  test("pqTopK: shape on the real corpus; cluster recovery on planted data") {
+    import spark.implicits._
+    val q = emb.filter($"vec_id" < 10)
+    val pq = Similarity.pqTopK(emb, q, k = 5).cache()
+    assert(pq.count() === 50) // 10 queries x 5
+    assert(pq.groupBy("qid").agg(countDistinct("rank").as("r")).collect()
+      .forall(_.getLong(1) === 5))
+    pq.unpersist()
+    // ADC is a quantizer: it ranks at codebook-cell resolution, so the right
+    // quality bar is CLUSTER recovery, not exact top-5 (the real sf0.001
+    // embeddings are unclustered — even brute-force top-5 shares a label only
+    // 4% of the time, so no recall bar is meaningful there). Planted corpus:
+    // 8 tight clusters (id % 8), every 8-dim subspace carries the cluster
+    // signal, so per-subspace codebooks must align and ADC's top-5 must come
+    // from the query's own cluster.
+    val n = 2000
+    val planted = spark.range(n).select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 31), j ->
+        cast(pmod(hash((id % 8) * 32 + j), 1000) as double) / 1000.0 - 0.5 +
+        cast(pmod(hash(id * 32 + j), 100) as double) / 2000.0)""").as("embedding"))
+      .cache()
+    planted.count()
+    val pqueries = planted.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+    val top = Similarity.pqTopK(planted, pqueries, k = 5, m = 4, codes = 8)
+    val sameCluster = top.select($"qid", $"nid").collect()
+      .count(r => r.getLong(0) % 8 == r.getLong(1) % 8)
+    assert(sameCluster >= 45, s"ADC same-cluster hits $sameCluster/50") // >= 90%
+    planted.unpersist()
+  }
+
   test("removeRepeatedSpans: later in-doc occurrences cut, first survives") {
     import spark.implicits._
     val d = Seq(
