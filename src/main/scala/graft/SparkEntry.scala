@@ -995,6 +995,12 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       graft.pipeline.Similarity.pqTopK(e, e.filter(col("vec_id") < 10), k = 5)
     }),
+    // ---- pipeline: IVF-PQ top-k — coarse buckets restrict candidates,
+    //      ADC scores from codes; the 10¹⁰-vector production shape ----
+    "q_ivfpq_topk" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), k = 5)
+    }),
     // ---- pipeline: SemDeDup-style semantic dedup (cluster → within-cluster
     //      cosine pairs → keep min id per duplicate component) ----
     "q_semantic_dedup" -> ((s, dir) => {
@@ -2807,6 +2813,8 @@ object SparkEntry {
         |WHERE "rank" <= 5""".stripMargin,
     "q_pq_encode" -> pqEncodeOracle(m = 2, k = 8, rounds = 2, dim = 64),
     "q_pq_topk" -> pqTopKOracle(m = 2, k = 5, codes = 8, rounds = 2, dim = 64, maxQid = 10),
+    "q_ivfpq_topk" -> ivfPqTopKOracle(nlist = 16, nprobe = 4, m = 2, k = 5,
+      codes = 8, rounds = 2, dim = 64, maxQid = 10),
     "q_token_count" ->
       "SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens FROM documents",
     "q_multimodal" ->
@@ -3323,6 +3331,49 @@ object SparkEntry {
     val joins = (1 until m).map(s => s"JOIN asg$s USING (vec_id)").mkString(" ")
     val cols = (0 until m).map(s => s"code$s").mkString(", ")
     s"WITH ${pqBlocks(m, k, rounds, dim).mkString(",\n")}\nSELECT vec_id, $cols FROM asg0 $joins"
+  }
+
+  /** IVF-PQ top-k oracle: the UNprefixed full-vector k-means chain gives
+    * coarse buckets (rank-1 per vector) and the query's nprobe nearest
+    * buckets; candidates are bucket-restricted, then ADC-scored exactly as
+    * in [[pqTopKOracle]] (name spaces don't collide: coarse CTEs are
+    * cents/kasg/cm, subspace CTEs are s{n}_-prefixed). */
+  private def ivfPqTopKOracle(nlist: Int, nprobe: Int, m: Int, k: Int,
+      codes: Int, rounds: Int, dim: Int, maxQid: Int): String = {
+    val luts = (0 until m).map { s =>
+      s"""lut$s AS MATERIALIZED (
+         |  SELECT q.vec_id AS qid, c.cid AS code$s,
+         |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) AS sim$s
+         |  FROM sub$s q CROSS JOIN s${s}_cents$rounds c WHERE q.vec_id < $maxQid)""".stripMargin
+    }
+    val encJoin = (1 until m).map(s => s"JOIN asg$s USING (vec_id)").mkString(" ")
+    val lutJoins = (0 until m).map(s =>
+      s"JOIN lut$s ON lut$s.code$s = a.code$s AND lut$s.qid = prb.qid").mkString(" ")
+    val score = (0 until m).map(s => s"lut$s.sim$s").mkString(" + ")
+    val codeCols = (0 until m).map(s => s"code$s").mkString(", ")
+    s"""WITH ${kmeansCtes(nlist, rounds)},
+       |bkt AS MATERIALIZED (
+       |  SELECT vec_id, cid AS bucket FROM (
+       |    SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents$rounds c) WHERE rn = 1),
+       |prb AS MATERIALIZED (
+       |  SELECT qid, cid AS bucket FROM (
+       |    SELECT q.vec_id AS qid, c.cid, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC, c.cid) AS rn
+       |    FROM embeddings q CROSS JOIN cents$rounds c WHERE q.vec_id < $maxQid) WHERE rn <= $nprobe),
+       |${(pqBlocks(m, codes, rounds, dim) ++ luts).mkString(",\n")},
+       |scored AS (
+       |  SELECT prb.qid, a.vec_id AS nid, $score AS score
+       |  FROM (SELECT asg0.vec_id, $codeCols, b.bucket
+       |        FROM asg0 $encJoin JOIN bkt b USING (vec_id)) a
+       |  JOIN prb ON prb.bucket = a.bucket
+       |  $lutJoins
+       |  WHERE a.vec_id <> prb.qid)
+       |SELECT qid, nid, "rank" FROM (
+       |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, nid) AS "rank" FROM scored)
+       |WHERE "rank" <= $k""".stripMargin
   }
 
   /** PQ ADC top-k oracle: the pqBlocks chains plus one per-query lookup

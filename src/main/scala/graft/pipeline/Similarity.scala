@@ -236,6 +236,59 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("cos"))
   }
 
+  /** IVF-PQ top-k — the full production ANN composition (Jégou et al.):
+    * a coarse quantizer restricts candidates to the query's `nprobe` nearest
+    * buckets (IVF), and candidates are scored from their PQ codes via the
+    * per-query lookup tables (ADC) — corpus vectors are touched ONLY at
+    * index-build time, never per query. Composes [[kMeansCentroids]]/
+    * [[assign]] (coarse), [[pqEncode]] (codes) and the [[pqTopK]] scoring
+    * shape (fixed-order summed lookups, ties → id).
+    *
+    * Scale: this is the shape that works at 10¹⁰ vectors — the per-query
+    * candidate set is |corpus|·nprobe/nlist rows of CODES (m small ints, not
+    * dim floats), reached by one bucket-keyed equi-join; LUTs and centroids
+    * broadcast; no |Q|×|corpus| frame ever exists (unlike [[pqTopK]], whose
+    * cross join is the declared didactic baseline). */
+  def ivfPqTopK(data: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, m: Int = 2, codes: Int = 8, rounds: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = data.select(size(col(vecCol)).as("d")).limit(1).head.getInt(0)
+    require(dim % m == 0, s"PQ: dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val coarse = graft.core.PlanCache.cached(data.sparkSession,
+      graft.core.PlanCache.key("ivf-cents", data, nlist, idCol, vecCol, rounds)) {
+      kMeansCentroids(data, nlist, rounds, idCol, vecCol)
+    }
+    val bucketed = assign(data, coarse, idCol, vecCol)
+      .select(col(idCol), col("cid").as("bucket"))
+    val encoded = pqEncode(data, m, codes, rounds, idCol, vecCol)
+      .join(bucketed, Seq(idCol))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("csim").desc, col("bucket").asc)
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(coarse.select(col("cid").as("bucket"), col("cvec"))))
+      .withColumn("csim", cosine(col("qvec"), col("cvec")))
+      .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= nprobe)
+      .select(col("qid"), col("bucket"))
+    val candidates = probes.join(encoded, Seq("bucket")) // bucket-keyed join
+    val scored = (0 until m).foldLeft(candidates) { (acc, s) =>
+      val sliced = data.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as(vecCol))
+      val cents = kMeansCentroids(sliced, codes, rounds, idCol, vecCol)
+      val lut = queries
+        .select(col(idCol).as("qid"), slice(col(vecCol), s * sub + 1, sub).as("qsub"))
+        .crossJoin(broadcast(cents))
+        .select(col("qid"), col("cid").as(s"code$s"),
+          cosine(col("qsub"), col("cvec")).as(s"sim$s"))
+      acc.join(broadcast(lut), Seq("qid", s"code$s"))
+    }
+    val score = (0 until m).map(s => col(s"sim$s")).reduce(_ + _) // fixed order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(score.desc, col(idCol).asc)
+    scored.filter(col("qid") =!= col(idCol))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col(idCol).as("nid"), col("rank"))
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup detection).
     * Brute force O(n²/2); for scale, pre-bucket with lshSignature and join on
     * matching signatures before verifying. */

@@ -448,6 +448,17 @@ class PipelineSpec extends AnyFunSuite {
     planted.unpersist()
   }
 
+  test("ivfPqTopK: no data-by-data cartesian; full rank shape") {
+    val q = emb.filter(col("vec_id") < 10)
+    val df = Similarity.ivfPqTopK(emb, q, k = 5)
+    // centroid/LUT cross joins are broadcast nlist- and k-row frames; the
+    // corpus must reach the query side only through the bucket equi-join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "IVF-PQ must not cartesian data frames")
+    val rows = df.collect()
+    assert(rows.length === 50 && rows.map(_.getInt(2)).forall(r => r >= 1 && r <= 5))
+  }
+
   test("removeRepeatedSpans: later in-doc occurrences cut, first survives") {
     import spark.implicits._
     val d = Seq(
