@@ -995,6 +995,12 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       graft.pipeline.Similarity.pqTopK(e, e.filter(col("vec_id") < 10), k = 5)
     }),
+    // ---- pipeline: hard-negative mining (DPR/Contriever recipe) — per
+    //      query, the most-similar vectors with a DIFFERENT label ----
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Similarity.hardNegatives(e, e.filter(col("vec_id") < 10), k = 5)
+    }),
     // ---- pipeline: IVF-PQ top-k — coarse buckets restrict candidates,
     //      ADC scores from codes; the 10¹⁰-vector production shape ----
     "q_ivfpq_topk" -> ((s, dir) => {
@@ -2815,6 +2821,14 @@ object SparkEntry {
     "q_pq_topk" -> pqTopKOracle(m = 2, k = 5, codes = 8, rounds = 2, dim = 64, maxQid = 10),
     "q_ivfpq_topk" -> ivfPqTopKOracle(nlist = 16, nprobe = 4, m = 2, k = 5,
       codes = 8, rounds = 2, dim = 64, maxQid = 10),
+    "q_hard_negatives" ->
+      """SELECT qid, nid, "rank" FROM (
+        |  SELECT q.vec_id AS qid, d.vec_id AS nid, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(d.embedding AS DOUBLE[])) DESC, d.vec_id) AS "rank"
+        |  FROM embeddings q JOIN embeddings d ON d.label <> q.label
+        |  WHERE q.vec_id < 10)
+        |WHERE "rank" <= 5""".stripMargin,
     "q_token_count" ->
       "SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens FROM documents",
     "q_multimodal" ->

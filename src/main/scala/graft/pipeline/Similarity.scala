@@ -289,6 +289,31 @@ object Similarity {
       .select(col("qid"), col(idCol).as("nid"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training data (the public
+    * DPR/Contriever recipe: the best negatives are the most-similar examples
+    * with a DIFFERENT label): per query, the top-k highest-cosine vectors
+    * whose `labelCol` differs from the query's. Exact per-pair — the
+    * different-label filter applies BEFORE ranking, so every returned rank
+    * is a true negative. Ties → lowest id, so the oracle orders identically.
+    *
+    * Scale: this brute form is the correctness baseline; at corpus scale
+    * compose with the candidate-restriction of [[ivfPqTopK]] (bucket-join
+    * first, filter labels, then rank) — the filter commutes with candidate
+    * restriction. */
+  def hardNegatives(data: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val d = data.select(col(idCol).as("nid"), col(vecCol).as("dvec"), col(labelCol).as("nlbl"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"), col(labelCol).as("qlbl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    q.crossJoin(d)
+      .filter(col("nlbl") =!= col("qlbl"))
+      .withColumn("cos", cosine(col("qvec"), col("dvec")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup detection).
     * Brute force O(n²/2); for scale, pre-bucket with lshSignature and join on
     * matching signatures before verifying. */

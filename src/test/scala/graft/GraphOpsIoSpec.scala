@@ -110,6 +110,23 @@ class GraphOpsIoSpec extends AnyFunSuite {
       er(0).getAs[Long]("dst") === 2L && er(0).getAs[Int]("since") === 3)
   }
 
+  test("GraphML: a vertex/edge type conflict on one name degrades to string") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-gml-c").toString
+    val v = Seq((1L, "u", "2020")).toDF("id", "label", "since") // string
+    val e = Seq((10L, 1L, 1L, "self", 7)).toDF("id", "src", "dst", "label", "since") // int
+    GraphIO.exportGraphml(graft.data.PropertyGraph(graft.core.GraphSchema(), v, e), path)
+    val header = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/header.xml")))
+    // both <key> declarations carry the degraded type, not int
+    assert(header.contains("""<key id="since" for="node" attr.name="since" attr.type="string"/>"""))
+    assert(header.contains("""<key id="since" for="edge" attr.name="since" attr.type="string"/>"""))
+    val back = GraphIO.importGraphml(spark, path)
+    assert(back.vertices.schema("since").dataType.simpleString === "string")
+    assert(back.edges.schema("since").dataType.simpleString === "string")
+    assert(back.edges.select("since").head.getString(0) === "7")
+  }
+
   test("GraphIO: JSON export/import round-trip") {
     val path = Files.createTempDirectory("graft-json").toString
     GraphIO.exportJson(gods, path)
