@@ -1951,6 +1951,13 @@ object SparkEntry {
         .repeatEmit(2)(_.in())
         .values("uid", "label")
     }),
+    // ---- 2.E loops() — emitted frontiers carry the loop depth (source=0);
+    //      regions/nations/customers+suppliers land at depths 0/1/2 ----
+    "q_repeat_depth" -> ((s, dir) => {
+      graft.data.TpchGraph.load(s, dir).traversal.V().hasLabel("region")
+        .repeatEmitDepth(2)(_.in())
+        .values("uid", "label", "_depth")
+    }),
     // ---- 2.E emit(predicate).repeat(step) — filtered emit: only matching
     //      frontiers surface, but ALL traversers keep stepping (the source
     //      regions fail the filter; depth-1 nations and depth-2 suppliers
@@ -2515,6 +2522,11 @@ object SparkEntry {
         |UNION ALL SELECT n_nationkey, 'nation' FROM nation
         |UNION ALL SELECT c_custkey, 'customer' FROM customer
         |UNION ALL SELECT s_suppkey, 'supplier' FROM supplier""".stripMargin,
+    "q_repeat_depth" ->
+      """SELECT r_regionkey AS uid, 'region' AS label, 0 AS _depth FROM region
+        |UNION ALL SELECT n_nationkey, 'nation', 1 FROM nation
+        |UNION ALL SELECT c_custkey, 'customer', 2 FROM customer
+        |UNION ALL SELECT s_suppkey, 'supplier', 2 FROM supplier""".stripMargin,
     // filtered emit: depth-1 nations + depth-2 suppliers; source regions and
     // depth-2 customers are walked but fail the emit predicate
     "q_repeat_emit_filter" ->

@@ -941,6 +941,23 @@ final case class Traversal(
     copy(df = acc.get)
   }
 
+  /** repeat(n).emit() with the loop counter exposed — Gremlin's `loops()`
+    * (RepeatStep's per-traverser loop depth, readable mid-traversal): every
+    * emitted row carries `_depth` = the number of steps taken to reach it
+    * (source = 0). The relational form of loops(): downstream filters/
+    * projections read the column like any other (`has("_depth", …)`,
+    * `values("_depth", …)`). */
+  def repeatEmitDepth(n: Int)(step: Traversal => Traversal): Traversal = {
+    var cur = this
+    var acc = this.df.withColumn("_depth", lit(0))
+    (1 to n).foreach { d =>
+      cur = roundBarrier(step(cur))
+      acc = acc.unionByName(cur.df.withColumn("_depth", lit(d)),
+        allowMissingColumns = true)
+    }
+    copy(df = acc)
+  }
+
   /** emit(predicate).repeat(step) — emit() with a FILTER: the source frontier
     * and each round's frontier surface ONLY where `emitCond` holds, but every
     * traverser keeps stepping regardless — unlike [[repeatEmitUntil]], where a
