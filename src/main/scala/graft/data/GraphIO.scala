@@ -90,6 +90,32 @@ object GraphIO {
       spark.read.json(s"$path/vertices"),
       spark.read.json(s"$path/edges"))
 
+  /** TinkerPop io() dispatch — `graph.io(IoCore.graphson()).writeGraph(...)`
+    * parity: one entry point over every supported interchange format plus
+    * the native parquet store. */
+  sealed trait Format
+  object Format {
+    case object Parquet extends Format
+    case object GraphSon extends Format
+    case object Gryo extends Format
+    case object GraphMl extends Format
+  }
+
+  def write(g: PropertyGraph, path: String, format: Format): Unit = format match {
+    case Format.Parquet => save(g, path)
+    case Format.GraphSon => exportJson(g, path)
+    case Format.Gryo => exportGryo(g, path)
+    case Format.GraphMl => exportGraphml(g, path)
+  }
+
+  def read(spark: SparkSession, path: String, format: Format,
+      schema: GraphSchema = GraphSchema()): PropertyGraph = format match {
+    case Format.Parquet => load(spark, path, schema)
+    case Format.GraphSon => importJson(spark, path, schema)
+    case Format.Gryo => importGryo(spark, path, schema)
+    case Format.GraphMl => importGraphml(spark, path, schema)
+  }
+
   // ------------------------------------------------------------------
   // GraphML IO — the third TinkerPop interchange format (GraphMLReader/
   // Writer; reference graphs are routinely seeded from .graphml fixtures

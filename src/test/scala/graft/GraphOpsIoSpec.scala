@@ -110,6 +110,21 @@ class GraphOpsIoSpec extends AnyFunSuite {
       er(0).getAs[Long]("dst") === 2L && er(0).getAs[Int]("since") === 3)
   }
 
+  test("io() dispatch: every format round-trips through write/read") {
+    import spark.implicits._
+    val v = Seq((1L, "u", 5L), (2L, "u", 9L)).toDF("id", "label", "score")
+    val e = Seq((10L, 1L, 2L, "knows")).toDF("id", "src", "dst", "label")
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+    for (f <- Seq(GraphIO.Format.Parquet, GraphIO.Format.GraphSon,
+        GraphIO.Format.Gryo, GraphIO.Format.GraphMl)) {
+      val p = Files.createTempDirectory(s"graft-io-$f").toString
+      GraphIO.write(g, p, f)
+      val back = GraphIO.read(spark, p, f)
+      assert(back.vertices.count() === 2 && back.edges.count() === 1, s"format $f")
+      assert(back.vertices.select(sum("score")).head.get(0).toString === "14", s"format $f")
+    }
+  }
+
   test("GraphML: a vertex/edge type conflict on one name degrades to string") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-gml-c").toString
