@@ -995,6 +995,12 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       graft.pipeline.Similarity.pqTopK(e, e.filter(col("vec_id") < 10), k = 5)
     }),
+    // ---- pipeline: the published Gopher quality rules as one turnkey
+    //      per-document filter (flags kept so failures are explainable) ----
+    "q_gopher_rules" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.gopherRules(
+        s.read.parquet(s"$dir/documents.parquet"), minWords = 30)
+    }),
     // ---- pipeline: hard-negative mining (DPR/Contriever recipe) — per
     //      query, the most-similar vectors with a DIFFERENT label ----
     "q_hard_negatives" -> ((s, dir) => {
@@ -2833,6 +2839,25 @@ object SparkEntry {
     "q_pq_topk" -> pqTopKOracle(m = 2, k = 5, codes = 8, rounds = 2, dim = 64, maxQid = 10),
     "q_ivfpq_topk" -> ivfPqTopKOracle(nlist = 16, nprobe = 4, m = 2, k = 5,
       codes = 8, rounds = 2, dim = 64, maxQid = 10),
+    "q_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |f AS (SELECT doc_id, len(w) AS n,
+        |  CAST(list_sum([len(x) for x in w]) AS DOUBLE) / len(w) AS mean_len,
+        |  len(list_filter(w, x -> contains(x, '#') OR contains(x, '...'))) AS sym,
+        |  len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+        |  len(list_distinct(list_filter(w, x -> x IN
+        |    ('the','a','an','and','or','of','to','in','is','it')))) AS stops
+        |  FROM t)
+        |SELECT doc_id,
+        |  n >= 30 AND n <= 100000 AS word_count_ok,
+        |  mean_len >= 3.0 AND mean_len <= 10.0 AS mean_word_len_ok,
+        |  CAST(sym AS DOUBLE) / n <= 0.1 AS symbol_ratio_ok,
+        |  CAST(alpha AS DOUBLE) / n >= 0.8 AS alpha_ratio_ok,
+        |  stops >= 2 AS stopword_ok,
+        |  (n >= 30 AND n <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        |    AND (CAST(sym AS DOUBLE) / n <= 0.1) AND (CAST(alpha AS DOUBLE) / n >= 0.8)
+        |    AND stops >= 2 AS pass
+        |FROM f""".stripMargin,
     "q_hard_negatives" ->
       """SELECT qid, nid, "rank" FROM (
         |  SELECT q.vec_id AS qid, d.vec_id AS nid, ROW_NUMBER() OVER (PARTITION BY q.vec_id

@@ -42,6 +42,36 @@ object TextAnalysis {
       (nPunct.cast(DoubleType) / length(text).cast(DoubleType)).as("punct_ratio"))
   }
 
+  /** The published Gopher document-quality rules (Rae et al. 2021 §A1.1) as
+    * one turnkey per-document filter — the token-level subset our schema
+    * supports (the line-shape rules — bullet/ellipsis lines, dup-line
+    * fractions — live in [[repetitionSignals]]): word count in [minWords,
+    * maxWords], mean word length in [3, 10], symbol-to-word ratio ('#'/'…')
+    * ≤ 0.1, ≥ 80 % of words containing an alphabetic character, and at
+    * least two distinct [[EnStopwords]] present. Returns one boolean column
+    * per rule plus the conjunction `pass` — keep flags rather than
+    * filtering so pipelines can report WHY documents fail (standard
+    * practice when tuning a cleaning stack). Pure per-row expressions: no
+    * shuffle, computed in one scan. */
+  def gopherRules(docs: DataFrame, minWords: Int = 50, maxWords: Int = 100000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val n = size(t)
+    val meanLen = aggregate(t, lit(0L), (a, w) => a + length(w))
+      .cast(DoubleType) / n.cast(DoubleType)
+    val symbols = size(filter(t, w => w.contains("#") || w.contains("..."))) // '…' spelled ...
+    val alpha = size(filter(t, w => w.rlike("[a-zA-Z]")))
+    val stops = size(array_distinct(filter(t, w => w.isin(EnStopwords.map(lit): _*))))
+    docs.select(col(idCol),
+      (n >= minWords && n <= maxWords).as("word_count_ok"),
+      (meanLen >= 3.0 && meanLen <= 10.0).as("mean_word_len_ok"),
+      (symbols.cast(DoubleType) / n.cast(DoubleType) <= 0.1).as("symbol_ratio_ok"),
+      (alpha.cast(DoubleType) / n.cast(DoubleType) >= 0.8).as("alpha_ratio_ok"),
+      (stops >= 2).as("stopword_ok"))
+      .withColumn("pass", col("word_count_ok") && col("mean_word_len_ok") &&
+        col("symbol_ratio_ok") && col("alpha_ratio_ok") && col("stopword_ok"))
+  }
+
   /** Composite quality score in [0,1]: penalize extreme repetition, reward
     * stopword presence (fluency proxy), penalize punctuation soup. Weights are
     * documented constants, not learned. */
