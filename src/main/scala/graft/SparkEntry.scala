@@ -963,6 +963,13 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), threshold = 0.8)
     }),
     // ---- pipeline: end-to-end dedup (LSH pairs → CC → survivors; rows-only) ----
+    // ---- pipeline: duplicate-cluster size histogram (the standard dedup
+    //      report) — unpaired docs fold in as size-1 clusters so the
+    //      histogram partitions the whole corpus ----
+    "q_dedup_stats" -> ((s, dir) => {
+      graft.pipeline.Dedup.dedupStats(
+        s.read.parquet(s"$dir/documents.parquet"), threshold = 0.8)
+    }),
     "q_dedup_documents" -> ((s, dir) => {
       graft.pipeline.Dedup.dedupDocuments(
         s.read.parquet(s"$dir/documents.parquet"), threshold = 0.8)
@@ -994,6 +1001,12 @@ object SparkEntry {
     "q_pq_topk" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       graft.pipeline.Similarity.pqTopK(e, e.filter(col("vec_id") < 10), k = 5)
+    }),
+    // ---- pipeline: temperature-scaled mixture weights (T5/mT5 recipe:
+    //      rate ∝ count^0.5 upweights small sources) ----
+    "q_temperature_weights" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.temperatureWeights(
+        s.read.parquet(s"$dir/documents.parquet"))
     }),
     // ---- pipeline: the published Gopher quality rules as one turnkey
     //      per-document filter (flags kept so failures are explainable) ----
@@ -2778,6 +2791,7 @@ object SparkEntry {
         |SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM p
         |GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 30""".stripMargin,
     "q_dedup_documents" -> dedupDocsOracle(8),
+    "q_dedup_stats" -> dedupStatsOracle(8),
     "q_dedup_priority" -> dedupPriorityOracle(8),
     "q_semantic_dedup" -> semanticDedupOracle(8, 0.4254, 16),
     "q_embed_pairs" ->
@@ -2839,6 +2853,12 @@ object SparkEntry {
     "q_pq_topk" -> pqTopKOracle(m = 2, k = 5, codes = 8, rounds = 2, dim = 64, maxQid = 10),
     "q_ivfpq_topk" -> ivfPqTopKOracle(nlist = 16, nprobe = 4, m = 2, k = 5,
       codes = 8, rounds = 2, dim = 64, maxQid = 10),
+    "q_temperature_weights" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |s AS (SELECT source, n_docs, CAST(sqrt(n_docs) AS DECIMAL(27,10)) AS sc FROM c),
+        |t AS (SELECT SUM(sc) AS tot FROM s)
+        |SELECT source, n_docs,
+        |  round(CAST(sc AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight FROM s, t""".stripMargin,
     "q_gopher_rules" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
         |f AS (SELECT doc_id, len(w) AS n,
@@ -3499,6 +3519,37 @@ object SparkEntry {
        |WHERE NOT EXISTS (SELECT 1 FROM k$rounds c WHERE c.id = d.doc_id AND c.l <> d.doc_id)
        |UNION ALL
        |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+       |WHERE EXISTS (SELECT 1 FROM k$rounds a JOIN k${rounds - 1} b
+       |  ON a.id = b.id AND a.l <> b.l)""".stripMargin
+  }
+
+  /** Cluster-size histogram oracle (Dedup.dedupStats): same exact-Jaccard
+    * pair graph + min-label CC as dedupDocsOracle, then component sizes →
+    * histogram, with unpaired docs folded in as size-1 clusters and the same
+    * NOT_CONVERGED sentinel. */
+  private def dedupStatsOracle(rounds: Int): String = {
+    val iters = minLabelIters("k", rounds)
+    s"""WITH w AS (SELECT doc_id, string_split_regex(text,'\\s+') AS wl FROM documents),
+       |sh AS (SELECT doc_id, list_distinct([wl[i]||' '||wl[i+1]||' '||wl[i+2] for i in range(1, len(wl)-1)]) AS gs FROM w),
+       |tok AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+       |sizes AS (SELECT doc_id, len(gs) AS n FROM sh),
+       |pairs AS MATERIALIZED (SELECT ida, idb FROM (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+       |  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) p
+       |  JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+       |  WHERE CAST(shared AS DOUBLE)/CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.8),
+       |e2 AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM pairs
+       |  UNION ALL SELECT idb, ida FROM pairs),
+       |k0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS l FROM e2),
+       |$iters,
+       |comp AS (SELECT l, COUNT(*) AS cluster_size FROM k$rounds GROUP BY 1),
+       |hist AS (
+       |  SELECT cluster_size, COUNT(*) AS n_clusters FROM comp GROUP BY 1
+       |  UNION ALL SELECT CAST(1 AS BIGINT),
+       |    (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM k$rounds))
+       |SELECT cluster_size, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters
+       |FROM hist GROUP BY 1
+       |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
        |WHERE EXISTS (SELECT 1 FROM k$rounds a JOIN k${rounds - 1} b
        |  ON a.id = b.id AND a.l <> b.l)""".stripMargin
   }

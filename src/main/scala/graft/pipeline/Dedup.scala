@@ -360,6 +360,26 @@ object Dedup {
 
   /** Keep-one-per-duplicate-group: components over the candidate pairs, then
     * anti-join away every paired id that is not its component's minimum. */
+  /** Duplicate-cluster size histogram — the standard dedup REPORT (every
+    * public dedup writeup leads with "X% of the corpus sits in clusters of
+    * size ≥ k"): near-dup pairs at `threshold` → connected components →
+    * (cluster_size, n_clusters), with unpaired documents counted as size-1
+    * clusters so the histogram partitions the whole corpus
+    * (Σ size·count = |docs|). Same pair/CC machinery as [[dedupDocuments]];
+    * the histogram itself is two constant-width aggregates. */
+  def dedupStats(docs: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val comps = pairComponents(minHashLshPairs(docs, threshold, idCol = idCol, textCol = textCol))
+    val clustered = comps.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    val singles = docs.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"))
+    clustered.unionAll(singles)
+      .groupBy(col("cluster_size")).agg(sum(col("n_clusters")).as("n_clusters"))
+  }
+
   def survivorsByPairs(data: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
     val ccDf = pairComponents(pairs)
     val losers = ccDf // every paired element that is not its component's minimum

@@ -164,6 +164,29 @@ object TextAnalysis {
         coalesce(col("top3gram_char_frac"), lit(0.0)).as("top3gram_char_frac"))
   }
 
+  /** Temperature-scaled mixture weights (the T5/mT5 sampling recipe, public:
+    * sample source s with probability ∝ |s|^α — α < 1 upweights small
+    * sources so low-resource domains aren't drowned). Returns (sourceCol,
+    * n_docs, weight) with Σ weight = 1, weight rounded to 6 dp. Feed the
+    * weights (scaled by the desired corpus fraction) into [[mixtureSample]].
+    *
+    * Determinism: α = 0.5 computes via `sqrt` — IEEE-guaranteed correctly
+    * rounded in every engine, unlike `pow` — and the normalizing sum
+    * accumulates in DECIMAL (order-insensitive); the final division is one
+    * double op. Other α values use `pow`: fine within one engine, but a
+    * cross-engine oracle should stick to 0.5/1.0. One constant-width
+    * aggregate; the totals frame is one broadcast row. */
+  def temperatureWeights(docs: DataFrame, alpha: Double = 0.5,
+      sourceCol: String = "source"): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+    val scaled = if (alpha == 0.5) sqrt(col("n_docs")) else pow(col("n_docs"), lit(alpha))
+    val sc = counts.withColumn("__s", scaled.cast(DecimalType(27, 10)))
+    val total = sc.agg(sum(col("__s")).as("__t"))
+    sc.crossJoin(broadcast(total))
+      .select(col(sourceCol), col("n_docs"),
+        round(col("__s").cast(DoubleType) / col("__t").cast(DoubleType), 6).as("weight"))
+  }
+
   /** Deterministic per-source mixture sampling — the training-mix weighting
     * step of a data pipeline. A document rides iff the md5-derived bucket of
     * its id (uniform in [0, 1e6)) falls below its source's rate. No RNG:
