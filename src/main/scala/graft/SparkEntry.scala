@@ -1002,6 +1002,12 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       graft.pipeline.Similarity.pqTopK(e, e.filter(col("vec_id") < 10), k = 5)
     }),
+    // ---- pipeline: bigram conditional-LM perplexity proxy — fluent word
+    //      ORDER scores above bag-of-words boilerplate ----
+    "q_bigram_logprob" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.bigramLogProb(
+        s.read.parquet(s"$dir/documents.parquet"))
+    }),
     // ---- pipeline: temperature-scaled mixture weights (T5/mT5 recipe:
     //      rate ∝ count^0.5 upweights small sources) ----
     "q_temperature_weights" -> ((s, dir) => {
@@ -2853,6 +2859,17 @@ object SparkEntry {
     "q_pq_topk" -> pqTopKOracle(m = 2, k = 5, codes = 8, rounds = 2, dim = 64, maxQid = 10),
     "q_ivfpq_topk" -> ivfPqTopKOracle(nlist = 16, nprobe = 4, m = 2, k = 5,
       codes = 8, rounds = 2, dim = 64, maxQid = 10),
+    "q_bigram_logprob" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS wl FROM documents),
+        |bi AS (SELECT doc_id, unnest([{'a': wl[i], 'b': wl[i+1]}
+        |    for i in range(1, len(wl))], recursive := true)
+        |  FROM w WHERE len(wl) >= 2),
+        |bc AS (SELECT a, b, COUNT(*) AS bc FROM bi GROUP BY 1, 2),
+        |ac AS (SELECT a, COUNT(*) AS ac FROM bi GROUP BY 1)
+        |SELECT doc_id,
+        |  ROUND(CAST(SUM(CAST(ROUND(ln(CAST(bc AS DOUBLE) / CAST(ac AS DOUBLE)), 9) AS DECIMAL(28,12))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_logp
+        |FROM bi JOIN bc USING (a, b) JOIN ac USING (a) GROUP BY 1""".stripMargin,
     "q_temperature_weights" ->
       """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
         |s AS (SELECT source, n_docs, CAST(sqrt(n_docs) AS DECIMAL(27,10)) AS sc FROM c),

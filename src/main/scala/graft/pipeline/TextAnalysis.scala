@@ -334,6 +334,38 @@ object TextAnalysis {
         count(lit(1)).cast(DoubleType), 6).as("mean_logp"))
   }
 
+  /** Bigram conditional-LM scoring — the next perplexity-proxy step up from
+    * [[unigramLogProb]] (the public CCNet recipe filters on LM scores; a
+    * bigram MLE already separates fluent word ORDER from bag-of-words
+    * boilerplate that the unigram model scores identically). Score = mean
+    * ln p(wᵢ | wᵢ₋₁) over the document's bigram positions, with p(b|a) =
+    * corpus count(a,b) / corpus count(a·) — counts over bigram POSITIONS,
+    * so every context distribution sums to 1 and every observed bigram has
+    * positive probability (no smoothing needed for in-corpus scoring).
+    * Documents with fewer than 2 tokens yield no row (no bigrams to score).
+    *
+    * Scale + determinism: same shape and recipe as [[unigramLogProb]] —
+    * explode once, two map-side-combinable count aggs, join back (bigram
+    * vocab ≪ corpus), per-token ln rounded to 9 dp, DECIMAL-exact sum, mean
+    * rounded to 6 dp. */
+  def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = tokens(col(textCol))
+    val bi = docs.filter(size(w) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(w) - 2),
+        i => struct(element_at(w, i + 1).as("a"), element_at(w, i + 2).as("b")))).as("bg"))
+      .select(col(idCol), col("bg.a").as("a"), col("bg.b").as("b"))
+    val bc = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("bc"))
+    val ac = bi.groupBy(col("a")).agg(count(lit(1)).as("ac"))
+    bi.join(bc, Seq("a", "b")).join(ac, Seq("a"))
+      .withColumn("logp",
+        round(log(col("bc").cast(DoubleType) / col("ac").cast(DoubleType)), 9))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("logp").cast(DecimalType(28, 12))).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType), 6).as("mean_logp"))
+  }
+
   /** Contiguous token packing: per source, documents in id order fill
     * fixed-capacity training bins; a document's bin is the number of whole
     * capacities consumed BEFORE it (greedy contiguous fill — the standard
