@@ -459,6 +459,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.length === 50 && rows.map(_.getInt(2)).forall(r => r >= 1 && r <= 5))
   }
 
+  test("removeDupSpans scale path: 20k docs, planted shared spans, no cartesian") {
+    // each doc: 40 unique words (id-derived) + docs 0..599 share one planted
+    // 8-word span pairwise (consecutive pairs) appended at the end. The
+    // removal must cut exactly the planted span from sharers and nothing
+    // from the rest.
+    val n = 20000
+    val planted = when(col("id") < 600, col("id") - pmod(col("id"), lit(2)))
+    val uniq = transform(sequence(lit(0), lit(39)), j => concat(lit("u"), col("id") * 40 + j))
+    val span = transform(sequence(lit(0), lit(7)), j => concat(lit("s"), planted * 8 + j))
+    val docs20k = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", when(col("id") < 600, concat(uniq, span)).otherwise(uniq)).as("text"))
+      .cache()
+    docs20k.count()
+    val outDf = Dedup.removeDupSpans(docs20k, n = 8)
+    val plan = outDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "span removal must stay equi-join only")
+    val out = outDf.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // sharers lose exactly the 8-token span; everyone keeps their 40 uniques
+    assert((0L until 600L).forall(i => out(i).split(" ").length === 40),
+      "sharers must lose exactly the planted span")
+    assert((600L until 620L).forall(i => out(i).split(" ").length === 40),
+      "non-sharers must be untouched")
+    assert(out(0L).split(" ").forall(_.startsWith("u")))
+    docs20k.unpersist()
+  }
+
+  test("removeDupSpans/removeRepeatedSpans invariants (ScalaCheck)") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val doc = Gen.chooseNum(1, 12).flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+    val docsGen = Gen.chooseNum(2, 6).flatMap(k => Gen.listOfN(k, doc))
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15),
+      org.scalacheck.Prop.forAll(docsGen) { texts =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val dup = Dedup.removeDupSpans(df, n = 3).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        val rep = Dedup.removeRepeatedSpans(df, n = 3).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        texts.zipWithIndex.forall { case (t, i) =>
+          val toks = t.split(" ").toSeq
+          def isSubseqInOrder(out: String): Boolean = {
+            val o = if (out.isEmpty) Seq.empty else out.split(" ").toSeq
+            var j = 0
+            o.forall { w => val k = toks.indexOf(w, j); if (k < 0) false else { j = k + 1; true } }
+          }
+          val short = toks.length < 3
+          isSubseqInOrder(dup(i.toLong)) && isSubseqInOrder(rep(i.toLong)) &&
+            (!short || (dup(i.toLong) == t && rep(i.toLong) == t))
+        }
+      })
+    assert(res.passed, s"property failed: $res")
+  }
+
   test("removeRepeatedSpans: later in-doc occurrences cut, first survives") {
     import spark.implicits._
     val d = Seq(
