@@ -356,11 +356,18 @@ object TextAnalysis {
         sequence(lit(0), size(w) - 2),
         i => struct(element_at(w, i + 1).as("a"), element_at(w, i + 2).as("b")))).as("bg"))
       .select(col(idCol), col("bg.a").as("a"), col("bg.b").as("b"))
+    // Context counts DERIVE from the bigram table (Σ_b count(a,b) =
+    // count(a·)) and logp is computed once per DISTINCT bigram, so the
+    // occurrence-sized frame joins ONE scored table instead of two count
+    // tables. (A per-(doc,bigram) pre-aggregation was measured SLOWER here:
+    // bigrams rarely repeat within a document, so that grouping shuffles
+    // the same rows plus the id column for no collapse.)
     val bc = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("bc"))
-    val ac = bi.groupBy(col("a")).agg(count(lit(1)).as("ac"))
-    bi.join(bc, Seq("a", "b")).join(ac, Seq("a"))
-      .withColumn("logp",
-        round(log(col("bc").cast(DoubleType) / col("ac").cast(DoubleType)), 9))
+    val ac = bc.groupBy(col("a")).agg(sum(col("bc")).as("ac"))
+    val scoredBigrams = bc.join(ac, Seq("a"))
+      .select(col("a"), col("b"),
+        round(log(col("bc").cast(DoubleType) / col("ac").cast(DoubleType)), 9).as("logp"))
+    bi.join(scoredBigrams, Seq("a", "b"))
       .groupBy(col(idCol))
       .agg(round(sum(col("logp").cast(DecimalType(28, 12))).cast(DoubleType) /
         count(lit(1)).cast(DoubleType), 6).as("mean_logp"))
