@@ -963,6 +963,33 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), threshold = 0.8)
     }),
     // ---- pipeline: end-to-end dedup (LSH pairs → CC → survivors; rows-only) ----
+    // ---- pipeline × streaming: the SAME Dedup.exact operator run through
+    //      Structured Streaming — a streamed corpus, complete-mode aggregate,
+    //      memory sink; min-id survivor choice is order-insensitive, so the
+    //      batch oracle matches exactly (one declarative plan, two engines —
+    //      the Spark-first payoff) ----
+    "q_stream_exact_dedup" -> ((s, dir) => {
+      val src = s.read.parquet(s"$dir/documents.parquet")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sed")
+      // file-stream sources take a DIRECTORY; stage the corpus as one
+      src.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema(src.schema).parquet(s"$tmp/in")
+      val qname = s"graft_sed_${System.nanoTime()}"
+      val q = graft.pipeline.Dedup.exact(stream)
+        .writeStream.format("memory").queryName(qname).outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val finished = q.awaitTermination(300000)
+      if (!finished) { q.stop(); sys.error("q_stream_exact_dedup: stream did not finish in 300s") }
+      val out = s.table(qname)
+      s.catalog.dropTempView(qname)
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+      out
+    }),
     // ---- pipeline: duplicate-cluster size histogram (the standard dedup
     //      report) — unpaired docs fold in as size-1 clusters so the
     //      histogram partitions the whole corpus ----
@@ -2650,6 +2677,9 @@ object SparkEntry {
         |UNION ALL SELECT 'customer', c, COALESCE(ns, 0) FROM cn LEFT JOIN sc USING (nk)
         |UNION ALL SELECT 'supplier', s, COALESCE(nc, 0) FROM sn LEFT JOIN cc USING (nk)""".stripMargin,
     "q_dedup_exact" ->
+      "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies FROM documents GROUP BY text",
+    // the streaming run of the SAME operator must produce the identical set
+    "q_stream_exact_dedup" ->
       "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies FROM documents GROUP BY text",
     "q_dedup_ngram" -> ngramJaccardOracle,
     "q_dedup_minhash" -> ngramJaccardOracle,
