@@ -981,13 +981,21 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       val finished = q.awaitTermination(300000)
-      if (!finished) { q.stop(); sys.error("q_stream_exact_dedup: stream did not finish in 300s") }
+      // clean the staged corpus + checkpoint on BOTH paths (a timed-out
+      // stream must not leak its temp copy of the data)
+      def cleanup(): Unit = {
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      if (!finished) {
+        q.stop(); cleanup()
+        sys.error("q_stream_exact_dedup: stream did not finish in 300s")
+      }
       val out = s.table(qname)
       s.catalog.dropTempView(qname)
-      val walk = java.nio.file.Files.walk(tmp)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      cleanup()
       out
     }),
     // ---- pipeline: duplicate-cluster size histogram (the standard dedup

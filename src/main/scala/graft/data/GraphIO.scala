@@ -167,13 +167,22 @@ object GraphIO {
     * native to_xml — attributes via the default `_` prefix, `<data>` entries
     * as an array of (_key, _VALUE) structs with null values dropped (GraphML
     * has no null literal; an absent <data> IS the null). */
-  private def graphmlFragments(df: DataFrame, isVertex: Boolean): DataFrame = {
+  /** Edge-property key IDs: a name also used by a vertex property gets an
+    * `e_` prefix so every `<key id>` in the document is unique (the GraphML
+    * spec requires it; TinkerPop's writer disambiguates the same way).
+    * `attr.name` keeps the real property name — ids are wire artifacts. */
+  private def graphmlEdgeKeyId(name: String, vertexNames: Set[String]): String =
+    if (vertexNames.contains(name)) s"e_$name" else name
+
+  private def graphmlFragments(df: DataFrame, isVertex: Boolean,
+      vertexNames: Set[String]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val props = df.columns.filterNot(GraphmlReserved).toSeq
     val labelKey = if (isVertex) "labelV" else "labelE"
+    def keyId(p: String) = if (isVertex) p else graphmlEdgeKeyId(p, vertexNames)
     val entries =
       struct(lit(labelKey).as("_key"), col("label").cast("string").as("_VALUE")) +:
-        props.map(p => struct(lit(p).as("_key"), col(p).cast("string").as("_VALUE")))
+        props.map(p => struct(lit(keyId(p)).as("_key"), col(p).cast("string").as("_VALUE")))
     val data = filter(array(entries: _*), s => s.getField("_VALUE").isNotNull)
     val el =
       if (isVertex) struct(col("id").cast("string").as("_id"), data.as("data"))
@@ -184,33 +193,30 @@ object GraphIO {
   }
 
   /** GraphML export: distributed fragments + header/footer sidecars (layout
-    * documented above). A property name used by both element kinds must
-    * carry ONE type (the catalog's one-type-per-key rule); a conflicting
-    * pair degrades to attr.type="string" for both rather than failing the
-    * export. */
+    * documented above). Key ids are unique document-wide (edge keys take an
+    * `e_` prefix on a name collision with a vertex key), so each element
+    * kind declares — and round-trips — its own true attr.type. */
   def exportGraphml(g: PropertyGraph, path: String): Unit = {
     val vTypes = g.vertices.schema.fields.filterNot(f => GraphmlReserved(f.name))
       .map(f => f.name -> graphmlType(f.dataType)).toSeq
+    val vNames = vTypes.map(_._1).toSet
     val eTypes = g.edges.schema.fields.filterNot(f => GraphmlReserved(f.name))
       .map(f => f.name -> graphmlType(f.dataType)).toSeq
-    val byName = (vTypes ++ eTypes).groupBy(_._1)
-    def declared(side: Seq[(String, String)], forEl: String): Seq[String] =
-      side.map { case (n, t) =>
-        val tpe = if (byName(n).map(_._2).distinct.size > 1) "string" else t
-        s"""<key id="$n" for="$forEl" attr.name="$n" attr.type="$tpe"/>"""
-      }
     val keyDecls =
       Seq("""<key id="labelV" for="node" attr.name="labelV" attr.type="string"/>""",
         """<key id="labelE" for="edge" attr.name="labelE" attr.type="string"/>""") ++
-        declared(vTypes, "node") ++ declared(eTypes, "edge")
+        vTypes.map { case (n, t) =>
+          s"""<key id="$n" for="node" attr.name="$n" attr.type="$t"/>""" } ++
+        eTypes.map { case (n, t) =>
+          s"""<key id="${graphmlEdgeKeyId(n, vNames)}" for="edge" attr.name="$n" attr.type="$t"/>""" }
     writeText(s"$path/header.xml",
       "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
         "<graphml xmlns=\"http://graphml.graphdrawing.org/xmlns\">\n" +
         keyDecls.mkString("\n") + "\n<graph id=\"G\" edgedefault=\"directed\">")
     writeText(s"$path/zfooter.xml", "</graph>\n</graphml>")
-    graphmlFragments(g.vertices, isVertex = true)
+    graphmlFragments(g.vertices, isVertex = true, vNames)
       .write.mode(SaveMode.Overwrite).text(s"$path/nodes")
-    graphmlFragments(g.edges, isVertex = false)
+    graphmlFragments(g.edges, isVertex = false, vNames)
       .write.mode(SaveMode.Overwrite).text(s"$path/edges")
   }
 
@@ -229,9 +235,12 @@ object GraphIO {
     val header = readTextIfExists(s"$path/header.xml").getOrElse(
       throw new IllegalStateException(s"GraphML import: $path/header.xml missing"))
     val KeyDecl =
-      """<key id="([^"]+)" for="([^"]+)" attr.name="[^"]+" attr.type="([^"]+)"/>""".r
+      """<key id="([^"]+)" for="([^"]+)" attr.name="([^"]+)" attr.type="([^"]+)"/>""".r
+    // (key id, for, attr.name, attr.type) — data entries reference the ID,
+    // the rebuilt COLUMN takes the attr.name (ids are wire artifacts that
+    // may carry the e_ disambiguation prefix)
     val keys = KeyDecl.findAllMatchIn(header)
-      .map(m => (m.group(1), m.group(2), m.group(3))).toSeq
+      .map(m => (m.group(1), m.group(2), m.group(3), m.group(4))).toSeq
     val fragSchema = StructType(Seq(
       StructField("_id", StringType), StructField("_source", StringType),
       StructField("_target", StringType),
@@ -240,7 +249,8 @@ object GraphIO {
     def readSide(dir: String, isVertex: Boolean): DataFrame = {
       val labelKey = if (isVertex) "labelV" else "labelE"
       val tag = if (isVertex) "node" else "edge"
-      val props = keys.collect { case (n, f, t) if f == tag && n != labelKey => (n, t) }
+      val props = keys.collect {
+        case (kid, f, n, t) if f == tag && kid != labelKey => (kid, n, t) }
       // every fragment has >= 1 <data> child (labelV/labelE is always
       // present), so to_xml never emits a self-closing element and the
       // close-tag split is exact; the trailing whitespace chunk after the
@@ -256,10 +266,14 @@ object GraphIO {
           Seq(explode_outer(col("r.data")).as("kv")): _*)
         .withColumn("k", col("kv._key")).withColumn("v", col("kv._VALUE")).drop("kv")
       val idCols = if (isVertex) Seq(col("id")) else Seq(col("id"), col("src"), col("dst"))
+      // coalesce-to-'' preserves EMPTY string values: from_xml parses an
+      // empty <data> element's text as null, but the entry itself is proof
+      // the property was present — absent key (true null) stays null
       val aggs =
-        first(when(col("k") === labelKey, col("v")), ignoreNulls = true).as("label") +:
-          props.map { case (n, t) =>
-            first(when(col("k") === n, col("v")), ignoreNulls = true)
+        first(when(col("k") === labelKey, coalesce(col("v"), lit(""))),
+          ignoreNulls = true).as("label") +:
+          props.map { case (kid, n, t) =>
+            first(when(col("k") === kid, coalesce(col("v"), lit(""))), ignoreNulls = true)
               .cast(graphmlSparkType(t)).as(n)
           }
       kvs.groupBy(idCols: _*).agg(aggs.head, aggs.tail: _*)

@@ -76,9 +76,10 @@ object ImplicitKeys {
     * projection otherwise, no shuffle, pushdown-transparent for the
     * untouched columns. */
   def propertyTtlView(schema: GraphSchema, df: DataFrame): DataFrame = {
+    if (!schema.hasPropertyTtl || !df.columns.contains(TimestampColumn)) return df
     val keys = schema.propertyKeys.values.toSeq
       .filter(k => k.ttlSeconds.isDefined && df.columns.contains(k.name))
-    if (keys.isEmpty || !df.columns.contains(TimestampColumn)) df
+    if (keys.isEmpty) df
     else {
       val now = ttlNow(schema)
       keys.foldLeft(df) { (d, k) =>

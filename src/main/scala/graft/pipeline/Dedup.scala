@@ -358,8 +358,6 @@ object Dedup {
       .toDF("id", "component")
   }
 
-  /** Keep-one-per-duplicate-group: components over the candidate pairs, then
-    * anti-join away every paired id that is not its component's minimum. */
   /** Duplicate-cluster size histogram — the standard dedup REPORT (every
     * public dedup writeup leads with "X% of the corpus sits in clusters of
     * size ≥ k"): near-dup pairs at `threshold` → connected components →
@@ -380,6 +378,8 @@ object Dedup {
       .groupBy(col("cluster_size")).agg(sum(col("n_clusters")).as("n_clusters"))
   }
 
+  /** Keep-one-per-duplicate-group: components over the candidate pairs, then
+    * anti-join away every paired id that is not its component's minimum. */
   def survivorsByPairs(data: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
     val ccDf = pairComponents(pairs)
     val losers = ccDf // every paired element that is not its component's minimum

@@ -156,10 +156,22 @@ object Similarity {
     val sub = dim / m
     (0 until m).map { s =>
       val sliced = data.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as(vecCol))
-      val cents = kMeansCentroids(sliced, k, rounds, idCol, vecCol)
+      val cents = pqCodebook(data, sliced, s, sub, k, rounds, idCol, vecCol)
       assign(sliced, cents, idCol, vecCol).select(col(idCol), col("cid").as(s"code$s"))
     }.reduce(_.join(_, Seq(idCol)))
   }
+
+  /** Per-subspace PQ codebook, served from the bounded PlanCache so one
+    * input trains each subspace ONCE per session — pqEncode and the ADC
+    * lookup-table builds (pqTopK / ivfPqTopK) share the same key and
+    * therefore the same trained codebook instead of retraining the
+    * dominant index-build stage twice per search call. */
+  private def pqCodebook(data: DataFrame, sliced: DataFrame, s: Int, sub: Int,
+      k: Int, rounds: Int, idCol: String, vecCol: String): DataFrame =
+    graft.core.PlanCache.cached(data.sparkSession,
+      graft.core.PlanCache.key("pq-cents", data, s, sub, k, rounds, idCol, vecCol)) {
+      kMeansCentroids(sliced, k, rounds, idCol, vecCol)
+    }
 
   /** PQ asymmetric-distance top-k (ADC — the search half of IVF-PQ): the
     * corpus is represented ONLY by its PQ codes; each query builds an
@@ -188,7 +200,7 @@ object Similarity {
     val scored = (0 until m).foldLeft(
       queries.select(col(idCol).as("qid")).crossJoin(encoded)) { (acc, s) =>
       val sliced = data.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as(vecCol))
-      val cents = kMeansCentroids(sliced, codes, rounds, idCol, vecCol)
+      val cents = pqCodebook(data, sliced, s, sub, codes, rounds, idCol, vecCol)
       // per-query lookup table: sim(query subvector, codeword) for all k
       // codewords — |Q|·k rows, broadcast into the code join
       val lut = queries
@@ -273,7 +285,7 @@ object Similarity {
     val candidates = probes.join(encoded, Seq("bucket")) // bucket-keyed join
     val scored = (0 until m).foldLeft(candidates) { (acc, s) =>
       val sliced = data.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as(vecCol))
-      val cents = kMeansCentroids(sliced, codes, rounds, idCol, vecCol)
+      val cents = pqCodebook(data, sliced, s, sub, codes, rounds, idCol, vecCol)
       val lut = queries
         .select(col(idCol).as("qid"), slice(col(vecCol), s * sub + 1, sub).as("qsub"))
         .crossJoin(broadcast(cents))

@@ -125,7 +125,7 @@ class GraphOpsIoSpec extends AnyFunSuite {
     }
   }
 
-  test("GraphML: a vertex/edge type conflict on one name degrades to string") {
+  test("GraphML: shared vertex/edge property name gets unique key ids, own types") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-gml-c").toString
     val v = Seq((1L, "u", "2020")).toDF("id", "label", "since") // string
@@ -133,13 +133,28 @@ class GraphOpsIoSpec extends AnyFunSuite {
     GraphIO.exportGraphml(graft.data.PropertyGraph(graft.core.GraphSchema(), v, e), path)
     val header = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$path/header.xml")))
-    // both <key> declarations carry the degraded type, not int
+    // unique key ids document-wide (GraphML requires it); each side keeps
+    // its TRUE attr.type and attr.name stays the real property name
     assert(header.contains("""<key id="since" for="node" attr.name="since" attr.type="string"/>"""))
-    assert(header.contains("""<key id="since" for="edge" attr.name="since" attr.type="string"/>"""))
+    assert(header.contains("""<key id="e_since" for="edge" attr.name="since" attr.type="int"/>"""))
     val back = GraphIO.importGraphml(spark, path)
     assert(back.vertices.schema("since").dataType.simpleString === "string")
-    assert(back.edges.schema("since").dataType.simpleString === "string")
-    assert(back.edges.select("since").head.getString(0) === "7")
+    assert(back.vertices.select("since").head.getString(0) === "2020")
+    assert(back.edges.schema("since").dataType.simpleString === "int")
+    assert(back.edges.select("since").head.getInt(0) === 7)
+  }
+
+  test("GraphML: empty-string property values round-trip as '', not null") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-gml-e").toString
+    val v = Seq((1L, "u", ""), (2L, "u", null.asInstanceOf[String]))
+      .toDF("id", "label", "note")
+    val e = v.limit(0).select(col("id"), col("id").as("src"), col("id").as("dst"), col("label"))
+    GraphIO.exportGraphml(graft.data.PropertyGraph(graft.core.GraphSchema(), v, e), path)
+    val back = GraphIO.importGraphml(spark, path).vertices.collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("note"))).toMap
+    // present-but-empty survives as ""; true null (absent <data>) stays null
+    assert(back === Map(1L -> Some(""), 2L -> None))
   }
 
   test("GraphIO: JSON export/import round-trip") {
