@@ -1061,6 +1061,13 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       graft.pipeline.Similarity.hardNegatives(e, e.filter(col("vec_id") < 10), k = 5)
     }),
+    // ---- pipeline: PQ decode — reconstruction from codes is EXACT given
+    //      the 6-dp codebooks, so per-dimension values compare raw ----
+    "q_pq_decode" -> ((s, dir) => {
+      graft.pipeline.Similarity.pqDecode(
+        s.read.parquet(s"$dir/embeddings.parquet"), m = 2, codes = 8, rounds = 2)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+    }),
     // ---- pipeline: IVF-PQ top-k — coarse buckets restrict candidates,
     //      ADC scores from codes; the 10¹⁰-vector production shape ----
     "q_ivfpq_topk" -> ((s, dir) => {
@@ -2895,6 +2902,16 @@ object SparkEntry {
         |WHERE "rank" <= 5""".stripMargin,
     "q_pq_encode" -> pqEncodeOracle(m = 2, k = 8, rounds = 2, dim = 64),
     "q_pq_topk" -> pqTopKOracle(m = 2, k = 5, codes = 8, rounds = 2, dim = 64, maxQid = 10),
+    // decode: codeword concat per vector, per-dimension rows; values are the
+    // 6-dp decimal means both engines compute bit-identically
+    "q_pq_decode" ->
+      s"""WITH ${pqBlocks(2, 8, 2, 64).mkString(",\n")},
+         |dec AS (SELECT a0.vec_id, c0.cvec || c1.cvec AS l
+         |  FROM asg0 a0 JOIN asg1 a1 USING (vec_id)
+         |  JOIN s0_cents2 c0 ON c0.cid = a0.code0
+         |  JOIN s1_cents2 c1 ON c1.cid = a1.code1)
+         |SELECT vec_id, unnest([{'dim': i-1, 'val': l[i]}
+         |  for i in range(1, len(l)+1)], recursive := true) FROM dec""".stripMargin,
     "q_ivfpq_topk" -> ivfPqTopKOracle(nlist = 16, nprobe = 4, m = 2, k = 5,
       codes = 8, rounds = 2, dim = 64, maxQid = 10),
     "q_bigram_logprob" ->

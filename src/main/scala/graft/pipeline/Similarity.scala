@@ -161,6 +161,30 @@ object Similarity {
     }.reduce(_.join(_, Seq(idCol)))
   }
 
+  /** PQ decode — reconstruct each vector from its codes as the concatenation
+    * of its per-subspace codewords (the quantizer's approximation, exactly
+    * what ADC scores against). Reconstruction is EXACT given the codebooks:
+    * codeword components are 6-dp-rounded decimal means by construction
+    * ([[kMeansCentroids]]), so the decoded values are bit-identical across
+    * engines — a cross-engine oracle compares them directly, no tolerance.
+    * Returns (idCol, vecCol) with the reconstructed array<double>.
+    * Scale: m broadcast joins of the code columns against k-row codebooks —
+    * no shuffle of the corpus beyond the encode itself. */
+  def pqDecode(data: DataFrame, m: Int = 2, codes: Int = 8, rounds: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = data.select(size(col(vecCol)).as("d")).limit(1).head.getInt(0)
+    require(dim % m == 0, s"PQ: dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val enc = pqEncode(data, m, codes, rounds, idCol, vecCol)
+    (0 until m).foldLeft(enc) { (acc, s) =>
+      val sliced = data.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as(vecCol))
+      val cents = pqCodebook(data, sliced, s, sub, codes, rounds, idCol, vecCol)
+      acc.join(broadcast(cents.select(col("cid").as(s"code$s"),
+        col("cvec").as(s"__c$s"))), Seq(s"code$s"))
+    }.select(col(idCol),
+      concat((0 until m).map(s => col(s"__c$s")): _*).as(vecCol))
+  }
+
   /** Per-subspace PQ codebook, served from the bounded PlanCache so one
     * input trains each subspace ONCE per session — pqEncode and the ADC
     * lookup-table builds (pqTopK / ivfPqTopK) share the same key and
