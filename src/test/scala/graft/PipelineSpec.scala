@@ -459,6 +459,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.length === 50 && rows.map(_.getInt(2)).forall(r => r >= 1 && r <= 5))
   }
 
+  test("pqDecode: reconstruction approximates originals on clustered data") {
+    val n = 2000
+    val planted = spark.range(n).select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 31), j ->
+        cast(pmod(hash((id % 8) * 32 + j), 1000) as double) / 1000.0 - 0.5 +
+        cast(pmod(hash(id * 32 + j), 100) as double) / 2000.0)""").as("embedding"))
+      .cache()
+    planted.count()
+    val recon = Similarity.pqDecode(planted, m = 4, codes = 8)
+    val joined = recon.withColumnRenamed("embedding", "r")
+      .join(planted, Seq("vec_id"))
+      .select(Similarity.cosine(col("embedding"), col("r")).as("c"))
+    // per-cluster codewords ≈ cluster centers; tight noise ⇒ high fidelity
+    // in aggregate, with a bounded tail (a cell straddling cluster boundary
+    // reconstructs its stragglers a little off-center — deterministic)
+    val st = joined.agg(min(col("c")).as("mn"), avg(col("c")).as("av")).head
+    assert(st.getDouble(1) >= 0.9, s"mean reconstruction cosine ${st.getDouble(1)}")
+    assert(st.getDouble(0) >= 0.8, s"reconstruction cosine floor ${st.getDouble(0)}")
+    assert(recon.count() === n)
+    planted.unpersist()
+  }
+
   test("removeDupSpans scale path: 20k docs, planted shared spans, no cartesian") {
     // each doc: 40 unique words (id-derived) + docs 0..599 share one planted
     // 8-word span pairwise (consecutive pairs) appended at the end. The
