@@ -2156,6 +2156,9 @@ object SparkEntry {
     // exact-substring span removal: the heaviest text-rewrite op (positioned
     // grams + anti-join rebuild) — bench it so gram-frame regressions surface
     "q_remove_dup_spans",
+    // the production ANN composition (coarse probe + ADC over codes): bench
+    // it so index-build (k-means trains) and search-path regressions surface
+    "q_ivfpq_topk",
     // iterative-join analytics: regressions hide in lineage truncation and
     // cache lifecycle, so the bench times them every round
     "q_kcore", "q_triangles", "q_connected_components",
