@@ -1055,6 +1055,12 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.gopherRules(
         s.read.parquet(s"$dir/documents.parquet"), minWords = 30)
     }),
+    // ---- pipeline: Johnson–Lindenstrauss random projection (seeded ±1
+    //      directions; DECIMAL-exact sums, 6-dp values per dimension) ----
+    "q_random_project" -> ((s, dir) => {
+      graft.pipeline.Similarity.randomProject(
+        s.read.parquet(s"$dir/embeddings.parquet"), outDim = 16)
+    }),
     // ---- pipeline: hard-negative mining (DPR/Contriever recipe) — per
     //      query, the most-similar vectors with a DIFFERENT label ----
     "q_hard_negatives" -> ((s, dir) => {
@@ -2904,6 +2910,7 @@ object SparkEntry {
         |  FROM probes p JOIN asg a ON a.cid = p.cid WHERE a.nid <> p.qid)
         |WHERE "rank" <= 5""".stripMargin,
     "q_pq_encode" -> pqEncodeOracle(m = 2, k = 8, rounds = 2, dim = 64),
+    "q_random_project" -> randomProjectOracle(outDim = 16, dim = 64),
     "q_pq_topk" -> pqTopKOracle(m = 2, k = 5, codes = 8, rounds = 2, dim = 64, maxQid = 10),
     // decode: codeword concat per vector, per-dimension rows; values are the
     // 6-dp decimal means both engines compute bit-identically
@@ -3520,6 +3527,21 @@ object SparkEntry {
        |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
        |    ORDER BY score DESC, nid) AS "rank" FROM scored)
        |WHERE "rank" <= $k""".stripMargin
+  }
+
+  /** Random-projection oracle: the SAME seeded ±1 direction matrix inlined
+    * as a VALUES list (both sides call lshDirections), DECIMAL-exact term
+    * sums, 6-dp values — mirrors Similarity.randomProject row-for-row. */
+  private def randomProjectOracle(outDim: Int, dim: Int, seed: Long = 42L): String = {
+    val dirs = graft.pipeline.Similarity.lshDirections(dim, outDim, seed)
+    val values = (for (j <- 0 until outDim; i <- 0 until dim)
+      yield s"($j,$i,${dirs(j)(i).toInt})").mkString(",")
+    s"""WITH dirs(j, i, s) AS (VALUES $values),
+       |e AS (SELECT vec_id, unnest([{'i': i-1, 'v': embedding[i]}
+       |    for i in range(1, len(embedding)+1)], recursive := true) FROM embeddings)
+       |SELECT e.vec_id, d.j AS dim,
+       |  ROUND(CAST(SUM(CAST(e.v AS DECIMAL(27,10)) * d.s) AS DOUBLE) / sqrt($outDim.0), 6) AS val
+       |FROM e JOIN dirs d ON d.i = e.i GROUP BY 1, 2""".stripMargin
   }
 
   /** PQ ADC top-k oracle: the pqBlocks chains plus one per-query lookup

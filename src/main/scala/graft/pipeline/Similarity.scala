@@ -325,6 +325,37 @@ object Similarity {
       .select(col("qid"), col(idCol).as("nid"), col("rank"))
   }
 
+  /** Johnson–Lindenstrauss random projection — the standard cheap
+    * dimensionality reduction before ANN / clustering (±1 directions
+    * preserve pairwise distances within (1±ε) at outDim = O(ln n / ε²);
+    * Achlioptas' database-friendly variant, public). Directions come from
+    * the SAME seeded ±1 family as the LSH signatures ([[lshDirections]]),
+    * so projections are deterministic and a cross-engine oracle inlines the
+    * identical matrix. out[j] = Σᵢ vec[i]·dir[j][i] / √outDim, each term
+    * DECIMAL-cast before the sum (order-insensitive exact accumulation, the
+    * proven meanPool recipe) and the result rounded to 6 dp. Returns
+    * per-dimension rows (idCol, dim, val).
+    *
+    * Scale: the direction matrix broadcasts (outDim×d ints); the per-vector
+    * explode is collapsed map-side by the (id, j) partial agg, so the
+    * shuffle carries outDim rows per vector — constant width. */
+  def randomProject(data: DataFrame, outDim: Int = 16, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = data.select(size(col(vecCol)).as("d")).limit(1).head.getInt(0)
+    val dirs = lshDirections(dim, outDim, seed)
+    val dirRows = for (j <- 0 until outDim; i <- 0 until dim)
+      yield (j, i, dirs(j)(i).toInt) // ±1 as INT: decimal × int stays exact
+    val spark = data.sparkSession
+    import spark.implicits._
+    val dirDf = broadcast(dirRows.toDF("j", "i", "s"))
+    data.select(col(idCol), posexplode(col(vecCol)).as(Seq("i", "v")))
+      .join(dirDf, Seq("i"))
+      .groupBy(col(idCol), col("j"))
+      .agg(round(sum(col("v").cast(DecimalType(27, 10)) * col("s")).cast(DoubleType) /
+        math.sqrt(outDim.toDouble), 6).as("val"))
+      .select(col(idCol), col("j").as("dim"), col("val"))
+  }
+
   /** Hard-negative mining for contrastive training data (the public
     * DPR/Contriever recipe: the best negatives are the most-similar examples
     * with a DIFFERENT label): per query, the top-k highest-cosine vectors
