@@ -1055,6 +1055,12 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.gopherRules(
         s.read.parquet(s"$dir/documents.parquet"), minWords = 30)
     }),
+    // ---- pipeline: hubness — in-degree histogram of the k-NN digraph
+    //      (hub vectors distort retrieval; zero-degree vectors included) ----
+    "q_hubness" -> ((s, dir) => {
+      graft.pipeline.Similarity.hubness(
+        s.read.parquet(s"$dir/embeddings.parquet"), k = 5)
+    }),
     // ---- pipeline: Johnson–Lindenstrauss random projection (seeded ±1
     //      directions; DECIMAL-exact sums, 6-dp values per dimension) ----
     "q_random_project" -> ((s, dir) => {
@@ -2911,6 +2917,15 @@ object SparkEntry {
         |WHERE "rank" <= 5""".stripMargin,
     "q_pq_encode" -> pqEncodeOracle(m = 2, k = 8, rounds = 2, dim = 64),
     "q_random_project" -> randomProjectOracle(outDim = 16, dim = 64),
+    "q_hubness" ->
+      """WITH knn AS (SELECT nid FROM (
+        |  SELECT q.vec_id AS qid, d.vec_id AS nid, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(d.embedding AS DOUBLE[])) DESC, d.vec_id) AS rn
+        |  FROM embeddings q JOIN embeddings d ON q.vec_id <> d.vec_id) WHERE rn <= 5),
+        |deg AS (SELECT e.vec_id, COUNT(k.nid) AS in_degree
+        |  FROM embeddings e LEFT JOIN knn k ON k.nid = e.vec_id GROUP BY 1)
+        |SELECT in_degree, COUNT(*) AS n_vectors FROM deg GROUP BY 1""".stripMargin,
     "q_pq_topk" -> pqTopKOracle(m = 2, k = 5, codes = 8, rounds = 2, dim = 64, maxQid = 10),
     // decode: codeword concat per vector, per-dimension rows; values are the
     // 6-dp decimal means both engines compute bit-identically

@@ -325,6 +325,24 @@ object Similarity {
       .select(col("qid"), col(idCol).as("nid"), col("rank"))
   }
 
+  /** Hubness diagnostic — the in-degree histogram of the k-NN digraph (how
+    * many vectors count each vector among their top-k). High-dimensional
+    * embedding spaces grow "hub" points that appear in a disproportionate
+    * share of neighbor lists and distort retrieval (a standard
+    * embedding-quality check from the public ANN literature). Returns
+    * (in_degree, n_vectors), zero-degree vectors included so the histogram
+    * partitions the corpus. Exact top-k inside; at corpus scale swap the
+    * brute-force kernel for [[ivfPqTopK]] candidates — the histogram shape
+    * is identical arithmetic. */
+  def hubness(data: DataFrame, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val indeg = bruteForceTopK(data, data, k, idCol, vecCol)
+      .groupBy(col("nid")).agg(count(lit(1)).as("in_degree"))
+    data.select(col(idCol).as("nid")).join(indeg, Seq("nid"), "left")
+      .select(coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .groupBy(col("in_degree")).agg(count(lit(1)).as("n_vectors"))
+  }
+
   /** Johnson–Lindenstrauss random projection — the standard cheap
     * dimensionality reduction before ANN / clustering (±1 directions
     * preserve pairwise distances within (1±ε) at outDim = O(ln n / ε²);
