@@ -963,6 +963,17 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), threshold = 0.8)
     }),
     // ---- pipeline: end-to-end dedup (LSH pairs → CC → survivors; rows-only) ----
+    // ---- pipeline: token-budget truncation (context-window cap) ----
+    "q_truncate_tokens" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.truncateTokens(
+        s.read.parquet(s"$dir/documents.parquet"), maxTokens = 40)
+    }),
+    // ---- pipeline: cross-source duplication matrix — near-dup pair counts
+    //      by unordered (source, source) cell; off-diagonal = mirroring ----
+    "q_cross_source_dups" -> ((s, dir) => {
+      graft.pipeline.Dedup.crossSourceDupMatrix(
+        s.read.parquet(s"$dir/documents.parquet"), threshold = 0.8)
+    }),
     // ---- pipeline × streaming: the SAME Dedup.exact operator run through
     //      Structured Streaming — a streamed corpus, complete-mode aggregate,
     //      memory sink; min-id survivor choice is order-insensitive, so the
@@ -2917,6 +2928,26 @@ object SparkEntry {
         |WHERE "rank" <= 5""".stripMargin,
     "q_pq_encode" -> pqEncodeOracle(m = 2, k = 8, rounds = 2, dim = 64),
     "q_random_project" -> randomProjectOracle(outDim = 16, dim = 64),
+    "q_truncate_tokens" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS wl FROM documents)
+        |SELECT doc_id, array_to_string(wl[1:40], ' ') AS text,
+        |  CAST(least(len(wl), 40) AS BIGINT) AS n_tokens, len(wl) > 40 AS truncated FROM w""".stripMargin,
+    // same exact-Jaccard pair graph as the dedup oracles, bucketed by the
+    // unordered source pair of the endpoints
+    "q_cross_source_dups" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text,'\s+') AS wl FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([wl[i]||' '||wl[i+1]||' '||wl[i+2] for i in range(1, len(wl)-1)]) AS gs FROM w),
+        |tok AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+        |sizes AS (SELECT doc_id, len(gs) AS n FROM sh),
+        |pairs AS MATERIALIZED (SELECT ida, idb FROM (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+        |  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) p
+        |  JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+        |  WHERE CAST(shared AS DOUBLE)/CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.8)
+        |SELECT least(a.source, b.source) AS source_a,
+        |  greatest(a.source, b.source) AS source_b, COUNT(*) AS n_pairs
+        |FROM pairs JOIN documents a ON a.doc_id = ida
+        |JOIN documents b ON b.doc_id = idb GROUP BY 1, 2""".stripMargin,
     "q_hubness" ->
       """WITH knn AS (SELECT nid FROM (
         |  SELECT q.vec_id AS qid, d.vec_id AS nid, ROW_NUMBER() OVER (PARTITION BY q.vec_id

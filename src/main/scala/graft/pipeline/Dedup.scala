@@ -378,6 +378,26 @@ object Dedup {
       .groupBy(col("cluster_size")).agg(sum(col("n_clusters")).as("n_clusters"))
   }
 
+  /** Cross-source duplication matrix — near-dup PAIR counts bucketed by the
+    * (source, source) pair of their endpoints (sources ordered so each
+    * unordered pair lands in one cell). The standard provenance report when
+    * assembling a mixture: off-diagonal cells expose one source mirroring
+    * another (scraped copies, shared upstream), diagonal cells in-source
+    * duplication. Same pair machinery as [[dedupDocuments]]; the matrix is
+    * one constant-width aggregate over the pairs. */
+  def crossSourceDupMatrix(docs: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val src = docs.select(col(idCol).as("__id"), col(sourceCol).as("__s"))
+    minHashLshPairs(docs, threshold, idCol = idCol, textCol = textCol)
+      .join(src.withColumnRenamed("__s", "sa"), col("ida") === col("__id")).drop("__id")
+      .join(src.withColumnRenamed("__s", "sb"), col("idb") === col("__id")).drop("__id")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Keep-one-per-duplicate-group: components over the candidate pairs, then
     * anti-join away every paired id that is not its component's minimum. */
   def survivorsByPairs(data: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {

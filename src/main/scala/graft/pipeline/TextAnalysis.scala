@@ -164,6 +164,21 @@ object TextAnalysis {
         coalesce(col("top3gram_char_frac"), lit(0.0)).as("top3gram_char_frac"))
   }
 
+  /** Token-budget truncation — cap every document at `maxTokens` whitespace
+    * tokens (the context-window truncation step before packing/tokenization;
+    * shorter docs pass through byte-identical after token-join
+    * normalization). Pure per-row expression: one scan, no shuffle,
+    * pushdown-transparent. Returns (idCol, textCol, n_tokens, truncated). */
+  def truncateTokens(docs: DataFrame, maxTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0)
+    val w = tokens(col(textCol))
+    docs.select(col(idCol),
+      concat_ws(" ", slice(w, 1, maxTokens)).as(textCol),
+      least(size(w), lit(maxTokens)).cast(LongType).as("n_tokens"),
+      (size(w) > maxTokens).as("truncated"))
+  }
+
   /** Temperature-scaled mixture weights (the T5/mT5 sampling recipe, public:
     * sample source s with probability ∝ |s|^α — α < 1 upweights small
     * sources so low-resource domains aren't drowned). Returns (sourceCol,
