@@ -991,22 +991,25 @@ object SparkEntry {
         .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      val finished = q.awaitTermination(300000)
-      // clean the staged corpus + checkpoint on BOTH paths (a timed-out
-      // stream must not leak its temp copy of the data)
+      // clean the staged corpus + checkpoint on EVERY exit — success,
+      // timeout, or a stream that terminates with an exception
       def cleanup(): Unit = {
         val walk = java.nio.file.Files.walk(tmp)
         try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
         finally walk.close()
       }
-      if (!finished) {
-        q.stop(); cleanup()
-        sys.error("q_stream_exact_dedup: stream did not finish in 300s")
-      }
-      val out = s.table(qname)
-      s.catalog.dropTempView(qname)
-      cleanup()
+      val out =
+        try {
+          val finished = q.awaitTermination(300000)
+          if (!finished) {
+            q.stop()
+            sys.error("q_stream_exact_dedup: stream did not finish in 300s")
+          }
+          val t = s.table(qname)
+          s.catalog.dropTempView(qname)
+          t
+        } finally cleanup()
       out
     }),
     // ---- pipeline: duplicate-cluster size histogram (the standard dedup

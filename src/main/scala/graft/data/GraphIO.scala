@@ -167,19 +167,30 @@ object GraphIO {
     * native to_xml — attributes via the default `_` prefix, `<data>` entries
     * as an array of (_key, _VALUE) structs with null values dropped (GraphML
     * has no null literal; an absent <data> IS the null). */
-  /** Edge-property key IDs: a name also used by a vertex property gets an
-    * `e_` prefix so every `<key id>` in the document is unique (the GraphML
-    * spec requires it; TinkerPop's writer disambiguates the same way).
-    * `attr.name` keeps the real property name — ids are wire artifacts. */
-  private def graphmlEdgeKeyId(name: String, vertexNames: Set[String]): String =
-    if (vertexNames.contains(name)) s"e_$name" else name
+  /** Edge-property key IDs: `e_` prefixes are prepended until the id is
+    * unique against every already-taken id (vertex property names, the
+    * label keys, and earlier edge assignments — column order, so the
+    * assignment is deterministic and reproducible at import). The GraphML
+    * spec requires document-wide unique key ids; TinkerPop's writer
+    * disambiguates the same way. `attr.name` keeps the real property name —
+    * ids are wire artifacts. */
+  private def graphmlEdgeKeyIds(edgeProps: Seq[String],
+      vertexNames: Set[String]): Map[String, String] = {
+    var taken = vertexNames ++ Set("labelV", "labelE")
+    edgeProps.map { n =>
+      var id = n
+      while (taken.contains(id)) id = s"e_$id"
+      taken += id
+      n -> id
+    }.toMap
+  }
 
   private def graphmlFragments(df: DataFrame, isVertex: Boolean,
-      vertexNames: Set[String]): DataFrame = {
+      edgeKeyIds: Map[String, String]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val props = df.columns.filterNot(GraphmlReserved).toSeq
     val labelKey = if (isVertex) "labelV" else "labelE"
-    def keyId(p: String) = if (isVertex) p else graphmlEdgeKeyId(p, vertexNames)
+    def keyId(p: String) = if (isVertex) p else edgeKeyIds(p)
     val entries =
       struct(lit(labelKey).as("_key"), col("label").cast("string").as("_VALUE")) +:
         props.map(p => struct(lit(keyId(p)).as("_key"), col(p).cast("string").as("_VALUE")))
@@ -202,21 +213,22 @@ object GraphIO {
     val vNames = vTypes.map(_._1).toSet
     val eTypes = g.edges.schema.fields.filterNot(f => GraphmlReserved(f.name))
       .map(f => f.name -> graphmlType(f.dataType)).toSeq
+    val edgeKeyIds = graphmlEdgeKeyIds(eTypes.map(_._1), vNames)
     val keyDecls =
       Seq("""<key id="labelV" for="node" attr.name="labelV" attr.type="string"/>""",
         """<key id="labelE" for="edge" attr.name="labelE" attr.type="string"/>""") ++
         vTypes.map { case (n, t) =>
           s"""<key id="$n" for="node" attr.name="$n" attr.type="$t"/>""" } ++
         eTypes.map { case (n, t) =>
-          s"""<key id="${graphmlEdgeKeyId(n, vNames)}" for="edge" attr.name="$n" attr.type="$t"/>""" }
+          s"""<key id="${edgeKeyIds(n)}" for="edge" attr.name="$n" attr.type="$t"/>""" }
     writeText(s"$path/header.xml",
       "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
         "<graphml xmlns=\"http://graphml.graphdrawing.org/xmlns\">\n" +
         keyDecls.mkString("\n") + "\n<graph id=\"G\" edgedefault=\"directed\">")
     writeText(s"$path/zfooter.xml", "</graph>\n</graphml>")
-    graphmlFragments(g.vertices, isVertex = true, vNames)
+    graphmlFragments(g.vertices, isVertex = true, Map.empty)
       .write.mode(SaveMode.Overwrite).text(s"$path/nodes")
-    graphmlFragments(g.edges, isVertex = false, vNames)
+    graphmlFragments(g.edges, isVertex = false, edgeKeyIds)
       .write.mode(SaveMode.Overwrite).text(s"$path/edges")
   }
 

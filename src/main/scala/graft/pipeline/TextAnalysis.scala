@@ -173,8 +173,11 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxTokens > 0)
     val w = tokens(col(textCol))
+    // null text stays null end-to-end (concat_ws would coalesce it to '' —
+    // a silent null->'' rewrite no other text operator performs)
     docs.select(col(idCol),
-      concat_ws(" ", slice(w, 1, maxTokens)).as(textCol),
+      when(col(textCol).isNull, lit(null).cast(StringType))
+        .otherwise(concat_ws(" ", slice(w, 1, maxTokens))).as(textCol),
       least(size(w), lit(maxTokens)).cast(LongType).as("n_tokens"),
       (size(w) > maxTokens).as("truncated"))
   }

@@ -144,6 +144,25 @@ class GraphOpsIoSpec extends AnyFunSuite {
     assert(back.edges.select("since").head.getInt(0) === 7)
   }
 
+  test("GraphML: pathological e_-prefix chains still yield unique key ids") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-gml-k").toString
+    // vertex props x AND e_x; edge props x AND e_x — naive prefixing would
+    // collide twice; sequential assignment must chain until unique
+    val v = Seq((1L, "u", "vx", "vex")).toDF("id", "label", "x", "e_x")
+    val e = Seq((10L, 1L, 1L, "self", 7L, 9L)).toDF("id", "src", "dst", "label", "x", "e_x")
+    GraphIO.exportGraphml(graft.data.PropertyGraph(graft.core.GraphSchema(), v, e), path)
+    val header = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/header.xml")))
+    val ids = """<key id="([^"]+)"""".r.findAllMatchIn(header).map(_.group(1)).toSeq
+    assert(ids.distinct.size === ids.size, s"duplicate key ids: $ids")
+    val back = GraphIO.importGraphml(spark, path)
+    val vr = back.vertices.head
+    assert(vr.getAs[String]("x") === "vx" && vr.getAs[String]("e_x") === "vex")
+    val er = back.edges.head
+    assert(er.getAs[Long]("x") === 7L && er.getAs[Long]("e_x") === 9L)
+  }
+
   test("GraphML: empty-string property values round-trip as '', not null") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-gml-e").toString
