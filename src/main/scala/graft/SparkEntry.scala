@@ -3579,17 +3579,26 @@ object SparkEntry {
   }
 
   /** Random-projection oracle: the SAME seeded ±1 direction matrix inlined
-    * as a VALUES list (both sides call lshDirections), DECIMAL-exact term
-    * sums, 6-dp values — mirrors Similarity.randomProject row-for-row. */
+    * as a VALUES list (both sides call lshDirections), and the SAME exact
+    * DECIMAL pipeline as the engine — elements pinned to 6 dp as doubles
+    * before the decimal cast, the ±1 sum exact, the 1/√outDim factor the
+    * identical fixed-decimal literal (invSqrtDecimal.toPlainString), and the
+    * final 6-dp rounding ON THE DECIMAL, cast to double last. Rounding a
+    * tie-adjacent DOUBLE quotient is where Spark (shortest-repr HALF_UP) and
+    * DuckDB (full-binary nearest) disagree; exact decimals round identically
+    * in both. Mirrors Similarity.randomProject cell-for-cell. */
   private def randomProjectOracle(outDim: Int, dim: Int, seed: Long = 42L): String = {
     val dirs = graft.pipeline.Similarity.lshDirections(dim, outDim, seed)
     val values = (for (j <- 0 until outDim; i <- 0 until dim)
       yield s"($j,$i,${dirs(j)(i).toInt})").mkString(",")
+    val inv = graft.pipeline.Similarity.invSqrtDecimal(outDim).toPlainString
     s"""WITH dirs(j, i, s) AS (VALUES $values),
        |e AS (SELECT vec_id, unnest([{'i': i-1, 'v': embedding[i]}
        |    for i in range(1, len(embedding)+1)], recursive := true) FROM embeddings)
        |SELECT e.vec_id, d.j AS dim,
-       |  ROUND(CAST(SUM(CAST(e.v AS DECIMAL(27,10)) * d.s) AS DOUBLE) / sqrt($outDim.0), 6) AS val
+       |  CAST(ROUND(
+       |    CAST(SUM(CAST(ROUND(CAST(e.v AS DOUBLE), 6) AS DECIMAL(16,6)) * d.s) AS DECIMAL(18,10))
+       |      * CAST($inv AS DECIMAL(13,12)), 6) AS DOUBLE) AS val
        |FROM e JOIN dirs d ON d.i = e.i GROUP BY 1, 2""".stripMargin
   }
 

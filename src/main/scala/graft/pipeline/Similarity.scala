@@ -151,7 +151,7 @@ object Similarity {
     * AQE-planned). */
   def pqEncode(data: DataFrame, m: Int = 2, k: Int = 8, rounds: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = data.select(size(col(vecCol)).as("d")).limit(1).head.getInt(0)
+    val dim = vecDim(data, vecCol)
     require(dim % m == 0, s"PQ: dim $dim not divisible into $m subspaces")
     val sub = dim / m
     (0 until m).map { s =>
@@ -172,7 +172,7 @@ object Similarity {
     * no shuffle of the corpus beyond the encode itself. */
   def pqDecode(data: DataFrame, m: Int = 2, codes: Int = 8, rounds: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = data.select(size(col(vecCol)).as("d")).limit(1).head.getInt(0)
+    val dim = vecDim(data, vecCol)
     require(dim % m == 0, s"PQ: dim $dim not divisible into $m subspaces")
     val sub = dim / m
     val enc = pqEncode(data, m, codes, rounds, idCol, vecCol)
@@ -217,7 +217,7 @@ object Similarity {
   def pqTopK(data: DataFrame, queries: DataFrame, k: Int, m: Int = 2,
       codes: Int = 8, rounds: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = data.select(size(col(vecCol)).as("d")).limit(1).head.getInt(0)
+    val dim = vecDim(data, vecCol)
     require(dim % m == 0, s"PQ: dim $dim not divisible into $m subspaces")
     val sub = dim / m
     val encoded = pqEncode(data, m, codes, rounds, idCol, vecCol)
@@ -288,7 +288,7 @@ object Similarity {
   def ivfPqTopK(data: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
       nprobe: Int = 4, m: Int = 2, codes: Int = 8, rounds: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = data.select(size(col(vecCol)).as("d")).limit(1).head.getInt(0)
+    val dim = vecDim(data, vecCol)
     require(dim % m == 0, s"PQ: dim $dim not divisible into $m subspaces")
     val sub = dim / m
     val coarse = graft.core.PlanCache.cached(data.sparkSession,
@@ -354,12 +354,23 @@ object Similarity {
     * proven meanPool recipe) and the result rounded to 6 dp. Returns
     * per-dimension rows (idCol, dim, val).
     *
+    * Cross-engine determinism: every step before the final double cast is
+    * exact DECIMAL arithmetic. Elements pin to 6 dp as DOUBLES first (a
+    * 6-dp-pinned double casts to decimal identically in every engine —
+    * Spark rounds the shortest decimal repr, other engines the full binary
+    * value, and the two only diverge on unpinned doubles); the ±1 sum is an
+    * exact decimal; the 1/√outDim factor is the shared fixed-decimal literal
+    * of [[invSqrtDecimal]] so the division is an exact decimal multiply; and
+    * the final 6-dp rounding happens ON THE DECIMAL (both engines round
+    * exact decimals half-away-from-zero identically — rounding a tie-adjacent
+    * DOUBLE quotient is where engines disagree).
+    *
     * Scale: the direction matrix broadcasts (outDim×d ints); the per-vector
     * explode is collapsed map-side by the (id, j) partial agg, so the
     * shuffle carries outDim rows per vector — constant width. */
   def randomProject(data: DataFrame, outDim: Int = 16, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = data.select(size(col(vecCol)).as("d")).limit(1).head.getInt(0)
+    val dim = vecDim(data, vecCol)
     val dirs = lshDirections(dim, outDim, seed)
     val dirRows = for (j <- 0 until outDim; i <- 0 until dim)
       yield (j, i, dirs(j)(i).toInt) // ±1 as INT: decimal × int stays exact
@@ -369,9 +380,47 @@ object Similarity {
     data.select(col(idCol), posexplode(col(vecCol)).as(Seq("i", "v")))
       .join(dirDf, Seq("i"))
       .groupBy(col(idCol), col("j"))
-      .agg(round(sum(col("v").cast(DecimalType(27, 10)) * col("s")).cast(DoubleType) /
-        math.sqrt(outDim.toDouble), 6).as("val"))
+      .agg(round(sum(round(col("v").cast(DoubleType), 6).cast(DecimalType(16, 6)) * col("s"))
+          .cast(DecimalType(18, 10)) * lit(invSqrtDecimal(outDim)), 6)
+        .cast(DoubleType).as("val"))
       .select(col(idCol), col("j").as("dim"), col("val"))
+  }
+
+  /** 1/√outDim as a fixed 12-dp decimal — EXACT when √outDim is an integer
+    * whose reciprocal terminates (outDim = 16 → 0.25), HALF_UP-pinned
+    * otherwise. The SQL oracle inlines the identical literal
+    * (`toPlainString`), so both engines multiply the same exact decimal
+    * instead of dividing a double by `sqrt(outDim)` — double division is
+    * where tie-adjacent quotients round differently across engines. */
+  private[graft] def invSqrtDecimal(outDim: Int): java.math.BigDecimal = {
+    require(outDim > 0, s"randomProject: outDim must be positive, got $outDim")
+    val s = math.sqrt(outDim.toDouble)
+    val si = math.rint(s).toLong
+    val bd =
+      if (si * si == outDim.toLong)
+        java.math.BigDecimal.ONE.divide(
+          java.math.BigDecimal.valueOf(si), 12, java.math.RoundingMode.HALF_UP)
+      else java.math.BigDecimal.valueOf(1.0 / s)
+    bd.setScale(12, java.math.RoundingMode.HALF_UP)
+  }
+
+  /** Vector dimensionality, probed once from an arbitrary row — with a clear
+    * error on an empty corpus instead of a bare NoSuchElementException.
+    * Dimensions are assumed uniform (the normal embedding-table contract);
+    * set `spark.graft.similarity.checkDims=true` to pay one extra full-scan
+    * aggregate that asserts it (off by default — at corpus scale the scan is
+    * not free, and ragged embedding tables are a data bug upstream). */
+  private[graft] def vecDim(data: DataFrame, vecCol: String): Int = {
+    val head = data.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(head.nonEmpty,
+      s"Similarity: input corpus is empty — cannot infer the dimensionality of '$vecCol'")
+    val dim = head(0).getInt(0)
+    if (data.sparkSession.conf.getOption("spark.graft.similarity.checkDims").contains("true")) {
+      val mm = data.agg(min(size(col(vecCol))).as("lo"), max(size(col(vecCol))).as("hi")).head
+      require(mm.getInt(0) == dim && mm.getInt(1) == dim,
+        s"Similarity: non-uniform '$vecCol' dimensions [${mm.getInt(0)}, ${mm.getInt(1)}] — expected $dim")
+    }
+    dim
   }
 
   /** Hard-negative mining for contrastive training data (the public

@@ -216,6 +216,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall too low for 4-bit bands")
   }
 
+  test("JL random projection: engine matches full-binary oracle arithmetic on tie-adjacent sums") {
+    import spark.implicits._
+    // Simulates the DuckDB oracle with FULL-binary doubles feeding every
+    // rounding step (new BigDecimal(d) — not the shortest repr Spark rounds),
+    // exact decimal sums, the shared fixed-decimal 1/√outDim literal, and
+    // HALF_UP (away from zero) at 6 dp ON THE DECIMAL. Any residual
+    // shortest-repr-vs-binary sensitivity in the engine pipeline surfaces as
+    // a cell mismatch here — this is the divergence class that made the old
+    // double-division formulation hash-red (33/8000 cells off by 1 at 6 dp).
+    def simulate(rows: Seq[(Long, Seq[Float])], outDim: Int, dim: Int): Map[(Long, Int), Double] = {
+      val dirs = Similarity.lshDirections(dim, outDim, 42L)
+      val inv = Similarity.invSqrtDecimal(outDim)
+      (for ((id, vec) <- rows; j <- 0 until outDim) yield {
+        val sum = vec.zipWithIndex.map { case (v, i) =>
+          new java.math.BigDecimal(v.toDouble)
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+            .multiply(java.math.BigDecimal.valueOf(dirs(j)(i).toLong))
+        }.foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+        (id, j) -> sum.multiply(inv).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      }).toMap
+    }
+    def run(rows: Seq[(Long, Seq[Float])], outDim: Int): Map[(Long, Int), Double] =
+      Similarity.randomProject(rows.toDF("vec_id", "embedding"), outDim)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+
+    // EXACT 6-dp midpoints: signs chosen from direction row 0 so the j=0 sum
+    // is ±3e-6 and × 1/√4 = ±0.0000015 — both engines must round AWAY from
+    // zero (±0.000002); a double-division formulation rounds these by luck
+    val dirs4 = Similarity.lshDirections(8, 4, 42L)
+    val mid: Seq[(Long, Seq[Float])] = Seq(
+      0L -> (Seq(dirs4(0)(0).toFloat * 3e-6f) ++ Seq.fill(7)(0f)),
+      1L -> (Seq(-dirs4(0)(0).toFloat * 3e-6f) ++ Seq.fill(7)(0f)))
+    val gotMid = run(mid, outDim = 4)
+    assert(gotMid((0L, 0)) === 0.000002 && gotMid((1L, 0)) === -0.000002,
+      s"midpoint sums must round away from zero, got ${gotMid((0L, 0))} / ${gotMid((1L, 0))}")
+    assert(gotMid === simulate(mid, 4, 8))
+
+    // broad sweep: 64 random float vectors, every cell bit-equal to the
+    // binary-arithmetic simulation
+    val rnd = new scala.util.Random(7)
+    val sweep: Seq[(Long, Seq[Float])] =
+      (0L until 64L).map(id => id -> Seq.fill(16)((rnd.nextDouble() - 0.5).toFloat))
+    assert(run(sweep, outDim = 16) === simulate(sweep, 16, 16))
+  }
+
+  test("randomProject/pqEncode fail fast with a clear error on an empty corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](Similarity.randomProject(empty))
+    assert(e.getMessage.contains("empty"))
+    val e2 = intercept[IllegalArgumentException](Similarity.pqEncode(empty))
+    assert(e2.getMessage.contains("empty"))
+  }
+
   test("text analysis: tokens/quality/langid/fingerprint are deterministic & sane") {
     val r = docs.select(
       TextAnalysis.tokenCount(col("text")).as("n"),
