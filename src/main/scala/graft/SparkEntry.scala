@@ -2761,9 +2761,10 @@ object SparkEntry {
         |FROM sh JOIN df USING (g) GROUP BY 1""".stripMargin,
     // mirrors removeDupSpans stage-for-stage: positioned 8-grams → ≥2-doc
     // duplicate set → covered positions (start+0..7, distinct) → anti-join
-    // tokens → in-order rebuild; '' (not absence) for fully-removed docs
+    // tokens → in-order rebuild; '' (not absence) for fully-removed docs,
+    // NULL preserved for NULL input text
     "q_remove_dup_spans" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS wl FROM documents),
+      """WITH w AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS wl FROM documents),
         |gr AS (SELECT doc_id, unnest([{'s': i-1, 'g': array_to_string(wl[i:i+7], ' ')}
         |    for i in range(1, len(wl)-6)], recursive := true)
         |  FROM w WHERE len(wl) >= 8),
@@ -2774,12 +2775,13 @@ object SparkEntry {
         |    for i in range(1, len(wl)+1)], recursive := true) FROM w),
         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
         |  ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos)
-        |SELECT w.doc_id, coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text
-        |FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id GROUP BY w.doc_id""".stripMargin,
+        |SELECT w.doc_id, CASE WHEN w.text IS NULL THEN NULL
+        |  ELSE coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') END AS text
+        |FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id GROUP BY w.doc_id, w.text""".stripMargin,
     // mirrors removeRepeatedSpans: per-(doc, gram) first start → every later
     // occurrence covers its positions → anti-join + in-order rebuild
     "q_remove_repeated_spans" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS wl FROM documents),
+      """WITH w AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS wl FROM documents),
         |gr AS (SELECT doc_id, unnest([{'s': i-1, 'g': array_to_string(wl[i:i+2], ' ')}
         |    for i in range(1, len(wl)-1)], recursive := true)
         |  FROM w WHERE len(wl) >= 3),
@@ -2791,8 +2793,9 @@ object SparkEntry {
         |    for i in range(1, len(wl)+1)], recursive := true) FROM w),
         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
         |  ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos)
-        |SELECT w.doc_id, coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text
-        |FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id GROUP BY w.doc_id""".stripMargin,
+        |SELECT w.doc_id, CASE WHEN w.text IS NULL THEN NULL
+        |  ELSE coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') END AS text
+        |FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id GROUP BY w.doc_id, w.text""".stripMargin,
     "q_bothv" ->
       """SELECT o_custkey AS uid, 'customer' AS label FROM orders
         |UNION ALL SELECT o_orderkey, 'order' FROM orders""".stripMargin,
@@ -3702,8 +3705,9 @@ object SparkEntry {
        |  SELECT cluster_size, COUNT(*) AS n_clusters FROM comp GROUP BY 1
        |  UNION ALL SELECT CAST(1 AS BIGINT),
        |    (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM k$rounds))
-       |SELECT cluster_size, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters
-       |FROM hist GROUP BY 1
+       |SELECT cluster_size, n_clusters FROM (
+       |  SELECT cluster_size, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters
+       |  FROM hist GROUP BY 1) WHERE n_clusters > 0
        |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
        |WHERE EXISTS (SELECT 1 FROM k$rounds a JOIN k${rounds - 1} b
        |  ON a.id = b.id AND a.l <> b.l)""".stripMargin

@@ -132,12 +132,42 @@ object GraphIO {
   // drift) and rebuilds typed columns from the <key> declarations via an
   // explode + grouped first-match pivot — one shuffle keyed by element id.
   // Values are carried as XML text; non-primitive types (timestamps, dates)
-  // are declared attr.type="string" and round-trip as strings (GraphML's
-  // attr.type vocabulary is boolean/int/long/float/double/string only —
-  // same narrowing TinkerPop's GraphMLWriter applies).
+  // are declared attr.type="string" (GraphML's attr.type vocabulary is
+  // boolean/int/long/float/double/string only — same narrowing TinkerPop's
+  // GraphMLWriter applies), but each narrowed <key> also records the TRUE
+  // Spark type in a `graft.type` attribute, and import re-casts from it —
+  // so a parquet → GraphML → parquet round trip preserves timestamp/date/
+  // decimal columns while staying valid GraphML for foreign readers (extra
+  // attributes are well-formed XML; foreign writers simply omit them).
   // ------------------------------------------------------------------
 
   private val GraphmlReserved = Set("id", "src", "dst", "label")
+
+  /** XML attribute escaping for builder-authored header sidecars (fragment
+    * values go through to_xml, which escapes natively; the header is string
+    * concat, where a property name containing '&', '<' or '"' would
+    * otherwise emit malformed XML). */
+  private def xmlAttrEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&apos;")
+
+  private def xmlAttrUnescape(s: String): String =
+    s.replace("&apos;", "'").replace("&quot;", "\"").replace("&gt;", ">")
+      .replace("&lt;", "<").replace("&amp;", "&")
+
+  /** String-narrowed Spark types whose values round-trip exactly through a
+    * string cast (given one session time zone): these earn a `graft.type`
+    * re-cast declaration. Complex types (arrays, structs) do NOT — their
+    * string forms are not cast-parseable, so they stay strings and the
+    * narrowing is the documented parity behavior. */
+  private def graphmlRecastType(dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType | DateType | ByteType | ShortType => Some(dt.catalogString)
+      case _: DecimalType => Some(dt.catalogString)
+      case _ => None
+    }
+  }
 
   private def graphmlType(dt: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._
@@ -167,33 +197,35 @@ object GraphIO {
     * native to_xml — attributes via the default `_` prefix, `<data>` entries
     * as an array of (_key, _VALUE) structs with null values dropped (GraphML
     * has no null literal; an absent <data> IS the null). */
-  /** Edge-property key IDs: `e_` prefixes are prepended until the id is
-    * unique against every already-taken id (vertex property names, the
-    * label keys, and earlier edge assignments — column order, so the
-    * assignment is deterministic and reproducible at import). The GraphML
+  /** Property key IDs: a kind prefix (`v_` for vertex, `e_` for edge
+    * properties) is prepended until the id is unique against every
+    * already-taken id (the reserved label key ids, then earlier assignments
+    * in column order — deterministic, so import reproduces it). The GraphML
     * spec requires document-wide unique key ids; TinkerPop's writer
-    * disambiguates the same way. `attr.name` keeps the real property name —
-    * ids are wire artifacts. */
-  private def graphmlEdgeKeyIds(edgeProps: Seq[String],
-      vertexNames: Set[String]): Map[String, String] = {
-    var taken = vertexNames ++ Set("labelV", "labelE")
-    edgeProps.map { n =>
+    * disambiguates the same way. Vertex names go through the SAME chain as
+    * edge names: a vertex property literally named `labelV`/`labelE` would
+    * otherwise duplicate a reserved key id (invalid GraphML) and corrupt
+    * the label on import. `attr.name` keeps the real property name — ids
+    * are wire artifacts. */
+  private def graphmlKeyIds(props: Seq[String], prefix: String,
+      taken0: Set[String]): Map[String, String] = {
+    var taken = taken0
+    props.map { n =>
       var id = n
-      while (taken.contains(id)) id = s"e_$id"
+      while (taken.contains(id)) id = s"$prefix$id"
       taken += id
       n -> id
     }.toMap
   }
 
   private def graphmlFragments(df: DataFrame, isVertex: Boolean,
-      edgeKeyIds: Map[String, String]): DataFrame = {
+      keyIds: Map[String, String]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val props = df.columns.filterNot(GraphmlReserved).toSeq
     val labelKey = if (isVertex) "labelV" else "labelE"
-    def keyId(p: String) = if (isVertex) p else edgeKeyIds(p)
     val entries =
       struct(lit(labelKey).as("_key"), col("label").cast("string").as("_VALUE")) +:
-        props.map(p => struct(lit(keyId(p)).as("_key"), col(p).cast("string").as("_VALUE")))
+        props.map(p => struct(lit(keyIds(p)).as("_key"), col(p).cast("string").as("_VALUE")))
     val data = filter(array(entries: _*), s => s.getField("_VALUE").isNotNull)
     val el =
       if (isVertex) struct(col("id").cast("string").as("_id"), data.as("data"))
@@ -204,31 +236,37 @@ object GraphIO {
   }
 
   /** GraphML export: distributed fragments + header/footer sidecars (layout
-    * documented above). Key ids are unique document-wide (edge keys take an
-    * `e_` prefix on a name collision with a vertex key), so each element
-    * kind declares — and round-trips — its own true attr.type. */
+    * documented above). Key ids are unique document-wide (vertex then edge
+    * keys take a kind prefix on collision — including against the reserved
+    * label key ids), attribute values in the builder-authored header are
+    * XML-escaped, and string-narrowed types carry their true Spark type as
+    * `graft.type` so import can re-cast. */
   def exportGraphml(g: PropertyGraph, path: String): Unit = {
-    val vTypes = g.vertices.schema.fields.filterNot(f => GraphmlReserved(f.name))
-      .map(f => f.name -> graphmlType(f.dataType)).toSeq
-    val vNames = vTypes.map(_._1).toSet
-    val eTypes = g.edges.schema.fields.filterNot(f => GraphmlReserved(f.name))
-      .map(f => f.name -> graphmlType(f.dataType)).toSeq
-    val edgeKeyIds = graphmlEdgeKeyIds(eTypes.map(_._1), vNames)
+    def typesOf(df: DataFrame) = df.schema.fields
+      .filterNot(f => GraphmlReserved(f.name))
+      .map(f => (f.name, graphmlType(f.dataType), graphmlRecastType(f.dataType))).toSeq
+    val vTypes = typesOf(g.vertices)
+    val eTypes = typesOf(g.edges)
+    val vKeyIds = graphmlKeyIds(vTypes.map(_._1), "v_", Set("labelV", "labelE"))
+    val eKeyIds = graphmlKeyIds(eTypes.map(_._1), "e_",
+      Set("labelV", "labelE") ++ vKeyIds.values)
+    def decl(id: String, kind: String, name: String, t: String, recast: Option[String]) = {
+      val extra = recast.map(r => s""" graft.type="${xmlAttrEscape(r)}"""").getOrElse("")
+      s"""<key id="${xmlAttrEscape(id)}" for="$kind" attr.name="${xmlAttrEscape(name)}" attr.type="$t"$extra/>"""
+    }
     val keyDecls =
-      Seq("""<key id="labelV" for="node" attr.name="labelV" attr.type="string"/>""",
-        """<key id="labelE" for="edge" attr.name="labelE" attr.type="string"/>""") ++
-        vTypes.map { case (n, t) =>
-          s"""<key id="$n" for="node" attr.name="$n" attr.type="$t"/>""" } ++
-        eTypes.map { case (n, t) =>
-          s"""<key id="${edgeKeyIds(n)}" for="edge" attr.name="$n" attr.type="$t"/>""" }
+      Seq(decl("labelV", "node", "labelV", "string", None),
+        decl("labelE", "edge", "labelE", "string", None)) ++
+        vTypes.map { case (n, t, r) => decl(vKeyIds(n), "node", n, t, r) } ++
+        eTypes.map { case (n, t, r) => decl(eKeyIds(n), "edge", n, t, r) }
     writeText(s"$path/header.xml",
       "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
         "<graphml xmlns=\"http://graphml.graphdrawing.org/xmlns\">\n" +
         keyDecls.mkString("\n") + "\n<graph id=\"G\" edgedefault=\"directed\">")
     writeText(s"$path/zfooter.xml", "</graph>\n</graphml>")
-    graphmlFragments(g.vertices, isVertex = true, Map.empty)
+    graphmlFragments(g.vertices, isVertex = true, vKeyIds)
       .write.mode(SaveMode.Overwrite).text(s"$path/nodes")
-    graphmlFragments(g.edges, isVertex = false, edgeKeyIds)
+    graphmlFragments(g.edges, isVertex = false, eKeyIds)
       .write.mode(SaveMode.Overwrite).text(s"$path/edges")
   }
 
@@ -247,12 +285,16 @@ object GraphIO {
     val header = readTextIfExists(s"$path/header.xml").getOrElse(
       throw new IllegalStateException(s"GraphML import: $path/header.xml missing"))
     val KeyDecl =
-      """<key id="([^"]+)" for="([^"]+)" attr.name="([^"]+)" attr.type="([^"]+)"/>""".r
-    // (key id, for, attr.name, attr.type) — data entries reference the ID,
-    // the rebuilt COLUMN takes the attr.name (ids are wire artifacts that
-    // may carry the e_ disambiguation prefix)
+      ("""<key id="([^"]+)" for="([^"]+)" attr.name="([^"]+)" attr.type="([^"]+)"""" +
+        """(?: graft\.type="([^"]+)")?/>""").r
+    // (key id, for, attr.name, attr.type, graft.type?) — data entries
+    // reference the ID, the rebuilt COLUMN takes the attr.name (ids are wire
+    // artifacts that may carry the v_/e_ disambiguation prefix); graft.type,
+    // when present, is the true Spark type a string-narrowed column re-casts
+    // to (our own exports emit it; foreign GraphML simply lacks it)
     val keys = KeyDecl.findAllMatchIn(header)
-      .map(m => (m.group(1), m.group(2), m.group(3), m.group(4))).toSeq
+      .map(m => (xmlAttrUnescape(m.group(1)), m.group(2), xmlAttrUnescape(m.group(3)),
+        m.group(4), Option(m.group(5)).map(xmlAttrUnescape))).toSeq
     val fragSchema = StructType(Seq(
       StructField("_id", StringType), StructField("_source", StringType),
       StructField("_target", StringType),
@@ -262,7 +304,7 @@ object GraphIO {
       val labelKey = if (isVertex) "labelV" else "labelE"
       val tag = if (isVertex) "node" else "edge"
       val props = keys.collect {
-        case (kid, f, n, t) if f == tag && kid != labelKey => (kid, n, t) }
+        case (kid, f, n, t, recast) if f == tag && kid != labelKey => (kid, n, t, recast) }
       // every fragment has >= 1 <data> child (labelV/labelE is always
       // present), so to_xml never emits a self-closing element and the
       // close-tag split is exact; the trailing whitespace chunk after the
@@ -284,9 +326,10 @@ object GraphIO {
       val aggs =
         first(when(col("k") === labelKey, coalesce(col("v"), lit(""))),
           ignoreNulls = true).as("label") +:
-          props.map { case (kid, n, t) =>
+          props.map { case (kid, n, t, recast) =>
+            val target = recast.map(DataType.fromDDL).getOrElse(graphmlSparkType(t))
             first(when(col("k") === kid, coalesce(col("v"), lit(""))), ignoreNulls = true)
-              .cast(graphmlSparkType(t)).as(n)
+              .cast(target).as(n)
           }
       kvs.groupBy(idCols: _*).agg(aggs.head, aggs.tail: _*)
     }

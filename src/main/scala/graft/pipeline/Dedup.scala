@@ -209,7 +209,8 @@ object Dedup {
   /** Anti-join the covered (__id, __pos) set against the token stream and
     * reassemble each document's survivors in order (array_sort of (pos, tok)
     * structs — order-exact, no window). Docs losing every token come back as
-    * '' rather than disappearing. */
+    * '' rather than disappearing; a NULL input text stays NULL (no text
+    * operator here rewrites null → '' — same contract as truncateTokens). */
   private def rebuildWithoutCovered(docs: DataFrame, withL: DataFrame,
       covered: DataFrame, idCol: String, textCol: String): DataFrame = {
     val kept = withL
@@ -219,8 +220,11 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("__pos"), col("__tok")))).as("__s"))
       .select(col("__id"),
         concat_ws(" ", transform(col("__s"), s => s.getField("__tok"))).as("__text"))
-    docs.select(col(idCol)).join(kept, col(idCol) === kept("__id"), "left")
-      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol))
+    docs.select(col(idCol), col(textCol).isNull.as("__wasnull"))
+      .join(kept, col(idCol) === kept("__id"), "left")
+      .select(col(idCol),
+        when(col("__wasnull"), lit(null).cast(StringType))
+          .otherwise(coalesce(col("__text"), lit(""))).as(textCol))
   }
 
   // ---------------- MinHash + LSH ----------------
@@ -374,8 +378,12 @@ object Dedup {
       .join(comps, Seq("id"), "left_anti")
       .agg(count(lit(1)).as("n_clusters"))
       .select(lit(1L).as("cluster_size"), col("n_clusters"))
+    // the singles branch aggregates without a groupBy, so a fully-paired
+    // corpus still yields one (1, 0) row — drop empty buckets so the report
+    // never carries a zero-count line
     clustered.unionAll(singles)
       .groupBy(col("cluster_size")).agg(sum(col("n_clusters")).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
   }
 
   /** Cross-source duplication matrix — near-dup PAIR counts bucketed by the

@@ -163,6 +163,69 @@ class GraphOpsIoSpec extends AnyFunSuite {
     assert(er.getAs[Long]("x") === 7L && er.getAs[Long]("e_x") === 9L)
   }
 
+  test("GraphML: vertex property named labelV/labelE cannot shadow the label keys") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-gml-lv").toString
+    // a vertex property literally named labelV (and labelE) used to reuse
+    // the reserved label key id — duplicate <key> ids (invalid GraphML) and
+    // a corrupted label on import; the v_ chain must disambiguate
+    val v = Seq((1L, "user", "customLV", "customLE")).toDF("id", "label", "labelV", "labelE")
+    val e = Seq((10L, 1L, 1L, "self")).toDF("id", "src", "dst", "label")
+    GraphIO.exportGraphml(graft.data.PropertyGraph(graft.core.GraphSchema(), v, e), path)
+    val header = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/header.xml")))
+    val ids = """<key id="([^"]+)"""".r.findAllMatchIn(header).map(_.group(1)).toSeq
+    assert(ids.distinct.size === ids.size, s"duplicate key ids: $ids")
+    val back = GraphIO.importGraphml(spark, path)
+    val r = back.vertices.head
+    assert(r.getAs[String]("label") === "user")
+    assert(r.getAs[String]("labelV") === "customLV")
+    assert(r.getAs[String]("labelE") === "customLE")
+  }
+
+  test("GraphML: XML-special characters in property names escape in the header") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-gml-x").toString
+    val v = Seq((1L, "u", "val1", "val2")).toDF("id", "label", "a&b", "c<d\"e")
+    val e = Seq((10L, 1L, 1L, "self")).toDF("id", "src", "dst", "label")
+    GraphIO.exportGraphml(graft.data.PropertyGraph(graft.core.GraphSchema(), v, e), path)
+    // header must stay well-formed XML despite & < " in attr names
+    val header = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/header.xml")))
+    javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(
+        (header + "</graph></graphml>").getBytes("UTF-8")))
+    val back = GraphIO.importGraphml(spark, path).vertices.head
+    assert(back.getAs[String]("a&b") === "val1")
+    assert(back.getAs[String]("c<d\"e") === "val2")
+  }
+
+  test("GraphML: timestamp/date/decimal columns re-cast to their true types on import") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-gml-t").toString
+    val v = Seq((1L, "u"), (2L, "u")).toDF("id", "label")
+      .withColumn("ts", when(col("id") === 1, expr("timestamp'2024-03-01 12:34:56.789123'")))
+      .withColumn("d", expr("date'2021-07-04'"))
+      .withColumn("amt", expr("cast(id * 1.5 as decimal(13,4))"))
+    val e = Seq((10L, 1L, 2L, "self")).toDF("id", "src", "dst", "label")
+      .withColumn("ets", expr("timestamp'1999-12-31 23:59:59'"))
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+    GraphIO.exportGraphml(g, path)
+    val back = GraphIO.importGraphml(spark, path)
+    // schema equality: parquet → GraphML → parquet preserves the types
+    assert(back.vertices.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
+    assert(back.vertices.schema("d").dataType === org.apache.spark.sql.types.DateType)
+    assert(back.vertices.schema("amt").dataType.simpleString === "decimal(13,4)")
+    assert(back.edges.schema("ets").dataType === org.apache.spark.sql.types.TimestampType)
+    // value equality, including the null timestamp and sub-second precision
+    val got = back.vertices.orderBy("id")
+      .select("id", "ts", "d", "amt").collect()
+    val want = v.orderBy("id").select("id", "ts", "d", "amt").collect()
+    assert(got.toSeq === want.toSeq)
+    assert(back.edges.head.getAs[java.sql.Timestamp]("ets") ===
+      e.head.getAs[java.sql.Timestamp]("ets"))
+  }
+
   test("GraphML: empty-string property values round-trip as '', not null") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-gml-e").toString

@@ -459,6 +459,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Map(1L -> "e f", 2L -> "x y z", 3L -> "p q", 4L -> "", 5L -> ""))
   }
 
+  test("span removal preserves NULL text; '' only for fully-removed docs") {
+    import spark.implicits._
+    val d = Seq((1L, "m n o"), (2L, "m n o"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // NULL input stays NULL (same contract as truncateTokens); the
+    // fully-duplicated docs come back as '' — present, empty, not null
+    assert(asMap(Dedup.removeDupSpans(d, n = 3)) ===
+      Map(1L -> Some(""), 2L -> Some(""), 3L -> None))
+    assert(asMap(Dedup.removeRepeatedSpans(d.filter(col("doc_id") =!= 2), n = 3)) ===
+      Map(1L -> Some("m n o"), 3L -> None))
+  }
+
+  test("dedupStats emits no zero-count bucket when every document is paired") {
+    import spark.implicits._
+    // two identical docs — one cluster of size 2, NO size-1 singles row
+    val d = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
+    val rows = Dedup.dedupStats(d, threshold = 0.8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === Map(2L -> 1L), s"unexpected histogram: $rows")
+  }
+
   test("pqEncode: one in-range code per subspace, every vector, deterministic") {
     val codes = Similarity.pqEncode(emb, m = 2, k = 8, rounds = 2).cache()
     assert(codes.count() === emb.count())
