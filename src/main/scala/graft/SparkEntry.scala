@@ -1864,7 +1864,7 @@ object SparkEntry {
     //      edges cascade with the adjacency row ----
     "q_drop_step" -> ((s, dir) => {
       val m = graph(s, dir).traversal.V()
-        .hasLabel("customer").has("mktsegment", "BUILDING").drop()
+        .hasLabel("customer").has("mktsegment", "BUILDING").drop().graph
       m.vertices.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
         .select(lit("v").as("kind"), col("label"), col("cnt"))
         .unionAll(m.edges.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
@@ -1878,7 +1878,7 @@ object SparkEntry {
       val segs = g.vertices.filter(col("label") === "customer")
         .select(col("mktsegment").as("name")).distinct()
         .withColumn("uid", xxhash64(col("name")))
-      val m = g.traversal.addV("segment", segs)
+      val m = g.traversal.addV("segment", segs).graph
       m.vertices.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
     }),
     // ---- 2.E addE step (TinkerPop AddEdgeStep): materialize the reverse of
@@ -1886,8 +1886,17 @@ object SparkEntry {
     //      through the first-use schema maker inside applyMutations ----
     "q_add_edge" -> ((s, dir) => {
       val m = graph(s, dir).traversal.V().hasLabel("customer").as("c")
-        .out("placed").addE("placed_by", "c")
+        .out("placed").addE("placed_by", "c").graph
       m.edges.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    }),
+    // ---- 2.E mutation steps CONTINUE the traversal (TinkerPop AddEdgeStep
+    //      emits the created edge): addE(...).inV().values(...) keeps
+    //      traversing from the created edges without re-anchoring ----
+    "q_add_edge_chain" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer").as("c")
+        .out("placed").addE("placed_by", "c")
+        .inV() // created edge points order -> customer; dst = the customer
+        .toDF.groupBy(col("mktsegment").as("segment")).agg(count(lit(1)).as("cnt"))
     }),
     // ---- 2.E property() step (TinkerPop AddPropertyStep): tag the BUILDING
     //      customers with an UNDECLARED key — the first-use schema maker
@@ -1895,7 +1904,7 @@ object SparkEntry {
     "q_property_step" -> ((s, dir) => {
       val m = graph(s, dir).traversal.V()
         .hasLabel("customer").has("mktsegment", "BUILDING")
-        .property("tier", lit("vip"))
+        .property("tier", lit("vip")).graph
       m.vertices.filter(col("label") === "customer")
         .groupBy(coalesce(col("tier"), lit("none")).as("tier"))
         .agg(count(lit(1)).as("cnt"))
@@ -2531,6 +2540,12 @@ object SparkEntry {
         |UNION ALL SELECT 'placed_by', COUNT(*) FROM orders
         |UNION ALL SELECT 'contains', COUNT(*) FROM lineitem
         |UNION ALL SELECT 'supplied_by', COUNT(*) FROM lineitem""".stripMargin,
+    // one created placed_by edge per (order, customer) pair = one per order;
+    // its dst (inV) is the customer, so the chain counts orders per segment
+    "q_add_edge_chain" ->
+      """SELECT c.c_mktsegment AS segment, COUNT(*) AS cnt
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin,
     "q_property_step" ->
       """SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 'vip' ELSE 'none' END AS tier,
         |COUNT(*) AS cnt FROM customer GROUP BY 1""".stripMargin,

@@ -762,14 +762,20 @@ final case class Traversal(
     * reference deletes the whole adjacency row); an edge frontier deletes
     * exactly those edges. Compiles to [[graft.data.GraphIO.applyMutations]] —
     * the transaction-commit analogue — so static-label and consistency
-    * enforcement run unless `enforce=false`. Returns the mutated graph; the
-    * id set shuffled into the anti-joins is the frontier's ids only. */
-  def drop(enforce: Boolean = true): PropertyGraph = {
+    * enforcement run unless `enforce=false`. The id set shuffled into the
+    * anti-joins is the frontier's ids only.
+    *
+    * Like TinkerPop's DropStep this CONTINUES the traversal as a filter
+    * that removes every traverser: the returned traversal carries the
+    * mutated graph with an empty frontier (read the graph via `.graph`). */
+  def drop(enforce: Boolean = true): Traversal = {
     val ids = df.select(col("id")).distinct()
-    if (isVertex)
-      graft.data.GraphIO.applyMutations(graph, deleteVertexIds = Some(ids), enforce = enforce)
-    else
-      graft.data.GraphIO.applyMutations(graph, deleteEdgeIds = Some(ids), enforce = enforce)
+    val ng =
+      if (isVertex)
+        graft.data.GraphIO.applyMutations(graph, deleteVertexIds = Some(ids), enforce = enforce)
+      else
+        graft.data.GraphIO.applyMutations(graph, deleteEdgeIds = Some(ids), enforce = enforce)
+    copy(graph = ng, df = df.limit(0), lastOrder = Nil)
   }
 
   /** property(key, value) — set a property on the frontier's elements
@@ -782,16 +788,23 @@ final case class Traversal(
     * with the column overwritten (last-writer-wins by id), so static-label
     * immutability and consistency checks apply, and an UNDECLARED key
     * auto-creates through the first-use schema maker exactly like a write.
-    * Only the frontier's rows travel — untouched elements never shuffle. */
-  def property(key: String, value: Column, enforce: Boolean = true): PropertyGraph = {
+    * Only the frontier's rows travel — untouched elements never shuffle.
+    *
+    * Like TinkerPop's AddPropertyStep this CONTINUES the traversal on the
+    * SAME traversers, now showing the written value (as-labels, path and
+    * sack survive); the mutated graph rides along (`.graph`), so
+    * `V().has(…).property('k', v).out(…)` chains keep traversing. */
+  def property(key: String, value: Column, enforce: Boolean = true): Traversal = {
     val ids = df.select(col("id").as("__pid")).distinct()
     val base = if (isVertex) graph.vertices else graph.edges
     val updated = base.join(ids, col("id") === col("__pid"), "left_semi")
       .withColumn(key, value)
-    if (isVertex)
-      graft.data.GraphIO.applyMutations(graph, addVertices = Some(updated), enforce = enforce)
-    else
-      graft.data.GraphIO.applyMutations(graph, addEdges = Some(updated), enforce = enforce)
+    val ng =
+      if (isVertex)
+        graft.data.GraphIO.applyMutations(graph, addVertices = Some(updated), enforce = enforce)
+      else
+        graft.data.GraphIO.applyMutations(graph, addEdges = Some(updated), enforce = enforce)
+    copy(graph = ng, df = df.withColumn(key, value))
   }
 
   /** addE(label, stepLabel, dir) — add one edge per distinct (frontier
@@ -806,10 +819,16 @@ final case class Traversal(
     * duplicates supply explicit ids through applyMutations directly).
     * Runs through applyMutations ⇒ first-use schema maker + enforcement
     * apply. Only (src,dst) pairs shuffle; property columns can be added by
-    * `props` (frontier columns referenced by name). */
+    * `props` (frontier columns referenced by name).
+    *
+    * Like TinkerPop's AddEdgeStep this CONTINUES the traversal positioned
+    * on the CREATED edges (one traverser per created edge — the SIMPLE
+    * multiplicity collapse above also collapses traversers), carrying the
+    * mutated graph: `…addE('x', 'a').inV().values(…)` chains without
+    * re-anchoring. As-labels do not survive the collapse. */
   def addE(label: String, stepLabel: String,
       direction: Direction = Direction.OUT,
-      props: Seq[String] = Nil, enforce: Boolean = true): PropertyGraph = {
+      props: Seq[String] = Nil, enforce: Boolean = true): Traversal = {
     require(isVertex, "addE: frontier must be vertices")
     val idc = s"_as_${stepLabel}_id"
     require(df.columns.contains(idc), s"no as('$stepLabel') label in traversal")
@@ -831,7 +850,16 @@ final case class Traversal(
         lit(1L << graft.core.GraphIds.TagBits))).as("id")
     val edges = pairs.select(Seq(eid, col("src"), col("dst"), lit(label).as("label")) ++
       props.map(col): _*)
-    graft.data.GraphIO.applyMutations(graph, addEdges = Some(edges), enforce = enforce)
+    val ng = graft.data.GraphIO.applyMutations(graph, addEdges = Some(edges), enforce = enforce)
+    // frontier = the created edges AS READ BACK from the mutated graph
+    // (post-schema-maker columns), in the standard edge-frontier shape
+    val created = ng.edges
+      .join(edges.select(col("id").as("__eid")).distinct(), col("id") === col("__eid"), "left_semi")
+    val ef = created.select(
+      Seq(col("src").as("vid"), col("dst").as("other"), lit("OUT").as("dir")) ++
+        created.columns.map(col): _*)
+    copy(graph = ng, df = ef, isVertex = false, lastOrder = Nil,
+      frontierLabels = None)
   }
 
   // ---------- aggregation terminals ----------
@@ -1093,14 +1121,23 @@ final class TraversalSource(val graph: PropertyGraph, val pathEnabled: Boolean =
     * (like [[Traversal.addE]]), so replays are idempotent and the same
     * logical vertex never duplicates. Routes through
     * [[graft.data.GraphIO.applyMutations]] — static-label/consistency
-    * enforcement and first-use schema creation apply like any write. */
-  def addV(label: String, rows: DataFrame, enforce: Boolean = true): PropertyGraph = {
+    * enforcement and first-use schema creation apply like any write.
+    *
+    * Like TinkerPop's AddVertexStep this returns a TRAVERSAL positioned on
+    * the created vertices (mutated graph via `.graph`), so
+    * `addV(…).as('n').addE(…)` chains keep going. */
+  def addV(label: String, rows: DataFrame, enforce: Boolean = true): Traversal = {
     require(rows.columns.contains("uid"), "addV: rows need a 'uid' column (identity)")
     val vid = (lit(126L << graft.core.GraphIds.TagBits) +
       F.pmod(F.xxhash64(lit(label), col("uid")),
         lit(1L << graft.core.GraphIds.TagBits))).as("id")
     val av = rows.select(Seq(vid, lit(label).as("label")) ++ rows.columns.map(col): _*)
-    graft.data.GraphIO.applyMutations(graph, addVertices = Some(av), enforce = enforce)
+    val ng = graft.data.GraphIO.applyMutations(graph, addVertices = Some(av), enforce = enforce)
+    val created = ng.vertices
+      .join(av.select(col("id").as("__vid")).distinct(), col("id") === col("__vid"), "left_semi")
+    val df = if (pathEnabled) created.withColumn("_path", F.array(col("id"))) else created
+    Traversal(ng, df, isVertex = true, pathEnabled,
+      frontierLabels = Some(Set(label)))
   }
   def E(): Traversal = {
     val live = graft.expr.ImplicitKeys.ttlAutoFilter(graph.schema, graph.edges, isVertex = false)

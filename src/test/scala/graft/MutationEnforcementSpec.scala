@@ -266,7 +266,7 @@ class MutationEnforcementSpec extends AnyFunSuite {
     val buildingOrders = g.traversal.V().hasLabel("customer")
       .has("mktsegment", "BUILDING").out("placed").toDF.count()
     val placedBefore = g.edges.filter(col("label") === "placed").count()
-    val m = g.traversal.V().hasLabel("customer").has("mktsegment", "BUILDING").drop()
+    val m = g.traversal.V().hasLabel("customer").has("mktsegment", "BUILDING").drop().graph
     assert(m.vertices.filter(col("label") === "customer" &&
       col("mktsegment") === "BUILDING").count() === 0)
     assert(m.vertices.filter(col("label") === "order").count() ===
@@ -277,7 +277,7 @@ class MutationEnforcementSpec extends AnyFunSuite {
 
   test("drop() on an edge frontier removes exactly those edges, no vertices") {
     val g = TpchGraph.load(spark, dir)
-    val m = g.traversal.E().hasLabel("in_region").drop()
+    val m = g.traversal.E().hasLabel("in_region").drop().graph
     assert(m.edges.filter(col("label") === "in_region").count() === 0)
     assert(m.edges.count() === g.edges.count() -
       g.edges.filter(col("label") === "in_region").count())
@@ -287,7 +287,7 @@ class MutationEnforcementSpec extends AnyFunSuite {
   test("addE: deterministic reserved-tag ids, auto-created label, replay-idempotent") {
     val g = TpchGraph.load(spark, dir)
     val m = g.traversal.V().hasLabel("customer").as("c").out("placed")
-      .addE("placed_by", "c")
+      .addE("placed_by", "c").graph
     val nb = m.edges.filter(col("label") === "placed_by")
     assert(nb.count() === g.edges.filter(col("label") === "placed").count())
     // synthesized ids live in the reserved top-tag namespace
@@ -296,14 +296,14 @@ class MutationEnforcementSpec extends AnyFunSuite {
     assert(m.schema.edgeLabels.contains("placed_by"))
     // deterministic ids make a replay a no-op (last-writer-wins by id)
     val m2 = m.traversal.V().hasLabel("customer").as("c").out("placed")
-      .addE("placed_by", "c")
+      .addE("placed_by", "c").graph
     assert(m2.edges.count() === m.edges.count())
   }
 
   test("addE with Direction.IN points the edge from the saved step to the frontier") {
     val g = TpchGraph.load(spark, dir)
     val m = g.traversal.V().hasLabel("region").as("r").in("in_region")
-      .addE("has_nation", "r", graft.query.Direction.IN)
+      .addE("has_nation", "r", graft.query.Direction.IN).graph
     val nb = m.edges.filter(col("label") === "has_nation")
     // region -> nation: src in the region id namespace
     assert(nb.count() === g.vertices.filter(col("label") === "nation").count())
@@ -314,7 +314,7 @@ class MutationEnforcementSpec extends AnyFunSuite {
   test("property() step: computed upsert on the frontier only; undeclared key auto-creates") {
     val g = TpchGraph.load(spark, dir)
     val m = g.traversal.V().hasLabel("customer").has("mktsegment", "BUILDING")
-      .property("tier", lit("vip"))
+      .property("tier", lit("vip")).graph
     assert(m.schema.propertyKeys.contains("tier")) // first-use maker ran
     val building = g.vertices.filter(col("label") === "customer" &&
       col("mktsegment") === "BUILDING").count()
@@ -336,14 +336,43 @@ class MutationEnforcementSpec extends AnyFunSuite {
   test("addE carries requested frontier property columns onto the new edges") {
     val g = TpchGraph.load(spark, dir)
     val m = g.traversal.V().hasLabel("customer").as("c").out("placed")
-      .addE("placed_by", "c", props = Seq("orderdate"))
+      .addE("placed_by", "c", props = Seq("orderdate")).graph
     val nb = m.edges.filter(col("label") === "placed_by")
     assert(nb.count() > 0 && nb.filter(col("orderdate").isNull).count() === 0)
   }
 
+  test("mutation steps continue the traversal (TinkerPop emit-the-element semantics)") {
+    val g = TpchGraph.load(spark, dir)
+    // addE(...).inV(): frontier = created edges; dst is the saved customer
+    val reached = g.traversal.V().hasLabel("customer").as("c").out("placed")
+      .addE("placed_by", "c").inV().toDF
+    assert(reached.filter(col("label") =!= "customer").count() === 0)
+    assert(reached.count() ===
+      g.edges.filter(col("label") === "placed").count()) // one per created edge
+    // property(...) continues on the SAME traversers with the value visible,
+    // and further hops traverse the MUTATED graph
+    val t = g.traversal.V().hasLabel("customer").has("mktsegment", "BUILDING")
+      .property("tier", lit("vip"))
+    assert(t.toDF.filter(col("tier") =!= "vip").count() === 0)
+    val hopped = t.out("placed").toDF
+    assert(hopped.filter(col("label") =!= "order").count() === 0)
+    assert(t.graph.vertices.filter(col("tier") === "vip").count() === t.toDF.count())
+    // addV returns a traversal positioned on the created vertices
+    val segs = g.vertices.filter(col("label") === "customer")
+      .select(col("mktsegment").as("name")).distinct()
+      .withColumn("uid", xxhash64(col("name")))
+    val tv = g.traversal.addV("segment", segs)
+    assert(tv.toDF.filter(col("label") =!= "segment").count() === 0)
+    assert(tv.toDF.count() === segs.count())
+    // drop() continues as the remove-everything filter over the mutated graph
+    val td = g.traversal.V().hasLabel("region").drop()
+    assert(td.toDF.count() === 0)
+    assert(td.graph.vertices.filter(col("label") === "region").count() === 0)
+  }
+
   test("property() on an edge frontier upserts exactly those edges") {
     val g = TpchGraph.load(spark, dir)
-    val m = g.traversal.E().hasLabel("in_region").property("weight", lit(2.0))
+    val m = g.traversal.E().hasLabel("in_region").property("weight", lit(2.0)).graph
     assert(m.schema.propertyKeys.contains("weight")) // first-use maker ran
     val inRegion = g.edges.filter(col("label") === "in_region").count()
     assert(m.edges.filter(col("weight") === 2.0).count() === inRegion)
