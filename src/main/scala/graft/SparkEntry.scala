@@ -642,6 +642,19 @@ object SparkEntry {
         .outE("contains").sackOp(_ + col("extendedprice"))
         .sackValues()
     }),
+    // ---- 2.E sack split/merge (TinkerPop SackStep with operators): each
+    //      customer-traverser clones into two branches, split(sack)=sack+100
+    //      per clone; both branches land on orders (branch 2 only on the
+    //      urgent ones), and the declared merge aggregate (sum) coalesces
+    //      traversers on the same element — urgent orders carry 202 ----
+    "q_sack_split" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer")
+        .withSack(lit(1L), Some((c: Column) => c + lit(100L)), Some(sum(_: Column)))
+        .unionSteps(
+          _.out("placed"),
+          _.out("placed").has("orderpriority", "1-URGENT"))
+        .toDF.groupBy(col("_sack").as("sack")).agg(count(lit(1)).as("cnt"))
+    }),
     // ---- 2.E where(not(...)) — anti-join traversal predicate ----
     "q_where_not" -> ((s, dir) => {
       val g = graph(s, dir)
@@ -2319,6 +2332,11 @@ object SparkEntry {
         |JOIN orders ON o_custkey = c_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    // every order is reached by branch 1 with sack 1+100; urgent orders are
+    // ALSO reached by branch 2 and the declared sum-merge folds the clones
+    "q_sack_split" ->
+      """SELECT CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 202 ELSE 101 END AS BIGINT) AS sack,
+        |COUNT(*) AS cnt FROM orders GROUP BY 1""".stripMargin,
     "q_where_not" ->
       """SELECT c_custkey AS uid, c_name AS name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin,

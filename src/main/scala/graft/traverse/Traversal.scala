@@ -42,7 +42,17 @@ final case class Traversal(
     frontierLabels: Option[Set[String]] = None,
     // Element kind (vertex?) of the FIRST occurrence of each reused as-label
     // (Pop.first can target a different element kind than the latest). */
-    asFirstMeta: Map[String, Boolean] = Map.empty) {
+    asFirstMeta: Map[String, Boolean] = Map.empty,
+    // Sack split operator: applied to each clone's sack when a traverser
+    // enters a branch (TinkerPop withSack(init, split)); None = identity
+    // clone. */
+    sackSplit: Option[Column => Column] = None,
+    // Sack merge operator as an AGGREGATE builder (e.g. F.sum, F.max —
+    // TinkerPop's merge BinaryOperators are exactly these associative ops):
+    // when declared, branch-merging steps coalesce traversers that land on
+    // the same element with identical as/path state, combining their sacks.
+    // None = no coalescing (branch results stay separate traversers). */
+    sackMerge: Option[Column => Column] = None) {
 
   private def asCols: Seq[String] = df.columns.filter(_.startsWith("_as_")).toSeq
   private def hasPath: Boolean = df.columns.contains("_path")
@@ -380,6 +390,35 @@ final case class Traversal(
     * `as`-label, adding one column to the frontier — no extra shuffle. */
   def withSack(init: Column): Traversal = copy(df = df.withColumn("_sack", init))
 
+  /** withSack(init, split, mergeAgg) — full TinkerPop SackStep semantics:
+    * `split` transforms each clone's sack when a traverser enters a branch
+    * (union/choose/coalesce; identity clone when None), and `mergeAgg` is the
+    * merge operator applied when branch results COALESCE — traversers landing
+    * on the same element with identical as/path state combine their sacks
+    * (TinkerPop's bulking merge, whose operators are exactly the associative
+    * aggregates: pass F.sum/F.max/F.min). With no mergeAgg, branch results
+    * stay separate traversers — the split-only behavior. */
+  def withSack(init: Column, split: Option[Column => Column],
+      mergeAgg: Option[Column => Column]): Traversal =
+    copy(df = df.withColumn("_sack", init), sackSplit = split, sackMerge = mergeAgg)
+
+  /** Branch-entry sack transform (clone-time split operator). */
+  private def sackBranchEntry(d: DataFrame): DataFrame = sackSplit match {
+    case Some(f) if d.columns.contains("_sack") => d.withColumn("_sack", f(col("_sack")))
+    case _ => d
+  }
+
+  /** Post-branch coalescing merge: group traversers identical in EVERYTHING
+    * but the sack (element columns, as-history, path) and combine sacks with
+    * the declared aggregate. One hash aggregate keyed by the frontier's
+    * columns — map-side combinable, no window. */
+  private def mergeSacks(d: DataFrame): DataFrame = sackMerge match {
+    case Some(agg) if d.columns.contains("_sack") =>
+      val keys = d.columns.filterNot(_ == "_sack").toSeq
+      d.groupBy(keys.map(col): _*).agg(agg(col("_sack")).as("_sack"))
+    case _ => d
+  }
+
   /** sack-update step: fold the current element into the accumulator, e.g.
     * `sackOp(_ + col("weight"))` ≡ Gremlin `sack(sum).by('weight')`. */
   def sackOp(f: Column => Column): Traversal = {
@@ -511,9 +550,26 @@ final case class Traversal(
 
   // ---------- branch / merge ----------
   def union(others: Traversal*): Traversal =
-    copy(df = (this +: others).map(_.df).reduce((a, b) => a.unionByName(b, allowMissingColumns = true)),
+    copy(df = mergeSacks((this +: others).map(_.df)
+        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))),
       frontierLabels = (this +: others).map(_.frontierLabels)
         .reduce((a, b) => for { x <- a; y <- b } yield x union y))
+
+  /** union(branch1, branch2, …) as branch FUNCTIONS of this traversal —
+    * Gremlin's `union(traversal, …)`: every traverser clones into every
+    * branch (the declared sack split operator transforms each clone's sack
+    * at entry), and branch results merge (the declared sack merge aggregate
+    * coalesces traversers that land on the same element with equal as/path
+    * state). Prefer this over [[union]] when sacks carry state — externally
+    * built traversals cannot receive the clone-time split. */
+  def unionSteps(steps: (Traversal => Traversal)*): Traversal = {
+    require(steps.nonEmpty, "unionSteps needs at least one branch")
+    val branches = steps.map(s => s(copy(df = sackBranchEntry(df))))
+    copy(df = mergeSacks(branches.map(_.df)
+        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))),
+      frontierLabels = branches.map(_.frontierLabels)
+        .reduce((a, b) => for { x <- a; y <- b } yield x union y))
+  }
 
   /** inject(ids*) — add the given graph elements to the frontier as fresh
     * traversers (Gremlin InjectStep). New traversers carry no `as`-history or
@@ -620,9 +676,9 @@ final case class Traversal(
     * (Gremlin choose ⇒ filter-split + union). */
   def choose(pred: Column)(trueStep: Traversal => Traversal,
       falseStep: Traversal => Traversal): Traversal = {
-    val t = trueStep(copy(df = df.filter(pred)))
-    val f = falseStep(copy(df = df.filter(!F.coalesce(pred, lit(false)))))
-    t.copy(df = t.df.unionByName(f.df, allowMissingColumns = true))
+    val t = trueStep(copy(df = sackBranchEntry(df.filter(pred))))
+    val f = falseStep(copy(df = sackBranchEntry(df.filter(!F.coalesce(pred, lit(false))))))
+    t.copy(df = mergeSacks(t.df.unionByName(f.df, allowMissingColumns = true)))
   }
 
   /** choose(predTraversal)(trueStep, falseStep) — Gremlin's canonical
@@ -634,11 +690,11 @@ final case class Traversal(
       trueStep: Traversal => Traversal,
       falseStep: Traversal => Traversal): Traversal = {
     val matched = subMatches(predStep, "__chs")
-    val t = trueStep(copy(df =
-      df.join(matched, col("id") === col("__sid"), "left_semi")))
-    val f = falseStep(copy(df =
-      df.join(matched, col("id") === col("__sid"), "left_anti")))
-    t.copy(df = t.df.unionByName(f.df, allowMissingColumns = true))
+    val t = trueStep(copy(df = sackBranchEntry(
+      df.join(matched, col("id") === col("__sid"), "left_semi"))))
+    val f = falseStep(copy(df = sackBranchEntry(
+      df.join(matched, col("id") === col("__sid"), "left_anti"))))
+    t.copy(df = mergeSacks(t.df.unionByName(f.df, allowMissingColumns = true)))
   }
 
   /** choose(selector).option(v1, s1).option(v2, s2)….option(none, sN) —
@@ -658,16 +714,16 @@ final case class Traversal(
       none: Option[Traversal => Traversal] = None): Traversal = {
     require(options.nonEmpty, "chooseOption needs at least one option branch")
     val branches = options.map { case (v, step) =>
-      step(copy(df = df.filter(selector <=> lit(v)))).df
+      step(copy(df = sackBranchEntry(df.filter(selector <=> lit(v))))).df
     }
     val noneBranch = none.map { step =>
       val vals = options.map(_._1)
       // isin yields null for a null selector; coalesce(false) routes it here
-      step(copy(df = df.filter(
-        !F.coalesce(selector.isin(vals: _*), lit(false))))).df
+      step(copy(df = sackBranchEntry(df.filter(
+        !F.coalesce(selector.isin(vals: _*), lit(false)))))).df
     }
-    copy(df = (branches ++ noneBranch)
-      .reduce(_.unionByName(_, allowMissingColumns = true)))
+    copy(df = mergeSacks((branches ++ noneBranch)
+      .reduce(_.unionByName(_, allowMissingColumns = true))))
   }
 
   /** coalesce(step1, step2, ...) — per source element, results of the FIRST
@@ -679,7 +735,7 @@ final case class Traversal(
     var remaining = this
     var acc: Option[org.apache.spark.sql.DataFrame] = None
     steps.foreach { step =>
-      val stepped = step(remaining.as("__coal"))
+      val stepped = step(remaining.copy(df = sackBranchEntry(remaining.df)).as("__coal"))
       val clean = stepped.df.drop(
         stepped.df.columns.filter(_.startsWith("_as___coal_")).toSeq: _*)
       val matchedSrc = stepped.df.select(col("_as___coal_id").as("__sid")).distinct()
@@ -687,7 +743,7 @@ final case class Traversal(
       remaining = remaining.copy(df =
         remaining.df.join(matchedSrc, col("id") === col("__sid"), "left_anti"))
     }
-    copy(df = acc.get)
+    copy(df = mergeSacks(acc.get))
   }
 
   /** tail(n) — last n by the traversal's last order (Gremlin tail). Compiled

@@ -232,4 +232,42 @@ class TraversalModulationSpec extends AnyFunSuite {
     assert(out.toDF.count() ===
       g.traversal.V().hasLabel("customer").toDF.count())
   }
+
+  test("sack split/merge: clones transform at branch entry, coalescing paths merge") {
+    import org.apache.spark.sql.Column
+    val orders = g.vertices.filter(col("label") === "order")
+    val urgent = orders.filter(col("orderpriority") === "1-URGENT").count()
+    // split = +100 per clone; merge = sum where branches land on the SAME
+    // element: urgent orders are reached by both branches -> 202, rest 101
+    val got = g.traversal.V().hasLabel("customer")
+      .withSack(lit(1L), Some((c: Column) => c + lit(100L)), Some(sum(_: Column)))
+      .unionSteps(
+        _.out("placed"),
+        _.out("placed").has("orderpriority", "1-URGENT"))
+      .toDF.groupBy(col("_sack")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(101L -> (orders.count() - urgent), 202L -> urgent))
+
+    // without a merge operator, branch results stay SEPARATE traversers
+    // (split-only TinkerPop behavior): urgent orders appear twice at 101
+    val noMerge = g.traversal.V().hasLabel("customer")
+      .withSack(lit(1L), Some((c: Column) => c + lit(100L)), None)
+      .unionSteps(
+        _.out("placed"),
+        _.out("placed").has("orderpriority", "1-URGENT"))
+      .toDF
+    assert(noMerge.count() === orders.count() + urgent)
+    assert(noMerge.filter(col("_sack") =!= 101L).count() === 0)
+
+    // choose() branches also receive the split and merge back: every order
+    // goes through exactly ONE branch, so no coalescing pair exists and
+    // each traverser keeps its transformed clone sack
+    val viaChoose = g.traversal.V().hasLabel("customer")
+      .withSack(lit(1L), Some((c: Column) => c * lit(3L)), Some(sum(_: Column)))
+      .out("placed")
+      .choose(col("orderpriority") === "1-URGENT")(identity, identity)
+      .toDF
+    assert(viaChoose.count() === orders.count())
+    assert(viaChoose.filter(col("_sack") =!= 3L).count() === 0)
+  }
 }
