@@ -2207,6 +2207,12 @@ object SparkEntry {
     // the production ANN composition (coarse probe + ADC over codes): bench
     // it so index-build (k-means trains) and search-path regressions surface
     "q_ivfpq_topk",
+    // PQ ADC search alone (subspace codebook trains + LUT joins + per-query
+    // top-k): regression cover for the PQ family independent of IVF probing
+    "q_pq_topk",
+    // JDK imageio decode through mapPartitions: the multimodal decode path's
+    // wall-time (batch shape, blob handling) gets tracked per round
+    "q_image_decode",
     // iterative-join analytics: regressions hide in lineage truncation and
     // cache lifecycle, so the bench times them every round
     "q_kcore", "q_triangles", "q_connected_components",
