@@ -114,7 +114,14 @@ final case class EdgeLabelDef(
     sortKey: Seq[String] = Nil,
     sortOrder: SortOrder = SortOrder.ASC,
     consistency: ConsistencyModifier = ConsistencyModifier.DEFAULT,
-    ttlSeconds: Option[Long] = None)
+    ttlSeconds: Option[Long] = None,
+    // Declared endpoint vertex-label universes (empty = undeclared/any).
+    // Richer than Titan's catalog on purpose: with endpoints declared at
+    // ingest, a traversal can PROVE the post-hop frontier's label set and
+    // keep supernode-salting scoping across hops instead of resetting to
+    // conservative-unknown. A routing hint only — never affects results. */
+    srcLabels: Set[String] = Set.empty,
+    dstLabels: Set[String] = Set.empty)
 
 /** Vertex label — reference: tc/core/schema/VertexLabelMaker.java:17-39.
   * `partitioned` marks supernode labels (skew-salted in joins/aggs);
@@ -242,6 +249,27 @@ final case class GraphSchema(
     * route through the salted two-phase plan transparently. */
   def partitionedLabels: Seq[String] =
     vertexLabels.values.filter(_.partitioned).map(_.name).toSeq
+
+  /** Provable endpoint vertex-label universe of a hop over `labels`: the
+    * union of the declared endpoint sets of every traversed edge label
+    * (`wantSrc` collects src sides, `wantDst` dst sides — an IN hop lands on
+    * srcs, OUT on dsts, BOTH on both). None — "unknown, assume anything" —
+    * when the hop is label-unrestricted, any traversed label is uncataloged,
+    * or a needed endpoint set is undeclared. Conservative by construction:
+    * consumers treat None as the full universe. */
+  def hopEndpointLabels(labels: Seq[String], wantSrc: Boolean,
+      wantDst: Boolean): Option[Set[String]] = {
+    if (labels.isEmpty) return None
+    val defs = labels.map(edgeLabels.get)
+    if (defs.exists(_.isEmpty)) return None
+    val perLabel = defs.flatten.map { d =>
+      val src = if (wantSrc) Some(d.srcLabels).filter(_.nonEmpty) else Some(Set.empty[String])
+      val dst = if (wantDst) Some(d.dstLabels).filter(_.nonEmpty) else Some(Set.empty[String])
+      for { s <- src; t <- dst } yield s union t
+    }
+    if (perLabel.exists(_.isEmpty)) None
+    else Some(perLabel.flatten.reduce(_ union _))
+  }
 
   /** Composite indexes usable for an equality-constrained key set
     * (the index-selection candidate set; cf. GraphCentricQueryBuilder.java:234-308). */

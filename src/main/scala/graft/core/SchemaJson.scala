@@ -53,7 +53,9 @@ object SchemaJson {
         "name" -> l.name, "multiplicity" -> l.multiplicity.toString,
         "unidirected" -> l.unidirected, "signature" -> l.signature,
         "sortKey" -> l.sortKey, "sortOrder" -> l.sortOrder.toString,
-        "consistency" -> l.consistency.toString, "ttlSeconds" -> l.ttlSeconds)),
+        "consistency" -> l.consistency.toString, "ttlSeconds" -> l.ttlSeconds,
+        "srcLabels" -> l.srcLabels.toSeq.sorted,
+        "dstLabels" -> l.dstLabels.toSeq.sorted)),
       "vertexLabels" -> s.vertexLabels.values.toSeq.sortBy(_.name).map(l => jm(
         "name" -> l.name, "partitioned" -> l.partitioned, "static" -> l.static,
         "ttlSeconds" -> l.ttlSeconds)),
@@ -144,7 +146,9 @@ object SchemaJson {
       EdgeLabelDef(str(m, "name"), multiplicity(str(m, "multiplicity")),
         bool(m, "unidirected"), strs(m, "signature"), strs(m, "sortKey"),
         sortOrder(str(m, "sortOrder")), consistency(str(m, "consistency")),
-        optLong(m, "ttlSeconds"))
+        optLong(m, "ttlSeconds"),
+        // absent in pre-endpoint catalog documents → undeclared
+        strs(m, "srcLabels").toSet, strs(m, "dstLabels").toSet)
     }
     val vls = objs(root, "vertexLabels").map { m =>
       VertexLabelDef(str(m, "name"), bool(m, "partitioned"), bool(m, "static"),

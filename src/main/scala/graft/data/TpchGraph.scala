@@ -60,13 +60,20 @@ object TpchGraph {
     .withVertexLabel(VertexLabelDef("supplier"))
     .withVertexLabel(VertexLabelDef("part"))
     .withVertexLabel(VertexLabelDef("order"))
-    .withEdgeLabel(EdgeLabelDef("in_region", Multiplicity.MANY2ONE))
-    .withEdgeLabel(EdgeLabelDef("in_nation", Multiplicity.MANY2ONE))
-    .withEdgeLabel(EdgeLabelDef("placed", Multiplicity.MULTI, sortKey = Seq("orderdate")))
+    // endpoint label sets declared at ingest: they let traversals PROVE the
+    // post-hop frontier label universe (supernode-salting scope survives hops)
+    .withEdgeLabel(EdgeLabelDef("in_region", Multiplicity.MANY2ONE,
+      srcLabels = Set("nation"), dstLabels = Set("region")))
+    .withEdgeLabel(EdgeLabelDef("in_nation", Multiplicity.MANY2ONE,
+      srcLabels = Set("customer", "supplier"), dstLabels = Set("nation")))
+    .withEdgeLabel(EdgeLabelDef("placed", Multiplicity.MULTI, sortKey = Seq("orderdate"),
+      srcLabels = Set("customer"), dstLabels = Set("order")))
     .withEdgeLabel(EdgeLabelDef("contains", Multiplicity.MULTI,
       signature = Seq("quantity", "extendedprice", "discount", "suppkey"),
-      sortKey = Seq("shipdate")))
-    .withEdgeLabel(EdgeLabelDef("supplied_by", Multiplicity.MULTI))
+      sortKey = Seq("shipdate"),
+      srcLabels = Set("order"), dstLabels = Set("part")))
+    .withEdgeLabel(EdgeLabelDef("supplied_by", Multiplicity.MULTI,
+      srcLabels = Set("order"), dstLabels = Set("supplier")))
     .withIndex(IndexDef("byUid", ElementCategory.VERTEX, Seq("uid"), unique = false))
     .withIndex(IndexDef("byName", ElementCategory.VERTEX, Seq("name"), unique = false))
     .withRelationIndex(RelationIndexDef("containsByShip", "contains", Seq("shipdate")))

@@ -115,7 +115,9 @@ final case class Traversal(
     * multiplicity), as one union of the two endpoint joins. */
   def bothV(): Traversal = {
     val o = outV()
-    o.copy(df = o.df.unionByName(inV().df, allowMissingColumns = true))
+    val i = inV()
+    o.copy(df = o.df.unionByName(i.df, allowMissingColumns = true),
+      frontierLabels = for { a <- o.frontierLabels; b <- i.frontierLabels } yield a union b)
   }
 
   private def hasSack: Boolean = df.columns.contains("_sack")
@@ -151,13 +153,23 @@ final case class Traversal(
         orient("src", "dst", "OUT").unionAll(orient("dst", "src", "IN").filter(col("src") =!= col("dst")))
     }
     val joined = f.join(orientedE, col("_from") === col("vid"))
+    // Post-hop frontier label universe, where PROVABLE from the catalog's
+    // declared edge-label endpoints (None = conservative unknown): an OUT
+    // hop lands on dst labels, IN on src labels, BOTH on their union. Keeps
+    // supernode-salting scoped across hops instead of resetting per hop.
+    val (wantSrc, wantDst) = d match {
+      case Direction.OUT => (false, true)
+      case Direction.IN => (true, false)
+      case Direction.BOTH => (true, true)
+    }
     if (!toVertex) {
       val cols = Seq("vid", "other", "dir", "id", "src", "dst", "label").map(col) ++
         graph.edgePropColumns.map(col) ++ asCols.map(col) ++
         (if (pathEnabled) Seq(F.concat(col("_path"), F.array(col("id"))).as("_path")) else Nil) ++
         sackCarry
+      // an edge frontier's label universe is the hop's edge-label restriction
       copy(df = joined.select(cols: _*), isVertex = false, lastOrder = Nil,
-        frontierLabels = None)
+        frontierLabels = if (labels.nonEmpty) Some(labels.toSet) else None)
     } else {
       val v = graph.vertices.alias("V")
       val res = joined.join(v, col("other") === col("V.id"))
@@ -165,7 +177,7 @@ final case class Traversal(
         (if (pathEnabled) Seq(F.concat(col("_path"), F.array(col("V.id"))).as("_path")) else Nil) ++
         sackCarry
       copy(df = res.select(cols: _*), isVertex = true, lastOrder = Nil,
-        frontierLabels = None)
+        frontierLabels = graph.schema.hopEndpointLabels(labels, wantSrc, wantDst))
     }
   }
 
@@ -177,8 +189,19 @@ final case class Traversal(
     val cols = Seq(col("V.*")) ++ asCols.map(col) ++
       (if (hasPath) Seq(F.concat(col("_path"), F.array(col("V.id"))).as("_path")) else Nil) ++
       sackCarry
+    // when the edge frontier's label universe is tracked, the endpoint's
+    // vertex-label universe is provable from the catalog's declared
+    // endpoints ("other" can be either side → union of both)
+    val target = frontierLabels.flatMap { els =>
+      val (wantSrc, wantDst) = endpoint match {
+        case "src" => (true, false)
+        case "dst" => (false, true)
+        case _ => (true, true)
+      }
+      graph.schema.hopEndpointLabels(els.toSeq, wantSrc, wantDst)
+    }
     copy(df = res.select(cols: _*), isVertex = true, lastOrder = Nil,
-      frontierLabels = None)
+      frontierLabels = target)
   }
 
   // ---------- modulation / projection ----------

@@ -105,18 +105,54 @@ class PlanShapeSpec extends AnyFunSuite {
       .propertyCount("totalprice", "orderdate")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(pc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === pcPlain)
-    // (d) traversal groupCount: partitioned-label frontier plans salted
-    // two-phase with identical results; a hasLabel-scoped non-partitioned
-    // frontier plans the plain single aggregate
-    val gcSalted = pg.traversal.V().hasLabel("order").out("contains").groupCount("label")
+    // (d) traversal groupCount: an UNRESTRICTED hop resets the frontier
+    // universe to conservative-unknown, so salting engages; results match
+    // the plain plan
+    val gcSalted = pg.traversal.V().hasLabel("order").out().groupCount("label")
     assert(gcSalted.queryExecution.optimizedPlan.toString.contains("__salt"),
-      "post-hop frontier labels are unknown -> conservative salting must engage")
-    val gcPlain = g.traversal.V().hasLabel("order").out("contains").groupCount("label")
+      "label-unrestricted hop -> unknown universe -> conservative salting must engage")
+    val gcPlain = g.traversal.V().hasLabel("order").out().groupCount("label")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(gcSalted.collect().map(r => r.getString(0) -> r.getLong(1)).toMap === gcPlain)
     val gcScoped = pg.traversal.V().hasLabel("customer").groupCount("mktsegment")
     assert(!gcScoped.queryExecution.optimizedPlan.toString.contains("__salt"),
       "hasLabel-scoped non-partitioned frontier must plan the plain aggregate")
+  }
+
+  test("declared edge-label endpoints keep salting scoped ACROSS hops") {
+    import org.apache.spark.sql.functions.col
+    val g = graft.data.TpchGraph.load(spark, dir)
+    val pg = g.copy(schema = g.schema.copy(vertexLabels = g.schema.vertexLabels
+      .updated("order", g.schema.vertexLabel("order").copy(partitioned = true))))
+    // a label-restricted hop PROVES the destination universe from the
+    // catalog's endpoint declarations: out('contains') can only land on
+    // parts, so a post-hop groupCount plans the PLAIN aggregate even though
+    // the anchor label is partitioned
+    val proved = pg.traversal.V().hasLabel("order").out("contains").groupCount("label")
+    assert(!proved.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "endpoint-proved non-partitioned frontier must plan the plain aggregate")
+    assert(proved.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      g.traversal.V().hasLabel("order").out("contains").groupCount("label")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    // a hop INTO the partitioned label still engages the two-phase plan
+    val intoPart = pg.traversal.V().hasLabel("customer").out("placed").groupCount("orderstatus")
+    assert(intoPart.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "hop landing on the partitioned label must salt")
+    // the proof survives the edge-frontier detour: outE('contains').inV()
+    // tracks edge labels, then resolves the dst universe to parts
+    val viaEdges = pg.traversal.V().hasLabel("order").outE("contains").inV().groupCount("label")
+    assert(!viaEdges.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "outE(label).inV() must keep the endpoint proof")
+    // IN-hop proof: in('placed') lands on customers only
+    val inHop = pg.traversal.V().hasLabel("order").in("placed").groupCount("mktsegment")
+    assert(!inHop.queryExecution.optimizedPlan.toString.contains("__salt"))
+    // sanity: results of the cross-hop proved plan match a manual aggregate
+    val manual = pg.edges.filter(col("label") === "placed")
+      .join(pg.vertices.filter(col("label") === "customer")
+        .select(col("id").as("cid"), col("mktsegment")), col("src") === col("cid"))
+      .groupBy(col("mktsegment")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inHop.collect().map(r => r.getString(0) -> r.getLong(1)).toMap === manual)
   }
 
   test("automatic index selection rewrites an equality query to an index semi-join") {
