@@ -1333,6 +1333,24 @@ object SparkEntry {
           posexplode(col("feature")).as(Seq("bin", "frac")))
         .withColumn("frac", col("frac").cast(DoubleType))
     }),
+    // ---- 2.M multimodal dedup: perceptual average-hash of REAL decoded
+    //      pixels (grayscale 8x8, threshold vs mean — the public pHash-family
+    //      recipe); the synthetic pixels are a pure function of doc_id, so
+    //      the oracle re-derives every bit without seeing the bytes ----
+    "q_image_ahash" -> ((s, dir) => {
+      val ids = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+      graft.pipeline.Multimodal.imageAHash(
+        graft.pipeline.Multimodal.synthesizePngMedia(ids))
+    }),
+    // ---- 2.M visual near-dup pairs: Hamming-banded aHash join (recall 1
+    //      for distance <= 7 by pigeonhole over 8 byte-bands), verified by
+    //      exact bit_count distance — the image member of the dedup family ----
+    "q_image_neardup" -> ((s, dir) => {
+      val ids = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+      graft.pipeline.Multimodal.imageNearDupPairs(
+        graft.pipeline.Multimodal.imageAHash(
+          graft.pipeline.Multimodal.synthesizePngMedia(ids)), maxHamming = 7)
+    }),
     // ---- 2.M multimodal: REAL image resize (nearest-neighbor, JDK codec)
     //      composed with decode — the resized 4×4's histogram is the oracle's
     //      pure function of doc_id over the NN-sampled source pixels ----
@@ -3074,6 +3092,34 @@ object SparkEntry {
         |  CAST(COALESCE(c, 0) AS DOUBLE) / 64 AS frac
         |FROM ids CROSS JOIN bins
         |LEFT JOIN cnt ON cnt.doc_id = ids.doc_id AND cnt.bin = bins.bin""".stripMargin,
+    // aHash oracle: pixel g(i) = (doc_id*31+i) % 256, Rec.601 of a gray pixel
+    // is g exactly, bit i set iff g*64 > sum(g); words assembled bit-by-bit
+    // (lo = bits 0-31, hi = 32-63 — shifts stay below the sign bit)
+    "q_image_ahash" ->
+      """WITH px AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS i, (doc_id*31 + i) % 256 AS g
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+        |s AS (SELECT doc_id, i, g, SUM(g) OVER (PARTITION BY doc_id) AS tot FROM px)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN g*64 > tot AND i >= 32 THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(SUM(CASE WHEN g*64 > tot AND i < 32 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM s GROUP BY doc_id""".stripMargin,
+    // near-dup oracle: brute-force Hamming over the same hashes — the engine's
+    // banded join is recall-1 for distance <= 7, so the sets are identical
+    "q_image_neardup" ->
+      """WITH px AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS i, (doc_id*31 + i) % 256 AS g
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+        |s AS (SELECT doc_id, i, g, SUM(g) OVER (PARTITION BY doc_id) AS tot FROM px),
+        |h AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN g*64 > tot AND i >= 32 THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |  CAST(SUM(CASE WHEN g*64 > tot AND i < 32 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS lo
+        |FROM s GROUP BY doc_id)
+        |SELECT ida, idb, hamming FROM (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 7""".stripMargin,
     "q_image_resize" ->
       """WITH ids AS (SELECT doc_id FROM documents),
         |px AS (SELECT doc_id,

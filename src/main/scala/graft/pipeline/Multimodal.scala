@@ -207,6 +207,102 @@ object Multimodal {
       StructField("doc_id", LongType), StructField("media", mediaSchema))))
   }
 
+  /** Perceptual average-hash (aHash) of each image — the standard cheap
+    * image fingerprint (public pHash-family recipe: grayscale, shrink to
+    * 8×8, threshold each cell against the mean): bit i (row-major) is set
+    * when cell-i luminance · 64 > Σ luminance (the division-free form of
+    * "above the mean" — integer-exact, so a SQL oracle reproduces every
+    * bit). Cells come from the same deterministic nearest-neighbor map as
+    * [[resizeImages]]; luminance is the integer Rec.601 of
+    * [[decodeImages]]. Returned as two 32-bit words in LONG columns
+    * (ahash_lo = bits 0–31, ahash_hi = bits 32–63) so downstream Hamming
+    * arithmetic stays in codegen'd integer ops — no strings, no UDFs after
+    * the decode boundary. Undecodable payloads yield null words (kept).
+    * Narrow mapPartitions; blobs never leave their partition. */
+  def imageAHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col("doc_id"), col("media.payload").as("payload"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: Exception => None }
+          img match {
+            case Some(im) =>
+              val w = im.getWidth; val h = im.getHeight
+              val lum = new Array[Long](64)
+              var sum = 0L
+              var i = 0
+              while (i < 64) {
+                val rgb = im.getRGB((i % 8) * w / 8, (i / 8) * h / 8)
+                lum(i) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                  (rgb & 0xff) * 114) / 1000
+                sum += lum(i)
+                i += 1
+              }
+              var lo = 0L; var hi = 0L
+              i = 0
+              while (i < 64) {
+                if (lum(i) * 64 > sum) {
+                  if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+                }
+                i += 1
+              }
+              Row(id, hi, lo)
+            case None => Row(id, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ahash_hi", LongType), StructField("ahash_lo", LongType))))
+  }
+
+  /** Image near-duplicate pairs by aHash Hamming distance ≤ `maxHamming` —
+    * the visual member of the dedup family (same role MinHash plays for
+    * text): re-encoded, resized and re-compressed copies land within a few
+    * bits of each other. EXACT at full recall: the 64-bit hash splits into
+    * 8 byte-bands, and by pigeonhole any pair within distance ≤ 7 shares at
+    * least one unchanged band — candidates come from one (band, value)
+    * equi-join, then the true distance (codegen bit_count over XOR) filters.
+    * Requires maxHamming ≤ 7 so the band guarantee holds.
+    *
+    * Scale: hashes are 2 longs/image — the join input is (id, band, byte),
+    * constant width; heavy buckets (e.g. flat/black images all hashing to
+    * 0) cap at `maxBucket` ids with the same anti-join guard as the text
+    * LSH families, trading those degenerate groups for boundedness. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 7,
+      maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"imageNearDupPairs: 8 byte-bands guarantee recall only for maxHamming <= 7, got $maxHamming")
+    val h = hashes.filter(col("ahash_hi").isNotNull && col("ahash_lo").isNotNull)
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
+    val bandCols = (0 until 8).map { j =>
+      val word = if (j < 4) col("ahash_lo") else col("ahash_hi")
+      shiftright(word, 8 * (j % 4)).bitwiseAND(lit(255L)).as(s"__b$j")
+    }
+    val banded = h.select(col("doc_id") +: col("ahash_hi") +: col("ahash_lo") +: bandCols: _*)
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+        posexplode(array((0 until 8).map(j => col(s"__b$j")): _*)).as(Seq("band", "v")))
+    val heavy = banded.groupBy(col("band"), col("v"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+      .select(col("band"), col("v"))
+    val light = banded.join(heavy, Seq("band", "v"), "left_anti")
+    val a = light.select(col("band"), col("v"), col("doc_id").as("ida"),
+      col("ahash_hi").as("ha"), col("ahash_lo").as("la"))
+    val b = light.select(col("band"), col("v"), col("doc_id").as("idb"),
+      col("ahash_hi").as("hb"), col("ahash_lo").as("lb"))
+    a.join(b, Seq("band", "v"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("ida", "idb")
+  }
+
   val audioFeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("sample_rate", IntegerType),

@@ -998,4 +998,59 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(row.getSeq[Float](3) === h.map(_.toFloat / 16).toSeq)
   }
+
+  test("imageAHash: exact bits vs reference arithmetic; invariant to upscaling") {
+    import spark.implicits._
+    val media = Multimodal.synthesizePngMedia(Seq(7L, 264L).toDF("doc_id"))
+    val got = Multimodal.imageAHash(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def ref(id: Long): (Long, Long) = {
+      val g = (0 until 64).map(i => (id * 31 + i) % 256)
+      val sum = g.sum
+      var lo = 0L; var hi = 0L
+      (0 until 64).foreach { i =>
+        if (g(i) * 64 > sum) { if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32) }
+      }
+      (hi, lo)
+    }
+    assert(got(7L) === ref(7L))
+    // ids congruent mod 256 render identical pixels -> identical hashes
+    assert(got(264L) === ref(264L) && got(264L) === ref(8L))
+    // the hash is computed on an 8x8 NN subsample, so a lossless upscale
+    // (every 8x8 cell maps back to the same source pixel) preserves it —
+    // the property that makes aHash a NEAR-dup key, not an exact-byte key
+    val up = Multimodal.imageAHash(Multimodal.resizeImages(media, 16, 16)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(up === got)
+    // undecodable payload -> null hash words, kept
+    val bad = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(99L,
+        org.apache.spark.sql.Row("junk".getBytes, "image/png", 0, 0, null)))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media", Multimodal.mediaSchema))))
+    val b = Multimodal.imageAHash(bad).collect()(0)
+    assert(b.getLong(0) === 99L && b.isNullAt(1) && b.isNullAt(2))
+  }
+
+  test("imageNearDupPairs: banded join equals brute-force Hamming, no cartesian") {
+    import spark.implicits._
+    val ids = (0L until 80L).toDF("doc_id")
+    val hashes = Multimodal.imageAHash(Multimodal.synthesizePngMedia(ids)).cache()
+    val pairsDf = Multimodal.imageNearDupPairs(hashes, maxHamming = 7)
+    val plan = pairsDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "banded Hamming join must not fall back to all-pairs")
+    val got = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // brute-force reference over the collected hash words
+    val hs = hashes.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = (for {
+      (ia, hia, loa) <- hs; (ib, hib, lob) <- hs if ia < ib
+      d = java.lang.Long.bitCount(hia ^ hib) + java.lang.Long.bitCount(loa ^ lob)
+      if d <= 7
+    } yield (ia, ib) -> d).toMap
+    assert(got === want)
+    assert(want.nonEmpty, "fixture should contain at least the mod-256 identical pairs")
+    hashes.unpersist()
+  }
 }
