@@ -1351,6 +1351,22 @@ object SparkEntry {
         graft.pipeline.Multimodal.imageAHash(
           graft.pipeline.Multimodal.synthesizePngMedia(ids)), maxHamming = 7)
     }),
+    // ---- 2.M multimodal dedup, audio member: 64-frame energy fingerprint
+    //      of REAL decoded PCM (same division-free mean threshold as aHash);
+    //      the synthetic signal is a pure function of doc_id ----
+    "q_audio_fingerprint" -> ((s, dir) => {
+      val ids = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+      graft.pipeline.Multimodal.audioFingerprint(
+        graft.pipeline.Multimodal.synthesizeWavMedia(ids))
+    }),
+    // ---- 2.M audio near-dup pairs through the generic Hamming-banded join ----
+    "q_audio_neardup" -> ((s, dir) => {
+      val ids = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+      graft.pipeline.Multimodal.hammingNearDupPairs(
+        graft.pipeline.Multimodal.audioFingerprint(
+          graft.pipeline.Multimodal.synthesizeWavMedia(ids)),
+        "afp_hi", "afp_lo", maxHamming = 7)
+    }),
     // ---- 2.M multimodal: REAL image resize (nearest-neighbor, JDK codec)
     //      composed with decode — the resized 4×4's histogram is the oracle's
     //      pure function of doc_id over the NN-sampled source pixels ----
@@ -3131,6 +3147,35 @@ object SparkEntry {
         |  CAST(COALESCE(c, 0) AS DOUBLE) / 16 AS frac
         |FROM ids CROSS JOIN bins
         |LEFT JOIN cnt ON cnt.doc_id = ids.doc_id AND cnt.bin = bins.bin""".stripMargin,
+    // audio fingerprint oracle: 256 samples -> 64 frames of 4, frame energy
+    // Σ|s|, bit f iff e*64 > total — mirrors audioFingerprint exactly
+    "q_audio_fingerprint" ->
+      """WITH sm AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+        |    CAST((doc_id*7919 + i*31) % 65536 - 32768 AS BIGINT) AS s
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 256)) AS i)),
+        |fr AS (SELECT doc_id, i // 4 AS f, SUM(ABS(s)) AS e FROM sm GROUP BY 1, 2),
+        |t AS (SELECT doc_id, CAST(f AS INTEGER) AS f, e,
+        |      SUM(e) OVER (PARTITION BY doc_id) AS tot FROM fr)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN e*64 > tot AND f >= 32 THEN (CAST(1 AS BIGINT) << (f - 32)) ELSE 0 END) AS BIGINT) AS afp_hi,
+        |  CAST(SUM(CASE WHEN e*64 > tot AND f < 32 THEN (CAST(1 AS BIGINT) << f) ELSE 0 END) AS BIGINT) AS afp_lo
+        |FROM t GROUP BY doc_id""".stripMargin,
+    "q_audio_neardup" ->
+      """WITH sm AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+        |    CAST((doc_id*7919 + i*31) % 65536 - 32768 AS BIGINT) AS s
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 256)) AS i)),
+        |fr AS (SELECT doc_id, i // 4 AS f, SUM(ABS(s)) AS e FROM sm GROUP BY 1, 2),
+        |t AS (SELECT doc_id, CAST(f AS INTEGER) AS f, e,
+        |      SUM(e) OVER (PARTITION BY doc_id) AS tot FROM fr),
+        |h AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN e*64 > tot AND f >= 32 THEN (CAST(1 AS BIGINT) << (f - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |  CAST(SUM(CASE WHEN e*64 > tot AND f < 32 THEN (CAST(1 AS BIGINT) << f) ELSE 0 END) AS BIGINT) AS lo
+        |FROM t GROUP BY doc_id)
+        |SELECT ida, idb, hamming FROM (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 7""".stripMargin,
     "q_audio_decode" ->
       """WITH ids AS (SELECT doc_id FROM documents),
         |sm AS (SELECT doc_id, CAST((doc_id*7919 + i*31) % 65536 - 32768 AS INTEGER) AS s

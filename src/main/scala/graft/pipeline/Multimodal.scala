@@ -274,26 +274,36 @@ object Multimodal {
     * 0) cap at `maxBucket` ids with the same anti-join guard as the text
     * LSH families, trading those degenerate groups for boundedness. */
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 7,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000): DataFrame =
+    hammingNearDupPairs(hashes, "ahash_hi", "ahash_lo", maxHamming, maxBucket)
+
+  /** Generic 64-bit-fingerprint near-dup join (shared by [[imageAHash]] and
+    * [[audioFingerprint]] outputs): 8 byte-bands over the (hi, lo) words,
+    * one (band, value) equi-join for candidates — recall 1 for distance ≤ 7
+    * by pigeonhole — then the exact bit_count(xor) distance filters. Heavy
+    * buckets cap at `maxBucket` like the text LSH families. */
+  def hammingNearDupPairs(hashes: DataFrame, hiCol: String, loCol: String,
+      maxHamming: Int = 7, maxBucket: Int = 10000,
+      idCol: String = "doc_id"): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
-      s"imageNearDupPairs: 8 byte-bands guarantee recall only for maxHamming <= 7, got $maxHamming")
-    val h = hashes.filter(col("ahash_hi").isNotNull && col("ahash_lo").isNotNull)
-      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
+      s"hammingNearDupPairs: 8 byte-bands guarantee recall only for maxHamming <= 7, got $maxHamming")
+    val h = hashes.filter(col(hiCol).isNotNull && col(loCol).isNotNull)
+      .select(col(idCol), col(hiCol).as("__hi"), col(loCol).as("__lo"))
     val bandCols = (0 until 8).map { j =>
-      val word = if (j < 4) col("ahash_lo") else col("ahash_hi")
+      val word = if (j < 4) col("__lo") else col("__hi")
       shiftright(word, 8 * (j % 4)).bitwiseAND(lit(255L)).as(s"__b$j")
     }
-    val banded = h.select(col("doc_id") +: col("ahash_hi") +: col("ahash_lo") +: bandCols: _*)
-      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+    val banded = h.select(col(idCol) +: col("__hi") +: col("__lo") +: bandCols: _*)
+      .select(col(idCol), col("__hi"), col("__lo"),
         posexplode(array((0 until 8).map(j => col(s"__b$j")): _*)).as(Seq("band", "v")))
     val heavy = banded.groupBy(col("band"), col("v"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
       .select(col("band"), col("v"))
     val light = banded.join(heavy, Seq("band", "v"), "left_anti")
-    val a = light.select(col("band"), col("v"), col("doc_id").as("ida"),
-      col("ahash_hi").as("ha"), col("ahash_lo").as("la"))
-    val b = light.select(col("band"), col("v"), col("doc_id").as("idb"),
-      col("ahash_hi").as("hb"), col("ahash_lo").as("lb"))
+    val a = light.select(col("band"), col("v"), col(idCol).as("ida"),
+      col("__hi").as("ha"), col("__lo").as("la"))
+    val b = light.select(col("band"), col("v"), col(idCol).as("idb"),
+      col("__hi").as("hb"), col("__lo").as("lb"))
     a.join(b, Seq("band", "v"))
       .filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb"),
@@ -301,6 +311,66 @@ object Multimodal {
           bit_count(col("la").bitwiseXOR(col("lb")))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("ida", "idb")
+  }
+
+  /** 64-bit audio fingerprint from REAL decoded PCM — the audio member of
+    * the perceptual-hash family: the signal splits into 64 equal frames,
+    * frame energy E_f = Σ|sample|, and bit f (LSB-first into lo then hi,
+    * like [[imageAHash]]) is set when E_f · 64 > ΣE — the same
+    * division-free mean threshold, so re-encoded/requantized copies land a
+    * few bits apart while a SQL oracle reproduces every bit exactly.
+    * Trailing samples beyond 64·⌊n/64⌋ are ignored (frames stay equal
+    * width); signals shorter than 64 samples and unparsable payloads yield
+    * null words. Pair with [[hammingNearDupPairs]] for audio near-dup
+    * detection. Narrow mapPartitions — blobs never leave their partition. */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col("doc_id"), col("media.payload").as("payload"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = in.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian)
+            val raw = in.readAllBytes(); in.close()
+            val n = raw.length / 2
+            require(n >= 64, "audioFingerprint needs >= 64 samples")
+            val frameLen = n / 64
+            val energy = new Array[Long](64)
+            var sum = 0L
+            var f = 0
+            while (f < 64) {
+              var i = f * frameLen
+              val end = i + frameLen
+              var e = 0L
+              while (i < end) {
+                val s = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toInt
+                e += math.abs(s.toLong)
+                i += 1
+              }
+              energy(f) = e; sum += e
+              f += 1
+            }
+            var lo = 0L; var hi = 0L
+            f = 0
+            while (f < 64) {
+              if (energy(f) * 64 > sum) {
+                if (f < 32) lo |= 1L << f else hi |= 1L << (f - 32)
+              }
+              f += 1
+            }
+            Row(id, hi, lo)
+          } catch {
+            case _: Exception => Row(id, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("afp_hi", LongType), StructField("afp_lo", LongType))))
   }
 
   val audioFeatureSchema: StructType = StructType(Seq(

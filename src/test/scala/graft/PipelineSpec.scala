@@ -1033,6 +1033,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(b.getLong(0) === 99L && b.isNullAt(1) && b.isNullAt(2))
   }
 
+  test("audioFingerprint: exact frame-energy bits; short and garbage payloads null") {
+    import spark.implicits._
+    val media = Multimodal.synthesizeWavMedia(Seq(3L, 4L).toDF("doc_id"))
+    val got = Multimodal.audioFingerprint(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def ref(id: Long): (Long, Long) = {
+      val s = (0 until 256).map(i => ((id * 7919 + i.toLong * 31) % 65536 - 32768))
+      val e = (0 until 64).map(f => (0 until 4).map(j => math.abs(s(4 * f + j))).sum)
+      val tot = e.sum
+      var lo = 0L; var hi = 0L
+      (0 until 64).foreach { f =>
+        if (e(f) * 64 > tot) { if (f < 32) lo |= 1L << f else hi |= 1L << (f - 32) }
+      }
+      (hi, lo)
+    }
+    assert(got(3L) === ref(3L) && got(4L) === ref(4L))
+    // < 64 samples cannot frame -> null words, kept
+    val short = Multimodal.audioFingerprint(
+      Multimodal.synthesizeWavMedia(Seq(9L).toDF("doc_id"), nSamples = 32)).collect()(0)
+    assert(short.getLong(0) === 9L && short.isNullAt(1) && short.isNullAt(2))
+    // the generic Hamming join accepts the afp columns directly
+    val many = Multimodal.audioFingerprint(
+      Multimodal.synthesizeWavMedia((0L until 60L).toDF("doc_id"))).cache()
+    val pairs = Multimodal.hammingNearDupPairs(many, "afp_hi", "afp_lo", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val hs = many.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = (for {
+      (ia, hia, loa) <- hs; (ib, hib, lob) <- hs if ia < ib
+      d = java.lang.Long.bitCount(hia ^ hib) + java.lang.Long.bitCount(loa ^ lob)
+      if d <= 7
+    } yield (ia, ib) -> d).toMap
+    assert(pairs === want)
+    many.unpersist()
+  }
+
   test("imageNearDupPairs: banded join equals brute-force Hamming, no cartesian") {
     import spark.implicits._
     val ids = (0L until 80L).toDF("doc_id")
