@@ -1113,6 +1113,16 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       graft.pipeline.Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), k = 5)
     }),
+    // ---- pipeline: PERSISTED IVF-PQ index — write the bucket-partitioned
+    //      codes + centroids + codebooks layout, then search it from disk;
+    //      deterministic training makes the result identical to the
+    //      in-session composition, so q_ivfpq_topk's oracle applies ----
+    "q_ivfpq_persisted" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-${dir.hashCode & 0x7fffffff}"
+      graft.pipeline.Similarity.writeIvfPqIndex(e, path)
+      graft.pipeline.Similarity.searchIvfPqIndex(s, path, e.filter(col("vec_id") < 10), k = 5)
+    }),
     // ---- pipeline: SemDeDup-style semantic dedup (cluster → within-cluster
     //      cosine pairs → keep min id per duplicate component) ----
     "q_semantic_dedup" -> ((s, dir) => {
@@ -3048,6 +3058,10 @@ object SparkEntry {
          |SELECT vec_id, unnest([{'dim': i-1, 'val': l[i]}
          |  for i in range(1, len(l)+1)], recursive := true) FROM dec""".stripMargin,
     "q_ivfpq_topk" -> ivfPqTopKOracle(nlist = 16, nprobe = 4, m = 2, k = 5,
+      codes = 8, rounds = 2, dim = 64, maxQid = 10),
+    // the persisted index materializes the same deterministic training, so
+    // the search result — and therefore the oracle — is identical
+    "q_ivfpq_persisted" -> ivfPqTopKOracle(nlist = 16, nprobe = 4, m = 2, k = 5,
       codes = 8, rounds = 2, dim = 64, maxQid = 10),
     "q_bigram_logprob" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS wl FROM documents),

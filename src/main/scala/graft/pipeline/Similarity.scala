@@ -325,6 +325,94 @@ object Similarity {
       .select(col("qid"), col(idCol).as("nid"), col("rank"))
   }
 
+  /** Persist a trained IVF-PQ index as a disk layout a search fleet reads
+    * WITHOUT retraining — the missing production half of [[ivfPqTopK]]
+    * (which trains per session):
+    *   - `codes/`     one row per vector (id, code0..code{m-1}), PARTITIONED
+    *                  BY the coarse bucket, so a search's nprobe buckets
+    *                  prune at FILE-LISTING time (static or dynamic
+    *                  partition pruning — |corpus|·nprobe/nlist bytes read,
+    *                  the rest never opened);
+    *   - `coarse/`    the nlist coarse centroids;
+    *   - `codebooks/` the m × k PQ codewords (subspace, cid, cvec);
+    *   - `meta/`      a 1-row parquet of the build parameters.
+    * Training is the same deterministic pipeline as [[ivfPqTopK]]
+    * (hash-seeded k-means, decimal means), so [[searchIvfPqIndex]] over the
+    * persisted layout returns EXACTLY what the in-session composition
+    * returns — the index is a materialization, not an approximation. At
+    * 10¹⁰ vectors the codes table is the only corpus-sized artifact
+    * (m ints + id per row); centroids and codebooks are KBs. */
+  def writeIvfPqIndex(data: DataFrame, path: String, nlist: Int = 16,
+      m: Int = 2, codes: Int = 8, rounds: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = data.sparkSession
+    val dim = vecDim(data, vecCol)
+    require(dim % m == 0, s"PQ: dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val coarse = graft.core.PlanCache.cached(spark,
+      graft.core.PlanCache.key("ivf-cents", data, nlist, idCol, vecCol, rounds)) {
+      kMeansCentroids(data, nlist, rounds, idCol, vecCol)
+    }
+    val bucketed = assign(data, coarse, idCol, vecCol)
+      .select(col(idCol), col("cid").as("bucket"))
+    pqEncode(data, m, codes, rounds, idCol, vecCol)
+      .join(bucketed, Seq(idCol))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/codes")
+    coarse.write.mode("overwrite").parquet(s"$path/coarse")
+    (0 until m).map { s =>
+      val sliced = data.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as(vecCol))
+      pqCodebook(data, sliced, s, sub, codes, rounds, idCol, vecCol)
+        .select(lit(s).as("subspace"), col("cid"), col("cvec"))
+    }.reduce(_ unionAll _)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    import spark.implicits._
+    Seq((nlist, m, codes, rounds, dim)).toDF("nlist", "m", "codes", "rounds", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** ANN search over a persisted [[writeIvfPqIndex]] layout: probe the
+    * nprobe nearest coarse buckets (centroids broadcast), read ONLY those
+    * buckets' code partitions (the bucket join is on the partition column —
+    * Spark's dynamic partition pruning skips every other file), score via
+    * broadcast per-query lookup tables in fixed subspace order, rank with
+    * the usual (score desc, id asc) tie-break. Identical results to
+    * [[ivfPqTopK]] with the same build parameters; corpus vectors are never
+    * read at search time — only codes. */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head
+    val m = meta.getAs[Int]("m")
+    val dim = meta.getAs[Int]("dim")
+    val sub = dim / m
+    val coarse = spark.read.parquet(s"$path/coarse")
+    val codebooks = spark.read.parquet(s"$path/codebooks")
+    val encoded = spark.read.parquet(s"$path/codes")
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("csim").desc, col("bucket").asc)
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(coarse.select(col("cid").as("bucket"), col("cvec"))))
+      .withColumn("csim", cosine(col("qvec"), col("cvec")))
+      .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= nprobe)
+      .select(col("qid"), col("bucket"))
+    val candidates = probes.join(encoded, Seq("bucket"))
+    val scored = (0 until m).foldLeft(candidates) { (acc, s) =>
+      val cents = codebooks.filter(col("subspace") === s).select(col("cid"), col("cvec"))
+      val lut = queries
+        .select(col(idCol).as("qid"), slice(col(vecCol), s * sub + 1, sub).as("qsub"))
+        .crossJoin(broadcast(cents))
+        .select(col("qid"), col("cid").as(s"code$s"),
+          cosine(col("qsub"), col("cvec")).as(s"sim$s"))
+      acc.join(broadcast(lut), Seq("qid", s"code$s"))
+    }
+    val score = (0 until m).map(s => col(s"sim$s")).reduce(_ + _) // fixed order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(score.desc, col(idCol).asc)
+    scored.filter(col("qid") =!= col(idCol))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col(idCol).as("nid"), col("rank"))
+  }
+
   /** Hubness diagnostic — the in-degree histogram of the k-NN digraph (how
     * many vectors count each vector among their top-k). High-dimensional
     * embedding spaces grow "hub" points that appear in a disproportionate

@@ -1033,6 +1033,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(b.getLong(0) === 99L && b.isNullAt(1) && b.isNullAt(2))
   }
 
+  test("persisted IVF-PQ index: disk search equals in-session; bucket partitions prune dynamically") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+    Similarity.writeIvfPqIndex(emb, path)
+    val queries = emb.filter(col("vec_id") < 10)
+    val fromDisk = Similarity.searchIvfPqIndex(spark, path, queries, k = 5)
+    // the search's bucket join prunes code PARTITIONS at file level —
+    // dynamic partition pruning on the partition column, asserted in-plan
+    fromDisk.count()
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the codes scan:\n${plan.take(2000)}")
+    // layout: codes are physically bucket-partitioned
+    assert(new java.io.File(s"$path/codes").listFiles()
+      .exists(_.getName.startsWith("bucket=")))
+    // deterministic training makes the persisted search IDENTICAL to the
+    // in-session composition
+    val got = fromDisk.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Similarity.ivfPqTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === want)
+  }
+
   test("audioFingerprint: exact frame-energy bits; short and garbage payloads null") {
     import spark.implicits._
     val media = Multimodal.synthesizeWavMedia(Seq(3L, 4L).toDF("doc_id"))
