@@ -1119,7 +1119,9 @@ object SparkEntry {
     //      in-session composition, so q_ivfpq_topk's oracle applies ----
     "q_ivfpq_persisted" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-${dir.hashCode & 0x7fffffff}"
+      // per-invocation temp dir: a fixed path would race concurrent drivers
+      // (one overwriting codes/ while another's lazy scan reads them)
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
       graft.pipeline.Similarity.writeIvfPqIndex(e, path)
       graft.pipeline.Similarity.searchIvfPqIndex(s, path, e.filter(col("vec_id") < 10), k = 5)
     }),
@@ -3738,14 +3740,15 @@ object SparkEntry {
     val dirs = graft.pipeline.Similarity.lshDirections(dim, outDim, seed)
     val values = (for (j <- 0 until outDim; i <- 0 until dim)
       yield s"($j,$i,${dirs(j)(i).toInt})").mkString(",")
-    val inv = graft.pipeline.Similarity.invSqrtDecimal(outDim).toPlainString
+    val inv = graft.pipeline.Similarity.invSqrtDecimal(outDim)
+    val sumP = graft.pipeline.Similarity.sumPrecision(inv)
     s"""WITH dirs(j, i, s) AS (VALUES $values),
        |e AS (SELECT vec_id, unnest([{'i': i-1, 'v': embedding[i]}
        |    for i in range(1, len(embedding)+1)], recursive := true) FROM embeddings)
        |SELECT e.vec_id, d.j AS dim,
        |  CAST(ROUND(
-       |    CAST(SUM(CAST(ROUND(CAST(e.v AS DOUBLE), 6) AS DECIMAL(16,6)) * d.s) AS DECIMAL(18,10))
-       |      * CAST($inv AS DECIMAL(13,12)), 6) AS DOUBLE) AS val
+       |    CAST(SUM(CAST(ROUND(CAST(e.v AS DOUBLE), 6) AS DECIMAL(16,6)) * d.s) AS DECIMAL($sumP,10))
+       |      * CAST(${inv.toPlainString} AS DECIMAL(${inv.precision},${inv.scale})), 6) AS DOUBLE) AS val
        |FROM e JOIN dirs d ON d.i = e.i GROUP BY 1, 2""".stripMargin
   }
 

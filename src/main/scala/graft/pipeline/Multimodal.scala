@@ -263,16 +263,20 @@ object Multimodal {
   /** Image near-duplicate pairs by aHash Hamming distance ≤ `maxHamming` —
     * the visual member of the dedup family (same role MinHash plays for
     * text): re-encoded, resized and re-compressed copies land within a few
-    * bits of each other. EXACT at full recall: the 64-bit hash splits into
-    * 8 byte-bands, and by pigeonhole any pair within distance ≤ 7 shares at
-    * least one unchanged band — candidates come from one (band, value)
-    * equi-join, then the true distance (codegen bit_count over XOR) filters.
-    * Requires maxHamming ≤ 7 so the band guarantee holds.
+    * bits of each other. The 64-bit hash splits into 8 byte-bands, and by
+    * pigeonhole any pair within distance ≤ 7 shares at least one unchanged
+    * band — candidates come from one (band, value) equi-join, then the true
+    * distance (codegen bit_count over XOR) filters. Requires maxHamming ≤ 7
+    * so the band guarantee holds.
     *
     * Scale: hashes are 2 longs/image — the join input is (id, band, byte),
-    * constant width; heavy buckets (e.g. flat/black images all hashing to
-    * 0) cap at `maxBucket` ids with the same anti-join guard as the text
-    * LSH families, trading those degenerate groups for boundedness. */
+    * constant width. Heavy buckets — (band, value) groups beyond
+    * `maxBucket` ids, e.g. millions of flat/black images all hashing
+    * alike — are DROPPED with the same anti-join guard as the text LSH
+    * families, which bounds the candidate volume but forfeits pairs whose
+    * every shared band is heavy: recall is 1 only below the cap (set
+    * `maxBucket = Int.MaxValue` for the unconditionally-exact join when the
+    * corpus is known skew-free). */
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 7,
       maxBucket: Int = 10000): DataFrame =
     hammingNearDupPairs(hashes, "ahash_hi", "ahash_lo", maxHamming, maxBucket)

@@ -465,14 +465,23 @@ object Similarity {
     val spark = data.sparkSession
     import spark.implicits._
     val dirDf = broadcast(dirRows.toDF("j", "i", "s"))
+    val inv = invSqrtDecimal(outDim)
     data.select(col(idCol), posexplode(col(vecCol)).as(Seq("i", "v")))
       .join(dirDf, Seq("i"))
       .groupBy(col(idCol), col("j"))
       .agg(round(sum(round(col("v").cast(DoubleType), 6).cast(DecimalType(16, 6)) * col("s"))
-          .cast(DecimalType(18, 10)) * lit(invSqrtDecimal(outDim)), 6)
+          .cast(DecimalType(sumPrecision(inv), 10)) * lit(inv), 6)
         .cast(DoubleType).as("val"))
       .select(col(idCol), col("j").as("dim"), col("val"))
   }
+
+  /** Widest sum precision (scale 10) whose product with the 1/√outDim
+    * literal stays exact in BOTH engines (Spark: p₁+p₂+1 ≤ 38; DuckDB:
+    * w₁+w₂ ≤ 38) — e.g. 24 digits (≈10¹⁴ headroom) against a 13-digit inv,
+    * 35 against √16's stripped 0.25. A sum beyond the headroom overflows
+    * the cast (null under non-ANSI) rather than silently rounding. */
+  private[graft] def sumPrecision(inv: java.math.BigDecimal): Int =
+    37 - inv.precision // Spark bound (p1+p2+1 <= 38) is the tighter of the two
 
   /** 1/√outDim as a fixed 12-dp decimal — EXACT when √outDim is an integer
     * whose reciprocal terminates (outDim = 16 → 0.25), HALF_UP-pinned
@@ -489,7 +498,11 @@ object Similarity {
         java.math.BigDecimal.ONE.divide(
           java.math.BigDecimal.valueOf(si), 12, java.math.RoundingMode.HALF_UP)
       else java.math.BigDecimal.valueOf(1.0 / s)
-    bd.setScale(12, java.math.RoundingMode.HALF_UP)
+    // trailing zeros cost precision budget in the decimal multiply (0.25
+    // at scale 12 is a 12-digit literal) — strip them so the sum keeps the
+    // widest exact headroom; a whole-number result keeps one digit
+    val pinned = bd.setScale(12, java.math.RoundingMode.HALF_UP).stripTrailingZeros()
+    if (pinned.scale < 0) pinned.setScale(0) else pinned
   }
 
   /** Vector dimensionality, probed once from an arbitrary row — with a clear

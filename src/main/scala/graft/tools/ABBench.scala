@@ -54,8 +54,9 @@ object ABBench {
     val times = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     for (_ <- 1 to reps; n <- names)
       times(n) = times.getOrElse(n, Vector.empty) :+ once(n)
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val body = names.map(n =>
-      "\"" + n + "\":[" + times(n).map(v => f"$v%.3f").mkString(",") + "]")
+      "\"" + n + "\":[" + times(n).map(fmt).mkString(",") + "]")
       .mkString("{", ",", "}")
     println(s"""ABJSON {"sf":"$sfDir","reps":$reps,"times":$body}""")
     spark.stop()

@@ -35,11 +35,19 @@ final case class Traversal(
     lastOrder: Seq[Column] = Nil,
     stored: Map[String, DataFrame] = Map.empty,
     asMeta: Map[String, Boolean] = Map.empty,
-    // Label universe the current frontier can contain (None = unknown/all).
-    // Narrowed by hasLabel, reset by element-changing steps (hops, branch
-    // merges). A routing hint only — it scopes supernode salting (stale
-    // `None` = conservative two-phase, never a wrong result). */
+    // VERTEX label universe the current frontier can contain (None =
+    // unknown/all; meaningful only on vertex frontiers — consumers compare
+    // it against partitioned VERTEX labels, so edge-label sets must never
+    // land here). Narrowed by hasLabel, derived from declared edge-label
+    // endpoints on provable hops, reset to None otherwise. A routing hint
+    // only — it scopes supernode salting (stale `None` = conservative
+    // two-phase, never a wrong result). */
     frontierLabels: Option[Set[String]] = None,
+    // EDGE label universe of an edge frontier (outE/inE/bothE restriction,
+    // or the label of addE-created edges) — the separate domain that lets
+    // inV()/outV()/otherV() re-derive the endpoint vertex universe without
+    // ever confusing edge labels with vertex labels. */
+    frontierEdgeLabels: Option[Set[String]] = None,
     // Element kind (vertex?) of the FIRST occurrence of each reused as-label
     // (Pop.first can target a different element kind than the latest). */
     asFirstMeta: Map[String, Boolean] = Map.empty,
@@ -68,10 +76,18 @@ final case class Traversal(
   def has(key: String, p: P): Traversal = copy(df = df.filter(p.apply(keyCol(key))))
   def has(key: String): Traversal = copy(df = df.filter(keyCol(key).isNotNull))
   def hasNot(key: String): Traversal = copy(df = df.filter(keyCol(key).isNull))
-  def hasLabel(ls: String*): Traversal =
-    copy(df = if (ls.size == 1) df.filter(col("label") === ls.head)
-              else df.filter(col("label").isin(ls: _*)),
-      frontierLabels = Some(frontierLabels.fold(ls.toSet)(_ intersect ls.toSet)))
+  def hasLabel(ls: String*): Traversal = {
+    val filtered = if (ls.size == 1) df.filter(col("label") === ls.head)
+                   else df.filter(col("label").isin(ls: _*))
+    // narrow the universe of the frontier's OWN domain: vertex labels on a
+    // vertex frontier, edge labels on an edge frontier — never cross-domain
+    if (isVertex)
+      copy(df = filtered,
+        frontierLabels = Some(frontierLabels.fold(ls.toSet)(_ intersect ls.toSet)))
+    else
+      copy(df = filtered,
+        frontierEdgeLabels = Some(frontierEdgeLabels.fold(ls.toSet)(_ intersect ls.toSet)))
+  }
   def hasId(ids: Long*): Traversal =
     copy(df = if (ids.size == 1) df.filter(col("id") === ids.head)
               else df.filter(col("id").isin(ids: _*)))
@@ -167,9 +183,11 @@ final case class Traversal(
         graph.edgePropColumns.map(col) ++ asCols.map(col) ++
         (if (pathEnabled) Seq(F.concat(col("_path"), F.array(col("id"))).as("_path")) else Nil) ++
         sackCarry
-      // an edge frontier's label universe is the hop's edge-label restriction
+      // the edge frontier's EDGE-label universe is the hop's restriction;
+      // the vertex universe resets (an edge frontier has no vertex labels)
       copy(df = joined.select(cols: _*), isVertex = false, lastOrder = Nil,
-        frontierLabels = if (labels.nonEmpty) Some(labels.toSet) else None)
+        frontierLabels = None,
+        frontierEdgeLabels = if (labels.nonEmpty) Some(labels.toSet) else None)
     } else {
       val v = graph.vertices.alias("V")
       val res = joined.join(v, col("other") === col("V.id"))
@@ -177,7 +195,8 @@ final case class Traversal(
         (if (pathEnabled) Seq(F.concat(col("_path"), F.array(col("V.id"))).as("_path")) else Nil) ++
         sackCarry
       copy(df = res.select(cols: _*), isVertex = true, lastOrder = Nil,
-        frontierLabels = graph.schema.hopEndpointLabels(labels, wantSrc, wantDst))
+        frontierLabels = graph.schema.hopEndpointLabels(labels, wantSrc, wantDst),
+        frontierEdgeLabels = None)
     }
   }
 
@@ -189,10 +208,10 @@ final case class Traversal(
     val cols = Seq(col("V.*")) ++ asCols.map(col) ++
       (if (hasPath) Seq(F.concat(col("_path"), F.array(col("V.id"))).as("_path")) else Nil) ++
       sackCarry
-    // when the edge frontier's label universe is tracked, the endpoint's
-    // vertex-label universe is provable from the catalog's declared
-    // endpoints ("other" can be either side → union of both)
-    val target = frontierLabels.flatMap { els =>
+    // when the edge frontier's EDGE-label universe is tracked, the
+    // endpoint's vertex-label universe is provable from the catalog's
+    // declared endpoints ("other" can be either side → union of both)
+    val target = frontierEdgeLabels.flatMap { els =>
       val (wantSrc, wantDst) = endpoint match {
         case "src" => (true, false)
         case "dst" => (false, true)
@@ -201,7 +220,7 @@ final case class Traversal(
       graph.schema.hopEndpointLabels(els.toSeq, wantSrc, wantDst)
     }
     copy(df = res.select(cols: _*), isVertex = true, lastOrder = Nil,
-      frontierLabels = target)
+      frontierLabels = target, frontierEdgeLabels = None)
   }
 
   // ---------- modulation / projection ----------
@@ -434,11 +453,21 @@ final case class Traversal(
   /** Post-branch coalescing merge: group traversers identical in EVERYTHING
     * but the sack (element columns, as-history, path) and combine sacks with
     * the declared aggregate. One hash aggregate keyed by the frontier's
-    * columns — map-side combinable, no window. */
+    * columns — map-side combinable, no window. Frontiers carrying a
+    * map-typed property column skip the merge (Spark cannot group by maps);
+    * branch results then stay separate traversers — the documented
+    * no-merge behavior, never an error. */
   private def mergeSacks(d: DataFrame): DataFrame = sackMerge match {
     case Some(agg) if d.columns.contains("_sack") =>
-      val keys = d.columns.filterNot(_ == "_sack").toSeq
-      d.groupBy(keys.map(col): _*).agg(agg(col("_sack")).as("_sack"))
+      def hasMap(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+        case _: org.apache.spark.sql.types.MapType => true
+        case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+        case _ => false
+      }
+      val keys = d.schema.fields.filterNot(_.name == "_sack")
+      if (keys.exists(f => hasMap(f.dataType))) d
+      else d.groupBy(keys.map(f => col(f.name)).toSeq: _*).agg(agg(col("_sack")).as("_sack"))
     case _ => d
   }
 
@@ -904,7 +933,10 @@ final case class Traversal(
     * on the CREATED edges (one traverser per created edge — the SIMPLE
     * multiplicity collapse above also collapses traversers), carrying the
     * mutated graph: `…addE('x', 'a').inV().values(…)` chains without
-    * re-anchoring. As-labels do not survive the collapse. */
+    * re-anchoring. As-labels, path history and sack state do NOT survive
+    * the collapse (many incoming traversers fold into one created edge, so
+    * per-traverser state has no well-defined carry) — read them before
+    * addE, or re-anchor after. */
   def addE(label: String, stepLabel: String,
       direction: Direction = Direction.OUT,
       props: Seq[String] = Nil, enforce: Boolean = true): Traversal = {
@@ -938,7 +970,7 @@ final case class Traversal(
       Seq(col("src").as("vid"), col("dst").as("other"), lit("OUT").as("dir")) ++
         created.columns.map(col): _*)
     copy(graph = ng, df = ef, isVertex = false, lastOrder = Nil,
-      frontierLabels = None)
+      frontierLabels = None, frontierEdgeLabels = Some(Set(label)))
   }
 
   // ---------- aggregation terminals ----------
