@@ -153,6 +153,14 @@ class PlanShapeSpec extends AnyFunSuite {
       .groupBy(col("mktsegment")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(inHop.collect().map(r => r.getString(0) -> r.getLong(1)).toMap === manual)
+    // REGRESSION GUARD (label-domain separation): an EDGE frontier's label
+    // set lives in the edge domain and must never be compared against
+    // partitioned VERTEX labels — outE from a partitioned anchor keeps the
+    // conservative salted plan (the edge expansion of the supernode is
+    // exactly the skew salting exists for)
+    val edgeGc = pg.traversal.V().hasLabel("order").outE("contains").groupCount("shipdate")
+    assert(edgeGc.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "edge-label universe must not defeat vertex-label salting scope")
   }
 
   test("automatic index selection rewrites an equality query to an index semi-join") {
