@@ -1025,6 +1025,45 @@ object SparkEntry {
         } finally cleanup()
       out
     }),
+    // ---- pipeline: STREAMING perceptual dedup — aHash fingerprints flow
+    //      through Structured Streaming, one survivor (min id) + dup count
+    //      per distinct fingerprint; oracle-identical to the batch groupBy,
+    //      proving the visual-dedup family composes with streams like the
+    //      text family does (q_stream_exact_dedup) ----
+    "q_stream_image_dedup" -> ((s, dir) => {
+      val ids = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+      val hashes = graft.pipeline.Multimodal.imageAHash(
+        graft.pipeline.Multimodal.synthesizePngMedia(ids))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sid")
+      hashes.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema(hashes.schema).parquet(s"$tmp/in")
+      val qname = s"graft_sid_${System.nanoTime()}"
+      val q = stream
+        .groupBy(col("ahash_hi"), col("ahash_lo"))
+        .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n_dups"))
+        .writeStream.format("memory").queryName(qname).outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      def cleanup(): Unit = {
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      val out =
+        try {
+          val finished = q.awaitTermination(300000)
+          if (!finished) {
+            q.stop()
+            sys.error("q_stream_image_dedup: stream did not finish in 300s")
+          }
+          val t = s.table(qname)
+          s.catalog.dropTempView(qname)
+          t
+        } finally cleanup()
+      out
+    }),
     // ---- pipeline: duplicate-cluster size histogram (the standard dedup
     //      report) — unpaired docs fold in as size-1 clusters so the
     //      histogram partitions the whole corpus ----
@@ -3136,6 +3175,20 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN g*64 > tot AND i >= 32 THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
         |  CAST(SUM(CASE WHEN g*64 > tot AND i < 32 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS ahash_lo
         |FROM s GROUP BY doc_id""".stripMargin,
+    // streaming twin: same hash derivation, one survivor + count per
+    // distinct fingerprint — identical to what the stream's complete-mode
+    // aggregate materializes
+    "q_stream_image_dedup" ->
+      """WITH px AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS i, (doc_id*31 + i) % 256 AS g
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+        |s AS (SELECT doc_id, i, g, SUM(g) OVER (PARTITION BY doc_id) AS tot FROM px),
+        |h AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN g*64 > tot AND i >= 32 THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(SUM(CASE WHEN g*64 > tot AND i < 32 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM s GROUP BY doc_id)
+        |SELECT ahash_hi, ahash_lo, MIN(doc_id) AS survivor, COUNT(*) AS n_dups
+        |FROM h GROUP BY 1, 2""".stripMargin,
     // near-dup oracle: brute-force Hamming over the same hashes — the engine's
     // banded join is recall-1 for distance <= 7, so the sets are identical
     "q_image_neardup" ->
