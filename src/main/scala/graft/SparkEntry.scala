@@ -1121,6 +1121,22 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.gopherRules(
         s.read.parquet(s"$dir/documents.parquet"), minWords = 30)
     }),
+    // ---- pipeline: C4-style page cleaning (line-level terminal-punctuation
+    //      + min-words rules, page-level lorem-ipsum/brace/min-lines drops).
+    //      The corpus text is one unpunctuated line, so the probe builds a
+    //      deterministic 4-line page per doc (both engines identically):
+    //      two clean lines, one punctuation-less line, and a third line that
+    //      carries a '{' on every 5th doc — exercising every rule class ----
+    "q_c4_clean" -> ((s, dir) => {
+      val page = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"),
+        concat_ws("\n",
+          concat(substring(col("text"), 1, 40), lit(" tail.")),
+          lit("no terminal punct"),
+          lit("the quick brown fox jumps."),
+          when(col("doc_id") % 5 === 0, lit("junk { brace"))
+            .otherwise(lit("clean third line."))).as("text"))
+      graft.pipeline.TextAnalysis.c4Clean(page)
+    }),
     // ---- pipeline: hubness — in-degree histogram of the k-NN digraph
     //      (hub vectors distort retrieval; zero-degree vectors included) ----
     "q_hubness" -> ((s, dir) => {
@@ -3140,6 +3156,24 @@ object SparkEntry {
         |    AND (CAST(sym AS DOUBLE) / n <= 0.1) AND (CAST(alpha AS DOUBLE) / n >= 0.8)
         |    AND stops >= 2 AS pass
         |FROM f""".stripMargin,
+    // mirrors c4Clean rule-for-rule over the same synthesized 4-line page
+    "q_c4_clean" ->
+      """WITH page AS (SELECT doc_id,
+        |  substr(text, 1, 40) || ' tail.' || chr(10) ||
+        |  'no terminal punct' || chr(10) ||
+        |  'the quick brown fox jumps.' || chr(10) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN 'junk { brace' ELSE 'clean third line.' END) AS text
+        |  FROM documents),
+        |k AS (SELECT doc_id, text,
+        |  [l for l in string_split(text, chr(10)) if regexp_matches(rtrim(l), '[.!?"]$')
+        |    and len(string_split_regex(trim(l), '\s+')) >= 3
+        |    and not contains(lower(l), 'javascript')] AS kl FROM page)
+        |SELECT doc_id,
+        |  CASE WHEN pd THEN NULL ELSE array_to_string(kl, chr(10)) END AS text,
+        |  NOT pd AS kept
+        |FROM (SELECT doc_id, kl,
+        |  contains(lower(text), 'lorem ipsum') OR contains(text, '{') OR len(kl) < 3 AS pd
+        |  FROM k)""".stripMargin,
     "q_hard_negatives" ->
       """SELECT qid, nid, "rank" FROM (
         |  SELECT q.vec_id AS qid, d.vec_id AS nid, ROW_NUMBER() OVER (PARTITION BY q.vec_id

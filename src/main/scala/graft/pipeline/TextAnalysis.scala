@@ -600,4 +600,36 @@ object TextAnalysis {
       }
     ranked.withColumn("split", assign).drop("__rk", "__n")
   }
+
+  /** C4-style page cleaning (the published c4.en heuristics — Raffel et al.
+    * 2020 §2.2 — the documented subset below, applied line-by-line then
+    * page-level):
+    *   - a LINE survives iff it ends in terminal punctuation (. ! ? ") and
+    *     has at least `minWords` whitespace words and does not contain the
+    *     word "javascript" (case-insensitive);
+    *   - a PAGE drops entirely when its text contains "lorem ipsum"
+    *     (case-insensitive) or a '{' (code), or fewer than `minLines` lines
+    *     survive.
+    * Returns (idCol, textCol, kept): surviving pages re-join their kept
+    * lines with '\n'; dropped pages carry NULL text and kept=false; NULL
+    * input stays NULL (the house null contract). Pure codegen expressions —
+    * split/filter/array_join per row, no shuffle, no UDF — so the filter
+    * runs at scan speed on 100 TB and a SQL oracle mirrors every rule. */
+  def c4Clean(docs: DataFrame, minWords: Int = 3, minLines: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keptLines = filter(lines, l =>
+      regexp_like(rtrim(l), lit("[.!?\"]$")) &&
+        size(split(trim(l), "\\s+")) >= minWords &&
+        !lower(l).contains("javascript"))
+    val pageDrop = coalesce(
+      lower(col(textCol)).contains("lorem ipsum") ||
+        col(textCol).contains("{") ||
+        size(keptLines) < minLines,
+      lit(true)) // null text -> dropped page (text stays null below)
+    docs.select(col(idCol),
+      when(pageDrop, lit(null).cast(StringType))
+        .otherwise(array_join(keptLines, "\n")).as(textCol),
+      (!pageDrop).as("kept"))
+  }
 }

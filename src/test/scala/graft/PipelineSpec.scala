@@ -270,6 +270,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("empty"))
   }
 
+  test("c4Clean applies every line and page rule; null text stays null") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "good first line here.\nends with bang now!\nquoted line ends \"\nbad line\ntiny."),
+      (2L, "uses javascript heavily today.\nfine line number one.\nfine line number two.\nfine line number three."),
+      (3L, "some lorem ipsum filler page.\nother fine line here.\nanother fine line here."),
+      (4L, "code page { body\nfine line one here.\nfine line two here.\nfine line three here."),
+      (5L, "only one good line here.\nnope\nnah"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Clean(d).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getBoolean(2))).toMap
+    // 1: three lines survive (terminal . ! and "), 'bad line' (no punct) and
+    //    'tiny.' (<3 words) drop — page kept
+    assert(got(1L) === ((Some("good first line here.\nends with bang now!\nquoted line ends \""), true)))
+    // 2: the javascript line drops but three clean lines remain -> kept
+    assert(got(2L) === ((Some("fine line number one.\nfine line number two.\nfine line number three."), true)))
+    // 3: lorem ipsum anywhere drops the page
+    assert(got(3L) === ((None, false)))
+    // 4: '{' anywhere drops the page
+    assert(got(4L) === ((None, false)))
+    // 5: fewer than minLines surviving lines drops the page
+    assert(got(5L) === ((None, false)))
+    // 6: null input -> null text, not kept
+    assert(got(6L) === ((None, false)))
+    // minLines is tunable: page 5 survives at minLines = 1
+    val loose = TextAnalysis.c4Clean(d, minLines = 1).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(loose(5L) === true)
+  }
+
   test("text analysis: tokens/quality/langid/fingerprint are deterministic & sane") {
     val r = docs.select(
       TextAnalysis.tokenCount(col("text")).as("n"),
