@@ -64,9 +64,17 @@ object GraphIO {
   def load(spark: SparkSession, path: String, schema: GraphSchema = GraphSchema()): PropertyGraph = {
     val v = spark.read.parquet(s"$path/vertices")
     val e = spark.read.parquet(s"$path/edges")
+    PropertyGraph(graft.mgmt.DefaultSchemaMaker.applyConfigured(
+      spark, mergedSchema(path, schema), v, e), v, e)
+  }
+
+  /** Persisted-catalog merge shared by every format's import: the stored
+    * schema.json (when present) is the base, the caller's explicit entries
+    * win per name (the caller is "management"). */
+  private def mergedSchema(path: String, schema: GraphSchema): GraphSchema = {
     val stored = readTextIfExists(s"$path/schema.json")
       .map(graft.core.SchemaJson.fromJson).getOrElse(GraphSchema())
-    val base = stored.copy(
+    stored.copy(
       propertyKeys = stored.propertyKeys ++ schema.propertyKeys,
       edgeLabels = stored.edgeLabels ++ schema.edgeLabels,
       vertexLabels = stored.vertexLabels ++ schema.vertexLabels,
@@ -74,19 +82,21 @@ object GraphIO {
       relationIndexes = stored.relationIndexes ++ schema.relationIndexes,
       ttlReadTime = schema.ttlReadTime.orElse(stored.ttlReadTime),
       variables = stored.variables ++ schema.variables)
-    PropertyGraph(graft.mgmt.DefaultSchemaMaker.applyConfigured(spark, base, v, e), v, e)
   }
 
   /** GraphSON-style export: one JSON object per element, vertices and edges in
-    * separate directories (TinkerPop 3 GraphSON is line-JSON too). */
+    * separate directories (TinkerPop 3 GraphSON is line-JSON too). The
+    * catalog travels with the graph (schema.json sidecar) like every other
+    * format — foreign readers simply ignore the extra file. */
   def exportJson(g: PropertyGraph, path: String): Unit = {
     g.vertices.write.mode(SaveMode.Overwrite).json(s"$path/vertices")
     g.edges.write.mode(SaveMode.Overwrite).json(s"$path/edges")
+    writeText(s"$path/schema.json", graft.core.SchemaJson.toJson(g.schema))
   }
 
   def importJson(spark: SparkSession, path: String,
       schema: GraphSchema = GraphSchema()): PropertyGraph =
-    PropertyGraph(schema,
+    PropertyGraph(mergedSchema(path, schema),
       spark.read.json(s"$path/vertices"),
       spark.read.json(s"$path/edges"))
 
@@ -268,6 +278,10 @@ object GraphIO {
       .write.mode(SaveMode.Overwrite).text(s"$path/nodes")
     graphmlFragments(g.edges, isVertex = false, eKeyIds)
       .write.mode(SaveMode.Overwrite).text(s"$path/edges")
+    // the catalog travels with the graph like every other format (sidecar
+    // file outside the header+parts+footer concatenation, so the document
+    // stays well-formed; foreign readers ignore it)
+    writeText(s"$path/schema.json", graft.core.SchemaJson.toJson(g.schema))
   }
 
   /** GraphML import: fragment parts split on the element close tag (the text
@@ -333,7 +347,7 @@ object GraphIO {
           }
       kvs.groupBy(idCols: _*).agg(aggs.head, aggs.tail: _*)
     }
-    PropertyGraph(schema,
+    PropertyGraph(mergedSchema(path, schema),
       readSide(s"$path/nodes", isVertex = true),
       readSide(s"$path/edges", isVertex = false))
   }
@@ -351,15 +365,17 @@ object GraphIO {
   // scales as a pure narrow map over however many partitions the graph has.
   // ------------------------------------------------------------------
 
-  /** Binary export: vertices and edges as framed binaries + schema sidecar. */
+  /** Binary export: vertices and edges as framed binaries + frame-schema
+    * sidecars, plus the catalog (schema.json) like every other format. */
   def exportGryo(g: PropertyGraph, path: String): Unit = {
     writeGryoFrames(g.vertices, s"$path/vertices")
     writeGryoFrames(g.edges, s"$path/edges")
+    writeText(s"$path/schema.json", graft.core.SchemaJson.toJson(g.schema))
   }
 
   def importGryo(spark: SparkSession, path: String,
       schema: GraphSchema = GraphSchema()): PropertyGraph =
-    PropertyGraph(schema,
+    PropertyGraph(mergedSchema(path, schema),
       readGryoFrames(spark, s"$path/vertices"),
       readGryoFrames(spark, s"$path/edges"))
 

@@ -114,7 +114,14 @@ class GraphOpsIoSpec extends AnyFunSuite {
     import spark.implicits._
     val v = Seq((1L, "u", 5L), (2L, "u", 9L)).toDF("id", "label", "score")
     val e = Seq((10L, 1L, 2L, "knows")).toDF("id", "src", "dst", "label")
-    val g = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+    // a non-trivial catalog: every format must carry it (schema.json sidecar)
+    val cat = graft.core.GraphSchema()
+      .withPropertyKey(graft.core.PropertyKeyDef("score",
+        org.apache.spark.sql.types.LongType, ttlSeconds = Some(3600L)))
+      .withVertexLabel(graft.core.VertexLabelDef("u", static = true))
+      .withEdgeLabel(graft.core.EdgeLabelDef("knows",
+        srcLabels = Set("u"), dstLabels = Set("u")))
+    val g = graft.data.PropertyGraph(cat, v, e)
     for (f <- Seq(GraphIO.Format.Parquet, GraphIO.Format.GraphSon,
         GraphIO.Format.Gryo, GraphIO.Format.GraphMl)) {
       val p = Files.createTempDirectory(s"graft-io-$f").toString
@@ -122,6 +129,9 @@ class GraphOpsIoSpec extends AnyFunSuite {
       val back = GraphIO.read(spark, p, f)
       assert(back.vertices.count() === 2 && back.edges.count() === 1, s"format $f")
       assert(back.vertices.select(sum("score")).head.get(0).toString === "14", s"format $f")
+      assert(back.schema.propertyKey("score").ttlSeconds === Some(3600L), s"format $f")
+      assert(back.schema.vertexLabel("u").static, s"format $f")
+      assert(back.schema.edgeLabel("knows").dstLabels === Set("u"), s"format $f")
     }
   }
 
