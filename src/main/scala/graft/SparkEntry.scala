@@ -954,6 +954,19 @@ object SparkEntry {
       val src = TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L
       graft.olap.Analytics.shortestHopsExact(graph(s, dir), src, maxIter = 8)
     }),
+    // ---- 2.K shortest-path TREE with deterministic min-id predecessors
+    //      (ShortestPathVertexProgram's relational form) ----
+    "q_shortest_tree" -> ((s, dir) => {
+      val src = TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L
+      graft.olap.Analytics.shortestPathTree(graph(s, dir), src, maxIter = 4)
+    }),
+    // ---- 2.K explicit path materialization over the tree: source→v id
+    //      chains for every reached vertex ----
+    "q_shortest_paths" -> ((s, dir) => {
+      val src = TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L
+      graft.olap.Analytics.shortestPaths(
+        graft.olap.Analytics.shortestPathTree(graph(s, dir), src, maxIter = 4), maxSteps = 4)
+    }),
     // ---- 2.K degree stats via DataFrame aggregation ----
     "q_degrees_full" -> ((s, dir) => {
       graft.olap.Analytics.degrees(graph(s, dir), Seq("placed"))
@@ -2847,6 +2860,10 @@ object SparkEntry {
         |UNION ALL SELECT 'in_region', (SELECT COUNT(*) FROM nation)""".stripMargin,
     "q_sssp" -> ssspOracle(
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 8),
+    "q_shortest_tree" -> shortestTreeOracle(
+      TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 4),
+    "q_shortest_paths" -> shortestPathsOracle(
+      TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 4),
     "q_connected_components" -> ccOracle(12),
     "q_lpa" -> lpaOracle(3),
     "q_kcore" -> kcoreOracle(2, 6),
@@ -3620,8 +3637,11 @@ object SparkEntry {
   }
 
   /** Synchronous Bellman-Ford hop distance (mirrors Analytics.shortestHopsExact). */
-  private def ssspOracle(sourceId: Long, rounds: Int): String = {
-    val iters = (1 to rounds).map { k =>
+  /** Shared BFS-distance CTE chain (d0..dN): fixed-round min-relaxation over
+    * (vg, eg) — used by the sssp, shortest-tree and shortest-paths oracles
+    * so their distance semantics cannot drift. */
+  private def bfsIters(rounds: Int): String =
+    (1 to rounds).map { k =>
       s"""d$k AS MATERIALIZED (SELECT p.id,
          |  CASE WHEN n.nd IS NULL THEN p.d WHEN p.d IS NULL THEN n.nd
          |       WHEN n.nd < p.d THEN n.nd ELSE p.d END AS d
@@ -3630,11 +3650,48 @@ object SparkEntry {
          |    JOIN d${k - 1} q ON q.id = eg.src WHERE q.d IS NOT NULL GROUP BY 1) n
          |  ON n.id = p.id)""".stripMargin
     }.mkString(",\n")
+
+  private def ssspOracle(sourceId: Long, rounds: Int): String =
     s"""WITH $graphCtes,
        |d0 AS MATERIALIZED (SELECT id,
        |  CASE WHEN id = $sourceId THEN CAST(0 AS BIGINT) END AS d FROM vg),
-       |$iters
+       |${bfsIters(rounds)}
        |SELECT id, d AS distance FROM d$rounds WHERE d IS NOT NULL""".stripMargin
+
+  /** BFS dist + deterministic min-pred tree CTEs (`dist`, `tree`): pred(v) =
+    * MIN src with dist(src) = dist(v) − 1 and an edge (src, v) — equal to
+    * the engine's first-reach min candidate because BFS settles every
+    * vertex at its true level. */
+  private def shortestTreeCtes(sourceId: Long, rounds: Int): String =
+    s"""$graphCtes,
+       |d0 AS MATERIALIZED (SELECT id,
+       |  CASE WHEN id = $sourceId THEN CAST(0 AS BIGINT) END AS d FROM vg),
+       |${bfsIters(rounds)},
+       |dist AS MATERIALIZED (SELECT id, d FROM d$rounds WHERE d IS NOT NULL),
+       |tree AS MATERIALIZED (SELECT di.id, di.d AS distance, p.pred
+       |  FROM dist di LEFT JOIN (
+       |    SELECT eg.dst AS id, MIN(eg.src) AS pred
+       |    FROM eg JOIN dist a ON a.id = eg.src JOIN dist b ON b.id = eg.dst
+       |    WHERE b.d = a.d + 1 GROUP BY 1) p ON p.id = di.id)""".stripMargin
+
+  private def shortestTreeOracle(sourceId: Long, rounds: Int): String =
+    s"""WITH ${shortestTreeCtes(sourceId, rounds)}
+       |SELECT id, distance, pred FROM tree""".stripMargin
+
+  /** Path materialization oracle: `rounds` pred-walk folds over the tree,
+    * mirroring Analytics.shortestPaths join-for-join. */
+  private def shortestPathsOracle(sourceId: Long, rounds: Int): String = {
+    val folds = (1 to rounds).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT a.id, a.distance, t.pred AS p,
+         |  CASE WHEN t.id IS NOT NULL THEN CAST(t.id AS VARCHAR) || ',' || a.path
+         |       ELSE a.path END AS path
+         |  FROM p${k - 1} a LEFT JOIN tree t ON t.id = a.p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${shortestTreeCtes(sourceId, rounds)},
+       |p0 AS MATERIALIZED (SELECT id, distance, pred AS p,
+       |  CAST(id AS VARCHAR) AS path FROM tree),
+       |$folds
+       |SELECT id, distance, path FROM p$rounds""".stripMargin
   }
 
   /** Shared min-label-propagation CTE chain: `prefix0` must be defined by the

@@ -247,6 +247,70 @@ object Analytics {
   def shortestHopsExact(g: PropertyGraph, source: Long, maxIter: Int = 8): DataFrame =
     shortestDistanceExact(g, source, lit(1L), maxIter)
 
+  /** Unweighted shortest-path TREE from `source`: (id, distance, pred),
+    * pred = the MINIMUM-id optimal predecessor — the deterministic choice,
+    * so every engine (and the SQL oracle, which derives preds from final
+    * distances: min src with dist(src) = dist(v) − 1 and an edge to v)
+    * reconstructs the identical paths. This is the relational form of
+    * TinkerPop's ShortestPathVertexProgram output (the reference runs that
+    * program through its SparkGraphComputer integration): the tree IS every
+    * shortest path, materialized as one pointer per vertex instead of one
+    * array per path.
+    *
+    * Per round: one edges⨝frontier join collapsed map-side by the min-pred
+    * aggregate (constant-width shuffle), lazy per-round lineage barriers;
+    * BFS settles each vertex at its true level, so the first-reach
+    * candidates are exactly the optimal predecessors. Terminates on an
+    * empty frontier (one count per round — the round's action, which also
+    * materializes the barrier) or after `maxIter` rounds. */
+  def shortestPathTree(g: PropertyGraph, source: Long, maxIter: Int = 8): DataFrame = {
+    val e = g.edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = g.vertices.select(col("id"),
+      when(col("id") === source, lit(0L)).as("d"),
+      lit(null).cast("long").as("pred")).localCheckpoint(false)
+    var round = 0L
+    var frontierN = 1L
+    while (round < maxIter && frontierN > 0) {
+      val frontier = dist.filter(col("d") === round).select(col("id").as("__fid"))
+      val cand = e.join(frontier, e("src") === col("__fid"))
+        .groupBy(col("dst")).agg(min(col("src")).as("__np"))
+        .select(col("dst").as("id"), col("__np"))
+      dist = dist.join(cand, Seq("id"), "left")
+        .select(col("id"),
+          when(col("d").isNotNull, col("d"))
+            .otherwise(when(col("__np").isNotNull, lit(round + 1L))).as("d"),
+          when(col("d").isNotNull, col("pred")).otherwise(col("__np")).as("pred"))
+        .localCheckpoint(false)
+      round += 1
+      frontierN = dist.filter(col("d") === round).count()
+    }
+    e.unpersist(false)
+    dist.filter(col("d").isNotNull).select(col("id"), col("d").as("distance"), col("pred"))
+  }
+
+  /** Materialize the source→v id chain for EVERY vertex of a
+    * [[shortestPathTree]] as a comma-joined string: `maxSteps` pred-walk
+    * self-joins (maxSteps must be ≥ the tree's deepest distance; extra
+    * steps are no-ops — a settled row's pred pointer is exhausted). Scale:
+    * the tree is the bounded artifact (3 longs/vertex); this explicit
+    * materialization is O(V · path length) output by construction and meant
+    * for diameter-bounded trees or an id-restricted subset — filter the
+    * tree first to materialize selected targets only. */
+  def shortestPaths(tree: DataFrame, maxSteps: Int = 8): DataFrame = {
+    var cur = tree.select(col("id"), col("distance"),
+      col("pred").as("__p"), col("id").cast("string").as("path"))
+    for (_ <- 1 to maxSteps) {
+      cur = cur.join(tree.select(col("id").as("__pid"), col("pred").as("__pp")),
+          col("__p") === col("__pid"), "left")
+        .select(col("id"), col("distance"),
+          col("__pp").as("__p"),
+          when(col("__pid").isNotNull,
+            concat(col("__pid").cast("string"), lit(","), col("path")))
+            .otherwise(col("path")).as("path"))
+    }
+    cur.select(col("id"), col("distance"), col("path"))
+  }
+
   /** Weighted single-source shortest distance in exact integer arithmetic —
     * [[shortestHopsExact]] generalized with a per-edge integer `weight`
     * column (the reference's ShortestDistanceVertexProgram reads its edge

@@ -86,6 +86,41 @@ class OlapFixtureSpec extends AnyFunSuite {
     assert(d.count() > n / 2)
   }
 
+  test("shortest-path tree: distances match BFS, preds are min-id optimal, paths reconstruct") {
+    val tree = Analytics.shortestPathTree(fixture, 1L, maxIter = 10)
+    val rows = tree.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.getAs[java.lang.Long]("pred")).map(_.toLong)))
+      .toMap
+    // distances equal the unweighted exact BFS
+    val bfs = Analytics.shortestHopsExact(fixture, 1L, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.view.mapValues(_._1).toMap === bfs)
+    // tree invariants: source has no pred; every other pred is one level up
+    // with an edge to the vertex, and is the MINIMUM such id
+    val edgeSet = fixture.edges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(1L) === ((0L, None)))
+    rows.foreach { case (v, (d, pred)) =>
+      if (v != 1L) {
+        val p = pred.get
+        assert(rows(p)._1 === d - 1, s"pred of $v not one level up")
+        assert(edgeSet.contains((p, v)), s"pred of $v not a neighbor")
+        val optimal = rows.collect { case (u, (du, _)) if du == d - 1 && edgeSet((u, v)) => u }
+        assert(p === optimal.min, s"pred of $v not the minimum optimal predecessor")
+      }
+    }
+    // materialized paths: start at source, end at v, length = distance + 1,
+    // consecutive pairs are edges
+    val paths = Analytics.shortestPaths(tree, maxSteps = 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2).split(",").map(_.toLong).toSeq))
+      .toMap
+    paths.foreach { case (v, (d, p)) =>
+      assert(p.head === 1L && p.last === v && p.length === d + 1, s"path of $v malformed: $p")
+      p.sliding(2).filter(_.size == 2).foreach(pair =>
+        assert(edgeSet((pair(0), pair(1))), s"non-edge step in path of $v"))
+    }
+  }
+
   test("kCore invariants on the random graph: nested cores, internal degree ≥ k") {
     import org.apache.spark.sql.functions._
     val c2 = Analytics.kCore(fixture, k = 2, maxRounds = 20)
