@@ -960,6 +960,13 @@ object SparkEntry {
       val src = TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L
       graft.olap.Analytics.shortestPathTree(graph(s, dir), src, maxIter = 4)
     }),
+    // ---- 2.K sampled harmonic centrality (Eppstein–Wang): Σ 1/dist from
+    //      3 sampled sources as an exact integer, one multi-source BFS ----
+    "q_harmonic" -> ((s, dir) => {
+      val t = 1L << graft.core.GraphIds.TagBits
+      val srcs = Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * t + _)
+      graft.olap.Analytics.harmonicCentrality(graph(s, dir), srcs, maxIter = 4)
+    }),
     // ---- 2.K explicit path materialization over the tree: source→v id
     //      chains for every reached vertex ----
     "q_shortest_paths" -> ((s, dir) => {
@@ -2862,6 +2869,8 @@ object SparkEntry {
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 8),
     "q_shortest_tree" -> shortestTreeOracle(
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 4),
+    "q_harmonic" -> harmonicOracle(
+      Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + _), 4),
     "q_shortest_paths" -> shortestPathsOracle(
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 4),
     "q_connected_components" -> ccOracle(12),
@@ -3673,6 +3682,30 @@ object SparkEntry {
        |    SELECT eg.dst AS id, MIN(eg.src) AS pred
        |    FROM eg JOIN dist a ON a.id = eg.src JOIN dist b ON b.id = eg.dst
        |    WHERE b.d = a.d + 1 GROUP BY 1) p ON p.id = di.id)""".stripMargin
+
+  /** Multi-source BFS (min-relax keyed (id, source)) → Σ ⌊10¹²/d⌋ + reach
+    * count per vertex — mirrors Analytics.harmonicCentrality round-for-round
+    * (fixed rounds, integer floor division on both sides). */
+  private def harmonicOracle(sources: Seq[Long], rounds: Int): String = {
+    val srcVals = sources.map(s => s"($s)").mkString(",")
+    val iters = (1 to rounds).map { k =>
+      s"""m$k AS MATERIALIZED (SELECT p.id, p.s,
+         |  CASE WHEN n.nd IS NULL THEN p.d WHEN p.d IS NULL THEN n.nd
+         |       WHEN n.nd < p.d THEN n.nd ELSE p.d END AS d
+         |  FROM m${k - 1} p LEFT JOIN (
+         |    SELECT eg.dst AS id, q.s, MIN(q.d + 1) AS nd FROM eg
+         |    JOIN m${k - 1} q ON q.id = eg.src WHERE q.d IS NOT NULL GROUP BY 1, 2) n
+         |  ON n.id = p.id AND n.s = p.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |src(s) AS (VALUES $srcVals),
+       |m0 AS MATERIALIZED (SELECT vg.id, src.s,
+       |  CASE WHEN vg.id = src.s THEN CAST(0 AS BIGINT) END AS d FROM vg CROSS JOIN src),
+       |$iters
+       |SELECT id, CAST(SUM(1000000000000 // d) AS BIGINT) AS harmonic_x1e12,
+       |  COUNT(*) AS reached
+       |FROM m$rounds WHERE d IS NOT NULL AND d > 0 GROUP BY id""".stripMargin
+  }
 
   private def shortestTreeOracle(sourceId: Long, rounds: Int): String =
     s"""WITH ${shortestTreeCtes(sourceId, rounds)}

@@ -288,6 +288,47 @@ object Analytics {
     dist.filter(col("d").isNotNull).select(col("id"), col("d").as("distance"), col("pred"))
   }
 
+  /** Sampled harmonic (closeness) centrality — Σ over sampled sources of
+    * 1/dist(source, v), the standard scalable estimator (exact closeness
+    * needs all-pairs; the public recipe samples k sources — Eppstein–Wang).
+    * Emitted as an exact INTEGER `harmonic_x1e12` (Σ ⌊10¹²/d⌋ — both
+    * engines floor-divide integers identically, so the oracle is
+    * hash-exact; divide by 10¹² for the float value) plus `reached` (how
+    * many sampled sources see v; v itself excluded — 1/0 is not a term).
+    *
+    * One multi-source BFS: state (id, source, d) carries the source tag, so
+    * each round is ONE edges⨝frontier join regardless of |sources| — k·|V|
+    * state, the price of k samples, with the same lazy-barrier + per-round
+    * materializing action as [[shortestDistanceExact]]. */
+  def harmonicCentrality(g: PropertyGraph, sources: Seq[Long],
+      maxIter: Int = 6): DataFrame = {
+    require(sources.nonEmpty, "harmonicCentrality needs at least one source")
+    val spark = g.spark
+    import spark.implicits._
+    val e = g.edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = g.vertices.select(col("id"))
+      .crossJoin(broadcast(sources.toDF("source")))
+      .select(col("id"), col("source"),
+        when(col("id") === col("source"), lit(0L)).as("d"))
+      .localCheckpoint(false)
+    for (_ <- 0 until maxIter) {
+      val reach = dist.filter(col("d").isNotNull)
+      val relaxed = e.join(reach, e("src") === reach("id"))
+        .select(col("dst").as("id"), col("source"), (col("d") + 1L).as("nd"))
+        .groupBy(col("id"), col("source")).agg(min(col("nd")).as("nd"))
+      dist = dist.join(relaxed, Seq("id", "source"), "left")
+        .select(col("id"), col("source"), least(col("d"), col("nd")).as("d"))
+        .localCheckpoint(false)
+      dist.count() // materialize the lazy barrier (keeps per-round plans flat)
+    }
+    e.unpersist(false)
+    dist.filter(col("d").isNotNull && col("d") > 0)
+      .groupBy(col("id"))
+      // `div`, not `/`: integer floor division in both engines, hash-exact
+      .agg(sum(expr("1000000000000L div d")).cast("long").as("harmonic_x1e12"),
+        count(lit(1)).as("reached"))
+  }
+
   /** Materialize the source→v id chain for EVERY vertex of a
     * [[shortestPathTree]] as a comma-joined string: `maxSteps` pred-walk
     * self-joins (maxSteps must be ≥ the tree's deepest distance; extra

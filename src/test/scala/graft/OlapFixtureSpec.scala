@@ -121,6 +121,20 @@ class OlapFixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("harmonic centrality equals per-source BFS composition") {
+    val sources = Seq(1L, 2L, 5L)
+    val got = Analytics.harmonicCentrality(fixture, sources, maxIter = 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // reference: three independent exact BFS runs, summed
+    val per = sources.map(s => Analytics.shortestHopsExact(fixture, s, maxIter = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val want = per.flatMap(_.toSeq).filter(_._2 > 0)
+      .groupBy(_._1).view.mapValues { ds =>
+        (ds.map(d => 1000000000000L / d._2).sum, ds.size.toLong)
+      }.toMap
+    assert(got === want)
+  }
+
   test("kCore invariants on the random graph: nested cores, internal degree ≥ k") {
     import org.apache.spark.sql.functions._
     val c2 = Analytics.kCore(fixture, k = 2, maxRounds = 20)
