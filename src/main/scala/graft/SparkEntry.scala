@@ -1249,6 +1249,15 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.chunkDocuments(
         s.read.parquet(s"$dir/documents.parquet"), maxTokens = 24, overlap = 8)
     }),
+    // ---- pipeline: sentence-boundary chunking — the corpus text is one
+    //      unpunctuated line, so the probe plants sentence ends ('fast' →
+    //      'fast.') identically on both sides, then packs sentences into
+    //      ≤24-token chunks by the prefix-sum rule ----
+    "q_chunk_sentences" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), expr("replace(text, ' fast ', ' fast. ')").as("text"))
+      graft.pipeline.TextAnalysis.chunkBySentences(d, maxTokens = 24)
+    }),
     // ---- pipeline: corpus token document frequency (vocabulary stats) ----
     "q_token_df" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.tokenDocFrequency(
@@ -2897,6 +2906,25 @@ object SparkEntry {
     "q_lsh_cosine_pairs" -> lshCosineOracle,
     "q_repetition" -> repetitionOracle,
     "q_chunk" -> chunkOracle(24, 8),
+    // sentence-boundary chunking oracle: same planted sentence ends, same
+    // replace-then-split segmentation (e'\\1\x01' = backref + the 0x01
+    // sentinel), same prefix-sum chunk rule
+    "q_chunk_sentences" ->
+      """WITH d AS (SELECT doc_id, replace(text, ' fast ', ' fast. ') AS text FROM documents),
+        |seg AS (SELECT doc_id,
+        |  [x for x in string_split(
+        |     regexp_replace(text, '([.!?])\s+', e'\\1\x01', 'g'), chr(1)) if len(x) > 0] AS l
+        |  FROM d),
+        |sen AS (SELECT doc_id, unnest([{'sidx': i-1, 'sent': l[i]}
+        |    for i in range(1, len(l)+1)], recursive := true) FROM seg),
+        |tok AS (SELECT doc_id, sidx, sent,
+        |  len(string_split_regex(trim(sent), '\s+')) AS ntok FROM sen),
+        |cum AS (SELECT doc_id, sidx, sent, ntok,
+        |  SUM(ntok) OVER (PARTITION BY doc_id ORDER BY sidx) AS cum FROM tok)
+        |SELECT doc_id, CAST((cum - ntok) // 24 AS BIGINT) AS chunk_id,
+        |  string_agg(sent, ' ' ORDER BY sidx) AS chunk_text,
+        |  COUNT(*) AS n_sentences, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+        |FROM cum GROUP BY 1, 2""".stripMargin,
     "q_token_df" ->
       """SELECT token, COUNT(*) AS df FROM (
         |  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS token

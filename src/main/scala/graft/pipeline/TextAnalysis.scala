@@ -249,6 +249,44 @@ object TextAnalysis {
         col("col.chunk_text").as("chunk_text"), col("col.n_tokens").as("n_tokens"))
   }
 
+  /** Sentence segmentation: split after terminal punctuation followed by
+    * whitespace (the punctuation stays with its sentence). Implemented as
+    * replace-then-split on a sentinel rather than a lookbehind split —
+    * RE2-based engines (the oracle included) have no lookbehind, and the
+    * two-step form is expressible identically everywhere. */
+  def sentences(text: Column): Column =
+    filter(split(regexp_replace(text, "([.!?])\\s+", "$1"), ""),
+      s => length(s) > 0)
+
+  /** Sentence-boundary chunking — the RAG/training-sample segmentation that
+    * never cuts mid-sentence: consecutive sentences pack left-to-right, and
+    * a sentence starts chunk ⌊cum_before / maxTokens⌋ where cum_before is
+    * the running token total of the sentences before it (deterministic
+    * prefix-sum semantics: a chunk may overflow by at most one sentence,
+    * and an over-long single sentence occupies its own chunk rather than
+    * being split — use [[chunkDocuments]] for hard token windows). Returns
+    * (idCol, chunk_id, chunk_text, n_sentences, n_tokens).
+    * Scale: one explode + one per-document window (prefix sum) + one
+    * grouped rebuild keyed (doc, chunk) — shuffles carry sentence rows, the
+    * same constant-width discipline as every text operator here. */
+  def chunkBySentences(docs: DataFrame, maxTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val sent = docs.select(col(idCol),
+        posexplode(sentences(col(textCol))).as(Seq("sidx", "sent")))
+      .withColumn("ntok", size(tokens(trim(col("sent")))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("sidx"))
+    sent.withColumn("cum", sum(col("ntok")).over(w))
+      .withColumn("chunk_id", floor((col("cum") - col("ntok")) / maxTokens).cast("long"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(array_sort(collect_list(struct(col("sidx"), col("sent")))).as("ss"),
+        count(lit(1)).as("n_sentences"), sum(col("ntok")).as("n_tokens"))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", transform(col("ss"), s => s.getField("sent"))).as("chunk_text"),
+        col("n_sentences"), col("n_tokens"))
+  }
+
   /** Corpus token document frequency, top `k` by (df DESC, token ASC) —
     * the vocabulary/IDF statistic of a corpus. Distinct-per-doc explode →
     * one map-side-combinable count keyed by token → TakeOrdered top-k (no

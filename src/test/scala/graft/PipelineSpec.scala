@@ -270,6 +270,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("empty"))
   }
 
+  test("chunkBySentences: never splits a sentence, chunk rule is the prefix sum") {
+    import spark.implicits._
+    // sentences of 4/6/10/3/8 tokens; maxTokens=12: chunks by cum_before//12:
+    // s0 (0), s1 (4), s2 (10) -> chunk 0; s3 (20->1), s4 (23->1)
+    val text = "one two three four. a b c d e f! g h i j k l m n o p? x y z. q r s t u v w8."
+    val got = TextAnalysis.chunkBySentences(Seq((1L, text)).toDF("doc_id", "text"), maxTokens = 12)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(got === Array(
+      (0L, "one two three four. a b c d e f! g h i j k l m n o p?", 3L, 20L),
+      (1L, "x y z. q r s t u v w8.", 2L, 10L)))
+    // an over-long single sentence still lands whole in its own chunk
+    val long = ("w " * 30).trim + "."
+    val one = TextAnalysis.chunkBySentences(
+      Seq((2L, s"$long tiny one two.")).toDF("doc_id", "text"), maxTokens = 12)
+      .orderBy("chunk_id").collect()
+    assert(one.length === 2)
+    assert(one(0).getString(2) === long && one(0).getLong(4) === 30L)
+    assert(one(1).getString(2) === "tiny one two.")
+  }
+
   test("c4Clean applies every line and page rule; null text stays null") {
     import spark.implicits._
     val d = Seq(
