@@ -1084,6 +1084,14 @@ object SparkEntry {
         } finally cleanup()
       out
     }),
+    // ---- pipeline: incremental dedup — today's batch (doc_id < 100)
+    //      near-dup'd AGAINST the full corpus; candidates from the
+    //      cross-side bucket join only, corpus banded index reused ----
+    "q_neardup_against" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.pipeline.Dedup.nearDupAgainst(
+        docs, docs.filter(col("doc_id") < 100), threshold = 0.8)
+    }),
     // ---- pipeline: duplicate-cluster size histogram (the standard dedup
     //      report) — unpaired docs fold in as size-1 clusters so the
     //      histogram partitions the whole corpus ----
@@ -2902,6 +2910,20 @@ object SparkEntry {
       "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies FROM documents GROUP BY text",
     "q_dedup_ngram" -> ngramJaccardOracle,
     "q_dedup_minhash" -> ngramJaccardOracle,
+    // batch-vs-corpus: exact Jaccard pairs with the IN side restricted to
+    // the batch ids, both directions distinct ids (re-ingest excluded)
+    "q_neardup_against" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text,'\s+') AS wl FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([wl[i]||' '||wl[i+1]||' '||wl[i+2] for i in range(1, len(wl)-1)]) AS gs FROM w),
+        |tok AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+        |sizes AS (SELECT doc_id, len(gs) AS n FROM sh),
+        |pairs AS (SELECT a.doc_id AS in_id, b.doc_id AS corpus_id, count(*) AS shared
+        |  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  WHERE a.doc_id < 100 GROUP BY 1, 2)
+        |SELECT in_id, corpus_id,
+        |  CAST(shared AS DOUBLE)/CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.doc_id = in_id JOIN sizes sb ON sb.doc_id = corpus_id
+        |WHERE CAST(shared AS DOUBLE)/CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.8""".stripMargin,
     "q_dedup_simhash" -> simHashOracle,
     "q_lsh_cosine_pairs" -> lshCosineOracle,
     "q_repetition" -> repetitionOracle,

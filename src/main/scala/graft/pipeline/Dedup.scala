@@ -293,8 +293,6 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       maxBucketSize: Long = 100000L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val sig = minHashSignatures(docs, n, numHashes, idCol = idCol, textCol = textCol)
     // band on ids only: exploding bands multiplies rows by `bands`, so the
     // payload through this shuffle must be (id, band, bucket) — never the
     // document text (texts rejoin only for the small candidate set)
@@ -305,13 +303,7 @@ object Dedup {
     // |docs|·bands total, trivially cacheable at any scale that fits the
     // shuffle anyway. The bounded LRU also serves repeated calls over the
     // same input without leaking an entry per call.
-    val banded = graft.core.PlanCache.cached(docs.sparkSession,
-      graft.core.PlanCache.key("minhash-banded", docs, n, numHashes, bands, idCol, textCol)) {
-      sig.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(rows) + 1, lit(rows)))))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    }
+    val banded = bandedFrame(docs, n, numHashes, bands, idCol, textCol)
     val heavyBuckets = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
       .select(col("band"), col("bucket"))
@@ -333,6 +325,66 @@ object Dedup {
         shingles(col("ta"), n), shingles(col("tb"), n)))
       .filter(col("jaccard") >= threshold)
       .select(col("ida"), col("idb"), col("jaccard"))
+  }
+
+  /** Banded MinHash frame (id, band, bucket) — the reusable LSH "index" of a
+    * corpus, PlanCache-served so repeated calls (and the multiple plan
+    * branches of a pair join) never retrain the 128-aggregate signature
+    * computation. */
+  private def bandedFrame(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
+      idCol: String, textCol: String): DataFrame = {
+    val rows = numHashes / bands
+    graft.core.PlanCache.cached(docs.sparkSession,
+      graft.core.PlanCache.key("minhash-banded", docs, n, numHashes, bands, idCol, textCol)) {
+      minHashSignatures(docs, n, numHashes, idCol = idCol, textCol = textCol)
+        .select(col("id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(rows) + 1, lit(rows)))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    }
+  }
+
+  /** Near-dup pairs of `incoming` AGAINST an existing corpus — the
+    * incremental-ingest dedup shape (dedupe today's crawl against what the
+    * store already holds, instead of re-running the corpus×corpus join).
+    * Same signature/band/verify machinery as [[minHashLshPairs]], but
+    * candidates come from the CROSS-side bucket join only: no
+    * corpus×corpus and no incoming×incoming candidate work. Rows whose ids
+    * coincide across sides (re-ingested documents) are excluded. Returns
+    * (in_id, corpus_id, jaccard).
+    *
+    * Scale: the corpus banded frame — |corpus|·bands rows of
+    * (id, band, bucket) — is the persistent index, PlanCache-served across
+    * batches (the MinHash analogue of the persisted IVF-PQ codes); each
+    * batch shuffles only its own bands plus colliding corpus buckets.
+    * Heavy corpus buckets are capped like the self-join. */
+  def nearDupAgainst(corpus: DataFrame, incoming: DataFrame, threshold: Double,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucketSize: Long = 100000L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val corpusBanded = bandedFrame(corpus, n, numHashes, bands, idCol, textCol)
+    val inBanded = bandedFrame(incoming, n, numHashes, bands, idCol, textCol)
+    val heavy = corpusBanded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val a = inBanded.join(broadcast(heavy), Seq("band", "bucket"), "left_anti")
+      .select(col("band"), col("bucket"), col("id").as("in_id"))
+    val b = corpusBanded.join(broadcast(heavy), Seq("band", "bucket"), "left_anti")
+      .select(col("band"), col("bucket"), col("id").as("corpus_id"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("in_id") =!= col("corpus_id"))
+      .select(col("in_id"), col("corpus_id"))
+      .dropDuplicates("in_id", "corpus_id")
+    val inTexts = incoming.select(col(idCol).as("__iid"), col(textCol).as("ta"))
+    val corpusTexts = corpus.select(col(idCol).as("__cid"), col(textCol).as("tb"))
+    candidates
+      .join(inTexts, col("in_id") === col("__iid")).drop("__iid")
+      .join(corpusTexts, col("corpus_id") === col("__cid")).drop("__cid")
+      .withColumn("jaccard", graft.functions.ArrayJaccard(
+        shingles(col("ta"), n), shingles(col("tb"), n)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("in_id"), col("corpus_id"), col("jaccard"))
   }
 
   /** End-to-end near-dup removal: candidate pairs (MinHash-LSH, verified) →

@@ -270,6 +270,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("empty"))
   }
 
+  test("nearDupAgainst: batch-vs-corpus pairs equal the restricted exact join; no within-side pairs") {
+    import spark.implicits._
+    // planted: batch docs 0,1 near-dup corpus docs 100,101; corpus has an
+    // internal dup pair (102,103) that must NOT appear; 2 is clean
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val base = (1 to 40).map(i => s"w$i")
+    val corpus = Seq(
+      100L -> doc(base :+ "ca"), 101L -> doc(base :+ "cb"),
+      102L -> doc(base.map(_ + "x") :+ "cc"), 103L -> doc(base.map(_ + "x") :+ "cd"),
+      104L -> doc((1 to 40).map(i => s"z$i"))).toDF("doc_id", "text")
+    val batch = Seq(
+      0L -> doc(base :+ "ba"), 1L -> doc(base :+ "bb"),
+      2L -> doc((1 to 40).map(i => s"q$i"))).toDF("doc_id", "text")
+    val got = Dedup.nearDupAgainst(corpus, batch, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 100L), (0L, 101L), (1L, 100L), (1L, 101L)))
+    // re-ingest exclusion: identical ids across sides never pair with themselves
+    val reIngest = Dedup.nearDupAgainst(corpus, corpus.filter(col("doc_id") === 102), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reIngest === Set((102L, 103L)))
+  }
+
   test("chunkBySentences: never splits a sentence, chunk rule is the prefix sum") {
     import spark.implicits._
     // sentences of 4/6/10/3/8 tokens; maxTokens=12: chunks by cum_before//12:
