@@ -1084,6 +1084,42 @@ object SparkEntry {
         } finally cleanup()
       out
     }),
+    // ---- pipeline: STREAMING incremental dedup — document batches flow
+    //      through foreachBatch, each near-dup'd against the STATIC corpus
+    //      (nearDupAgainst unchanged); the corpus banded index is reused
+    //      across micro-batches via PlanCache — the production CDC-ingest
+    //      dedup loop ----
+    "q_stream_neardup" -> ((s, dir) => {
+      val corpus = s.read.parquet(s"$dir/documents.parquet")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-snd")
+      corpus.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema(corpus.schema).parquet(s"$tmp/in")
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.pipeline.Dedup.nearDupAgainst(corpus, batch, threshold = 0.8)
+            .write.mode("append").parquet(s"$tmp/out")
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      def cleanup(): Unit = {
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      try {
+        val finished = q.awaitTermination(300000)
+        if (!finished) { q.stop(); sys.error("q_stream_neardup: stream did not finish in 300s") }
+        // materialize before the staged inputs are cleaned
+        val out = s.read.parquet(s"$tmp/out").collect()
+        s.createDataFrame(java.util.Arrays.asList(out: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("in_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("corpus_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType))))
+      } finally cleanup()
+    }),
     // ---- pipeline: incremental dedup — today's batch (doc_id < 100)
     //      near-dup'd AGAINST the full corpus; candidates from the
     //      cross-side bucket join only, corpus banded index reused ----
@@ -2910,6 +2946,22 @@ object SparkEntry {
       "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies FROM documents GROUP BY text",
     "q_dedup_ngram" -> ngramJaccardOracle,
     "q_dedup_minhash" -> ngramJaccardOracle,
+    // streaming run: every document arrives as part of some batch, so the
+    // union of per-batch results is ALL ordered distinct near-dup pairs —
+    // the symmetric closure of the exact pair join
+    "q_stream_neardup" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text,'\s+') AS wl FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([wl[i]||' '||wl[i+1]||' '||wl[i+2] for i in range(1, len(wl)-1)]) AS gs FROM w),
+        |tok AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+        |sizes AS (SELECT doc_id, len(gs) AS n FROM sh),
+        |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+        |  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |verified AS (SELECT ida, idb,
+        |  CAST(shared AS DOUBLE)/CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+        |  FROM pairs JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+        |  WHERE CAST(shared AS DOUBLE)/CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.8)
+        |SELECT ida AS in_id, idb AS corpus_id, jaccard FROM verified
+        |UNION ALL SELECT idb, ida, jaccard FROM verified""".stripMargin,
     // batch-vs-corpus: exact Jaccard pairs with the IN side restricted to
     // the batch ids, both directions distinct ids (re-ingest excluded)
     "q_neardup_against" ->
