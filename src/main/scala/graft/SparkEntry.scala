@@ -960,6 +960,11 @@ object SparkEntry {
       val src = TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L
       graft.olap.Analytics.shortestPathTree(graph(s, dir), src, maxIter = 4)
     }),
+    // ---- 2.K bipartite co-occurrence projection: order–order pairs via
+    //      ≥2 co-contained parts (inverted-index join, hub-capped) ----
+    "q_bipartite_projection" -> ((s, dir) => {
+      graft.olap.Analytics.projectBipartite(graph(s, dir), "contains", minShared = 2L)
+    }),
     // ---- 2.K sampled harmonic centrality (Eppstein–Wang): Σ 1/dist from
     //      3 sampled sources as an exact integer, one multi-source BFS ----
     "q_harmonic" -> ((s, dir) => {
@@ -2922,6 +2927,13 @@ object SparkEntry {
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 8),
     "q_shortest_tree" -> shortestTreeOracle(
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 4),
+    "q_bipartite_projection" ->
+      s"""WITH e AS (SELECT DISTINCT
+         |  6*${1L << graft.core.GraphIds.TagBits} + l_orderkey AS src,
+         |  5*${1L << graft.core.GraphIds.TagBits} + l_partkey AS dst FROM lineitem)
+         |SELECT a.src AS ida, b.src AS idb, COUNT(*) AS shared
+         |FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
     "q_harmonic" -> harmonicOracle(
       Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + _), 4),
     "q_shortest_paths" -> shortestPathsOracle(

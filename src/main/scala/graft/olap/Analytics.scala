@@ -33,6 +33,32 @@ object Analytics {
       .withColumn("degree", col("out_degree") + col("in_degree"))
   }
 
+  /** Bipartite co-occurrence projection over one edge label: pairs of src
+    * vertices sharing ≥ `minShared` dst neighbors, weighted by the shared
+    * count (e.g. customer–customer via co-purchased parts, author–author
+    * via shared papers — the standard graph-mining projection). Returns
+    * (ida, idb, shared) with ida < idb.
+    *
+    * Scale: inverted-index join keyed by the HUB side (dst) — a dst shared
+    * by m srcs yields m² pair rows, so hub dsts above `maxHubDegree` are
+    * dropped with the same broadcast anti-join guard as the text dedup
+    * families (a hub shared by everyone carries no co-occurrence signal,
+    * exactly like a stop shingle); the pair aggregate is map-side
+    * combinable keyed (ida, idb). */
+  def projectBipartite(g: PropertyGraph, label: String, minShared: Long = 1L,
+      maxHubDegree: Long = 100000L): DataFrame = {
+    val e = g.edges.filter(col("label") === label)
+      .select(col("src"), col("dst")).dropDuplicates("src", "dst")
+    val hubs = e.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") > maxHubDegree).select(col("dst"))
+    val light = e.join(broadcast(hubs), Seq("dst"), "left_anti")
+    val a = light.select(col("dst"), col("src").as("ida"))
+    val b = light.select(col("dst"), col("src").as("idb"))
+    a.join(b, Seq("dst")).filter(col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** PageRank with damping 0.85 — reference tt/olap/PageRankVertexProgram.java:31-110
     * (damping constant :43, iterate until maxIter). GraphX staticPageRank:
     * same fixed-point, message-combined. Returns (id, rank). */

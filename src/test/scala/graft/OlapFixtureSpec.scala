@@ -121,6 +121,26 @@ class OlapFixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("bipartite projection: shared-neighbor pairs, hub cap drops stop-hubs") {
+    import spark.implicits._
+    // srcs 1,2 share dsts 100,101; srcs 2,3 share only 102; dst 999 is a
+    // hub touching everyone (degree 3 — dropped when maxHubDegree = 2)
+    val verts = ((1 to 3) ++ Seq(100, 101, 102, 999)).map(i => (i.toLong, "n")).toDF("id", "label")
+    val e = Seq(
+      (1L, 100L), (1L, 101L), (2L, 100L), (2L, 101L), (2L, 102L), (3L, 102L),
+      (1L, 999L), (2L, 999L), (3L, 999L), (1L, 999L) // duplicate edge: counted once
+    ).zipWithIndex.map { case ((s, d), i) => (i.toLong, s, d, "buys") }
+      .toDF("id", "src", "dst", "label")
+    val g = PropertyGraph(GraphSchema(), verts, e)
+    val got = Analytics.projectBipartite(g, "buys", minShared = 1L, maxHubDegree = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((1L, 2L) -> 2L, (2L, 3L) -> 1L))
+    // without the cap the hub contributes to every pair
+    val uncapped = Analytics.projectBipartite(g, "buys", minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(uncapped === Map((1L, 2L) -> 3L, (2L, 3L) -> 2L, (1L, 3L) -> 1L))
+  }
+
   test("harmonic centrality equals per-source BFS composition") {
     val sources = Seq(1L, 2L, 5L)
     val got = Analytics.harmonicCentrality(fixture, sources, maxIter = 6)
