@@ -29,6 +29,23 @@ object SparkEntry {
   private val graphCache =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, graft.data.PropertyGraph]]())
+  /** Recursively delete a stream probe's staged temp dir (inputs +
+    * checkpoint) — shared by every streaming probe's every-exit cleanup. */
+  private def deleteRecursively(tmp: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(tmp)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
+  /** Await an AvailableNow stream probe; stop + fail loudly on timeout
+    * (a hung stream must never read as an empty-but-green probe). */
+  private def awaitStreamProbe(q: org.apache.spark.sql.streaming.StreamingQuery,
+      name: String): Unit = {
+    val finished = q.awaitTermination(300000)
+    if (!finished) { q.stop(); sys.error(s"$name: stream did not finish in 300s") }
+  }
+
   private def graph(s: SparkSession, dir: String): graft.data.PropertyGraph = {
     val perSession = graphCache.synchronized {
       var m = graphCache.get(s)
@@ -212,10 +229,7 @@ object SparkEntry {
           uidOf(col("other"), TpchGraph.PartTag).as("p_uid"),
           date_format(col("shipdate"), "yyyy-MM-dd").as("ship"))
         .localCheckpoint(true) // materialize before the layout files vanish
-      val walk = java.nio.file.Files.walk(tmp)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      deleteRecursively(tmp)
       res
     }),
     // ---- 2.E traversal 3-hop ----
@@ -299,8 +313,7 @@ object SparkEntry {
         .start()
       // a timed-out stream would leave a PARTIAL memory table — fail loudly
       // instead of reporting a fast-looking wrong count
-      val finished = q.awaitTermination(300000)
-      if (!finished) { q.stop(); sys.error("q_stream_dedup: stream did not finish in 300s") }
+      awaitStreamProbe(q, "q_stream_dedup")
       s.table(qname).groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
     }),
     // ---- 2.J streaming windowed aggregation: tumbling event-time windows
@@ -324,8 +337,7 @@ object SparkEntry {
         .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      val finished = q.awaitTermination(300000)
-      if (!finished) { q.stop(); sys.error("q_stream_stream_join: stream did not finish in 300s") }
+      awaitStreamProbe(q, "q_stream_stream_join")
       s.table(qname)
     }),
     // ---- 2.J stream-static enrichment: per-batch broadcast of the static
@@ -345,8 +357,7 @@ object SparkEntry {
         .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      val finished = q.awaitTermination(300000)
-      if (!finished) { q.stop(); sys.error("q_stream_join: stream did not finish in 300s") }
+      awaitStreamProbe(q, "q_stream_join")
       s.table(qname)
     }),
     "q_stream_window" -> ((s, dir) => {
@@ -362,8 +373,7 @@ object SparkEntry {
         .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      val finished = q.awaitTermination(300000)
-      if (!finished) { q.stop(); sys.error("q_stream_window: stream did not finish in 300s") }
+      awaitStreamProbe(q, "q_stream_window")
       // counts only: the double value-sum is accumulation-order dependent
       // (same reason q_events_window pins counts; sums go through dsum there)
       s.table(qname).select(
@@ -1031,19 +1041,10 @@ object SparkEntry {
         .start()
       // clean the staged corpus + checkpoint on EVERY exit — success,
       // timeout, or a stream that terminates with an exception
-      def cleanup(): Unit = {
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      def cleanup(): Unit = deleteRecursively(tmp)
       val out =
         try {
-          val finished = q.awaitTermination(300000)
-          if (!finished) {
-            q.stop()
-            sys.error("q_stream_exact_dedup: stream did not finish in 300s")
-          }
+          awaitStreamProbe(q, "q_stream_exact_dedup")
           val t = s.table(qname)
           s.catalog.dropTempView(qname)
           t
@@ -1070,19 +1071,10 @@ object SparkEntry {
         .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      def cleanup(): Unit = {
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      def cleanup(): Unit = deleteRecursively(tmp)
       val out =
         try {
-          val finished = q.awaitTermination(300000)
-          if (!finished) {
-            q.stop()
-            sys.error("q_stream_image_dedup: stream did not finish in 300s")
-          }
+          awaitStreamProbe(q, "q_stream_image_dedup")
           val t = s.table(qname)
           s.catalog.dropTempView(qname)
           t
@@ -1107,15 +1099,9 @@ object SparkEntry {
         .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      def cleanup(): Unit = {
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      def cleanup(): Unit = deleteRecursively(tmp)
       try {
-        val finished = q.awaitTermination(300000)
-        if (!finished) { q.stop(); sys.error("q_stream_neardup: stream did not finish in 300s") }
+        awaitStreamProbe(q, "q_stream_neardup")
         // materialize before the staged inputs are cleaned
         val out = s.read.parquet(s"$tmp/out").collect()
         s.createDataFrame(java.util.Arrays.asList(out: _*),
@@ -1725,17 +1711,13 @@ object SparkEntry {
         .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      val finished = q.awaitTermination(300000)
-      if (!finished) { q.stop(); sys.error("q_change_sessionize: stream did not finish in 300s") }
+      awaitStreamProbe(q, "q_change_sessionize")
       // materialized sink rows survive dropping the catalog name (the Dataset
       // pins the memory-sink plan), so the probe leaves no temp view or
       // checkpoint files behind
       val out = sinkSession.table(qname)
       sinkSession.catalog.dropTempView(qname)
-      val walk = java.nio.file.Files.walk(tmp)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      deleteRecursively(tmp)
       out
     }),
     // ---- 2.J CDC→graph materialization end-to-end: the change stream
@@ -1764,10 +1746,7 @@ object SparkEntry {
               lit("by_user").as("label"))))
         }
       } finally {
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
+        deleteRecursively(tmp)
       }
       m.vertices.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
         .select(lit("v").as("kind"), col("label"), col("cnt"))
@@ -1797,10 +1776,7 @@ object SparkEntry {
       val back = graft.data.GraphIO.load(s, s"$tmp/g")
       val out = back.variables.toSeq.sortBy(_._1).toDF("vkey", "vval")
       // variables are already driver-materialized — the store can go now
-      val walk = java.nio.file.Files.walk(tmp)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      deleteRecursively(tmp)
       out
     }),
     "q_catalog_roundtrip" -> ((s, dir) => {
@@ -1827,10 +1803,7 @@ object SparkEntry {
           ("stat", "vertices", back.vertices.count().toString),
           ("stat", "edges", back.edges.count().toString)).toDF("kind", "name", "detail"))
         .localCheckpoint(true) // materialize before the saved files vanish
-      val walk = java.nio.file.Files.walk(tmp)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      deleteRecursively(tmp)
       res
     }),
     // ---- 2.L DefaultSchemaMaker: undeclared-type ingest auto-creates the
@@ -2929,8 +2902,8 @@ object SparkEntry {
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 4),
     "q_bipartite_projection" ->
       s"""WITH e AS (SELECT DISTINCT
-         |  6*${1L << graft.core.GraphIds.TagBits} + l_orderkey AS src,
-         |  5*${1L << graft.core.GraphIds.TagBits} + l_partkey AS dst FROM lineitem)
+         |  ${TpchGraph.OrderTag.toLong * (1L << graft.core.GraphIds.TagBits)} + l_orderkey AS src,
+         |  ${TpchGraph.PartTag.toLong * (1L << graft.core.GraphIds.TagBits)} + l_partkey AS dst FROM lineitem)
          |SELECT a.src AS ida, b.src AS idb, COUNT(*) AS shared
          |FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
@@ -3759,7 +3732,6 @@ object SparkEntry {
        |SELECT id, d AS distance FROM d$rounds WHERE d IS NOT NULL""".stripMargin
   }
 
-  /** Synchronous Bellman-Ford hop distance (mirrors Analytics.shortestHopsExact). */
   /** Shared BFS-distance CTE chain (d0..dN): fixed-round min-relaxation over
     * (vg, eg) — used by the sssp, shortest-tree and shortest-paths oracles
     * so their distance semantics cannot drift. */
@@ -3774,6 +3746,7 @@ object SparkEntry {
          |  ON n.id = p.id)""".stripMargin
     }.mkString(",\n")
 
+  /** Synchronous Bellman-Ford hop distance (mirrors Analytics.shortestHopsExact). */
   private def ssspOracle(sourceId: Long, rounds: Int): String =
     s"""WITH $graphCtes,
        |d0 AS MATERIALIZED (SELECT id,

@@ -337,7 +337,14 @@ object Analytics {
       .select(col("id"), col("source"),
         when(col("id") === col("source"), lit(0L)).as("d"))
       .localCheckpoint(false)
-    for (_ <- 0 until maxIter) {
+    // the per-round action that materializes the lazy barrier doubles as
+    // the monotone convergence signature (same trick as
+    // shortestDistanceExact): unchanged (reached, Σd) ⇒ fixed point, and
+    // the fixed point equals the fixed-round result the oracle computes
+    var prev: (Long, java.math.BigDecimal) = null
+    var round = 0
+    var converged = false
+    while (round < maxIter && !converged) {
       val reach = dist.filter(col("d").isNotNull)
       val relaxed = e.join(reach, e("src") === reach("id"))
         .select(col("dst").as("id"), col("source"), (col("d") + 1L).as("nd"))
@@ -345,7 +352,13 @@ object Analytics {
       dist = dist.join(relaxed, Seq("id", "source"), "left")
         .select(col("id"), col("source"), least(col("d"), col("nd")).as("d"))
         .localCheckpoint(false)
-      dist.count() // materialize the lazy barrier (keeps per-round plans flat)
+      val r = dist.filter(col("d").isNotNull)
+        .agg(count(lit(1)).as("n"), sum(col("d").cast("decimal(38,0)")).as("s")).head
+      val sig = (r.getLong(0), r.getDecimal(1))
+      converged = prev != null && sig._1 == prev._1 && sig._2 != null &&
+        prev._2 != null && sig._2.compareTo(prev._2) == 0
+      prev = sig
+      round += 1
     }
     e.unpersist(false)
     dist.filter(col("d").isNotNull && col("d") > 0)
