@@ -2329,6 +2329,15 @@ object SparkEntry {
         .unionAll(sg.edges.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
           .select(lit("e").as("kind"), col("label"), col("cnt")))
     }),
+    // ---- 2.E vertex-induced subgraph (SubgraphStrategy's vertex
+    //      criterion): customers + orders keep only the placed edges ----
+    "q_subgraph_vertices" -> ((s, dir) => {
+      val sg = graph(s, dir).subgraphVertices(col("label").isin("customer", "order"))
+      sg.vertices.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+        .select(lit("v").as("kind"), col("label"), col("cnt"))
+        .unionAll(sg.edges.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+          .select(lit("e").as("kind"), col("label"), col("cnt")))
+    }),
     // ---- 2.E sum()/mean() terminals (exact: integer column) ----
     "q_sum_terminal" -> ((s, dir) => {
       graph(s, dir).traversal.V().hasLabel("part").sum("size")
@@ -2866,6 +2875,10 @@ object SparkEntry {
         |FROM orders WHERE o_orderdate < DATE '1997-01-01'
         |UNION ALL SELECT 'v', 'order', COUNT(*) FROM orders WHERE o_orderdate < DATE '1997-01-01'
         |UNION ALL SELECT 'e', 'placed', COUNT(*) FROM orders WHERE o_orderdate < DATE '1997-01-01'""".stripMargin,
+    "q_subgraph_vertices" ->
+      """SELECT 'v' AS kind, 'customer' AS label, COUNT(*) AS cnt FROM customer
+        |UNION ALL SELECT 'v', 'order', COUNT(*) FROM orders
+        |UNION ALL SELECT 'e', 'placed', COUNT(*) FROM orders""".stripMargin,
     "q_sum_terminal" ->
       """SELECT CAST(SUM(p_size) AS BIGINT) AS "sum" FROM part""",
     "q_mean_terminal" ->

@@ -64,6 +64,19 @@ final case class PropertyGraph(
     copy(vertices = vertices.join(incident, Seq("id"), "left_semi"), edges = e)
   }
 
+  /** Vertex-induced subgraph (the vertex criterion of TinkerPop's
+    * SubgraphStrategy): the matching vertices plus exactly the edges whose
+    * BOTH endpoints match. Distributed: vertex filter (pushed to the scan)
+    * + two semi-joins of the edges against the kept-id set. */
+  def subgraphVertices(vertexCond: Column): PropertyGraph = {
+    val v = vertices.filter(vertexCond)
+    val keep = v.select(col("id"))
+    val e = edges
+      .join(keep.select(col("id").as("__ks")), col("src") === col("__ks"), "left_semi")
+      .join(keep.select(col("id").as("__kd")), col("dst") === col("__kd"), "left_semi")
+    copy(vertices = v, edges = e)
+  }
+
   /** GraphX bridge for iterative analytics. Vertex attr = label; edge attr =
     * (label, weightCol) when provided, else 1.0. */
   def toGraphX(weightCol: Option[String] = None): GxGraph[String, Double] = {
