@@ -1305,6 +1305,12 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.corpusPrep(
         s.read.parquet(s"$dir/documents.parquet"), minScore = 0.7)
     }),
+    // ---- pipeline: corpus datasheet — per-source dataset-card summary
+    //      (docs, token mass, exact median, language mix, exact-dup rate) ----
+    "q_corpus_datasheet" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.corpusDatasheet(
+        s.read.parquet(s"$dir/documents.parquet"))
+    }),
     // ---- pipeline: unigram log-prob (cheap perplexity-proxy quality) ----
     "q_unigram_logprob" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.unigramLogProb(
@@ -3065,6 +3071,30 @@ object SparkEntry {
     "q_bothv" ->
       """SELECT o_custkey AS uid, 'customer' AS label FROM orders
         |UNION ALL SELECT o_orderkey, 'order' FROM orders""".stripMargin,
+    // datasheet: same token counts, hash-based dup losers, padded-string
+    // arg-max for the top language, quantile_cont = Spark's percentile
+    "q_corpus_datasheet" ->
+      """WITH base AS (SELECT doc_id, source, lang,
+        |  len(string_split_regex(text, '\s+')) AS nt, md5(text) AS h FROM documents),
+        |losers AS (SELECT b.doc_id FROM base b JOIN (
+        |  SELECT h, MIN(doc_id) AS keep, COUNT(*) AS c FROM base GROUP BY 1
+        |  HAVING COUNT(*) > 1) d ON d.h = b.h WHERE b.doc_id <> d.keep),
+        |flagged AS (SELECT base.*, losers.doc_id IS NOT NULL AS dup
+        |  FROM base LEFT JOIN losers ON base.doc_id = losers.doc_id),
+        |lt AS (SELECT source, COUNT(*) AS n_langs,
+        |  substring(MAX(lpad(CAST(lc AS VARCHAR), 10, '0') || lang), 11) AS top_lang
+        |  FROM (SELECT source, lang, COUNT(*) AS lc FROM flagged GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |agg AS (SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |  ROUND(AVG(nt), 6) AS mean_tokens,
+        |  quantile_cont(nt, 0.5) AS p50_tokens,
+        |  CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups
+        |  FROM flagged GROUP BY 1)
+        |SELECT a.source, n_docs, n_tokens, mean_tokens, p50_tokens,
+        |  n_langs, top_lang, n_exact_dups,
+        |  ROUND(CAST(n_exact_dups AS DOUBLE) / n_docs, 6) AS dup_pct
+        |FROM agg a JOIN lt ON lt.source = a.source""".stripMargin,
     "q_corpus_prep" ->
       """WITH t AS (SELECT doc_id, text, source, lang,
         |  string_split_regex(text, '\s+') AS tok FROM documents),

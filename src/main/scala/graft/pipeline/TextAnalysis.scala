@@ -287,6 +287,54 @@ object TextAnalysis {
         col("n_sentences"), col("n_tokens"))
   }
 
+  /** Corpus datasheet — the per-source summary table every dataset card
+    * leads with (docs, token mass, length distribution, language mix,
+    * exact-dup rate), computed in ONE grouped pass plus a broadcast-back of
+    * the exact-dup survivors:
+    *   (source, n_docs, n_tokens, mean_tokens, p50_tokens, n_langs,
+    *    top_lang, n_exact_dups, dup_pct)
+    * p50 is the exact median token count via the deterministic
+    * percentile(0.5) ties-averaged definition both engines share; dup_pct
+    * is rounded to 6 dp. Scale: one constant-width aggregate keyed by
+    * source plus the md5-keyed exact-dup aggregate — nothing quadratic,
+    * no text through a shuffle (hashes only). */
+  def corpusDatasheet(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source",
+      langCol: String = "lang"): DataFrame = {
+    val base = docs.select(col(idCol), col(sourceCol), col(langCol),
+      tokenCount(col(textCol)).as("__nt"), md5(col(textCol)).as("__h"))
+    // exact-dup losers: every doc whose text hash has a smaller-id twin
+    val losers = base.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__keep"), count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .join(base.select(col(idCol), col("__h")), Seq("__h"))
+      .filter(col(idCol) =!= col("__keep"))
+      .select(col(idCol).as("__lid"))
+    val flagged = base.join(losers, col(idCol) === col("__lid"), "left")
+      .withColumn("__dup", col("__lid").isNotNull)
+    // top language by count (ties → lexicographically last): encoded as a
+    // zero-padded sortable string so MAX resolves it identically in every
+    // engine (composite arg-max tie rules differ across engines)
+    val langTop = flagged.groupBy(col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("__lc"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_langs"),
+        substring(max(concat(lpad(col("__lc").cast(StringType), 10, "0"), col(langCol))),
+          11, 1000000).as("top_lang"))
+    flagged.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        round(avg(col("__nt")), 6).as("mean_tokens"),
+        percentile(col("__nt"), lit(0.5)).as("p50_tokens"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_exact_dups"))
+      .withColumn("dup_pct",
+        round(col("n_exact_dups").cast(DoubleType) / col("n_docs").cast(DoubleType), 6))
+      .join(langTop, Seq(sourceCol))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"), col("mean_tokens"),
+        col("p50_tokens"), col("n_langs"), col("top_lang"),
+        col("n_exact_dups"), col("dup_pct"))
+  }
+
   /** Corpus token document frequency, top `k` by (df DESC, token ASC) —
     * the vocabulary/IDF statistic of a corpus. Distinct-per-doc explode →
     * one map-side-combinable count keyed by token → TakeOrdered top-k (no
