@@ -1231,9 +1231,13 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       // per-invocation temp dir: a fixed path would race concurrent drivers
       // (one overwriting codes/ while another's lazy scan reads them)
-      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
-      graft.pipeline.Similarity.writeIvfPqIndex(e, path)
-      graft.pipeline.Similarity.searchIvfPqIndex(s, path, e.filter(col("vec_id") < 10), k = 5)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx")
+      graft.pipeline.Similarity.writeIvfPqIndex(e, tmp.toString)
+      val res = graft.pipeline.Similarity
+        .searchIvfPqIndex(s, tmp.toString, e.filter(col("vec_id") < 10), k = 5)
+        .localCheckpoint(true) // materialize before the index files vanish
+      deleteRecursively(tmp)
+      res
     }),
     // ---- pipeline: SemDeDup-style semantic dedup (cluster → within-cluster
     //      cosine pairs → keep min id per duplicate component) ----
@@ -3072,7 +3076,8 @@ object SparkEntry {
       """SELECT o_custkey AS uid, 'customer' AS label FROM orders
         |UNION ALL SELECT o_orderkey, 'order' FROM orders""".stripMargin,
     // datasheet: same token counts, hash-based dup losers, padded-string
-    // arg-max for the top language, quantile_cont = Spark's percentile
+    // arg-max for the top language, quantile_cont = Spark's percentile,
+    // ratios as exact floor-scaled integers (// = Spark's div)
     "q_corpus_datasheet" ->
       """WITH base AS (SELECT doc_id, source, lang,
         |  len(string_split_regex(text, '\s+')) AS nt, md5(text) AS h FROM documents),
@@ -3082,18 +3087,18 @@ object SparkEntry {
         |flagged AS (SELECT base.*, losers.doc_id IS NOT NULL AS dup
         |  FROM base LEFT JOIN losers ON base.doc_id = losers.doc_id),
         |lt AS (SELECT source, COUNT(*) AS n_langs,
-        |  substring(MAX(lpad(CAST(lc AS VARCHAR), 10, '0') || lang), 11) AS top_lang
+        |  substring(MAX(lpad(CAST(lc AS VARCHAR), 19, '0') || lang), 20) AS top_lang
         |  FROM (SELECT source, lang, COUNT(*) AS lc FROM flagged GROUP BY 1, 2)
         |  GROUP BY 1),
         |agg AS (SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
-        |  ROUND(AVG(nt), 6) AS mean_tokens,
         |  quantile_cont(nt, 0.5) AS p50_tokens,
         |  CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups
         |  FROM flagged GROUP BY 1)
-        |SELECT a.source, n_docs, n_tokens, mean_tokens, p50_tokens,
-        |  n_langs, top_lang, n_exact_dups,
-        |  ROUND(CAST(n_exact_dups AS DOUBLE) / n_docs, 6) AS dup_pct
+        |SELECT a.source, n_docs, n_tokens,
+        |  CAST(n_tokens * 1000000 // n_docs AS BIGINT) AS mean_tokens_x1e6,
+        |  p50_tokens, n_langs, top_lang, n_exact_dups,
+        |  CAST(n_exact_dups * 1000000 // n_docs AS BIGINT) AS dup_pct_x1e6
         |FROM agg a JOIN lt ON lt.source = a.source""".stripMargin,
     "q_corpus_prep" ->
       """WITH t AS (SELECT doc_id, text, source, lang,
@@ -3328,7 +3333,8 @@ object SparkEntry {
         |  CASE WHEN pd THEN NULL ELSE array_to_string(kl, chr(10)) END AS text,
         |  NOT pd AS kept
         |FROM (SELECT doc_id, kl,
-        |  contains(lower(text), 'lorem ipsum') OR contains(text, '{') OR len(kl) < 3 AS pd
+        |  text IS NULL OR contains(lower(text), 'lorem ipsum')
+        |    OR contains(text, '{') OR len(kl) < 3 AS pd
         |  FROM k)""".stripMargin,
     "q_hard_negatives" ->
       """SELECT qid, nid, "rank" FROM (

@@ -291,13 +291,16 @@ object TextAnalysis {
     * leads with (docs, token mass, length distribution, language mix,
     * exact-dup rate), computed in ONE grouped pass plus a broadcast-back of
     * the exact-dup survivors:
-    *   (source, n_docs, n_tokens, mean_tokens, p50_tokens, n_langs,
-    *    top_lang, n_exact_dups, dup_pct)
-    * p50 is the exact median token count via the deterministic
-    * percentile(0.5) ties-averaged definition both engines share; dup_pct
-    * is rounded to 6 dp. Scale: one constant-width aggregate keyed by
-    * source plus the md5-keyed exact-dup aggregate — nothing quadratic,
-    * no text through a shuffle (hashes only). */
+    *   (source, n_docs, n_tokens, mean_tokens_x1e6, p50_tokens, n_langs,
+    *    top_lang, n_exact_dups, dup_pct_x1e6)
+    * Ratios are EXACT integers scaled by 10⁶ (⌊sum·10⁶/n⌋ — integer floor
+    * division agrees bit-for-bit in every engine; divide by 1e6 for the
+    * float view) rather than rounded double quotients, whose tie-adjacent
+    * roundings diverge across engines (the randomProject lesson). p50 is
+    * percentile(0.5) — linear interpolation of two ints at 0.5, exact in
+    * a double. Scale: one constant-width aggregate keyed by source plus
+    * the md5-keyed exact-dup aggregate — nothing quadratic, no text
+    * through a shuffle (hashes only). */
   def corpusDatasheet(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", sourceCol: String = "source",
       langCol: String = "lang"): DataFrame = {
@@ -319,20 +322,23 @@ object TextAnalysis {
       .agg(count(lit(1)).as("__lc"))
       .groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_langs"),
-        substring(max(concat(lpad(col("__lc").cast(StringType), 10, "0"), col(langCol))),
-          11, 1000000).as("top_lang"))
+        // 19-digit pad covers the full long range — a shorter pad would
+        // silently truncate (and missort) counts past 10^pad
+        substring(max(concat(lpad(col("__lc").cast(StringType), 19, "0"), col(langCol))),
+          20, 1000000).as("top_lang"))
     flagged.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__nt")).as("n_tokens"),
-        round(avg(col("__nt")), 6).as("mean_tokens"),
         percentile(col("__nt"), lit(0.5)).as("p50_tokens"),
         sum(when(col("__dup"), 1L).otherwise(0L)).as("n_exact_dups"))
-      .withColumn("dup_pct",
-        round(col("n_exact_dups").cast(DoubleType) / col("n_docs").cast(DoubleType), 6))
+      .withColumn("mean_tokens_x1e6",
+        expr("CAST(n_tokens * 1000000L div n_docs AS BIGINT)"))
+      .withColumn("dup_pct_x1e6",
+        expr("CAST(n_exact_dups * 1000000L div n_docs AS BIGINT)"))
       .join(langTop, Seq(sourceCol))
-      .select(col(sourceCol), col("n_docs"), col("n_tokens"), col("mean_tokens"),
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"), col("mean_tokens_x1e6"),
         col("p50_tokens"), col("n_langs"), col("top_lang"),
-        col("n_exact_dups"), col("dup_pct"))
+        col("n_exact_dups"), col("dup_pct_x1e6"))
   }
 
   /** Corpus token document frequency, top `k` by (df DESC, token ASC) —

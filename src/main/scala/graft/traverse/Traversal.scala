@@ -601,11 +601,26 @@ final case class Traversal(
   def dedupBy(keys: String*): Traversal = copy(df = df.dropDuplicates(keys))
 
   // ---------- branch / merge ----------
-  def union(others: Traversal*): Traversal =
-    copy(df = mergeSacks((this +: others).map(_.df)
-        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))),
-      frontierLabels = (this +: others).map(_.frontierLabels)
+  /** Merge branch traversals into one frontier. The merged traversal's
+    * element kind and label universes come from the BRANCHES, not the
+    * pre-branch anchor — a union of `outE(…)` branches over a vertex
+    * frontier yields an EDGE traversal (kinds must agree across branches;
+    * Gremlin unions of mixed element kinds are ill-formed here). Label
+    * universes take the cross-branch union (None = unknown wins). */
+  private def mergeBranches(branches: Seq[Traversal]): Traversal = {
+    require(branches.map(_.isVertex).distinct.size == 1,
+      "branch merge: every branch must produce the same element kind " +
+        s"(got ${branches.map(t => if (t.isVertex) "vertex" else "edge").distinct.mkString("/")})")
+    val merged = branches.map(_.df)
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    branches.head.copy(df = branches.head.mergeSacks(merged), lastOrder = Nil,
+      frontierLabels = branches.map(_.frontierLabels)
+        .reduce((a, b) => for { x <- a; y <- b } yield x union y),
+      frontierEdgeLabels = branches.map(_.frontierEdgeLabels)
         .reduce((a, b) => for { x <- a; y <- b } yield x union y))
+  }
+
+  def union(others: Traversal*): Traversal = mergeBranches(this +: others)
 
   /** union(branch1, branch2, …) as branch FUNCTIONS of this traversal —
     * Gremlin's `union(traversal, …)`: every traverser clones into every
@@ -616,11 +631,7 @@ final case class Traversal(
     * built traversals cannot receive the clone-time split. */
   def unionSteps(steps: (Traversal => Traversal)*): Traversal = {
     require(steps.nonEmpty, "unionSteps needs at least one branch")
-    val branches = steps.map(s => s(copy(df = sackBranchEntry(df))))
-    copy(df = mergeSacks(branches.map(_.df)
-        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))),
-      frontierLabels = branches.map(_.frontierLabels)
-        .reduce((a, b) => for { x <- a; y <- b } yield x union y))
+    mergeBranches(steps.map(s => s(copy(df = sackBranchEntry(df)))))
   }
 
   /** inject(ids*) — add the given graph elements to the frontier as fresh
@@ -730,7 +741,7 @@ final case class Traversal(
       falseStep: Traversal => Traversal): Traversal = {
     val t = trueStep(copy(df = sackBranchEntry(df.filter(pred))))
     val f = falseStep(copy(df = sackBranchEntry(df.filter(!F.coalesce(pred, lit(false))))))
-    t.copy(df = mergeSacks(t.df.unionByName(f.df, allowMissingColumns = true)))
+    mergeBranches(Seq(t, f))
   }
 
   /** choose(predTraversal)(trueStep, falseStep) — Gremlin's canonical
@@ -746,7 +757,7 @@ final case class Traversal(
       df.join(matched, col("id") === col("__sid"), "left_semi"))))
     val f = falseStep(copy(df = sackBranchEntry(
       df.join(matched, col("id") === col("__sid"), "left_anti"))))
-    t.copy(df = mergeSacks(t.df.unionByName(f.df, allowMissingColumns = true)))
+    mergeBranches(Seq(t, f))
   }
 
   /** choose(selector).option(v1, s1).option(v2, s2)….option(none, sN) —
@@ -766,16 +777,15 @@ final case class Traversal(
       none: Option[Traversal => Traversal] = None): Traversal = {
     require(options.nonEmpty, "chooseOption needs at least one option branch")
     val branches = options.map { case (v, step) =>
-      step(copy(df = sackBranchEntry(df.filter(selector <=> lit(v))))).df
+      step(copy(df = sackBranchEntry(df.filter(selector <=> lit(v)))))
     }
     val noneBranch = none.map { step =>
       val vals = options.map(_._1)
       // isin yields null for a null selector; coalesce(false) routes it here
       step(copy(df = sackBranchEntry(df.filter(
-        !F.coalesce(selector.isin(vals: _*), lit(false)))))).df
+        !F.coalesce(selector.isin(vals: _*), lit(false))))))
     }
-    copy(df = mergeSacks((branches ++ noneBranch)
-      .reduce(_.unionByName(_, allowMissingColumns = true))))
+    mergeBranches(branches ++ noneBranch)
   }
 
   /** coalesce(step1, step2, ...) — per source element, results of the FIRST
@@ -785,17 +795,17 @@ final case class Traversal(
   def coalesceSteps(steps: (Traversal => Traversal)*): Traversal = {
     require(steps.nonEmpty)
     var remaining = this
-    var acc: Option[org.apache.spark.sql.DataFrame] = None
+    val branches = scala.collection.mutable.ArrayBuffer.empty[Traversal]
     steps.foreach { step =>
       val stepped = step(remaining.copy(df = sackBranchEntry(remaining.df)).as("__coal"))
       val clean = stepped.df.drop(
         stepped.df.columns.filter(_.startsWith("_as___coal_")).toSeq: _*)
       val matchedSrc = stepped.df.select(col("_as___coal_id").as("__sid")).distinct()
-      acc = Some(acc.fold(clean)(a => a.unionByName(clean, allowMissingColumns = true)))
+      branches += stepped.copy(df = clean)
       remaining = remaining.copy(df =
         remaining.df.join(matchedSrc, col("id") === col("__sid"), "left_anti"))
     }
-    copy(df = mergeSacks(acc.get))
+    mergeBranches(branches.toSeq)
   }
 
   /** tail(n) — last n by the traversal's last order (Gremlin tail). Compiled

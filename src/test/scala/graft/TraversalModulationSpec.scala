@@ -233,6 +233,24 @@ class TraversalModulationSpec extends AnyFunSuite {
       g.traversal.V().hasLabel("customer").toDF.count())
   }
 
+  test("branch merges adopt the BRANCHES' element kind: union of outE branches chains inV()") {
+    // regression: the merged traversal used to keep the pre-branch anchor's
+    // isVertex, so a union of edge branches claimed to be a vertex frontier
+    // and inV() threw / out() joined edge ids as vertex ids
+    val viaUnion = g.traversal.V().hasLabel("order")
+      .unionSteps(_.outE("contains"), _.outE("supplied_by"))
+      .inV().toDF
+    val manual = g.edges.filter(col("label").isin("contains", "supplied_by")).count()
+    assert(viaUnion.count() === manual)
+    assert(viaUnion.select("label").distinct().collect().map(_.getString(0)).toSet ===
+      Set("part", "supplier"))
+    // mixed element kinds across branches are ill-formed and must fail fast
+    val ex = intercept[IllegalArgumentException] {
+      g.traversal.V().hasLabel("order").unionSteps(_.out("contains"), _.outE("contains"))
+    }
+    assert(ex.getMessage.contains("element kind"))
+  }
+
   test("sack split/merge: clones transform at branch entry, coalescing paths merge") {
     import org.apache.spark.sql.Column
     val orders = g.vertices.filter(col("label") === "order")
