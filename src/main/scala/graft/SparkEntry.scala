@@ -2381,6 +2381,9 @@ object SparkEntry {
     // PQ ADC search alone (subspace codebook trains + LUT joins + per-query
     // top-k): regression cover for the PQ family independent of IVF probing
     "q_pq_topk",
+    // incremental-ingest dedup (batch vs corpus banded index): the
+    // production CDC dedup loop's wall-time, tracked per round
+    "q_neardup_against",
     // JDK imageio decode through mapPartitions: the multimodal decode path's
     // wall-time (batch shape, blob handling) gets tracked per round
     "q_image_decode",
