@@ -64,8 +64,48 @@ object GraphIO {
   def load(spark: SparkSession, path: String, schema: GraphSchema = GraphSchema()): PropertyGraph = {
     val v = spark.read.parquet(s"$path/vertices")
     val e = spark.read.parquet(s"$path/edges")
-    PropertyGraph(graft.mgmt.DefaultSchemaMaker.applyConfigured(
-      spark, mergedSchema(path, schema), v, e), v, e)
+    val merged = graft.mgmt.DefaultSchemaMaker.applyConfigured(
+      spark, mergedSchema(path, schema), v, e)
+    if (spark.conf.getOption("spark.graft.schema.checkEndpoints").contains("true"))
+      checkEndpointDeclarations(merged, v, e)
+    PropertyGraph(merged, v, e)
+  }
+
+  /** Opt-in declared-endpoint validation (`spark.graft.schema.checkEndpoints
+    * =true`, the checkDims pattern): asserts every edge whose EdgeLabelDef
+    * declares srcLabels/dstLabels actually connects vertices of those labels.
+    * A stale/false declaration otherwise goes undetected — by design it only
+    * mis-scopes supernode-salting routing (plan shape, never results), but a
+    * catalog that lies about the data is worth one extra opt-in pass. A
+    * missing endpoint vertex (ghost) counts as a violation: it cannot carry
+    * any declared label. Cost: one edges⋈vertices×2 join over ONLY the
+    * declared labels' edges, reduced to ≤ #edge-labels rows. */
+  private[graft] def checkEndpointDeclarations(
+      schema: GraphSchema, v: DataFrame, e: DataFrame): Unit = {
+    val declared = schema.edgeLabels.values.toSeq
+      .filter(d => d.srcLabels.nonEmpty || d.dstLabels.nonEmpty)
+    if (declared.isEmpty) return
+    val spark = v.sparkSession
+    import spark.implicits._
+    val decl = broadcast(declared
+      .map(d => (d.name, d.srcLabels.toSeq.sorted, d.dstLabels.toSeq.sorted))
+      .toDF("label", "src_ok", "dst_ok"))
+    def sideBad(okCol: String, labelCol: String) = // ghost endpoint ⇒ null ⇒ bad
+      size(col(okCol)) > 0 && !coalesce(array_contains(col(okCol), col(labelCol)), lit(false))
+    val bad = e.select(col("src"), col("dst"), col("label")).join(decl, Seq("label"))
+      .join(v.select(col("id").as("src"), col("label").as("src_label")), Seq("src"), "left")
+      .join(v.select(col("id").as("dst"), col("label").as("dst_label")), Seq("dst"), "left")
+      .filter(sideBad("src_ok", "src_label") || sideBad("dst_ok", "dst_label"))
+      .groupBy(col("label")).agg(count(lit(1)).as("violations"),
+        first(col("src_label"), ignoreNulls = false).as("sample_src"),
+        first(col("dst_label"), ignoreNulls = false).as("sample_dst"))
+      .collect() // bounded control read: ≤ one row per declared edge label
+    if (bad.nonEmpty) {
+      val detail = bad.map(r => s"${r.getString(0)}: ${r.getLong(1)} edge(s) violate " +
+        s"the declared endpoints (sample src label ${r.get(2)}, dst label ${r.get(3)})")
+      throw new IllegalStateException(
+        "edge-label endpoint declarations contradict the data — " + detail.mkString("; "))
+    }
   }
 
   /** Persisted-catalog merge shared by every format's import: the stored
@@ -298,17 +338,25 @@ object GraphIO {
     import scala.jdk.CollectionConverters._
     val header = readTextIfExists(s"$path/header.xml").getOrElse(
       throw new IllegalStateException(s"GraphML import: $path/header.xml missing"))
-    val KeyDecl =
-      ("""<key id="([^"]+)" for="([^"]+)" attr.name="([^"]+)" attr.type="([^"]+)"""" +
-        """(?: graft\.type="([^"]+)")?/>""").r
     // (key id, for, attr.name, attr.type, graft.type?) — data entries
     // reference the ID, the rebuilt COLUMN takes the attr.name (ids are wire
     // artifacts that may carry the v_/e_ disambiguation prefix); graft.type,
     // when present, is the true Spark type a string-narrowed column re-casts
-    // to (our own exports emit it; foreign GraphML simply lacks it)
-    val keys = KeyDecl.findAllMatchIn(header)
-      .map(m => (xmlAttrUnescape(m.group(1)), m.group(2), xmlAttrUnescape(m.group(3)),
-        m.group(4), Option(m.group(5)).map(xmlAttrUnescape))).toSeq
+    // to (our own exports emit it; foreign GraphML simply lacks it).
+    // Parsing is attribute-ORDER-insensitive and accepts expanded (non-self-
+    // closing) tags — foreign writers order attributes freely and may nest a
+    // <default> child; a declaration missing a required attribute throws
+    // (naming the tag) rather than silently dropping the property column.
+    def keyAttr(tag: String, name: String): Option[String] =
+      ("""(?<=\s)""" + java.util.regex.Pattern.quote(name) + """="([^"]*)"""").r
+        .findFirstMatchIn(tag).map(m => xmlAttrUnescape(m.group(1)))
+    val keys = """<key\b[^>]*>""".r.findAllIn(header).toSeq.map { tag =>
+      def required(name: String): String = keyAttr(tag, name).getOrElse(
+        throw new IllegalStateException(
+          s"GraphML import: <key> declaration missing $name: $tag"))
+      (required("id"), keyAttr(tag, "for").getOrElse("all"), required("attr.name"),
+        required("attr.type"), keyAttr(tag, "graft.type"))
+    }.toSeq
     val fragSchema = StructType(Seq(
       StructField("_id", StringType), StructField("_source", StringType),
       StructField("_target", StringType),
@@ -318,7 +366,8 @@ object GraphIO {
       val labelKey = if (isVertex) "labelV" else "labelE"
       val tag = if (isVertex) "node" else "edge"
       val props = keys.collect {
-        case (kid, f, n, t, recast) if f == tag && kid != labelKey => (kid, n, t, recast) }
+        case (kid, f, n, t, recast) // for="all" (GraphML's default) applies to both sides
+          if (f == tag || f == "all") && kid != labelKey => (kid, n, t, recast) }
       // every fragment has >= 1 <data> child (labelV/labelE is always
       // present), so to_xml never emits a self-closing element and the
       // close-tag split is exact; the trailing whitespace chunk after the

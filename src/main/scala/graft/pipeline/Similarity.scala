@@ -472,7 +472,16 @@ object Similarity {
       .agg(round(sum(round(col("v").cast(DoubleType), 6).cast(DecimalType(16, 6)) * col("s"))
           .cast(DecimalType(sumPrecision(inv), 10)) * lit(inv), 6)
         .cast(DoubleType).as("val"))
-      .select(col(idCol), col("j").as("dim"), col("val"))
+      // Fail loudly instead of emitting a silent null: under non-ANSI mode a
+      // sum past the ~10^(p-10) decimal headroom becomes NULL at the cast
+      // (so would an all-null element group). Neither is a value this
+      // function may return.
+      .select(col(idCol), col("j").as("dim"),
+        when(col("val").isNotNull, col("val")).otherwise(raise_error(concat(
+          lit("randomProject: null projection for ("), col(idCol).cast("string"),
+          lit(s", dim "), col("j").cast("string"),
+          lit(s") — decimal sum overflowed DecimalType(${sumPrecision(inv)},10) " +
+            "or the vector elements were all null")))).as("val"))
   }
 
   /** Widest sum precision (scale 10) whose product with the 1/√outDim

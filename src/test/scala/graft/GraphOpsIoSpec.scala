@@ -529,4 +529,75 @@ class GraphOpsIoSpec extends AnyFunSuite {
     assert(!back2.schema.vertexLabels("region").static)
     assert(back2.schema.edgeLabels.contains("placed")) // rest still stored
   }
+
+  test("GraphML: foreign key declarations — reordered attributes, expanded tags, for=all") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-gml-foreign").toString
+    val v = Seq((1L, "user", "ada", 3L), (2L, "user", "bob", 5L))
+      .toDF("id", "label", "name", "rank")
+    val e = Seq((10L, 1L, 2L, "knows", 2.5)).toDF("id", "src", "dst", "label", "w")
+    GraphIO.exportGraphml(graft.data.PropertyGraph(graft.core.GraphSchema(), v, e), path)
+    val before = GraphIO.importGraphml(spark, path)
+    // simulate a foreign writer: same declarations, attribute order scrambled,
+    // expanded (non-self-closing) tags with a <default> child, graft.type
+    // sidecar absent, and one key declared for="all"
+    val hdrPath = java.nio.file.Paths.get(s"$path/header.xml")
+    val hdr = new String(java.nio.file.Files.readAllBytes(hdrPath), "UTF-8")
+    val KeyDecl = ("""<key id="([^"]+)" for="([^"]+)" attr.name="([^"]+)" """ +
+      """attr.type="([^"]+)"(?: graft\.type="[^"]*")?/>""").r
+    val foreign = KeyDecl.replaceAllIn(hdr, m => {
+      val forAttr = if (m.group(3) == "rank") "all" else m.group(2)
+      s"""<key attr.name="${m.group(3)}" for="$forAttr" attr.type="${m.group(4)}" """ +
+        s"""id="${m.group(1)}"><default></default></key>"""
+    })
+    assert(foreign != hdr, "fixture must actually rewrite the declarations")
+    // drop the Hadoop checksum sidecar — we edit the file behind its back
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$path/.header.xml.crc"))
+    java.nio.file.Files.write(hdrPath, foreign.getBytes("UTF-8"))
+    val back = GraphIO.importGraphml(spark, path)
+    // no property column silently dropped; values identical to the clean import
+    assert(back.vertices.columns.sorted === before.vertices.columns.sorted)
+    assert(back.vertices.orderBy("id").collect().map(_.toString).toSeq ===
+      before.vertices.orderBy("id").collect().map(_.toString).toSeq)
+    assert(back.edges.columns.contains("w") &&
+      back.edges.head.getAs[Double]("w") === 2.5)
+
+    // a declaration missing a required attribute names itself in the error
+    java.nio.file.Files.write(hdrPath, foreign.replaceFirst(
+      """attr\.name="name" """, "").getBytes("UTF-8"))
+    val err = intercept[IllegalStateException](GraphIO.importGraphml(spark, path))
+    assert(err.getMessage.contains("missing attr.name"), err.getMessage)
+  }
+
+  test("checkEndpoints: opt-in validation of declared edge-label endpoints") {
+    import spark.implicits._
+    import graft.core._
+    val v = Seq((1L, "user"), (2L, "product"), (3L, "user")).toDF("id", "label")
+    val schema = GraphSchema(edgeLabels = Map("buys" -> EdgeLabelDef("buys",
+      srcLabels = Set("user"), dstLabels = Set("product"))))
+    // conforming data passes
+    val ok = Seq((10L, 1L, 2L, "buys")).toDF("id", "src", "dst", "label")
+    GraphIO.checkEndpointDeclarations(schema, v, ok)
+    // undeclared labels are never checked
+    val other = Seq((11L, 2L, 1L, "views")).toDF("id", "src", "dst", "label")
+    GraphIO.checkEndpointDeclarations(schema, v, other)
+    // a user->user 'buys' edge contradicts dstLabels
+    val badDst = Seq((12L, 1L, 3L, "buys")).toDF("id", "src", "dst", "label")
+    val e1 = intercept[IllegalStateException](
+      GraphIO.checkEndpointDeclarations(schema, v, badDst))
+    assert(e1.getMessage.contains("buys") && e1.getMessage.contains("1 edge"))
+    // a ghost endpoint cannot carry any declared label -> violation
+    val ghost = Seq((13L, 1L, 99L, "buys")).toDF("id", "src", "dst", "label")
+    val e2 = intercept[IllegalStateException](
+      GraphIO.checkEndpointDeclarations(schema, v, ghost))
+    assert(e2.getMessage.contains("buys"))
+    // wired into load behind the conf, off by default
+    val out = Files.createTempDirectory("graft-endpoints").toString
+    GraphIO.save(graft.data.PropertyGraph(schema, v, badDst), out)
+    GraphIO.load(spark, out) // default: no check, loads fine
+    spark.conf.set("spark.graft.schema.checkEndpoints", "true")
+    try intercept[IllegalStateException](GraphIO.load(spark, out))
+    finally spark.conf.unset("spark.graft.schema.checkEndpoints")
+  }
 }

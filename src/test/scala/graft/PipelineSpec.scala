@@ -1184,4 +1184,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture should contain at least the mod-256 identical pairs")
     hashes.unpersist()
   }
+
+  test("randomProject fails loudly on a null projection instead of emitting null") {
+    import spark.implicits._
+    // an all-null element vector makes the decimal sum NULL — the same
+    // output the overflow cast produces under non-ANSI mode; the guard must
+    // raise, never return a null val
+    val df = spark.range(1).select(col("id").as("vec_id"),
+      array(lit(null).cast("double"), lit(null).cast("double"),
+        lit(null).cast("double"), lit(null).cast("double")).as("embedding"))
+    val e = intercept[Exception](
+      Similarity.randomProject(df, outDim = 4).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("randomProject: null projection")),
+      s"expected the loud guard, got: ${messages(e).mkString(" | ")}")
+  }
 }
