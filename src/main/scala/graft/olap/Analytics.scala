@@ -98,6 +98,148 @@ object Analytics {
     toDF(g.spark, tc.map { case (id, n) => (id, n.toLong) }, "id", "triangles")
   }
 
+  /** Canonical undirected simple edge set (u < v, loops and duplicate
+    * orientations removed) — the graph every triangle/wedge statistic is
+    * defined over (GraphX's triangleCount canonicalizes identically). */
+  private[graft] def simpleEdges(g: PropertyGraph): DataFrame =
+    g.edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+
+  /** Per-vertex triangle count, DataFrame-native — the degree-ordered
+    * wedge-closure algorithm (the MapReduce-era standard: Suri & Vassilvitskii
+    * "Counting Triangles and the Curse of the Last Reducer", WWW'11; public).
+    * Each edge is oriented from lower to higher (degree, id) rank; wedges
+    * form only at an edge's LOW-rank corner, so the per-vertex wedge fan-out
+    * is bounded by O(√m) regardless of skew — a supernode of degree d
+    * contributes d wedges as a leaf, not d² as a center ("the curse of the
+    * last reducer" is exactly the unoriented hub center). Closure is one
+    * equi-join of wedges against the oriented edge set; each triangle
+    * materializes exactly once (a = lowest rank, b = middle, c = highest)
+    * and explodes to its three corners for the per-vertex count.
+    *
+    * Same result as [[triangleCount]] (asserted in AnalyticsSpec); unlike the
+    * GraphX path it stays in Tungsten rows + whole-stage codegen end to end,
+    * with no RDD round-trip. Shuffle profile: one |E| distinct, one degree
+    * agg, rank-attach joins, a wedge self-join keyed on the low corner, and
+    * the closure join keyed on (b,c) — wedge volume ≤ Σ_a outdeg(a)² =
+    * O(m^{3/2}) by the orientation bound. */
+  def triangleCountDF(g: PropertyGraph): DataFrame = {
+    val e = simpleEdges(g)
+    val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    // orient by (degree, id): a = low rank, b = high rank; carry both corners'
+    // ranks so the wedge pair (b, c) can be ordered without a re-join
+    val ranked = e
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+    // reused by the wedge AND closure sides — served from the bounded
+    // per-session LRU so repeated calls don't leak a CacheManager entry
+    val oriented = graft.core.PlanCache.cached(g.spark,
+      graft.core.PlanCache.key("tri-oriented", g.edges)) {
+      ranked.select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("a"), col("v").as("b"), col("dv").as("db")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"), col("du").as("db")))
+          .as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"), col("e.db").as("db"))
+    }
+    // wedges at the low-rank corner: (b, c) with rank(b) < rank(c)
+    val w1 = oriented.select(col("a"), col("b"), col("db"))
+    val w2 = oriented.select(col("a"), col("b").as("c"), col("db").as("dc"))
+    val wedges = w1.join(w2, Seq("a"))
+      .filter(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+      .select(col("a"), col("b"), col("c"))
+    val triangles = wedges.join(
+      oriented.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+    val corners = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    val out = g.vertices.select(col("id")).join(corners, Seq("id"), "left")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+    out
+  }
+
+  /** Per-vertex local clustering coefficient over the canonical simple
+    * graph: triangles(v) / (deg(v) choose 2). Emitted EXACTLY — `triangles`
+    * and `wedges` = d(d−1)/2 as integers plus `coeff_x1e6` =
+    * ⌊10⁶·triangles/wedges⌋ (floor division is engine-agnostic; divide by
+    * 10⁶ for the float value; wedges = 0 ⇒ 0). Rides [[triangleCountDF]]'s
+    * shuffle profile plus one degree aggregate — both over the shared
+    * cached oriented layout. */
+  def clusteringCoefficient(g: PropertyGraph): DataFrame = {
+    val e = simpleEdges(g)
+    val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    triangleCountDF(g).join(deg, Seq("id"), "left")
+      .select(col("id"), col("triangles"),
+        expr("coalesce(d, 0L) * (coalesce(d, 0L) - 1L) DIV 2").as("wedges"))
+      .select(col("id"), col("triangles"), col("wedges"),
+        when(col("wedges") > 0L, expr("triangles * 1000000L DIV wedges"))
+          .otherwise(lit(0L)).as("coeff_x1e6"))
+  }
+
+  /** Degree-assortativity moment sums over the canonical simple graph —
+    * the exact integer ingredients of Newman's degree-correlation
+    * coefficient r (Newman, "Assortative mixing in networks", 2002;
+    * public): over all 2|E| directed endpoint pairs (x = deg(u),
+    * y = deg(v)), emit m2 = 2|E|, Σxy, Σx, Σx² as one row of DECIMAL(38,0)
+    * (overflow-proof at any scale; both orientations make Σx = Σy and
+    * Σx² = Σy², so four sums suffice). r = (m2·Σxy − Σx²̂) / (m2·Σx² − Σx·Σx)
+    * computed caller-side in one line — the engine ships only exact,
+    * order-insensitive sums, which is what makes the statistic
+    * oracle-checkable bit-for-bit. Shuffle profile: one degree aggregate +
+    * two vertex-keyed joins + one global aggregate. */
+  def degreeAssortativity(g: PropertyGraph): DataFrame = {
+    val e = simpleEdges(g)
+    val both = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = both.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    both.join(deg.select(col("u"), col("d").as("dx")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("d").as("dy")), Seq("v"))
+      .agg(count(lit(1)).as("m2"),
+        sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sum_xy"),
+        sum(col("dx").cast("decimal(38,0)")).as("sum_x"),
+        sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sum_x2"))
+  }
+
+  /** Neighborhood Jaccard similarity for every vertex pair sharing ≥
+    * `minShared` common neighbors: `inter` = |N(x)∩N(y)|, `uni` =
+    * |N(x)∪N(y)| = d(x)+d(y)−inter, and `jaccard_x1e6` = ⌊10⁶·inter/uni⌋ —
+    * all exact integers over the canonical simple graph (the standard
+    * structural-equivalence / link-prediction feature). `label` restricts
+    * the graph to one edge label first (the bipartite case: co-purchase /
+    * co-containment similarity).
+    *
+    * Scale: pairs are generated at their common neighbor (one self-join
+    * keyed by the center), so a degree-d center fans out d² pairs —
+    * centers above `maxHubDegree` are EXCLUDED as centers (deterministic,
+    * oracle-mirrorable, same stop-hub cap as [[projectBipartite]]); pairs
+    * reachable only through capped hubs are dropped (recall cap, documented
+    * here), while d(x)/d(y) in the denominator stay TRUE degrees. */
+  def neighborJaccard(g: PropertyGraph, label: Option[String] = None,
+      minShared: Long = 1L, maxHubDegree: Long = 100000L): DataFrame = {
+    val base = label.map(l => g.edges.filter(col("label") === l)).getOrElse(g.edges)
+    val e = simpleEdges(g.copy(edges = base))
+    // adjacency, both roles: (x, a) ⇔ a ∈ N(x)
+    val adj = e.select(col("u").as("x"), col("v").as("a"))
+      .unionAll(e.select(col("v").as("x"), col("u").as("a")))
+    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val hubs = deg.filter(col("d") > maxHubDegree).select(col("d"), col("x").as("a"))
+    val light = adj.join(broadcast(hubs.select(col("a"))), Seq("a"), "left_anti")
+    val pairs = light.select(col("a"), col("x"))
+      .join(light.select(col("a"), col("x").as("y")), Seq("a"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= minShared)
+    pairs
+      .join(deg.select(col("x"), col("d").as("dx")), Seq("x"))
+      .join(deg.select(col("x").as("y"), col("d").as("dy")), Seq("y"))
+      .select(col("x").as("ida"), col("y").as("idb"), col("inter"),
+        (col("dx") + col("dy") - col("inter")).as("uni"))
+      .select(col("ida"), col("idb"), col("inter"), col("uni"),
+        expr("inter * 1000000L DIV uni").as("jaccard_x1e6"))
+  }
+
   /** Label propagation communities. */
   def labelPropagation(g: PropertyGraph, maxIter: Int = 10): DataFrame = {
     val lp = org.apache.spark.graphx.lib.LabelPropagation.run(g.toGraphXStructure, maxIter).vertices

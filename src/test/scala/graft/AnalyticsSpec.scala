@@ -127,4 +127,71 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r(GraphOfTheGods.ids("nemean"))._1 === 0L)
     assert(r(GraphOfTheGods.ids("hercules"))._1 > 0L)
   }
+
+  test("triangleCountDF: degree-ordered wedge closure equals GraphX on gods + random graph") {
+    import spark.implicits._
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("triangles")).toMap
+    assert(asMap(Analytics.triangleCountDF(gods)) === asMap(Analytics.triangleCount(gods)))
+    // random multigraph with loops and duplicate orientations — both paths
+    // must canonicalize identically
+    val rnd = new scala.util.Random(11)
+    val n = 60
+    val es = (1 to 600).map { i =>
+      (i.toLong, rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, "r") }
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(),
+      (0L until n.toLong).map(id => (id, "v")).toDF("id", "label"),
+      es.toDF("id", "src", "dst", "label"))
+    assert(asMap(Analytics.triangleCountDF(g)) === asMap(Analytics.triangleCount(g)))
+  }
+
+  test("clusteringCoefficient: exact integers match brute force on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val n = 40
+    val es = (1 to 300).map(i => (i.toLong, rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, "r"))
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(),
+      (0L until n.toLong).map(id => (id, "v")).toDF("id", "label"),
+      es.toDF("id", "src", "dst", "label"))
+    val adj = es.flatMap { case (_, a, b, _) => if (a == b) Nil else Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Analytics.clusteringCoefficient(g).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size === n)
+    for (v <- 0L until n.toLong) {
+      val nb = adj.getOrElse(v, Set.empty).toSeq
+      val tri = (for { i <- nb.indices; j <- i + 1 until nb.size
+        if adj(nb(i)).contains(nb(j)) } yield 1).size.toLong
+      val wedges = nb.size.toLong * (nb.size - 1) / 2
+      val coeff = if (wedges > 0) tri * 1000000L / wedges else 0L
+      assert(got(v) === ((tri, wedges, coeff)), s"vertex $v")
+    }
+  }
+
+  test("degreeAssortativity: path graph P3 has r = -1 from the exact sums") {
+    import spark.implicits._
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(),
+      Seq((1L, "v"), (2L, "v"), (3L, "v")).toDF("id", "label"),
+      Seq((10L, 1L, 2L, "e"), (11L, 2L, 3L, "e")).toDF("id", "src", "dst", "label"))
+    val r = Analytics.degreeAssortativity(g).head
+    assert(r.getAs[Long]("m2") === 4L)
+    assert(r.getAs[java.math.BigDecimal]("sum_xy").longValueExact === 8L)
+    assert(r.getAs[java.math.BigDecimal]("sum_x").longValueExact === 6L)
+    assert(r.getAs[java.math.BigDecimal]("sum_x2").longValueExact === 10L)
+    // Newman r = (m2*Sxy - Sx^2) / (m2*Sx2 - Sx^2) = (32-36)/(40-36) = -1
+    assert((4.0 * 8 - 36) / (4.0 * 10 - 36) === -1.0)
+  }
+
+  test("neighborJaccard: 4-cycle pairs, exact integers, hub cap empties the output") {
+    import spark.implicits._
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(),
+      (1L to 4L).map(id => (id, "v")).toDF("id", "label"),
+      Seq((10L, 1L, 2L, "e"), (11L, 2L, 3L, "e"), (12L, 3L, 4L, "e"),
+        (13L, 4L, 1L, "e")).toDF("id", "src", "dst", "label"))
+    val got = Analytics.neighborJaccard(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // opposite corners share both neighbors; adjacent corners share none
+    assert(got === Map((1L, 3L) -> ((2L, 2L, 1000000L)), (2L, 4L) -> ((2L, 2L, 1000000L))))
+    assert(Analytics.neighborJaccard(g, maxHubDegree = 1L).isEmpty)
+  }
 }
