@@ -1437,6 +1437,18 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.bpePairCounts(
         s.read.parquet(s"$dir/documents.parquet"), k = 30)
     }),
+    // ---- pipeline: BPE ENCODE — the fixed merge table applied to every
+    //      document (single-pass rank-ordered rewrites; see bpeEncode) ----
+    "q_bpe_encode" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.bpeEncode(
+        s.read.parquet(s"$dir/documents.parquet"), bpeMergeTable)
+    }),
+    // ---- pipeline: column profiling — the pre-training data-quality sweep
+    //      (exact ndv via one Expand pass; approx twin is the scale path) ----
+    "q_profile" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.profileColumns(
+        s.read.parquet(s"$dir/documents.parquet"), Seq("lang", "source", "n_chars"))
+    }),
     // ---- pipeline: deterministic train/val/test splits ----
     "q_split_hash" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.hashSplit(
@@ -1651,6 +1663,19 @@ object SparkEntry {
       graph(s, dir).traversal.V().hasLabel("customer")
         .whereSub(_.out("placed").has("totalprice", P.gt(300000.0)))
         .values("uid", "name")
+    }),
+    // ---- 2.E where(sub.count().is(p)) — count-valued traversal predicate
+    //      (emptiness can't express ≥15); the eq(0) form is the count-0
+    //      semantics a semi-join never sees ----
+    "q_where_count" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer")
+        .whereCount(P.gte(15))(_.out("placed"))
+        .values("uid")
+    }),
+    "q_where_count_zero" -> ((s, dir) => {
+      graph(s, dir).traversal.V().hasLabel("customer")
+        .whereCount(P.eq(0))(_.out("placed"))
+        .values("uid")
     }),
     // ---- 2.E repeat().until(traversal) — exit when out() dries up ----
     "q_repeat_until_sub" -> ((s, dir) => {
@@ -3277,6 +3302,12 @@ object SparkEntry {
     "q_split_hash" -> hashSplitOracle(SplitWeights, "split1"),
     "q_split_stratified" -> stratifiedSplitOracle(SplitWeights, "split1"),
     "q_quality_linear" -> qualityLinearOracle(QualityVocab, 0.05, 0.1),
+    "q_bpe_encode" -> bpeEncodeOracle,
+    "q_profile" -> Seq("lang", "source", "n_chars").map(c =>
+      s"""SELECT '$c' AS "column", COUNT(*) AS n,
+         |COUNT(*) - COUNT($c) AS nulls, COUNT(DISTINCT $c) AS ndv,
+         |CAST(MIN($c) AS VARCHAR) AS min_str, CAST(MAX($c) AS VARCHAR) AS max_str
+         |FROM documents""".stripMargin).mkString("\nUNION ALL\n"),
     "q_bpe_pairs" ->
       """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
         |wf AS (SELECT w, COUNT(*) AS f FROM toks GROUP BY 1),
@@ -3631,6 +3662,12 @@ object SparkEntry {
     "q_where_sub" ->
       """SELECT c_custkey AS uid, c_name AS name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin,
+    "q_where_count" ->
+      """SELECT c_custkey AS uid FROM customer
+        |WHERE (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) >= 15""".stripMargin,
+    "q_where_count_zero" ->
+      """SELECT c_custkey AS uid FROM customer
+        |WHERE (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) = 0""".stripMargin,
     "q_repeat_until_sub" ->
       """SELECT r_regionkey AS uid, 'region' AS label FROM customer
         |JOIN nation ON n_nationkey = c_nationkey
@@ -3932,6 +3969,32 @@ object SparkEntry {
   /** Multi-source BFS (min-relax keyed (id, source)) → Σ ⌊10¹²/d⌋ + reach
     * count per vertex — mirrors Analytics.harmonicCentrality round-for-round
     * (fixed rounds, integer floor division on both sides). */
+  /** The fixed BPE merge table q_bpe_encode applies — rank-ordered; later
+    * merges compose multi-char units built by earlier ones. Shared by the
+    * engine probe and [[bpeEncodeOracle]] so the two can never drift. */
+  private val bpeMergeTable: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "o" -> "r", "s" -> "t",
+    "e" -> "n", "o" -> "f")
+
+  /** DuckDB mirror of [[graft.pipeline.TextAnalysis.bpeEncode]]: the same
+    * ASCII normalization,  word-boundary sentinel, char spacing and
+    * rank-ordered chained single-pass REPLACEs (both engines' REPLACE scans
+    * left-to-right non-overlapping, so the chains are bit-identical). */
+  private def bpeEncodeOracle: String = {
+    val replaced = bpeMergeTable.foldLeft("s") { case (acc, (a, b)) =>
+      s"REPLACE($acc, ' $a $b ', ' $a$b ')" }
+    s"""WITH t AS (SELECT doc_id,
+       |  ' ' || regexp_replace(regexp_replace(
+       |    regexp_replace(text, '[^\\x20-\\x7E]', '', 'g'),
+       |    '\\s+', chr(1), 'g'), '(.)', '\\1 ', 'g') AS s FROM documents),
+       |m AS (SELECT doc_id,
+       |  list_filter(string_split($replaced, ' '),
+       |    x -> x <> '' AND x <> chr(1)) AS units FROM t)
+       |SELECT doc_id, CAST(len(units) AS INT) AS n_bpe,
+       |  array_to_string(list_slice(units, 1, 8), '|') AS preview FROM m""".stripMargin
+  }
+
   private def harmonicOracle(sources: Seq[Long], rounds: Int): String = {
     val srcVals = sources.map(s => s"($s)").mkString(",")
     val iters = (1 to rounds).map { k =>

@@ -641,6 +641,88 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair").asc).limit(k)
   }
 
+  /** BPE ENCODE — apply a fixed, ordered merge table to text (the tokenizer
+    * APPLICATION that pairs with [[bpePairCounts]]' training statistic).
+    * Each merge (a, b) in rank order rewrites the adjacent unit pair into
+    * its concatenation; multi-char units compose naturally across ranks
+    * (('t','h') then ('th','e') yields 'the').
+    *
+    * Representation: whitespace runs collapse to a \\u0001 sentinel (merges
+    * can never cross word boundaries), every character is space-delimited
+    * into single-char units, and each merge is ONE left-to-right
+    * non-overlapping single-pass string replace of " a b " → " ab " — the
+    * fast single-pass BPE application. Both Spark's `replace` and standard
+    * SQL REPLACE scan left-to-right non-overlapping, so the result is
+    * bit-identical cross-engine (a faithful per-word iterate-to-fixpoint
+    * re-scans after every merge; the chained single passes are its
+    * deterministic approximation, the trade production fast-BPE encoders
+    * also make). Text is pre-normalized to printable ASCII so the
+    * char-splitting regex is engine-agnostic (at scale, byte-level BPE over
+    * binary would replace this normalization).
+    *
+    * Pure Column expressions end to end — zero shuffles, codegen'd; at
+    * 100 TB this is a map-only pass like the quality scores. Returns
+    * (idCol, n_bpe, preview = first `previewN` units '|'-joined). */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text",
+      previewN: Int = 8): DataFrame = {
+    require(merges.nonEmpty, "bpeEncode needs at least one merge")
+    require(merges.forall { case (a, b) =>
+      a.nonEmpty && b.nonEmpty && !(a + b).contains(" ") && !(a + b).contains("\u0001") },
+      "merge units must be non-empty and free of spaces/sentinels")
+    val ascii = regexp_replace(col(textCol), "[^\\x20-\\x7E]", "")
+    val sentinel = regexp_replace(ascii, "\\s+", "\u0001")
+    val spaced = concat(lit(" "), regexp_replace(sentinel, "(.)", "$1 "))
+    val merged = merges.foldLeft(spaced) { case (acc, (a, b)) =>
+      replace(acc, lit(s" $a $b "), lit(s" $a$b ")) }
+    val units = filter(split(merged, " "),
+      u => u =!= "" && u =!= "\u0001")
+    docs.select(col(idCol), size(units).as("n_bpe"),
+      array_join(slice(units, 1, previewN), "|").as("preview"))
+  }
+
+  /** Column profiling — the data-quality sweep run before training on a new
+    * corpus drop: per requested column, row count, null count, EXACT
+    * distinct count, and min/max (stringified so heterogeneous columns share
+    * one output schema; string min/max compare binary in both engines).
+    * ONE pass: a single aggregate computes every column's stats (multiple
+    * exact distincts plan as one Expand — the scan is read once, rows are
+    * duplicated #cols× inside the aggregate), then a `stack` unpivot emits
+    * one row per column. At 100 TB the Expand multiplier is the cost of
+    * exactness — [[profileColumnsApprox]] is the same sweep with HLL++
+    * sketches (no Expand, order-insensitive merge) for the scale path. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    require(cols.forall(df.columns.contains), s"unknown columns: " +
+      cols.filterNot(df.columns.contains).mkString(", "))
+    profileWith(df, cols, c => count_distinct(col(c)))
+  }
+
+  /** [[profileColumns]] with approximate distinct counts
+    * (HyperLogLog++, `rsd` relative error) — single pass, no Expand; the
+    * 100 TB default. Estimates are deterministic for a given dataset (sketch
+    * merge is order-insensitive) but NOT comparable across engines. */
+  def profileColumnsApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c), rsd))
+
+  private def profileWith(df: DataFrame, cols: Seq[String],
+      ndv: String => Column): DataFrame = {
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"__cnt_$c"), ndv(c).as(s"__ndv_$c"),
+      min(col(c)).cast(StringType).as(s"__min_$c"),
+      max(col(c)).cast(StringType).as(s"__max_$c")) }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    // unpivot as explode-of-structs (uniform field names; `stack` rejects
+    // branches whose struct field names differ)
+    val rows = cols.map { c => struct(lit(c).as("column"),
+      col(s"__cnt_$c").as("cnt"), col(s"__ndv_$c").as("ndv"),
+      col(s"__min_$c").as("min_str"), col(s"__max_$c").as("max_str")) }
+    one.select(col("__n"), explode(array(rows: _*)).as("r"))
+      .select(col("r.column").as("column"), col("__n").as("n"),
+        (col("__n") - col("r.cnt")).as("nulls"), col("r.ndv").as("ndv"),
+        col("r.min_str").as("min_str"), col("r.max_str").as("max_str"))
+  }
+
   /** Deterministic hash split — train/val/test assignment by md5-bucket of
     * the row id. Pure map (zero shuffle at any scale), and STABLE: a row's
     * split never changes when other rows are added or removed, which is the

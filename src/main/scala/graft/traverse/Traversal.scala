@@ -117,6 +117,21 @@ final case class Traversal(
   def whereNotSub(step: Traversal => Traversal): Traversal =
     copy(df = df.join(subMatches(step, "__whr"), col("id") === col("__sid"), "left_anti"))
 
+  /** where(sub.count().is(p)) — keep traversers whose sub-traversal yields a
+    * RESULT COUNT satisfying `p` (TinkerPop `where(__.out().count().is(gt(2)))`
+    * — the count-valued form of [[whereSub]], which only asks emptiness).
+    * Compiled as one provenance-keyed aggregate + a left join back: elements
+    * with NO sub-results count 0 (so `P.eq(0)` selects them — semantics an
+    * emptiness semi-join cannot express). Map-side combinable; the join key
+    * is the source id. */
+  def whereCount(p: graft.expr.P)(step: Traversal => Traversal): Traversal = {
+    val counts = step(this.as("__whc")).df
+      .groupBy(col("_as___whc_id").as("__sid")).agg(F.count(lit(1)).as("__n"))
+    copy(df = df.join(counts, col("id") === col("__sid"), "left")
+      .filter(p.apply(F.coalesce(col("__n"), lit(0L))))
+      .drop("__sid", "__n"))
+  }
+
   // ---------- hops ----------
   def out(labels: String*): Traversal = hop(Direction.OUT, labels, toVertex = true)
   def in(labels: String*): Traversal = hop(Direction.IN, labels, toVertex = true)

@@ -1200,4 +1200,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("randomProject: null projection")),
       s"expected the loud guard, got: ${messages(e).mkString(" | ")}")
   }
+
+  test("bpeEncode: rank-ordered merges compose; boundaries and non-ASCII handled") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "the then"),          // t+h -> th, th+e -> the; 'then' keeps th e n -> the n? no: single pass
+      (2L, "a\u00e9b  c\nd"),    // non-ASCII stripped, whitespace runs = one boundary
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val merges = Seq("t" -> "h", "th" -> "e")
+    val got = TextAnalysis.bpeEncode(docs, merges)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    // doc 1: "the" -> t h e -> th e -> the (1 unit); "then" -> th e n -> the n (2 units)
+    assert(got(1L) === ((3, "the|the|n")))
+    // doc 2: "ab c d" after stripping \u00e9 -> units a b / c / d
+    assert(got(2L) === ((4, "a|b|c|d")))
+    assert(got(3L) === ((0, "")))
+    // merges crossing a word boundary never fire: "t h" split across words
+    val cross = Seq((9L, "cat hat")).toDF("doc_id", "text")
+    val g2 = TextAnalysis.bpeEncode(cross, Seq("t" -> "h"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(g2(9L) === "c|a|t|h|a|t")
+    // guards
+    intercept[IllegalArgumentException](TextAnalysis.bpeEncode(docs, Nil))
+    intercept[IllegalArgumentException](TextAnalysis.bpeEncode(docs, Seq("a " -> "b")))
+  }
+
+  test("profileColumns: exact single-pass stats; approx twin within tolerance") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val df = Seq(
+      (1L, Some("en"), 10L), (2L, Some("de"), 20L),
+      (3L, None, 30L), (4L, Some("en"), 40L)
+    ).toDF("id", "lang", "n")
+    val got = TextAnalysis.profileColumns(df, Seq("lang", "n")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    assert(got("lang") === ((4L, 1L, 2L, "de", "en")))
+    assert(got("n") === ((4L, 0L, 4L, "10", "40")))
+    intercept[IllegalArgumentException](TextAnalysis.profileColumns(df, Seq("nope")))
+    // approx: same shape, ndv within 20% on a small exact-friendly input
+    val approx = TextAnalysis.profileColumnsApprox(df, Seq("lang", "n")).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(math.abs(approx("lang") - 2L) <= 1 && math.abs(approx("n") - 4L) <= 1)
+  }
 }

@@ -288,4 +288,21 @@ class TraversalModulationSpec extends AnyFunSuite {
     assert(viaChoose.count() === orders.count())
     assert(viaChoose.filter(col("_sack") =!= 3L).count() === 0)
   }
+
+  test("whereCount: count-valued sub-traversal predicate, including the count-0 form") {
+    import spark.implicits._
+    val v = Seq((1L, "u"), (2L, "u"), (3L, "u")).toDF("id", "label")
+    val e = Seq((10L, 1L, 2L, "knows"), (11L, 1L, 3L, "knows"), (12L, 2L, 3L, "knows"))
+      .toDF("id", "src", "dst", "label")
+    val tg = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+    def ids(t: graft.traverse.Traversal) =
+      t.id().collect().map(_.getLong(0)).toSet
+    assert(ids(tg.traversal.V().whereCount(P.gte(2))(_.out("knows"))) === Set(1L))
+    assert(ids(tg.traversal.V().whereCount(P.eq(1))(_.out("knows"))) === Set(2L))
+    // eq(0): vertices whose sub-traversal is EMPTY still flow (left join + coalesce)
+    assert(ids(tg.traversal.V().whereCount(P.eq(0))(_.out("knows"))) === Set(3L))
+    // composes with further steps: survivors keep full element columns
+    assert(ids(tg.traversal.V().whereCount(P.gte(1))(_.out("knows")).out("knows"))
+      === Set(2L, 3L))
+  }
 }
