@@ -977,6 +977,12 @@ object SparkEntry {
       graft.olap.Analytics.kCore(g, k = 2, maxRounds = 6)
         .select(kind.as("kind"), (col("id") % t).as("uid"))
     }),
+    // ---- 2.K k-truss — synchronous support peeling over the co-location
+    //      fixture; the oracle mirrors the rounds (NOT_CONVERGED sentinel) ----
+    "q_ktruss" -> ((s, dir) => {
+      val (derived, _, _) = triangleFixture(s, dir)
+      graft.olap.Analytics.kTruss(derived, k = 3, maxRounds = 4)
+    }),
     // ---- 2.K SSSP (synchronous Bellman-Ford hop distance, oracle-checkable) ----
     "q_sssp" -> ((s, dir) => {
       val src = TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L
@@ -3062,6 +3068,7 @@ object SparkEntry {
     "q_connected_components" -> ccOracle(12),
     "q_lpa" -> lpaOracle(3),
     "q_kcore" -> kcoreOracle(2, 6),
+    "q_ktruss" -> ktrussOracle(3, 4),
     "q_triangles" ->
       """WITH cn AS (SELECT c_custkey AS c, c_nationkey AS nk FROM customer),
         |     sn AS (SELECT s_suppkey AS s, s_nationkey AS nk FROM supplier),
@@ -4056,6 +4063,38 @@ object SparkEntry {
     * Analytics.kCore. The trailing sentinel row fires when round `rounds`
     * still changed the set — a too-small round budget surfaces as a
     * row-count mismatch instead of a silently-wrong core. */
+  /** k-truss oracle over the co-location fixture: fixed synchronous support-
+    * peeling rounds (support via the naive common-neighbor join — fine at
+    * oracle scale; the engine uses the oriented enumeration), mirroring
+    * Analytics.kTruss round for round. Peeling is monotone, so count
+    * equality of the last two rounds ⟺ set convergence; otherwise the
+    * NOT_CONVERGED sentinel row fails the compare loudly. */
+  private def ktrussOracle(k: Int, rounds: Int): String = {
+    val T = 1L << graft.core.GraphIds.TagBits
+    val cu = TpchGraph.CustomerTag.toLong * T
+    val su = TpchGraph.SupplierTag.toLong * T
+    val na = TpchGraph.NationTag.toLong * T
+    val iters = (1 to rounds).map { r =>
+      s"""b${r - 1} AS MATERIALIZED (
+         |  SELECT u AS p, v AS q FROM t${r - 1} UNION ALL SELECT v, u FROM t${r - 1}),
+         |t$r AS MATERIALIZED (SELECT e.u, e.v FROM t${r - 1} e
+         |  JOIN b${r - 1} x ON x.p = e.u JOIN b${r - 1} y ON y.p = e.v AND y.q = x.q
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cn AS (SELECT $cu + c_custkey AS c, c_nationkey AS nk FROM customer),
+       |sn AS (SELECT $su + s_suppkey AS s, s_nationkey AS nk FROM supplier),
+       |t0 AS MATERIALIZED (
+       |  SELECT LEAST(c, $na + nk) AS u, GREATEST(c, $na + nk) AS v FROM cn
+       |  UNION
+       |  SELECT LEAST(s, $na + nk), GREATEST(s, $na + nk) FROM sn
+       |  UNION
+       |  SELECT LEAST(c, s), GREATEST(c, s) FROM cn JOIN sn USING (nk)),
+       |$iters
+       |SELECT u, v FROM t$rounds
+       |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+       |WHERE (SELECT COUNT(*) FROM t$rounds) <> (SELECT COUNT(*) FROM t${rounds - 1})""".stripMargin
+  }
+
   private def kcoreOracle(k: Int, rounds: Int): String = {
     val iters = (1 to rounds).map { r =>
       s"""a$r AS MATERIALIZED (SELECT e2.a AS id FROM e2

@@ -125,39 +125,104 @@ object Analytics {
     * the closure join keyed on (b,c) — wedge volume ≤ Σ_a outdeg(a)² =
     * O(m^{3/2}) by the orientation bound. */
   def triangleCountDF(g: PropertyGraph): DataFrame = {
-    val e = simpleEdges(g)
-    val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("d"))
-    // orient by (degree, id): a = low rank, b = high rank; carry both corners'
-    // ranks so the wedge pair (b, c) can be ordered without a re-join
-    val ranked = e
-      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
-      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
     // reused by the wedge AND closure sides — served from the bounded
     // per-session LRU so repeated calls don't leak a CacheManager entry
     val oriented = graft.core.PlanCache.cached(g.spark,
       graft.core.PlanCache.key("tri-oriented", g.edges)) {
-      ranked.select(
+      orientEdges(simpleEdges(g))
+    }
+    val corners = triangleInstancesFrom(oriented)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    g.vertices.select(col("id")).join(corners, Seq("id"), "left")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** Degree-ordered orientation of a canonical simple edge set: each edge
+    * becomes (a, b, db) with rank(a) < rank(b) under rank = (degree, id),
+    * carrying b's degree so wedge pairs can be ordered without a re-join. */
+  private def orientEdges(e: DataFrame): DataFrame = {
+    val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    e.join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           struct(col("u").as("a"), col("v").as("b"), col("dv").as("db")))
           .otherwise(struct(col("v").as("a"), col("u").as("b"), col("du").as("db")))
           .as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"), col("e.db").as("db"))
-    }
-    // wedges at the low-rank corner: (b, c) with rank(b) < rank(c)
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.db").as("db"))
+  }
+
+  /** Triangle instances (a, b, c) from an oriented layout, each exactly once
+    * (a = lowest rank, then b, c): wedges at the low-rank corner closed by
+    * one equi-join against the oriented edges. */
+  private def triangleInstancesFrom(oriented: DataFrame): DataFrame = {
     val w1 = oriented.select(col("a"), col("b"), col("db"))
     val w2 = oriented.select(col("a"), col("b").as("c"), col("db").as("dc"))
     val wedges = w1.join(w2, Seq("a"))
       .filter(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
       .select(col("a"), col("b"), col("c"))
-    val triangles = wedges.join(
-      oriented.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
-    val corners = triangles
-      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
-    val out = g.vertices.select(col("id")).join(corners, Seq("id"), "left")
-      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
-    out
+    wedges.join(oriented.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+  }
+
+  /** k-truss decomposition by synchronous support peeling: each round drops
+    * every surviving edge contained in fewer than k−2 surviving triangles,
+    * until a round removes nothing or `maxRounds` elapse (the standard
+    * cohesive-subgraph relaxation of cliques — Cohen, "Trusses: cohesive
+    * subgraphs for social network analysis", 2008; public). Returns the
+    * surviving canonical edges (u, v); vertices of the truss are their
+    * endpoints. Fixed synchronous rounds keep the result oracle-expressible
+    * (the SQL mirror recomputes support per round), like [[kCore]].
+    *
+    * Scale: per-round support comes from the degree-ORIENTED triangle
+    * enumeration ([[triangleInstancesFrom]] — hub corners bounded at O(√m)
+    * fan-out), exploded to each triangle's three edges and counted — never
+    * the unoriented common-neighbor join whose hub centers explode. The
+    * oriented layout is persisted for the round's two consumers and dropped
+    * at round end; lineage truncates via lazy checkpoint + the round's own
+    * convergence count. */
+  def kTruss(g: PropertyGraph, k: Int, maxRounds: Int = 5): DataFrame = {
+    val (result, converged) = kTrussConverged(g, k, maxRounds)
+    if (!converged)
+      System.err.println(
+        s"[graft] kTruss(k=$k): maxRounds=$maxRounds elapsed with removals still occurring — " +
+          "result is a SUPERSET of the true k-truss; raise maxRounds or use kTrussConverged")
+    result
+  }
+
+  /** kTruss with an explicit convergence flag: (surviving edges, converged). */
+  def kTrussConverged(g: PropertyGraph, k: Int, maxRounds: Int = 5): (DataFrame, Boolean) = {
+    require(k >= 3, s"kTruss needs k >= 3 (k=2 keeps every edge), got $k")
+    var e = simpleEdges(g).localCheckpoint(false)
+    var cur = e.count()
+    var round = 0
+    var removed = true
+    while (round < maxRounds && removed && cur > 0) {
+      val oriented = orientEdges(e).persist(StorageLevel.MEMORY_AND_DISK)
+      // support(edge) = triangles containing it: explode each instance into
+      // its three canonical edges (orientation is by rank, so re-canonicalize
+      // by id before counting)
+      val sup = triangleInstancesFrom(oriented)
+        .select(explode(array(
+          struct(col("a").as("x"), col("b").as("y")),
+          struct(col("a").as("x"), col("c").as("y")),
+          struct(col("b").as("x"), col("c").as("y")))).as("p"))
+        .select(least(col("p.x"), col("p.y")).as("u"),
+          greatest(col("p.x"), col("p.y")).as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("__sup"))
+      val next = e.join(sup, Seq("u", "v"), "left")
+        .filter(coalesce(col("__sup"), lit(0L)) >= (k - 2).toLong)
+        .select(col("u"), col("v"))
+        .localCheckpoint(false)
+      val n = next.count() // materializes the round; doubles as convergence
+      oriented.unpersist(false)
+      removed = n < cur
+      cur = n
+      e = next
+      round += 1
+    }
+    (e, !removed || cur == 0L)
   }
 
   /** Per-vertex local clustering coefficient over the canonical simple

@@ -194,4 +194,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === Map((1L, 3L) -> ((2L, 2L, 1000000L)), (2L, 4L) -> ((2L, 2L, 1000000L))))
     assert(Analytics.neighborJaccard(g, maxHubDegree = 1L).isEmpty)
   }
+
+  test("kTruss: peeling matches brute force on a random graph; cascades converge") {
+    import spark.implicits._
+    def brute(edges: Set[(Long, Long)], k: Int): Set[(Long, Long)] = {
+      var e = edges
+      var changed = true
+      while (changed) {
+        val adj = (e.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) })
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val next = e.filter { case (u, v) =>
+          (adj(u) intersect adj(v)).size >= k - 2 }
+        changed = next != e
+        e = next
+      }
+      e
+    }
+    val rnd = new scala.util.Random(17)
+    val n = 30
+    val es = (1 to 180).map(i => (i.toLong, rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, "r"))
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(),
+      (0L until n.toLong).map(id => (id, "v")).toDF("id", "label"),
+      es.toDF("id", "src", "dst", "label"))
+    val canonical = es.collect { case (_, a, b, _) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    for (k <- Seq(3, 4, 5)) {
+      val (got, converged) = Analytics.kTrussConverged(g, k, maxRounds = 20)
+      assert(converged, s"k=$k should converge in 20 rounds")
+      val gotSet = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotSet === brute(canonical, k), s"k=$k")
+    }
+    // k < 3 is rejected
+    intercept[IllegalArgumentException](Analytics.kTruss(g, 2))
+  }
 }
