@@ -1030,6 +1030,13 @@ object SparkEntry {
       val srcs = Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * t + _)
       graft.olap.Analytics.harmonicCentrality(graph(s, dir), srcs, maxIter = 4)
     }),
+    // ---- 2.K sampled eccentricity / pseudo-diameter: per-source max BFS
+    //      distance + reached count through the same one-BFS-for-k-sources ----
+    "q_eccentricity" -> ((s, dir) => {
+      val t = 1L << graft.core.GraphIds.TagBits
+      val srcs = Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * t + _)
+      graft.olap.Analytics.eccentricity(graph(s, dir), srcs, maxIter = 4)
+    }),
     // ---- 2.K explicit path materialization over the tree: source→v id
     //      chains for every reached vertex ----
     "q_shortest_paths" -> ((s, dir) => {
@@ -3063,6 +3070,8 @@ object SparkEntry {
          |  CAST(inter * 1000000 // uni AS BIGINT) AS jaccard_x1e6 FROM pairs""".stripMargin,
     "q_harmonic" -> harmonicOracle(
       Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + _), 4),
+    "q_eccentricity" -> eccentricityOracle(
+      Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + _), 4),
     "q_shortest_paths" -> shortestPathsOracle(
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 4),
     "q_connected_components" -> ccOracle(12),
@@ -4002,7 +4011,9 @@ object SparkEntry {
        |  array_to_string(list_slice(units, 1, 8), '|') AS preview FROM m""".stripMargin
   }
 
-  private def harmonicOracle(sources: Seq[Long], rounds: Int): String = {
+  /** Shared multi-source BFS CTE chain (mirrors Analytics.multiSourceBfs):
+    * m$rounds holds (id, s, d) with d null when unreached. */
+  private def multiBfsCtes(sources: Seq[Long], rounds: Int): String = {
     val srcVals = sources.map(s => s"($s)").mkString(",")
     val iters = (1 to rounds).map { k =>
       s"""m$k AS MATERIALIZED (SELECT p.id, p.s,
@@ -4013,15 +4024,23 @@ object SparkEntry {
          |    JOIN m${k - 1} q ON q.id = eg.src WHERE q.d IS NOT NULL GROUP BY 1, 2) n
          |  ON n.id = p.id AND n.s = p.s)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $graphCtes,
+    s"""$graphCtes,
        |src(s) AS (VALUES $srcVals),
        |m0 AS MATERIALIZED (SELECT vg.id, src.s,
        |  CASE WHEN vg.id = src.s THEN CAST(0 AS BIGINT) END AS d FROM vg CROSS JOIN src),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private def harmonicOracle(sources: Seq[Long], rounds: Int): String =
+    s"""WITH ${multiBfsCtes(sources, rounds)}
        |SELECT id, CAST(SUM(1000000000000 // d) AS BIGINT) AS harmonic_x1e12,
        |  COUNT(*) AS reached
        |FROM m$rounds WHERE d IS NOT NULL AND d > 0 GROUP BY id""".stripMargin
-  }
+
+  private def eccentricityOracle(sources: Seq[Long], rounds: Int): String =
+    s"""WITH ${multiBfsCtes(sources, rounds)}
+       |SELECT s AS source, MAX(d) AS eccentricity, COUNT(*) AS reached
+       |FROM m$rounds WHERE d IS NOT NULL GROUP BY s""".stripMargin
 
   private def shortestTreeOracle(sourceId: Long, rounds: Int): String =
     s"""WITH ${shortestTreeCtes(sourceId, rounds)}

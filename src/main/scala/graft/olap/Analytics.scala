@@ -534,8 +534,37 @@ object Analytics {
     * state, the price of k samples, with the same lazy-barrier + per-round
     * materializing action as [[shortestDistanceExact]]. */
   def harmonicCentrality(g: PropertyGraph, sources: Seq[Long],
-      maxIter: Int = 6): DataFrame = {
-    require(sources.nonEmpty, "harmonicCentrality needs at least one source")
+      maxIter: Int = 6): DataFrame =
+    multiSourceBfs(g, sources, maxIter, "harmonicCentrality")
+      .filter(col("d") > 0)
+      .groupBy(col("id"))
+      // `div`, not `/`: integer floor division in both engines, hash-exact
+      .agg(sum(expr("1000000000000L div d")).cast("long").as("harmonic_x1e12"),
+        count(lit(1)).as("reached"))
+
+  /** Sampled eccentricity / pseudo-diameter: per sampled source, the max BFS
+    * distance over reached vertices (its directed eccentricity) plus the
+    * reached count (including the source itself — a reachability sanity
+    * column: an eccentricity over 1 % of the graph is not a diameter
+    * estimate). max over the rows = the standard pseudo-diameter lower
+    * bound (the double-sweep/iFUB family's building block; public). Shares
+    * [[harmonicCentrality]]'s one-BFS-for-k-sources engine. */
+  def eccentricity(g: PropertyGraph, sources: Seq[Long],
+      maxIter: Int = 6): DataFrame =
+    multiSourceBfs(g, sources, maxIter, "eccentricity")
+      .groupBy(col("source"))
+      .agg(max(col("d")).as("eccentricity"), count(lit(1)).as("reached"))
+
+  /** Multi-source directed BFS to fixpoint (or `maxIter`): one (id, source,
+    * d) row per REACHED pair. State carries the source tag, so each round is
+    * ONE edges⨝frontier join regardless of |sources| — k·|V| state, the
+    * price of k samples, with the same lazy-barrier + per-round
+    * materializing action as [[shortestDistanceExact]]; the per-round action
+    * doubles as the monotone convergence signature (unchanged (reached, Σd)
+    * ⇒ fixed point, which equals the oracle's fixed-round result). */
+  private def multiSourceBfs(g: PropertyGraph, sources: Seq[Long],
+      maxIter: Int, opName: String): DataFrame = {
+    require(sources.nonEmpty, s"$opName needs at least one source")
     val spark = g.spark
     import spark.implicits._
     val e = g.edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
@@ -544,10 +573,6 @@ object Analytics {
       .select(col("id"), col("source"),
         when(col("id") === col("source"), lit(0L)).as("d"))
       .localCheckpoint(false)
-    // the per-round action that materializes the lazy barrier doubles as
-    // the monotone convergence signature (same trick as
-    // shortestDistanceExact): unchanged (reached, Σd) ⇒ fixed point, and
-    // the fixed point equals the fixed-round result the oracle computes
     var prev: (Long, java.math.BigDecimal) = null
     var round = 0
     var converged = false
@@ -568,11 +593,7 @@ object Analytics {
       round += 1
     }
     e.unpersist(false)
-    dist.filter(col("d").isNotNull && col("d") > 0)
-      .groupBy(col("id"))
-      // `div`, not `/`: integer floor division in both engines, hash-exact
-      .agg(sum(expr("1000000000000L div d")).cast("long").as("harmonic_x1e12"),
-        count(lit(1)).as("reached"))
+    dist.filter(col("d").isNotNull)
   }
 
   /** Materialize the source→v id chain for EVERY vertex of a

@@ -227,4 +227,17 @@ class AnalyticsSpec extends AnyFunSuite {
     // k < 3 is rejected
     intercept[IllegalArgumentException](Analytics.kTruss(g, 2))
   }
+
+  test("eccentricity: per-source max BFS distance and reached count on gods") {
+    val src = GraphOfTheGods.ids("hercules")
+    val r = Analytics.eccentricity(gods, Seq(src), maxIter = 6).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("source") === src)
+    // hercules -> battled/father chains: distances computed by the exact BFS
+    val dist = Analytics.shortestDistance(gods, src, maxIter = 6)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Double]("distance")).toMap
+    assert(row.getAs[Long]("eccentricity") === dist.values.max.toLong)
+    assert(row.getAs[Long]("reached") === dist.size.toLong)
+  }
 }

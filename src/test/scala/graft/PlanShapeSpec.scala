@@ -429,4 +429,28 @@ class PlanShapeSpec extends AnyFunSuite {
     val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
     assert(pushed.contains("shipdate"), pushed)
   }
+
+  test("BPE encode is a pure projection — chained replaces, no shuffle, no UDF") {
+    val p = plan("q_bpe_encode")
+    assert(!p.contains("Exchange"), s"bpeEncode must not shuffle:\n$p")
+    assert(!p.contains("HashAggregate"))
+    assert(!p.contains("BatchEvalPython") && !p.contains("SerializeFromObject"),
+      "bpeEncode must stay in native expressions")
+  }
+
+  test("column profiling is ONE pass: a single Expand aggregate, no re-scans") {
+    val p = plan("q_profile")
+    assert(p.contains("Expand"), "multi-distinct profile should plan one Expand")
+    // one scan of the parquet input — the per-column stats must not rescan
+    // (formatted explain lists each node once in the tree and once in the
+    // details section; count the numbered detail headers)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1,
+      s"profile must scan once:\n$p")
+  }
+
+  test("DF triangle count joins stay equi-joins — no cartesian fallback") {
+    val p = plan("q_triangles_df")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"wedge/closure joins must be equi-joins:\n$p")
+  }
 }
