@@ -1678,16 +1678,16 @@ object SparkEntry {
         .values("uid", "name")
     }),
     // ---- 2.E where(sub.count().is(p)) — count-valued traversal predicate
-    //      (emptiness can't express ≥15); the eq(0) form is the count-0
-    //      semantics a semi-join never sees ----
+    //      (emptiness can't express ≥15); the lte form rides the same
+    //      left-join+coalesce(0) path that makes count-0 selectable ----
     "q_where_count" -> ((s, dir) => {
       graph(s, dir).traversal.V().hasLabel("customer")
         .whereCount(P.gte(15))(_.out("placed"))
         .values("uid")
     }),
-    "q_where_count_zero" -> ((s, dir) => {
+    "q_where_count_low" -> ((s, dir) => {
       graph(s, dir).traversal.V().hasLabel("customer")
-        .whereCount(P.eq(0))(_.out("placed"))
+        .whereCount(P.lte(8))(_.out("placed"))
         .values("uid")
     }),
     // ---- 2.E repeat().until(traversal) — exit when out() dries up ----
@@ -3681,9 +3681,9 @@ object SparkEntry {
     "q_where_count" ->
       """SELECT c_custkey AS uid FROM customer
         |WHERE (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) >= 15""".stripMargin,
-    "q_where_count_zero" ->
+    "q_where_count_low" ->
       """SELECT c_custkey AS uid FROM customer
-        |WHERE (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) = 0""".stripMargin,
+        |WHERE (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) <= 8""".stripMargin,
     "q_repeat_until_sub" ->
       """SELECT r_regionkey AS uid, 'region' AS label FROM customer
         |JOIN nation ON n_nationkey = c_nationkey
