@@ -977,6 +977,11 @@ object SparkEntry {
       graft.olap.Analytics.kCore(g, k = 2, maxRounds = 6)
         .select(kind.as("kind"), (col("id") % t).as("uid"))
     }),
+    // ---- 2.K topological layering (Kahn peeling): layer = peel round;
+    //      survivors of a no-peel round are the cycle set, layer -1 ----
+    "q_topo_layers" -> ((s, dir) => {
+      graft.olap.Analytics.topologicalLayers(graph(s, dir), maxRounds = 6)
+    }),
     // ---- 2.K k-truss — synchronous support peeling over the co-location
     //      fixture; the oracle mirrors the rounds (NOT_CONVERGED sentinel) ----
     "q_ktruss" -> ((s, dir) => {
@@ -1455,6 +1460,12 @@ object SparkEntry {
     "q_bpe_encode" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.bpeEncode(
         s.read.parquet(s"$dir/documents.parquet"), bpeMergeTable)
+    }),
+    // ---- pipeline: tokenizer-coverage report — per-doc OOV mass against
+    //      the corpus's own top-k vocabulary (deterministic boundary) ----
+    "q_oov_rate" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.oovRate(
+        s.read.parquet(s"$dir/documents.parquet"), vocabSize = 200)
     }),
     // ---- pipeline: column profiling — the pre-training data-quality sweep
     //      (exact ndv via one Expand pass; approx twin is the scale path) ----
@@ -3078,6 +3089,7 @@ object SparkEntry {
     "q_lpa" -> lpaOracle(3),
     "q_kcore" -> kcoreOracle(2, 6),
     "q_ktruss" -> ktrussOracle(3, 4),
+    "q_topo_layers" -> topoLayersOracle(6),
     "q_triangles" ->
       """WITH cn AS (SELECT c_custkey AS c, c_nationkey AS nk FROM customer),
         |     sn AS (SELECT s_suppkey AS s, s_nationkey AS nk FROM supplier),
@@ -3319,6 +3331,15 @@ object SparkEntry {
     "q_split_stratified" -> stratifiedSplitOracle(SplitWeights, "split1"),
     "q_quality_linear" -> qualityLinearOracle(QualityVocab, 0.05, 0.1),
     "q_bpe_encode" -> bpeEncodeOracle,
+    "q_oov_rate" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+        |v AS (SELECT w FROM (SELECT w, COUNT(*) AS f FROM toks GROUP BY 1
+        |                     ORDER BY f DESC, w ASC LIMIT 200)),
+        |j AS (SELECT t.doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM toks t LEFT JOIN v ON v.w = t.w)
+        |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |  CAST(SUM(oov) * 1000000 // COUNT(*) AS BIGINT) AS oov_x1e6
+        |FROM j GROUP BY 1""".stripMargin,
     "q_profile" -> Seq("lang", "source", "n_chars").map(c =>
       s"""SELECT '$c' AS "column", COUNT(*) AS n,
          |COUNT(*) - COUNT($c) AS nulls, COUNT(DISTINCT $c) AS ndv,
@@ -4112,6 +4133,25 @@ object SparkEntry {
        |SELECT u, v FROM t$rounds
        |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
        |WHERE (SELECT COUNT(*) FROM t$rounds) <> (SELECT COUNT(*) FROM t${rounds - 1})""".stripMargin
+  }
+
+  /** Topological-layering oracle: fixed Kahn peeling rounds (mirrors
+    * Analytics.topologicalLayers — peel r assigns layer r−1), survivors
+    * after `rounds` emitted at layer −1. */
+  private def topoLayersOracle(rounds: Int): String = {
+    val iters = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT x.id FROM a${r - 1} x WHERE NOT EXISTS (
+         |  SELECT 1 FROM eg JOIN a${r - 1} s ON s.id = eg.src WHERE eg.dst = x.id)),
+         |a$r AS MATERIALIZED (SELECT id FROM a${r - 1}
+         |  EXCEPT SELECT id FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    val layerSelects = (1 to rounds).map { r =>
+      s"SELECT id, CAST(${r - 1} AS BIGINT) AS layer FROM p$r" }
+    s"""WITH $graphCtes,
+       |a0 AS MATERIALIZED (SELECT id FROM vg),
+       |$iters
+       |${layerSelects.mkString("\nUNION ALL ")}
+       |UNION ALL SELECT id, CAST(-1 AS BIGINT) FROM a$rounds""".stripMargin
   }
 
   private def kcoreOracle(k: Int, rounds: Int): String = {

@@ -744,6 +744,57 @@ object Analytics {
     labels.select(col("id"), col("l").as("component"))
   }
 
+  /** Topological layering by synchronous zero-in-degree peeling (Kahn's
+    * algorithm, rounds = layers): round r peels every surviving vertex with
+    * no surviving in-edge and assigns it `layer` = r; when a round peels
+    * nothing while vertices survive, the survivors are exactly the
+    * cycle-involved vertices (plus anything downstream of a cycle) and are
+    * emitted with `layer` = −1 — so this is simultaneously the topological
+    * sort AND the cycle detector for dependency-graph workloads. Runs to
+    * fixpoint or `maxRounds` (running out of rounds on a deep DAG leaves
+    * unpeeled vertices at −1; raise maxRounds — flagged loudly like
+    * [[kCore]]). Per round: one semi-join (surviving in-edge targets) + one
+    * anti-join (the peel) + one count — the kCore shuffle profile, vertex-
+    * keyed, with lazy lineage truncation. */
+  def topologicalLayers(g: PropertyGraph, maxRounds: Int = 10): DataFrame = {
+    val e = g.edges.select(col("src"), col("dst"))
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val spark = g.spark
+    var alive = g.vertices.select(col("id")).localCheckpoint(false)
+    var aliveCount = alive.count()
+    val maxBcast = broadcastMaxRows(g)
+    def hint(df: DataFrame, n: Long): DataFrame = if (n <= maxBcast) broadcast(df) else df
+    var layers = Vector.empty[DataFrame]
+    var round = 0
+    var peeled = true
+    while (round < maxRounds && peeled && aliveCount > 0) {
+      // dsts that still have an ALIVE in-neighbor cannot peel this round
+      val blocked = e
+        .join(hint(alive.select(col("id").as("__s")), aliveCount), col("src") === col("__s"), "left_semi")
+        .select(col("dst").as("id")).distinct()
+      val layerR = alive.join(blocked, Seq("id"), "left_anti")
+        .select(col("id"), lit(round.toLong).as("layer"))
+        .localCheckpoint(false)
+      val n = layerR.count()
+      if (n > 0) {
+        layers = layers :+ layerR
+        alive = alive.join(layerR.select(col("id")), Seq("id"), "left_anti")
+          .localCheckpoint(false)
+        aliveCount -= n
+      }
+      peeled = n > 0
+      round += 1
+    }
+    if (aliveCount > 0 && peeled)
+      System.err.println(
+        s"[graft] topologicalLayers: maxRounds=$maxRounds elapsed with $aliveCount vertices " +
+          "unpeeled — they are reported layer=-1 but may be a deep DAG tail, not a cycle")
+    e.unpersist(false)
+    val cyclic = alive.select(col("id"), lit(-1L).as("layer"))
+    (layers :+ cyclic).reduce(_ unionByName _)
+  }
+
   /** k-core decomposition by synchronous peeling: each round removes every
     * vertex whose undirected degree (incident edge count over SURVIVING
     * endpoints; multi-edges count) is below k, until no vertex is removed or

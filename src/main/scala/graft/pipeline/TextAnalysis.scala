@@ -723,6 +723,32 @@ object TextAnalysis {
         col("r.min_str").as("min_str"), col("r.max_str").as("max_str"))
   }
 
+  /** Out-of-vocabulary rate per document against the corpus's own top-k
+    * vocabulary — the tokenizer-coverage report run before fixing a vocab
+    * size (high OOV mass ⇒ the vocab is too small or the corpus too noisy).
+    * The vocabulary is the `vocabSize` most frequent whitespace tokens with
+    * a deterministic (freq DESC, token ASC) boundary tie-break, so the same
+    * corpus always yields the same vocab on any engine. Emits exact
+    * integers: (idCol, n_tokens, n_oov, oov_x1e6 = ⌊10⁶·n_oov/n_tokens⌋).
+    *
+    * Scale: the vocab is one corpus-wide token aggregate collapsed to
+    * `vocabSize` rows via TakeOrdered (no global sort), then BROADCAST into
+    * the membership join — the exploded token stream never shuffles; the
+    * per-document count is map-side combinable keyed by doc id. */
+  def oovRate(docs: DataFrame, vocabSize: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0, "oovRate needs a positive vocabSize")
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("__f"))
+      .orderBy(col("__f").desc, col("w").asc).limit(vocabSize)
+      .select(col("w"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_x1e6", expr("n_oov * 1000000L DIV n_tokens"))
+  }
+
   /** Deterministic hash split — train/val/test assignment by md5-bucket of
     * the row id. Pure map (zero shuffle at any scale), and STABLE: a row's
     * split never changes when other rows are added or removed, which is the

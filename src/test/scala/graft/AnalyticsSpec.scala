@@ -240,4 +240,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("eccentricity") === dist.values.max.toLong)
     assert(row.getAs[Long]("reached") === dist.size.toLong)
   }
+
+  test("topologicalLayers: Kahn peeling layers a DAG; cycles land at -1") {
+    import spark.implicits._
+    // DAG: 1->2->3, 1->3, 4 isolated; cycle: 5<->6 feeding 7
+    val v = (1L to 7L).map(id => (id, "v")).toDF("id", "label")
+    val e = Seq((10L, 1L, 2L, "e"), (11L, 2L, 3L, "e"), (12L, 1L, 3L, "e"),
+      (13L, 5L, 6L, "e"), (14L, 6L, 5L, "e"), (15L, 6L, 7L, "e"))
+      .toDF("id", "src", "dst", "label")
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+    val got = Analytics.topologicalLayers(g, maxRounds = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sources peel first; isolated vertices are round-0 sources too
+    assert(got === Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 2L,
+      5L -> -1L, 6L -> -1L, 7L -> -1L))
+  }
 }

@@ -1245,4 +1245,22 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(math.abs(approx("lang") - 2L) <= 1 && math.abs(approx("n") - 4L) <= 1)
   }
+
+  test("oovRate: exact per-doc OOV integers against the corpus top-k vocab") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    // corpus frequencies: "a" x4, "b" x3, "c" x1, "d" x1 -> vocab(2) = {a, b}
+    val docs = Seq(
+      (1L, "a a b c"), (2L, "a b b d"), (3L, "a a")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.oovRate(docs, vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(1L -> ((4L, 1L, 250000L)), 2L -> ((4L, 1L, 250000L)),
+      3L -> ((2L, 0L, 0L))))
+    // boundary tie-break is deterministic: c and d tie at f=1; vocab(3) takes "c"
+    val g3 = TextAnalysis.oovRate(docs, vocabSize = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(g3 === Map(1L -> 0L, 2L -> 1L, 3L -> 0L))
+    intercept[IllegalArgumentException](TextAnalysis.oovRate(docs, 0))
+  }
 }
