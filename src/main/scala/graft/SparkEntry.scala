@@ -1309,6 +1309,12 @@ object SparkEntry {
     // ---- pipeline: LSH-bucketed cosine pairs (scale path). The cap is
     //      disabled HERE because the mirrored SQL keeps every banding
     //      candidate — production callers keep the default maxBucketSize ----
+    // ---- pipeline: binary (sign) quantization — 128 hyperplane sign bits
+    //      as two BIGINT words; the 16-byte rung of the quantization ladder ----
+    "q_binary_quantize" -> ((s, dir) => {
+      graft.pipeline.Similarity.binaryQuantize(
+        s.read.parquet(s"$dir/embeddings.parquet"))
+    }),
     "q_lsh_cosine_pairs" -> ((s, dir) => {
       graft.pipeline.Similarity.lshCosinePairs(
         s.read.parquet(s"$dir/embeddings.parquet"), 0.4, dim = 64, bandBits = 4,
@@ -3148,6 +3154,7 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON sa.doc_id = in_id JOIN sizes sb ON sb.doc_id = corpus_id
         |WHERE CAST(shared AS DOUBLE)/CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.8""".stripMargin,
     "q_dedup_simhash" -> simHashOracle,
+    "q_binary_quantize" -> binaryQuantizeOracle,
     "q_lsh_cosine_pairs" -> lshCosineOracle,
     "q_repetition" -> repetitionOracle,
     "q_chunk" -> chunkOracle(24, 8),
@@ -4632,6 +4639,22 @@ object SparkEntry {
     * The probe disables the heavy-bucket cap to match: the SQL has no
     * equivalent exclusion, so with the default cap a skewed bucket would
     * diverge the two engines. */
+  /** Mirrors Similarity.binaryQuantize: 128 inline ±1 direction rows, each
+    * bit the sign of a left-to-right double dot product (DuckDB's
+    * list_dot_product fold order = the engine's LshSignature order); bit 63
+    * of each word is the inlined Long.MinValue literal (DuckDB rejects
+    * 1::BIGINT << 63), and summing DISJOINT bits never overflows. */
+  private def binaryQuantizeOracle: String = {
+    val dirs = graft.pipeline.Similarity.lshDirections(64, 128)
+    def word(lo: Int): String = (0 until 64).map { j =>
+      val arr = dirs(lo + j).map(d => if (d > 0) "1.0" else "-1.0").mkString(",")
+      s"(CASE WHEN list_dot_product(v, [$arr]) > 0 THEN (${1L << j})::BIGINT ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT vec_id, CAST(${word(64)} AS BIGINT) AS sig_hi,
+       |  CAST(${word(0)} AS BIGINT) AS sig_lo FROM e""".stripMargin
+  }
+
   private def lshCosineOracle: String = {
     val dim = 64; val bits = 64; val bandBits = 4; val threshold = 0.4
     val dirs = graft.pipeline.Similarity.lshDirections(dim, bits)

@@ -668,6 +668,33 @@ object Similarity {
   def lshSignature(vec: Column, dim: Int, bits: Int = 16, seed: Long = 42L): Column =
     graft.functions.LshSignature(vec, lshDirections(dim, bits, seed))
 
+  /** Binary (sign) quantization — 128 random-hyperplane sign bits per
+    * vector packed as two 64-bit words (sig_hi = directions 64–127, sig_lo =
+    * 0–63): Charikar's SimHash family applied to embeddings, the coarsest
+    * rung of the quantization ladder (float32 → int8 [[quantizeInt8]] → PQ
+    * codes → 16 BYTES here, dim-independent). Hamming distance between
+    * signatures estimates angular distance; compose with
+    * [[graft.pipeline.Multimodal.hammingNearDupPairs]] for the banded
+    * near-dup join (recall 1 at Hamming ≤ 7 below the bucket cap) or use as
+    * a pre-filter before exact cosine rerank.
+    *
+    * Cross-engine exact: each bit is the sign of a left-to-right double dot
+    * product against the seed-derived ±1 directions ([[lshDirections]] rows,
+    * lo word first) — the same fold order as DuckDB's list_dot_product, so
+    * an oracle inlines the matrix and matches bit-for-bit (the proven
+    * lshCosinePairs recipe). Computed by the single-pass LshSignature
+    * codegen expression: one element read updates all 128 accumulators.
+    * Scale: pure projection, zero shuffle; 10¹⁰ vectors → 160 GB of
+    * signatures, small enough to self-join through the byte-band buckets. */
+  def binaryQuantize(data: DataFrame, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = vecDim(data, vecCol)
+    val dirs = lshDirections(dim, 128, seed)
+    data.select(col(idCol),
+      graft.functions.LshSignature(col(vecCol), dirs.slice(64, 128)).as("sig_hi"),
+      graft.functions.LshSignature(col(vecCol), dirs.take(64)).as("sig_lo"))
+  }
+
   /** L2-normalize a vector column (unit sphere; zero vectors stay zero).
     * Normalizing once at ingest turns every downstream cosine into a plain
     * dot product — at 100 TB that halves the flops of the verification

@@ -1263,4 +1263,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(g3 === Map(1L -> 0L, 2L -> 1L, 3L -> 0L))
     intercept[IllegalArgumentException](TextAnalysis.oovRate(docs, 0))
   }
+
+  test("binaryQuantize: sign bits match per-direction dots; Hamming composition works") {
+    import spark.implicits._
+    import graft.pipeline.{Similarity, Multimodal}
+    val rnd = new scala.util.Random(23)
+    val rows: Seq[(Long, Seq[Float])] =
+      (0L until 20L).map(id => id -> Seq.fill(16)((rnd.nextDouble() - 0.5).toFloat)) :+
+        (100L -> Seq.fill(16)(0.25f)) :+ (101L -> Seq.fill(16)(0.25f)) // planted identical pair
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.binaryQuantize(df)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // reference: left-to-right double dot per direction
+    val dirs = Similarity.lshDirections(16, 128)
+    def word(vec: Seq[Float], lo: Int): Long = (0 until 64).foldLeft(0L) { (acc, j) =>
+      var s = 0.0
+      for (i <- 0 until 16) s += vec(i).toDouble * dirs(lo + j)(i)
+      if (s > 0) acc | (1L << j) else acc
+    }
+    for ((id, vec) <- rows)
+      assert(got(id) === ((word(vec, 64), word(vec, 0))), s"vec $id")
+    // identical vectors -> identical signatures -> Hamming 0 pair via the banded join
+    val pairs = Multimodal.hammingNearDupPairs(
+      Similarity.binaryQuantize(df), "sig_hi", "sig_lo", maxHamming = 7, idCol = "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((100L, 101L)) && pairs((100L, 101L)) === 0)
+  }
 }
