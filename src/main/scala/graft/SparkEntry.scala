@@ -2145,6 +2145,35 @@ object SparkEntry {
     // ---- 2.E addV step (TinkerPop AddVertexStep): one 'segment' vertex per
     //      distinct market segment, deterministic reserved-tag ids; the new
     //      vertex label auto-creates through the first-use schema maker ----
+    // ---- 2.E mergeV/mergeE (TinkerPop 3.6 upsert steps, beyond the
+    //      reference's surface): match-or-create with idempotent replay ----
+    "q_merge_vertices" -> ((s, dir) => {
+      import s.implicits._
+      val g = graph(s, dir)
+      val upd = g.vertices
+        .filter(col("label") === "customer" && col("mktsegment") === "BUILDING")
+        .select(col("name"), lit("MERGED").as("mktsegment"))
+      val fresh = (1 to 5).map(i => (s"NEWCUST_$i", "FRESH")).toDF("name", "mktsegment")
+      val m = g.traversal.mergeV("customer", upd.unionByName(fresh), Seq("name")).graph
+      m.vertices.filter(col("label") === "customer")
+        .groupBy(col("mktsegment")).agg(count(lit(1)).as("cnt"))
+    }),
+    "q_merge_edges" -> ((s, dir) => {
+      val g = graph(s, dir)
+      // pass 1: every nation→region pair CREATES under a fresh label (the
+      // first-use schema maker declares it); pass 2 UPDATES those pairs and
+      // creates region self-loops — both merge paths in one probe, no
+      // declared-endpoint or multiplicity conflicts with loader labels
+      val nr = g.edges.filter(col("label") === "in_region")
+        .select(col("src"), col("dst"), lit(2L).as("w"))
+      val m1 = g.traversal.mergeE("colisted", nr).graph
+      val upd = nr.select(col("src"), col("dst"), lit(9L).as("w"))
+      val self = m1.vertices.filter(col("label") === "region")
+        .select(col("id").as("src"), col("id").as("dst"), lit(5L).as("w"))
+      val m2 = m1.traversal.mergeE("colisted", upd.unionByName(self)).graph
+      m2.edges.filter(col("label") === "colisted")
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    }),
     "q_add_vertex" -> ((s, dir) => {
       val g = graph(s, dir)
       val segs = g.vertices.filter(col("label") === "customer")
@@ -2822,6 +2851,13 @@ object SparkEntry {
         |   WHERE c_mktsegment <> 'BUILDING')
         |UNION ALL SELECT 'e', 'contains', COUNT(*) FROM lineitem
         |UNION ALL SELECT 'e', 'supplied_by', COUNT(*) FROM lineitem""".stripMargin,
+    "q_merge_vertices" ->
+      """SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 'MERGED' ELSE c_mktsegment END
+        |  AS mktsegment, COUNT(*) AS cnt FROM customer GROUP BY 1
+        |UNION ALL SELECT 'FRESH', 5""".stripMargin,
+    "q_merge_edges" ->
+      """SELECT CAST(9 AS BIGINT) AS w, COUNT(*) AS cnt FROM nation
+        |UNION ALL SELECT CAST(5 AS BIGINT), COUNT(*) FROM region""".stripMargin,
     "q_add_vertex" ->
       """SELECT 'region' AS label, COUNT(*) AS cnt FROM region
         |UNION ALL SELECT 'nation', COUNT(*) FROM nation

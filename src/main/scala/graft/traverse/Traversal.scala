@@ -1262,6 +1262,90 @@ final class TraversalSource(val graph: PropertyGraph, val pathEnabled: Boolean =
     * Like TinkerPop's AddVertexStep this returns a TRAVERSAL positioned on
     * the created vertices (mutated graph via `.graph`), so
     * `addV(…).as('n').addE(…)` chains keep going. */
+  /** mergeV — TinkerPop's 3.6 upsert step (beyond the reference's Gremlin
+    * surface), batch form: each row either UPDATES the unique existing
+    * `label` vertex matching it on `matchKeys` (every non-key column
+    * overwrites the vertex's property — the onMatch side-effect) or CREATES
+    * a new vertex carrying all the row's columns (onCreate), with the same
+    * deterministic reserved-tag id scheme as [[addV]] keyed by the match
+    * columns — so replaying the batch is IDEMPOTENT, the property that
+    * makes merge the ingest primitive. Returns the traversal positioned on
+    * the merged (created + updated) vertices in the mutated graph;
+    * enforcement and first-use schema creation apply through
+    * [[graft.data.GraphIO.applyMutations]].
+    *
+    * Scale: one matchKeys-keyed join against the label's vertices splits
+    * the batch into update/create sides; the rest is the id-keyed upsert
+    * merge every mutation batch pays. Rows whose matchKeys collide with
+    * MULTIPLE existing vertices update all of them (declare a unique index
+    * on the match keys to exclude that by construction). */
+  def mergeV(label: String, rows: DataFrame, matchKeys: Seq[String],
+      enforce: Boolean = true): Traversal = {
+    require(matchKeys.nonEmpty, "mergeV needs at least one match key")
+    require(matchKeys.forall(rows.columns.contains),
+      s"mergeV: rows lack match key(s) ${matchKeys.filterNot(rows.columns.contains).mkString(", ")}")
+    // one row per key tuple: conflicting duplicates collapse arbitrarily —
+    // pre-aggregate the batch if the winner matters
+    val rows0 = rows.dropDuplicates(matchKeys)
+    val props = rows0.columns.filterNot(c => matchKeys.contains(c) || c == "label" || c == "id")
+    val existing = graph.vertices.filter(col("label") === label)
+    val keyed = rows0.select(matchKeys.map(col) ++
+      props.map(c => col(c).as(s"__new_$c")): _*)
+    // onMatch: provided columns overwrite, untouched vertex columns survive
+    val updated = existing.join(keyed, matchKeys)
+      .select(existing.columns.map { c =>
+        if (props.contains(c)) col(s"__new_$c").as(c) else col(c) }.toSeq ++
+        props.filterNot(existing.columns.contains).map(c => col(s"__new_$c").as(c)): _*)
+    // onCreate: rows matching nothing become new vertices, id from the keys
+    val vid = (lit(126L << graft.core.GraphIds.TagBits) +
+      F.pmod(F.xxhash64(lit(label) +: matchKeys.map(col): _*),
+        lit(1L << graft.core.GraphIds.TagBits))).as("id")
+    val created = rows0.join(existing.select(matchKeys.map(col): _*).distinct(),
+        matchKeys, "left_anti")
+      .select(Seq(vid, lit(label).as("label")) ++ (matchKeys ++ props).map(col): _*)
+    val av = updated.unionByName(created, allowMissingColumns = true)
+    val ng = graft.data.GraphIO.applyMutations(graph, addVertices = Some(av), enforce = enforce)
+    val merged = ng.vertices.join(av.select(col("id").as("__vid")).distinct(),
+      col("id") === col("__vid"), "left_semi")
+    val df2 = if (pathEnabled) merged.withColumn("_path", F.array(col("id"))) else merged
+    Traversal(ng, df2, isVertex = true, pathEnabled, frontierLabels = Some(Set(label)))
+  }
+
+  /** mergeE — the edge upsert twin of [[mergeV]]: rows carry (src, dst) plus
+    * property columns; an existing `label` edge on that endpoint pair is
+    * updated (non-key columns overwrite), a missing one is created with
+    * [[addE]]'s deterministic reserved-tag id — idempotent under replay.
+    * Returns the traversal positioned on the merged edges. */
+  def mergeE(label: String, rows: DataFrame, enforce: Boolean = true): Traversal = {
+    require(Seq("src", "dst").forall(rows.columns.contains),
+      "mergeE: rows need src and dst columns")
+    val rows0 = rows.dropDuplicates("src", "dst")
+    val props = rows0.columns.filterNot(c =>
+      c == "src" || c == "dst" || c == "label" || c == "id")
+    val existing = graph.edges.filter(col("label") === label)
+    val keyed = rows0.select(Seq(col("src"), col("dst")) ++
+      props.map(c => col(c).as(s"__new_$c")): _*)
+    val updated = existing.join(keyed, Seq("src", "dst"))
+      .select(existing.columns.map { c =>
+        if (props.contains(c)) col(s"__new_$c").as(c) else col(c) }.toSeq ++
+        props.filterNot(existing.columns.contains).map(c => col(s"__new_$c").as(c)): _*)
+    val eid = (lit(127L << graft.core.GraphIds.TagBits) +
+      F.pmod(F.xxhash64(col("src"), col("dst"), lit(label)),
+        lit(1L << graft.core.GraphIds.TagBits))).as("id")
+    val created = rows0.join(existing.select(col("src"), col("dst")).distinct(),
+        Seq("src", "dst"), "left_anti")
+      .select(Seq(eid, col("src"), col("dst"), lit(label).as("label")) ++ props.map(col): _*)
+    val ae = updated.unionByName(created, allowMissingColumns = true)
+    val ng = graft.data.GraphIO.applyMutations(graph, addEdges = Some(ae), enforce = enforce)
+    val merged = ng.edges.join(ae.select(col("id").as("__eid")).distinct(),
+      col("id") === col("__eid"), "left_semi")
+    val ef = merged.select(
+      Seq(col("src").as("vid"), col("dst").as("other"), lit("OUT").as("dir")) ++
+        merged.columns.map(col): _*)
+    Traversal(ng, ef, isVertex = false, pathEnabled,
+      frontierEdgeLabels = Some(Set(label)))
+  }
+
   def addV(label: String, rows: DataFrame, enforce: Boolean = true): Traversal = {
     require(rows.columns.contains("uid"), "addV: rows need a 'uid' column (identity)")
     val vid = (lit(126L << graft.core.GraphIds.TagBits) +

@@ -379,4 +379,50 @@ class MutationEnforcementSpec extends AnyFunSuite {
     assert(m.edges.filter(col("weight").isNull).count() ===
       g.edges.count() - inRegion) // untouched edges read back null
   }
+
+  test("mergeV: match updates, miss creates, replay is idempotent") {
+    import spark.implicits._
+    val v = Seq((1L, "user", "ada", 10L), (2L, "user", "bob", 20L))
+      .toDF("id", "label", "name", "score")
+    val g = PropertyGraph(GraphSchema(), v,
+      Seq.empty[(Long, Long, Long, String)].toDF("id", "src", "dst", "label"))
+    val batch = Seq(("ada", 99L), ("eve", 7L)).toDF("name", "score")
+    val t1 = g.traversal.mergeV("user", batch, Seq("name"))
+    // merged frontier = exactly the batch's two vertices
+    assert(t1.toDF.count() === 2)
+    val m1 = t1.graph
+    val byName = m1.vertices.collect()
+      .map(r => r.getAs[String]("name") -> (r.getAs[Long]("id"), r.getAs[Long]("score"))).toMap
+    assert(byName("ada")._1 === 1L && byName("ada")._2 === 99L) // updated in place, id kept
+    assert(byName("bob") === ((2L, 20L)))                      // untouched
+    assert(byName("eve")._2 === 7L && byName("eve")._1 > (100L << 56)) // created, reserved tag
+    // replay: same batch, same result (created ids deterministic from keys)
+    val m2 = m1.traversal.mergeV("user", batch, Seq("name")).graph
+    assert(m2.vertices.count() === 3)
+    assert(m2.vertices.orderBy("id").collect().toSeq ===
+      m1.vertices.orderBy("id").collect().toSeq)
+    // new property columns flow through the first-use schema path
+    val widen = Seq(("bob", "admin")).toDF("name", "role")
+    val m3 = m2.traversal.mergeV("user", widen, Seq("name")).graph
+    assert(m3.vertices.filter(col("name") === "bob").head.getAs[String]("role") === "admin")
+    assert(m3.vertices.filter(col("name") === "ada").head.getAs[String]("role") == null)
+  }
+
+  test("mergeE: endpoint-pair match updates, miss creates; replay idempotent") {
+    import spark.implicits._
+    val v = Seq((1L, "u"), (2L, "u"), (3L, "u")).toDF("id", "label")
+    val e = Seq((10L, 1L, 2L, "knows", 1L)).toDF("id", "src", "dst", "label", "w")
+    val g = PropertyGraph(GraphSchema(), v, e)
+    val batch = Seq((1L, 2L, 9L), (2L, 3L, 5L)).toDF("src", "dst", "w")
+    val t = g.traversal.mergeE("knows", batch)
+    assert(t.toDF.count() === 2)
+    val m = t.graph
+    val byPair = m.edges.collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")) ->
+        (r.getAs[Long]("id"), r.getAs[Long]("w"))).toMap
+    assert(byPair((1L, 2L)) === ((10L, 9L))) // updated, id kept
+    assert(byPair((2L, 3L))._2 === 5L)       // created
+    val m2 = m.traversal.mergeE("knows", batch).graph
+    assert(m2.edges.orderBy("id").collect().toSeq === m.edges.orderBy("id").collect().toSeq)
+  }
 }
