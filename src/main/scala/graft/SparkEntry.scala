@@ -1309,17 +1309,17 @@ object SparkEntry {
     // ---- pipeline: LSH-bucketed cosine pairs (scale path). The cap is
     //      disabled HERE because the mirrored SQL keeps every banding
     //      candidate — production callers keep the default maxBucketSize ----
-    // ---- pipeline: binary (sign) quantization — 128 hyperplane sign bits
-    //      as two BIGINT words; the 16-byte rung of the quantization ladder ----
-    "q_binary_quantize" -> ((s, dir) => {
-      graft.pipeline.Similarity.binaryQuantize(
-        s.read.parquet(s"$dir/embeddings.parquet"))
-    }),
     "q_lsh_cosine_pairs" -> ((s, dir) => {
       graft.pipeline.Similarity.lshCosinePairs(
         s.read.parquet(s"$dir/embeddings.parquet"), 0.4, dim = 64, bandBits = 4,
         maxBucketSize = Long.MaxValue)
         .select(col("ida"), col("idb"))
+    }),
+    // ---- pipeline: binary (sign) quantization — 128 hyperplane sign bits
+    //      as two BIGINT words; the 16-byte rung of the quantization ladder ----
+    "q_binary_quantize" -> ((s, dir) => {
+      graft.pipeline.Similarity.binaryQuantize(
+        s.read.parquet(s"$dir/embeddings.parquet"))
     }),
     // ---- pipeline: SimHash near-dup — engine-portable md5 token-hash
     //      family, maxHamming ≤ pieces-1 so banding is provably complete and
@@ -2142,9 +2142,6 @@ object SparkEntry {
         .unionAll(m.edges.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
           .select(lit("e").as("kind"), col("label"), col("cnt")))
     }),
-    // ---- 2.E addV step (TinkerPop AddVertexStep): one 'segment' vertex per
-    //      distinct market segment, deterministic reserved-tag ids; the new
-    //      vertex label auto-creates through the first-use schema maker ----
     // ---- 2.E mergeV/mergeE (TinkerPop 3.6 upsert steps, beyond the
     //      reference's surface): match-or-create with idempotent replay ----
     "q_merge_vertices" -> ((s, dir) => {
@@ -2174,6 +2171,9 @@ object SparkEntry {
       m2.edges.filter(col("label") === "colisted")
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     }),
+    // ---- 2.E addV step (TinkerPop AddVertexStep): one 'segment' vertex per
+    //      distinct market segment, deterministic reserved-tag ids; the new
+    //      vertex label auto-creates through the first-use schema maker ----
     "q_add_vertex" -> ((s, dir) => {
       val g = graph(s, dir)
       val segs = g.vertices.filter(col("label") === "customer")
@@ -4046,9 +4046,6 @@ object SparkEntry {
        |    FROM eg JOIN dist a ON a.id = eg.src JOIN dist b ON b.id = eg.dst
        |    WHERE b.d = a.d + 1 GROUP BY 1) p ON p.id = di.id)""".stripMargin
 
-  /** Multi-source BFS (min-relax keyed (id, source)) → Σ ⌊10¹²/d⌋ + reach
-    * count per vertex — mirrors Analytics.harmonicCentrality round-for-round
-    * (fixed rounds, integer floor division on both sides). */
   /** The fixed BPE merge table q_bpe_encode applies — rank-ordered; later
     * merges compose multi-char units built by earlier ones. Shared by the
     * engine probe and [[bpeEncodeOracle]] so the two can never drift. */
@@ -4075,8 +4072,10 @@ object SparkEntry {
        |  array_to_string(list_slice(units, 1, 8), '|') AS preview FROM m""".stripMargin
   }
 
-  /** Shared multi-source BFS CTE chain (mirrors Analytics.multiSourceBfs):
-    * m$rounds holds (id, s, d) with d null when unreached. */
+  /** Multi-source BFS (min-relax keyed (id, source)) — mirrors
+    * Analytics.multiSourceBfs round-for-round: shared CTE chain where
+    * m$rounds holds (id, s, d) with d null when unreached; harmonic sums
+    * ⌊10¹²/d⌋, eccentricity takes MAX(d), both integer-exact. */
   private def multiBfsCtes(sources: Seq[Long], rounds: Int): String = {
     val srcVals = sources.map(s => s"($s)").mkString(",")
     val iters = (1 to rounds).map { k =>
@@ -4146,6 +4145,23 @@ object SparkEntry {
     * Analytics.kCore. The trailing sentinel row fires when round `rounds`
     * still changed the set — a too-small round budget surfaces as a
     * row-count mismatch instead of a silently-wrong core. */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val iters = (1 to rounds).map { r =>
+      s"""a$r AS MATERIALIZED (SELECT e2.a AS id FROM e2
+         |  JOIN a${r - 1} x ON e2.a = x.id JOIN a${r - 1} y ON e2.b = y.id
+         |  GROUP BY 1 HAVING COUNT(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |e2 AS MATERIALIZED (SELECT src AS a, dst AS b FROM eg UNION ALL SELECT dst, src FROM eg),
+       |a0 AS MATERIALIZED (SELECT id FROM vg),
+       |$iters
+       |SELECT CASE id // $T WHEN 1 THEN 'region' WHEN 2 THEN 'nation' WHEN 3 THEN 'customer'
+       |  WHEN 4 THEN 'supplier' WHEN 5 THEN 'part' ELSE 'order' END AS kind,
+       |  id % $T AS uid FROM a$rounds
+       |UNION ALL SELECT 'NOT_CONVERGED', CAST(-1 AS BIGINT)
+       |WHERE (SELECT COUNT(*) FROM a$rounds) <> (SELECT COUNT(*) FROM a${rounds - 1})""".stripMargin
+  }
+
   /** k-truss oracle over the co-location fixture: fixed synchronous support-
     * peeling rounds (support via the naive common-neighbor join — fine at
     * oracle scale; the engine uses the oriented enumeration), mirroring
@@ -4195,23 +4211,6 @@ object SparkEntry {
        |$iters
        |${layerSelects.mkString("\nUNION ALL ")}
        |UNION ALL SELECT id, CAST(-1 AS BIGINT) FROM a$rounds""".stripMargin
-  }
-
-  private def kcoreOracle(k: Int, rounds: Int): String = {
-    val iters = (1 to rounds).map { r =>
-      s"""a$r AS MATERIALIZED (SELECT e2.a AS id FROM e2
-         |  JOIN a${r - 1} x ON e2.a = x.id JOIN a${r - 1} y ON e2.b = y.id
-         |  GROUP BY 1 HAVING COUNT(*) >= $k)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH $graphCtes,
-       |e2 AS MATERIALIZED (SELECT src AS a, dst AS b FROM eg UNION ALL SELECT dst, src FROM eg),
-       |a0 AS MATERIALIZED (SELECT id FROM vg),
-       |$iters
-       |SELECT CASE id // $T WHEN 1 THEN 'region' WHEN 2 THEN 'nation' WHEN 3 THEN 'customer'
-       |  WHEN 4 THEN 'supplier' WHEN 5 THEN 'part' ELSE 'order' END AS kind,
-       |  id % $T AS uid FROM a$rounds
-       |UNION ALL SELECT 'NOT_CONVERGED', CAST(-1 AS BIGINT)
-       |WHERE (SELECT COUNT(*) FROM a$rounds) <> (SELECT COUNT(*) FROM a${rounds - 1})""".stripMargin
   }
 
   /** Deterministic LPA oracle (mirrors Analytics.labelPropagationExact):
@@ -4675,22 +4674,6 @@ object SparkEntry {
     * The probe disables the heavy-bucket cap to match: the SQL has no
     * equivalent exclusion, so with the default cap a skewed bucket would
     * diverge the two engines. */
-  /** Mirrors Similarity.binaryQuantize: 128 inline ±1 direction rows, each
-    * bit the sign of a left-to-right double dot product (DuckDB's
-    * list_dot_product fold order = the engine's LshSignature order); bit 63
-    * of each word is the inlined Long.MinValue literal (DuckDB rejects
-    * 1::BIGINT << 63), and summing DISJOINT bits never overflows. */
-  private def binaryQuantizeOracle: String = {
-    val dirs = graft.pipeline.Similarity.lshDirections(64, 128)
-    def word(lo: Int): String = (0 until 64).map { j =>
-      val arr = dirs(lo + j).map(d => if (d > 0) "1.0" else "-1.0").mkString(",")
-      s"(CASE WHEN list_dot_product(v, [$arr]) > 0 THEN (${1L << j})::BIGINT ELSE 0::BIGINT END)"
-    }.mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-       |SELECT vec_id, CAST(${word(64)} AS BIGINT) AS sig_hi,
-       |  CAST(${word(0)} AS BIGINT) AS sig_lo FROM e""".stripMargin
-  }
-
   private def lshCosineOracle: String = {
     val dim = 64; val bits = 64; val bandBits = 4; val threshold = 0.4
     val dirs = graft.pipeline.Similarity.lshDirections(dim, bits)
@@ -4708,6 +4691,22 @@ object SparkEntry {
        |SELECT ida, idb FROM cand
        |JOIN e ea ON ea.vec_id = ida JOIN e eb ON eb.vec_id = idb
        |WHERE list_cosine_similarity(ea.v, eb.v) >= $threshold""".stripMargin
+  }
+
+  /** Mirrors Similarity.binaryQuantize: 128 inline ±1 direction rows, each
+    * bit the sign of a left-to-right double dot product (DuckDB's
+    * list_dot_product fold order = the engine's LshSignature order); bit 63
+    * of each word is the inlined Long.MinValue literal (DuckDB rejects
+    * 1::BIGINT << 63), and summing DISJOINT bits never overflows. */
+  private def binaryQuantizeOracle: String = {
+    val dirs = graft.pipeline.Similarity.lshDirections(64, 128)
+    def word(lo: Int): String = (0 until 64).map { j =>
+      val arr = dirs(lo + j).map(d => if (d > 0) "1.0" else "-1.0").mkString(",")
+      s"(CASE WHEN list_dot_product(v, [$arr]) > 0 THEN (${1L << j})::BIGINT ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT vec_id, CAST(${word(64)} AS BIGINT) AS sig_hi,
+       |  CAST(${word(0)} AS BIGINT) AS sig_lo FROM e""".stripMargin
   }
 
   /** SimHash with the engine-portable md5-low-48-bit token hash

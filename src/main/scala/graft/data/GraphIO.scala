@@ -345,18 +345,29 @@ object GraphIO {
     // to (our own exports emit it; foreign GraphML simply lacks it).
     // Parsing is attribute-ORDER-insensitive and accepts expanded (non-self-
     // closing) tags — foreign writers order attributes freely and may nest a
-    // <default> child; a declaration missing a required attribute throws
-    // (naming the tag) rather than silently dropping the property column.
+    // <default> child. A declaration missing `id` throws (data entries could
+    // not reference it); one missing attr.name/attr.type is SKIPPED WITH A
+    // LOUD WARNING naming the tag — foreign tool-metadata keys (e.g. yEd's
+    // yfiles.type) declare no data property at all, and aborting the whole
+    // import over them would be the worse failure mode. The tag capture
+    // consumes quoted attribute values atomically, so a raw '>' inside a
+    // value (legal XML) cannot truncate the declaration.
     def keyAttr(tag: String, name: String): Option[String] =
       ("""(?<=\s)""" + java.util.regex.Pattern.quote(name) + """="([^"]*)"""").r
         .findFirstMatchIn(tag).map(m => xmlAttrUnescape(m.group(1)))
-    val keys = """<key\b[^>]*>""".r.findAllIn(header).toSeq.map { tag =>
-      def required(name: String): String = keyAttr(tag, name).getOrElse(
-        throw new IllegalStateException(
-          s"GraphML import: <key> declaration missing $name: $tag"))
-      (required("id"), keyAttr(tag, "for").getOrElse("all"), required("attr.name"),
-        required("attr.type"), keyAttr(tag, "graft.type"))
-    }.toSeq
+    val keys = """<key\b(?:[^>"]|"[^"]*")*>""".r.findAllIn(header).toSeq.flatMap { tag =>
+      val id = keyAttr(tag, "id").getOrElse(throw new IllegalStateException(
+        s"GraphML import: <key> declaration missing id: $tag"))
+      (keyAttr(tag, "attr.name"), keyAttr(tag, "attr.type")) match {
+        case (Some(n), Some(t)) =>
+          Some((id, keyAttr(tag, "for").getOrElse("all"), n, t, keyAttr(tag, "graft.type")))
+        case _ =>
+          System.err.println(
+            s"[graft] GraphML import: skipping <key id=\"$id\"> — no attr.name/attr.type " +
+              s"(foreign tool metadata?): $tag")
+          None
+      }
+    }
     val fragSchema = StructType(Seq(
       StructField("_id", StringType), StructField("_source", StringType),
       StructField("_target", StringType),

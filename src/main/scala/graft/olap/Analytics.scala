@@ -118,9 +118,13 @@ object Analytics {
     * materializes exactly once (a = lowest rank, b = middle, c = highest)
     * and explodes to its three corners for the per-vertex count.
     *
-    * Same result as [[triangleCount]] (asserted in AnalyticsSpec); unlike the
-    * GraphX path it stays in Tungsten rows + whole-stage codegen end to end,
-    * with no RDD round-trip. Shuffle profile: one |E| distinct, one degree
+    * Same per-vertex counts as [[triangleCount]] on shared ids (asserted in
+    * AnalyticsSpec); the VERTEX UNIVERSES differ at the margins — this path
+    * reports every vertex of g.vertices (isolated vertices at 0) and drops
+    * ghost endpoints absent from the vertex table, while GraphX derives its
+    * universe from edge endpoints (isolated omitted, ghosts included).
+    * Unlike the GraphX path it stays in Tungsten rows + whole-stage codegen
+    * end to end, with no RDD round-trip. Shuffle profile: one |E| distinct, one degree
     * agg, rank-attach joins, a wedge self-join keyed on the low corner, and
     * the closure join keyed on (b,c) — wedge volume ≤ Σ_a outdeg(a)² =
     * O(m^{3/2}) by the orientation bound. */
@@ -129,7 +133,7 @@ object Analytics {
     // per-session LRU so repeated calls don't leak a CacheManager entry
     val oriented = graft.core.PlanCache.cached(g.spark,
       graft.core.PlanCache.key("tri-oriented", g.edges)) {
-      orientEdges(simpleEdges(g))
+      orientEdges(simpleEdges(g), simpleDegrees(g))
     }
     val corners = triangleInstancesFrom(oriented)
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
@@ -138,12 +142,25 @@ object Analytics {
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 
+  /** Simple-graph degrees (over [[simpleEdges]]) — served from the bounded
+    * per-session LRU so the triangle family and [[clusteringCoefficient]]
+    * share ONE |E| distinct + degree aggregate instead of re-running them. */
+  private[graft] def simpleDegrees(g: PropertyGraph): DataFrame =
+    graft.core.PlanCache.cached(g.spark,
+      graft.core.PlanCache.key("tri-degrees", g.edges)) {
+      degreesOf(simpleEdges(g))
+    }
+
+  private def degreesOf(e: DataFrame): DataFrame =
+    e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+
   /** Degree-ordered orientation of a canonical simple edge set: each edge
     * becomes (a, b, db) with rank(a) < rank(b) under rank = (degree, id),
     * carrying b's degree so wedge pairs can be ordered without a re-join. */
-  private def orientEdges(e: DataFrame): DataFrame = {
-    val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+  private def orientEdges(e: DataFrame): DataFrame = orientEdges(e, degreesOf(e))
+
+  private def orientEdges(e: DataFrame, deg: DataFrame): DataFrame = {
     e.join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
       .select(
@@ -233,9 +250,7 @@ object Analytics {
     * shuffle profile plus one degree aggregate — both over the shared
     * cached oriented layout. */
   def clusteringCoefficient(g: PropertyGraph): DataFrame = {
-    val e = simpleEdges(g)
-    val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val deg = simpleDegrees(g)
     triangleCountDF(g).join(deg, Seq("id"), "left")
       .select(col("id"), col("triangles"),
         expr("coalesce(d, 0L) * (coalesce(d, 0L) - 1L) DIV 2").as("wedges"))

@@ -1315,7 +1315,9 @@ final class TraversalSource(val graph: PropertyGraph, val pathEnabled: Boolean =
     * property columns; an existing `label` edge on that endpoint pair is
     * updated (non-key columns overwrite), a missing one is created with
     * [[addE]]'s deterministic reserved-tag id — idempotent under replay.
-    * Returns the traversal positioned on the merged edges. */
+    * Returns the traversal positioned on the merged edges. Like [[addE]],
+    * path history does not carry onto the edge frontier (batch rows are not
+    * traversers) — call path-dependent steps after re-anchoring. */
   def mergeE(label: String, rows: DataFrame, enforce: Boolean = true): Traversal = {
     require(Seq("src", "dst").forall(rows.columns.contains),
       "mergeE: rows need src and dst columns")

@@ -139,10 +139,17 @@ class AnalyticsSpec extends AnyFunSuite {
     val n = 60
     val es = (1 to 600).map { i =>
       (i.toLong, rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, "r") }
+    // vertex 200 is isolated: the universes differ at the margins by design —
+    // DF reports every vertex of g.vertices (isolated at 0), GraphX derives
+    // its universe from edge endpoints (isolated omitted); counts must agree
+    // on the shared ids
     val g = graft.data.PropertyGraph(graft.core.GraphSchema(),
-      (0L until n.toLong).map(id => (id, "v")).toDF("id", "label"),
+      ((0L until n.toLong) :+ 200L).map(id => (id, "v")).toDF("id", "label"),
       es.toDF("id", "src", "dst", "label"))
-    assert(asMap(Analytics.triangleCountDF(g)) === asMap(Analytics.triangleCount(g)))
+    val dfSide = asMap(Analytics.triangleCountDF(g))
+    val gxSide = asMap(Analytics.triangleCount(g))
+    assert(dfSide(200L) === 0L && !gxSide.contains(200L))
+    assert(dfSide - 200L === gxSide)
   }
 
   test("clusteringCoefficient: exact integers match brute force on a random graph") {

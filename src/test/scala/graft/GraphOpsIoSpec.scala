@@ -545,29 +545,47 @@ class GraphOpsIoSpec extends AnyFunSuite {
     val hdr = new String(java.nio.file.Files.readAllBytes(hdrPath), "UTF-8")
     val KeyDecl = ("""<key id="([^"]+)" for="([^"]+)" attr.name="([^"]+)" """ +
       """attr.type="([^"]+)"(?: graft\.type="[^"]*")?/>""").r
-    val foreign = KeyDecl.replaceAllIn(hdr, m => {
+    val foreign0 = KeyDecl.replaceAllIn(hdr, m => {
       val forAttr = if (m.group(3) == "rank") "all" else m.group(2)
       s"""<key attr.name="${m.group(3)}" for="$forAttr" attr.type="${m.group(4)}" """ +
         s"""id="${m.group(1)}"><default></default></key>"""
     })
+    // plus: a yEd-style tool-metadata key with NO attr.name/attr.type (must
+    // be skipped with a warning, not abort the import) and a raw '>' inside
+    // a quoted attribute value (legal XML; must not truncate the capture)
+    val foreign = foreign0.replaceFirst("<key ",
+      """<key for="node" id="d6" yfiles.type="nodegraphics"/>
+        |<key id="zmeta" for="node" attr.name="a>b" attr.type="string"/>
+        |<key """.stripMargin)
     assert(foreign != hdr, "fixture must actually rewrite the declarations")
     // drop the Hadoop checksum sidecar — we edit the file behind its back
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$path/.header.xml.crc"))
     java.nio.file.Files.write(hdrPath, foreign.getBytes("UTF-8"))
     val back = GraphIO.importGraphml(spark, path)
-    // no property column silently dropped; values identical to the clean import
-    assert(back.vertices.columns.sorted === before.vertices.columns.sorted)
-    assert(back.vertices.orderBy("id").collect().map(_.toString).toSeq ===
+    // no DECLARED property column silently dropped; values identical to the
+    // clean import (the '>'-valued a>b key adds an all-null column — proof
+    // the capture survived the raw '>'; the yfiles key is skipped)
+    assert((before.vertices.columns :+ "a>b").sorted === back.vertices.columns.sorted)
+    assert(back.vertices.orderBy("id").select(before.vertices.columns.map(col): _*)
+      .collect().map(_.toString).toSeq ===
       before.vertices.orderBy("id").collect().map(_.toString).toSeq)
     assert(back.edges.columns.contains("w") &&
       back.edges.head.getAs[Double]("w") === 2.5)
 
-    // a declaration missing a required attribute names itself in the error
+    // a data-property declaration stripped of attr.name is skipped loudly
+    // (column dropped), never an aborted import
     java.nio.file.Files.write(hdrPath, foreign.replaceFirst(
       """attr\.name="name" """, "").getBytes("UTF-8"))
+    val noName = GraphIO.importGraphml(spark, path)
+    assert(!noName.vertices.columns.contains("name"))
+    assert(noName.vertices.columns.contains("rank")) // the rest still imports
+
+    // a declaration without even an id still throws (data cannot reference it)
+    java.nio.file.Files.write(hdrPath, foreign.replaceFirst(
+      """id="zmeta" """, "").getBytes("UTF-8"))
     val err = intercept[IllegalStateException](GraphIO.importGraphml(spark, path))
-    assert(err.getMessage.contains("missing attr.name"), err.getMessage)
+    assert(err.getMessage.contains("missing id"), err.getMessage)
   }
 
   test("checkEndpoints: opt-in validation of declared edge-label endpoints") {

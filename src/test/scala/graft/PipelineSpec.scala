@@ -1289,4 +1289,35 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs.contains((100L, 101L)) && pairs((100L, 101L)) === 0)
   }
+
+  test("bpeEncode equals the JVM single-pass replace chain (ScalaCheck)") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val charGen = Gen.frequency(6 -> Gen.alphaLowerChar, 2 -> Gen.const(' '),
+      1 -> Gen.oneOf('.', '#', '\u00e9'), 1 -> Gen.const('\n'))
+    val textGen = Gen.chooseNum(0, 60).flatMap(k => Gen.listOfN(k, charGen)).map(_.mkString)
+    val unitGen = Gen.chooseNum(1, 2).flatMap(k => Gen.listOfN(k, Gen.alphaLowerChar)).map(_.mkString)
+    val mergesGen = Gen.chooseNum(1, 6).flatMap(k =>
+      Gen.listOfN(k, Gen.zip(unitGen, unitGen)))
+    def reference(text: String, merges: Seq[(String, String)]): (Int, String) = {
+      val ascii = text.replaceAll("[^\\x20-\\x7E]", "")
+      val sent = ascii.replaceAll("\\s+", "\u0001")
+      val spaced = " " + sent.flatMap(c => s"$c ")
+      val merged = merges.foldLeft(spaced) { case (acc, (a, b)) =>
+        acc.replace(s" $a $b ", s" $a$b ") }
+      val units = merged.split(" ", -1).filter(u => u.nonEmpty && u != "\u0001").toSeq
+      (units.size, units.take(8).mkString("|"))
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15),
+      org.scalacheck.Prop.forAll(Gen.listOfN(4, textGen), mergesGen) { (texts, merges) =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val got = TextAnalysis.bpeEncode(df, merges)
+          .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+        texts.zipWithIndex.forall { case (t, i) =>
+          got(i.toLong) == reference(t, merges) }
+      })
+    assert(res.passed, s"property failed: $res")
+  }
 }
