@@ -977,6 +977,17 @@ object SparkEntry {
       graft.olap.Analytics.kCore(g, k = 2, maxRounds = 6)
         .select(kind.as("kind"), (col("id") % t).as("uid"))
     }),
+    // ---- 2.K k-hop ego network: induced subgraph within 2 undirected hops
+    //      of customer 1 — vertex label census + induced edge count ----
+    "q_ego" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val t = 1L << graft.core.GraphIds.TagBits
+      val seed = TpchGraph.CustomerTag.toLong * t + 1L
+      val ego = graft.olap.GraphOps.egoNetwork(g, Seq(seed), k = 2)
+      ego.vertices.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+        .unionByName(ego.edges.agg(count(lit(1)).as("cnt"))
+          .select(lit("~edges").as("label"), col("cnt")))
+    }),
     // ---- 2.K topological layering (Kahn peeling): layer = peel round;
     //      survivors of a no-peel round are the cycle set, layer -1 ----
     "q_topo_layers" -> ((s, dir) => {
@@ -1531,6 +1542,13 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       graft.pipeline.Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
         .select(col("qid"), col("nid"), col("rank"))
+    }),
+    // ---- pipeline: cosine RANGE search — top-k's threshold dual; queries
+    //      broadcast, corpus scanned once with the filter map-side ----
+    "q_ann_range" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Similarity.rangeSearch(e, e.filter(col("vec_id") < 10),
+        threshold = 0.3)
     }),
     // ---- pipeline: token counting ----
     "q_token_count" -> ((s, dir) => {
@@ -3132,6 +3150,8 @@ object SparkEntry {
     "q_kcore" -> kcoreOracle(2, 6),
     "q_ktruss" -> ktrussOracle(3, 4),
     "q_topo_layers" -> topoLayersOracle(6),
+    "q_ego" -> egoOracle(
+      TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 2),
     "q_triangles" ->
       """WITH cn AS (SELECT c_custkey AS c, c_nationkey AS nk FROM customer),
         |     sn AS (SELECT s_suppkey AS s, s_nationkey AS nk FROM supplier),
@@ -3399,6 +3419,11 @@ object SparkEntry {
     "q_dedup_stats" -> dedupStatsOracle(8),
     "q_dedup_priority" -> dedupPriorityOracle(8),
     "q_semantic_dedup" -> semanticDedupOracle(8, 0.4254, 16),
+    "q_ann_range" ->
+      """SELECT q.vec_id AS qid, d.vec_id AS nid FROM embeddings q JOIN embeddings d
+        |ON q.vec_id < 10 AND q.vec_id <> d.vec_id
+        |AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |  CAST(d.embedding AS DOUBLE[])) >= 0.3""".stripMargin,
     "q_embed_pairs" ->
       """SELECT a.vec_id AS ida, b.vec_id AS idb FROM embeddings a JOIN embeddings b
         |ON a.vec_id < b.vec_id
@@ -4192,6 +4217,26 @@ object SparkEntry {
        |SELECT u, v FROM t$rounds
        |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
        |WHERE (SELECT COUNT(*) FROM t$rounds) <> (SELECT COUNT(*) FROM t${rounds - 1})""".stripMargin
+  }
+
+  /** Ego-network oracle: k rounds of undirected frontier expansion from the
+    * seed, then the label census of reached vertices plus the induced edge
+    * count (both endpoints reached) — mirrors GraphOps.egoNetwork. */
+  private def egoOracle(seedId: Long, k: Int): String = {
+    val T = "72057594037927936"
+    val rounds = (1 to k).map { r =>
+      s"""r$r AS MATERIALIZED (SELECT id FROM r${r - 1}
+         |  UNION SELECT b.v FROM b JOIN r${r - 1} x ON b.u = x.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |b AS MATERIALIZED (SELECT src AS u, dst AS v FROM eg UNION ALL SELECT dst, src FROM eg),
+       |r0 AS MATERIALIZED (SELECT CAST($seedId AS BIGINT) AS id),
+       |$rounds
+       |SELECT CASE id // $T WHEN 1 THEN 'region' WHEN 2 THEN 'nation'
+       |  WHEN 3 THEN 'customer' WHEN 4 THEN 'supplier' WHEN 5 THEN 'part'
+       |  ELSE 'order' END AS label, COUNT(*) AS cnt FROM r$k GROUP BY 1
+       |UNION ALL SELECT '~edges', COUNT(*) FROM eg
+       |WHERE src IN (SELECT id FROM r$k) AND dst IN (SELECT id FROM r$k)""".stripMargin
   }
 
   /** Topological-layering oracle: fixed Kahn peeling rounds (mirrors

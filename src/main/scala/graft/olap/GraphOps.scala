@@ -84,4 +84,37 @@ object GraphOps {
       schema = g.schema.renamePropertyKey(from, to),
       vertices = ren(g.vertices), edges = ren(g.edges)))
   }
+
+  /** k-hop EGO NETWORK: the induced subgraph on every vertex within `k`
+    * UNDIRECTED hops of the seed set — the neighborhood-extraction primitive
+    * (fraud rings, social-context windows, GNN sampling). Returns a
+    * PropertyGraph of the reached vertices plus exactly the edges with BOTH
+    * endpoints reached.
+    *
+    * Scale: k rounds of one edges⨝frontier semi-join each (the frontier is
+    * ids-only and broadcasts while small); the final induction is two
+    * semi-joins against the reached-id set. The reached set is checkpointed
+    * per round so the plan stays constant-size; unreachable ghosts never
+    * enter (induction is against the VERTEX table). */
+  def egoNetwork(g: PropertyGraph, seeds: Seq[Long], k: Int): PropertyGraph = {
+    require(seeds.nonEmpty, "egoNetwork needs at least one seed")
+    require(k >= 0, s"egoNetwork: k must be >= 0, got $k")
+    val spark = g.spark
+    import spark.implicits._
+    val und = g.edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(g.edges.select(col("dst").as("a"), col("src").as("b")))
+    var reached = seeds.toDF("id").localCheckpoint(false)
+    for (_ <- 1 to k) {
+      val next = und.join(reached.select(col("id").as("__f")),
+          col("a") === col("__f"), "left_semi")
+        .select(col("b").as("id"))
+      reached = reached.unionAll(next).distinct().localCheckpoint(false)
+    }
+    val ids = reached.select(col("id").as("__rid"))
+    val v = g.vertices.join(ids, col("id") === col("__rid"), "left_semi")
+    val e = g.edges
+      .join(ids, col("src") === col("__rid"), "left_semi")
+      .join(ids, col("dst") === col("__rid"), "left_semi")
+    g.copy(vertices = v, edges = e)
+  }
 }

@@ -48,6 +48,26 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("cos"))
   }
 
+  /** Exact cosine RANGE search (threshold query) — top-k's dual: every
+    * (query, corpus) pair with cosine ≥ `threshold`, the shape
+    * recommendation/retrieval pipelines use when the match COUNT matters
+    * more than a fixed k. Returns (qid, nid); self-matches excluded.
+    *
+    * Scale: the query side BROADCASTS (range search is a small-queries
+    * operation by construction) and the corpus is scanned ONCE with the
+    * filter applied map-side — zero shuffle, no Q×corpus materialization
+    * beyond the streamed filter. For corpus-scale query sets use
+    * [[lshCosinePairs]] (self-join) or [[ivfPqTopK]] with a post-filter. */
+  def rangeSearch(data: DataFrame, queries: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val d = data.select(col(idCol).as("nid"), col(vecCol).as("dvec"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    d.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid") &&
+        cosine(col("qvec"), col("dvec")) >= threshold)
+      .select(col("qid"), col("nid"))
+  }
+
   /** Deterministic INITIAL coarse centroids: a HASH-SAMPLED seed — the
     * `nlist` vectors with the smallest `md5(id)` digest (id tie-break). An
     * id-ordered seed ("first nlist by id") collapses when ids correlate with

@@ -262,4 +262,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 2L,
       5L -> -1L, 6L -> -1L, 7L -> -1L))
   }
+
+  test("egoNetwork: k-hop induced subgraph; ghosts excluded; k=0 is the seeds") {
+    import spark.implicits._
+    import graft.olap.GraphOps
+    // path 1-2-3-4 plus ghost edge 2->99 (no vertex 99)
+    val v = (1L to 4L).map(id => (id, "v")).toDF("id", "label")
+    val e = Seq((10L, 1L, 2L, "e"), (11L, 2L, 3L, "e"), (12L, 3L, 4L, "e"),
+      (13L, 2L, 99L, "e")).toDF("id", "src", "dst", "label")
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+    def ids(pg: graft.data.PropertyGraph) =
+      pg.vertices.collect().map(_.getLong(0)).toSet
+    val ego0 = GraphOps.egoNetwork(g, Seq(1L), 0)
+    assert(ids(ego0) === Set(1L) && ego0.edges.isEmpty)
+    val ego1 = GraphOps.egoNetwork(g, Seq(1L), 1)
+    assert(ids(ego1) === Set(1L, 2L))
+    assert(ego1.edges.collect().map(_.getLong(0)).toSet === Set(10L))
+    val ego2 = GraphOps.egoNetwork(g, Seq(4L), 2) // undirected reach
+    assert(ids(ego2) === Set(2L, 3L, 4L))
+    assert(ego2.edges.collect().map(_.getLong(0)).toSet === Set(11L, 12L))
+  }
 }

@@ -1320,4 +1320,17 @@ class PipelineSpec extends AnyFunSuite {
       })
     assert(res.passed, s"property failed: $res")
   }
+
+  test("rangeSearch: threshold dual of top-k, self-matches excluded") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val rows = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(1f, 0.01f)), (3L, Seq(0f, 1f)), (4L, Seq(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.rangeSearch(rows, rows.filter(col("vec_id") === 1L), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L))) // only the near-parallel vector passes 0.9
+    val none = Similarity.rangeSearch(rows, rows.filter(col("vec_id") === 3L), 0.99)
+    assert(none.isEmpty)
+  }
 }
