@@ -1122,6 +1122,32 @@ object SparkEntry {
         } finally cleanup()
       out
     }),
+    // ---- pipeline: STREAMING OOV monitor — the vocabulary freezes once
+    //      (batch top-k), then the live ingest feed scores per-doc OOV mass
+    //      through readStream: one broadcast join + ONE aggregation
+    //      (complete-mode-legal), oracle-identical to the batch q_oov_rate ----
+    "q_stream_oov" -> ((s, dir) => {
+      val src = s.read.parquet(s"$dir/documents.parquet")
+      val vocab = graft.pipeline.TextAnalysis.topVocabulary(src, 200)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-soov")
+      src.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema(src.schema).parquet(s"$tmp/in")
+      val qname = s"graft_soov_${System.nanoTime()}"
+      val q = graft.pipeline.TextAnalysis.oovRateAgainst(stream, vocab)
+        .writeStream.format("memory").queryName(qname).outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      def cleanup(): Unit = deleteRecursively(tmp)
+      val out =
+        try {
+          awaitStreamProbe(q, "q_stream_oov")
+          val t = s.table(qname)
+          s.catalog.dropTempView(qname)
+          t
+        } finally cleanup()
+      out
+    }),
     // ---- pipeline: STREAMING perceptual dedup — aHash fingerprints flow
     //      through Structured Streaming, one survivor (min id) + dup count
     //      per distinct fingerprint; oracle-identical to the batch groupBy,
@@ -3395,6 +3421,16 @@ object SparkEntry {
     "q_quality_linear" -> qualityLinearOracle(QualityVocab, 0.05, 0.1),
     "q_bpe_encode" -> bpeEncodeOracle,
     "q_oov_rate" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+        |v AS (SELECT w FROM (SELECT w, COUNT(*) AS f FROM toks GROUP BY 1
+        |                     ORDER BY f DESC, w ASC LIMIT 200)),
+        |j AS (SELECT t.doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM toks t LEFT JOIN v ON v.w = t.w)
+        |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |  CAST(SUM(oov) * 1000000 // COUNT(*) AS BIGINT) AS oov_x1e6
+        |FROM j GROUP BY 1""".stripMargin,
+    // the streaming monitor must equal the batch statistic exactly
+    "q_stream_oov" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
         |v AS (SELECT w FROM (SELECT w, COUNT(*) AS f FROM toks GROUP BY 1
         |                     ORDER BY f DESC, w ASC LIMIT 200)),

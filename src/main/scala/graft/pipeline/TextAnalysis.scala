@@ -736,13 +736,31 @@ object TextAnalysis {
     * the membership join — the exploded token stream never shuffles; the
     * per-document count is map-side combinable keyed by doc id. */
   def oovRate(docs: DataFrame, vocabSize: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    oovRateAgainst(docs, topVocabulary(docs, vocabSize, textCol), idCol, textCol)
+
+  /** The corpus's own top-k vocabulary (freq DESC, token ASC boundary
+    * tie-break — deterministic on any engine): one token aggregate collapsed
+    * via TakeOrdered. Returns a one-column (`w`) frame. */
+  def topVocabulary(docs: DataFrame, vocabSize: Int,
       textCol: String = "text"): DataFrame = {
-    require(vocabSize > 0, "oovRate needs a positive vocabSize")
-    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
-    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("__f"))
+    require(vocabSize > 0, "topVocabulary needs a positive vocabSize")
+    docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__f"))
       .orderBy(col("__f").desc, col("w").asc).limit(vocabSize)
-      .select(col("w"), lit(1).as("__in"))
-    toks.join(broadcast(vocab), Seq("w"), "left")
+      .select(col("w"))
+  }
+
+  /** [[oovRate]] against a PREBUILT vocabulary frame (one column `w`) — the
+    * monitoring form: freeze the vocab once, score any corpus (or a LIVE
+    * ingest stream — one broadcast join + ONE aggregation, so it runs
+    * unchanged under Structured Streaming's complete mode; the streaming
+    * probe q_stream_oov is exactly this op over readStream). */
+  def oovRateAgainst(docs: DataFrame, vocab: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val v = vocab.select(col("w"), lit(1).as("__in"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .join(broadcast(v), Seq("w"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
