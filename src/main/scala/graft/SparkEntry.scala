@@ -2562,7 +2562,9 @@ object SparkEntry {
     // q_triangles_df is the same statistic through the DataFrame-native
     // degree-ordered wedge closure — benched next to the GraphX path so the
     // ~10× gap (0.34s vs 3.46s at sf0.1, same-session A/B) stays visible
-    "q_kcore", "q_triangles", "q_triangles_df", "q_connected_components",
+    // q_ktruss: per-round oriented triangle enumeration — the new iterative
+    // family gets regression tracking like kcore/cc
+    "q_kcore", "q_ktruss", "q_triangles", "q_triangles_df", "q_connected_components",
     // native CDC source end-to-end (readStream → stateful sessionize →
     // memory sink): the one streaming family wall-time, so source/state
     // throughput regressions surface in the bench, not just correctness
