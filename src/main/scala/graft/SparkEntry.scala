@@ -4258,23 +4258,27 @@ object SparkEntry {
   }
 
   /** Ego-network oracle: k rounds of undirected frontier expansion from the
-    * seed, then the label census of reached vertices plus the induced edge
-    * count (both endpoints reached) — mirrors GraphOps.egoNetwork. */
+    * seed, then the label census and induced edge count over reached ∩
+    * vertex-table ids (the engine inducts against SURVIVING vertices, so a
+    * dangling endpoint inside k hops contributes neither a vertex nor its
+    * edge) — mirrors GraphOps.egoNetwork. */
   private def egoOracle(seedId: Long, k: Int): String = {
-    val T = "72057594037927936"
+    // k = 0 must not leave a dangling comma after r0 (engine supports it:
+    // the ego of a seed set at zero hops is the seed set itself)
     val rounds = (1 to k).map { r =>
-      s"""r$r AS MATERIALIZED (SELECT id FROM r${r - 1}
+      s""",r$r AS MATERIALIZED (SELECT id FROM r${r - 1}
          |  UNION SELECT b.v FROM b JOIN r${r - 1} x ON b.u = x.id)""".stripMargin
-    }.mkString(",\n")
+    }.mkString("\n")
     s"""WITH $graphCtes,
        |b AS MATERIALIZED (SELECT src AS u, dst AS v FROM eg UNION ALL SELECT dst, src FROM eg),
-       |r0 AS MATERIALIZED (SELECT CAST($seedId AS BIGINT) AS id),
+       |r0 AS MATERIALIZED (SELECT CAST($seedId AS BIGINT) AS id)
        |$rounds
+       |,rv AS MATERIALIZED (SELECT id FROM r$k INTERSECT SELECT id FROM vg)
        |SELECT CASE id // $T WHEN 1 THEN 'region' WHEN 2 THEN 'nation'
        |  WHEN 3 THEN 'customer' WHEN 4 THEN 'supplier' WHEN 5 THEN 'part'
-       |  ELSE 'order' END AS label, COUNT(*) AS cnt FROM r$k GROUP BY 1
+       |  ELSE 'order' END AS label, COUNT(*) AS cnt FROM rv GROUP BY 1
        |UNION ALL SELECT '~edges', COUNT(*) FROM eg
-       |WHERE src IN (SELECT id FROM r$k) AND dst IN (SELECT id FROM r$k)""".stripMargin
+       |WHERE src IN (SELECT id FROM rv) AND dst IN (SELECT id FROM rv)""".stripMargin
   }
 
   /** Topological-layering oracle: fixed Kahn peeling rounds (mirrors

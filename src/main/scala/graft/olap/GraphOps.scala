@@ -103,18 +103,32 @@ object GraphOps {
     import spark.implicits._
     val und = g.edges.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(g.edges.select(col("dst").as("a"), col("src").as("b")))
-    var reached = seeds.toDF("id").localCheckpoint(false)
-    for (_ <- 1 to k) {
-      val next = und.join(reached.select(col("id").as("__f")),
+    // expand only the DELTA frontier each round (re-probing the whole
+    // reached set would redo O(k·|ego|·deg) join work), and stop early once
+    // a round discovers nothing new
+    var reached = seeds.distinct.toDF("id").localCheckpoint(false)
+    var frontier = reached
+    var round = 0
+    var frontierN = seeds.distinct.size.toLong
+    while (round < k && frontierN > 0) {
+      val next = und.join(frontier.select(col("id").as("__f")),
           col("a") === col("__f"), "left_semi")
-        .select(col("b").as("id"))
-      reached = reached.unionAll(next).distinct().localCheckpoint(false)
+        .select(col("b").as("id")).distinct()
+        .join(reached, Seq("id"), "left_anti")
+        .localCheckpoint(false)
+      frontierN = next.count()
+      reached = reached.unionAll(next).localCheckpoint(false)
+      frontier = next
+      round += 1
     }
-    val ids = reached.select(col("id").as("__rid"))
-    val v = g.vertices.join(ids, col("id") === col("__rid"), "left_semi")
+    val v = g.vertices.join(reached.select(col("id").as("__rid")),
+      col("id") === col("__rid"), "left_semi")
+    // induct against the SURVIVING vertex set, not the raw reached ids — a
+    // dangling (ghost) endpoint inside k hops must not smuggle its edge in
+    val vids = v.select(col("id").as("__vid"))
     val e = g.edges
-      .join(ids, col("src") === col("__rid"), "left_semi")
-      .join(ids, col("dst") === col("__rid"), "left_semi")
+      .join(vids, col("src") === col("__vid"), "left_semi")
+      .join(vids, col("dst") === col("__vid"), "left_semi")
     g.copy(vertices = v, edges = e)
   }
 }

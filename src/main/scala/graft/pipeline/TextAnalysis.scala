@@ -758,7 +758,9 @@ object TextAnalysis {
     * probe q_stream_oov is exactly this op over readStream). */
   def oovRateAgainst(docs: DataFrame, vocab: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val v = vocab.select(col("w"), lit(1).as("__in"))
+    // distinct: a duplicate vocab token would fan out the membership join
+    // and silently inflate n_tokens/n_oov (easy to hit via unioned vocabs)
+    val v = vocab.select(col("w")).distinct().select(col("w"), lit(1).as("__in"))
     docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
       .join(broadcast(v), Seq("w"), "left")
       .groupBy(col(idCol))

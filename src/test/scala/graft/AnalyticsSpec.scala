@@ -281,5 +281,10 @@ class AnalyticsSpec extends AnyFunSuite {
     val ego2 = GraphOps.egoNetwork(g, Seq(4L), 2) // undirected reach
     assert(ids(ego2) === Set(2L, 3L, 4L))
     assert(ego2.edges.collect().map(_.getLong(0)).toSet === Set(11L, 12L))
+    // ghost endpoint INSIDE k hops: 99 is reached from 2 but has no vertex
+    // row — neither the vertex nor the ghost edge may enter the ego graph
+    val ego3 = GraphOps.egoNetwork(g, Seq(1L), 2)
+    assert(ids(ego3) === Set(1L, 2L, 3L))
+    assert(ego3.edges.collect().map(_.getLong(0)).toSet === Set(10L, 11L))
   }
 }
