@@ -988,6 +988,12 @@ object SparkEntry {
         .unionByName(ego.edges.agg(count(lit(1)).as("cnt"))
           .select(lit("~edges").as("label"), col("cnt")))
     }),
+    // ---- 2.K bipartiteness test: BFS-parity 2-coloring from region 0 over
+    //      the undirected graph + the odd-edge sentinel row ----
+    "q_bipartite_color" -> ((s, dir) => {
+      val seed = TpchGraph.RegionTag.toLong * (1L << graft.core.GraphIds.TagBits)
+      graft.olap.Analytics.bipartiteColoring(graph(s, dir), seed, maxIter = 6)
+    }),
     // ---- 2.K topological layering (Kahn peeling): layer = peel round;
     //      survivors of a no-peel round are the cycle set, layer -1 ----
     "q_topo_layers" -> ((s, dir) => {
@@ -3180,6 +3186,8 @@ object SparkEntry {
     "q_topo_layers" -> topoLayersOracle(6),
     "q_ego" -> egoOracle(
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 2),
+    "q_bipartite_color" -> bipartiteOracle(
+      TpchGraph.RegionTag.toLong * (1L << graft.core.GraphIds.TagBits), 6),
     "q_triangles" ->
       """WITH cn AS (SELECT c_custkey AS c, c_nationkey AS nk FROM customer),
         |     sn AS (SELECT s_suppkey AS s, s_nationkey AS nk FROM supplier),
@@ -4279,6 +4287,32 @@ object SparkEntry {
        |  ELSE 'order' END AS label, COUNT(*) AS cnt FROM rv GROUP BY 1
        |UNION ALL SELECT '~edges', COUNT(*) FROM eg
        |WHERE src IN (SELECT id FROM rv) AND dst IN (SELECT id FROM rv)""".stripMargin
+  }
+
+  /** Bipartite-coloring oracle: fixed UNDIRECTED BFS rounds from the seed,
+    * color = distance parity over reached vertices, plus the (−1, odd-edge
+    * count) sentinel over colored endpoints — mirrors
+    * Analytics.bipartiteColoring (per-edge-ROW conflict counting). */
+  private def bipartiteOracle(seedId: Long, rounds: Int): String = {
+    val iters = (1 to rounds).map { k =>
+      s"""m$k AS MATERIALIZED (SELECT p.id,
+         |  CASE WHEN n.nd IS NULL THEN p.d WHEN p.d IS NULL THEN n.nd
+         |       WHEN n.nd < p.d THEN n.nd ELSE p.d END AS d
+         |  FROM m${k - 1} p LEFT JOIN (
+         |    SELECT b.v AS id, MIN(q.d + 1) AS nd FROM b
+         |    JOIN m${k - 1} q ON q.id = b.u WHERE q.d IS NOT NULL GROUP BY 1) n
+         |  ON n.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |b AS MATERIALIZED (SELECT src AS u, dst AS v FROM eg UNION ALL SELECT dst, src FROM eg),
+       |m0 AS MATERIALIZED (SELECT vg.id,
+       |  CASE WHEN vg.id = $seedId THEN CAST(0 AS BIGINT) END AS d FROM vg),
+       |$iters,
+       |colors AS MATERIALIZED (SELECT id, d % 2 AS c FROM m$rounds WHERE d IS NOT NULL)
+       |SELECT id, c AS color FROM colors
+       |UNION ALL SELECT CAST(-1 AS BIGINT), COUNT(*) FROM eg
+       |JOIN colors ca ON ca.id = eg.src JOIN colors cb ON cb.id = eg.dst
+       |WHERE ca.c = cb.c""".stripMargin
   }
 
   /** Topological-layering oracle: fixed Kahn peeling rounds (mirrors

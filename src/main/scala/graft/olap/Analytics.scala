@@ -570,7 +570,31 @@ object Analytics {
       .groupBy(col("source"))
       .agg(max(col("d")).as("eccentricity"), count(lit(1)).as("reached"))
 
-  /** Multi-source directed BFS to fixpoint (or `maxIter`): one (id, source,
+  /** BFS-parity 2-coloring from one source per (undirected) component: the
+    * classic bipartiteness test — color(v) = dist(source, v) mod 2; the
+    * graph is bipartite on the reached region iff NO edge joins two
+    * same-colored endpoints (an odd cycle forces one). Returns (id, color)
+    * for reached vertices plus one sentinel row (id = −1, color = the
+    * odd-edge count over colored endpoints) so the conflict verdict travels
+    * with the coloring. Shares the multi-source BFS engine (undirected
+    * expansion); one extra edges⨝colors join for the conflict count. */
+  def bipartiteColoring(g: PropertyGraph, source: Long,
+      maxIter: Int = 8): DataFrame = {
+    val colors = multiSourceBfs(g, Seq(source), maxIter, "bipartiteColoring",
+        undirected = true)
+      .select(col("id"), (col("d") % 2L).as("color"))
+    val ca = colors.select(col("id").as("src"), col("color").as("__ca"))
+    val cb = colors.select(col("id").as("dst"), col("color").as("__cb"))
+    val odd = g.edges.select(col("src"), col("dst"))
+      .join(ca, Seq("src")).join(cb, Seq("dst"))
+      .filter(col("__ca") === col("__cb"))
+      .agg(count(lit(1)).as("color"))
+      .select(lit(-1L).as("id"), col("color"))
+    colors.unionByName(odd)
+  }
+
+  /** Multi-source BFS to fixpoint (or `maxIter`) — directed by default,
+    * both-orientation expansion with `undirected`: one (id, source,
     * d) row per REACHED pair. State carries the source tag, so each round is
     * ONE edges⨝frontier join regardless of |sources| — k·|V| state, the
     * price of k samples, with the same lazy-barrier + per-round
@@ -578,11 +602,14 @@ object Analytics {
     * doubles as the monotone convergence signature (unchanged (reached, Σd)
     * ⇒ fixed point, which equals the oracle's fixed-round result). */
   private def multiSourceBfs(g: PropertyGraph, sources: Seq[Long],
-      maxIter: Int, opName: String): DataFrame = {
+      maxIter: Int, opName: String, undirected: Boolean = false): DataFrame = {
     require(sources.nonEmpty, s"$opName needs at least one source")
     val spark = g.spark
     import spark.implicits._
-    val e = g.edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val dir0 = g.edges.select(col("src"), col("dst"))
+    val e = (if (undirected)
+        dir0.unionAll(g.edges.select(col("dst").as("src"), col("src").as("dst")))
+      else dir0).persist(StorageLevel.MEMORY_AND_DISK)
     var dist = g.vertices.select(col("id"))
       .crossJoin(broadcast(sources.toDF("source")))
       .select(col("id"), col("source"),

@@ -287,4 +287,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ids(ego3) === Set(1L, 2L, 3L))
     assert(ego3.edges.collect().map(_.getLong(0)).toSet === Set(10L, 11L))
   }
+
+  test("bipartiteColoring: even cycle has zero odd edges; odd cycle is caught") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long, Long)], n: Long) = {
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(),
+        (1L to n).map(id => (id, "v")).toDF("id", "label"),
+        edges.map { case (i, a, b) => (i, a, b, "e") }.toDF("id", "src", "dst", "label"))
+      val rows = Analytics.bipartiteColoring(g, source = 1L, maxIter = 8).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (rows - (-1L), rows(-1L))
+    }
+    // 4-cycle: bipartite, alternating colors, conflict sentinel 0
+    val (c4, odd4) = run(Seq((10L, 1L, 2L), (11L, 2L, 3L), (12L, 3L, 4L), (13L, 4L, 1L)), 4L)
+    assert(odd4 === 0L)
+    assert(c4 === Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+    // triangle: odd cycle -> exactly one same-color edge under BFS parity
+    val (c3, odd3) = run(Seq((10L, 1L, 2L), (11L, 2L, 3L), (12L, 3L, 1L)), 3L)
+    assert(odd3 === 1L && c3(2L) === 1L && c3(3L) === 1L)
+    // unreached vertices carry no color (disconnected 4th vertex)
+    val (cd, _) = run(Seq((10L, 1L, 2L)), 4L)
+    assert(cd.keySet === Set(1L, 2L))
+  }
 }
