@@ -988,6 +988,11 @@ object SparkEntry {
         .unionByName(ego.edges.agg(count(lit(1)).as("cnt"))
           .select(lit("~edges").as("label"), col("cnt")))
     }),
+    // ---- 2.K graph datasheet: the structural health report (per-label
+    //      census, loops, ghosts, max degree, isolated vertices) ----
+    "q_graph_datasheet" -> ((s, dir) => {
+      graft.olap.GraphOps.graphDatasheet(graph(s, dir))
+    }),
     // ---- 2.K bipartiteness test: BFS-parity 2-coloring from region 0 over
     //      the undirected graph + the odd-edge sentinel row ----
     "q_bipartite_color" -> ((s, dir) => {
@@ -3186,6 +3191,30 @@ object SparkEntry {
     "q_topo_layers" -> topoLayersOracle(6),
     "q_ego" -> egoOracle(
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 2),
+    "q_graph_datasheet" ->
+      s"""WITH $graphCtes,
+         |b AS MATERIALIZED (SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg),
+         |deg AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM b GROUP BY 1)
+         |SELECT 'v:region' AS metric, COUNT(*) AS value FROM region
+         |UNION ALL SELECT 'v:nation', COUNT(*) FROM nation
+         |UNION ALL SELECT 'v:customer', COUNT(*) FROM customer
+         |UNION ALL SELECT 'v:supplier', COUNT(*) FROM supplier
+         |UNION ALL SELECT 'v:part', COUNT(*) FROM part
+         |UNION ALL SELECT 'v:order', COUNT(*) FROM orders
+         |UNION ALL SELECT 'e:in_region', COUNT(*) FROM nation
+         |UNION ALL SELECT 'e:in_nation',
+         |  (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier)
+         |UNION ALL SELECT 'e:placed', COUNT(*) FROM orders
+         |UNION ALL SELECT 'e:contains', COUNT(*) FROM lineitem
+         |UNION ALL SELECT 'e:supplied_by', COUNT(*) FROM lineitem
+         |UNION ALL SELECT 'vertices', COUNT(*) FROM vg
+         |UNION ALL SELECT 'edges', COUNT(*) FROM eg
+         |UNION ALL SELECT 'self_loops', COUNT(*) FROM eg WHERE src = dst
+         |UNION ALL SELECT 'ghost_edges', COUNT(*) FROM eg
+         |  WHERE src NOT IN (SELECT id FROM vg) OR dst NOT IN (SELECT id FROM vg)
+         |UNION ALL SELECT 'max_degree', COALESCE((SELECT MAX(d) FROM deg), 0)
+         |UNION ALL SELECT 'isolated_vertices',
+         |  (SELECT COUNT(*) FROM vg WHERE id NOT IN (SELECT id FROM b))""".stripMargin,
     "q_bipartite_color" -> bipartiteOracle(
       TpchGraph.RegionTag.toLong * (1L << graft.core.GraphIds.TagBits), 6),
     "q_triangles" ->

@@ -131,4 +131,41 @@ object GraphOps {
       .join(vids, col("dst") === col("__vid"), "left_semi")
     g.copy(vertices = v, edges = e)
   }
+
+  /** Graph DATASHEET — the structural health report run on every graph drop
+    * (the graph twin of the corpus datasheet): one row per metric, exact
+    * integers. Metrics: per-label vertex and edge counts (`v:<label>`,
+    * `e:<label>`), totals, self-loop count, ghost-edge count (an endpoint
+    * missing from the vertex table — the corruption applyMutations guards
+    * against), max degree and isolated-vertex count.
+    *
+    * Scale: two grouped counts (label-keyed), one degree aggregate, one
+    * two-sided ghost anti-join — each a single shuffle over its own frame;
+    * nothing quadratic, nothing collected. */
+  def graphDatasheet(g: PropertyGraph): DataFrame = {
+    val v = g.vertices
+    val e = g.edges
+    val vl = v.groupBy(col("label"))
+      .agg(count(lit(1)).as("value"))
+      .select(concat(lit("v:"), col("label")).as("metric"), col("value"))
+    val el = e.groupBy(col("label"))
+      .agg(count(lit(1)).as("value"))
+      .select(concat(lit("e:"), col("label")).as("metric"), col("value"))
+    val totals = v.agg(count(lit(1)).as("value"))
+      .select(lit("vertices").as("metric"), col("value"))
+      .unionByName(e.agg(count(lit(1)).as("value"))
+        .select(lit("edges").as("metric"), col("value")))
+      .unionByName(e.filter(col("src") === col("dst")).agg(count(lit(1)).as("value"))
+        .select(lit("self_loops").as("metric"), col("value")))
+      .unionByName(ghostEdges(g).agg(count(lit(1)).as("value"))
+        .select(lit("ghost_edges").as("metric"), col("value")))
+    val deg = e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("__d"))
+    val degStats = deg.agg(coalesce(max(col("__d")), lit(0L)).as("value"))
+      .select(lit("max_degree").as("metric"), col("value"))
+    val isolated = v.join(deg.select(col("id")), Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("value"))
+      .select(lit("isolated_vertices").as("metric"), col("value"))
+    vl.unionByName(el).unionByName(totals).unionByName(degStats).unionByName(isolated)
+  }
 }

@@ -309,4 +309,20 @@ class AnalyticsSpec extends AnyFunSuite {
     val (cd, _) = run(Seq((10L, 1L, 2L)), 4L)
     assert(cd.keySet === Set(1L, 2L))
   }
+
+  test("graphDatasheet: census, loops, ghosts, max degree, isolated vertices") {
+    import spark.implicits._
+    import graft.olap.GraphOps
+    val v = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b")).toDF("id", "label")
+    val e = Seq((10L, 1L, 2L, "x"), (11L, 2L, 2L, "x"), (12L, 2L, 99L, "y"))
+      .toDF("id", "src", "dst", "label")
+    val d = GraphOps.graphDatasheet(graft.data.PropertyGraph(graft.core.GraphSchema(), v, e))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d("v:a") === 2L && d("v:b") === 2L && d("vertices") === 4L)
+    assert(d("e:x") === 2L && d("e:y") === 1L && d("edges") === 3L)
+    assert(d("self_loops") === 1L)     // 2->2
+    assert(d("ghost_edges") === 1L)    // 2->99
+    assert(d("max_degree") === 4L)     // vertex 2: edges 10, 11(x2), 12
+    assert(d("isolated_vertices") === 2L) // 3 and 4
+  }
 }
