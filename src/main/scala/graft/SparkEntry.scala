@@ -1015,6 +1015,12 @@ object SparkEntry {
       val src = TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L
       graft.olap.Analytics.shortestHopsExact(graph(s, dir), src, maxIter = 8)
     }),
+    // ---- 2.K shortest-path COUNTING — σ(v), the integer half of Brandes'
+    //      betweenness machinery, exact BIGINT sums layer by layer ----
+    "q_path_counts" -> ((s, dir) => {
+      val src = TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L
+      graft.olap.Analytics.shortestPathCounts(graph(s, dir), src, maxIter = 4)
+    }),
     // ---- 2.K shortest-path TREE with deterministic min-id predecessors
     //      (ShortestPathVertexProgram's relational form) ----
     "q_shortest_tree" -> ((s, dir) => {
@@ -3184,6 +3190,8 @@ object SparkEntry {
       Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + _), 4),
     "q_shortest_paths" -> shortestPathsOracle(
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 4),
+    "q_path_counts" -> pathCountsOracle(
+      TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 4),
     "q_connected_components" -> ccOracle(12),
     "q_lpa" -> lpaOracle(3),
     "q_kcore" -> kcoreOracle(2, 6),
@@ -4145,6 +4153,30 @@ object SparkEntry {
        |    SELECT eg.dst AS id, MIN(eg.src) AS pred
        |    FROM eg JOIN dist a ON a.id = eg.src JOIN dist b ON b.id = eg.dst
        |    WHERE b.d = a.d + 1 GROUP BY 1) p ON p.id = di.id)""".stripMargin
+
+  /** σ path-counting oracle (mirrors Analytics.shortestPathCounts): BFS
+    * distances to `rounds`, then layer-synchronous σ sums — σ(layer r) =
+    * edge-join sum over layer r−1, exact BIGINT; layers past the true depth
+    * are empty and union away. */
+  private def pathCountsOracle(sourceId: Long, rounds: Int): String = {
+    val layers = (1 to rounds).map { r =>
+      s""",s$r AS MATERIALIZED (SELECT eg.dst AS id, CAST($r AS BIGINT) AS distance,
+         |  CAST(SUM(p.sigma) AS BIGINT) AS sigma
+         |  FROM eg JOIN s${r - 1} p ON p.id = eg.src
+         |  JOIN dist b ON b.id = eg.dst AND b.d = $r GROUP BY 1)""".stripMargin
+    }.mkString("\n")
+    val selects = (0 to rounds).map(r => s"SELECT id, distance, sigma FROM s$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH $graphCtes,
+       |d0 AS MATERIALIZED (SELECT id,
+       |  CASE WHEN id = $sourceId THEN CAST(0 AS BIGINT) END AS d FROM vg),
+       |${bfsIters(rounds)},
+       |dist AS MATERIALIZED (SELECT id, d FROM d$rounds WHERE d IS NOT NULL),
+       |s0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS distance,
+       |  CAST(1 AS BIGINT) AS sigma FROM dist WHERE d = 0)
+       |$layers
+       |$selects""".stripMargin
+  }
 
   /** The fixed BPE merge table q_bpe_encode applies — rank-ordered; later
     * merges compose multi-char units built by earlier ones. Shared by the

@@ -495,6 +495,52 @@ object Analytics {
   def shortestHopsExact(g: PropertyGraph, source: Long, maxIter: Int = 8): DataFrame =
     shortestDistanceExact(g, source, lit(1L), maxIter)
 
+  /** Shortest-path COUNTING from a source — σ(v), the number of distinct
+    * shortest (directed, unit-weight) s→v paths: the integer half of
+    * Brandes' betweenness machinery and a centrality signal in its own
+    * right (high σ at equal distance = well-connected via many routes).
+    * Exact BIGINT arithmetic — order-insensitive integer sums, so the SQL
+    * oracle matches bit-for-bit (fractional dependency accumulation, the
+    * other Brandes half, is NOT engine-portable and is deliberately left
+    * out). Returns (id, distance, sigma); σ(source) = 1.
+    *
+    * Two phases: the exact BFS distances ([[shortestHopsExact]]), then one
+    * layer-synchronous pass — σ of layer r is the edge-join sum of σ over
+    * layer r−1 predecessors (σ(v) = Σ_{u→v, d(u)+1=d(v)} σ(u)), `layers`
+    * rounds of one edges⨝layer join + one map-side-combinable integer sum
+    * each, the same shuffle profile as the BFS itself. */
+  def shortestPathCounts(g: PropertyGraph, source: Long,
+      maxIter: Int = 8): DataFrame = {
+    val spark = g.spark
+    val dist = shortestHopsExact(g, source, maxIter)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val maxD = dist.agg(max(col("distance"))).head.getLong(0)
+    val e = g.edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    var sigma = dist.filter(col("distance") === 0L)
+      .select(col("id"), col("distance"), lit(1L).as("sigma"))
+      .localCheckpoint(false)
+    var prevLayer = sigma
+    var r = 1L
+    while (r <= maxD) {
+      val layerR = dist.filter(col("distance") === r)
+      val next = e
+        .join(prevLayer.select(col("id").as("src"), col("sigma").as("__s")), Seq("src"))
+        .join(layerR.select(col("id").as("dst")), Seq("dst"))
+        .groupBy(col("dst")).agg(sum(col("__s")).as("sigma"))
+        .select(col("dst").as("id"), lit(r).as("distance"), col("sigma"))
+        .localCheckpoint(false)
+      next.count() // materialize the lazy barrier: the layer is reused next
+                   // round AND must survive the unpersists below
+      sigma = sigma.unionByName(next)
+      prevLayer = next
+      r += 1L
+    }
+    sigma.count() // settle the layer-0 checkpoint too before dropping inputs
+    e.unpersist(false)
+    dist.unpersist(false)
+    sigma
+  }
+
   /** Unweighted shortest-path TREE from `source`: (id, distance, pred),
     * pred = the MINIMUM-id optimal predecessor — the deterministic choice,
     * so every engine (and the SQL oracle, which derives preds from final

@@ -325,4 +325,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(d("max_degree") === 4L)     // vertex 2: edges 10, 11(x2), 12
     assert(d("isolated_vertices") === 2L) // 3 and 4
   }
+
+  test("shortestPathCounts: sigma equals the path enumeration on a diamond DAG") {
+    import spark.implicits._
+    // diamond x2: 1->{2,3}->4->{5,6}->7 gives sigma(4)=2, sigma(7)=4
+    val v = (1L to 7L).map(id => (id, "v")).toDF("id", "label")
+    val e = Seq((10L, 1L, 2L), (11L, 1L, 3L), (12L, 2L, 4L), (13L, 3L, 4L),
+      (14L, 4L, 5L), (15L, 4L, 6L), (16L, 5L, 7L), (17L, 6L, 7L))
+      .map { case (i, a, b) => (i, a, b, "e") }.toDF("id", "src", "dst", "label")
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+    val got = Analytics.shortestPathCounts(g, 1L, maxIter = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((0L, 1L)), 2L -> ((1L, 1L)), 3L -> ((1L, 1L)),
+      4L -> ((2L, 2L)), 5L -> ((3L, 2L)), 6L -> ((3L, 2L)), 7L -> ((4L, 4L))))
+  }
 }
