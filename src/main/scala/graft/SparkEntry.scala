@@ -988,6 +988,14 @@ object SparkEntry {
         .unionByName(ego.edges.agg(count(lit(1)).as("cnt"))
           .select(lit("~edges").as("label"), col("cnt")))
     }),
+    // ---- 2.K deterministic random walks — the DeepWalk/GNN sampling
+    //      primitive, hash-seeded so walks replay and oracle-mirror ----
+    "q_random_walks" -> ((s, dir) => {
+      val t = 1L << graft.core.GraphIds.TagBits
+      val seeds = Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * t + _)
+      graft.olap.Analytics.randomWalks(graph(s, dir), seeds,
+        steps = 3, walksPerSeed = 2)
+    }),
     // ---- 2.K graph datasheet: the structural health report (per-label
     //      census, loops, ghosts, max degree, isolated vertices) ----
     "q_graph_datasheet" -> ((s, dir) => {
@@ -3199,6 +3207,9 @@ object SparkEntry {
     "q_topo_layers" -> topoLayersOracle(6),
     "q_ego" -> egoOracle(
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 2),
+    "q_random_walks" -> randomWalksOracle(
+      Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + _),
+      steps = 3, walksPerSeed = 2),
     "q_graph_datasheet" ->
       s"""WITH $graphCtes,
          |b AS MATERIALIZED (SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg),
@@ -4348,6 +4359,33 @@ object SparkEntry {
        |  ELSE 'order' END AS label, COUNT(*) AS cnt FROM rv GROUP BY 1
        |UNION ALL SELECT '~edges', COUNT(*) FROM eg
        |WHERE src IN (SELECT id FROM rv) AND dst IN (SELECT id FROM rv)""".stripMargin
+  }
+
+  /** Random-walks oracle (mirrors Analytics.randomWalks): ranked distinct
+    * out-neighbors, then one CTE per step picking rank = (low-48-bit md5 of
+    * ":walk:vertex:step") mod outdeg + 1 — md5 over identical decimal
+    * renderings on both engines, non-negative so % ≡ pmod. */
+  private def randomWalksOracle(seeds: Seq[Long], steps: Int,
+      walksPerSeed: Int): String = {
+    val starts = (for (s0 <- seeds; wk <- 1 to walksPerSeed)
+      yield s"(${s0 * 100L + wk}, $s0)").mkString(", ")
+    val hops = (1 to steps).map { k =>
+      s""",w$k AS MATERIALIZED (SELECT p.walk, p.seed, CAST($k AS BIGINT) AS step, n.dst AS id
+         |  FROM w${k - 1} p JOIN nbr n ON n.src = p.id
+         |  AND n.rk = (('0x' || substr(md5(':' || CAST(p.walk AS VARCHAR) || ':' ||
+         |    CAST(p.id AS VARCHAR) || ':$k'), 21, 12))::BIGINT % n.deg) + 1)""".stripMargin
+    }.mkString("\n")
+    val selects = (0 to steps).map(k => s"SELECT walk, seed, step, id FROM w$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH $graphCtes,
+       |nbr AS MATERIALIZED (SELECT src, dst,
+       |  ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rk,
+       |  COUNT(*) OVER (PARTITION BY src) AS deg
+       |  FROM (SELECT DISTINCT src, dst FROM eg)),
+       |w0 AS MATERIALIZED (SELECT walk, seed, CAST(0 AS BIGINT) AS step, seed AS id
+       |  FROM (VALUES $starts) t(walk, seed))
+       |$hops
+       |$selects""".stripMargin
   }
 
   /** Bipartite-coloring oracle: fixed UNDIRECTED BFS rounds from the seed,

@@ -883,6 +883,63 @@ object Analytics {
     (layers :+ cyclic).reduce(_ unionByName _)
   }
 
+  /** Deterministic hash-seeded RANDOM WALKS — the graph-sampling primitive
+    * behind DeepWalk/node2vec-style embedding pipelines and GNN neighbor
+    * sampling: `walksPerSeed` walks of `steps` hops from every seed, each
+    * hop choosing the ⌊h mod outdeg⌋-th DISTINCT out-neighbor in ascending
+    * dst order, where h = the low-48-bit md5 of "salt:walk:vertex:step".
+    * A true RNG would make results unreproducible across runs and engines;
+    * the content-keyed hash gives the same uniform-ish draw DETERMINISTICALLY
+    * (the [[graft.pipeline.TextAnalysis.hashSplit]] trick walked over a
+    * graph), so walks are replayable and a SQL oracle mirrors them verbatim.
+    * Walks stop early at sinks (no out-neighbors). Returns one row per
+    * visited position: (walk, seed, step, id) with step 0 = the seed.
+    *
+    * Scale: the ranked neighbor table (src, dst, rk, deg) is built once —
+    * one window keyed by src (map-side cut irrelevant: every row is kept,
+    * but the layout is reused all `steps` rounds); each hop is ONE
+    * equi-join of the walk frontier (|seeds|·walksPerSeed rows, ids only)
+    * against it. State is the frontier, not the history — emitted rows
+    * accumulate in a union of per-step checkpointed frames. */
+  def randomWalks(g: PropertyGraph, seeds: Seq[Long], steps: Int,
+      walksPerSeed: Int = 1, salt: String = ""): DataFrame = {
+    require(seeds.nonEmpty, "randomWalks needs at least one seed")
+    require(steps >= 0 && walksPerSeed >= 1, "randomWalks: steps >= 0, walksPerSeed >= 1")
+    val spark = g.spark
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst").asc)
+    val nbr = g.edges.select(col("src"), col("dst")).distinct()
+      .withColumn("rk", row_number().over(w))
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val starts = (for (s0 <- seeds; wk <- 1 to walksPerSeed)
+      yield (s0 * 100L + wk, s0)).toDF("walk", "seed")
+    var frontier = starts.select(col("walk"), col("seed"),
+      lit(0L).as("step"), col("seed").as("id")).localCheckpoint(false)
+    var out = Vector(frontier)
+    var step = 1L
+    var alive = frontier.count()
+    while (step <= steps && alive > 0) {
+      // join picks the hash-ranked neighbor; sinks (no nbr row) drop out
+      val stepped = frontier
+        .join(nbr, frontier("id") === nbr("src"))
+        .withColumn("__pick", pmod(conv(substring(md5(concat_ws(":", lit(salt),
+          col("walk").cast("string"), frontier("id").cast("string"),
+          lit(step.toString))), 21, 12), 16, 10).cast("long"), col("deg")) + 1L)
+        .filter(col("rk") === col("__pick"))
+        .select(col("walk"), col("seed"), lit(step).as("step"), col("dst").as("id"))
+        .localCheckpoint(false)
+      alive = stepped.count()
+      out = out :+ stepped
+      frontier = stepped
+      step += 1L
+    }
+    nbr.unpersist(false)
+    out.reduce(_ unionByName _)
+  }
+
   /** k-core decomposition by synchronous peeling: each round removes every
     * vertex whose undirected degree (incident edge count over SURVIVING
     * endpoints; multi-edges count) is below k, until no vertex is removed or

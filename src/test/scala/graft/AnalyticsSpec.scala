@@ -339,4 +339,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === Map(1L -> ((0L, 1L)), 2L -> ((1L, 1L)), 3L -> ((1L, 1L)),
       4L -> ((2L, 2L)), 5L -> ((3L, 2L)), 6L -> ((3L, 2L)), 7L -> ((4L, 4L))))
   }
+
+  test("randomWalks: deterministic replay, real edges only, sinks stop early") {
+    import spark.implicits._
+    val v = (1L to 4L).map(id => (id, "v")).toDF("id", "label")
+    val e = Seq((10L, 1L, 2L), (11L, 1L, 3L), (12L, 2L, 4L))
+      .map { case (i, a, b) => (i, a, b, "e") }.toDF("id", "src", "dst", "label")
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+    def run() = Analytics.randomWalks(g, Seq(1L), steps = 3, walksPerSeed = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val a = run()
+    assert(a === run(), "hash-seeded walks must replay identically")
+    val byWalk = a.groupBy(_._1).view.mapValues(_.toSeq.sortBy(_._2).map(_._3)).toMap
+    val edges = Set(1L -> 2L, 1L -> 3L, 2L -> 4L)
+    for ((wk, path) <- byWalk) {
+      assert(path.head === 1L, s"walk $wk starts at the seed")
+      path.sliding(2).foreach {
+        case Seq(x, y) => assert(edges.contains(x -> y), s"walk $wk hop $x->$y is an edge")
+        case _ =>
+      }
+      // 3 and 4 are sinks: a walk reaching one stops there
+      assert(path.length <= 3 && (path.last == 3L || path.last == 4L))
+    }
+    // 4 walks, hash-split between the two out-neighbors of 1: both appear
+    assert(byWalk.values.map(_(1)).toSet === Set(2L, 3L),
+      "different walk ids must explore different branches")
+  }
 }
