@@ -996,6 +996,14 @@ object SparkEntry {
       graft.olap.Analytics.randomWalks(graph(s, dir), seeds,
         steps = 3, walksPerSeed = 2)
     }),
+    // ---- 2.K non-backtracking (second-order) walks — node2vec's essential
+    //      mechanic: the walk carries prev and never immediately returns ----
+    "q_walks_nobacktrack" -> ((s, dir) => {
+      val t = 1L << graft.core.GraphIds.TagBits
+      val seeds = Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * t + _)
+      graft.olap.Analytics.nonBacktrackingWalks(graph(s, dir), seeds,
+        steps = 3, walksPerSeed = 2)
+    }),
     // ---- 2.K graph datasheet: the structural health report (per-label
     //      census, loops, ghosts, max degree, isolated vertices) ----
     "q_graph_datasheet" -> ((s, dir) => {
@@ -3210,6 +3218,9 @@ object SparkEntry {
     "q_random_walks" -> randomWalksOracle(
       Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + _),
       steps = 3, walksPerSeed = 2),
+    "q_walks_nobacktrack" -> nonBacktrackingOracle(
+      Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + _),
+      steps = 3, walksPerSeed = 2),
     "q_graph_datasheet" ->
       s"""WITH $graphCtes,
          |b AS MATERIALIZED (SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg),
@@ -4384,6 +4395,34 @@ object SparkEntry {
        |  FROM (SELECT DISTINCT src, dst FROM eg)),
        |w0 AS MATERIALIZED (SELECT walk, seed, CAST(0 AS BIGINT) AS step, seed AS id
        |  FROM (VALUES $starts) t(walk, seed))
+       |$hops
+       |$selects""".stripMargin
+  }
+
+  /** Non-backtracking-walks oracle (mirrors Analytics.nonBacktrackingWalks):
+    * candidates re-rank per walk AFTER the prev-exclusion each step (the
+    * rank cannot be precomputed), same md5 draw as the first-order oracle. */
+  private def nonBacktrackingOracle(seeds: Seq[Long], steps: Int,
+      walksPerSeed: Int): String = {
+    val starts = (for (s0 <- seeds; wk <- 1 to walksPerSeed)
+      yield s"(${s0 * 100L + wk}, $s0)").mkString(", ")
+    val hops = (1 to steps).map { k =>
+      s""",w$k AS MATERIALIZED (
+         |  SELECT walk, seed, CAST($k AS BIGINT) AS step, dst AS id, cur AS prev FROM (
+         |    SELECT p.walk, p.seed, p.id AS cur, n.dst,
+         |      ROW_NUMBER() OVER (PARTITION BY p.walk ORDER BY n.dst) AS rk,
+         |      COUNT(*) OVER (PARTITION BY p.walk) AS deg
+         |    FROM w${k - 1} p JOIN nb n ON n.src = p.id
+         |    WHERE p.prev IS NULL OR n.dst <> p.prev)
+         |  WHERE rk = (('0x' || substr(md5(':' || CAST(walk AS VARCHAR) || ':' ||
+         |    CAST(cur AS VARCHAR) || ':$k'), 21, 12))::BIGINT % deg) + 1)""".stripMargin
+    }.mkString("\n")
+    val selects = (0 to steps).map(k => s"SELECT walk, seed, step, id FROM w$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH $graphCtes,
+       |nb AS MATERIALIZED (SELECT DISTINCT src, dst FROM eg),
+       |w0 AS MATERIALIZED (SELECT walk, seed, CAST(0 AS BIGINT) AS step, seed AS id,
+       |  CAST(NULL AS BIGINT) AS prev FROM (VALUES $starts) t(walk, seed))
        |$hops
        |$selects""".stripMargin
   }

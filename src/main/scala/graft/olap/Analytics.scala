@@ -940,6 +940,59 @@ object Analytics {
     out.reduce(_ unionByName _)
   }
 
+  /** NON-BACKTRACKING walks — the second-order variant of [[randomWalks]]
+    * (node2vec's essential mechanic reduced to its deterministic core): the
+    * walk carries its PREVIOUS vertex and never immediately returns to it;
+    * the hash draw ranks the surviving candidates per walk. Walks stop at
+    * sinks AND at dead ends (the only neighbor is the one we came from).
+    * Returns (walk, seed, step, id).
+    *
+    * Scale: candidates per hop = frontier⨝neighbors (ids only) minus the
+    * backtrack row; the per-walk rank is a window PARTITIONed BY walk —
+    * frontier-sized, never edge-sized. Deterministic and oracle-mirrored
+    * like [[randomWalks]]. */
+  def nonBacktrackingWalks(g: PropertyGraph, seeds: Seq[Long], steps: Int,
+      walksPerSeed: Int = 1, salt: String = ""): DataFrame = {
+    require(seeds.nonEmpty, "nonBacktrackingWalks needs at least one seed")
+    require(steps >= 0 && walksPerSeed >= 1,
+      "nonBacktrackingWalks: steps >= 0, walksPerSeed >= 1")
+    val spark = g.spark
+    import spark.implicits._
+    val nbrBase = g.edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val starts = (for (s0 <- seeds; wk <- 1 to walksPerSeed)
+      yield (s0 * 100L + wk, s0)).toDF("walk", "seed")
+    var frontier = starts.select(col("walk"), col("seed"),
+      lit(0L).as("step"), col("seed").as("id"), lit(null).cast("long").as("prev"))
+      .localCheckpoint(false)
+    var out = Vector(frontier.drop("prev"))
+    var step = 1L
+    var alive = frontier.count()
+    while (step <= steps && alive > 0) {
+      val cand = frontier.join(nbrBase, frontier("id") === nbrBase("src"))
+        .filter(col("prev").isNull || col("dst") =!= col("prev"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("walk")).orderBy(col("dst").asc)
+      val wCnt = org.apache.spark.sql.expressions.Window.partitionBy(col("walk"))
+      val stepped = cand
+        .withColumn("__rk", row_number().over(wRank))
+        .withColumn("__deg", count(lit(1)).over(wCnt))
+        .withColumn("__pick", pmod(conv(substring(md5(concat_ws(":", lit(salt),
+          col("walk").cast("string"), frontier("id").cast("string"),
+          lit(step.toString))), 21, 12), 16, 10).cast("long"), col("__deg")) + 1L)
+        .filter(col("__rk") === col("__pick"))
+        .select(col("walk"), col("seed"), lit(step).as("step"),
+          col("dst").as("id"), frontier("id").as("prev"))
+        .localCheckpoint(false)
+      alive = stepped.count()
+      out = out :+ stepped.drop("prev")
+      frontier = stepped
+      step += 1L
+    }
+    nbrBase.unpersist(false)
+    out.reduce(_ unionByName _)
+  }
+
   /** k-core decomposition by synchronous peeling: each round removes every
     * vertex whose undirected degree (incident edge count over SURVIVING
     * endpoints; multi-edges count) is below k, until no vertex is removed or

@@ -365,4 +365,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(byWalk.values.map(_(1)).toSet === Set(2L, 3L),
       "different walk ids must explore different branches")
   }
+
+  test("nonBacktrackingWalks: never returns to prev; dead ends stop the walk") {
+    import spark.implicits._
+    // 1 <-> 2 <-> 3: from 1 the only non-backtracking route is 1,2,3, then
+    // dead end at 3 (only neighbor is 2 = prev)
+    val v = (1L to 3L).map(id => (id, "v")).toDF("id", "label")
+    val e = Seq((10L, 1L, 2L), (11L, 2L, 1L), (12L, 2L, 3L), (13L, 3L, 2L))
+      .map { case (i, a, b) => (i, a, b, "e") }.toDF("id", "src", "dst", "label")
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+    val got = Analytics.nonBacktrackingWalks(g, Seq(1L), steps = 5, walksPerSeed = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.toSeq.sortBy(_._2).map(_._3)).toMap
+    assert(got.size === 3)
+    got.values.foreach(path => assert(path === Seq(1L, 2L, 3L),
+      s"only non-backtracking route is 1,2,3; got $path"))
+    // plain walks on the same graph CAN bounce back (second-order state matters)
+    val plain = Analytics.randomWalks(g, Seq(1L), steps = 5, walksPerSeed = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.toSeq.sortBy(_._2).map(_._3)).toMap
+    assert(plain.values.exists(p => p.sliding(3).exists {
+      case Seq(a, _, c) => a == c
+      case _ => false
+    }), "first-order walks should revisit on this path graph")
+  }
 }
