@@ -512,9 +512,17 @@ object Analytics {
   def shortestPathCounts(g: PropertyGraph, source: Long,
       maxIter: Int = 8): DataFrame = {
     val spark = g.spark
+    import spark.implicits._
     val dist = shortestHopsExact(g, source, maxIter)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val maxD = dist.agg(max(col("distance"))).head.getLong(0)
+    // absent source ⇒ empty BFS ⇒ max(distance) is SQL NULL: return the
+    // empty sigma frame instead of NPE-ing on the aggregate read
+    val maxRow = dist.agg(max(col("distance"))).head
+    if (maxRow.isNullAt(0)) {
+      dist.unpersist(false)
+      return Seq.empty[(Long, Long, Long)].toDF("id", "distance", "sigma")
+    }
+    val maxD = maxRow.getLong(0)
     val e = g.edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     var sigma = dist.filter(col("distance") === 0L)
       .select(col("id"), col("distance"), lit(1L).as("sigma"))
@@ -629,6 +637,12 @@ object Analytics {
     val colors = multiSourceBfs(g, Seq(source), maxIter, "bipartiteColoring",
         undirected = true)
       .select(col("id"), (col("d") % 2L).as("color"))
+    // the verdict row is keyed id = -1, so a REAL negative vertex id would
+    // be indistinguishable from the sentinel — fail loudly instead (the BFS
+    // state is checkpointed, so this probe re-scans it, not the whole BFS)
+    require(colors.filter(col("id") < 0L).isEmpty,
+      "bipartiteColoring: reached vertex ids must be nonnegative (id = -1 is " +
+        "reserved for the odd-edge-count sentinel row)")
     val ca = colors.select(col("id").as("src"), col("color").as("__ca"))
     val cb = colors.select(col("id").as("dst"), col("color").as("__cb"))
     val odd = g.edges.select(col("src"), col("dst"))
@@ -883,6 +897,28 @@ object Analytics {
     (layers :+ cyclic).reduce(_ unionByName _)
   }
 
+  /** (walk, seed) start pairs for the walk family. Walk ids pack as
+    * seed·100 + walkIndex under 64-bit WRAP — the wrap is intentional
+    * (tag-prefixed vertex ids overflow the multiply, and the SQL oracles
+    * inline the identically-wrapped literals), but it is only injective for
+    * walksPerSeed ≤ 100 (101 walks would alias walk(s,101) with
+    * walk(s+1,1)), so that bound is REQUIRED — and because a wrap can in
+    * principle also alias two far-apart seeds, the packed ids are checked
+    * for uniqueness outright (seeds are a driver-side list, so the check is
+    * exact and free) instead of silently merging two walks' hash draws. */
+  private def walkIds(seeds: Seq[Long], walksPerSeed: Int,
+      opName: String): Seq[(Long, Long)] = {
+    require(walksPerSeed <= 100,
+      s"$opName: walksPerSeed must be <= 100 (walk ids pack as seed*100+walkIndex; " +
+        "more walks would alias adjacent seeds' walks)")
+    val ids = for (s0 <- seeds; wk <- 1 to walksPerSeed)
+      yield (s0 * 100L + wk, s0)
+    require(ids.iterator.map(_._1).toSet.size == ids.size,
+      s"$opName: walk ids (seed*100+walkIndex, 64-bit wrap) collide for this " +
+        "seed set — de-duplicate or re-map the seeds")
+    ids
+  }
+
   /** Deterministic hash-seeded RANDOM WALKS — the graph-sampling primitive
     * behind DeepWalk/node2vec-style embedding pipelines and GNN neighbor
     * sampling: `walksPerSeed` walks of `steps` hops from every seed, each
@@ -914,8 +950,7 @@ object Analytics {
       .withColumn("deg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val starts = (for (s0 <- seeds; wk <- 1 to walksPerSeed)
-      yield (s0 * 100L + wk, s0)).toDF("walk", "seed")
+    val starts = walkIds(seeds, walksPerSeed, "randomWalks").toDF("walk", "seed")
     var frontier = starts.select(col("walk"), col("seed"),
       lit(0L).as("step"), col("seed").as("id")).localCheckpoint(false)
     var out = Vector(frontier)
@@ -960,8 +995,7 @@ object Analytics {
     import spark.implicits._
     val nbrBase = g.edges.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val starts = (for (s0 <- seeds; wk <- 1 to walksPerSeed)
-      yield (s0 * 100L + wk, s0)).toDF("walk", "seed")
+    val starts = walkIds(seeds, walksPerSeed, "nonBacktrackingWalks").toDF("walk", "seed")
     var frontier = starts.select(col("walk"), col("seed"),
       lit(0L).as("step"), col("seed").as("id"), lit(null).cast("long").as("prev"))
       .localCheckpoint(false)

@@ -123,9 +123,20 @@ final case class Traversal(
     * Compiled as one provenance-keyed aggregate + a left join back: elements
     * with NO sub-results count 0 (so `P.eq(0)` selects them — semantics an
     * emptiness semi-join cannot express). Map-side combinable; the join key
-    * is the source id. */
+    * is the source id.
+    *
+    * Per-TRAVERSER semantics under duplication: when the frontier holds the
+    * same element twice (e.g. reached from two parents), each duplicate sees
+    * the count of ONE sub-run — so the sub spawns from the id-DEDUPED
+    * frontier and the per-element count left-joins back onto every
+    * duplicate. (An id-keyed aggregate over the raw frontier would SUM the
+    * duplicates' counts and apply the inflated total to each.) Like
+    * [[whereSub]], the sub is treated as element-pure: among same-id
+    * duplicates differing only in path/as history, one representative row
+    * spawns the sub. */
   def whereCount(p: graft.expr.P)(step: Traversal => Traversal): Traversal = {
-    val counts = step(this.as("__whc")).df
+    val once = copy(df = df.dropDuplicates("id"))
+    val counts = step(once.as("__whc")).df
       .groupBy(col("_as___whc_id").as("__sid")).agg(F.count(lit(1)).as("__n"))
     copy(df = df.join(counts, col("id") === col("__sid"), "left")
       .filter(p.apply(F.coalesce(col("__n"), lit(0L))))
@@ -1303,6 +1314,24 @@ final class TraversalSource(val graph: PropertyGraph, val pathEnabled: Boolean =
     val created = rows0.join(existing.select(matchKeys.map(col): _*).distinct(),
         matchKeys, "left_anti")
       .select(Seq(vid, lit(label).as("label")) ++ (matchKeys ++ props).map(col): _*)
+    // Created rows are key tuples ABSENT from this label (the anti-join), so
+    // a created id equal to any existing vertex id is a genuine 56-bit hash
+    // collision — and the id-keyed upsert below would silently REPLACE that
+    // unrelated vertex (birthday bound ~2^28 rows makes this real at scale).
+    // Detect and fail loudly: one id semi-join + an intra-batch dup check,
+    // read with limit(1) — a bounded control action on a mutation path.
+    // Replay stays idempotent (a replayed row matches on its keys and takes
+    // the update side, never re-entering this check).
+    val cids = created.select(col("id"))
+    val collided = cids.groupBy(col("id")).agg(F.count(lit(1)).as("__n"))
+      .filter(col("__n") > 1L).select(col("id"))
+      .unionAll(cids.join(graph.vertices.select(col("id")), Seq("id"), "left_semi"))
+      .limit(1).collect()
+    require(collided.isEmpty,
+      s"mergeV($label): created vertex id ${collided.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
+        "collides with an existing vertex or another created row (56-bit key-hash " +
+        "collision) — the upsert would silently replace an unrelated vertex; " +
+        "re-key the batch (e.g. add a discriminating match column)")
     val av = updated.unionByName(created, allowMissingColumns = true)
     val ng = graft.data.GraphIO.applyMutations(graph, addVertices = Some(av), enforce = enforce)
     val merged = ng.vertices.join(av.select(col("id").as("__vid")).distinct(),
@@ -1337,6 +1366,17 @@ final class TraversalSource(val graph: PropertyGraph, val pathEnabled: Boolean =
     val created = rows0.join(existing.select(col("src"), col("dst")).distinct(),
         Seq("src", "dst"), "left_anti")
       .select(Seq(eid, col("src"), col("dst"), lit(label).as("label")) ++ props.map(col): _*)
+    // same loud hash-collision guard as mergeV (see there): a created edge id
+    // landing on ANY existing edge id would silently replace it
+    val ceids = created.select(col("id"))
+    val ecollided = ceids.groupBy(col("id")).agg(F.count(lit(1)).as("__n"))
+      .filter(col("__n") > 1L).select(col("id"))
+      .unionAll(ceids.join(graph.edges.select(col("id")), Seq("id"), "left_semi"))
+      .limit(1).collect()
+    require(ecollided.isEmpty,
+      s"mergeE($label): created edge id ${ecollided.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
+        "collides with an existing edge or another created row (56-bit endpoint-hash " +
+        "collision) — the upsert would silently replace an unrelated edge")
     val ae = updated.unionByName(created, allowMissingColumns = true)
     val ng = graft.data.GraphIO.applyMutations(graph, addEdges = Some(ae), enforce = enforce)
     val merged = ng.edges.join(ae.select(col("id").as("__eid")).distinct(),

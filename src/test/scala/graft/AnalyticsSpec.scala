@@ -389,4 +389,38 @@ class AnalyticsSpec extends AnyFunSuite {
       case _ => false
     }), "first-order walks should revisit on this path graph")
   }
+
+  test("guards: absent sigma source, negative-id sentinel alias, walk id bounds") {
+    import spark.implicits._
+    val v = (1L to 3L).map(id => (id, "v")).toDF("id", "label")
+    val e = Seq((10L, 1L, 2L, "e")).toDF("id", "src", "dst", "label")
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+    // shortestPathCounts: source absent from the vertex table -> empty frame, no NPE
+    val none = Analytics.shortestPathCounts(g, 999L, maxIter = 4)
+    assert(none.columns.toSeq === Seq("id", "distance", "sigma") && none.isEmpty)
+    // bipartiteColoring: a reachable REAL negative id would alias the id=-1
+    // sentinel row -> loud failure instead of two conflicting rows
+    val gn = graft.data.PropertyGraph(graft.core.GraphSchema(),
+      Seq((1L, "v"), (-1L, "v")).toDF("id", "label"),
+      Seq((10L, 1L, -1L, "e")).toDF("id", "src", "dst", "label"))
+    intercept[IllegalArgumentException] {
+      Analytics.bipartiteColoring(gn, source = 1L, maxIter = 4)
+    }
+    // walk ids pack seed*100+walkIndex: >100 walks would alias adjacent seeds
+    intercept[IllegalArgumentException] {
+      Analytics.randomWalks(g, Seq(1L), steps = 1, walksPerSeed = 101)
+    }
+    intercept[IllegalArgumentException] {
+      Analytics.nonBacktrackingWalks(g, Seq(1L), steps = 1, walksPerSeed = 101)
+    }
+    // a 64-bit wrap that lands two seeds' walks on the SAME packed id is
+    // caught outright: delta*100 ≡ 4 (mod 2^64) makes walk(0,5)==walk(delta,1)
+    val delta = (BigInt(25).modInverse(BigInt(2).pow(62))).toLong
+    intercept[IllegalArgumentException] {
+      Analytics.randomWalks(g, Seq(0L, delta), steps = 1, walksPerSeed = 5)
+    }
+    // ...while an ordinary wrapping seed (no collision) still runs: the wrap
+    // itself is intentional (oracles inline the identically-wrapped ids)
+    assert(Analytics.randomWalks(g, Seq(Long.MaxValue / 2L), steps = 0).count() === 1L)
+  }
 }

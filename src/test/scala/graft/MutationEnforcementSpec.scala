@@ -425,4 +425,34 @@ class MutationEnforcementSpec extends AnyFunSuite {
     val m2 = m.traversal.mergeE("knows", batch).graph
     assert(m2.edges.orderBy("id").collect().toSeq === m.edges.orderBy("id").collect().toSeq)
   }
+
+  test("mergeV: a created id colliding with an unrelated existing vertex fails loudly") {
+    import spark.implicits._
+    // plant a vertex AT the id mergeV will derive for (user, name=eve) — a
+    // different label, so the match-keys join cannot claim it; without the
+    // guard the id-keyed upsert would silently REPLACE it
+    val eveId = spark.range(1).select(
+      (lit(126L << GraphIds.TagBits) +
+        pmod(xxhash64(lit("user"), lit("eve")), lit(1L << GraphIds.TagBits))).as("id"))
+      .head.getLong(0)
+    val v = Seq((eveId, "other", "innocent")).toDF("id", "label", "name")
+    val g = PropertyGraph(GraphSchema(), v,
+      Seq.empty[(Long, Long, Long, String)].toDF("id", "src", "dst", "label"))
+    val ex = intercept[IllegalArgumentException] {
+      g.traversal.mergeV("user", Seq(("eve", 7L)).toDF("name", "score"), Seq("name"))
+    }
+    assert(ex.getMessage.contains("collides"))
+    // same guard on the edge side: plant an edge at mergeE's derived id
+    val edgeId = spark.range(1).select(
+      (lit(127L << GraphIds.TagBits) +
+        pmod(xxhash64(lit(2L), lit(3L), lit("knows")), lit(1L << GraphIds.TagBits))).as("id"))
+      .head.getLong(0)
+    val ge = PropertyGraph(GraphSchema(),
+      Seq((1L, "u"), (2L, "u"), (3L, "u")).toDF("id", "label"),
+      Seq((edgeId, 1L, 2L, "likes")).toDF("id", "src", "dst", "label"))
+    val ex2 = intercept[IllegalArgumentException] {
+      ge.traversal.mergeE("knows", Seq((2L, 3L)).toDF("src", "dst"))
+    }
+    assert(ex2.getMessage.contains("collides"))
+  }
 }

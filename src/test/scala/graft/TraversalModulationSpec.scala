@@ -305,4 +305,20 @@ class TraversalModulationSpec extends AnyFunSuite {
     assert(ids(tg.traversal.V().whereCount(P.gte(1))(_.out("knows")).out("knows"))
       === Set(2L, 3L))
   }
+
+  test("whereCount: duplicated traversers each see ONE sub-run's count, not the sum") {
+    import spark.implicits._
+    val v = Seq((1L, "u"), (2L, "u"), (3L, "u")).toDF("id", "label")
+    val e = Seq((10L, 1L, 3L, "knows"), (11L, 2L, 3L, "knows"), (12L, 1L, 2L, "knows"))
+      .toDF("id", "src", "dst", "label")
+    val tg = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+    // out() frontier = {3 (via 1), 3 (via 2), 2 (via 1)}: vertex 3 is duplicated
+    val dup = tg.traversal.V().out("knows")
+    // in-degree of 3 is 2: each duplicate keeps its own per-traverser count...
+    val got = dup.whereCount(P.eq(2))(_.in("knows"))
+      .id().collect().map(_.getLong(0)).toSeq.sorted
+    assert(got === Seq(3L, 3L), "both duplicates survive with the un-summed count")
+    // ...and the inflated id-keyed sum (2+2=4) must select nothing
+    assert(dup.whereCount(P.eq(4))(_.in("knows")).toDF.isEmpty)
+  }
 }
