@@ -977,6 +977,22 @@ object SparkEntry {
       graft.olap.Analytics.kCore(g, k = 2, maxRounds = 6)
         .select(kind.as("kind"), (col("id") % t).as("uid"))
     }),
+    // ---- 2.K coreness — per-vertex core numbers via the h-index iteration
+    //      (full decomposition, not one k); oracle mirrors the recurrence
+    //      round for round with a NOT_CONVERGED sentinel ----
+    "q_coreness" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val t = 1L << graft.core.GraphIds.TagBits
+      val tag = shiftrightunsigned(col("id"), graft.core.GraphIds.TagBits)
+      val kind = when(tag === TpchGraph.RegionTag, "region")
+        .when(tag === TpchGraph.NationTag, "nation")
+        .when(tag === TpchGraph.CustomerTag, "customer")
+        .when(tag === TpchGraph.SupplierTag, "supplier")
+        .when(tag === TpchGraph.PartTag, "part")
+        .otherwise("order")
+      graft.olap.Analytics.coreness(g, maxRounds = 16)
+        .select(kind.as("kind"), (col("id") % t).as("uid"), col("core"))
+    }),
     // ---- 2.K k-hop ego network: induced subgraph within 2 undirected hops
     //      of customer 1 — vertex label census + induced edge count ----
     "q_ego" -> ((s, dir) => {
@@ -1036,6 +1052,26 @@ object SparkEntry {
     "q_path_counts" -> ((s, dir) => {
       val src = TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L
       graft.olap.Analytics.shortestPathCounts(graph(s, dir), src, maxIter = 4)
+    }),
+    // ---- 2.K strongly connected components — Trim + FW-BW min-label
+    //      coloring; the probe graph adds order→customer back-edges so each
+    //      customer + its orders is one SCC and the rest is a trimmable DAG ----
+    "q_scc" -> ((s, dir) => {
+      val g0 = graph(s, dir)
+      val rev = g0.edges.filter(col("label") === "placed")
+        .select((col("id") * -1L).as("id"), col("dst").as("src"),
+          col("src").as("dst"), lit("rev_placed").as("label"))
+      val g = g0.copy(edges = g0.edges
+        .select(col("id"), col("src"), col("dst"), col("label")).unionByName(rev))
+      graft.olap.Analytics.stronglyConnectedComponents(g,
+        maxOuter = 2, maxTrim = 5, maxInner = 4)
+    }),
+    // ---- 2.K STRESS centrality — σ(v)·g(v), shortest paths THROUGH each
+    //      vertex: the all-integer sibling of betweenness (Shimbel 1953);
+    //      backward suffix-count sweep over the same BFS DAG ----
+    "q_stress" -> ((s, dir) => {
+      val src = TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L
+      graft.olap.Analytics.stressCentrality(graph(s, dir), src, maxIter = 4)
     }),
     // ---- 2.K shortest-path TREE with deterministic min-id predecessors
     //      (ShortestPathVertexProgram's relational form) ----
@@ -3208,9 +3244,13 @@ object SparkEntry {
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 4),
     "q_path_counts" -> pathCountsOracle(
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 4),
+    "q_stress" -> stressOracle(
+      TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 4),
+    "q_scc" -> sccOracle(2, 5, 4),
     "q_connected_components" -> ccOracle(12),
     "q_lpa" -> lpaOracle(3),
     "q_kcore" -> kcoreOracle(2, 6),
+    "q_coreness" -> corenessOracle(16),
     "q_ktruss" -> ktrussOracle(3, 4),
     "q_topo_layers" -> topoLayersOracle(6),
     "q_ego" -> egoOracle(
@@ -4200,6 +4240,108 @@ object SparkEntry {
        |$selects""".stripMargin
   }
 
+  /** SCC oracle: mirrors Analytics.stronglyConnectedComponents round for
+    * round over the probe's cycle-rich graph (eg + reversed placed edges) —
+    * per outer round, `maxTrim` trim peels (no in- or no out-neighbor ⇒
+    * singleton SCC), `maxInner` min-label forward-coloring rounds, and
+    * `maxInner` backward pivot-reach rounds inside each color; survivors of
+    * the outer budget surface as scc = NULL. Every phase is monotone, so
+    * the engine's early convergence cannot diverge from these fixed
+    * budgets (extra rounds are no-ops). */
+  private def sccOracle(maxOuter: Int, maxTrim: Int, maxInner: Int): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    val trimmedSel = scala.collection.mutable.ArrayBuffer[String]()
+    val resSel = scala.collection.mutable.ArrayBuffer[String]()
+    var aliveName = "a0"
+    for (o <- 1 to maxOuter) {
+      var prev = aliveName
+      for (t <- 1 to maxTrim) {
+        val e = s"e${o}t$t"
+        val al = s"a${o}t$t"
+        ctes += s"""$e AS MATERIALIZED (SELECT ed.src, ed.dst FROM ed
+           |  JOIN $prev x ON x.id = ed.src JOIN $prev y ON y.id = ed.dst)""".stripMargin
+        ctes += s"""$al AS MATERIALIZED (SELECT a.id FROM $prev a
+           |  JOIN (SELECT DISTINCT src FROM $e) s ON s.src = a.id
+           |  JOIN (SELECT DISTINCT dst FROM $e) d ON d.dst = a.id)""".stripMargin
+        trimmedSel += s"SELECT id, id AS scc FROM $prev WHERE id NOT IN (SELECT id FROM $al)"
+        prev = al
+      }
+      val eo = s"eo$o"
+      ctes += s"""$eo AS MATERIALIZED (SELECT ed.src, ed.dst FROM ed
+         |  JOIN $prev x ON x.id = ed.src JOIN $prev y ON y.id = ed.dst)""".stripMargin
+      ctes += s"f${o}_0 AS MATERIALIZED (SELECT id, id AS f FROM $prev)"
+      for (i <- 1 to maxInner)
+        ctes += s"""f${o}_$i AS MATERIALIZED (SELECT f.id, LEAST(f.f, COALESCE(m.fm, f.f)) AS f
+           |  FROM f${o}_${i - 1} f LEFT JOIN (
+           |    SELECT e.dst AS id, MIN(p.f) AS fm FROM $eo e
+           |    JOIN f${o}_${i - 1} p ON p.id = e.src GROUP BY 1) m ON m.id = f.id)""".stripMargin
+      ctes += s"""b${o}_0 AS MATERIALIZED (SELECT id, f,
+         |  CASE WHEN f = id THEN 1 ELSE 0 END AS rb FROM f${o}_$maxInner)""".stripMargin
+      for (j <- 1 to maxInner)
+        ctes += s"""b${o}_$j AS MATERIALIZED (SELECT b.id, b.f,
+           |  GREATEST(b.rb, COALESCE(h.hit, 0)) AS rb
+           |  FROM b${o}_${j - 1} b LEFT JOIN (
+           |    SELECT e.src AS id, 1 AS hit FROM $eo e
+           |    JOIN b${o}_${j - 1} u ON u.id = e.dst AND u.rb = 1
+           |    JOIN b${o}_${j - 1} w ON w.id = e.src AND w.f = u.f
+           |    GROUP BY 1) h ON h.id = b.id)""".stripMargin
+      ctes += s"res$o AS MATERIALIZED (SELECT id, f AS scc FROM b${o}_$maxInner WHERE rb = 1)"
+      resSel += s"SELECT id, scc FROM res$o"
+      val nextAlive = s"a$o"
+      ctes += s"$nextAlive AS MATERIALIZED (SELECT id FROM $prev WHERE id NOT IN (SELECT id FROM res$o))"
+      aliveName = nextAlive
+    }
+    s"""WITH $graphCtes,
+       |ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM eg
+       |  UNION ALL SELECT 6*$T + o_orderkey, 3*$T + o_custkey FROM orders) t),
+       |a0 AS MATERIALIZED (SELECT id FROM vg),
+       |${ctes.mkString(",\n")}
+       |${(trimmedSel ++ resSel).mkString("\nUNION ALL ")}
+       |UNION ALL SELECT id, CAST(NULL AS BIGINT) AS scc FROM $aliveName""".stripMargin
+  }
+
+  /** Stress-centrality oracle: [[pathCountsOracle]]'s forward σ layers plus
+    * the backward suffix-count sweep g(v) = Σ_succ (1 + g(w)) (deepest layer
+    * g = 0), mirroring Analytics.stressCentrality — stress = σ·g, 0 at the
+    * source, all exact BIGINT. */
+  private def stressOracle(sourceId: Long, rounds: Int): String = {
+    val layers = (1 to rounds).map { r =>
+      s""",s$r AS MATERIALIZED (SELECT eg.dst AS id, CAST($r AS BIGINT) AS distance,
+         |  CAST(SUM(p.sigma) AS BIGINT) AS sigma
+         |  FROM eg JOIN s${r - 1} p ON p.id = eg.src
+         |  JOIN dist b ON b.id = eg.dst AND b.d = $r GROUP BY 1)""".stripMargin
+    }.mkString("\n")
+    val gBack = (rounds - 1 to 0 by -1).map { r =>
+      s""",g$r AS MATERIALIZED (SELECT l.id, CAST(COALESCE(c.s, 0) AS BIGINT) AS gg
+         |  FROM dist l LEFT JOIN (
+         |    SELECT eg.src AS id, SUM(n.gg + 1) AS s
+         |    FROM eg JOIN g${r + 1} n ON n.id = eg.dst GROUP BY 1) c ON c.id = l.id
+         |  WHERE l.d = $r)""".stripMargin
+    }.mkString("\n")
+    val sAll = (0 to rounds).map(r => s"SELECT id, distance, sigma FROM s$r")
+      .mkString("\nUNION ALL ")
+    val gAllSel = (0 to rounds).map(r => s"SELECT id, gg FROM g$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH $graphCtes,
+       |d0 AS MATERIALIZED (SELECT id,
+       |  CASE WHEN id = $sourceId THEN CAST(0 AS BIGINT) END AS d FROM vg),
+       |${bfsIters(rounds)},
+       |dist AS MATERIALIZED (SELECT id, d FROM d$rounds WHERE d IS NOT NULL),
+       |s0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS distance,
+       |  CAST(1 AS BIGINT) AS sigma FROM dist WHERE d = 0)
+       |$layers
+       |,g$rounds AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS gg
+       |  FROM dist WHERE d = $rounds)
+       |$gBack
+       |,sall AS MATERIALIZED ($sAll),
+       |gall AS MATERIALIZED ($gAllSel)
+       |SELECT s.id, s.distance, s.sigma,
+       |  CASE WHEN s.distance = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE s.sigma * g.gg END AS stress
+       |FROM sall s JOIN gall g ON g.id = s.id""".stripMargin
+  }
+
   /** The fixed BPE merge table q_bpe_encode applies — rank-ordered; later
     * merges compose multi-char units built by earlier ones. Shared by the
     * engine probe and [[bpeEncodeOracle]] so the two can never drift. */
@@ -4314,6 +4456,35 @@ object SparkEntry {
        |  id % $T AS uid FROM a$rounds
        |UNION ALL SELECT 'NOT_CONVERGED', CAST(-1 AS BIGINT)
        |WHERE (SELECT COUNT(*) FROM a$rounds) <> (SELECT COUNT(*) FROM a${rounds - 1})""".stripMargin
+  }
+
+  /** Coreness oracle: h-index iteration over the simple undirected graph,
+    * mirroring Analytics.corenessConverged round for round — c₀ = degree,
+    * c(v) ← max over desc-sorted neighbor values of LEAST(value, rank).
+    * Monotone non-increasing, so unequal Σcore between the last two rounds
+    * means the round budget was short: the NOT_CONVERGED sentinel fails the
+    * compare loudly instead of certifying an upper bound. */
+  private def corenessOracle(rounds: Int): String = {
+    val iters = (1 to rounds).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT v.id, CAST(COALESCE(h.c, 0) AS BIGINT) AS core
+         |  FROM vg v LEFT JOIN (
+         |  SELECT a, MAX(LEAST(cb, rn)) AS c FROM (
+         |    SELECT u.a, p.core AS cb,
+         |      ROW_NUMBER() OVER (PARTITION BY u.a ORDER BY p.core DESC, u.b) AS rn
+         |    FROM e2 u JOIN c${r - 1} p ON p.id = u.b) s GROUP BY a) h ON h.a = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |e2 AS MATERIALIZED (SELECT DISTINCT src AS a, dst AS b FROM (
+       |  SELECT src, dst FROM eg UNION ALL SELECT dst, src FROM eg) t
+       |  WHERE src <> dst),
+       |c0 AS MATERIALIZED (SELECT v.id, CAST(COALESCE(d.c, 0) AS BIGINT) AS core
+       |  FROM vg v LEFT JOIN (SELECT a, COUNT(*) AS c FROM e2 GROUP BY 1) d ON d.a = v.id),
+       |$iters
+       |SELECT CASE id // $T WHEN 1 THEN 'region' WHEN 2 THEN 'nation' WHEN 3 THEN 'customer'
+       |  WHEN 4 THEN 'supplier' WHEN 5 THEN 'part' ELSE 'order' END AS kind,
+       |  id % $T AS uid, core FROM c$rounds
+       |UNION ALL SELECT 'NOT_CONVERGED', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+       |WHERE (SELECT SUM(core) FROM c$rounds) <> (SELECT SUM(core) FROM c${rounds - 1})""".stripMargin
   }
 
   /** k-truss oracle over the co-location fixture: fixed synchronous support-

@@ -549,6 +549,71 @@ object Analytics {
     sigma
   }
 
+  /** STRESS centrality contribution from one source — τ(v) = the number of
+    * shortest source→t paths passing THROUGH v as an interior vertex,
+    * summed over all targets t: Shimbel's stress (1953), the all-INTEGER
+    * sibling of betweenness. Where betweenness accumulates the fractional
+    * dependency σ_st(v)/σ_st (not portable across engines bit-for-bit),
+    * stress keeps the raw counts, so the whole computation stays in exact
+    * BIGINT sums and the SQL oracle matches hash-exact.
+    *
+    * τ(v) = σ(v)·g(v): σ from [[shortestPathCounts]] (prefix counts), and
+    * g(v) = Σ_{w: v→w, d(w)=d(v)+1} (1 + g(w)) — the number of
+    * d-respecting path SUFFIXES leaving v, computed in one backward sweep
+    * over the BFS DAG (deepest layer first, g = 0 there). Every shortest
+    * s→t path through v factors uniquely into a prefix (σ) and a suffix
+    * (g), hence the product. τ(source) is reported 0 (endpoints are not
+    * interior — Brandes' δ(s)=0 convention). Parallel edges count distinct
+    * paths, matching σ's multiplicity.
+    *
+    * Returns (id, distance, sigma, stress) for reached vertices. Counts can
+    * overflow Long on adversarially path-rich graphs (like σ itself — the
+    * oracle's BIGINT wraps are not mirrored, DuckDB raises instead), so
+    * treat astronomically-path-dense graphs with sampling. Per round: one
+    * edges⨝layer join + one map-side-combinable integer sum — the same
+    * shuffle profile as the σ forward pass, run in reverse. */
+  def stressCentrality(g: PropertyGraph, source: Long,
+      maxIter: Int = 8): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val sp = shortestPathCounts(g, source, maxIter)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val maxRow = sp.agg(max(col("distance"))).head
+    if (maxRow.isNullAt(0)) {
+      sp.unpersist(false)
+      return Seq.empty[(Long, Long, Long, Long)].toDF("id", "distance", "sigma", "stress")
+    }
+    val maxD = maxRow.getLong(0)
+    val e = g.edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    var gCur = sp.filter(col("distance") === maxD)
+      .select(col("id"), lit(0L).as("__g")).localCheckpoint(false)
+    var acc = Vector(gCur)
+    var r = maxD - 1L
+    while (r >= 0L) {
+      val layerR = sp.filter(col("distance") === r).select(col("id"))
+      val contrib = e
+        .join(gCur.select(col("id").as("dst"), col("__g").as("__gn")), Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("__gn") + 1L).as("__s"))
+      val next = layerR
+        .join(contrib.select(col("src").as("id"), col("__s")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__s"), lit(0L)).as("__g"))
+        .localCheckpoint(false)
+      next.count() // materialize: reused next round and below
+      acc = acc :+ next
+      gCur = next
+      r -= 1L
+    }
+    val gAll = acc.reduce(_ unionByName _)
+    val out = sp.join(gAll, Seq("id"))
+      .select(col("id"), col("distance"), col("sigma"),
+        when(col("distance") === 0L, lit(0L))
+          .otherwise(col("sigma") * col("__g")).as("stress"))
+    out.count() // settle before dropping inputs
+    e.unpersist(false)
+    sp.unpersist(false)
+    out
+  }
+
   /** Unweighted shortest-path TREE from `source`: (id, distance, pred),
     * pred = the MINIMUM-id optimal predecessor — the deterministic choice,
     * so every engine (and the SQL oracle, which derives preds from final
@@ -1083,6 +1148,201 @@ object Analytics {
     }
     und.unpersist(false)
     (alive, !removed)
+  }
+
+  /** CORENESS — the per-vertex core number (the largest k such that the
+    * vertex survives in the k-core), for the whole graph in one pass family:
+    * the distributed h-index iteration (Montresor/De Pellegrini/Miorandi,
+    * "Distributed k-core decomposition", IEEE TPDS 2013 — public). c₀(v) =
+    * degree(v); each synchronous round replaces c(v) with the H-INDEX of its
+    * neighbors' current values (the largest h with ≥ h neighbors at c ≥ h).
+    * Values are monotone non-increasing and converge to the exact core
+    * number; fixed rounds keep every step SQL-expressible, so the oracle
+    * mirrors the recurrence bit-for-bit. Runs on the SIMPLE undirected
+    * graph: parallel edges collapse and self-loops drop (coreness is a
+    * simple-graph notion — [[kCore]] documents the multi-edge-counting
+    * peeling variant for a single k).
+    *
+    * Scale: the deduped undirected edge list lays out ONCE partitioned by
+    * the neighbor key `b`, so the per-round join ships only the vertex-sized
+    * c frame; the h-index window then exchanges the (a, c_b) pair frame —
+    * 16-byte rows, the one edge-sized narrow shuffle each round costs.
+    * Convergence detection rides the per-round action: Σc is monotone
+    * non-increasing, so an unchanged sum IS the fixed point. */
+  def coreness(g: PropertyGraph, maxRounds: Int = 10): DataFrame = {
+    val (result, converged) = corenessConverged(g, maxRounds)
+    if (!converged)
+      System.err.println(
+        s"[graft] coreness: maxRounds=$maxRounds elapsed before the h-index fixpoint — " +
+          "values are an UPPER BOUND on the true core numbers; raise maxRounds")
+    result
+  }
+
+  /** [[coreness]] with an explicit convergence flag: ((id, core), converged). */
+  def corenessConverged(g: PropertyGraph, maxRounds: Int = 10): (DataFrame, Boolean) = {
+    val und = g.edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(g.edges.select(col("dst").as("a"), col("src").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .repartition(col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ids = g.vertices.select(col("id"))
+    var c = ids.join(und.groupBy(col("a")).agg(count(lit(1)).as("__c"))
+        .select(col("a").as("id"), col("__c")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), lit(0L)).as("core"))
+      .localCheckpoint(false)
+    def sig(df: DataFrame): Long = {
+      val r = df.agg(sum(col("core"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSig = sig(c)
+    var round = 0
+    var changed = prevSig > 0L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("__cb").desc, col("b").asc)
+    while (round < maxRounds && changed) {
+      val h = und
+        .join(c.select(col("id").as("b"), col("core").as("__cb")), Seq("b"))
+        .select(col("a"), col("b"), col("__cb"))
+        .withColumn("__rn", row_number().over(w).cast("long"))
+        .groupBy(col("a")).agg(max(least(col("__cb"), col("__rn"))).as("__c"))
+      val next = ids.join(h.select(col("a").as("id"), col("__c")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__c"), lit(0L)).as("core"))
+        .localCheckpoint(false)
+      val s = sig(next) // materializes the round; monotone ⇒ equal sum = fixed point
+      changed = s != prevSig
+      prevSig = s
+      c = next
+      round += 1
+    }
+    und.unpersist(false)
+    (c, !changed)
+  }
+
+  /** STRONGLY connected components — the directed twin of
+    * [[connectedComponentsExact]], by Trim + Forward-Backward coloring (the
+    * standard distributed SCC family: FW-BW of Fleischer/Hendrickson/Pinar
+    * 2000 with Orzan-style min-label coloring and trivial-SCC trimming —
+    * public algorithms). Per outer round: (1) TRIM — peel vertices with no
+    * in- or no out-neighbor among the survivors (each is its own SCC; on
+    * DAG regions this alone resolves everything in diameter rounds);
+    * (2) COLOR — propagate the minimum forward-reaching id to fixpoint:
+    * every color label is a pivot, and all of a pivot's SCC shares its
+    * color; (3) BACKWARD — flood reachability-of-the-pivot inside each
+    * color (one flag bit, all colors in parallel); flagged vertices are
+    * exactly the pivot's SCC and retire with scc = color. Unresolved
+    * vertices after `maxOuter` rounds come back with scc = NULL (and a
+    * stderr warning) — loud, not silently wrong.
+    *
+    * Returns (id, scc). Deterministic, and every phase is a fixed-round
+    * monotone recurrence (min-label non-increasing, reach flag
+    * non-decreasing, alive set shrinking), so the SQL oracle mirrors it
+    * round for round and early convergence cannot diverge from the oracle's
+    * fixed round budget (extra rounds are no-ops).
+    *
+    * Scale: parallel edges dedupe once up front; every round is
+    * edges⨝vertex-frame equi-joins with map-side-combinable MIN/MAX
+    * aggregates — the [[pageRankFixedPoint]] shuffle profile; trim's
+    * semi-joins ship only id frames. State per vertex is 16-24 bytes; the
+    * alive set only shrinks, so later rounds cost less. Convergence
+    * signatures ride the per-round action (Σ as DECIMAL — id sums overflow
+    * BIGINT at tag-prefixed scale). */
+  def stronglyConnectedComponents(g: PropertyGraph, maxOuter: Int = 3,
+      maxTrim: Int = 8, maxInner: Int = 8): DataFrame = {
+    val ed = g.edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def sigDec(df: DataFrame, c: String): java.math.BigDecimal = {
+      val r = df.agg(sum(col(c).cast("decimal(38,0)"))).head
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var alive = g.vertices.select(col("id")).localCheckpoint(false)
+    var aliveCount = alive.count()
+    var out = Vector.empty[DataFrame]
+    var outer = 0
+    while (outer < maxOuter && aliveCount > 0) {
+      var t = 0
+      var trimmed = true
+      while (t < maxTrim && trimmed) {
+        val ea = ed
+          .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        val keep = alive
+          .join(ea.select(col("src").as("id")).distinct(), Seq("id"), "left_semi")
+          .join(ea.select(col("dst").as("id")).distinct(), Seq("id"), "left_semi")
+          .localCheckpoint(false)
+        val keepCount = keep.count()
+        trimmed = keepCount < aliveCount
+        if (trimmed)
+          out = out :+ alive.join(keep, Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("scc")).localCheckpoint(false)
+        alive = keep
+        aliveCount = keepCount
+        t += 1
+      }
+      if (aliveCount > 0) {
+        val ea = ed
+          .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        var f = alive.select(col("id"), col("id").as("f")).localCheckpoint(false)
+        var fSig = sigDec(f, "f")
+        var i = 0
+        var fChanged = true
+        while (i < maxInner && fChanged) {
+          val m = ea.join(f.select(col("id").as("src"), col("f").as("__fs")), Seq("src"))
+            .groupBy(col("dst")).agg(min(col("__fs")).as("__fm"))
+          val nf = f.join(m.select(col("dst").as("id"), col("__fm")), Seq("id"), "left")
+            .select(col("id"), least(col("f"), coalesce(col("__fm"), col("f"))).as("f"))
+            .localCheckpoint(false)
+          val s = sigDec(nf, "f") // min-label is monotone non-increasing
+          fChanged = s.compareTo(fSig) != 0
+          fSig = s
+          f = nf
+          i += 1
+        }
+        var rb = f.select(col("id"), col("f"),
+          (col("f") === col("id")).cast("long").as("rb")).localCheckpoint(false)
+        var rSig = sigDec(rb, "rb")
+        var j = 0
+        var rChanged = true
+        while (j < maxInner && rChanged) {
+          val hit = ea
+            .join(rb.filter(col("rb") === 1L)
+              .select(col("id").as("dst"), col("f").as("__fu")), Seq("dst"))
+            .join(rb.select(col("id").as("src"), col("f").as("__fv")), Seq("src"))
+            .filter(col("__fu") === col("__fv"))
+            .select(col("src").as("id")).distinct()
+          val nr = rb.join(hit.withColumn("__h", lit(1L)), Seq("id"), "left")
+            .select(col("id"), col("f"),
+              greatest(col("rb"), coalesce(col("__h"), lit(0L))).as("rb"))
+            .localCheckpoint(false)
+          val s = sigDec(nr, "rb") // reach flag is monotone non-decreasing
+          rChanged = s.compareTo(rSig) != 0
+          rSig = s
+          rb = nr
+          j += 1
+        }
+        val resolved = rb.filter(col("rb") === 1L)
+          .select(col("id"), col("f").as("scc")).localCheckpoint(false)
+        resolved.count()
+        out = out :+ resolved
+        alive = alive.join(resolved.select(col("id")), Seq("id"), "left_anti")
+          .localCheckpoint(false)
+        aliveCount = alive.count()
+        ea.unpersist(false)
+      }
+      outer += 1
+    }
+    if (aliveCount > 0) {
+      System.err.println(
+        s"[graft] stronglyConnectedComponents: maxOuter=$maxOuter rounds elapsed with " +
+          s"$aliveCount vertices unresolved — they are reported scc = NULL")
+      out = out :+ alive.select(col("id"), lit(null).cast("long").as("scc"))
+    }
+    ed.unpersist(false)
+    if (out.isEmpty)
+      g.vertices.select(col("id"), lit(null).cast("long").as("scc")).limit(0)
+    else out.reduce(_ unionByName _)
   }
 
   /** Vertex-frame broadcast regime for the iterative jobs: frames at or
