@@ -1492,6 +1492,13 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.unigramLogProb(
         s.read.parquet(s"$dir/documents.parquet"))
     }),
+    // ---- pipeline: DSIR importance weights — hashed-ngram target-vs-raw
+    //      log-likelihood ratio per document (importance resampling score) ----
+    "q_dsir_weights" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.importanceWeights(
+        s.read.parquet(s"$dir/documents.parquet"),
+        targetPred = col("source").isin("src0", "src1"), buckets = 1024)
+    }),
     // ---- pipeline: contiguous sequence packing into fixed token bins ----
     "q_pack_sequences" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.packSequences(
@@ -3381,6 +3388,28 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CAST(ROUND(ln(CAST(tc AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS DECIMAL(28,12))) AS DOUBLE)
         |    / COUNT(*), 6) AS mean_logp
         |FROM toks JOIN counts USING (token) CROSS JOIN tot GROUP BY 1""".stripMargin,
+    // mirrors importanceWeights stage-for-stage: hashed uni+bigram buckets,
+    // add-one smoothed target/raw bucket models, 9-dp lns differenced and
+    // summed in DECIMAL per occurrence, weight rounded at 6 dp
+    "q_dsir_weights" ->
+      """WITH w AS (SELECT doc_id, source IN ('src0', 'src1') AS t,
+        |  string_split_regex(text, '\s+') AS wl FROM documents),
+        |uni AS (SELECT doc_id, t, unnest(wl) AS f FROM w),
+        |big AS (SELECT doc_id, t,
+        |  unnest([wl[i] || ' ' || wl[i+1] for i in range(1, len(wl))]) AS f
+        |  FROM w WHERE len(wl) >= 2),
+        |feats AS (SELECT doc_id, t,
+        |  ('0x' || substr(md5(':' || f), 21, 12))::BIGINT % 1024 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big) u),
+        |rawc AS (SELECT b, COUNT(*) AS cr,
+        |  SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct FROM feats GROUP BY 1),
+        |tot AS (SELECT SUM(cr) AS totr, SUM(ct) AS tott FROM rawc),
+        |lam AS (SELECT b,
+        |  CAST(ROUND(ln(CAST(ct + 1 AS DOUBLE) / CAST(tott + 1024 AS DOUBLE)), 9) AS DECIMAL(28,12))
+        |  - CAST(ROUND(ln(CAST(cr + 1 AS DOUBLE) / CAST(totr + 1024 AS DOUBLE)), 9) AS DECIMAL(28,12)) AS lam
+        |  FROM rawc CROSS JOIN tot)
+        |SELECT doc_id, ROUND(CAST(SUM(lam) AS DOUBLE), 6) AS log_weight
+        |FROM feats JOIN lam USING (b) GROUP BY 1""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source,
         |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens FROM documents)

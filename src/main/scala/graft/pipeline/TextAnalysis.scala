@@ -483,6 +483,53 @@ object TextAnalysis {
         count(lit(1)).cast(DoubleType), 6).as("mean_logp"))
   }
 
+  /** DSIR-style importance weights (the public method of Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"): score
+    * every document by how much more likely its hashed n-gram features are
+    * under a TARGET distribution (the quality corpus you want more of) than
+    * under the RAW corpus distribution — log w(doc) = Σ_f c_f(doc)·(ln
+    * p̂_target(f) − ln p̂_raw(f)). High-weight documents are the ones
+    * importance resampling would keep. Features are unigrams + bigrams
+    * hashed into `buckets` buckets (the paper's hashed generative model —
+    * hashing caps the model at O(buckets) whatever the vocabulary does);
+    * both distributions use add-one smoothing over the bucket space, and
+    * `targetPred` marks the target rows (target ⊆ raw, the usual setup
+    * where raw is the whole crawl).
+    *
+    * Scale + determinism: one explode → a bucket-count aggregate
+    * (map-side-combinable, ≤ `buckets` rows out) → the per-bucket λ table
+    * (buckets rows, BROADCAST) joined back to the occurrence stream — the
+    * corpus text is consumed at scan; nothing document-sized shuffles except
+    * (id, bucket) pairs. Per-bucket lns are rounded to 9 dp then
+    * differenced and summed in exact DECIMAL, final weight rounded to 6 dp
+    * — the [[unigramLogProb]] recipe, so a SQL oracle matches hash-exact. */
+  def importanceWeights(docs: DataFrame, targetPred: Column,
+      buckets: Int = 1024, idCol: String = "doc_id", textCol: String = "text",
+      salt: String = ""): DataFrame = {
+    require(buckets > 0, "importanceWeights: buckets must be positive")
+    val w = tokens(col(textCol))
+    val uni = docs.select(col(idCol), targetPred.as("__t"), explode(w).as("f"))
+    val big = docs.filter(size(w) >= 2)
+      .select(col(idCol), targetPred.as("__t"),
+        explode(transform(sequence(lit(0), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2)))).as("f"))
+    val feats = uni.unionByName(big).select(col(idCol), col("__t"),
+      pmod(conv(substring(md5(concat_ws(":", lit(salt), col("f"))), 21, 12), 16, 10)
+        .cast(LongType), lit(buckets.toLong)).as("b"))
+    val rawc = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
+    val tot = rawc.agg(sum(col("cr")).as("totr"), sum(col("ct")).as("tott"))
+    val lam = rawc.crossJoin(broadcast(tot)).select(col("b"),
+      (round(log((col("ct") + 1L).cast(DoubleType) /
+          (col("tott") + buckets.toLong).cast(DoubleType)), 9).cast(DecimalType(28, 12)) -
+        round(log((col("cr") + 1L).cast(DoubleType) /
+          (col("totr") + buckets.toLong).cast(DoubleType)), 9).cast(DecimalType(28, 12)))
+        .as("lam"))
+    feats.join(broadcast(lam), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("lam")).cast(DoubleType), 6).as("log_weight"))
+  }
+
   /** Contiguous token packing: per source, documents in id order fill
     * fixed-capacity training bins; a document's bin is the number of whole
     * capacities consumed BEFORE it (greedy contiguous fill — the standard

@@ -1333,4 +1333,28 @@ class PipelineSpec extends AnyFunSuite {
     val none = Similarity.rangeSearch(rows, rows.filter(col("vec_id") === 3L), 0.99)
     assert(none.isEmpty)
   }
+
+  test("importanceWeights: target-like documents outscore off-distribution ones") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    // target corpus speaks alpha/beta; the crawl bulk speaks zeta/eta;
+    // docs 10 and 11 are held-out members of each style
+    val docs = (Seq(
+      (1L, "alpha beta alpha beta gamma", true),
+      (2L, "beta alpha beta alpha alpha", true),
+      (10L, "alpha beta gamma alpha beta", false),
+      (11L, "zeta eta theta zeta eta", false)) ++
+      (20L to 29L).map(i => (i, "zeta eta zeta theta eta zeta", false)))
+      .toDF("doc_id", "text", "is_target")
+    val w = TextAnalysis.importanceWeights(docs, col("is_target"), buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.size === docs.count())
+    assert(w(10L) > w(11L),
+      s"held-out target-style doc must outscore crawl-style: ${w(10L)} vs ${w(11L)}")
+    assert(w(1L) > 0.0 && w(20L) < w(1L))
+    // deterministic: same inputs, same weights
+    val w2 = TextAnalysis.importanceWeights(docs, col("is_target"), buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w2 === w)
+  }
 }
