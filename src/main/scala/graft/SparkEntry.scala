@@ -1580,6 +1580,12 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.bpeEncode(
         s.read.parquet(s"$dir/documents.parquet"), bpeMergeTable)
     }),
+    // ---- pipeline: BPE TRAINING — learn the merge table itself (argmax
+    //      pair per round, corpus-wide rewrite; feeds bpeEncode) ----
+    "q_bpe_train" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.bpeTrain(
+        s.read.parquet(s"$dir/documents.parquet"), numMerges = 8)
+    }),
     // ---- pipeline: tokenizer-coverage report — per-doc OOV mass against
     //      the corpus's own top-k vocabulary (deterministic boundary) ----
     "q_oov_rate" -> ((s, dir) => {
@@ -3582,6 +3588,7 @@ object SparkEntry {
          |COUNT(*) - COUNT($c) AS nulls, COUNT(DISTINCT $c) AS ndv,
          |CAST(MIN($c) AS VARCHAR) AS min_str, CAST(MAX($c) AS VARCHAR) AS max_str
          |FROM documents""".stripMargin).mkString("\nUNION ALL\n"),
+    "q_bpe_train" -> bpeTrainOracle(8),
     "q_bpe_pairs" ->
       """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
         |wf AS (SELECT w, COUNT(*) AS f FROM toks GROUP BY 1),
@@ -4369,6 +4376,35 @@ object SparkEntry {
        |  CASE WHEN s.distance = 0 THEN CAST(0 AS BIGINT)
        |       ELSE s.sigma * g.gg END AS stress
        |FROM sall s JOIN gall g ON g.id = s.id""".stripMargin
+  }
+
+  /** BPE-training oracle: mirrors TextAnalysis.bpeTrain round for round —
+    * word-frequency vocab in spaced-unit form, per round the weighted
+    * adjacent-pair argmax (cnt desc, (a,b) asc) and a corpus-wide
+    * single-pass replace (the 1-row t{r} cross-joins into the rewrite). */
+  private def bpeTrainOracle(numMerges: Int): String = {
+    val rounds = (1 to numMerges).map { r =>
+      s""",p$r AS MATERIALIZED (SELECT u[CAST(i AS INT)] AS a, u[CAST(i AS INT)+1] AS b, f FROM (
+         |  SELECT unnest(range(1, len(u))) AS i, u, f FROM (
+         |    SELECT list_filter(string_split(s, ' '), x -> x <> '') AS u, f
+         |    FROM w${r - 1}) q) z),
+         |t$r AS MATERIALIZED (SELECT a, b, CAST(SUM(f) AS BIGINT) AS cnt FROM p$r
+         |  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT
+         |  REPLACE(s, ' ' || t.a || ' ' || t.b || ' ', ' ' || t.a || t.b || ' ') AS s, f
+         |  FROM w${r - 1}, t$r t)""".stripMargin
+    }.mkString("\n")
+    val sel = (1 to numMerges)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS rank, a, b, cnt FROM t$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH v AS MATERIALIZED (SELECT w, COUNT(*) AS f FROM (
+       |  SELECT unnest(string_split_regex(
+       |    regexp_replace(text, '[^\\x20-\\x7E]', '', 'g'), '\\s+')) AS w
+       |  FROM documents) t WHERE w <> '' GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT
+       |  ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, f FROM v)
+       |$rounds
+       |$sel""".stripMargin
   }
 
   /** The fixed BPE merge table q_bpe_encode applies — rank-ordered; later

@@ -688,6 +688,58 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair").asc).limit(k)
   }
 
+  /** BPE TRAINING — learn the merge table itself (the loop
+    * [[bpePairCounts]] is one round of and [[bpeEncode]] applies): repeat
+    * `numMerges` times — count adjacent unit pairs weighted by word
+    * frequency, adopt the most frequent pair (count desc, then (a, b)
+    * lexicographic — a total order, so every engine learns the identical
+    * table), and rewrite it into one unit corpus-wide. Returns the learned
+    * table as (rank, a, b, cnt), ready to feed [[bpeEncode]].
+    *
+    * Scale: the corpus collapses ONCE to its word-frequency vocabulary (one
+    * hash agg — the only corpus-sized stage); every training round then
+    * touches |vocab| rows: pair explode → map-side-combinable weighted
+    * count → a LIMIT-1 argmax (driver reads one row — a bounded control
+    * read, like the centroid reads) → one single-pass replace over the
+    * vocab strings. Same spaced-unit representation and left-to-right
+    * non-overlapping replace as [[bpeEncode]], so train and encode compose
+    * exactly and a SQL oracle mirrors the loop round for round. Training
+    * stops early if pairs run out (single-char vocabulary exhausted). */
+  def bpeTrain(docs: DataFrame, numMerges: Int,
+      textCol: String = "text"): DataFrame = {
+    require(numMerges >= 1, "bpeTrain: numMerges must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ascii = regexp_replace(col(textCol), "[^\\x20-\\x7E]", "")
+    val wf0 = docs.select(explode(split(ascii, "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    var wf = wf0
+      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("f"))
+      .localCheckpoint(false)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val us = filter(split(col("s"), " "), u => u =!= "")
+      val top = wf.filter(size(us) >= 2)
+        .select(col("f"), explode(transform(sequence(lit(0), size(us) - 2),
+          i => struct(element_at(us, i + 1).as("a"), element_at(us, i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        learned += ((r.toLong, a, b, cnt))
+        wf = wf.select(replace(col("s"), lit(s" $a $b "), lit(s" $a$b ")).as("s"), col("f"))
+          .localCheckpoint(false)
+        r += 1
+      }
+    }
+    learned.toSeq.toDF("rank", "a", "b", "cnt")
+  }
+
   /** BPE ENCODE — apply a fixed, ordered merge table to text (the tokenizer
     * APPLICATION that pairs with [[bpePairCounts]]' training statistic).
     * Each merge (a, b) in rank order rewrites the adjacent unit pair into

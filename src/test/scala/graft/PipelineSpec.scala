@@ -1334,6 +1334,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("bpeTrain: learns frequency-ordered merges that compose, feeds bpeEncode") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    // 'th' dominates, then 'the' via composition with the learned 'th' unit
+    val docs = Seq(
+      (1L, "the the the the then then that"),
+      (2L, "the then that this this")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(docs, numMerges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) === ((1L, "t", "h", 12L)))          // th in every word
+    assert(m(1) === ((2L, "th", "e", 8L)))          // the/then: composed unit
+    // rank 3: remaining pairs — 'th a' (that x2) vs 'th i' (this x2) vs
+    // 'the n' (then x3): then wins
+    assert(m(2) === ((3L, "the", "n", 3L)))
+    // the learned table drives bpeEncode: 'the' collapses to ONE unit
+    val enc = TextAnalysis.bpeEncode(docs,
+      m.map(x => (x._2, x._3)).toSeq)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(enc(1L).startsWith("the|the"), s"got ${enc(1L)}")
+    // exhaustion: a single-char vocabulary stops early, no phantom rows
+    val tiny = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(tiny, numMerges = 5).isEmpty)
+  }
+
   test("importanceWeights: target-like documents outscore off-distribution ones") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis
