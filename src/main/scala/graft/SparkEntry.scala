@@ -1217,6 +1217,34 @@ object SparkEntry {
         } finally cleanup()
       out
     }),
+    // ---- pipeline: STREAMING DSIR — the importance-weight model freezes
+    //      once (batch λ table), then the live ingest feed scores through
+    //      readStream: one broadcast stream-static join + ONE aggregation,
+    //      oracle-identical to the batch q_dsir_weights ----
+    "q_stream_dsir" -> ((s, dir) => {
+      val src = s.read.parquet(s"$dir/documents.parquet")
+      val model = graft.pipeline.TextAnalysis.dsirModel(
+        src, col("source").isin("src0", "src1"), buckets = 1024)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sdsir")
+      src.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema(src.schema).parquet(s"$tmp/in")
+      val qname = s"graft_sdsir_${System.nanoTime()}"
+      val q = graft.pipeline.TextAnalysis
+        .importanceWeightsAgainst(stream, model, buckets = 1024)
+        .writeStream.format("memory").queryName(qname).outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      def cleanup(): Unit = deleteRecursively(tmp)
+      val out =
+        try {
+          awaitStreamProbe(q, "q_stream_dsir")
+          val t = s.table(qname)
+          s.catalog.dropTempView(qname)
+          t
+        } finally cleanup()
+      out
+    }),
     // ---- pipeline: STREAMING perceptual dedup — aHash fingerprints flow
     //      through Structured Streaming, one survivor (min id) + dup count
     //      per distinct fingerprint; oracle-identical to the batch groupBy,
@@ -3397,25 +3425,9 @@ object SparkEntry {
     // mirrors importanceWeights stage-for-stage: hashed uni+bigram buckets,
     // add-one smoothed target/raw bucket models, 9-dp lns differenced and
     // summed in DECIMAL per occurrence, weight rounded at 6 dp
-    "q_dsir_weights" ->
-      """WITH w AS (SELECT doc_id, source IN ('src0', 'src1') AS t,
-        |  string_split_regex(text, '\s+') AS wl FROM documents),
-        |uni AS (SELECT doc_id, t, unnest(wl) AS f FROM w),
-        |big AS (SELECT doc_id, t,
-        |  unnest([wl[i] || ' ' || wl[i+1] for i in range(1, len(wl))]) AS f
-        |  FROM w WHERE len(wl) >= 2),
-        |feats AS (SELECT doc_id, t,
-        |  ('0x' || substr(md5(':' || f), 21, 12))::BIGINT % 1024 AS b
-        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big) u),
-        |rawc AS (SELECT b, COUNT(*) AS cr,
-        |  SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct FROM feats GROUP BY 1),
-        |tot AS (SELECT SUM(cr) AS totr, SUM(ct) AS tott FROM rawc),
-        |lam AS (SELECT b,
-        |  CAST(ROUND(ln(CAST(ct + 1 AS DOUBLE) / CAST(tott + 1024 AS DOUBLE)), 9) AS DECIMAL(28,12))
-        |  - CAST(ROUND(ln(CAST(cr + 1 AS DOUBLE) / CAST(totr + 1024 AS DOUBLE)), 9) AS DECIMAL(28,12)) AS lam
-        |  FROM rawc CROSS JOIN tot)
-        |SELECT doc_id, ROUND(CAST(SUM(lam) AS DOUBLE), 6) AS log_weight
-        |FROM feats JOIN lam USING (b) GROUP BY 1""".stripMargin,
+    "q_dsir_weights" -> dsirOracleSql,
+    // the streaming twin scores the identical feed against the frozen model
+    "q_stream_dsir" -> dsirOracleSql,
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source,
         |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens FROM documents)
@@ -4377,6 +4389,30 @@ object SparkEntry {
        |       ELSE s.sigma * g.gg END AS stress
        |FROM sall s JOIN gall g ON g.id = s.id""".stripMargin
   }
+
+  /** DSIR oracle (shared by the batch probe and its streaming twin — the
+    * stream scores the same feed against the frozen λ model, so the answers
+    * are identical): hashed uni+bigram buckets, add-one smoothed target/raw
+    * models, 9-dp lns differenced and summed in DECIMAL per occurrence. */
+  private val dsirOracleSql: String =
+    """WITH w AS (SELECT doc_id, source IN ('src0', 'src1') AS t,
+      |  string_split_regex(text, '\s+') AS wl FROM documents),
+      |uni AS (SELECT doc_id, t, unnest(wl) AS f FROM w),
+      |big AS (SELECT doc_id, t,
+      |  unnest([wl[i] || ' ' || wl[i+1] for i in range(1, len(wl))]) AS f
+      |  FROM w WHERE len(wl) >= 2),
+      |feats AS (SELECT doc_id, t,
+      |  ('0x' || substr(md5(':' || f), 21, 12))::BIGINT % 1024 AS b
+      |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big) u),
+      |rawc AS (SELECT b, COUNT(*) AS cr,
+      |  SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct FROM feats GROUP BY 1),
+      |tot AS (SELECT SUM(cr) AS totr, SUM(ct) AS tott FROM rawc),
+      |lam AS (SELECT b,
+      |  CAST(ROUND(ln(CAST(ct + 1 AS DOUBLE) / CAST(tott + 1024 AS DOUBLE)), 9) AS DECIMAL(28,12))
+      |  - CAST(ROUND(ln(CAST(cr + 1 AS DOUBLE) / CAST(totr + 1024 AS DOUBLE)), 9) AS DECIMAL(28,12)) AS lam
+      |  FROM rawc CROSS JOIN tot)
+      |SELECT doc_id, ROUND(CAST(SUM(lam) AS DOUBLE), 6) AS log_weight
+      |FROM feats JOIN lam USING (b) GROUP BY 1""".stripMargin
 
   /** BPE-training oracle: mirrors TextAnalysis.bpeTrain round for round —
     * word-frequency vocab in spaced-unit form, per round the weighted

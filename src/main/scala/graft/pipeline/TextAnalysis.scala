@@ -505,27 +505,60 @@ object TextAnalysis {
     * — the [[unigramLogProb]] recipe, so a SQL oracle matches hash-exact. */
   def importanceWeights(docs: DataFrame, targetPred: Column,
       buckets: Int = 1024, idCol: String = "doc_id", textCol: String = "text",
-      salt: String = ""): DataFrame = {
-    require(buckets > 0, "importanceWeights: buckets must be positive")
+      salt: String = ""): DataFrame =
+    importanceWeightsAgainst(docs,
+      dsirModel(docs, targetPred, buckets, idCol, textCol, salt),
+      buckets, idCol, textCol, salt)
+
+  /** The hashed uni+bigram feature stream behind the DSIR family: one
+    * (carried-columns, bucket) row per feature OCCURRENCE. */
+  private def dsirFeatures(docs: DataFrame, carry: Seq[Column],
+      buckets: Int, textCol: String, salt: String): DataFrame = {
     val w = tokens(col(textCol))
-    val uni = docs.select(col(idCol), targetPred.as("__t"), explode(w).as("f"))
+    val uni = docs.select(carry :+ explode(w).as("f"): _*)
     val big = docs.filter(size(w) >= 2)
-      .select(col(idCol), targetPred.as("__t"),
-        explode(transform(sequence(lit(0), size(w) - 2),
-          i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2)))).as("f"))
-    val feats = uni.unionByName(big).select(col(idCol), col("__t"),
+      .select(carry :+ explode(transform(sequence(lit(0), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2)))).as("f"): _*)
+    uni.unionByName(big).withColumn("b",
       pmod(conv(substring(md5(concat_ws(":", lit(salt), col("f"))), 21, 12), 16, 10)
-        .cast(LongType), lit(buckets.toLong)).as("b"))
+        .cast(LongType), lit(buckets.toLong))).drop("f")
+  }
+
+  /** The frozen DSIR model: per-bucket λ = round(ln p̂_target, 9) −
+    * round(ln p̂_raw, 9) as exact DECIMAL — ≤ `buckets` rows, built once
+    * from the raw corpus (+ its target marker) and reusable against any
+    * batch or stream via [[importanceWeightsAgainst]]. */
+  def dsirModel(docs: DataFrame, targetPred: Column, buckets: Int = 1024,
+      idCol: String = "doc_id", textCol: String = "text",
+      salt: String = ""): DataFrame = {
+    require(buckets > 0, "dsirModel: buckets must be positive")
+    // only the target marker rides the explode — the model never needs ids
+    val feats = dsirFeatures(docs, Seq(targetPred.as("__t")),
+      buckets, textCol, salt)
     val rawc = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"),
       sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
     val tot = rawc.agg(sum(col("cr")).as("totr"), sum(col("ct")).as("tott"))
-    val lam = rawc.crossJoin(broadcast(tot)).select(col("b"),
+    rawc.crossJoin(broadcast(tot)).select(col("b"),
       (round(log((col("ct") + 1L).cast(DoubleType) /
           (col("tott") + buckets.toLong).cast(DoubleType)), 9).cast(DecimalType(28, 12)) -
         round(log((col("cr") + 1L).cast(DoubleType) /
           (col("totr") + buckets.toLong).cast(DoubleType)), 9).cast(DecimalType(28, 12)))
         .as("lam"))
-    feats.join(broadcast(lam), Seq("b"))
+  }
+
+  /** Score any corpus — or a LIVE ingest stream — against a frozen
+    * [[dsirModel]]: explode features, one broadcast join onto the λ table,
+    * ONE aggregation (complete-mode-legal under Structured Streaming, like
+    * [[oovRateAgainst]]); `buckets` and `salt` must match the model's.
+    * Buckets the model never saw contribute nothing (inner join — their
+    * smoothed target/raw masses nearly cancel in the λ difference anyway),
+    * which keeps batch and stream scores identical on shared input. */
+  def importanceWeightsAgainst(docs: DataFrame, model: DataFrame,
+      buckets: Int = 1024, idCol: String = "doc_id", textCol: String = "text",
+      salt: String = ""): DataFrame = {
+    require(buckets > 0, "importanceWeightsAgainst: buckets must be positive")
+    val feats = dsirFeatures(docs, Seq(col(idCol)), buckets, textCol, salt)
+    feats.join(broadcast(model), Seq("b"))
       .groupBy(col(idCol))
       .agg(round(sum(col("lam")).cast(DoubleType), 6).as("log_weight"))
   }

@@ -1380,5 +1380,11 @@ class PipelineSpec extends AnyFunSuite {
     val w2 = TextAnalysis.importanceWeights(docs, col("is_target"), buckets = 256)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(w2 === w)
+    // the frozen-model composition (what the streaming twin runs) is the
+    // same op: model once, score against — identical weights
+    val model = TextAnalysis.dsirModel(docs, col("is_target"), buckets = 256)
+    val w3 = TextAnalysis.importanceWeightsAgainst(docs, model, buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w3 === w)
   }
 }
