@@ -1066,6 +1066,13 @@ object SparkEntry {
       graft.olap.Analytics.stronglyConnectedComponents(g,
         maxOuter = 2, maxTrim = 5, maxInner = 4)
     }),
+    // ---- 2.K maximal matching — deterministic mutual-min handshake over
+    //      the nation/customer/order subgraph (the coarsening primitive) ----
+    "q_matching" -> ((s, dir) => {
+      val g0 = graph(s, dir)
+      val g = g0.copy(edges = g0.edges.filter(col("label").isin("in_nation", "placed")))
+      graft.olap.Analytics.maximalMatching(g, maxRounds = 8)
+    }),
     // ---- 2.K STRESS centrality — σ(v)·g(v), shortest paths THROUGH each
     //      vertex: the all-integer sibling of betweenness (Shimbel 1953);
     //      backward suffix-count sweep over the same BFS DAG ----
@@ -3288,6 +3295,7 @@ object SparkEntry {
     "q_stress" -> stressOracle(
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 4),
     "q_scc" -> sccOracle(2, 5, 4),
+    "q_matching" -> matchingOracle(8),
     "q_connected_components" -> ccOracle(12),
     "q_lpa" -> lpaOracle(3),
     "q_kcore" -> kcoreOracle(2, 6),
@@ -4286,6 +4294,38 @@ object SparkEntry {
        |  CAST(1 AS BIGINT) AS sigma FROM dist WHERE d = 0)
        |$layers
        |$selects""".stripMargin
+  }
+
+  /** Maximal-matching oracle: mirrors Analytics.maximalMatching round for
+    * round over the nation/customer/order subgraph — per round, every alive
+    * vertex's MIN-id alive neighbor, mutual pairs marry and retire; a
+    * leftover alive edge after the round budget surfaces as the (-1,-1,-1)
+    * sentinel (non-maximal = loud). */
+  private def matchingOracle(rounds: Int): String = {
+    val iters = (1 to rounds).map { r =>
+      s""",n$r AS MATERIALIZED (SELECT e.x, e.y FROM ne e
+         |  JOIN al${r - 1} a ON a.id = e.x JOIN al${r - 1} b ON b.id = e.y),
+         |p$r AS MATERIALIZED (SELECT x, MIN(y) AS p FROM n$r GROUP BY 1),
+         |m$r AS MATERIALIZED (SELECT a.x AS u, a.p AS v, CAST($r AS BIGINT) AS round
+         |  FROM p$r a JOIN p$r b ON b.x = a.p AND b.p = a.x WHERE a.x < a.p),
+         |al$r AS MATERIALIZED (SELECT id FROM al${r - 1} WHERE id NOT IN (
+         |  SELECT u FROM m$r UNION ALL SELECT v FROM m$r))""".stripMargin
+    }.mkString("\n")
+    val sel = (1 to rounds).map(r => s"SELECT u, v, round FROM m$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH $graphCtes,
+       |ue AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM (
+       |  SELECT 3*$T + c_custkey AS src, 2*$T + c_nationkey AS dst FROM customer
+       |  UNION ALL SELECT 4*$T + s_suppkey, 2*$T + s_nationkey FROM supplier
+       |  UNION ALL SELECT 3*$T + o_custkey, 6*$T + o_orderkey FROM orders) t
+       |  WHERE src <> dst),
+       |ne AS MATERIALIZED (SELECT u AS x, v AS y FROM ue UNION ALL SELECT v, u FROM ue),
+       |al0 AS MATERIALIZED (SELECT id FROM vg)
+       |$iters
+       |$sel
+       |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+       |WHERE EXISTS (SELECT 1 FROM ne e
+       |  JOIN al$rounds a ON a.id = e.x JOIN al$rounds b ON b.id = e.y)""".stripMargin
   }
 
   /** SCC oracle: mirrors Analytics.stronglyConnectedComponents round for

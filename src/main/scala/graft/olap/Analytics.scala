@@ -1345,6 +1345,67 @@ object Analytics {
     else out.reduce(_ unionByName _)
   }
 
+  /** MAXIMAL MATCHING over the undirected simple graph — the deterministic
+    * mutual-minimum handshake (the classic distributed matching round of
+    * Israeli–Itai made deterministic by id order, the coarsening primitive
+    * under multilevel partitioners): each round every alive vertex proposes
+    * to its MINIMUM-id alive neighbor, mutually-proposing pairs marry and
+    * retire with their incident edges, repeat. The alive vertex with the
+    * globally minimal id always pairs mutually, so every round with an
+    * alive edge matches at least one pair and a 0-match round IS the
+    * fixpoint — at which point no edge joins two unmatched vertices, i.e.
+    * the matching is maximal. Returns one (u, v, round) row per matched
+    * pair (u < v); deterministic, so the SQL oracle mirrors it round for
+    * round (a round budget too small for maximality shows up as the
+    * oracle's leftover-edge sentinel — loud, like kCore).
+    *
+    * Scale: pair set dedupes once; each round is one edges⨝alive semi-join
+    * pair + a map-side-combinable MIN per vertex + one self-join of the
+    * vertex-sized proposal frame. Alive only shrinks. */
+  def maximalMatching(g: PropertyGraph, maxRounds: Int = 16): DataFrame = {
+    val ue = g.edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val ne = ue.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(ue.select(col("v").as("x"), col("u").as("y")))
+      .repartition(col("x"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var alive = g.vertices.select(col("id")).localCheckpoint(false)
+    var out = Vector.empty[DataFrame]
+    var round = 1L
+    var matchedSome = true
+    while (round <= maxRounds && matchedSome) {
+      val na = ne
+        .join(alive.select(col("id").as("x")), Seq("x"), "left_semi")
+        .join(alive.select(col("id").as("y")), Seq("y"), "left_semi")
+      val prop = na.groupBy(col("x")).agg(min(col("y")).as("p"))
+      val m = prop.as("a")
+        .join(prop.as("b"), col("b.x") === col("a.p") && col("b.p") === col("a.x"))
+        .filter(col("a.x") < col("a.p"))
+        .select(col("a.x").as("u"), col("a.p").as("v"), lit(round).as("round"))
+        .localCheckpoint(false)
+      val nMatched = m.count()
+      matchedSome = nMatched > 0
+      if (matchedSome) {
+        out = out :+ m
+        val gone = m.select(col("u").as("id")).unionAll(m.select(col("v").as("id")))
+        alive = alive.join(gone, Seq("id"), "left_anti").localCheckpoint(false)
+        alive.count()
+      }
+      round += 1L
+    }
+    if (matchedSome) // budget elapsed while still matching ⇒ maybe not maximal
+      System.err.println(
+        s"[graft] maximalMatching: maxRounds=$maxRounds elapsed while pairs were still " +
+          "forming — the matching may not be maximal; raise maxRounds")
+    ne.unpersist(false)
+    if (out.isEmpty) {
+      val spark = g.spark
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long)].toDF("u", "v", "round")
+    } else out.reduce(_ unionByName _)
+  }
+
   /** Vertex-frame broadcast regime for the iterative jobs: frames at or
     * under this many rows are hinted into broadcast joins (checkpointing
     * hides stats from AQE, so the hint is load-bearing). Past it the joins

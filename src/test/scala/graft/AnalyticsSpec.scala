@@ -390,6 +390,24 @@ class AnalyticsSpec extends AnyFunSuite {
     }), "first-order walks should revisit on this path graph")
   }
 
+  test("maximalMatching: mutual-min handshake, ascending path peels, star saturates") {
+    import spark.implicits._
+    // path 1-2-3-4-5 (ascending ids force one pair per round) + star 10-{6,7}
+    val v = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 10L)).map(id => (id, "v")).toDF("id", "label")
+    val e = Seq((101L, 1L, 2L), (102L, 2L, 3L), (103L, 3L, 4L), (104L, 4L, 5L),
+      (105L, 10L, 6L), (106L, 10L, 7L))
+      .map { case (i, a, b) => (i, a, b, "e") }.toDF("id", "src", "dst", "label")
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+    val got = Analytics.maximalMatching(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // r1: 1-2 mutual AND 6-10 mutual (10's min nbr is 6, 6's only nbr is 10)
+    // r2: 3-4 mutual; 5 and 7 stay single — maximal (no alive edge remains)
+    assert(got === Set((1L, 2L, 1L), (6L, 10L, 1L), (3L, 4L, 2L)))
+    // matched vertex sets are disjoint (it is a matching)
+    val verts = got.toSeq.flatMap(t => Seq(t._1, t._2))
+    assert(verts.distinct.size === verts.size)
+  }
+
   test("scc: trim resolves DAG parts, coloring resolves cycles, peeling nests") {
     import spark.implicits._
     // two 3-cycles bridged by a DAG path, plus a tail and an isolate:
