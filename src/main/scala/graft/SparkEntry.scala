@@ -1073,6 +1073,14 @@ object SparkEntry {
       val g = g0.copy(edges = g0.edges.filter(col("label").isin("in_nation", "placed")))
       graft.olap.Analytics.maximalMatching(g, maxRounds = 8)
     }),
+    // ---- 2.K matching contraction — the coarse graph (supervertices =
+    //      matched pairs, weighted coarse edges): one multilevel level ----
+    "q_contract" -> ((s, dir) => {
+      val g0 = graph(s, dir)
+      val g = g0.copy(edges = g0.edges.filter(col("label").isin("in_nation", "placed")))
+      val m = graft.olap.Analytics.maximalMatching(g, maxRounds = 8)
+      graft.olap.Analytics.contractMatching(g, m)
+    }),
     // ---- 2.K STRESS centrality — σ(v)·g(v), shortest paths THROUGH each
     //      vertex: the all-integer sibling of betweenness (Shimbel 1953);
     //      backward suffix-count sweep over the same BFS DAG ----
@@ -1526,6 +1534,13 @@ object SparkEntry {
     "q_unigram_logprob" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.unigramLogProb(
         s.read.parquet(s"$dir/documents.parquet"))
+    }),
+    // ---- pipeline: epoch budgeting — the repeat-factor sheet for a fixed
+    //      token budget and target mixture (over-epoching flagged) ----
+    "q_epoch_budget" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.epochBudget(
+        s.read.parquet(s"$dir/documents.parquet"),
+        epochBudgetWeights, budgetTokens = 10000000L)
     }),
     // ---- pipeline: DSIR importance weights — hashed-ngram target-vs-raw
     //      log-likelihood ratio per document (importance resampling score) ----
@@ -3296,6 +3311,7 @@ object SparkEntry {
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 4),
     "q_scc" -> sccOracle(2, 5, 4),
     "q_matching" -> matchingOracle(8),
+    "q_contract" -> contractionOracle(8),
     "q_connected_components" -> ccOracle(12),
     "q_lpa" -> lpaOracle(3),
     "q_kcore" -> kcoreOracle(2, 6),
@@ -3433,6 +3449,7 @@ object SparkEntry {
     // mirrors importanceWeights stage-for-stage: hashed uni+bigram buckets,
     // add-one smoothed target/raw bucket models, 9-dp lns differenced and
     // summed in DECIMAL per occurrence, weight rounded at 6 dp
+    "q_epoch_budget" -> epochBudgetOracle(10000000L),
     "q_dsir_weights" -> dsirOracleSql,
     // the streaming twin scores the identical feed against the frozen model
     "q_stream_dsir" -> dsirOracleSql,
@@ -4301,7 +4318,7 @@ object SparkEntry {
     * vertex's MIN-id alive neighbor, mutual pairs marry and retire; a
     * leftover alive edge after the round budget surfaces as the (-1,-1,-1)
     * sentinel (non-maximal = loud). */
-  private def matchingOracle(rounds: Int): String = {
+  private def matchingCtes(rounds: Int): String = {
     val iters = (1 to rounds).map { r =>
       s""",n$r AS MATERIALIZED (SELECT e.x, e.y FROM ne e
          |  JOIN al${r - 1} a ON a.id = e.x JOIN al${r - 1} b ON b.id = e.y),
@@ -4311,9 +4328,8 @@ object SparkEntry {
          |al$r AS MATERIALIZED (SELECT id FROM al${r - 1} WHERE id NOT IN (
          |  SELECT u FROM m$r UNION ALL SELECT v FROM m$r))""".stripMargin
     }.mkString("\n")
-    val sel = (1 to rounds).map(r => s"SELECT u, v, round FROM m$r")
-      .mkString("\nUNION ALL ")
-    s"""WITH $graphCtes,
+    val mm = (1 to rounds).map(r => s"SELECT u, v FROM m$r").mkString(" UNION ALL ")
+    s"""$graphCtes,
        |ue AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM (
        |  SELECT 3*$T + c_custkey AS src, 2*$T + c_nationkey AS dst FROM customer
        |  UNION ALL SELECT 4*$T + s_suppkey, 2*$T + s_nationkey FROM supplier
@@ -4322,11 +4338,36 @@ object SparkEntry {
        |ne AS MATERIALIZED (SELECT u AS x, v AS y FROM ue UNION ALL SELECT v, u FROM ue),
        |al0 AS MATERIALIZED (SELECT id FROM vg)
        |$iters
+       |,mm AS MATERIALIZED ($mm)""".stripMargin
+  }
+
+  private def matchingOracle(rounds: Int): String = {
+    val sel = (1 to rounds).map(r => s"SELECT u, v, round FROM m$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${matchingCtes(rounds)}
        |$sel
        |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
        |WHERE EXISTS (SELECT 1 FROM ne e
        |  JOIN al$rounds a ON a.id = e.x JOIN al$rounds b ON b.id = e.y)""".stripMargin
   }
+
+  /** Contraction oracle: the matched pairs collapse onto their smaller id,
+    * survivors map to themselves, edges re-wire through the map, self-loops
+    * drop, parallel coarse edges aggregate to weights — mirrors
+    * Analytics.contractMatching over the q_matching subgraph (the probe's
+    * EDGE multiset is the pre-dedup nation/customer/order edges). */
+  private def contractionOracle(rounds: Int): String =
+    s"""WITH ${matchingCtes(rounds)},
+       |vmap AS MATERIALIZED (SELECT v.id, COALESCE(m.rep, v.id) AS rep FROM vg v
+       |  LEFT JOIN (SELECT u AS id, LEAST(u, v) AS rep FROM mm
+       |             UNION ALL SELECT v, LEAST(u, v) FROM mm) m ON m.id = v.id),
+       |raw AS (SELECT 3*$T + c_custkey AS src, 2*$T + c_nationkey AS dst FROM customer
+       |  UNION ALL SELECT 4*$T + s_suppkey, 2*$T + s_nationkey FROM supplier
+       |  UNION ALL SELECT 3*$T + o_custkey, 6*$T + o_orderkey FROM orders)
+       |SELECT LEAST(a.rep, b.rep) AS src, GREATEST(a.rep, b.rep) AS dst,
+       |  COUNT(*) AS weight
+       |FROM raw e JOIN vmap a ON a.id = e.src JOIN vmap b ON b.id = e.dst
+       |WHERE a.rep <> b.rep GROUP BY 1, 2""".stripMargin
 
   /** SCC oracle: mirrors Analytics.stronglyConnectedComponents round for
     * round over the probe's cycle-rich graph (eg + reversed placed edges) —
@@ -4428,6 +4469,29 @@ object SparkEntry {
        |  CASE WHEN s.distance = 0 THEN CAST(0 AS BIGINT)
        |       ELSE s.sigma * g.gg END AS stress
        |FROM sall s JOIN gall g ON g.id = s.id""".stripMargin
+  }
+
+  /** The q_epoch_budget mixture (ppm), shared by probe and oracle so the
+    * two can never drift. */
+  private val epochBudgetWeights: Seq[(String, Long)] =
+    Seq(("src0", 500000L), ("src1", 300000L), ("src2", 200000L))
+
+  /** Mirror of TextAnalysis.epochBudget: per-source token mass, the exact
+    * integer floor(B·w/T) target decomposition, and the ×10⁶ repeat factor. */
+  private def epochBudgetOracle(budget: Long): String = {
+    val totW = epochBudgetWeights.map(_._2).sum
+    val wCase = epochBudgetWeights
+      .map { case (s, p) => s"WHEN '$s' THEN $p" }.mkString(" ")
+    s"""WITH t AS (SELECT source,
+       |  CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |w AS (SELECT source, n_tokens,
+       |  CAST(CASE source $wCase ELSE 0 END AS BIGINT) AS wppm FROM t)
+       |SELECT source, n_tokens,
+       |  ($budget // $totW) * wppm + (($budget % $totW) * wppm) // $totW AS target_tokens,
+       |  (($budget // $totW) * wppm + (($budget % $totW) * wppm) // $totW) * 1000000 // n_tokens AS epochs_x1e6,
+       |  (($budget // $totW) * wppm + (($budget % $totW) * wppm) // $totW) * 1000000 // n_tokens > 4000000 AS over_budget
+       |FROM w""".stripMargin
   }
 
   /** DSIR oracle (shared by the batch probe and its streaming twin — the

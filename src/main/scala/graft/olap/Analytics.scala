@@ -1406,6 +1406,34 @@ object Analytics {
     } else out.reduce(_ unionByName _)
   }
 
+  /** CONTRACT a matching into the coarse graph — the second half of the
+    * multilevel coarsening step [[maximalMatching]] begins: every matched
+    * pair collapses into a supervertex keyed by its smaller id, unmatched
+    * vertices survive as themselves, and the coarse UNDIRECTED edge (a, b),
+    * a < b, carries weight = the number of original edges between the two
+    * clusters (self-loops from intra-pair edges drop). Iterating match →
+    * contract is exactly how multilevel partitioners (the public
+    * Metis/Graclus family) shrink a graph while preserving its cut
+    * structure. Returns (src, dst, weight).
+    *
+    * Scale: the vertex→representative map is vertex-sized (broadcastable
+    * when the matching is small); the edge re-wire is two equi-joins + one
+    * map-side-combinable count — one pass over the edge list. */
+  def contractMatching(g: PropertyGraph, matching: DataFrame): DataFrame = {
+    val map = matching.select(col("u").as("id"), least(col("u"), col("v")).as("rep"))
+      .unionAll(matching.select(col("v").as("id"), least(col("u"), col("v")).as("rep")))
+    val full = g.vertices.select(col("id"))
+      .join(map, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+    g.edges.select(col("src"), col("dst"))
+      .join(full.select(col("id").as("src"), col("rep").as("__rs")), Seq("src"))
+      .join(full.select(col("id").as("dst"), col("rep").as("__rd")), Seq("dst"))
+      .filter(col("__rs") =!= col("__rd"))
+      .select(least(col("__rs"), col("__rd")).as("src"),
+        greatest(col("__rs"), col("__rd")).as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
+  }
+
   /** Vertex-frame broadcast regime for the iterative jobs: frames at or
     * under this many rows are hinted into broadcast joins (checkpointing
     * hides stats from AQE, so the hint is load-bearing). Past it the joins

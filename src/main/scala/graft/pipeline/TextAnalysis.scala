@@ -205,6 +205,46 @@ object TextAnalysis {
         round(col("__s").cast(DoubleType) / col("__t").cast(DoubleType), 6).as("weight"))
   }
 
+  /** Epoch budgeting — the "how many times does each source repeat" sheet a
+    * training-mixture plan needs once a token budget is fixed: given target
+    * mixture weights (parts-per-million, so the arithmetic is exact BIGINT
+    * on every engine) and a total token budget, each source's target token
+    * allocation is budget·w/Σw and its repeat factor is target/available
+    * (×10⁶, integer floor). Sources whose repeat factor exceeds
+    * `maxEpochsX1e6` are flagged — the over-epoching signal that tells a
+    * pipeline to re-balance before training (repeating a small source too
+    * often is the classic data-budget failure). Sources in the corpus but
+    * not in `weightsPpm` get weight 0 (flagged-free, epochs 0).
+    *
+    * One grouped count per source (map-side combinable) + a 1-row broadcast
+    * total: nothing document-sized shuffles. Returns (source, n_tokens,
+    * target_tokens, epochs_x1e6, over_budget). */
+  def epochBudget(docs: DataFrame, weightsPpm: Seq[(String, Long)],
+      budgetTokens: Long, maxEpochsX1e6: Long = 4000000L,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(weightsPpm.nonEmpty && weightsPpm.forall(_._2 > 0),
+      "epochBudget: weights must be positive")
+    // the ×10⁶ repeat-factor arithmetic must stay inside BIGINT: budgets up
+    // to ~9.2 trillion tokens are exact; split larger plans by source group
+    require(budgetTokens > 0 && budgetTokens <= Long.MaxValue / 1000000L,
+      "epochBudget: budgetTokens must be in (0, ~9.2e12]")
+    val totW = weightsPpm.map(_._2).sum
+    val w = weightsPpm.foldLeft(lit(0L)) { case (acc, (s, ppm)) =>
+      when(col("source") === s, lit(ppm)).otherwise(acc) }
+    docs.groupBy(col(sourceCol).as("source"))
+      .agg(sum(size(tokens(col(textCol)))).as("n_tokens"))
+      .withColumn("__w", w)
+      // floor(B·w/T) decomposed as (B DIV T)·w + ((B MOD T)·w) DIV T —
+      // exact and overflow-safe for multi-trillion-token budgets (the
+      // naive B·w product would wrap past ~9e12 tokens at ppm weights)
+      .withColumn("target_tokens",
+        expr(s"(${budgetTokens}L DIV ${totW}L) * __w + ((${budgetTokens}L % ${totW}L) * __w) DIV ${totW}L"))
+      .withColumn("epochs_x1e6",
+        expr("target_tokens * 1000000L DIV n_tokens"))
+      .withColumn("over_budget", col("epochs_x1e6") > maxEpochsX1e6)
+      .drop("__w")
+  }
+
   /** Deterministic per-source mixture sampling — the training-mix weighting
     * step of a data pipeline. A document rides iff the md5-derived bucket of
     * its id (uniform in [0, 1e6)) falls below its source's rate. No RNG:

@@ -406,6 +406,12 @@ class AnalyticsSpec extends AnyFunSuite {
     // matched vertex sets are disjoint (it is a matching)
     val verts = got.toSeq.flatMap(t => Seq(t._1, t._2))
     assert(verts.distinct.size === verts.size)
+    // contraction: pairs collapse onto their min id, intra-pair edges drop,
+    // cross-cluster edges re-wire with counts
+    val m = Analytics.maximalMatching(g)
+    val coarse = Analytics.contractMatching(g, m).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(coarse === Set((1L, 3L, 1L), (3L, 5L, 1L), (6L, 7L, 1L)))
   }
 
   test("scc: trim resolves DAG parts, coloring resolves cycles, peeling nests") {

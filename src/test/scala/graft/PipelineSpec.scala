@@ -1334,6 +1334,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("epochBudget: exact repeat factors, over-epoching flagged, unlisted source zeroed") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "a b c d", "small"),   // 4 tokens
+      (2L, "a b c d e f", "big"), // 6 tokens
+      (3L, "x y", "big"),         // 2 tokens -> big has 8
+      (4L, "q r s", "other")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.epochBudget(docs,
+      Seq(("small", 750000L), ("big", 250000L)), budgetTokens = 64L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // small: target 48 over 4 available = 12x epochs -> flagged at the 4x default
+    assert(got("small") === ((4L, 48L, 12000000L, true)))
+    // big: target 16 over 8 = 2x, inside budget
+    assert(got("big") === ((8L, 16L, 2000000L, false)))
+    // unlisted source: zero target, zero epochs, not flagged
+    assert(got("other") === ((3L, 0L, 0L, false)))
+  }
+
   test("bpeTrain: learns frequency-ordered merges that compose, feeds bpeEncode") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis
