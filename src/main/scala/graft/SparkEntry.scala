@@ -1073,6 +1073,17 @@ object SparkEntry {
       val g = g0.copy(edges = g0.edges.filter(col("label").isin("in_nation", "placed")))
       graft.olap.Analytics.maximalMatching(g, maxRounds = 8)
     }),
+    // ---- 2.K Borůvka minimum spanning forest over the customer/order/part
+    //      subgraph (parts shared across orders supply the cycles) ----
+    "q_msf" -> ((s, dir) => {
+      val t = 1L << graft.core.GraphIds.TagBits
+      val g0 = graph(s, dir)
+      val g = g0.copy(edges = g0.edges.filter(
+        col("label") === "placed" ||
+          (col("label") === "contains" && col("dst") < lit(5L * t + 200L))))
+      graft.olap.Analytics.minimumSpanningForest(g, weight = col("dst"),
+        maxOuter = 8, maxInner = 10)
+    }),
     // ---- 2.K matching contraction — the coarse graph (supervertices =
     //      matched pairs, weighted coarse edges): one multilevel level ----
     "q_contract" -> ((s, dir) => {
@@ -3312,6 +3323,7 @@ object SparkEntry {
     "q_scc" -> sccOracle(2, 5, 4),
     "q_matching" -> matchingOracle(8),
     "q_contract" -> contractionOracle(8),
+    "q_msf" -> msfOracle(8, 10),
     "q_connected_components" -> ccOracle(12),
     "q_lpa" -> lpaOracle(3),
     "q_kcore" -> kcoreOracle(2, 6),
@@ -4368,6 +4380,52 @@ object SparkEntry {
        |  COUNT(*) AS weight
        |FROM raw e JOIN vmap a ON a.id = e.src JOIN vmap b ON b.id = e.dst
        |WHERE a.rep <> b.rep GROUP BY 1, 2""".stripMargin
+
+  /** Borůvka oracle: mirrors Analytics.minimumSpanningForest round for
+    * round over the q_msf subgraph (placed + contains-to-small-parts, w =
+    * the original dst id) — per outer round the per-component (w, u, v)
+    * argmin, the selection's min-label flood, the component remap; a
+    * still-crossing edge after the outer budget surfaces as the sentinel. */
+  private def msfOracle(maxOuter: Int, maxInner: Int): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    for (o <- 1 to maxOuter) {
+      ctes += s"""ec$o AS MATERIALIZED (SELECT e.u, e.v, e.w, a.c AS cu, b.c AS cv
+         |  FROM ed e JOIN c${o - 1} a ON a.id = e.u JOIN c${o - 1} b ON b.id = e.v
+         |  WHERE a.c <> b.c)""".stripMargin
+      ctes += s"""sel$o AS MATERIALIZED (SELECT DISTINCT u, v, w FROM (
+         |  SELECT u, v, w, ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w, u, v) AS rn
+         |  FROM (SELECT cu AS comp, u, v, w FROM ec$o
+         |        UNION ALL SELECT cv, u, v, w FROM ec$o) cc) rr WHERE rn = 1)""".stripMargin
+      ctes += s"""cp$o AS MATERIALIZED (SELECT a.c AS ca, b.c AS cb FROM sel$o s
+         |  JOIN c${o - 1} a ON a.id = s.u JOIN c${o - 1} b ON b.id = s.v)""".stripMargin
+      ctes += s"""un$o AS MATERIALIZED (SELECT ca AS a, cb AS b FROM cp$o
+         |  UNION SELECT cb, ca FROM cp$o)""".stripMargin
+      ctes += s"l${o}_0 AS MATERIALIZED (SELECT DISTINCT a AS c, a AS l FROM un$o)"
+      for (i <- 1 to maxInner)
+        ctes += s"""l${o}_$i AS MATERIALIZED (SELECT t.c, LEAST(t.l, COALESCE(m.ln, t.l)) AS l
+           |  FROM l${o}_${i - 1} t LEFT JOIN (
+           |    SELECT u2.a AS c, MIN(p.l) AS ln FROM un$o u2
+           |    JOIN l${o}_${i - 1} p ON p.c = u2.b GROUP BY 1) m ON m.c = t.c)""".stripMargin
+      ctes += s"""c$o AS MATERIALIZED (SELECT v.id, COALESCE(l.l, v.c) AS c
+         |  FROM c${o - 1} v LEFT JOIN l${o}_$maxInner l ON l.c = v.c)""".stripMargin
+    }
+    val sel = (1 to maxOuter).map(o => s"SELECT u, v, w FROM sel$o")
+      .mkString("\nUNION ALL ")
+    s"""WITH $graphCtes,
+       |ed AS MATERIALIZED (SELECT u, v, MIN(w) AS w FROM (
+       |  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v, dst AS w FROM (
+       |    SELECT 3*$T + o_custkey AS src, 6*$T + o_orderkey AS dst FROM orders
+       |    UNION ALL SELECT 6*$T + l_orderkey, 5*$T + l_partkey FROM lineitem
+       |    WHERE l_partkey < 200) r) t
+       |  WHERE u <> v GROUP BY 1, 2),
+       |c0 AS MATERIALIZED (SELECT id, id AS c FROM vg),
+       |${ctes.mkString(",\n")}
+       |$sel
+       |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+       |WHERE EXISTS (SELECT 1 FROM ed e
+       |  JOIN c$maxOuter a ON a.id = e.u JOIN c$maxOuter b ON b.id = e.v
+       |  WHERE a.c <> b.c)""".stripMargin
+  }
 
   /** SCC oracle: mirrors Analytics.stronglyConnectedComponents round for
     * round over the probe's cycle-rich graph (eg + reversed placed edges) —

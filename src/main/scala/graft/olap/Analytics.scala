@@ -1434,6 +1434,111 @@ object Analytics {
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
   }
 
+  /** Σ of a column as DECIMAL(38,0) — the convergence signature for
+    * monotone label recurrences whose BIGINT sums would overflow at
+    * tag-prefixed id scale (shared by the label-merging loops). */
+  private def decSig(df: DataFrame, c: String): java.math.BigDecimal = {
+    val r = df.agg(sum(col(c).cast("decimal(38,0)"))).head
+    if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+  }
+
+  /** BORŮVKA minimum spanning forest — the classic parallel MST (Borůvka
+    * 1926; the round structure every distributed MST paper builds on): each
+    * round, every component adopts its MINIMUM-weight outgoing edge under
+    * the (w, u, v) total order (ties impossible once (u, v) breaks them —
+    * the selection is the unique MSF of the tie-broken weights, and the
+    * per-round selection graph is acyclic), adopted edges join the forest,
+    * and touched components merge by a min-label flood over the selection
+    * pairs. Components at least halve per effective round ⇒ O(log V)
+    * rounds. Parallel edges pre-collapse to their min weight; `weight`
+    * defaults to the edge id (any Long-castable column works — unique ids
+    * make the forest canonical). Returns (u, v, w) forest edges.
+    *
+    * Determinism: fixed monotone recurrences throughout (min-edge per comp,
+    * min-label flood, shrinking component sum), so the SQL oracle mirrors
+    * round for round; early convergence equals the oracle's fixed budgets.
+    * A too-small `maxInner` leaves labels lagging (warned loudly — the
+    * next round could then adopt an intra-component edge), and a too-small
+    * `maxOuter` leaves the forest incomplete (the oracle's crossing-edge
+    * sentinel makes that red, not silent).
+    *
+    * Scale: edge list dedupes and lays out once; per round the component
+    * frame (vertex-sized) joins it twice, the min-edge selection is one
+    * map-side-combinable struct-MIN, and the label flood runs on the
+    * SELECTION pairs — one row per merging component, far below edge
+    * scale. */
+  def minimumSpanningForest(g: PropertyGraph, weight: Column = col("id"),
+      maxOuter: Int = 10, maxInner: Int = 12): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val ed = g.edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"), weight.cast("long").as("w"))
+      .filter(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var comp = g.vertices.select(col("id"), col("id").as("c")).localCheckpoint(false)
+    var out = Vector.empty[DataFrame]
+    var outer = 0
+    var merging = true
+    while (outer < maxOuter && merging) {
+      val ec = ed
+        .join(comp.select(col("id").as("u"), col("c").as("cu")), Seq("u"))
+        .join(comp.select(col("id").as("v"), col("c").as("cv")), Seq("v"))
+        .filter(col("cu") =!= col("cv"))
+      val cand = ec.select(col("cu").as("comp"), col("w"), col("u"), col("v"))
+        .unionAll(ec.select(col("cv").as("comp"), col("w"), col("u"), col("v")))
+      val sel = cand.groupBy(col("comp"))
+        .agg(min(struct(col("w"), col("u"), col("v"))).as("m"))
+        .select(col("m.u").as("u"), col("m.v").as("v"), col("m.w").as("w"))
+        .distinct()
+        .localCheckpoint(false)
+      merging = sel.count() > 0
+      if (merging) {
+        out = out :+ sel
+        val cp = sel
+          .join(comp.select(col("id").as("u"), col("c").as("cu")), Seq("u"))
+          .join(comp.select(col("id").as("v"), col("c").as("cv")), Seq("v"))
+          .select(col("cu"), col("cv"))
+        val und = cp.select(col("cu").as("a"), col("cv").as("b"))
+          .unionAll(cp.select(col("cv").as("a"), col("cu").as("b")))
+          .distinct().localCheckpoint(false)
+        var lbl = und.select(col("a").as("c")).distinct()
+          .select(col("c"), col("c").as("l")).localCheckpoint(false)
+        var sig = decSig(lbl, "l")
+        var i = 0
+        var changed = true
+        while (i < maxInner && changed) {
+          val m2 = und.join(lbl.select(col("c").as("b"), col("l").as("__lb")), Seq("b"))
+            .groupBy(col("a")).agg(min(col("__lb")).as("__ln"))
+          val nl = lbl.join(m2.select(col("a").as("c"), col("__ln")), Seq("c"), "left")
+            .select(col("c"), least(col("l"), coalesce(col("__ln"), col("l"))).as("l"))
+            .localCheckpoint(false)
+          val s = decSig(nl, "l")
+          changed = s.compareTo(sig) != 0
+          sig = s
+          lbl = nl
+          i += 1
+        }
+        if (changed)
+          System.err.println(
+            s"[graft] minimumSpanningForest: maxInner=$maxInner elapsed before the label " +
+              "flood converged — component labels lag and the forest may gain cycles")
+        comp = comp.join(lbl.select(col("c"), col("l")), Seq("c"), "left")
+          .select(col("id"), coalesce(col("l"), col("c")).as("c"))
+          .localCheckpoint(false)
+        comp.count()
+      }
+      outer += 1
+    }
+    if (merging)
+      System.err.println(
+        s"[graft] minimumSpanningForest: maxOuter=$maxOuter rounds elapsed while components " +
+          "were still merging — the forest is incomplete; raise maxOuter")
+    ed.unpersist(false)
+    if (out.isEmpty) Seq.empty[(Long, Long, Long)].toDF("u", "v", "w")
+    else out.reduce(_ unionByName _)
+  }
+
   /** Vertex-frame broadcast regime for the iterative jobs: frames at or
     * under this many rows are hinted into broadcast joins (checkpointing
     * hides stats from AQE, so the hint is load-bearing). Past it the joins

@@ -414,6 +414,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(coarse === Set((1L, 3L, 1L), (3L, 5L, 1L), (6L, 7L, 1L)))
   }
 
+  test("minimumSpanningForest: Boruvka picks the exact MST per component") {
+    import spark.implicits._
+    // square 1-2-3-4 + diagonal 1-3, known MST {2-3, 3-4, 1-3}; a second
+    // component {6,7}; an isolate 8; plus a parallel 1-3 edge that must lose
+    val v = Seq(1L, 2L, 3L, 4L, 6L, 7L, 8L).map(id => (id, "v")).toDF("id", "label")
+    val e = Seq((101L, 1L, 2L, 5L), (102L, 2L, 3L, 1L), (103L, 3L, 4L, 2L),
+      (104L, 4L, 1L, 10L), (105L, 1L, 3L, 4L), (106L, 3L, 1L, 6L),
+      (107L, 6L, 7L, 20L))
+      .map { case (i, a, b, w) => (i, a, b, "e", w) }
+      .toDF("id", "src", "dst", "label", "wt")
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+    val got = Analytics.minimumSpanningForest(g,
+      weight = org.apache.spark.sql.functions.col("wt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((2L, 3L, 1L), (3L, 4L, 2L), (1L, 3L, 4L), (6L, 7L, 20L)))
+    // default weight = edge id: same forest shape question, canonical answer
+    val byId = Analytics.minimumSpanningForest(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byId === Set((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)))
+  }
+
   test("scc: trim resolves DAG parts, coloring resolves cycles, peeling nests") {
     import spark.implicits._
     // two 3-cycles bridged by a DAG path, plus a tail and an isolate:
