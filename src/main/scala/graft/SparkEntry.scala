@@ -1546,6 +1546,12 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.unigramLogProb(
         s.read.parquet(s"$dir/documents.parquet"))
     }),
+    // ---- pipeline: weighted sampling without replacement (E-S A-Res) —
+    //      exactly k per source, probability ∝ document length ----
+    "q_weighted_sample" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.weightedSample(
+        s.read.parquet(s"$dir/documents.parquet"), k = 5, weight = col("n_chars"))
+    }),
     // ---- pipeline: epoch budgeting — the repeat-factor sheet for a fixed
     //      token budget and target mixture (over-epoching flagged) ----
     "q_epoch_budget" -> ((s, dir) => {
@@ -2708,6 +2714,14 @@ object SparkEntry {
     // q_ktruss: per-round oriented triangle enumeration — the new iterative
     // family gets regression tracking like kcore/cc
     "q_kcore", "q_ktruss", "q_triangles", "q_triangles_df", "q_connected_components",
+    // round-12 iterative families: full-decomposition coreness (h-index
+    // fixpoint), Trim+FW-BW SCC, and Borůvka spanning forest — each is a
+    // multi-phase label loop whose regressions (lost broadcast, lineage
+    // growth) only show up under timing
+    "q_coreness", "q_scc", "q_msf",
+    // corpus-scale text loops: BPE merge learning (argmax + rewrite per
+    // round) and the DSIR scorer (explode → bucket agg → broadcast rejoin)
+    "q_bpe_train", "q_dsir_weights",
     // native CDC source end-to-end (readStream → stateful sessionize →
     // memory sink): the one streaming family wall-time, so source/state
     // throughput regressions surface in the bench, not just correctness
@@ -3461,6 +3475,17 @@ object SparkEntry {
     // mirrors importanceWeights stage-for-stage: hashed uni+bigram buckets,
     // add-one smoothed target/raw bucket models, 9-dp lns differenced and
     // summed in DECIMAL per occurrence, weight rounded at 6 dp
+    // E-S weighted sample: identical md5 u-draw, ln(u)/w priority at 9 dp,
+    // per-source top-5 with the id tie-break
+    "q_weighted_sample" ->
+      """WITH p AS (SELECT source, doc_id,
+        |  ROUND(ln(CAST(('0x' || substr(md5(':' || CAST(doc_id AS VARCHAR)), 21, 12))::BIGINT
+        |    % 1000000 + 1 AS DOUBLE) / 1000000.0) / CAST(n_chars AS DOUBLE), 9) AS priority
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT source, doc_id, priority FROM (
+        |  SELECT source, doc_id, priority,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY priority DESC, doc_id ASC) AS rn
+        |  FROM p) t WHERE rn <= 5""".stripMargin,
     "q_epoch_budget" -> epochBudgetOracle(10000000L),
     "q_dsir_weights" -> dsirOracleSql,
     // the streaming twin scores the identical feed against the frozen model

@@ -245,6 +245,40 @@ object TextAnalysis {
       .drop("__w")
   }
 
+  /** WEIGHTED sampling without replacement, k per group — the
+    * Efraimidis–Spirakis A-Res scheme (2006, public): each row draws a
+    * deterministic uniform u from the md5 of its id and competes on priority
+    * u^(1/w); the top-k priorities per group are the weighted sample
+    * (selection probability ∝ w, no replacement, single pass). The
+    * comparison runs on ln(u)/w — order-equivalent, and the engine-portable
+    * form: u is an exact 6-digit decimal, so both engines take ln of the
+    * IDENTICAL double, divide by the identical weight and round at 9 dp.
+    * Weights must be positive; nonpositive-weight rows are excluded (they
+    * have zero selection probability in E-S).
+    *
+    * This is [[mixtureSample]]'s exact-k sibling: use mixtureSample for
+    * stable per-row Bernoulli rates, weightedSample when you need exactly k
+    * per group with probability proportional to a quality/size column. One
+    * window shuffle keyed by group with a rank-limit map-side cut — ≤k rows
+    * per group cross the exchange. Returns (groupCol, idCol, priority). */
+  def weightedSample(docs: DataFrame, k: Int, weight: Column,
+      groupCol: String = "source", idCol: String = "doc_id",
+      salt: String = ""): DataFrame = {
+    require(k > 0, "weightedSample: k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = pmod(
+      conv(substring(md5(concat_ws(":", lit(salt), col(idCol).cast(StringType))), 21, 12),
+        16, 10).cast(LongType), lit(1000000L))
+    val u = (h + 1L).cast(DoubleType) / lit(1000000.0)
+    val pr = round(log(u) / weight.cast(DoubleType), 9)
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__p").desc, col(idCol).asc)
+    docs.filter(weight > lit(0))
+      .select(col(groupCol), col(idCol), pr.as("__p"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(groupCol), col(idCol), col("__p").as("priority"))
+  }
+
   /** Deterministic per-source mixture sampling — the training-mix weighting
     * step of a data pipeline. A document rides iff the md5-derived bucket of
     * its id (uniform in [0, 1e6)) falls below its source's rate. No RNG:

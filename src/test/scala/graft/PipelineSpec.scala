@@ -1334,6 +1334,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("weightedSample: exact k per group, deterministic, nonpositive weights out") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = ((1L to 10L).map(i => (i, "a", if (i == 5L) 0L else i)) ++
+      (11L to 20L).map(i => (i, "b", i)) ++
+      Seq((21L, "c", 7L), (22L, "c", -3L))).toDF("doc_id", "source", "wt")
+    def run() = TextAnalysis.weightedSample(docs, 3, col("wt"),
+      groupCol = "source", idCol = "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = run()
+    val byGroup = got.groupBy(_._1).view.mapValues(_.size).toMap
+    // a and b fill k = 3; c has one positive-weight doc
+    assert(byGroup === Map("a" -> 3, "b" -> 3, "c" -> 1))
+    assert(!got.exists(_._2 == 5L), "zero-weight row must never be sampled")
+    assert(!got.exists(_._2 == 22L), "negative-weight row must never be sampled")
+    assert(got === run(), "hash-seeded sampling must replay identically")
+    // selected priorities are the group's maxima (A-Res takes the top-k keys)
+    val all = TextAnalysis.weightedSample(docs, 100, col("wt"),
+      groupCol = "source", idCol = "doc_id")
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    val topA = all.filter(_._1 == "a").map(_._2).sorted.reverse.take(3).toSet
+    assert(got.filter(_._1 == "a").map(_._3) === topA)
+  }
+
   test("epochBudget: exact repeat factors, over-epoching flagged, unlisted source zeroed") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis
