@@ -888,6 +888,12 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) => {
       graft.olap.Analytics.pageRankFixedPoint(graph(s, dir), iterations = 10)
     }),
+    // ---- 2.K edge-WEIGHTED PageRank — rank mass flows ∝ weight (lineitem
+    //      quantities on contains edges, 1 elsewhere), exact integer ----
+    "q_pagerank_weighted" -> ((s, dir) => {
+      graft.olap.Analytics.pageRankWeightedFixedPoint(graph(s, dir),
+        weight = coalesce(col("quantity").cast("long"), lit(1L)), iterations = 10)
+    }),
     // ---- 2.K HITS hubs/authorities (exact max-normalized integer
     //      fixed-point — order-insensitive, hash-oracle-checkable) ----
     "q_hits" -> ((s, dir) => {
@@ -3236,6 +3242,7 @@ object SparkEntry {
     "q_mean_terminal" ->
       """SELECT AVG(p_size) AS "mean" FROM part""",
     "q_pagerank" -> pageRankOracle(10),
+    "q_pagerank_weighted" -> wPageRankOracle(10),
     "q_ppr" -> pprOracle(
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 10),
     "q_sssp_weighted" -> wssspOracle(
@@ -4192,6 +4199,36 @@ object SparkEntry {
        |  UNION ALL SELECT 3*$T + o_custkey, 6*$T + o_orderkey FROM orders
        |  UNION ALL SELECT 6*$T + l_orderkey, 5*$T + l_partkey FROM lineitem
        |  UNION ALL SELECT 6*$T + l_orderkey, 4*$T + l_suppkey FROM lineitem)""".stripMargin
+
+  /** Weighted fixed-point PageRank oracle (mirrors
+    * Analytics.pageRankWeightedFixedPoint bit-for-bit): contains edges
+    * weigh their lineitem quantity, every other edge weighs 1; the
+    * per-edge contribution uses the same overflow-safe
+    * (r // Σw)·w + ((r % Σw)·w) // Σw floor decomposition. */
+  private def wPageRankOracle(iterations: Int): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT vg.id,
+         |  150000000000 + 85 * (CAST(COALESCE(SUM(m.c), 0) AS BIGINT) // 100) AS r
+         |  FROM vg LEFT JOIN (
+         |    SELECT we.dst AS id,
+         |      (p${k - 1}.r // sw.s) * we.w + ((p${k - 1}.r % sw.s) * we.w) // sw.s AS c
+         |    FROM we JOIN p${k - 1} ON p${k - 1}.id = we.src
+         |    JOIN sw ON sw.src = we.src) m ON m.id = vg.id
+         |  GROUP BY vg.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |we AS MATERIALIZED (
+       |  SELECT 2*$T + n_nationkey AS src, 1*$T + n_regionkey AS dst, CAST(1 AS BIGINT) AS w FROM nation
+       |  UNION ALL SELECT 3*$T + c_custkey, 2*$T + c_nationkey, 1 FROM customer
+       |  UNION ALL SELECT 4*$T + s_suppkey, 2*$T + s_nationkey, 1 FROM supplier
+       |  UNION ALL SELECT 3*$T + o_custkey, 6*$T + o_orderkey, 1 FROM orders
+       |  UNION ALL SELECT 6*$T + l_orderkey, 5*$T + l_partkey, CAST(trunc(l_quantity) AS BIGINT) FROM lineitem
+       |  UNION ALL SELECT 6*$T + l_orderkey, 4*$T + l_suppkey, 1 FROM lineitem),
+       |sw AS MATERIALIZED (SELECT src, SUM(w) AS s FROM we GROUP BY 1),
+       |p0 AS MATERIALIZED (SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM vg),
+       |$iters
+       |SELECT id, r AS rank_fp FROM p$iterations""".stripMargin
+  }
 
   /** Fixed-point PageRank: rank' = 0.15·10¹² + 85·(Σ(rank DIV outdeg) DIV 100),
     * all-BIGINT (mirrors Analytics.pageRankFixedPoint bit-for-bit). */

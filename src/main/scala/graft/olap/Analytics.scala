@@ -401,6 +401,43 @@ object Analytics {
     ranks.select(col("id"), col("r").as("rank_fp"))
   }
 
+  /** Edge-WEIGHTED PageRank in [[pageRankFixedPoint]]'s exact fixed-point
+    * integer arithmetic: rank flows along each edge proportional to its
+    * weight — contribution = ⌊r·w / Σw(u)⌋, computed with the overflow-safe
+    * decomposition (r DIV Σw)·w + ((r MOD Σw)·w) DIV Σw so hub ranks times
+    * heavy weights never wrap. Weights must be positive Longs (quantities,
+    * counts, capped scores — the probe uses lineitem quantities); zero or
+    * negative weights fail loudly. Same shuffle profile as the unweighted
+    * fixed point: one edges⨝ranks join + a map-side-combinable integer sum
+    * per iteration over a PlanCache-served 24-byte edge projection. */
+  def pageRankWeightedFixedPoint(g: PropertyGraph, weight: Column,
+      iterations: Int = 10): DataFrame = {
+    val S = 1000000000000L
+    val e = g.edges.select(col("src"), col("dst"), weight.cast("long").as("__w"))
+    require(e.filter(col("__w").isNull || col("__w") <= 0L).isEmpty,
+      "pageRankWeightedFixedPoint: weights must be positive (rank mass flows ∝ w)")
+    val ed = graft.core.PlanCache.cached(g.spark,
+      graft.core.PlanCache.key(s"wpagerank-edges-${weight.toString}", g.edges)) {
+      val sw = e.groupBy(col("src")).agg(sum(col("__w")).as("__sw"))
+      e.join(sw, Seq("src")).select(col("src"), col("dst"), col("__w"), col("__sw"))
+    }
+    val ids = graft.core.PlanCache.cached(g.spark,
+      graft.core.PlanCache.key("pagerank-ids", g.vertices)) {
+      g.vertices.select(col("id"))
+    }
+    var ranks = ids.select(col("id"), lit(S).as("r"))
+    (1 to iterations).foreach { _ =>
+      val msgs = ed.join(ranks, ed("src") === ranks("id"))
+        .select(col("dst").as("id"),
+          expr("(r DIV __sw) * __w + ((r % __sw) * __w) DIV __sw").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      ranks = ids.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(15L * (S / 100L)) + lit(85L) * expr("coalesce(s, 0L) DIV 100")).as("r"))
+    }
+    ranks.select(col("id"), col("r").as("rank_fp"))
+  }
+
   /** HITS hubs-and-authorities in exact fixed-point integer arithmetic
     * (Kleinberg's algorithm; beyond reference parity — the reference ships
     * only PageRank — but the same OLAP machinery): per iteration the hub
@@ -1502,28 +1539,63 @@ object Analytics {
         val und = cp.select(col("cu").as("a"), col("cv").as("b"))
           .unionAll(cp.select(col("cv").as("a"), col("cu").as("b")))
           .distinct().localCheckpoint(false)
-        var lbl = und.select(col("a").as("c")).distinct()
-          .select(col("c"), col("c").as("l")).localCheckpoint(false)
-        var sig = decSig(lbl, "l")
-        var i = 0
-        var changed = true
-        while (i < maxInner && changed) {
-          val m2 = und.join(lbl.select(col("c").as("b"), col("l").as("__lb")), Seq("b"))
-            .groupBy(col("a")).agg(min(col("__lb")).as("__ln"))
-          val nl = lbl.join(m2.select(col("a").as("c"), col("__ln")), Seq("c"), "left")
-            .select(col("c"), least(col("l"), coalesce(col("__ln"), col("l"))).as("l"))
-            .localCheckpoint(false)
-          val s = decSig(nl, "l")
-          changed = s.compareTo(sig) != 0
-          sig = s
-          lbl = nl
-          i += 1
-        }
-        if (changed)
-          System.err.println(
-            s"[graft] minimumSpanningForest: maxInner=$maxInner elapsed before the label " +
-              "flood converged — component labels lag and the forest may gain cycles")
-        comp = comp.join(lbl.select(col("c"), col("l")), Seq("c"), "left")
+        // Label merge over the SELECTION pairs — one row per merging
+        // component, far below edge scale. Two conf-gated regimes (the
+        // connectedComponentsExact broadcast pattern): at or under
+        // spark.graft.msf.driverMergeMaxRows the pair set is a bounded
+        // control read and a driver union-find produces the exact min-label
+        // mapping in one broadcast (per-round distributed flooding spent
+        // ~80% of q_msf's sf0.1 wall on per-job overhead for frames of a
+        // few thousand rows); past the cap, the distributed min-label flood
+        // runs its fixed budget — same fixpoint, cluster-diameter rounds.
+        val undRows = und.count()
+        val driverMerge = undRows <= g.spark.conf
+          .get("spark.graft.msf.driverMergeMaxRows", "5000000").toLong
+        val lbl: DataFrame =
+          if (driverMerge) {
+            val pairs = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+            val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+            def find(x: Long): Long = {
+              var r = x
+              while (parent.getOrElse(r, r) != r) r = parent(r)
+              var c = x
+              while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+              r
+            }
+            pairs.foreach { case (a, b) =>
+              val (ra, rb) = (find(a), find(b))
+              if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+            }
+            val mapping = pairs.iterator.flatMap(p => Iterator(p._1, p._2))
+              .toSet[Long].toSeq.map(c => (c, find(c)))
+            mapping.toDF("c", "l")
+          } else {
+            var l0 = und.select(col("a").as("c")).distinct()
+              .select(col("c"), col("c").as("l")).localCheckpoint(false)
+            var sig = decSig(l0, "l")
+            var i = 0
+            var changed = true
+            while (i < maxInner && changed) {
+              val m2 = und.join(l0.select(col("c").as("b"), col("l").as("__lb")), Seq("b"))
+                .groupBy(col("a")).agg(min(col("__lb")).as("__ln"))
+              val nl = l0.join(m2.select(col("a").as("c"), col("__ln")), Seq("c"), "left")
+                .select(col("c"), least(col("l"), coalesce(col("__ln"), col("l"))).as("l"))
+                .localCheckpoint(false)
+              val s = decSig(nl, "l")
+              changed = s.compareTo(sig) != 0
+              sig = s
+              l0 = nl
+              i += 1
+            }
+            if (changed)
+              System.err.println(
+                s"[graft] minimumSpanningForest: maxInner=$maxInner elapsed before the label " +
+                  "flood converged — component labels lag and the forest may gain cycles")
+            l0
+          }
+        val lblMap = if (driverMerge) broadcast(lbl.select(col("c"), col("l")))
+                     else lbl.select(col("c"), col("l"))
+        comp = comp.join(lblMap, Seq("c"), "left")
           .select(col("id"), coalesce(col("l"), col("c")).as("c"))
           .localCheckpoint(false)
         comp.count()

@@ -414,6 +414,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(coarse === Set((1L, 3L, 1L), (3L, 5L, 1L), (6L, 7L, 1L)))
   }
 
+  test("pageRankWeightedFixedPoint: rank follows weights; guards nonpositive") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // 1 points at 2 (w 9) and 3 (w 1): 2 must outrank 3; with equal weights
+    // the result must equal the unweighted fixed point
+    val v = (1L to 3L).map(id => (id, "v")).toDF("id", "label")
+    val e = Seq((10L, 1L, 2L, "e", 9L), (11L, 1L, 3L, "e", 1L))
+      .toDF("id", "src", "dst", "label", "w")
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+    val r = Analytics.pageRankWeightedFixedPoint(g, col("w"), iterations = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(2L) > r(3L), s"heavier edge must carry more rank: $r")
+    val flat = Analytics.pageRankWeightedFixedPoint(g, lit(1L), iterations = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val plain = Analytics.pageRankFixedPoint(g, iterations = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(flat === plain, "weight 1 everywhere must reduce to the unweighted rank")
+    intercept[IllegalArgumentException] {
+      Analytics.pageRankWeightedFixedPoint(g, col("w") - lit(9L), iterations = 1)
+    }
+  }
+
   test("minimumSpanningForest: Boruvka picks the exact MST per component") {
     import spark.implicits._
     // square 1-2-3-4 + diagonal 1-3, known MST {2-3, 3-4, 1-3}; a second
