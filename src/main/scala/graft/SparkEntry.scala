@@ -1079,6 +1079,11 @@ object SparkEntry {
       val g = g0.copy(edges = g0.edges.filter(col("label").isin("in_nation", "placed")))
       graft.olap.Analytics.maximalMatching(g, maxRounds = 8)
     }),
+    // ---- 2.K Jones–Plassmann greedy coloring — hash-priority rounds, mex
+    //      color choice; the parallel symmetry-breaking primitive ----
+    "q_coloring" -> ((s, dir) => {
+      graft.olap.Analytics.greedyColoring(graph(s, dir), maxRounds = 20)
+    }),
     // ---- 2.K Borůvka minimum spanning forest over the customer/order/part
     //      subgraph (parts shared across orders supply the cycles) ----
     "q_msf" -> ((s, dir) => {
@@ -3345,6 +3350,7 @@ object SparkEntry {
     "q_matching" -> matchingOracle(8),
     "q_contract" -> contractionOracle(8),
     "q_msf" -> msfOracle(8, 10),
+    "q_coloring" -> coloringOracle(20),
     "q_connected_components" -> ccOracle(12),
     "q_lpa" -> lpaOracle(3),
     "q_kcore" -> kcoreOracle(2, 6),
@@ -4442,6 +4448,41 @@ object SparkEntry {
        |  COUNT(*) AS weight
        |FROM raw e JOIN vmap a ON a.id = e.src JOIN vmap b ON b.id = e.dst
        |WHERE a.rep <> b.rep GROUP BY 1, 2""".stripMargin
+
+  /** Jones–Plassmann coloring oracle: mirrors Analytics.greedyColoring
+    * round for round — per round the (h, id) domination test among
+    * uncolored vertices, winners take the mex of their already-colored
+    * neighborhood; survivors of the budget stay NULL on both sides. */
+  private def coloringOracle(rounds: Int): String = {
+    val iters = (1 to rounds).map { r =>
+      s""",unc$r AS MATERIALIZED (SELECT id, db, h FROM s${r - 1} WHERE color IS NULL),
+         |dom$r AS MATERIALIZED (SELECT DISTINCT e.a AS id FROM und e
+         |  JOIN unc$r v ON v.id = e.a JOIN unc$r u ON u.id = e.b
+         |  WHERE (u.db, u.h, u.id) > (v.db, v.h, v.id)),
+         |win$r AS MATERIALIZED (SELECT id FROM unc$r
+         |  WHERE id NOT IN (SELECT id FROM dom$r)),
+         |mex$r AS MATERIALIZED (SELECT w.id,
+         |  list_filter(range(0, COALESCE(len(nc.cl), 0) + 1),
+         |    i -> NOT list_contains(COALESCE(nc.cl, CAST([] AS BIGINT[])), i))[1] AS mex
+         |  FROM win$r w LEFT JOIN (
+         |    SELECT e.a AS id, LIST(DISTINCT s.color) AS cl FROM und e
+         |    JOIN s${r - 1} s ON s.id = e.b AND s.color IS NOT NULL
+         |    GROUP BY 1) nc ON nc.id = w.id),
+         |s$r AS MATERIALIZED (SELECT s.id, s.db, s.h, COALESCE(s.color, m.mex) AS color
+         |  FROM s${r - 1} s LEFT JOIN mex$r m ON m.id = s.id)""".stripMargin
+    }.mkString("\n")
+    s"""WITH $graphCtes,
+       |und AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+       |  SELECT src AS a, dst AS b FROM eg UNION ALL SELECT dst, src FROM eg) t
+       |  WHERE a <> b),
+       |s0 AS MATERIALIZED (SELECT v.id,
+       |  CAST(FLOOR(log2(COALESCE(dg.d, 0) + 1)) AS BIGINT) AS db,
+       |  ('0x' || substr(md5(':' || CAST(v.id AS VARCHAR)), 21, 12))::BIGINT AS h,
+       |  CAST(NULL AS BIGINT) AS color FROM vg v LEFT JOIN (
+       |    SELECT a, COUNT(*) AS d FROM und GROUP BY 1) dg ON dg.a = v.id)
+       |$iters
+       |SELECT id, color FROM s$rounds""".stripMargin
+  }
 
   /** Borůvka oracle: mirrors Analytics.minimumSpanningForest round for
     * round over the q_msf subgraph (placed + contains-to-small-parts, w =

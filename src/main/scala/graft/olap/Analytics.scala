@@ -1611,6 +1611,88 @@ object Analytics {
     else out.reduce(_ unionByName _)
   }
 
+  /** GREEDY graph COLORING — Jones–Plassmann (1993, public) with
+    * deterministic md5 priorities: each round, every still-uncolored vertex
+    * whose (hash, id) priority beats all its uncolored neighbors' takes the
+    * SMALLEST color absent from its already-colored neighborhood (the mex),
+    * so adjacent vertices never share a color and the palette stays
+    * Δ+1-bounded. The classic parallel scheduling/symmetry-breaking
+    * primitive (register allocation, parallel sweeps over shared state); a
+    * true-random priority would not replay, the content-keyed hash draw
+    * does — and ties break by id, so the order is total and the SQL oracle
+    * mirrors every round. The globally-highest-priority uncolored vertex
+    * always wins its round, so progress is guaranteed; vertices still
+    * uncolored past `maxRounds` come back color = NULL (warned loudly).
+    * Returns (id, color).
+    *
+    * Scale: the simple undirected edge list lays out once; per round the
+    * domination test and the neighbor-color mex are edges⨝vertex-frame
+    * equi-joins (the mex set is collect_set over ALREADY-COLORED neighbors
+    * — bounded by degree); the uncolored set only shrinks. Expected rounds
+    * O(log n) under hashed priorities. */
+  def greedyColoring(g: PropertyGraph, maxRounds: Int = 20,
+      salt: String = ""): DataFrame = {
+    val und = g.edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(g.edges.select(col("dst").as("a"), col("src").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+      .repartition(col("a"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // priority = (⌊log2(deg+1)⌋, hash, id): the largest-degree-first twist —
+    // plain hash priorities make hub-heavy graphs near-sequential (every
+    // leaf waits on its hub, the hub waits on half its leaves; measured
+    // ~80 colored/round on the TPC-H graph), while degree-bucket-first
+    // colors the few hubs immediately and the leaves in the next waves —
+    // rounds ≈ #degree buckets + O(log n). The bucket is deterministic
+    // from the DEDUPED undirected degree, so the oracle mirrors it.
+    val h = pmod(conv(substring(md5(concat_ws(":", lit(salt),
+      col("id").cast("string"))), 21, 12), 16, 10).cast("long"), lit(1L << 48))
+    val deg = und.groupBy(col("a")).agg(count(lit(1)).as("__d"))
+    var state = g.vertices.select(col("id"), h.as("h"))
+      .join(deg.select(col("a").as("id"), col("__d")), Seq("id"), "left")
+      .select(col("id"),
+        floor(log2(coalesce(col("__d"), lit(0L)) + 1L)).cast("long").as("db"),
+        col("h"), lit(null).cast("long").as("color"))
+      .localCheckpoint(false)
+    var round = 0
+    var uncN = state.filter(col("color").isNull).count()
+    while (round < maxRounds && uncN > 0) {
+      val unc = state.filter(col("color").isNull)
+        .select(col("id"), col("db"), col("h"))
+      val dominated = und
+        .join(unc.select(col("id").as("a"), col("db").as("__dv"), col("h").as("__hv")), Seq("a"))
+        .join(unc.select(col("id").as("b"), col("db").as("__du"), col("h").as("__hu")), Seq("b"))
+        .filter(struct(col("__du"), col("__hu"), col("b")) >
+          struct(col("__dv"), col("__hv"), col("a")))
+        .select(col("a").as("id")).distinct()
+      val winners = unc.join(dominated, Seq("id"), "left_anti")
+      val nbrCols = und
+        .join(winners.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(state.filter(col("color").isNotNull)
+          .select(col("id").as("b"), col("color").as("__c")), Seq("b"))
+        .groupBy(col("a")).agg(collect_set(col("__c")).as("__cs"))
+      val mexed = winners
+        .join(nbrCols.select(col("a").as("id"), col("__cs")), Seq("id"), "left")
+        .select(col("id"), element_at(
+          filter(sequence(lit(0L), size(coalesce(col("__cs"),
+            array().cast("array<long>"))).cast("long")),
+            i => !array_contains(coalesce(col("__cs"), array().cast("array<long>")), i)),
+          1).as("__mex"))
+      state = state
+        .join(mexed.select(col("id"), col("__mex")), Seq("id"), "left")
+        .select(col("id"), col("db"), col("h"),
+          coalesce(col("color"), col("__mex")).as("color"))
+        .localCheckpoint(false)
+      uncN = state.filter(col("color").isNull).count()
+      round += 1
+    }
+    if (uncN > 0)
+      System.err.println(
+        s"[graft] greedyColoring: maxRounds=$maxRounds elapsed with $uncN vertices " +
+          "uncolored — they are reported color = NULL")
+    und.unpersist(false)
+    state.select(col("id"), col("color"))
+  }
+
   /** Vertex-frame broadcast regime for the iterative jobs: frames at or
     * under this many rows are hinted into broadcast joins (checkpointing
     * hides stats from AQE, so the hint is load-bearing). Past it the joins

@@ -436,6 +436,26 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("greedyColoring: proper, mex-compact, deterministic") {
+    import spark.implicits._
+    // triangle {1,2,3} (needs 3 colors) + tail 3-4-5 + isolate 6
+    val v = (1L to 6L).map(id => (id, "v")).toDF("id", "label")
+    val e = Seq((10L, 1L, 2L), (11L, 2L, 3L), (12L, 3L, 1L),
+      (13L, 3L, 4L), (14L, 4L, 5L))
+      .map { case (i, a, b) => (i, a, b, "e") }.toDF("id", "src", "dst", "label")
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+    def run() = Analytics.greedyColoring(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c = run()
+    assert(c.size === 6 && c === run(), "deterministic full coloring")
+    // proper: no edge joins equal colors
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)).foreach { case (a, b) =>
+      assert(c(a) !== c(b), s"edge $a-$b shares color ${c(a)}") }
+    // triangle exhausts {0,1,2}; mex keeps the palette compact (≤ Δ+1 = 4)
+    assert(Set(c(1L), c(2L), c(3L)) === Set(0L, 1L, 2L))
+    assert(c.values.max <= 3L && c(6L) === 0L)
+  }
+
   test("minimumSpanningForest: Boruvka picks the exact MST per component") {
     import spark.implicits._
     // square 1-2-3-4 + diagonal 1-3, known MST {2-3, 3-4, 1-3}; a second
