@@ -950,6 +950,13 @@ object SparkEntry {
     "q_lpa" -> ((s, dir) => {
       graft.olap.Analytics.labelPropagationExact(graph(s, dir), rounds = 3)
     }),
+    // ---- 2.K community-quality report — conductance + modularity terms
+    //      over the LPA labeling, exact integer arithmetic ----
+    "q_community_stats" -> ((s, dir) => {
+      val g = graph(s, dir)
+      graft.olap.Analytics.communityStats(g,
+        graft.olap.Analytics.labelPropagationExact(g, rounds = 3))
+    }),
     // ---- 2.K per-vertex triangle count (GraphX canonical-orientation) over
     //      a co-location graph: customer↔supplier edges within a nation close
     //      triangles with the shared nation vertex, so every count has a
@@ -3353,6 +3360,7 @@ object SparkEntry {
     "q_coloring" -> coloringOracle(20),
     "q_connected_components" -> ccOracle(12),
     "q_lpa" -> lpaOracle(3),
+    "q_community_stats" -> communityStatsOracle(3),
     "q_kcore" -> kcoreOracle(2, 6),
     "q_coreness" -> corenessOracle(16),
     "q_ktruss" -> ktrussOracle(3, 4),
@@ -5012,7 +5020,7 @@ object SparkEntry {
   /** Deterministic LPA oracle (mirrors Analytics.labelPropagationExact):
     * per round, per-vertex neighbor-label frequencies, adopt argmax with
     * (count DESC, label ASC) tie-break; isolated vertices keep their label. */
-  private def lpaOracle(rounds: Int): String = {
+  private def lpaCtes(rounds: Int): String = {
     val iters = (1 to rounds).map { k =>
       s"""f$k AS MATERIALIZED (SELECT e2.src AS id, q.l AS l, COUNT(*) AS c
          |  FROM e2 JOIN a${k - 1} q ON q.id = e2.dst GROUP BY 1, 2),
@@ -5022,12 +5030,47 @@ object SparkEntry {
          |a$k AS MATERIALIZED (SELECT p.id, COALESCE(x.l, p.l) AS l
          |  FROM a${k - 1} p LEFT JOIN x$k x ON x.id = p.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $graphCtes,
+    s"""$graphCtes,
        |e2 AS MATERIALIZED (SELECT src, dst FROM eg UNION ALL SELECT dst, src FROM eg),
        |a0 AS MATERIALIZED (SELECT id, id AS l FROM vg),
-       |$iters
-       |SELECT id, l AS community FROM a$rounds""".stripMargin
+       |$iters""".stripMargin
   }
+
+  private def lpaOracle(rounds: Int): String =
+    s"""WITH ${lpaCtes(rounds)}
+       |SELECT id, l AS community FROM a$rounds""".stripMargin
+
+  /** Community-stats oracle: LPA labels (same CTEs as q_lpa) scored with
+    * communityStats' exact integer arithmetic — internal/cut per edge row,
+    * volume, conductance ×1e6, and the floor-scaled modularity term. */
+  private def communityStatsOracle(rounds: Int): String =
+    s"""WITH ${lpaCtes(rounds)},
+       |lab AS MATERIALIZED (SELECT id, l AS community FROM a$rounds),
+       |el AS MATERIALIZED (SELECT a.community AS cs, b.community AS cd
+       |  FROM eg JOIN lab a ON a.id = eg.src JOIN lab b ON b.id = eg.dst),
+       |per AS MATERIALIZED (SELECT community,
+       |  CAST(SUM(i) AS BIGINT) AS ie, CAST(SUM(cu) AS BIGINT) AS ce FROM (
+       |  SELECT cs AS community, CASE WHEN cs = cd THEN 1 ELSE 0 END AS i,
+       |    CASE WHEN cs <> cd THEN 1 ELSE 0 END AS cu FROM el
+       |  UNION ALL SELECT cd, 0, 1 FROM el WHERE cs <> cd) t GROUP BY 1),
+       |sz AS MATERIALIZED (SELECT community, COUNT(*) AS size FROM lab GROUP BY 1),
+       |mt AS (SELECT COUNT(*) AS m FROM el)
+       |SELECT s.community, s.size,
+       |  COALESCE(p.ie, 0) AS internal_edges, COALESCE(p.ce, 0) AS cut_edges,
+       |  COALESCE(p.ie, 0) * 2 + COALESCE(p.ce, 0) AS volume,
+       |  CASE WHEN LEAST(COALESCE(p.ie, 0) * 2 + COALESCE(p.ce, 0),
+       |      mt.m * 2 - (COALESCE(p.ie, 0) * 2 + COALESCE(p.ce, 0))) <= 0 THEN 0
+       |    ELSE COALESCE(p.ce, 0) * 1000000 //
+       |      LEAST(COALESCE(p.ie, 0) * 2 + COALESCE(p.ce, 0),
+       |        mt.m * 2 - (COALESCE(p.ie, 0) * 2 + COALESCE(p.ce, 0))) END
+       |    AS conductance_x1e6,
+       |  CASE WHEN mt.m = 0 THEN 0 ELSE
+       |    (1000000000000 // mt.m) * COALESCE(p.ie, 0)
+       |    + ((1000000000000 % mt.m) * COALESCE(p.ie, 0)) // mt.m
+       |    - (((COALESCE(p.ie, 0) * 2 + COALESCE(p.ce, 0)) * 1000000) // (mt.m * 2))
+       |      * (((COALESCE(p.ie, 0) * 2 + COALESCE(p.ce, 0)) * 1000000) // (mt.m * 2)) END
+       |    AS modularity_term_x1e12
+       |FROM sz s LEFT JOIN per p ON p.community = s.community CROSS JOIN mt""".stripMargin
 
   private def ccOracle(rounds: Int): String =
     s"""WITH $graphCtes,

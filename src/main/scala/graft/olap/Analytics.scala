@@ -1693,6 +1693,56 @@ object Analytics {
     state.select(col("id"), col("color"))
   }
 
+  /** Community QUALITY report for a labeling — the evaluation half of
+    * community detection ([[labelPropagationExact]] / components /
+    * [[stronglyConnectedComponents]] produce labels; this scores them). Per
+    * community: member count, internal edge rows, cut edge rows, volume
+    * (2·internal + cut), CONDUCTANCE ×10⁶ = cut·10⁶ DIV min(vol, 2m − vol)
+    * (0 when either side of the cut has no volume), and the per-community
+    * MODULARITY term ×10¹² = ⌊in_c·10¹²/m⌋ − ⌊vol_c·10⁶/2m⌋² — summed over
+    * rows this is Newman's Q (the squared fraction is floor-of-scaled, a
+    * ≤2e-6-relative quantization both engines compute identically; the
+    * in_c/m half uses the exact overflow-safe floor decomposition, valid to
+    * m ≈ 3·10⁹ labeled edge rows — shard the report past that). Edges with
+    * an unlabeled endpoint drop (ghost tolerance); self-loops count one
+    * internal row and two volume.
+    *
+    * One labels⨝edges join pair, two map-side-combinable count aggregates
+    * and a 1-row broadcast total — community-sized output, nothing edge-
+    * sized crosses more than one exchange. */
+  def communityStats(g: PropertyGraph, labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("id"), col("community"))
+    val el = g.edges.select(col("src"), col("dst"))
+      .join(lab.select(col("id").as("src"), col("community").as("__cs")), Seq("src"))
+      .join(lab.select(col("id").as("dst"), col("community").as("__cd")), Seq("dst"))
+      .select(col("__cs"), col("__cd"))
+    val per = el.select(col("__cs").as("community"),
+        when(col("__cs") === col("__cd"), 1L).otherwise(0L).as("__in"),
+        when(col("__cs") =!= col("__cd"), 1L).otherwise(0L).as("__cut"))
+      .unionAll(el.filter(col("__cs") =!= col("__cd"))
+        .select(col("__cd").as("community"), lit(0L).as("__in"), lit(1L).as("__cut")))
+      .groupBy(col("community"))
+      .agg(sum(col("__in")).as("__ie"), sum(col("__cut")).as("__ce"))
+    val mTot = el.agg(count(lit(1)).as("__m"))
+    lab.groupBy(col("community")).agg(count(lit(1)).as("size"))
+      .join(per, Seq("community"), "left")
+      .select(col("community"), col("size"),
+        coalesce(col("__ie"), lit(0L)).as("internal_edges"),
+        coalesce(col("__ce"), lit(0L)).as("cut_edges"))
+      .withColumn("volume", col("internal_edges") * 2L + col("cut_edges"))
+      .crossJoin(broadcast(mTot))
+      .withColumn("conductance_x1e6",
+        when(least(col("volume"), col("__m") * 2L - col("volume")) <= 0L, lit(0L))
+          .otherwise(expr(
+            "cut_edges * 1000000L DIV least(volume, __m * 2L - volume)")))
+      .withColumn("modularity_term_x1e12",
+        when(col("__m") === 0L, lit(0L)).otherwise(
+          expr("(1000000000000L DIV __m) * internal_edges" +
+            " + ((1000000000000L % __m) * internal_edges) DIV __m" +
+            " - ((volume * 1000000L) DIV (__m * 2L)) * ((volume * 1000000L) DIV (__m * 2L))")))
+      .drop("__m")
+  }
+
   /** Vertex-frame broadcast regime for the iterative jobs: frames at or
     * under this many rows are hinted into broadcast joins (checkpointing
     * hides stats from AQE, so the hint is load-bearing). Past it the joins

@@ -436,6 +436,28 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("communityStats: conductance and modularity terms match hand arithmetic") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} joined by one bridge 3-4: m = 7
+    val v = (1L to 6L).map(id => (id, "v")).toDF("id", "label")
+    val e = Seq((10L, 1L, 2L), (11L, 2L, 3L), (12L, 3L, 1L),
+      (13L, 4L, 5L), (14L, 5L, 6L), (15L, 6L, 4L), (16L, 3L, 4L))
+      .map { case (i, a, b) => (i, a, b, "e") }.toDF("id", "src", "dst", "label")
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("id", "community")
+    val got = Analytics.communityStats(g, labels).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // each side: 3 internal, 1 cut, volume 7; conductance = 1e6 DIV 7;
+    // modularity term = floor(3e12/7) - (7e6 DIV 14)^2
+    val expTerm = 3000000000000L / 7L - 500000L * 500000L
+    assert(got(10L) === ((3L, 3L, 1L, 7L, 142857L, expTerm)))
+    assert(got(20L) === ((3L, 3L, 1L, 7L, 142857L, expTerm)))
+    // Q = sum of terms: two moderately-coupled triangles land near 0.357
+    assert(got.values.map(_._6).sum === 2L * expTerm)
+  }
+
   test("greedyColoring: proper, mex-compact, deterministic") {
     import spark.implicits._
     // triangle {1,2,3} (needs 3 colors) + tail 3-4-5 + isolate 6
