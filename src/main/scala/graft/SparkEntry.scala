@@ -1382,6 +1382,12 @@ object SparkEntry {
       graft.pipeline.Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5)
         .select(col("qid"), col("nid"), col("rank"))
     }),
+    // ---- pipeline: ANN recall report — IVF candidates vs the exact
+    //      brute-force answer, per-query + micro-averaged summary ----
+    "q_ann_recall" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Similarity.annRecall(e, e.filter(col("vec_id") < 10), k = 5)
+    }),
     // ---- pipeline: spherical product-quantization encode (Jégou et al.) —
     //      per-subspace deterministic k-means codebooks, one code column per
     //      subspace; the oracle mirrors every subspace chain CTE-for-CTE ----
@@ -3755,6 +3761,42 @@ object SparkEntry {
         |    ORDER BY list_cosine_similarity(CAST(p.qvec AS DOUBLE[]), CAST(a.dvec AS DOUBLE[])) DESC, a.nid) AS "rank"
         |  FROM probes p JOIN asg a ON a.cid = p.cid WHERE a.nid <> p.qid)
         |WHERE "rank" <= 5""".stripMargin,
+    // recall report: the q_ann_topk brute CTE ∩ the q_ivf_topk probe CTE,
+    // exact integer recall per query + the qid=-1 micro-average
+    "q_ann_recall" ->
+      s"""WITH ${kmeansCtes(16, 2)},
+        |asg AS MATERIALIZED (
+        |  SELECT vec_id AS nid, embedding AS dvec, cid FROM (
+        |    SELECT e.vec_id, e.embedding, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC, c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN cents2 c) WHERE rn = 1),
+        |probes AS MATERIALIZED (
+        |  SELECT qid, qvec, cid FROM (
+        |    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cid, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC, c.cid) AS rn
+        |    FROM embeddings q CROSS JOIN cents2 c WHERE q.vec_id < 10) WHERE rn <= 4),
+        |ivf AS MATERIALIZED (SELECT qid, nid FROM (
+        |  SELECT p.qid, a.nid, ROW_NUMBER() OVER (PARTITION BY p.qid
+        |    ORDER BY list_cosine_similarity(CAST(p.qvec AS DOUBLE[]), CAST(a.dvec AS DOUBLE[])) DESC, a.nid) AS rn
+        |  FROM probes p JOIN asg a ON a.cid = p.cid WHERE a.nid <> p.qid) WHERE rn <= 5),
+        |bf AS MATERIALIZED (SELECT qid, nid FROM (
+        |  SELECT q.vec_id AS qid, d.vec_id AS nid,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(d.embedding AS DOUBLE[])) DESC,
+        |      d.vec_id) AS rn
+        |  FROM embeddings q JOIN embeddings d ON d.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10) WHERE rn <= 5),
+        |ex AS (SELECT qid, COUNT(*) AS n_exact FROM bf GROUP BY 1),
+        |h AS (SELECT b.qid, COUNT(*) AS hits FROM bf b
+        |  JOIN ivf i ON i.qid = b.qid AND i.nid = b.nid GROUP BY 1),
+        |per AS (SELECT e.qid, COALESCE(h.hits, 0) AS hits, e.n_exact,
+        |  COALESCE(h.hits, 0) * 1000000 // e.n_exact AS recall_x1e6
+        |  FROM ex e LEFT JOIN h ON h.qid = e.qid)
+        |SELECT qid, CAST(hits AS BIGINT) AS hits, CAST(n_exact AS BIGINT) AS n_exact,
+        |  CAST(recall_x1e6 AS BIGINT) AS recall_x1e6 FROM per
+        |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(SUM(hits) AS BIGINT),
+        |  CAST(SUM(n_exact) AS BIGINT),
+        |  CAST(SUM(hits) * 1000000 // SUM(n_exact) AS BIGINT) FROM per""".stripMargin,
     "q_pq_encode" -> pqEncodeOracle(m = 2, k = 8, rounds = 2, dim = 64),
     "q_random_project" -> randomProjectOracle(outDim = 16, dim = 64),
     "q_truncate_tokens" ->

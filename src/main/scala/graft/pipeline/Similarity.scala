@@ -292,6 +292,36 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("cos"))
   }
 
+  /** ANN index-quality report — recall@k of [[ivfTopK]]'s probed candidates
+    * against the exact [[bruteForceTopK]] answer, the evaluation every
+    * production vector index ships with (tuning nlist/nprobe IS reading
+    * this table). Per query: hit count, exact-answer size (can be < k on a
+    * small corpus) and recall ×10⁶ = hits·10⁶ DIV n_exact, plus one
+    * micro-averaged summary row at qid = −1 (Σhits over Σexact). Exact
+    * integer arithmetic end to end — the set intersection is a semi-join,
+    * so the report is oracle-checkable like everything else.
+    *
+    * Cost = one brute pass over (queries × corpus) + one IVF search — the
+    * brute side is the evaluation's price and is why recall reports run on
+    * a query SAMPLE at scale (pass a sampled `queries`). */
+  def annRecall(data: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val exact = bruteForceTopK(data, queries, k, idCol, vecCol)
+      .select(col("qid"), col("nid"))
+    val approx = ivfTopK(data, queries, k, nlist, nprobe, idCol, vecCol)
+      .select(col("qid"), col("nid"))
+    val ex = exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+    val hits = exact.join(approx, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    val per = ex.join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"), col("n_exact"))
+      .withColumn("recall_x1e6", expr("hits * 1000000L DIV n_exact"))
+    per.unionByName(per.agg(sum(col("hits")).as("__h"), sum(col("n_exact")).as("__n"))
+      .select(lit(-1L).as("qid"), col("__h").as("hits"), col("__n").as("n_exact"),
+        expr("__h * 1000000L DIV __n").as("recall_x1e6")))
+  }
+
   /** IVF-PQ top-k — the full production ANN composition (Jégou et al.):
     * a coarse quantizer restricts candidates to the query's `nprobe` nearest
     * buckets (IVF), and candidates are scored from their PQ codes via the

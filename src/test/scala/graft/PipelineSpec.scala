@@ -1334,6 +1334,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("annRecall: perfect when every bucket is probed; summary micro-averages") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val vecs = (0L until 12L).map { i =>
+      (i, Seq.tabulate(4)(d => if (d == (i % 4).toInt) 1f else (i % 3) * 0.1f))
+    }.toDF("vec_id", "embedding")
+    // nprobe = nlist: IVF degenerates to exact search -> recall 1 everywhere
+    val full = Similarity.annRecall(vecs, vecs.filter(col("vec_id") < 3), k = 3,
+      nlist = 4, nprobe = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(full.size === 4 && full.values.forall(_ === 1000000L), s"got $full")
+    // probing one bucket of four can only lose recall, never exceed 1
+    val one = Similarity.annRecall(vecs, vecs.filter(col("vec_id") < 3), k = 3,
+      nlist = 4, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(one.forall(t => t._4 <= 1000000L && t._2 <= t._3))
+    val sm = one.find(_._1 == -1L).get
+    assert(sm._2 === one.filter(_._1 != -1L).map(_._2).sum,
+      "summary row must micro-average the per-query hits")
+  }
+
   test("weightedSample: exact k per group, deterministic, nonpositive weights out") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis

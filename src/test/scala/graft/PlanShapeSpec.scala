@@ -453,4 +453,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"wedge/closure joins must be equi-joins:\n$p")
   }
+
+  test("weighted sample compiles to a rank-limit window (map-side group cut)") {
+    val p = plan("q_weighted_sample")
+    // the rn <= k filter must reach WindowGroupLimit on both sides of the
+    // exchange — ≤k rows per source cross it, like domainQuota
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.indexOf("WindowGroupLimit") != p.lastIndexOf("WindowGroupLimit"),
+      "expected both map-side (partial) and reduce-side WindowGroupLimit")
+  }
+
+  test("DSIR model aggregates partially before its exchange; lambda broadcasts back") {
+    val p = plan("q_dsir_weights")
+    // bucket counts combine map-side: the shuffle carries ≤buckets rows of
+    // partial counts, never the exploded occurrence stream
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-bucket lambda table must broadcast onto the occurrence stream:\n$p")
+  }
+
+  test("epoch budget is one partial-aggregated pass, no joins beyond the literal total") {
+    val p = plan("q_epoch_budget")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the repeat-factor sheet must not shuffle a join:\n$p")
+  }
+
+  test("community stats: combinable counts; the only non-equi join is the 1-row total") {
+    val p = plan("q_community_stats")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly ONE BroadcastNestedLoopJoin: the deliberate 1-row m-total
+    // cross; any second one would be an accidental non-equi data join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 2, // tree + details section
+      s"expected only the 1-row total cross:\n$p")
+  }
 }
