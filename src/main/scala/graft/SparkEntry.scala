@@ -2077,6 +2077,20 @@ object SparkEntry {
         .unionAll(m.edges.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
           .select(lit("e").as("kind"), col("label"), col("cnt")))
     }),
+    // ---- 2.J/2.K STREAMING incremental connected components — the CDC
+    //      edge feed folds into the labeling per micro-batch; final state
+    //      is oracle-identical to batch CC of the accumulated edges ----
+    "q_stream_components" -> ((s, dir) => {
+      val t = 1L << graft.core.GraphIds.TagBits
+      val changes = graft.stream.ChangeStream.withChange(
+        graft.stream.ChangeStream.readStream(s, dir))
+      val edges = changes.filter(col("change") === "ADDED")
+        .select((lit(8L * t) + col("event_id")).as("src"),
+          (lit(TpchGraph.CustomerTag.toLong * t) + col("user_id")).as("dst"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sicc")
+      try graft.stream.ChangeStream.incrementalComponents(edges, s"$tmp/ckpt")
+      finally deleteRecursively(tmp)
+    }),
     // ---- 2.A/2.L catalog persistence: save writes schema.json next to the
     //      frames; a LOAD WITH NO CALLER SCHEMA must recover every
     //      definition (TTL, static, multiplicity, sort keys, indexes) —
@@ -3367,6 +3381,15 @@ object SparkEntry {
     "q_connected_components" -> ccOracle(12),
     "q_lpa" -> lpaOracle(3),
     "q_community_stats" -> communityStatsOracle(3),
+    // streaming incremental CC folds to exactly batch CC of the ADDED
+    // event→user edges: min-label recurrence converged (stars, diameter 2)
+    "q_stream_components" ->
+      s"""WITH ev AS MATERIALIZED (SELECT 8*$T + event_id AS src,
+         |  3*$T + user_id AS dst FROM events WHERE event_type <> 'error'),
+         |e2 AS MATERIALIZED (SELECT src, dst FROM ev UNION ALL SELECT dst, src FROM ev),
+         |c0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS l FROM e2),
+         |${minLabelIters("c", 3)}
+         |SELECT id, l AS component FROM c3""".stripMargin,
     "q_kcore" -> kcoreOracle(2, 6),
     "q_coreness" -> corenessOracle(16),
     "q_ktruss" -> ktrussOracle(3, 4),

@@ -1554,21 +1554,7 @@ object Analytics {
         val lbl: DataFrame =
           if (driverMerge) {
             val pairs = und.collect().map(r => (r.getLong(0), r.getLong(1)))
-            val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-            def find(x: Long): Long = {
-              var r = x
-              while (parent.getOrElse(r, r) != r) r = parent(r)
-              var c = x
-              while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-              r
-            }
-            pairs.foreach { case (a, b) =>
-              val (ra, rb) = (find(a), find(b))
-              if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-            }
-            val mapping = pairs.iterator.flatMap(p => Iterator(p._1, p._2))
-              .toSet[Long].toSeq.map(c => (c, find(c)))
-            mapping.toDF("c", "l")
+            minLabelUnionFind(pairs).toSeq.toDF("c", "l")
           } else {
             var l0 = und.select(col("a").as("c")).distinct()
               .select(col("c"), col("c").as("l")).localCheckpoint(false)
@@ -1741,6 +1727,29 @@ object Analytics {
             " + ((1000000000000L % __m) * internal_edges) DIV __m" +
             " - ((volume * 1000000L) DIV (__m * 2L)) * ((volume * 1000000L) DIV (__m * 2L))")))
       .drop("__m")
+  }
+
+  /** Driver-side min-label union-find over a bounded pair list (the
+    * control-read regime shared by [[minimumSpanningForest]]'s label merge
+    * and the streaming incremental components): returns the exact
+    * old-label → min-member-of-class mapping for every label appearing in
+    * `pairs`. Union always roots at the smaller id, so the root IS the
+    * class minimum — deterministic on any input order. */
+  private[graft] def minLabelUnionFind(pairs: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    pairs.iterator.flatMap(p => Iterator(p._1, p._2))
+      .toSet[Long].iterator.map(c => c -> find(c)).toMap
   }
 
   /** Vertex-frame broadcast regime for the iterative jobs: frames at or

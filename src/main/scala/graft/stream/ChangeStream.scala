@@ -152,6 +152,63 @@ object ChangeStream {
     g
   }
 
+  /** STREAMING incremental connected components — the graph-analytics twin
+    * of the incremental dedup loop: edges arrive through Structured
+    * Streaming as (src, dst) rows and the component labeling updates PER
+    * MICRO-BATCH instead of recomputing CC from scratch. Per batch:
+    * endpoints new to the state enter as singleton classes; the batch's
+    * cross-class pairs (bounded by the batch's edge count — a driver
+    * union-find merges them, the bounded-control-read regime
+    * [[graft.olap.Analytics.minimumSpanningForest]]'s label merge uses)
+    * collapse onto their class MINIMUM, and one broadcast mapping join
+    * rewrites the state. Labels are min-member ids, so after the stream
+    * drains the state is EXACTLY batch CC of the accumulated edge set —
+    * the oracle is the converged min-label recurrence, oracle-identical to
+    * the batch operator.
+    *
+    * Scale: per batch one ids⨝state join (state-sized side prunable by the
+    * touched ids), one class-pair control read bounded by batch size, one
+    * broadcast remap. State is one row per vertex; eager per-batch local
+    * checkpoints keep the cross-batch plan constant-size (the
+    * [[materializeGraph]] discipline). */
+  def incrementalComponents(edges: DataFrame, checkpoint: String,
+      timeoutMs: Long = 300000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    @volatile var labels: DataFrame =
+      Seq.empty[(Long, Long)].toDF("id", "component").localCheckpoint(true)
+    val q = edges.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val e = batch.select(col("src"), col("dst"))
+          .filter(col("src").isNotNull && col("dst").isNotNull)
+        val ids = e.select(col("src").as("id"))
+          .unionAll(e.select(col("dst").as("id"))).distinct()
+        val touched = ids.join(labels, Seq("id"), "left")
+          .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+        val lab0 = touched.unionByName(labels.join(ids, Seq("id"), "left_anti"))
+        val cp = e
+          .join(lab0.select(col("id").as("src"), col("component").as("__ca")), Seq("src"))
+          .join(lab0.select(col("id").as("dst"), col("component").as("__cb")), Seq("dst"))
+          .filter(col("__ca") =!= col("__cb"))
+          .select(col("__ca"), col("__cb")).distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        labels =
+          (if (cp.isEmpty) lab0
+           else {
+             val mapping = graft.olap.Analytics.minLabelUnionFind(cp).toSeq
+               .toDF("component", "__new")
+             lab0.join(broadcast(mapping), Seq("component"), "left")
+               .select(col("id"), coalesce(col("__new"), col("component")).as("component"))
+           }).localCheckpoint(true)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(timeoutMs),
+      s"incrementalComponents: stream did not drain within ${timeoutMs}ms")
+    labels
+  }
+
   /** Watermarked sliding-window aggregate (extension beyond reference parity). */
   def windowedCounts(changes: DataFrame, windowDur: String = "1 hour",
       slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =

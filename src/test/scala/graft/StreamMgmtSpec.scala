@@ -361,4 +361,30 @@ class StreamMgmtSpec extends AnyFunSuite {
     assert(g2.vertices.columns.contains("title") && !g2.vertices.columns.contains("name"))
     assert(g2.V().has("title", "NATION_5").dataframe.count() === 1)
   }
+
+  test("incrementalComponents: cross-batch merges fold to exact batch CC") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-icc")
+    try {
+      // batch 1: two components {1,2} and {3,4}; batch 2 bridges them via
+      // 2-3 AND starts {5,6} — the merge must rewrite batch-1 state
+      Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+        .coalesce(1).write.parquet(s"$tmp/in/f1")
+      Seq((2L, 3L), (5L, 6L)).toDF("src", "dst")
+        .coalesce(1).write.parquet(s"$tmp/in/f2")
+      val stream = spark.readStream
+        .schema("src LONG, dst LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/in/*")
+      val labels = graft.stream.ChangeStream
+        .incrementalComponents(stream, s"$tmp/ckpt")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        5L -> 5L, 6L -> 5L))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp.toString)).deleteRecursively()
+    }
+  }
 }
