@@ -1570,6 +1570,12 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.unigramLogProb(
         s.read.parquet(s"$dir/documents.parquet"))
     }),
+    // ---- pipeline: per-window language mix — the code-switching detector
+    //      a whole-document langId silently mislabels ----
+    "q_language_mix" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.languageMix(
+        s.read.parquet(s"$dir/documents.parquet"), windowTokens = 50)
+    }),
     // ---- pipeline: weighted sampling without replacement (E-S A-Res) —
     //      exactly k per source, probability ∝ document length ----
     "q_weighted_sample" -> ((s, dir) => {
@@ -4083,6 +4089,36 @@ object SparkEntry {
         |WHEN c_fr > 0 AND c_fr > c_en AND c_fr > c_de AND c_fr >= c_es THEN 'fr'
         |WHEN c_es > 0 AND c_es > c_en AND c_es > c_de AND c_es > c_fr THEN 'es'
         |ELSE 'und' END AS lang_pred FROM c""".stripMargin,
+    // mirrors languageMix: 50-token windows, the q_langid profile CASE per
+    // window, dominant language by (count desc, lang asc)
+    "q_language_mix" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text,'\s+') AS wl FROM documents
+        |  WHERE len(string_split_regex(text,'\s+')) >= 1),
+        |win AS (SELECT doc_id, unnest([array_to_string(wl[i*50+1 : i*50+50], ' ')
+        |  for i in range(0, (len(wl)-1)//50 + 1)]) AS wt FROM t),
+        |tok AS (SELECT doc_id,
+        |  list_transform(string_split_regex(wt,'\s+'), x -> lower(x)) AS tk FROM win),
+        |c AS (SELECT doc_id,
+        |  len(list_filter(tk, w -> list_contains(['the','a','of','and','to','is','in','it'], w))) AS c_en,
+        |  len(list_filter(tk, w -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], w))) AS c_de,
+        |  len(list_filter(tk, w -> list_contains(['le','la','et','les','des','un','une','est'], w))) AS c_fr,
+        |  len(list_filter(tk, w -> list_contains(['el','los','las','una','es','en','que','y'], w))) AS c_es
+        |  FROM tok),
+        |wl2 AS (SELECT doc_id, CASE
+        |  WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+        |  WHEN c_de > 0 AND c_de > c_en AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+        |  WHEN c_fr > 0 AND c_fr > c_en AND c_fr > c_de AND c_fr >= c_es THEN 'fr'
+        |  WHEN c_es > 0 AND c_es > c_en AND c_es > c_de AND c_es > c_fr THEN 'es'
+        |  ELSE 'und' END AS lang FROM c),
+        |lc AS (SELECT doc_id, lang, COUNT(*) AS c FROM wl2 GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot,
+        |  CAST(COUNT(*) AS BIGINT) AS nl FROM lc GROUP BY 1),
+        |dom AS (SELECT doc_id, lang, c FROM (
+        |  SELECT doc_id, lang, c, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY c DESC, lang ASC) AS rn FROM lc) WHERE rn = 1)
+        |SELECT a.doc_id, a.tot AS n_windows, a.nl AS n_langs, d.lang AS dom_lang,
+        |  d.c * 1000000 // a.tot AS dom_frac_x1e6
+        |FROM agg a JOIN dom d USING (doc_id)""".stripMargin,
     "q_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
     "q_redact" ->

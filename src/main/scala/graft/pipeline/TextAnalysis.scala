@@ -205,6 +205,42 @@ object TextAnalysis {
         round(col("__s").cast(DoubleType) / col("__t").cast(DoubleType), 6).as("weight"))
   }
 
+  /** Per-window LANGUAGE MIX — the code-switching / mixed-language detector:
+    * a document is cut into fixed `windowTokens`-token windows, each window
+    * is language-identified independently ([[langId]] — 'und' counts as a
+    * language), and per document the report gives window count, distinct
+    * language count, the DOMINANT language (most windows, lexicographic
+    * tie-break) and its share ×10⁶. Documents whose dominant share sits
+    * well under 10⁶ are the classic mixed-language cleaning target that a
+    * whole-document language id silently mislabels.
+    *
+    * One bounded explode (⌈tokens/window⌉ rows per doc) → pure langId
+    * expressions → two window passes keyed by doc — no corpus-sized
+    * shuffle beyond the per-doc aggregation. */
+  def languageMix(docs: DataFrame, windowTokens: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(windowTokens > 0, "languageMix: windowTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = tokens(col(textCol))
+    val windows = transform(
+      sequence(lit(0), floor((size(w) - 1) / lit(windowTokens)).cast(IntegerType)),
+      i => concat_ws(" ", slice(w, i * windowTokens + 1, lit(windowTokens))))
+    val counts = docs.filter(size(w) >= 1)
+      .select(col(idCol), explode(windows).as("__wt"))
+      .select(col(idCol), langId(col("__wt")).as("lang"))
+      .groupBy(col(idCol), col("lang")).agg(count(lit(1)).as("__c"))
+    val byDoc = Window.partitionBy(col(idCol))
+    counts
+      .withColumn("__rn", row_number().over(
+        byDoc.orderBy(col("__c").desc, col("lang").asc)))
+      .withColumn("__tot", sum(col("__c")).over(byDoc))
+      .withColumn("__nl", count(lit(1)).over(byDoc))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__tot").as("n_windows"), col("__nl").as("n_langs"),
+        col("lang").as("dom_lang"),
+        expr("__c * 1000000L DIV __tot").as("dom_frac_x1e6"))
+  }
+
   /** Epoch budgeting — the "how many times does each source repeat" sheet a
     * training-mixture plan needs once a token budget is fixed: given target
     * mixture weights (parts-per-million, so the arithmetic is exact BIGINT

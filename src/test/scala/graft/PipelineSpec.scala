@@ -1334,6 +1334,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("languageMix: per-window id catches code-switching the whole-doc id hides") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val en = "the of and is"
+    val de = "der und ist zu"
+    val docs = Seq((1L, s"$en $en $de"), (2L, en)).toDF("doc_id", "text")
+    val got = TextAnalysis.languageMix(docs, windowTokens = 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    // doc 1 = en,en,de windows: dominant en at 2/3; doc 2 = one en window
+    assert(got(1L) === ((3L, 2L, "en", 666666L)))
+    assert(got(2L) === ((1L, 1L, "en", 1000000L)))
+    // the whole-document id reports plain 'en' for doc 1 — the window report
+    // is what exposes the switch
+    val whole = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(whole(1L) === "en")
+  }
+
   test("annRecall: perfect when every bucket is probed; summary micro-averages") {
     import spark.implicits._
     import graft.pipeline.Similarity
