@@ -4614,10 +4614,12 @@ object SparkEntry {
          |  UNION SELECT cb, ca FROM cp$o)""".stripMargin
       ctes += s"l${o}_0 AS MATERIALIZED (SELECT DISTINCT a AS c, a AS l FROM un$o)"
       for (i <- 1 to maxInner)
-        ctes += s"""l${o}_$i AS MATERIALIZED (SELECT t.c, LEAST(t.l, COALESCE(m.ln, t.l)) AS l
+        ctes += s"""l${o}_$i AS MATERIALIZED (SELECT t.c,
+           |  LEAST(t.l, COALESCE(m.ln, t.l), COALESCE(g.l, t.l)) AS l
            |  FROM l${o}_${i - 1} t LEFT JOIN (
            |    SELECT u2.a AS c, MIN(p.l) AS ln FROM un$o u2
-           |    JOIN l${o}_${i - 1} p ON p.c = u2.b GROUP BY 1) m ON m.c = t.c)""".stripMargin
+           |    JOIN l${o}_${i - 1} p ON p.c = u2.b GROUP BY 1) m ON m.c = t.c
+           |  LEFT JOIN l${o}_${i - 1} g ON g.c = t.l)""".stripMargin
       ctes += s"""c$o AS MATERIALIZED (SELECT v.id, COALESCE(l.l, v.c) AS c
          |  FROM c${o - 1} v LEFT JOIN l${o}_$maxInner l ON l.c = v.c)""".stripMargin
     }

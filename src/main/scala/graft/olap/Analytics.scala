@@ -413,13 +413,30 @@ object Analytics {
   def pageRankWeightedFixedPoint(g: PropertyGraph, weight: Column,
       iterations: Int = 10): DataFrame = {
     val S = 1000000000000L
-    val e = g.edges.select(col("src"), col("dst"), weight.cast("long").as("__w"))
-    require(e.filter(col("__w").isNull || col("__w") <= 0L).isEmpty,
-      "pageRankWeightedFixedPoint: weights must be positive (rank mass flows ∝ w)")
+    // nulls coalesce to -1 so the positivity check below catches them; once
+    // validation passes, the coalesce is an identity
+    val e = g.edges.select(col("src"), col("dst"),
+      coalesce(weight.cast("long"), lit(-1L)).as("__w"))
     val ed = graft.core.PlanCache.cached(g.spark,
       graft.core.PlanCache.key(s"wpagerank-edges-${weight.toString}", g.edges)) {
-      val sw = e.groupBy(col("src")).agg(sum(col("__w")).as("__sw"))
-      e.join(sw, Seq("src")).select(col("src"), col("dst"), col("__w"), col("__sw"))
+      // weight validation rides the cache MISS only (one grouped pass, no
+      // dedicated scan per call): positivity, plus the overflow bound the
+      // floor decomposition needs — (r MOD Σw)·w < Σw·maxW must stay under
+      // 2^63 or contributions wrap silently (DuckDB raises; Spark wraps)
+      val sw = e.groupBy(col("src")).agg(sum(col("__w")).as("__sw"),
+        min(col("__w")).as("__mn"), max(col("__w")).as("__mx"))
+      val chk = sw.agg(min(col("__mn")).as("minW"), max(col("__mx")).as("maxW"),
+        max(col("__sw")).as("maxSw")).head
+      if (!chk.isNullAt(0)) { // empty edge set: nothing to validate
+        require(chk.getLong(0) > 0L,
+          "pageRankWeightedFixedPoint: weights must be positive and non-null " +
+            "(rank mass flows ∝ w)")
+        require(BigInt(chk.getLong(2)) * BigInt(chk.getLong(1)) < BigInt(Long.MaxValue),
+          s"pageRankWeightedFixedPoint: Σw(src)=${chk.getLong(2)} × maxW=${chk.getLong(1)} " +
+            "would overflow the exact floor decomposition — rescale the weights")
+      }
+      e.join(sw.select(col("src"), col("__sw")), Seq("src"))
+        .select(col("src"), col("dst"), col("__w"), col("__sw"))
     }
     val ids = graft.core.PlanCache.cached(g.spark,
       graft.core.PlanCache.key("pagerank-ids", g.vertices)) {
@@ -1267,9 +1284,12 @@ object Analytics {
     * every color label is a pivot, and all of a pivot's SCC shares its
     * color; (3) BACKWARD — flood reachability-of-the-pivot inside each
     * color (one flag bit, all colors in parallel); flagged vertices are
-    * exactly the pivot's SCC and retire with scc = color. Unresolved
-    * vertices after `maxOuter` rounds come back with scc = NULL (and a
-    * stderr warning) — loud, not silently wrong.
+    * exactly the pivot's SCC and retire with scc = color — but ONLY when
+    * both floods reached their fixpoint within `maxInner` (a lagging
+    * coloring would crown false pivots and silently split long cycles, so
+    * an exhausted inner budget skips resolution instead). Unresolved
+    * vertices — outer budget elapsed or inner budget too small — come back
+    * with scc = NULL (and a stderr warning) — loud, not silently wrong.
     *
     * Returns (id, scc). Deterministic, and every phase is a fixed-round
     * monotone recurrence (min-label non-increasing, reach flag
@@ -1288,10 +1308,6 @@ object Analytics {
       maxTrim: Int = 8, maxInner: Int = 8): DataFrame = {
     val ed = g.edges.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    def sigDec(df: DataFrame, c: String): java.math.BigDecimal = {
-      val r = df.agg(sum(col(c).cast("decimal(38,0)"))).head
-      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
-    }
     var alive = g.vertices.select(col("id")).localCheckpoint(false)
     var aliveCount = alive.count()
     var out = Vector.empty[DataFrame]
@@ -1322,7 +1338,7 @@ object Analytics {
           .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
           .persist(StorageLevel.MEMORY_AND_DISK)
         var f = alive.select(col("id"), col("id").as("f")).localCheckpoint(false)
-        var fSig = sigDec(f, "f")
+        var fSig = decSig(f, "f")
         var i = 0
         var fChanged = true
         while (i < maxInner && fChanged) {
@@ -1331,7 +1347,7 @@ object Analytics {
           val nf = f.join(m.select(col("dst").as("id"), col("__fm")), Seq("id"), "left")
             .select(col("id"), least(col("f"), coalesce(col("__fm"), col("f"))).as("f"))
             .localCheckpoint(false)
-          val s = sigDec(nf, "f") // min-label is monotone non-increasing
+          val s = decSig(nf, "f") // min-label is monotone non-increasing
           fChanged = s.compareTo(fSig) != 0
           fSig = s
           f = nf
@@ -1339,7 +1355,7 @@ object Analytics {
         }
         var rb = f.select(col("id"), col("f"),
           (col("f") === col("id")).cast("long").as("rb")).localCheckpoint(false)
-        var rSig = sigDec(rb, "rb")
+        var rSig = decSig(rb, "rb")
         var j = 0
         var rChanged = true
         while (j < maxInner && rChanged) {
@@ -1353,19 +1369,34 @@ object Analytics {
             .select(col("id"), col("f"),
               greatest(col("rb"), coalesce(col("__h"), lit(0L))).as("rb"))
             .localCheckpoint(false)
-          val s = sigDec(nr, "rb") // reach flag is monotone non-decreasing
+          val s = decSig(nr, "rb") // reach flag is monotone non-decreasing
           rChanged = s.compareTo(rSig) != 0
           rSig = s
           rb = nr
           j += 1
         }
-        val resolved = rb.filter(col("rb") === 1L)
-          .select(col("id"), col("f").as("scc")).localCheckpoint(false)
-        resolved.count()
-        out = out :+ resolved
-        alive = alive.join(resolved.select(col("id")), Seq("id"), "left_anti")
-          .localCheckpoint(false)
-        aliveCount = alive.count()
+        // FW-BW resolution is only sound when BOTH floods reached their
+        // fixpoint: a lagging coloring can crown false pivots (a long cycle
+        // would retire its minimum as a singleton, silently SPLITTING the
+        // SCC), and a lagging backward flood would retire a partial SCC.
+        // When either budget ran out mid-flood, resolve NOTHING — the
+        // survivors come back scc = NULL with the loud warning below.
+        if (fChanged || rChanged) {
+          System.err.println(
+            s"[graft] stronglyConnectedComponents: maxInner=$maxInner elapsed before the " +
+              s"${if (fChanged) "coloring" else "backward"} flood converged — skipping " +
+              "resolution this round (unresolved vertices are reported scc = NULL); " +
+              "raise maxInner")
+          outer = maxOuter // no further outer round can do better on this alive set
+        } else {
+          val resolved = rb.filter(col("rb") === 1L)
+            .select(col("id"), col("f").as("scc")).localCheckpoint(false)
+          resolved.count()
+          out = out :+ resolved
+          alive = alive.join(resolved.select(col("id")), Seq("id"), "left_anti")
+            .localCheckpoint(false)
+          aliveCount = alive.count()
+        }
         ea.unpersist(false)
       }
       outer += 1
@@ -1431,7 +1462,13 @@ object Analytics {
       }
       round += 1L
     }
-    if (matchedSome) // budget elapsed while still matching ⇒ maybe not maximal
+    // budget elapsed while still matching is only a problem if an edge
+    // between two UNMATCHED vertices actually remains (the final round may
+    // have saturated the graph exactly at the budget)
+    if (matchedSome && ne
+        .join(alive.select(col("id").as("x")), Seq("x"), "left_semi")
+        .join(alive.select(col("id").as("y")), Seq("y"), "left_semi")
+        .limit(1).count() > 0)
       System.err.println(
         s"[graft] maximalMatching: maxRounds=$maxRounds elapsed while pairs were still " +
           "forming — the matching may not be maximal; raise maxRounds")
@@ -1564,8 +1601,18 @@ object Analytics {
             while (i < maxInner && changed) {
               val m2 = und.join(l0.select(col("c").as("b"), col("l").as("__lb")), Seq("b"))
                 .groupBy(col("a")).agg(min(col("__lb")).as("__ln"))
-              val nl = l0.join(m2.select(col("a").as("c"), col("__ln")), Seq("c"), "left")
-                .select(col("c"), least(col("l"), coalesce(col("__ln"), col("l"))).as("l"))
+              // the l(l(c)) POINTER-DOUBLING term makes reach grow
+              // exponentially per round (chains of merge pairs would
+              // otherwise need diameter rounds — the regime-equivalence
+              // requirement: this branch must land on the same fixpoint the
+              // driver union-find computes exactly, within the budget)
+              val nl = l0
+                .join(m2.select(col("a").as("c"), col("__ln")), Seq("c"), "left")
+                .join(l0.select(col("c").as("__lc"), col("l").as("__ll")),
+                  col("l") === col("__lc"), "left")
+                .select(col("c"), least(col("l"),
+                  coalesce(col("__ln"), col("l")),
+                  coalesce(col("__ll"), col("l"))).as("l"))
                 .localCheckpoint(false)
               val s = decSig(nl, "l")
               changed = s.compareTo(sig) != 0
@@ -1588,7 +1635,13 @@ object Analytics {
       }
       outer += 1
     }
-    if (merging)
+    // "budget elapsed" alone is not evidence of incompleteness (the final
+    // round may have finished the forest exactly at the budget): warn only
+    // if a component-crossing edge actually remains
+    if (merging && ed
+        .join(comp.select(col("id").as("u"), col("c").as("cu")), Seq("u"))
+        .join(comp.select(col("id").as("v"), col("c").as("cv")), Seq("v"))
+        .filter(col("cu") =!= col("cv")).limit(1).count() > 0)
       System.err.println(
         s"[graft] minimumSpanningForest: maxOuter=$maxOuter rounds elapsed while components " +
           "were still merging — the forest is incomplete; raise maxOuter")

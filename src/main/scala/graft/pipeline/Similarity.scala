@@ -314,9 +314,12 @@ object Similarity {
     val ex = exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
     val hits = exact.join(approx, Seq("qid", "nid"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    // checkpoint: `per` feeds both the row output and the summary aggregate —
+    // without it the brute-force pass (the expensive side) could plan twice
     val per = ex.join(hits, Seq("qid"), "left")
       .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"), col("n_exact"))
       .withColumn("recall_x1e6", expr("hits * 1000000L DIV n_exact"))
+      .localCheckpoint(false)
     per.unionByName(per.agg(sum(col("hits")).as("__h"), sum(col("n_exact")).as("__n"))
       .select(lit(-1L).as("qid"), col("__h").as("hits"), col("__n").as("n_exact"),
         expr("__h * 1000000L DIV __n").as("recall_x1e6")))

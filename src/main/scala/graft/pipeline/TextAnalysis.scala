@@ -265,6 +265,11 @@ object TextAnalysis {
     require(budgetTokens > 0 && budgetTokens <= Long.MaxValue / 1000000L,
       "epochBudget: budgetTokens must be in (0, ~9.2e12]")
     val totW = weightsPpm.map(_._2).sum
+    // weights are PPM-scale by contract; the (B MOD T)·w term stays inside
+    // BIGINT only while ΣW·maxW < 2^63 — bound ΣW instead of trusting it
+    require(totW <= 2000000000L,
+      s"epochBudget: weight sum $totW exceeds the ppm scale (<= 2e9) — " +
+        "renormalize the mixture before budgeting")
     val w = weightsPpm.foldLeft(lit(0L)) { case (acc, (s, ppm)) =>
       when(col("source") === s, lit(ppm)).otherwise(acc) }
     docs.groupBy(col(sourceCol).as("source"))
