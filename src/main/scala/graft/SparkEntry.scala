@@ -1159,6 +1159,13 @@ object SparkEntry {
       val srcs = Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * t + _)
       graft.olap.Analytics.harmonicCentrality(graph(s, dir), srcs, maxIter = 4)
     }),
+    // ---- 2.K sampled classic closeness: per-vertex Σdist + reached over
+    //      the same sampled-source BFS (moments, not the quotient) ----
+    "q_closeness" -> ((s, dir) => {
+      val t = 1L << graft.core.GraphIds.TagBits
+      val srcs = Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * t + _)
+      graft.olap.Analytics.closenessCentrality(graph(s, dir), srcs, maxIter = 4)
+    }),
     // ---- 2.K sampled eccentricity / pseudo-diameter: per-source max BFS
     //      distance + reached count through the same one-BFS-for-k-sources ----
     "q_eccentricity" -> ((s, dir) => {
@@ -1646,6 +1653,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(col("gap")).as("sum_gap_us"),
           max(col("gap")).as("max_gap_us"))
+    }),
+    // ---- events analytics: ordered funnel (first-touch, strict order,
+    //      windowed) — per-stage surviving-user counts ----
+    "q_funnel" -> ((s, dir) => {
+      graft.stream.ChangeStream.funnel(readEvents(s, dir),
+        Seq("signup", "view", "purchase"), windowSeconds = 7L * 86400)
+    }),
+    // ---- events analytics: retention cohort matrix (daily periods) ----
+    "q_retention" -> ((s, dir) => {
+      graft.stream.ChangeStream.retentionCohorts(readEvents(s, dir),
+        periodSeconds = 86400L)
     }),
     // ---- pipeline: deterministic per-source mixture sampling ----
     "q_mixture_sample" -> ((s, dir) => {
@@ -3371,6 +3389,8 @@ object SparkEntry {
          |  CAST(inter * 1000000 // uni AS BIGINT) AS jaccard_x1e6 FROM pairs""".stripMargin,
     "q_harmonic" -> harmonicOracle(
       Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + _), 4),
+    "q_closeness" -> closenessOracle(
+      Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + _), 4),
     "q_eccentricity" -> eccentricityOracle(
       Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + _), 4),
     "q_shortest_paths" -> shortestPathsOracle(
@@ -3687,6 +3707,35 @@ object SparkEntry {
         |SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(gap) AS BIGINT) AS sum_gap_us, MAX(gap) AS max_gap_us
         |FROM o GROUP BY 1""".stripMargin,
+    // funnel: stage-by-stage first-touch CTE chain mirroring
+    // ChangeStream.funnel join-for-join (strict > on µs, 7-day window)
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t, MIN(epoch_us(ts)) AS t0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t, MIN(s1.t0) AS t0
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t
+        |    AND epoch_us(e.ts) - s1.t0 <= CAST(7 * 86400 AS BIGINT) * 1000000
+        |  GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t, MIN(s2.t0) AS t0
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+        |    AND epoch_us(e.ts) - s2.t0 <= CAST(7 * 86400 AS BIGINT) * 1000000
+        |  GROUP BY 1)
+        |SELECT 1 AS stage, 'signup' AS step, COUNT(*) AS users FROM s1
+        |UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3""".stripMargin,
+    // retention: DISTINCT (user, day) activity set → min-period cohort →
+    // grouped count; integer floor-divides mirror Spark's div on the
+    // nonnegative epochs
+    "q_retention" ->
+      """WITH up AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // (CAST(86400 AS BIGINT) * 1000000) AS p
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(p) AS c FROM up GROUP BY 1)
+        |SELECT c.c AS cohort_period, up.p - c.c AS periods_since,
+        |  COUNT(*) AS users
+        |FROM up JOIN c ON up.user_id = c.user_id GROUP BY 1, 2""".stripMargin,
     "q_contamination" -> contaminationOracle,
     "q_contamination_overlap" -> contaminationOverlapOracle,
     "q_mixture_sample" -> mixtureSampleOracle,
@@ -4871,6 +4920,11 @@ object SparkEntry {
     s"""WITH ${multiBfsCtes(sources, rounds)}
        |SELECT id, CAST(SUM(1000000000000 // d) AS BIGINT) AS harmonic_x1e12,
        |  COUNT(*) AS reached
+       |FROM m$rounds WHERE d IS NOT NULL AND d > 0 GROUP BY id""".stripMargin
+
+  private def closenessOracle(sources: Seq[Long], rounds: Int): String =
+    s"""WITH ${multiBfsCtes(sources, rounds)}
+       |SELECT id, CAST(SUM(d) AS BIGINT) AS dist_sum, COUNT(*) AS reached
        |FROM m$rounds WHERE d IS NOT NULL AND d > 0 GROUP BY id""".stripMargin
 
   private def eccentricityOracle(sources: Seq[Long], rounds: Int): String =

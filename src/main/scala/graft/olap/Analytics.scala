@@ -730,6 +730,25 @@ object Analytics {
       .agg(sum(expr("1000000000000L div d")).cast("long").as("harmonic_x1e12"),
         count(lit(1)).as("reached"))
 
+  /** Sampled classic closeness centrality — the Bavelas/Sabidussi form over
+    * sampled sources: per vertex v, Σ dist(source, v) and the reached count
+    * (v excluded from its own sum). Closeness = reached/dist_sum is one
+    * driver-side divide; the two integer moments are emitted instead of the
+    * quotient so the result is hash-exact on any engine (same contract as
+    * [[degreeAssortativity]]'s moment sums). Prefer [[harmonicCentrality]]
+    * on disconnected graphs — harmonic degrades gracefully when some
+    * sources cannot reach v, while closeness's Σd silently drops the
+    * missing pairs (the `reached` column makes that visible). Shares the
+    * one-BFS-for-k-sources engine: k·|V| state, one edges⨝frontier join
+    * per round regardless of |sources|. */
+  def closenessCentrality(g: PropertyGraph, sources: Seq[Long],
+      maxIter: Int = 6): DataFrame =
+    multiSourceBfs(g, sources, maxIter, "closenessCentrality")
+      .filter(col("d") > 0)
+      .groupBy(col("id"))
+      .agg(sum(col("d")).cast("long").as("dist_sum"),
+        count(lit(1)).as("reached"))
+
   /** Sampled eccentricity / pseudo-diameter: per sampled source, the max BFS
     * distance over reached vertices (its directed eccentricity) plus the
     * reached count (including the source itself — a reachability sanity

@@ -278,6 +278,68 @@ object ChangeStream {
       .groupBy(col("user_id"))
       .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
 
+  /** Ordered funnel over the event log — the product-analytics staple: how
+    * many users did steps(0), then steps(1) STRICTLY later, …, each within
+    * `windowSeconds` of their step-1 anchor time. First-touch semantics:
+    * every stage matches the EARLIEST qualifying event, so each stage is a
+    * min-aggregate — order-insensitive exact integers (µs), hash-exact on
+    * any engine. One row per stage: (stage, step, users); a stage nobody
+    * reaches still emits its row with users = 0.
+    *
+    * Scale: the log is filtered to ONE step's event type before each
+    * user-keyed shuffle (the predicate reaches the scan), and every stage
+    * frame is one (user, t, t0) row per surviving user — |steps| user-keyed
+    * joins, no window functions, no per-user event buffers. The driver loop
+    * runs over the |steps| query SHAPE, not data; the final per-stage counts
+    * are one action (stage frames are shared plan branches, so their
+    * shuffles are computed once and reused). */
+  def funnel(events: DataFrame, steps: Seq[String],
+      windowSeconds: Long = 7L * 86400): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("__us"))
+    val first = ev.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("__us")).as("__t"))
+      .select(col("user_id"), col("__t"), col("__t").as("__t0"))
+    val stages = steps.drop(1).scanLeft(first) { (prev, step) =>
+      ev.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col("__t").as("__pt"), col("__t0")),
+          Seq("user_id"))
+        .filter(col("__us") > col("__pt") &&
+          col("__us") - col("__t0") <= windowSeconds * 1000000L)
+        .groupBy(col("user_id"))
+        // min of the carried constant __t0 = the constant — min (not first)
+        // keeps the agg deterministic and map-side combinable
+        .agg(min(col("__us")).as("__t"), min(col("__t0")).as("__t0"))
+    }
+    stages.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("stage"), lit(step).as("step"), col("users"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Retention cohort matrix — cohort(user) = the user's first active
+    * period (floor of epoch µs over `periodSeconds`), cell = users from
+    * cohort c still active k periods later. The activity set collapses to
+    * DISTINCT (user, period) first (map-side combinable — the 100 TB log
+    * never reaches the cohort join at event granularity), cohorts are one
+    * min-agg over it, and the matrix is one grouped count. All-integer
+    * arithmetic; epochs must be nonnegative (true for any real event-time
+    * data — Spark's `div` truncates while the mirrored floor-divide floors,
+    * which only diverges before 1970). */
+  def retentionCohorts(events: DataFrame,
+      periodSeconds: Long = 86400L): DataFrame = {
+    val pUs = periodSeconds * 1000000L
+    val up = events
+      .select(col("user_id"), expr(s"unix_micros(ts) div ${pUs}L").as("__p"))
+      .distinct()
+    val cohort = up.groupBy(col("user_id")).agg(min(col("__p")).as("__c"))
+    up.join(cohort, Seq("user_id"))
+      .groupBy(col("__c").as("cohort_period"),
+        (col("__p") - col("__c")).as("periods_since"))
+      .agg(count(lit(1)).as("users"))
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState — the custom-state
     * extension point (KeyValueGroupedDataset, SURVEY §2.J "stateful ops are
     * beyond reference parity"). Emits one row per closed session.

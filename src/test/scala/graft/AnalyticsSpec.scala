@@ -248,6 +248,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("reached") === dist.size.toLong)
   }
 
+  test("closenessCentrality: per-vertex distance sum equals summed per-source BFS") {
+    val srcs = Seq(GraphOfTheGods.ids("hercules"), GraphOfTheGods.ids("jupiter"))
+    val got = Analytics.closenessCentrality(gods, srcs, maxIter = 6).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("dist_sum"), r.getAs[Long]("reached"))).toMap
+    // brute: merge the two single-source BFS distance maps
+    val per = srcs.map(s => Analytics.shortestDistance(gods, s, maxIter = 6)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Double]("distance").toLong)
+      .toMap.filter { case (id, d) => d > 0 })
+    val ids = per.flatMap(_.keys).toSet
+    assert(got.keySet === ids)
+    ids.foreach { id =>
+      val ds = per.flatMap(_.get(id))
+      assert(got(id) === ((ds.sum, ds.size.toLong)), s"vertex $id")
+    }
+  }
+
   test("topologicalLayers: Kahn peeling layers a DAG; cycles land at -1") {
     import spark.implicits._
     // DAG: 1->2->3, 1->3, 4 isolated; cycle: 5<->6 feeding 7

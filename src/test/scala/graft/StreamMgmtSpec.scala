@@ -47,6 +47,44 @@ class StreamMgmtSpec extends AnyFunSuite {
     one.foreach(r => assert(r.getAs[Long]("n_sessions") === 1))
   }
 
+  test("funnel: first-touch strict-order windowed stage matching") {
+    import spark.implicits._
+    def ev(uid: Long, typ: String, us: Long) = (uid, typ, us)
+    val day = 86400L * 1000000L
+    val rows = Seq(
+      // u1 converts all three stages in order
+      ev(1, "signup", 0L), ev(1, "view", 10L), ev(1, "purchase", 20L),
+      // u2: view at the SAME µs as signup — strict > excludes it
+      ev(2, "signup", 100L), ev(2, "view", 100L), ev(2, "purchase", 200L),
+      // u3: view BEFORE signup — order violated, stage 1 only
+      ev(3, "view", 50L), ev(3, "signup", 100L),
+      // u4: view 8 days after signup — outside the 7-day window
+      ev(4, "signup", 0L), ev(4, "view", 8L * day),
+      // u5 never signs up — not in the funnel at all
+      ev(5, "view", 0L), ev(5, "purchase", 10L))
+    val events = rows.toDF("user_id", "event_type", "__us")
+      .withColumn("ts", timestamp_micros(col("__us"))).drop("__us")
+    val got = ChangeStream.funnel(events, Seq("signup", "view", "purchase"),
+        windowSeconds = 7L * 86400)
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got === Map(1 -> ("signup", 4L), 2 -> ("view", 1L),
+      3 -> ("purchase", 1L)))
+  }
+
+  test("retentionCohorts: distinct daily activity against first-day cohorts") {
+    import spark.implicits._
+    val day = 86400L * 1000000L
+    // u1 active days 0,1,3 (two events day 0 collapse); u2 active days 1,2
+    val rows = Seq((1L, 0L), (1L, 1000L), (1L, day + 5L), (1L, 3 * day),
+      (2L, day), (2L, 2 * day))
+    val events = rows.toDF("user_id", "__us")
+      .withColumn("ts", timestamp_micros(col("__us"))).drop("__us")
+    val got = ChangeStream.retentionCohorts(events, periodSeconds = 86400L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) emits closed sessions") {
     val checkpoint = Files.createTempDirectory("graft-ckpt2").toString
     val stream = ChangeStream.readStream(spark, dir)
