@@ -1152,6 +1152,12 @@ object SparkEntry {
       graft.olap.Analytics.neighborJaccard(graph(s, dir),
         label = Some("contains"), minShared = 2L)
     }),
+    // ---- 2.K Adamic–Adar link-prediction index over the same bipartite
+    //      containment graph: rare shared neighbors weighted 1/ln(degree) ----
+    "q_adamic_adar" -> ((s, dir) => {
+      graft.olap.Analytics.adamicAdar(graph(s, dir),
+        label = Some("contains"), minShared = 2L)
+    }),
     // ---- 2.K sampled harmonic centrality (Eppstein–Wang): Σ 1/dist from
     //      3 sampled sources as an exact integer, one multi-source BFS ----
     "q_harmonic" -> ((s, dir) => {
@@ -1627,6 +1633,16 @@ object SparkEntry {
     "q_remove_repeated_spans" -> ((s, dir) => {
       graft.pipeline.Dedup.removeRepeatedSpans(
         s.read.parquet(s"$dir/documents.parquet"), n = 3)
+    }),
+    // ---- pipeline: corpus-wide line dedup (the C4 global rule: a line
+    //      keeps only its lexicographically-first (doc,pos) occurrence).
+    //      The synthetic corpus is single-line docs, so the probe runs the
+    //      op at token granularity (sep=' ') to actually exercise
+    //      first-wins/cover/rebuild; newline-split is fixture-tested in
+    //      PipelineSpec ----
+    "q_remove_dup_lines" -> ((s, dir) => {
+      graft.pipeline.Dedup.removeDupLines(
+        s.read.parquet(s"$dir/documents.parquet"), sep = " ")
     }),
     // ---- pipeline: BM25 retrieval over the corpus for a fixed term set ----
     "q_bm25" -> ((s, dir) => {
@@ -3369,6 +3385,21 @@ object SparkEntry {
          |  CAST(SUM(dx.d) AS BIGINT) AS sum_x,
          |  CAST(SUM(dx.d * dx.d) AS BIGINT) AS sum_x2
          |FROM b JOIN deg dx ON b.u = dx.u JOIN deg dy ON b.v = dy.u""".stripMargin,
+    // mirrors adamicAdar stage-for-stage: undirected adjacency → degrees →
+    // per-center weight round(1/ln d, 9) pinned into DECIMAL → common-center
+    // pair join → DECIMAL sum (the bigramLogProb ln recipe); the hub cap
+    // (100000) is unreachable at oracle scales so it has no SQL mirror
+    "q_adamic_adar" ->
+      s"""WITH e AS (SELECT DISTINCT
+         |  ${TpchGraph.OrderTag.toLong * (1L << graft.core.GraphIds.TagBits)} + l_orderkey AS o,
+         |  ${TpchGraph.PartTag.toLong * (1L << graft.core.GraphIds.TagBits)} + l_partkey AS p FROM lineitem),
+         |adj AS (SELECT o AS x, p AS a FROM e UNION ALL SELECT p, o FROM e),
+         |deg AS (SELECT x, COUNT(*) AS d FROM adj GROUP BY 1),
+         |w AS (SELECT x AS a, CAST(ROUND(1.0 / ln(d), 9) AS DECIMAL(28,12)) AS w FROM deg),
+         |pr AS (SELECT l.x, r.x AS y, l.a FROM adj l JOIN adj r ON l.a = r.a AND l.x < r.x)
+         |SELECT x AS ida, y AS idb, COUNT(*) AS inter,
+         |  ROUND(CAST(SUM(w.w) AS DOUBLE), 6) AS aa
+         |FROM pr JOIN w ON pr.a = w.a GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
     "q_vertex_jaccard" ->
       s"""WITH e AS (SELECT DISTINCT
          |  ${TpchGraph.OrderTag.toLong * (1L << graft.core.GraphIds.TagBits)} + l_orderkey AS o,
@@ -3617,6 +3648,23 @@ object SparkEntry {
         |  ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos)
         |SELECT w.doc_id, CASE WHEN w.text IS NULL THEN NULL
         |  ELSE coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') END AS text
+        |FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id GROUP BY w.doc_id, w.text""".stripMargin,
+    // mirrors removeDupLines(sep=' '): split on the unit separator → units
+    // of >=1 char → per distinct unit the lexicographically-min (doc,pos)
+    // survives, every other occurrence covered → anti-join + in-order rebuild
+    "q_remove_dup_lines" ->
+      """WITH w AS (SELECT doc_id, text, str_split(text, ' ') AS ll FROM documents),
+        |l AS (SELECT doc_id, unnest([{'pos': i-1, 'line': ll[i]}
+        |    for i in range(1, len(ll)+1)], recursive := true) FROM w),
+        |el AS (SELECT doc_id, pos, line FROM l WHERE len(line) >= 1),
+        |f AS (SELECT line, MIN({'d': doc_id, 'p': pos}) AS f FROM el
+        |  GROUP BY 1 HAVING COUNT(*) >= 2),
+        |cov AS (SELECT el.doc_id, el.pos FROM el JOIN f USING (line)
+        |  WHERE el.doc_id <> f.f.d OR el.pos <> f.f.p),
+        |kept AS (SELECT l.doc_id, l.pos, l.line FROM l
+        |  ANTI JOIN cov c ON l.doc_id = c.doc_id AND l.pos = c.pos)
+        |SELECT w.doc_id, CASE WHEN w.text IS NULL THEN NULL
+        |  ELSE coalesce(string_agg(k.line, ' ' ORDER BY k.pos), '') END AS text
         |FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id GROUP BY w.doc_id, w.text""".stripMargin,
     "q_bothv" ->
       """SELECT o_custkey AS uid, 'customer' AS label FROM orders

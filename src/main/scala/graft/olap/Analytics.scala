@@ -4,6 +4,7 @@ import graft.data.PropertyGraph
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph, VertexId, PartitionStrategy}
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.storage.StorageLevel
 
 /** Iterative graph analytics — the OLAP layer the reference runs through its
@@ -318,6 +319,47 @@ object Analytics {
         (col("dx") + col("dy") - col("inter")).as("uni"))
       .select(col("ida"), col("idb"), col("inter"), col("uni"),
         expr("inter * 1000000L DIV uni").as("jaccard_x1e6"))
+  }
+
+  /** Adamic–Adar link-prediction index for every vertex pair sharing ≥
+    * `minShared` common neighbors: AA(x,y) = Σ_{a ∈ N(x)∩N(y)} 1/ln d(a) —
+    * rare shared neighbors predict links more strongly than hubs (Adamic &
+    * Adar 2003). Emitted next to the raw common-neighbor count `inter` (the
+    * preferential-attachment baseline feature set). A common neighbor has
+    * d(a) ≥ 2, so ln d(a) ≥ ln 2 > 0 — no singular weights.
+    *
+    * Scale + determinism: same common-neighbor self-join shape as
+    * [[neighborJaccard]] — pairs materialize at their shared center (one
+    * equi-join keyed by the center, d² fanout capped by excluding centers
+    * above `maxHubDegree`), per-center weight is computed ONCE on the
+    * degree frame (round(1/ln d, 9) — the cross-engine ln recipe of
+    * [[graft.pipeline.TextAnalysis.bigramLogProb]]), and the pair aggregate
+    * sums 9-dp-pinned weights in DECIMAL (map-side combinable, exact). */
+  def adamicAdar(g: PropertyGraph, label: Option[String] = None,
+      minShared: Long = 1L, maxHubDegree: Long = 100000L): DataFrame = {
+    val base = label.map(l => g.edges.filter(col("label") === l)).getOrElse(g.edges)
+    val e = simpleEdges(g.copy(edges = base))
+    val adj = e.select(col("u").as("x"), col("v").as("a"))
+      .unionAll(e.select(col("v").as("x"), col("u").as("a")))
+    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val hubs = deg.filter(col("d") > maxHubDegree).select(col("x").as("a"))
+    // weight carried BY the center row into the pair join: one weight
+    // computation per center, not per pair. d = 1 vertices can never be a
+    // common neighbor, and ln 1 = 0 would trip ANSI division — drop them
+    // before the divide, not after the join.
+    val w = deg.filter(col("d") >= 2).select(col("x").as("a"),
+      round(lit(1.0) / log(col("d").cast("double")), 9)
+        .cast(DecimalType(28, 12)).as("w"))
+    val light = adj.join(broadcast(hubs), Seq("a"), "left_anti")
+    light.select(col("a"), col("x"))
+      .join(light.select(col("a"), col("x").as("y")), Seq("a"))
+      .filter(col("x") < col("y"))
+      .join(w, Seq("a"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("inter"), sum(col("w")).as("ws"))
+      .filter(col("inter") >= minShared)
+      .select(col("x").as("ida"), col("y").as("idb"), col("inter"),
+        round(col("ws").cast("double"), 6).as("aa"))
   }
 
   /** Label propagation communities. */

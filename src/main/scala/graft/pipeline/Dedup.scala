@@ -195,6 +195,44 @@ object Dedup {
     rebuildWithoutCovered(docs, withL, covered, idCol, textCol)
   }
 
+  /** CROSS-corpus line-level dedup — the C4 recipe's global half (Raffel et
+    * al. 2020 drop repeated lines corpus-wide, complementing the per-page
+    * rules in [[graft.pipeline.TextAnalysis.c4Clean]]): any line occurring
+    * more than once in the corpus survives only at its FIRST occurrence,
+    * first = the lexicographically-minimal (doc, line-index) pair —
+    * deterministic, no RNG, no insertion order. Lines shorter than
+    * `minChars` characters (blank separators by default) are never treated
+    * as duplicates — every occurrence survives. Docs whose every line is
+    * cut come back as ''; NULL text stays NULL. `sep` generalizes the unit
+    * (newline by default; any literal delimiter makes this a first-wins
+    * record dedup over that granularity).
+    *
+    * Scale: lines cross the shuffle as (md5, doc, idx) — constant width
+    * regardless of line length; the keep-set is one map-side-combinable
+    * min-struct + count agg per DISTINCT line, and only lines with a
+    * duplicate anywhere re-join (the singleton majority never produces
+    * covered traffic). Rebuild is the shared order-exact array_sort
+    * reassembly — no window functions anywhere. */
+  def removeDupLines(docs: DataFrame, minChars: Int = 1,
+      sep: String = "\n",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val withL = docs.select(col(idCol).as("__id"),
+      split(col(textCol), java.util.regex.Pattern.quote(sep)).as("__l"))
+    val lines = withL
+      .select(col("__id"), posexplode(col("__l")).as(Seq("__pos", "__line")))
+      .filter(length(col("__line")) >= minChars)
+      .select(col("__id"), col("__pos"), md5(col("__line")).as("__h"))
+    val dupFirst = lines.groupBy(col("__h"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__f"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+      .select(col("__h"), col("__f"))
+    val covered = lines.join(dupFirst, Seq("__h"))
+      .filter(col("__id") =!= col("__f.__id") || col("__pos") =!= col("__f.__pos"))
+      .select(col("__id"), col("__pos"))
+    rebuildWithoutCovered(docs, withL, covered, idCol, textCol, sep = sep)
+  }
+
   /** Positioned gram hashes of (__id, __l token array): one row per n-gram
     * occurrence, (__id, __start, __h=md5) — constant width through every
     * downstream exchange regardless of gram length. */
@@ -212,14 +250,15 @@ object Dedup {
     * '' rather than disappearing; a NULL input text stays NULL (no text
     * operator here rewrites null → '' — same contract as truncateTokens). */
   private def rebuildWithoutCovered(docs: DataFrame, withL: DataFrame,
-      covered: DataFrame, idCol: String, textCol: String): DataFrame = {
+      covered: DataFrame, idCol: String, textCol: String,
+      sep: String = " "): DataFrame = {
     val kept = withL
       .select(col("__id"), posexplode(col("__l")).as(Seq("__pos", "__tok")))
       .join(covered, Seq("__id", "__pos"), "left_anti")
       .groupBy(col("__id"))
       .agg(array_sort(collect_list(struct(col("__pos"), col("__tok")))).as("__s"))
       .select(col("__id"),
-        concat_ws(" ", transform(col("__s"), s => s.getField("__tok"))).as("__text"))
+        concat_ws(sep, transform(col("__s"), s => s.getField("__tok"))).as("__text"))
     docs.select(col(idCol), col(textCol).isNull.as("__wasnull"))
       .join(kept, col(idCol) === kept("__id"), "left")
       .select(col(idCol),

@@ -533,6 +533,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Map(1L -> "e f", 2L -> "x y z", 3L -> "p q", 4L -> "", 5L -> ""))
   }
 
+  test("removeDupLines: first (doc,pos) occurrence survives, rest cut") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "keep me\nshared line\nalso mine"),  // first holder of "shared line"
+      (2L, "shared line\nunique two"),          // later holder -> line cut
+      (3L, "shared line"),                      // whole doc duplicated -> ''
+      (4L, "x\n\ny"),                           // blank line < minChars: kept
+      (5L, null.asInstanceOf[String])           // NULL stays NULL
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDupLines(d).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got === Map(
+      1L -> Some("keep me\nshared line\nalso mine"),
+      2L -> Some("unique two"),
+      3L -> Some(""),
+      4L -> Some("x\n\ny"),
+      5L -> None))
+    // intra-doc repeats of a line are also global dups: only the first stays
+    val rep = Seq((7L, "a\nb\na\nc")).toDF("doc_id", "text")
+    val got2 = Dedup.removeDupLines(rep).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2 === Map(7L -> "a\nb\nc"))
+  }
+
   test("span removal preserves NULL text; '' only for fully-removed docs") {
     import spark.implicits._
     val d = Seq((1L, "m n o"), (2L, "m n o"), (3L, null.asInstanceOf[String]))
