@@ -1025,6 +1025,15 @@ object SparkEntry {
       graft.olap.Analytics.randomWalks(graph(s, dir), seeds,
         steps = 3, walksPerSeed = 2)
     }),
+    // ---- 2.K skip-gram (center, context) pairs from the walk corpus —
+    //      the DeepWalk/node2vec training-data step over q_random_walks ----
+    "q_walk_pairs" -> ((s, dir) => {
+      val t = 1L << graft.core.GraphIds.TagBits
+      val seeds = Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * t + _)
+      graft.olap.Analytics.walkContextPairs(
+        graft.olap.Analytics.randomWalks(graph(s, dir), seeds,
+          steps = 3, walksPerSeed = 2), window = 2)
+    }),
     // ---- 2.K non-backtracking (second-order) walks — node2vec's essential
     //      mechanic: the walk carries prev and never immediately returns ----
     "q_walks_nobacktrack" -> ((s, dir) => {
@@ -1680,6 +1689,17 @@ object SparkEntry {
     "q_retention" -> ((s, dir) => {
       graft.stream.ChangeStream.retentionCohorts(readEvents(s, dir),
         periodSeconds = 86400L)
+    }),
+    // ---- events analytics: first-order Markov transition matrix over
+    //      per-user event sequences, exact floor-scaled probabilities ----
+    "q_event_transitions" -> ((s, dir) => {
+      graft.stream.ChangeStream.eventTransitions(readEvents(s, dir))
+    }),
+    // ---- pipeline: token frequency-of-frequencies spectrum (Zipf health
+    //      report — hapax mass vs head truncation) ----
+    "q_freq_spectrum" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.frequencySpectrum(
+        s.read.parquet(s"$dir/documents.parquet"))
     }),
     // ---- pipeline: deterministic per-source mixture sampling ----
     "q_mixture_sample" -> ((s, dir) => {
@@ -3456,6 +3476,16 @@ object SparkEntry {
     "q_random_walks" -> randomWalksOracle(
       Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + _),
       steps = 3, walksPerSeed = 2),
+    // the walks CTE replays randomWalksOracle verbatim; the pair join and
+    // window filter mirror walkContextPairs
+    "q_walk_pairs" ->
+      s"""WITH walks AS MATERIALIZED (${randomWalksOracle(
+             Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + _),
+             steps = 3, walksPerSeed = 2)})
+         |SELECT a.id, b.id AS ctx, COUNT(*) AS cnt
+         |FROM walks a JOIN walks b ON a.walk = b.walk AND a.step <> b.step
+         |  AND abs(a.step - b.step) <= 2
+         |GROUP BY 1, 2""".stripMargin,
     "q_walks_nobacktrack" -> nonBacktrackingOracle(
       Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + _),
       steps = 3, walksPerSeed = 2),
@@ -3784,6 +3814,23 @@ object SparkEntry {
         |SELECT c.c AS cohort_period, up.p - c.c AS periods_since,
         |  COUNT(*) AS users
         |FROM up JOIN c ON up.user_id = c.user_id GROUP BY 1, 2""".stripMargin,
+    // transitions: per-user lead() ordered by (ts, event_id) → pair counts
+    // → exact floor-scaled conditional probabilities
+    "q_event_transitions" ->
+      """WITH seq AS (SELECT event_type,
+        |  LEAD(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS nxt FROM events),
+        |tr AS (SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS cnt
+        |  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, SUM(cnt) AS tot FROM tr GROUP BY 1)
+        |SELECT tr.from_type, tr.to_type, tr.cnt,
+        |  CAST(tr.cnt * 1000000 // tot.tot AS BIGINT) AS p_x1e6
+        |FROM tr JOIN tot ON tr.from_type = tot.from_type""".stripMargin,
+    // spectrum: occurrences → per-type counts → frequency-of-frequencies
+    "q_freq_spectrum" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+        |tf AS (SELECT w, COUNT(*) AS freq FROM toks GROUP BY 1)
+        |SELECT freq, COUNT(*) AS n_types FROM tf GROUP BY 1""".stripMargin,
     "q_contamination" -> contaminationOracle,
     "q_contamination_overlap" -> contaminationOverlapOracle,
     "q_mixture_sample" -> mixtureSampleOracle,

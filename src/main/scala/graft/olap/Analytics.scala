@@ -1207,6 +1207,28 @@ object Analytics {
     out.reduce(_ unionByName _)
   }
 
+  /** Skip-gram (center, context) co-occurrence pairs from a walk frame —
+    * the step that turns [[randomWalks]]/[[nonBacktrackingWalks]] output
+    * into DeepWalk/node2vec training data (Perozzi et al. 2014 §4.2): for
+    * every walk, each vertex pairs with every other vertex at step distance
+    * ≤ `window`, aggregated to (id, ctx, cnt) co-occurrence counts. Pairs
+    * are DIRECTED (both (u,v) and (v,u) rows), matching the asymmetric
+    * center/context roles of skip-gram training.
+    *
+    * Scale: the self-join is keyed by walk id, so each walk's rows
+    * co-partition and fan out at most (steps+1)·2·window pairs per walk —
+    * linear in corpus-of-walks size, never in graph size; the count
+    * aggregate is map-side combinable. */
+  def walkContextPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1, "walkContextPairs: window >= 1")
+    val a = walks.select(col("walk"), col("step"), col("id"))
+    val b = walks.select(col("walk"), col("step").as("cstep"), col("id").as("ctx"))
+    a.join(b, Seq("walk"))
+      .filter(col("cstep") =!= col("step") &&
+        abs(col("cstep") - col("step")) <= window)
+      .groupBy(col("id"), col("ctx")).agg(count(lit(1)).as("cnt"))
+  }
+
   /** k-core decomposition by synchronous peeling: each round removes every
     * vertex whose undirected degree (incident edge count over SURVIVING
     * endpoints; multi-edges count) is below k, until no vertex is removed or

@@ -796,6 +796,23 @@ object TextAnalysis {
       .withColumn("ttr",
         round(col("n_distinct").cast(DoubleType) / col("n_tokens"), 6))
 
+  /** Token frequency-of-frequencies spectrum — the Zipf health report: one
+    * row per occurrence count `freq` with `n_types` = how many DISTINCT
+    * tokens occur exactly that often corpus-wide. A natural corpus follows
+    * Zipf (n_types ≈ C/freq², the hapax mass dominating); a spectrum with a
+    * truncated head or missing hapax tail flags template spam or aggressive
+    * prior filtering — the cheap pre-training diagnostic next to
+    * [[vocabStats]].
+    *
+    * Scale: two map-side-combinable count aggregates (occurrences → per-type
+    * counts → spectrum); output is ≤ max-frequency rows, microscopic at any
+    * corpus size. */
+  def frequencySpectrum(docs: DataFrame,
+      textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("freq")).agg(count(lit(1)).as("n_types"))
+
   /** Linear quality-classifier scoring (the fastText-shaped filter every
     * corpus pipeline runs): score = bias + Σ weight(token) / n_tokens over an
     * explicit vocabulary. The vocab rides a broadcast join (it is model-sized,

@@ -318,6 +318,33 @@ object ChangeStream {
     }.reduce(_ unionAll _)
   }
 
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the behavioral-model staple next to [[funnel]]: count every
+    * consecutive (event, next-event) pair in each user's time-ordered
+    * stream, and emit the exact conditional probability per source type as
+    * a floor-scaled integer (`p_x1e6` = ⌊10⁶·cnt/Σ_from cnt⌋ — all-integer,
+    * hash-exact on any engine). Ordering ties on ts break by event_id, so
+    * the sequence — and the matrix — is bit-deterministic.
+    *
+    * Scale: ONE user-keyed shuffle for the lead() window (same key as
+    * sessionization — a pipeline doing both reuses the exchange), then two
+    * map-side-combinable count aggregates over the transition alphabet
+    * (|types|² rows, microscopic next to the log). */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("__us").asc, col("event_id").asc)
+    val ev = events.select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("__us"))
+    val tr = ev.withColumn("__next", lead(col("event_type"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = tr.groupBy(col("from_type")).agg(sum(col("cnt")).as("tot"))
+    tr.join(tot, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        expr("cnt * 1000000L DIV tot").as("p_x1e6"))
+  }
+
   /** Retention cohort matrix — cohort(user) = the user's first active
     * period (floor of epoch µs over `periodSeconds`), cell = users from
     * cohort c still active k periods later. The activity set collapses to

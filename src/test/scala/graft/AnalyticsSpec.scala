@@ -202,6 +202,48 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Analytics.neighborJaccard(g, maxHubDegree = 1L).isEmpty)
   }
 
+  test("adamicAdar: 1/ln(d) weights over common neighbors, hub-capped") {
+    import spark.implicits._
+    // star center 0 with leaves 1..3, plus edge 1-2: pairs through center 0
+    // (d=4) weigh 1/ln4; pair (0,3)-style adjacency contributes nothing
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(),
+      (0L to 3L).map(id => (id, "v")).toDF("id", "label"),
+      Seq((10L, 0L, 1L, "e"), (11L, 0L, 2L, "e"), (12L, 0L, 3L, "e"),
+        (13L, 1L, 2L, "e")).toDF("id", "src", "dst", "label"))
+    val got = Analytics.adamicAdar(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val w = (d: Int) => BigDecimal(1.0 / math.log(d.toDouble))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def s(x: BigDecimal) = x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // (1,2): common neighbor 0 (d=3... center 0 has degree 3); (0,1): common 2;
+    // (0,2): common 1; (1,3)&(2,3): common 0; (0,3): none shared
+    assert(got === Map(
+      (1L, 2L) -> ((1L, s(w(3)))),          // through center 0, d(0)=3
+      (0L, 1L) -> ((1L, s(w(2)))),          // through 2, d(2)=2
+      (0L, 2L) -> ((1L, s(w(2)))),          // through 1, d(1)=2
+      (1L, 3L) -> ((1L, s(w(3)))),
+      (2L, 3L) -> ((1L, s(w(3))))))
+    assert(Analytics.adamicAdar(g, maxHubDegree = 1L).isEmpty)
+  }
+
+  test("walkContextPairs: window-bounded directed pairs, counts aggregate") {
+    import spark.implicits._
+    // walk 1: a-b-c-d; walk 2: a-b (re-co-occurrence accumulates counts)
+    val walks = Seq(
+      (1L, 10L, 0L, 100L), (1L, 10L, 1L, 101L),
+      (1L, 10L, 2L, 102L), (1L, 10L, 3L, 103L),
+      (2L, 10L, 0L, 100L), (2L, 10L, 1L, 101L)
+    ).toDF("walk", "seed", "step", "id")
+    val got = Analytics.walkContextPairs(walks, window = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // within window 2 of each other in walk 1: all pairs except (100,103);
+    // (100,101) appears in both walks -> cnt 2; pairs are directed
+    assert(got((100L, 101L)) === 2L && got((101L, 100L)) === 2L)
+    assert(got((100L, 102L)) === 1L && got((102L, 100L)) === 1L)
+    assert(!got.contains((100L, 103L)) && !got.contains((103L, 100L)))
+    assert(got((101L, 103L)) === 1L && got((102L, 103L)) === 1L)
+  }
+
   test("kTruss: peeling matches brute force on a random graph; cascades converge") {
     import spark.implicits._
     def brute(edges: Set[(Long, Long)], k: Int): Set[(Long, Long)] = {

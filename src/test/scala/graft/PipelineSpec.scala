@@ -533,6 +533,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Map(1L -> "e f", 2L -> "x y z", 3L -> "p q", 4L -> "", 5L -> ""))
   }
 
+  test("frequencySpectrum: frequency-of-frequencies partitions the vocab") {
+    import spark.implicits._
+    // a×3, b×2, c×1, d×1 -> freq 3:1 type, freq 2:1, freq 1:2
+    val d = Seq((1L, "a b a c"), (2L, "a b d")).toDF("doc_id", "text")
+    val got = TextAnalysis.frequencySpectrum(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(3L -> 1L, 2L -> 1L, 1L -> 2L))
+  }
+
   test("removeDupLines: first (doc,pos) occurrence survives, rest cut") {
     import spark.implicits._
     val d = Seq(

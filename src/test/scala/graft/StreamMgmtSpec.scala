@@ -71,6 +71,25 @@ class StreamMgmtSpec extends AnyFunSuite {
       3 -> ("purchase", 1L)))
   }
 
+  test("eventTransitions: per-user consecutive pairs, event_id tie-break") {
+    import spark.implicits._
+    val rows = Seq(
+      // u1: a -> b -> a (two transitions)
+      (1L, 10L, "a", 0L), (1L, 11L, "b", 10L), (1L, 12L, "a", 20L),
+      // u2: SAME ts for both events — event_id orders them b before a
+      (2L, 20L, "b", 5L), (2L, 21L, "a", 5L),
+      // u3: single event, no transition
+      (3L, 30L, "a", 0L))
+    val events = rows.toDF("user_id", "event_id", "event_type", "__us")
+      .withColumn("ts", timestamp_micros(col("__us"))).drop("__us")
+    val got = ChangeStream.eventTransitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // from a: 1 of 1 to b; from b: a->a count 2 of 2 total
+    assert(got === Map(
+      ("a", "b") -> ((1L, 1000000L)),
+      ("b", "a") -> ((2L, 1000000L))))
+  }
+
   test("retentionCohorts: distinct daily activity against first-day cohorts") {
     import spark.implicits._
     val day = 86400L * 1000000L
