@@ -1701,6 +1701,18 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.frequencySpectrum(
         s.read.parquet(s"$dir/documents.parquet"))
     }),
+    // ---- pipeline: mutual information lang↔source (dataset-audit check
+    //      for confounded metadata; exact ln recipe, nats) ----
+    "q_mutual_info" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.mutualInformation(
+        s.read.parquet(s"$dir/documents.parquet"), "lang", "source")
+    }),
+    // ---- pipeline: language-metadata consistency — langId prediction vs
+    //      the declared lang column, mismatch rate per source ----
+    "q_lang_mismatch" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.langConsistency(
+        s.read.parquet(s"$dir/documents.parquet"))
+    }),
     // ---- pipeline: deterministic per-source mixture sampling ----
     "q_mixture_sample" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.mixtureSample(
@@ -3826,6 +3838,20 @@ object SparkEntry {
         |SELECT tr.from_type, tr.to_type, tr.cnt,
         |  CAST(tr.cnt * 1000000 // tot.tot AS BIGINT) AS p_x1e6
         |FROM tr JOIN tot ON tr.from_type = tot.from_type""".stripMargin,
+    // MI: one joint count, marginals derived from it, per-cell
+    // cab·round(ln r, 9) summed in DECIMAL — the bigramLogProb recipe
+    "q_mutual_info" ->
+      """WITH j AS (SELECT lang AS a, source AS b, COUNT(*) AS cab FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |ca AS (SELECT a, SUM(cab) AS ca FROM j GROUP BY 1),
+        |cb AS (SELECT b, SUM(cab) AS cb FROM j GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(cab) AS BIGINT) AS n FROM j)
+        |SELECT nn.n, ROUND(CAST(SUM(cab * CAST(ROUND(ln(
+        |    (CAST(nn.n AS DOUBLE) * CAST(cab AS DOUBLE)) /
+        |    (CAST(ca.ca AS DOUBLE) * CAST(cb.cb AS DOUBLE))), 9)
+        |  AS DECIMAL(28,12))) AS DOUBLE) / CAST(nn.n AS DOUBLE), 6) AS mi
+        |FROM j JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN nn
+        |GROUP BY nn.n""".stripMargin,
     // spectrum: occurrences → per-type counts → frequency-of-frequencies
     "q_freq_spectrum" ->
       """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
@@ -4233,6 +4259,28 @@ object SparkEntry {
         |WHEN c_fr > 0 AND c_fr > c_en AND c_fr > c_de AND c_fr >= c_es THEN 'fr'
         |WHEN c_es > 0 AND c_es > c_en AND c_es > c_de AND c_es > c_fr THEN 'es'
         |ELSE 'und' END AS lang_pred FROM c""".stripMargin,
+    // mismatch report: the q_langid profile CASE vs the declared lang,
+    // counted per source with a floor-scaled rate
+    "q_lang_mismatch" ->
+      """WITH t AS (SELECT source, lang,
+        |  list_transform(string_split_regex(text,'\s+'), w -> lower(w)) AS tok FROM documents),
+        |c AS (SELECT source, lang,
+        |len(list_filter(tok, w -> list_contains(['the','a','of','and','to','is','in','it'], w))) AS c_en,
+        |len(list_filter(tok, w -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], w))) AS c_de,
+        |len(list_filter(tok, w -> list_contains(['le','la','et','les','des','un','une','est'], w))) AS c_fr,
+        |len(list_filter(tok, w -> list_contains(['el','los','las','una','es','en','que','y'], w))) AS c_es
+        |FROM t),
+        |p AS (SELECT source, lang, CASE
+        |WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+        |WHEN c_de > 0 AND c_de > c_en AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+        |WHEN c_fr > 0 AND c_fr > c_en AND c_fr > c_de AND c_fr >= c_es THEN 'fr'
+        |WHEN c_es > 0 AND c_es > c_en AND c_es > c_de AND c_es > c_fr THEN 'es'
+        |ELSE 'und' END AS pred FROM c)
+        |SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN pred <> lang THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+        |  CAST(SUM(CASE WHEN pred <> lang THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+        |    AS mismatch_x1e6
+        |FROM p GROUP BY 1""".stripMargin,
     // mirrors languageMix: 50-token windows, the q_langid profile CASE per
     // window, dominant language by (count desc, lang asc)
     "q_language_mix" ->

@@ -813,6 +813,49 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
       .groupBy(col("freq")).agg(count(lit(1)).as("n_types"))
 
+  /** Language-metadata consistency report — per source: how many documents'
+    * [[langId]] prediction disagrees with the DECLARED lang column
+    * (mislabeled metadata, wrong-language contamination inside a "clean"
+    * source, or a drifting upstream detector). Exact integers +
+    * floor-scaled rate; one scan, one source-keyed count aggregate. */
+  def langConsistency(docs: DataFrame, langCol: String = "lang",
+      sourceCol: String = "source", textCol: String = "text"): DataFrame =
+    docs.select(col(sourceCol).as("source"),
+        (langId(col(textCol)) =!= col(langCol)).cast("long").as("__m"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("__m")).as("n_mismatch"))
+      .withColumn("mismatch_x1e6", expr("n_mismatch * 1000000L DIV n"))
+
+  /** Mutual information between two categorical columns — the dataset-audit
+    * statistic for unwanted association (is `lang` confounded with `source`?
+    * does the split leak the label?): MI = Σ_{x,y} p(x,y)·ln[p(x,y)/(p(x)p(y))]
+    * in nats, one row (n, mi). MI = 0 iff independent; rows where either
+    * column is NULL are excluded (pairwise-complete, documented).
+    *
+    * Scale + determinism: ONE joint count aggregate (alphabet-sized output);
+    * marginals derive from the joint table, the total rides a 1-row
+    * broadcast, and each distinct cell contributes cab·round(ln r, 9) summed
+    * in DECIMAL — the [[bigramLogProb]] cross-engine recipe, so the result
+    * is bit-identical on any engine and partition layout. */
+  def mutualInformation(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val joint = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("cab"))
+    val ca = joint.groupBy(col("__a")).agg(sum(col("cab")).as("ca"))
+    val cb = joint.groupBy(col("__b")).agg(sum(col("cab")).as("cb"))
+    val n = joint.agg(sum(col("cab")).as("n"))
+    joint.join(ca, Seq("__a")).join(cb, Seq("__b")).crossJoin(broadcast(n))
+      .select(col("n"),
+        (col("cab") * round(log(
+          col("n").cast(DoubleType) * col("cab").cast(DoubleType) /
+            (col("ca").cast(DoubleType) * col("cb").cast(DoubleType))), 9)
+          .cast(DecimalType(28, 12))).as("__term"))
+      .groupBy(col("n"))
+      .agg(round(sum(col("__term")).cast(DoubleType) /
+        col("n").cast(DoubleType), 6).as("mi"))
+  }
+
   /** Linear quality-classifier scoring (the fastText-shaped filter every
     * corpus pipeline runs): score = bias + Σ weight(token) / n_tokens over an
     * explicit vocabulary. The vocab rides a broadcast join (it is model-sized,

@@ -542,6 +542,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Map(3L -> 1L, 2L -> 1L, 1L -> 2L))
   }
 
+  test("mutualInformation: zero iff independent, H(X) when determined") {
+    import spark.implicits._
+    // independent 2x2 uniform: MI = 0
+    val ind = Seq(("a","x"),("a","y"),("b","x"),("b","y")).toDF("u","v")
+    val mi0 = TextAnalysis.mutualInformation(ind, "u", "v").collect()(0)
+    assert(mi0.getLong(0) === 4L && mi0.getDouble(1) === 0.0)
+    // v fully determined by u, uniform over 2: MI = H = ln 2
+    val dep = Seq(("a","x"),("a","x"),("b","y"),("b","y")).toDF("u","v")
+    val mi1 = TextAnalysis.mutualInformation(dep, "u", "v").collect()(0)
+    assert(math.abs(mi1.getDouble(1) - math.log(2.0)) < 1e-6)
+    // NULLs excluded pairwise-complete
+    val withNull = Seq(("a","x"),("a",null),(null,"y"),("b","y")).toDF("u","v")
+    assert(TextAnalysis.mutualInformation(withNull, "u", "v")
+      .collect()(0).getLong(0) === 2L)
+  }
+
   test("removeDupLines: first (doc,pos) occurrence survives, rest cut") {
     import spark.implicits._
     val d = Seq(
