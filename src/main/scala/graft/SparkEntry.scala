@@ -1695,6 +1695,11 @@ object SparkEntry {
     "q_event_transitions" -> ((s, dir) => {
       graft.stream.ChangeStream.eventTransitions(readEvents(s, dir))
     }),
+    // ---- events analytics: per-event z-scores from DECIMAL-exact
+    //      per-type moments (metric-anomaly report; raw IEEE doubles) ----
+    "q_value_zscores" -> ((s, dir) => {
+      graft.stream.ChangeStream.valueZScores(readEvents(s, dir))
+    }),
     // ---- pipeline: token frequency-of-frequencies spectrum (Zipf health
     //      report — hapax mass vs head truncation) ----
     "q_freq_spectrum" -> ((s, dir) => {
@@ -3826,6 +3831,22 @@ object SparkEntry {
         |SELECT c.c AS cohort_period, up.p - c.c AS periods_since,
         |  COUNT(*) AS users
         |FROM up JOIN c ON up.user_id = c.user_id GROUP BY 1, 2""".stripMargin,
+    // z-scores: 6-dp-pinned DECIMAL(17,6) values (square exact inside 38
+    // digits), moments per type, then the IEEE-mirrored (v-μ)/σ chain —
+    // subtract/divide/sqrt are correctly rounded in both engines
+    "q_value_zscores" ->
+      """WITH ev AS (SELECT event_id, event_type AS etype,
+        |  CAST(ROUND(value, 6) AS DECIMAL(17,6)) AS v FROM events),
+        |st AS (SELECT etype, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS s2
+        |  FROM ev GROUP BY 1)
+        |SELECT ev.event_id, ev.etype,
+        |  CASE WHEN CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+        |    THEN (CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    ELSE NULL END AS z
+        |FROM ev JOIN st USING (etype)""".stripMargin,
     // transitions: per-user lead() ordered by (ts, event_id) → pair counts
     // → exact floor-scaled conditional probabilities
     "q_event_transitions" ->

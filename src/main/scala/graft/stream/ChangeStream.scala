@@ -345,6 +345,34 @@ object ChangeStream {
         expr("cnt * 1000000L DIV tot").as("p_x1e6"))
   }
 
+  /** Per-event z-scores against per-type moments — the metric-anomaly
+    * report: z = (v − μ_type)/σ_type for every event, computed from
+    * DECIMAL-exact sums so the moments are independent of partition order.
+    * Values are pinned to 6 dp on entry (the cross-engine double→DECIMAL
+    * recipe); downstream arithmetic is pure IEEE (subtract/divide/sqrt are
+    * correctly rounded everywhere), so the raw doubles hash-match any
+    * engine that mirrors the formula — no output rounding needed. Types
+    * with zero variance emit NULL z (not a division error).
+    *
+    * Scale: one map-side-combinable moment aggregate (|types| rows,
+    * broadcast back), then a pure per-row projection — a single scan. */
+  def valueZScores(events: DataFrame, typeCol: String = "event_type",
+      valueCol: String = "value", idCol: String = "event_id"): DataFrame = {
+    // (17,6): v² is (35,12) — inside DECIMAL(38) so the square stays EXACT
+    // (a wider input scale would overflow 38 digits and silently round)
+    val pinned = round(col(valueCol), 6).cast(org.apache.spark.sql.types.DecimalType(17, 6))
+    val ev = events.select(col(idCol), col(typeCol).as("etype"), pinned.as("__v"))
+    val stats = ev.groupBy(col("etype")).agg(
+      count(lit(1)).as("n"), sum(col("__v")).as("s"),
+      sum(col("__v") * col("__v")).as("s2"))
+    val m = col("s").cast("double") / col("n").cast("double")
+    val variance = col("s2").cast("double") / col("n").cast("double") - m * m
+    ev.join(broadcast(stats), Seq("etype"))
+      .select(col(idCol), col("etype"),
+        when(variance > 0.0,
+          (col("__v").cast("double") - m) / sqrt(variance)).as("z"))
+  }
+
   /** Retention cohort matrix — cohort(user) = the user's first active
     * period (floor of epoch µs over `periodSeconds`), cell = users from
     * cohort c still active k periods later. The activity set collapses to

@@ -90,6 +90,17 @@ class StreamMgmtSpec extends AnyFunSuite {
       ("b", "a") -> ((2L, 1000000L))))
   }
 
+  test("valueZScores: exact moments, zero-variance type yields NULL z") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a", 0.0), (2L, "a", 10.0),       // mean 5, sd 5 -> z = -1, +1
+      (3L, "b", 7.0), (4L, "b", 7.0))        // constant -> NULL
+    val events = rows.toDF("event_id", "event_type", "value")
+    val got = ChangeStream.valueZScores(events).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(got === Map(1L -> Some(-1.0), 2L -> Some(1.0), 3L -> None, 4L -> None))
+  }
+
   test("retentionCohorts: distinct daily activity against first-day cohorts") {
     import spark.implicits._
     val day = 86400L * 1000000L
