@@ -1700,6 +1700,11 @@ object SparkEntry {
     "q_value_zscores" -> ((s, dir) => {
       graft.stream.ChangeStream.valueZScores(readEvents(s, dir))
     }),
+    // ---- events analytics: winsorize the value column to per-type
+    //      [p05, p95] interpolated quantiles (outlier clamp) ----
+    "q_winsorize" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.winsorize(readEvents(s, dir))
+    }),
     // ---- pipeline: token frequency-of-frequencies spectrum (Zipf health
     //      report — hapax mass vs head truncation) ----
     "q_freq_spectrum" -> ((s, dir) => {
@@ -3831,6 +3836,15 @@ object SparkEntry {
         |SELECT c.c AS cohort_period, up.p - c.c AS periods_since,
         |  COUNT(*) AS users
         |FROM up JOIN c ON up.user_id = c.user_id GROUP BY 1, 2""".stripMargin,
+    // winsorize: 6-dp-pinned values, 4-dp-rounded interpolated quantile
+    // bounds (the lengthQuantiles recipe), pure clamp
+    "q_winsorize" ->
+      """WITH ev AS (SELECT event_id, event_type, ROUND(value, 6) AS v FROM events),
+        |b AS (SELECT event_type, ROUND(quantile_cont(v, 0.05), 4) AS lo,
+        |  ROUND(quantile_cont(v, 0.95), 4) AS hi FROM ev GROUP BY 1)
+        |SELECT ev.event_id, ev.event_type,
+        |  least(greatest(ev.v, b.lo), b.hi) AS v_clipped
+        |FROM ev JOIN b USING (event_type)""".stripMargin,
     // z-scores: 6-dp-pinned DECIMAL(17,6) values (square exact inside 38
     // digits), moments per type, then the IEEE-mirrored (v-μ)/σ chain —
     // subtract/divide/sqrt are correctly rounded in both engines

@@ -740,6 +740,30 @@ object TextAnalysis {
         round(percentile(tokenCount(col(textCol)), lit(0.5)), 4).as("p50"),
         round(percentile(tokenCount(col(textCol)), lit(0.75)), 4).as("p75"))
 
+  /** Winsorization — clamp a numeric column to its per-group
+    * [pLow, pHigh] interpolated quantiles (the outlier-robust normalization
+    * step before training on metric columns; clipping, unlike dropping,
+    * keeps the row count stable for joins downstream). Values are pinned to
+    * 6 dp and the bounds to 4 dp (the [[lengthQuantiles]] cross-engine
+    * percentile recipe), so clamped output is hash-exact on any engine.
+    *
+    * Scale: one map-side-combinable percentile aggregate (|groups| rows,
+    * BROADCAST back), then a pure per-row clamp — a single scan, no
+    * data-sized shuffle. */
+  def winsorize(df: DataFrame, valueCol: String = "value",
+      pLow: Double = 0.05, pHigh: Double = 0.95,
+      groupCol: String = "event_type", idCol: String = "event_id"): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow <= pHigh, "winsorize: 0 <= pLow <= pHigh <= 1")
+    val v = round(col(valueCol), 6)
+    val b = df.groupBy(col(groupCol)).agg(
+      round(percentile(v, lit(pLow)), 4).as("__lo"),
+      round(percentile(v, lit(pHigh)), 4).as("__hi"))
+    df.select(col(idCol), col(groupCol), v.as("__v"))
+      .join(broadcast(b), Seq(groupCol))
+      .select(col(idCol), col(groupCol),
+        least(greatest(col("__v"), col("__lo")), col("__hi")).as("v_clipped"))
+  }
+
   /** Per-domain quota: keep at most `n` documents per group, best-first by
     * `orderCol` (ties broken by id — fully deterministic). The Common-Crawl
     * move that stops one domain from dominating the corpus. Compiles to a

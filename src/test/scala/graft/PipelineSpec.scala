@@ -542,6 +542,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Map(3L -> 1L, 2L -> 1L, 1L -> 2L))
   }
 
+  test("winsorize: clamps to per-group interpolated quantile bounds") {
+    import spark.implicits._
+    // group a: values 0..10; p05 = 0.5, p95 = 9.5 -> 0 clips up, 10 down
+    val rows = (0 to 10).map(i => (i.toLong, "a", i.toDouble)) :+ ((99L, "b", 7.0))
+    val df = rows.toDF("event_id", "event_type", "value")
+    val got = TextAnalysis.winsorize(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(0L) === 0.5 && got(10L) === 9.5 && got(5L) === 5.0)
+    assert(got(99L) === 7.0) // single-value group: bounds collapse onto it
+  }
+
   test("mutualInformation: zero iff independent, H(X) when determined") {
     import spark.implicits._
     // independent 2x2 uniform: MI = 0
