@@ -355,6 +355,47 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("removeDupLines: raw document text never crosses an exchange") {
+    // line hashes travel as (id, pos, md5) — constant width; the rebuild
+    // shuffles individual units; raw text# must stay out of every Exchange
+    val p = plan("q_remove_dup_lines")
+    val blocks = p.split("\n\n").filter(
+      _.linesIterator.nextOption().exists(_.matches("""\(\d+\) Exchange.*""")))
+    assert(blocks.nonEmpty, s"expected at least one Exchange:\n$p")
+    blocks.foreach { b =>
+      val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert("""\btext#""".r.findFirstIn(input).isEmpty,
+        s"raw text column crosses an exchange:\n$b")
+    }
+  }
+
+  test("adamicAdar: equi-joins only; hub exclusion broadcasts") {
+    val p = plan("q_adamic_adar")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation fell back to a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"hub anti-join must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "pair aggregate must combine map-side")
+  }
+
+  test("zscores/winsorize: group stats broadcast back — one data-sized scan") {
+    for (q <- Seq("q_value_zscores", "q_winsorize")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q stats join must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("event transitions: ONE user-keyed exchange feeds the window") {
+    val p = plan("q_event_transitions")
+    // the lead() window partitions by user_id: exactly one hashpartitioning
+    // exchange on user_id; transition counts combine map-side afterwards
+    val userEx = p.linesIterator.filter(l =>
+      l.contains("hashpartitioning(user_id")).size
+    assert(userEx >= 1, s"expected a user-keyed exchange:\n$p")
+    assert(p.contains("partial_count"), "transition counts must combine map-side")
+  }
+
   test("Profiler: fitted/sorted introspection (QueryProfiler parity)") {
     val g = graft.data.TpchGraph.load(spark, dir)
     val prof = g.V().hasLabel("order").has("orderstatus", "F")
