@@ -1206,6 +1206,18 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => {
       graft.pipeline.Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))
     }),
+    // ---- pipeline: loser→survivor remap table (entity-resolution artifact
+    //      downstream joins re-point through after dedup) ----
+    "q_dedup_remap" -> ((s, dir) => {
+      graft.pipeline.Dedup.survivorMap(
+        s.read.parquet(s"$dir/documents.parquet"), threshold = 0.8)
+    }),
+    // ---- pipeline: per-dimension embedding feature-health stats (dead
+    //      dims, clipping, scale imbalance) ----
+    "q_embed_dimstats" -> ((s, dir) => {
+      graft.pipeline.Similarity.embeddingDimStats(
+        s.read.parquet(s"$dir/embeddings.parquet"))
+    }),
     // ---- pipeline: exact n-gram Jaccard similarity join ----
     "q_dedup_ngram" -> ((s, dir) => {
       graft.pipeline.Dedup.ngramJaccardPairs(
@@ -3932,6 +3944,24 @@ object SparkEntry {
         |SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM p
         |GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 30""".stripMargin,
     "q_dedup_documents" -> dedupDocsOracle(8),
+    "q_dedup_remap" -> survivorMapOracle(8),
+    // dim stats: 6-dp-pinned doubles, DECIMAL moments, IEEE mean/std chain
+    // (the valueZScores recipe applied per dimension)
+    "q_embed_dimstats" ->
+      """WITH x AS (SELECT unnest(range(len(embedding))) AS dim,
+        |    unnest(embedding) AS e FROM embeddings),
+        |p AS (SELECT CAST(dim AS INTEGER) AS dim, ROUND(CAST(e AS DOUBLE), 6) AS vd FROM x),
+        |q AS (SELECT dim, vd, CAST(vd AS DECIMAL(17,6)) AS dv FROM p),
+        |a AS (SELECT dim, COUNT(*) AS n, MIN(vd) AS vmin, MAX(vd) AS vmax,
+        |  SUM(dv) AS s, SUM(dv * dv) AS s2 FROM q GROUP BY 1)
+        |SELECT dim, n, vmin, vmax,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |  CASE WHEN CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+        |    THEN sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    ELSE 0.0 END AS std
+        |FROM a""".stripMargin,
     "q_dedup_stats" -> dedupStatsOracle(8),
     "q_dedup_priority" -> dedupPriorityOracle(8),
     "q_semantic_dedup" -> semanticDedupOracle(8, 0.4254, 16),
@@ -5622,6 +5652,32 @@ object SparkEntry {
        |$iters
        |SELECT d.doc_id, d.n_chars FROM documents d
        |WHERE NOT EXISTS (SELECT 1 FROM k$rounds c WHERE c.id = d.doc_id AND c.l <> d.doc_id)
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+       |WHERE EXISTS (SELECT 1 FROM k$rounds a JOIN k${rounds - 1} b
+       |  ON a.id = b.id AND a.l <> b.l)""".stripMargin
+  }
+
+  /** Loser→survivor remap oracle (Dedup.survivorMap): the dedupDocsOracle
+    * pair graph + min-label CC (the converged label IS the component min =
+    * the survivor), emitting one (loser, survivor) row per non-minimum
+    * member; the same (-1, -1) NOT_CONVERGED sentinel. */
+  private def survivorMapOracle(rounds: Int): String = {
+    val iters = minLabelIters("k", rounds)
+    s"""WITH w AS (SELECT doc_id, string_split_regex(text,'\\s+') AS wl FROM documents),
+       |sh AS (SELECT doc_id, list_distinct([wl[i]||' '||wl[i+1]||' '||wl[i+2] for i in range(1, len(wl)-1)]) AS gs FROM w),
+       |tok AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+       |sizes AS (SELECT doc_id, len(gs) AS n FROM sh),
+       |pairs AS MATERIALIZED (SELECT ida, idb FROM (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+       |  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) p
+       |  JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+       |  WHERE CAST(shared AS DOUBLE)/CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.8),
+       |e2 AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM pairs
+       |  UNION ALL SELECT idb, ida FROM pairs),
+       |k0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS l FROM e2),
+       |$iters
+       |SELECT id AS loser, l AS survivor FROM k$rounds WHERE l <> id
        |UNION ALL
        |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
        |WHERE EXISTS (SELECT 1 FROM k$rounds a JOIN k${rounds - 1} b

@@ -509,6 +509,27 @@ object Dedup {
     data.join(losers, data(idCol) === losers("id"), "left_anti")
   }
 
+  /** Loser → survivor REMAP TABLE — the entity-resolution artifact
+    * downstream systems need after dedup (every reference to a dropped
+    * duplicate re-points at its cluster's survivor): near-dup pairs at
+    * `threshold` → connected components → one (loser, survivor) row per
+    * dropped document, survivor = the component's min id (the
+    * [[dedupDocuments]] selection). Unpaired documents emit no row — the
+    * identity majority never materializes.
+    *
+    * Scale: the map is pairs-sized (the CC runs on candidate pairs only),
+    * never corpus-sized; survivors come from one map-side-combinable min
+    * per component. */
+  def survivorMap(docs: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val comps = pairComponents(
+      minHashLshPairs(docs, threshold, idCol = idCol, textCol = textCol))
+    comps.groupBy(col("component")).agg(min(col("id")).as("survivor"))
+      .join(comps, Seq("component"))
+      .filter(col("id") =!= col("survivor"))
+      .select(col("id").as("loser"), col("survivor"))
+  }
+
   /** Survivor selection by PRIORITY instead of min-id: within each duplicate
     * component keep the row maximizing `priority` (ties → smallest id) —
     * "keep the best-quality / longest copy", the selection real corpus

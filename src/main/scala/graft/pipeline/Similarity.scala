@@ -786,4 +786,29 @@ object Similarity {
       .groupBy(col(groupCol), col("dim"))
       .agg((sum(col("v").cast(DecimalType(27, 10))).cast(DoubleType) /
         count(lit(1))).as("centroid"))
+
+  /** Per-dimension embedding statistics — the feature-health report before
+    * training or indexing on a vector column: for every dimension, n /
+    * min / max / mean / std. Dead dimensions (std ≈ 0), clipped ones
+    * (suspicious min/max), and scale imbalance (per-dim std spread) are the
+    * standard failure modes this surfaces. Values pin to 6 dp; moments
+    * accumulate in DECIMAL(17,6)/(35,12) (square exact inside 38 digits)
+    * and the mean/std chain is pure IEEE — the [[graft.stream.ChangeStream
+    * .valueZScores]] recipe, hash-exact cross-engine.
+    *
+    * Scale: one explode + one map-side-combinable aggregate; output is
+    * `dims` rows regardless of corpus size. */
+  def embeddingDimStats(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val ex = emb.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("dim"), round(col("v").cast(DoubleType), 6).as("vd"))
+      .select(col("dim"), col("vd"), col("vd").cast(DecimalType(17, 6)).as("dv"))
+    val m = col("s").cast(DoubleType) / col("n").cast(DoubleType)
+    val variance = col("s2").cast(DoubleType) / col("n").cast(DoubleType) - m * m
+    ex.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), min(col("vd")).as("vmin"),
+        max(col("vd")).as("vmax"), sum(col("dv")).as("s"),
+        sum(col("dv") * col("dv")).as("s2"))
+      .select(col("dim"), col("n"), col("vmin"), col("vmax"), m.as("mean"),
+        when(variance > 0.0, sqrt(variance)).otherwise(lit(0.0)).as("std"))
+  }
 }

@@ -542,6 +542,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Map(3L -> 1L, 2L -> 1L, 1L -> 2L))
   }
 
+  test("survivorMap: one loser row per dropped dup, survivor = cluster min") {
+    import spark.implicits._
+    val t = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = Seq((5L, t), (2L, t), (9L, t),              // one cluster, min 2
+      (7L, (20 to 30).map(i => s"u$i").mkString(" ")))  // unpaired: no row
+      .toDF("doc_id", "text")
+    val got = Dedup.survivorMap(d, threshold = 0.8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(5L -> 2L, 9L -> 2L))
+  }
+
+  test("embeddingDimStats: exact moments per dimension; zero-variance std 0") {
+    import spark.implicits._
+    val d = Seq((1L, Seq(1.0f, 5.0f)), (2L, Seq(3.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingDimStats(d).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got(0) === ((2L, 1.0, 3.0, 2.0, 1.0)))
+    assert(got(1) === ((2L, 5.0, 5.0, 5.0, 0.0)))
+  }
+
   test("winsorize: clamps to per-group interpolated quantile bounds") {
     import spark.implicits._
     // group a: values 0..10; p05 = 0.5, p95 = 9.5 -> 0 clips up, 10 down
