@@ -1735,6 +1735,12 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.langConsistency(
         s.read.parquet(s"$dir/documents.parquet"))
     }),
+    // ---- pipeline: per-source Gopher-rule drop audit (which rule cuts
+    //      which source, and how much survives) ----
+    "q_filter_report" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.filterReport(
+        s.read.parquet(s"$dir/documents.parquet"), minWords = 30)
+    }),
     // ---- pipeline: deterministic per-source mixture sampling ----
     "q_mixture_sample" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.mixtureSample(
@@ -3885,6 +3891,30 @@ object SparkEntry {
         |SELECT tr.from_type, tr.to_type, tr.cnt,
         |  CAST(tr.cnt * 1000000 // tot.tot AS BIGINT) AS p_x1e6
         |FROM tr JOIN tot ON tr.from_type = tot.from_type""".stripMargin,
+    // filter audit: the q_gopher_rules flag SQL aggregated per source
+    "q_filter_report" ->
+      """WITH t AS (SELECT source, string_split_regex(text, '\s+') AS w FROM documents),
+        |f AS (SELECT source, len(w) AS n,
+        |  CAST(list_sum([len(x) for x in w]) AS DOUBLE) / len(w) AS mean_len,
+        |  len(list_filter(w, x -> contains(x, '#') OR contains(x, '...'))) AS sym,
+        |  len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+        |  len(list_distinct(list_filter(w, x -> x IN
+        |    ('the','a','an','and','or','of','to','in','is','it')))) AS stops
+        |  FROM t),
+        |fl AS (SELECT source,
+        |  n >= 30 AND n <= 100000 AS wc,
+        |  mean_len >= 3.0 AND mean_len <= 10.0 AS ml,
+        |  CAST(sym AS DOUBLE) / n <= 0.1 AS sr,
+        |  CAST(alpha AS DOUBLE) / n >= 0.8 AS ar,
+        |  stops >= 2 AS sw FROM f)
+        |SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN NOT wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+        |  CAST(SUM(CASE WHEN NOT ml THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+        |  CAST(SUM(CASE WHEN NOT sr THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol_ratio,
+        |  CAST(SUM(CASE WHEN NOT ar THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha_ratio,
+        |  CAST(SUM(CASE WHEN NOT sw THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword,
+        |  CAST(SUM(CASE WHEN wc AND ml AND sr AND ar AND sw THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM fl GROUP BY 1""".stripMargin,
     // MI: one joint count, marginals derived from it, per-cell
     // cab·round(ln r, 9) summed in DECIMAL — the bigramLogProb recipe
     "q_mutual_info" ->

@@ -53,8 +53,11 @@ object TextAnalysis {
     * filtering so pipelines can report WHY documents fail (standard
     * practice when tuning a cleaning stack). Pure per-row expressions: no
     * shuffle, computed in one scan. */
-  def gopherRules(docs: DataFrame, minWords: Int = 50, maxWords: Int = 100000,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** The five Gopher rule flags as named columns — shared by [[gopherRules]]
+    * (per-document verdicts) and [[filterReport]] (per-source drop audit) so
+    * both read ONE scan's worth of expressions. */
+  private def gopherFlags(textCol: String, minWords: Int,
+      maxWords: Int): Seq[(String, Column)] = {
     val t = tokens(col(textCol))
     val n = size(t)
     val meanLen = aggregate(t, lit(0L), (a, w) => a + length(w))
@@ -62,14 +65,42 @@ object TextAnalysis {
     val symbols = size(filter(t, w => w.contains("#") || w.contains("..."))) // '…' spelled ...
     val alpha = size(filter(t, w => w.rlike("[a-zA-Z]")))
     val stops = size(array_distinct(filter(t, w => w.isin(EnStopwords.map(lit): _*))))
-    docs.select(col(idCol),
-      (n >= minWords && n <= maxWords).as("word_count_ok"),
-      (meanLen >= 3.0 && meanLen <= 10.0).as("mean_word_len_ok"),
-      (symbols.cast(DoubleType) / n.cast(DoubleType) <= 0.1).as("symbol_ratio_ok"),
-      (alpha.cast(DoubleType) / n.cast(DoubleType) >= 0.8).as("alpha_ratio_ok"),
-      (stops >= 2).as("stopword_ok"))
-      .withColumn("pass", col("word_count_ok") && col("mean_word_len_ok") &&
-        col("symbol_ratio_ok") && col("alpha_ratio_ok") && col("stopword_ok"))
+    Seq(
+      "word_count_ok" -> (n >= minWords && n <= maxWords),
+      "mean_word_len_ok" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "symbol_ratio_ok" -> (symbols.cast(DoubleType) / n.cast(DoubleType) <= 0.1),
+      "alpha_ratio_ok" -> (alpha.cast(DoubleType) / n.cast(DoubleType) >= 0.8),
+      "stopword_ok" -> (stops >= 2))
+  }
+
+  def gopherRules(docs: DataFrame, minWords: Int = 50, maxWords: Int = 100000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val flags = gopherFlags(textCol, minWords, maxWords)
+    docs.select(col(idCol) +: flags.map { case (nm, c) => c.as(nm) }: _*)
+      .withColumn("pass", flags.map(f => col(f._1)).reduce(_ && _))
+  }
+
+  /** Per-source filter AUDIT over the Gopher rules — the drop-reason report
+    * every production filter run ships with (what fraction of each source
+    * fails, and WHICH rule cut it): per source, n documents, per-rule
+    * failure counts, and how many pass everything. A rule suddenly cutting
+    * one source disproportionately is the classic upstream-drift signal.
+    *
+    * Scale: the flags evaluate inline over the same single scan as
+    * [[gopherRules]] (shared expression builder — no self-join back to the
+    * corpus) followed by one map-side-combinable count aggregate; output is
+    * |sources| rows. */
+  def filterReport(docs: DataFrame, minWords: Int = 50, maxWords: Int = 100000,
+      textCol: String = "text", groupCol: String = "source"): DataFrame = {
+    val flags = gopherFlags(textCol, minWords, maxWords)
+    val base = docs.select(
+      col(groupCol) +: flags.map { case (nm, c) => c.as(nm) }: _*)
+    base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        (flags.map { case (nm, _) =>
+          sum(when(!col(nm), 1L).otherwise(0L)).as(s"fail_${nm.stripSuffix("_ok")}")
+        } :+ sum(when(flags.map(f => col(f._1)).reduce(_ && _), 1L)
+          .otherwise(0L)).as("n_pass")): _*)
   }
 
   /** Composite quality score in [0,1]: penalize extreme repetition, reward

@@ -542,6 +542,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Map(3L -> 1L, 2L -> 1L, 1L -> 2L))
   }
 
+  test("filterReport: per-rule failure counts partition against n_pass") {
+    import spark.implicits._
+    val good = ((1 to 33).map(i => s"word$i") ++ Seq("the", "a")).mkString(" ")
+    val d = Seq((1L, "s1", good), (2L, "s1", "x"), (3L, "s2", good))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.filterReport(d, minWords = 30).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(6), r.getLong(7)))).toMap
+    // "x": fails word count, mean len (1 < 3), stopwords; s2 all-pass
+    assert(got("s1") === ((2L, 1L, 1L, 1L, 1L)))
+    assert(got("s2") === ((1L, 0L, 0L, 0L, 1L)))
+  }
+
   test("survivorMap: one loser row per dropped dup, survivor = cluster min") {
     import spark.implicits._
     val t = (1 to 10).map(i => s"w$i").mkString(" ")
