@@ -209,15 +209,29 @@ object Analytics {
     result
   }
 
-  /** kTruss with an explicit convergence flag: (surviving edges, converged). */
-  def kTrussConverged(g: PropertyGraph, k: Int, maxRounds: Int = 5): (DataFrame, Boolean) = {
+  /** kTruss with an explicit convergence flag: (surviving edges, converged).
+    *
+    * `reuseRanks` (default true) freezes the orientation order at the
+    * ROUND-0 degrees: any total order yields each triangle exactly once and
+    * support counts are orientation-independent, so correctness is
+    * untouched — but every later round skips its degree aggregate and the
+    * two rank-attach joins run against one persisted frame instead of a
+    * fresh shuffle. Peeling removes few edges per round, so the wedge-bound
+    * quality of the frozen order barely degrades. */
+  def kTrussConverged(g: PropertyGraph, k: Int, maxRounds: Int = 5,
+      reuseRanks: Boolean = true): (DataFrame, Boolean) = {
     require(k >= 3, s"kTruss needs k >= 3 (k=2 keeps every edge), got $k")
     var e = simpleEdges(g).localCheckpoint(false)
     var cur = e.count()
     var round = 0
     var removed = true
+    val deg0 = if (reuseRanks)
+      Some(degreesOf(e).persist(StorageLevel.MEMORY_AND_DISK)) else None
     while (round < maxRounds && removed && cur > 0) {
-      val oriented = orientEdges(e).persist(StorageLevel.MEMORY_AND_DISK)
+      val oriented = (deg0 match {
+        case Some(d) => orientEdges(e, d)
+        case None => orientEdges(e)
+      }).persist(StorageLevel.MEMORY_AND_DISK)
       // support(edge) = triangles containing it: explode each instance into
       // its three canonical edges (orientation is by rank, so re-canonicalize
       // by id before counting)
@@ -240,6 +254,7 @@ object Analytics {
       e = next
       round += 1
     }
+    deg0.foreach(_.unpersist(false))
     (e, !removed || cur == 0L)
   }
 
