@@ -1145,6 +1145,12 @@ object SparkEntry {
         .select(kind.as("kind"), uid.as("uid"),
           col("triangles"), col("wedges"), col("coeff_x1e6"))
     }),
+    // ---- 2.K edge embeddedness: per-edge triangle count (tie-strength /
+    //      weak-tie feature; the kTruss support as a one-pass statistic) ----
+    "q_edge_support" -> ((s, dir) => {
+      val (derived, _, _) = triangleFixture(s, dir)
+      graft.olap.Analytics.edgeSupport(derived)
+    }),
     // ---- 2.K degree-assortativity moment sums (Newman's r ingredients) as
     //      exact integers over the in_nation star forest ----
     "q_assortativity" -> ((s, dir) => {
@@ -3510,6 +3516,26 @@ object SparkEntry {
     "q_kcore" -> kcoreOracle(2, 6),
     "q_coreness" -> corenessOracle(16),
     "q_ktruss" -> ktrussOracle(3, 4),
+    // embeddedness: the ktruss fixture's canonical edge set, support =
+    // common-neighbor count per edge, zero-support edges kept via LEFT JOIN
+    "q_edge_support" -> {
+      val T = 1L << graft.core.GraphIds.TagBits
+      val cu = TpchGraph.CustomerTag.toLong * T
+      val su = TpchGraph.SupplierTag.toLong * T
+      val na = TpchGraph.NationTag.toLong * T
+      s"""WITH cn AS (SELECT $cu + c_custkey AS c, c_nationkey AS nk FROM customer),
+         |sn AS (SELECT $su + s_suppkey AS s, s_nationkey AS nk FROM supplier),
+         |t0 AS MATERIALIZED (
+         |  SELECT LEAST(c, $na + nk) AS u, GREATEST(c, $na + nk) AS v FROM cn
+         |  UNION SELECT LEAST(s, $na + nk), GREATEST(s, $na + nk) FROM sn
+         |  UNION SELECT LEAST(c, s), GREATEST(c, s) FROM cn JOIN sn USING (nk)),
+         |adj AS (SELECT u AS x, v AS a FROM t0 UNION ALL SELECT v, u FROM t0),
+         |wed AS (SELECT x1.x AS u, x2.x AS v, x1.a FROM adj x1
+         |  JOIN adj x2 ON x1.a = x2.a AND x1.x < x2.x)
+         |SELECT e.u, e.v, CAST(COUNT(wed.a) AS BIGINT) AS support
+         |FROM t0 e LEFT JOIN wed ON wed.u = e.u AND wed.v = e.v
+         |GROUP BY 1, 2""".stripMargin
+    },
     "q_topo_layers" -> topoLayersOracle(6),
     "q_ego" -> egoOracle(
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 2),

@@ -258,6 +258,29 @@ object Analytics {
     (e, !removed || cur == 0L)
   }
 
+  /** Edge embeddedness — the per-edge triangle count (support): how many
+    * common neighbors an edge's endpoints share. The classic tie-strength /
+    * link-analysis feature (Granovetter-style weak ties have support 0) and
+    * exactly the quantity [[kTruss]] peels on, exposed as a one-pass
+    * statistic: every canonical edge with its support, zero included.
+    *
+    * Scale: one degree-oriented triangle enumeration ([[triangleInstancesFrom]]
+    * — hub fan-out bounded at O(√m)) exploded to its three edges and
+    * counted; never the per-edge common-neighbor join whose hubs explode. */
+  def edgeSupport(g: PropertyGraph): DataFrame = {
+    val e = simpleEdges(g)
+    val sup = triangleInstancesFrom(orientEdges(e))
+      .select(explode(array(
+        struct(col("a").as("x"), col("b").as("y")),
+        struct(col("a").as("x"), col("c").as("y")),
+        struct(col("b").as("x"), col("c").as("y")))).as("p"))
+      .select(least(col("p.x"), col("p.y")).as("u"),
+        greatest(col("p.x"), col("p.y")).as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+    e.join(sup, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Per-vertex local clustering coefficient over the canonical simple
     * graph: triangles(v) / (deg(v) choose 2). Emitted EXACTLY — `triangles`
     * and `wedges` = d(d−1)/2 as integers plus `coeff_x1e6` =

@@ -202,6 +202,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Analytics.neighborJaccard(g, maxHubDegree = 1L).isEmpty)
   }
 
+  test("edgeSupport: per-edge triangle counts, weak ties at zero") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant edge 3-4: triangle edges support 1,
+    // the pendant is a weak tie at 0
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(),
+      (1L to 4L).map(id => (id, "v")).toDF("id", "label"),
+      Seq((10L, 1L, 2L, "e"), (11L, 2L, 3L, "e"), (12L, 1L, 3L, "e"),
+        (13L, 3L, 4L, "e")).toDF("id", "src", "dst", "label"))
+    val got = Analytics.edgeSupport(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((1L, 2L) -> 1L, (2L, 3L) -> 1L, (1L, 3L) -> 1L,
+      (3L, 4L) -> 0L))
+  }
+
   test("adamicAdar: 1/ln(d) weights over common neighbors, hub-capped") {
     import spark.implicits._
     // star center 0 with leaves 1..3, plus edge 1-2: pairs through center 0
