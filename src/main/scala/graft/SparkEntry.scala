@@ -1741,6 +1741,12 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.langConsistency(
         s.read.parquet(s"$dir/documents.parquet"))
     }),
+    // ---- pipeline: pairwise source vocabulary overlap (exact token-set
+    //      Jaccard — dataset-mixing diversity signal) ----
+    "q_source_overlap" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.sourceVocabOverlap(
+        s.read.parquet(s"$dir/documents.parquet"))
+    }),
     // ---- pipeline: per-source Gopher-rule drop audit (which rule cuts
     //      which source, and how much survives) ----
     "q_filter_report" -> ((s, dir) => {
@@ -3917,6 +3923,18 @@ object SparkEntry {
         |SELECT tr.from_type, tr.to_type, tr.cnt,
         |  CAST(tr.cnt * 1000000 // tot.tot AS BIGINT) AS p_x1e6
         |FROM tr JOIN tot ON tr.from_type = tot.from_type""".stripMargin,
+    // overlap: distinct (source, token) incidence → token-keyed pair join →
+    // exact inter/union integers (the neighborJaccard statistic on vocab)
+    "q_source_overlap" ->
+      """WITH st AS (SELECT DISTINCT source AS g,
+        |  unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+        |sz AS (SELECT g, COUNT(*) AS nv FROM st GROUP BY 1),
+        |pr AS (SELECT a.g, b.g AS g2, COUNT(*) AS shared FROM st a
+        |  JOIN st b ON a.w = b.w AND a.g < b.g GROUP BY 1, 2)
+        |SELECT pr.g AS source_a, pr.g2 AS source_b, pr.shared,
+        |  sa.nv + sb.nv - pr.shared AS uni,
+        |  CAST(pr.shared * 1000000 // (sa.nv + sb.nv - pr.shared) AS BIGINT) AS jaccard_x1e6
+        |FROM pr JOIN sz sa ON sa.g = pr.g JOIN sz sb ON sb.g = pr.g2""".stripMargin,
     // filter audit: the q_gopher_rules flag SQL aggregated per source
     "q_filter_report" ->
       """WITH t AS (SELECT source, string_split_regex(text, '\s+') AS w FROM documents),

@@ -851,6 +851,33 @@ object TextAnalysis {
       .withColumn("ttr",
         round(col("n_distinct").cast(DoubleType) / col("n_tokens"), 6))
 
+  /** Pairwise source vocabulary overlap — exact token-set Jaccard between
+    * every pair of sources (which feeds dataset-mixing decisions: two
+    * sources with near-total vocabulary overlap add less diversity than
+    * their row counts suggest; near-zero overlap flags a language or
+    * domain outlier). Exact integers + floor-scaled similarity, the
+    * [[graft.olap.Analytics.neighborJaccard]] statistic over (source,
+    * token) incidence.
+    *
+    * Scale: the incidence collapses to DISTINCT (source, token) first —
+    * map-side combinable, vocabulary-sized; the pair join is keyed by
+    * token, fanning out at most |sources|²/2 per corpus-wide token, bounded
+    * by source cardinality (metadata-sized), never corpus size. */
+  def sourceVocabOverlap(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val st = docs.select(col(groupCol).as("g"),
+      explode(tokens(col(textCol))).as("w")).distinct()
+    val sz = st.groupBy(col("g")).agg(count(lit(1)).as("nv"))
+    st.join(st.select(col("g").as("g2"), col("w")), Seq("w"))
+      .filter(col("g") < col("g2"))
+      .groupBy(col("g"), col("g2")).agg(count(lit(1)).as("shared"))
+      .join(sz.select(col("g"), col("nv").as("na")), Seq("g"))
+      .join(sz.select(col("g").as("g2"), col("nv").as("nb")), Seq("g2"))
+      .select(col("g").as("source_a"), col("g2").as("source_b"),
+        col("shared"), (col("na") + col("nb") - col("shared")).as("uni"),
+        expr("shared * 1000000L DIV (na + nb - shared)").as("jaccard_x1e6"))
+  }
+
   /** Token frequency-of-frequencies spectrum — the Zipf health report: one
     * row per occurrence count `freq` with `n_types` = how many DISTINCT
     * tokens occur exactly that often corpus-wide. A natural corpus follows
