@@ -1229,6 +1229,12 @@ object SparkEntry {
       graft.pipeline.Dedup.ngramJaccardPairs(
         s.read.parquet(s"$dir/documents.parquet"), threshold = 0.8)
     }),
+    // ---- pipeline: shingle-containment pairs (Broder containment — the
+    //      quote/subsumption detector Jaccard misses) ----
+    "q_containment_pairs" -> ((s, dir) => {
+      graft.pipeline.Dedup.containmentPairs(
+        s.read.parquet(s"$dir/documents.parquet"), threshold = 0.5)
+    }),
     // ---- pipeline: MinHash+LSH near-dup (verified ⇒ same oracle as exact) ----
     "q_dedup_minhash" -> ((s, dir) => {
       graft.pipeline.Dedup.minHashLshPairs(
@@ -3613,6 +3619,19 @@ object SparkEntry {
     "q_stream_exact_dedup" ->
       "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies FROM documents GROUP BY text",
     "q_dedup_ngram" -> ngramJaccardOracle,
+    // containment: the same inverted-index pair counts normalized by the
+    // SMALLER shingle set (c = shared / min(|A|, |B|))
+    "q_containment_pairs" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text,'\s+') AS wl FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([wl[i]||' '||wl[i+1]||' '||wl[i+2] for i in range(1, len(wl)-1)]) AS gs FROM w),
+        |tok AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+        |sizes AS (SELECT doc_id, len(gs) AS n FROM sh),
+        |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+        |  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT ida, idb, shared, CAST(sa.n AS INTEGER) AS sza, CAST(sb.n AS INTEGER) AS szb,
+        |  CAST(shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+        |FROM pairs JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+        |WHERE CAST(shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.5""".stripMargin,
     "q_dedup_minhash" -> ngramJaccardOracle,
     // streaming run: every document arrives as part of some batch, so the
     // union of per-batch results is ALL ordered distinct near-dup pairs —

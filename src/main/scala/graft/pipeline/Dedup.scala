@@ -46,7 +46,36 @@ object Dedup {
     * with n≥3 a high-frequency shingle carries almost no similarity signal. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
-      maxDocFreq: Long = 100000L): DataFrame = {
+      maxDocFreq: Long = 100000L): DataFrame =
+    sharedShingleCounts(docs, n, idCol, textCol, maxDocFreq)
+      .withColumn("jaccard", col("shared").cast(DoubleType) /
+        (col("sza") + col("szb") - col("shared")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), col("jaccard"))
+
+  /** Shingle-CONTAINMENT pairs (Broder's containment, the quote /
+    * subsumption detector Jaccard misses): c = |A∩B| / min(|A|, |B|) — a
+    * short document fully quoted inside a long one scores c = 1 while its
+    * Jaccard is tiny. Returns every pair at `c ≥ threshold` with the exact
+    * shared/size integers so the caller can see WHICH side is contained.
+    * Same inverted-index + stop-shingle machinery as [[ngramJaccardPairs]]
+    * (one shared pair-count builder — one scan, shingle-keyed shuffle,
+    * heavy-shingle cap). */
+  def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDocFreq: Long = 100000L): DataFrame =
+    sharedShingleCounts(docs, n, idCol, textCol, maxDocFreq)
+      .withColumn("containment", col("shared").cast(DoubleType) /
+        least(col("sza"), col("szb")).cast(DoubleType))
+      .filter(col("containment") >= threshold)
+      .select(col("ida"), col("idb"), col("shared"), col("sza"), col("szb"),
+        col("containment"))
+
+  /** Shared machinery of the exact shingle-set joins: distinct-shingle
+    * inverted index → stop-shingle cap → pair intersection counts.
+    * Returns (ida < idb, shared, sza, szb). */
+  private def sharedShingleCounts(docs: DataFrame, n: Int,
+      idCol: String, textCol: String, maxDocFreq: Long): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("gs"))
       .withColumn("sz", size(col("gs")))
     val tok = sh.select(col("id"), col("sz"), explode(col("gs")).as("g"))
@@ -60,11 +89,8 @@ object Dedup {
     val b = filtered.select(col("id").as("idb"), col("sz").as("szb"), col("g"))
     a.join(b, Seq("g")).filter(col("ida") < col("idb"))
       .groupBy(col("ida"), col("idb"))
-      .agg(count(lit(1)).as("shared"), first(col("sza")).as("sza"), first(col("szb")).as("szb"))
-      .withColumn("jaccard", col("shared").cast(DoubleType) /
-        (col("sza") + col("szb") - col("shared")).cast(DoubleType))
-      .filter(col("jaccard") >= threshold)
-      .select(col("ida"), col("idb"), col("jaccard"))
+      .agg(count(lit(1)).as("shared"), first(col("sza")).as("sza"),
+        first(col("szb")).as("szb"))
   }
 
   /** Train/eval decontamination: documents sharing at least one word n-gram

@@ -542,6 +542,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Map(3L -> 1L, 2L -> 1L, 1L -> 2L))
   }
 
+  test("containmentPairs: full quote scores 1.0 where Jaccard stays low") {
+    import spark.implicits._
+    val small = (1 to 5).map(i => s"q$i").mkString(" ")          // 3 shingles
+    val big = (small +: (6 to 40).map(i => s"w$i")).mkString(" ") // quotes small
+    val d = Seq((1L, small), (2L, big), (3L, "z1 z2 z3 z4"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(got === Map((1L, 2L) -> 1.0)) // contained; unrelated doc 3 absent
+    // and the Jaccard join at the same bar misses it
+    assert(Dedup.ngramJaccardPairs(d, threshold = 0.5).isEmpty)
+  }
+
   test("filterReport: per-rule failure counts partition against n_pass") {
     import spark.implicits._
     val good = ((1 to 33).map(i => s"word$i") ++ Seq("the", "a")).mkString(" ")
