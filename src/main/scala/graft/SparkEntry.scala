@@ -1173,6 +1173,12 @@ object SparkEntry {
       graft.olap.Analytics.adamicAdar(graph(s, dir),
         label = Some("contains"), minShared = 2L)
     }),
+    // ---- 2.K triangle-closing link recommendations: per vertex the top-5
+    //      non-adjacent candidates by common-neighbor count ----
+    "q_recommend_links" -> ((s, dir) => {
+      graft.olap.Analytics.recommendLinks(graph(s, dir),
+        label = Some("contains"), k = 5, minShared = 2L)
+    }),
     // ---- 2.K sampled harmonic centrality (Eppstein–Wang): Σ 1/dist from
     //      3 sampled sources as an exact integer, one multi-source BFS ----
     "q_harmonic" -> ((s, dir) => {
@@ -3478,6 +3484,24 @@ object SparkEntry {
          |SELECT x AS ida, y AS idb, COUNT(*) AS inter,
          |  ROUND(CAST(SUM(w.w) AS DOUBLE), 6) AS aa
          |FROM pr JOIN w ON pr.a = w.a GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+    // recommendations: common-neighbor candidates minus existing canonical
+    // edges, symmetrized, per-vertex top-5 by (inter desc, rec asc)
+    "q_recommend_links" ->
+      s"""WITH e AS (SELECT DISTINCT
+         |  ${TpchGraph.OrderTag.toLong * (1L << graft.core.GraphIds.TagBits)} + l_orderkey AS o,
+         |  ${TpchGraph.PartTag.toLong * (1L << graft.core.GraphIds.TagBits)} + l_partkey AS p FROM lineitem),
+         |ed AS (SELECT LEAST(o, p) AS u, GREATEST(o, p) AS v FROM e),
+         |adj AS (SELECT o AS x, p AS a FROM e UNION ALL SELECT p, o FROM e),
+         |cand AS (SELECT l.x, r.x AS y, COUNT(*) AS inter FROM adj l
+         |  JOIN adj r ON l.a = r.a AND l.x < r.x GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |ne AS (SELECT c.x, c.y, c.inter FROM cand c
+         |  ANTI JOIN ed ON c.x = ed.u AND c.y = ed.v),
+         |sym AS (SELECT x AS id, y AS rec, inter FROM ne
+         |  UNION ALL SELECT y, x, inter FROM ne)
+         |SELECT id, rec, inter, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT id, rec, inter, ROW_NUMBER() OVER (PARTITION BY id
+         |    ORDER BY inter DESC, rec ASC) AS rank FROM sym)
+         |WHERE rank <= 5""".stripMargin,
     "q_vertex_jaccard" ->
       s"""WITH e AS (SELECT DISTINCT
          |  ${TpchGraph.OrderTag.toLong * (1L << graft.core.GraphIds.TagBits)} + l_orderkey AS o,

@@ -400,6 +400,43 @@ object Analytics {
         round(col("ws").cast("double"), 6).as("aa"))
   }
 
+  /** Triangle-closing link recommendations — per vertex, the top-`k`
+    * NON-adjacent vertices ranked by common-neighbor count (the
+    * friend-of-a-friend recipe; ties → smallest candidate id, fully
+    * deterministic). Output is directed: (id, rec, inter, rank) — each
+    * vertex gets its own ranked list.
+    *
+    * Scale: pair generation is the same hub-capped common-neighbor join as
+    * [[neighborJaccard]]; existing edges drop via one anti-join on the
+    * canonical pair; the per-vertex top-k is a rank-limit window (Spark
+    * plans WindowGroupLimit — the ≤k cut happens map-side, so only k rows
+    * per vertex cross the exchange). */
+  def recommendLinks(g: PropertyGraph, label: Option[String] = None,
+      k: Int = 5, minShared: Long = 1L,
+      maxHubDegree: Long = 100000L): DataFrame = {
+    require(k >= 1, "recommendLinks: k >= 1")
+    val base = label.map(l => g.edges.filter(col("label") === l)).getOrElse(g.edges)
+    val e = simpleEdges(g.copy(edges = base))
+    val adj = e.select(col("u").as("x"), col("v").as("a"))
+      .unionAll(e.select(col("v").as("x"), col("u").as("a")))
+    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val hubs = deg.filter(col("d") > maxHubDegree).select(col("x").as("a"))
+    val light = adj.join(broadcast(hubs), Seq("a"), "left_anti")
+    val cand = light.select(col("a"), col("x"))
+      .join(light.select(col("a"), col("x").as("y")), Seq("a"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= minShared)
+      // drop pairs that are already edges (both frames are canonical x<y)
+      .join(e.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "left_anti")
+    val sym = cand.select(col("x").as("id"), col("y").as("rec"), col("inter"))
+      .unionAll(cand.select(col("y").as("id"), col("x").as("rec"), col("inter")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("inter").desc, col("rec").asc)
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Label propagation communities. */
   def labelPropagation(g: PropertyGraph, maxIter: Int = 10): DataFrame = {
     val lp = org.apache.spark.graphx.lib.LabelPropagation.run(g.toGraphXStructure, maxIter).vertices

@@ -202,6 +202,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Analytics.neighborJaccard(g, maxHubDegree = 1L).isEmpty)
   }
 
+  test("recommendLinks: FoaF ranked by shared neighbors, edges excluded") {
+    import spark.implicits._
+    // path 1-2-3 plus 1-4, 3-4: pair (1,3) shares {2,4}; (2,4) shares {1,3};
+    // all four "missing chords" recommended, existing edges never
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(),
+      (1L to 4L).map(id => (id, "v")).toDF("id", "label"),
+      Seq((10L, 1L, 2L, "e"), (11L, 2L, 3L, "e"), (12L, 1L, 4L, "e"),
+        (13L, 3L, 4L, "e")).toDF("id", "src", "dst", "label"))
+    val got = Analytics.recommendLinks(g, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getInt(3))))
+      .toMap
+    assert(got === Map(
+      (1L, 3L) -> ((2L, 1)), (3L, 1L) -> ((2L, 1)),
+      (2L, 4L) -> ((2L, 1)), (4L, 2L) -> ((2L, 1))))
+  }
+
   test("edgeSupport: per-edge triangle counts, weak ties at zero") {
     import spark.implicits._
     // triangle 1-2-3 plus pendant edge 3-4: triangle edges support 1,
