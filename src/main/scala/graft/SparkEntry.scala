@@ -1753,6 +1753,19 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.langConsistency(
         s.read.parquet(s"$dir/documents.parquet"))
     }),
+    // ---- pipeline: tokenizer fertility per language (subwords per word —
+    //      the under-served-language context-window metric) ----
+    "q_fertility" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.fertility(
+        s.read.parquet(s"$dir/documents.parquet"))
+    }),
+    // ---- pipeline: join-key health audit (orphans + dup keys both sides —
+    //      the pre-join referential-integrity report) ----
+    "q_join_audit" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.joinKeyAudit(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_orderkey",
+        s.read.parquet(s"$dir/orders.parquet"), "o_orderkey")
+    }),
     // ---- pipeline: pairwise source vocabulary overlap (exact token-set
     //      Jaccard — dataset-mixing diversity signal) ----
     "q_source_overlap" -> ((s, dir) => {
@@ -3966,6 +3979,30 @@ object SparkEntry {
         |SELECT tr.from_type, tr.to_type, tr.cnt,
         |  CAST(tr.cnt * 1000000 // tot.tot AS BIGINT) AS p_x1e6
         |FROM tr JOIN tot ON tr.from_type = tot.from_type""".stripMargin,
+    // fertility: exact word/subword sums per lang, floor-scaled ratio; the
+    // subword regex is the q_subword_count RE2-mirrorable run extraction
+    "q_fertility" ->
+      """SELECT lang,
+        |  CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_words,
+        |  CAST(SUM(len(regexp_extract_all(text,
+        |    '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]+'))) AS BIGINT) AS n_subwords,
+        |  CAST(SUM(len(regexp_extract_all(text,
+        |    '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]+'))) * 1000000
+        |    // SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS fertility_x1e6
+        |FROM documents GROUP BY 1""".stripMargin,
+    // join audit: per-key counts each side, orphan mass via anti-joins
+    "q_join_audit" ->
+      """WITH lk AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |rk AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1)
+        |SELECT
+        |  (SELECT CAST(SUM(c) AS BIGINT) FROM lk) AS n_left,
+        |  (SELECT COUNT(*) FROM lk) AS left_keys,
+        |  (SELECT CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM lk) AS left_dup_keys,
+        |  (SELECT CAST(SUM(c) AS BIGINT) FROM rk) AS n_right,
+        |  (SELECT COUNT(*) FROM rk) AS right_keys,
+        |  (SELECT CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM rk) AS right_dup_keys,
+        |  (SELECT COALESCE(CAST(SUM(c) AS BIGINT), 0) FROM lk ANTI JOIN rk r2 ON lk.k = r2.k) AS left_orphans,
+        |  (SELECT COALESCE(CAST(SUM(c) AS BIGINT), 0) FROM rk ANTI JOIN lk l2 ON rk.k = l2.k) AS right_orphans""".stripMargin,
     // overlap: distinct (source, token) incidence → token-keyed pair join →
     // exact inter/union integers (the neighborJaccard statistic on vocab)
     "q_source_overlap" ->

@@ -851,6 +851,46 @@ object TextAnalysis {
       .withColumn("ttr",
         round(col("n_distinct").cast(DoubleType) / col("n_tokens"), 6))
 
+  /** Tokenizer fertility per group — subword units per whitespace word, the
+    * standard tokenizer-quality metric (a multilingual corpus where one
+    * language's fertility is 2× the others gets systematically fewer words
+    * per context window — the known under-served-language failure mode).
+    * Exact integer sums + floor-scaled ratio; one scan, one group-sized
+    * aggregate. */
+  def fertility(docs: DataFrame, groupCol: String = "lang",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(col(groupCol))
+      .agg(sum(tokenCount(col(textCol)).cast("long")).as("n_words"),
+        sum(subwordCount(col(textCol)).cast("long")).as("n_subwords"))
+      .withColumn("fertility_x1e6",
+        expr("n_subwords * 1000000L DIV n_words"))
+
+  /** Join-key health audit — the referential-integrity report run before
+    * any production join: for `left` keyed by `lk` and `right` keyed by
+    * `rk`, one row of exact counts — rows per side, DISTINCT keys per side,
+    * orphans (rows whose key has no match on the other side, the silent
+    * row-loss of an inner join), and duplicated keys per side (the silent
+    * row-EXPLOSION of a many-to-many join). All map-side-combinable counts
+    * over two scans plus two key-set semi-joins of distinct keys. */
+  def joinKeyAudit(left: DataFrame, lk: String,
+      right: DataFrame, rk: String): DataFrame = {
+    val l = left.select(col(lk).as("k"))
+    val r = right.select(col(rk).as("k"))
+    val lkeys = l.groupBy(col("k")).agg(count(lit(1)).as("c"))
+    val rkeys = r.groupBy(col("k")).agg(count(lit(1)).as("c"))
+    val lStats = lkeys.agg(sum(col("c")).as("n_left"),
+      count(lit(1)).as("left_keys"),
+      sum(when(col("c") > 1, 1L).otherwise(0L)).as("left_dup_keys"))
+    val rStats = rkeys.agg(sum(col("c")).as("n_right"),
+      count(lit(1)).as("right_keys"),
+      sum(when(col("c") > 1, 1L).otherwise(0L)).as("right_dup_keys"))
+    val lOrphans = lkeys.join(rkeys.select(col("k")), Seq("k"), "left_anti")
+      .agg(coalesce(sum(col("c")), lit(0L)).as("left_orphans"))
+    val rOrphans = rkeys.join(lkeys.select(col("k")), Seq("k"), "left_anti")
+      .agg(coalesce(sum(col("c")), lit(0L)).as("right_orphans"))
+    lStats.crossJoin(rStats).crossJoin(lOrphans).crossJoin(rOrphans)
+  }
+
   /** Pairwise source vocabulary overlap — exact token-set Jaccard between
     * every pair of sources (which feeds dataset-mixing decisions: two
     * sources with near-total vocabulary overlap add less diversity than

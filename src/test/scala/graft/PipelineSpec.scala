@@ -542,6 +542,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Map(3L -> 1L, 2L -> 1L, 1L -> 2L))
   }
 
+  test("joinKeyAudit: orphans and dup keys counted exactly, both sides") {
+    import spark.implicits._
+    val l = Seq((1L, "x"), (1L, "y"), (2L, "z"), (9L, "o")).toDF("k", "pay")
+    val r = Seq((1L, "a"), (3L, "b")).toDF("k", "pay")
+    val row = TextAnalysis.joinKeyAudit(l, "k", r, "k").collect()(0)
+    val m = row.getValuesMap[Long](Seq("n_left", "left_keys", "left_dup_keys",
+      "n_right", "right_keys", "right_dup_keys", "left_orphans", "right_orphans"))
+    // left orphan ROWS: keys 2 and 9, one row each; right orphan: key 3
+    assert(m === Map("n_left" -> 4L, "left_keys" -> 3L, "left_dup_keys" -> 1L,
+      "n_right" -> 2L, "right_keys" -> 2L, "right_dup_keys" -> 0L,
+      "left_orphans" -> 2L, "right_orphans" -> 1L))
+  }
+
+  test("fertility: subwords per word, punctuation splits raise it") {
+    import spark.implicits._
+    val d = Seq((1L, "en", "plain words here"),        // 3 words, 3 subwords
+      (2L, "xx", "hy-phen a.b")).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.fertility(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("en") === ((3L, 3L, 1000000L)))
+    // "hy-phen" -> hy,-,phen; "a.b" -> a,.,b : 2 words, 6 subwords
+    assert(got("xx") === ((2L, 6L, 3000000L)))
+  }
+
   test("containmentPairs: full quote scores 1.0 where Jaccard stays low") {
     import spark.implicits._
     val small = (1 to 5).map(i => s"q$i").mkString(" ")          // 3 shingles
