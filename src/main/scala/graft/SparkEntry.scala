@@ -3492,7 +3492,8 @@ object SparkEntry {
          |  ${TpchGraph.PartTag.toLong * (1L << graft.core.GraphIds.TagBits)} + l_partkey AS p FROM lineitem),
          |adj AS (SELECT o AS x, p AS a FROM e UNION ALL SELECT p, o FROM e),
          |deg AS (SELECT x, COUNT(*) AS d FROM adj GROUP BY 1),
-         |w AS (SELECT x AS a, CAST(ROUND(1.0 / ln(d), 9) AS DECIMAL(28,12)) AS w FROM deg),
+         |w AS (SELECT x AS a, CAST(ROUND(1.0 / ln(d), 9) AS DECIMAL(28,12)) AS w
+         |  FROM deg WHERE d >= 2),
          |pr AS (SELECT l.x, r.x AS y, l.a FROM adj l JOIN adj r ON l.a = r.a AND l.x < r.x)
          |SELECT x AS ida, y AS idb, COUNT(*) AS inter,
          |  ROUND(CAST(SUM(w.w) AS DOUBLE), 6) AS aa
@@ -3946,18 +3947,18 @@ object SparkEntry {
     // bounds (the lengthQuantiles recipe), pure clamp
     "q_winsorize" ->
       """WITH ev AS (SELECT event_id, event_type, ROUND(value, 6) AS v FROM events),
-        |b AS (SELECT event_type, ROUND(quantile_cont(v, 0.05), 4) AS lo,
+        |b AS (SELECT event_type AS bg, ROUND(quantile_cont(v, 0.05), 4) AS lo,
         |  ROUND(quantile_cont(v, 0.95), 4) AS hi FROM ev GROUP BY 1)
         |SELECT ev.event_id, ev.event_type,
         |  least(greatest(ev.v, b.lo), b.hi) AS v_clipped
-        |FROM ev JOIN b USING (event_type)""".stripMargin,
+        |FROM ev JOIN b ON ev.event_type IS NOT DISTINCT FROM b.bg""".stripMargin,
     // z-scores: 6-dp-pinned DECIMAL(17,6) values (square exact inside 38
     // digits), moments per type, then the IEEE-mirrored (v-μ)/σ chain —
     // subtract/divide/sqrt are correctly rounded in both engines
     "q_value_zscores" ->
       """WITH ev AS (SELECT event_id, event_type AS etype,
         |  CAST(ROUND(value, 6) AS DECIMAL(17,6)) AS v FROM events),
-        |st AS (SELECT etype, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS s2
+        |st AS (SELECT etype AS sg, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS s2
         |  FROM ev GROUP BY 1)
         |SELECT ev.event_id, ev.etype,
         |  CASE WHEN CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
@@ -3966,7 +3967,7 @@ object SparkEntry {
         |      / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
         |        - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
         |    ELSE NULL END AS z
-        |FROM ev JOIN st USING (etype)""".stripMargin,
+        |FROM ev JOIN st ON ev.etype IS NOT DISTINCT FROM st.sg""".stripMargin,
     // transitions: per-user lead() ordered by (ts, event_id) → pair counts
     // → exact floor-scaled conditional probabilities
     "q_event_transitions" ->
@@ -4047,10 +4048,10 @@ object SparkEntry {
         |ca AS (SELECT a, SUM(cab) AS ca FROM j GROUP BY 1),
         |cb AS (SELECT b, SUM(cab) AS cb FROM j GROUP BY 1),
         |nn AS (SELECT CAST(SUM(cab) AS BIGINT) AS n FROM j)
-        |SELECT nn.n, ROUND(CAST(SUM(cab * CAST(ROUND(ln(
+        |SELECT nn.n, ROUND(CAST(SUM(CAST(cab AS DECIMAL(19,0)) * CAST(ROUND(ln(
         |    (CAST(nn.n AS DOUBLE) * CAST(cab AS DOUBLE)) /
         |    (CAST(ca.ca AS DOUBLE) * CAST(cb.cb AS DOUBLE))), 9)
-        |  AS DECIMAL(28,12))) AS DOUBLE) / CAST(nn.n AS DOUBLE), 6) AS mi
+        |  AS DECIMAL(11,9))) AS DOUBLE) / CAST(nn.n AS DOUBLE), 6) AS mi
         |FROM j JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN nn
         |GROUP BY nn.n""".stripMargin,
     // spectrum: occurrences → per-type counts → frequency-of-frequencies

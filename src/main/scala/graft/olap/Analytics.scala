@@ -269,7 +269,13 @@ object Analytics {
     * counted; never the per-edge common-neighbor join whose hubs explode. */
   def edgeSupport(g: PropertyGraph): DataFrame = {
     val e = simpleEdges(g)
-    val sup = triangleInstancesFrom(orientEdges(e))
+    // the same PlanCache entry triangleCountDF/clusteringCoefficient share:
+    // one session computes the oriented layout once for the whole family
+    val oriented = graft.core.PlanCache.cached(g.spark,
+      graft.core.PlanCache.key("tri-oriented", g.edges)) {
+      orientEdges(e, simpleDegrees(g))
+    }
+    val sup = triangleInstancesFrom(oriented)
       .select(explode(array(
         struct(col("a").as("x"), col("b").as("y")),
         struct(col("a").as("x"), col("c").as("y")),
@@ -337,19 +343,8 @@ object Analytics {
     * here), while d(x)/d(y) in the denominator stay TRUE degrees. */
   def neighborJaccard(g: PropertyGraph, label: Option[String] = None,
       minShared: Long = 1L, maxHubDegree: Long = 100000L): DataFrame = {
-    val base = label.map(l => g.edges.filter(col("label") === l)).getOrElse(g.edges)
-    val e = simpleEdges(g.copy(edges = base))
-    // adjacency, both roles: (x, a) ⇔ a ∈ N(x)
-    val adj = e.select(col("u").as("x"), col("v").as("a"))
-      .unionAll(e.select(col("v").as("x"), col("u").as("a")))
-    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("d"))
-    val hubs = deg.filter(col("d") > maxHubDegree).select(col("d"), col("x").as("a"))
-    val light = adj.join(broadcast(hubs.select(col("a"))), Seq("a"), "left_anti")
-    val pairs = light.select(col("a"), col("x"))
-      .join(light.select(col("a"), col("x").as("y")), Seq("a"))
-      .filter(col("x") < col("y"))
-      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("inter"))
-      .filter(col("inter") >= minShared)
+    val (_, light, deg) = hubCappedAdjacency(g, label, maxHubDegree)
+    val pairs = commonNeighborCounts(light, minShared)
     pairs
       .join(deg.select(col("x"), col("d").as("dx")), Seq("x"))
       .join(deg.select(col("x").as("y"), col("d").as("dy")), Seq("y"))
@@ -375,12 +370,7 @@ object Analytics {
     * sums 9-dp-pinned weights in DECIMAL (map-side combinable, exact). */
   def adamicAdar(g: PropertyGraph, label: Option[String] = None,
       minShared: Long = 1L, maxHubDegree: Long = 100000L): DataFrame = {
-    val base = label.map(l => g.edges.filter(col("label") === l)).getOrElse(g.edges)
-    val e = simpleEdges(g.copy(edges = base))
-    val adj = e.select(col("u").as("x"), col("v").as("a"))
-      .unionAll(e.select(col("v").as("x"), col("u").as("a")))
-    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("d"))
-    val hubs = deg.filter(col("d") > maxHubDegree).select(col("x").as("a"))
+    val (_, light, deg) = hubCappedAdjacency(g, label, maxHubDegree)
     // weight carried BY the center row into the pair join: one weight
     // computation per center, not per pair. d = 1 vertices can never be a
     // common neighbor, and ln 1 = 0 would trip ANSI division — drop them
@@ -388,7 +378,6 @@ object Analytics {
     val w = deg.filter(col("d") >= 2).select(col("x").as("a"),
       round(lit(1.0) / log(col("d").cast("double")), 9)
         .cast(DecimalType(28, 12)).as("w"))
-    val light = adj.join(broadcast(hubs), Seq("a"), "left_anti")
     light.select(col("a"), col("x"))
       .join(light.select(col("a"), col("x").as("y")), Seq("a"))
       .filter(col("x") < col("y"))
@@ -399,6 +388,32 @@ object Analytics {
       .select(col("x").as("ida"), col("y").as("idb"), col("inter"),
         round(col("ws").cast("double"), 6).as("aa"))
   }
+
+  /** Shared link-analysis machinery: the (optionally label-restricted)
+    * canonical simple edges, the undirected adjacency with centers above
+    * `maxHubDegree` removed (the d² pair fan-out cap of [[neighborJaccard]]),
+    * and the TRUE degree frame. One definition for the whole link family —
+    * [[neighborJaccard]], [[adamicAdar]], [[recommendLinks]]. */
+  private def hubCappedAdjacency(g: PropertyGraph, label: Option[String],
+      maxHubDegree: Long): (DataFrame, DataFrame, DataFrame) = {
+    val base = label.map(l => g.edges.filter(col("label") === l)).getOrElse(g.edges)
+    val e = simpleEdges(g.copy(edges = base))
+    // adjacency, both roles: (x, a) ⇔ a ∈ N(x)
+    val adj = e.select(col("u").as("x"), col("v").as("a"))
+      .unionAll(e.select(col("v").as("x"), col("u").as("a")))
+    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val hubs = deg.filter(col("d") > maxHubDegree).select(col("x").as("a"))
+    (e, adj.join(broadcast(hubs), Seq("a"), "left_anti"), deg)
+  }
+
+  /** Common-neighbor pair counts over a hub-capped adjacency: (x < y,
+    * inter ≥ minShared), pairs materialized at their shared center. */
+  private def commonNeighborCounts(light: DataFrame, minShared: Long): DataFrame =
+    light.select(col("a"), col("x"))
+      .join(light.select(col("a"), col("x").as("y")), Seq("a"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= minShared)
 
   /** Triangle-closing link recommendations — per vertex, the top-`k`
     * NON-adjacent vertices ranked by common-neighbor count (the
@@ -415,18 +430,8 @@ object Analytics {
       k: Int = 5, minShared: Long = 1L,
       maxHubDegree: Long = 100000L): DataFrame = {
     require(k >= 1, "recommendLinks: k >= 1")
-    val base = label.map(l => g.edges.filter(col("label") === l)).getOrElse(g.edges)
-    val e = simpleEdges(g.copy(edges = base))
-    val adj = e.select(col("u").as("x"), col("v").as("a"))
-      .unionAll(e.select(col("v").as("x"), col("u").as("a")))
-    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("d"))
-    val hubs = deg.filter(col("d") > maxHubDegree).select(col("x").as("a"))
-    val light = adj.join(broadcast(hubs), Seq("a"), "left_anti")
-    val cand = light.select(col("a"), col("x"))
-      .join(light.select(col("a"), col("x").as("y")), Seq("a"))
-      .filter(col("x") < col("y"))
-      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("inter"))
-      .filter(col("inter") >= minShared)
+    val (e, light, _) = hubCappedAdjacency(g, label, maxHubDegree)
+    val cand = commonNeighborCounts(light, minShared)
       // drop pairs that are already edges (both frames are canonical x<y)
       .join(e.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "left_anti")
     val sym = cand.select(col("x").as("id"), col("y").as("rec"), col("inter"))

@@ -786,11 +786,13 @@ object TextAnalysis {
       groupCol: String = "event_type", idCol: String = "event_id"): DataFrame = {
     require(pLow >= 0 && pHigh <= 1 && pLow <= pHigh, "winsorize: 0 <= pLow <= pHigh <= 1")
     val v = round(col(valueCol), 6)
-    val b = df.groupBy(col(groupCol)).agg(
+    val b = df.groupBy(col(groupCol).as("__bg")).agg(
       round(percentile(v, lit(pLow)), 4).as("__lo"),
       round(percentile(v, lit(pHigh)), 4).as("__hi"))
+    // NULL-SAFE group join: a NULL group clamps against its own bounds
+    // instead of silently dropping (the row-count-stable contract)
     df.select(col(idCol), col(groupCol), v.as("__v"))
-      .join(broadcast(b), Seq(groupCol))
+      .join(broadcast(b), col(groupCol) <=> col("__bg"))
       .select(col(idCol), col(groupCol),
         least(greatest(col("__v"), col("__lo")), col("__hi")).as("v_clipped"))
   }
@@ -862,8 +864,10 @@ object TextAnalysis {
     docs.groupBy(col(groupCol))
       .agg(sum(tokenCount(col(textCol)).cast("long")).as("n_words"),
         sum(subwordCount(col(textCol)).cast("long")).as("n_subwords"))
+      // the ×10⁶ scaling runs in DECIMAL: corpus-sized counts × 10⁶
+      // overflow Long around 9·10¹² subwords — inside the design scale
       .withColumn("fertility_x1e6",
-        expr("n_subwords * 1000000L DIV n_words"))
+        expr("CAST(CAST(n_subwords AS DECIMAL(38,0)) * 1000000 DIV n_words AS BIGINT)"))
 
   /** Join-key health audit — the referential-integrity report run before
     * any production join: for `left` keyed by `lk` and `right` keyed by
@@ -946,7 +950,8 @@ object TextAnalysis {
         (langId(col(textCol)) =!= col(langCol)).cast("long").as("__m"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"), sum(col("__m")).as("n_mismatch"))
-      .withColumn("mismatch_x1e6", expr("n_mismatch * 1000000L DIV n"))
+      .withColumn("mismatch_x1e6",
+        expr("CAST(CAST(n_mismatch AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)"))
 
   /** Mutual information between two categorical columns — the dataset-audit
     * statistic for unwanted association (is `lang` confounded with `source`?
@@ -967,12 +972,15 @@ object TextAnalysis {
     val ca = joint.groupBy(col("__a")).agg(sum(col("cab")).as("ca"))
     val cb = joint.groupBy(col("__b")).agg(sum(col("cab")).as("cb"))
     val n = joint.agg(sum(col("cab")).as("n"))
+    // term widths matter: cab as (19,0) × 9-dp ln as (11,9) → (31,9), inside
+    // the 38-digit cap so the product and its sum stay EXACT (a (28,12)
+    // multiplicand would overflow precision and silently round to 6 dp)
     joint.join(ca, Seq("__a")).join(cb, Seq("__b")).crossJoin(broadcast(n))
       .select(col("n"),
-        (col("cab") * round(log(
+        (col("cab").cast(DecimalType(19, 0)) * round(log(
           col("n").cast(DoubleType) * col("cab").cast(DoubleType) /
             (col("ca").cast(DoubleType) * col("cb").cast(DoubleType))), 9)
-          .cast(DecimalType(28, 12))).as("__term"))
+          .cast(DecimalType(11, 9))).as("__term"))
       .groupBy(col("n"))
       .agg(round(sum(col("__term")).cast(DoubleType) /
         col("n").cast(DoubleType), 6).as("mi"))

@@ -342,7 +342,9 @@ object ChangeStream {
     val tot = tr.groupBy(col("from_type")).agg(sum(col("cnt")).as("tot"))
     tr.join(tot, Seq("from_type"))
       .select(col("from_type"), col("to_type"), col("cnt"),
-        expr("cnt * 1000000L DIV tot").as("p_x1e6"))
+        // DECIMAL scaling: log-sized counts × 10⁶ overflow Long at ~9·10¹²
+        expr("CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 DIV tot AS BIGINT)")
+          .as("p_x1e6"))
   }
 
   /** Per-event z-scores against per-type moments — the metric-anomaly
@@ -362,12 +364,14 @@ object ChangeStream {
     // (a wider input scale would overflow 38 digits and silently round)
     val pinned = round(col(valueCol), 6).cast(org.apache.spark.sql.types.DecimalType(17, 6))
     val ev = events.select(col(idCol), col(typeCol).as("etype"), pinned.as("__v"))
-    val stats = ev.groupBy(col("etype")).agg(
+    val stats = ev.groupBy(col("etype").as("__sg")).agg(
       count(lit(1)).as("n"), sum(col("__v")).as("s"),
       sum(col("__v") * col("__v")).as("s2"))
     val m = col("s").cast("double") / col("n").cast("double")
     val variance = col("s2").cast("double") / col("n").cast("double") - m * m
-    ev.join(broadcast(stats), Seq("etype"))
+    // NULL-SAFE group join: NULL-typed events score against their own
+    // moment row instead of silently dropping
+    ev.join(broadcast(stats), col("etype") <=> col("__sg"))
       .select(col(idCol), col("etype"),
         when(variance > 0.0,
           (col("__v").cast("double") - m) / sqrt(variance)).as("z"))
