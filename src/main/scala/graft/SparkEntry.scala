@@ -1735,6 +1735,11 @@ object SparkEntry {
     "q_winsorize" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.winsorize(readEvents(s, dir))
     }),
+    // ---- events analytics: exact empirical-CDF percentile rank per event
+    //      (calibration-free anomaly score; all-integer) ----
+    "q_value_percentiles" -> ((s, dir) => {
+      graft.stream.ChangeStream.valuePercentiles(readEvents(s, dir))
+    }),
     // ---- pipeline: token frequency-of-frequencies spectrum (Zipf health
     //      report — hapax mass vs head truncation) ----
     "q_freq_spectrum" -> ((s, dir) => {
@@ -3943,6 +3948,17 @@ object SparkEntry {
         |SELECT c.c AS cohort_period, up.p - c.c AS periods_since,
         |  COUNT(*) AS users
         |FROM up JOIN c ON up.user_id = c.user_id GROUP BY 1, 2""".stripMargin,
+    // percentiles: rank() = 1 + strictly-smaller count, type-partitioned;
+    // DECIMAL-scaled exact CDF position
+    "q_value_percentiles" ->
+      """WITH ev AS (SELECT event_id, event_type AS etype, ROUND(value, 6) AS v
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_id, etype, v,
+        |  CAST(RANK() OVER (PARTITION BY etype ORDER BY v ASC) AS BIGINT) - 1 AS n_lt,
+        |  CAST(COUNT(*) OVER (PARTITION BY etype) AS BIGINT) AS n,
+        |  CAST((CAST(RANK() OVER (PARTITION BY etype ORDER BY v ASC) AS HUGEINT) - 1)
+        |    * 1000000 // COUNT(*) OVER (PARTITION BY etype) AS BIGINT) AS pct_x1e6
+        |FROM ev""".stripMargin,
     // winsorize: 6-dp-pinned values, 4-dp-rounded interpolated quantile
     // bounds (the lengthQuantiles recipe), pure clamp
     "q_winsorize" ->

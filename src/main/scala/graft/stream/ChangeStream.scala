@@ -377,6 +377,32 @@ object ChangeStream {
           (col("__v").cast("double") - m) / sqrt(variance)).as("z"))
   }
 
+  /** Exact per-event percentile rank within its type — the empirical CDF
+    * position (pct = strictly-smaller count / type count, floor-scaled):
+    * the calibration-free anomaly score next to [[valueZScores]] (a z-score
+    * assumes rough normality; the CDF position does not). NULL values are
+    * excluded (no defined rank); all-integer arithmetic, hash-exact.
+    *
+    * Scale: rank() over (type, value) is a range-partitioned sort per type —
+    * the one unavoidable cost of EXACT ranks (this is Spark's scalable
+    * global-sort shape, not a single-partition window); everything after is
+    * a pure projection. For rank-free scoring at extreme scale use
+    * [[valueZScores]] or quantile binning via
+    * [[graft.pipeline.TextAnalysis.winsorize]] bounds. */
+  def valuePercentiles(events: DataFrame, typeCol: String = "event_type",
+      valueCol: String = "value", idCol: String = "event_id"): DataFrame = {
+    val ev = events.filter(col(valueCol).isNotNull)
+      .select(col(idCol), col(typeCol).as("etype"),
+        round(col(valueCol), 6).as("v"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("etype")).orderBy(col("v").asc)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("etype"))
+    ev.withColumn("n_lt", rank().over(wr).cast("long") - 1L)
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("pct_x1e6",
+        expr("CAST(CAST(n_lt AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)"))
+  }
+
   /** Retention cohort matrix — cohort(user) = the user's first active
     * period (floor of epoch µs over `periodSeconds`), cell = users from
     * cohort c still active k periods later. The activity set collapses to

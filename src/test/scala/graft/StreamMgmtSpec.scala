@@ -101,6 +101,19 @@ class StreamMgmtSpec extends AnyFunSuite {
     assert(got === Map(1L -> Some(-1.0), 2L -> Some(1.0), 3L -> None, 4L -> None))
   }
 
+  test("valuePercentiles: exact CDF ranks, ties share n_lt, NULLs dropped") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a", Some(1.0)), (2L, "a", Some(2.0)), (3L, "a", Some(2.0)),
+      (4L, "a", Some(9.0)), (5L, "a", None))
+    val events = rows.toDF("event_id", "event_type", "value")
+    val got = ChangeStream.valuePercentiles(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === Map(
+      1L -> ((0L, 4L, 0L)), 2L -> ((1L, 4L, 250000L)),
+      3L -> ((1L, 4L, 250000L)), 4L -> ((3L, 4L, 750000L))))
+  }
+
   test("retentionCohorts: distinct daily activity against first-day cohorts") {
     import spark.implicits._
     val day = 86400L * 1000000L
