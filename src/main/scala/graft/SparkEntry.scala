@@ -1200,6 +1200,13 @@ object SparkEntry {
       val srcs = Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * t + _)
       graft.olap.Analytics.eccentricity(graph(s, dir), srcs, maxIter = 4)
     }),
+    // ---- 2.K sampled hop-distance histogram (the effective-diameter CDF
+    //      ingredient) over the same shared BFS ----
+    "q_hop_histogram" -> ((s, dir) => {
+      val t = 1L << graft.core.GraphIds.TagBits
+      val srcs = Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * t + _)
+      graft.olap.Analytics.hopHistogram(graph(s, dir), srcs, maxIter = 4)
+    }),
     // ---- 2.K explicit path materialization over the tree: source→v id
     //      chains for every reached vertex ----
     "q_shortest_paths" -> ((s, dir) => {
@@ -3543,6 +3550,9 @@ object SparkEntry {
       Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + _), 4),
     "q_closeness" -> closenessOracle(
       Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + _), 4),
+    "q_hop_histogram" -> hopHistogramOracle(
+      Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + _),
+      rounds = 4),
     "q_eccentricity" -> eccentricityOracle(
       Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + _), 4),
     "q_shortest_paths" -> shortestPathsOracle(
@@ -5310,6 +5320,11 @@ object SparkEntry {
     s"""WITH ${multiBfsCtes(sources, rounds)}
        |SELECT s AS source, MAX(d) AS eccentricity, COUNT(*) AS reached
        |FROM m$rounds WHERE d IS NOT NULL GROUP BY s""".stripMargin
+
+  private def hopHistogramOracle(sources: Seq[Long], rounds: Int): String =
+    s"""WITH ${multiBfsCtes(sources, rounds)}
+       |SELECT s AS source, d, COUNT(*) AS n_at_d
+       |FROM m$rounds WHERE d IS NOT NULL GROUP BY 1, 2""".stripMargin
 
   private def shortestTreeOracle(sourceId: Long, rounds: Int): String =
     s"""WITH ${shortestTreeCtes(sourceId, rounds)}

@@ -871,6 +871,19 @@ object Analytics {
       .agg(sum(col("d")).cast("long").as("dist_sum"),
         count(lit(1)).as("reached"))
 
+  /** Sampled hop-distance distribution — the histogram behind "effective
+    * diameter" (the 90th-percentile pairwise distance, Leskovec et al.'s
+    * shrinking-diameters statistic; public): per sampled source, how many
+    * vertices sit at each BFS distance. The CDF over `n_at_d` read off by
+    * the caller gives the effective-diameter estimate; a heavy tail or a
+    * sudden plateau flags disconnection. Shares [[harmonicCentrality]]'s
+    * one-BFS-for-k-sources engine plus one alphabet-sized count aggregate. */
+  def hopHistogram(g: PropertyGraph, sources: Seq[Long],
+      maxIter: Int = 6): DataFrame =
+    multiSourceBfs(g, sources, maxIter, "hopHistogram")
+      .groupBy(col("source"), col("d"))
+      .agg(count(lit(1)).as("n_at_d"))
+
   /** Sampled eccentricity / pseudo-diameter: per sampled source, the max BFS
     * distance over reached vertices (its directed eccentricity) plus the
     * reached count (including the source itself — a reachability sanity
