@@ -2912,7 +2912,10 @@ object SparkEntry {
     // native CDC source end-to-end (readStream → stateful sessionize →
     // memory sink): the one streaming family wall-time, so source/state
     // throughput regressions surface in the bench, not just correctness
-    "q_change_sessionize")
+    "q_change_sessionize",
+    // round-12 heavies: the FoaF pair join + rank-limit window, the
+    // line-dedup text rebuild, and the exact-CDF per-type global sort
+    "q_recommend_links", "q_remove_dup_lines", "q_value_percentiles")
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
