@@ -202,6 +202,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Analytics.neighborJaccard(g, maxHubDegree = 1L).isEmpty)
   }
 
+  test("hopHistogram: per-source distance counts partition the reached set") {
+    import spark.implicits._
+    // path 1 -> 2 -> 3 -> 4: from source 1 exactly one vertex per distance
+    val g = graft.data.PropertyGraph(graft.core.GraphSchema(),
+      (1L to 4L).map(id => (id, "v")).toDF("id", "label"),
+      Seq((10L, 1L, 2L, "e"), (11L, 2L, 3L, "e"), (12L, 3L, 4L, "e"))
+        .toDF("id", "src", "dst", "label"))
+    val got = Analytics.hopHistogram(g, Seq(1L), maxIter = 4).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got === Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("recommendLinks: FoaF ranked by shared neighbors, edges excluded") {
     import spark.implicits._
     // path 1-2-3 plus 1-4, 3-4: pair (1,3) shares {2,4}; (2,4) shares {1,3};
