@@ -899,6 +899,12 @@ object SparkEntry {
     "q_hits" -> ((s, dir) => {
       graft.olap.Analytics.hitsFixedPoint(graph(s, dir), iterations = 4)
     }),
+    // ---- 2.K Katz centrality (exact fixed-point integer: full neighbor
+    //      rank flows per edge, attenuated by α = 1/10000 post-sum) ----
+    "q_katz" -> ((s, dir) => {
+      graft.olap.Analytics.katzFixedPoint(graph(s, dir),
+        alphaNum = 1L, alphaDen = 10000L, iterations = 8)
+    }),
     // ---- 2.K WEIGHTED SSSP (exact integer Bellman-Ford: contains edges
     //      weighted by quantity, unit weights elsewhere — the reference's
     //      ShortestDistanceVertexProgram edge-distance property) ----
@@ -1173,6 +1179,22 @@ object SparkEntry {
       graft.olap.Analytics.adamicAdar(graph(s, dir),
         label = Some("contains"), minShared = 2L)
     }),
+    // ---- 2.K rich-club coefficient per degree threshold: do hubs wire to
+    //      each other? exact integers from two broadcast-sized histograms ----
+    "q_rich_club" -> ((s, dir) => {
+      graft.olap.Analytics.richClub(graph(s, dir))
+    }),
+    // ---- 2.K link-prediction feature sheet: common-neighbors, preferential
+    //      attachment, Adamic-Adar, resource allocation in one pair pass ----
+    "q_link_scores" -> ((s, dir) => {
+      graft.olap.Analytics.linkPredictionScores(graph(s, dir),
+        label = Some("contains"), minShared = 2L)
+    }),
+    // ---- 2.K butterfly (bipartite 4-cycle) counts per order vertex over
+    //      the order-part graph: wedge sums + C(shared,2) closures ----
+    "q_butterflies" -> ((s, dir) => {
+      graft.olap.Analytics.butterflyCounts(graph(s, dir), label = "contains")
+    }),
     // ---- 2.K triangle-closing link recommendations: per vertex the top-5
     //      non-adjacent candidates by common-neighbor count ----
     "q_recommend_links" -> ((s, dir) => {
@@ -1235,6 +1257,12 @@ object SparkEntry {
     //      dims, clipping, scale imbalance) ----
     "q_embed_dimstats" -> ((s, dir) => {
       graft.pipeline.Similarity.embeddingDimStats(
+        s.read.parquet(s"$dir/embeddings.parquet"))
+    }),
+    // ---- pipeline: per-dimension standardization (diagonal whitening) —
+    //      (v-mu)/sigma per cell, NULL on dead dims ----
+    "q_embed_whiten" -> ((s, dir) => {
+      graft.pipeline.Similarity.standardizeDims(
         s.read.parquet(s"$dir/embeddings.parquet"))
     }),
     // ---- pipeline: exact n-gram Jaccard similarity join ----
@@ -1314,6 +1342,32 @@ object SparkEntry {
       val out =
         try {
           awaitStreamProbe(q, "q_stream_oov")
+          val t = s.table(qname)
+          s.catalog.dropTempView(qname)
+          t
+        } finally cleanup()
+      out
+    }),
+    // ---- pipeline: STREAMING count-min sketch — the occurrence-shaped
+    //      single-aggregation form runs unchanged under readStream
+    //      (complete mode); the drained counter table is oracle-identical
+    //      to the batch sketch ----
+    "q_stream_cms" -> ((s, dir) => {
+      val src = s.read.parquet(s"$dir/documents.parquet")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-scms")
+      src.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema(src.schema).parquet(s"$tmp/in")
+      val qname = s"graft_scms_${System.nanoTime()}"
+      val q = graft.pipeline.TextAnalysis.countMinSketch(stream,
+          width = 16, depth = 2, collapseVocab = false)
+        .writeStream.format("memory").queryName(qname).outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      def cleanup(): Unit = deleteRecursively(tmp)
+      val out =
+        try {
+          awaitStreamProbe(q, "q_stream_cms")
           val t = s.table(qname)
           s.catalog.dropTempView(qname)
           t
@@ -1695,6 +1749,35 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.bm25TopK(
         s.read.parquet(s"$dir/documents.parquet"), Seq("hash", "scan", "merge"), k = 20)
     }),
+    // ---- pipeline: count-min sketch accuracy sheet — fixed-memory md5
+    //      counter table, point estimates vs exact counts (overcount is
+    //      the one-sided sketch error; absent term pins the zero path) ----
+    "q_cms_estimate" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.cmsEstimates(
+        s.read.parquet(s"$dir/documents.parquet"),
+        Seq("hash", "scan", "merge", "the", "data", "zzz_absent"),
+        width = 16, depth = 2)
+    }),
+    // ---- pipeline: the LSH S-curve tuning sheet — candidate probability
+    //      1-(1-s^r)^b per banding on a 0.05 similarity grid, computed as
+    //      exact square-and-round DECIMAL chains (no float pow) ----
+    "q_lsh_tuning" -> ((s, dir) => {
+      graft.pipeline.Dedup.lshTuningTable(s)
+    }),
+    // ---- pipeline: trigram stupid-backoff LM scoring (Brants 2007) —
+    //      model on sources src0-src9, scored corpus-wide so the 0.4
+    //      backoff chain genuinely fires on out-of-model n-grams ----
+    "q_stupid_backoff" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val model = docs.filter(col("source").isin((0 to 9).map(i => s"src$i"): _*))
+      graft.pipeline.TextAnalysis.stupidBackoffLogProb(docs, model)
+    }),
+    // ---- pipeline: classic TF-IDF retrieval (linear tf, ln(N/df) idf) —
+    //      the saturation-free vector-space baseline beside BM25 ----
+    "q_tfidf" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.tfIdfTopK(
+        s.read.parquet(s"$dir/documents.parquet"), Seq("hash", "scan", "merge"), k = 20)
+    }),
     // ---- pipeline: exact interpolated token-length quantiles per source ----
     "q_length_quantiles" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.lengthQuantiles(
@@ -1865,6 +1948,12 @@ object SparkEntry {
     "q_top_bigrams" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.topBigrams(
         s.read.parquet(s"$dir/documents.parquet"), k = 30)
+    }),
+    // ---- pipeline: PMI collocations — ln(P(ab)/(P(a·)P(·b))) over bigram
+    //      positions, min-count floored; true phrases, not just frequent ----
+    "q_pmi_bigrams" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.pmiCollocations(
+        s.read.parquet(s"$dir/documents.parquet"), k = 30, minCount = 5L)
     }),
     // ---- pipeline: per-source vocabulary richness (type-token ratio) ----
     "q_vocab_stats" -> ((s, dir) => {
@@ -2676,6 +2765,28 @@ object SparkEntry {
           sum(col("linenumber").cast(LongType)).as("ln_sum"),
           count(when(col("id") > col("__premax"), 1)).as("forked"))
     }),
+    // ---- 2.A snapshot diff — reconcile two graph versions: added zone
+    //      vertices, removed suppliers/in_region edges, property-changed
+    //      customers/placed edges; unchanged elements emit nothing ----
+    "q_graph_diff" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val t = 1L << graft.core.GraphIds.TagBits
+      val v1 = g.vertices.filter(!(col("label") === "supplier" &&
+        pmod(col("uid"), lit(10L)) === 0))
+      val v2 = v1.withColumn("acctbal",
+        when(col("label") === "customer" && pmod(col("uid"), lit(7L)) === 0,
+          col("acctbal") + 1.0).otherwise(col("acctbal")))
+      val zones = g.vertices.filter(col("label") === "region")
+        .withColumn("id", col("id") + lit(8L * t))
+        .withColumn("label", lit("zone"))
+      val e1 = g.edges.filter(!(col("label") === "in_region" &&
+        pmod(col("id"), lit(5L)) === 0))
+      val e2 = e1.withColumn("orderdate",
+        when(col("label") === "placed" && pmod(col("dst"), lit(11L)) === 0,
+          date_add(col("orderdate"), 1)).otherwise(col("orderdate")))
+      graft.data.GraphIO.diff(g,
+        g.copy(vertices = v2.unionByName(zones), edges = e2))
+    }),
     // ---- 2.L TTL compaction — physically reclaim expired elements; the RAW
     //      post-compaction frame (no read-time filter anywhere) proves the
     //      rows are gone from storage, not just hidden ----
@@ -3427,6 +3538,7 @@ object SparkEntry {
       """SELECT AVG(p_size) AS "mean" FROM part""",
     "q_pagerank" -> pageRankOracle(10),
     "q_pagerank_weighted" -> wPageRankOracle(10),
+    "q_katz" -> katzOracle(1L, 10000L, 8),
     "q_ppr" -> pprOracle(
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 10),
     "q_sssp_weighted" -> wssspOracle(
@@ -3513,6 +3625,69 @@ object SparkEntry {
          |SELECT x AS ida, y AS idb, COUNT(*) AS inter,
          |  ROUND(CAST(SUM(w.w) AS DOUBLE), 6) AS aa
          |FROM pr JOIN w ON pr.a = w.a GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+    // one pair pass, four classic link-prediction measures: CN, PA (degree
+    // product), Adamic-Adar (1/ln d), resource allocation (1/d)
+    "q_link_scores" ->
+      s"""WITH e AS (SELECT DISTINCT
+         |  ${TpchGraph.OrderTag.toLong * (1L << graft.core.GraphIds.TagBits)} + l_orderkey AS o,
+         |  ${TpchGraph.PartTag.toLong * (1L << graft.core.GraphIds.TagBits)} + l_partkey AS p FROM lineitem),
+         |adj AS (SELECT o AS x, p AS a FROM e UNION ALL SELECT p, o FROM e),
+         |deg AS (SELECT x, COUNT(*) AS d FROM adj GROUP BY 1),
+         |w AS (SELECT x AS a, CAST(ROUND(1.0 / ln(d), 9) AS DECIMAL(28,12)) AS wln,
+         |  CAST(ROUND(1.0 / d, 9) AS DECIMAL(28,12)) AS wd FROM deg WHERE d >= 2),
+         |pr AS (SELECT l.x, r.x AS y, l.a FROM adj l JOIN adj r ON l.a = r.a AND l.x < r.x),
+         |agg AS (SELECT x, y, COUNT(*) AS inter,
+         |  ROUND(CAST(SUM(w.wln) AS DOUBLE), 6) AS aa,
+         |  ROUND(CAST(SUM(w.wd) AS DOUBLE), 6) AS ra
+         |  FROM pr JOIN w ON pr.a = w.a GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         |SELECT agg.x AS ida, agg.y AS idb, inter, dx.d * dy.d AS pa, aa, ra
+         |FROM agg JOIN deg dx ON dx.x = agg.x JOIN deg dy ON dy.x = agg.y""".stripMargin,
+    // butterflies: per order vertex, wedge incidences and C(shared,2) 4-cycle
+    // closures over the order-part bipartite graph (shared >= 2 pairs only)
+    "q_butterflies" ->
+      s"""WITH e AS (SELECT DISTINCT
+         |  ${TpchGraph.OrderTag.toLong * (1L << graft.core.GraphIds.TagBits)} + l_orderkey AS src,
+         |  ${TpchGraph.PartTag.toLong * (1L << graft.core.GraphIds.TagBits)} + l_partkey AS dst FROM lineitem),
+         |pairs AS (SELECT a.src AS ida, b.src AS idb, COUNT(*) AS shared
+         |  FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |sym AS (SELECT ida AS id, shared FROM pairs UNION ALL SELECT idb, shared FROM pairs)
+         |SELECT id, CAST(SUM(shared) AS BIGINT) AS wedges,
+         |  CAST(SUM(shared * (shared - 1) // 2) AS BIGINT) AS butterflies
+         |FROM sym GROUP BY id""".stripMargin,
+    // rich club: thresholds read two tiny histograms (degree, edge-min-degree)
+    "q_rich_club" ->
+      s"""WITH $graphCtes,
+         |se AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+         |  FROM eg WHERE src <> dst),
+         |deg AS (SELECT x, COUNT(*) AS d
+         |  FROM (SELECT u AS x FROM se UNION ALL SELECT v FROM se) GROUP BY 1),
+         |dh AS (SELECT d, COUNT(*) AS c FROM deg GROUP BY 1),
+         |eh AS (SELECT LEAST(du.d, dv.d) AS m, COUNT(*) AS c
+         |  FROM se JOIN deg du ON du.x = se.u JOIN deg dv ON dv.x = se.v GROUP BY 1),
+         |ks(k) AS (VALUES (CAST(0 AS BIGINT)), (1), (2), (4), (8), (16), (32)),
+         |nk AS (SELECT k, CAST(SUM(c) AS BIGINT) AS nk FROM ks JOIN dh ON dh.d > ks.k GROUP BY 1),
+         |ek AS (SELECT k, CAST(SUM(c) AS BIGINT) AS ek FROM ks JOIN eh ON eh.m > ks.k GROUP BY 1)
+         |SELECT ks.k, CAST(COALESCE(nk.nk, 0) AS BIGINT) AS nk,
+         |  CAST(COALESCE(ek.ek, 0) AS BIGINT) AS ek,
+         |  CASE WHEN COALESCE(nk.nk, 0) >= 2
+         |    THEN 2 * COALESCE(ek.ek, 0) * 1000000 // (nk.nk * (nk.nk - 1)) END AS phi_x1e6
+         |FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k""".stripMargin,
+    // snapshot diff: each category derives from its mutation predicate; the
+    // engine's full-outer JSON-signature compare must land on exactly these
+    "q_graph_diff" -> {
+      val t = 1L << graft.core.GraphIds.TagBits
+      s"""SELECT 'v' AS kind, 'removed' AS change,
+         |  ${4L * t} + s_suppkey AS id, 'supplier' AS label
+         |FROM supplier WHERE s_suppkey % 10 = 0
+         |UNION ALL SELECT 'v', 'changed', ${3L * t} + c_custkey, 'customer'
+         |FROM customer WHERE c_custkey % 7 = 0
+         |UNION ALL SELECT 'v', 'added', ${9L * t} + r_regionkey, 'zone' FROM region
+         |UNION ALL SELECT 'e', 'removed', ${1L * t} + n_nationkey, 'in_region'
+         |FROM nation WHERE (${1L * t} + n_nationkey) % 5 = 0
+         |UNION ALL SELECT 'e', 'changed', ${4L * t} + o_orderkey, 'placed'
+         |FROM orders WHERE (${6L * t} + o_orderkey) % 11 = 0""".stripMargin
+    },
     // recommendations: common-neighbor candidates minus existing canonical
     // edges, symmetrized, per-vertex top-5 by (inter desc, rec asc)
     "q_recommend_links" ->
@@ -3919,6 +4094,97 @@ object SparkEntry {
         |SELECT id AS doc_id,
         |  ROUND(COALESCE(s1, 0) + COALESCE(s2, 0) + COALESCE(s3, 0), 6) AS score
         |FROM piv ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_lsh_tuning" -> lshTuningOracle(Seq((64, 2), (32, 4), (16, 8), (8, 16))),
+    // streaming CMS: the same counter table the batch sketch produces
+    "q_stream_cms" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS t FROM documents),
+        |counts AS (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        |rws AS (SELECT unnest(range(0, 2)) AS rw)
+        |SELECT CAST(rw AS INTEGER) AS rw,
+        |  ('0x' || substr(md5(CAST(rw AS VARCHAR) || ':cms:' || t), 21, 12))::BIGINT % 16 AS bucket,
+        |  CAST(SUM(cnt) AS BIGINT) AS cnt
+        |FROM counts CROSS JOIN rws GROUP BY 1, 2""".stripMargin,
+    // count-min: vocab counts -> depth x width md5 counter table -> per-term
+    // min over its depth buckets (untouched bucket reads 0)
+    "q_cms_estimate" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS t FROM documents),
+        |counts AS (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        |rws AS (SELECT unnest(range(0, 2)) AS rw),
+        |sk AS (SELECT rw,
+        |  ('0x' || substr(md5(CAST(rw AS VARCHAR) || ':cms:' || t), 21, 12))::BIGINT % 16 AS bucket,
+        |  SUM(cnt) AS cnt FROM counts CROSS JOIN rws GROUP BY 1, 2),
+        |terms(token) AS (VALUES ('hash'), ('scan'), ('merge'), ('the'), ('data'), ('zzz_absent')),
+        |probes AS (SELECT token, rw,
+        |  ('0x' || substr(md5(CAST(rw AS VARCHAR) || ':cms:' || token), 21, 12))::BIGINT % 16 AS bucket
+        |  FROM terms CROSS JOIN rws),
+        |est AS (SELECT token, MIN(COALESCE(sk.cnt, 0)) AS est FROM probes
+        |  LEFT JOIN sk ON probes.rw = sk.rw AND probes.bucket = sk.bucket GROUP BY 1),
+        |ex AS (SELECT t AS token, COUNT(*) AS exact FROM toks
+        |  WHERE t IN ('hash', 'scan', 'merge', 'the', 'data', 'zzz_absent') GROUP BY 1)
+        |SELECT terms.token, CAST(COALESCE(ex.exact, 0) AS BIGINT) AS exact,
+        |  CAST(COALESCE(est.est, 0) AS BIGINT) AS est,
+        |  CAST(COALESCE(est.est, 0) - COALESCE(ex.exact, 0) AS BIGINT) AS overcount
+        |FROM terms LEFT JOIN est ON terms.token = est.token
+        |LEFT JOIN ex ON terms.token = ex.token""".stripMargin,
+    // stupid backoff: model counts from src0-src9, 3-level CASE fallback,
+    // 9-dp lns + DECIMAL-exact backoff constants (ln 0.4 pinned inline)
+    "q_stupid_backoff" ->
+      """WITH mw AS (SELECT string_split_regex(text, '\s+') AS w FROM documents
+        |  WHERE source IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9')),
+        |tri AS (SELECT w[i] AS a, w[i+1] AS b, w[i+2] AS c, COUNT(*) AS tc
+        |  FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i FROM mw WHERE len(w) >= 3)
+        |  GROUP BY 1, 2, 3),
+        |bi AS (SELECT w[i] AS a, w[i+1] AS b, COUNT(*) AS bc
+        |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM mw WHERE len(w) >= 2)
+        |  GROUP BY 1, 2),
+        |uni AS (SELECT a, COUNT(*) AS uc FROM (SELECT unnest(w) AS a FROM mw) GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(uc) AS DOUBLE) AS n FROM uni),
+        |tris AS (SELECT tri.a, tri.b, tri.c,
+        |  CAST(ROUND(ln(CAST(tc AS DOUBLE) / CAST(bi.bc AS DOUBLE)), 9) AS DECIMAL(28,12)) AS ts
+        |  FROM tri JOIN bi ON tri.a = bi.a AND tri.b = bi.b),
+        |bis AS (SELECT bi.a AS b, bi.b AS c,
+        |  CAST(ROUND(ln(CAST(bc AS DOUBLE) / CAST(uni.uc AS DOUBLE)), 9) AS DECIMAL(28,12)) AS bs
+        |  FROM bi JOIN uni ON bi.a = uni.a),
+        |unis AS (SELECT uni.a AS c,
+        |  CAST(ROUND(ln(CAST(uc AS DOUBLE) / n), 9) AS DECIMAL(28,12)) AS us
+        |  FROM uni CROSS JOIN tot),
+        |fl AS (SELECT CAST(ROUND(ln(1.0 / n), 9) AS DECIMAL(28,12)) AS fs FROM tot),
+        |pos AS (SELECT doc_id, w[i] AS a, w[i+1] AS b, w[i+2] AS c
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+        |  , LATERAL unnest(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+        |scored AS (SELECT doc_id,
+        |  CASE WHEN ts IS NOT NULL THEN ts
+        |       WHEN bs IS NOT NULL THEN CAST(-0.916290732 AS DECIMAL(28,12)) + bs
+        |       ELSE CAST(-1.832581464 AS DECIMAL(28,12)) + COALESCE(us, fs) END AS logs
+        |  FROM pos
+        |  LEFT JOIN tris ON pos.a = tris.a AND pos.b = tris.b AND pos.c = tris.c
+        |  LEFT JOIN bis ON pos.b = bis.b AND pos.c = bis.c
+        |  LEFT JOIN unis ON pos.c = unis.c
+        |  CROSS JOIN fl)
+        |SELECT doc_id, ROUND(CAST(SUM(logs) AS DOUBLE) / COUNT(*), 6) AS mean_logs
+        |FROM scored GROUP BY 1""".stripMargin,
+    // tf-idf: linear tf x 9-dp-pinned ln(N/df), fixed-order pivot sum
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |matched AS (
+        |  SELECT id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM toks WHERE token IN ('hash', 'scan', 'merge') GROUP BY 1, 2),
+        |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        |dfs AS (SELECT token, CAST(COUNT(DISTINCT id) AS DOUBLE) AS dfreq FROM matched GROUP BY 1),
+        |scored AS (
+        |  SELECT m.id, m.token, m.tf * ROUND(ln(n.n_docs / d.dfreq), 9) AS sc
+        |  FROM matched m JOIN dfs d USING (token) CROSS JOIN nd n),
+        |piv AS (
+        |  SELECT id,
+        |    MAX(CASE WHEN token = 'hash' THEN sc END) AS s1,
+        |    MAX(CASE WHEN token = 'scan' THEN sc END) AS s2,
+        |    MAX(CASE WHEN token = 'merge' THEN sc END) AS s3
+        |  FROM scored GROUP BY 1)
+        |SELECT id AS doc_id,
+        |  ROUND(COALESCE(s1, 0) + COALESCE(s2, 0) + COALESCE(s3, 0), 6) AS score
+        |FROM piv ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q_length_quantiles" ->
       """SELECT source, COUNT(*) AS n,
         |  ROUND(quantile_cont(len(string_split_regex(text, '\s+')), 0.25), 4) AS p25,
@@ -4146,6 +4412,25 @@ object SparkEntry {
         |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
         |    ELSE 0.0 END AS std
         |FROM a""".stripMargin,
+    // whitening: the dim-stats moment recipe, then the IEEE (v-mu)/sigma
+    // chain per exploded cell; zero-variance dims yield NULL z
+    "q_embed_whiten" ->
+      """WITH x AS (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+        |    unnest(embedding) AS e FROM embeddings),
+        |p AS (SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+        |  ROUND(CAST(e AS DOUBLE), 6) AS vd FROM x),
+        |q AS (SELECT dim, CAST(vd AS DECIMAL(17,6)) AS dv FROM p),
+        |a AS (SELECT dim, COUNT(*) AS n, SUM(dv) AS s, SUM(dv * dv) AS s2
+        |  FROM q GROUP BY 1),
+        |st AS (SELECT dim, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |  CASE WHEN CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+        |    THEN sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    ELSE NULL END AS sigma
+        |  FROM a)
+        |SELECT p.vec_id, p.dim, (p.vd - st.mu) / st.sigma AS z
+        |FROM p JOIN st ON p.dim = st.dim""".stripMargin,
     "q_dedup_stats" -> dedupStatsOracle(8),
     "q_dedup_priority" -> dedupPriorityOracle(8),
     "q_semantic_dedup" -> semanticDedupOracle(8, 0.4254, 16),
@@ -4164,6 +4449,20 @@ object SparkEntry {
         |      FROM toks WHERE len(t) >= 2)
         |SELECT bigram, COUNT(*) AS cnt FROM b GROUP BY 1
         |ORDER BY cnt DESC, bigram LIMIT 30""".stripMargin,
+    // PMI: marginals derived FROM the bigram-position table, one 9-dp ln
+    "q_pmi_bigrams" ->
+      """WITH ws AS (SELECT string_split_regex(text, '\s+') AS w FROM documents),
+        |bi AS (SELECT w[i] AS a, w[i+1] AS b
+        |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM ws WHERE len(w) >= 2)),
+        |bc AS (SELECT a, b, COUNT(*) AS bc FROM bi GROUP BY 1, 2),
+        |ac AS (SELECT a, SUM(bc) AS ac FROM bc GROUP BY 1),
+        |cc AS (SELECT b, SUM(bc) AS cc FROM bc GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(bc) AS DOUBLE) AS n FROM bc)
+        |SELECT bc.a || ' ' || bc.b AS bigram, bc.bc AS cnt,
+        |  ROUND(ln((CAST(bc.bc AS DOUBLE) * tt.n) /
+        |    (CAST(ac.ac AS DOUBLE) * CAST(cc.cc AS DOUBLE))), 9) AS pmi
+        |FROM bc JOIN ac ON bc.a = ac.a JOIN cc ON bc.b = cc.b CROSS JOIN tt
+        |WHERE bc.bc >= 5 ORDER BY pmi DESC, bigram ASC LIMIT 30""".stripMargin,
     "q_vocab_stats" ->
       """WITH tk AS (SELECT source, unnest(string_split_regex(text, '\s+')) AS token FROM documents)
         |SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_distinct,
@@ -4788,6 +5087,49 @@ object SparkEntry {
 
   /** Fixed-point PageRank: rank' = 0.15·10¹² + 85·(Σ(rank DIV outdeg) DIV 100),
     * all-BIGINT (mirrors Analytics.pageRankFixedPoint bit-for-bit). */
+  /** LSH S-curve sheet (mirrors Dedup.lshTuningTable: every exponentiation
+    * is a square-and-round(12) DECIMAL(13,12) chain — bands/rows are powers
+    * of two, so the chain depth is exactly log2). */
+  private def lshTuningOracle(configs: Seq[(Int, Int)]): String = {
+    def log2(x: Int): Int = java.lang.Integer.numberOfTrailingZeros(x)
+    // each squaring is ONE wrapping subquery referencing the previous step's
+    // column once — linear SQL size (an inline fold would double the
+    // expression text per level)
+    def sq(inner: String, times: Int): String =
+      (1 to times).foldLeft(inner)((q, _) =>
+        s"SELECT s_x100, CAST(ROUND(x * x, 12) AS DECIMAL(13,12)) AS x FROM ($q)")
+    val selects = configs.map { case (b, r) =>
+      val grid = s"""SELECT CAST(i * 5 AS INTEGER) AS s_x100,
+        CAST(CAST(i * 5 AS DECIMAL(26,12)) * 0.01 AS DECIMAL(13,12)) AS x
+        FROM range(1, 20) t(i)"""
+      val sr = sq(grid, log2(r))
+      val flipped = s"SELECT s_x100, CAST(1 - x AS DECIMAL(13,12)) AS x FROM ($sr)"
+      val qb = sq(flipped, log2(b))
+      s"""SELECT $b AS bands, $r AS rows, s_x100,
+         |CAST(FLOOR(CAST(1 - x AS DECIMAL(26,12)) * 1000000) AS BIGINT) AS p_x1e6
+         |FROM ($qb)""".stripMargin
+    }
+    selects.mkString("\nUNION ALL\n")
+  }
+
+  /** Katz fixed point (mirrors Analytics.katzFixedPoint: the full neighbor
+    * rank flows along every in-edge, α = num/den applies once post-sum with
+    * one integer floor per vertex per round). */
+  private def katzOracle(alphaNum: Long, alphaDen: Long, iterations: Int): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT vg.id,
+         |  1000000000000 + ($alphaNum * CAST(COALESCE(SUM(m.c), 0) AS BIGINT)) // $alphaDen AS r
+         |  FROM vg LEFT JOIN (
+         |    SELECT eg.dst AS id, p${k - 1}.r AS c
+         |    FROM eg JOIN p${k - 1} ON p${k - 1}.id = eg.src) m ON m.id = vg.id
+         |  GROUP BY vg.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |p0 AS MATERIALIZED (SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM vg),
+       |$iters
+       |SELECT id, r AS katz_fp FROM p$iterations""".stripMargin
+  }
+
   private def pageRankOracle(iterations: Int): String = {
     val iters = (1 to iterations).map { k =>
       s"""p$k AS MATERIALIZED (SELECT vg.id,

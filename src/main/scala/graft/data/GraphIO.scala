@@ -845,4 +845,46 @@ object GraphIO {
       } else e0
     refreshIndexTables(g.copy(vertices = v, edges = e))
   }
+
+  /** SNAPSHOT DIFF — reconcile two versions of a graph (yesterday's store
+    * vs today's, a replica vs its source, pre- vs post-migration): one row
+    * per element that differs, (kind 'v'|'e', change 'added'|'removed'|
+    * 'changed', id, label). 'changed' means the element exists on both
+    * sides but some shared property column (or the label) differs;
+    * unchanged elements emit nothing, so the output is delta-sized. The
+    * batch complement of [[graft.stream.ChangeStream]]'s CDC feed — the
+    * reference exposes change sets per transaction
+    * (tc/core/log/ChangeProcessor.java); the diff recovers one when no log
+    * was kept. Columns present on only one side are ignored for the
+    * 'changed' test (schema evolution is not a per-element change).
+    *
+    * Scale: two full-outer equi-joins keyed by element id (the natural
+    * even key), comparing ONE canonical JSON string per side built from
+    * the sorted shared columns — null-aware, no per-column join
+    * explosion; filters drop unchanged rows before anything else. */
+  def diff(before: PropertyGraph, after: PropertyGraph): DataFrame = {
+    def side(df: DataFrame, other: DataFrame, drop: Set[String]): DataFrame = {
+      val shared = (df.columns.toSet intersect other.columns.toSet)
+        .diff(drop).toSeq.sorted
+      df.select(col("id"), col("label"),
+        to_json(struct(shared.map(col): _*)).as("sig"))
+    }
+    def half(kind: String, b: DataFrame, a: DataFrame, drop: Set[String]): DataFrame = {
+      val bs = side(b, a, drop).select(col("id"), col("label").as("b_label"),
+        col("sig").as("b_sig"))
+      val as_ = side(a, b, drop).select(col("id"), col("label").as("a_label"),
+        col("sig").as("a_sig"))
+      bs.join(as_, Seq("id"), "full_outer")
+        .select(lit(kind).as("kind"),
+          when(col("b_sig").isNull, "added")
+            .when(col("a_sig").isNull, "removed")
+            .when(!(col("a_sig") <=> col("b_sig")), "changed").as("change"),
+          col("id"), coalesce(col("a_label"), col("b_label")).as("label"))
+        .filter(col("change").isNotNull)
+    }
+    // edge endpoints participate in the signature: an edge id rewired to
+    // different vertices IS a change
+    half("v", before.vertices, after.vertices, Set("id"))
+      .unionAll(half("e", before.edges, after.edges, Set("id")))
+  }
 }

@@ -60,6 +60,70 @@ object Analytics {
       .filter(col("shared") >= minShared)
   }
 
+  /** Per-vertex BUTTERFLY (bipartite 4-cycle) counts over one edge label —
+    * the bipartite analogue of the triangle count: a butterfly is two src
+    * vertices sharing two dst neighbors, the densest motif a bipartite
+    * graph supports, and the standard cohesion signal for user–item /
+    * order–part graphs where triangles cannot exist (Sanei-Mehri et al.
+    * "Butterfly Counting in Bipartite Networks", KDD'18; public). For each
+    * src-side vertex: wedges = Σ_y s(x,y) (co-neighbor incidences) and
+    * butterflies = Σ_y C(s(x,y), 2) where s = shared-dst count with y.
+    * Returns (id, wedges, butterflies), butterflies ≥ 1 rows only.
+    *
+    * Scale: pair generation is exactly [[projectBipartite]] — the inverted
+    * index keyed by the dst side, hub dsts above `maxHubDegree` dropped
+    * before the m² pair fan-out — then ONE symmetrize + group-by-endpoint
+    * pass; every aggregate is a map-side-combinable integer sum, and the
+    * C(s,2) arithmetic runs on the (much smaller) pair frame, never on the
+    * raw edges. */
+  def butterflyCounts(g: PropertyGraph, label: String,
+      maxHubDegree: Long = 100000L): DataFrame = {
+    val pairs = projectBipartite(g, label, minShared = 2L, maxHubDegree)
+      .select(col("ida"), col("idb"),
+        col("shared"), expr("shared * (shared - 1) DIV 2").as("bf"))
+    pairs.select(col("ida").as("id"), col("shared"), col("bf"))
+      .unionAll(pairs.select(col("idb").as("id"), col("shared"), col("bf")))
+      .groupBy(col("id"))
+      .agg(sum(col("shared")).as("wedges"), sum(col("bf")).as("butterflies"))
+  }
+
+  /** RICH-CLUB coefficient per degree threshold (Zhou & Mondragón 2004;
+    * Colizza et al. 2006) — do the hubs preferentially wire to each other?
+    * For each k in `ks`: n_k = |{v : deg(v) > k}|, e_k = edges with BOTH
+    * endpoints above k, φ(k) = 2·e_k / (n_k·(n_k−1)) as the exact
+    * floor-scaled integer φ×10⁶ (NULL when n_k < 2 — no pairs to wire).
+    * A rising φ(k) is the rich-club signature; flat-or-falling means hubs
+    * are mediators, not a club.
+    *
+    * Scale: degrees once from the canonical simple edges, then BOTH counts
+    * come from two tiny histograms — the degree histogram and the per-edge
+    * min(deg_u, deg_v) histogram — so the threshold grid never rescans the
+    * graph: each φ(k) is a filtered sum over ≤|distinct degrees| rows
+    * (broadcast-sized at any corpus), one |E| join total. */
+  def richClub(g: PropertyGraph, ks: Seq[Long] = Seq(0L, 1L, 2L, 4L, 8L, 16L, 32L)): DataFrame = {
+    require(ks.nonEmpty, "richClub: need at least one threshold")
+    val e = simpleEdges(g)
+    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val dh = deg.groupBy(col("d")).agg(count(lit(1)).as("c"))
+    val eh = e.join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      .select(least(col("du"), col("dv")).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("c"))
+    val spark = g.spark
+    import spark.implicits._
+    val grid = ks.toDF("k")
+    val nk = grid.crossJoin(broadcast(dh)).filter(col("d") > col("k"))
+      .groupBy(col("k")).agg(sum(col("c")).as("nk"))
+    val ek = grid.crossJoin(broadcast(eh)).filter(col("m") > col("k"))
+      .groupBy(col("k")).agg(sum(col("c")).as("ek"))
+    grid.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+      .select(col("k"), coalesce(col("nk"), lit(0L)).as("nk"),
+        coalesce(col("ek"), lit(0L)).as("ek"),
+        when(coalesce(col("nk"), lit(0L)) >= 2,
+          expr("2 * coalesce(ek, 0L) * 1000000L DIV (nk * (nk - 1))")).as("phi_x1e6"))
+  }
+
   /** PageRank with damping 0.85 — reference tt/olap/PageRankVertexProgram.java:31-110
     * (damping constant :43, iterate until maxIter). GraphX staticPageRank:
     * same fixed-point, message-combined. Returns (id, rank). */
@@ -389,6 +453,50 @@ object Analytics {
         round(col("ws").cast("double"), 6).as("aa"))
   }
 
+  /** The full classic link-prediction feature sheet in ONE pair pass:
+    * for every vertex pair sharing ≥ `minShared` common neighbors,
+    *   inter — common-neighbor count (Newman 2001),
+    *   pa    — preferential attachment d(x)·d(y) (Barabási),
+    *   aa    — Adamic–Adar Σ 1/ln d(a) (Adamic & Adar 2003),
+    *   ra    — resource allocation Σ 1/d(a) (Zhou et al. 2009).
+    * The ML-feature-extraction twin of [[adamicAdar]]: models train on the
+    * whole sheet, so computing the four measures in one job beats four
+    * separate pair joins.
+    *
+    * Scale + determinism: the SAME single hub-capped common-neighbor join
+    * as [[adamicAdar]] — both per-center weights (round(1/ln d, 9) and
+    * round(1/d, 9), the cross-engine ln/division recipe) ride the center
+    * row into the pair join, so the pair aggregate stays one shuffle with
+    * map-side-combinable DECIMAL sums; the degree product joins AFTER the
+    * aggregate (two broadcast-size lookups keyed by endpoint, never a
+    * per-pair-row weight recomputation). */
+  def linkPredictionScores(g: PropertyGraph, label: Option[String] = None,
+      minShared: Long = 1L, maxHubDegree: Long = 100000L): DataFrame = {
+    val (_, light, deg) = hubCappedAdjacency(g, label, maxHubDegree)
+    // common neighbors have d ≥ 2 (they touch both endpoints), so the d = 1
+    // rows dropped here can never appear as a center — and ln 1 = 0 stays
+    // out of the divide
+    val w = deg.filter(col("d") >= 2).select(col("x").as("a"),
+      round(lit(1.0) / log(col("d").cast("double")), 9)
+        .cast(DecimalType(28, 12)).as("wln"),
+      round(lit(1.0) / col("d").cast("double"), 9)
+        .cast(DecimalType(28, 12)).as("wd"))
+    light.select(col("a"), col("x"))
+      .join(light.select(col("a"), col("x").as("y")), Seq("a"))
+      .filter(col("x") < col("y"))
+      .join(w, Seq("a"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("inter"), sum(col("wln")).as("wls"),
+        sum(col("wd")).as("wds"))
+      .filter(col("inter") >= minShared)
+      .join(deg.select(col("x"), col("d").as("dx")), Seq("x"))
+      .join(deg.select(col("x").as("y"), col("d").as("dy")), Seq("y"))
+      .select(col("x").as("ida"), col("y").as("idb"), col("inter"),
+        (col("dx") * col("dy")).as("pa"),
+        round(col("wls").cast("double"), 6).as("aa"),
+        round(col("wds").cast("double"), 6).as("ra"))
+  }
+
   /** Shared link-analysis machinery: the (optionally label-restricted)
     * canonical simple edges, the undirected adjacency with centers above
     * `maxHubDegree` removed (the d² pair fan-out cap of [[neighborJaccard]]),
@@ -575,6 +683,61 @@ object Analytics {
           (lit(15L * (S / 100L)) + lit(85L) * expr("coalesce(s, 0L) DIV 100")).as("r"))
     }
     ranks.select(col("id"), col("r").as("rank_fp"))
+  }
+
+  /** Katz centrality in [[pageRankFixedPoint]]'s exact fixed-point integer
+    * arithmetic: x ← β + α·Aᵀx (Katz 1953) — unlike PageRank, the FULL rank
+    * of a neighbor flows along every edge (no degree division), damped by
+    * the attenuation factor α = `alphaNum`/`alphaDen`, so long-range
+    * influence decays geometrically with path length. β is the 10¹² unit
+    * mass. Converges iff α · max-in-degree < 1; the cache-miss validation
+    * enforces exactly that (with the BigInt bound check that keeps every
+    * intermediate under 2⁶³), so a graph too dense for the chosen α fails
+    * loudly instead of silently wrapping.
+    *
+    * Scale shape: identical to the PageRank fixed point — one edges⨝ranks
+    * equi-join plus a map-side-combinable integer sum per iteration over a
+    * PlanCache-served 16-byte edge projection; α applies ONCE post-sum
+    * (⌊αnum·Σ/αden⌋), one floor per vertex per round, mirrored exactly by
+    * the oracle. */
+  def katzFixedPoint(g: PropertyGraph, alphaNum: Long = 1L,
+      alphaDen: Long = 10000L, iterations: Int = 8): DataFrame = {
+    require(alphaNum > 0 && alphaDen > alphaNum,
+      "katzFixedPoint: need 0 < alpha = alphaNum/alphaDen < 1")
+    val S = 1000000000000L
+    val e = graft.core.PlanCache.cached(g.spark,
+      graft.core.PlanCache.key("katz-edges", g.edges)) {
+      val ed = g.edges.select(col("src"), col("dst"))
+      // contraction + overflow bound ride the cache miss: with D = max
+      // in-degree, ranks stay ≤ S·αden/(αden − αnum·D) =: B and the per-
+      // vertex message product αnum·D·B must fit a Long
+      val mx = ed.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+        .agg(max(col("d"))).head
+      if (!mx.isNullAt(0)) {
+        val d = mx.getLong(0)
+        require(alphaNum * d < alphaDen,
+          s"katzFixedPoint: alpha=$alphaNum/$alphaDen × max-in-degree=$d ≥ 1 — " +
+            "the Katz series diverges; shrink alpha")
+        val bound = (BigInt(S) * alphaDen) / (BigInt(alphaDen) - BigInt(alphaNum) * d)
+        require(BigInt(alphaNum) * d * bound < BigInt(Long.MaxValue),
+          s"katzFixedPoint: αnum·D·bound=${alphaNum * d}·$bound would overflow — shrink alpha")
+      }
+      ed
+    }
+    val ids = graft.core.PlanCache.cached(g.spark,
+      graft.core.PlanCache.key("pagerank-ids", g.vertices)) {
+      g.vertices.select(col("id"))
+    }
+    var ranks = ids.select(col("id"), lit(S).as("r"))
+    (1 to iterations).foreach { _ =>
+      val msgs = e.join(ranks, e("src") === ranks("id"))
+        .select(col("dst").as("id"), col("r").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      ranks = ids.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(S) + expr(s"($alphaNum * coalesce(s, 0L)) DIV $alphaDen")).as("r"))
+    }
+    ranks.select(col("id"), col("r").as("katz_fp"))
   }
 
   /** HITS hubs-and-authorities in exact fixed-point integer arithmetic

@@ -345,6 +345,46 @@ object Dedup {
       .join(base, Seq("id"))
   }
 
+  /** The LSH S-CURVE tuning table — the planning sheet every MinHash
+    * deployment reads before picking (bands, rows): for each candidate
+    * banding of the signature and each Jaccard similarity s on a 0.05 grid,
+    * the candidate-pair probability P = 1 − (1 − s^rows)^bands (Broder /
+    * Leskovec-Rajaraman-Ullman "Mining of Massive Datasets" ch. 3; the
+    * curve's threshold sits near (1/bands)^(1/rows)). Returns (bands, rows,
+    * s_x100, p_x1e6) — pick the banding whose steep section straddles your
+    * target threshold, e.g. [[minHashLshPairs]]'s default 32×4.
+    *
+    * Determinism: bands and rows must be powers of two, so BOTH
+    * exponentiations are pure square-and-round chains — each squaring is an
+    * exact DECIMAL product rounded to 12 dp, mirrored step-for-step by the
+    * SQL oracle; no float `pow` anywhere. Scale: the output is
+    * |configs|·19 rows of arithmetic — the cost is zero at any corpus size
+    * (the table depends only on the banding, never the data). */
+  def lshTuningTable(spark: org.apache.spark.sql.SparkSession,
+      configs: Seq[(Int, Int)] = Seq((64, 2), (32, 4), (16, 8), (8, 16))): DataFrame = {
+    def log2(x: Int): Int = {
+      require(x >= 1 && (x & (x - 1)) == 0, s"lshTuningTable: $x must be a power of two")
+      java.lang.Integer.numberOfTrailingZeros(x)
+    }
+    // values live in [0,1]: DECIMAL(13,12) keeps the square's ideal type
+    // (27,24) inside Spark's 38-digit cap, so the product is EXACT before
+    // the 12-dp round — a wider operand would silently truncate instead
+    val dec = DecimalType(13, 12)
+    def sq(x: Column, times: Int): Column =
+      (1 to times).foldLeft(x)((c, _) => round(c * c, 12).cast(dec))
+    val grids = configs.map { case (b, r) =>
+      import spark.implicits._
+      val grid = (1 to 19).map { i =>
+        (b, r, i * 5, new java.math.BigDecimal(i * 5).movePointLeft(2).setScale(12))
+      }.toDF("bands", "rows", "s_x100", "s")
+      val sr = sq(col("s").cast(dec), log2(r))
+      val qb = sq(round(lit(1) - sr, 12).cast(dec), log2(b))
+      grid.select(col("bands"), col("rows"), col("s_x100"),
+        floor((lit(1) - qb) * lit(1000000L)).cast("long").as("p_x1e6"))
+    }
+    grids.reduce(_ unionAll _)
+  }
+
   /** MinHash+LSH near-dup pairs: signature → bands → bucket join → exact
     * Jaccard verification ≥ threshold. With the default 32 bands × 4 rows the
     * detection probability at J=0.8 is 1-(1-0.8⁴)³² ≈ 1-1e-7, so verified

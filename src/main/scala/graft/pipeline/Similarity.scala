@@ -798,6 +798,36 @@ object Similarity {
     *
     * Scale: one explode + one map-side-combinable aggregate; output is
     * `dims` rows regardless of corpus size. */
+  /** Per-dimension embedding STANDARDIZATION (diagonal whitening) — the
+    * preprocessing step before cosine/PQ indexing when dimensions carry
+    * wildly different scales: every cell becomes (v − μ_dim)/σ_dim, so all
+    * dimensions contribute comparably to distances. Returns one row per
+    * (id, dim) with the standardized value `z` (NULL on zero-variance dims
+    * — a dead dimension has no meaningful z and downstream should drop it).
+    *
+    * Scale + determinism: the [[embeddingDimStats]] moment pass (one
+    * explode, one map-side-combinable DECIMAL aggregate, `dims` rows out)
+    * broadcast back onto the exploded cells — corpus-sized data crosses the
+    * wire once, the μ/σ table never exceeds the dimensionality. Values pin
+    * to 6 dp before the moments and the (v−μ)/σ chain is pure IEEE
+    * (subtract/divide/sqrt correctly rounded), hash-exact cross-engine. */
+  def standardizeDims(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val ex = emb.select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col(idCol), col("dim"), round(col("v").cast(DoubleType), 6).as("vd"))
+    val dec = ex.select(col("dim"), col("vd").cast(DecimalType(17, 6)).as("dv"))
+    val m = col("s").cast(DoubleType) / col("n").cast(DoubleType)
+    val variance = col("s2").cast(DoubleType) / col("n").cast(DoubleType) - m * m
+    val stats = dec.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("dv")).as("s"),
+        sum(col("dv") * col("dv")).as("s2"))
+      .select(col("dim"), m.as("mu"),
+        when(variance > 0.0, sqrt(variance)).as("sigma"))
+    ex.join(broadcast(stats), Seq("dim"))
+      .select(col(idCol), col("dim"),
+        ((col("vd") - col("mu")) / col("sigma")).as("z"))
+  }
+
   def embeddingDimStats(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val ex = emb.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
       .select(col("dim"), round(col("v").cast(DoubleType), 6).as("vd"))

@@ -564,6 +564,44 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Classic TF-IDF retrieval over the corpus for a fixed term set — the
+    * textbook vector-space baseline next to [[bm25TopK]]: score(d) =
+    * Σ_t tf(t,d) · ln(N/df_t), top `k` docs by (score DESC, id ASC).
+    * Saturation-free (tf enters linearly), so it ranks long keyword-stuffed
+    * documents differently from BM25 — the usual reason pipelines compute
+    * both.
+    *
+    * Scale + determinism: identical shape to [[bm25TopK]] — tokens filtered
+    * to the query terms BEFORE the shuffle, map-side-combinable (doc, term)
+    * counts, tiny df/N aggregates broadcast back, per-term idf rounded to
+    * 9 dp (absorbing last-ulp ln differences), per-term partials pivoted
+    * into fixed columns and added in declared term order. */
+  def tfIdfTopK(docs: DataFrame, terms: Seq[String], k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, "terms must be 1..8")
+    require(terms.distinct.size == terms.size, "terms must be distinct")
+    val matched = docs.select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("id"), col("token"))
+      .agg(count(lit(1)).cast(DoubleType).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+    val dfs = matched.groupBy(col("token"))
+      .agg(countDistinct(col("id")).cast(DoubleType).as("dfreq"))
+    val scored = matched
+      .join(broadcast(dfs), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("s", col("tf") * round(log(col("n_docs") / col("dfreq")), 9))
+    val termCols = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("token") === t, col("s"))).as(s"__s_$i") }
+    val pivoted = scored.groupBy(col("id")).agg(termCols.head, termCols.tail: _*)
+    val total = terms.indices.map(i => coalesce(col(s"__s_$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    pivoted.select(col("id").as(idCol), round(total, 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Corpus-conditional unigram log-probability per document — the classic
     * cheap perplexity proxy for quality filtering (a document of globally
     * rare tokens scores low; boilerplate of corpus-dominant tokens scores
@@ -627,6 +665,77 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(round(sum(col("logp").cast(DecimalType(28, 12))).cast(DoubleType) /
         count(lit(1)).cast(DoubleType), 6).as("mean_logp"))
+  }
+
+  /** Trigram STUPID BACKOFF scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" — the web-scale LM that replaced
+    * smoothed Kneser-Ney at Google): per position, S(c|a,b) = f(abc)/f(ab)
+    * when the trigram was seen in the MODEL corpus, else 0.4·f(bc)/f(b),
+    * else 0.4²·f(c)/N, with unseen words floored at count 1 (the OOV
+    * penalty 0.4²/N). Model counts come from `modelDocs` (the reference
+    * corpus — typically a quality subset), scored documents from `docs`,
+    * so out-of-model text genuinely exercises the backoff chain — scoring
+    * a corpus against itself never would (every in-corpus trigram has
+    * f > 0). Documents with < 3 tokens yield no row. Returns (id,
+    * mean_logs) — the mean ln S over the document's trigram positions.
+    *
+    * Scale + determinism: three model-count tables (tri/bi/uni — each
+    * map-side-combinable, vocabulary-sized, built once), each pre-scored as
+    * a 9-dp-rounded ln ratio and LEFT-joined onto the position stream
+    * (Spark broadcasts the small ones); the backoff CASE then adds
+    * DECIMAL-exact 9-dp constants (ln 0.4 pinned once), so the per-position
+    * value is an exact DECIMAL and the document mean is bit-identical on
+    * any engine — the [[bigramLogProb]] recipe with a 3-level fallback. */
+  def stupidBackoffLogProb(docs: DataFrame, modelDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val L04 = BigDecimal(math.log(0.4)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def grams(src: DataFrame, n: Int, carryId: Boolean): DataFrame = {
+      val w = tokens(col(textCol))
+      val carry = if (carryId) Seq(col(idCol)) else Seq.empty[Column]
+      src.filter(size(w) >= n)
+        .select(carry :+ explode(transform(sequence(lit(0), size(w) - n),
+          i => struct((1 to n).map(j => element_at(w, i + j).as(s"w$j")): _*))).as("g"): _*)
+        .select(carry ++ (1 to n).map(j => col(s"g.w$j").as(s"w$j")): _*)
+    }
+    // model counts: trigram, bigram, unigram occurrences + total mass
+    val tri = grams(modelDocs, 3, carryId = false)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("tc"))
+    val bi = grams(modelDocs, 2, carryId = false)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
+    val uni = grams(modelDocs, 1, carryId = false)
+      .groupBy(col("w1")).agg(count(lit(1)).as("uc"))
+    val n = uni.agg(sum(col("uc")).as("n"))
+    val dec = DecimalType(28, 12)
+    // pre-scored ratio tables — one 9-dp ln per DISTINCT n-gram
+    val triS = tri.join(bi.select(col("w1"), col("w2"), col("bc").as("ctx")),
+        Seq("w1", "w2"))
+      .select(col("w1").as("a"), col("w2").as("b"), col("w3").as("c"),
+        round(log(col("tc").cast(DoubleType) / col("ctx").cast(DoubleType)), 9)
+          .cast(dec).as("ts"))
+    val biS = bi.join(uni.select(col("w1"), col("uc").as("ctx")), Seq("w1"))
+      .select(col("w1").as("b"), col("w2").as("c"),
+        round(log(col("bc").cast(DoubleType) / col("ctx").cast(DoubleType)), 9)
+          .cast(dec).as("bs"))
+    val uniS = uni.crossJoin(broadcast(n))
+      .select(col("w1").as("c"),
+        round(log(col("uc").cast(DoubleType) / col("n").cast(DoubleType)), 9)
+          .cast(dec).as("us"))
+    val floorS = n.select(
+      round(log(lit(1.0) / col("n").cast(DoubleType)), 9).cast(dec).as("fs"))
+    val pos = grams(docs, 3, carryId = true)
+      .select(col(idCol), col("w1").as("a"), col("w2").as("b"), col("w3").as("c"))
+    val logS = when(col("ts").isNotNull, col("ts"))
+      .when(col("bs").isNotNull, lit(L04.bigDecimal).cast(dec) + col("bs"))
+      .otherwise(lit((L04 * 2).bigDecimal).cast(dec) +
+        coalesce(col("us"), col("fs")))
+    pos
+      .join(triS, Seq("a", "b", "c"), "left")
+      .join(biS, Seq("b", "c"), "left")
+      .join(uniS, Seq("c"), "left")
+      .crossJoin(broadcast(floorS))
+      .groupBy(col(idCol))
+      .agg(round((sum(logS).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)), 6).as("mean_logs"))
   }
 
   /** DSIR-style importance weights (the public method of Xie et al. 2023,
@@ -826,6 +935,78 @@ object TextAnalysis {
     docs.withColumn("_shuffle_key", shuffleKey(col(idCol), salt))
       .orderBy(col("_shuffle_key"))
 
+  /** COUNT-MIN SKETCH of the corpus token frequencies (Cormode &
+    * Muthukrishnan 2005) — the fixed-memory frequency summary for the
+    * 100 TB path, where an exact vocabulary count is terabytes but
+    * `depth`×`width` counters fit in one broadcast: counter(j, h_j(t)) +=
+    * count(t) with h_j the salted md5 bucket family. Returns the counter
+    * table (rw, bucket, cnt) — ≤ depth·width rows whatever the corpus.
+    *
+    * Scale shape: the corpus collapses to its VOCABULARY first (one
+    * map-side-combinable count agg — the explode-by-depth fan-out then
+    * runs over vocab rows, never over token occurrences), and the counter
+    * aggregate is again map-side-combinable on (rw, bucket). Determinism:
+    * md5 buckets, integer sums — hash-exact on any engine. */
+  def countMinSketch(docs: DataFrame, width: Int = 256, depth: Int = 4,
+      salt: String = "cms", textCol: String = "text",
+      collapseVocab: Boolean = true): DataFrame = {
+    require(width > 0 && depth > 0, "countMinSketch: width and depth must be positive")
+    val occ = docs.select(explode(tokens(col(textCol))).as("t"))
+    // collapseVocab=false skips the vocabulary pre-aggregation so the whole
+    // sketch is ONE aggregation — the shape Structured Streaming accepts in
+    // complete mode (two chained stateful aggs are not); the counter table
+    // then updates per micro-batch and the drained state is identical to
+    // the batch sketch. Batch callers keep the collapse: the depth-way
+    // fan-out runs over vocabulary rows instead of token occurrences.
+    val base =
+      if (collapseVocab)
+        occ.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      else occ.select(col("t"), lit(1L).as("cnt"))
+    base
+      .select(posexplode(array((0 until depth).map(lit): _*)).as(Seq("rw", "_r")),
+        col("t"), col("cnt"))
+      .select(col("rw"), cmsBucket(col("rw"), col("t"), width, salt).as("bucket"),
+        col("cnt"))
+      .groupBy(col("rw"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** One row of the count-min hash family: bucket = md5(rw:salt:token)
+    * folded to 48 bits, mod `width` — the same salted-md5 recipe as
+    * [[shuffleKey]], so a SQL oracle mirrors it verbatim. */
+  private def cmsBucket(rw: Column, token: Column, width: Int, salt: String): Column =
+    pmod(conv(substring(md5(concat_ws(":", rw.cast(StringType), lit(salt), token)),
+      21, 12), 16, 10).cast(LongType), lit(width.toLong))
+
+  /** Count-min POINT QUERIES for a fixed term list, reported against the
+    * exact counts: est(t) = min_j counter(j, h_j(t)) ≥ exact(t), with the
+    * one-sided overcount made explicit — the sketch-accuracy sheet you
+    * check before trusting the sketch at full scale. Terms absent from the
+    * corpus report exact = 0 (and whatever collision mass their buckets
+    * hold — the textbook behavior). */
+  def cmsEstimates(docs: DataFrame, terms: Seq[String], width: Int = 256,
+      depth: Int = 4, salt: String = "cms", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "cmsEstimates: need at least one term")
+    require(terms.distinct.size == terms.size, "cmsEstimates: terms must be distinct")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sketch = countMinSketch(docs, width, depth, salt, textCol)
+    val probes = terms.toDF("t")
+      .select(posexplode(array((0 until depth).map(lit): _*)).as(Seq("rw", "_r")), col("t"))
+      .select(col("t"), col("rw"), cmsBucket(col("rw"), col("t"), width, salt).as("bucket"))
+    // LEFT join: a probe landing in an untouched bucket reads counter 0 —
+    // an inner join would silently take the min over the touched rows only
+    val est = probes.join(sketch, Seq("rw", "bucket"), "left")
+      .groupBy(col("t")).agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+    val exact = docs.select(explode(tokens(col(textCol))).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col("t")).agg(count(lit(1)).as("exact"))
+    terms.toDF("t").join(est, Seq("t"), "left").join(exact, Seq("t"), "left")
+      .select(col("t").as("token"),
+        coalesce(col("exact"), lit(0L)).as("exact"),
+        coalesce(col("est"), lit(0L)).as("est"),
+        (coalesce(col("est"), lit(0L)) - coalesce(col("exact"), lit(0L))).as("overcount"))
+  }
+
   /** Top-k corpus bigrams (collocation mining — phrase vocabulary for
     * tokenizer training / boilerplate detection). Adjacent-token pairs via a
     * bounded per-row sequence (no self-join!), one map-side-combinable count,
@@ -838,6 +1019,41 @@ object TextAnalysis {
       .select(explode(bigrams).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram").asc).limit(k)
+  }
+
+  /** Pointwise-mutual-information collocations (Church & Hanks 1990) — the
+    * measure that separates true phrases from merely-frequent pairs: PMI =
+    * ln(c(a,b)·P / (c(a·)·c(·b))) over bigram POSITIONS (P = corpus bigram
+    * positions; marginals are first-token / second-token position counts, so
+    * the distribution sums to 1 and in-corpus PMI is always finite). Rare
+    * pairs dominate raw PMI, so `minCount` floors the bigram count (the
+    * standard guard). Top `k` by (pmi DESC, bigram ASC).
+    *
+    * Scale + determinism: the bigram/context counting shape of
+    * [[bigramLogProb]] — one bounded per-row explode, three map-side-
+    * combinable count aggs (bigram table ≪ corpus), marginals derived FROM
+    * the bigram table (no second corpus pass), the single ln rounded to
+    * 9 dp, TakeOrdered top-k. */
+  def pmiCollocations(docs: DataFrame, k: Int, minCount: Long = 5L,
+      textCol: String = "text"): DataFrame = {
+    val w = tokens(col(textCol))
+    val bi = docs.filter(size(w) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(w) - 2),
+        i => struct(element_at(w, i + 1).as("a"), element_at(w, i + 2).as("b")))).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+    val bc = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("bc"))
+    val ac = bc.groupBy(col("a")).agg(sum(col("bc")).as("ac"))
+    val cc = bc.groupBy(col("b")).agg(sum(col("bc")).as("cc"))
+    val n = bc.agg(sum(col("bc")).as("n"))
+    bc.filter(col("bc") >= minCount)
+      .join(ac, Seq("a")).join(cc, Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(concat_ws(" ", col("a"), col("b")).as("bigram"), col("bc").as("cnt"),
+        round(log((col("bc").cast(DoubleType) * col("n").cast(DoubleType)) /
+          (col("ac").cast(DoubleType) * col("cc").cast(DoubleType))), 9).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(k)
   }
 
   /** Per-source vocabulary statistics: total tokens, distinct tokens, and

@@ -529,4 +529,56 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 2, // tree + details section
       s"expected only the 1-row total cross:\n$p")
   }
+
+  test("tf-idf: terms filter before the shuffle; corpus stats broadcast back") {
+    val p = plan("q_tfidf")
+    // the token explode is cut to the ≤8 query terms BEFORE the (doc, term)
+    // aggregate — only matching tokens cross the exchange
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"df/N stats must broadcast onto the matched stream:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing corpus-sized may shuffle-join:\n$p")
+  }
+
+  test("stupid backoff: count tables broadcast onto the position stream") {
+    val p = plan("q_stupid_backoff")
+    // the three scored n-gram tables are vocabulary-sized — they must hash-
+    // broadcast onto the occurrence-sized position stream, and every count
+    // aggregate combines map-side
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("link-prediction sheet: one pair aggregate, degree lookups after it") {
+    val p = plan("q_link_scores")
+    assert(p.contains("partial_count") && p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("count-min sketch: counter aggregate combines map-side; no joins") {
+    // the stream probe drains a memory sink (its plan is a table scan), so
+    // pin the shape on the batch operator directly — both regimes
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Seq(true, false).foreach { collapse =>
+      val p = graft.pipeline.TextAnalysis.countMinSketch(docs,
+          width = 16, depth = 2, collapseVocab = collapse)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+      assert(!p.contains("Join"), s"the sketch is pure aggregate, no joins:\n$p")
+    }
+  }
+
+  test("snapshot diff is two id-keyed full-outer joins, nothing non-equi") {
+    val p = plan("q_graph_diff")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("whitening: the mu/sigma table broadcasts back onto the cells") {
+    val p = plan("q_embed_whiten")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
 }

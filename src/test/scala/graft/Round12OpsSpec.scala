@@ -1,0 +1,165 @@
+package graft
+
+import graft.olap.Analytics
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 operators: Katz centrality, the link-prediction sheet, butterfly
+  * counts, snapshot diff, TF-IDF, stupid backoff, whitening, the LSH tuning
+  * sheet, and the count-min sketch. */
+class Round12OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def graphOf(vs: Seq[Long], es: Seq[(Long, Long, Long)]) =
+    graft.data.PropertyGraph(graft.core.GraphSchema(),
+      vs.map(id => (id, "v")).toDF("id", "label"),
+      es.map { case (i, s, d) => (i, s, d, "r") }.toDF("id", "src", "dst", "label"))
+
+  test("katzFixedPoint: exact hand computation on a 3-node path") {
+    // 1 → 2 → 3, alpha = 1/10, 2 iterations, S = 10^12:
+    // iter1: r(1)=S, r(2)=S + S/10, r(3)=S + S/10
+    // iter2: r(2)=S + S/10, r(3)=S + (S + S/10)/10 = S + 11*10^10
+    val g = graphOf(Seq(1L, 2L, 3L), Seq((10L, 1L, 2L), (11L, 2L, 3L)))
+    val r = Analytics.katzFixedPoint(g, alphaNum = 1L, alphaDen = 10L, iterations = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val S = 1000000000000L
+    assert(r(1L) === S)
+    assert(r(2L) === S + S / 10)
+    assert(r(3L) === S + 110000000000L)
+  }
+
+  test("katzFixedPoint: diverging alpha fails loudly") {
+    // max in-degree 2 with alpha = 1/2 → series diverges
+    val g = graphOf(Seq(1L, 2L, 3L), Seq((10L, 1L, 3L), (11L, 2L, 3L)))
+    val ex = intercept[IllegalArgumentException] {
+      Analytics.katzFixedPoint(g, alphaNum = 1L, alphaDen = 2L, iterations = 1).collect()
+    }
+    assert(ex.getMessage.contains("diverges"))
+  }
+
+  test("linkPredictionScores: CN/PA/AA/RA on a shared-neighbor fixture") {
+    // x=1 and y=2 share centers 10 (deg 2) and 11 (deg 3; also touches 3)
+    val g = graphOf(Seq(1L, 2L, 3L, 10L, 11L),
+      Seq((1L, 1L, 10L), (2L, 2L, 10L), (3L, 1L, 11L), (4L, 2L, 11L), (5L, 3L, 11L)))
+    val rows = Analytics.linkPredictionScores(g, minShared = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    val (inter, pa, aa, ra) = rows((1L, 2L))
+    assert(inter === 2L)
+    assert(pa === 4L) // d(1)=2, d(2)=2
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    assert(aa === (r9(1.0 / math.log(2.0)) + r9(1.0 / math.log(3.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(ra === (r9(1.0 / 2.0) + r9(1.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("butterflyCounts: one 4-cycle yields butterflies=1 on both endpoints") {
+    // orders 1,2 both contain parts 10,11 → one butterfly; order 3 shares
+    // only part 10 with each → contributes no pair with shared >= 2
+    val g = graphOf(Seq(1L, 2L, 3L, 10L, 11L),
+      Seq((1L, 1L, 10L), (2L, 1L, 11L), (3L, 2L, 10L), (4L, 2L, 11L), (5L, 3L, 10L)))
+    val rows = Analytics.butterflyCounts(g, label = "r").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L) === ((2L, 1L)))
+    assert(rows(2L) === ((2L, 1L)))
+    assert(!rows.contains(3L))
+  }
+
+  test("GraphIO.diff: added/removed/changed per kind, unchanged silent") {
+    val before = graft.data.PropertyGraph(graft.core.GraphSchema(),
+      Seq((1L, "v", "a"), (2L, "v", "b"), (3L, "v", "c")).toDF("id", "label", "name"),
+      Seq((10L, 1L, 2L, "r"), (11L, 2L, 3L, "r")).toDF("id", "src", "dst", "label"))
+    val after = graft.data.PropertyGraph(graft.core.GraphSchema(),
+      // 1 unchanged, 2 renamed (changed), 3 dropped (removed), 4 new (added)
+      Seq((1L, "v", "a"), (2L, "v", "B"), (4L, "v", "d")).toDF("id", "label", "name"),
+      // 10 rewired (changed), 11 unchanged
+      Seq((10L, 1L, 3L, "r"), (11L, 2L, 3L, "r")).toDF("id", "src", "dst", "label"))
+    val got = graft.data.GraphIO.diff(before, after).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("v", "changed", 2L), ("v", "removed", 3L),
+      ("v", "added", 4L), ("e", "changed", 10L)))
+  }
+
+  test("tfIdfTopK: linear tf times ln(N/df), ranked (score desc, id asc)") {
+    val docs = Seq(
+      (1L, "cat cat dog"), (2L, "cat fish"), (3L, "fish fish fish"), (4L, "bird")
+    ).toDF("doc_id", "text")
+    val res = TextAnalysis.tfIdfTopK(docs, Seq("cat", "fish"), k = 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val idfCat = r9(math.log(4.0 / 2.0)); val idfFish = r9(math.log(4.0 / 2.0))
+    assert(res(1L) === BigDecimal(2.0 * idfCat).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(res(3L) === BigDecimal(3.0 * idfFish).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(!res.contains(4L)) // no query term → no pivot row
+  }
+
+  test("stupidBackoffLogProb: tri, bi, uni and floor branches are exact") {
+    // model corpus: "a b c a b d"; scored doc exercises every branch:
+    //   "a b c" → trigram branch: ln(f(abc)/f(ab)) = ln(1/2)
+    //   "b c a" seen too; craft doc2 for backoff:
+    //   doc2 "c a b" → f(cab)=0? "c a b" occurs in model ("c a b" at pos 3-5)
+    // so use unseen combos instead:
+    //   doc3 "b d c": f(bdc)=0, f(dc)=0, f(c)=1 → 2ln0.4 + ln(1/6)
+    //   doc4 "a b z": f(abz)=0, f(bz)=0, z unseen → 2ln0.4 + ln(1/6) floor
+    val model = Seq((100L, "a b c a b d")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b c"), (3L, "b d c"), (4L, "a b z")).toDF("doc_id", "text")
+    val got = TextAnalysis.stupidBackoffLogProb(docs, model).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def mean6(xs: Seq[BigDecimal]) = (xs.sum / xs.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val l04 = r9(math.log(0.4))
+    assert(got(1L) === mean6(Seq(r9(math.log(0.5))))) // f(abc)=1, f(ab)=2
+    assert(got(3L) === mean6(Seq(l04 * 2 + r9(math.log(1.0 / 6.0)))))
+    assert(got(4L) === mean6(Seq(l04 * 2 + r9(math.log(1.0 / 6.0)))))
+  }
+
+  test("standardizeDims: z = (v - mean)/std per dimension; dead dim → NULL") {
+    val emb = Seq(
+      (1L, Array(1.0f, 5.0f)), (2L, Array(3.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.standardizeDims(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // dim 0: mean 2, std 1 → z = ±1; dim 1: zero variance → NULL
+    assert(rows((1L, 0)) === Some(-1.0))
+    assert(rows((2L, 0)) === Some(1.0))
+    assert(rows((1L, 1)) === None && rows((2L, 1)) === None)
+  }
+
+  test("lshTuningTable: exact values, monotone in s, spot-checked midpoint") {
+    val t = Dedup.lshTuningTable(spark).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(t.size === 4 * 19)
+    // cross-checked against an exact java.math.BigDecimal mirror
+    assert(t((32, 4, 50)) === 873211L)
+    val curve = (1 to 19).map(i => t((32, 4, i * 5)))
+    assert(curve === curve.sorted)
+    assert(t.values.forall(p => p >= 0L && p <= 1000000L))
+  }
+
+  test("countMinSketch/cmsEstimates: one-sided error, zero for absent terms") {
+    val docs = Seq((1L, "a a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val est = TextAnalysis.cmsEstimates(docs, Seq("a", "b", "zz"), width = 2, depth = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(est("a")._1 === 3L && est("b")._1 === 2L && est("zz")._1 === 0L)
+    est.values.foreach { case (exact, e) => assert(e >= exact) }
+    // wide sketch → no collisions → estimates exact
+    val exact = TextAnalysis.cmsEstimates(docs, Seq("a", "b", "zz"),
+      width = 4096, depth = 4).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.values.foreach { case (x, e) => assert(e === x) }
+    // stream shape ≡ batch shape
+    val b = TextAnalysis.countMinSketch(docs, width = 4, depth = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val s = TextAnalysis.countMinSketch(docs, width = 4, depth = 2,
+      collapseVocab = false).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(b === s)
+  }
+}
