@@ -1201,6 +1201,13 @@ object SparkEntry {
       graft.olap.Analytics.recommendLinks(graph(s, dir),
         label = Some("contains"), k = 5, minShared = 2L)
     }),
+    // ---- 2.K sampled Brandes betweenness: per-source σ forward pass +
+    //      backward dependency sweep, 9-dp ratios / DECIMAL-exact sums ----
+    "q_betweenness" -> ((s, dir) => {
+      val t = 1L << graft.core.GraphIds.TagBits
+      val srcs = Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * t + _)
+      graft.olap.Analytics.betweennessSampled(graph(s, dir), srcs, maxIter = 4)
+    }),
     // ---- 2.K sampled harmonic centrality (Eppstein–Wang): Σ 1/dist from
     //      3 sampled sources as an exact integer, one multi-source BFS ----
     "q_harmonic" -> ((s, dir) => {
@@ -3739,6 +3746,9 @@ object SparkEntry {
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 4),
     "q_stress" -> stressOracle(
       TpchGraph.CustomerTag.toLong * (1L << graft.core.GraphIds.TagBits) + 1L, 4),
+    "q_betweenness" -> betweennessOracle(
+      Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong *
+        (1L << graft.core.GraphIds.TagBits) + _), 4),
     "q_scc" -> sccOracle(2, 5, 4),
     "q_matching" -> matchingOracle(8),
     "q_contract" -> contractionOracle(8),
@@ -5226,14 +5236,14 @@ object SparkEntry {
   /** Shared BFS-distance CTE chain (d0..dN): fixed-round min-relaxation over
     * (vg, eg) — used by the sssp, shortest-tree and shortest-paths oracles
     * so their distance semantics cannot drift. */
-  private def bfsIters(rounds: Int): String =
+  private def bfsIters(rounds: Int, sfx: String = ""): String =
     (1 to rounds).map { k =>
-      s"""d$k AS MATERIALIZED (SELECT p.id,
+      s"""d$k$sfx AS MATERIALIZED (SELECT p.id,
          |  CASE WHEN n.nd IS NULL THEN p.d WHEN p.d IS NULL THEN n.nd
          |       WHEN n.nd < p.d THEN n.nd ELSE p.d END AS d
-         |  FROM d${k - 1} p LEFT JOIN (
+         |  FROM d${k - 1}$sfx p LEFT JOIN (
          |    SELECT eg.dst AS id, MIN(q.d + 1) AS nd FROM eg
-         |    JOIN d${k - 1} q ON q.id = eg.src WHERE q.d IS NOT NULL GROUP BY 1) n
+         |    JOIN d${k - 1}$sfx q ON q.id = eg.src WHERE q.d IS NOT NULL GROUP BY 1) n
          |  ON n.id = p.id)""".stripMargin
     }.mkString(",\n")
 
@@ -5524,6 +5534,54 @@ object SparkEntry {
        |  CASE WHEN s.distance = 0 THEN CAST(0 AS BIGINT)
        |       ELSE s.sigma * g.gg END AS stress
        |FROM sall s JOIN gall g ON g.id = s.id""".stripMargin
+  }
+
+  /** Sampled Brandes betweenness (mirrors Analytics.betweennessSampled:
+    * per source a BFS + σ forward pass, then the backward dependency sweep
+    * with the 9-dp ratio / exact-DECIMAL product / 6-dp pin recipe; source
+    * rows dropped, per-vertex DECIMAL sum rounded last). */
+  private def betweennessOracle(sources: Seq[Long], rounds: Int): String = {
+    val blocks = sources.zipWithIndex.map { case (src, i) =>
+      val x = s"_$i"
+      val layers = (1 to rounds).map { r =>
+        s""",s$r$x AS MATERIALIZED (SELECT eg.dst AS id, CAST($r AS BIGINT) AS distance,
+           |  CAST(SUM(p.sigma) AS BIGINT) AS sigma
+           |  FROM eg JOIN s${r - 1}$x p ON p.id = eg.src
+           |  JOIN dist$x b ON b.id = eg.dst AND b.d = $r GROUP BY 1)""".stripMargin
+      }.mkString("\n")
+      val back = (rounds - 1 to 0 by -1).map { r =>
+        s""",del$r$x AS MATERIALIZED (SELECT l.id,
+           |  CAST(COALESCE(c.s, 0) AS DECIMAL(21,6)) AS delta
+           |  FROM dist$x l LEFT JOIN (
+           |    SELECT eg.src AS id,
+           |      SUM(ROUND(CAST(ROUND(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE), 9)
+           |            AS DECIMAL(13,12)) * (1 + n.delta), 6)) AS s
+           |    FROM eg
+           |    JOIN del${r + 1}$x n ON n.id = eg.dst
+           |    JOIN s${r + 1}$x sw ON sw.id = eg.dst
+           |    JOIN s$r$x sv ON sv.id = eg.src
+           |    GROUP BY 1) c ON c.id = l.id
+           |  WHERE l.d = $r)""".stripMargin
+      }.mkString("\n")
+      s"""d0$x AS MATERIALIZED (SELECT id,
+         |  CASE WHEN id = $src THEN CAST(0 AS BIGINT) END AS d FROM vg),
+         |${bfsIters(rounds, x)},
+         |dist$x AS MATERIALIZED (SELECT id, d FROM d$rounds$x WHERE d IS NOT NULL),
+         |s0$x AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS distance,
+         |  CAST(1 AS BIGINT) AS sigma FROM dist$x WHERE d = 0)
+         |$layers
+         |,del$rounds$x AS MATERIALIZED (SELECT id, CAST(0 AS DECIMAL(21,6)) AS delta
+         |  FROM dist$x WHERE d = $rounds)
+         |$back""".stripMargin
+    }.mkString(",\n")
+    val all = sources.zipWithIndex.flatMap { case (src, i) =>
+      (0 to rounds).map(r => s"SELECT id, delta FROM del${r}_$i WHERE id <> $src")
+    }.mkString("\nUNION ALL ")
+    s"""WITH $graphCtes,
+       |$blocks,
+       |ball AS MATERIALIZED ($all)
+       |SELECT id, ROUND(CAST(SUM(delta) AS DOUBLE), 6) AS betweenness
+       |FROM ball GROUP BY 1""".stripMargin
   }
 
   /** The q_epoch_budget mixture (ppm), shared by probe and oracle so the

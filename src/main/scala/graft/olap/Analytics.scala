@@ -953,6 +953,92 @@ object Analytics {
     out
   }
 
+  /** Brandes BETWEENNESS dependency from one source (Brandes 2001): δ_s(v)
+    * = Σ_{w ∈ succ(v)} (σ_v/σ_w)·(1 + δ_s(w)), accumulated over the BFS DAG
+    * deepest layer first — the fractional sibling of [[stressCentrality]].
+    * The fraction is what makes textbook betweenness non-portable across
+    * engines; here each ratio σ_v/σ_w is a 9-dp-pinned double (absorbing
+    * last-ulp division differences) cast to DECIMAL(13,12) — it is ≤ 1 by
+    * construction — each product against (1 + δ_w) is EXACT in DECIMAL
+    * (scales sized to stay inside 38 digits) and then pinned to 6 dp, and
+    * every sum is DECIMAL — so the result is bit-identical on any engine
+    * that mirrors the formula, at the cost of ~1e-6 drift from the real-
+    * valued δ (irrelevant for ranking). Returns (id, distance, sigma,
+    * delta) for reached vertices; δ(source) is computed but conventionally
+    * NOT added to betweenness (Brandes' w ≠ s rule — [[betweennessSampled]]
+    * drops it).
+    *
+    * Scale: σ comes from [[shortestPathCounts]]; the backward sweep is one
+    * edges⨝next-layer join + one map-side-combinable DECIMAL sum per level
+    * — the stress profile in reverse. σ overflows past ~2⁵³ distinguishable
+    * doubles on adversarially path-dense graphs (same caveat as stress):
+    * sample sources, don't run all-pairs. */
+  def betweennessContribution(g: PropertyGraph, source: Long,
+      maxIter: Int = 8): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val dec = DecimalType(21, 6)
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val sp = shortestPathCounts(g, source, maxIter).persist(StorageLevel.MEMORY_AND_DISK)
+    val maxRow = sp.agg(max(col("distance"))).head
+    if (maxRow.isNullAt(0)) {
+      sp.unpersist(false)
+      return Seq.empty[(Long, Long, Long, java.math.BigDecimal)]
+        .toDF("id", "distance", "sigma", "delta")
+        .select(col("id"), col("distance"), col("sigma"), col("delta").cast(dec))
+    }
+    val maxD = maxRow.getLong(0)
+    val e = g.edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    var delta = sp.filter(col("distance") === maxD)
+      .select(col("id"), zero.as("delta")).localCheckpoint(false)
+    var acc = delta
+    var r = maxD - 1
+    while (r >= 0) {
+      val nxt = sp.filter(col("distance") === r + 1)
+        .select(col("id").as("dst"), col("sigma").as("__sw"))
+        .join(delta.select(col("id").as("dst"), col("delta").as("__dw")), Seq("dst"))
+      val lvl = sp.filter(col("distance") === r)
+        .select(col("id").as("src"), col("sigma").as("__sv"))
+      // ratio ≤ 1 (σ_v divides into σ_w's predecessor sum), so DECIMAL(13,12)
+      // holds it and the product against (1+δ) stays exact inside 38 digits
+      val contrib = e.join(nxt, Seq("dst")).join(lvl, Seq("src"))
+        .select(col("src").as("id"),
+          round(round(col("__sv").cast("double") / col("__sw").cast("double"), 9)
+              .cast(DecimalType(13, 12)) * (lit(1).cast(dec) + col("__dw")), 6)
+            .cast(dec).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("__s"))
+      delta = sp.filter(col("distance") === r).select(col("id"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__s").cast(dec), zero).as("delta"))
+        .localCheckpoint(false)
+      delta.count() // materialize: reused next level and in the union below
+      acc = acc.unionByName(delta)
+      r -= 1
+    }
+    val out = sp.join(acc, Seq("id"))
+      .select(col("id"), col("distance"), col("sigma"), col("delta"))
+    out.count() // settle before dropping inputs
+    e.unpersist(false)
+    sp.unpersist(false)
+    out
+  }
+
+  /** Sampled betweenness centrality — Σ over the sampled sources of the
+    * Brandes dependency, endpoints excluded (the standard estimator:
+    * Brandes & Pich 2007 pivot sampling; exact when `sources` = V). One
+    * [[betweennessContribution]] sweep per source; DECIMAL-exact sum,
+    * final value rounded to 6 dp as a double. */
+  def betweennessSampled(g: PropertyGraph, sources: Seq[Long],
+      maxIter: Int = 8): DataFrame = {
+    require(sources.nonEmpty, "betweennessSampled: need at least one source")
+    sources.map { s =>
+      betweennessContribution(g, s, maxIter)
+        .filter(col("id") =!= s).select(col("id"), col("delta"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(round(sum(col("delta")).cast("double"), 6).as("betweenness"))
+  }
+
   /** Unweighted shortest-path TREE from `source`: (id, distance, pred),
     * pred = the MINIMUM-id optimal predecessor — the deterministic choice,
     * so every engine (and the SQL oracle, which derives preds from final

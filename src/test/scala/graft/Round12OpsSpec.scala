@@ -143,6 +143,56 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(t.values.forall(p => p >= 0L && p <= 1000000L))
   }
 
+  test("betweennessSampled: diamond graph splits the dependency half-half") {
+    // 1→2→4, 1→3→4: σ(4)=2, δ₁(2)=δ₁(3)=(1/2)·(1+0)=0.5, endpoints 0
+    val g = graphOf(Seq(1L, 2L, 3L, 4L),
+      Seq((10L, 1L, 2L), (11L, 1L, 3L), (12L, 2L, 4L), (13L, 3L, 4L)))
+    val b = Analytics.betweennessSampled(g, Seq(1L), maxIter = 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(b(2L) === 0.5 && b(3L) === 0.5 && b(4L) === 0.0)
+    assert(!b.contains(1L)) // source rows dropped (Brandes w ≠ s)
+  }
+
+  test("betweennessSampled: path chain accumulates 1+δ downstream") {
+    // 1→2→3→4 from source 1: δ(3)=1, δ(2)=1·(1+1)=2
+    val g = graphOf(Seq(1L, 2L, 3L, 4L),
+      Seq((10L, 1L, 2L), (11L, 2L, 3L), (12L, 3L, 4L)))
+    val b = Analytics.betweennessSampled(g, Seq(1L), maxIter = 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(b(2L) === 2.0 && b(3L) === 1.0 && b(4L) === 0.0)
+  }
+
+  test("richClub: hubs-wired fixture rises; histogram counts exact") {
+    // K4 core (degrees >= 3) + pendant vertices on one hub
+    val core = Seq((1L, 1L, 2L), (2L, 1L, 3L), (3L, 1L, 4L),
+      (4L, 2L, 3L), (5L, 2L, 4L), (6L, 3L, 4L))
+    val pendants = Seq((7L, 1L, 10L), (8L, 1L, 11L))
+    val g = graphOf(Seq(1L, 2L, 3L, 4L, 10L, 11L), core ++ pendants)
+    val rc = Analytics.richClub(g, ks = Seq(0L, 1L, 3L)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // k=0: all 6 vertices, all 8 edges: phi = 2*8e6/(6*5) = 533333
+    assert(rc(0L) === ((6L, 8L, Some(533333L))))
+    // k=3: vertices with degree > 3 = {1 (deg 5)}; n=1 → NULL phi
+    assert(rc(3L)._1 === 1L && rc(3L)._3 === None)
+    // k=1: degrees: 1→5, 2..4→3, pendants→1 → nk=4 (the K4), ek=6, phi=1e6
+    assert(rc(1L) === ((4L, 6L, Some(1000000L))))
+  }
+
+  test("pmiCollocations: independence gives pmi 0; repeated pair positive") {
+    // corpus engineered so "x y" repeats and marginals are known
+    val docs = Seq((1L, "x y x y"), (2L, "a b"), (3L, "x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, k = 10, minCount = 3L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // bigram positions: (x,y)x2, (y,x)x1 in doc1; (a,b); (x,y) in doc3 → P=5
+    // only (x,y) passes minCount=3: pmi = ln(3*5/(3*3)) = ln(5/3)
+    assert(got.length === 1)
+    val (bg, cnt, pmi) = got.head
+    assert(bg === "x y" && cnt === 3L)
+    assert(pmi === BigDecimal(math.log(5.0 / 3.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("countMinSketch/cmsEstimates: one-sided error, zero for absent terms") {
     val docs = Seq((1L, "a a b c"), (2L, "a b d")).toDF("doc_id", "text")
     val est = TextAnalysis.cmsEstimates(docs, Seq("a", "b", "zz"), width = 2, depth = 2)
