@@ -2772,6 +2772,13 @@ object SparkEntry {
           sum(col("linenumber").cast(LongType)).as("ln_sum"),
           count(when(col("id") > col("__premax"), 1)).as("forked"))
     }),
+    // ---- 2.A Z-order clustering key — Morton-interleave (totalprice,
+    //      orderkey) so a range-sorted layout prunes on BOTH columns ----
+    "q_zorder_key" -> ((s, dir) => {
+      graft.functions.ZOrder.withZKey(
+        s.read.parquet(s"$dir/orders.parquet"), Seq("o_totalprice", "o_orderkey"))
+        .select(col("o_orderkey"), col("zkey"))
+    }),
     // ---- 2.A snapshot diff — reconcile two graph versions: added zone
     //      vertices, removed suppliers/in_region edges, property-changed
     //      customers/placed edges; unchanged elements emit nothing ----
@@ -3680,6 +3687,7 @@ object SparkEntry {
          |  CASE WHEN COALESCE(nk.nk, 0) >= 2
          |    THEN 2 * COALESCE(ek.ek, 0) * 1000000 // (nk.nk * (nk.nk - 1)) END AS phi_x1e6
          |FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k""".stripMargin,
+    "q_zorder_key" -> zorderOracle(16),
     // snapshot diff: each category derives from its mutation predicate; the
     // engine's full-outer JSON-signature compare must land on exactly these
     "q_graph_diff" -> {
@@ -5534,6 +5542,26 @@ object SparkEntry {
        |  CASE WHEN s.distance = 0 THEN CAST(0 AS BIGINT)
        |       ELSE s.sigma * g.gg END AS stress
        |FROM sall s JOIN gall g ON g.id = s.id""".stripMargin
+  }
+
+  /** Z-order key (mirrors functions.ZOrder: min/max quantization to
+    * 2^bits levels in a pinned IEEE chain, then exact bit interleave). */
+  private def zorderOracle(bits: Int): String = {
+    val levels = ((1L << bits) - 1).toDouble
+    def lane(q: String, j: Int, n: Int): String = (0 until bits).map(i =>
+      s"((($q >> $i) & 1) << ${i * n + (n - 1 - j)})").mkString(" | ")
+    def quant(v: String, lo: String, hi: String): String =
+      s"""CASE WHEN CAST($hi AS DOUBLE) = CAST($lo AS DOUBLE) THEN 0
+         |ELSE CAST(FLOOR((CAST($v AS DOUBLE) - CAST($lo AS DOUBLE)) * $levels
+         |  / (CAST($hi AS DOUBLE) - CAST($lo AS DOUBLE))) AS BIGINT) END""".stripMargin
+    s"""WITH b AS (SELECT MIN(o_totalprice) AS lo1, MAX(o_totalprice) AS hi1,
+       |  MIN(o_orderkey) AS lo2, MAX(o_orderkey) AS hi2 FROM orders),
+       |q AS (SELECT o_orderkey,
+       |  ${quant("o_totalprice", "lo1", "hi1")} AS qa,
+       |  ${quant("o_orderkey", "lo2", "hi2")} AS qb
+       |  FROM orders CROSS JOIN b)
+       |SELECT o_orderkey, CAST((${lane("qa", 0, 2)}) | (${lane("qb", 1, 2)}) AS BIGINT) AS zkey
+       |FROM q""".stripMargin
   }
 
   /** Sampled Brandes betweenness (mirrors Analytics.betweennessSampled:

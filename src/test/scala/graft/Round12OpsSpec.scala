@@ -193,6 +193,35 @@ class Round12OpsSpec extends AnyFunSuite {
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("ZOrder: exact interleave, bound quantization, multi-column locality") {
+    import graft.functions.ZOrder
+    // interleave(a=0b11, b=0b01, 2 bits): a bits → lanes 1,3; b → lane 0
+    val df = Seq((3L, 1L)).toDF("a", "b")
+    val key = df.select(ZOrder.interleaveBits(Seq(col("a"), col("b")), 2).as("z"))
+      .head.getLong(0)
+    assert(key === 11L) // 0b1011
+    // quantize: lo → 0, hi → top level, degenerate bounds → 0
+    val q = Seq((0.0, 10.0)).toDF("lo", "hi").select(
+      ZOrder.quantize(lit(10.0), col("lo"), col("hi"), 4).as("top"),
+      ZOrder.quantize(lit(0.0), col("lo"), col("hi"), 4).as("bot"),
+      ZOrder.quantize(lit(5.0), col("lo"), col("lo"), 4).as("deg")).head
+    assert(q.getLong(0) === 15L && q.getLong(1) === 0L && q.getLong(2) === 0L)
+    // locality: a z-sorted layout keeps BOTH columns' per-chunk ranges
+    // tight — split the z-sorted grid into quarters and check each quarter
+    // spans at most ~half of each axis (a single-column sort would leave
+    // the other axis spanning the full range in every chunk)
+    val grid = (0 until 32).flatMap(x => (0 until 32).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val keyed = ZOrder.withZKey(grid, Seq("x", "y"), bits = 5)
+      .orderBy(col("zkey")).collect()
+    val quarter = keyed.length / 4
+    keyed.grouped(quarter).filter(_.length == quarter).foreach { chunk =>
+      val xs = chunk.map(_.getAs[Long]("x")); val ys = chunk.map(_.getAs[Long]("y"))
+      assert(xs.max - xs.min <= 16, s"x span ${xs.min}..${xs.max}")
+      assert(ys.max - ys.min <= 16, s"y span ${ys.min}..${ys.max}")
+    }
+  }
+
   test("countMinSketch/cmsEstimates: one-sided error, zero for absent terms") {
     val docs = Seq((1L, "a a b c"), (2L, "a b d")).toDF("doc_id", "text")
     val est = TextAnalysis.cmsEstimates(docs, Seq("a", "b", "zz"), width = 2, depth = 2)
