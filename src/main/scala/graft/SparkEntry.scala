@@ -2772,6 +2772,13 @@ object SparkEntry {
           sum(col("linenumber").cast(LongType)).as("ln_sum"),
           count(when(col("id") > col("__premax"), 1)).as("forked"))
     }),
+    // ---- pipeline: HyperLogLog distinct-count accuracy sheet — md5-fold
+    //      registers, EXACT integer harmonic sum, estimate beside the true
+    //      distinct count (the cross-engine-reproducible HLL) ----
+    "q_hll_distinct" -> ((s, dir) => {
+      graft.functions.Sketches.hllReport(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_partkey")
+    }),
     // ---- 2.A Z-order clustering key — Morton-interleave (totalprice,
     //      orderkey) so a range-sorted layout prunes on BOTH columns ----
     "q_zorder_key" -> ((s, dir) => {
@@ -3040,7 +3047,13 @@ object SparkEntry {
     "q_change_sessionize",
     // round-12 heavies: the FoaF pair join + rank-limit window, the
     // line-dedup text rebuild, and the exact-CDF per-type global sort
-    "q_recommend_links", "q_remove_dup_lines", "q_value_percentiles")
+    "q_recommend_links", "q_remove_dup_lines", "q_value_percentiles",
+    // late round-12: Katz (8 fixed-point rounds over the cached edge
+    // projection), sampled Brandes betweenness (3 sources × forward σ +
+    // backward δ sweeps — the deepest per-level loop in the inventory),
+    // and the trigram backoff scorer (three n-gram models + a 3-way
+    // broadcast join onto the position stream)
+    "q_katz", "q_betweenness", "q_stupid_backoff")
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -3688,6 +3701,7 @@ object SparkEntry {
          |    THEN 2 * COALESCE(ek.ek, 0) * 1000000 // (nk.nk * (nk.nk - 1)) END AS phi_x1e6
          |FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k""".stripMargin,
     "q_zorder_key" -> zorderOracle(16),
+    "q_hll_distinct" -> hllOracle(10, "hll", "lineitem", "l_partkey"),
     // snapshot diff: each category derives from its mutation predicate; the
     // engine's full-outer JSON-signature compare must land on exactly these
     "q_graph_diff" -> {
@@ -5542,6 +5556,41 @@ object SparkEntry {
        |  CASE WHEN s.distance = 0 THEN CAST(0 AS BIGINT)
        |       ELSE s.sigma * g.gg END AS stress
        |FROM sall s JOIN gall g ON g.id = s.id""".stripMargin
+  }
+
+  /** HyperLogLog report (mirrors functions.Sketches.hllReport: identical
+    * md5 fold, register ranks via bin-length, the exact Σ2^(50−reg)
+    * integer denominator, and the same pinned estimate constants). */
+  private def hllOracle(b: Int, salt: String, table: String, column: String): String = {
+    val m = 1 << b
+    val window = 48 - b
+    val alpha = b match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val num = alpha * m.toDouble * m.toDouble * math.pow(2.0, 50)
+    val thr = 2.5 * m
+    s"""WITH hx AS (SELECT
+       |  ('0x' || substr(md5('$salt:' || CAST($column AS VARCHAR)), 21, 12))::BIGINT AS h
+       |  FROM $table WHERE $column IS NOT NULL),
+       |hw AS (SELECT h % $m AS bucket, h // $m AS w FROM hx),
+       |regs AS (SELECT bucket,
+       |  MAX(CASE WHEN w = 0 THEN ${window + 1}
+       |           ELSE ${window + 1} - length(bin(w)) END) AS reg FROM hw GROUP BY 1),
+       |sk AS (SELECT COUNT(*) AS used,
+       |  COALESCE(SUM(1::BIGINT << (50 - reg)), 0) AS s_used FROM regs),
+       |agg AS (SELECT CAST($m AS BIGINT) AS m, CAST(used AS BIGINT) AS used,
+       |  CAST(s_used + ($m - used) * (1::BIGINT << 50) AS BIGINT) AS s2,
+       |  CAST($m - used AS BIGINT) AS v_empty FROM sk),
+       |ex AS (SELECT CAST(COUNT(DISTINCT $column) AS BIGINT) AS exact
+       |  FROM $table WHERE $column IS NOT NULL)
+       |SELECT m, used, s2, v_empty,
+       |  ROUND(CASE WHEN $num / CAST(s2 AS DOUBLE) <= $thr AND v_empty > 0
+       |    THEN ${m.toDouble} * ROUND(ln(${m.toDouble} / CAST(v_empty AS DOUBLE)), 9)
+       |    ELSE $num / CAST(s2 AS DOUBLE) END, 4) AS estimate, exact
+       |FROM agg CROSS JOIN ex""".stripMargin
   }
 
   /** Z-order key (mirrors functions.ZOrder: min/max quantization to

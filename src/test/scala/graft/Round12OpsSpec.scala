@@ -193,6 +193,23 @@ class Round12OpsSpec extends AnyFunSuite {
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("hllReport: estimate within the 1.04/sqrt(m) bound; exact beside it") {
+    import graft.functions.Sketches
+    val big = (1L to 5000L).map(i => Tuple1(s"v$i")).toDF("v")
+    val r = Sketches.hllReport(big, "v", b = 10).head
+    val (est, exact) = (r.getAs[Double]("estimate"), r.getAs[Long]("exact"))
+    assert(exact === 5000L)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.1, s"estimate $est") // 3σ ≈ 9.75%
+    // tiny cardinality → linear-counting branch: v_empty > 0 and E ≈ exact
+    val small = (1L to 30L).map(i => Tuple1(s"v$i")).toDF("v")
+    val rs = Sketches.hllReport(small, "v", b = 10).head
+    assert(rs.getAs[Long]("v_empty") > 0L)
+    assert(math.abs(rs.getAs[Double]("estimate") - 30.0) < 3.0)
+    // duplicates do not move the registers
+    val dup = Sketches.hllReport(big.unionAll(big), "v", b = 10).head
+    assert(dup.getAs[Double]("estimate") === est)
+  }
+
   test("ZOrder: exact interleave, bound quantization, multi-column locality") {
     import graft.functions.ZOrder
     // interleave(a=0b11, b=0b01, 2 bits): a bits → lanes 1,3; b → lane 0
