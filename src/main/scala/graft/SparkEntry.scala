@@ -2772,6 +2772,15 @@ object SparkEntry {
           sum(col("linenumber").cast(LongType)).as("ln_sum"),
           count(when(col("id") > col("__premax"), 1)).as("forked"))
     }),
+    // ---- pipeline: Bloom-filter decontamination sheet — 496-bit filter
+    //      (8 x 62-bit words) over the eval texts, train corpus probed;
+    //      (no false negatives; the FP row prices the sizing) ----
+    "q_bloom_contamination" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.functions.Sketches.bloomContamination(
+        docs, docs.filter(pmod(col("doc_id"), lit(7L)) === 0L),
+        words = 8, k = 3)
+    }),
     // ---- pipeline: HyperLogLog distinct-count accuracy sheet — md5-fold
     //      registers, EXACT integer harmonic sum, estimate beside the true
     //      distinct count (the cross-engine-reproducible HLL) ----
@@ -3702,6 +3711,24 @@ object SparkEntry {
          |FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k""".stripMargin,
     "q_zorder_key" -> zorderOracle(16),
     "q_hll_distinct" -> hllOracle(10, "hll", "lineitem", "l_partkey"),
+    // bloom: identical md5 bit positions, bit_or-packed words, bool_and probe
+    "q_bloom_contamination" ->
+      """WITH ev AS (SELECT DISTINCT text FROM documents WHERE doc_id % 7 = 0),
+        |js AS (SELECT unnest(range(0, 3)) AS j),
+        |bp AS (SELECT ('0x' || substr(md5(CAST(j AS VARCHAR) || ':bloom:' || text), 21, 12))::BIGINT % 496 AS p
+        |  FROM ev CROSS JOIN js),
+        |bits AS (SELECT p // 62 AS word,
+        |  bit_or(1::BIGINT << CAST(p % 62 AS INTEGER)) AS bits FROM bp GROUP BY 1),
+        |tp AS (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(j AS VARCHAR) || ':bloom:' || text), 21, 12))::BIGINT % 496 AS p
+        |  FROM documents CROSS JOIN js),
+        |pr AS (SELECT doc_id,
+        |  bool_and((COALESCE(bits.bits, 0) & (1::BIGINT << CAST(tp.p % 62 AS INTEGER))) <> 0) AS flagged
+        |  FROM tp LEFT JOIN bits ON tp.p // 62 = bits.word GROUP BY 1),
+        |ac AS (SELECT d.doc_id, (ev.text IS NOT NULL) AS actual
+        |  FROM documents d LEFT JOIN ev ON d.text = ev.text)
+        |SELECT pr.flagged, ac.actual, COUNT(*) AS cnt
+        |FROM pr JOIN ac ON pr.doc_id = ac.doc_id GROUP BY 1, 2""".stripMargin,
     // snapshot diff: each category derives from its mutation predicate; the
     // engine's full-outer JSON-signature compare must land on exactly these
     "q_graph_diff" -> {

@@ -71,4 +71,61 @@ object Sketches {
         col("exact"))
   }
 
+  /** The k salted-md5 bit positions of a value in a `62·words`-bit Bloom
+    * filter, as (word index, single-bit mask) rows. 62 usable bits per
+    * 64-bit word: shifts into bits 62/63 overflow-raise on engines with
+    * checked arithmetic (DuckDB), so the top two bits stay unused. */
+  private def bloomPositions(df: DataFrame, valueCol: String, words: Int,
+      k: Int, salt: String, carry: Seq[Column]): DataFrame = {
+    val bits = 62L * words
+    df.select((carry :+ col(valueCol).as("__bv")) :+
+      posexplode(array((0 until k).map(lit): _*)).as(Seq("j", "_j")): _*)
+      .select(carry :+ pmod(conv(substring(md5(concat_ws(":",
+        col("j").cast("string"), lit(salt), col("__bv").cast("string"))),
+        21, 12), 16, 10).cast("long"), lit(bits)).as("p"): _*)
+      .select(carry ++ Seq(expr("p DIV 62").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 62 AS INT))").as("mask")): _*)
+  }
+
+  /** Bit-packed BLOOM FILTER over `ref`'s values (Bloom 1970): `words`
+    * 64-bit words, `k` salted-md5 hash functions, built with one bit_or
+    * aggregate — at most `words` rows whatever the reference size. The
+    * broadcastable membership summary for the 100 TB decontamination path:
+    * ship the words, not the eval set. */
+  def bloomBits(ref: DataFrame, valueCol: String, words: Int = 1024,
+      k: Int = 3, salt: String = "bloom"): DataFrame = {
+    require(words > 0 && k > 0, "bloomBits: words and k must be positive")
+    bloomPositions(ref.filter(col(valueCol).isNotNull), valueCol, words, k,
+      salt, Seq.empty)
+      .groupBy(col("word")).agg(bit_or(col("mask")).as("bits"))
+  }
+
+  /** Bloom-filter decontamination ACCURACY sheet: flag every `train` row
+    * whose value hits all `k` bits of the filter built over `eval`'s
+    * values, compare against exact membership, and report the confusion
+    * matrix (flagged, actual, cnt) — `flagged ≥ actual` always (no false
+    * negatives, the Bloom guarantee); the (true, false) row measures the
+    * false-positive mass you'd over-drop at the chosen sizing.
+    *
+    * Scale: the filter is ≤ `words` rows (broadcast); the train side
+    * explodes k rows per document, joins the words table broadcast, and
+    * folds back with one bool_and — the corpus is scanned once and
+    * nothing corpus-sized shuffles except (id, word) pairs. */
+  def bloomContamination(train: DataFrame, eval: DataFrame,
+      valueCol: String = "text", idCol: String = "doc_id",
+      words: Int = 8, k: Int = 3, salt: String = "bloom"): DataFrame = {
+    val bitsTable = bloomBits(eval, valueCol, words, k, salt)
+    val probes = bloomPositions(train, valueCol, words, k, salt,
+      Seq(col(idCol)))
+      .join(broadcast(bitsTable), Seq("word"), "left")
+      .select(col(idCol),
+        (coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) =!= 0L).as("hit"))
+      .groupBy(col(idCol)).agg(bool_and(col("hit")).as("flagged"))
+    val actual = train.select(col(idCol), col(valueCol))
+      .join(eval.select(col(valueCol).as("__ev")).distinct(),
+        col(valueCol) === col("__ev"), "left")
+      .select(col(idCol), col("__ev").isNotNull.as("actual"))
+    probes.join(actual, Seq(idCol))
+      .groupBy(col("flagged"), col("actual")).agg(count(lit(1)).as("cnt"))
+  }
 }

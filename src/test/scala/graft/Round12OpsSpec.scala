@@ -210,6 +210,21 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(dup.getAs[Double]("estimate") === est)
   }
 
+  test("bloomContamination: no false negatives at any sizing; wide = exact") {
+    import graft.functions.Sketches
+    val train = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val eval = train.filter(col("doc_id") <= 50L)
+    // tiny filter (1 word = 62 bits, 50 inserts): FPs near-certain, FNs never
+    val tiny = Sketches.bloomContamination(train, eval, words = 1, k = 2)
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(!tiny.contains((false, true)), "a Bloom filter must never miss")
+    assert(tiny((true, true)) === 50L)
+    // generous sizing → the confusion matrix collapses to the diagonal
+    val wide = Sketches.bloomContamination(train, eval, words = 512, k = 3)
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(wide === Map((true, true) -> 50L, (false, false) -> 150L))
+  }
+
   test("ZOrder: exact interleave, bound quantization, multi-column locality") {
     import graft.functions.ZOrder
     // interleave(a=0b11, b=0b01, 2 bits): a bits → lanes 1,3; b → lane 0
