@@ -1355,6 +1355,30 @@ object SparkEntry {
         } finally cleanup()
       out
     }),
+    // ---- pipeline: STREAMING HyperLogLog — the register table is ONE
+    //      max-aggregation, so it updates per micro-batch in complete
+    //      mode; drained registers ≡ the batch table (union = max) ----
+    "q_stream_hll" -> ((s, dir) => {
+      val src = s.read.parquet(s"$dir/documents.parquet")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-shll")
+      src.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema(src.schema).parquet(s"$tmp/in")
+      val qname = s"graft_shll_${System.nanoTime()}"
+      val q = graft.functions.Sketches.hllRegisters(stream, "doc_id")
+        .writeStream.format("memory").queryName(qname).outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      def cleanup(): Unit = deleteRecursively(tmp)
+      val out =
+        try {
+          awaitStreamProbe(q, "q_stream_hll")
+          val t = s.table(qname)
+          s.catalog.dropTempView(qname)
+          t
+        } finally cleanup()
+      out
+    }),
     // ---- pipeline: STREAMING count-min sketch — the occurrence-shaped
     //      single-aggregation form runs unchanged under readStream
     //      (complete mode); the drained counter table is oracle-identical
@@ -1811,6 +1835,17 @@ object SparkEntry {
     "q_funnel" -> ((s, dir) => {
       graft.stream.ChangeStream.funnel(readEvents(s, dir),
         Seq("signup", "view", "purchase"), windowSeconds = 7L * 86400)
+    }),
+    // ---- events analytics: top-k session paths — the full-sequence
+    //      sibling of the transition matrix (total-order sorted structs) ----
+    "q_session_paths" -> ((s, dir) => {
+      graft.stream.ChangeStream.sessionPaths(readEvents(s, dir),
+        gapSeconds = 3600L, k = 25)
+    }),
+    // ---- events analytics: exact equi-depth (NTILE) histogram of value
+    //      per event type — resolution where the mass is ----
+    "q_equidepth" -> ((s, dir) => {
+      graft.stream.ChangeStream.equiDepthHistogram(readEvents(s, dir), nb = 10)
     }),
     // ---- events analytics: retention cohort matrix (daily periods) ----
     "q_retention" -> ((s, dir) => {
@@ -4995,6 +5030,40 @@ object SparkEntry {
         |  CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > CAST(3600 AS BIGINT) * 1000000 THEN 1 ELSE 0 END AS ns
         |  FROM o)
         |SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM s GROUP BY 1""".stripMargin,
+    // session paths: same session ids as q_sessionize, in-session order
+    // string_agg'd over the (ts, event_id) total order
+    "q_session_paths" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |  SUM(CASE WHEN prev IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev) > CAST(3600 AS BIGINT) * 1000000
+        |    THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |p AS (SELECT user_id, sid,
+        |  string_agg(event_type, ' ' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, COUNT(*) AS cnt FROM p GROUP BY 1
+        |ORDER BY cnt DESC, path ASC LIMIT 25""".stripMargin,
+    // equi-depth: SQL-standard NTILE over the (value, event_id) total order
+    "q_equidepth" ->
+      """WITH n AS (SELECT event_type, value, event_id,
+        |  NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bucket
+        |  FROM events)
+        |SELECT event_type, CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS cnt,
+        |  MIN(value) AS lo, MAX(value) AS hi
+        |FROM n GROUP BY 1, 2""".stripMargin,
+    // streaming HLL: the register table of the batch sketch
+    "q_stream_hll" ->
+      """WITH hx AS (SELECT
+        |  ('0x' || substr(md5('hll:' || CAST(doc_id AS VARCHAR)), 21, 12))::BIGINT AS h
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |hw AS (SELECT h % 1024 AS bucket, h // 1024 AS w FROM hx)
+        |SELECT bucket, CAST(MAX(CASE WHEN w = 0 THEN 39
+        |  ELSE 39 - length(bin(w)) END) AS INTEGER) AS reg
+        |FROM hw GROUP BY 1""".stripMargin,
     "q_graph_variables" ->
       """SELECT 'creator' AS vkey, 'graft' AS vval
         |UNION ALL SELECT 'version', '1.0'""".stripMargin,

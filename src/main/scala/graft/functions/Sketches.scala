@@ -41,17 +41,7 @@ object Sketches {
     // α·m²·2⁵⁰ folded into one double literal (Double.toString round-trips,
     // so the SQL oracle embeds the identical constant)
     val num = alpha * m.toDouble * m.toDouble * math.pow(2.0, 50)
-    val h = conv(substring(md5(concat_ws(":", lit(salt),
-      col(valueCol).cast("string"))), 21, 12), 16, 10).cast("long")
-    val hashed = df.filter(col(valueCol).isNotNull)
-      .select(h.as("h"))
-      .select(pmod(col("h"), lit(m.toLong)).as("bucket"),
-        expr(s"h DIV $m").as("w"))
-    val regs = hashed
-      .select(col("bucket"),
-        when(col("w") === 0L, lit(window + 1))
-          .otherwise(lit(window + 1) - length(bin(col("w")))).cast("int").as("rank"))
-      .groupBy(col("bucket")).agg(max(col("rank")).as("reg"))
+    val regs = hllRegisters(df, valueCol, b, salt)
     val sketch = regs.agg(
       count(lit(1)).as("used"),
       sum(expr("shiftleft(CAST(1 AS BIGINT), 50 - reg)")).as("s_used"))
@@ -69,6 +59,30 @@ object Sketches {
           lit(m.toDouble) * round(log(lit(m.toDouble) / col("v_empty").cast("double")), 9))
           .otherwise(lit(num) / col("s2").cast("double")), 4).as("estimate"),
         col("exact"))
+  }
+
+  /** The HLL register table alone: (bucket, reg), ≤ 2^`b` rows. ONE
+    * aggregation over pure projections, so it runs unchanged as a
+    * complete-mode Structured Streaming query — registers update per
+    * micro-batch and the drained state is identical to the batch table
+    * (max is order- and duplicate-insensitive). Feed it to the
+    * [[hllReport]] estimate math, or merge register tables from different
+    * partitions/days with a plain max — HLL's union IS the bucketwise max. */
+  def hllRegisters(df: DataFrame, valueCol: String, b: Int = 10,
+      salt: String = "hll"): DataFrame = {
+    require(b >= 4 && b <= 16, "hllRegisters: b in [4,16]")
+    val m = 1 << b
+    val window = 48 - b
+    val h = conv(substring(md5(concat_ws(":", lit(salt),
+      col(valueCol).cast("string"))), 21, 12), 16, 10).cast("long")
+    df.filter(col(valueCol).isNotNull)
+      .select(h.as("h"))
+      .select(pmod(col("h"), lit(m.toLong)).as("bucket"),
+        expr(s"h DIV $m").as("w"))
+      .select(col("bucket"),
+        when(col("w") === 0L, lit(window + 1))
+          .otherwise(lit(window + 1) - length(bin(col("w")))).cast("int").as("rank"))
+      .groupBy(col("bucket")).agg(max(col("rank")).as("reg"))
   }
 
   /** The k salted-md5 bit positions of a value in a `62·words`-bit Bloom

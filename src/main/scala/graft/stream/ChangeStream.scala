@@ -278,6 +278,53 @@ object ChangeStream {
       .groupBy(col("user_id"))
       .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
 
+  /** Top-k SESSION PATHS — the full-sequence sibling of
+    * [[eventTransitions]] (first-order Markov forgets everything before
+    * the previous step; path mining keeps the whole session): sessionize,
+    * concatenate each session's event types in (ts, event_id) order, count
+    * identical paths corpus-wide, top `k` by (count DESC, path ASC).
+    *
+    * Determinism: collect_list order is partition-dependent, so the
+    * elements are collected as (µs, event_id, type) structs and
+    * array_sort'ed — a total order — before joining into the path string.
+    * Scale: one user-keyed window (shared with sessionize), one
+    * (user, session) aggregate whose state is session-sized, one
+    * map-side-combinable path count, TakeOrdered top-k — no global sort. */
+  def sessionPaths(events: DataFrame, gapSeconds: Long, k: Int = 25): DataFrame =
+    sessionizeBatch(events, gapSeconds)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(
+        unix_micros(col("ts")).as("t"), col("event_id").as("e"),
+        col("event_type").as("y")))), x => x.getField("y")), " ").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path").asc).limit(k)
+
+  /** Exact EQUI-DEPTH histogram of `valueCol` per `typeCol` group: `nb`
+    * NTILE buckets over the total order (value, id) — same-size buckets
+    * (±1, extras to the leading buckets per the SQL-standard NTILE), each
+    * reporting its row count and inclusive [lo, hi] value bounds. The
+    * distribution profile beside [[valueZScores]]'s moments: equal-WIDTH
+    * histograms starve on skew, equal-DEPTH ones place resolution where
+    * the mass is.
+    *
+    * Scale: one window per group — groups parallelize across the cluster;
+    * a single monster group serializes its own sort (the NTILE semantics
+    * require a total order), so at true scale feed pre-aggregated or
+    * sampled values, or take interpolated quantiles instead
+    * ([[graft.pipeline.TextAnalysis.lengthQuantiles]]). */
+  def equiDepthHistogram(events: DataFrame, nb: Int = 10,
+      typeCol: String = "event_type", valueCol: String = "value",
+      idCol: String = "event_id"): DataFrame = {
+    require(nb >= 2, "equiDepthHistogram: need at least 2 buckets")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(typeCol)).orderBy(col(valueCol).asc, col(idCol).asc)
+    events.select(col(typeCol), col(valueCol), col(idCol))
+      .withColumn("bucket", ntile(nb).over(w))
+      .groupBy(col(typeCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"), min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"))
+  }
+
   /** Ordered funnel over the event log — the product-analytics staple: how
     * many users did steps(0), then steps(1) STRICTLY later, …, each within
     * `windowSeconds` of their step-1 anchor time. First-touch semantics:

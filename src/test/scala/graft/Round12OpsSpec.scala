@@ -210,6 +210,46 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(dup.getAs[Double]("estimate") === est)
   }
 
+  test("sessionPaths: order within session is total; gap splits paths") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, ts(0), 7L, "a"), (2L, ts(10), 7L, "b"),        // session 1: "a b"
+      (3L, ts(10000), 7L, "a"), (4L, ts(10010), 7L, "b"), // session 2: "a b"
+      (5L, ts(0), 8L, "c")                                 // user 8: "c"
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.stream.ChangeStream.sessionPaths(ev, gapSeconds = 3600L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a b" -> 2L, "c" -> 1L))
+  }
+
+  test("equiDepthHistogram: buckets partition each group; bounds nest") {
+    import java.sql.Timestamp
+    val ev = (1L to 40L).map(i =>
+      (i, new Timestamp(i), 1L, if (i <= 20) "x" else "y", i.toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val h = graft.stream.ChangeStream.equiDepthHistogram(ev, nb = 4).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(h.keySet.map(_._1) === Set("x", "y") && h.size === 8)
+    assert(h(("x", 1)) === ((5L, 1.0, 5.0)) && h(("x", 4)) === ((5L, 16.0, 20.0)))
+    assert(h(("y", 1)) === ((5L, 21.0, 25.0)))
+    // counts partition the group; bucket bounds are disjoint and ordered
+    assert(h.filter(_._1._1 == "x").values.map(_._1).sum === 20L)
+  }
+
+  test("hllRegisters: union of register tables = bucketwise max (mergeable)") {
+    import graft.functions.Sketches
+    val a = (1L to 300L).map(i => Tuple1(s"v$i")).toDF("v")
+    val b = (200L to 600L).map(i => Tuple1(s"v$i")).toDF("v")
+    val merged = Sketches.hllRegisters(a, "v").unionAll(Sketches.hllRegisters(b, "v"))
+      .groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val whole = Sketches.hllRegisters(a.unionAll(b), "v")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(merged === whole)
+  }
+
   test("bloomContamination: no false negatives at any sizing; wide = exact") {
     import graft.functions.Sketches
     val train = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
