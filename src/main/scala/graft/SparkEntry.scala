@@ -1643,6 +1643,12 @@ object SparkEntry {
         maxBucketSize = Long.MaxValue)
         .select(col("ida"), col("idb"))
     }),
+    // ---- pipeline: LSH empirical quality sheet — banded join vs exact at
+    //      the same threshold; recall measured, precision 1 by design ----
+    "q_lsh_recall" -> ((s, dir) => {
+      graft.pipeline.Similarity.lshQualityReport(
+        s.read.parquet(s"$dir/embeddings.parquet"), 0.4, dim = 64, bandBits = 4)
+    }),
     // ---- pipeline: binary (sign) quantization — 128 hyperplane sign bits
     //      as two BIGINT words; the 16-byte rung of the quantization ladder ----
     "q_binary_quantize" -> ((s, dir) => {
@@ -3991,6 +3997,7 @@ object SparkEntry {
     "q_dedup_simhash" -> simHashOracle,
     "q_binary_quantize" -> binaryQuantizeOracle,
     "q_lsh_cosine_pairs" -> lshCosineOracle,
+    "q_lsh_recall" -> lshRecallOracle,
     "q_repetition" -> repetitionOracle,
     "q_chunk" -> chunkOracle(24, 8),
     // sentence-boundary chunking oracle: same planted sentence ends, same
@@ -6666,7 +6673,8 @@ object SparkEntry {
     * The probe disables the heavy-bucket cap to match: the SQL has no
     * equivalent exclusion, so with the default cap a skewed bucket would
     * diverge the two engines. */
-  private def lshCosineOracle: String = {
+  /** Shared CTE body for the banded-LSH pair join (e, bands, cand, ls). */
+  private def lshPairCtes: String = {
     val dim = 64; val bits = 64; val bandBits = 4; val threshold = 0.4
     val dirs = graft.pipeline.Similarity.lshDirections(dim, bits)
     val bandSelects = (0 until bits / bandBits).map { b =>
@@ -6676,14 +6684,30 @@ object SparkEntry {
       }.mkString(" + ")
       s"SELECT vec_id, $b AS band, $bucket AS bucket FROM e"
     }.mkString("\nUNION ALL\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
-       |SELECT ida, idb FROM cand
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |ls AS (SELECT ida, idb FROM cand
        |JOIN e ea ON ea.vec_id = ida JOIN e eb ON eb.vec_id = idb
-       |WHERE list_cosine_similarity(ea.v, eb.v) >= $threshold""".stripMargin
+       |WHERE list_cosine_similarity(ea.v, eb.v) >= $threshold)""".stripMargin
   }
+
+  private def lshCosineOracle: String =
+    s"WITH $lshPairCtes\nSELECT ida, idb FROM ls"
+
+  /** Mirrors Similarity.lshQualityReport: exact pairs vs the banded join,
+    * one agreement-counted summary row. */
+  private def lshRecallOracle: String =
+    s"""WITH $lshPairCtes,
+       |ex AS (SELECT a.vec_id AS ida, b.vec_id AS idb FROM e a JOIN e b
+       |  ON a.vec_id < b.vec_id AND list_cosine_similarity(a.v, b.v) >= 0.4),
+       |ne AS (SELECT COUNT(*) AS n_exact FROM ex),
+       |nl AS (SELECT COUNT(*) AS n_lsh FROM ls SEMI JOIN ex USING (ida, idb))
+       |SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_lsh AS BIGINT) AS n_lsh,
+       |  CAST(n_exact - n_lsh AS BIGINT) AS missed,
+       |  CASE WHEN n_exact > 0 THEN CAST(n_lsh * 1000000 // n_exact AS BIGINT) END AS recall_x1e6
+       |FROM ne CROSS JOIN nl""".stripMargin
 
   /** Mirrors Similarity.binaryQuantize: 128 inline ±1 direction rows, each
     * bit the sign of a left-to-right double dot product (DuckDB's

@@ -658,6 +658,36 @@ object Similarity {
       .select(col("ida"), col("idb"), col("cos"))
   }
 
+  /** LSH EMPIRICAL quality sheet — the measured complement of
+    * [[graft.pipeline.Dedup.lshTuningTable]]'s theoretical S-curve: run the
+    * banded join AND the exact pair join at the same threshold, count
+    * agreement, and report (n_exact, n_lsh, missed, recall ×10⁶) as one
+    * row. Verified LSH output is a SUBSET of the exact pairs (candidates
+    * are cosine-checked), so precision is 1 by construction and the number
+    * that matters — the pairs the banding never surfaced — is `missed`.
+    * Run it on a sample before trusting a banding at full scale.
+    *
+    * Scale: the exact side is the quadratic brute-force join — that is the
+    * point of a quality sheet (ground truth); sample the corpus first. All
+    * counts are exact integers (the semi-join guards against a
+    * hypothetical banding bug ever ADDING pairs). */
+  def lshQualityReport(data: DataFrame, threshold: Double, dim: Int,
+      bits: Int = 64, bandBits: Int = 16, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val exact = cosinePairs(data, threshold, idCol, vecCol)
+      .select(col("ida"), col("idb"))
+    val lsh = lshCosinePairs(data, threshold, dim, bits, bandBits, seed,
+      idCol, vecCol, maxBucketSize = Long.MaxValue)
+      .select(col("ida"), col("idb"))
+    val ne = exact.agg(count(lit(1)).as("n_exact"))
+    val nl = lsh.join(exact, Seq("ida", "idb"), "left_semi")
+      .agg(count(lit(1)).as("n_lsh"))
+    ne.crossJoin(nl).select(col("n_exact"), col("n_lsh"),
+      (col("n_exact") - col("n_lsh")).as("missed"),
+      when(col("n_exact") > 0L,
+        expr("n_lsh * 1000000L DIV n_exact")).as("recall_x1e6"))
+  }
+
   /** LSH-bucketed cosine pair join — the scale path for cosinePairs: band the
     * random-hyperplane signature, join on (band, 16-bit bucket), verify the
     * true cosine on candidates only. Near-duplicate vectors (cosine → 1)
