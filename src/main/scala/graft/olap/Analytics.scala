@@ -1757,19 +1757,36 @@ object Analytics {
     var changed = prevSig > 0L
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a")).orderBy(col("__cb").desc, col("b").asc)
+    // delta restriction (conf-gated, default on): h(a) depends only on the
+    // neighbors' cores, so a vertex recomputes ONLY when some neighbor
+    // changed last round. The h-index iteration resolves most of the graph
+    // in the first rounds and then nibbles at a shrinking frontier —
+    // without the delta, every tail round re-windows the full adjacency
+    // for a handful of updates.
+    val useDelta = g.spark.conf.getOption("spark.graft.coreness.delta")
+      .forall(_.toBoolean)
+    var frontier = c.select(col("id")) // round 1: everything is "changed"
     while (round < maxRounds && changed) {
-      val h = und
+      val affected = und
+        .join(frontier.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select(col("a")).distinct()
+      val base = if (useDelta) und.join(affected, Seq("a"), "left_semi") else und
+      val h = base
         .join(c.select(col("id").as("b"), col("core").as("__cb")), Seq("b"))
         .select(col("a"), col("b"), col("__cb"))
         .withColumn("__rn", row_number().over(w).cast("long"))
         .groupBy(col("a")).agg(max(least(col("__cb"), col("__rn"))).as("__c"))
-      val next = ids.join(h.select(col("a").as("id"), col("__c")), Seq("id"), "left")
-        .select(col("id"), coalesce(col("__c"), lit(0L)).as("core"))
+      // untouched vertices KEEP their core (their h inputs are unchanged —
+      // recomputing would yield the identical value, so skipping is exact)
+      val next = c.join(h.select(col("a").as("id"), col("__c")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__c"), col("core")).as("core"),
+          (col("__c").isNotNull && col("__c") =!= col("core")).as("__chg"))
         .localCheckpoint(false)
       val s = sig(next) // materializes the round; monotone ⇒ equal sum = fixed point
       changed = s != prevSig
       prevSig = s
-      c = next
+      frontier = next.filter(col("__chg")).select(col("id"))
+      c = next.select(col("id"), col("core"))
       round += 1
     }
     und.unpersist(false)
