@@ -2070,6 +2070,13 @@ object SparkEntry {
       graft.pipeline.Multimodal.imageAHash(
         graft.pipeline.Multimodal.synthesizePngMedia(ids))
     }),
+    // ---- 2.M image dHash: 56 horizontal gradient bits on the SAME 8x8
+    //      lattice as aHash — survives global brightness shifts ----
+    "q_image_dhash" -> ((s, dir) => {
+      val ids = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+      graft.pipeline.Multimodal.imageDHash(
+        graft.pipeline.Multimodal.synthesizePngMedia(ids))
+    }),
     // ---- 2.M visual near-dup pairs: Hamming-banded aHash join (recall 1
     //      for distance <= 7 by pigeonhole over 8 byte-bands), verified by
     //      exact bit_count distance — the image member of the dedup family ----
@@ -4783,6 +4790,18 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN g*64 > tot AND i >= 32 THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
         |  CAST(SUM(CASE WHEN g*64 > tot AND i < 32 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS ahash_lo
         |FROM s GROUP BY doc_id""".stripMargin,
+    // dHash: same analytic 8x8 luminance lattice, horizontal gradient bits
+    "q_image_dhash" ->
+      """WITH px AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS i, (doc_id*31 + i) % 256 AS g
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+        |d AS (SELECT a.doc_id, (a.i // 8) * 7 + (a.i % 8) AS k
+        |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  WHERE a.i % 8 < 7 AND b.g > a.g)
+        |SELECT doc_id,
+        |  CAST(COALESCE(SUM(CAST(1 AS BIGINT) << CAST(k AS INTEGER)), 0) AS BIGINT) AS dhash
+        |FROM (SELECT doc_id FROM documents) docs
+        |LEFT JOIN d USING (doc_id) GROUP BY doc_id""".stripMargin,
     // streaming twin: same hash derivation, one survivor + count per
     // distinct fingerprint — identical to what the stream's complete-mode
     // aggregate materializes

@@ -260,6 +260,56 @@ object Multimodal {
       StructField("ahash_hi", LongType), StructField("ahash_lo", LongType))))
   }
 
+  /** Image DIFFERENCE hash (dHash) on the same 8×8 luminance lattice as
+    * [[imageAHash]]: bit (y·7+x) = lum(y, x+1) > lum(y, x) — 56 horizontal
+    * gradient bits in one BIGINT (the classic dHash uses a 9×8 grid; the
+    * shared-lattice variant keeps the sampling identical to aHash so the
+    * two hashes read the SAME pixels and differ only in the statistic).
+    * Gradients survive global brightness/contrast shifts that move every
+    * aHash bit at once — pipelines keep both and near-dup on either.
+    * Composable with [[hammingNearDupPairs]] (hi = 0 — distances live in
+    * the low word). Undecodable payloads yield a NULL hash row, like
+    * aHash. */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col("doc_id"), col("media.payload").as("payload"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: Exception => None }
+          img match {
+            case Some(im) =>
+              val w = im.getWidth; val h = im.getHeight
+              val lum = new Array[Long](64)
+              var i = 0
+              while (i < 64) {
+                val rgb = im.getRGB((i % 8) * w / 8, (i / 8) * h / 8)
+                lum(i) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                  (rgb & 0xff) * 114) / 1000
+                i += 1
+              }
+              var d = 0L
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 7) {
+                  if (lum(y * 8 + x + 1) > lum(y * 8 + x)) d |= 1L << (y * 7 + x)
+                  x += 1
+                }
+                y += 1
+              }
+              Row(id, d)
+            case None => Row(id, null)
+          }
+        }
+      }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("doc_id", LongType), StructField("dhash", LongType))))
+  }
+
   /** Image near-duplicate pairs by aHash Hamming distance ≤ `maxHamming` —
     * the visual member of the dedup family (same role MinHash plays for
     * text): re-encoded, resized and re-compressed copies land within a few
