@@ -1627,6 +1627,22 @@ object SparkEntry {
       deleteRecursively(tmp)
       res
     }),
+    // ---- pipeline: INCREMENTAL index append — train on vec_id < 400,
+    //      append the rest with the FROZEN centroids/codebooks, search the
+    //      union; identical to a frozen-codebook build over everything ----
+    "q_ivfpq_append" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-app")
+      graft.pipeline.Similarity.writeIvfPqIndex(
+        e.filter(col("vec_id") < 400), tmp.toString)
+      graft.pipeline.Similarity.appendToIvfPqIndex(s, tmp.toString,
+        e.filter(col("vec_id") >= 400))
+      val res = graft.pipeline.Similarity
+        .searchIvfPqIndex(s, tmp.toString, e.filter(col("vec_id") < 10), k = 5)
+        .localCheckpoint(true) // materialize before the index files vanish
+      deleteRecursively(tmp)
+      res
+    }),
     // ---- pipeline: SemDeDup-style semantic dedup (cluster → within-cluster
     //      cosine pairs → keep min id per duplicate component) ----
     "q_semantic_dedup" -> ((s, dir) => {
@@ -4698,6 +4714,10 @@ object SparkEntry {
       codes = 8, rounds = 2, dim = 64, maxQid = 10),
     // the persisted index materializes the same deterministic training, so
     // the search result — and therefore the oracle — is identical
+    // append: training frozen on the base corpus, encode/search the union
+    "q_ivfpq_append" -> ivfPqTopKOracle(nlist = 16, nprobe = 4, m = 2, k = 5,
+      codes = 8, rounds = 2, dim = 64, maxQid = 10, trainSrc = "base",
+      preCtes = "base AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id < 400),\n"),
     "q_ivfpq_persisted" -> ivfPqTopKOracle(nlist = 16, nprobe = 4, m = 2, k = 5,
       codes = 8, rounds = 2, dim = 64, maxQid = 10),
     "q_bigram_logprob" ->
@@ -6282,12 +6302,23 @@ object SparkEntry {
     * `s{s}_cents{rounds}`, rank-1 code assignment `asg{s}` (vec_id, code{s})
     * — mirrors Similarity.pqEncode CTE-for-CTE (subspace s covers 1-based
     * dims [s·sub+1, (s+1)·sub]). */
-  private def pqBlocks(m: Int, k: Int, rounds: Int, dim: Int): Seq[String] = {
+  /** `trainSrc` ≠ "embeddings" freezes codebook training on that CTE while
+    * the encode (asg) still covers the full corpus — the persisted-index
+    * APPEND semantics. */
+  private def pqBlocks(m: Int, k: Int, rounds: Int, dim: Int,
+      trainSrc: String = "embeddings"): Seq[String] = {
     val sub = dim / m
     (0 until m).map { s =>
+      val train =
+        if (trainSrc == "embeddings") ""
+        else
+          s"""subtrain$s AS MATERIALIZED (SELECT vec_id,
+             |  CAST(embedding[${s * sub + 1}:${(s + 1) * sub}] AS DOUBLE[]) AS embedding FROM $trainSrc),
+             |""".stripMargin
+      val kSrc = if (trainSrc == "embeddings") s"sub$s" else s"subtrain$s"
       s"""sub$s AS MATERIALIZED (SELECT vec_id,
          |  CAST(embedding[${s * sub + 1}:${(s + 1) * sub}] AS DOUBLE[]) AS embedding FROM embeddings),
-         |${kmeansCtesOver(s"sub$s", s"s${s}_", k, rounds)},
+         |$train${kmeansCtesOver(kSrc, s"s${s}_", k, rounds)},
          |asg$s AS MATERIALIZED (
          |  SELECT vec_id, cid AS code$s FROM (
          |    SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -6308,7 +6339,8 @@ object SparkEntry {
     * in [[pqTopKOracle]] (name spaces don't collide: coarse CTEs are
     * cents/kasg/cm, subspace CTEs are s{n}_-prefixed). */
   private def ivfPqTopKOracle(nlist: Int, nprobe: Int, m: Int, k: Int,
-      codes: Int, rounds: Int, dim: Int, maxQid: Int): String = {
+      codes: Int, rounds: Int, dim: Int, maxQid: Int,
+      trainSrc: String = "embeddings", preCtes: String = ""): String = {
     val luts = (0 until m).map { s =>
       s"""lut$s AS MATERIALIZED (
          |  SELECT q.vec_id AS qid, c.cid AS code$s,
@@ -6320,7 +6352,7 @@ object SparkEntry {
       s"JOIN lut$s ON lut$s.code$s = a.code$s AND lut$s.qid = prb.qid").mkString(" ")
     val score = (0 until m).map(s => s"lut$s.sim$s").mkString(" + ")
     val codeCols = (0 until m).map(s => s"code$s").mkString(", ")
-    s"""WITH ${kmeansCtes(nlist, rounds)},
+    s"""WITH $preCtes${kmeansCtesOver(trainSrc, "", nlist, rounds)},
        |bkt AS MATERIALIZED (
        |  SELECT vec_id, cid AS bucket FROM (
        |    SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -6331,7 +6363,7 @@ object SparkEntry {
        |    SELECT q.vec_id AS qid, c.cid, ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC, c.cid) AS rn
        |    FROM embeddings q CROSS JOIN cents$rounds c WHERE q.vec_id < $maxQid) WHERE rn <= $nprobe),
-       |${(pqBlocks(m, codes, rounds, dim) ++ luts).mkString(",\n")},
+       |${(pqBlocks(m, codes, rounds, dim, trainSrc) ++ luts).mkString(",\n")},
        |scored AS (
        |  SELECT prb.qid, a.vec_id AS nid, $score AS score
        |  FROM (SELECT asg0.vec_id, $codeCols, b.bucket

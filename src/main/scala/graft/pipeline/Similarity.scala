@@ -423,6 +423,45 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** INCREMENTAL index maintenance — append new vectors to a persisted
+    * [[writeIvfPqIndex]] layout WITHOUT retraining: the frozen coarse
+    * centroids bucket the batch, the frozen per-subspace codebooks encode
+    * it, and the codes land as appended partitions of the same
+    * bucket-partitioned layout. This is how production ANN indexes ingest
+    * (retraining on every batch would re-encode the whole corpus);
+    * quantization error drifts as the data distribution moves away from
+    * the training corpus — rebuild when an [[annRecall]]-style sheet says
+    * so. Search results after an append are identical to an index built
+    * with the SAME codebooks over the union corpus.
+    *
+    * Scale: the batch never touches existing codes (pure partition
+    * append); centroids and codebooks are broadcast-sized reads; encode is
+    * m broadcast-argmax passes over the batch only. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newData: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val meta = spark.read.parquet(s"$path/meta").head
+    val m = meta.getAs[Int]("m")
+    val dim = meta.getAs[Int]("dim")
+    val sub = dim / m
+    val newDim = vecDim(newData, vecCol)
+    require(newDim == dim,
+      s"appendToIvfPqIndex: batch dim $newDim != index dim $dim")
+    val coarse = spark.read.parquet(s"$path/coarse")
+    val books = spark.read.parquet(s"$path/codebooks")
+    val bucketed = assign(newData, coarse, idCol, vecCol)
+      .select(col(idCol), col("cid").as("bucket"))
+    (0 until m).map { s =>
+      val sliced = newData.select(col(idCol),
+        slice(col(vecCol), s * sub + 1, sub).as(vecCol))
+      assign(sliced, books.filter(col("subspace") === s)
+          .select(col("cid"), col("cvec")), idCol, vecCol)
+        .select(col(idCol), col("cid").as(s"code$s"))
+    }.reduce(_.join(_, Seq(idCol)))
+      .join(bucketed, Seq(idCol))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/codes")
+  }
+
   /** ANN search over a persisted [[writeIvfPqIndex]] layout: probe the
     * nprobe nearest coarse buckets (centroids broadcast), read ONLY those
     * buckets' code partitions (the bucket join is on the partition column —

@@ -250,6 +250,41 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(merged === whole)
   }
 
+  test("appendToIvfPqIndex: frozen codebooks; appended ids searchable") {
+    import graft.pipeline.Similarity
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(8)(rnd.nextFloat())
+    val all = (0L until 60L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("t-ivfpq-app")
+    try {
+      Similarity.writeIvfPqIndex(all.filter(col("vec_id") < 40), tmp.toString,
+        nlist = 4, m = 2, codes = 4)
+      val booksBefore = spark.read.parquet(s"$tmp/codebooks").collect().toSet
+      Similarity.appendToIvfPqIndex(spark, tmp.toString,
+        all.filter(col("vec_id") >= 40))
+      // append must not touch the trained artifacts
+      assert(spark.read.parquet(s"$tmp/codebooks").collect().toSet === booksBefore)
+      val codes = spark.read.parquet(s"$tmp/codes")
+      assert(codes.count() === 60L)
+      // appended vectors are reachable from search
+      val hits = Similarity.searchIvfPqIndex(spark, tmp.toString,
+          all.filter(col("vec_id") < 5), k = 50, nprobe = 4)
+        .filter(col("nid") >= 40L).count()
+      assert(hits > 0L)
+      // dimension mismatch fails loudly
+      val bad = Seq((99L, Array.fill(6)(0.1f))).toDF("vec_id", "embedding")
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.appendToIvfPqIndex(spark, tmp.toString, bad)
+      }
+      assert(ex.getMessage.contains("dim"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+  }
+
   test("bloomContamination: no false negatives at any sizing; wide = exact") {
     import graft.functions.Sketches
     val train = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
