@@ -1355,6 +1355,31 @@ object SparkEntry {
         } finally cleanup()
       out
     }),
+    // ---- pipeline: STREAMING Bloom build — the word table is ONE bit_or
+    //      aggregation, so the filter accretes per micro-batch; drained
+    //      words ≡ the batch filter over the same eval slice ----
+    "q_stream_bloom" -> ((s, dir) => {
+      val src = s.read.parquet(s"$dir/documents.parquet")
+        .filter(pmod(col("doc_id"), lit(7L)) === 0L)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sbloom")
+      src.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema(src.schema).parquet(s"$tmp/in")
+      val qname = s"graft_sbloom_${System.nanoTime()}"
+      val q = graft.functions.Sketches.bloomBits(stream, "text", words = 8, k = 3)
+        .writeStream.format("memory").queryName(qname).outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      def cleanup(): Unit = deleteRecursively(tmp)
+      val out =
+        try {
+          awaitStreamProbe(q, "q_stream_bloom")
+          val t = s.table(qname)
+          s.catalog.dropTempView(qname)
+          t
+        } finally cleanup()
+      out
+    }),
     // ---- pipeline: STREAMING HyperLogLog — the register table is ONE
     //      max-aggregation, so it updates per micro-batch in complete
     //      mode; drained registers ≡ the batch table (union = max) ----
@@ -5101,6 +5126,14 @@ object SparkEntry {
         |SELECT event_type, CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS cnt,
         |  MIN(value) AS lo, MAX(value) AS hi
         |FROM n GROUP BY 1, 2""".stripMargin,
+    // streaming Bloom: the packed word table of the batch filter
+    "q_stream_bloom" ->
+      """WITH ev AS (SELECT text FROM documents WHERE doc_id % 7 = 0),
+        |js AS (SELECT unnest(range(0, 3)) AS j),
+        |bp AS (SELECT ('0x' || substr(md5(CAST(j AS VARCHAR) || ':bloom:' || text), 21, 12))::BIGINT % 496 AS p
+        |  FROM ev CROSS JOIN js)
+        |SELECT p // 62 AS word,
+        |  bit_or(1::BIGINT << CAST(p % 62 AS INTEGER)) AS bits FROM bp GROUP BY 1""".stripMargin,
     // streaming HLL: the register table of the batch sketch
     "q_stream_hll" ->
       """WITH hx AS (SELECT
