@@ -46,6 +46,30 @@ object SparkEntry {
     if (!finished) { q.stop(); sys.error(s"$name: stream did not finish in 300s") }
   }
 
+  /** The "batch operator, stream engine" probe scaffold: write `src` to a
+    * per-invocation temp dir, readStream it with the same schema, apply
+    * `build`, drain through a complete-mode memory sink, clean up. One
+    * definition so the drain/dropTempView/cleanup sequence cannot be got
+    * subtly wrong in the next streaming probe. */
+  private def streamProbe(s: SparkSession, name: String, src: DataFrame)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-$name")
+    src.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = s.readStream.schema(src.schema).parquet(s"$tmp/in")
+    val qname = s"graft_${name}_${System.nanoTime()}"
+    val q = build(stream)
+      .writeStream.format("memory").queryName(qname).outputMode("complete")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      awaitStreamProbe(q, name)
+      val t = s.table(qname)
+      s.catalog.dropTempView(qname)
+      t
+    } finally deleteRecursively(tmp)
+  }
+
   private def graph(s: SparkSession, dir: String): graft.data.PropertyGraph = {
     val perSession = graphCache.synchronized {
       var m = graphCache.get(s)
@@ -1359,76 +1383,28 @@ object SparkEntry {
     //      aggregation, so the filter accretes per micro-batch; drained
     //      words ≡ the batch filter over the same eval slice ----
     "q_stream_bloom" -> ((s, dir) => {
-      val src = s.read.parquet(s"$dir/documents.parquet")
-        .filter(pmod(col("doc_id"), lit(7L)) === 0L)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sbloom")
-      src.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
-      val stream = s.readStream.schema(src.schema).parquet(s"$tmp/in")
-      val qname = s"graft_sbloom_${System.nanoTime()}"
-      val q = graft.functions.Sketches.bloomBits(stream, "text", words = 8, k = 3)
-        .writeStream.format("memory").queryName(qname).outputMode("complete")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      def cleanup(): Unit = deleteRecursively(tmp)
-      val out =
-        try {
-          awaitStreamProbe(q, "q_stream_bloom")
-          val t = s.table(qname)
-          s.catalog.dropTempView(qname)
-          t
-        } finally cleanup()
-      out
+      streamProbe(s, "q_stream_bloom", s.read.parquet(s"$dir/documents.parquet")
+        .filter(pmod(col("doc_id"), lit(7L)) === 0L)) { stream =>
+        graft.functions.Sketches.bloomBits(stream, "text", words = 8, k = 3)
+      }
     }),
     // ---- pipeline: STREAMING HyperLogLog — the register table is ONE
     //      max-aggregation, so it updates per micro-batch in complete
     //      mode; drained registers ≡ the batch table (union = max) ----
     "q_stream_hll" -> ((s, dir) => {
-      val src = s.read.parquet(s"$dir/documents.parquet")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-shll")
-      src.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
-      val stream = s.readStream.schema(src.schema).parquet(s"$tmp/in")
-      val qname = s"graft_shll_${System.nanoTime()}"
-      val q = graft.functions.Sketches.hllRegisters(stream, "doc_id")
-        .writeStream.format("memory").queryName(qname).outputMode("complete")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      def cleanup(): Unit = deleteRecursively(tmp)
-      val out =
-        try {
-          awaitStreamProbe(q, "q_stream_hll")
-          val t = s.table(qname)
-          s.catalog.dropTempView(qname)
-          t
-        } finally cleanup()
-      out
+      streamProbe(s, "q_stream_hll", s.read.parquet(s"$dir/documents.parquet")) {
+        stream => graft.functions.Sketches.hllRegisters(stream, "doc_id")
+      }
     }),
     // ---- pipeline: STREAMING count-min sketch — the occurrence-shaped
     //      single-aggregation form runs unchanged under readStream
     //      (complete mode); the drained counter table is oracle-identical
     //      to the batch sketch ----
     "q_stream_cms" -> ((s, dir) => {
-      val src = s.read.parquet(s"$dir/documents.parquet")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-scms")
-      src.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
-      val stream = s.readStream.schema(src.schema).parquet(s"$tmp/in")
-      val qname = s"graft_scms_${System.nanoTime()}"
-      val q = graft.pipeline.TextAnalysis.countMinSketch(stream,
+      streamProbe(s, "q_stream_cms", s.read.parquet(s"$dir/documents.parquet")) {
+        stream => graft.pipeline.TextAnalysis.countMinSketch(stream,
           width = 16, depth = 2, collapseVocab = false)
-        .writeStream.format("memory").queryName(qname).outputMode("complete")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      def cleanup(): Unit = deleteRecursively(tmp)
-      val out =
-        try {
-          awaitStreamProbe(q, "q_stream_cms")
-          val t = s.table(qname)
-          s.catalog.dropTempView(qname)
-          t
-        } finally cleanup()
-      out
+      }
     }),
     // ---- pipeline: STREAMING DSIR — the importance-weight model freezes
     //      once (batch λ table), then the live ingest feed scores through

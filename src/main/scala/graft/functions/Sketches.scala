@@ -29,7 +29,9 @@ object Sketches {
     * single row. */
   def hllReport(df: DataFrame, valueCol: String, b: Int = 10,
       salt: String = "hll"): DataFrame = {
-    require(b >= 4 && b <= 16, "hllReport: b in [4,16]")
+    // b ≤ 12: the exact harmonic sum's worst case is m·2^50 (all registers
+    // empty) = 2^(b+50), which must stay under 2^63 — b = 13 already wraps
+    require(b >= 4 && b <= 12, "hllReport: b in [4,12]")
     val m = 1 << b
     val window = 48 - b
     val alpha = b match {

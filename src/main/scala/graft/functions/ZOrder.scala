@@ -57,7 +57,9 @@ object ZOrder {
     * — the same cost as sorting by any single column, but the locality now
     * serves every dimension. */
   def withZKey(df: DataFrame, cols: Seq[String], bits: Int = 16): DataFrame = {
-    require(cols.nonEmpty, "withZKey: need at least one column")
+    require(cols.size >= 2,
+      "withZKey: need at least two columns to interleave — sort by the " +
+        "column directly for single-column clustering")
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
     val bounds = df.agg(aggs.head, aggs.tail: _*)

@@ -705,8 +705,11 @@ object Analytics {
     require(alphaNum > 0 && alphaDen > alphaNum,
       "katzFixedPoint: need 0 < alpha = alphaNum/alphaDen < 1")
     val S = 1000000000000L
+    // alpha participates in the cache key: the divergence/overflow guard
+    // below depends on it, so a cached projection validated for one alpha
+    // must not silently serve a looser one
     val e = graft.core.PlanCache.cached(g.spark,
-      graft.core.PlanCache.key("katz-edges", g.edges)) {
+      graft.core.PlanCache.key(s"katz-edges-$alphaNum-$alphaDen", g.edges)) {
       val ed = g.edges.select(col("src"), col("dst"))
       // contraction + overflow bound ride the cache miss: with D = max
       // in-degree, ranks stay ≤ S·αden/(αden − αnum·D) =: B and the per-

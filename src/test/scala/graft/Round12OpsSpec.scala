@@ -162,6 +162,22 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(b(2L) === 2.0 && b(3L) === 1.0 && b(4L) === 0.0)
   }
 
+  test("betweennessContribution ≡ batched betweennessSampled per source") {
+    // the per-source sweep and the batched frame share the exact recipe —
+    // pin it so a precision tweak to one cannot silently diverge the other
+    val rnd = new scala.util.Random(11)
+    val es = (1 to 60).map(i => (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (_, a, b) => a != b }
+    val g = graphOf(0L until 20L, es)
+    val single = Analytics.betweennessContribution(g, 3L, maxIter = 6)
+      .filter(col("id") =!= 3L)
+      .select(col("id"), round(col("delta").cast("double"), 6).as("betweenness"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batched = Analytics.betweennessSampled(g, Seq(3L), maxIter = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(single === batched)
+  }
+
   test("richClub: hubs-wired fixture rises; histogram counts exact") {
     // K4 core (degrees >= 3) + pendant vertices on one hub
     val core = Seq((1L, 1L, 2L), (2L, 1L, 3L), (3L, 1L, 4L),
