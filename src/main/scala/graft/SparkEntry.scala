@@ -112,6 +112,27 @@ object SparkEntry {
   /** order-insensitive exact double sum: decimal-accumulate, cast once. */
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(28, scale))).cast(DoubleType)
+
+  /** Reference TinkerPop-conformance fixture (TitanGraphTest.java
+    * testTinkerPopOptimizationStrategies): 100 plain vertices (pid j,
+    * weight j%5) + 10 supernodes (pid -1, 'id'=sid in the reference), each
+    * supernode knowing all 100 with edge weight j%5. Pure range()
+    * arithmetic — the DuckDB oracle rebuilds the same relation verbatim,
+    * so the probes pin the traversal engine against the reference's own
+    * expected counts, not against a copy of its data. */
+  private def tpFixture(s: SparkSession): graft.data.PropertyGraph = {
+    val normals = s.range(100).select((col("id") + 1L).as("id"),
+      lit("v").as("label"), col("id").as("pid"), (col("id") % 5).as("weight"))
+    val supers = s.range(10).select((col("id") + 1001L).as("id"),
+      lit("v").as("label"), lit(-1L).as("pid"), lit(null).cast("long").as("weight"))
+    val edges = s.range(1000).select(
+      (col("id") + 5000L).as("id"),
+      expr("CAST(id DIV 100 + 1001 AS BIGINT)").as("src"),
+      (col("id") % 100 + 1L).as("dst"),
+      lit("knows").as("label"),
+      (col("id") % 100 % 5).as("weight"))
+    graft.data.PropertyGraph(graft.core.GraphSchema(), normals.unionByName(supers), edges)
+  }
   private def d(s: String) = java.sql.Date.valueOf(s)
 
   /** Session clone carrying `spark.sql.legacy.parquet.nanosAsLong`. The flag
@@ -865,6 +886,19 @@ object SparkEntry {
       graft.index.Indexes.lookupRange(g, nIx, "retailprice", 905.0, 915.0)
         .select(col("uid"), col("retailprice"))
     }),
+    // ---- 2.B mixed index, typed temporal range (Date/Instant are
+    // first-class mixed-index types: reference docs/searchpredicates.txt:
+    // 70-86) — native timestamp bounds, no caller-side double cast ----
+    "q_mixed_range_date" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val ix = graft.core.IndexDef("dateTs", graft.core.ElementCategory.VERTEX,
+        Seq("orderdate"), composite = false)
+      val tIx = graft.index.Indexes.materializeTemporal(g, ix, Seq("orderdate"))
+      graft.index.Indexes.lookupTemporalRange(g, tIx, "orderdate",
+        java.sql.Date.valueOf("1995-03-01"), java.sql.Date.valueOf("1995-03-08"),
+        graft.core.ElementCategory.VERTEX)
+        .select(col("uid"), date_format(col("orderdate"), "yyyy-MM-dd").as("odate"))
+    }),
     // ---- 2.B direct index query, Lucene syntax: multi-field AND ----
     "q_index_lucene" -> ((s, dir) => {
       graft.index.Indexes.indexQueryLucene(graph(s, dir),
@@ -891,6 +925,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_cells"), sum(col("value")).as("sum_part"))
         .select(uidOf(col("id"), TpchGraph.OrderTag).as("uid"),
           col("n_cells"), col("sum_part"))
+    }),
+    // ---- 2.B/2.L hyper-edge remnant (advschema.txt:96-109): meta-props on
+    // an EDGE relation's property + a unidirected edge ON the edge pointing
+    // at its recording supplier vertex; traverse out and aggregate ----
+    "q_edge_metaprops" -> ((s, dir) => {
+      import graft.data.HyperEdges
+      val g = graph(s, dir)
+      val contains = g.edges.filter(col("label") === "contains" &&
+        col("returnflag") === "R")
+      // annotate each edge's quantity property with provenance meta
+      val ann = HyperEdges.annotateEdgeProperty(contains, "quantity",
+        "ls" -> col("linestatus"))
+      // unidirected 'recordedBy' meta-edge: contains-edge → supplier vertex
+      val meta = HyperEdges.attachToEdges(ann, "recordedBy",
+        TpchGraph.vid(TpchGraph.SupplierTag, col("suppkey")))
+      val out = HyperEdges.outV(g, meta, "recordedBy")
+      out.select(col("src_edge"), col("uid"))
+        .join(ann.select(col("id").as("src_edge"), col("quantity_cells")),
+          Seq("src_edge"))
+        .groupBy(col("uid")).agg(
+          count(lit(1)).as("n_edges"),
+          sum(element_at(graft.data.MultiProperties.values(col("quantity_cells")), 1)
+            .cast("long")).as("sum_qty"),
+          sum(when(graft.data.MultiProperties.anyMetaEquals(
+            col("quantity_cells"), "ls", "F"), 1L).otherwise(0L)).as("n_f"))
     }),
     // ---- 2.E match() as a planner: selectivity-ordered pattern join ----
     "q_match_planner" -> ((s, dir) => {
@@ -3067,6 +3126,121 @@ object SparkEntry {
     "q_mean_terminal" -> ((s, dir) => {
       graph(s, dir).traversal.V().hasLabel("part").mean("size")
     }),
+    // ---- 2.E reference traversal-conformance block: the expected-count
+    // corpus of TitanGraphTest.java testTinkerPopOptimizationStrategies
+    // (~:3350-3460) + testSimpleTinkerPopTraversal (:3520), re-run through
+    // this engine's traversal surface on the same deterministic fixture
+    // (range() arithmetic — the DuckDB oracle rebuilds it verbatim).
+    // Each probe row is one reference assertion: (caze, n[, ws]). ----
+    "q_tp_vertexstep" -> ((s, dir) => {
+      val g = tpFixture(s); val t = g.traversal
+      def sv0 = t.V().hasId(1001L)
+      def row(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("weight")), lit(0L)).as("ws"))
+          .select(lit(caze).as("caze"), col("n"), col("ws"))
+      val wDesc = Seq(col("weight").desc, col("id").asc)
+      val wAsc = Seq(col("weight").asc, col("id").asc)
+      Seq(
+        row("outE_has_w1", sv0.outE("knows").has("weight", 1L).toDF),
+        row("outE", sv0.outE("knows").toDF),
+        row("out", sv0.out("knows").toDF),
+        row("local_limit10", sv0.localLimit(10, Seq(col("id").asc))(_.outE("knows")).toDF),
+        row("local_range_10_20", sv0.localRange(10, 20, Seq(col("id").asc))(_.outE("knows")).toDF),
+        row("local_order_limit10", sv0.localLimit(10, wDesc)(_.outE("knows")).toDF),
+        row("has_w1_order", sv0.outE("knows").has("weight", 1L).order("weight").toDF),
+        row("local_has_w1_order_limit10",
+          sv0.localLimit(10, wAsc)(_.outE("knows").has("weight", 1L)).toDF),
+        row("local_has_has_range_10_15",
+          sv0.localRange(10, 15, wAsc)(
+            _.outE("knows").has("weight", 1L).has("weight", 1L)).toDF),
+      ).reduce(_ unionAll _)
+    }),
+    "q_tp_filter_is" -> ((s, dir) => {
+      val g = tpFixture(s); val t = g.traversal
+      def sv0 = t.V().hasId(1001L)
+      val v50 = 51L
+      def row(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      Seq(
+        row("outE_filter_inV_is", sv0.outE("knows")
+          .whereSub(_.inV().filterWhere(col("id") === v50)).toDF),
+        row("outE_filter_otherV_is", sv0.outE("knows")
+          .whereSub(_.otherV().filterWhere(col("id") === v50)).toDF),
+        row("bothE_filter_otherV_is", sv0.bothE("knows")
+          .whereSub(_.otherV().filterWhere(col("id") === v50)).toDF),
+        row("bothE_filter_inV_is", sv0.bothE("knows")
+          .whereSub(_.inV().filterWhere(col("id") === v50)).toDF),
+        row("v50_bothE_otherV_super", t.V().hasId(v50).bothE("knows")
+          .whereSub(_.otherV().filterWhere(col("id") === 1001L)).toDF),
+      ).reduce(_ unionAll _)
+    }),
+    "q_tp_properties" -> ((s, dir) => {
+      import graft.data.MultiProperties
+      // LIST-cardinality 'names' with a weight META-property per cell —
+      // the reference's TitanPropertiesStep cases (has on meta, local
+      // order().by(meta).limit, super-fan values())
+      val cellsRel = s.range(1000).select(
+        expr("CAST(id DIV 100 + 1001 AS BIGINT)").as("vid"),
+        concat(lit("n"), (col("id") % 100).cast("string")).as("value"),
+        (col("id") % 100 % 5).cast("string").as("w"))
+      val mp = MultiProperties.collect(
+        cellsRel.select(col("vid"),
+          MultiProperties.cell(col("value"), "weight" -> col("w")).as("c")),
+        col("vid"), col("c"))
+      val ex = MultiProperties.explodeCells(mp, "cells")
+      def row(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n"),
+          coalesce(sum(when(col("meta").getItem("weight") === "4", 1L)
+            .otherwise(0L)), lit(0L)).as("nw4"))
+          .select(lit(caze).as("caze"), col("n"), col("nw4"))
+      val sv0 = ex.filter(col("id") === 1001L)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+        .orderBy(col("meta").getItem("weight").desc, col("value").asc)
+      Seq(
+        row("props_all", sv0),
+        row("props_meta_w1", MultiProperties.explodeCells(
+          mp.withColumn("cells",
+            MultiProperties.cellsWithMeta(col("cells"), "weight", "1")), "cells")
+          .filter(col("id") === 1001L)),
+        row("props_local_order_limit10", sv0
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 10)),
+        row("supers_values_names", ex),
+      ).reduce(_ unionAll _)
+    }),
+    "q_tp_graphstep" -> ((s, dir) => {
+      val g = tpFixture(s); val t = g.traversal
+      def row(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      Seq(
+        row("has_id20", t.V().has("pid", 20L).toDF),
+        row("has_id20_w0", t.V().has("pid", 20L).has("weight", 0L).toDF),
+        row("has_w1", t.V().has("weight", 1L).toDF),
+        row("has_w1_range_0_10", t.V().has("weight", 1L).range(0, 10).toDF),
+        row("has_sid", t.V().has("pid", -1L).toDF),
+        row("has_id20_as", t.V().has("pid", 20L).as("x").toDF),
+        row("sid_outE_w1", t.V().has("pid", -1L).outE("knows").has("weight", 1L).toDF),
+        row("sid_outE_w_between", t.V().has("pid", -1L).outE("knows")
+          .has("weight", P.gte(1L)).has("weight", P.lt(3L)).toDF),
+        row("sid_outE_between_p", t.V().has("pid", -1L).outE("knows")
+          .has("weight", P.between(1L, 3L)).toDF),
+        row("sid_local_limit10", t.V().has("pid", -1L)
+          .localLimit(10, Seq(col("weight").desc, col("id").asc))(
+            _.outE("knows").has("weight", P.between(1L, 3L))).toDF),
+      ).reduce(_ unionAll _)
+    }),
+    "q_tp_select_edge" -> ((s, dir) => {
+      import s.implicits._
+      // testSimpleTinkerPopTraversal: V().has(josh).outE(created).as('e')
+      // .inV().has(lop).select('e') resolves to the created-edge id
+      val v = Seq((1L, "person", "josh"), (2L, "software", "lop"))
+        .toDF("id", "label", "name")
+      val e = Seq((10L, 1L, 2L, "created")).toDF("id", "src", "dst", "label")
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+      g.traversal.V().has("name", "josh").outE("created").as("e").inV()
+        .has("name", "lop").selectPop("e", graft.traverse.Pop.Last)
+        .select(col("e_id").as("eid"))
+    }),
     // ---- 2.M native expression: array_jaccard over name tokens ----
     "q_array_jaccard" -> ((s, dir) => {
       val p = graph(s, dir).V().hasLabel("part").dataframe
@@ -3309,6 +3483,10 @@ object SparkEntry {
         |UNION ALL SELECT p_partkey, p_name, 'exact' FROM part WHERE p_name = 'red plate'""".stripMargin,
     "q_mixed_range" ->
       "SELECT p_partkey AS uid, p_retailprice AS retailprice FROM part WHERE p_retailprice >= 905.0 AND p_retailprice < 915.0",
+    "q_mixed_range_date" ->
+      """SELECT o_orderkey AS uid, strftime(o_orderdate, '%Y-%m-%d') AS odate
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+        |AND o_orderdate < TIMESTAMP '1995-03-08'""".stripMargin,
     "q_index_lucene" ->
       """WITH t AS (SELECT p_partkey AS uid, p_name AS name, p_brand AS brand,
         |  list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), x -> length(x) > 1) AS tn,
@@ -3326,6 +3504,70 @@ object SparkEntry {
       """SELECT l_orderkey AS uid, COUNT(*) AS n_cells,
         |CAST(SUM(l_partkey) AS BIGINT) AS sum_part FROM lineitem
         |WHERE l_returnflag = 'R' GROUP BY 1""".stripMargin,
+    "q_tp_vertexstep" ->
+      """WITH e AS (SELECT CAST(x.range AS BIGINT) AS eid, x.range // 100 AS i,
+        |  x.range % 100 AS j, CAST(x.range % 100 % 5 AS BIGINT) AS w FROM range(1000) x)
+        |SELECT 'outE_has_w1' AS caze, COUNT(*) AS n, CAST(SUM(w) AS BIGINT) AS ws
+        |  FROM e WHERE i = 0 AND w = 1
+        |UNION ALL SELECT 'outE', COUNT(*), CAST(SUM(w) AS BIGINT) FROM e WHERE i = 0
+        |UNION ALL SELECT 'out', COUNT(*), CAST(SUM(w) AS BIGINT) FROM e WHERE i = 0
+        |UNION ALL SELECT 'local_limit10', COUNT(*), CAST(SUM(w) AS BIGINT)
+        |  FROM e WHERE i = 0 AND j < 10
+        |UNION ALL SELECT 'local_range_10_20', COUNT(*), CAST(SUM(w) AS BIGINT)
+        |  FROM e WHERE i = 0 AND j >= 10 AND j < 20
+        |UNION ALL SELECT 'local_order_limit10', COUNT(*), CAST(SUM(w) AS BIGINT)
+        |  FROM (SELECT w FROM e WHERE i = 0 ORDER BY w DESC, eid ASC LIMIT 10)
+        |UNION ALL SELECT 'has_w1_order', COUNT(*), CAST(SUM(w) AS BIGINT)
+        |  FROM e WHERE i = 0 AND w = 1
+        |UNION ALL SELECT 'local_has_w1_order_limit10', COUNT(*), CAST(SUM(w) AS BIGINT)
+        |  FROM (SELECT w FROM e WHERE i = 0 AND w = 1 ORDER BY w ASC, eid ASC LIMIT 10)
+        |UNION ALL SELECT 'local_has_has_range_10_15', COUNT(*), CAST(SUM(w) AS BIGINT)
+        |  FROM (SELECT w FROM e WHERE i = 0 AND w = 1 ORDER BY w ASC, eid ASC
+        |        LIMIT 5 OFFSET 10)""".stripMargin,
+    "q_tp_filter_is" ->
+      """SELECT 'outE_filter_inV_is' AS caze, CAST(1 AS BIGINT) AS n
+        |UNION ALL SELECT 'outE_filter_otherV_is', 1
+        |UNION ALL SELECT 'bothE_filter_otherV_is', 1
+        |UNION ALL SELECT 'bothE_filter_inV_is', 1
+        |UNION ALL SELECT 'v50_bothE_otherV_super', 1""".stripMargin,
+    "q_tp_properties" ->
+      """WITH c AS (SELECT i.range AS i, CAST(j.range AS BIGINT) AS j,
+        |  CAST(j.range % 5 AS BIGINT) AS w FROM range(10) i, range(100) j)
+        |SELECT 'props_all' AS caze, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN w = 4 THEN 1 ELSE 0 END) AS BIGINT) AS nw4
+        |  FROM c WHERE i = 0
+        |UNION ALL SELECT 'props_meta_w1', COUNT(*),
+        |  CAST(SUM(CASE WHEN w = 4 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM c WHERE i = 0 AND w = 1
+        |UNION ALL SELECT 'props_local_order_limit10', COUNT(*),
+        |  CAST(SUM(CASE WHEN w = 4 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT w FROM c WHERE i = 0 ORDER BY w DESC, j ASC LIMIT 10)
+        |UNION ALL SELECT 'supers_values_names', COUNT(*),
+        |  CAST(SUM(CASE WHEN w = 4 THEN 1 ELSE 0 END) AS BIGINT) FROM c""".stripMargin,
+    "q_tp_graphstep" ->
+      """WITH v AS (SELECT CAST(x.range AS BIGINT) AS j,
+        |  CAST(x.range % 5 AS BIGINT) AS w FROM range(100) x),
+        |e AS (SELECT x.range // 100 AS i, x.range % 100 AS j,
+        |  CAST(x.range % 100 % 5 AS BIGINT) AS w FROM range(1000) x)
+        |SELECT 'has_id20' AS caze, COUNT(*) AS n FROM v WHERE j = 20
+        |UNION ALL SELECT 'has_id20_w0', COUNT(*) FROM v WHERE j = 20 AND w = 0
+        |UNION ALL SELECT 'has_w1', COUNT(*) FROM v WHERE w = 1
+        |UNION ALL SELECT 'has_w1_range_0_10', COUNT(*)
+        |  FROM (SELECT 1 FROM v WHERE w = 1 ORDER BY j LIMIT 10)
+        |UNION ALL SELECT 'has_sid', COUNT(*) FROM range(10)
+        |UNION ALL SELECT 'has_id20_as', COUNT(*) FROM v WHERE j = 20
+        |UNION ALL SELECT 'sid_outE_w1', COUNT(*) FROM e WHERE w = 1
+        |UNION ALL SELECT 'sid_outE_w_between', COUNT(*) FROM e WHERE w >= 1 AND w < 3
+        |UNION ALL SELECT 'sid_outE_between_p', COUNT(*) FROM e WHERE w >= 1 AND w < 3
+        |UNION ALL SELECT 'sid_local_limit10', CAST(SUM(t.c) AS BIGINT)
+        |  FROM (SELECT LEAST(COUNT(*), 10) AS c FROM e WHERE w >= 1 AND w < 3
+        |        GROUP BY i) t""".stripMargin,
+    "q_tp_select_edge" -> "SELECT CAST(10 AS BIGINT) AS eid",
+    "q_edge_metaprops" ->
+      """SELECT l_suppkey AS uid, COUNT(*) AS n_edges,
+        |CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f
+        |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1""".stripMargin,
     "q_match_planner" ->
       """SELECT DISTINCT c_custkey AS uid FROM customer
         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0.0

@@ -165,6 +165,54 @@ object Indexes {
     base.join(ids, Seq("id"), "left_semi")
   }
 
+  /** Materialize the TEMPORAL side of a mixed index: (key, tsvalue, id)
+    * rows with tsvalue a NATIVE timestamp. Date and Instant are first-class
+    * mixed-index types in the reference (docs/searchpredicates.txt:70-86 —
+    * ordering predicates apply to them exactly as to numerics), so temporal
+    * range lookups take typed bounds here instead of forcing caller-side
+    * casts through the double-valued numeric side. DATE columns upcast to
+    * midnight in the session zone (UTC); persisted sorted-by-value the
+    * table prunes by parquet min/max exactly like [[materializeNumeric]]. */
+  def materializeTemporal(g: PropertyGraph, ix: IndexDef, keys: Seq[String]): DataFrame = {
+    val table = if (ix.element == ElementCategory.VERTEX) g.vertices else g.edges
+    val scoped = ix.onlyLabel.map(l => table.filter(col("label") === l)).getOrElse(table)
+    keys.map { k =>
+      scoped.filter(col(k).isNotNull)
+        .select(lit(k).as("key"), col(k).cast("timestamp").as("tsvalue"), col("id"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Range lookup [lo, hi) through a temporal mixed index with Column
+    * bounds (any timestamp-castable literal lifts through `lit`). */
+  def lookupTemporalRange(g: PropertyGraph, tsIx: DataFrame, key: String,
+      lo: Column, hi: Column,
+      element: ElementCategory = ElementCategory.VERTEX): DataFrame = {
+    val ids = tsIx.filter(col("key") === key &&
+        col("tsvalue") >= lo.cast("timestamp") && col("tsvalue") < hi.cast("timestamp"))
+      .select(col("id"))
+    val base = if (element == ElementCategory.VERTEX) g.vertices else g.edges
+    base.join(ids, Seq("id"), "left_semi")
+  }
+
+  /** Typed temporal range: java.time.Instant bounds. */
+  def lookupTemporalRange(g: PropertyGraph, tsIx: DataFrame, key: String,
+      lo: java.time.Instant, hi: java.time.Instant,
+      element: ElementCategory): DataFrame =
+    lookupTemporalRange(g, tsIx, key, lit(lo), lit(hi), element)
+
+  /** Typed temporal range: java.sql.Timestamp bounds. */
+  def lookupTemporalRange(g: PropertyGraph, tsIx: DataFrame, key: String,
+      lo: java.sql.Timestamp, hi: java.sql.Timestamp,
+      element: ElementCategory): DataFrame =
+    lookupTemporalRange(g, tsIx, key, lit(lo), lit(hi), element)
+
+  /** Typed temporal range: java.sql.Date bounds (lo-inclusive midnight to
+    * hi-exclusive midnight — the reference's day-granular range). */
+  def lookupTemporalRange(g: PropertyGraph, tsIx: DataFrame, key: String,
+      lo: java.sql.Date, hi: java.sql.Date,
+      element: ElementCategory): DataFrame =
+    lookupTemporalRange(g, tsIx, key, lit(lo), lit(hi), element)
+
   /** Write edges in the vertex-centric index layout: hash-bucketed by src,
     * sorted within files by (src, label, sortKey...). Parquet min/max stats on
     * the sort columns then prune slice queries the way the reference's

@@ -1768,17 +1768,46 @@ object Analytics {
     // for a handful of updates.
     val useDelta = g.spark.conf.getOption("spark.graft.coreness.delta")
       .forall(_.toBoolean)
+    // h-index kernel selector (spark.graft.coreness.hindex = window |
+    // histogram). `histogram` is the SORT-FREE form: h = max over t of
+    // min(t, N≥t), computed from a per-vertex core-value histogram —
+    // groupBy(a, t) is map-side combinable (the window form must ship the
+    // full (a, b, c_b) adjacency into a per-group sort), and neighbor cores
+    // clamp at c(a) first (exact: the iteration is monotone non-increasing,
+    // so h ≤ c(a) already), collapsing every value ≥ c(a) into one bucket —
+    // a vertex's histogram is ≤ min(degree, c(a))+1 rows, typically a few
+    // dozen once early rounds shrink cores. Worst case (supernode in round
+    // 1 with all-distinct neighbor degrees) the collect_list is
+    // degree-sized — the window form stays the spill-safe fallback.
+    val useHistogram = g.spark.conf
+      .get("spark.graft.coreness.hindex", "window") == "histogram"
     var frontier = c.select(col("id")) // round 1: everything is "changed"
     while (round < maxRounds && changed) {
       val affected = und
         .join(frontier.select(col("id").as("b")), Seq("b"), "left_semi")
         .select(col("a")).distinct()
       val base = if (useDelta) und.join(affected, Seq("a"), "left_semi") else und
-      val h = base
+      val withCb = base
         .join(c.select(col("id").as("b"), col("core").as("__cb")), Seq("b"))
-        .select(col("a"), col("b"), col("__cb"))
-        .withColumn("__rn", row_number().over(w).cast("long"))
-        .groupBy(col("a")).agg(max(least(col("__cb"), col("__rn"))).as("__c"))
+      val h = if (useHistogram)
+        withCb
+          .join(c.select(col("id").as("a"), col("core").as("__ca")), Seq("a"))
+          .select(col("a"), least(col("__cb"), col("__ca")).as("__t"))
+          .groupBy(col("a"), col("__t")).agg(count(lit(1)).as("__n"))
+          .groupBy(col("a"))
+          .agg(sort_array(collect_list(struct(col("__t"), col("__n"))),
+            asc = false).as("__hist"))
+          .select(col("a"), expr(
+            """aggregate(__hist,
+              |named_struct('cum', CAST(0 AS BIGINT), 'h', CAST(0 AS BIGINT)),
+              |(acc, x) -> named_struct('cum', acc.cum + x.__n,
+              |  'h', greatest(acc.h, least(x.__t, acc.cum + x.__n))),
+              |acc -> acc.h)""".stripMargin).as("__c"))
+      else
+        withCb
+          .select(col("a"), col("b"), col("__cb"))
+          .withColumn("__rn", row_number().over(w).cast("long"))
+          .groupBy(col("a")).agg(max(least(col("__cb"), col("__rn"))).as("__c"))
       // untouched vertices KEEP their core (their h inputs are unchanged —
       // recomputing would yield the identical value, so skipping is exact)
       val next = c.join(h.select(col("a").as("id"), col("__c")), Seq("id"), "left")
@@ -2100,57 +2129,10 @@ object Analytics {
           .unionAll(cp.select(col("cv").as("a"), col("cu").as("b")))
           .distinct().localCheckpoint(false)
         // Label merge over the SELECTION pairs — one row per merging
-        // component, far below edge scale. Two conf-gated regimes (the
-        // connectedComponentsExact broadcast pattern): at or under
-        // spark.graft.msf.driverMergeMaxRows the pair set is a bounded
-        // control read and a driver union-find produces the exact min-label
-        // mapping in one broadcast (per-round distributed flooding spent
-        // ~80% of q_msf's sf0.1 wall on per-job overhead for frames of a
-        // few thousand rows); past the cap, the distributed min-label flood
-        // runs its fixed budget — same fixpoint, cluster-diameter rounds.
-        val undRows = und.count()
-        val driverMerge = undRows <= g.spark.conf
-          .get("spark.graft.msf.driverMergeMaxRows", "5000000").toLong
-        val lbl: DataFrame =
-          if (driverMerge) {
-            val pairs = und.collect().map(r => (r.getLong(0), r.getLong(1)))
-            minLabelUnionFind(pairs).toSeq.toDF("c", "l")
-          } else {
-            var l0 = und.select(col("a").as("c")).distinct()
-              .select(col("c"), col("c").as("l")).localCheckpoint(false)
-            var sig = decSig(l0, "l")
-            var i = 0
-            var changed = true
-            while (i < maxInner && changed) {
-              val m2 = und.join(l0.select(col("c").as("b"), col("l").as("__lb")), Seq("b"))
-                .groupBy(col("a")).agg(min(col("__lb")).as("__ln"))
-              // the l(l(c)) POINTER-DOUBLING term makes reach grow
-              // exponentially per round (chains of merge pairs would
-              // otherwise need diameter rounds — the regime-equivalence
-              // requirement: this branch must land on the same fixpoint the
-              // driver union-find computes exactly, within the budget)
-              val nl = l0
-                .join(m2.select(col("a").as("c"), col("__ln")), Seq("c"), "left")
-                .join(l0.select(col("c").as("__lc"), col("l").as("__ll")),
-                  col("l") === col("__lc"), "left")
-                .select(col("c"), least(col("l"),
-                  coalesce(col("__ln"), col("l")),
-                  coalesce(col("__ll"), col("l"))).as("l"))
-                .localCheckpoint(false)
-              val s = decSig(nl, "l")
-              changed = s.compareTo(sig) != 0
-              sig = s
-              l0 = nl
-              i += 1
-            }
-            if (changed)
-              System.err.println(
-                s"[graft] minimumSpanningForest: maxInner=$maxInner elapsed before the label " +
-                  "flood converged — component labels lag and the forest may gain cycles")
-            l0
-          }
-        val lblMap = if (driverMerge) broadcast(lbl.select(col("c"), col("l")))
-                     else lbl.select(col("c"), col("l"))
+        // component, far below edge scale. Dual regime shared with the
+        // streaming incrementalComponents via [[classMergeMapping]].
+        val lblMap = classMergeMapping(und, und.count(), maxInner,
+          "minimumSpanningForest")
         comp = comp.join(lblMap, Seq("c"), "left")
           .select(col("id"), coalesce(col("l"), col("c")).as("c"))
           .localCheckpoint(false)
@@ -2311,6 +2293,66 @@ object Analytics {
     * old-label → min-member-of-class mapping for every label appearing in
     * `pairs`. Union always roots at the smaller id, so the root IS the
     * class minimum — deterministic on any input order. */
+  /** DUAL-REGIME min-label class merge over an undirected, distinct pair
+    * frame `und` (cols a, b; both orientations present) — shared by
+    * [[minimumSpanningForest]] and the streaming
+    * [[graft.stream.ChangeStream.incrementalComponents]]. At or under
+    * `spark.graft.msf.driverMergeMaxRows` (default 5M) the pair set is a
+    * bounded control read: a driver union-find produces the exact
+    * old-label → class-minimum mapping in one broadcast (per-round
+    * distributed flooding spent ~80% of q_msf's sf0.1 wall on per-job
+    * overhead for frames of a few thousand rows). Past the cap — e.g. the
+    * first micro-batch of a bulk CDC backfill, whose cross-class pair set
+    * is edge-scale — the pointer-doubled distributed min-label flood runs
+    * its `maxInner` budget instead: same fixpoint, O(log chain) rounds,
+    * nothing edge-scale ever reaches the driver. Returns the (c, l)
+    * mapping, broadcast-hinted only in the driver regime (the flood's
+    * output is class-count-sized, potentially too big to broadcast). */
+  private[graft] def classMergeMapping(und: DataFrame, undRows: Long,
+      maxInner: Int = 12, caller: String = "classMergeMapping"): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    val driverMerge = undRows <= spark.conf
+      .get("spark.graft.msf.driverMergeMaxRows", "5000000").toLong
+    if (driverMerge) {
+      val pairs = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+      broadcast(minLabelUnionFind(pairs).toSeq.toDF("c", "l"))
+    } else {
+      var l0 = und.select(col("a").as("c")).distinct()
+        .select(col("c"), col("c").as("l")).localCheckpoint(false)
+      var sig = decSig(l0, "l")
+      var i = 0
+      var changed = true
+      while (i < maxInner && changed) {
+        val m2 = und.join(l0.select(col("c").as("b"), col("l").as("__lb")), Seq("b"))
+          .groupBy(col("a")).agg(min(col("__lb")).as("__ln"))
+        // the l(l(c)) POINTER-DOUBLING term makes reach grow exponentially
+        // per round (chains of merge pairs would otherwise need diameter
+        // rounds — the regime-equivalence requirement: this branch must
+        // land on the same fixpoint the driver union-find computes
+        // exactly, within the budget)
+        val nl = l0
+          .join(m2.select(col("a").as("c"), col("__ln")), Seq("c"), "left")
+          .join(l0.select(col("c").as("__lc"), col("l").as("__ll")),
+            col("l") === col("__lc"), "left")
+          .select(col("c"), least(col("l"),
+            coalesce(col("__ln"), col("l")),
+            coalesce(col("__ll"), col("l"))).as("l"))
+          .localCheckpoint(false)
+        val s = decSig(nl, "l")
+        changed = s.compareTo(sig) != 0
+        sig = s
+        l0 = nl
+        i += 1
+      }
+      if (changed)
+        System.err.println(
+          s"[graft] $caller: maxInner=$maxInner elapsed before the label " +
+            "flood converged — merged class labels may lag the fixpoint")
+      l0.select(col("c"), col("l"))
+    }
+  }
+
   private[graft] def minLabelUnionFind(pairs: Array[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {

@@ -32,11 +32,39 @@ object Similarity {
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
   }
 
+  /** Scale guard for the EXACT quadratic diagnostic kernels
+    * ([[bruteForceTopK]], [[cosinePairs]], [[hardNegatives]]): every input
+    * side must be at or under `spark.graft.exactPairs.maxRows` (default 2M)
+    * rows or the call fails loudly BEFORE any cartesian is scheduled. The
+    * exact kernels are correctness baselines and quality-sheet ground
+    * truth; their production twins ([[ivfPqTopK]], [[lshCosinePairs]],
+    * [[semanticPairs]]) are bucketed — this cap turns "pointed the baseline
+    * at the full corpus" from a cluster-killer into an immediate error.
+    * Raise the conf deliberately for a bigger diagnostic. The guard's own
+    * cost is bounded: a `limit(cap+1)` count never scans an over-cap side
+    * past its first cap+1 rows. */
+  private def requireExactScale(op: String, sides: (String, DataFrame)*): Unit = {
+    val spark = sides.head._2.sparkSession
+    val cap = spark.conf.get("spark.graft.exactPairs.maxRows", "2000000").toLong
+    sides.foreach { case (role, df) =>
+      val probe = math.min(cap + 1L, Int.MaxValue.toLong).toInt
+      val n = df.limit(probe).count()
+      require(n <= cap,
+        s"$op: exact pair kernel is quadratic and the $role side exceeds " +
+          s"spark.graft.exactPairs.maxRows=$cap rows — sample the input, or " +
+          "use the bucketed twin (ivfPqTopK / lshCosinePairs / semanticPairs), " +
+          "or raise the cap deliberately for a large diagnostic run")
+    }
+  }
+
   /** Exact brute-force cosine top-k: every query row against every data row,
     * per-query Window top-k. The data side is broadcast when small; at scale
-    * prefer ivfTopK. Returns (qid, nid, rank, cos). Self-matches excluded. */
+    * prefer ivfTopK. Returns (qid, nid, rank, cos). Self-matches excluded.
+    * Conf-capped via [[requireExactScale]] — a diagnostic baseline, not the
+    * production path. */
   def bruteForceTopK(data: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireExactScale("bruteForceTopK", "data" -> data, "queries" -> queries)
     val d = data.select(col(idCol).as("nid"), col(vecCol).as("dvec"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val scored = q.crossJoin(d)
@@ -639,6 +667,7 @@ object Similarity {
   def hardNegatives(data: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       labelCol: String = "label"): DataFrame = {
+    requireExactScale("hardNegatives", "data" -> data, "queries" -> queries)
     val d = data.select(col(idCol).as("nid"), col(vecCol).as("dvec"), col(labelCol).as("nlbl"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"), col(labelCol).as("qlbl"))
     val w = org.apache.spark.sql.expressions.Window
@@ -689,6 +718,7 @@ object Similarity {
 
   def cosinePairs(data: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireExactScale("cosinePairs", "data" -> data)
     val a = data.select(col(idCol).as("ida"), col(vecCol).as("va"))
     val b = data.select(col(idCol).as("idb"), col(vecCol).as("vb"))
     a.crossJoin(b).filter(col("ida") < col("idb"))

@@ -157,11 +157,11 @@ object ChangeStream {
     * Streaming as (src, dst) rows and the component labeling updates PER
     * MICRO-BATCH instead of recomputing CC from scratch. Per batch:
     * endpoints new to the state enter as singleton classes; the batch's
-    * cross-class pairs (bounded by the batch's edge count — a driver
-    * union-find merges them, the bounded-control-read regime
-    * [[graft.olap.Analytics.minimumSpanningForest]]'s label merge uses)
-    * collapse onto their class MINIMUM, and one broadcast mapping join
-    * rewrites the state. Labels are min-member ids, so after the stream
+    * cross-class pairs collapse onto their class MINIMUM through
+    * [[graft.olap.Analytics.classMergeMapping]] — the batch MSF's dual
+    * regime: driver union-find while the pair set is under
+    * spark.graft.msf.driverMergeMaxRows, distributed pointer-doubled
+    * min-label flood past it — and one mapping join rewrites the state. Labels are min-member ids, so after the stream
     * drains the state is EXACTLY batch CC of the accumulated edge set —
     * the oracle is the converged min-label recurrence, oracle-identical to
     * the batch operator.
@@ -192,13 +192,23 @@ object ChangeStream {
           .join(lab0.select(col("id").as("dst"), col("component").as("__cb")), Seq("dst"))
           .filter(col("__ca") =!= col("__cb"))
           .select(col("__ca"), col("__cb")).distinct()
-          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        // Class-pair merge is the batch MSF's dual regime, not an uncapped
+        // collect: under spark.graft.msf.driverMergeMaxRows the pair set is
+        // a bounded control read into a driver union-find; past it (the
+        // first micro-batch of a bulk CDC backfill has an EDGE-scale pair
+        // set) the distributed pointer-doubled flood computes the same
+        // min-label fixpoint without any driver materialization.
+        val und = cp.select(col("__ca").as("a"), col("__cb").as("b"))
+          .unionAll(cp.select(col("__cb").as("a"), col("__ca").as("b")))
+          .distinct().localCheckpoint(false)
+        val undRows = und.count()
         labels =
-          (if (cp.isEmpty) lab0
+          (if (undRows == 0L) lab0
            else {
-             val mapping = graft.olap.Analytics.minLabelUnionFind(cp).toSeq
-               .toDF("component", "__new")
-             lab0.join(broadcast(mapping), Seq("component"), "left")
+             val mapping = graft.olap.Analytics
+               .classMergeMapping(und, undRows, caller = "incrementalComponents")
+               .select(col("c").as("component"), col("l").as("__new"))
+             lab0.join(mapping, Seq("component"), "left")
                .select(col("id"), coalesce(col("__new"), col("component")).as("component"))
            }).localCheckpoint(true)
       }

@@ -539,12 +539,22 @@ final case class Traversal(
     * the source element id with a deterministic order, pre-shuffle-limited by
     * Spark's WindowGroupLimit. */
   def localLimit(n: Int, orderCols: Seq[Column] = Seq(col("id").asc))(
+      step: Traversal => Traversal): Traversal =
+    localRange(0, n, orderCols)(step)
+
+  /** local(step).range(lo, hi) — the per-source-element slice [lo, hi),
+    * 0-based (the reference's `local(__.outE().range(10, 20))` — LocalStep
+    * over a RangeGlobalStep, TitanGraphTest.java
+    * testTinkerPopOptimizationStrategies). Same provenance-window
+    * compilation as the limit form: row_number over the source element id,
+    * WindowGroupLimit pre-limits both exchange sides at `hi`. */
+  def localRange(lo: Int, hi: Int, orderCols: Seq[Column] = Seq(col("id").asc))(
       step: Traversal => Traversal): Traversal = {
     val stepped = step(this.as("__local"))
     val w = Window.partitionBy(col("_as___local_id"))
       .orderBy(orderCols.map(Traversal.normalizeOrder): _*)
     val limited = stepped.df.withColumn("__rn", F.row_number().over(w))
-      .filter(col("__rn") <= n).drop("__rn")
+      .filter(col("__rn") > lo && col("__rn") <= hi).drop("__rn")
     val clean = limited.drop(limited.columns.filter(_.startsWith("_as___local_")).toSeq: _*)
     copy(df = clean)
   }

@@ -235,4 +235,48 @@ class AdvancedSchemaSpec extends AnyFunSuite {
     val ids = m.toDF.select(col("_as_a_id")).distinct().collect()
     assert(ids.length === 1) // only ASIA satisfies both patterns
   }
+
+  /** Hyper-edge remnant (advschema.txt:96-109): unidirected edges ON edges
+    * and ON properties, plus meta-properties on an edge's property. */
+  test("HyperEdges: unidirected edge-on-edge traverses out only; cell meta filters on edge props") {
+    import spark.implicits._
+    import graft.data.HyperEdges
+    // users 1,2; book 3; authors 8,9 — knows-edge 20 (1→2) recorded by
+    // author 8, likes-edge 21 (2→3) recorded by author 9
+    val v = Seq((1L, "user", "u1"), (2L, "user", "u2"), (3L, "book", "b"),
+      (8L, "author", "alice"), (9L, "author", "bob")).toDF("id", "label", "name")
+    val e = Seq((20L, 1L, 2L, "knows", "web", 8L), (21L, 2L, 3L, "likes", "app", 9L))
+      .toDF("id", "src", "dst", "label", "source", "author_id")
+    val g = graft.data.PropertyGraph(GraphSchema(), v, e)
+    val meta = HyperEdges.attachToEdges(g.edges, "author", col("author_id"))
+    // src endpoint is EDGE-id-valued: the meta-edge hangs off relation 20/21
+    assert(meta.select("src_edge").collect().map(_.getLong(0)).toSet === Set(20L, 21L))
+    val out = HyperEdges.outV(g, meta, "author")
+    val got = out.select("src_edge", "name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(20L -> "alice", 21L -> "bob"))
+    // unidirected: the API surface has no inV — the vertex side cannot see
+    // the meta-edge through any adjacency the engine exposes (the frame
+    // never enters g.edges, so V().both() on 8/9 finds nothing)
+    assert(g.traversal.V().hasId(8L).both().toDF.count() === 0L)
+
+    // meta-properties on an edge property: annotate `source`, filter by meta
+    val ann = HyperEdges.annotateEdgeProperty(g.edges, "source",
+      "addedBy" -> col("author_id"))
+    val webOnly = ann.filter(
+      MultiProperties.anyMetaEquals(col("source_cells"), "addedBy", "8"))
+    assert(webOnly.select("id").collect().map(_.getLong(0)).toSeq === Seq(20L))
+    // null property ⇒ empty cell array, not a null-valued cell
+    val annNull = HyperEdges.annotateEdgeProperty(
+      e.withColumn("source", when(col("id") === 20L, col("source"))), "source")
+    assert(annNull.filter(col("id") === 21L)
+      .select(size(col("source_cells"))).head.getInt(0) === 0)
+
+    // unidirected edge ON a property: the cell meta carries the vertex id
+    val vp = v.filter(col("label") === "user").select(col("id"),
+      array(HyperEdges.cellWithEdge(col("name"), "authoredBy", lit(9L))).as("alias_cells"))
+    val resolved = HyperEdges.cellOutV(g, vp, "alias_cells", "authoredBy")
+    assert(resolved.count() === 2L)
+    assert(resolved.select("name").distinct().head.getString(0) === "bob")
+  }
 }

@@ -690,6 +690,26 @@ class AnalyticsSpec extends AnyFunSuite {
       graft.data.PropertyGraph(graft.core.GraphSchema(), v, e2), maxRounds = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m2 === m)
+    // the sort-free histogram h-index kernel is round-for-round identical
+    // to the window kernel (same monotone recurrence, different plan shape)
+    spark.conf.set("spark.graft.coreness.hindex", "histogram")
+    try {
+      val (resH, convH) = Analytics.corenessConverged(g, maxRounds = 8)
+      assert(convH)
+      assert(resH.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === m)
+      // and on a denser random graph, both kernels agree vertex-for-vertex
+      val rv = (1L to 60L).map(id => (id, "v")).toDF("id", "label")
+      val re = (1L to 400L).map(i =>
+        (i, math.abs(i * 2654435761L % 60L) + 1L,
+          math.abs(i * 40503L % 60L) + 1L, "e")).toDF("id", "src", "dst", "label")
+      val rg = graft.data.PropertyGraph(graft.core.GraphSchema(), rv, re)
+      val hH = Analytics.coreness(rg, maxRounds = 12)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.conf.unset("spark.graft.coreness.hindex")
+      val hW = Analytics.coreness(rg, maxRounds = 12)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hH === hW)
+    } finally spark.conf.unset("spark.graft.coreness.hindex")
   }
 
   test("guards: absent sigma source, negative-id sentinel alias, walk id bounds") {

@@ -1603,4 +1603,32 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(w3 === w)
   }
+
+  test("exact pair kernels fail loudly past spark.graft.exactPairs.maxRows") {
+    // the exact kernels are diagnostic baselines; the conf cap makes
+    // pointing one at a full corpus an immediate error, not a cartesian
+    spark.conf.set("spark.graft.exactPairs.maxRows", "10")
+    try {
+      val big = spark.range(50).select(col("id").as("vec_id"),
+        expr("array(cast(id as double), 1.0d)").as("embedding"))
+      val e1 = intercept[IllegalArgumentException] {
+        Similarity.cosinePairs(big, 0.5)
+      }
+      assert(e1.getMessage.contains("exactPairs.maxRows") &&
+        e1.getMessage.contains("quadratic"))
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.bruteForceTopK(big, big.limit(3), 3)
+      }
+      assert(e2.getMessage.contains("bruteForceTopK"))
+      val e3 = intercept[IllegalArgumentException] {
+        Similarity.hardNegatives(big.withColumn("label", lit("x")),
+          big.withColumn("label", lit("y")).limit(3), 3)
+      }
+      assert(e3.getMessage.contains("hardNegatives"))
+      // at or under the cap the kernels still run
+      assert(Similarity.cosinePairs(big.limit(10), -1.0).count() > 0L)
+      assert(Similarity.bruteForceTopK(big.limit(10), big.limit(2), 3)
+        .count() === 6L)
+    } finally spark.conf.unset("spark.graft.exactPairs.maxRows")
+  }
 }

@@ -468,4 +468,32 @@ class StreamMgmtSpec extends AnyFunSuite {
       new Directory(new java.io.File(tmp.toString)).deleteRecursively()
     }
   }
+
+  test("incrementalComponents: pair set past the driver-merge cap takes the distributed flood, same labels") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-icc-flood")
+    // cap 0 ⇒ EVERY batch's class-pair set exceeds the bounded-control-read
+    // regime and the pointer-doubled distributed min-label flood must
+    // produce the identical fixpoint (a 6-vertex chain arriving in two
+    // batches exercises cross-batch merging through the flood path)
+    spark.conf.set("spark.graft.msf.driverMergeMaxRows", "0")
+    try {
+      Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("src", "dst")
+        .coalesce(1).write.parquet(s"$tmp/in/f1")
+      Seq((2L, 3L), (4L, 5L)).toDF("src", "dst")
+        .coalesce(1).write.parquet(s"$tmp/in/f2")
+      val stream = spark.readStream
+        .schema("src LONG, dst LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/in/*")
+      val labels = graft.stream.ChangeStream
+        .incrementalComponents(stream, s"$tmp/ckpt")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels === (1L to 6L).map(_ -> 1L).toMap)
+    } finally {
+      spark.conf.unset("spark.graft.msf.driverMergeMaxRows")
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp.toString)).deleteRecursively()
+    }
+  }
 }
