@@ -133,6 +133,30 @@ object SparkEntry {
       (col("id") % 100 % 5).as("weight"))
     graft.data.PropertyGraph(graft.core.GraphSchema(), normals.unionByName(supers), edges)
   }
+
+  /** Reference vertex-centric conformance fixture (TitanGraphTest.java
+    * testVertexCentricQuery:2522-2700): anchors v (id 1) and u (id 2) plus
+    * vs[i] (id 10+i, i in 1..9999); for every i each anchor gets one OUT
+    * and one IN edge to vs[i] — label cycling connect/friend/knows for v
+    * and connectDesc/friendDesc/knows for u by i%3 — with edge props
+    * time=i, weight=i%4+0.5, number=i%5. Pure range() arithmetic, mirrored
+    * verbatim by the DuckDB oracle. */
+  private def tpVcFixture(s: SparkSession): graft.data.PropertyGraph = {
+    val anchors = s.range(1, 3).select(col("id"), lit("anchor").as("label"))
+    val vs = s.range(1, 10000).select((col("id") + 10L).as("id"), lit("vx").as("label"))
+    val base = s.range(1, 10000).select(col("id").as("i"),
+      expr("element_at(array('connect','friend','knows'), CAST(id % 3 AS INT) + 1)").as("lv"),
+      expr("element_at(array('connectDesc','friendDesc','knows'), CAST(id % 3 AS INT) + 1)").as("lu"),
+      (col("id") % 4 + lit(0.5)).as("weight"), (col("id") % 5).as("number"))
+    def edge(k: Int, src: Column, dst: Column, lbl: Column) =
+      base.select((col("i") * 4 + k + 100000L).as("id"), src.as("src"), dst.as("dst"),
+        lbl.as("label"), col("i").as("time"), col("weight"), col("number"))
+    val edges = edge(0, lit(1L), col("i") + 10L, col("lv"))
+      .unionByName(edge(1, col("i") + 10L, lit(1L), col("lv")))
+      .unionByName(edge(2, lit(2L), col("i") + 10L, col("lu")))
+      .unionByName(edge(3, col("i") + 10L, lit(2L), col("lu")))
+    graft.data.PropertyGraph(graft.core.GraphSchema(), anchors.unionByName(vs), edges)
+  }
   private def d(s: String) = java.sql.Date.valueOf(s)
 
   /** Session clone carrying `spark.sql.legacy.parquet.nanosAsLong`. The flag
@@ -3229,6 +3253,89 @@ object SparkEntry {
             _.outE("knows").has("weight", P.between(1L, 3L))).toDF),
       ).reduce(_ unionAll _)
     }),
+    // ---- 2.C reference vertex-centric conformance: ~35 expected-count
+    // assertions from testVertexCentricQuery (:2522-2700) through the
+    // VertexCentricQuery surface (labels/direction/has/interval/within/
+    // adjacent/limit/multi-vertex frontier) on the same 10000-vertex
+    // fixture, one probe row per reference assertion ----
+    "q_tp_vcquery" -> ((s, dir) => {
+      import graft.query.Direction._
+      val g = tpVcFixture(s)
+      def q(v: Long) = graft.query.VertexCentricQuery(g).onVertices(v)
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      Seq(
+        n("both_all", q(1L).direction(BOTH).edges()),
+        n("connect_limit10", q(1L).labels("connect").limit(10).vertices()),
+        n("connectDesc_limit10_u", q(2L).labels("connectDesc").limit(10).vertices()),
+        n("connect_tgt30_limit10",
+          q(1L).labels("connect").has("time", P.gt(30L)).limit(10).vertices()),
+        n("connect_out_interval_3_31",
+          q(1L).labels("connect").direction(OUT).interval("time", 3L, 31L).edges()),
+        n("connect_out_t15_w35",
+          q(1L).labels("connect").direction(OUT).has("time", 15L).has("weight", 3.5).edges()),
+        n("connect_in_interval_3_31",
+          q(1L).labels("connect").direction(IN).interval("time", 3L, 31L).edges()),
+        n("connect_out_vertexIds_3_31",
+          q(1L).labels("connect").direction(OUT).interval("time", 3L, 31L).vertexIds()),
+        n("connect_out_tgt31",
+          q(1L).labels("connect").direction(OUT).has("time", P.gt(31L)).edges()),
+        n("friend_out_limit3", q(1L).labels("friend").direction(OUT).limit(3).edges()),
+        n("friend_out_w05_interval_3_33", q(1L).labels("friend").direction(OUT)
+          .interval("time", 3L, 33L).has("weight", 0.5).edges()),
+        n("friend_out_win3_interval_3_33", q(1L).labels("friend").direction(OUT)
+          .has("weight", P.within(0.5, 1.5, 2.5)).interval("time", 3L, 33L).edges()),
+        n("friend_out_win2",
+          q(1L).labels("friend").direction(OUT).has("weight", P.within(0.5, 1.5)).edges()),
+        n("friend_out_w05_interval_4_10", q(1L).labels("friend").direction(OUT)
+          .has("weight", 0.5).interval("time", 4L, 10L).edges()),
+        n("friend_out_tlte10",
+          q(1L).labels("friend").direction(OUT).has("time", P.lte(10L)).edges()),
+        n("friend_out_tgt10",
+          q(1L).labels("friend").direction(OUT).has("time", P.gt(10L)).edges()),
+        n("fc_out_interval_3_33", q(1L).labels("friend", "connect").direction(OUT)
+          .interval("time", 3L, 33L).edges()),
+        n("knows_out_n0",
+          q(1L).labels("knows").direction(OUT).has("number", 0L).edges()),
+        n("knows_out_n0_w_0_4", q(1L).labels("knows").direction(OUT)
+          .has("number", 0L).interval("weight", 0.0, 4.0).edges()),
+        n("knows_out_n0_w_0_2", q(1L).labels("knows").direction(OUT)
+          .has("number", 0L).interval("weight", 0.0, 2.0).edges()),
+        n("knows_out_n0_w_21_4", q(1L).labels("knows").direction(OUT)
+          .has("number", 0L).interval("weight", 2.1, 4.0).edges()),
+        n("fck_out_interval_3_33", q(1L).labels("friend", "connect", "knows")
+          .direction(OUT).interval("time", 3L, 33L).edges()),
+        n("fck_out_tne10", q(1L).labels("friend", "connect", "knows")
+          .direction(OUT).has("time", P.neq(10L)).edges()),
+        n("connect_out_adj6_t6",
+          q(1L).labels("connect").direction(OUT).adjacent(16L).has("time", 6L).edges()),
+        n("knows_out_adj11", q(1L).labels("knows").direction(OUT).adjacent(21L).edges()),
+        n("knows_in_adj11", q(1L).labels("knows").direction(IN).adjacent(21L).edges()),
+        n("knows_both_adj11", q(1L).labels("knows").direction(BOTH).adjacent(21L).edges()),
+        n("knows_out_adj11_w35",
+          q(1L).labels("knows").direction(OUT).adjacent(21L).has("weight", 3.5).edges()),
+        n("connect_both_adj6_t6",
+          q(1L).labels("connect").adjacent(16L).has("time", 6L).edges()),
+        n("connect_adj8_t8",
+          q(1L).labels("connect").adjacent(18L).has("time", 8L).edges()),
+        n("connect_out_count", q(1L).labels("connect").direction(OUT).edges()),
+        n("connect_in_count", q(1L).labels("connect").direction(IN).edges()),
+        n("connect_both_count", q(1L).labels("connect").direction(BOTH).edges()),
+        n("in_t1", q(1L).direction(IN).has("time", 1L).edges()),
+        n("out_interval_4_14", q(1L).direction(OUT).interval("time", 4L, 14L).edges()),
+        n("in_interval_4_14_tne10",
+          q(1L).direction(IN).interval("time", 4L, 14L).has("time", P.neq(10L)).edges()),
+        // multiQuery block: qvs = vs[6,9,12,15,60] (ids 16,19,22,25,70)
+        n("multi_in_connect", graft.query.VertexCentricQuery(g)
+          .onVertices(16L, 19L, 22L, 25L, 70L).labels("connect").direction(IN).edges()),
+        n("multi_connect_both", graft.query.VertexCentricQuery(g)
+          .onVertices(16L, 19L, 22L, 25L, 70L).labels("connect").edges()),
+        n("multi_knows", graft.query.VertexCentricQuery(g)
+          .onVertices(16L, 19L, 22L, 25L, 70L).labels("knows").edges()),
+        n("multi_all", graft.query.VertexCentricQuery(g)
+          .onVertices(16L, 19L, 22L, 25L, 70L).edges()),
+      ).reduce(_ unionAll _)
+    }),
     "q_tp_select_edge" -> ((s, dir) => {
       import s.implicits._
       // testSimpleTinkerPopTraversal: V().has(josh).outE(created).as('e')
@@ -3563,6 +3670,49 @@ object SparkEntry {
         |  FROM (SELECT LEAST(COUNT(*), 10) AS c FROM e WHERE w >= 1 AND w < 3
         |        GROUP BY i) t""".stripMargin,
     "q_tp_select_edge" -> "SELECT CAST(10 AS BIGINT) AS eid",
+    "q_tp_vcquery" ->
+      """WITH t AS (SELECT CAST(x.range AS BIGINT) AS i, x.range % 3 AS m,
+        |  CAST(x.range % 4 AS DOUBLE) + 0.5 AS w, x.range % 5 AS num FROM range(1, 10000) x)
+        |SELECT 'both_all' AS caze, CAST(COUNT(*) * 2 AS BIGINT) AS n FROM t
+        |UNION ALL SELECT 'connect_limit10', CAST(LEAST(COUNT(*) * 2, 10) AS BIGINT) FROM t WHERE m = 0
+        |UNION ALL SELECT 'connectDesc_limit10_u', CAST(LEAST(COUNT(*) * 2, 10) AS BIGINT) FROM t WHERE m = 0
+        |UNION ALL SELECT 'connect_tgt30_limit10', CAST(LEAST(COUNT(*) * 2, 10) AS BIGINT) FROM t WHERE m = 0 AND i > 30
+        |UNION ALL SELECT 'connect_out_interval_3_31', COUNT(*) FROM t WHERE m = 0 AND i >= 3 AND i < 31
+        |UNION ALL SELECT 'connect_out_t15_w35', COUNT(*) FROM t WHERE m = 0 AND i = 15 AND w = 3.5
+        |UNION ALL SELECT 'connect_in_interval_3_31', COUNT(*) FROM t WHERE m = 0 AND i >= 3 AND i < 31
+        |UNION ALL SELECT 'connect_out_vertexIds_3_31', COUNT(*) FROM t WHERE m = 0 AND i >= 3 AND i < 31
+        |UNION ALL SELECT 'connect_out_tgt31', COUNT(*) FROM t WHERE m = 0 AND i > 31
+        |UNION ALL SELECT 'friend_out_limit3', CAST(LEAST(COUNT(*), 3) AS BIGINT) FROM t WHERE m = 1
+        |UNION ALL SELECT 'friend_out_w05_interval_3_33', COUNT(*) FROM t WHERE m = 1 AND w = 0.5 AND i >= 3 AND i < 33
+        |UNION ALL SELECT 'friend_out_win3_interval_3_33', COUNT(*) FROM t WHERE m = 1 AND w IN (0.5, 1.5, 2.5) AND i >= 3 AND i < 33
+        |UNION ALL SELECT 'friend_out_win2', COUNT(*) FROM t WHERE m = 1 AND w IN (0.5, 1.5)
+        |UNION ALL SELECT 'friend_out_w05_interval_4_10', COUNT(*) FROM t WHERE m = 1 AND w = 0.5 AND i >= 4 AND i < 10
+        |UNION ALL SELECT 'friend_out_tlte10', COUNT(*) FROM t WHERE m = 1 AND i <= 10
+        |UNION ALL SELECT 'friend_out_tgt10', COUNT(*) FROM t WHERE m = 1 AND i > 10
+        |UNION ALL SELECT 'fc_out_interval_3_33', COUNT(*) FROM t WHERE m IN (0, 1) AND i >= 3 AND i < 33
+        |UNION ALL SELECT 'knows_out_n0', COUNT(*) FROM t WHERE m = 2 AND num = 0
+        |UNION ALL SELECT 'knows_out_n0_w_0_4', COUNT(*) FROM t WHERE m = 2 AND num = 0 AND w >= 0.0 AND w < 4.0
+        |UNION ALL SELECT 'knows_out_n0_w_0_2', COUNT(*) FROM t WHERE m = 2 AND num = 0 AND w >= 0.0 AND w < 2.0
+        |UNION ALL SELECT 'knows_out_n0_w_21_4', COUNT(*) FROM t WHERE m = 2 AND num = 0 AND w >= 2.1 AND w < 4.0
+        |UNION ALL SELECT 'fck_out_interval_3_33', COUNT(*) FROM t WHERE i >= 3 AND i < 33
+        |UNION ALL SELECT 'fck_out_tne10', COUNT(*) FROM t WHERE i <> 10
+        |UNION ALL SELECT 'connect_out_adj6_t6', COUNT(*) FROM t WHERE m = 0 AND i = 6
+        |UNION ALL SELECT 'knows_out_adj11', COUNT(*) FROM t WHERE m = 2 AND i = 11
+        |UNION ALL SELECT 'knows_in_adj11', COUNT(*) FROM t WHERE m = 2 AND i = 11
+        |UNION ALL SELECT 'knows_both_adj11', CAST(COUNT(*) * 2 AS BIGINT) FROM t WHERE m = 2 AND i = 11
+        |UNION ALL SELECT 'knows_out_adj11_w35', COUNT(*) FROM t WHERE m = 2 AND i = 11 AND w = 3.5
+        |UNION ALL SELECT 'connect_both_adj6_t6', CAST(COUNT(*) * 2 AS BIGINT) FROM t WHERE m = 0 AND i = 6
+        |UNION ALL SELECT 'connect_adj8_t8', COUNT(*) FROM t WHERE m = 0 AND i = 8
+        |UNION ALL SELECT 'connect_out_count', COUNT(*) FROM t WHERE m = 0
+        |UNION ALL SELECT 'connect_in_count', COUNT(*) FROM t WHERE m = 0
+        |UNION ALL SELECT 'connect_both_count', CAST(COUNT(*) * 2 AS BIGINT) FROM t WHERE m = 0
+        |UNION ALL SELECT 'in_t1', COUNT(*) FROM t WHERE i = 1
+        |UNION ALL SELECT 'out_interval_4_14', COUNT(*) FROM t WHERE i >= 4 AND i < 14
+        |UNION ALL SELECT 'in_interval_4_14_tne10', COUNT(*) FROM t WHERE i >= 4 AND i < 14 AND i <> 10
+        |UNION ALL SELECT 'multi_in_connect', COUNT(*) FROM t WHERE i IN (6, 9, 12, 15, 60) AND m = 0
+        |UNION ALL SELECT 'multi_connect_both', CAST(COUNT(*) * 2 AS BIGINT) FROM t WHERE i IN (6, 9, 12, 15, 60) AND m = 0
+        |UNION ALL SELECT 'multi_knows', COUNT(*) FROM t WHERE i IN (6, 9, 12, 15, 60) AND m = 2
+        |UNION ALL SELECT 'multi_all', CAST(COUNT(*) * 4 AS BIGINT) FROM t WHERE i IN (6, 9, 12, 15, 60)""".stripMargin,
     "q_edge_metaprops" ->
       """SELECT l_suppkey AS uid, COUNT(*) AS n_edges,
         |CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
