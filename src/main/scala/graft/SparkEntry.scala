@@ -3253,6 +3253,174 @@ object SparkEntry {
             _.outE("knows").has("weight", P.between(1L, 3L))).toDF),
       ).reduce(_ unionAll _)
     }),
+    // ---- 2.B/2.L reference global-index conformance
+    // (testGlobalGraphIndexingAndQueriesForInternalIndexes:3988-4070):
+    // composite-index-shaped global queries over vertices, edges and
+    // property elements — 100 vertices alternating person/organization with
+    // single props (weight (i·0.5)%5, time i, text strs[i%4]), a
+    // LIST-cardinality name {v·i, u·(i%5)} whose property elements carry
+    // the same meta, and connect+related edges to the previous vertex
+    // (self-loop at 0, related weight shifted +1). One probe row per
+    // reference assertion: (caze, n). ----
+    "q_tp_globalindex" -> ((s, dir) => {
+      val base = s.range(100).select(col("id").as("i"),
+        ((col("id") % 10).cast("double") * 0.5).as("w"),
+        col("id").as("t"),
+        expr("element_at(array('aaa','bbb','ccc','ddd'), CAST(id % 4 AS INT) + 1)").as("txt"))
+      val verts = base.select((col("i") + 10L).as("id"),
+        when(col("i") % 2 === 0, "person").otherwise("organization").as("label"),
+        col("w").as("weight"), col("t").as("time"), col("txt").as("text"),
+        array(concat(lit("v"), col("i").cast("string")),
+          concat(lit("u"), (col("i") % 5).cast("string"))).as("name"))
+      def edge(k: Int, lbl: String, wc: Column) = base.select(
+        (col("i") * 2 + k + 2000L).as("id"), (col("i") + 10L).as("src"),
+        (greatest(col("i") - 1, lit(0L)) + 10L).as("dst"), lit(lbl).as("label"),
+        wc.as("weight"), col("t").as("time"), col("txt").as("text"))
+      val edges = edge(0, "connect", col("w"))
+        .unionByName(edge(1, "related", (col("w") + 1.0) % 5.0))
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(), verts, edges)
+      // name property ELEMENTS with their meta-properties, as relation rows
+      val props = base.select(col("i"),
+        concat(lit("v"), col("i").cast("string")).as("value"),
+        col("w").as("weight"), col("t").as("time"), col("txt").as("text"))
+        .unionByName(base.select(col("i"),
+          concat(lit("u"), (col("i") % 5).cast("string")).as("value"),
+          col("w").as("weight"), col("t").as("time"), col("txt").as("text")))
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      val V = g.vertices
+      Seq(
+        n("e_t10_w0", g.E().has("time", 10L).has("weight", 0.0).edges()),
+        n("e_tin_w0", g.E().has("time", P.within(10L, 20L, 30L)).has("weight", 0.0).edges()),
+        n("e_t10_w0_ccc", g.E().has("time", 10L).has("weight", 0.0).has("text", "ccc").edges()),
+        n("e_t10_w1", g.E().has("time", 10L).has("weight", 1.0).edges()),
+        n("e_t20_w0", g.E().has("time", 20L).has("weight", 0.0).edges()),
+        n("e_t20_w3", g.E().has("time", 20L).has("weight", 3.0).edges()),
+        n("e_aaa_connect", g.E().has("text", "aaa").has("label", "connect").edges()),
+        n("e_aaa_connect_limit10",
+          g.E().has("text", "aaa").has("label", "connect").limit(10).edges()),
+        n("e_aaa", g.E().has("text", "aaa").edges()),
+        n("e_w15", g.E().has("weight", 1.5).edges()),
+        n("p_t50", props.filter(col("time") === 50L)),
+        n("p_w0_aaa", props.filter(col("weight") === 0.0 && col("text") === "aaa")),
+        n("p_w0_aaa_t0", props.filter(
+          col("weight") === 0.0 && col("text") === "aaa" && col("time") === 0L)),
+        n("p_w15", props.filter(col("weight") === 1.5)),
+        n("v_t50_person", g.V().has("time", 50L).has("label", "person").vertices()),
+        n("v_ccc_person", g.V().has("text", "ccc").has("label", "person").vertices()),
+        n("v_ddd_person", g.V().has("text", "ddd").has("label", "person").vertices()),
+        n("v_ccc_person_t2",
+          g.V().has("text", "ccc").has("label", "person").has("time", 2L).vertices()),
+        n("v_t51_v51_org", V.filter(col("label") === "organization" &&
+          col("time") === 51L && array_contains(col("name"), "v51"))),
+        n("v_t51_u1_org", V.filter(col("label") === "organization" &&
+          col("time") === 51L && array_contains(col("name"), "u1"))),
+        n("v_tin5_u1_org", V.filter(col("label") === "organization" &&
+          col("time").isin(51L, 61L, 71L, 31L, 41L) && array_contains(col("name"), "u1"))),
+        n("v_tin_empty", g.V().has("time", P.within()).vertices()),
+        n("v_ccc_person_tnotin_empty",
+          g.V().has("text", "ccc").has("label", "person")
+            .has("time", P.without()).vertices()),
+        n("v_t51_org", g.V().has("time", 51L).has("label", "organization").vertices()),
+        n("v_name_u1", V.filter(array_contains(col("name"), "u1"))),
+        n("v_name_v1", V.filter(array_contains(col("name"), "v1"))),
+        n("v_name_v1_org", V.filter(col("label") === "organization" &&
+          array_contains(col("name"), "v1"))),
+      ).reduce(_ unionAll _)
+    }),
+    // ---- 2.C/2.L reference relation-type-index conformance
+    // (testRelationTypeIndexes:2955-3050): sort-key-indexed edge and
+    // property slices — anchor v (id 1) with 100 neighbors ns[i] (id 10+i),
+    // one connect/child/link edge each (link UNIDIRECTED), edge and
+    // name-property weights (i*0.5)%5 and times (i+77)%100. Each probe row
+    // is one reference assertion: (caze, n, ws2) with ws2 = Σ 2·weight
+    // (integral — weights are half-steps) pinning ordered-limit content. ----
+    "q_tp_relindex" -> ((s, dir) => {
+      import graft.query.Direction._
+      val base = s.range(100).select(col("id").as("i"),
+        (col("id") % 10).cast("double").multiply(0.5).as("weight"),
+        ((col("id") + 77) % 100).as("time"))
+      val verts = s.range(1, 2).select(col("id"), lit("anchor").as("label"))
+        .unionByName(s.range(100).select((col("id") + 10L).as("id"), lit("n").as("label")))
+      def edge(k: Int, lbl: String) = base.select(
+        (col("i") * 4 + k + 1000L).as("id"), lit(1L).as("src"),
+        (col("i") + 10L).as("dst"), lit(lbl).as("label"), col("weight"), col("time"))
+      val edges = edge(0, "connect").unionByName(edge(1, "child")).unionByName(edge(2, "link"))
+      val schema = graft.core.GraphSchema()
+        .withEdgeLabel(graft.core.EdgeLabelDef("connect"))
+        .withEdgeLabel(graft.core.EdgeLabelDef("child"))
+        .withEdgeLabel(graft.core.EdgeLabelDef("link", unidirected = true))
+      val g = graft.data.PropertyGraph(schema, verts, edges)
+      // the LIST-cardinality name property as a relation frame:
+      // (vid, value, weight, time) — TitanVertexProperty rows with meta
+      val props = base.select(lit(1L).as("vid"),
+        concat(lit("v"), col("i").cast("string")).as("value"),
+        col("weight"), col("time"))
+      def q = graft.query.VertexCentricQuery(g).onVertices(1L)
+      def row(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n"),
+          coalesce(sum((col("weight") * 2).cast("long")), lit(0L)).as("ws2"))
+          .select(lit(caze).as("caze"), col("n"), col("ws2"))
+      val wProp = org.apache.spark.sql.expressions.Window.partitionBy(col("vid"))
+      def propTop(d: DataFrame, n0: Int, asc: Boolean) = {
+        val o = if (asc) Seq(col("weight").asc, col("value").asc)
+                else Seq(col("weight").desc, col("value").asc)
+        d.withColumn("__rn", row_number().over(wProp.orderBy(o: _*)))
+          .filter(col("__rn") <= n0).drop("__rn")
+      }
+      Seq(
+        row("props_wgt36", props.filter(col("weight") > 3.6)),
+        row("props_wlt09_order", props.filter(col("weight") < 0.9)
+          .orderBy(col("weight").asc)),
+        row("props_interval_order_limit10", propTop(
+          props.filter(col("weight") >= 1.1 && col("weight") < 2.2), 10, asc = false)),
+        row("props_t5", props.filter(col("time") === 5L)),
+        row("props_all", props),
+        row("child_out_t5", q.labels("child").direction(OUT).has("time", 5L).edges()),
+        row("child_both_t5", q.labels("child").direction(BOTH).has("time", 5L).edges()),
+        row("child_out_tint_10_20_limit5", q.labels("child").direction(OUT)
+          .interval("time", 10L, 20L).orderBy("weight", asc = false).limit(5).edges()),
+        row("child_both_wint_0_1_order", q.labels("child").direction(BOTH)
+          .interval("weight", 0.0, 1.0).orderBy("weight", asc = false).edges()),
+        row("child_out_wint_0_1",
+          q.labels("child").direction(OUT).interval("weight", 0.0, 1.0).edges()),
+        row("child_both", q.labels("child").direction(BOTH).edges()),
+        row("child_both_vertexIds",
+          q.labels("child").direction(BOTH).vertexIds().select(lit(0.0).as("weight"))),
+        row("child_out_wint_vertexIds",
+          q.labels("child").interval("weight", 0.0, 1.0).direction(OUT).vertexIds()
+            .select(lit(0.0).as("weight"))),
+        row("child_out_tint_70_80_order_time", q.labels("child")
+          .interval("time", 70L, 80L).direction(OUT).orderBy("time").edges()),
+        row("connect_t5_wint_out", q.labels("connect").has("time", 5L)
+          .interval("weight", 0.0, 5.0).direction(OUT).edges()),
+        row("connect_t5_wint_both", q.labels("connect").has("time", 5L)
+          .interval("weight", 0.0, 5.0).direction(BOTH).edges()),
+        row("connect_tint_wint_out", q.labels("connect").interval("time", 10L, 20L)
+          .interval("weight", 0.0, 5.0).direction(OUT).edges()),
+        row("connect_out_order_asc_limit10", q.labels("connect").direction(OUT)
+          .orderBy("weight").limit(10).edges()),
+        row("connect_out_order_desc_limit10", q.labels("connect").direction(OUT)
+          .orderBy("weight", asc = false).limit(10).edges()),
+        row("connect_out_wint_14_275_order", q.labels("connect").direction(OUT)
+          .interval("weight", 1.4, 2.75).orderBy("weight", asc = false).edges()),
+        row("connect_out_t22", q.labels("connect").direction(OUT).has("time", 22L).edges()),
+        row("connect_out_adj_u", q.labels("connect").direction(OUT).adjacent(10L).edges()),
+        row("connect_out_w0_adj_u", q.labels("connect").direction(OUT)
+          .has("weight", 0.0).adjacent(10L).edges()),
+        row("connect_out_wint01_adj_u", q.labels("connect").direction(OUT)
+          .interval("weight", 0.0, 1.0).adjacent(10L).edges()),
+        row("connect_out_tint_50_100_adj_u", q.labels("connect").direction(OUT)
+          .interval("time", 50L, 100L).adjacent(10L).edges()),
+        // v.query() over ALL relations: 300 edges + 100 properties = 400
+        row("rel_all", q.direction(BOTH).edges().select(col("weight"))
+          .unionByName(props.select(col("weight")))),
+        // unidirected link: the in-vertex is unaware — ns[0] BOTH sees its
+        // connect and child edges, never the link edge
+        row("u_both_no_link", graft.query.VertexCentricQuery(g)
+          .onVertices(10L).direction(BOTH).edges()),
+      ).reduce(_ unionAll _)
+    }),
     // ---- 2.C reference vertex-centric conformance: ~35 expected-count
     // assertions from testVertexCentricQuery (:2522-2700) through the
     // VertexCentricQuery surface (labels/direction/has/interval/within/
@@ -3670,6 +3838,85 @@ object SparkEntry {
         |  FROM (SELECT LEAST(COUNT(*), 10) AS c FROM e WHERE w >= 1 AND w < 3
         |        GROUP BY i) t""".stripMargin,
     "q_tp_select_edge" -> "SELECT CAST(10 AS BIGINT) AS eid",
+    "q_tp_globalindex" ->
+      """WITH t AS (SELECT CAST(x.range AS BIGINT) AS i,
+        |  CAST(x.range % 10 AS DOUBLE) * 0.5 AS w, CAST(x.range AS BIGINT) AS tm,
+        |  CASE WHEN x.range % 4 = 0 THEN 'aaa' WHEN x.range % 4 = 1 THEN 'bbb'
+        |       WHEN x.range % 4 = 2 THEN 'ccc' ELSE 'ddd' END AS txt FROM range(100) x),
+        |e AS (SELECT i, w, tm, txt, 'connect' AS lbl FROM t
+        |      UNION ALL SELECT i, fmod(w + 1.0, 5.0), tm, txt, 'related' FROM t),
+        |p AS (SELECT i, 'v' || CAST(i AS VARCHAR) AS v, w, tm, txt FROM t
+        |      UNION ALL SELECT i, 'u' || CAST(i % 5 AS VARCHAR), w, tm, txt FROM t)
+        |SELECT 'e_t10_w0' AS caze, COUNT(*) AS n FROM e WHERE tm = 10 AND w = 0.0
+        |UNION ALL SELECT 'e_tin_w0', COUNT(*) FROM e WHERE tm IN (10, 20, 30) AND w = 0.0
+        |UNION ALL SELECT 'e_t10_w0_ccc', COUNT(*) FROM e WHERE tm = 10 AND w = 0.0 AND txt = 'ccc'
+        |UNION ALL SELECT 'e_t10_w1', COUNT(*) FROM e WHERE tm = 10 AND w = 1.0
+        |UNION ALL SELECT 'e_t20_w0', COUNT(*) FROM e WHERE tm = 20 AND w = 0.0
+        |UNION ALL SELECT 'e_t20_w3', COUNT(*) FROM e WHERE tm = 20 AND w = 3.0
+        |UNION ALL SELECT 'e_aaa_connect', COUNT(*) FROM e WHERE txt = 'aaa' AND lbl = 'connect'
+        |UNION ALL SELECT 'e_aaa_connect_limit10', COUNT(*)
+        |  FROM (SELECT 1 FROM e WHERE txt = 'aaa' AND lbl = 'connect' LIMIT 10)
+        |UNION ALL SELECT 'e_aaa', COUNT(*) FROM e WHERE txt = 'aaa'
+        |UNION ALL SELECT 'e_w15', COUNT(*) FROM e WHERE w = 1.5
+        |UNION ALL SELECT 'p_t50', COUNT(*) FROM p WHERE tm = 50
+        |UNION ALL SELECT 'p_w0_aaa', COUNT(*) FROM p WHERE w = 0.0 AND txt = 'aaa'
+        |UNION ALL SELECT 'p_w0_aaa_t0', COUNT(*) FROM p WHERE w = 0.0 AND txt = 'aaa' AND tm = 0
+        |UNION ALL SELECT 'p_w15', COUNT(*) FROM p WHERE w = 1.5
+        |UNION ALL SELECT 'v_t50_person', COUNT(*) FROM t WHERE tm = 50 AND i % 2 = 0
+        |UNION ALL SELECT 'v_ccc_person', COUNT(*) FROM t WHERE txt = 'ccc' AND i % 2 = 0
+        |UNION ALL SELECT 'v_ddd_person', COUNT(*) FROM t WHERE txt = 'ddd' AND i % 2 = 0
+        |UNION ALL SELECT 'v_ccc_person_t2', COUNT(*) FROM t WHERE txt = 'ccc' AND i % 2 = 0 AND tm = 2
+        |UNION ALL SELECT 'v_t51_v51_org', COUNT(*) FROM t WHERE i % 2 = 1 AND tm = 51
+        |  AND ('v' || CAST(i AS VARCHAR) = 'v51' OR 'u' || CAST(i % 5 AS VARCHAR) = 'v51')
+        |UNION ALL SELECT 'v_t51_u1_org', COUNT(*) FROM t WHERE i % 2 = 1 AND tm = 51
+        |  AND ('v' || CAST(i AS VARCHAR) = 'u1' OR 'u' || CAST(i % 5 AS VARCHAR) = 'u1')
+        |UNION ALL SELECT 'v_tin5_u1_org', COUNT(*) FROM t WHERE i % 2 = 1
+        |  AND tm IN (51, 61, 71, 31, 41)
+        |  AND ('v' || CAST(i AS VARCHAR) = 'u1' OR 'u' || CAST(i % 5 AS VARCHAR) = 'u1')
+        |UNION ALL SELECT 'v_tin_empty', COUNT(*) FROM t WHERE FALSE
+        |UNION ALL SELECT 'v_ccc_person_tnotin_empty', COUNT(*) FROM t WHERE txt = 'ccc' AND i % 2 = 0
+        |UNION ALL SELECT 'v_t51_org', COUNT(*) FROM t WHERE tm = 51 AND i % 2 = 1
+        |UNION ALL SELECT 'v_name_u1', COUNT(*) FROM t
+        |  WHERE 'v' || CAST(i AS VARCHAR) = 'u1' OR 'u' || CAST(i % 5 AS VARCHAR) = 'u1'
+        |UNION ALL SELECT 'v_name_v1', COUNT(*) FROM t
+        |  WHERE 'v' || CAST(i AS VARCHAR) = 'v1' OR 'u' || CAST(i % 5 AS VARCHAR) = 'v1'
+        |UNION ALL SELECT 'v_name_v1_org', COUNT(*) FROM t WHERE i % 2 = 1
+        |  AND ('v' || CAST(i AS VARCHAR) = 'v1' OR 'u' || CAST(i % 5 AS VARCHAR) = 'v1')""".stripMargin,
+    "q_tp_relindex" ->
+      """WITH t AS (SELECT CAST(x.range AS BIGINT) AS i,
+        |  CAST(x.range % 10 AS DOUBLE) * 0.5 AS w, CAST(x.range % 10 AS BIGINT) AS w2,
+        |  (x.range + 77) % 100 AS tm FROM range(100) x)
+        |SELECT 'props_wgt36' AS caze, COUNT(*) AS n, CAST(SUM(w2) AS BIGINT) AS ws2 FROM t WHERE w > 3.6
+        |UNION ALL SELECT 'props_wlt09_order', COUNT(*), CAST(SUM(w2) AS BIGINT) FROM t WHERE w < 0.9
+        |UNION ALL SELECT 'props_interval_order_limit10', COUNT(*), CAST(SUM(w2) AS BIGINT)
+        |  FROM (SELECT w2 FROM t WHERE w >= 1.1 AND w < 2.2 ORDER BY w DESC LIMIT 10)
+        |UNION ALL SELECT 'props_t5', COUNT(*), CAST(SUM(w2) AS BIGINT) FROM t WHERE tm = 5
+        |UNION ALL SELECT 'props_all', COUNT(*), CAST(SUM(w2) AS BIGINT) FROM t
+        |UNION ALL SELECT 'child_out_t5', COUNT(*), CAST(SUM(w2) AS BIGINT) FROM t WHERE tm = 5
+        |UNION ALL SELECT 'child_both_t5', COUNT(*), CAST(SUM(w2) AS BIGINT) FROM t WHERE tm = 5
+        |UNION ALL SELECT 'child_out_tint_10_20_limit5', COUNT(*), CAST(SUM(w2) AS BIGINT)
+        |  FROM (SELECT w2 FROM t WHERE tm >= 10 AND tm < 20 ORDER BY w DESC LIMIT 5)
+        |UNION ALL SELECT 'child_both_wint_0_1_order', COUNT(*), CAST(SUM(w2) AS BIGINT) FROM t WHERE w >= 0.0 AND w < 1.0
+        |UNION ALL SELECT 'child_out_wint_0_1', COUNT(*), CAST(SUM(w2) AS BIGINT) FROM t WHERE w >= 0.0 AND w < 1.0
+        |UNION ALL SELECT 'child_both', COUNT(*), CAST(SUM(w2) AS BIGINT) FROM t
+        |UNION ALL SELECT 'child_both_vertexIds', COUNT(*), CAST(0 AS BIGINT) FROM t
+        |UNION ALL SELECT 'child_out_wint_vertexIds', COUNT(*), CAST(0 AS BIGINT) FROM t WHERE w >= 0.0 AND w < 1.0
+        |UNION ALL SELECT 'child_out_tint_70_80_order_time', COUNT(*), CAST(SUM(w2) AS BIGINT) FROM t WHERE tm >= 70 AND tm < 80
+        |UNION ALL SELECT 'connect_t5_wint_out', COUNT(*), CAST(SUM(w2) AS BIGINT) FROM t WHERE tm = 5 AND w >= 0.0 AND w < 5.0
+        |UNION ALL SELECT 'connect_t5_wint_both', COUNT(*), CAST(SUM(w2) AS BIGINT) FROM t WHERE tm = 5 AND w >= 0.0 AND w < 5.0
+        |UNION ALL SELECT 'connect_tint_wint_out', COUNT(*), CAST(SUM(w2) AS BIGINT) FROM t WHERE tm >= 10 AND tm < 20 AND w >= 0.0 AND w < 5.0
+        |UNION ALL SELECT 'connect_out_order_asc_limit10', COUNT(*), CAST(SUM(w2) AS BIGINT)
+        |  FROM (SELECT w2 FROM t ORDER BY w ASC LIMIT 10)
+        |UNION ALL SELECT 'connect_out_order_desc_limit10', COUNT(*), CAST(SUM(w2) AS BIGINT)
+        |  FROM (SELECT w2 FROM t ORDER BY w DESC LIMIT 10)
+        |UNION ALL SELECT 'connect_out_wint_14_275_order', COUNT(*), CAST(SUM(w2) AS BIGINT) FROM t WHERE w >= 1.4 AND w < 2.75
+        |UNION ALL SELECT 'connect_out_t22', COUNT(*), CAST(SUM(w2) AS BIGINT) FROM t WHERE tm = 22
+        |UNION ALL SELECT 'connect_out_adj_u', COUNT(*), CAST(SUM(w2) AS BIGINT) FROM t WHERE i = 0
+        |UNION ALL SELECT 'connect_out_w0_adj_u', COUNT(*), CAST(SUM(w2) AS BIGINT) FROM t WHERE i = 0 AND w = 0.0
+        |UNION ALL SELECT 'connect_out_wint01_adj_u', COUNT(*), CAST(SUM(w2) AS BIGINT) FROM t WHERE i = 0 AND w >= 0.0 AND w < 1.0
+        |UNION ALL SELECT 'connect_out_tint_50_100_adj_u', COUNT(*), CAST(SUM(w2) AS BIGINT) FROM t WHERE i = 0 AND tm >= 50 AND tm < 100
+        |UNION ALL SELECT 'rel_all', CAST(COUNT(*) * 4 AS BIGINT), CAST(SUM(w2) * 4 AS BIGINT) FROM t
+        |UNION ALL SELECT 'u_both_no_link', COUNT(*) * 2, CAST(SUM(w2) * 2 AS BIGINT) FROM t WHERE i = 0""".stripMargin,
     "q_tp_vcquery" ->
       """WITH t AS (SELECT CAST(x.range AS BIGINT) AS i, x.range % 3 AS m,
         |  CAST(x.range % 4 AS DOUBLE) + 0.5 AS w, x.range % 5 AS num FROM range(1, 10000) x)
