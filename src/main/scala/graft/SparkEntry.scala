@@ -3253,6 +3253,28 @@ object SparkEntry {
             _.outE("knows").has("weight", P.between(1L, 3L))).toDF),
       ).reduce(_ unionAll _)
     }),
+    // ---- 2.C reference self-loop conformance (testSelfLoop:1722-1735):
+    // a loop counts ONCE under OUT and IN, TWICE under BOTH (one row per
+    // orientation — the reference's loop dedup applies only to
+    // single-direction queries), in both the vertex-centric query and the
+    // Gremlin bothE()/both() steps ----
+    "q_tp_selfloop" -> ((s, dir) => {
+      import s.implicits._
+      import graft.query.Direction._
+      val v = Seq((1L, "v")).toDF("id", "label")
+      val e = Seq((10L, 1L, 1L, "self")).toDF("id", "src", "dst", "label")
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+      def q = graft.query.VertexCentricQuery(g).onVertices(1L).labels("self")
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      Seq(
+        n("out", q.direction(OUT).edges()),
+        n("in", q.direction(IN).edges()),
+        n("both", q.direction(BOTH).edges()),
+        n("trav_bothE", g.traversal.V().hasId(1L).bothE("self").toDF),
+        n("trav_both_v", g.traversal.V().hasId(1L).both("self").toDF),
+      ).reduce(_ unionAll _)
+    }),
     // ---- 2.B/2.L reference global-index conformance
     // (testGlobalGraphIndexingAndQueriesForInternalIndexes:3988-4070):
     // composite-index-shaped global queries over vertices, edges and
@@ -3838,6 +3860,12 @@ object SparkEntry {
         |  FROM (SELECT LEAST(COUNT(*), 10) AS c FROM e WHERE w >= 1 AND w < 3
         |        GROUP BY i) t""".stripMargin,
     "q_tp_select_edge" -> "SELECT CAST(10 AS BIGINT) AS eid",
+    "q_tp_selfloop" ->
+      """SELECT 'out' AS caze, CAST(1 AS BIGINT) AS n
+        |UNION ALL SELECT 'in', 1
+        |UNION ALL SELECT 'both', 2
+        |UNION ALL SELECT 'trav_bothE', 2
+        |UNION ALL SELECT 'trav_both_v', 2""".stripMargin,
     "q_tp_globalindex" ->
       """WITH t AS (SELECT CAST(x.range AS BIGINT) AS i,
         |  CAST(x.range % 10 AS DOUBLE) * 0.5 AS w, CAST(x.range AS BIGINT) AS tm,

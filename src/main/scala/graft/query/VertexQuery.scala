@@ -26,8 +26,10 @@ object Direction {
   * (BasicVertexCentricQueryBuilder.java:486-583) without byte-range machinery.
   *
   * Result edge frame: `vid` (the anchor vertex), `other` (the other endpoint),
-  * `dir` ('OUT'|'IN'), plus all edge columns. Loops under BOTH are emitted once
-  * (the reference filters the duplicate — StandardTitanTx.java:1054-1071).
+  * `dir` ('OUT'|'IN'), plus all edge columns. Loops under BOTH are emitted
+  * TWICE — once per orientation — matching the reference's testSelfLoop
+  * (its loop dedup applies only to single-direction queries,
+  * StandardTitanTx.java:1054-1071).
   */
 final case class VertexCentricQuery(
     graph: PropertyGraph,
@@ -98,7 +100,12 @@ final case class VertexCentricQuery(
     val d = dir match {
       case Direction.OUT => out
       case Direction.IN => in
-      case Direction.BOTH => out.unionAll(in.filter(col("src") =!= col("dst")))
+      // BOTH counts a self-loop TWICE (once per orientation): the
+      // reference's loop dedup applies ONLY to single-direction queries
+      // ("Need to filter out self-loops if query only asks for one
+      // direction" — StandardTitanTx.java:1054-1071) and its own
+      // testSelfLoop pins OUT=1, IN=1, BOTH=2
+      case Direction.BOTH => out.unionAll(in)
     }
     adjacentId.fold(d)(v => d.filter(col("other") === v))
   }

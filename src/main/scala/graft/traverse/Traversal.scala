@@ -192,7 +192,11 @@ final case class Traversal(
       case Direction.OUT => orient("src", "dst", "OUT")
       case Direction.IN => orient("dst", "src", "IN")
       case Direction.BOTH =>
-        orient("src", "dst", "OUT").unionAll(orient("dst", "src", "IN").filter(col("src") =!= col("dst")))
+        // self-loops traverse TWICE under BOTH (once per orientation) —
+        // TinkerPop both()/bothE() semantics, and the reference's
+        // testSelfLoop pins OUT=1, IN=1, BOTH=2 (its loop dedup applies
+        // only to single-direction queries, StandardTitanTx.java:1054-1071)
+        orient("src", "dst", "OUT").unionAll(orient("dst", "src", "IN"))
     }
     val joined = f.join(orientedE, col("_from") === col("vid"))
     // Post-hop frontier label universe, where PROVABLE from the catalog's
