@@ -37,7 +37,11 @@ final case class GraphQuery(
     if (graft.expr.ImplicitKeys.isImplicit(key))
       graft.expr.ImplicitKeys.resolve(graph.schema, target, key,
         element == graft.core.ElementCategory.VERTEX)
-    else col(key)
+    // an UNDEFINED key reads as NULL for every element — the reference's
+    // semantics (testHasNot: hasNot('abcd') matches everything, has on an
+    // undefined key matches nothing), not an analysis error
+    else if (target.columns.contains(key)) col(key)
+    else lit(null)
 
   /** has(key, value) — Cmp.EQUAL; has(key, null) ≡ hasNot(key)
     * (GraphCentricQueryBuilder.java:109-116). */

@@ -71,7 +71,11 @@ final case class Traversal(
   private def keyCol(key: String): Column =
     if (graft.expr.ImplicitKeys.isImplicit(key))
       graft.expr.ImplicitKeys.resolve(graph.schema, df, key, isVertex)
-    else col(key)
+    // an UNDEFINED key reads as NULL for every element — the reference's
+    // semantics (testHasNot: hasNot('abcd') matches everything, has on an
+    // undefined key matches nothing), not an analysis error
+    else if (df.columns.contains(key)) col(key)
+    else lit(null)
   def has(key: String, value: Any): Traversal = has(key, P.eq(value))
   def has(key: String, p: P): Traversal = copy(df = df.filter(p.apply(keyCol(key))))
   def has(key: String): Traversal = copy(df = df.filter(keyCol(key).isNotNull))
