@@ -23,6 +23,18 @@ object ImplicitKeys {
 
   def isImplicit(key: String): Boolean = key.startsWith("~")
 
+  /** Does `key` resolve to a column of `df`, mirroring the analyzer's
+    * resolver: case-insensitive unless `spark.sql.caseSensitive` is set.
+    * The undefined-key-reads-as-NULL paths must agree with what `col(key)`
+    * would resolve, or `has("Weight",...)` over a `weight` column silently
+    * matches nothing instead of filtering. */
+  def columnDefined(df: DataFrame, key: String): Boolean = {
+    val caseSensitive =
+      df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    if (caseSensitive) df.columns.contains(key)
+    else df.columns.exists(_.equalsIgnoreCase(key))
+  }
+
   /** Resolve an implicit key to a Column over an element frame. */
   def resolve(schema: GraphSchema, df: DataFrame, key: String,
       isVertex: Boolean): Column = key match {

@@ -174,6 +174,7 @@ object Indexes {
     * midnight in the session zone (UTC); persisted sorted-by-value the
     * table prunes by parquet min/max exactly like [[materializeNumeric]]. */
   def materializeTemporal(g: PropertyGraph, ix: IndexDef, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "materializeTemporal: at least one key")
     val table = if (ix.element == ElementCategory.VERTEX) g.vertices else g.edges
     val scoped = ix.onlyLabel.map(l => table.filter(col("label") === l)).getOrElse(table)
     keys.map { k =>

@@ -2309,7 +2309,8 @@ object Analytics {
     * mapping, broadcast-hinted only in the driver regime (the flood's
     * output is class-count-sized, potentially too big to broadcast). */
   private[graft] def classMergeMapping(und: DataFrame, undRows: Long,
-      maxInner: Int = 12, caller: String = "classMergeMapping"): DataFrame = {
+      maxInner: Int = 12, caller: String = "classMergeMapping",
+      strict: Boolean = false): DataFrame = {
     val spark = und.sparkSession
     import spark.implicits._
     val driverMerge = undRows <= spark.conf
@@ -2323,7 +2324,14 @@ object Analytics {
       var sig = decSig(l0, "l")
       var i = 0
       var changed = true
-      while (i < maxInner && changed) {
+      // Pointer-doubling reach is 2^i, so 64 rounds cover any merge chain a
+      // Long id space can encode. strict callers persist the result (e.g.
+      // streaming checkpoint state, where a lagged label is never revisited
+      // by later batches), so they run to the fixpoint and fail hard rather
+      // than commit divergent labels; non-strict one-shot callers keep the
+      // maxInner budget and the warn-and-continue contract.
+      val roundBudget = if (strict) math.max(maxInner, 64) else maxInner
+      while (i < roundBudget && changed) {
         val m2 = und.join(l0.select(col("c").as("b"), col("l").as("__lb")), Seq("b"))
           .groupBy(col("a")).agg(min(col("__lb")).as("__ln"))
         // the l(l(c)) POINTER-DOUBLING term makes reach grow exponentially
@@ -2345,10 +2353,12 @@ object Analytics {
         l0 = nl
         i += 1
       }
-      if (changed)
-        System.err.println(
-          s"[graft] $caller: maxInner=$maxInner elapsed before the label " +
-            "flood converged — merged class labels may lag the fixpoint")
+      if (changed) {
+        val msg = s"[graft] $caller: round budget $roundBudget elapsed " +
+          "before the label flood converged — merged class labels lag the fixpoint"
+        if (strict) throw new IllegalStateException(msg)
+        else System.err.println(msg)
+      }
       l0.select(col("c"), col("l"))
     }
   }

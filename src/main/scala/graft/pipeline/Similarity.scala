@@ -46,8 +46,12 @@ object Similarity {
   private def requireExactScale(op: String, sides: (String, DataFrame)*): Unit = {
     val spark = sides.head._2.sparkSession
     val cap = spark.conf.get("spark.graft.exactPairs.maxRows", "2000000").toLong
+    // A cap at or above Int.MaxValue is explicitly "guard off": the limit()
+    // probe clamps to Int range, so such a cap could never fail the check —
+    // skip the two probe jobs instead of running a vacuous guard.
+    if (cap >= Int.MaxValue.toLong) return
     sides.foreach { case (role, df) =>
-      val probe = math.min(cap + 1L, Int.MaxValue.toLong).toInt
+      val probe = (cap + 1L).toInt
       val n = df.limit(probe).count()
       require(n <= cap,
         s"$op: exact pair kernel is quadratic and the $role side exceeds " +

@@ -40,7 +40,7 @@ final case class GraphQuery(
     // an UNDEFINED key reads as NULL for every element — the reference's
     // semantics (testHasNot: hasNot('abcd') matches everything, has on an
     // undefined key matches nothing), not an analysis error
-    else if (target.columns.contains(key)) col(key)
+    else if (graft.expr.ImplicitKeys.columnDefined(target, key)) col(key)
     else lit(null)
 
   /** has(key, value) — Cmp.EQUAL; has(key, null) ≡ hasNot(key)

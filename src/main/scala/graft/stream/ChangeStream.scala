@@ -205,8 +205,12 @@ object ChangeStream {
         labels =
           (if (undRows == 0L) lab0
            else {
+             // strict: these labels are committed into persisted streaming
+             // state that later batches never revisit, so a flood that
+             // exhausts its round budget must fail the batch, not warn
              val mapping = graft.olap.Analytics
-               .classMergeMapping(und, undRows, caller = "incrementalComponents")
+               .classMergeMapping(und, undRows,
+                 caller = "incrementalComponents", strict = true)
                .select(col("c").as("component"), col("l").as("__new"))
              lab0.join(mapping, Seq("component"), "left")
                .select(col("id"), coalesce(col("__new"), col("component")).as("component"))

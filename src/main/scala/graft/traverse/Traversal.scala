@@ -74,7 +74,7 @@ final case class Traversal(
     // an UNDEFINED key reads as NULL for every element — the reference's
     // semantics (testHasNot: hasNot('abcd') matches everything, has on an
     // undefined key matches nothing), not an analysis error
-    else if (df.columns.contains(key)) col(key)
+    else if (graft.expr.ImplicitKeys.columnDefined(df, key)) col(key)
     else lit(null)
   def has(key: String, value: Any): Traversal = has(key, P.eq(value))
   def has(key: String, p: P): Traversal = copy(df = df.filter(p.apply(keyCol(key))))

@@ -321,4 +321,19 @@ class TraversalModulationSpec extends AnyFunSuite {
     // ...and the inflated id-keyed sum (2+2=4) must select nothing
     assert(dup.whereCount(P.eq(4))(_.in("knows")).toDF.isEmpty)
   }
+
+  test("has() key resolution is case-insensitive, matching the analyzer") {
+    import spark.implicits._
+    val v = Seq((1L, "u", 5), (2L, "u", 9)).toDF("id", "label", "weight")
+    val e = Seq.empty[(Long, Long, Long, String)].toDF("id", "src", "dst", "label")
+    val tg = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+    // mixed-case key must resolve to the `weight` column, not read as an
+    // undefined key (which would silently match nothing)
+    assert(tg.traversal.V().has("Weight", P.gte(6)).id()
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(tg.traversal.V().hasNot("WEIGHT").toDF.isEmpty)
+    // a genuinely undefined key still reads as NULL for every element
+    assert(tg.traversal.V().has("abcd").toDF.isEmpty)
+    assert(tg.traversal.V().hasNot("abcd").toDF.count() === 2L)
+  }
 }
