@@ -3538,6 +3538,110 @@ object SparkEntry {
         .has("name", "lop").selectPop("e", graft.traverse.Pop.Last)
         .select(col("e_id").as("eid"))
     }),
+    // ---- TitanIndexTest mixed-index conformance corpus (q_tix_*) ----
+    // testIndexing (titan-test/.../TitanIndexTest.java:186-371): 100 vertices
+    // uid=i, category=i%5, grp=i%10, text='Vertex '+words[i%4], time=i,
+    // location=point(±i/2, ±i/2); one knows edge i→max(0,i-1) carrying the
+    // same props. Phase A = full graph, phase B = after deleting uid 88..99
+    // (:337-342 — arithmetically the i<88 prefix: the deleted vertices'
+    // incident edges are exactly edge ids 88..99). Each row is one reference
+    // assertion: (caze, n, s) with s a Σtime pin over ordered-limit prefixes.
+    "q_tix_indexing" -> ((s, dir) => {
+      import s.implicits._
+      def fixture(numV: Int): graft.data.PropertyGraph = {
+        val base = s.range(numV).select(col("id").as("i"),
+          (col("id") % 5).as("category"), (col("id") % 10).as("grp"),
+          concat(lit("Vertex "), expr(
+            "element_at(array('world','aurelius','titan','graph'), CAST(id % 4 AS INT) + 1)")).as("text"),
+          col("id").as("time"),
+          (when(col("id") % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+            * col("id").cast("double") * 0.5).as("off"))
+        val verts = base.select((col("i") + 1L).as("id"), lit("v").as("label"),
+          col("category"), col("grp"), col("text"), col("time"),
+          graft.expr.Geo.pointCol(col("off"), col("off")).as("location"))
+        val edges = base.select((col("i") + 1000L).as("id"), (col("i") + 1L).as("src"),
+          (greatest(col("i") - 1L, lit(0L)) + 1L).as("dst"), lit("knows").as("label"),
+          col("category"), col("grp"), col("text"), col("time"),
+          graft.expr.Geo.pointCol(col("off"), col("off")).as("location"))
+        graft.data.PropertyGraph(graft.core.GraphSchema(), verts, edges)
+      }
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"), lit(0L).as("s"))
+      def np(caze: String, d: DataFrame, pin: Column) =
+        d.agg(count(lit(1)).as("n"), coalesce(sum(pin), lit(0L)).cast("long").as("s"))
+          .select(lit(caze).as("caze"), col("n"), col("s"))
+      // the interval loop (:258-261) as ONE grouped aggregate per element
+      // kind: cross the tiny bound list in, count time ∈ [b, 2b) per bound
+      def intervals(tag: String, df: DataFrame, bs: Seq[Long]) =
+        df.select(col("time")).crossJoin(broadcast(bs.toDF("b")))
+          .groupBy(col("b")).agg(sum(when(
+            col("time") >= col("b") && col("time") < col("b") * 2, 1L).otherwise(0L)).as("n"))
+          .select(concat(lit(tag), col("b").cast("string")).as("caze"), col("n"),
+            lit(0L).as("s"))
+      // the geo loop (:263-268): radius = haversine(0,0 → b/2,b/2) + 20km,
+      // count of locations WITHIN the circle per bound (expected b+1 — the
+      // next vertex out is ≥48 km past the +20 km margin, so engines'
+      // last-ulp trig differences cannot flip any comparison)
+      def geoFam(tag: String, df: DataFrame, bs: Seq[Long]) = {
+        val bounds = bs.toDF("b").select(col("b"),
+          (graft.expr.Geo.haversineKm(lit(0.0), lit(0.0),
+            col("b") * 0.5, col("b") * 0.5) + 20.0).as("rad"))
+        df.select(col("location")).crossJoin(broadcast(bounds))
+          .groupBy(col("b")).agg(sum(when(graft.expr.Geo.within(col("location"),
+            graft.expr.Geo.circleCol(lit(0.0), lit(0.0), col("rad"))), 1L)
+            .otherwise(0L)).as("n"))
+          .select(concat(lit(tag), col("b").cast("string")).as("caze"), col("n"),
+            lit(0L).as("s"))
+      }
+      def havKm(deg: Double): Double = {
+        val r = math.toRadians(deg)
+        val a = math.pow(math.sin(r / 2), 2) * (1.0 + math.cos(r))
+        2 * graft.expr.Geo.EarthRadiusKm * math.asin(math.sqrt(a))
+      }
+      val words = Seq("world", "aurelius", "titan", "graph")
+      val ga = fixture(100)
+      val gb = fixture(88)
+      val circle19 = graft.expr.Geo.circle(0.0, 0.0, havKm(9.5) + 20.0)
+      val aCases = words.flatMap(w => Seq(
+        n(s"va_c_$w", ga.V().has("text", P.textContains(w)).vertices()),
+        n(s"ea_c_$w", ga.E().has("text", P.textContains(w)).edges()))) ++ Seq(
+        np("va_world_t_asc", ga.V().has("text", P.textContains("world"))
+          .orderBy("time").limit(5).vertices(), col("time")),
+        np("va_world_t_desc", ga.V().has("text", P.textContains("world"))
+          .orderBy("time", asc = false).limit(5).vertices(), col("time")),
+        np("va_world_cat_asc", ga.V().has("text", P.textContains("world"))
+          .orderBy("category").limit(5).vertices(), col("time")),
+        np("va_world_cat_desc", ga.V().has("text", P.textContains("world"))
+          .orderBy("category", asc = false).limit(5).vertices(), col("time")),
+        np("va_grp3_t_asc3", ga.V().has("grp", 3L)
+          .orderBy("time").limit(3).vertices(), col("time")),
+        np("ea_grp3_t_desc3", ga.E().has("grp", 3L)
+          .orderBy("time", asc = false).limit(3).edges(), col("time")),
+        intervals("va_int_", ga.vertices, Seq(0L, 10L, 20L, 30L, 40L)),
+        intervals("ea_int_", ga.edges, Seq(0L, 10L, 20L, 30L, 40L)),
+        geoFam("va_geo_", ga.vertices, Seq(0L, 20L, 40L, 60L, 80L, 90L)),
+        geoFam("ea_geo_", ga.edges, Seq(0L, 20L, 40L, 60L, 80L, 90L)),
+        n("va_cat1_int", ga.V().has("category", 1L).interval("time", 10L, 28L).vertices()),
+        n("ea_cat1_int", ga.E().has("category", 1L).interval("time", 10L, 28L).edges()),
+        n("va_t1030_world", ga.V().has("time", P.gte(10L)).has("time", P.lt(30L))
+          .has("text", P.textContains("world")).vertices()),
+        n("va_geo19_world", ga.V().has("location", graft.expr.Geo.geoIntersect(circle19))
+          .has("text", P.textContains("world")).vertices()),
+        n("va_all", ga.V().vertices()), n("ea_all", ga.E().edges()))
+      val bCases = words.flatMap(w => Seq(
+        n(s"vb_c_$w", gb.V().has("text", P.textContains(w)).vertices()),
+        n(s"eb_c_$w", gb.E().has("text", P.textContains(w)).edges()))) ++ Seq(
+        intervals("vb_int_", gb.vertices, Seq(0L, 8L, 16L, 24L, 32L, 40L)),
+        intervals("eb_int_", gb.edges, Seq(0L, 8L, 16L, 24L, 32L, 40L)),
+        geoFam("vb_geo_", gb.vertices, Seq(0L, 30L, 60L, 80L)),
+        geoFam("eb_geo_", gb.edges, Seq(0L, 30L, 60L, 80L)),
+        n("vb_t1030_world", gb.V().has("time", P.gte(10L)).has("time", P.lt(30L))
+          .has("text", P.textContains("world")).vertices()),
+        n("vb_geo19_world", gb.V().has("location", graft.expr.Geo.geoIntersect(circle19))
+          .has("text", P.textContains("world")).vertices()),
+        n("vb_all", gb.V().vertices()), n("eb_all", gb.E().edges()))
+      (aCases ++ bCases).reduce(_ unionAll _)
+    }),
     // ---- 2.M native expression: array_jaccard over name tokens ----
     "q_array_jaccard" -> ((s, dir) => {
       val p = graph(s, dir).V().hasLabel("part").dataframe
@@ -5874,6 +5978,85 @@ object SparkEntry {
         |  FROM t GROUP BY 1, 2)
         |SELECT user_id, session_start_us, n_events
         |FROM sess QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id)""".stripMargin,
+    "q_tix_indexing" ->
+      """WITH t AS (SELECT CAST(x.range AS BIGINT) AS i, CAST(x.range % 5 AS BIGINT) AS cat,
+        |  CAST(x.range % 10 AS BIGINT) AS grp, CAST(x.range % 4 AS BIGINT) AS wk,
+        |  CAST(x.range AS BIGINT) AS tm,
+        |  (CASE WHEN x.range % 2 = 0 THEN 1.0 ELSE -1.0 END) * x.range * 0.5 AS off
+        | FROM range(100) x),
+        |td AS (SELECT *, 2*6371.0087714*asin(sqrt(pow(sin(radians(off)/2),2)*(1.0+cos(radians(off))))) AS dist FROM t),
+        |u AS (SELECT * FROM td WHERE i < 88),
+        |iba AS (SELECT CAST(v.b AS BIGINT) AS b FROM (VALUES (0),(10),(20),(30),(40)) v(b)),
+        |ibb AS (SELECT CAST(v.b AS BIGINT) AS b FROM (VALUES (0),(8),(16),(24),(32),(40)) v(b)),
+        |gba AS (SELECT CAST(v.b AS BIGINT) AS b,
+        |  2*6371.0087714*asin(sqrt(pow(sin(radians(v.b*0.5)/2),2)*(1.0+cos(radians(v.b*0.5)))))+20 AS rad
+        |  FROM (VALUES (0),(20),(40),(60),(80),(90)) v(b)),
+        |gbb AS (SELECT CAST(v.b AS BIGINT) AS b,
+        |  2*6371.0087714*asin(sqrt(pow(sin(radians(v.b*0.5)/2),2)*(1.0+cos(radians(v.b*0.5)))))+20 AS rad
+        |  FROM (VALUES (0),(30),(60),(80)) v(b)),
+        |r19 AS (SELECT 2*6371.0087714*asin(sqrt(pow(sin(radians(9.5)/2),2)*(1.0+cos(radians(9.5)))))+20 AS rad)
+        |SELECT 'va_c_world' AS caze, count(*) AS n, CAST(0 AS BIGINT) AS s FROM td WHERE wk=0
+        |UNION ALL SELECT 'ea_c_world', count(*), 0 FROM td WHERE wk=0
+        |UNION ALL SELECT 'va_c_aurelius', count(*), 0 FROM td WHERE wk=1
+        |UNION ALL SELECT 'ea_c_aurelius', count(*), 0 FROM td WHERE wk=1
+        |UNION ALL SELECT 'va_c_titan', count(*), 0 FROM td WHERE wk=2
+        |UNION ALL SELECT 'ea_c_titan', count(*), 0 FROM td WHERE wk=2
+        |UNION ALL SELECT 'va_c_graph', count(*), 0 FROM td WHERE wk=3
+        |UNION ALL SELECT 'ea_c_graph', count(*), 0 FROM td WHERE wk=3
+        |UNION ALL SELECT 'va_world_t_asc', count(*), CAST(SUM(tm) AS BIGINT)
+        |  FROM (SELECT tm FROM td WHERE wk=0 ORDER BY tm LIMIT 5)
+        |UNION ALL SELECT 'va_world_t_desc', count(*), CAST(SUM(tm) AS BIGINT)
+        |  FROM (SELECT tm FROM td WHERE wk=0 ORDER BY tm DESC LIMIT 5)
+        |UNION ALL SELECT 'va_world_cat_asc', count(*), CAST(SUM(tm) AS BIGINT)
+        |  FROM (SELECT tm FROM td WHERE wk=0 ORDER BY cat LIMIT 5)
+        |UNION ALL SELECT 'va_world_cat_desc', count(*), CAST(SUM(tm) AS BIGINT)
+        |  FROM (SELECT tm FROM td WHERE wk=0 ORDER BY cat DESC LIMIT 5)
+        |UNION ALL SELECT 'va_grp3_t_asc3', count(*), CAST(SUM(tm) AS BIGINT)
+        |  FROM (SELECT tm FROM td WHERE grp=3 ORDER BY tm LIMIT 3)
+        |UNION ALL SELECT 'ea_grp3_t_desc3', count(*), CAST(SUM(tm) AS BIGINT)
+        |  FROM (SELECT tm FROM td WHERE grp=3 ORDER BY tm DESC LIMIT 3)
+        |UNION ALL SELECT 'va_int_' || CAST(iba.b AS VARCHAR),
+        |  CAST(SUM(CASE WHEN td.tm >= iba.b AND td.tm < 2*iba.b THEN 1 ELSE 0 END) AS BIGINT), 0
+        |  FROM iba CROSS JOIN td GROUP BY iba.b
+        |UNION ALL SELECT 'ea_int_' || CAST(iba.b AS VARCHAR),
+        |  CAST(SUM(CASE WHEN td.tm >= iba.b AND td.tm < 2*iba.b THEN 1 ELSE 0 END) AS BIGINT), 0
+        |  FROM iba CROSS JOIN td GROUP BY iba.b
+        |UNION ALL SELECT 'va_geo_' || CAST(gba.b AS VARCHAR),
+        |  CAST(SUM(CASE WHEN td.dist <= gba.rad THEN 1 ELSE 0 END) AS BIGINT), 0
+        |  FROM gba CROSS JOIN td GROUP BY gba.b
+        |UNION ALL SELECT 'ea_geo_' || CAST(gba.b AS VARCHAR),
+        |  CAST(SUM(CASE WHEN td.dist <= gba.rad THEN 1 ELSE 0 END) AS BIGINT), 0
+        |  FROM gba CROSS JOIN td GROUP BY gba.b
+        |UNION ALL SELECT 'va_cat1_int', count(*), 0 FROM td WHERE cat=1 AND tm>=10 AND tm<28
+        |UNION ALL SELECT 'ea_cat1_int', count(*), 0 FROM td WHERE cat=1 AND tm>=10 AND tm<28
+        |UNION ALL SELECT 'va_t1030_world', count(*), 0 FROM td WHERE tm>=10 AND tm<30 AND wk=0
+        |UNION ALL SELECT 'va_geo19_world', count(*), 0 FROM td, r19 WHERE td.dist <= r19.rad AND wk=0
+        |UNION ALL SELECT 'va_all', count(*), 0 FROM td
+        |UNION ALL SELECT 'ea_all', count(*), 0 FROM td
+        |UNION ALL SELECT 'vb_c_world', count(*), 0 FROM u WHERE wk=0
+        |UNION ALL SELECT 'eb_c_world', count(*), 0 FROM u WHERE wk=0
+        |UNION ALL SELECT 'vb_c_aurelius', count(*), 0 FROM u WHERE wk=1
+        |UNION ALL SELECT 'eb_c_aurelius', count(*), 0 FROM u WHERE wk=1
+        |UNION ALL SELECT 'vb_c_titan', count(*), 0 FROM u WHERE wk=2
+        |UNION ALL SELECT 'eb_c_titan', count(*), 0 FROM u WHERE wk=2
+        |UNION ALL SELECT 'vb_c_graph', count(*), 0 FROM u WHERE wk=3
+        |UNION ALL SELECT 'eb_c_graph', count(*), 0 FROM u WHERE wk=3
+        |UNION ALL SELECT 'vb_int_' || CAST(ibb.b AS VARCHAR),
+        |  CAST(SUM(CASE WHEN u.tm >= ibb.b AND u.tm < 2*ibb.b THEN 1 ELSE 0 END) AS BIGINT), 0
+        |  FROM ibb CROSS JOIN u GROUP BY ibb.b
+        |UNION ALL SELECT 'eb_int_' || CAST(ibb.b AS VARCHAR),
+        |  CAST(SUM(CASE WHEN u.tm >= ibb.b AND u.tm < 2*ibb.b THEN 1 ELSE 0 END) AS BIGINT), 0
+        |  FROM ibb CROSS JOIN u GROUP BY ibb.b
+        |UNION ALL SELECT 'vb_geo_' || CAST(gbb.b AS VARCHAR),
+        |  CAST(SUM(CASE WHEN u.dist <= gbb.rad THEN 1 ELSE 0 END) AS BIGINT), 0
+        |  FROM gbb CROSS JOIN u GROUP BY gbb.b
+        |UNION ALL SELECT 'eb_geo_' || CAST(gbb.b AS VARCHAR),
+        |  CAST(SUM(CASE WHEN u.dist <= gbb.rad THEN 1 ELSE 0 END) AS BIGINT), 0
+        |  FROM gbb CROSS JOIN u GROUP BY gbb.b
+        |UNION ALL SELECT 'vb_t1030_world', count(*), 0 FROM u WHERE tm>=10 AND tm<30 AND wk=0
+        |UNION ALL SELECT 'vb_geo19_world', count(*), 0 FROM u, r19 WHERE u.dist <= r19.rad AND wk=0
+        |UNION ALL SELECT 'vb_all', count(*), 0 FROM u
+        |UNION ALL SELECT 'eb_all', count(*), 0 FROM u""".stripMargin,
     "q_array_jaccard" ->
       """WITH t AS (SELECT p_partkey AS uid,
         |  list_distinct(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), x -> length(x) > 1)) AS tok FROM part)

@@ -259,39 +259,78 @@ object Indexes {
     else scored.orderBy(col("score").desc, col("id").asc).offset(offset).limit(limit)
   }
 
-  /** One parsed `field:(terms…)` clause of a direct index query. */
-  final case class QueryClause(field: String, terms: String)
+  /** One parsed `field:(terms…)` clause of a direct index query.
+    * `prefixed` records whether the element identifier (`v.`/`e.`/`p.` or a
+    * custom one) preceded the field — the reference translates PREFIXED
+    * field names from property-key name to backend field name, while bare
+    * names pass through raw (IndexQueryBuilder.java:46-105, pinned by
+    * TitanIndexTest.testRawQueries:956-966 where `v.text:ducks` hits via
+    * the mapped name but bare `text:ducks` hits nothing). `phrase` records
+    * a quoted `"multi word value"` operand — a Lucene phrase on a
+    * STRING-mapped (not-analyzed) field, i.e. exact-value equality. */
+  final case class QueryClause(field: String, terms: String,
+      prefixed: Boolean = false, phrase: Boolean = false)
 
   /** Parse the reference's Lucene-flavored direct-index query syntax:
-    * `v.name:(small green)`, `name:widget`, multi-field
-    * `name:(small) brand:(Brand#12)` — element prefixes (`v.`/`e.`/`p.`)
-    * are stripped, parenthesized groups or single terms per field, multiple
-    * clauses AND-ed (tc/graphdb/query/graph/IndexQueryBuilder.java:46-105,
-    * IndexSerializer.java:601-658 — the reference rewrites field names and
-    * hands the rest to Lucene; our scorer is tokenOverlapScore). */
-  def parseQuery(q: String): Seq[QueryClause] = {
-    val clause = """(?:[vep]\.)?([\w~][\w.]*)\s*:\s*(\(([^)]*)\)|\S+)""".r
+    * `v.name:(small green)`, `name:widget`, quoted fields `v."text":(…)`,
+    * quoted phrases `v.name:"exact value"`, wildcard `v.*:"x"`, custom
+    * element identifiers (`$v$text:ducks`), multi-field clauses AND-ed —
+    * literal AND/OR tokens between clauses carry no colon and are skipped
+    * (AND is the implicit combiner; tc/graphdb/query/graph/
+    * IndexQueryBuilder.java:46-105, IndexSerializer.java:601-658). */
+  def parseQuery(q: String, elementId: String = null): Seq[QueryClause] = {
+    val pfx = if (elementId == null) """[vep]\."""
+              else java.util.regex.Pattern.quote(elementId)
+    val clause = ("(" + pfx + """)?"?([\w~*][\w.]*)"?\s*:\s*(\(([^)]*)\)|"([^"]*)"|\S+)""").r
     clause.findAllMatchIn(q).map { m =>
-      val terms = Option(m.group(3)).getOrElse(m.group(2))
-      QueryClause(m.group(1), terms)
+      val phrase = m.group(5) != null
+      val terms =
+        if (m.group(4) != null) m.group(4)
+        else if (phrase) m.group(5)
+        else m.group(3)
+      QueryClause(m.group(2), terms, prefixed = m.group(1) != null, phrase = phrase)
     }.toSeq
   }
 
-  /** Direct index query in Lucene syntax over one or more fields: each
-    * clause is scored with tokenOverlapScore against its field; clause
-    * scores are summed and every clause must hit (AND semantics). */
-  def indexQueryLucene(g: PropertyGraph, element: ElementCategory, query: String,
-      limit: Int = 50, offset: Int = 0): DataFrame = {
-    val clauses = parseQuery(query)
+  /** Direct index query over an arbitrary element frame with the reference's
+    * field-name resolution: prefixed clauses resolve property-KEY names via
+    * `keyFields`, bare clauses resolve backend field names via `rawFields`
+    * (mapped-name parameters), a miss on either side matches NOTHING (the
+    * backend has no such field — testRawQueries pins count 0, not an error),
+    * `*` scores against every keyed column (wildcard `_all` field,
+    * testWidcardQuery:1618-1636), and quoted phrases are exact-value
+    * equality (STRING mapping). Clause scores sum; all clauses must hit. */
+  def indexQueryFrame(df: DataFrame, query: String,
+      keyFields: Map[String, String], rawFields: Map[String, String],
+      limit: Int = 50, offset: Int = 0, elementId: String = null): DataFrame = {
+    val clauses = parseQuery(query, elementId)
     require(clauses.nonEmpty, s"no field:(terms) clauses in query: $query")
-    val table = if (element == ElementCategory.VERTEX) g.vertices else g.edges
-    val perClause = clauses.map(c => tokenOverlapScore(col(c.field), c.terms))
+    def clauseScore(colName: String, c: QueryClause): Column =
+      if (c.phrase) when(col(colName) === c.terms, 1.0).otherwise(0.0)
+      else tokenOverlapScore(col(colName), c.terms)
+    val perClause: Seq[Column] = clauses.map { c =>
+      if (c.field == "*")
+        keyFields.values.toSeq.distinct.map(clauseScore(_, c))
+          .reduceOption((a, b) => greatest(a, b)).getOrElse(lit(0.0))
+      else (if (c.prefixed) keyFields else rawFields).get(c.field) match {
+        case Some(cn) => clauseScore(cn, c)
+        case None     => lit(0.0) // unresolvable backend field: no results
+      }
+    }
     val allHit = perClause.map(_ > 0.0).reduce(_ && _)
-    val scored = table
-      .withColumn("score", perClause.reduce(_ + _))
-      .filter(allHit)
+    val scored = df.withColumn("score", perClause.reduce(_ + _)).filter(allHit)
     if (offset == 0) scored.orderBy(col("score").desc, col("id").asc).limit(limit)
     else scored.orderBy(col("score").desc, col("id").asc).offset(offset).limit(limit)
+  }
+
+  /** Direct index query in Lucene syntax over one or more fields of the
+    * element table, with every parsed field name taken as a column name
+    * (no mapped-name indirection — the identity field map). */
+  def indexQueryLucene(g: PropertyGraph, element: ElementCategory, query: String,
+      limit: Int = 50, offset: Int = 0): DataFrame = {
+    val table = if (element == ElementCategory.VERTEX) g.vertices else g.edges
+    val fields = parseQuery(query).map(c => c.field -> c.field).toMap
+    indexQueryFrame(table, query, fields, fields, limit, offset)
   }
 
   // ---------- mixed GEO mapping: grid-cell spatial index ----------
