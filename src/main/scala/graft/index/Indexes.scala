@@ -319,8 +319,11 @@ object Indexes {
     }
     val allHit = perClause.map(_ > 0.0).reduce(_ && _)
     val scored = df.withColumn("score", perClause.reduce(_ + _)).filter(allHit)
-    if (offset == 0) scored.orderBy(col("score").desc, col("id").asc).limit(limit)
-    else scored.orderBy(col("score").desc, col("id").asc).offset(offset).limit(limit)
+    // Spark rejects limit+offset > Int.MaxValue; an effectively-unbounded
+    // limit shrinks by the offset without changing which rows survive
+    val lim = math.min(limit.toLong, Int.MaxValue.toLong - offset).toInt
+    if (offset == 0) scored.orderBy(col("score").desc, col("id").asc).limit(lim)
+    else scored.orderBy(col("score").desc, col("id").asc).offset(offset).limit(lim)
   }
 
   /** Direct index query in Lucene syntax over one or more fields of the
