@@ -3916,6 +3916,141 @@ object SparkEntry {
           graft.expr.Geo.point(2.0, 2.0), geoExtra))
         .reduce(_ unionAll _)
     }),
+    // TTL conformance block (TitanGraphTest.java:4626-5138): the reference's
+    // wall-clock sleeps map to pinned ttlReadTime snapshots over fixed `_ts`
+    // write provenance — same timeline, reproducible. Blocks: edge-TTL
+    // timing (:4626), edge TTL + vertex-centric/global index reads (:4719),
+    // property-key vs static-vertex-label TTL (:4758), edge TTL limited by
+    // vertex TTL incl. the all-incident-edges-expire rule (:4840, non-cache
+    // branch :4932-4935), unsetting TTL after compaction (:4950), and the
+    // ~ttl implicit key on edges and vertices (:5056, :5103).
+    "q_tp_ttl" -> ((s, dir) => {
+      import s.implicits._
+      val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      def ts(ms: Long) = java.sql.Timestamp.from(t0.plusMillis(ms))
+      def at(g: graft.data.PropertyGraph, ms: Long) =
+        g.copy(schema = g.schema.copy(ttlReadTime = Some(ts(ms))))
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      val emptyE = Seq.empty[(Long, Long, Long, String)].toDF("id", "src", "dst", "label")
+      import graft.core.{EdgeLabelDef, GraphSchema, PropertyKeyDef, VertexLabelDef}
+      def vcq(g: graft.data.PropertyGraph, id: Long) =
+        graft.query.VertexCentricQuery(g).onVertices(id)
+      // -- testEdgeTTLTiming: likes 1s, dislikes 4s, indifferentTo none
+      val etG = graft.data.PropertyGraph(
+        GraphSchema(edgeLabels = Map(
+          "likes" -> EdgeLabelDef("likes", ttlSeconds = Some(1L)),
+          "dislikes" -> EdgeLabelDef("dislikes", ttlSeconds = Some(4L)),
+          "indifferentTo" -> EdgeLabelDef("indifferentTo"))),
+        Seq((1L, "v"), (2L, "v"), (3L, "v")).toDF("id", "label")
+          .withColumn("_ts", lit(ts(0))),
+        Seq((10L, 1L, 2L, "likes"), (11L, 2L, 1L, "dislikes"), (12L, 3L, 1L, "indifferentTo"))
+          .toDF("id", "src", "dst", "label").withColumn("_ts", lit(ts(0))))
+      // -- testEdgeTTLWithIndex: wavedAt 1s with time prop
+      val eiG = graft.data.PropertyGraph(
+        GraphSchema(edgeLabels = Map(
+          "wavedAt" -> EdgeLabelDef("wavedAt", ttlSeconds = Some(1L)))),
+        Seq((1L, "v"), (2L, "v")).toDF("id", "label").withColumn("_ts", lit(ts(0))),
+        Seq((10L, 1L, 2L, "wavedAt", 42L)).toDF("id", "src", "dst", "label", "time")
+          .withColumn("_ts", lit(ts(0))))
+      // -- testPropertyTTLTiming: name 42s, place 1s, static event label 2s
+      val ptG = graft.data.PropertyGraph(
+        GraphSchema(
+          propertyKeys = Map(
+            "name" -> PropertyKeyDef("name", StringType, ttlSeconds = Some(42L)),
+            "place" -> PropertyKeyDef("place", StringType, ttlSeconds = Some(1L))),
+          vertexLabels = Map(
+            "event" -> VertexLabelDef("event", static = true, ttlSeconds = Some(2L)))),
+        Seq((20L, "event", "some event", "somewhere")).toDF("id", "label", "name", "place")
+          .withColumn("_ts", lit(ts(0))), emptyE)
+      // -- testEdgeTTLLimitedByVertexTTL: person 2s caps likes' 42s
+      val evG = graft.data.PropertyGraph(
+        GraphSchema(
+          edgeLabels = Map(
+            "likes" -> EdgeLabelDef("likes", ttlSeconds = Some(42L)),
+            "dislikes" -> EdgeLabelDef("dislikes", ttlSeconds = Some(1L)),
+            "indifferentTo" -> EdgeLabelDef("indifferentTo")),
+          vertexLabels = Map(
+            "person" -> VertexLabelDef("person", static = true, ttlSeconds = Some(2L)))),
+        Seq((30L, "person"), (31L, "v")).toDF("id", "label").withColumn("_ts", lit(ts(0))),
+        Seq((40L, 30L, 31L, "likes"), (41L, 30L, 31L, "dislikes"),
+          (42L, 30L, 31L, "indifferentTo"))
+          .toDF("id", "src", "dst", "label").withColumn("_ts", lit(ts(0))))
+      // -- testUnsettingTTL: expire + compact under 2s TTL, unset, rewrite
+      val unG1 = graft.data.PropertyGraph(
+        GraphSchema(edgeLabels = Map("likes" -> EdgeLabelDef("likes", ttlSeconds = Some(2L)))),
+        Seq((50L, "v"), (51L, "v")).toDF("id", "label").withColumn("_ts", lit(ts(0))),
+        Seq((60L, 50L, 51L, "likes")).toDF("id", "src", "dst", "label")
+          .withColumn("_ts", lit(ts(0))))
+      val compacted = graft.data.GraphIO.compactExpired(at(unG1, 2500))
+      val unG2 = graft.data.PropertyGraph(
+        GraphSchema(edgeLabels = Map("likes" -> EdgeLabelDef("likes"))),
+        compacted.vertices.unionByName(Seq((52L, "v"), (53L, "v")).toDF("id", "label")
+          .withColumn("_ts", lit(ts(3000)))),
+        compacted.edges.unionByName(Seq((61L, 52L, 53L, "likes"))
+          .toDF("id", "src", "dst", "label").withColumn("_ts", lit(ts(3000)))))
+      // -- ~ttl implicit key
+      val tkG = graft.data.PropertyGraph(
+        GraphSchema(
+          edgeLabels = Map(
+            "likes" -> EdgeLabelDef("likes", ttlSeconds = Some(86400L)),
+            "hasLiked" -> EdgeLabelDef("hasLiked")),
+          vertexLabels = Map(
+            "event" -> VertexLabelDef("event", static = true, ttlSeconds = Some(1L)))),
+        Seq((70L, "event"), (71L, "v")).toDF("id", "label").withColumn("_ts", lit(ts(0))),
+        Seq((80L, 70L, 71L, "likes"), (81L, 70L, 71L, "hasLiked"))
+          .toDF("id", "src", "dst", "label").withColumn("_ts", lit(ts(0))))
+      def ttlSum(caze: String, d: DataFrame, isV: Boolean, sch: GraphSchema) =
+        d.agg(coalesce(sum(coalesce(graft.expr.ImplicitKeys.resolve(sch, d, "~ttl", isV),
+          lit(0L))), lit(0L)).cast("long").as("n"))
+          .select(lit(caze).as("caze"), col("n"))
+      val tk = at(tkG, 500)
+      Seq(
+        n("et_t0_v1out", vcq(at(etG, 500), 1L).direction(Direction.OUT).edges()),
+        n("et_t0_v2out", vcq(at(etG, 500), 2L).direction(Direction.OUT).edges()),
+        n("et_t0_v3out", vcq(at(etG, 500), 3L).direction(Direction.OUT).edges()),
+        n("et_t1_v1out", vcq(at(etG, 1200), 1L).direction(Direction.OUT).edges()),
+        n("et_t1_v2out", vcq(at(etG, 1200), 2L).direction(Direction.OUT).edges()),
+        n("et_t1_v3out", vcq(at(etG, 1200), 3L).direction(Direction.OUT).edges()),
+        n("et_t2_v1out", vcq(at(etG, 4500), 1L).direction(Direction.OUT).edges()),
+        n("et_t2_v2out", vcq(at(etG, 4500), 2L).direction(Direction.OUT).edges()),
+        n("et_t2_v3out", vcq(at(etG, 4500), 3L).direction(Direction.OUT).edges()),
+        n("ei_pre_vc", vcq(at(eiG, 500), 1L).direction(Direction.OUT)
+          .interval("time", 0L, 100L).edges()),
+        n("ei_pre_global", at(eiG, 500).E().has("time", 42L).edges()),
+        n("ei_post_vc", vcq(at(eiG, 1100), 1L).direction(Direction.OUT)
+          .interval("time", 0L, 100L).edges()),
+        n("ei_post_global", at(eiG, 1100).E().has("time", 42L).edges()),
+        n("pt_t1_nameplace", at(ptG, 1100).V().has("name", "some event")
+          .has("place", "somewhere").vertices()),
+        n("pt_t1_name", at(ptG, 1100).V().has("name", "some event").vertices()),
+        n("pt_t1_v", at(ptG, 1100).vertexById(20L)),
+        n("pt_t2_name", at(ptG, 2100).V().has("name", "some event").vertices()),
+        n("pt_t2_v", at(ptG, 2100).vertexById(20L)),
+        n("ev_t1_v1", at(evG, 1100).vertexById(30L)),
+        n("ev_t1_in_likes", vcq(at(evG, 1100), 31L).direction(Direction.IN)
+          .labels("likes").edges()),
+        n("ev_t1_in_dislikes", vcq(at(evG, 1100), 31L).direction(Direction.IN)
+          .labels("dislikes").edges()),
+        n("ev_t1_in_indiff", vcq(at(evG, 1100), 31L).direction(Direction.IN)
+          .labels("indifferentTo").edges()),
+        n("ev_t2_v1", at(evG, 2100).vertexById(30L)),
+        n("ev_t2_in_likes", vcq(at(evG, 2100), 31L).direction(Direction.IN)
+          .labels("likes").edges()),
+        n("ev_t2_in_dislikes", vcq(at(evG, 2100), 31L).direction(Direction.IN)
+          .labels("dislikes").edges()),
+        n("ev_t2_in_indiff", vcq(at(evG, 2100), 31L).direction(Direction.IN)
+          .labels("indifferentTo").edges()),
+        n("un_t1_v", at(unG1, 2500).V().vertices()),
+        n("un_t1_e", at(unG1, 2500).E().edges()),
+        n("un_t2_v", at(unG2, 5500).V().vertices()),
+        n("un_t2_e", at(unG2, 5500).E().edges()),
+        ttlSum("tk_e_likes", tk.E().has("label", "likes").edges(), isV = false, tk.schema),
+        ttlSum("tk_e_hasliked", tk.E().has("label", "hasLiked").edges(), isV = false, tk.schema),
+        ttlSum("tk_v_event", tk.vertexById(70L), isV = true, tk.schema),
+        ttlSum("tk_v_plain", tk.vertexById(71L), isV = true, tk.schema),
+      ).reduce(_ unionAll _)
+    }),
     // ---- 2.M native expression: array_jaccard over name tokens ----
     "q_array_jaccard" -> ((s, dir) => {
       val p = graph(s, dir).V().hasLabel("part").dataframe
@@ -6457,6 +6592,43 @@ object SparkEntry {
         |UNION ALL SELECT 'tc_name_t3', 1
         |UNION ALL SELECT 'tc_names_props', 2
         |UNION ALL SELECT 'tc_all', 2""".stripMargin,
+    "q_tp_ttl" ->
+      """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES
+        | ('et_t0_v1out', CASE WHEN 0+1000 > 500 THEN 1 ELSE 0 END),
+        | ('et_t0_v2out', CASE WHEN 0+4000 > 500 THEN 1 ELSE 0 END),
+        | ('et_t0_v3out', 1),
+        | ('et_t1_v1out', CASE WHEN 0+1000 > 1200 THEN 1 ELSE 0 END),
+        | ('et_t1_v2out', CASE WHEN 0+4000 > 1200 THEN 1 ELSE 0 END),
+        | ('et_t1_v3out', 1),
+        | ('et_t2_v1out', CASE WHEN 0+1000 > 4500 THEN 1 ELSE 0 END),
+        | ('et_t2_v2out', CASE WHEN 0+4000 > 4500 THEN 1 ELSE 0 END),
+        | ('et_t2_v3out', 1),
+        | ('ei_pre_vc', CASE WHEN 0+1000 > 500 THEN 1 ELSE 0 END),
+        | ('ei_pre_global', CASE WHEN 0+1000 > 500 THEN 1 ELSE 0 END),
+        | ('ei_post_vc', CASE WHEN 0+1000 > 1100 THEN 1 ELSE 0 END),
+        | ('ei_post_global', CASE WHEN 0+1000 > 1100 THEN 1 ELSE 0 END),
+        | ('pt_t1_nameplace', CASE WHEN 0+1000 > 1100 THEN 1 ELSE 0 END),
+        | ('pt_t1_name', CASE WHEN 0+LEAST(42000,2000) > 1100 THEN 1 ELSE 0 END),
+        | ('pt_t1_v', CASE WHEN 0+2000 > 1100 THEN 1 ELSE 0 END),
+        | ('pt_t2_name', CASE WHEN 0+2000 > 2100 THEN 1 ELSE 0 END),
+        | ('pt_t2_v', CASE WHEN 0+2000 > 2100 THEN 1 ELSE 0 END),
+        | ('ev_t1_v1', CASE WHEN 0+2000 > 1100 THEN 1 ELSE 0 END),
+        | ('ev_t1_in_likes', CASE WHEN 0+LEAST(42000,2000) > 1100 THEN 1 ELSE 0 END),
+        | ('ev_t1_in_dislikes', CASE WHEN 0+LEAST(1000,2000) > 1100 THEN 1 ELSE 0 END),
+        | ('ev_t1_in_indiff', CASE WHEN 0+2000 > 1100 THEN 1 ELSE 0 END),
+        | ('ev_t2_v1', CASE WHEN 0+2000 > 2100 THEN 1 ELSE 0 END),
+        | ('ev_t2_in_likes', CASE WHEN 0+LEAST(42000,2000) > 2100 THEN 1 ELSE 0 END),
+        | ('ev_t2_in_dislikes', CASE WHEN 0+LEAST(1000,2000) > 2100 THEN 1 ELSE 0 END),
+        | ('ev_t2_in_indiff', CASE WHEN 0+2000 > 2100 THEN 1 ELSE 0 END),
+        | ('un_t1_v', 2),
+        | ('un_t1_e', CASE WHEN 0+2000 > 2500 THEN 1 ELSE 0 END),
+        | ('un_t2_v', 4),
+        | ('un_t2_e', 1),
+        | ('tk_e_likes', 86400),
+        | ('tk_e_hasliked', 0),
+        | ('tk_v_event', 1),
+        | ('tk_v_plain', 0)
+        |) t(caze, n)""".stripMargin,
     "q_array_jaccard" ->
       """WITH t AS (SELECT p_partkey AS uid,
         |  list_distinct(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), x -> length(x) > 1)) AS tok FROM part)

@@ -48,10 +48,15 @@ final case class PropertyGraph(
     * live in the catalog and persist with it, [[graft.core.GraphSchema]]). */
   def variables: Map[String, String] = schema.variables
 
-  /** Vertices by point lookup — reference: StandardTitanTx.java:383-420. */
-  def vertexById(ids: Long*): DataFrame =
-    if (ids.size == 1) vertices.filter(col("id") === ids.head)
-    else vertices.filter(col("id").isin(ids: _*))
+  /** Vertices by point lookup — reference: StandardTitanTx.java:383-420.
+    * Reads through the catalog-TTL view (identity without TTL declarations):
+    * getV of an expired vertex returns nothing, testVertexTTLWith
+    * CompositeIndex (TitanGraphTest.java:4833-4834). */
+  def vertexById(ids: Long*): DataFrame = {
+    val live = graft.expr.ImplicitKeys.ttlAutoFilter(schema, vertices, isVertex = true)
+    if (ids.size == 1) live.filter(col("id") === ids.head)
+    else live.filter(col("id").isin(ids: _*))
+  }
 
   /** Induced subgraph from an edge predicate (Gremlin SubgraphStep,
     * TinkerPop SubgraphStrategy): the matching edges plus exactly their

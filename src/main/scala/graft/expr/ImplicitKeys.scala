@@ -77,6 +77,27 @@ object ImplicitKeys {
     propertyTtlView(schema, rows)
   }
 
+  /** Edge scan view under catalog TTL: the edge-label + property-key filters
+    * of [[ttlAutoFilter]], PLUS the vertex-TTL interaction the reference pins
+    * in testEdgeTTLLimitedByVertexTTL (TitanGraphTest.java:4918-4935): once a
+    * vertex expires, ALL its incident edges are expired with it, regardless
+    * of their own (possibly longer) edge TTL. Implemented as anti-joins
+    * against the EXPIRED vertex set — precise (edges to merely-absent
+    * endpoints keep the ghost-edge behavior of plain reads) and free when no
+    * vertex label declares a TTL (the common case: identity, no join). */
+  def ttlAutoFilterEdges(schema: GraphSchema, edges: DataFrame,
+      vertices: DataFrame): DataFrame = {
+    val e = ttlAutoFilter(schema, edges, isVertex = false)
+    if (!schema.hasVertexTtl || !vertices.columns.contains(TimestampColumn)) e
+    else {
+      val expired = vertices
+        .filter(!ttlCatalogFilter(schema, vertices, isVertex = true, ttlNow(schema)))
+        .select(col("id"))
+      e.join(expired.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(expired.select(col("id").as("dst")), Seq("dst"), "left_anti")
+    }
+  }
+
   /** Property-KEY TTL (docs/advschema.txt:41-55 — the reference TTLs property
     * keys independently of their element: the VALUE expires, the element
     * survives). Columnar adaptation: a declared-TTL property column reads as

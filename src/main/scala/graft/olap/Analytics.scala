@@ -285,12 +285,13 @@ object Analytics {
   def kTrussConverged(g: PropertyGraph, k: Int, maxRounds: Int = 5,
       reuseRanks: Boolean = true): (DataFrame, Boolean) = {
     require(k >= 3, s"kTruss needs k >= 3 (k=2 keeps every edge), got $k")
-    var e = simpleEdges(g).localCheckpoint(false)
+    var e = simpleEdges(g).transform(roundBarrier)
     var cur = e.count()
     var round = 0
     var removed = true
     val deg0 = if (reuseRanks)
       Some(degreesOf(e).persist(StorageLevel.MEMORY_AND_DISK)) else None
+    val rlog = new RoundLog(g.spark, "ktruss")
     while (round < maxRounds && removed && cur > 0) {
       val oriented = (deg0 match {
         case Some(d) => orientEdges(e, d)
@@ -310,13 +311,14 @@ object Analytics {
       val next = e.join(sup, Seq("u", "v"), "left")
         .filter(coalesce(col("__sup"), lit(0L)) >= (k - 2).toLong)
         .select(col("u"), col("v"))
-        .localCheckpoint(false)
+        .transform(roundBarrier)
       val n = next.count() // materializes the round; doubles as convergence
       oriented.unpersist(false)
       removed = n < cur
       cur = n
       e = next
       round += 1
+      rlog.tick(round)
     }
     deg0.foreach(_.unpersist(false))
     (e, !removed || cur == 0L)
@@ -576,7 +578,7 @@ object Analytics {
     // rounds) but materialization rides the next action over the frame — the
     // count below, or the next round's — instead of costing a dedicated
     // per-round job (eager localCheckpoint runs its own count internally).
-    var labels = ids.select(col("id"), col("id").as("l")).localCheckpoint(false)
+    var labels = ids.select(col("id"), col("id").as("l")).transform(roundBarrier)
     val bcast = labels.count() <= 10000000L
     def hint(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     (1 to rounds).foreach { _ =>
@@ -587,7 +589,7 @@ object Analytics {
         .agg(max_by(col("l"), struct(col("__c"), (-col("l")).as("__nl"))).as("__a"))
       labels = labels.join(adopted, Seq("id"), "left")
         .select(col("id"), coalesce(col("__a"), col("l")).as("l"))
-        .localCheckpoint(false)
+        .transform(roundBarrier)
     }
     und.unpersist(false)
     labels.select(col("id"), col("l").as("community"))
@@ -771,7 +773,7 @@ object Analytics {
           when(col("__m").isNull || col("__m") === 0L, lit(0L))
             .otherwise(expr(s"COALESCE($valCol, BIGINT(0)) * BIGINT(${S}) DIV __m"))
             .as(outCol))
-        .localCheckpoint(false)
+        .transform(roundBarrier)
     }
     var auth = ids.select(col("id"), lit(S).as("a"))
     var hub = ids.select(col("id"), lit(S).as("h"))
@@ -868,7 +870,7 @@ object Analytics {
     val e = g.edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     var sigma = dist.filter(col("distance") === 0L)
       .select(col("id"), col("distance"), lit(1L).as("sigma"))
-      .localCheckpoint(false)
+      .transform(roundBarrier)
     var prevLayer = sigma
     var r = 1L
     while (r <= maxD) {
@@ -878,7 +880,7 @@ object Analytics {
         .join(layerR.select(col("id").as("dst")), Seq("dst"))
         .groupBy(col("dst")).agg(sum(col("__s")).as("sigma"))
         .select(col("dst").as("id"), lit(r).as("distance"), col("sigma"))
-        .localCheckpoint(false)
+        .transform(roundBarrier)
       next.count() // materialize the lazy barrier: the layer is reused next
                    // round AND must survive the unpersists below
       sigma = sigma.unionByName(next)
@@ -928,7 +930,7 @@ object Analytics {
     val maxD = maxRow.getLong(0)
     val e = g.edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     var gCur = sp.filter(col("distance") === maxD)
-      .select(col("id"), lit(0L).as("__g")).localCheckpoint(false)
+      .select(col("id"), lit(0L).as("__g")).transform(roundBarrier)
     var acc = Vector(gCur)
     var r = maxD - 1L
     while (r >= 0L) {
@@ -939,7 +941,7 @@ object Analytics {
       val next = layerR
         .join(contrib.select(col("src").as("id"), col("__s")), Seq("id"), "left")
         .select(col("id"), coalesce(col("__s"), lit(0L)).as("__g"))
-        .localCheckpoint(false)
+        .transform(roundBarrier)
       next.count() // materialize: reused next round and below
       acc = acc :+ next
       gCur = next
@@ -993,7 +995,7 @@ object Analytics {
     val maxD = maxRow.getLong(0)
     val e = g.edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     var delta = sp.filter(col("distance") === maxD)
-      .select(col("id"), zero.as("delta")).localCheckpoint(false)
+      .select(col("id"), zero.as("delta")).transform(roundBarrier)
     var acc = delta
     var r = maxD - 1
     while (r >= 0) {
@@ -1013,7 +1015,7 @@ object Analytics {
       delta = sp.filter(col("distance") === r).select(col("id"))
         .join(contrib, Seq("id"), "left")
         .select(col("id"), coalesce(col("__s").cast(dec), zero).as("delta"))
-        .localCheckpoint(false)
+        .transform(roundBarrier)
       delta.count() // materialize: reused next level and in the union below
       acc = acc.unionByName(delta)
       r -= 1
@@ -1051,27 +1053,29 @@ object Analytics {
     var dist = sources.distinct.toDF("s")
       .join(g.vertices.select(col("id")), col("s") === col("id"), "left_semi")
       .select(col("s"), col("s").as("id"), lit(0L).as("d"))
-      .localCheckpoint(false)
+      .transform(roundBarrier)
     var frontier = dist
     var lvl = 1L
     var go = frontier.count() > 0
     if (!go) { e.unpersist(false); return empty }
+    val rlog = new RoundLog(g.spark, "betweenness_bfs")
     while (lvl <= maxIter && go) {
       val next = e.join(frontier.select(col("s"), col("id").as("src")), Seq("src"))
         .select(col("s"), col("dst").as("id")).distinct()
         .join(dist.select(col("s"), col("id")), Seq("s", "id"), "left_anti")
         .select(col("s"), col("id"), lit(lvl).as("d"))
-        .localCheckpoint(false)
+        .transform(roundBarrier)
       go = next.count() > 0
       if (go) { dist = dist.unionByName(next); frontier = next }
       lvl += 1
+      rlog.tick(lvl.toInt)
     }
     dist = dist.localCheckpoint(true)
     val maxD = dist.agg(max(col("d"))).head.getLong(0)
     // σ forward, one layer frame per level (the backward sweep needs two
     // adjacent levels at a time)
     var layers = Vector(dist.filter(col("d") === 0L)
-      .select(col("s"), col("id"), lit(1L).as("sigma")).localCheckpoint(false))
+      .select(col("s"), col("id"), lit(1L).as("sigma")).transform(roundBarrier))
     (1L to maxD).foreach { r =>
       val lv = e.join(layers.last.select(col("s"), col("id").as("src"),
           col("sigma")), Seq("src"))
@@ -1079,7 +1083,7 @@ object Analytics {
         .join(dist.filter(col("d") === r).select(col("s"), col("id")),
           Seq("s", "id"), "left_semi")
         .groupBy(col("s"), col("id")).agg(sum(col("sigma")).as("sigma"))
-        .localCheckpoint(false)
+        .transform(roundBarrier)
       lv.count()
       layers = layers :+ lv
     }
@@ -1087,7 +1091,7 @@ object Analytics {
     // shallower than maxD just has no rows there) seeds 0; each level pulls
     // round(round9(σv/σw)·(1+δw), 6) from its successors
     var delta = layers(maxD.toInt).select(col("s"), col("id"), zero.as("delta"))
-      .localCheckpoint(false)
+      .transform(roundBarrier)
     var acc = delta
     var r = maxD - 1
     while (r >= 0) {
@@ -1107,7 +1111,7 @@ object Analytics {
         .join(contrib, Seq("s", "id"), "left")
         .select(col("s"), col("id"),
           coalesce(col("__s").cast(dec), zero).as("delta"))
-        .localCheckpoint(false)
+        .transform(roundBarrier)
       delta.count()
       acc = acc.unionByName(delta)
       r -= 1
@@ -1140,7 +1144,7 @@ object Analytics {
     val e = g.edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     var dist = g.vertices.select(col("id"),
       when(col("id") === source, lit(0L)).as("d"),
-      lit(null).cast("long").as("pred")).localCheckpoint(false)
+      lit(null).cast("long").as("pred")).transform(roundBarrier)
     var round = 0L
     var frontierN = 1L
     while (round < maxIter && frontierN > 0) {
@@ -1153,7 +1157,7 @@ object Analytics {
           when(col("d").isNotNull, col("d"))
             .otherwise(when(col("__np").isNotNull, lit(round + 1L))).as("d"),
           when(col("d").isNotNull, col("pred")).otherwise(col("__np")).as("pred"))
-        .localCheckpoint(false)
+        .transform(roundBarrier)
       round += 1
       frontierN = dist.filter(col("d") === round).count()
     }
@@ -1277,7 +1281,7 @@ object Analytics {
       .crossJoin(broadcast(sources.toDF("source")))
       .select(col("id"), col("source"),
         when(col("id") === col("source"), lit(0L)).as("d"))
-      .localCheckpoint(false)
+      .transform(roundBarrier)
     var prev: (Long, java.math.BigDecimal) = null
     var round = 0
     var converged = false
@@ -1288,7 +1292,7 @@ object Analytics {
         .groupBy(col("id"), col("source")).agg(min(col("nd")).as("nd"))
       dist = dist.join(relaxed, Seq("id", "source"), "left")
         .select(col("id"), col("source"), least(col("d"), col("nd")).as("d"))
-        .localCheckpoint(false)
+        .transform(roundBarrier)
       val r = dist.filter(col("d").isNotNull)
         .agg(count(lit(1)).as("n"), sum(col("d").cast("decimal(38,0)")).as("s")).head
       val sig = (r.getLong(0), r.getDecimal(1))
@@ -1337,7 +1341,7 @@ object Analytics {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var dist = g.vertices.select(col("id"))
       .select(col("id"), when(col("id") === source, lit(0L)).as("d"))
-      .localCheckpoint(false)
+      .transform(roundBarrier)
     // Early exit: the (reached-count, exact distance-sum) pair is a monotone
     // state signature — reached only grows, and for a fixed reached set
     // distances only shrink — so an unchanged pair ⇒ fixed point reached and
@@ -1359,7 +1363,7 @@ object Analytics {
       // a SECOND full pass per round purely to persist.
       dist = dist.join(relaxed, Seq("id"), "left")
         .select(col("id"), least(col("d"), col("nd")).as("d"))
-        .localCheckpoint(false)
+        .transform(roundBarrier)
       val r = dist.filter(col("d").isNotNull)
         .agg(count(lit(1)).as("n"), sum(col("d").cast("decimal(38,0)")).as("s")).head
       val sig = (r.getLong(0), r.getDecimal(1))
@@ -1397,7 +1401,7 @@ object Analytics {
       .unionAll(g.edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = g.vertices.select(col("id"), col("id").as("l")).localCheckpoint(false)
+    var labels = g.vertices.select(col("id"), col("id").as("l")).transform(roundBarrier)
     // one cheap count decides the regime for the whole run (threshold is a
     // conf so the shuffle-join regime — the 100× branch — is rehearsable
     // in tests without a 10M-vertex fixture)
@@ -1414,6 +1418,7 @@ object Analytics {
     var prevSum: java.math.BigDecimal = null
     var round = 0
     var converged = false
+    val rlog = new RoundLog(g.spark, "cc")
     while (round < iterations && !converged) {
       val nb = und.join(hint(labels), und("dst") === labels("id"))
         .select(und("src").as("id"), col("l").as("nl"))
@@ -1439,11 +1444,12 @@ object Analytics {
         .select(col("id"), least(col("l"), col("__jl")).as("l"))
       // lazy checkpoint: the convergence agg on the next line is the round's
       // action and materializes it — eager would pay a second vertex-set pass
-      labels = jumped.localCheckpoint(false)
+      labels = jumped.transform(roundBarrier)
       val s = labels.agg(sum(col("l").cast("decimal(38,0)")).as("s")).head.getDecimal(0)
       converged = prevSum != null && s != null && s.compareTo(prevSum) == 0
       prevSum = s
       round += 1
+      rlog.tick(round)
     }
     und.unpersist(false) // final labels frame is checkpointed
     labels.select(col("id"), col("l").as("component"))
@@ -1466,7 +1472,7 @@ object Analytics {
       .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val spark = g.spark
-    var alive = g.vertices.select(col("id")).localCheckpoint(false)
+    var alive = g.vertices.select(col("id")).transform(roundBarrier)
     var aliveCount = alive.count()
     val maxBcast = broadcastMaxRows(g)
     def hint(df: DataFrame, n: Long): DataFrame = if (n <= maxBcast) broadcast(df) else df
@@ -1480,12 +1486,12 @@ object Analytics {
         .select(col("dst").as("id")).distinct()
       val layerR = alive.join(blocked, Seq("id"), "left_anti")
         .select(col("id"), lit(round.toLong).as("layer"))
-        .localCheckpoint(false)
+        .transform(roundBarrier)
       val n = layerR.count()
       if (n > 0) {
         layers = layers :+ layerR
         alive = alive.join(layerR.select(col("id")), Seq("id"), "left_anti")
-          .localCheckpoint(false)
+          .transform(roundBarrier)
         aliveCount -= n
       }
       peeled = n > 0
@@ -1555,7 +1561,7 @@ object Analytics {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val starts = walkIds(seeds, walksPerSeed, "randomWalks").toDF("walk", "seed")
     var frontier = starts.select(col("walk"), col("seed"),
-      lit(0L).as("step"), col("seed").as("id")).localCheckpoint(false)
+      lit(0L).as("step"), col("seed").as("id")).transform(roundBarrier)
     var out = Vector(frontier)
     var step = 1L
     var alive = frontier.count()
@@ -1568,7 +1574,7 @@ object Analytics {
           lit(step.toString))), 21, 12), 16, 10).cast("long"), col("deg")) + 1L)
         .filter(col("rk") === col("__pick"))
         .select(col("walk"), col("seed"), lit(step).as("step"), col("dst").as("id"))
-        .localCheckpoint(false)
+        .transform(roundBarrier)
       alive = stepped.count()
       out = out :+ stepped
       frontier = stepped
@@ -1601,7 +1607,7 @@ object Analytics {
     val starts = walkIds(seeds, walksPerSeed, "nonBacktrackingWalks").toDF("walk", "seed")
     var frontier = starts.select(col("walk"), col("seed"),
       lit(0L).as("step"), col("seed").as("id"), lit(null).cast("long").as("prev"))
-      .localCheckpoint(false)
+      .transform(roundBarrier)
     var out = Vector(frontier.drop("prev"))
     var step = 1L
     var alive = frontier.count()
@@ -1620,7 +1626,7 @@ object Analytics {
         .filter(col("__rk") === col("__pick"))
         .select(col("walk"), col("seed"), lit(step).as("step"),
           col("dst").as("id"), frontier("id").as("prev"))
-        .localCheckpoint(false)
+        .transform(roundBarrier)
       alive = stepped.count()
       out = out :+ stepped.drop("prev")
       frontier = stepped
@@ -1682,7 +1688,7 @@ object Analytics {
       .unionAll(g.edges.select(col("dst").as("a"), col("src").as("b")))
       .repartition(col("a"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var alive = g.vertices.select(col("id")).localCheckpoint(false)
+    var alive = g.vertices.select(col("id")).transform(roundBarrier)
     var aliveCount = alive.count()
     // aliveCount is maintained every round anyway — use it to pick the
     // broadcast regime per round for free (checkpointed frames hide size
@@ -1697,7 +1703,7 @@ object Analytics {
         .join(hint(alive.select(col("id").as("__y")), aliveCount), col("b") === col("__y"), "left_semi")
       val next = live.groupBy(col("a")).agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k).select(col("a").as("id"))
-        .localCheckpoint(false) // lazy: the count below materializes it
+        .transform(roundBarrier) // lazy: the count below materializes it
       // peeling is monotone ⇒ count equality ≡ set equality; carry the prior
       // round's count so each round runs ONE job, not two
       val nextCount = next.count()
@@ -1750,7 +1756,7 @@ object Analytics {
     var c = ids.join(und.groupBy(col("a")).agg(count(lit(1)).as("__c"))
         .select(col("a").as("id"), col("__c")), Seq("id"), "left")
       .select(col("id"), coalesce(col("__c"), lit(0L)).as("core"))
-      .localCheckpoint(false)
+      .transform(roundBarrier)
     def sig(df: DataFrame): Long = {
       val r = df.agg(sum(col("core"))).head
       if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -1782,6 +1788,7 @@ object Analytics {
     val useHistogram = g.spark.conf
       .get("spark.graft.coreness.hindex", "window") == "histogram"
     var frontier = c.select(col("id")) // round 1: everything is "changed"
+    val rlog = new RoundLog(g.spark, "coreness")
     while (round < maxRounds && changed) {
       val affected = und
         .join(frontier.select(col("id").as("b")), Seq("b"), "left_semi")
@@ -1813,13 +1820,14 @@ object Analytics {
       val next = c.join(h.select(col("a").as("id"), col("__c")), Seq("id"), "left")
         .select(col("id"), coalesce(col("__c"), col("core")).as("core"),
           (col("__c").isNotNull && col("__c") =!= col("core")).as("__chg"))
-        .localCheckpoint(false)
+        .transform(roundBarrier)
       val s = sig(next) // materializes the round; monotone ⇒ equal sum = fixed point
       changed = s != prevSig
       prevSig = s
       frontier = next.filter(col("__chg")).select(col("id"))
       c = next.select(col("id"), col("core"))
       round += 1
+      rlog.tick(round)
     }
     und.unpersist(false)
     (c, !changed)
@@ -1860,13 +1868,14 @@ object Analytics {
       maxTrim: Int = 8, maxInner: Int = 8): DataFrame = {
     val ed = g.edges.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var alive = g.vertices.select(col("id")).localCheckpoint(false)
+    var alive = g.vertices.select(col("id")).transform(roundBarrier)
     var aliveCount = alive.count()
     var out = Vector.empty[DataFrame]
     var outer = 0
     while (outer < maxOuter && aliveCount > 0) {
       var t = 0
       var trimmed = true
+      val rlogTrim = new RoundLog(g.spark, s"scc_trim_o$outer")
       while (t < maxTrim && trimmed) {
         val ea = ed
           .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
@@ -1874,59 +1883,131 @@ object Analytics {
         val keep = alive
           .join(ea.select(col("src").as("id")).distinct(), Seq("id"), "left_semi")
           .join(ea.select(col("dst").as("id")).distinct(), Seq("id"), "left_semi")
-          .localCheckpoint(false)
+          .transform(roundBarrier)
         val keepCount = keep.count()
         trimmed = keepCount < aliveCount
         if (trimmed)
           out = out :+ alive.join(keep, Seq("id"), "left_anti")
-            .select(col("id"), col("id").as("scc")).localCheckpoint(false)
+            .select(col("id"), col("id").as("scc")).transform(roundBarrier)
         alive = keep
         aliveCount = keepCount
         t += 1
+        rlogTrim.tick(t)
       }
       if (aliveCount > 0) {
         val ea = ed
           .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
           .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
           .persist(StorageLevel.MEMORY_AND_DISK)
-        var f = alive.select(col("id"), col("id").as("f")).localCheckpoint(false)
+        var f = alive.select(col("id"), col("id").as("f")).transform(roundBarrier)
         var fSig = decSig(f, "f")
         var i = 0
         var fChanged = true
+        val rlogColor = new RoundLog(g.spark, s"scc_color_o$outer")
         while (i < maxInner && fChanged) {
           val m = ea.join(f.select(col("id").as("src"), col("f").as("__fs")), Seq("src"))
             .groupBy(col("dst")).agg(min(col("__fs")).as("__fm"))
-          val nf = f.join(m.select(col("dst").as("id"), col("__fm")), Seq("id"), "left")
+          val stepped = f.join(m.select(col("dst").as("id"), col("__fm")), Seq("id"), "left")
             .select(col("id"), least(col("f"), coalesce(col("__fm"), col("f"))).as("f"))
-            .localCheckpoint(false)
-          val s = decSig(nf, "f") // min-label is monotone non-increasing
+          // label composition f'(v) = min(f(v), f_prev(f(v))) — the same
+          // pointer-jumping shortcut [[connectedComponentsExact]] uses.
+          // SOUND here because a color label is itself a vertex id whose
+          // forward-reach set contains everything its label reaches: if u
+          // forward-reaches v (f(v)=u) and w forward-reaches u, then w
+          // forward-reaches v. Cuts the flood from diameter rounds to
+          // ~log(diameter) — one vertex-sized join per round, measured on
+          // the directed-cycle fixture in SCALE.md (round growth +1/10×).
+          val jumped = stepped
+            .join(f.select(col("id").as("__jid"), col("f").as("__jl")),
+              col("f") === col("__jid"), "left")
+            .select(col("id"), least(col("f"), coalesce(col("__jl"), col("f"))).as("f"))
+            .transform(roundBarrier)
+          val s = decSig(jumped, "f") // min-label is monotone non-increasing
           fChanged = s.compareTo(fSig) != 0
           fSig = s
-          f = nf
+          f = jumped
           i += 1
+          rlogColor.tick(i)
         }
-        var rb = f.select(col("id"), col("f"),
-          (col("f") === col("id")).cast("long").as("rb")).localCheckpoint(false)
-        var rSig = decSig(rb, "rb")
+        // Backward phase as a MIN-LABEL flood, not a boolean reach flag:
+        // b(v) = min id reachable FROM v inside v's color. Every id in
+        // color p is ≥ p (p reaches all of them and a smaller reached id
+        // would have recolored), so b(v) = p ⟺ v reaches the pivot — the
+        // boolean flood's fixpoint, but with labels that COMPOSE: b is a
+        // vertex id, so the same pointer-jumping shortcut as the coloring
+        // applies (b'(v) = min(b(v), b_prev(b(v))) — b(v) is in v's color
+        // and reachable from v, so anything IT reaches, v reaches). A
+        // boolean flag cannot double and left this phase diameter-round
+        // bound — the one super-log outlier of the round-14 diameter
+        // measurement (directed-cycle fixture, SCALE.md).
+        //
+        // The within-color edge restriction is computed ONCE (any v→p path
+        // stays inside color p — shown above — so the flood never needs
+        // cross-color edges), and the per-round state is the bare
+        // (id, b, s) frame — the [[connectedComponentsExact]] recurrence
+        // shape, which one barrier + one action per round keeps
+        // constant-cost per round.
+        //
+        // DUAL pointers: b = MIN known-reachable id, s = MAX known-reachable
+        // id (both start at self). Each round takes the one-hop min/max
+        // from successors, then composes through BOTH pointers — everything
+        // x with b(v)=x or s(v)=x is certified reachable from v, so x's own
+        // horizon extends v's (soundness by induction; completeness needs
+        // only the one-hop closure at the joint fixpoint). A single pointer
+        // degenerates on monotone id layouts (ids ascending along edges —
+        // e.g. any generated cycle — pin b(v)=v forever, measured as a
+        // one-hop-per-round flood); whichever of min/max is non-degenerate
+        // for the layout doubles the horizon, so monotone layouts converge
+        // in ~log₂(diameter) rounds either way.
+        val eaC = ea
+          .join(f.select(col("id").as("src"), col("f").as("__fs")), Seq("src"))
+          .join(f.select(col("id").as("dst"), col("f").as("__fd")), Seq("dst"))
+          .filter(col("__fs") === col("__fd"))
+          .select(col("src"), col("dst"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        var rb = f.select(col("id"), col("id").as("b"), col("id").as("s"))
+          .transform(roundBarrier)
+        var rSigB = decSig(rb, "b")
+        var rSigS = decSig(rb, "s")
         var j = 0
         var rChanged = true
+        val rlogBw = new RoundLog(g.spark, s"scc_bw_o$outer")
         while (j < maxInner && rChanged) {
-          val hit = ea
-            .join(rb.filter(col("rb") === 1L)
-              .select(col("id").as("dst"), col("f").as("__fu")), Seq("dst"))
-            .join(rb.select(col("id").as("src"), col("f").as("__fv")), Seq("src"))
-            .filter(col("__fu") === col("__fv"))
-            .select(col("src").as("id")).distinct()
-          val nr = rb.join(hit.withColumn("__h", lit(1L)), Seq("id"), "left")
-            .select(col("id"), col("f"),
-              greatest(col("rb"), coalesce(col("__h"), lit(0L))).as("rb"))
-            .localCheckpoint(false)
-          val s = decSig(nr, "rb") // reach flag is monotone non-decreasing
-          rChanged = s.compareTo(rSig) != 0
-          rSig = s
-          rb = nr
+          val m = eaC
+            .join(rb.select(col("id").as("dst"), col("b").as("__bd"),
+              col("s").as("__sd")), Seq("dst"))
+            .groupBy(col("src"))
+            .agg(min(col("__bd")).as("__bm"), max(col("__sd")).as("__sm"))
+          val stepped = rb.join(m.select(col("src").as("id"), col("__bm"), col("__sm")),
+              Seq("id"), "left")
+            .select(col("id"),
+              least(col("b"), coalesce(col("__bm"), col("b"))).as("b"),
+              greatest(col("s"), coalesce(col("__sm"), col("s"))).as("s"))
+          val viaS = stepped
+            .join(rb.select(col("id").as("__j1"), col("b").as("__b1"),
+              col("s").as("__s1")), col("s") === col("__j1"), "left")
+            .select(col("id"),
+              least(col("b"), coalesce(col("__b1"), col("b"))).as("b"),
+              greatest(col("s"), coalesce(col("__s1"), col("s"))).as("s"))
+          val viaB = viaS
+            .join(rb.select(col("id").as("__j2"), col("b").as("__b2"),
+              col("s").as("__s2")), col("b") === col("__j2"), "left")
+            .select(col("id"),
+              least(col("b"), coalesce(col("__b2"), col("b"))).as("b"),
+              greatest(col("s"), coalesce(col("__s2"), col("s"))).as("s"))
+            .transform(roundBarrier)
+          // joint fixpoint: b monotone non-increasing, s non-decreasing —
+          // the horizon is transitively closed only when BOTH stabilize
+          val sb = decSig(viaB, "b")
+          val ss = decSig(viaB, "s")
+          rChanged = sb.compareTo(rSigB) != 0 || ss.compareTo(rSigS) != 0
+          rSigB = sb
+          rSigS = ss
+          rb = viaB
           j += 1
+          rlogBw.tick(j)
         }
+        eaC.unpersist(false)
         // FW-BW resolution is only sound when BOTH floods reached their
         // fixpoint: a lagging coloring can crown false pivots (a long cycle
         // would retire its minimum as a singleton, silently SPLITTING the
@@ -1941,12 +2022,16 @@ object Analytics {
               "raise maxInner")
           outer = maxOuter // no further outer round can do better on this alive set
         } else {
-          val resolved = rb.filter(col("rb") === 1L)
-            .select(col("id"), col("f").as("scc")).localCheckpoint(false)
+          // v ∈ SCC(pivot) ⟺ pivot reaches v (f(v) = pivot) AND v reaches
+          // the pivot within the color (b(v) = pivot = f(v))
+          val resolved = rb
+            .join(f.select(col("id"), col("f")), Seq("id"))
+            .filter(col("b") === col("f"))
+            .select(col("id"), col("f").as("scc")).transform(roundBarrier)
           resolved.count()
           out = out :+ resolved
           alive = alive.join(resolved.select(col("id")), Seq("id"), "left_anti")
-            .localCheckpoint(false)
+            .transform(roundBarrier)
           aliveCount = alive.count()
         }
         ea.unpersist(false)
@@ -1990,7 +2075,7 @@ object Analytics {
       .unionAll(ue.select(col("v").as("x"), col("u").as("y")))
       .repartition(col("x"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var alive = g.vertices.select(col("id")).localCheckpoint(false)
+    var alive = g.vertices.select(col("id")).transform(roundBarrier)
     var out = Vector.empty[DataFrame]
     var round = 1L
     var matchedSome = true
@@ -2003,13 +2088,13 @@ object Analytics {
         .join(prop.as("b"), col("b.x") === col("a.p") && col("b.p") === col("a.x"))
         .filter(col("a.x") < col("a.p"))
         .select(col("a.x").as("u"), col("a.p").as("v"), lit(round).as("round"))
-        .localCheckpoint(false)
+        .transform(roundBarrier)
       val nMatched = m.count()
       matchedSome = nMatched > 0
       if (matchedSome) {
         out = out :+ m
         val gone = m.select(col("u").as("id")).unionAll(m.select(col("v").as("id")))
-        alive = alive.join(gone, Seq("id"), "left_anti").localCheckpoint(false)
+        alive = alive.join(gone, Seq("id"), "left_anti").transform(roundBarrier)
         alive.count()
       }
       round += 1L
@@ -2102,10 +2187,11 @@ object Analytics {
       .filter(col("u") =!= col("v"))
       .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var comp = g.vertices.select(col("id"), col("id").as("c")).localCheckpoint(false)
+    var comp = g.vertices.select(col("id"), col("id").as("c")).transform(roundBarrier)
     var out = Vector.empty[DataFrame]
     var outer = 0
     var merging = true
+    val rlog = new RoundLog(g.spark, "msf")
     while (outer < maxOuter && merging) {
       val ec = ed
         .join(comp.select(col("id").as("u"), col("c").as("cu")), Seq("u"))
@@ -2117,7 +2203,7 @@ object Analytics {
         .agg(min(struct(col("w"), col("u"), col("v"))).as("m"))
         .select(col("m.u").as("u"), col("m.v").as("v"), col("m.w").as("w"))
         .distinct()
-        .localCheckpoint(false)
+        .transform(roundBarrier)
       merging = sel.count() > 0
       if (merging) {
         out = out :+ sel
@@ -2127,7 +2213,7 @@ object Analytics {
           .select(col("cu"), col("cv"))
         val und = cp.select(col("cu").as("a"), col("cv").as("b"))
           .unionAll(cp.select(col("cv").as("a"), col("cu").as("b")))
-          .distinct().localCheckpoint(false)
+          .distinct().transform(roundBarrier)
         // Label merge over the SELECTION pairs — one row per merging
         // component, far below edge scale. Dual regime shared with the
         // streaming incrementalComponents via [[classMergeMapping]].
@@ -2135,10 +2221,11 @@ object Analytics {
           "minimumSpanningForest")
         comp = comp.join(lblMap, Seq("c"), "left")
           .select(col("id"), coalesce(col("l"), col("c")).as("c"))
-          .localCheckpoint(false)
+          .transform(roundBarrier)
         comp.count()
       }
       outer += 1
+      rlog.tick(outer)
     }
     // "budget elapsed" alone is not evidence of incompleteness (the final
     // round may have finished the forest exactly at the budget): warn only
@@ -2196,7 +2283,7 @@ object Analytics {
       .select(col("id"),
         floor(log2(coalesce(col("__d"), lit(0L)) + 1L)).cast("long").as("db"),
         col("h"), lit(null).cast("long").as("color"))
-      .localCheckpoint(false)
+      .transform(roundBarrier)
     var round = 0
     var uncN = state.filter(col("color").isNull).count()
     while (round < maxRounds && uncN > 0) {
@@ -2225,7 +2312,7 @@ object Analytics {
         .join(mexed.select(col("id"), col("__mex")), Seq("id"), "left")
         .select(col("id"), col("db"), col("h"),
           coalesce(col("color"), col("__mex")).as("color"))
-        .localCheckpoint(false)
+        .transform(roundBarrier)
       uncN = state.filter(col("color").isNull).count()
       round += 1
     }
@@ -2308,6 +2395,67 @@ object Analytics {
     * nothing edge-scale ever reaches the driver. Returns the (c, l)
     * mapping, broadcast-hinted only in the driver regime (the flood's
     * output is class-count-sized, potentially too big to broadcast). */
+  /** Bijective 64-bit mixer: xorshift64 (Marsaglia 2003 — public algorithm)
+    * over an initial constant XOR. A collision-free random priority for
+    * label floods: xor/shift steps are bijections on Long and — unlike a
+    * multiplicative finalizer — never trip ANSI-mode overflow checks. */
+  private[graft] def mix64(c: Column): Column = {
+    val z0 = c.bitwiseXOR(lit(-7046029254386353131L)) // ^ 0x9E3779B97F4A7C15
+    val z1 = z0.bitwiseXOR(shiftleft(z0, 13))
+    val z2 = z1.bitwiseXOR(shiftrightunsigned(z1, 7))
+    z2.bitwiseXOR(shiftleft(z2, 17))
+  }
+
+  /** Per-round lineage barrier for the iterative kernels
+    * (`spark.graft.iter.barrier` = `lazy` | `eager` | `reliable`; default
+    * `lazy` = localCheckpoint materialized by the round's one action — the
+    * cheapest form and the historical pattern; `reliable` checkpoints to a
+    * dir auto-set under `spark.graft.checkpointDir` for executor-loss-safe
+    * cluster runs). EVERY mode then STRIPS the leaf statistics Spark 4's
+    * checkpoint carries onto the new leaf — without the strip, the carried
+    * sizeInBytes estimate compounds geometrically across rounds and
+    * driver-side BigInteger stats arithmetic dominates wall time from
+    * ~round 12, executors idle (found by the round-14 diameter
+    * measurement; full analysis in [[org.apache.spark.sql.GraftSqlBridge]]). */
+  private[graft] def roundBarrier(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val ck = spark.conf.get("spark.graft.iter.barrier", "lazy") match {
+      case "eager" => df.localCheckpoint(true)
+      case "reliable" =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty) {
+          val dir = spark.conf.get("spark.graft.checkpointDir",
+            s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${spark.sparkContext.applicationId}")
+          spark.sparkContext.setCheckpointDir(dir)
+        }
+        df.checkpoint(true)
+      case _ => df.localCheckpoint(false) // lazy: the round's one action materializes it
+    }
+    org.apache.spark.sql.GraftSqlBridge.resetStats(ck)
+  }
+
+  /** Conf-gated per-round telemetry for the iterative kernels: with
+    * `spark.graft.bench.roundLog=true` every round prints one stderr line
+    * `[graft-rounds] op=<op> round=<n> wall_ms=<t>` — wall time SINCE the
+    * previous tick, measured around the round's one action. Lets kernel
+    * A/Bs (tools/AbCoreness-style) and scaling runs attribute wall time
+    * and ROUND COUNTS to specific phases instead of end-to-end only.
+    * Off by default: one conf read per loop entry, zero per-round cost. */
+  private[graft] final class RoundLog(spark: SparkSession, op: String) {
+    private val enabled =
+      spark.conf.get("spark.graft.bench.roundLog", "false").toBoolean
+    private var t0 = System.nanoTime()
+    private def jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    private var j0 = if (enabled) jobs else 0
+    def tick(round: Int): Unit = if (enabled) {
+      val now = System.nanoTime()
+      val j1 = jobs
+      System.err.println(
+        f"[graft-rounds] op=$op round=$round wall_ms=${(now - t0) / 1e6}%.1f jobs=${j1 - j0}")
+      t0 = now
+      j0 = j1
+    }
+  }
+
   private[graft] def classMergeMapping(und: DataFrame, undRows: Long,
       maxInner: Int = 12, caller: String = "classMergeMapping",
       strict: Boolean = false): DataFrame = {
@@ -2320,7 +2468,7 @@ object Analytics {
       broadcast(minLabelUnionFind(pairs).toSeq.toDF("c", "l"))
     } else {
       var l0 = und.select(col("a").as("c")).distinct()
-        .select(col("c"), col("c").as("l")).localCheckpoint(false)
+        .select(col("c"), col("c").as("l")).transform(roundBarrier)
       var sig = decSig(l0, "l")
       var i = 0
       var changed = true
@@ -2346,7 +2494,7 @@ object Analytics {
           .select(col("c"), least(col("l"),
             coalesce(col("__ln"), col("l")),
             coalesce(col("__ll"), col("l"))).as("l"))
-          .localCheckpoint(false)
+          .transform(roundBarrier)
         val s = decSig(nl, "l")
         changed = s.compareTo(sig) != 0
         sig = s

@@ -226,6 +226,6 @@ object GraphQuery {
     GraphQuery(g, graft.expr.ImplicitKeys.ttlAutoFilter(g.schema, g.vertices, isVertex = true),
       graft.core.ElementCategory.VERTEX)
   def edges(g: PropertyGraph): GraphQuery =
-    GraphQuery(g, graft.expr.ImplicitKeys.ttlAutoFilter(g.schema, g.edges, isVertex = false),
+    GraphQuery(g, graft.expr.ImplicitKeys.ttlAutoFilterEdges(g.schema, g.edges, g.vertices),
       graft.core.ElementCategory.EDGE)
 }

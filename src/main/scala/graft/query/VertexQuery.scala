@@ -78,7 +78,11 @@ final case class VertexCentricQuery(
   }
 
   private def edgeBase: DataFrame = {
-    val e0 = graph.edges
+    // same live view as E(): catalog TTL on the edge label/properties plus
+    // expired-endpoint suppression — vertex-centric reads must not resurrect
+    // edges a global scan hides (testEdgeTTLTiming reads via v.query())
+    val e0 = graft.expr.ImplicitKeys.ttlAutoFilterEdges(
+      graph.schema, graph.edges, graph.vertices)
     val e1 = if (labels.isEmpty) e0
              else if (labels.size == 1) e0.filter(col("label") === labels.head)
              else e0.filter(col("label").isin(labels: _*))

@@ -177,7 +177,8 @@ final case class Traversal(
       if (pathEnabled && !hasPath) Seq(F.array(col("id")).as("_path"))
       else if (hasPath) Seq(col("_path")) else Nil
     val f = df.select(col("id").as("_from") +: (asCols.map(col) ++ pathInit ++ sackCarry): _*)
-    val e0 = graph.edges
+    val e0 = graft.expr.ImplicitKeys.ttlAutoFilterEdges(
+      graph.schema, graph.edges, graph.vertices)
     val e = if (labels.isEmpty) e0
             else if (labels.size == 1) e0.filter(col("label") === labels.head)
             else e0.filter(col("label").isin(labels: _*))
@@ -1420,7 +1421,7 @@ final class TraversalSource(val graph: PropertyGraph, val pathEnabled: Boolean =
       frontierLabels = Some(Set(label)))
   }
   def E(): Traversal = {
-    val live = graft.expr.ImplicitKeys.ttlAutoFilter(graph.schema, graph.edges, isVertex = false)
+    val live = graft.expr.ImplicitKeys.ttlAutoFilterEdges(graph.schema, graph.edges, graph.vertices)
     val e = live.select(
       Seq(col("src").as("vid"), col("dst").as("other"), lit("OUT").as("dir")) ++
         live.columns.map(col): _*)

@@ -136,12 +136,26 @@ class AdvancedSchemaSpec extends AnyFunSuite {
 
   test("Lucene-syntax query parser: prefixes, groups, bare terms, multi-field") {
     import graft.index.Indexes
+    // element-identifier prefixes are RECORDED (prefixed clauses resolve
+    // key names, bare clauses resolve backend field names — testRawQueries)
     assert(Indexes.parseQuery("v.name:(small green)") ===
-      Seq(Indexes.QueryClause("name", "small green")))
+      Seq(Indexes.QueryClause("name", "small green", prefixed = true)))
     assert(Indexes.parseQuery("name:widget") ===
       Seq(Indexes.QueryClause("name", "widget")))
     assert(Indexes.parseQuery("v.name:(a b) e.brand:Brand#12") ===
-      Seq(Indexes.QueryClause("name", "a b"), Indexes.QueryClause("brand", "Brand#12")))
+      Seq(Indexes.QueryClause("name", "a b", prefixed = true),
+        Indexes.QueryClause("brand", "Brand#12", prefixed = true)))
+    // quoted phrase → exact-value clause; AND tokens between clauses skipped
+    assert(Indexes.parseQuery("""v.text:(farm uncle) AND v.name:"Uncle B"""") ===
+      Seq(Indexes.QueryClause("text", "farm uncle", prefixed = true),
+        Indexes.QueryClause("name", "Uncle B", prefixed = true, phrase = true)))
+    // quoted field, wildcard field, custom element identifier
+    assert(Indexes.parseQuery("""v."text":(a b)""") ===
+      Seq(Indexes.QueryClause("text", "a b", prefixed = true)))
+    assert(Indexes.parseQuery("""v.*:"test1"""") ===
+      Seq(Indexes.QueryClause("*", "test1", prefixed = true, phrase = true)))
+    assert(Indexes.parseQuery("$v$text:ducks", "$v$") ===
+      Seq(Indexes.QueryClause("text", "ducks", prefixed = true)))
   }
 
   test("asOfJoin: strictly-prior match, deterministic tie-break, null when none") {

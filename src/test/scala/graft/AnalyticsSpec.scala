@@ -493,20 +493,22 @@ class AnalyticsSpec extends AnyFunSuite {
 
   test("scc: exhausted inner budget yields NULLs, never a silently split cycle") {
     import spark.implicits._
-    // a 20-cycle whose diameter exceeds maxInner = 8: the coloring flood
-    // cannot converge, so NOTHING may resolve (the old behavior retired the
-    // pivot as a singleton, splitting the SCC)
+    // a 20-cycle under maxInner = 2: pointer-jumped floods reach ~2² hops —
+    // far short of the cycle — so the coloring cannot converge and NOTHING
+    // may resolve (the old behavior retired the pivot as a singleton,
+    // splitting the SCC). maxInner = 8 used to be under-budget too, but the
+    // composed min/max pointers now cover 2⁸ hops — asserted below.
     val v = (1L to 20L).map(id => (id, "v")).toDF("id", "label")
     val e = (1L to 20L).map(i => (100L + i, i, if (i == 20L) 1L else i + 1L))
       .map { case (i, a, b) => (i, a, b, "e") }.toDF("id", "src", "dst", "label")
     val g = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
-    val short = Analytics.stronglyConnectedComponents(g, maxOuter = 3, maxInner = 8)
+    val short = Analytics.stronglyConnectedComponents(g, maxOuter = 3, maxInner = 2)
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
       .toMap
     assert(short.size === 20 && short.values.forall(_.isEmpty),
       s"under-budgeted floods must resolve nothing, got $short")
-    // an adequate budget resolves the whole cycle as ONE component
-    val full = Analytics.stronglyConnectedComponents(g, maxOuter = 2, maxInner = 24)
+    // a log₂-scale budget resolves the whole cycle as ONE component
+    val full = Analytics.stronglyConnectedComponents(g, maxOuter = 2, maxInner = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(full.size === 20 && full.values.toSet === Set(1L))
   }
