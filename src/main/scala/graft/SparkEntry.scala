@@ -4051,6 +4051,38 @@ object SparkEntry {
         ttlSum("tk_v_plain", tk.vertexById(71L), isV = true, tk.schema),
       ).reduce(_ unionAll _)
     }),
+    // Adversarial sweep of the vertex-centric conformance fixture: anchors
+    // drawn by a seeded LCG over the vs[] range instead of the fixed
+    // vertices 1/2 — the fixture's regular structure (labels cycling by
+    // i%3, every vs[i] with exactly 2 OUT + 2 IN edges to the anchors)
+    // cannot mask an orientation bug when the multi-anchor frontier is
+    // arbitrary. Counts AND Σtime pins derive from pure anchor-index
+    // arithmetic, mirrored verbatim by the oracle.
+    "q_tp_vcquery_seeded" -> ((s, dir) => {
+      import graft.query.Direction._
+      val g = tpVcFixture(s)
+      // seeded anchor draw: i_k = 1 + ((1103515245·7 + k·12345) mod 9999),
+      // k in 0..11 (dedup below) — vs-vertex ids are 10 + i
+      val anchors = s.range(12).select(
+        (lit(1L) + (lit(1103515245L * 7) + col("id") * 12345L) % 9999L).as("i"))
+        .distinct()
+      val frontier = anchors.select((col("i") + 10L).as("vid"))
+      def q = graft.query.VertexCentricQuery(g).onFrontier(frontier)
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n"), coalesce(sum(col("time")), lit(0L)).cast("long").as("st"))
+          .select(lit(caze).as("caze"), col("n"), col("st"))
+      Seq(
+        n("sa_out_all", q.direction(OUT).edges()),
+        n("sa_in_all", q.direction(IN).edges()),
+        n("sa_both_all", q.direction(BOTH).edges()),
+        n("sa_out_knows", q.direction(OUT).labels("knows").edges()),
+        n("sa_out_connect", q.direction(OUT).labels("connect").edges()),
+        n("sa_in_frienddesc", q.direction(IN).labels("friendDesc").edges()),
+        n("sa_out_tgte5000", q.direction(OUT).has("time", P.gte(5000L)).edges()),
+        n("sa_adj1_both", q.direction(BOTH).adjacent(1L).edges()),
+        n("sa_both_limit2", q.direction(BOTH).orderBy("time").limit(2).edges()),
+      ).reduce(_ unionAll _)
+    }),
     // ---- 2.M native expression: array_jaccard over name tokens ----
     "q_array_jaccard" -> ((s, dir) => {
       val p = graph(s, dir).V().hasLabel("part").dataframe
@@ -6629,6 +6661,26 @@ object SparkEntry {
         | ('tk_v_event', 1),
         | ('tk_v_plain', 0)
         |) t(caze, n)""".stripMargin,
+    "q_tp_vcquery_seeded" ->
+      """WITH an AS (SELECT DISTINCT 1 + ((CAST(1103515245 AS BIGINT)*7 + CAST(x.range AS BIGINT)*12345) % 9999) AS i
+        |  FROM range(12) x)
+        |SELECT 'sa_out_all' AS caze, CAST(2*count(*) AS BIGINT) AS n, CAST(2*SUM(i) AS BIGINT) AS st FROM an
+        |UNION ALL SELECT 'sa_in_all', 2*count(*), 2*SUM(i) FROM an
+        |UNION ALL SELECT 'sa_both_all', 4*count(*), 4*SUM(i) FROM an
+        |UNION ALL SELECT 'sa_out_knows',
+        |  CAST(2*SUM(CASE WHEN i%3=2 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(2*SUM(CASE WHEN i%3=2 THEN i ELSE 0 END) AS BIGINT) FROM an
+        |UNION ALL SELECT 'sa_out_connect',
+        |  CAST(SUM(CASE WHEN i%3=0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN i%3=0 THEN i ELSE 0 END) AS BIGINT) FROM an
+        |UNION ALL SELECT 'sa_in_frienddesc',
+        |  CAST(SUM(CASE WHEN i%3=1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN i%3=1 THEN i ELSE 0 END) AS BIGINT) FROM an
+        |UNION ALL SELECT 'sa_out_tgte5000',
+        |  CAST(2*SUM(CASE WHEN i>=5000 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(2*SUM(CASE WHEN i>=5000 THEN i ELSE 0 END) AS BIGINT) FROM an
+        |UNION ALL SELECT 'sa_adj1_both', 2*count(*), 2*SUM(i) FROM an
+        |UNION ALL SELECT 'sa_both_limit2', 2*count(*), 2*SUM(i) FROM an""".stripMargin,
     "q_array_jaccard" ->
       """WITH t AS (SELECT p_partkey AS uid,
         |  list_distinct(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), x -> length(x) > 1)) AS tok FROM part)

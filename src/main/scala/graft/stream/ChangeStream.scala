@@ -175,11 +175,39 @@ object ChangeStream {
       timeoutMs: Long = 300000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    @volatile var labels: DataFrame =
-      Seq.empty[(Long, Long)].toDF("id", "component").localCheckpoint(true)
+    // DURABLE state: the label frame is versioned per batch under the
+    // stream's own checkpoint dir. The offset log alone is NOT recovery —
+    // a restarted query skips already-committed batches, so driver-memory
+    // state would silently come back EMPTY (all prior components lost).
+    // Batch b always reads state b-1 from disk when it exists, so a
+    // replayed half-committed batch is exactly idempotent, and a fresh
+    // invocation resumes from the latest committed state.
+    val statePath = s"$checkpoint/graft-state"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def stateDir(bid: Long) = new org.apache.hadoop.fs.Path(s"$statePath/b=$bid")
+    def committed(bid: Long): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(stateDir(bid), "_SUCCESS")
+      p.getFileSystem(hconf).exists(p)
+    }
+    def latestBatch(): Option[Long] = {
+      val root = new org.apache.hadoop.fs.Path(statePath)
+      val fs = root.getFileSystem(hconf)
+      if (!fs.exists(root)) None
+      else fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("b=")).map(_.drop(2).toLong)
+        .filter(committed).sorted.lastOption
+    }
+    def loadState(bid: Long): DataFrame = spark.read.parquet(stateDir(bid).toString)
+    @volatile var labels: DataFrame = latestBatch().map(loadState).getOrElse(
+      Seq.empty[(Long, Long)].toDF("id", "component")).localCheckpoint(true)
     val q = edges.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // replay safety: the input state for batch N is the committed
+        // state of batch N-1 when present (the in-memory frame may already
+        // include a replayed batch's effects)
+        if (batchId > 0 && committed(batchId - 1))
+          labels = loadState(batchId - 1).localCheckpoint(true)
         val e = batch.select(col("src"), col("dst"))
           .filter(col("src").isNotNull && col("dst").isNotNull)
         val ids = e.select(col("src").as("id"))
@@ -214,7 +242,12 @@ object ChangeStream {
                .select(col("c").as("component"), col("l").as("__new"))
              lab0.join(mapping, Seq("component"), "left")
                .select(col("id"), coalesce(col("__new"), col("component")).as("component"))
-           }).localCheckpoint(true)
+           })
+        // commit this batch's state BEFORE the offset log commits: a crash
+        // between the two replays the batch against state b-1 (idempotent
+        // overwrite); the reverse order would lose the batch entirely
+        labels.write.mode("overwrite").parquet(stateDir(batchId).toString)
+        labels = loadState(batchId).localCheckpoint(true)
       }
       .trigger(Trigger.AvailableNow())
       .start()

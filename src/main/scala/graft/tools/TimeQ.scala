@@ -10,6 +10,8 @@ object TimeQ {
     val names = sys.env.getOrElse("TIMEQ_NAMES", "q_msf,q_scc,q_coreness").split(",")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.graft.bench.roundLog",
+        sys.env.getOrElse("TIMEQ_ROUNDLOG", "false"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>

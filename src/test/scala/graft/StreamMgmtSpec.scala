@@ -469,6 +469,40 @@ class StreamMgmtSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalComponents: restart resumes from durable checkpoint state, not an empty driver") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-icc-restart")
+    try {
+      // invocation 1 ("before the kill"): only batch-1 files exist
+      Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+        .coalesce(1).write.parquet(s"$tmp/in/f1")
+      def run(): Map[Long, Long] = {
+        val stream = spark.readStream
+          .schema("src LONG, dst LONG")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$tmp/in/*")
+        graft.stream.ChangeStream
+          .incrementalComponents(stream, s"$tmp/ckpt")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      assert(run() === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+      // "restart": a FRESH invocation over the same checkpoint after new
+      // data arrived — the offset log skips batch 1, so these labels can
+      // only be right if the state was durably recovered
+      Seq((2L, 3L), (5L, 6L)).toDF("src", "dst")
+        .coalesce(1).write.parquet(s"$tmp/in/f2")
+      assert(run() === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        5L -> 5L, 6L -> 5L))
+      // a drained restart with no new input is a no-op returning the state
+      assert(run() === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        5L -> 5L, 6L -> 5L))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp.toString)).deleteRecursively()
+    }
+  }
+
   test("incrementalComponents: pair set past the driver-merge cap takes the distributed flood, same labels") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-icc-flood")
