@@ -1965,10 +1965,16 @@ object Analytics {
           .filter(col("__fs") === col("__fd"))
           .select(col("src"), col("dst"))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        // one action per round: both monotone signatures in a single agg
+        def sigBS(df: DataFrame): (java.math.BigDecimal, java.math.BigDecimal) = {
+          val r = df.agg(sum(col("b").cast("decimal(38,0)")),
+            sum(col("s").cast("decimal(38,0)"))).head
+          (if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0),
+            if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+        }
         var rb = f.select(col("id"), col("id").as("b"), col("id").as("s"))
           .transform(roundBarrier)
-        var rSigB = decSig(rb, "b")
-        var rSigS = decSig(rb, "s")
+        var (rSigB, rSigS) = sigBS(rb)
         var j = 0
         var rChanged = true
         val rlogBw = new RoundLog(g.spark, s"scc_bw_o$outer")
@@ -1998,8 +2004,7 @@ object Analytics {
             .transform(roundBarrier)
           // joint fixpoint: b monotone non-increasing, s non-decreasing —
           // the horizon is transitively closed only when BOTH stabilize
-          val sb = decSig(viaB, "b")
-          val ss = decSig(viaB, "s")
+          val (sb, ss) = sigBS(viaB)
           rChanged = sb.compareTo(rSigB) != 0 || ss.compareTo(rSigS) != 0
           rSigB = sb
           rSigS = ss
