@@ -4083,6 +4083,71 @@ object SparkEntry {
         n("sa_both_limit2", q.direction(BOTH).orderBy("time").limit(2).edges()),
       ).reduce(_ unionAll _)
     }),
+    // testConditionalIndexing (TitanIndexTest.java:541-720): label-scoped
+    // (indexOnly) mixed indexes — 200 person/org-alternating vertices,
+    // name=text=strs[i%4], weight=(i%5)+0.5; plus testCompositeAndMixed
+    // Indexing (:723-792): composite (name,weight) vs mixed (weight,text)
+    // selection with a residual has('flag') — 100 vertices, flag=true.
+    // Rows: (caze, n, s) with s = Σ(2·weight) over ordered-limit prefixes
+    // (weights are half-steps, so 2w is integral).
+    "q_tix_conditional" -> ((s, dir) => {
+      val strs = Seq("houseboat", "humanoid", "differential", "extraordinary")
+      def base(numV: Int) = s.range(numV).select(col("id").as("i"),
+        expr("element_at(array('houseboat','humanoid','differential','extraordinary')," +
+          " CAST(id % 4 AS INT) + 1)").as("nm"),
+        ((col("id") % 5).cast("double") + 0.5).as("weight"))
+      val cv = base(200).select((col("i") + 1L).as("id"),
+        when(col("i") % 2 === 0, "person").otherwise("org").as("label"),
+        col("nm").as("name"), col("nm").as("text"), col("weight"))
+      val cg = graft.data.PropertyGraph(graft.core.GraphSchema(), cv,
+        cv.limit(0).select(col("id"), col("id").as("src"), col("id").as("dst"), col("label")))
+      val mv = base(100).select((col("i") + 1L).as("id"), lit("v").as("label"),
+        col("nm").as("name"), col("nm").as("text"), col("weight"), lit(true).as("flag"))
+      val mg = graft.data.PropertyGraph(graft.core.GraphSchema(), mv,
+        mv.limit(0).select(col("id"), col("id").as("src"), col("id").as("dst"), col("label")))
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"), lit(0L).as("s"))
+      def np(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n"), coalesce(sum(col("weight") * 2), lit(0.0))
+          .cast("long").as("s")).select(lit(caze).as("caze"), col("n"), col("s"))
+      Seq(
+        n("cx_s0_person", cg.V().has("text", P.textContains(strs(0)))
+          .has("label", "person").vertices()),
+        np("cx_s0_person_wdesc10", cg.V().has("text", P.textContains(strs(0)))
+          .has("label", "person").orderBy("weight", asc = false).limit(10).vertices()),
+        n("cx_s3_org", cg.V().has("text", P.textContains(strs(3)))
+          .has("label", "org").vertices()),
+        np("cx_s1_org_wdesc10", cg.V().has("text", P.textContains(strs(1)))
+          .has("label", "org").orderBy("weight", asc = false).limit(10).vertices()),
+        n("cx_s0_w25_person", cg.V().has("text", P.textContains(strs(0)))
+          .has("weight", 2.5).has("label", "person").vertices()),
+        n("cx_n2_person", cg.V().has("name", strs(2)).has("label", "person").vertices()),
+        n("cx_n3_person", cg.V().has("name", strs(3)).has("label", "person").vertices()),
+        n("cx_n0", cg.V().has("name", strs(0)).vertices()),
+        n("cx_n2_s2_person", cg.V().has("name", strs(2))
+          .has("text", P.textContains(strs(2))).has("label", "person").vertices()),
+        np("cx_n0_s0_person_winc10", cg.V().has("name", strs(0))
+          .has("text", P.textContains(strs(0))).has("label", "person")
+          .orderBy("weight").limit(10).vertices()),
+        n("cx_s0", cg.V().has("text", P.textContains(strs(0))).vertices()),
+        np("cx_s0_winc10", cg.V().has("text", P.textContains(strs(0)))
+          .orderBy("weight").limit(10).vertices()),
+        n("cm_n0", mg.V().has("name", strs(0)).vertices()),
+        n("cm_s0", mg.V().has("text", P.textContains(strs(0))).vertices()),
+        n("cm_s0_flag", mg.V().has("text", P.textContains(strs(0))).has("flag").vertices()),
+        n("cm_n0_w15", mg.V().has("name", strs(0)).has("weight", 1.5).vertices()),
+        n("cm_n0_w15_flag", mg.V().has("name", strs(0)).has("weight", 1.5)
+          .has("flag").vertices()),
+        n("cm_s2_w25", mg.V().has("text", P.textContains(strs(2)))
+          .has("weight", 2.5).vertices()),
+        n("cm_s2_w25_flag", mg.V().has("text", P.textContains(strs(2)))
+          .has("weight", 2.5).has("flag").vertices()),
+        n("cm_s3_n3_w35", mg.V().has("text", P.textContains(strs(3)))
+          .has("name", strs(3)).has("weight", 3.5).vertices()),
+        n("cm_s3_n3_w35_flag", mg.V().has("text", P.textContains(strs(3)))
+          .has("name", strs(3)).has("weight", 3.5).has("flag").vertices()),
+      ).reduce(_ unionAll _)
+    }),
     // ---- 2.M native expression: array_jaccard over name tokens ----
     "q_array_jaccard" -> ((s, dir) => {
       val p = graph(s, dir).V().hasLabel("part").dataframe
@@ -6681,6 +6746,38 @@ object SparkEntry {
         |  CAST(2*SUM(CASE WHEN i>=5000 THEN i ELSE 0 END) AS BIGINT) FROM an
         |UNION ALL SELECT 'sa_adj1_both', 2*count(*), 2*SUM(i) FROM an
         |UNION ALL SELECT 'sa_both_limit2', 2*count(*), 2*SUM(i) FROM an""".stripMargin,
+    "q_tix_conditional" ->
+      """WITH t AS (SELECT CAST(x.range AS BIGINT) AS i, CAST(x.range % 4 AS BIGINT) AS wk,
+        |  CAST(2*(x.range % 5)+1 AS BIGINT) AS w2 FROM range(200) x),
+        |m AS (SELECT CAST(x.range AS BIGINT) AS i, CAST(x.range % 4 AS BIGINT) AS wk,
+        |  CAST(2*(x.range % 5)+1 AS BIGINT) AS w2 FROM range(100) x)
+        |SELECT 'cx_s0_person' AS caze, count(*) AS n, CAST(0 AS BIGINT) AS s
+        |  FROM t WHERE wk=0 AND i%2=0
+        |UNION ALL SELECT 'cx_s0_person_wdesc10', count(*), CAST(SUM(w2) AS BIGINT)
+        |  FROM (SELECT w2 FROM t WHERE wk=0 AND i%2=0 ORDER BY w2 DESC LIMIT 10)
+        |UNION ALL SELECT 'cx_s3_org', count(*), 0 FROM t WHERE wk=3 AND i%2=1
+        |UNION ALL SELECT 'cx_s1_org_wdesc10', count(*), CAST(SUM(w2) AS BIGINT)
+        |  FROM (SELECT w2 FROM t WHERE wk=1 AND i%2=1 ORDER BY w2 DESC LIMIT 10)
+        |UNION ALL SELECT 'cx_s0_w25_person', count(*), 0
+        |  FROM t WHERE wk=0 AND i%5=2 AND i%2=0
+        |UNION ALL SELECT 'cx_n2_person', count(*), 0 FROM t WHERE wk=2 AND i%2=0
+        |UNION ALL SELECT 'cx_n3_person', count(*), 0 FROM t WHERE wk=3 AND i%2=0
+        |UNION ALL SELECT 'cx_n0', count(*), 0 FROM t WHERE wk=0
+        |UNION ALL SELECT 'cx_n2_s2_person', count(*), 0 FROM t WHERE wk=2 AND i%2=0
+        |UNION ALL SELECT 'cx_n0_s0_person_winc10', count(*), CAST(SUM(w2) AS BIGINT)
+        |  FROM (SELECT w2 FROM t WHERE wk=0 AND i%2=0 ORDER BY w2 ASC LIMIT 10)
+        |UNION ALL SELECT 'cx_s0', count(*), 0 FROM t WHERE wk=0
+        |UNION ALL SELECT 'cx_s0_winc10', count(*), CAST(SUM(w2) AS BIGINT)
+        |  FROM (SELECT w2 FROM t WHERE wk=0 ORDER BY w2 ASC LIMIT 10)
+        |UNION ALL SELECT 'cm_n0', count(*), 0 FROM m WHERE wk=0
+        |UNION ALL SELECT 'cm_s0', count(*), 0 FROM m WHERE wk=0
+        |UNION ALL SELECT 'cm_s0_flag', count(*), 0 FROM m WHERE wk=0
+        |UNION ALL SELECT 'cm_n0_w15', count(*), 0 FROM m WHERE wk=0 AND i%5=1
+        |UNION ALL SELECT 'cm_n0_w15_flag', count(*), 0 FROM m WHERE wk=0 AND i%5=1
+        |UNION ALL SELECT 'cm_s2_w25', count(*), 0 FROM m WHERE wk=2 AND i%5=2
+        |UNION ALL SELECT 'cm_s2_w25_flag', count(*), 0 FROM m WHERE wk=2 AND i%5=2
+        |UNION ALL SELECT 'cm_s3_n3_w35', count(*), 0 FROM m WHERE wk=3 AND i%5=3
+        |UNION ALL SELECT 'cm_s3_n3_w35_flag', count(*), 0 FROM m WHERE wk=3 AND i%5=3""".stripMargin,
     "q_array_jaccard" ->
       """WITH t AS (SELECT p_partkey AS uid,
         |  list_distinct(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), x -> length(x) > 1)) AS tok FROM part)
