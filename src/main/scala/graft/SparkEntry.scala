@@ -157,6 +157,29 @@ object SparkEntry {
       .unionByName(edge(3, col("i") + 10L, lit(2L), col("lu")))
     graft.data.PropertyGraph(graft.core.GraphSchema(), anchors.unionByName(vs), edges)
   }
+  /** Reference OLAP conformance fixture — deterministic range() twin of
+    * OLAPTest.generateRandomGraph (titan-test olap/OLAPTest.java:61-88):
+    * vertex i (id i+1, i in 0..99) carries uid=i+1, numvals in 1..5 (LCG
+    * draw), a `values` LIST of exactly numvals elements, and emits i+1
+    * 'knows' out-edges to dst ((i·31+j·17) mod 100)+1 — so Σ outdeg =
+    * numV·(numV+1)/2 = 5050, the invariant the reference asserts at :87.
+    * Every draw is pure modular arithmetic, mirrored verbatim in DuckDB. */
+  private def tpOlapFixture(s: SparkSession): graft.data.PropertyGraph = {
+    val verts = s.range(100)
+      .select((col("id") + 1L).as("id"), lit("v").as("label"),
+        (col("id") + 1L).as("uid"),
+        (expr("(1103515245 * (id + 1) + 12345) % 2147483648") % 5L + 1L).as("numvals"))
+      .withColumn("values",
+        expr("transform(sequence(1, CAST(numvals AS INT)), j -> (id * 7 + j * 13) % 100)"))
+    val edges = s.range(100)
+      .select(col("id").as("i"), explode(expr("sequence(0, id)")).as("j"))
+      .select((col("i") * 100L + col("j") + 10000L).as("id"),
+        (col("i") + 1L).as("src"),
+        ((col("i") * 31L + col("j") * 17L) % 100L + 1L).as("dst"),
+        lit("knows").as("label"))
+    graft.data.PropertyGraph(graft.core.GraphSchema(), verts, edges)
+  }
+
   private def d(s: String) = java.sql.Date.valueOf(s)
 
   /** Session clone carrying `spark.sql.legacy.parquet.nanosAsLong`. The flag
@@ -4156,6 +4179,91 @@ object SparkEntry {
       p.select(col("uid"), graft.functions.ArrayJaccard(col("t"), probe).as("j"))
         .filter(col("j") > 0.0)
     }),
+    // ---- Reference OLAP conformance corpus (titan-test olap/OLAPTest.java).
+    //      testVertexScan (:91-142): full-scan ScanJob over the random-graph
+    //      twin — vertex count, Σ out-degree, per-vertex outdeg==uid,
+    //      propertyCount('uid')==1, propertyCount('values')==numvals (each
+    //      LIST cell is a property element). ----
+    "q_tp_olap_scan" -> ((s, dir) => {
+      import graft.query.Direction
+      val g = tpOlapFixture(s)
+      def vq = graft.query.VertexCentricQuery(g)
+      val uid = g.vertices.select(col("id").as("vid"), col("uid"), col("numvals"))
+      val deg = vq.direction(Direction.OUT).labels("knows").edgeCount()
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      Seq(
+        n("scan_numv", g.V().vertices()),
+        n("scan_uid_pos", g.V().has("uid", P.gt(0L)).vertices()),
+        deg.agg(coalesce(sum(col("count")), lit(0L)).as("n"))
+          .select(lit("scan_deg_total").as("caze"), col("n")),
+        n("scan_deg_eq_uid", deg.join(uid, Seq("vid")).filter(col("count") === col("uid"))),
+        n("scan_uid_props", vq.propertyCount("uid").filter(col("count") === 1L)),
+        n("scan_numvals_props", vq.propertyCount("values").join(uid, Seq("vid"))
+          .filter(col("count") === col("numvals"))),
+        n("scan_nume", g.E().edges()),
+      ).reduce(_ unionAll _)
+    }),
+    // DegreeCounter through the BSP runner (OLAPTest.degreeCounting:297-305 +
+    // degreeCountingDistance:307-334): one superstep stores each vertex's
+    // OUT-degree (messages travel through the in-edge scope to edge sources);
+    // two supersteps forward the stored degree one hop, yielding
+    // Σ outdeg(w) over out-neighbors with parallel-edge multiplicity. The
+    // full 100-vertex distribution is pinned (deg1 == uid for every vertex,
+    // the reference's per-entry assertion at :292-296).
+    "q_tp_olap_degree" -> ((s, dir) => {
+      import s.implicits._
+      val g = tpOlapFixture(s)
+      val d1 = graft.olap.VertexProgramRunner.run(g, new graft.olap.DegreeCounter, 1)
+        .vertices.toDF("id", "deg1")
+      val d2 = graft.olap.VertexProgramRunner.run(g, new graft.olap.DegreeCounter, 2)
+        .vertices.toDF("id", "deg2")
+      d1.join(d2, Seq("id")).select(col("id"), col("deg1"), col("deg2"))
+    }),
+    // testPageRank (OLAPTest.java:496-563 + expand():472-488): the 6-ary
+    // likes-tree of diameter 5 (numV = (6⁶-1)/5 = 9331, edges child→parent).
+    // All vertices of a depth are rank-symmetric, so the closed form
+    // r_d = 0.15 + 0.85·6·r_{d+1} (leaves pinned at 0.15) is exact; the
+    // probe runs the engine's integer fixed point and pins per-depth
+    // (count, min rank, max rank) — min==max proves the symmetry survived
+    // the distributed execution.
+    "q_tp_olap_pagerank" -> ((s, dir) => {
+      val verts = s.range(9331).select((col("id") + 1L).as("id"), lit("v").as("label"),
+        when(col("id") >= 1555L, 5L).when(col("id") >= 259L, 4L)
+          .when(col("id") >= 43L, 3L).when(col("id") >= 7L, 2L)
+          .when(col("id") >= 1L, 1L).otherwise(0L).as("depth"))
+      val edges = s.range(1, 9331).select((col("id") + 20000L).as("id"),
+        (col("id") + 1L).as("src"),
+        expr("CAST((id - 1) DIV 6 + 1 AS BIGINT)").as("dst"),
+        lit("likes").as("label"))
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(), verts, edges)
+      graft.olap.Analytics.pageRankFixedPoint(g, iterations = 10)
+        .join(verts.select(col("id"), col("depth")), Seq("id"))
+        .groupBy(col("depth"))
+        .agg(count(lit(1)).as("n"), min(col("rank_fp")).as("rank_min"),
+          max(col("rank_fp")).as("rank_max"))
+    }),
+    // testShortestDistance (OLAPTest.java:565-636 + growVertex():610-622):
+    // weighted single-source distances over a 500-node random tree (node k
+    // attaches below p(k) = LCG(k) mod k with edge weight 1..3, edges
+    // child→parent 'connect'). The reference program's message scope sends
+    // through the sender's in-edges to edge SOURCES (root→children, i.e.
+    // dst→src), so the engine kernel runs on the reversed edge view; every
+    // computed distance must equal the construction's depth-sum, which the
+    // oracle rebuilds with a recursive CTE.
+    "q_tp_olap_sssp" -> ((s, dir) => {
+      val verts = s.range(500).select((col("id") + 1L).as("id"), lit("v").as("label"))
+      val edges = s.range(1, 500)
+        .select(col("id").as("k"), expr("(1103515245 * id + 12345) % 2147483648").as("h"))
+        .select((col("k") + 30000L).as("id"), (col("k") + 1L).as("src"),
+          (col("h") % col("k") + 1L).as("dst"), lit("connect").as("label"),
+          (expr("h DIV 16") % 3L + 1L).as("distance"))
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(), verts, edges)
+      val rev = g.copy(edges = g.edges.select(col("id"), col("dst").as("src"),
+        col("src").as("dst"), col("label"), col("distance")))
+      graft.olap.Analytics.shortestDistance(rev, source = 1L, weightCol = Some("distance"))
+        .select(col("id"), col("distance").cast("long").as("distance"))
+    }),
   )
 
   /** Headline subset timed by Bench (others still verified for correctness). */
@@ -6784,6 +6892,57 @@ object SparkEntry {
         |SELECT uid, CAST(len(list_intersect(tok, ['red','widget'])) AS DOUBLE) /
         |  CAST(len(tok) + 2 - len(list_intersect(tok, ['red','widget'])) AS DOUBLE) AS j
         |FROM t WHERE len(list_intersect(tok, ['red','widget'])) > 0""".stripMargin,
+    "q_tp_olap_scan" ->
+      """SELECT 'scan_numv' AS caze, CAST(count(*) AS BIGINT) AS n FROM range(100)
+        |UNION ALL SELECT 'scan_uid_pos', count(*) FROM range(100)
+        |UNION ALL SELECT 'scan_deg_total', CAST(SUM(CAST(x.range AS BIGINT) + 1) AS BIGINT)
+        |  FROM range(100) x
+        |UNION ALL SELECT 'scan_deg_eq_uid', count(*) FROM range(100)
+        |UNION ALL SELECT 'scan_uid_props', count(*) FROM range(100)
+        |UNION ALL SELECT 'scan_numvals_props', count(*) FROM range(100)
+        |UNION ALL SELECT 'scan_nume', CAST(SUM(CAST(x.range AS BIGINT) + 1) AS BIGINT)
+        |  FROM range(100) x""".stripMargin,
+    "q_tp_olap_degree" ->
+      """WITH e AS (
+        |  SELECT CAST(i.range AS BIGINT) AS i,
+        |         ((CAST(i.range AS BIGINT) * 31 + CAST(j.range AS BIGINT) * 17) % 100) + 1 AS dst
+        |  FROM range(100) i, range(100) j WHERE j.range <= i.range)
+        |SELECT i + 1 AS id, i + 1 AS deg1, CAST(SUM(dst) AS BIGINT) AS deg2
+        |FROM e GROUP BY i""".stripMargin,
+    "q_tp_olap_pagerank" ->
+      """WITH RECURSIVE it AS (
+        |  SELECT 0 AS k, CAST(1000000000000 AS BIGINT) AS r0, CAST(1000000000000 AS BIGINT) AS r1,
+        |         CAST(1000000000000 AS BIGINT) AS r2, CAST(1000000000000 AS BIGINT) AS r3,
+        |         CAST(1000000000000 AS BIGINT) AS r4, CAST(1000000000000 AS BIGINT) AS r5
+        |  UNION ALL
+        |  SELECT k + 1,
+        |         150000000000 + 85 * ((6 * r1) // 100),
+        |         150000000000 + 85 * ((6 * r2) // 100),
+        |         150000000000 + 85 * ((6 * r3) // 100),
+        |         150000000000 + 85 * ((6 * r4) // 100),
+        |         150000000000 + 85 * ((6 * r5) // 100),
+        |         CAST(150000000000 AS BIGINT)
+        |  FROM it WHERE k < 10),
+        |fin AS (SELECT * FROM it WHERE k = 10)
+        |SELECT CAST(0 AS BIGINT) AS depth, CAST(1 AS BIGINT) AS n, r0 AS rank_min, r0 AS rank_max FROM fin
+        |UNION ALL SELECT 1, 6, r1, r1 FROM fin
+        |UNION ALL SELECT 2, 36, r2, r2 FROM fin
+        |UNION ALL SELECT 3, 216, r3, r3 FROM fin
+        |UNION ALL SELECT 4, 1296, r4, r4 FROM fin
+        |UNION ALL SELECT 5, 7776, r5, r5 FROM fin""".stripMargin,
+    "q_tp_olap_sssp" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS dist
+        |  UNION ALL
+        |  SELECT e.k, d.dist + e.w
+        |  FROM (SELECT CAST(x.range AS BIGINT) AS k,
+        |               ((1103515245 * CAST(x.range AS BIGINT) + 12345) % 2147483648)
+        |                 % CAST(x.range AS BIGINT) AS p,
+        |               (((1103515245 * CAST(x.range AS BIGINT) + 12345) % 2147483648) // 16)
+        |                 % 3 + 1 AS w
+        |        FROM range(1, 500) x) e
+        |  JOIN d ON e.p = d.k)
+        |SELECT k + 1 AS id, CAST(dist AS BIGINT) AS distance FROM d""".stripMargin,
   )
 
   // ---- analytics oracle generators: the TPC-H property graph re-derived in

@@ -47,6 +47,23 @@ object NeighborDegree extends VertexProgram[Long, Long] {
     msg.getOrElse(0L)
 }
 
+/** The reference OLAP suite's DegreeCounter vertex program
+  * (titan-test .../olap/OLAPTest.java:375-459): superstep 0 every vertex
+  * sends 1 through `MessageScope.Local.of(__::inE)` — messages travel to
+  * the opposite end of in-edges, so the combined inbound sum at a vertex is
+  * its OUT-degree; each further superstep forwards the stored degree one
+  * more hop, so `length`=2 yields Σ outdeg(w) over out-neighbors w with
+  * parallel-edge multiplicity (OLAPTest.degreeCountingDistance:307-334).
+  * Run with `maxIterations = length`. */
+class DegreeCounter extends VertexProgram[Long, Long] {
+  def initialState(id: VertexId): Long = 0L
+  def send(superstep: Int, t: EdgeTriplet[Long, Double]): Iterator[(VertexId, Long)] =
+    Iterator((t.srcId, if (superstep == 0) 1L else t.dstAttr))
+  def combine(a: Long, b: Long): Long = a + b
+  def apply(superstep: Int, id: VertexId, state: Long, msg: Option[Long]): Long =
+    msg.getOrElse(0L)
+}
+
 object VertexProgramRunner {
   /** Run a VertexProgram over the property graph, superstep barrier per
     * iteration, returning final vertex states. Matches the execution shape of

@@ -1220,13 +1220,35 @@ object Traversal {
 
   /** Single-scan unpivot: (idCol, key, value) rows for `ks`, nulls dropped.
     * One explode over a struct array instead of k filtered scans union'd —
-    * at 10¹⁰-row tables the k-scan version reads the base data k times. */
+    * at 10¹⁰-row tables the k-scan version reads the base data k times.
+    *
+    * LIST/SET-cardinality columns (array-typed, optionally MultiProperties
+    * cells `struct<value,meta>`) emit ONE ROW PER CELL — each cell is a
+    * first-class property element in the reference (TitanVertexProperty;
+    * OLAPTest.java:128-139 pins propertyCount("values") == numvals for a
+    * LIST key), so a 3-valued list is 3 properties, not one. */
   private[graft] def unpivot(df: DataFrame, idCol: Column, ks: Seq[String],
-      outName: String = "id"): DataFrame =
-    df.select(idCol.as("__uid"), F.explode(F.array(ks.map(k =>
-        F.struct(lit(k).as("key"), col(k).cast("string").as("value"))): _*)).as("kv"))
+      outName: String = "id"): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val kvType = "array<struct<key:string,value:string>>"
+    val types = df.schema.map(f => f.name.toLowerCase -> f.dataType).toMap
+    val perKey: Seq[Column] = ks.map { k =>
+      types.get(k.toLowerCase) match {
+        case Some(ArrayType(st: StructType, _)) if st.fieldNames.contains("value") =>
+          F.transform(col(k), c =>
+            F.struct(lit(k).as("key"), c.getField("value").cast("string").as("value")))
+        case Some(ArrayType(_, _)) =>
+          F.transform(col(k), c => F.struct(lit(k).as("key"), c.cast("string").as("value")))
+        case _ =>
+          F.array(F.struct(lit(k).as("key"), col(k).cast("string").as("value")))
+      }
+    }
+    val cells = perKey.map(c => F.coalesce(c, F.array().cast(kvType)))
+    df.select(idCol.as("__uid"),
+        F.explode(if (cells.size == 1) cells.head else F.concat(cells: _*)).as("kv"))
       .select(col("__uid").as(outName), col("kv.key").as("key"), col("kv.value").as("value"))
       .filter(col("value").isNotNull)
+  }
 
   /** Exact reversal of a sort-order Column: both the direction AND the null
     * ordering flip (rows that sorted first must sort last), so tail/range are
