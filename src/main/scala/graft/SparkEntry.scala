@@ -4264,6 +4264,73 @@ object SparkEntry {
       graft.olap.Analytics.shortestDistance(rev, source = 1L, weightCol = Some("distance"))
         .select(col("id"), col("distance").cast("long").as("distance"))
     }),
+    // ---- Eventual-consistency conformance corpus (titan-test
+    //      TitanEventualGraphTest.java:77-208, testTimestampSetting +
+    //      testTimestampedEdgeUpdates): timestamped mutation logs resolve
+    //      last-write-wins per cell — an out-of-order deletion (older ts
+    //      than the standing write) is a no-op, per-property ~timestamp is
+    //      readable, element tombstones beat older cells. Checkpoints
+    //      replay the reference's transaction prefixes (_txn tag). ----
+    "q_tp_eventual" -> ((s, dir) => {
+      import s.implicits._
+      val vlog = Seq(
+        // tx1@100: v1(name=a), v2(name=b, age=42)
+        (1L, Option("v"), 100L, "put", None: Option[Seq[String]],
+          Option("a"), None: Option[String], None: Option[String], 1L),
+        (2L, Option("v"), 100L, "put", None, Option("b"), Option("42"), None, 1L),
+        // tx2@1000: v1 -name, +address=xyz
+        (1L, None, 1000L, "put", Option(Seq("name")), None, None, Option("xyz"), 2L),
+        // tx3@200: v1 -address — OLDER than the @1000 write, must lose
+        (1L, None, 200L, "put", Option(Seq("address")), None, None, None, 3L),
+        // tx4@2000: v2 age=15; tx5@1500: v2 age=16 — older, must lose
+        (2L, None, 2000L, "put", None, None, Option("15"), None, 4L),
+        (2L, None, 1500L, "put", None, None, Option("16"), None, 5L),
+        // testTimestampedEdgeUpdates block
+        (10L, Option("v"), 100L, "put", None, None, None, None, 11L),
+        (11L, Option("v"), 100L, "put", None, None, None, None, 11L),
+      ).toDF("id", "label", "_ts", "_op", "_dels", "name", "age", "address", "_txn")
+      val elog = Seq(
+        (100L, Option(2L), Option(1L), Option("parent"), 1000L, "put",
+          None: Option[Seq[String]], None: Option[Long], 2L),
+        (100L, None, None, None, 2000L, "del", None, None, 4L),
+        (200L, Option(10L), Option(11L), Option("related"), 100L, "put", None, Option(25L), 11L),
+        (200L, None, None, None, 200L, "put", None, Option(125L), 12L),
+        (200L, None, None, None, 300L, "del", None, None, 13L),
+      ).toDF("id", "src", "dst", "label", "_ts", "_op", "_dels", "time", "_txn")
+      def at(k: Long) = graft.data.TimestampedLog.resolve(
+        vlog.filter(col("_txn") <= k), elog.filter(col("_txn") <= k))
+      def props(g: graft.data.PropertyGraph, id: Long) =
+        graft.query.VertexCentricQuery(g).onVertices(id).properties()
+      def vcq(g: graft.data.PropertyGraph, id: Long) =
+        graft.query.VertexCentricQuery(g).onVertices(id)
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      import graft.query.Direction
+      val (g1, g2, g3, g4, g5) = (at(1), at(2), at(3), at(4), at(5))
+      val (g11, g12, g13) = (at(11), at(12), at(13))
+      Seq(
+        n("ev_tx1_name_ts100", props(g1, 1L)
+          .filter(col("key") === "name" && col("ts") === 100L)),
+        vcq(g2, 1L).propertyCount()
+          .agg(coalesce(sum(col("count")), lit(0L)).cast("long").as("n"))
+          .select(lit("ev_tx2_v1_pcount").as("caze"), col("n")),
+        n("ev_tx2_v1_ts_gt10", props(g2, 1L).filter(col("ts") > 10L)),
+        n("ev_tx2_v1_ts_eq100", props(g2, 1L).filter(col("ts") === 100L)),
+        n("ev_tx2_has_name", g2.V().has("name").vertices()),
+        n("ev_tx2_address_xyz", g2.V().has("address", "xyz").vertices()),
+        n("ev_tx2_edge_in", vcq(g2, 1L).direction(Direction.IN).labels("parent").edges()),
+        n("ev_tx2_edge_byid", g2.E().edges().filter(col("id") === 100L)),
+        n("ev_tx3_address_still", g3.V().has("address", "xyz").vertices()),
+        n("ev_tx4_age15", g4.V().has("age", "15").vertices()),
+        n("ev_tx4_edge_gone", g4.E().edges().filter(col("id") === 100L)),
+        n("ev_tx5_age15", g5.V().has("age", "15").vertices()),
+        n("ev_tx5_age16", g5.V().has("age", "16").vertices()),
+        n("ev_upd_time25", g11.E().has("time", 25L).edges()),
+        n("ev_upd_time125", g12.E().has("time", 125L).edges()),
+        n("ev_upd_out", vcq(g12, 10L).direction(Direction.OUT).labels("related").edges()),
+        n("ev_upd_gone", g13.E().edges().filter(col("id") === 200L)),
+      ).reduce(_ unionAll _)
+    }),
   )
 
   /** Headline subset timed by Bench (others still verified for correctness). */
@@ -6943,6 +7010,26 @@ object SparkEntry {
         |        FROM range(1, 500) x) e
         |  JOIN d ON e.p = d.k)
         |SELECT k + 1 AS id, CAST(dist AS BIGINT) AS distance FROM d""".stripMargin,
+    "q_tp_eventual" ->
+      """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES
+        | ('ev_tx1_name_ts100', 1),
+        | ('ev_tx2_v1_pcount', 1),
+        | ('ev_tx2_v1_ts_gt10', 1),
+        | ('ev_tx2_v1_ts_eq100', 0),
+        | ('ev_tx2_has_name', 1),
+        | ('ev_tx2_address_xyz', 1),
+        | ('ev_tx2_edge_in', 1),
+        | ('ev_tx2_edge_byid', 1),
+        | ('ev_tx3_address_still', 1),
+        | ('ev_tx4_age15', 1),
+        | ('ev_tx4_edge_gone', 0),
+        | ('ev_tx5_age15', 1),
+        | ('ev_tx5_age16', 0),
+        | ('ev_upd_time25', 1),
+        | ('ev_upd_time125', 1),
+        | ('ev_upd_out', 1),
+        | ('ev_upd_gone', 0)
+        |) t(caze, n)""".stripMargin,
   )
 
   // ---- analytics oracle generators: the TPC-H property graph re-derived in

@@ -33,8 +33,15 @@ final case class PropertyGraph(
     copy(indexTables = indexTables + (name -> table))
 
   /** Property columns present on the vertex table. */
-  def vertexPropColumns: Seq[String] = vertices.columns.filterNot(Set("id", "label"))
-  def edgePropColumns: Seq[String] = edges.columns.filterNot(Set("id", "src", "dst", "label"))
+  // `_`-prefixed columns are system provenance (`_ts` write time, `_pts`
+  // per-cell timestamps) surfaced through IMPLICIT keys (~timestamp/~ttl),
+  // never enumerable as property elements — the reference's propertyCount()
+  // counts user cells only (TitanEventualGraphTest.java:114).
+  def vertexPropColumns: Seq[String] =
+    vertices.columns.filterNot(c => c == "id" || c == "label" || c.startsWith("_"))
+  def edgePropColumns: Seq[String] =
+    edges.columns.filterNot(c =>
+      c == "id" || c == "src" || c == "dst" || c == "label" || c.startsWith("_"))
 
   /** Entry points (reference: graph.query() / tx.query() — TitanGraphQuery). */
   def V(): graft.query.GraphQuery = graft.query.GraphQuery.vertices(this)

@@ -213,7 +213,8 @@ final case class GraphQuery(
     * scan (explode of a struct array, not one scan per key). */
   def properties(keys: String*): DataFrame = {
     val base = dataframe
-    val candidates = base.columns.filterNot(Set("id", "label", "src", "dst")).toSeq
+    val candidates = base.columns.filterNot(c =>
+      c == "id" || c == "label" || c == "src" || c == "dst" || c.startsWith("_")).toSeq
     val ks = if (keys.nonEmpty) keys.toSeq else candidates
     graft.traverse.Traversal.unpivot(base, col("id"), ks)
   }

@@ -197,8 +197,12 @@ final case class VertexCentricQuery(
         f.select(col("vid")).distinct(), col("id") === col("vid"), "left_semi")
     }
     // single-scan unpivot — k filtered scans union'd would read the vertex
-    // table k times at scale
-    graft.traverse.Traversal.unpivot(base, col("id"), ks, outName = "vid")
+    // table k times at scale; a `_pts` cell-timestamp map (timestamped-log
+    // resolution, TimestampedLog.resolve) surfaces each cell's ~timestamp
+    // as a `ts` column so property elements can be filtered by write time
+    // (TitanEventualGraphTest.java:113-116)
+    graft.traverse.Traversal.unpivot(base, col("id"), ks, outName = "vid",
+      tsMap = if (base.columns.contains("_pts")) Some("_pts") else None)
   }
 
   /** propertyCount with the same supernode routing as edgeCount: a

@@ -1228,7 +1228,7 @@ object Traversal {
     * OLAPTest.java:128-139 pins propertyCount("values") == numvals for a
     * LIST key), so a 3-valued list is 3 properties, not one. */
   private[graft] def unpivot(df: DataFrame, idCol: Column, ks: Seq[String],
-      outName: String = "id"): DataFrame = {
+      outName: String = "id", tsMap: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, StructType}
     val kvType = "array<struct<key:string,value:string>>"
     val types = df.schema.map(f => f.name.toLowerCase -> f.dataType).toMap
@@ -1244,9 +1244,14 @@ object Traversal {
       }
     }
     val cells = perKey.map(c => F.coalesce(c, F.array().cast(kvType)))
-    df.select(idCol.as("__uid"),
-        F.explode(if (cells.size == 1) cells.head else F.concat(cells: _*)).as("kv"))
-      .select(col("__uid").as(outName), col("kv.key").as("key"), col("kv.value").as("value"))
+    val exploded = df.select(Seq(idCol.as("__uid"),
+        F.explode(if (cells.size == 1) cells.head else F.concat(cells: _*)).as("kv")) ++
+        tsMap.map(m => col(m).as("__pts")): _*)
+    // per-cell write time (the property element's ~timestamp implicit key)
+    // rides along when the frame carries a `_pts` cell-timestamp map
+    exploded.select(Seq(col("__uid").as(outName), col("kv.key").as("key"),
+        col("kv.value").as("value")) ++
+        tsMap.map(_ => F.element_at(col("__pts"), col("kv.key")).as("ts")): _*)
       .filter(col("value").isNotNull)
   }
 
