@@ -4331,6 +4331,302 @@ object SparkEntry {
         n("ev_upd_gone", g13.E().edges().filter(col("id") === 200L)),
       ).reduce(_ unionAll _)
     }),
+    // ---- Implicit-key conformance (testImplicitKey, TitanGraphTest.java:
+    //      1670-1697 + testArrayEqualityUsingImplicitKey:1700-1720): `~id`
+    //      on edges matches a composite RelationIdentifier, `~nid` the
+    //      relation's internal long id, `~adjacent` the other endpoint;
+    //      binary-array property values compare by CONTENT (two distinct
+    //      byte[] instances with equal bytes both match). The reference's
+    //      IllegalArgumentException on a nonexistent ~adjacent handle is a
+    //      tx-cache validation we intentionally relax (see
+    //      VertexCentricQuery.has scaladoc). ----
+    "q_tp_implicit" -> ((s, dir) => {
+      import s.implicits._
+      import graft.query.Direction
+      val v = Seq(
+        (1L, "vertex", Option("Dan"), None: Option[Array[Byte]]),
+        (2L, "vertex", None, None),
+        (3L, "vertex", None, Option(Array[Byte](127, 0, 0, 1)))
+      ).toDF("id", "label", "name", "single")
+      val e = Seq((100L, 1L, 2L, "knows")).toDF("id", "src", "dst", "label")
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+      val eid = graft.data.RelationIdentifier(100L, 1L, "knows", Some(2L))
+      def vq = graft.query.VertexCentricQuery(g).onVertices(1L)
+        .direction(Direction.BOTH).labels("knows")
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      Seq(
+        n("impl_v_id", g.V().has("~id", 1L).vertices()),
+        n("impl_v_label_default", g.V().has("~label", "vertex").vertices()),
+        n("impl_e_label", g.E().has("~label", "knows").edges()),
+        n("impl_vc_eid", vq.has("~id", eid).edges()),
+        n("impl_vc_eid_miss",
+          vq.has("~id", graft.data.RelationIdentifier(4L, 5L, "6", Some(7L))).edges()),
+        n("impl_vc_nid", vq.has("~nid", 100L).edges()),
+        n("impl_vc_nid_miss", vq.has("~nid", 110111L).edges()),
+        n("impl_edge_lookup", graft.data.RelationIdentifier.lookup(g, eid)),
+        n("impl_adjacent", vq.has("~adjacent", 2L).edges()),
+        n("impl_adjacent_int", vq.has("~adjacent", 2).edges()),
+        n("impl_array_eq",
+          g.V().has("single", Array[Byte](127, 0, 0, 1)).vertices()),
+        n("impl_array_eq_copy",
+          g.V().has("single", Array[Byte](127, 0, 0, 1)).vertices()),
+      ).reduce(_ unionAll _)
+    }),
+    // ---- Index-retrieval conformance (TitanGraphTest.java:4399-4486).
+    //      testLargeJointIndexRetrieval (:4399): two single-key composite
+    //      indexes answer an AND by intersecting — 17 sids × 7 colors × 200.
+    //      testIndexQueryWithLabelsAndContainsIN (:4423): label-scoped unique
+    //      composite + Contain.IN + ~label constraint (a decoy vertex under
+    //      another label must NOT leak through the scoped index).
+    //      testLimitWithMixedIndexCoverage (:4451): indexed equality + an
+    //      UNINDEXED residual + limit(1) must return the residual-matching
+    //      row, not an arbitrary index hit cut short. ----
+    "q_tp_indexretrieval" -> ((s, dir) => {
+      import graft.core.{ElementCategory, GraphSchema, IndexDef, PropertyKeyDef}
+      import org.apache.spark.sql.types.{LongType, StringType}
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      val noEdges = s.range(0).select(col("id"), col("id").as("src"),
+        col("id").as("dst"), lit("x").as("label"))
+      // joint-index block
+      val colors = array(Seq("blue", "red", "yellow", "brown", "green",
+        "orange", "purple").map(lit): _*)
+      val jv = s.range(23800).select((col("id") + 1L).as("id"), lit("v").as("label"),
+        element_at(colors, (col("id") % 7).cast("int") + 1).as("color"),
+        (col("id") % 17L).as("sid"))
+      val jSchema = GraphSchema()
+        .withPropertyKey(PropertyKeyDef("sid", LongType))
+        .withPropertyKey(PropertyKeyDef("color", StringType))
+        .withIndex(IndexDef("bySid", ElementCategory.VERTEX, Seq("sid")))
+        .withIndex(IndexDef("byColor", ElementCategory.VERTEX, Seq("color")))
+      val jg0 = graft.data.PropertyGraph(jSchema, jv, noEdges)
+      val jg = jg0
+        .withIndexTable("bySid", graft.index.Indexes.materialize(jg0, jSchema.indexes("bySid")))
+        .withIndexTable("byColor", graft.index.Indexes.materialize(jg0, jSchema.indexes("byColor")))
+      // Contain.IN + label-scope block
+      import s.implicits._
+      val cv = Seq((1L, "labelName", "foo"), (2L, "labelName", "bar"),
+        (3L, "otherLabel", "foo")).toDF("id", "label", "uid")
+      val cSchema = GraphSchema()
+        .withPropertyKey(PropertyKeyDef("uid", StringType))
+        .withIndex(IndexDef("uidIndex", ElementCategory.VERTEX, Seq("uid"),
+          unique = true, onlyLabel = Some("labelName")))
+      val cg0 = graft.data.PropertyGraph(cSchema, cv, noEdges)
+      val cg = cg0.withIndexTable("uidIndex",
+        graft.index.Indexes.materialize(cg0, cSchema.indexes("uidIndex")))
+      val cIn = cg.V().has("uid", P.within("foo", "bar"))
+        .has("~label", "labelName").vertices()
+      // mixed-coverage limit block (vt indexed, firstname NOT indexed)
+      val mv = Seq((1L, "u", "user", "alice"), (2L, "u", "user", "bob"))
+        .toDF("id", "label", "vt", "firstname")
+      val mSchema = GraphSchema()
+        .withPropertyKey(PropertyKeyDef("vt", StringType))
+        .withIndex(IndexDef("byVt", ElementCategory.VERTEX, Seq("vt")))
+      val mg0 = graft.data.PropertyGraph(mSchema, mv, noEdges)
+      val mg = mg0.withIndexTable("byVt",
+        graft.index.Indexes.materialize(mg0, mSchema.indexes("byVt")))
+      def one(fn: String) = mg.V().has("vt", "user").has("firstname", fn)
+        .limit(1).vertices()
+      Seq(
+        n("ji_sid8", jg.V().has("sid", 8L).vertices()),
+        n("ji_color_yellow", jg.V().has("color", "yellow").vertices()),
+        n("ji_joint", jg.V().has("sid", 11L).has("color", "brown").vertices()),
+        n("ci_in_label", cIn),
+        n("ci_in_label_all_match", cIn.filter(col("label") === "labelName")),
+        n("ml_bob", one("bob")
+          .filter(col("firstname") === "bob" && col("vt") === "user")),
+        n("ml_alice", one("alice")
+          .filter(col("firstname") === "alice" && col("vt") === "user")),
+      ).reduce(_ unionAll _)
+    }),
+    // ---- Vertex-centric index with NULL cells (testVertexCentricIndexWithNull,
+    //      TitanGraphTest.java:4536-4576): five parallel bought-edges, time
+    //      set on only three — sort-key-indexed reads must keep the null-cell
+    //      edges reachable (hasNot('time') = 2) and every Cmp range must skip
+    //      them (orderings are false on null). ----
+    "q_tp_vc_null" -> ((s, dir) => {
+      import s.implicits._
+      import graft.query.Direction
+      import graft.core.{EdgeLabelDef, GraphSchema, PropertyKeyDef, RelationIndexDef, SortOrder}
+      import org.apache.spark.sql.types.LongType
+      val v = Seq((1L, "v"), (2L, "v")).toDF("id", "label")
+      val e = Seq(
+        (10L, 1L, 2L, "bought", Option(1L)), (11L, 1L, 2L, "bought", Option(2L)),
+        (12L, 1L, 2L, "bought", Option(3L)), (13L, 1L, 2L, "bought", None),
+        (14L, 1L, 2L, "bought", None)
+      ).toDF("id", "src", "dst", "label", "time")
+      val schema = GraphSchema()
+        .withPropertyKey(PropertyKeyDef("time", LongType))
+        .withEdgeLabel(EdgeLabelDef("bought"))
+        .withRelationIndex(RelationIndexDef("byTimeDesc", "bought", Seq("time"), SortOrder.DESC))
+        .withRelationIndex(RelationIndexDef("byTimeIncr", "bought", Seq("time")))
+      val g = graft.data.PropertyGraph(schema, v, e)
+      def vq = graft.query.VertexCentricQuery(g).onVertices(1L)
+        .direction(Direction.OUT).labels("bought")
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      Seq(
+        n("vcn_all", vq.edges()),
+        n("vcn_t1", vq.has("time", 1L).edges()),
+        n("vcn_lt3_gt1", vq.has("time", P.lt(3L)).has("time", P.gt(1L)).edges()),
+        n("vcn_lt5", vq.has("time", P.lt(5L)).edges()),
+        n("vcn_gt0", vq.has("time", P.gt(0L)).edges()),
+        n("vcn_lt3", vq.has("time", P.lt(3L)).edges()),
+        n("vcn_gt2", vq.has("time", P.gt(2L)).edges()),
+        n("vcn_hasnot", vq.hasNot("time").edges()),
+        n("vcn_all_again", vq.edges()),
+      ).reduce(_ unionAll _)
+    }),
+    // ---- Basic CRUD / iteration conformance (TitanGraphTest.java:
+    //      testBasic:174-198 — id lookup, miss, index lookup, relation
+    //      count, cleared-graph emptiness; testVertexRemoval:204-240 —
+    //      removal cascades to the adjacency and the index; and
+    //      testGlobalIteration:243-281 — full scans before/after a limit-5
+    //      removal (the reference removes an ARBITRARY 5 via iteration
+    //      order; we pin the 5 lowest ids so the post-removal edge count is
+    //      deterministic). ----
+    "q_tp_crud" -> ((s, dir) => {
+      import s.implicits._
+      import graft.query.Direction
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      val noEdges = s.range(0).select(col("id"), col("id").as("src"),
+        col("id").as("dst"), lit("x").as("label"))
+      // testBasic
+      val bv = Seq((1L, "vertex", "abcd")).toDF("id", "label", "name")
+      val bg = graft.data.PropertyGraph(graft.core.GraphSchema(), bv, noEdges)
+      val cleared = graft.data.PropertyGraph(graft.core.GraphSchema(), bv.limit(0), noEdges)
+      // testVertexRemoval
+      val rv = Seq((1L, "vertex", "v1"), (2L, "vertex", "v2")).toDF("id", "label", "name")
+      val re = Seq((10L, 1L, 2L, "knows")).toDF("id", "src", "dst", "label")
+      val rg = graft.data.PropertyGraph(graft.core.GraphSchema(), rv, re)
+      val rg2 = graft.data.GraphIO.applyMutations(rg,
+        deleteVertexIds = Some(Seq(2L).toDF("id")))
+      def deg(g: graft.data.PropertyGraph, id: Long) =
+        graft.query.VertexCentricQuery(g).onVertices(id).direction(Direction.BOTH).edges()
+      // testGlobalIteration
+      val gv = s.range(50).select((col("id") + 1L).as("id"), lit("v").as("label"),
+        col("id").as("count"))
+      val ge = s.range(1, 50).select((col("id") + 100L).as("id"), col("id").as("src"),
+        (col("id") + 1L).as("dst"), lit("next").as("label"))
+      val gg = graft.data.PropertyGraph(graft.core.GraphSchema(), gv, ge)
+      val gg2 = graft.data.GraphIO.applyMutations(gg, deleteVertexIds =
+        Some(gg.vertices.orderBy(col("id")).limit(5).select(col("id"))))
+      Seq(
+        n("basic_v_byid", bg.V().hasId(1L).vertices()),
+        n("basic_missing", bg.V().hasId(65L).vertices()),
+        n("basic_by_name", bg.V().has("name", "abcd").vertices()),
+        n("basic_relations",
+          graft.query.VertexCentricQuery(bg).onVertices(1L).properties()
+            .unionByName(deg(bg, 1L).select(col("vid"), lit("e").as("key"),
+              lit("e").as("value")), allowMissingColumns = true)),
+        n("basic_all", bg.V().vertices()),
+        n("basic_cleared", cleared.V().vertices()),
+        n("rm_pre_v", rg.V().vertices()),
+        n("rm_pre_v2", rg.V().has("name", "v2").vertices()),
+        n("rm_pre_deg_v1", deg(rg, 1L)),
+        n("rm_pre_deg_v2", deg(rg, 2L)),
+        n("rm_post_deg_v1", deg(rg2, 1L)),
+        n("rm_post_v", rg2.V().vertices()),
+        n("rm_post_v1", rg2.V().has("name", "v1").vertices()),
+        n("rm_post_v2", rg2.V().has("name", "v2").vertices()),
+        n("gi_v", gg.V().vertices()),
+        n("gi_e", gg.E().edges()),
+        n("gi_post_v", gg2.V().vertices()),
+        n("gi_post_gte0", gg2.V().has("count", P.gte(0L)).vertices()),
+        n("gi_post_e", gg2.E().edges()),
+      ).reduce(_ unionAll _)
+    }),
+    // ---- Medium create-retrieve conformance (testMediumCreateRetrieve,
+    //      TitanGraphTest.java:284-391): 500 vertices (name='vertex'+i,
+    //      uid=i), 5 connect + 5 knows out-edges per vertex at fixed ring
+    //      offsets (wrapAround), knows edges carrying uid = src_uid+dst_uid,
+    //      weight = offset·1.5, name = i+"-"+offset. Every per-vertex
+    //      degree/property assertion aggregates to "all 500 satisfy";
+    //      per-edge invariants aggregate to "all 2500 knows edges satisfy";
+    //      the uid-index and name-index lookups must agree pointwise. ----
+    "q_tp_medium" -> ((s, dir) => {
+      import s.implicits._
+      import graft.query.Direction
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      val N = 500L
+      val mv = s.range(N).select((col("id") + 1L).as("id"), lit("node").as("label"),
+        concat(lit("vertex"), col("id").cast("string")).as("name"), col("id").as("uid"))
+      val cOffDf = Seq(-100L, -34L, -4L, 10L, 20L).zipWithIndex
+        .map { case (o, j) => (o, j.toLong) }.toDF("off", "j")
+      val kOffDf = Seq(-400L, -18L, 8L, 232L, 334L).zipWithIndex
+        .map { case (o, j) => (o, j.toLong) }.toDF("off", "j")
+      val base = s.range(N).select(col("id").as("i"))
+      val connectE = base.crossJoin(cOffDf).select(
+        (col("i") * 10L + col("j") + 100000L).as("id"), (col("i") + 1L).as("src"),
+        (pmod(col("i") + col("off"), lit(N)) + 1L).as("dst"), lit("connect").as("label"),
+        lit(null).cast("long").as("uid"), lit(null).cast("double").as("weight"),
+        lit(null).cast("string").as("name"))
+      val knowsE = base.crossJoin(kOffDf).select(
+        (col("i") * 10L + col("j") + 100005L).as("id"), (col("i") + 1L).as("src"),
+        (pmod(col("i") + col("off"), lit(N)) + 1L).as("dst"), lit("knows").as("label"),
+        (col("i") + pmod(col("i") + col("off"), lit(N))).as("uid"),
+        (col("off").cast("double") * 1.5).as("weight"),
+        concat(col("i").cast("string"), lit("-"), col("off").cast("string")).as("name"))
+      val mg = graft.data.PropertyGraph(graft.core.GraphSchema(), mv,
+        connectE.unionByName(knowsE))
+      def vq = graft.query.VertexCentricQuery(mg)
+      val vu = mv.select(col("id").as("vid2"), col("uid").as("vuid"))
+      val ke = mg.E().hasLabel("knows").edges()
+      val joined = ke
+        .join(vu.withColumnRenamed("vid2", "sid2").withColumnRenamed("vuid", "suid"),
+          col("src") === col("sid2"))
+        .join(vu.withColumnRenamed("vid2", "did2").withColumnRenamed("vuid", "duid"),
+          col("dst") === col("did2"))
+      Seq(
+        n("med_out10", vq.direction(Direction.OUT).edgeCount()
+          .filter(col("count") === 10L)),
+        n("med_out_connect5", vq.direction(Direction.OUT).labels("connect")
+          .edgeCount().filter(col("count") === 5L)),
+        n("med_both_connect10", vq.direction(Direction.BOTH).labels("connect")
+          .edgeCount().filter(col("count") === 10L)),
+        n("med_both_knows10", vq.direction(Direction.BOTH).labels("knows")
+          .edgeCount().filter(col("count") === 10L)),
+        n("med_props2", vq.propertyCount().filter(col("count") === 2L)),
+        n("med_knows_uid_ok", joined.filter(col("uid") === col("suid") + col("duid"))),
+        n("med_knows_name_ok", joined.filter(col("name") ===
+          concat(col("suid").cast("string"), lit("-"),
+            (col("weight") / 1.5).cast("int").cast("string")))),
+        n("med_name_uid_agree", mg.vertices.filter(
+          col("name") === concat(lit("vertex"), col("uid").cast("string")))),
+        n("med_bulk_50", mg.V().hasId(1L to 50L: _*).vertices()),
+      ).reduce(_ unionAll _)
+    }),
+    // ---- Unindexed global order (testWithoutIndex, TitanGraphTest.java:
+    //      4488-4521): orderBy on a key with NO index falls back to the
+    //      engine sort and limit still applies — 1000 vertices / 999 edges
+    //      with LCG-drawn kids, asc/desc × vertices/edges × four limits.
+    //      The oracle pins the full (rank, kid) prefix content: the sorted
+    //      multiset prefix is unique even across equal-kid ties. ----
+    "q_tp_order_noindex" -> ((s, dir) => {
+      val verts = s.range(1000).select((col("id") + 1L).as("id"), lit("v").as("label"),
+        (expr("(1103515245 * (id + 1) + 12345) % 2147483648") % 1000L).as("kid"),
+        concat(lit("v"), col("id").cast("string")).as("name"))
+      val edges = s.range(1, 1000).select((col("id") + 5000L).as("id"),
+        (col("id") + 1L).as("src"), col("id").as("dst"), lit("knows").as("label"),
+        (expr("(1103515245 * (id + 7777) + 12345) % 2147483648") % 500L).as("kid"))
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(), verts, edges)
+      def ranked(caze: String, d: DataFrame, asc: Boolean) = {
+        val w = org.apache.spark.sql.expressions.Window.orderBy(
+          if (asc) col("kid").asc else col("kid").desc)
+        d.select(lit(caze).as("caze"), row_number().over(w).as("rn"), col("kid"))
+      }
+      Seq(
+        ranked("on_v_asc_500", g.V().orderBy("kid").limit(500).vertices(), asc = true),
+        ranked("on_e_asc_300", g.E().orderBy("kid").limit(300).edges(), asc = true),
+        ranked("on_v_desc_400",
+          g.V().orderBy("kid", asc = false).limit(400).vertices(), asc = false),
+        ranked("on_e_desc_200",
+          g.E().orderBy("kid", asc = false).limit(200).edges(), asc = false),
+      ).reduce(_ unionAll _)
+    }),
   )
 
   /** Headline subset timed by Bench (others still verified for correctness). */
@@ -7030,6 +7326,96 @@ object SparkEntry {
         | ('ev_upd_out', 1),
         | ('ev_upd_gone', 0)
         |) t(caze, n)""".stripMargin,
+    "q_tp_implicit" ->
+      """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES
+        | ('impl_v_id', 1),
+        | ('impl_v_label_default', 3),
+        | ('impl_e_label', 1),
+        | ('impl_vc_eid', 1),
+        | ('impl_vc_eid_miss', 0),
+        | ('impl_vc_nid', 1),
+        | ('impl_vc_nid_miss', 0),
+        | ('impl_edge_lookup', 1),
+        | ('impl_adjacent', 1),
+        | ('impl_adjacent_int', 1),
+        | ('impl_array_eq', 1),
+        | ('impl_array_eq_copy', 1)
+        |) t(caze, n)""".stripMargin,
+    "q_tp_indexretrieval" ->
+      """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES
+        | ('ji_sid8', 1400),
+        | ('ji_color_yellow', 3400),
+        | ('ji_joint', 200),
+        | ('ci_in_label', 2),
+        | ('ci_in_label_all_match', 2),
+        | ('ml_bob', 1),
+        | ('ml_alice', 1)
+        |) t(caze, n)""".stripMargin,
+    "q_tp_vc_null" ->
+      """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES
+        | ('vcn_all', 5),
+        | ('vcn_t1', 1),
+        | ('vcn_lt3_gt1', 1),
+        | ('vcn_lt5', 3),
+        | ('vcn_gt0', 3),
+        | ('vcn_lt3', 2),
+        | ('vcn_gt2', 1),
+        | ('vcn_hasnot', 2),
+        | ('vcn_all_again', 5)
+        |) t(caze, n)""".stripMargin,
+    "q_tp_crud" ->
+      """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES
+        | ('basic_v_byid', 1),
+        | ('basic_missing', 0),
+        | ('basic_by_name', 1),
+        | ('basic_relations', 1),
+        | ('basic_all', 1),
+        | ('basic_cleared', 0),
+        | ('rm_pre_v', 2),
+        | ('rm_pre_v2', 1),
+        | ('rm_pre_deg_v1', 1),
+        | ('rm_pre_deg_v2', 1),
+        | ('rm_post_deg_v1', 0),
+        | ('rm_post_v', 1),
+        | ('rm_post_v1', 1),
+        | ('rm_post_v2', 0),
+        | ('gi_v', 50),
+        | ('gi_e', 49),
+        | ('gi_post_v', 45),
+        | ('gi_post_gte0', 45),
+        | ('gi_post_e', 44)
+        |) t(caze, n)""".stripMargin,
+    "q_tp_medium" ->
+      """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES
+        | ('med_out10', 500),
+        | ('med_out_connect5', 500),
+        | ('med_both_connect10', 500),
+        | ('med_both_knows10', 500),
+        | ('med_props2', 500),
+        | ('med_knows_uid_ok', 2500),
+        | ('med_knows_name_ok', 2500),
+        | ('med_name_uid_agree', 500),
+        | ('med_bulk_50', 50)
+        |) t(caze, n)""".stripMargin,
+    "q_tp_order_noindex" ->
+      """WITH v AS (
+        |  SELECT ((1103515245 * (CAST(x.range AS BIGINT) + 1) + 12345) % 2147483648) % 1000 AS kid
+        |  FROM range(1000) x),
+        |e AS (
+        |  SELECT ((1103515245 * (CAST(x.range AS BIGINT) + 7777) + 12345) % 2147483648) % 500 AS kid
+        |  FROM range(1, 1000) x)
+        |SELECT 'on_v_asc_500' AS caze, CAST(row_number() OVER (ORDER BY kid) AS INT) AS rn,
+        |       CAST(kid AS BIGINT) AS kid
+        |FROM (SELECT kid FROM v ORDER BY kid LIMIT 500)
+        |UNION ALL
+        |SELECT 'on_e_asc_300', CAST(row_number() OVER (ORDER BY kid) AS INT), CAST(kid AS BIGINT)
+        |FROM (SELECT kid FROM e ORDER BY kid LIMIT 300)
+        |UNION ALL
+        |SELECT 'on_v_desc_400', CAST(row_number() OVER (ORDER BY kid DESC) AS INT), CAST(kid AS BIGINT)
+        |FROM (SELECT kid FROM v ORDER BY kid DESC LIMIT 400)
+        |UNION ALL
+        |SELECT 'on_e_desc_200', CAST(row_number() OVER (ORDER BY kid DESC) AS INT), CAST(kid AS BIGINT)
+        |FROM (SELECT kid FROM e ORDER BY kid DESC LIMIT 200)""".stripMargin,
   )
 
   // ---- analytics oracle generators: the TPC-H property graph re-derived in

@@ -50,10 +50,40 @@ final case class VertexCentricQuery(
   // ---- builder surface (BaseVertexQuery.java:27-167) ----
   def labels(ls: String*): VertexCentricQuery = copy(labels = ls)
   def direction(d: Direction): VertexCentricQuery = copy(dir = d)
-  def has(key: String, value: Any): VertexCentricQuery = has(key, P.eq(value))
-  def has(key: String, p: P): VertexCentricQuery = copy(conds = conds :+ p.apply(col(key)))
-  def has(key: String): VertexCentricQuery = copy(conds = conds :+ col(key).isNotNull)
-  def hasNot(key: String): VertexCentricQuery = copy(conds = conds :+ col(key).isNull)
+
+  /** Resolve a key against the EDGE frame: `~`-prefixed keys route through
+    * ImplicitKeys semantics (testImplicitKey, TitanGraphTest.java:1670-1697 —
+    * `~nid` is the relation's internal long id, i.e. our `id` column;
+    * `~timestamp` reads the `_ts` system column), and an UNDEFINED key reads
+    * as NULL for every edge (has ⇒ no match, hasNot ⇒ all match), the same
+    * convention the graph-centric builder applies. */
+  private def keyCol(key: String): Column = key match {
+    case "~nid" => col("id")
+    case "~label" => col("label")
+    case graft.expr.ImplicitKeys.Timestamp => col(graft.expr.ImplicitKeys.TimestampColumn)
+    case k if graft.expr.ImplicitKeys.columnDefined(graph.edges, k) => col(k)
+    case _ => lit(null)
+  }
+
+  /** has(key, value). `~adjacent` routes to the other-endpoint restriction
+    * and `~id` to the composite RelationIdentifier equality — both implicit
+    * keys the reference accepts on vertex-centric queries
+    * (testImplicitKey:1680-1689; ImplicitKey.java:28-52). Unlike the
+    * reference, a `~adjacent` id with no live vertex yields zero edges
+    * rather than IllegalArgumentException: validating the handle is a
+    * transaction-cache read there, but a distributed probe here. */
+  def has(key: String, value: Any): VertexCentricQuery = (key, value) match {
+    case ("~adjacent", v: Long) => adjacent(v)
+    case ("~adjacent", v: Int) => adjacent(v.toLong)
+    case ("~id", rid: graft.data.RelationIdentifier) =>
+      val eq = col("id") === rid.relationId && col("src") === rid.outVertexId &&
+        col("label") === rid.label
+      copy(conds = conds :+ rid.inVertexId.fold(eq)(in => eq && col("dst") === in))
+    case _ => has(key, P.eq(value))
+  }
+  def has(key: String, p: P): VertexCentricQuery = copy(conds = conds :+ p.apply(keyCol(key)))
+  def has(key: String): VertexCentricQuery = copy(conds = conds :+ keyCol(key).isNotNull)
+  def hasNot(key: String): VertexCentricQuery = copy(conds = conds :+ keyCol(key).isNull)
   def interval(key: String, start: Any, end: Any): VertexCentricQuery =
     has(key, P.between(start, end))
   /** Restrict to edges whose other endpoint is `v` — the `~adjacent` implicit key
