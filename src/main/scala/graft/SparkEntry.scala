@@ -4478,6 +4478,160 @@ object SparkEntry {
         n("vcn_all_again", vq.edges()),
       ).reduce(_ unionAll _)
     }),
+    // ---- Partitioned-vertex conformance (TitanPartitionGraphTest.java:
+    //      testVertexPartitioning:100-170): 10 partitioned 'group' vertices
+    //      (gid 0..9, an 8-name LIST, base edges i→0 for i>0, one edges
+    //      i→i-1 for odd i). Every adjacency/property count must be exact
+    //      THROUGH the partitioned-label machinery — here the supernode
+    //      salted two-phase aggregate, which the partitioned schema flag
+    //      engages on these queries (the analogue of the reference
+    //      assembling a partitioned vertex from its scattered canonical
+    //      representatives). ----
+    "q_tp_partition" -> ((s, dir) => {
+      import graft.query.Direction
+      val names = Seq("Marko", "Dan", "Stephen", "Daniel", "Josh", "Thad",
+        "Pavel", "Matthias")
+      val groups = s.range(10).select((col("id") + 1L).as("id"),
+        lit("group").as("label"), col("id").as("gid"), lit(0L).as("sig"),
+        array(names.map(lit): _*).as("name"))
+      val baseE = s.range(1, 10).select((col("id") + 100L).as("id"),
+        (col("id") + 1L).as("src"), lit(1L).as("dst"), lit("base").as("label"))
+      val oneE = s.range(10).filter(col("id") % 2 === 1)
+        .select((col("id") + 200L).as("id"), (col("id") + 1L).as("src"),
+          col("id").as("dst"), lit("one").as("label"))
+      val schema = graft.core.GraphSchema()
+        .withVertexLabel(graft.core.VertexLabelDef("group", partitioned = true))
+      val g = graft.data.PropertyGraph(schema, groups, baseE.unionByName(oneE))
+      def vq = graft.query.VertexCentricQuery(g)
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      val gidOf = g.vertices.select(col("id").as("vid"), col("gid"))
+      def degs(q: graft.query.VertexCentricQuery) =
+        q.edgeCount().join(gidOf, Seq("vid"), "right_outer")
+          .select(col("gid"), coalesce(col("count"), lit(0L)).as("count"))
+      Seq(
+        n("pt_one_both1", degs(vq.direction(Direction.BOTH).labels("one"))
+          .filter(col("count") === 1L)),
+        n("pt_one_in_even", degs(vq.direction(Direction.IN).labels("one"))
+          .filter((col("gid") % 2 === 0 && col("count") === 1L) ||
+            (col("gid") % 2 === 1 && col("count") === 0L))),
+        n("pt_one_out_odd", degs(vq.direction(Direction.OUT).labels("one"))
+          .filter((col("gid") % 2 === 1 && col("count") === 1L) ||
+            (col("gid") % 2 === 0 && col("count") === 0L))),
+        n("pt_base_out", degs(vq.direction(Direction.OUT).labels("base"))
+          .filter(col("gid") > 0 && col("count") === 1L)),
+        n("pt_base_in9", degs(vq.direction(Direction.IN).labels("base"))
+          .filter(col("gid") === 0 && col("count") === 9L)),
+        n("pt_name8", vq.propertyCount("name").filter(col("count") === 8L)),
+        n("pt_gid_lookup", g.V().has("gid", 5L).vertices()),
+      ).reduce(_ unionAll _)
+    }),
+    // ---- Partitioned-vertex OLAP conformance (TitanPartitionGraphTest
+    //      .java:381-436 testVertexPartitionOlap* + setupGroupClusters:
+    //      290-320, run at the Spread tests' degrees {10,20,30}): the BSP
+    //      DegreeCounter over a graph whose 'group' label is partitioned
+    //      must report each group's full contain-degree (the scattered
+    //      adjacency re-aggregates) and every person's degree as 1; the
+    //      salted two-phase count must agree with the plain aggregate on
+    //      every vertex. ----
+    "q_tp_partition_olap" -> ((s, dir) => {
+      import graft.query.Direction
+      val degs = Seq(10L, 20L, 30L)
+      val groups = s.range(3).select((col("id") + 1L).as("id"),
+        lit("group").as("label"),
+        concat(lit("group"), col("id").cast("string")).as("groupid"))
+      val gix = when(col("id") < 10L, 0L).when(col("id") < 30L, 1L).otherwise(2L)
+      val persons = s.range(60).select((col("id") + 100L).as("id"),
+        lit("person").as("label"),
+        concat(lit("group"), gix.cast("string")).as("groupid"))
+      val pg = persons.select(col("id").as("pid"),
+        (when(col("id") - 100L < 10L, 0L).when(col("id") - 100L < 30L, 1L)
+          .otherwise(2L) + 1L).as("gidv"))
+      val memberE = pg.select((col("pid") + 1000L).as("id"), col("pid").as("src"),
+        col("gidv").as("dst"), lit("member").as("label"))
+      val containE = pg.select((col("pid") + 2000L).as("id"), col("gidv").as("src"),
+        col("pid").as("dst"), lit("contain").as("label"))
+      val schema = graft.core.GraphSchema()
+        .withVertexLabel(graft.core.VertexLabelDef("person"))
+        .withVertexLabel(graft.core.VertexLabelDef("group", partitioned = true))
+      val g = graft.data.PropertyGraph(schema,
+        groups.unionByName(persons), memberE.unionByName(containE))
+      import s.implicits._
+      val bsp = graft.olap.VertexProgramRunner.run(g, new graft.olap.DegreeCounter, 1)
+        .vertices.toDF("id", "deg")
+      val expected = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "want")
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      val salted = graft.query.VertexCentricQuery(g).direction(Direction.OUT)
+        .edgeCount()
+      val plain = g.edges.groupBy(col("src").as("vid2"))
+        .agg(count(lit(1)).as("plainc"))
+      Seq(
+        n("po_group_deg", bsp.join(expected, Seq("id"))
+          .filter(col("deg") === col("want"))),
+        n("po_person_deg1", bsp.filter(col("id") >= 100L && col("deg") === 1L)),
+        n("po_total", bsp),
+        n("po_salted_eq", salted.join(plain, col("vid") === col("vid2"))
+          .filter(col("count") === col("plainc"))),
+      ).reduce(_ unionAll _)
+    }),
+    // ---- Data-type conformance (testDataTypes, TitanGraphTest.java:
+    //      1004-1103): boolean / Instant / binary / geo-shape / double /
+    //      custom-int property values roundtrip through persistence
+    //      (clopen ⇒ save+load here), and an Object-typed LIST key holds
+    //      heterogeneous cells (string, long, int[]) — modeled as a tagged
+    //      variant struct array, each cell a first-class property element
+    //      (propertyCount=3). The reference's invalid-type maker errors
+    //      (primitive int.class, interface Number.class) are Java-API
+    //      concerns with no analogue: our keys carry Spark DataTypes, all
+    //      of which are storable. ----
+    "q_tp_datatypes" -> ((s, dir) => {
+      val verts = s.range(1).select(lit(1L).as("id"), lit("v").as("label"),
+        lit(true).as("boolval"),
+        timestamp_seconds(lit(1429225756L)).as("birthday"),
+        lit(10).as("num"),
+        lit(Array[Byte](1, 2, 3, 4)).as("barr"),
+        graft.expr.Geo.box(10.0, 10.0, 20.0, 20.0).as("geo"),
+        lit(10.12345).as("precise"),
+        array(
+          struct(lit("string").as("kind"), lit("Hello").as("sval"),
+            lit(null).cast("long").as("lval"), lit(null).cast("array<int>").as("aval")),
+          struct(lit("long").as("kind"), lit(null).cast("string").as("sval"),
+            lit(10L).as("lval"), lit(null).cast("array<int>").as("aval")),
+          struct(lit("intarray").as("kind"), lit(null).cast("string").as("sval"),
+            lit(null).cast("long").as("lval"), array(lit(5), lit(6), lit(7)).as("aval"))
+        ).as("any"))
+      val noEdges = s.range(0).select(col("id"), col("id").as("src"),
+        col("id").as("dst"), lit("x").as("label"))
+      val g0 = graft.data.PropertyGraph(graft.core.GraphSchema(), verts, noEdges)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-datatypes").toString
+      graft.data.GraphIO.save(g0, tmp)
+      val g1 = graft.data.GraphIO.load(s, tmp)
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      def cases(g: graft.data.PropertyGraph, pre: String) = {
+        val V = g.vertices
+        Seq(
+          n(s"${pre}_boolval", V.filter(col("boolval") === true)),
+          n(s"${pre}_birthday",
+            V.filter(col("birthday") === timestamp_seconds(lit(1429225756L)))),
+          n(s"${pre}_num", V.filter(col("num") === 10)),
+          n(s"${pre}_barr_len", V.filter(length(col("barr")) === 4)),
+          n(s"${pre}_geo",
+            V.filter(col("geo") === graft.expr.Geo.box(10.0, 10.0, 20.0, 20.0))),
+          n(s"${pre}_precise", V.filter(abs(col("precise") - 10.12345) < 1e-6)),
+          n(s"${pre}_any_count", graft.query.VertexCentricQuery(g).onVertices(1L)
+            .propertyCount("any").filter(col("count") === 3L)),
+          n(s"${pre}_any_hello", V.filter(exists(col("any"),
+            c => c.getField("kind") === "string" && c.getField("sval") === "Hello"))),
+          n(s"${pre}_any_long", V.filter(exists(col("any"),
+            c => c.getField("lval") === 10L))),
+          n(s"${pre}_any_arr", V.filter(exists(col("any"),
+            c => c.getField("aval") === array(lit(5), lit(6), lit(7))))),
+        )
+      }
+      (cases(g0, "dt") ++ cases(g1, "dt2")).reduce(_ unionAll _)
+    }),
     // ---- Basic CRUD / iteration conformance (TitanGraphTest.java:
     //      testBasic:174-198 — id lookup, miss, index lookup, relation
     //      count, cleared-graph emptiness; testVertexRemoval:204-240 —
@@ -7363,6 +7517,29 @@ object SparkEntry {
         | ('vcn_hasnot', 2),
         | ('vcn_all_again', 5)
         |) t(caze, n)""".stripMargin,
+    "q_tp_partition" ->
+      """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES
+        | ('pt_one_both1', 10),
+        | ('pt_one_in_even', 10),
+        | ('pt_one_out_odd', 10),
+        | ('pt_base_out', 9),
+        | ('pt_base_in9', 1),
+        | ('pt_name8', 10),
+        | ('pt_gid_lookup', 1)
+        |) t(caze, n)""".stripMargin,
+    "q_tp_partition_olap" ->
+      """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES
+        | ('po_group_deg', 3),
+        | ('po_person_deg1', 60),
+        | ('po_total', 63),
+        | ('po_salted_eq', 63)
+        |) t(caze, n)""".stripMargin,
+    "q_tp_datatypes" ->
+      """SELECT pre || '_' || caze AS caze, CAST(1 AS BIGINT) AS n
+        |FROM (VALUES ('dt'), ('dt2')) p(pre)
+        |CROSS JOIN (VALUES ('boolval'), ('birthday'), ('num'), ('barr_len'),
+        |  ('geo'), ('precise'), ('any_count'), ('any_hello'), ('any_long'),
+        |  ('any_arr')) c(caze)""".stripMargin,
     "q_tp_crud" ->
       """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES
         | ('basic_v_byid', 1),

@@ -191,6 +191,16 @@ final case class GraphSchema(
   def withEdgeLabel(l: EdgeLabelDef): GraphSchema = {
     require(!edgeLabels.contains(l.name), s"edge label '${l.name}' already defined")
     (l.signature ++ l.sortKey).foreach(propertyKey) // must pre-exist, like the reference makers
+    // maker validation, as the reference's StandardRelationTypeMaker
+    // (testSchemaTypes, TitanGraphTest.java:516-546): a key cannot be both
+    // sort key and signature, and a sort key is only meaningful on an
+    // unconstrained (MULTI) label — constrained multiplicities bound the
+    // adjacency to ≤1 row, leaving nothing to sort
+    require(l.sortKey.intersect(l.signature).isEmpty,
+      s"edge label '${l.name}': sort key and signature share keys " +
+        l.sortKey.intersect(l.signature).mkString("{", ",", "}"))
+    require(l.sortKey.isEmpty || l.multiplicity == Multiplicity.MULTI,
+      s"edge label '${l.name}': sort key requires MULTI multiplicity, got ${l.multiplicity}")
     copy(edgeLabels = edgeLabels + (l.name -> l))
   }
   def withVertexLabel(l: VertexLabelDef): GraphSchema = {

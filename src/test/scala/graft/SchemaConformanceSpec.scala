@@ -1,0 +1,179 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType, StringType}
+import graft.core._
+import graft.data.{GraphIO, PropertyGraph}
+
+/** Catalog conformance ported from the reference's testSchemaTypes
+  * (titan-test .../graphdb/TitanGraphTest.java:410-860): the full
+  * property-key / edge-label / vertex-label definition matrix, its
+  * inspection invariants, the maker failure modes, and the transactional
+  * multiplicity enforcement the schema implies. Fixtures mirror the
+  * reference's types one-for-one; assertion values are the reference's. */
+class SchemaConformanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  /** The testSchemaTypes catalog (TitanGraphTest.java:412-439). */
+  private def catalog: GraphSchema = GraphSchema()
+    .withPropertyKey(PropertyKeyDef("weight", FloatType))
+    .withPropertyKey(PropertyKeyDef("uid", StringType))
+    .withPropertyKey(PropertyKeyDef("someid", StringType))
+    .withPropertyKey(PropertyKeyDef("name", StringType, Cardinality.SET))
+    .withPropertyKey(PropertyKeyDef("value", DoubleType, Cardinality.LIST))
+    .withEdgeLabel(EdgeLabelDef("friend"))
+    .withEdgeLabel(EdgeLabelDef("link", Multiplicity.MANY2ONE, unidirected = true))
+    .withEdgeLabel(EdgeLabelDef("connect", Multiplicity.SIMPLE, signature = Seq("uid")))
+    .withEdgeLabel(EdgeLabelDef("parent", Multiplicity.MANY2ONE))
+    .withEdgeLabel(EdgeLabelDef("child", Multiplicity.ONE2MANY))
+    .withEdgeLabel(EdgeLabelDef("spouse", Multiplicity.ONE2ONE))
+    .withVertexLabel(VertexLabelDef("person"))
+    .withVertexLabel(VertexLabelDef("tag"))
+    .withVertexLabel(VertexLabelDef("tweet", static = true))
+    .withIndex(IndexDef("uid", ElementCategory.VERTEX, Seq("uid"), unique = true))
+    .withIndex(IndexDef("someid", ElementCategory.VERTEX, Seq("someid")))
+
+  test("schema inspection invariants (testSchemaTypes:445-510)") {
+    val s = catalog
+    // containment + lookup (relation types share one namespace per kind)
+    assert(s.propertyKeys.contains("weight") && !s.edgeLabels.contains("weight"))
+    assert(s.edgeLabels.contains("connect") && !s.propertyKeys.contains("connect"))
+    assert(!s.propertyKeys.contains("bla") && !s.edgeLabels.contains("bla"))
+    intercept[NoSuchElementException](s.propertyKey("bla"))
+    intercept[NoSuchElementException](s.edgeLabel("bla"))
+    // cardinalities
+    assert(s.propertyKey("weight").cardinality == Cardinality.SINGLE)
+    assert(s.propertyKey("someid").cardinality == Cardinality.SINGLE)
+    assert(s.propertyKey("name").cardinality == Cardinality.SET)
+    assert(s.propertyKey("value").cardinality == Cardinality.LIST)
+    assert(s.propertyKey("weight").dataType == FloatType)
+    // index uniqueness
+    assert(s.indexes("uid").unique && !s.indexes("someid").unique)
+    // multiplicities
+    assert(s.edgeLabel("spouse").multiplicity == Multiplicity.ONE2ONE)
+    assert(s.edgeLabel("child").multiplicity == Multiplicity.ONE2MANY)
+    assert(s.edgeLabel("parent").multiplicity == Multiplicity.MANY2ONE)
+    assert(s.edgeLabel("friend").multiplicity == Multiplicity.MULTI)
+    assert(s.edgeLabel("connect").multiplicity == Multiplicity.SIMPLE)
+    // direction flags
+    assert(s.edgeLabel("link").unidirected && !s.edgeLabel("child").unidirected)
+    assert(!s.edgeLabel("spouse").unidirected)
+    // signatures and sort keys
+    assert(s.edgeLabel("friend").signature.isEmpty)
+    assert(s.edgeLabel("connect").signature == Seq("uid"))
+    assert(s.edgeLabel("friend").sortKey.isEmpty)
+    assert(s.edgeLabel("friend").sortOrder == SortOrder.ASC)
+    // population counts (5 keys, 6 edge labels, 11 relation types, 3 vlabels)
+    assert(s.propertyKeys.size == 5)
+    assert(s.edgeLabels.size == 6)
+    assert(s.propertyKeys.size + s.edgeLabels.size == 11)
+    assert(s.vertexLabels.size == 3)
+    // vertex-label flags
+    assert(s.vertexLabels.contains("person") && !s.vertexLabels.contains("bla"))
+    assert(!s.vertexLabel("person").partitioned && !s.vertexLabel("person").static)
+    assert(!s.vertexLabel("tag").partitioned)
+    assert(s.vertexLabel("tweet").static)
+  }
+
+  test("maker failure modes (testSchemaTypes:512-560)") {
+    val s = catalog
+    // already exists — edge label, vertex label, property key
+    intercept[IllegalArgumentException](
+      s.withEdgeLabel(EdgeLabelDef("link", unidirected = true)))
+    intercept[IllegalArgumentException](s.withVertexLabel(VertexLabelDef("tweet")))
+    intercept[IllegalArgumentException](
+      s.withPropertyKey(PropertyKeyDef("weight", FloatType)))
+    // signature and sort-key collide
+    intercept[IllegalArgumentException](s.withEdgeLabel(
+      EdgeLabelDef("other", sortKey = Seq("someid", "weight"), signature = Seq("someid"))))
+    // sort key requires the label to be non-constrained
+    intercept[IllegalArgumentException](s.withEdgeLabel(
+      EdgeLabelDef("other", Multiplicity.SIMPLE, sortKey = Seq("weight"))))
+    intercept[IllegalArgumentException](s.withEdgeLabel(
+      EdgeLabelDef("other", Multiplicity.MANY2ONE, sortKey = Seq("weight"))))
+    // signature/sort keys must pre-exist as property keys
+    intercept[NoSuchElementException](s.withEdgeLabel(
+      EdgeLabelDef("test", signature = Seq("nosuchkey"))))
+  }
+
+  /** The testSchemaTypes data fixture (TitanGraphTest.java:713-742):
+    * v (uid v1), v12/v13 person, v2 tweet; parent/child/spouse/friend/
+    * connect/link edges as written there. */
+  private def dataGraph: PropertyGraph = {
+    val v = Seq(
+      (1L, "vertex", Option("v1")), (12L, "person", Option("v12")),
+      (13L, "person", Option("v13")), (2L, "tweet", None)
+    ).toDF("id", "label", "uid")
+    val e = Seq(
+      (100L, 12L, 1L, "parent", None: Option[String], Option(4.5)),
+      (101L, 13L, 1L, "parent", None, Option(4.5)),
+      (102L, 1L, 12L, "child", None, None),
+      (103L, 1L, 13L, "child", None, None),
+      (104L, 1L, 12L, "spouse", None, None),
+      (105L, 1L, 12L, "friend", None, None),
+      (106L, 1L, 12L, "friend", None, None), // multi edges are fine
+      (107L, 1L, 12L, "connect", Option("e1"), None),
+      (108L, 1L, 13L, "link", None, None),
+      (109L, 2L, 13L, "link", None, None),
+      (110L, 12L, 2L, "connect", None, None)
+    ).toDF("id", "src", "dst", "label", "euid", "weight")
+    PropertyGraph(catalog, v, e)
+  }
+
+  private def addEdge(g: PropertyGraph, id: Long, src: Long, dst: Long, lbl: String) = {
+    val add = Seq((id, src, dst, lbl)).toDF("id", "src", "dst", "label")
+    GraphIO.applyMutations(g, addEdges = Some(add))
+  }
+
+  test("multiplicity enforcement in transactions (testSchemaTypes:788-812)") {
+    val g = dataGraph
+    // parent is MANY2ONE: v12 already has an out-parent
+    val e1 = intercept[IllegalArgumentException](addEdge(g, 200L, 12L, 13L, "parent"))
+    assert(e1.getMessage.contains("multiplicity"))
+    // child is ONE2MANY: v12 already has an in-child
+    val e2 = intercept[IllegalArgumentException](addEdge(g, 201L, 13L, 12L, "child"))
+    assert(e2.getMessage.contains("multiplicity"))
+    // spouse is ONE2ONE: violated from either side
+    val e3 = intercept[IllegalArgumentException](addEdge(g, 202L, 13L, 12L, "spouse"))
+    assert(e3.getMessage.contains("multiplicity"))
+    val e4 = intercept[IllegalArgumentException](addEdge(g, 203L, 1L, 13L, "spouse"))
+    assert(e4.getMessage.contains("multiplicity"))
+    // connect is SIMPLE: the (1,12) pair already exists
+    val e5 = intercept[IllegalArgumentException](addEdge(g, 204L, 1L, 12L, "connect"))
+    assert(e5.getMessage.contains("SIMPLE"))
+    // more friendships are always fine (MULTI)
+    val ok = addEdge(g, 205L, 1L, 12L, "friend")
+    assert(ok.edges.filter(col("label") === "friend").count() == 3)
+  }
+
+  test("query semantics over the schema fixture (testSchemaTypes:813-836)") {
+    import graft.query.Direction
+    val g = dataGraph
+    def vq(id: Long) = graft.query.VertexCentricQuery(g).onVertices(id)
+    // two in-parents at v, each with weight
+    assert(vq(1L).direction(Direction.IN).labels("parent").edges().count() == 2)
+    assert(vq(12L).direction(Direction.OUT).labels("parent").has("weight")
+      .edges().count() == 1)
+    // spouse other endpoint is v12
+    val sp = vq(1L).direction(Direction.OUT).labels("spouse").vertexIds()
+      .select("other").as[Long].collect()
+    assert(sp.toSeq == Seq(12L))
+    // the connect edge at v carries exactly uid=e1
+    val ce = vq(1L).direction(Direction.BOTH).labels("connect").edges()
+    assert(ce.count() == 1)
+    assert(ce.select("euid").as[String].collect().toSeq == Seq("e1"))
+    // link is unidirected: visible at v (out), invisible at v13 (in only)
+    assert(vq(1L).direction(Direction.BOTH).labels("link").edges().count() == 1)
+    assert(vq(13L).direction(Direction.BOTH).labels("link").edges().count() == 0)
+    // v12.out(connect) → v2; v2.out(link) → v13
+    val c2 = vq(12L).direction(Direction.OUT).labels("connect").vertexIds()
+      .select("other").as[Long].collect()
+    assert(c2.toSeq == Seq(2L))
+    val l2 = vq(2L).direction(Direction.OUT).labels("link").vertexIds()
+      .select("other").as[Long].collect()
+    assert(l2.toSeq == Seq(13L))
+    assert(g.V().vertices().count() == 4)
+  }
+}
