@@ -4478,6 +4478,42 @@ object SparkEntry {
         n("vcn_all_again", vq.edges()),
       ).reduce(_ unionAll _)
     }),
+    // ---- Ghost-vertex removal conformance (OLAPTest.removeGhostVertices:
+    //      145-186): a vertex deleted in one transaction but written to by a
+    //      stale transaction leaves ghost relations — edges referencing a
+    //      vertex id with no vertex row. The scan must find exactly the
+    //      ghost adjacency (1 ghost vertex id, 2 ghost relations) and the
+    //      repair must drop it while keeping live edges. ----
+    "q_tp_ghost" -> ((s, dir) => {
+      import s.implicits._
+      import graft.query.Direction
+      val v = Seq((1L, "person", "dan"), (2L, "person", "marko"))
+        .toDF("id", "label", "name")
+      val e = Seq(
+        (10L, 2L, 3L, "knows"),   // ghost dst: v3 was removed
+        (11L, 1L, 2L, "knows"),
+        (12L, 3L, 1L, "knows")    // ghost src: written by the stale tx
+      ).toDF("id", "src", "dst", "label")
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+      val ghosts = graft.olap.GraphOps.ghostEdges(g)
+      val repaired = graft.olap.GraphOps.removeGhosts(g)
+      val ids = g.vertices.select(col("id").as("__vid"))
+      val ghostIds = ghosts.select(col("src").as("gid"))
+        .unionByName(ghosts.select(col("dst").as("gid")))
+        .join(ids, col("gid") === col("__vid"), "left_anti").distinct()
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      def inKnows(gr: graft.data.PropertyGraph) =
+        graft.query.VertexCentricQuery(gr).onVertices(1L)
+          .direction(Direction.IN).labels("knows").edges()
+      Seq(
+        n("gh_pre_in", inKnows(g)),
+        n("gh_relations", ghosts),
+        n("gh_vertices", ghostIds),
+        n("gh_post_edges", repaired.edges),
+        n("gh_post_in", inKnows(repaired)),
+      ).reduce(_ unionAll _)
+    }),
     // ---- Partitioned-vertex conformance (TitanPartitionGraphTest.java:
     //      testVertexPartitioning:100-170): 10 partitioned 'group' vertices
     //      (gid 0..9, an 8-name LIST, base edges i→0 for i>0, one edges
@@ -7516,6 +7552,14 @@ object SparkEntry {
         | ('vcn_gt2', 1),
         | ('vcn_hasnot', 2),
         | ('vcn_all_again', 5)
+        |) t(caze, n)""".stripMargin,
+    "q_tp_ghost" ->
+      """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES
+        | ('gh_pre_in', 1),
+        | ('gh_relations', 2),
+        | ('gh_vertices', 1),
+        | ('gh_post_edges', 1),
+        | ('gh_post_in', 0)
         |) t(caze, n)""".stripMargin,
     "q_tp_partition" ->
       """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES

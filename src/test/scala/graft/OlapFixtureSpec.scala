@@ -171,4 +171,27 @@ class OlapFixtureSpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.length).toMap
     assert(c5.forall(v => deg.getOrElse(v, 0) >= 5))
   }
+
+  test("vertex-program exception propagates to the caller (OLAPTest:223-240)") {
+    // The reference pins that a failure inside the program surfaces from
+    // submit().get() instead of hanging the computer; in Spark the task
+    // failure must reach the driver as SparkException with the original
+    // message in the cause chain.
+    import graft.olap.{VertexProgram, VertexProgramRunner}
+    import org.apache.spark.graphx.EdgeTriplet
+    object Exploder extends VertexProgram[Long, Long] {
+      def initialState(id: Long): Long = 0L
+      def send(superstep: Int, t: EdgeTriplet[Long, Double]): Iterator[(Long, Long)] =
+        throw new IllegalStateException("boom-program")
+      def combine(a: Long, b: Long): Long = a + b
+      def apply(superstep: Int, id: Long, state: Long, msg: Option[Long]): Long =
+        msg.getOrElse(state)
+    }
+    val ex = intercept[Exception] {
+      VertexProgramRunner.run(fixture, Exploder, 1).vertices.count()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(ex).exists(c => String.valueOf(c.getMessage).contains("boom-program")))
+  }
 }
