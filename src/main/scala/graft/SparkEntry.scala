@@ -4478,6 +4478,171 @@ object SparkEntry {
         n("vcn_all_again", vq.edges()),
       ).reduce(_ unionAll _)
     }),
+    // ---- Consistency-modifier conformance (TitanEventualGraphTest
+    //      .testConsistencyModifier:263-341): two unlocked concurrent
+    //      transactions (sig 10 @ts200, sig 20 @ts300) update the same
+    //      relations. In-place relations (SINGLE weight, LIST value cell,
+    //      o2o/em edges) converge to the LATER write under the SAME id;
+    //      delete-and-readd relations (SET name cell, es/o2m edges) converge
+    //      through the constraint's newest-wins collapse under a NEW id; and
+    //      FORK relations (valuef cells, emf edges) keep BOTH writers'
+    //      forked copies — the original id gone. Property cells ride the
+    //      edge-log shape (src=element, label=key, dst=self). ----
+    "q_tp_consistency" -> ((s, dir) => {
+      import s.implicits._
+      val vlog = Seq(
+        (1L, Option("v"), 100L, "put", None: Option[Seq[String]], 0L),
+        (2L, Option("v"), 100L, "put", None, 0L)
+      ).toDF("id", "label", "_ts", "_op", "_dels", "_txn")
+      def put(id: Long, src: Long, dst: Long, lbl: String, ts: Long,
+          pval: Option[String], sig: Long) =
+        (id, Option(src), Option(dst), Option(lbl), ts, "put",
+          None: Option[Seq[String]], pval, Option(sig))
+      def upd(id: Long, ts: Long, pval: Option[String], sig: Long) =
+        (id, None: Option[Long], None: Option[Long], None: Option[String], ts,
+          "put", None: Option[Seq[String]], pval, Option(sig))
+      def del(id: Long, ts: Long) =
+        (id, None: Option[Long], None: Option[Long], None: Option[String], ts,
+          "del", None: Option[Seq[String]], None: Option[String], None: Option[Long])
+      val rows = Seq(
+        // base state @100 (sig 1): property cells 50x (dst=self), edges 60x
+        put(500L, 1L, 1L, "weight", 100L, Option("5.0"), 1L),
+        put(501L, 1L, 1L, "name", 100L, Option("John"), 1L),
+        put(502L, 1L, 1L, "value", 100L, Option("2"), 1L),
+        put(503L, 1L, 1L, "valuef", 100L, Option("2"), 1L),
+        put(600L, 1L, 2L, "es", 100L, None, 1L),
+        put(601L, 1L, 2L, "o2o", 100L, None, 1L),
+        put(602L, 1L, 2L, "o2m", 100L, None, 1L),
+        put(603L, 1L, 2L, "em", 100L, None, 1L),
+        put(604L, 1L, 2L, "emf", 100L, None, 1L),
+        // tx1 @200 (sig 10)
+        upd(500L, 200L, Option("6.0"), 10L), del(501L, 200L),
+        put(510L, 1L, 1L, "name", 200L, Option("Bob"), 10L),
+        upd(502L, 200L, None, 10L), del(503L, 200L),
+        put(511L, 1L, 1L, "valuef", 200L, Option("2"), 10L),
+        del(600L, 200L), put(610L, 1L, 2L, "es", 200L, None, 10L),
+        upd(601L, 200L, None, 10L),
+        del(602L, 200L), put(612L, 1L, 2L, "o2m", 200L, None, 10L),
+        upd(603L, 200L, None, 10L),
+        del(604L, 200L), put(614L, 1L, 2L, "emf", 200L, None, 10L),
+        // tx2 @300 (sig 20) — commits later, wins every in-place cell
+        upd(500L, 300L, Option("6.0"), 20L), del(501L, 300L),
+        put(520L, 1L, 1L, "name", 300L, Option("Bob"), 20L),
+        upd(502L, 300L, None, 20L), del(503L, 300L),
+        put(521L, 1L, 1L, "valuef", 300L, Option("2"), 20L),
+        del(600L, 300L), put(620L, 1L, 2L, "es", 300L, None, 20L),
+        upd(601L, 300L, None, 20L),
+        del(602L, 300L), put(622L, 1L, 2L, "o2m", 300L, None, 20L),
+        upd(603L, 300L, None, 20L),
+        del(604L, 300L), put(624L, 1L, 2L, "emf", 300L, None, 20L),
+      )
+      val elog = rows.toDF("id", "src", "dst", "label", "_ts", "_op", "_dels",
+        "pval", "sig")
+      val resolved = graft.data.TimestampedLog.resolve(vlog, elog).edges
+      val TL = graft.data.TimestampedLog
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      def cells(k: String) = resolved.filter(col("label") === k)
+      Seq(
+        n("cm_weight", cells("weight")
+          .filter(col("id") === 500L && col("pval") === "6.0" && col("sig") === 20L)),
+        n("cm_name_set", TL.collapseNewest(cells("name"), Seq("src", "label", "pval"))
+          .filter(col("sig") === 20L)),
+        n("cm_value_keep", cells("value")
+          .filter(col("id") === 502L && col("pval") === "2" && col("sig") === 20L)),
+        n("cm_valuef_fork", cells("valuef")
+          .filter(col("id") =!= 503L && col("pval") === "2")),
+        n("cm_es", TL.collapseNewest(cells("es"), Seq("src", "dst", "label"))
+          .filter(col("sig") === 20L && col("id") =!= 600L)),
+        n("cm_o2o", cells("o2o")
+          .filter(col("id") === 601L && col("sig") === 20L)),
+        n("cm_o2m", TL.collapseNewest(cells("o2m"), Seq("dst", "label"))
+          .filter(col("sig") === 20L && col("id") =!= 602L)),
+        n("cm_em", cells("em").filter(col("id") === 603L && col("sig") === 20L)),
+        n("cm_emf", cells("emf").filter(col("id") =!= 604L && col("dst") === 2L)),
+      ).reduce(_ unionAll _)
+    }),
+    // ---- TinkerPop optimization-strategy conformance
+    //      (testTinkerPopOptimizationStrategies, TitanGraphTest.java:
+    //      3350-3470): the reference asserts the step-fusion AND the result
+    //      counts over a 10-supernode fixture (each super: 100 knows edges
+    //      weight j%5, 100 names LIST cells with a weight meta-property).
+    //      Step fusion is TinkerPop-internal — Catalyst owns fusion here —
+    //      so the portable semantics are the COUNTS, including the
+    //      multiQuery block (frontier-batched, identical numbers) and
+    //      meta-property filters on property elements. ----
+    "q_tp_optstrat" -> ((s, dir) => {
+      import graft.query.Direction
+      val normals = s.range(100).select((col("id") + 1L).as("id"), lit("v").as("label"),
+        col("id").as("pid"), (col("id") % 5L).as("weight"),
+        lit(null).cast("array<struct<value:string,meta:map<string,string>>>").as("names"))
+      val supers = s.range(10).select((col("id") + 1000L).as("id"), lit("v").as("label"),
+        lit(-1L).as("pid"), lit(null).cast("long").as("weight"),
+        expr("transform(sequence(0, 99), j -> named_struct(" +
+          "'value', concat('n', CAST(j AS STRING)), " +
+          "'meta', map('weight', CAST(j % 5 AS STRING))))").as("names"))
+      val edges = s.range(10).select(col("id").as("k"))
+        .crossJoin(s.range(100).select(col("id").as("j")))
+        .select((col("k") * 1000L + col("j") + 50000L).as("id"),
+          (col("k") + 1000L).as("src"), (col("j") + 1L).as("dst"),
+          lit("knows").as("label"), (col("j") % 5L).as("weight"))
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(),
+        normals.unionByName(supers), edges)
+      def sv0 = graft.query.VertexCentricQuery(g).onVertices(1000L)
+        .direction(Direction.OUT).labels("knows")
+      def multi = graft.query.VertexCentricQuery(g)
+        .onVertices(1000L to 1009L: _*).direction(Direction.OUT).labels("knows")
+      val t = g.traversal
+      val cells = graft.data.MultiProperties.explodeCells(
+        g.vertices.filter(col("id") === 1000L), "names")
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      Seq(
+        n("os_sv0_outE_w1", sv0.has("weight", 1L).edges()),
+        n("os_sv0_outE", sv0.edges()),
+        n("os_sv0_out", sv0.vertices()),
+        n("os_sv0_local_limit10", sv0.limit(10).edges()),
+        n("os_sv0_local_range", t.V().hasId(1000L)
+          .localRange(10, 20, Seq(col("id").asc))(_.outE("knows")).toDF),
+        n("os_sv0_order_decr", sv0.orderBy("weight", asc = false).edges()),
+        n("os_sv0_order_limit10",
+          sv0.orderBy("weight", asc = false).limit(10).edges()),
+        n("os_sv0_w1_order", sv0.has("weight", 1L).orderBy("weight").edges()),
+        n("os_sv0_w1_order_limit10",
+          sv0.has("weight", 1L).orderBy("weight").limit(10).edges()),
+        n("os_sv0_w1w1_range_10_15", t.V().hasId(1000L)
+          .localRange(10, 15, Seq(col("weight").asc, col("id").asc))(
+            _.outE("knows").has("weight", P.eq(1L)).has("weight", P.eq(1L))).toDF),
+        n("os_sv0_inV_is50", sv0.adjacent(50L).edges()),
+        n("os_sv0_otherV_is50", sv0.adjacent(50L).edges()),
+        n("os_sv0_bothE_otherV", graft.query.VertexCentricQuery(g)
+          .onVertices(1000L).direction(Direction.BOTH).labels("knows")
+          .adjacent(50L).edges()),
+        n("os_sv0_bothE_inV", graft.query.VertexCentricQuery(g)
+          .onVertices(1000L).direction(Direction.BOTH).labels("knows")
+          .edges().filter(col("dst") === 50L)),
+        n("os_props_w1", cells.filter(col("meta").getItem("weight") === "1")),
+        n("os_props", cells),
+        n("os_props_order_limit10", cells
+          .orderBy(col("meta").getItem("weight").desc, col("value").asc)
+          .limit(10).filter(col("meta").getItem("weight") === "4")),
+        n("os_sv0_outE_values_w", sv0.edges().select(col("weight"))),
+        n("os_gid20", g.V().has("pid", 20L).vertices()),
+        n("os_gid20_w0", g.V().has("pid", 20L).has("weight", 0L).vertices()),
+        n("os_w1", g.V().has("weight", 1L).vertices()),
+        n("os_w1_range10", g.V().has("weight", 1L).limit(10).vertices()),
+        n("os_sid", g.V().has("pid", -1L).vertices()),
+        n("os_super_outE_w1", multi.has("weight", 1L).edges()),
+        n("os_super_outE_gte1_lt3",
+          multi.has("weight", P.gte(1L)).has("weight", P.lt(3L)).edges()),
+        n("os_super_outE_between", multi.has("weight", P.between(1L, 3L)).edges()),
+        n("os_super_local_limit10",
+          multi.has("weight", P.between(1L, 3L)).limit(10).edges()),
+        n("os_super_order_limit10", multi.has("weight", P.between(1L, 3L))
+          .orderBy("weight", asc = false).limit(10).edges()),
+        n("os_super_names", multi.properties("names")),
+      ).reduce(_ unionAll _)
+    }),
     // ---- Ghost-vertex removal conformance (OLAPTest.removeGhostVertices:
     //      145-186): a vertex deleted in one transaction but written to by a
     //      stale transaction leaves ghost relations — edges referencing a
@@ -7552,6 +7717,50 @@ object SparkEntry {
         | ('vcn_gt2', 1),
         | ('vcn_hasnot', 2),
         | ('vcn_all_again', 5)
+        |) t(caze, n)""".stripMargin,
+    "q_tp_consistency" ->
+      """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES
+        | ('cm_weight', 1),
+        | ('cm_name_set', 1),
+        | ('cm_value_keep', 1),
+        | ('cm_valuef_fork', 2),
+        | ('cm_es', 1),
+        | ('cm_o2o', 1),
+        | ('cm_o2m', 1),
+        | ('cm_em', 1),
+        | ('cm_emf', 2)
+        |) t(caze, n)""".stripMargin,
+    "q_tp_optstrat" ->
+      """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES
+        | ('os_sv0_outE_w1', 20),
+        | ('os_sv0_outE', 100),
+        | ('os_sv0_out', 100),
+        | ('os_sv0_local_limit10', 10),
+        | ('os_sv0_local_range', 10),
+        | ('os_sv0_order_decr', 100),
+        | ('os_sv0_order_limit10', 10),
+        | ('os_sv0_w1_order', 20),
+        | ('os_sv0_w1_order_limit10', 10),
+        | ('os_sv0_w1w1_range_10_15', 5),
+        | ('os_sv0_inV_is50', 1),
+        | ('os_sv0_otherV_is50', 1),
+        | ('os_sv0_bothE_otherV', 1),
+        | ('os_sv0_bothE_inV', 1),
+        | ('os_props_w1', 20),
+        | ('os_props', 100),
+        | ('os_props_order_limit10', 10),
+        | ('os_sv0_outE_values_w', 100),
+        | ('os_gid20', 1),
+        | ('os_gid20_w0', 1),
+        | ('os_w1', 20),
+        | ('os_w1_range10', 10),
+        | ('os_sid', 10),
+        | ('os_super_outE_w1', 200),
+        | ('os_super_outE_gte1_lt3', 400),
+        | ('os_super_outE_between', 400),
+        | ('os_super_local_limit10', 100),
+        | ('os_super_order_limit10', 100),
+        | ('os_super_names', 1000)
         |) t(caze, n)""".stripMargin,
     "q_tp_ghost" ->
       """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES

@@ -98,6 +98,22 @@ object TimestampedLog {
       Seq(col("__ets").as("_ts"), pts.as("_pts")): _*)
   }
 
+  /** Eventual convergence of a cardinality/multiplicity constraint: keep the
+    * NEWEST row per constraint key — SET dedups on (element, key, value),
+    * SIMPLE on (src,dst,label), ONE2MANY on (dst,label), MANY2ONE on
+    * (src,label). This is the rule the reference applies when concurrent
+    * unlocked writers each satisfy a constraint individually but not
+    * jointly: time-based eventual consistency lets the later commit win
+    * (TitanEventualGraphTest.testConsistencyModifier:263-341 — tx2 wins
+    * every in-place cell, and only FORK-modified relations keep both
+    * writers' copies). The window partitions by the constraint key, so at
+    * scale each group is the constraint's own bounded fan-in. */
+  def collapseNewest(df: DataFrame, keys: Seq[String], tsCol: String = "_ts"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(tsCol).desc, col("id").desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Merge timestamped vertex + edge mutation logs into the graph state they
     * resolve to. Edges whose endpoints resolved dead are dropped (the
     * adjacency dies with the vertex, as in the reference's vertex removal). */

@@ -305,11 +305,16 @@ class StreamMgmtSpec extends AnyFunSuite {
     mgmt.makePropertyKey("score").dataType(org.apache.spark.sql.types.DoubleType).make()
     mgmt.makePropertyKey("tag").cardinality(Cardinality.SET).make()
     mgmt.makeVertexLabel("doc").partition().make()
-    mgmt.makeEdgeLabel("cites").multiplicity(Multiplicity.SIMPLE).sortKey("score").make()
+    // a sort key requires MULTI multiplicity (the reference maker rule,
+    // testSchemaTypes TitanGraphTest.java:536-546) — so 'cites' keeps its
+    // sort key on MULTI and the SIMPLE label is declared without one
+    mgmt.makeEdgeLabel("cites").sortKey("score").make()
+    mgmt.makeEdgeLabel("refutes").multiplicity(Multiplicity.SIMPLE).make()
     val schema = mgmt.commit()
     assert(schema.propertyKey("tag").columnType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
     assert(schema.vertexLabel("doc").partitioned)
-    assert(schema.edgeLabel("cites").multiplicity === Multiplicity.SIMPLE)
+    assert(schema.edgeLabel("cites").sortKey === Seq("score"))
+    assert(schema.edgeLabel("refutes").multiplicity === Multiplicity.SIMPLE)
   }
 
   test("management: index lifecycle state machine") {
