@@ -4478,6 +4478,119 @@ object SparkEntry {
         n("vcn_all_again", vq.edges()),
       ).reduce(_ unionAll _)
     }),
+    // ---- Index-removal lifecycle conformance (testGotGIndexRemoval,
+    //      TitanGraphTest.java:1279-1321): the Graph-of-the-Gods name index
+    //      is ENABLED with exactly one field key; after DISABLE the same
+    //      query still answers (scan fallback, index no longer an access
+    //      path — force-index now rejects); after REMOVE the catalog entry
+    //      is gone and the query still answers. ----
+    "q_tp_index_lifecycle" -> ((s, dir) => {
+      val gods = graft.data.GraphOfTheGods.load(s)
+      import graft.core.{SchemaAction, SchemaStatus}
+      val mgmt = new graft.mgmt.Management(gods.schema)
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      def one(caze: String, v: Long) =
+        s.range(1).select(lit(caze).as("caze"), lit(v).as("n"))
+      val ix = gods.schema.indexes("name")
+      val sane = ix.keys == Seq("name") && ix.composite &&
+        ix.status == SchemaStatus.ENABLED
+      mgmt.updateIndex("name", SchemaAction.DISABLE_INDEX)
+      val disabled = gods.copy(schema = mgmt.current)
+      val forceRejected =
+        try { disabled.V().has("name", "hercules").forceIndex().vertices().count(); 0L }
+        catch { case _: IllegalArgumentException | _: IllegalStateException => 1L }
+      mgmt.updateIndex("name", SchemaAction.REMOVE_INDEX)
+      val removed = gods.copy(schema = mgmt.current)
+      Seq(
+        one("il_sane", if (sane) 1L else 0L),
+        n("il_pre", gods.V().has("name", "hercules").vertices()),
+        n("il_disabled_scan", disabled.V().has("name", "hercules").vertices()),
+        one("il_disabled_force", forceRejected),
+        one("il_removed_gone",
+          if (removed.schema.indexes.contains("name")) 0L else 1L),
+        n("il_removed_scan", removed.V().has("name", "hercules").vertices()),
+      ).reduce(_ unionAll _)
+    }),
+    // ---- IO conformance (TitanIoTest.java:21-50 — GraphSON + Gryo round
+    //      trips of Graph-of-the-Gods with embedded geo shapes, asserted by
+    //      TitanIndexTest.assertGraphOfTheGods:142-150): 12 vertices, 3
+    //      gods, hercules (demigod, age 30, degree 5), and the geo 'place'
+    //      property must survive BOTH interchange formats — the Gryo codec
+    //      grew struct/map frames for exactly this. ----
+    "q_tp_io_gotg" -> ((s, dir) => {
+      import graft.query.Direction
+      val gods = graft.data.GraphOfTheGods.load(s)
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      def checks(g: graft.data.PropertyGraph, pre: String) = {
+        val herc = g.V().has("name", "hercules").dataframe.select(col("id").as("vid"))
+        Seq(
+          n(s"${pre}_numv", g.V().vertices()),
+          n(s"${pre}_gods", g.V().has("~label", "god").vertices()),
+          n(s"${pre}_herc", g.V().has("name", "hercules").has("age", 30)
+            .hasLabel("demigod").vertices()),
+          n(s"${pre}_herc_deg", graft.query.VertexCentricQuery(g)
+            .onFrontier(herc).direction(Direction.BOTH).edges()),
+          n(s"${pre}_geo", g.E().has("place",
+            graft.expr.Geo.geoWithin(graft.expr.Geo.circle(37.97, 23.72, 50))).edges()),
+        )
+      }
+      val p1 = java.nio.file.Files.createTempDirectory("graft-io-gson").toString
+      graft.data.GraphIO.exportJson(gods, p1)
+      val g1 = graft.data.GraphIO.importJson(s, p1)
+      val p2 = java.nio.file.Files.createTempDirectory("graft-io-gryo").toString
+      graft.data.GraphIO.exportGryo(gods, p2)
+      val g2 = graft.data.GraphIO.importGryo(s, p2)
+      (checks(gods, "io_base") ++ checks(g1, "io_gson") ++ checks(g2, "io_gryo"))
+        .reduce(_ unionAll _)
+    }),
+    // ---- Create/delete/update conformance (testCreateDelete,
+    //      TitanGraphTest.java:4578-4620): property remove-and-rewrite on a
+    //      vertex, in-place edge property updates, edge retrieval by
+    //      RelationIdentifier (object AND string form), all surviving
+    //      persistence (clopen ⇒ save+load). ----
+    "q_tp_create_delete" -> ((s, dir) => {
+      import s.implicits._
+      import graft.query.Direction
+      val v = Seq((1L, "v", None: Option[Long]), (3L, "v", Option(445L)))
+        .toDF("id", "label", "uid")
+      val e = Seq(
+        (100L, 3L, 1L, "knows", Option(111L), None: Option[Double]),
+        (101L, 1L, 3L, "friend", None, None)
+      ).toDF("id", "src", "dst", "label", "uid", "weight")
+      val g0 = graft.data.PropertyGraph(graft.core.GraphSchema(), v, e)
+      // remove uid=445, write uid=353; update edge uids/weight in place
+      val g1 = graft.data.GraphIO.applyMutations(g0, addVertices =
+        Some(Seq((3L, "v", Option(353L))).toDF("id", "label", "uid")))
+      val g2 = graft.data.GraphIO.updateEdges(g1, Seq(
+        (100L, 3L, 1L, "knows", Option(222L), None: Option[Double]),
+        (101L, 1L, 3L, "friend", Option(1L), Option(2.0))
+      ).toDF("id", "src", "dst", "label", "uid", "weight"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cd").toString
+      graft.data.GraphIO.save(g2, tmp)
+      val g3 = graft.data.GraphIO.load(s, tmp)
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      def knowsOf(g: graft.data.PropertyGraph) =
+        graft.query.VertexCentricQuery(g).onVertices(3L)
+          .direction(Direction.OUT).labels("knows").edges()
+      val rid = graft.data.RelationIdentifier.parse("100-3-knows-1")
+      Seq(
+        n("cd_euid111", knowsOf(g0).filter(col("uid") === 111L)),
+        n("cd_eid_obj", graft.data.RelationIdentifier.lookup(g0,
+          graft.data.RelationIdentifier(100L, 3L, "knows", Some(1L)))),
+        n("cd_eid_str", graft.data.RelationIdentifier.lookup(g0, rid)),
+        n("cd_v3_353", g2.V().has("uid", 353L).vertices()),
+        n("cd_v3_445_gone", g2.V().has("uid", 445L).vertices()),
+        n("cd_e_222", knowsOf(g2).filter(col("uid") === 222L)),
+        n("cd_e2_upd", graft.query.VertexCentricQuery(g2).onVertices(1L)
+          .direction(Direction.OUT).labels("friend").edges()
+          .filter(col("uid") === 1L && col("weight") === 2.0)),
+        n("cd2_v3_353", g3.V().has("uid", 353L).vertices()),
+        n("cd2_e_222", knowsOf(g3).filter(col("uid") === 222L)),
+      ).reduce(_ unionAll _)
+    }),
     // ---- Consistency-modifier conformance (TitanEventualGraphTest
     //      .testConsistencyModifier:263-341): two unlocked concurrent
     //      transactions (sig 10 @ts200, sig 20 @ts300) update the same
@@ -7717,6 +7830,28 @@ object SparkEntry {
         | ('vcn_gt2', 1),
         | ('vcn_hasnot', 2),
         | ('vcn_all_again', 5)
+        |) t(caze, n)""".stripMargin,
+    "q_tp_index_lifecycle" ->
+      """SELECT caze, CAST(1 AS BIGINT) AS n FROM (VALUES
+        | ('il_sane'), ('il_pre'), ('il_disabled_scan'), ('il_disabled_force'),
+        | ('il_removed_gone'), ('il_removed_scan')
+        |) t(caze)""".stripMargin,
+    "q_tp_io_gotg" ->
+      """SELECT pre || '_' || caze AS caze, CAST(n AS BIGINT) AS n
+        |FROM (VALUES ('io_base'), ('io_gson'), ('io_gryo')) p(pre)
+        |CROSS JOIN (VALUES ('numv', 12), ('gods', 3), ('herc', 1),
+        |  ('herc_deg', 5), ('geo', 2)) c(caze, n)""".stripMargin,
+    "q_tp_create_delete" ->
+      """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES
+        | ('cd_euid111', 1),
+        | ('cd_eid_obj', 1),
+        | ('cd_eid_str', 1),
+        | ('cd_v3_353', 1),
+        | ('cd_v3_445_gone', 0),
+        | ('cd_e_222', 1),
+        | ('cd_e2_upd', 1),
+        | ('cd2_v3_353', 1),
+        | ('cd2_e_222', 1)
         |) t(caze, n)""".stripMargin,
     "q_tp_consistency" ->
       """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES

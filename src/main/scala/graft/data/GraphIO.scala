@@ -516,10 +516,26 @@ object GraphIO {
       case x: java.sql.Timestamp =>
         out.writeByte(9); out.writeLong(x.getTime); out.writeInt(x.getNanos)
       case x: java.math.BigDecimal => out.writeByte(10); out.writeUTF(x.toString)
-      case x: Seq[_] =>
+      // collection.Seq, not the immutable default alias: Spark rows surface
+      // array cells as mutable.ArraySeq, which the bare `Seq` misses on 2.13
+      case x: scala.collection.Seq[_] =>
         out.writeByte(11); out.writeInt(x.length); x.foreach(write(out, _))
       case x: Short => out.writeByte(12); out.writeShort(x)
       case x: Byte => out.writeByte(13); out.writeByte(x)
+      // struct cells (geo shapes, multi-property cells) — the reference
+      // registers Geoshape serializers with both interchange formats
+      // (TitanIoTest.testGeoShapeSerializationReadWriteAsGryo) and this
+      // codec must not lose them either; field names come from the
+      // persisted frame schema, so positions suffice
+      case x: org.apache.spark.sql.Row =>
+        out.writeByte(14); out.writeInt(x.length)
+        var i = 0
+        while (i < x.length) {
+          write(out, if (x.isNullAt(i)) null else x.get(i)); i += 1
+        }
+      case x: scala.collection.Map[_, _] =>
+        out.writeByte(15); out.writeInt(x.size)
+        x.foreach { case (k, v) => write(out, k); write(out, v) }
       case other => throw new IllegalArgumentException(
         s"gryo frame: unsupported value class ${other.getClass.getName}")
     }
@@ -542,6 +558,8 @@ object GraphIO {
       case 11 => IndexedSeq.fill(in.readInt())(read(in))
       case 12 => in.readShort()
       case 13 => in.readByte()
+      case 14 => org.apache.spark.sql.Row.fromSeq(IndexedSeq.fill(in.readInt())(read(in)))
+      case 15 => IndexedSeq.fill(in.readInt())((read(in), read(in))).toMap
       case t => throw new IllegalStateException(s"gryo frame: unknown type tag $t")
     }
   }

@@ -148,6 +148,62 @@ class SchemaConformanceSpec extends AnyFunSuite {
     assert(ok.edges.filter(col("label") === "friend").count() == 3)
   }
 
+  test("index uniqueness: label-scoped and multi-key (testIndexUniqueness:4220-4282)") {
+    import org.apache.spark.sql.types.LongType
+    val schema = GraphSchema()
+      .withPropertyKey(PropertyKeyDef("time", LongType))
+      .withPropertyKey(PropertyKeyDef("text", StringType))
+      .withVertexLabel(VertexLabelDef("person"))
+      .withVertexLabel(VertexLabelDef("organization"))
+      .withIndex(IndexDef("vindex1", ElementCategory.VERTEX, Seq("time"),
+        unique = true, onlyLabel = Some("person")))
+      .withIndex(IndexDef("vindex2", ElementCategory.VERTEX, Seq("time", "text"),
+        unique = true))
+    val noV = Seq.empty[(Long, String, Option[Long], Option[String])]
+      .toDF("id", "label", "time", "text")
+    val noE = spark.range(0).select(col("id"), col("id").as("src"),
+      col("id").as("dst"), lit("x").as("label"))
+    val base = PropertyGraph(schema, noV, noE)
+    def vrow(id: Long, lbl: String, time: Long, text: Option[String] = None) =
+      (id, lbl, Option(time), text)
+    // Ia: same-transaction violation — two persons at time=1 in one batch
+    val ia = intercept[IllegalArgumentException] {
+      GraphIO.applyMutations(base, addVertices =
+        Some(Seq(vrow(1L, "person", 1L), vrow(2L, "person", 1L))
+          .toDF("id", "label", "time", "text")))
+    }
+    assert(ia.getMessage.contains("vindex1"))
+    // Ib: cross-transaction violation — a person at time=1 already committed
+    val g1 = GraphIO.applyMutations(base, addVertices =
+      Some(Seq(vrow(1L, "person", 1L)).toDF("id", "label", "time", "text")))
+    val ib = intercept[IllegalArgumentException] {
+      GraphIO.applyMutations(g1, addVertices =
+        Some(Seq(vrow(2L, "person", 1L)).toDF("id", "label", "time", "text")))
+    }
+    assert(ib.getMessage.contains("vindex1"))
+    // Ic: a different label at the same time is fine (vindex1 is person-scoped)
+    val g2 = GraphIO.applyMutations(g1, addVertices =
+      Some(Seq(vrow(2L, "organization", 1L)).toDF("id", "label", "time", "text")))
+    assert(g2.vertices.count() == 2)
+    // IIa: multi-key same-transaction violation
+    val iia = intercept[IllegalArgumentException] {
+      GraphIO.applyMutations(g2, addVertices =
+        Some(Seq(vrow(3L, "person", 2L, Some("hello")),
+          vrow(4L, "person", 2L, Some("hello"))).toDF("id", "label", "time", "text")))
+    }
+    assert(iia.getMessage.contains("vindex2"))
+    // IIb: multi-key cross-transaction violation
+    val g3 = GraphIO.applyMutations(g2, addVertices =
+      Some(Seq(vrow(3L, "organization", 2L, Some("hello")))
+        .toDF("id", "label", "time", "text")))
+    val iib = intercept[IllegalArgumentException] {
+      GraphIO.applyMutations(g3, addVertices =
+        Some(Seq(vrow(4L, "organization", 2L, Some("hello")))
+          .toDF("id", "label", "time", "text")))
+    }
+    assert(iib.getMessage.contains("vindex2"))
+  }
+
   test("query semantics over the schema fixture (testSchemaTypes:813-836)") {
     import graft.query.Direction
     val g = dataGraph
