@@ -148,6 +148,27 @@ class SchemaConformanceSpec extends AnyFunSuite {
     assert(ok.edges.filter(col("label") === "friend").count() == 3)
   }
 
+  test("reserved names rejected for all three makers (ManagementTest.java:19-75)") {
+    val illegal = Seq("~key", "~value", "~id", "~nid", "~label", "~adjacent",
+      "~timestamp", "~ttl", "~visibility",
+      "key", "vertex", "edge", "element", "property", "label",
+      "~T$VertexExists", "~T$SchemaName", "~T$SchemaDefinitionProperty",
+      "~T$SchemaCategory", "~T$SchemaDefinitionDescription",
+      "~T$SchemaUpdateTimestamp", "~T$SchemaRelated", "~T$VertexLabel")
+    for (s <- illegal) {
+      val mgmt = new graft.mgmt.Management(GraphSchema())
+      intercept[IllegalArgumentException](mgmt.makePropertyKey(s))
+      intercept[IllegalArgumentException](mgmt.makeEdgeLabel(s))
+      intercept[IllegalArgumentException](mgmt.makeVertexLabel(s))
+    }
+    // sane names still pass every maker
+    val mgmt = new graft.mgmt.Management(GraphSchema())
+    mgmt.makePropertyKey("name").make()
+    mgmt.makeEdgeLabel("knows").make()
+    mgmt.makeVertexLabel("person").make()
+    assert(mgmt.current.propertyKeys.contains("name"))
+  }
+
   test("index uniqueness: label-scoped and multi-key (testIndexUniqueness:4220-4282)") {
     import org.apache.spark.sql.types.LongType
     val schema = GraphSchema()
