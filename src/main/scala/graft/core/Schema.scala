@@ -186,6 +186,12 @@ final case class GraphSchema(
 
   def withPropertyKey(k: PropertyKeyDef): GraphSchema = {
     require(!propertyKeys.contains(k.name), s"property key '${k.name}' already defined (types are immutable once created)")
+    // FORK cannot apply to constrained types (ManagementSystem.java:
+    // 1095-1096, pinned by testConsistencyEnforcement:2352-2358): forking
+    // sidesteps exactly the lock a constrained cardinality needs — only
+    // LIST (unconstrained) keys may fork
+    require(k.consistency != ConsistencyModifier.FORK || k.cardinality == Cardinality.LIST,
+      s"property key '${k.name}': FORK does not apply to constrained cardinality ${k.cardinality}")
     copy(propertyKeys = propertyKeys + (k.name -> k))
   }
   def withEdgeLabel(l: EdgeLabelDef): GraphSchema = {
@@ -201,6 +207,11 @@ final case class GraphSchema(
         l.sortKey.intersect(l.signature).mkString("{", ",", "}"))
     require(l.sortKey.isEmpty || l.multiplicity == Multiplicity.MULTI,
       s"edge label '${l.name}': sort key requires MULTI multiplicity, got ${l.multiplicity}")
+    // FORK cannot apply to constrained multiplicities (ManagementSystem
+    // .java:1095-1096): the fork would duplicate a relation the constraint
+    // says is unique
+    require(l.consistency != ConsistencyModifier.FORK || l.multiplicity == Multiplicity.MULTI,
+      s"edge label '${l.name}': FORK does not apply to constrained multiplicity ${l.multiplicity}")
     copy(edgeLabels = edgeLabels + (l.name -> l))
   }
   def withVertexLabel(l: VertexLabelDef): GraphSchema = {

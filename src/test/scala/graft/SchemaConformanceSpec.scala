@@ -96,6 +96,19 @@ class SchemaConformanceSpec extends AnyFunSuite {
     // signature/sort keys must pre-exist as property keys
     intercept[NoSuchElementException](s.withEdgeLabel(
       EdgeLabelDef("test", signature = Seq("nosuchkey"))))
+    // FORK does not apply to constrained types
+    // (testConsistencyEnforcement:2352-2358; ManagementSystem.java:1095)
+    intercept[IllegalArgumentException](s.withPropertyKey(
+      PropertyKeyDef("single_fork", StringType,
+        consistency = ConsistencyModifier.FORK)))
+    intercept[IllegalArgumentException](s.withEdgeLabel(
+      EdgeLabelDef("o2o_fork", Multiplicity.ONE2ONE,
+        consistency = ConsistencyModifier.FORK)))
+    // ...but unconstrained types may fork
+    s.withPropertyKey(PropertyKeyDef("listy", DoubleType, Cardinality.LIST,
+      consistency = ConsistencyModifier.FORK))
+    s.withEdgeLabel(EdgeLabelDef("multi_fork",
+      consistency = ConsistencyModifier.FORK))
   }
 
   /** The testSchemaTypes data fixture (TitanGraphTest.java:713-742):
@@ -223,6 +236,33 @@ class SchemaConformanceSpec extends AnyFunSuite {
           .toDF("id", "label", "time", "text")))
     }
     assert(iib.getMessage.contains("vindex2"))
+  }
+
+  test("open-instance registry: list with (current), force-close rules " +
+      "(TitanGraphTest:1611-1622; ManagementSystem.java:177-202)") {
+    val store = java.nio.file.Files.createTempDirectory("graft-instances").toString
+    val r1 = graft.mgmt.InstanceRegistry.open(store, "instance-one")
+    val r2 = graft.mgmt.InstanceRegistry.open(store, "instance-two")
+    val open = r1.getOpenInstances()
+    assert(open.size == 2)
+    assert(open.contains("instance-one" + graft.mgmt.InstanceRegistry.CurrentSuffix))
+    assert(open.contains("instance-two"))
+    // cannot force-close the current instance
+    intercept[IllegalArgumentException](r1.forceCloseInstance("instance-one"))
+    // unknown instances are rejected
+    intercept[IllegalArgumentException](r1.forceCloseInstance("nope"))
+    // an instance registered AFTER this handle opened cannot be closed
+    // (indicates a successful restart) — r3 registers after r1's view
+    Thread.sleep(5)
+    val r3 = graft.mgmt.InstanceRegistry.open(store, "instance-three")
+    // r1 opened before r3 registered, so r1 may not reap it...
+    intercept[IllegalArgumentException](r1.forceCloseInstance("instance-three"))
+    // ...but r3 (newest handle) can reap the stale instance-two
+    r3.forceCloseInstance("instance-two")
+    assert(!r3.getOpenInstances().contains("instance-two"))
+    r3.close(); r1.close()
+    assert(graft.mgmt.InstanceRegistry.open(store, "probe").getOpenInstances()
+      == Set("probe" + graft.mgmt.InstanceRegistry.CurrentSuffix))
   }
 
   test("query semantics over the schema fixture (testSchemaTypes:813-836)") {
