@@ -4478,6 +4478,70 @@ object SparkEntry {
         n("vcn_all_again", vq.edges()),
       ).reduce(_ unionAll _)
     }),
+    // ---- Collection-indexing conformance (TitanIndexTest.testListIndexing
+    //      + testSetIndexing + testCollection:1643-1755): has(key, value) on
+    //      a SET/LIST-cardinality key matches when SOME property element
+    //      satisfies the predicate — the full reference arc: add one cell
+    //      at a time (query by either value hits), remove one cell (its
+    //      value stops matching, the other still hits), re-add, duplicate
+    //      (LIST keeps 3 cells, SET collapses to 2), two-at-once on a fresh
+    //      vertex, and a geo WITHIN over collection cells. Also
+    //      testContainsWithMultipleValues:1541-1556 (multi-token CONTAINS
+    //      over one text value) and element-existence on empty collections. ----
+    "q_tp_collection" -> ((s, dir) => {
+      import graft.data.MultiProperties
+      val noEdges = s.range(0).select(col("id"), col("id").as("src"),
+        col("id").as("dst"), lit("x").as("label"))
+      val c1 = MultiProperties.cell(lit("Totoro"))
+      val c2 = MultiProperties.cell(lit("Hiro"))
+      def gOf(cells: Column) = graft.data.PropertyGraph(graft.core.GraphSchema(),
+        s.range(1).select(lit(1L).as("id"), lit("v").as("label"), cells.as("name")),
+        noEdges)
+      val s1 = array(c1)
+      val s2 = MultiProperties.addValueList(s1, c2)
+      val s3 = filter(s2, x => x.getField("value") =!= "Totoro")
+      val s4 = MultiProperties.addValueList(s3, c1)
+      val s5l = MultiProperties.addValueList(s4, c1) // LIST: duplicate kept
+      val s5s = MultiProperties.addValueSet(s4, c1)  // SET: duplicate collapses
+      val s6 = array(c1, c2)
+      val empty = array().cast("array<struct<value:string,meta:map<string,string>>>")
+      // geo cells: two point shapes under one collection key
+      val geoG = graft.data.PropertyGraph(graft.core.GraphSchema(),
+        s.range(1).select(lit(1L).as("id"), lit("v").as("label"),
+          array(graft.expr.Geo.point(1.0, 1.0), graft.expr.Geo.point(2.0, 2.0)).as("geo")),
+        noEdges)
+      // multi-token CONTAINS over a single text value
+      val textG = graft.data.PropertyGraph(graft.core.GraphSchema(),
+        s.range(1).select(lit(1L).as("id"), lit("v").as("label"),
+          lit("hercules was here").as("name")), noEdges)
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      def cells(g: graft.data.PropertyGraph) =
+        graft.query.VertexCentricQuery(g).onVertices(1L).propertyCount("name")
+      Seq(
+        n("col_s1_v1", gOf(s1).V().has("name", "Totoro").vertices()),
+        n("col_s2_v1", gOf(s2).V().has("name", "Totoro").vertices()),
+        n("col_s2_v2", gOf(s2).V().has("name", "Hiro").vertices()),
+        n("col_s3_v1", gOf(s3).V().has("name", "Totoro").vertices()),
+        n("col_s3_v2", gOf(s3).V().has("name", "Hiro").vertices()),
+        n("col_s4_v1", gOf(s4).V().has("name", "Totoro").vertices()),
+        n("col_s4_v2", gOf(s4).V().has("name", "Hiro").vertices()),
+        n("col_s5_list_cells", cells(gOf(s5l)).filter(col("count") === 3L)),
+        n("col_s5_set_cells", cells(gOf(s5s)).filter(col("count") === 2L)),
+        n("col_s6_v1", gOf(s6).V().has("name", "Totoro").vertices()),
+        n("col_s6_v2", gOf(s6).V().has("name", "Hiro").vertices()),
+        n("col_empty_has", gOf(empty).V().has("name").vertices()),
+        n("col_empty_hasnot", gOf(empty).V().hasNot("name").vertices()),
+        n("col_geo_p1", geoG.V().has("geo",
+          graft.expr.Geo.geoWithin(graft.expr.Geo.circle(1.0, 1.0, 12.0))).vertices()),
+        n("col_geo_p2", geoG.V().has("geo",
+          graft.expr.Geo.geoWithin(graft.expr.Geo.circle(2.0, 2.0, 12.0))).vertices()),
+        n("col_geo_miss", geoG.V().has("geo",
+          graft.expr.Geo.geoWithin(graft.expr.Geo.circle(40.0, 40.0, 12.0))).vertices()),
+        n("col_text_multi", textG.V()
+          .has("name", P.textContains("hercules here")).vertices()),
+      ).reduce(_ unionAll _)
+    }),
     // ---- Index-removal lifecycle conformance (testGotGIndexRemoval,
     //      TitanGraphTest.java:1279-1321): the Graph-of-the-Gods name index
     //      is ENABLED with exactly one field key; after DISABLE the same
@@ -7830,6 +7894,26 @@ object SparkEntry {
         | ('vcn_gt2', 1),
         | ('vcn_hasnot', 2),
         | ('vcn_all_again', 5)
+        |) t(caze, n)""".stripMargin,
+    "q_tp_collection" ->
+      """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES
+        | ('col_s1_v1', 1),
+        | ('col_s2_v1', 1),
+        | ('col_s2_v2', 1),
+        | ('col_s3_v1', 0),
+        | ('col_s3_v2', 1),
+        | ('col_s4_v1', 1),
+        | ('col_s4_v2', 1),
+        | ('col_s5_list_cells', 1),
+        | ('col_s5_set_cells', 1),
+        | ('col_s6_v1', 1),
+        | ('col_s6_v2', 1),
+        | ('col_empty_has', 0),
+        | ('col_empty_hasnot', 1),
+        | ('col_geo_p1', 1),
+        | ('col_geo_p2', 1),
+        | ('col_geo_miss', 0),
+        | ('col_text_multi', 1)
         |) t(caze, n)""".stripMargin,
     "q_tp_index_lifecycle" ->
       """SELECT caze, CAST(1 AS BIGINT) AS n FROM (VALUES

@@ -69,14 +69,26 @@ object TimestampedLog {
     val carry: Seq[Column] =
       (if (isVertex) Seq.empty[Column] else Seq(identAgg("src"), identAgg("dst"))) :+
         identAgg("label")
+    // An element-CREATING put carries the element identity (label); a
+    // cell-only mutation (null label) updates property cells but does NOT
+    // write the exists cell — so it cannot resurrect a deleted element.
+    // This is the reference's VertexExists-cell semantics, pinned by
+    // TitanIndexTest.testDeleteVertexThen{Delete,Add,Modify}Property
+    // (:1487-1511 via testNestedWrites): a concurrent property writer
+    // committing AFTER the vertex deleter leaves the vertex dead and the
+    // index empty.
+    val isCreate = isPut && col("label").isNotNull
     val aggs: Seq[Column] =
       Seq(max(when(isPut, col("_ts"))).as("__ets"),
+        max(when(isCreate, col("_ts"))).as("__cts"),
         max(when(col("_op") === "del", col("_ts"))).as("__dts")) ++
         carry ++ propCols.map(cellAgg)
     val resolved = log.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-    // element exists iff a put is strictly newer than the newest tombstone
-    val alive = resolved.filter(col("__ets").isNotNull &&
-      (col("__dts").isNull || col("__ets") > col("__dts")))
+    // element exists iff a CREATION put is strictly newer than the newest
+    // tombstone; `_ts` (the element's last write time) still reflects the
+    // newest put of any kind
+    val alive = resolved.filter(col("__cts").isNotNull &&
+      (col("__dts").isNull || col("__cts") > col("__dts")))
     def cellLive(k: String): Column = {
       val w = col(s"__w_$k")
       w.isNotNull && !w.getField("d") &&

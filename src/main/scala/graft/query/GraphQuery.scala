@@ -43,25 +43,70 @@ final case class GraphQuery(
     else if (graft.expr.ImplicitKeys.columnDefined(target, key)) col(key)
     else lit(null)
 
+  /** The resolved column type of a non-implicit key, honoring the analyzer's
+    * case rule. None for implicit/undefined keys. */
+  private def colType(key: String): Option[org.apache.spark.sql.types.DataType] =
+    if (graft.expr.ImplicitKeys.isImplicit(key)) None
+    else {
+      val cs = graph.spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+      target.schema.fields
+        .find(f => if (cs) f.name == key else f.name.equalsIgnoreCase(key))
+        .map(_.dataType)
+    }
+
+  /** Apply a predicate with the reference's SET/LIST semantics: on a
+    * collection-cardinality key the condition holds when SOME property
+    * element satisfies it (the reference evaluates TitanPredicates per
+    * property element — TitanIndexTest.testCollection:1685-1755 pins
+    * has(key, value1) matching a vertex whose LIST also holds value2).
+    * Multi-property cells (`struct<value, meta>`) compare on the value. */
+  private def cellPred(key: String, p: P): Column = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    colType(key) match {
+      case Some(ArrayType(st: StructType, _)) if st.fieldNames.contains("value") =>
+        coalesce(exists(keyCol(key), x => p.apply(x.getField("value"))), lit(false))
+      case Some(ArrayType(_, _)) =>
+        coalesce(exists(keyCol(key), x => p.apply(x)), lit(false))
+      case _ => p.apply(keyCol(key))
+    }
+  }
+
+  private def isCollection(key: String): Boolean = colType(key) match {
+    case Some(_: org.apache.spark.sql.types.ArrayType) => true
+    case _ => false
+  }
+
   /** has(key, value) — Cmp.EQUAL; has(key, null) ≡ hasNot(key)
     * (GraphCentricQueryBuilder.java:109-116). */
   def has(key: String, value: Any): GraphQuery =
-    copy(conds = conds :+ P.eq(value).apply(keyCol(key)),
-      eqPairs = if (value == null || graft.expr.ImplicitKeys.isImplicit(key)) eqPairs
+    copy(conds = conds :+ cellPred(key, P.eq(value)),
+      // collection keys never register for composite-index point lookup:
+      // the materialized index table holds the raw array column, so the
+      // semi-join's whole-array equality would MISS cell matches
+      eqPairs = if (value == null || graft.expr.ImplicitKeys.isImplicit(key) ||
+                    isCollection(key)) eqPairs
                 else eqPairs + (key -> value))
 
   /** has(key, predicate) — arbitrary TitanPredicate analogue. textContains
     * predicates additionally register for mixed-index selection. */
   def has(key: String, p: P): GraphQuery = copy(
-    conds = conds :+ p.apply(keyCol(key)),
+    conds = conds :+ cellPred(key, p),
     textPairs =
-      if (p.op == "textContains" && !graft.expr.ImplicitKeys.isImplicit(key))
+      if (p.op == "textContains" && !graft.expr.ImplicitKeys.isImplicit(key) &&
+          !isCollection(key))
         textPairs + (key -> String.valueOf(p.operand))
       else textPairs)
 
-  /** has(key) — existence (GraphCentricQueryBuilder.java:99-106). */
-  def has(key: String): GraphQuery = copy(conds = conds :+ keyCol(key).isNotNull)
-  def hasNot(key: String): GraphQuery = copy(conds = conds :+ keyCol(key).isNull)
+  /** has(key) — existence of a property ELEMENT (GraphCentricQueryBuilder
+    * .java:99-106); an empty collection has none. */
+  def has(key: String): GraphQuery =
+    copy(conds = conds :+ (if (isCollection(key))
+      keyCol(key).isNotNull && size(keyCol(key)) > 0
+    else keyCol(key).isNotNull))
+  def hasNot(key: String): GraphQuery =
+    copy(conds = conds :+ (if (isCollection(key))
+      keyCol(key).isNull || size(keyCol(key)) === 0
+    else keyCol(key).isNull))
   def hasNot(key: String, value: Any): GraphQuery = has(key, P.neq(value))
 
   def hasLabel(labels: String*): GraphQuery =

@@ -64,6 +64,20 @@ class TimestampedLogSpec extends AnyFunSuite {
     assert(g.edges.select("id").as[Long].collect().toSeq == Seq(11L))
   }
 
+  test("cell-only write after the tombstone does NOT resurrect the element " +
+      "(testDeleteVertexThenModifyProperty, TitanIndexTest:1487-1511)") {
+    // vertexDeleter commits @200; propDeleter commits @201 writing only the
+    // property cell — the vertex must stay dead and has(foo) stay empty
+    val vlog = Seq(
+      (1L, Option("v"), 100L, "put", None: Option[Seq[String]], Option("bar")),
+      (1L, None, 200L, "del", None, None),
+      (1L, None, 201L, "put", None, Option("changed")) // cell-only: no label
+    ).toDF("id", "label", "_ts", "_op", "_dels", "foo")
+    val g = TimestampedLog.resolve(vlog, noEdges)
+    assert(g.vertices.count() == 0)
+    assert(g.V().has("foo").vertices().count() == 0)
+  }
+
   test("collapseNewest keeps exactly the newest row per constraint key") {
     val df = Seq(
       (1L, "a", 100L), (2L, "a", 300L), (3L, "a", 200L),
