@@ -4540,6 +4540,11 @@ object SparkEntry {
           graft.expr.Geo.geoWithin(graft.expr.Geo.circle(40.0, 40.0, 12.0))).vertices()),
         n("col_text_multi", textG.V()
           .has("name", P.textContains("hercules here")).vertices()),
+        // Gremlin surface shares the per-element branch
+        n("col_trav_v1", gOf(s6).traversal.V().has("name", "Totoro").toDF),
+        n("col_trav_v2", gOf(s6).traversal.V().has("name", "Hiro").toDF),
+        n("col_trav_miss", gOf(s6).traversal.V().has("name", "Mei").toDF),
+        n("col_trav_hasnot", gOf(empty).traversal.V().hasNot("name").toDF),
       ).reduce(_ unionAll _)
     }),
     // ---- Index-removal lifecycle conformance (testGotGIndexRemoval,
@@ -7913,7 +7918,11 @@ object SparkEntry {
         | ('col_geo_p1', 1),
         | ('col_geo_p2', 1),
         | ('col_geo_miss', 0),
-        | ('col_text_multi', 1)
+        | ('col_text_multi', 1),
+        | ('col_trav_v1', 1),
+        | ('col_trav_v2', 1),
+        | ('col_trav_miss', 0),
+        | ('col_trav_hasnot', 1)
         |) t(caze, n)""".stripMargin,
     "q_tp_index_lifecycle" ->
       """SELECT caze, CAST(1 AS BIGINT) AS n FROM (VALUES

@@ -35,6 +35,49 @@ object ImplicitKeys {
     else df.columns.exists(_.equalsIgnoreCase(key))
   }
 
+  /** Resolved column type of `key` over `df` under the analyzer's case rule. */
+  def resolvedType(df: DataFrame, key: String): Option[org.apache.spark.sql.types.DataType] = {
+    val cs = df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    df.schema.fields
+      .find(f => if (cs) f.name == key else f.name.equalsIgnoreCase(key))
+      .map(_.dataType)
+  }
+
+  /** Is `key` a SET/LIST-cardinality (collection) property over this frame?
+    * The catalog decides when the key is declared — a SINGLE-cardinality key
+    * whose DATA TYPE is an array (byte[]/int[] custom attributes,
+    * testArrayEqualityUsingImplicitKey) compares whole-value, not
+    * per-element. Undeclared array-typed columns default to collection
+    * (LIST/SET is why element frames carry arrays). */
+  def isCollectionKey(schema: GraphSchema, df: DataFrame, key: String): Boolean =
+    if (isImplicit(key)) false
+    else schema.propertyKeys.get(key) match {
+      case Some(k) => k.cardinality != graft.core.Cardinality.SINGLE
+      case None => resolvedType(df, key) match {
+        case Some(_: org.apache.spark.sql.types.ArrayType) => true
+        case _ => false
+      }
+    }
+
+  /** Apply a predicate with the reference's SET/LIST semantics: on a
+    * collection key the condition holds when SOME property element satisfies
+    * it (TitanPredicates evaluate per property element —
+    * TitanIndexTest.testCollection:1685-1755). Multi-property cells
+    * (`struct<value, meta>`) compare on the value field. `keyC` is the
+    * already-resolved key column (implicit/undefined handling upstream). */
+  def cellPredicate(schema: GraphSchema, df: DataFrame, key: String,
+      keyC: Column, p: Column => Column): Column = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    if (!isCollectionKey(schema, df, key)) p(keyC)
+    else resolvedType(df, key) match {
+      case Some(ArrayType(st: StructType, _)) if st.fieldNames.contains("value") =>
+        coalesce(exists(keyC, x => p(x.getField("value"))), lit(false))
+      case Some(ArrayType(_, _)) =>
+        coalesce(exists(keyC, x => p(x)), lit(false))
+      case _ => p(keyC)
+    }
+  }
+
   /** Resolve an implicit key to a Column over an element frame. */
   def resolve(schema: GraphSchema, df: DataFrame, key: String,
       isVertex: Boolean): Column = key match {

@@ -43,38 +43,16 @@ final case class GraphQuery(
     else if (graft.expr.ImplicitKeys.columnDefined(target, key)) col(key)
     else lit(null)
 
-  /** The resolved column type of a non-implicit key, honoring the analyzer's
-    * case rule. None for implicit/undefined keys. */
-  private def colType(key: String): Option[org.apache.spark.sql.types.DataType] =
-    if (graft.expr.ImplicitKeys.isImplicit(key)) None
-    else {
-      val cs = graph.spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
-      target.schema.fields
-        .find(f => if (cs) f.name == key else f.name.equalsIgnoreCase(key))
-        .map(_.dataType)
-    }
+  /** SET/LIST predicate semantics — shared with the traversal surface
+    * (ImplicitKeys.cellPredicate): on a collection key the condition holds
+    * when SOME property element satisfies it; the catalog's cardinality
+    * disambiguates array-valued SINGLE keys (whole-value equality). */
+  private def cellPred(key: String, p: P): Column =
+    graft.expr.ImplicitKeys.cellPredicate(graph.schema, target, key,
+      keyCol(key), p.apply)
 
-  /** Apply a predicate with the reference's SET/LIST semantics: on a
-    * collection-cardinality key the condition holds when SOME property
-    * element satisfies it (the reference evaluates TitanPredicates per
-    * property element — TitanIndexTest.testCollection:1685-1755 pins
-    * has(key, value1) matching a vertex whose LIST also holds value2).
-    * Multi-property cells (`struct<value, meta>`) compare on the value. */
-  private def cellPred(key: String, p: P): Column = {
-    import org.apache.spark.sql.types.{ArrayType, StructType}
-    colType(key) match {
-      case Some(ArrayType(st: StructType, _)) if st.fieldNames.contains("value") =>
-        coalesce(exists(keyCol(key), x => p.apply(x.getField("value"))), lit(false))
-      case Some(ArrayType(_, _)) =>
-        coalesce(exists(keyCol(key), x => p.apply(x)), lit(false))
-      case _ => p.apply(keyCol(key))
-    }
-  }
-
-  private def isCollection(key: String): Boolean = colType(key) match {
-    case Some(_: org.apache.spark.sql.types.ArrayType) => true
-    case _ => false
-  }
+  private def isCollection(key: String): Boolean =
+    graft.expr.ImplicitKeys.isCollectionKey(graph.schema, target, key)
 
   /** has(key, value) — Cmp.EQUAL; has(key, null) ≡ hasNot(key)
     * (GraphCentricQueryBuilder.java:109-116). */

@@ -77,9 +77,19 @@ final case class Traversal(
     else if (graft.expr.ImplicitKeys.columnDefined(df, key)) col(key)
     else lit(null)
   def has(key: String, value: Any): Traversal = has(key, P.eq(value))
-  def has(key: String, p: P): Traversal = copy(df = df.filter(p.apply(keyCol(key))))
-  def has(key: String): Traversal = copy(df = df.filter(keyCol(key).isNotNull))
-  def hasNot(key: String): Traversal = copy(df = df.filter(keyCol(key).isNull))
+  /** Per-element semantics on SET/LIST-cardinality keys, same branch as the
+    * graph-centric builder (ImplicitKeys.cellPredicate — TitanPredicates
+    * evaluate per property element). */
+  def has(key: String, p: P): Traversal = copy(df = df.filter(
+    graft.expr.ImplicitKeys.cellPredicate(graph.schema, df, key, keyCol(key), p.apply)))
+  def has(key: String): Traversal = copy(df = df.filter(
+    if (graft.expr.ImplicitKeys.isCollectionKey(graph.schema, df, key))
+      keyCol(key).isNotNull && F.size(keyCol(key)) > 0
+    else keyCol(key).isNotNull))
+  def hasNot(key: String): Traversal = copy(df = df.filter(
+    if (graft.expr.ImplicitKeys.isCollectionKey(graph.schema, df, key))
+      keyCol(key).isNull || F.size(keyCol(key)) === 0
+    else keyCol(key).isNull))
   def hasLabel(ls: String*): Traversal = {
     val filtered = if (ls.size == 1) df.filter(col("label") === ls.head)
                    else df.filter(col("label").isin(ls: _*))
