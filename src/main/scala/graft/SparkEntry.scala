@@ -4478,6 +4478,73 @@ object SparkEntry {
         n("vcn_all_again", vq.edges()),
       ).reduce(_ unionAll _)
     }),
+    // ---- TTL × mixed-index conformance (TitanIndexTest
+    //      .testVertexTTLWithMixedIndices:1325-1396 +
+    //      testEdgeTTLWithMixedIndices:1398-1486): TTL'd elements answer
+    //      index-backed queries before expiry and disappear from them after
+    //      — including through a STALE index table built pre-expiry: the
+    //      access-path semi-join lands on the TTL-filtered base, so an index
+    //      can change the access path but never resurrect expired elements. ----
+    "q_tp_ttl_index" -> ((s, dir) => {
+      import s.implicits._
+      import graft.core._
+      val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      def ts(ms: Long) = java.sql.Timestamp.from(t0.plusMillis(ms))
+      val vSchema = GraphSchema(
+        propertyKeys = Map(
+          "name" -> PropertyKeyDef("name", StringType),
+          "text" -> PropertyKeyDef("text", StringType),
+          "time" -> PropertyKeyDef("time", LongType)),
+        vertexLabels = Map("event" ->
+          VertexLabelDef("event", static = true, ttlSeconds = Some(10L))))
+        .withIndex(IndexDef("index2", ElementCategory.VERTEX, Seq("text"),
+          composite = false, mappings = Map("text" -> Mapping.TEXT),
+          onlyLabel = Some("event")))
+      val verts = Seq(
+        (1L, "event", "first event",
+          "this text will help to identify the first event", 1000L),
+        (2L, "event", "second event", "this text won't match", 1001L)
+      ).toDF("id", "label", "name", "text", "time").withColumn("_ts", lit(ts(0)))
+      val emptyE = Seq.empty[(Long, Long, Long, String)].toDF("id", "src", "dst", "label")
+      val g0 = graft.data.PropertyGraph(vSchema, verts, emptyE)
+      val g = g0.withIndexTable("index2",
+        graft.index.Indexes.materializeMixed(g0, vSchema.indexes("index2")))
+      def at(ms: Long) = g.copy(schema = g.schema.copy(ttlReadTime = Some(ts(ms))))
+      // edge block: TTL'd 'alert' edges with a TEXT-indexed message
+      val eSchema = GraphSchema(
+        propertyKeys = Map("text" -> PropertyKeyDef("text", StringType)),
+        edgeLabels = Map("alert" -> EdgeLabelDef("alert", ttlSeconds = Some(10L))))
+        .withIndex(IndexDef("eindex", ElementCategory.EDGE, Seq("text"),
+          composite = false, mappings = Map("text" -> Mapping.TEXT)))
+      val eg0 = graft.data.PropertyGraph(eSchema,
+        Seq((1L, "v"), (2L, "v")).toDF("id", "label"),
+        Seq((10L, 1L, 2L, "alert", "please help with this alert"))
+          .toDF("id", "src", "dst", "label", "text").withColumn("_ts", lit(ts(0))))
+      val eg = eg0.withIndexTable("eindex",
+        graft.index.Indexes.materializeMixed(eg0, eSchema.indexes("eindex")))
+      def eat(ms: Long) = eg.copy(schema = eg.schema.copy(ttlReadTime = Some(ts(ms))))
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      def one(caze: String, v: Long) =
+        s.range(1).select(lit(caze).as("caze"), lit(v).as("n"))
+      def textQ(gr: graft.data.PropertyGraph) =
+        gr.V().has("text", P.textContains("help")).hasLabel("event").vertices()
+      def nameQ(gr: graft.data.PropertyGraph) =
+        gr.V().has("name", "first event").orderBy("time", asc = false).vertices()
+      Seq(
+        one("ti_ttl_decl",
+          if (g.schema.vertexLabel("event").ttlSeconds.contains(10L)) 1L else 0L),
+        n("ti_pre_name", nameQ(at(5000))),
+        n("ti_pre_text", textQ(at(5000))),
+        n("ti_post_name", nameQ(at(15000))),
+        n("ti_post_text", textQ(at(15000))),
+        n("ti_post_byid", at(15000).V().hasId(1L).vertices()),
+        n("ti_pre_etext", eat(5000).E()
+          .has("text", P.textContains("help")).edges()),
+        n("ti_post_etext", eat(15000).E()
+          .has("text", P.textContains("help")).edges()),
+      ).reduce(_ unionAll _)
+    }),
     // ---- Collection-indexing conformance (TitanIndexTest.testListIndexing
     //      + testSetIndexing + testCollection:1643-1755): has(key, value) on
     //      a SET/LIST-cardinality key matches when SOME property element
@@ -7899,6 +7966,17 @@ object SparkEntry {
         | ('vcn_gt2', 1),
         | ('vcn_hasnot', 2),
         | ('vcn_all_again', 5)
+        |) t(caze, n)""".stripMargin,
+    "q_tp_ttl_index" ->
+      """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES
+        | ('ti_ttl_decl', 1),
+        | ('ti_pre_name', 1),
+        | ('ti_pre_text', 1),
+        | ('ti_post_name', 0),
+        | ('ti_post_text', 0),
+        | ('ti_post_byid', 0),
+        | ('ti_pre_etext', 1),
+        | ('ti_post_etext', 0)
         |) t(caze, n)""".stripMargin,
     "q_tp_collection" ->
       """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES
