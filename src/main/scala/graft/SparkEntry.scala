@@ -4478,6 +4478,54 @@ object SparkEntry {
         n("vcn_all_again", vq.edges()),
       ).reduce(_ unionAll _)
     }),
+    // ---- Index-replay conformance (TitanIndexTest.testIndexReplay:
+    //      1052-1122): with the index backend dropping every write, the
+    //      transaction log replays into the recovered graph state and the
+    //      index REBUILDS from it — four transactions (create, bulk create,
+    //      delete + rename + property-remove, property-update) resolve
+    //      through the timestamped log, the mixed text index materializes
+    //      from the recovered frames, and every index-backed query sees the
+    //      final state. The reference's recovery-stats counters are backend
+    //      accounting with no analogue here. ----
+    "q_tp_index_replay" -> ((s, dir) => {
+      import s.implicits._
+      import graft.core._
+      def put(id: Long, ts: Long, name: String, age: Option[Long]) =
+        (id, Option("v"), ts, "put", None: Option[Seq[String]], Option(name), age)
+      val vlog = Seq(
+        put(1L, 100L, "Big Boy Bobson", Some(55L)),
+        put(2L, 200L, "Long Little Lewis", Some(35L)),
+        put(3L, 200L, "Tall Long Tiger", Some(75L)),
+        put(4L, 200L, "Long John Don", Some(15L)),
+        (3L, None, 300L, "del", None, None, None),
+        (4L, None, 300L, "put", Option(Seq("age")), Option("Bad Boy Badsy"), None),
+        (1L, None, 400L, "put", None, None, Option(66L)),
+      ).toDF("id", "label", "_ts", "_op", "_dels", "name", "age")
+      val noEdges = s.range(0).select(col("id"), col("id").as("src"),
+        col("id").as("dst"), lit("x").as("label"), col("id").as("_ts"),
+        lit("put").as("_op"), lit(null).cast("array<string>").as("_dels"))
+      val schema = GraphSchema(propertyKeys = Map(
+        "name" -> PropertyKeyDef("name", StringType),
+        "age" -> PropertyKeyDef("age", LongType)))
+        .withIndex(IndexDef("mi", ElementCategory.VERTEX, Seq("name"),
+          composite = false, mappings = Map("name" -> Mapping.TEXT)))
+      val g0 = graft.data.TimestampedLog.resolve(vlog, noEdges, schema)
+      val g = g0.withIndexTable("mi",
+        graft.index.Indexes.materializeMixed(g0, schema.indexes("mi")))
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      Seq(
+        n("ir_boy", g.V().has("name", P.textContains("boy")).vertices()),
+        n("ir_long", g.V().has("name", P.textContains("long")).vertices()),
+        n("ir_long_age", g.V().has("name", P.textContains("long"))
+          .interval("age", 30L, 40L).vertices()),
+        n("ir_age75", g.V().has("age", 75L).vertices()),
+        n("ir_boy_age", g.V().has("name", P.textContains("boy"))
+          .interval("age", 60L, 70L).vertices()),
+        n("ir_age_range", g.V().interval("age", 0L, 100L).vertices()),
+        n("ir_index_ids", g.indexTables("mi").select(col("id")).distinct()),
+      ).reduce(_ unionAll _)
+    }),
     // ---- TTL × mixed-index conformance (TitanIndexTest
     //      .testVertexTTLWithMixedIndices:1325-1396 +
     //      testEdgeTTLWithMixedIndices:1398-1486): TTL'd elements answer
@@ -7966,6 +8014,16 @@ object SparkEntry {
         | ('vcn_gt2', 1),
         | ('vcn_hasnot', 2),
         | ('vcn_all_again', 5)
+        |) t(caze, n)""".stripMargin,
+    "q_tp_index_replay" ->
+      """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES
+        | ('ir_boy', 2),
+        | ('ir_long', 1),
+        | ('ir_long_age', 1),
+        | ('ir_age75', 0),
+        | ('ir_boy_age', 1),
+        | ('ir_age_range', 2),
+        | ('ir_index_ids', 3)
         |) t(caze, n)""".stripMargin,
     "q_tp_ttl_index" ->
       """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES
