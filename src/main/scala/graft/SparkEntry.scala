@@ -4660,6 +4660,31 @@ object SparkEntry {
         n("col_trav_v2", gOf(s6).traversal.V().has("name", "Hiro").toDF),
         n("col_trav_miss", gOf(s6).traversal.V().has("name", "Mei").toDF),
         n("col_trav_hasnot", gOf(empty).traversal.V().hasNot("name").toDF),
+        // index-backed per-element lookup: the inverted collection table
+        // serves the same (key,value,id) semi-join as a string index, and
+        // both cell values resolve to the one vertex
+        n("col_ix_v1", {
+          val g6 = gOf(s6)
+          val ix = graft.core.IndexDef("byName", graft.core.ElementCategory.VERTEX,
+            Seq("name"), composite = false)
+          val t = graft.index.Indexes.materializeCollection(g6, ix)
+          graft.index.Indexes.lookupString(g6, t, "name", "Totoro")
+        }),
+        n("col_ix_v2", {
+          val g6 = gOf(s6)
+          val ix = graft.core.IndexDef("byName", graft.core.ElementCategory.VERTEX,
+            Seq("name"), composite = false)
+          val t = graft.index.Indexes.materializeCollection(g6, ix)
+          graft.index.Indexes.lookupString(g6, t, "name", "Hiro")
+        }),
+        n("col_ix_dup_rows", {
+          // LIST duplicates index one row per CELL: the s5l state holds
+          // [Hiro, Totoro, Totoro] → 3 index rows
+          val g5 = gOf(s5l)
+          val ix = graft.core.IndexDef("byName", graft.core.ElementCategory.VERTEX,
+            Seq("name"), composite = false)
+          graft.index.Indexes.materializeCollection(g5, ix)
+        }),
       ).reduce(_ unionAll _)
     }),
     // ---- Index-removal lifecycle conformance (testGotGIndexRemoval,
@@ -8058,7 +8083,10 @@ object SparkEntry {
         | ('col_trav_v1', 1),
         | ('col_trav_v2', 1),
         | ('col_trav_miss', 0),
-        | ('col_trav_hasnot', 1)
+        | ('col_trav_hasnot', 1),
+        | ('col_ix_v1', 1),
+        | ('col_ix_v2', 1),
+        | ('col_ix_dup_rows', 3)
         |) t(caze, n)""".stripMargin,
     "q_tp_index_lifecycle" ->
       """SELECT caze, CAST(1 AS BIGINT) AS n FROM (VALUES

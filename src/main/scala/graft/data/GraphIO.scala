@@ -668,7 +668,13 @@ object GraphIO {
             else if (cols == Set("key", "kind", "value", "id"))
               Some(name -> graft.index.Indexes.materializeTextString(g2, ix))
             else if (cols == Set("key", "value", "id"))
-              Some(name -> graft.index.Indexes.materializeString(g2, ix))
+              // string and collection element tables share the layout —
+              // rebuild with whichever materializer the index's keys accept
+              try Some(name -> graft.index.Indexes.materializeString(g2, ix))
+              catch {
+                case _: IllegalArgumentException =>
+                  Some(name -> graft.index.Indexes.materializeCollection(g2, ix))
+              }
             else if (cols == Set("key", "numvalue", "id")) {
               // the caller's key subset is the table's distinct `key` set —
               // a tiny eager agg (key names, not data), like the other

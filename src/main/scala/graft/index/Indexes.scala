@@ -92,6 +92,39 @@ object Indexes {
     }.reduce(_ unionAll _)
   }
 
+  /** Materialize SET/LIST-cardinality (collection) keys as an inverted
+    * per-ELEMENT table: one (key, value, id) row per property cell — the
+    * reference's collection indexing registers each element separately
+    * (TitanIndexTest.testListIndexing/testSetIndexing:1643-1755;
+    * IndexSerializer handles Cardinality != SINGLE per entry). Multi-property
+    * cells (`struct<value,meta>`) index their value. The layout matches
+    * [[materializeString]], so [[lookupString]] serves collection point
+    * lookups unchanged — at 100 TB a has(tag, v) over a LIST key prunes to
+    * the value's cell rows instead of scanning every array. */
+  def materializeCollection(g: PropertyGraph, ix: IndexDef,
+      keys: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    require(!ix.composite, s"index '${ix.name}' is composite; use materialize")
+    val table = if (ix.element == ElementCategory.VERTEX) g.vertices else g.edges
+    val scoped = ix.onlyLabel.map(l => table.filter(col("label") === l)).getOrElse(table)
+    val ks = if (keys.nonEmpty) keys else ix.keys
+    val types = scoped.schema.map(f => f.name -> f.dataType).toMap
+    val parts = ks.flatMap { k =>
+      types.get(k) match {
+        case Some(ArrayType(st: StructType, _)) if st.fieldNames.contains("value") =>
+          Some(scoped.select(lit(k).as("key"),
+            explode(col(k)).as("__c"), col("id"))
+            .select(col("key"), col("__c.value").cast("string").as("value"), col("id")))
+        case Some(ArrayType(_, _)) =>
+          Some(scoped.select(lit(k).as("key"),
+            explode(col(k)).cast("string").as("value"), col("id")))
+        case _ => None
+      }
+    }
+    require(parts.nonEmpty, s"index '${ix.name}': no collection-typed keys among $ks")
+    parts.reduce(_ unionAll _)
+  }
+
   /** Shared lookup shape of every mixed-index family: filter the index table,
     * project ids, semi-join the element base. One join shape to maintain —
     * the four public lookups differ only in their index-side predicate. */
