@@ -4685,6 +4685,22 @@ object SparkEntry {
             Seq("name"), composite = false)
           graft.index.Indexes.materializeCollection(g5, ix)
         }),
+        n("col_auto_ix", {
+          // AUTOMATIC selection: has(name, v) on the declared-LIST key takes
+          // the registered inverted table — force-index proves the access
+          // path engaged (it throws when no usable index covers the query)
+          val schema = graft.core.GraphSchema()
+            .withPropertyKey(graft.core.PropertyKeyDef("name",
+              org.apache.spark.sql.types.StringType, graft.core.Cardinality.LIST))
+            .withIndex(graft.core.IndexDef("byName",
+              graft.core.ElementCategory.VERTEX, Seq("name"), composite = false))
+          val gg = graft.data.PropertyGraph(schema,
+            s.range(1).select(lit(1L).as("id"), lit("v").as("label"), s6.as("name")),
+            noEdges)
+          val gi = gg.withIndexTable("byName",
+            graft.index.Indexes.materializeCollection(gg, schema.indexes("byName")))
+          gi.V().has("name", "Totoro").forceIndex().vertices()
+        }),
       ).reduce(_ unionAll _)
     }),
     // ---- Index-removal lifecycle conformance (testGotGIndexRemoval,
@@ -8086,7 +8102,8 @@ object SparkEntry {
         | ('col_trav_hasnot', 1),
         | ('col_ix_v1', 1),
         | ('col_ix_v2', 1),
-        | ('col_ix_dup_rows', 3)
+        | ('col_ix_dup_rows', 3),
+        | ('col_auto_ix', 1)
         |) t(caze, n)""".stripMargin,
     "q_tp_index_lifecycle" ->
       """SELECT caze, CAST(1 AS BIGINT) AS n FROM (VALUES

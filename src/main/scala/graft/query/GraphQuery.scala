@@ -26,6 +26,9 @@ final case class GraphQuery(
     limitN: Option[Int] = None,
     eqPairs: Map[String, Any] = Map.empty,
     textPairs: Map[String, String] = Map.empty,
+    // equality conditions on SET/LIST keys — candidates for the inverted
+    // per-element collection index, never for composite point lookup
+    collPairs: Map[String, Any] = Map.empty,
     labelEqs: Set[String] = Set.empty,
     strictIndex: Boolean = false) {
 
@@ -56,14 +59,18 @@ final case class GraphQuery(
 
   /** has(key, value) — Cmp.EQUAL; has(key, null) ≡ hasNot(key)
     * (GraphCentricQueryBuilder.java:109-116). */
-  def has(key: String, value: Any): GraphQuery =
+  def has(key: String, value: Any): GraphQuery = {
+    val coll = isCollection(key)
     copy(conds = conds :+ cellPred(key, P.eq(value)),
       // collection keys never register for composite-index point lookup:
       // the materialized index table holds the raw array column, so the
-      // semi-join's whole-array equality would MISS cell matches
-      eqPairs = if (value == null || graft.expr.ImplicitKeys.isImplicit(key) ||
-                    isCollection(key)) eqPairs
-                else eqPairs + (key -> value))
+      // semi-join's whole-array equality would MISS cell matches — they
+      // register for the inverted per-element path instead
+      eqPairs = if (value == null || graft.expr.ImplicitKeys.isImplicit(key) || coll)
+                  eqPairs
+                else eqPairs + (key -> value),
+      collPairs = if (value != null && coll) collPairs + (key -> value) else collPairs)
+  }
 
   /** has(key, predicate) — arbitrary TitanPredicate analogue. textContains
     * predicates additionally register for mixed-index selection. */
@@ -139,6 +146,26 @@ final case class GraphQuery(
       .filter(labelCovers)
       .find(ix => graph.indexTables.contains(ix.name))
 
+  /** Collection-key equality access path: a backed ENABLED mixed index over
+    * a SET/LIST key whose registered table carries the inverted per-element
+    * (key, value, id) layout (Indexes.materializeCollection) — the
+    * reference's collection indexing registers each property element
+    * separately, so has(key, v) resolves through the index
+    * (TitanIndexTest.testCollection:1685-1755). Usability is folded in
+    * (layout + key match), so force-index and the access path agree. */
+  private def selectedCollectionIndex: Option[(DataFrame, String, Any)] =
+    graph.schema.indexes.values.toSeq.sortBy(_.name)
+      .filter(ix => !ix.composite && ix.element == element &&
+        ix.status == graft.core.SchemaStatus.ENABLED && labelCovers(ix) &&
+        graph.indexTables.contains(ix.name))
+      .iterator
+      .flatMap { ix =>
+        val table = graph.indexTables(ix.name)
+        if (table.columns.toSet == Set("key", "value", "id"))
+          ix.keys.find(collPairs.contains).map(k => (table, k, collPairs(k)))
+        else None
+      }.nextOption()
+
   /** Mixed-index selection for textContains predicates: a backed ENABLED
     * mixed index whose TEXT/TEXTSTRING key carries one of the query's
     * textContains conditions. Returns the key-scoped token table, its token
@@ -191,7 +218,8 @@ final case class GraphQuery(
     // (backed + label-scope-covered + usable layout + ≥1 token) — a
     // declared-but-unusable index must not satisfy force-index while the
     // query silently runs as a full scan
-    if (strictIndex && selectedIndex.isEmpty && selectedTextIndex.isEmpty)
+    if (strictIndex && selectedIndex.isEmpty && selectedTextIndex.isEmpty &&
+        selectedCollectionIndex.isEmpty)
       throw new IllegalStateException(
         s"Could not find a suitable index to answer graph query (force-index); equality keys: $eqKeys")
     val base = selectedIndex match {
@@ -200,20 +228,15 @@ final case class GraphQuery(
           (df, k) => df.filter(col(k) === lit(eqPairs(k)))
         }
         target.join(broadcast(matches.select(col("id"))), Seq("id"), "left_semi")
-      case None => selectedTextIndex match {
-        // inverted token table: ids holding ALL condition tokens (the
-        // grouped count-distinct enforces CONTAINS' conjunction); the
-        // residual textContains filter below re-verifies, so the index can
-        // only change the access path, never the results. Layout and token
-        // validation already happened in selectedTextIndex — Some here means
-        // this path is definitely taken (force-index soundness).
-        case Some((scoped, tokenCol, toks)) =>
-          val ids = scoped
-            .filter(tokenCol.isin(toks: _*))
-            .groupBy(col("id")).agg(count_distinct(tokenCol).as("__nt"))
-            .filter(col("__nt") === toks.size).select(col("id"))
+      case None => selectedCollectionIndex match {
+        // inverted per-element table: ids owning a cell equal to the
+        // condition value; the residual membership filter re-verifies, so
+        // the index only changes the access path
+        case Some((table, k, v)) =>
+          val ids = table.filter(col("key") === k &&
+            col("value") === lit(String.valueOf(v))).select(col("id")).distinct()
           target.join(broadcast(ids), Seq("id"), "left_semi")
-        case None => target
+        case None => selectedTextIndexBranch
       }
     }
     val filtered = conds.foldLeft(base)((df, c) => df.filter(c))
@@ -222,6 +245,23 @@ final case class GraphQuery(
       else filtered
     limitN.fold(ordered)(ordered.limit)
   }
+
+  // inverted token table: ids holding ALL condition tokens (the grouped
+  // count-distinct enforces CONTAINS' conjunction); the residual
+  // textContains filter re-verifies, so the index can only change the
+  // access path, never the results. Layout and token validation already
+  // happened in selectedTextIndex — Some here means this path is definitely
+  // taken (force-index soundness).
+  private def selectedTextIndexBranch: DataFrame =
+    selectedTextIndex match {
+      case Some((scoped, tokenCol, toks)) =>
+        val ids = scoped
+          .filter(tokenCol.isin(toks: _*))
+          .groupBy(col("id")).agg(count_distinct(tokenCol).as("__nt"))
+          .filter(col("__nt") === toks.size).select(col("id"))
+        target.join(broadcast(ids), Seq("id"), "left_semi")
+      case None => target
+    }
 
   def vertices(): DataFrame = dataframe
   def edges(): DataFrame = dataframe
