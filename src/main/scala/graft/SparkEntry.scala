@@ -4478,6 +4478,60 @@ object SparkEntry {
         n("vcn_all_again", vq.edges()),
       ).reduce(_ unionAll _)
     }),
+    // ---- Schema rename conformance (testSchemaNameChange,
+    //      TitanGraphTest.java:1205-1276): rename an edge label (knows →
+    //      know), its relation index (byTime → overTime), a vertex label
+    //      (people → person) and a graph index (timeIndex → byTime); every
+    //      query answers under the NEW names, nothing under the old, and
+    //      the composite index keeps serving through its renamed entry. ----
+    "q_tp_rename" -> ((s, dir) => {
+      import s.implicits._
+      import graft.core._
+      import graft.query.Direction
+      val schema = GraphSchema()
+        .withPropertyKey(PropertyKeyDef("time", org.apache.spark.sql.types.LongType))
+        .withEdgeLabel(EdgeLabelDef("knows"))
+        .withVertexLabel(VertexLabelDef("people"))
+        .withRelationIndex(RelationIndexDef("byTime", "knows", Seq("time")))
+        .withIndex(IndexDef("timeIndex", ElementCategory.VERTEX, Seq("time")))
+      val v = Seq((1L, "people", 5L)).toDF("id", "label", "time")
+      val e = Seq((10L, 1L, 1L, "knows", 11L)).toDF("id", "src", "dst", "label", "time")
+      val g0a = graft.data.PropertyGraph(schema, v, e)
+      val g0 = g0a.withIndexTable("timeIndex",
+        graft.index.Indexes.materialize(g0a, schema.indexes("timeIndex")))
+      val g = graft.olap.GraphOps.renameIndex(
+        graft.olap.GraphOps.renameVertexLabel(
+          graft.olap.GraphOps.renameEdgeLabel(g0, "knows", "know"),
+          "people", "person"),
+        "timeIndex", "byTimeG")
+      val g2 = g.copy(schema = g.schema.renameRelationIndex("byTime", "overTime"))
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      def one(caze: String, ok: Boolean) =
+        s.range(1).select(lit(caze).as("caze"), lit(if (ok) 1L else 0L).as("n"))
+      def vq = graft.query.VertexCentricQuery(g2).onVertices(1L)
+      Seq(
+        n("rn_pre_time5", g0.V().has("time", 5L).hasLabel("people").vertices()),
+        one("rn_mgmt", g2.schema.edgeLabels.contains("know") &&
+          !g2.schema.edgeLabels.contains("knows") &&
+          g2.schema.relationIndexes.contains("overTime") &&
+          !g2.schema.relationIndexes.contains("byTime") &&
+          g2.schema.relationIndexes("overTime").edgeLabel == "know" &&
+          g2.schema.vertexLabels.contains("person") &&
+          !g2.schema.vertexLabels.contains("people") &&
+          g2.schema.indexes.contains("byTimeG") &&
+          !g2.schema.indexes.contains("timeIndex") &&
+          g2.indexTables.contains("byTimeG")),
+        n("rn_time5_person", g2.V().has("time", 5L).hasLabel("person").vertices()),
+        n("rn_time5_people", g2.V().has("time", 5L).hasLabel("people").vertices()),
+        // the renamed composite index still serves (force-index accepts)
+        n("rn_forced", g2.V().has("time", 5L).forceIndex().vertices()),
+        n("rn_in_know", vq.direction(Direction.IN).labels("know").edges()),
+        n("rn_in_knows", vq.direction(Direction.IN).labels("knows").edges()),
+        n("rn_out_know_t11", vq.direction(Direction.OUT).labels("know")
+          .has("time", 11L).edges()),
+      ).reduce(_ unionAll _)
+    }),
     // ---- Index-replay conformance (TitanIndexTest.testIndexReplay:
     //      1052-1122): with the index backend dropping every write, the
     //      transaction log replays into the recovered graph state and the
@@ -8055,6 +8109,17 @@ object SparkEntry {
         | ('vcn_gt2', 1),
         | ('vcn_hasnot', 2),
         | ('vcn_all_again', 5)
+        |) t(caze, n)""".stripMargin,
+    "q_tp_rename" ->
+      """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES
+        | ('rn_pre_time5', 1),
+        | ('rn_mgmt', 1),
+        | ('rn_time5_person', 1),
+        | ('rn_time5_people', 0),
+        | ('rn_forced', 1),
+        | ('rn_in_know', 1),
+        | ('rn_in_knows', 0),
+        | ('rn_out_know_t11', 1)
         |) t(caze, n)""".stripMargin,
     "q_tp_index_replay" ->
       """SELECT caze, CAST(n AS BIGINT) AS n FROM (VALUES

@@ -255,6 +255,46 @@ final case class GraphSchema(
         r.copy(sortKey = ren(r.sortKey))).toMap)
   }
 
+  /** Rename an edge label, cascading through relation indexes and endpoint
+    * declarations (mgmt.changeName on an EdgeLabel — testSchemaNameChange,
+    * TitanGraphTest.java:1228-1231). Frame label VALUES move in
+    * GraphOps.renameEdgeLabel. */
+  def renameEdgeLabel(from: String, to: String): GraphSchema = {
+    val l = edgeLabel(from)
+    require(!edgeLabels.contains(to), s"edge label '$to' already defined")
+    copy(
+      edgeLabels = edgeLabels - from + (to -> l.copy(name = to)),
+      relationIndexes = relationIndexes.view.mapValues(r =>
+        if (r.edgeLabel == from) r.copy(edgeLabel = to) else r).toMap)
+  }
+
+  /** Rename a vertex label, cascading through label-scoped indexes
+    * (testSchemaNameChange:1240-1243). */
+  def renameVertexLabel(from: String, to: String): GraphSchema = {
+    val l = vertexLabel(from)
+    require(!vertexLabels.contains(to), s"vertex label '$to' already defined")
+    copy(
+      vertexLabels = vertexLabels - from + (to -> l.copy(name = to)),
+      indexes = indexes.view.mapValues(ix =>
+        if (ix.onlyLabel.contains(from)) ix.copy(onlyLabel = Some(to)) else ix).toMap)
+  }
+
+  /** Rename a graph index (testSchemaNameChange:1245-1248). The registered
+    * table moves in PropertyGraph via GraphOps.renameIndex. */
+  def renameIndex(from: String, to: String): GraphSchema = {
+    val ix = indexes.getOrElse(from, throw new NoSuchElementException(s"index '$from' not defined"))
+    require(!indexes.contains(to), s"index '$to' already defined")
+    copy(indexes = indexes - from + (to -> ix.copy(name = to)))
+  }
+
+  /** Rename a relation (vertex-centric) index (testSchemaNameChange:1233-1238). */
+  def renameRelationIndex(from: String, to: String): GraphSchema = {
+    val ix = relationIndexes.getOrElse(from,
+      throw new NoSuchElementException(s"relation index '$from' not defined"))
+    require(!relationIndexes.contains(to), s"relation index '$to' already defined")
+    copy(relationIndexes = relationIndexes - from + (to -> ix.copy(name = to)))
+  }
+
   /** Graph.Variables set/remove (TinkerPop semantics: set overwrites, remove
     * of an absent key is a no-op). */
   def withVariable(key: String, value: String): GraphSchema =

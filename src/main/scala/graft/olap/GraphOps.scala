@@ -85,6 +85,32 @@ object GraphOps {
       vertices = ren(g.vertices), edges = ren(g.edges)))
   }
 
+  /** Rename an edge label end-to-end: catalog cascade (relation indexes,
+    * endpoint declarations) plus the edge frame's label VALUES — unlike a
+    * property rename this rewrites data, but as a zero-shuffle projection
+    * (one `when` over the label column). testSchemaNameChange
+    * (TitanGraphTest.java:1228-1276): the old name stops matching, the new
+    * name serves every adjacency query. */
+  def renameEdgeLabel(g: PropertyGraph, from: String, to: String): PropertyGraph =
+    graft.data.GraphIO.refreshIndexTables(g.copy(
+      schema = g.schema.renameEdgeLabel(from, to),
+      edges = g.edges.withColumn("label",
+        when(col("label") === from, to).otherwise(col("label")))))
+
+  /** Rename a vertex label end-to-end (catalog + vertex frame values). */
+  def renameVertexLabel(g: PropertyGraph, from: String, to: String): PropertyGraph =
+    graft.data.GraphIO.refreshIndexTables(g.copy(
+      schema = g.schema.renameVertexLabel(from, to),
+      vertices = g.vertices.withColumn("label",
+        when(col("label") === from, to).otherwise(col("label")))))
+
+  /** Rename a graph index: catalog entry + registered table key. */
+  def renameIndex(g: PropertyGraph, from: String, to: String): PropertyGraph = {
+    val g2 = g.copy(schema = g.schema.renameIndex(from, to))
+    g.indexTables.get(from).fold(g2)(t =>
+      g2.copy(indexTables = g2.indexTables - from + (to -> t)))
+  }
+
   /** k-hop EGO NETWORK: the induced subgraph on every vertex within `k`
     * UNDIRECTED hops of the seed set — the neighborhood-extraction primitive
     * (fraud rings, social-context windows, GNN sampling). Returns a
