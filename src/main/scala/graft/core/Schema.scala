@@ -268,15 +268,20 @@ final case class GraphSchema(
         if (r.edgeLabel == from) r.copy(edgeLabel = to) else r).toMap)
   }
 
-  /** Rename a vertex label, cascading through label-scoped indexes
+  /** Rename a vertex label, cascading through label-scoped indexes AND the
+    * edge labels' declared endpoint universes — a stale endpoint set would
+    * silently break supernode-salting scope proofs after the rename
     * (testSchemaNameChange:1240-1243). */
   def renameVertexLabel(from: String, to: String): GraphSchema = {
     val l = vertexLabel(from)
     require(!vertexLabels.contains(to), s"vertex label '$to' already defined")
+    def ren(s: Set[String]): Set[String] = if (s.contains(from)) s - from + to else s
     copy(
       vertexLabels = vertexLabels - from + (to -> l.copy(name = to)),
       indexes = indexes.view.mapValues(ix =>
-        if (ix.onlyLabel.contains(from)) ix.copy(onlyLabel = Some(to)) else ix).toMap)
+        if (ix.onlyLabel.contains(from)) ix.copy(onlyLabel = Some(to)) else ix).toMap,
+      edgeLabels = edgeLabels.view.mapValues(e =>
+        e.copy(srcLabels = ren(e.srcLabels), dstLabels = ren(e.dstLabels))).toMap)
   }
 
   /** Rename a graph index (testSchemaNameChange:1245-1248). The registered

@@ -265,6 +265,24 @@ class SchemaConformanceSpec extends AnyFunSuite {
       == Set("probe" + graft.mgmt.InstanceRegistry.CurrentSuffix))
   }
 
+  test("vertex-label rename cascades through endpoint declarations and scoped indexes") {
+    val s0 = GraphSchema()
+      .withPropertyKey(PropertyKeyDef("uid", StringType))
+      .withVertexLabel(VertexLabelDef("people"))
+      .withVertexLabel(VertexLabelDef("group"))
+      .withEdgeLabel(EdgeLabelDef("member",
+        srcLabels = Set("people"), dstLabels = Set("group")))
+      .withIndex(IndexDef("uidIx", ElementCategory.VERTEX, Seq("uid"),
+        onlyLabel = Some("people")))
+    val s1 = s0.renameVertexLabel("people", "person")
+    assert(s1.vertexLabels.contains("person") && !s1.vertexLabels.contains("people"))
+    assert(s1.edgeLabel("member").srcLabels == Set("person"))
+    assert(s1.edgeLabel("member").dstLabels == Set("group"))
+    assert(s1.indexes("uidIx").onlyLabel.contains("person"))
+    // renaming to an existing name is rejected
+    intercept[IllegalArgumentException](s1.renameVertexLabel("person", "group"))
+  }
+
   test("query semantics over the schema fixture (testSchemaTypes:813-836)") {
     import graft.query.Direction
     val g = dataGraph
