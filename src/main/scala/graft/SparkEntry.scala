@@ -157,6 +157,56 @@ object SparkEntry {
       .unionByName(edge(3, col("i") + 10L, lit(2L), col("lu")))
     graft.data.PropertyGraph(graft.core.GraphSchema(), anchors.unionByName(vs), edges)
   }
+  /** IndexProviderTest document fixture (titan-test diskstorage/indexing/
+    * IndexProviderTest.java:164-177, getDocument:851-870): three documents
+    * carrying the full provider key set — TEXT (tokenized), NAME (exact
+    * string, same value as TEXT), TIME (long), WEIGHT (double), LOCATION
+    * (geo point), PHONE_LIST (LIST), PHONE_SET (SET), DATE (instant, epoch
+    * seconds). The DuckDB oracle mirrors the same rows as a VALUES list and
+    * recomputes every assertion from the data (token lists via
+    * string_split_regex, haversine for geo). */
+  private def ixpDocRows(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "Hello world", 1001L, 5.2, 48.0, 0.0,
+        Seq("1", "2", "3"), Seq("1", "2"), 1L),
+      (2L, "Tomorrow is the world", 1010L, 8.5, 49.0, 1.0,
+        Seq("4", "5", "6"), Seq("4", "5"), 2L),
+      (3L, "Hello Bob, are you there?", -500L, 10.1, 47.0, 10.0,
+        Seq("7", "8", "9"), Seq("7", "8"), 3L))
+      .toDF("id", "text", "time", "weight", "lat", "lon", "phone_list", "phone_set", "ds")
+      .select(col("id"), col("text"), col("text").as("name"), col("time"),
+        col("weight"), graft.expr.Geo.pointCol(col("lat"), col("lon")).as("location"),
+        col("phone_list"), col("phone_set"), col("ds").cast("timestamp").as("date"))
+  }
+
+  /** The provider fixture's schema: phone keys declared SET/LIST so the
+    * per-element predicate semantics engage (IndexProviderTest registers
+    * them with Cardinality.LIST/SET — :90-97). */
+  private def ixpSchema: graft.core.GraphSchema =
+    graft.core.GraphSchema()
+      .withPropertyKey(graft.core.PropertyKeyDef("phone_list",
+        org.apache.spark.sql.types.StringType, graft.core.Cardinality.LIST))
+      .withPropertyKey(graft.core.PropertyKeyDef("phone_set",
+        org.apache.spark.sql.types.StringType, graft.core.Cardinality.SET))
+
+  /** Both provider stores over the same documents (multipleStores — :159):
+    * a VERTEX store (documents as vertices) and an EDGE store (documents as
+    * self-loop edges carrying the same keys). */
+  private def ixpVertexStore(s: SparkSession): graft.data.PropertyGraph = {
+    val docs = ixpDocRows(s).withColumn("label", lit("doc"))
+    graft.data.PropertyGraph(ixpSchema, docs,
+      docs.limit(0).select(col("id"), col("id").as("src"), col("id").as("dst"), col("label")))
+  }
+  private def ixpEdgeStore(s: SparkSession): graft.data.PropertyGraph = {
+    val docs = ixpDocRows(s)
+    val vs = docs.select(col("id"), lit("v").as("label"))
+    val es = docs.select(col("id"), col("id").as("src"), col("id").as("dst"),
+      lit("doc").as("label"), col("text"), col("name"), col("time"), col("weight"),
+      col("location"), col("phone_list"), col("phone_set"), col("date"))
+    graft.data.PropertyGraph(ixpSchema, vs, es)
+  }
+
   /** Reference OLAP conformance fixture — deterministic range() twin of
     * OLAPTest.generateRandomGraph (titan-test olap/OLAPTest.java:61-88):
     * vertex i (id i+1, i in 0..99) carries uid=i+1, numvals in 1..5 (LCG
@@ -4084,10 +4134,15 @@ object SparkEntry {
     "q_tp_vcquery_seeded" -> ((s, dir) => {
       import graft.query.Direction._
       val g = tpVcFixture(s)
-      // seeded anchor draw: i_k = 1 + ((1103515245·7 + k·12345) mod 9999),
-      // k in 0..11 (dedup below) — vs-vertex ids are 10 + i
+      // seeded anchor draw: i_k = 1 + ((1103515245·7 + k·12347) mod 9999),
+      // k in 0..11 (dedup below) — vs-vertex ids are 10 + i. The stride is
+      // COPRIME TO 3 on purpose: base and 9999 are both ≡0 (mod 3), so a
+      // stride ≡0 (mod 3) (like 12345) would pin every anchor in the
+      // i%3=1 class and the sweep would never exercise the knows/connect
+      // label orientations; 12347 ≡ 2 (mod 3) walks all three classes. The
+      // sa_classes row pins that non-degeneracy in the oracle itself.
       val anchors = s.range(12).select(
-        (lit(1L) + (lit(1103515245L * 7) + col("id") * 12345L) % 9999L).as("i"))
+        (lit(1L) + (lit(1103515245L * 7) + col("id") * 12347L) % 9999L).as("i"))
         .distinct()
       val frontier = anchors.select((col("i") + 10L).as("vid"))
       def q = graft.query.VertexCentricQuery(g).onFrontier(frontier)
@@ -4095,6 +4150,10 @@ object SparkEntry {
         d.agg(count(lit(1)).as("n"), coalesce(sum(col("time")), lit(0L)).cast("long").as("st"))
           .select(lit(caze).as("caze"), col("n"), col("st"))
       Seq(
+        // non-degeneracy pin: the 12 anchors must span ALL THREE i%3 label
+        // classes (a degenerate draw would zero the knows/connect cases)
+        anchors.agg(count_distinct(col("i") % 3).cast("long").as("n"))
+          .select(lit("sa_classes").as("caze"), col("n"), lit(0L).as("st")),
         n("sa_out_all", q.direction(OUT).edges()),
         n("sa_in_all", q.direction(IN).edges()),
         n("sa_both_all", q.direction(BOTH).edges()),
@@ -6036,9 +6095,9 @@ object SparkEntry {
         |UNION ALL SELECT 'placed', (SELECT COUNT(*) FROM orders), NULL, NULL, 0
         |UNION ALL SELECT 'contains', (SELECT COUNT(*) FROM lineitem),
         |  CAST((SELECT SUM(CAST(l_quantity AS DECIMAL(28,2))) FROM lineitem) + (SELECT n FROM u) AS DOUBLE),
-        |  (SELECT SUM(CAST(l_linenumber AS BIGINT)) FROM lineitem), (SELECT n FROM u)
+        |  CAST((SELECT SUM(CAST(l_linenumber AS BIGINT)) FROM lineitem) AS BIGINT), (SELECT n FROM u)
         |UNION ALL SELECT 'supplied_by', (SELECT COUNT(*) FROM lineitem), NULL,
-        |  (SELECT SUM(CAST(l_linenumber AS BIGINT)) FROM lineitem) + 10 * (SELECT n FROM s), 0""".stripMargin,
+        |  CAST((SELECT SUM(CAST(l_linenumber AS BIGINT)) FROM lineitem) + 10 * (SELECT n FROM s) AS BIGINT), 0""".stripMargin,
     "q_elementmap" ->
       """SELECT 2 * 72057594037927936 + n_nationkey AS id, 'nation' AS label,
         |n_name AS name, n_nationkey AS uid FROM nation""".stripMargin,
@@ -7945,11 +8004,16 @@ object SparkEntry {
         | ('tk_v_plain', 0)
         |) t(caze, n)""".stripMargin,
     "q_tp_vcquery_seeded" ->
-      """WITH an AS (SELECT DISTINCT 1 + ((CAST(1103515245 AS BIGINT)*7 + CAST(x.range AS BIGINT)*12345) % 9999) AS i
+      // EVERY union arm casts n AND st back to BIGINT: DuckDB unifies a UNION
+      // column to the widest arm type, and an uncast 2*SUM(i) is HUGEINT —
+      // pandas renders that float64 and the driver's hash diverges on
+      // value-identical results (the round-14 red row).
+      """WITH an AS (SELECT DISTINCT 1 + ((CAST(1103515245 AS BIGINT)*7 + CAST(x.range AS BIGINT)*12347) % 9999) AS i
         |  FROM range(12) x)
-        |SELECT 'sa_out_all' AS caze, CAST(2*count(*) AS BIGINT) AS n, CAST(2*SUM(i) AS BIGINT) AS st FROM an
-        |UNION ALL SELECT 'sa_in_all', 2*count(*), 2*SUM(i) FROM an
-        |UNION ALL SELECT 'sa_both_all', 4*count(*), 4*SUM(i) FROM an
+        |SELECT 'sa_classes' AS caze, CAST(count(DISTINCT i%3) AS BIGINT) AS n, CAST(0 AS BIGINT) AS st FROM an
+        |UNION ALL SELECT 'sa_out_all', CAST(2*count(*) AS BIGINT), CAST(2*SUM(i) AS BIGINT) FROM an
+        |UNION ALL SELECT 'sa_in_all', CAST(2*count(*) AS BIGINT), CAST(2*SUM(i) AS BIGINT) FROM an
+        |UNION ALL SELECT 'sa_both_all', CAST(4*count(*) AS BIGINT), CAST(4*SUM(i) AS BIGINT) FROM an
         |UNION ALL SELECT 'sa_out_knows',
         |  CAST(2*SUM(CASE WHEN i%3=2 THEN 1 ELSE 0 END) AS BIGINT),
         |  CAST(2*SUM(CASE WHEN i%3=2 THEN i ELSE 0 END) AS BIGINT) FROM an
@@ -7962,8 +8026,8 @@ object SparkEntry {
         |UNION ALL SELECT 'sa_out_tgte5000',
         |  CAST(2*SUM(CASE WHEN i>=5000 THEN 1 ELSE 0 END) AS BIGINT),
         |  CAST(2*SUM(CASE WHEN i>=5000 THEN i ELSE 0 END) AS BIGINT) FROM an
-        |UNION ALL SELECT 'sa_adj1_both', 2*count(*), 2*SUM(i) FROM an
-        |UNION ALL SELECT 'sa_both_limit2', 2*count(*), 2*SUM(i) FROM an""".stripMargin,
+        |UNION ALL SELECT 'sa_adj1_both', CAST(2*count(*) AS BIGINT), CAST(2*SUM(i) AS BIGINT) FROM an
+        |UNION ALL SELECT 'sa_both_limit2', CAST(2*count(*) AS BIGINT), CAST(2*SUM(i) AS BIGINT) FROM an""".stripMargin,
     "q_tix_conditional" ->
       """WITH t AS (SELECT CAST(x.range AS BIGINT) AS i, CAST(x.range % 4 AS BIGINT) AS wk,
         |  CAST(2*(x.range % 5)+1 AS BIGINT) AS w2 FROM range(200) x),

@@ -255,23 +255,31 @@ final case class GraphSchema(
         r.copy(sortKey = ren(r.sortKey))).toMap)
   }
 
-  /** Rename an edge label, cascading through relation indexes and endpoint
-    * declarations (mgmt.changeName on an EdgeLabel — testSchemaNameChange,
-    * TitanGraphTest.java:1228-1231). Frame label VALUES move in
-    * GraphOps.renameEdgeLabel. */
+  /** Rename an edge label, cascading through relation indexes, endpoint
+    * declarations AND edge-scoped graph indexes (mgmt.changeName on an
+    * EdgeLabel — testSchemaNameChange, TitanGraphTest.java:1228-1231). An
+    * onlyLabel scope names a label in the INDEX'S OWN element category, so
+    * only element==EDGE indexes follow an edge-label rename — a VERTEX index
+    * whose scope label merely shares the name must keep it. Frame label
+    * VALUES move in GraphOps.renameEdgeLabel. */
   def renameEdgeLabel(from: String, to: String): GraphSchema = {
     val l = edgeLabel(from)
     require(!edgeLabels.contains(to), s"edge label '$to' already defined")
     copy(
       edgeLabels = edgeLabels - from + (to -> l.copy(name = to)),
+      indexes = indexes.view.mapValues(ix =>
+        if (ix.element == ElementCategory.EDGE && ix.onlyLabel.contains(from))
+          ix.copy(onlyLabel = Some(to)) else ix).toMap,
       relationIndexes = relationIndexes.view.mapValues(r =>
         if (r.edgeLabel == from) r.copy(edgeLabel = to) else r).toMap)
   }
 
-  /** Rename a vertex label, cascading through label-scoped indexes AND the
-    * edge labels' declared endpoint universes — a stale endpoint set would
+  /** Rename a vertex label, cascading through label-scoped VERTEX indexes AND
+    * the edge labels' declared endpoint universes — a stale endpoint set would
     * silently break supernode-salting scope proofs after the rename
-    * (testSchemaNameChange:1240-1243). */
+    * (testSchemaNameChange:1240-1243). The onlyLabel cascade is guarded on
+    * element==VERTEX: an EDGE index scoped to an edge label that happens to
+    * share the vertex label's name is a different namespace and must not move. */
   def renameVertexLabel(from: String, to: String): GraphSchema = {
     val l = vertexLabel(from)
     require(!vertexLabels.contains(to), s"vertex label '$to' already defined")
@@ -279,7 +287,8 @@ final case class GraphSchema(
     copy(
       vertexLabels = vertexLabels - from + (to -> l.copy(name = to)),
       indexes = indexes.view.mapValues(ix =>
-        if (ix.onlyLabel.contains(from)) ix.copy(onlyLabel = Some(to)) else ix).toMap,
+        if (ix.element == ElementCategory.VERTEX && ix.onlyLabel.contains(from))
+          ix.copy(onlyLabel = Some(to)) else ix).toMap,
       edgeLabels = edgeLabels.view.mapValues(e =>
         e.copy(srcLabels = ren(e.srcLabels), dstLabels = ren(e.dstLabels))).toMap)
   }

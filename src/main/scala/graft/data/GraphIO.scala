@@ -646,7 +646,8 @@ object GraphIO {
     * planner's access path applies — so the rebuild uses exactly the
     * materializer the caller chose: (key,token,id) → materializeMixed,
     * (key,kind,value,id) → materializeTextString, (key,value,id) →
-    * materializeString, (key,numvalue,id) → materializeNumeric (its key
+    * materializeString, (key,cellvalue,id) → materializeCollection,
+    * (key,numvalue,id) → materializeNumeric (its key
     * subset is recorded in the table itself). Geo tables are DROPPED — the
     * cell size is not recoverable from the layout — as is any unrecognized
     * layout: the planner falls back to the pushed-down full scan, correct
@@ -668,13 +669,11 @@ object GraphIO {
             else if (cols == Set("key", "kind", "value", "id"))
               Some(name -> graft.index.Indexes.materializeTextString(g2, ix))
             else if (cols == Set("key", "value", "id"))
-              // string and collection element tables share the layout —
-              // rebuild with whichever materializer the index's keys accept
-              try Some(name -> graft.index.Indexes.materializeString(g2, ix))
-              catch {
-                case _: IllegalArgumentException =>
-                  Some(name -> graft.index.Indexes.materializeCollection(g2, ix))
-              }
+              // scalar STRING layout — the per-element collection layout is
+              // structurally distinct (cellvalue column), so no guessing
+              Some(name -> graft.index.Indexes.materializeString(g2, ix))
+            else if (cols == Set("key", "cellvalue", "id"))
+              Some(name -> graft.index.Indexes.materializeCollection(g2, ix))
             else if (cols == Set("key", "numvalue", "id")) {
               // the caller's key subset is the table's distinct `key` set —
               // a tiny eager agg (key names, not data), like the other

@@ -39,7 +39,26 @@ object Indexes {
       element: ElementCategory = ElementCategory.VERTEX): DataFrame = {
     val matches = keyValues.foldLeft(indexDf) { case (df, (k, v)) => df.filter(col(k) === lit(v)) }
     val base = if (element == ElementCategory.VERTEX) g.vertices else g.edges
-    base.join(broadcast(matches.select(col("id"))), Seq("id"), "left_semi")
+    gatedIdSemiJoin(base, matches.select(col("id")))
+  }
+
+  /** Semi-join `base` against an index-matched ids-only frame, broadcasting
+    * ONLY when the id set is provably small. A forced broadcast() hint
+    * bypasses spark.sql.autoBroadcastJoinThreshold — composite point reads
+    * are selective by construction in the reference, but a low-selectivity
+    * value (or hot collection cell) makes the matched set unbounded here,
+    * and at 100× scale a forced broadcast of it is a driver/executor OOM.
+    * The gate is a cheap bounded probe (limit(cap+1).count() over ids only,
+    * the requireExactScale discipline): ≤ cap ⇒ broadcast hash semi-join,
+    * > cap ⇒ plain semi-join and AQE picks the runtime strategy from actual
+    * sizes. Cap via graft.index.broadcast.maxRows (rows of bare longs;
+    * 100k ≈ single-digit MB in the hash relation, well under default
+    * executor budgets). */
+  private[graft] def gatedIdSemiJoin(base: DataFrame, ids: DataFrame): DataFrame = {
+    val cap = base.sparkSession.conf
+      .get("graft.index.broadcast.maxRows", "100000").toLong
+    val small = ids.limit(math.min(cap + 1L, Int.MaxValue.toLong).toInt).count() <= cap
+    base.join(if (small) broadcast(ids) else ids, Seq("id"), "left_semi")
   }
 
   /** Materialize a mixed (text) index as an inverted token table: one row per
@@ -93,14 +112,20 @@ object Indexes {
   }
 
   /** Materialize SET/LIST-cardinality (collection) keys as an inverted
-    * per-ELEMENT table: one (key, value, id) row per property cell — the
+    * per-ELEMENT table: one (key, cellvalue, id) row per property cell — the
     * reference's collection indexing registers each element separately
     * (TitanIndexTest.testListIndexing/testSetIndexing:1643-1755;
     * IndexSerializer handles Cardinality != SINGLE per entry). Multi-property
-    * cells (`struct<value,meta>`) index their value. The layout matches
-    * [[materializeString]], so [[lookupString]] serves collection point
-    * lookups unchanged — at 100 TB a has(tag, v) over a LIST key prunes to
-    * the value's cell rows instead of scanning every array. */
+    * cells (`struct<value,meta>`) index their value. The cell column is named
+    * `cellvalue` ON PURPOSE: it makes this per-element layout structurally
+    * distinct from [[materializeString]]'s scalar (key, value, id) layout, so
+    * the planner ([[graft.query.GraphQuery]] collection access path) and the
+    * rebuild sniffer ([[graft.data.GraphIO.refreshIndexTables]]) never
+    * confuse the two — a scalar string table mistaken for an inverted one
+    * has no per-cell rows and would wrongly return empty for collection
+    * lookups. [[lookupString]] accepts both layouts. At 100 TB a has(tag, v)
+    * over a LIST key prunes to the value's cell rows instead of scanning
+    * every array. */
   def materializeCollection(g: PropertyGraph, ix: IndexDef,
       keys: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, StructType}
@@ -114,10 +139,13 @@ object Indexes {
         case Some(ArrayType(st: StructType, _)) if st.fieldNames.contains("value") =>
           Some(scoped.select(lit(k).as("key"),
             explode(col(k)).as("__c"), col("id"))
-            .select(col("key"), col("__c.value").cast("string").as("value"), col("id")))
+            .select(col("key"), col("__c.value").cast("string").as("cellvalue"), col("id")))
         case Some(ArrayType(_, _)) =>
+          // explode FIRST, cast in a second projection — a generator can't
+          // nest inside a Cast expression
           Some(scoped.select(lit(k).as("key"),
-            explode(col(k)).cast("string").as("value"), col("id")))
+            explode(col(k)).as("__c"), col("id"))
+            .select(col("key"), col("__c").cast("string").as("cellvalue"), col("id")))
         case _ => None
       }
     }
@@ -135,10 +163,14 @@ object Indexes {
   }
 
   /** Exact-value lookup through a STRING-mapped mixed index (Cmp.EQUAL on the
-    * whole field via the index path). */
+    * whole field via the index path). Serves BOTH the scalar (key, value, id)
+    * layout and [[materializeCollection]]'s per-element (key, cellvalue, id)
+    * layout — collection point lookups are an exact match on any cell. */
   def lookupString(g: PropertyGraph, stringIx: DataFrame, key: String, value: String,
-      element: ElementCategory = ElementCategory.VERTEX): DataFrame =
-    semiJoinIds(g, stringIx.filter(col("key") === key && col("value") === value), element)
+      element: ElementCategory = ElementCategory.VERTEX): DataFrame = {
+    val vcol = if (stringIx.columns.contains("cellvalue")) col("cellvalue") else col("value")
+    semiJoinIds(g, stringIx.filter(col("key") === key && vcol === value), element)
+  }
 
   /** Materialize a TEXTSTRING-mapped key as ONE index table serving BOTH
     * predicate families (Mapping.TEXTSTRING — tc/core/schema/Mapping.java:
@@ -302,26 +334,32 @@ object Indexes {
     * a quoted `"multi word value"` operand — a Lucene phrase on a
     * STRING-mapped (not-analyzed) field, i.e. exact-value equality. */
   final case class QueryClause(field: String, terms: String,
-      prefixed: Boolean = false, phrase: Boolean = false)
+      prefixed: Boolean = false, phrase: Boolean = false, range: Boolean = false)
 
   /** Parse the reference's Lucene-flavored direct-index query syntax:
     * `v.name:(small green)`, `name:widget`, quoted fields `v."text":(…)`,
-    * quoted phrases `v.name:"exact value"`, wildcard `v.*:"x"`, custom
-    * element identifiers (`$v$text:ducks`), multi-field clauses AND-ed —
-    * literal AND/OR tokens between clauses carry no colon and are skipped
-    * (AND is the implicit combiner; tc/graphdb/query/graph/
+    * quoted phrases `v.name:"exact value"`, numeric ranges
+    * `time:[1000 TO 1020]` (inclusive, Lucene `[]` — IndexProviderTest.java:
+    * 324 drives them through RawQuery), wildcard `v.*:"x"`, custom element
+    * identifiers (`$v$text:ducks`), multi-field clauses AND-ed — literal
+    * AND/OR tokens between clauses carry no colon and are skipped (AND is
+    * the implicit combiner; tc/graphdb/query/graph/
     * IndexQueryBuilder.java:46-105, IndexSerializer.java:601-658). */
   def parseQuery(q: String, elementId: String = null): Seq[QueryClause] = {
     val pfx = if (elementId == null) """[vep]\."""
               else java.util.regex.Pattern.quote(elementId)
-    val clause = ("(" + pfx + """)?"?([\w~*][\w.]*)"?\s*:\s*(\(([^)]*)\)|"([^"]*)"|\S+)""").r
+    val clause =
+      ("(" + pfx + """)?"?([\w~*][\w.]*)"?\s*:\s*(\(([^)]*)\)|"([^"]*)"|\[([^\]]*)\]|\S+)""").r
     clause.findAllMatchIn(q).map { m =>
       val phrase = m.group(5) != null
+      val range = m.group(6) != null
       val terms =
         if (m.group(4) != null) m.group(4)
         else if (phrase) m.group(5)
+        else if (range) m.group(6)
         else m.group(3)
-      QueryClause(m.group(2), terms, prefixed = m.group(1) != null, phrase = phrase)
+      QueryClause(m.group(2), terms, prefixed = m.group(1) != null,
+        phrase = phrase, range = range)
     }.toSeq
   }
 
@@ -331,16 +369,52 @@ object Indexes {
     * (mapped-name parameters), a miss on either side matches NOTHING (the
     * backend has no such field — testRawQueries pins count 0, not an error),
     * `*` scores against every keyed column (wildcard `_all` field,
-    * testWidcardQuery:1618-1636), and quoted phrases are exact-value
-    * equality (STRING mapping). Clause scores sum; all clauses must hit. */
+    * testWidcardQuery:1618-1636), quoted phrases hit on exact value equality
+    * (STRING mapping) OR on the phrase's token sequence occurring
+    * CONSECUTIVELY in the field's tokens (TEXT mapping — a Lucene phrase on
+    * an analyzed field, IndexProviderTest.java:315 `text:"Hello Bob"` must
+    * match "Hello Bob, are you there?"), and `[lo TO hi]` ranges hit on
+    * inclusive numeric containment. Clause scores sum; all clauses must hit. */
   def indexQueryFrame(df: DataFrame, query: String,
       keyFields: Map[String, String], rawFields: Map[String, String],
       limit: Int = 50, offset: Int = 0, elementId: String = null): DataFrame = {
     val clauses = parseQuery(query, elementId)
     require(clauses.nonEmpty, s"no field:(terms) clauses in query: $query")
+    def phraseTokens(c: QueryClause): Seq[String] =
+      c.terms.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.length > 1).toSeq
+    def consecutiveTokens(colName: String, pts: Seq[String]): Column = {
+      // exists i: toks[i..i+m-1] == phrase tokens (1-based element_at)
+      val toks = graft.expr.Text.tokens(col(colName))
+      val m = pts.length
+      val starts = sequence(lit(1), size(toks) - lit(m - 1))
+      when(size(toks) >= m,
+        exists(starts, i => pts.zipWithIndex.map { case (p, j) =>
+          element_at(toks, i + lit(j)) === p }.reduce(_ && _)))
+        .otherwise(lit(false))
+    }
     def clauseScore(colName: String, c: QueryClause): Column =
-      if (c.phrase) when(col(colName) === c.terms, 1.0).otherwise(0.0)
-      else tokenOverlapScore(col(colName), c.terms)
+      if (c.range) {
+        val parts = c.terms.split("(?i)\\s+TO\\s+").map(_.trim)
+        require(parts.length == 2, s"range clause needs 'lo TO hi': ${c.terms}")
+        when(col(colName).cast("double").between(parts(0).toDouble, parts(1).toDouble),
+          1.0).otherwise(0.0)
+      } else if (c.phrase) {
+        val pts = phraseTokens(c)
+        val tokenHit =
+          if (pts.isEmpty) lit(false) else consecutiveTokens(colName, pts)
+        when(col(colName) === c.terms || tokenHit, 1.0).otherwise(0.0)
+      } else if (c.terms.split("\\s+").contains("AND")) {
+        // a literal uppercase AND inside a term group is the Lucene boolean
+        // operator (IndexProviderTest.java:317 `text:(world AND tomorrow)`):
+        // EVERY remaining term must occur, not any-of
+        val kept = c.terms.split("\\s+").filter(t => t != "AND" && t != "OR")
+          .mkString(" ").toLowerCase
+        val condToks = kept.split("[^\\p{L}\\p{N}]+").filter(_.length > 1).distinct.toSeq
+        if (condToks.isEmpty) lit(0.0)
+        else when(condToks.map(t =>
+          array_contains(graft.expr.Text.tokens(col(colName)), t)).reduce(_ && _),
+          1.0).otherwise(0.0)
+      } else tokenOverlapScore(col(colName), c.terms)
     val perClause: Seq[Column] = clauses.map { c =>
       if (c.field == "*")
         keyFields.values.toSeq.distinct.map(clauseScore(_, c))

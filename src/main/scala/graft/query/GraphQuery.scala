@@ -58,23 +58,29 @@ final case class GraphQuery(
     graft.expr.ImplicitKeys.isCollectionKey(graph.schema, target, key)
 
   /** has(key, value) — Cmp.EQUAL; has(key, null) ≡ hasNot(key)
-    * (GraphCentricQueryBuilder.java:109-116). */
+    * (GraphCentricQueryBuilder.java:109-116). The null branch routes through
+    * hasNot DIRECTLY so collection keys get the collection-aware absence test
+    * (isNull OR empty) — cellPred's exists(x.isNull) is false on an empty
+    * array and on a null column coalesced to false, which would break the
+    * documented equivalence on SET/LIST keys. */
   def has(key: String, value: Any): GraphQuery = {
+    if (value == null) return hasNot(key)
     val coll = isCollection(key)
     copy(conds = conds :+ cellPred(key, P.eq(value)),
       // collection keys never register for composite-index point lookup:
       // the materialized index table holds the raw array column, so the
       // semi-join's whole-array equality would MISS cell matches — they
       // register for the inverted per-element path instead
-      eqPairs = if (value == null || graft.expr.ImplicitKeys.isImplicit(key) || coll)
-                  eqPairs
+      eqPairs = if (graft.expr.ImplicitKeys.isImplicit(key) || coll) eqPairs
                 else eqPairs + (key -> value),
-      collPairs = if (value != null && coll) collPairs + (key -> value) else collPairs)
+      collPairs = if (coll) collPairs + (key -> value) else collPairs)
   }
 
   /** has(key, predicate) — arbitrary TitanPredicate analogue. textContains
-    * predicates additionally register for mixed-index selection. */
-  def has(key: String, p: P): GraphQuery = copy(
+    * predicates additionally register for mixed-index selection. A bare
+    * `null` second argument resolves to THIS overload (P is more specific
+    * than Any), so the has(key,null) ≡ hasNot(key) rule lives here too. */
+  def has(key: String, p: P): GraphQuery = if (p == null) hasNot(key) else copy(
     conds = conds :+ cellPred(key, p),
     textPairs =
       if (p.op == "textContains" && !graft.expr.ImplicitKeys.isImplicit(key) &&
@@ -148,11 +154,14 @@ final case class GraphQuery(
 
   /** Collection-key equality access path: a backed ENABLED mixed index over
     * a SET/LIST key whose registered table carries the inverted per-element
-    * (key, value, id) layout (Indexes.materializeCollection) — the
+    * (key, cellvalue, id) layout (Indexes.materializeCollection) — the
     * reference's collection indexing registers each property element
     * separately, so has(key, v) resolves through the index
-    * (TitanIndexTest.testCollection:1685-1755). Usability is folded in
-    * (layout + key match), so force-index and the access path agree. */
+    * (TitanIndexTest.testCollection:1685-1755). The layout is recognized by
+    * its DISTINCT cellvalue column, never by the column set it shares with a
+    * scalar string table (which has no per-cell rows and would wrongly
+    * return empty). Usability is folded in (layout + key match), so
+    * force-index and the access path agree. */
   private def selectedCollectionIndex: Option[(DataFrame, String, Any)] =
     graph.schema.indexes.values.toSeq.sortBy(_.name)
       .filter(ix => !ix.composite && ix.element == element &&
@@ -161,10 +170,39 @@ final case class GraphQuery(
       .iterator
       .flatMap { ix =>
         val table = graph.indexTables(ix.name)
-        if (table.columns.toSet == Set("key", "value", "id"))
+        if (table.columns.toSet == Set("key", "cellvalue", "id"))
           ix.keys.find(collPairs.contains).map(k => (table, k, collPairs(k)))
         else None
       }.nextOption()
+
+  /** The operand rendered into the index table's cell encoding: cells were
+    * written `cast(<element type> as string)` at materialize time, so the
+    * operand takes the SAME two-step cast (operand → declared element type →
+    * string). Comparing raw `String.valueOf` forms instead would drop rows
+    * whenever Scala's and Spark's renderings differ (Int 5 vs double cells
+    * "5.0", Timestamp second-fraction padding) — and since the residual
+    * exists() filter can only narrow, the index would CHANGE results instead
+    * of just the access path. Falls back to String.valueOf when the operand
+    * has no literal form or the column isn't declared on the frame. */
+  private def collectionOperandCell(key: String, v: Any): Column = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val elemT = graft.expr.ImplicitKeys.resolvedType(target, key).map {
+      case ArrayType(st: StructType, _) if st.fieldNames.contains("value") =>
+        st("value").dataType
+      case ArrayType(et, _) => et
+      case dt => dt
+    }
+    (elemT, scala.util.Try(lit(v)).toOption) match {
+      case (Some(t), Some(l)) => l.cast(t).cast("string")
+      case _ => lit(String.valueOf(v))
+    }
+  }
+
+  /** Semi-join the (possibly pre-filtered) element base against an
+    * index-matched id set — size-gated broadcast, see
+    * [[graft.index.Indexes.gatedIdSemiJoin]]. */
+  private def idSemiJoin(ids: DataFrame): DataFrame =
+    graft.index.Indexes.gatedIdSemiJoin(target, ids)
 
   /** Mixed-index selection for textContains predicates: a backed ENABLED
     * mixed index whose TEXT/TEXTSTRING key carries one of the query's
@@ -207,7 +245,8 @@ final case class GraphQuery(
 
   /** Compile to a DataFrame plan. If a backed composite index covers the
     * equality conjuncts, the plan becomes: filter the (small) index table on
-    * the key values → broadcast semi-join ids against the base — the same
+    * the key values → size-gated (broadcast when provably small) semi-join
+    * ids against the base — the same
     * shape as the reference's index point-read + element load
     * (IndexSerializer.java:511-546). ALL conditions are still applied as
     * residual filters, so an index can never change results, only access
@@ -227,15 +266,17 @@ final case class GraphQuery(
         val matches = ix.keys.foldLeft(graph.indexTables(ix.name)) {
           (df, k) => df.filter(col(k) === lit(eqPairs(k)))
         }
-        target.join(broadcast(matches.select(col("id"))), Seq("id"), "left_semi")
+        idSemiJoin(matches.select(col("id")))
       case None => selectedCollectionIndex match {
         // inverted per-element table: ids owning a cell equal to the
-        // condition value; the residual membership filter re-verifies, so
-        // the index only changes the access path
+        // condition value (TYPED through the cell encoding — see
+        // collectionOperandCell); the residual membership filter
+        // re-verifies, so the index only changes the access path
         case Some((table, k, v)) =>
           val ids = table.filter(col("key") === k &&
-            col("value") === lit(String.valueOf(v))).select(col("id")).distinct()
-          target.join(broadcast(ids), Seq("id"), "left_semi")
+            col("cellvalue") === collectionOperandCell(k, v))
+            .select(col("id")).distinct()
+          idSemiJoin(ids)
         case None => selectedTextIndexBranch
       }
     }
@@ -259,7 +300,7 @@ final case class GraphQuery(
           .filter(tokenCol.isin(toks: _*))
           .groupBy(col("id")).agg(count_distinct(tokenCol).as("__nt"))
           .filter(col("__nt") === toks.size).select(col("id"))
-        target.join(broadcast(ids), Seq("id"), "left_semi")
+        idSemiJoin(ids)
       case None => target
     }
 

@@ -81,7 +81,10 @@ final case class VertexCentricQuery(
       copy(conds = conds :+ rid.inVertexId.fold(eq)(in => eq && col("dst") === in))
     case _ => has(key, P.eq(value))
   }
-  def has(key: String, p: P): VertexCentricQuery = copy(conds = conds :+ p.apply(keyCol(key)))
+  def has(key: String, p: P): VertexCentricQuery =
+    // a bare `null` second argument resolves to THIS overload — has(key,null)
+    // ≡ hasNot(key), same rule as the graph-centric builder
+    if (p == null) hasNot(key) else copy(conds = conds :+ p.apply(keyCol(key)))
   def has(key: String): VertexCentricQuery = copy(conds = conds :+ keyCol(key).isNotNull)
   def hasNot(key: String): VertexCentricQuery = copy(conds = conds :+ keyCol(key).isNull)
   def interval(key: String, start: Any, end: Any): VertexCentricQuery =

@@ -76,11 +76,18 @@ final case class Traversal(
     // undefined key matches nothing), not an analysis error
     else if (graft.expr.ImplicitKeys.columnDefined(df, key)) col(key)
     else lit(null)
-  def has(key: String, value: Any): Traversal = has(key, P.eq(value))
+  /** has(key, null) ≡ hasNot(key) (GraphCentricQueryBuilder.java:109-116) —
+    * routed through hasNot so collection keys get the collection-aware
+    * absence test (isNull OR empty) instead of cellPredicate's per-element
+    * exists, which is false on an empty array. */
+  def has(key: String, value: Any): Traversal =
+    if (value == null) hasNot(key) else has(key, P.eq(value))
   /** Per-element semantics on SET/LIST-cardinality keys, same branch as the
     * graph-centric builder (ImplicitKeys.cellPredicate — TitanPredicates
-    * evaluate per property element). */
-  def has(key: String, p: P): Traversal = copy(df = df.filter(
+    * evaluate per property element). A bare `null` second argument resolves
+    * to THIS overload (P more specific than Any) — routed to hasNot per the
+    * has(key,null) rule. */
+  def has(key: String, p: P): Traversal = if (p == null) hasNot(key) else copy(df = df.filter(
     graft.expr.ImplicitKeys.cellPredicate(graph.schema, df, key, keyCol(key), p.apply)))
   def has(key: String): Traversal = copy(df = df.filter(
     if (graft.expr.ImplicitKeys.isCollectionKey(graph.schema, df, key))

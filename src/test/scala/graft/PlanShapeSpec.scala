@@ -194,6 +194,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p2.contains("LeftSemi"), p2)
   }
 
+  test("index-path broadcast is size-gated: selective lookup broadcasts, " +
+      "an over-cap id set compiles to a non-broadcast semi-join") {
+    val g0 = graft.data.TpchGraph.load(spark, dir)
+    val ix = graft.core.IndexDef("gateByName", graft.core.ElementCategory.VERTEX,
+      Seq("name"))
+    val g = g0.copy(schema = g0.schema.copy(indexes = g0.schema.indexes + (ix.name -> ix)))
+      .withIndexTable(ix.name, graft.index.Indexes.materialize(g0, ix))
+    def p(): String = g.V().has("name", "NATION_5").dataframe.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // isolate OUR hint from the planner's own size-based choice: with
+    // autoBroadcastJoinThreshold disabled, a BroadcastExchange can only come
+    // from the gate's explicit broadcast()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // selective point lookup (1 matched id, under the default cap): the
+      // gate forces the classic broadcast hash semi-join — the reference's
+      // composite point-read shape survives even a conservative threshold
+      val sel = p()
+      assert(sel.contains("LeftSemi") && sel.contains("BroadcastExchange"), sel)
+      // cap forced to 0: every id set is "too big" — the hint must NOT be
+      // forced (a forced broadcast of an unbounded set bypasses the
+      // threshold and OOMs at 100× scale); AQE then picks the runtime
+      // strategy from actual sizes
+      spark.conf.set("graft.index.broadcast.maxRows", "0")
+      try {
+        val wide = p()
+        assert(wide.contains("LeftSemi") && !wide.contains("BroadcastExchange"), wide)
+      } finally spark.conf.unset("graft.index.broadcast.maxRows")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("interval predicate is pushed to the scan as range filters") {
     val p = plan("q_vc_interval")
     assert(p.contains("GreaterThanOrEqual(shipdate") && p.contains("LessThan(shipdate"))

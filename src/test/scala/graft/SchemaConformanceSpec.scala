@@ -283,6 +283,30 @@ class SchemaConformanceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](s1.renameVertexLabel("person", "group"))
   }
 
+  test("label renames cascade onlyLabel ONLY within the index's element category") {
+    // a vertex label and an edge label deliberately share the name 'acme' —
+    // onlyLabel names a label in the INDEX'S OWN category, so a vertex-label
+    // rename must not move an EDGE index's scope (and vice versa)
+    val s0 = GraphSchema()
+      .withPropertyKey(PropertyKeyDef("uid", StringType))
+      .withPropertyKey(PropertyKeyDef("w", StringType))
+      .withVertexLabel(VertexLabelDef("acme"))
+      .withEdgeLabel(EdgeLabelDef("acme"))
+      .withIndex(IndexDef("vIx", ElementCategory.VERTEX, Seq("uid"),
+        onlyLabel = Some("acme")))
+      .withIndex(IndexDef("eIx", ElementCategory.EDGE, Seq("w"),
+        onlyLabel = Some("acme")))
+    val sv = s0.renameVertexLabel("acme", "corp")
+    assert(sv.indexes("vIx").onlyLabel.contains("corp"))
+    assert(sv.indexes("eIx").onlyLabel.contains("acme"),
+      "edge-scoped index must not follow a vertex-label rename")
+    val se = s0.renameEdgeLabel("acme", "works")
+    assert(se.indexes("eIx").onlyLabel.contains("works"),
+      "edge-scoped index must follow the edge-label rename")
+    assert(se.indexes("vIx").onlyLabel.contains("acme"),
+      "vertex-scoped index must not follow an edge-label rename")
+  }
+
   test("query semantics over the schema fixture (testSchemaTypes:813-836)") {
     import graft.query.Direction
     val g = dataGraph
