@@ -181,10 +181,13 @@ object SparkEntry {
   }
 
   /** The provider fixture's schema: phone keys declared SET/LIST so the
-    * per-element predicate semantics engage (IndexProviderTest registers
-    * them with Cardinality.LIST/SET — :90-97). */
+    * per-element predicate semantics engage, text declared so TEXT-mapped
+    * indexes can be built over it (IndexProviderTest registers the key set
+    * with these cardinalities/types — :78-99). */
   private def ixpSchema: graft.core.GraphSchema =
     graft.core.GraphSchema()
+      .withPropertyKey(graft.core.PropertyKeyDef("text",
+        org.apache.spark.sql.types.StringType))
       .withPropertyKey(graft.core.PropertyKeyDef("phone_list",
         org.apache.spark.sql.types.StringType, graft.core.Cardinality.LIST))
       .withPropertyKey(graft.core.PropertyKeyDef("phone_set",
@@ -3929,6 +3932,436 @@ object SparkEntry {
     // add value2, remove value1, re-add, then add a DUPLICATE: SET
     // deduplicates to 2 cells, LIST keeps 3; equality and geo-WITHIN lookups
     // match on ANY cell).
+    // IndexProviderTest contract matrix (titan-test diskstorage/indexing/
+    // IndexProviderTest.java storeTest:164-353, phase 1): the provider-level
+    // predicate contract over BOTH stores — token CONTAINS (case folding,
+    // multi-term conjunction), CONTAINS_PREFIX/CONTAINS_REGEX, exact-STRING
+    // EQUAL/NOT_EQUAL/PREFIX/REGEX, boolean And/Or/Not trees, numeric, geo
+    // circle/box, instant comparisons, per-element LIST/SET point lookups
+    // (index-backed, force-index proves the access path), undefined-key
+    // queries, ordered-result heads (:199-209), the RawQuery family
+    // (phrases on analyzed fields, boolean AND, numeric [lo TO hi] ranges,
+    // paging — :314-327), and the TEXTSTRING dual (tokenized + exact) on
+    // EDGES. Rows: (caze, n, ids = Σ matched doc ids), edge twins ed_/ets_.
+    // Seeded-anchor sweeps over three more conformance fixtures (the round-14
+    // discipline extended per the r14 review): operands drawn by the LCG
+    // a_k = (1103515245*7 + k*12347) mod 100 with the stride COPRIME to every
+    // class modulus in play (2, 4, 5, 10), and a *_classes row pins IN THE
+    // ORACLE that the anchors span >=2 label classes - the degenerate-draw
+    // failure mode that blanked the r14 vcquery sweep cannot recur unnoticed.
+    "q_tp_globalindex_seeded" -> ((s, dir) => {
+      // same arithmetic fixture as q_tp_globalindex (label by i%2, text by
+      // i%4, weight (i%10)*0.5, time=i; connect/related edges with weight w
+      // and (w+1)%5)
+      val base = s.range(100).select(col("id").as("i"),
+        ((col("id") % 10).cast("double") * 0.5).as("w"),
+        col("id").as("t"),
+        expr("element_at(array('aaa','bbb','ccc','ddd'), CAST(id % 4 AS INT) + 1)").as("txt"))
+      val verts = base.select((col("i") + 10L).as("id"),
+        when(col("i") % 2 === 0, "person").otherwise("organization").as("label"),
+        col("w").as("weight"), col("t").as("time"), col("txt").as("text"))
+      def edge(k: Int, lbl: String, wc: Column) = base.select(
+        (col("i") * 2 + k + 2000L).as("id"), (col("i") + 10L).as("src"),
+        (greatest(col("i") - 1, lit(0L)) + 10L).as("dst"), lit(lbl).as("label"),
+        wc.as("weight"), col("t").as("time"), col("txt").as("text"))
+      val edges = edge(0, "connect", col("w"))
+        .unionByName(edge(1, "related", (col("w") + 1.0) % 5.0))
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(), verts, edges)
+      val words = Seq("aaa", "bbb", "ccc", "ddd")
+      val anchors: Seq[Long] = (0 until 12).map(k => (1103515245L * 7 + k * 12347L) % 100)
+      def row(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n"),
+          coalesce(sum((col("weight") * 2).cast("long")), lit(0L)).as("ws2"))
+          .select(lit(caze).as("caze"), col("n"), col("ws2"))
+      val classes = s.range(12)
+        .select(((lit(1103515245L * 7) + col("id") * 12347L) % 100L).as("a"))
+        .agg((count_distinct(col("a") % 2) * 100 + count_distinct(col("a") % 4))
+          .cast("long").as("n"))
+        .select(lit("sgx_classes").as("caze"), col("n"), lit(0L).as("ws2"))
+      (Seq(classes,
+        row("sgx_time_in", g.V().has("time", P.within(anchors: _*)).vertices()),
+        row("sgx_time_in_person", g.V().has("time", P.within(anchors: _*))
+          .has("label", "person").vertices())) ++
+        anchors.zipWithIndex.map { case (a, k) =>
+          row(s"sgx_e_t$k", g.E().has("time", a).edges()) } ++
+        anchors.zipWithIndex.map { case (a, k) =>
+          row(s"sgx_v_txt$k", g.V().has("text", words((a % 4).toInt))
+            .has("label", if (a % 2 == 0) "person" else "organization")
+            .has("time", P.gte(a)).vertices()) })
+        .reduce(_ unionAll _)
+    }),
+    "q_tp_relindex_seeded" -> ((s, dir) => {
+      import graft.query.Direction._
+      // same fixture as q_tp_relindex; seeded sort-key interval sweep plus
+      // ordered-limit content pins (sum of the top-3 weights is an order
+      // statistic of the slice - deterministic even under storage-order ties)
+      val base = s.range(100).select(col("id").as("i"),
+        (col("id") % 10).cast("double").multiply(0.5).as("weight"),
+        ((col("id") + 77) % 100).as("time"))
+      val verts = s.range(1, 2).select(col("id"), lit("anchor").as("label"))
+        .unionByName(s.range(100).select((col("id") + 10L).as("id"), lit("n").as("label")))
+      def edge(k: Int, lbl: String) = base.select(
+        (col("i") * 4 + k + 1000L).as("id"), lit(1L).as("src"),
+        (col("i") + 10L).as("dst"), lit(lbl).as("label"), col("weight"), col("time"))
+      val edges = edge(0, "connect").unionByName(edge(1, "child")).unionByName(edge(2, "link"))
+      val schema = graft.core.GraphSchema()
+        .withEdgeLabel(graft.core.EdgeLabelDef("connect"))
+        .withEdgeLabel(graft.core.EdgeLabelDef("child"))
+        .withEdgeLabel(graft.core.EdgeLabelDef("link", unidirected = true))
+      val g = graft.data.PropertyGraph(schema, verts, edges)
+      def q = graft.query.VertexCentricQuery(g).onVertices(1L)
+      val anchors: Seq[Long] = (0 until 12).map(k => (1103515245L * 7 + k * 12347L) % 100)
+      def row(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n"),
+          coalesce(sum((col("weight") * 2).cast("long")), lit(0L)).as("ws2"))
+          .select(lit(caze).as("caze"), col("n"), col("ws2"))
+      val classes = s.range(12)
+        .select(((lit(1103515245L * 7) + col("id") * 12347L) % 100L).as("a"))
+        .agg(count_distinct(col("a") % 10).cast("long").as("n"))
+        .select(lit("srx_classes").as("caze"), col("n"), lit(0L).as("ws2"))
+      (Seq(classes) ++
+        anchors.zipWithIndex.map { case (a, k) =>
+          row(s"srx_int$k", q.labels("child").direction(OUT)
+            .interval("time", a, a + 10L).edges()) } ++
+        anchors.zipWithIndex.map { case (a, k) =>
+          row(s"srx_top$k", q.labels("child").direction(OUT)
+            .interval("time", a, a + 10L).orderBy("weight", asc = false)
+            .limit(3).edges()) })
+        .reduce(_ unionAll _)
+    }),
+    "q_tix_indexing_seeded" -> ((s, dir) => {
+      // same fixture shape as q_tix_indexing(100); seeded [a, 2a) interval
+      // sweep + per-word suffix counts with time-sum content pins
+      val base = s.range(100).select(col("id").as("i"),
+        concat(lit("Vertex "), expr(
+          "element_at(array('world','aurelius','titan','graph'), CAST(id % 4 AS INT) + 1)")).as("text"),
+        col("id").as("time"))
+      val verts = base.select((col("i") + 1L).as("id"), lit("v").as("label"),
+        col("text"), col("time"))
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(), verts,
+        verts.limit(0).select(col("id"), col("id").as("src"), col("id").as("dst"), col("label")))
+      val words = Seq("world", "aurelius", "titan", "graph")
+      val anchors: Seq[Long] = (0 until 12).map(k => (1103515245L * 7 + k * 12347L) % 100)
+      def np(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n"), coalesce(sum(col("time")), lit(0L)).cast("long").as("s"))
+          .select(lit(caze).as("caze"), col("n"), col("s"))
+      val classes = s.range(12)
+        .select(((lit(1103515245L * 7) + col("id") * 12347L) % 100L).as("a"))
+        .agg(count_distinct(col("a") % 4).cast("long").as("n"))
+        .select(lit("stx_classes").as("caze"), col("n"), lit(0L).as("s"))
+      (Seq(classes) ++
+        anchors.zipWithIndex.map { case (a, k) =>
+          np(s"stx_int$k", g.V().has("time", P.gte(a)).has("time", P.lt(2 * a)).vertices()) } ++
+        anchors.zipWithIndex.map { case (a, k) =>
+          np(s"stx_w$k", g.V().has("text", P.textContains(words((a % 4).toInt)))
+            .has("time", P.gte(a)).vertices()) })
+        .reduce(_ unionAll _)
+    }),
+    "q_ixp_matrix" -> ((s, dir) => {
+      val gV = ixpVertexStore(s)
+      val gE = ixpEdgeStore(s)
+      val I = graft.index.Indexes
+      val EC = graft.core.ElementCategory
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n"), coalesce(sum(col("id")), lit(0L)).cast("long").as("ids"))
+          .select(lit(caze).as("caze"), col("n"), col("ids"))
+      val circle200 = graft.expr.Geo.circle(48.5, 0.5, 200.0)
+      val circle1000 = graft.expr.Geo.circle(48.5, 0.5, 1000.0)
+      val boxq = graft.expr.Geo.box(46.5, -0.5, 50.5, 10.5)
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+      def vx = gV.V()
+      def ed = gE.E()
+      // TEXTSTRING dual index on the EDGE store — one key serving tokenized
+      // AND exact-value queries on edges (the provider-level corner with no
+      // prior probe twin)
+      val etsIx = graft.core.IndexDef("ets", EC.EDGE, Seq("text"), composite = false,
+        mappings = Map("text" -> graft.core.Mapping.TEXTSTRING))
+      val gEts = gE.copy(schema = gE.schema.withIndex(etsIx))
+      val etsT = I.materializeTextString(gEts, etsIx)
+      val gEi = gEts.withIndexTable("ets", etsT)
+      // per-element inverted table backing the phone lookups
+      val phIx = graft.core.IndexDef("phones", EC.VERTEX,
+        Seq("phone_list", "phone_set"), composite = false)
+      val gVp0 = gV.copy(schema = gV.schema.withIndex(phIx))
+      val gVp = gVp0.withIndexTable("phones", I.materializeCollection(gVp0, phIx))
+      Seq(
+        // token CONTAINS family (:190-196)
+        n("c_world", vx.has("text", P.textContains("world")).vertices()),
+        n("c_world_case", vx.has("text", P.textContains("wOrLD")).vertices()),
+        n("c_bob_lc", vx.has("text", P.textContains("bob")).vertices()),
+        n("c_worl", vx.has("text", P.textContains("worl")).vertices()),
+        n("c_tomorrow_world", vx.has("text", P.textContains("Tomorrow world")).vertices()),
+        n("c_world_hello", vx.has("text", P.textContains("WorLD HELLO")).vertices()),
+        // CONTAINS_PREFIX (:211-215)
+        n("cp_w", vx.has("text", P.textContainsPrefix("w")).vertices()),
+        n("cp_wor", vx.has("text", P.textContainsPrefix("wOr")).vertices()),
+        n("cp_bobi", vx.has("text", P.textContainsPrefix("bobi")).vertices()),
+        // CONTAINS_REGEX (:217-226)
+        n("cr_hel_any", vx.has("text", P.textContainsRegex("he[l]+(.*)")).vertices()),
+        n("cr_hel_any2", vx.has("text", P.textContainsRegex("[h]+e[l]+(.*)")).vertices()),
+        n("cr_hel_exact", vx.has("text", P.textContainsRegex("he[l]+")).vertices()),
+        n("cr_el", vx.has("text", P.textContainsRegex("e[l]+(.*)")).vertices()),
+        // exact STRING family on NAME (:234-253)
+        n("s_eq_tom", vx.has("name", "Tomorrow is the world").vertices()),
+        n("s_eq_world", vx.has("name", "world").vertices()),
+        n("s_neq_bob", vx.has("name", P.neq("bob")).vertices()),
+        n("s_p_tom", vx.has("name", P.textPrefix("Tomorrow")).vertices()),
+        n("s_p_wor", vx.has("name", P.textPrefix("wor")).vertices()),
+        n("s_r_tom", vx.has("name", P.textRegex("Tomo[r]+ow is.*world")).vertices()),
+        n("s_r_tom_part", vx.has("name", P.textRegex("Tomorrow")).vertices()),
+        // boolean trees (:255-292)
+        n("a_world_hello", vx.has("text", P.textContains("world"))
+          .has("text", P.textContains("hello")).vertices()),
+        n("t_eq_m500", vx.has("time", -500L).vertices()),
+        n("t_or", vx.has("time", P.or(P.eq(1001L), P.eq(-500L))).vertices()),
+        n("not_world", vx.has("text", P.textContains("world").negate).vertices()),
+        n("t500_not_world", vx.has("time", -500L)
+          .has("text", P.textContains("world").negate).vertices()),
+        n("or_and_world", vx.has("time", P.or(P.eq(1001L), P.eq(-500L)))
+          .has("text", P.textContains("world")).vertices()),
+        n("c_bob_cs", vx.has("text", P.textContains("Bob")).vertices()),
+        n("w_gt6_world", vx.has("text", P.textContains("world"))
+          .has("weight", P.gt(6.0)).vertices()),
+        // ordered-result heads (:199-209) — orderBy+limit through the query
+        // surface pins the provider's result ordering on mixed results
+        n("o_time_desc_1", vx.has("text", P.textContains("world"))
+          .orderBy("time", asc = false).limit(1).vertices()),
+        n("o_weight_desc_1", vx.has("text", P.textContains("world"))
+          .orderBy("weight", asc = false).limit(1).vertices()),
+        n("o_time_asc_1", vx.has("text", P.textContains("world"))
+          .orderBy("time").limit(1).vertices()),
+        n("o_weight_asc_1", vx.has("text", P.textContains("world"))
+          .orderBy("weight").limit(1).vertices()),
+        n("o_joint_1", vx.has("text", P.textContains("world"))
+          .orderBy("weight", asc = false).orderBy("time", asc = false)
+          .limit(1).vertices()),
+        // geo (:294-306)
+        n("g_circle", vx.has("location", graft.expr.Geo.geoWithin(circle200)).vertices()),
+        n("g_circle_tom", vx.has("text", P.textContains("tomorrow"))
+          .has("location", graft.expr.Geo.geoWithin(circle200)).vertices()),
+        n("g_box", vx.has("location", graft.expr.Geo.geoWithin(boxq)).vertices()),
+        n("g_time_circle", vx.has("time", P.gte(-1000L)).has("time", P.lt(1010L))
+          .has("location", graft.expr.Geo.geoWithin(circle1000)).vertices()),
+        n("w_gt10", vx.has("weight", P.gt(10.0)).vertices()),
+        n("blah_gt10", vx.has("blah", P.gt(10.0)).vertices()),
+        // LIST/SET per-element point lookups (:329-343), index-backed
+        n("pl_1", gVp.V().has("phone_list", "1").forceIndex().vertices()),
+        n("pl_4", gVp.V().has("phone_list", "4").forceIndex().vertices()),
+        n("pl_7", gVp.V().has("phone_list", "7").forceIndex().vertices()),
+        n("ps_2", gVp.V().has("phone_set", "2").forceIndex().vertices()),
+        n("ps_5", gVp.V().has("phone_set", "5").forceIndex().vertices()),
+        n("ps_8", gVp.V().has("phone_set", "8").forceIndex().vertices()),
+        // DATE comparisons (:345-352)
+        n("d_eq1", vx.has("date", ts(1)).vertices()),
+        n("d_eq2", vx.has("date", ts(2)).vertices()),
+        n("d_eq3", vx.has("date", ts(3)).vertices()),
+        n("d_gt2", vx.has("date", P.gt(ts(2))).vertices()),
+        n("d_gte2", vx.has("date", P.gte(ts(2))).vertices()),
+        n("d_lt2", vx.has("date", P.lt(ts(2))).vertices()),
+        n("d_lte2", vx.has("date", P.lte(ts(2))).vertices()),
+        n("d_neq2", vx.has("date", P.neq(ts(2))).vertices()),
+        // RawQuery family (:314-327)
+        n("r_phrase", I.indexQueryLucene(gV, EC.VERTEX, "v.text:\"Hello Bob\"")),
+        n("r_phrase_off1", I.indexQueryLucene(gV, EC.VERTEX, "v.text:\"Hello Bob\"", 50, 1)),
+        n("r_and", I.indexQueryLucene(gV, EC.VERTEX, "v.text:(world AND tomorrow)")),
+        n("r_multi", I.indexQueryLucene(gV, EC.VERTEX, "v.text:(you there Hello Bob)")),
+        n("r_multi_l1", I.indexQueryLucene(gV, EC.VERTEX, "v.text:(you there Hello Bob)", 1)),
+        n("r_multi_l1o1",
+          I.indexQueryLucene(gV, EC.VERTEX, "v.text:(you there Hello Bob)", 1, 1)),
+        n("r_multi_l1o2",
+          I.indexQueryLucene(gV, EC.VERTEX, "v.text:(you there Hello Bob)", 1, 2)),
+        n("r_world", I.indexQueryLucene(gV, EC.VERTEX, "v.text:\"world\"")),
+        n("r_range", I.indexQueryLucene(gV, EC.VERTEX, "v.time:[1000 TO 1020]")),
+        n("r_comb", I.indexQueryLucene(gV, EC.VERTEX, "v.text:world AND v.time:1001")),
+        n("r_name_phrase", I.indexQueryLucene(gV, EC.VERTEX, "v.name:\"Hello world\"")),
+        // edge-store twins (multipleStores :159-161)
+        n("ed_c_world", ed.has("text", P.textContains("world")).edges()),
+        n("ed_c_tomorrow_world", ed.has("text", P.textContains("Tomorrow world")).edges()),
+        n("ed_s_eq_tom", ed.has("name", "Tomorrow is the world").edges()),
+        n("ed_t_eq_m500", ed.has("time", -500L).edges()),
+        n("ed_w_gt6_world", ed.has("text", P.textContains("world"))
+          .has("weight", P.gt(6.0)).edges()),
+        n("ed_g_circle", ed.has("location", graft.expr.Geo.geoWithin(circle200)).edges()),
+        n("ed_pl_4", ed.has("phone_list", "4").edges()),
+        n("ed_ps_5", ed.has("phone_set", "5").edges()),
+        n("ed_d_gte2", ed.has("date", P.gte(ts(2))).edges()),
+        // TEXTSTRING dual on edges: same key, both predicate families, both
+        // through the one registered index table
+        n("ets_contains_world",
+          I.lookupTextStringContains(gEi, etsT, "text", "world", EC.EDGE)),
+        n("ets_eq_tom",
+          I.lookupTextStringEquals(gEi, etsT, "text", "Tomorrow is the world", EC.EDGE)),
+        n("ets_eq_world", I.lookupTextStringEquals(gEi, etsT, "text", "world", EC.EDGE)),
+        n("ets_ix_world", gEi.E().has("text", P.textContains("world"))
+          .forceIndex().edges()),
+      ).reduce(_ unionAll _)
+    }),
+    // IndexProviderTest storeTest phase 2 (:355-405): document update/delete
+    // sequences — doc4 added, doc2 deleted wholesale, doc3 loses its weight
+    // field and gets new time/text, doc1's time/weight move — then the full
+    // requery matrix. The mutation runs through applyMutations (overwrite-
+    // by-id + cascade delete + index-table refresh), so the registered
+    // mixed-text and collection tables are rebuilt across the update and
+    // force-index proves the REBUILT indexes serve the post-update queries.
+    "q_ixp_update" -> ((s, dir) => {
+      import s.implicits._
+      val I = graft.index.Indexes
+      val EC = graft.core.ElementCategory
+      val g0raw = ixpVertexStore(s)
+      val txIx = graft.core.IndexDef("dtext", EC.VERTEX, Seq("text"), composite = false,
+        mappings = Map("text" -> graft.core.Mapping.TEXT))
+      val phIx = graft.core.IndexDef("phones", EC.VERTEX,
+        Seq("phone_list", "phone_set"), composite = false)
+      val g0s = g0raw.copy(schema = g0raw.schema.withIndex(txIx).withIndex(phIx))
+      val g0 = g0s.withIndexTable("dtext", I.materializeMixed(g0s, txIx))
+        .withIndexTable("phones", I.materializeCollection(g0s, phIx))
+      val upd1 = ixpDocRows(s).filter(col("id") === 1L)
+        .withColumn("time", lit(1005L)).withColumn("weight", lit(11.1))
+        .withColumn("label", lit("doc"))
+      val upd3 = ixpDocRows(s).filter(col("id") === 3L)
+        .withColumn("weight", lit(null).cast("double"))
+        .withColumn("time", lit(2000L))
+        .withColumn("text", lit("Bob owns the world"))
+        .withColumn("label", lit("doc"))
+      val doc4 = s.range(1).select(lit(4L).as("id"),
+        lit("I'ts all a big Bob").as("text"), lit("I'ts all a big Bob").as("name"),
+        lit(-100L).as("time"), lit(11.2).as("weight"),
+        graft.expr.Geo.point(48.0, 8.0).as("location"),
+        array(lit("10"), lit("11"), lit("12")).as("phone_list"),
+        array(lit("10"), lit("11")).as("phone_set"),
+        lit(4L).cast("timestamp").as("date"), lit("doc").as("label"))
+      val g = graft.data.GraphIO.applyMutations(g0,
+        addVertices = Some(upd1.unionByName(upd3).unionByName(doc4)),
+        deleteVertexIds = Some(Seq(2L).toDF("id")))
+      val circle200 = graft.expr.Geo.circle(48.5, 0.5, 200.0)
+      val circle1000 = graft.expr.Geo.circle(48.5, 0.5, 1000.0)
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n"), coalesce(sum(col("id")), lit(0L)).cast("long").as("ids"))
+          .select(lit(caze).as("caze"), col("n"), col("ids"))
+      def vx = g.V()
+      Seq(
+        n("u_world", vx.has("text", P.textContains("world")).vertices()),
+        n("u_ix_world", vx.has("text", P.textContains("world")).forceIndex().vertices()),
+        n("u_world_w6", vx.has("text", P.textContains("world"))
+          .has("weight", P.gt(6.0)).vertices()),
+        n("u_circle", vx.has("location", graft.expr.Geo.geoWithin(circle200)).vertices()),
+        n("u_tom_circle", vx.has("text", P.textContains("tomorrow"))
+          .has("location", graft.expr.Geo.geoWithin(circle200)).vertices()),
+        n("u_time_circle", vx.has("time", P.gte(-1000L)).has("time", P.lt(1010L))
+          .has("location", graft.expr.Geo.geoWithin(circle1000)).vertices()),
+        n("u_w10", vx.has("weight", P.gt(10.0)).vertices()),
+        n("u_blah", vx.has("blah", P.gt(10.0)).vertices()),
+        n("u_c_bob", vx.has("text", P.textContains("bob")).vertices()),
+        n("u_pl_10", vx.has("phone_list", "10").forceIndex().vertices()),
+        n("u_pl_11", vx.has("phone_list", "11").forceIndex().vertices()),
+        n("u_ps_10", vx.has("phone_set", "10").forceIndex().vertices()),
+        n("u_pl_4", vx.has("phone_list", "4").forceIndex().vertices()),
+        n("u_d_eq2", vx.has("date", ts(2)).vertices()),
+        n("u_d_eq4", vx.has("date", ts(4)).vertices()),
+      ).reduce(_ unionAll _)
+    }),
+    // IndexProviderTest.testRestore (:470-561): wholesale document-state
+    // replacement across TWO stores — doc1 deleted then resurrected, doc2's
+    // every field replaced, doc3 added, store2 gets its own doc1 state.
+    // Restore ≡ overwrite-by-id/delete through applyMutations here (the
+    // reference's restore() rewrites each document to exactly the given
+    // entry list). Rows: (caze, n, ids).
+    "q_ixp_restore" -> ((s, dir) => {
+      import s.implicits._
+      def pg(rows: Seq[(Long, String, Option[Long], Option[Double])]) = {
+        val v = rows.toDF("id", "name", "time", "weight")
+          .withColumn("label", lit("doc"))
+        graft.data.PropertyGraph(graft.core.GraphSchema(), v,
+          v.limit(0).select(col("id"), col("id").as("src"), col("id").as("dst"), col("label")))
+      }
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n"), coalesce(sum(col("id")), lit(0L)).cast("long").as("ids"))
+          .select(lit(caze).as("caze"), col("n"), col("ids"))
+      val s1p0 = pg(Seq((1L, "first", Some(1L), Some(10.2)),
+        (2L, "second", Some(2L), Some(4.7))))
+      // restore #1: delete doc1, rewrite doc2, add doc3
+      val s1p1 = graft.data.GraphIO.applyMutations(s1p0,
+        addVertices = Some(Seq((2L, "not-second", 0L, 2.1), (3L, "third", 3L, 11.5))
+          .toDF("id", "name", "time", "weight").withColumn("label", lit("doc"))),
+        deleteVertexIds = Some(Seq(1L).toDF("id")))
+      // restore #2: resurrect doc1 in store1; store2 gets its own doc1
+      val s1p2 = graft.data.GraphIO.applyMutations(s1p1,
+        addVertices = Some(Seq((1L, "first-restored", 4L, 7.0))
+          .toDF("id", "name", "time", "weight").withColumn("label", lit("doc"))))
+      val s2 = pg(Seq((1L, "first-in-second-store", Some(5L), Some(4.0))))
+      Seq(
+        n("rs_p0_w4", s1p0.V().has("weight", P.gte(4.0)).vertices()),
+        n("rs_p1_w4", s1p1.V().has("weight", P.gte(4.0)).vertices()),
+        n("rs_p1_third_t3", s1p1.V().has("name", "third").has("time", 3L).vertices()),
+        n("rs_p1_notsecond_t0", s1p1.V().has("name", "not-second").has("time", 0L).vertices()),
+        n("rs_p2_w4", s1p2.V().has("weight", P.gte(4.0)).vertices()),
+        n("rs_p2_doc1", s1p2.V().has("name", "first-restored").has("time", 4L).vertices()),
+        n("rs_s2_w4", s2.V().has("weight", P.gte(4.0)).vertices()),
+        n("rs_s2_doc1", s2.V().has("name", "first-in-second-store").has("time", 5L).vertices()),
+      ).reduce(_ unionAll _)
+    }),
+    // IndexProviderTest concurrent-update cases (:640-811): two transactions
+    // apply to the same document IN COMMIT ORDER (the provider's merge is
+    // last-write-wins per field, document deletes clear every field). Each
+    // caze is one of the reference's conflict tests; the final state is
+    // produced by applying the two op sets sequentially through
+    // applyMutations, then queried with the same CONTAINS/EQUAL checks.
+    "q_ixp_conflict" -> ((s, dir) => {
+      import s.implicits._
+      val baseText = "the quick brown fox jumps over the lazy dog"
+      def pg0 = {
+        val v = Seq((1L, baseText)).toDF("id", "text")
+          .withColumn("label", lit("doc")).withColumn("name", lit(null).cast("string"))
+        graft.data.PropertyGraph(graft.core.GraphSchema(), v,
+          v.limit(0).select(col("id"), col("id").as("src"), col("id").as("dst"), col("label")))
+      }
+      def del(g: graft.data.PropertyGraph, id: Long) =
+        graft.data.GraphIO.applyMutations(g, deleteVertexIds = Some(Seq(id).toDF("id")))
+      def put(g: graft.data.PropertyGraph, id: Long, text: Option[String],
+          name: Option[String]) =
+        graft.data.GraphIO.applyMutations(g, addVertices = Some(
+          Seq((id, text, name)).toDF("id", "text", "name").withColumn("label", lit("doc"))))
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      def cBrown(g: graft.data.PropertyGraph) =
+        g.V().has("text", P.textContains("brown")).vertices()
+      // testDeleteDocumentThenDeleteField: delete doc, then delete-field on
+      // the gone doc (a no-op) — document must not exist
+      val g1 = del(pg0, 1L)
+      // testDeleteDocumentThenModifyField: the modify resurrects the doc
+      val g2 = put(del(pg0, 1L), 1L, Some("the slow brown fox jumps over the lazy dog"), None)
+      // testDeleteDocumentThenAddField: only the added field is visible
+      val g3 = put(del(pg0, 1L), 1L, None, Some("jm keynes"))
+      // testAddFieldThenDeleteDoc: the delete wins — nothing visible
+      val g4 = del(put(pg0, 1L, Some(baseText), Some("jm keynes")), 1L)
+      // testConflictingAdd on a second doc: last write wins
+      val g5 = put(put(pg0, 2L, Some("sugar sugar"), None), 2L, Some("honey honey"), None)
+      // testLastWriteWins on the same doc
+      val g6 = put(put(pg0, 1L, Some("sugar sugar"), None), 1L, Some("honey honey"), None)
+      // testUpdateAddition: overwrite replaces the old tokens
+      val g7 = put(pg0, 1L, Some("its a sunny day"), None)
+      // testUpdateDeletion: delete the TEXT field only (doc remains)
+      val g8 = put(pg0, 1L, None, None)
+      Seq(
+        n("cf_del_delfield", cBrown(g1)),
+        n("cf_del_modify", cBrown(g2)),
+        n("cf_del_addfield_text", cBrown(g3)),
+        n("cf_del_addfield_name", g3.V().has("name", "jm keynes").vertices()),
+        n("cf_addfield_del_text", cBrown(g4)),
+        n("cf_addfield_del_name", g4.V().has("name", "jm keynes").vertices()),
+        n("cf_confadd_brown", cBrown(g5)),
+        n("cf_confadd_sugar", g5.V().has("text", P.textContains("sugar")).vertices()),
+        n("cf_confadd_honey", g5.V().has("text", P.textContains("honey")).vertices()),
+        n("cf_lww_brown", cBrown(g6)),
+        n("cf_lww_sugar", g6.V().has("text", P.textContains("sugar")).vertices()),
+        n("cf_lww_honey", g6.V().has("text", P.textContains("honey")).vertices()),
+        n("cf_upd_brown", cBrown(g7)),
+        n("cf_upd_sunny", g7.V().has("text", P.textContains("sunny")).vertices()),
+        n("cf_updel_brown", cBrown(g8)),
+        n("cf_updel_doc", g8.V().vertices()),
+      ).reduce(_ unionAll _)
+    }),
     "q_tp_cardinality" -> ((s, dir) => {
       import s.implicits._
       import graft.data.MultiProperties._
@@ -7932,6 +8365,216 @@ object SparkEntry {
         |UNION ALL SELECT 'cm_value', count(*), CAST(coalesce(sum(id),0) AS BIGINT) FROM cm WHERE list_contains(tok,'hercules') AND list_contains(tok,'here') AND nm = 'hercules was here'
         |UNION ALL SELECT 'wc_t1', 1, 1
         |UNION ALL SELECT 'wc_t2', 1, 1""".stripMargin,
+    "q_tp_globalindex_seeded" ->
+      """WITH an AS (SELECT CAST(x.range AS BIGINT) AS k,
+        |    (CAST(1103515245 AS BIGINT)*7 + CAST(x.range AS BIGINT)*12347) % 100 AS a FROM range(12) x),
+        |base AS (SELECT CAST(x.range AS BIGINT) AS i, CAST(x.range % 10 AS BIGINT) AS w2,
+        |    CAST(x.range % 2 AS BIGINT) AS par, CAST(x.range % 4 AS BIGINT) AS wrd FROM range(100) x)
+        |SELECT 'sgx_classes' AS caze,
+        |  CAST((SELECT count(DISTINCT a%2) FROM an)*100 + (SELECT count(DISTINCT a%4) FROM an) AS BIGINT) AS n,
+        |  CAST(0 AS BIGINT) AS ws2
+        |UNION ALL SELECT 'sgx_time_in', CAST(count(*) AS BIGINT), CAST(coalesce(sum(b.w2),0) AS BIGINT)
+        |  FROM base b WHERE b.i IN (SELECT a FROM an)
+        |UNION ALL SELECT 'sgx_time_in_person', CAST(count(*) AS BIGINT), CAST(coalesce(sum(b.w2),0) AS BIGINT)
+        |  FROM base b WHERE b.i IN (SELECT a FROM an) AND b.par = 0
+        |UNION ALL SELECT concat('sgx_e_t', CAST(an.k AS VARCHAR)), CAST(2 AS BIGINT),
+        |  CAST(an.a % 10 + CAST(2*fmod((an.a % 10)*0.5 + 1.0, 5.0) AS BIGINT) AS BIGINT) FROM an
+        |UNION ALL SELECT concat('sgx_v_txt', CAST(an.k AS VARCHAR)), CAST(count(b.i) AS BIGINT),
+        |  CAST(coalesce(sum(b.w2),0) AS BIGINT)
+        |  FROM an LEFT JOIN base b ON b.wrd = an.a % 4 AND b.i >= an.a GROUP BY an.k""".stripMargin,
+    "q_tp_relindex_seeded" ->
+      """WITH an AS (SELECT CAST(x.range AS BIGINT) AS k,
+        |    (CAST(1103515245 AS BIGINT)*7 + CAST(x.range AS BIGINT)*12347) % 100 AS a FROM range(12) x),
+        |base AS (SELECT CAST(x.range AS BIGINT) AS i, (CAST(x.range AS BIGINT) + 77) % 100 AS tm,
+        |    CAST(x.range % 10 AS BIGINT) AS w2 FROM range(100) x),
+        |tops AS (SELECT an.k, b.w2, row_number() OVER (PARTITION BY an.k ORDER BY b.w2 DESC) AS rn
+        |    FROM an JOIN base b ON b.tm >= an.a AND b.tm < an.a + 10)
+        |SELECT 'srx_classes' AS caze, CAST((SELECT count(DISTINCT a%10) FROM an) AS BIGINT) AS n,
+        |  CAST(0 AS BIGINT) AS ws2
+        |UNION ALL SELECT concat('srx_int', CAST(an.k AS VARCHAR)), CAST(count(b.i) AS BIGINT),
+        |  CAST(coalesce(sum(b.w2),0) AS BIGINT)
+        |  FROM an LEFT JOIN base b ON b.tm >= an.a AND b.tm < an.a + 10 GROUP BY an.k
+        |UNION ALL SELECT concat('srx_top', CAST(k AS VARCHAR)),
+        |  CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN rn <= 3 THEN w2 END), 0) AS BIGINT) FROM tops GROUP BY k""".stripMargin,
+    "q_tix_indexing_seeded" ->
+      """WITH an AS (SELECT CAST(x.range AS BIGINT) AS k,
+        |    (CAST(1103515245 AS BIGINT)*7 + CAST(x.range AS BIGINT)*12347) % 100 AS a FROM range(12) x),
+        |base AS (SELECT CAST(x.range AS BIGINT) AS i, CAST(x.range % 4 AS BIGINT) AS wrd FROM range(100) x)
+        |SELECT 'stx_classes' AS caze, CAST((SELECT count(DISTINCT a%4) FROM an) AS BIGINT) AS n,
+        |  CAST(0 AS BIGINT) AS s
+        |UNION ALL SELECT concat('stx_int', CAST(an.k AS VARCHAR)), CAST(count(b.i) AS BIGINT),
+        |  CAST(coalesce(sum(b.i),0) AS BIGINT)
+        |  FROM an LEFT JOIN base b ON b.i >= an.a AND b.i < 2*an.a GROUP BY an.k
+        |UNION ALL SELECT concat('stx_w', CAST(an.k AS VARCHAR)), CAST(count(b.i) AS BIGINT),
+        |  CAST(coalesce(sum(b.i),0) AS BIGINT)
+        |  FROM an LEFT JOIN base b ON b.wrd = an.a % 4 AND b.i >= an.a GROUP BY an.k""".stripMargin,
+    "q_ixp_matrix" ->
+      """WITH docs AS (SELECT * FROM (VALUES
+        |  (1, 'Hello world', 1001, 5.2, 48.0, 0.0, ['1','2','3'], ['1','2'], 1),
+        |  (2, 'Tomorrow is the world', 1010, 8.5, 49.0, 1.0, ['4','5','6'], ['4','5'], 2),
+        |  (3, 'Hello Bob, are you there?', -500, 10.1, 47.0, 10.0, ['7','8','9'], ['7','8'], 3)
+        |) t(id, text, time, weight, lat, lon, pl, ps, ds)),
+        |d AS (SELECT id, text, text AS name, time, weight, lat, lon, pl, ps, ds,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 1) AS toks,
+        |  2*6371.0087714*asin(sqrt(pow(sin(radians(48.5-lat)/2),2)+cos(radians(48.5))*cos(radians(lat))*pow(sin(radians(0.5-lon)/2),2))) AS dist
+        |  FROM docs),
+        |sc AS (SELECT id, len(list_filter(['you','there','hello','bob'], q -> list_contains(toks, q)))/4.0 + 0.001/(len(toks)+10) AS score
+        |  FROM d WHERE list_has_any(toks, ['you','there','hello','bob']))
+        |SELECT 'c_world' AS caze, CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(id),0) AS BIGINT) AS ids FROM d WHERE list_contains(toks,'world')
+        |UNION ALL SELECT 'c_world_case', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(toks,'world')
+        |UNION ALL SELECT 'c_bob_lc', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(toks,'bob')
+        |UNION ALL SELECT 'c_worl', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(toks,'worl')
+        |UNION ALL SELECT 'c_tomorrow_world', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_has_all(toks, ['tomorrow','world'])
+        |UNION ALL SELECT 'c_world_hello', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_has_all(toks, ['world','hello'])
+        |UNION ALL SELECT 'cp_w', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE len(list_filter(toks, t -> t LIKE 'w%')) > 0
+        |UNION ALL SELECT 'cp_wor', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE len(list_filter(toks, t -> t LIKE 'wor%')) > 0
+        |UNION ALL SELECT 'cp_bobi', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE len(list_filter(toks, t -> t LIKE 'bobi%')) > 0
+        |UNION ALL SELECT 'cr_hel_any', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE len(list_filter(toks, t -> regexp_full_match(t, 'he[l]+(.*)'))) > 0
+        |UNION ALL SELECT 'cr_hel_any2', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE len(list_filter(toks, t -> regexp_full_match(t, '[h]+e[l]+(.*)'))) > 0
+        |UNION ALL SELECT 'cr_hel_exact', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE len(list_filter(toks, t -> regexp_full_match(t, 'he[l]+'))) > 0
+        |UNION ALL SELECT 'cr_el', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE len(list_filter(toks, t -> regexp_full_match(t, 'e[l]+(.*)'))) > 0
+        |UNION ALL SELECT 's_eq_tom', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE name = 'Tomorrow is the world'
+        |UNION ALL SELECT 's_eq_world', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE name = 'world'
+        |UNION ALL SELECT 's_neq_bob', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE name <> 'bob'
+        |UNION ALL SELECT 's_p_tom', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE name LIKE 'Tomorrow%'
+        |UNION ALL SELECT 's_p_wor', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE name LIKE 'wor%'
+        |UNION ALL SELECT 's_r_tom', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE regexp_full_match(name, 'Tomo[r]+ow is.*world')
+        |UNION ALL SELECT 's_r_tom_part', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE regexp_full_match(name, 'Tomorrow')
+        |UNION ALL SELECT 'a_world_hello', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(toks,'world') AND list_contains(toks,'hello')
+        |UNION ALL SELECT 't_eq_m500', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE time = -500
+        |UNION ALL SELECT 't_or', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE time = 1001 OR time = -500
+        |UNION ALL SELECT 'not_world', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE NOT list_contains(toks,'world')
+        |UNION ALL SELECT 't500_not_world', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE time = -500 AND NOT list_contains(toks,'world')
+        |UNION ALL SELECT 'or_and_world', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE (time = 1001 OR time = -500) AND list_contains(toks,'world')
+        |UNION ALL SELECT 'c_bob_cs', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(toks,'bob')
+        |UNION ALL SELECT 'w_gt6_world', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(toks,'world') AND weight > 6.0
+        |UNION ALL SELECT 'o_time_desc_1', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM (SELECT id FROM d WHERE list_contains(toks,'world') ORDER BY time DESC, id LIMIT 1)
+        |UNION ALL SELECT 'o_weight_desc_1', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM (SELECT id FROM d WHERE list_contains(toks,'world') ORDER BY weight DESC, id LIMIT 1)
+        |UNION ALL SELECT 'o_time_asc_1', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM (SELECT id FROM d WHERE list_contains(toks,'world') ORDER BY time ASC, id LIMIT 1)
+        |UNION ALL SELECT 'o_weight_asc_1', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM (SELECT id FROM d WHERE list_contains(toks,'world') ORDER BY weight ASC, id LIMIT 1)
+        |UNION ALL SELECT 'o_joint_1', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM (SELECT id FROM d WHERE list_contains(toks,'world') ORDER BY weight DESC, time DESC, id LIMIT 1)
+        |UNION ALL SELECT 'g_circle', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE dist <= 200.0
+        |UNION ALL SELECT 'g_circle_tom', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(toks,'tomorrow') AND dist <= 200.0
+        |UNION ALL SELECT 'g_box', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE lat BETWEEN 46.5 AND 50.5 AND lon BETWEEN -0.5 AND 10.5
+        |UNION ALL SELECT 'g_time_circle', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE time >= -1000 AND time < 1010 AND dist <= 1000.0
+        |UNION ALL SELECT 'w_gt10', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE weight > 10.0
+        |UNION ALL SELECT 'blah_gt10', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'pl_1', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(pl,'1')
+        |UNION ALL SELECT 'pl_4', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(pl,'4')
+        |UNION ALL SELECT 'pl_7', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(pl,'7')
+        |UNION ALL SELECT 'ps_2', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(ps,'2')
+        |UNION ALL SELECT 'ps_5', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(ps,'5')
+        |UNION ALL SELECT 'ps_8', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(ps,'8')
+        |UNION ALL SELECT 'd_eq1', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE ds = 1
+        |UNION ALL SELECT 'd_eq2', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE ds = 2
+        |UNION ALL SELECT 'd_eq3', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE ds = 3
+        |UNION ALL SELECT 'd_gt2', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE ds > 2
+        |UNION ALL SELECT 'd_gte2', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE ds >= 2
+        |UNION ALL SELECT 'd_lt2', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE ds < 2
+        |UNION ALL SELECT 'd_lte2', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE ds <= 2
+        |UNION ALL SELECT 'd_neq2', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE ds <> 2
+        |UNION ALL SELECT 'r_phrase', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE text = 'Hello Bob' OR len([i FOR i IN range(1, len(toks)) IF toks[i]='hello' AND toks[i+1]='bob']) > 0
+        |UNION ALL SELECT 'r_phrase_off1', CAST(greatest(count(*) - 1, 0) AS BIGINT), CAST(0 AS BIGINT) FROM d WHERE text = 'Hello Bob' OR len([i FOR i IN range(1, len(toks)) IF toks[i]='hello' AND toks[i+1]='bob']) > 0
+        |UNION ALL SELECT 'r_and', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_has_all(toks, ['world','tomorrow'])
+        |UNION ALL SELECT 'r_multi', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_has_any(toks, ['you','there','hello','bob'])
+        |UNION ALL SELECT 'r_multi_l1', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM (SELECT id FROM sc ORDER BY score DESC, id LIMIT 1)
+        |UNION ALL SELECT 'r_multi_l1o1', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM (SELECT id FROM sc ORDER BY score DESC, id LIMIT 1 OFFSET 1)
+        |UNION ALL SELECT 'r_multi_l1o2', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM (SELECT id FROM sc ORDER BY score DESC, id LIMIT 1 OFFSET 2)
+        |UNION ALL SELECT 'r_world', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(toks,'world')
+        |UNION ALL SELECT 'r_range', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE time BETWEEN 1000 AND 1020
+        |UNION ALL SELECT 'r_comb', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(toks,'world') AND time = 1001
+        |UNION ALL SELECT 'r_name_phrase', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE name = 'Hello world' OR len([i FOR i IN range(1, len(toks)) IF toks[i]='hello' AND toks[i+1]='world']) > 0
+        |UNION ALL SELECT 'ed_c_world', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(toks,'world')
+        |UNION ALL SELECT 'ed_c_tomorrow_world', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_has_all(toks, ['tomorrow','world'])
+        |UNION ALL SELECT 'ed_s_eq_tom', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE name = 'Tomorrow is the world'
+        |UNION ALL SELECT 'ed_t_eq_m500', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE time = -500
+        |UNION ALL SELECT 'ed_w_gt6_world', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(toks,'world') AND weight > 6.0
+        |UNION ALL SELECT 'ed_g_circle', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE dist <= 200.0
+        |UNION ALL SELECT 'ed_pl_4', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(pl,'4')
+        |UNION ALL SELECT 'ed_ps_5', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(ps,'5')
+        |UNION ALL SELECT 'ed_d_gte2', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE ds >= 2
+        |UNION ALL SELECT 'ets_contains_world', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(toks,'world')
+        |UNION ALL SELECT 'ets_eq_tom', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE text = 'Tomorrow is the world'
+        |UNION ALL SELECT 'ets_eq_world', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE text = 'world'
+        |UNION ALL SELECT 'ets_ix_world', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(toks,'world')""".stripMargin,
+    "q_ixp_update" ->
+      """WITH base AS (SELECT * FROM (VALUES
+        |  (1, 'Hello world', 1001, 5.2, 48.0, 0.0, ['1','2','3'], ['1','2'], 1),
+        |  (2, 'Tomorrow is the world', 1010, 8.5, 49.0, 1.0, ['4','5','6'], ['4','5'], 2),
+        |  (3, 'Hello Bob, are you there?', -500, 10.1, 47.0, 10.0, ['7','8','9'], ['7','8'], 3)
+        |) t(id, text, time, weight, lat, lon, pl, ps, ds)),
+        |post AS (
+        |  SELECT id,
+        |    CASE WHEN id=3 THEN 'Bob owns the world' ELSE text END AS text,
+        |    text AS name,
+        |    CASE WHEN id=1 THEN 1005 WHEN id=3 THEN 2000 ELSE time END AS time,
+        |    CASE WHEN id=1 THEN 11.1 WHEN id=3 THEN NULL ELSE weight END AS weight,
+        |    lat, lon, pl, ps, ds
+        |  FROM base WHERE id <> 2
+        |  UNION ALL SELECT 4, 'I''ts all a big Bob', 'I''ts all a big Bob', -100, 11.2,
+        |    48.0, 8.0, ['10','11','12'], ['10','11'], 4),
+        |d AS (SELECT *,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 1) AS toks,
+        |  2*6371.0087714*asin(sqrt(pow(sin(radians(48.5-lat)/2),2)+cos(radians(48.5))*cos(radians(lat))*pow(sin(radians(0.5-lon)/2),2))) AS dist
+        |  FROM post)
+        |SELECT 'u_world' AS caze, CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(id),0) AS BIGINT) AS ids FROM d WHERE list_contains(toks,'world')
+        |UNION ALL SELECT 'u_ix_world', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(toks,'world')
+        |UNION ALL SELECT 'u_world_w6', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(toks,'world') AND weight > 6.0
+        |UNION ALL SELECT 'u_circle', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE dist <= 200.0
+        |UNION ALL SELECT 'u_tom_circle', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(toks,'tomorrow') AND dist <= 200.0
+        |UNION ALL SELECT 'u_time_circle', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE time >= -1000 AND time < 1010 AND dist <= 1000.0
+        |UNION ALL SELECT 'u_w10', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE weight > 10.0
+        |UNION ALL SELECT 'u_blah', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'u_c_bob', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(toks,'bob')
+        |UNION ALL SELECT 'u_pl_10', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(pl,'10')
+        |UNION ALL SELECT 'u_pl_11', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(pl,'11')
+        |UNION ALL SELECT 'u_ps_10', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(ps,'10')
+        |UNION ALL SELECT 'u_pl_4', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE list_contains(pl,'4')
+        |UNION ALL SELECT 'u_d_eq2', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE ds = 2
+        |UNION ALL SELECT 'u_d_eq4', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM d WHERE ds = 4""".stripMargin,
+    "q_ixp_restore" ->
+      """WITH p0 AS (SELECT * FROM (VALUES (1, 'first', 1, 10.2), (2, 'second', 2, 4.7)) t(id, name, time, weight)),
+        |p1 AS (SELECT * FROM (VALUES (2, 'not-second', 0, 2.1), (3, 'third', 3, 11.5)) t(id, name, time, weight)),
+        |p2 AS (SELECT * FROM p1 UNION ALL SELECT 1, 'first-restored', 4, 7.0),
+        |s2 AS (SELECT * FROM (VALUES (1, 'first-in-second-store', 5, 4.0)) t(id, name, time, weight))
+        |SELECT 'rs_p0_w4' AS caze, CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(id),0) AS BIGINT) AS ids FROM p0 WHERE weight >= 4.0
+        |UNION ALL SELECT 'rs_p1_w4', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM p1 WHERE weight >= 4.0
+        |UNION ALL SELECT 'rs_p1_third_t3', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM p1 WHERE name = 'third' AND time = 3
+        |UNION ALL SELECT 'rs_p1_notsecond_t0', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM p1 WHERE name = 'not-second' AND time = 0
+        |UNION ALL SELECT 'rs_p2_w4', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM p2 WHERE weight >= 4.0
+        |UNION ALL SELECT 'rs_p2_doc1', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM p2 WHERE name = 'first-restored' AND time = 4
+        |UNION ALL SELECT 'rs_s2_w4', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM s2 WHERE weight >= 4.0
+        |UNION ALL SELECT 'rs_s2_doc1', CAST(count(*) AS BIGINT), CAST(coalesce(sum(id),0) AS BIGINT) FROM s2 WHERE name = 'first-in-second-store' AND time = 5""".stripMargin,
+    "q_ixp_conflict" ->
+      """WITH st AS (SELECT * FROM (VALUES
+        |  ('g2', 1, 'the slow brown fox jumps over the lazy dog', NULL),
+        |  ('g3', 1, NULL, 'jm keynes'),
+        |  ('g5', 1, 'the quick brown fox jumps over the lazy dog', NULL),
+        |  ('g5', 2, 'honey honey', NULL),
+        |  ('g6', 1, 'honey honey', NULL),
+        |  ('g7', 1, 'its a sunny day', NULL),
+        |  ('g8', 1, NULL, NULL)
+        |) t(gid, id, text, name)),
+        |d AS (SELECT gid, id, text, name,
+        |  list_filter(string_split_regex(lower(coalesce(text,'')), '[^a-z0-9]+'), t -> len(t) > 1) AS toks
+        |  FROM st)
+        |SELECT 'cf_del_delfield' AS caze, CAST(0 AS BIGINT) AS n
+        |UNION ALL SELECT 'cf_del_modify', CAST(count(*) AS BIGINT) FROM d WHERE gid='g2' AND list_contains(toks,'brown')
+        |UNION ALL SELECT 'cf_del_addfield_text', CAST(count(*) AS BIGINT) FROM d WHERE gid='g3' AND list_contains(toks,'brown')
+        |UNION ALL SELECT 'cf_del_addfield_name', CAST(count(*) AS BIGINT) FROM d WHERE gid='g3' AND name = 'jm keynes'
+        |UNION ALL SELECT 'cf_addfield_del_text', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'cf_addfield_del_name', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'cf_confadd_brown', CAST(count(*) AS BIGINT) FROM d WHERE gid='g5' AND list_contains(toks,'brown')
+        |UNION ALL SELECT 'cf_confadd_sugar', CAST(count(*) AS BIGINT) FROM d WHERE gid='g5' AND list_contains(toks,'sugar')
+        |UNION ALL SELECT 'cf_confadd_honey', CAST(count(*) AS BIGINT) FROM d WHERE gid='g5' AND list_contains(toks,'honey')
+        |UNION ALL SELECT 'cf_lww_brown', CAST(count(*) AS BIGINT) FROM d WHERE gid='g6' AND list_contains(toks,'brown')
+        |UNION ALL SELECT 'cf_lww_sugar', CAST(count(*) AS BIGINT) FROM d WHERE gid='g6' AND list_contains(toks,'sugar')
+        |UNION ALL SELECT 'cf_lww_honey', CAST(count(*) AS BIGINT) FROM d WHERE gid='g6' AND list_contains(toks,'honey')
+        |UNION ALL SELECT 'cf_upd_brown', CAST(count(*) AS BIGINT) FROM d WHERE gid='g7' AND list_contains(toks,'brown')
+        |UNION ALL SELECT 'cf_upd_sunny', CAST(count(*) AS BIGINT) FROM d WHERE gid='g7' AND list_contains(toks,'sunny')
+        |UNION ALL SELECT 'cf_updel_brown', CAST(count(*) AS BIGINT) FROM d WHERE gid='g8' AND list_contains(toks,'brown')
+        |UNION ALL SELECT 'cf_updel_doc', CAST(count(*) AS BIGINT) FROM d WHERE gid='g8'""".stripMargin,
     "q_tp_cardinality" ->
       """WITH arc AS (SELECT tag, isset, v1, v2, [v1] AS p0
         |  FROM (VALUES ('colL_str', false, 'Totoro','Hiro'), ('colS_str', true, 'Totoro','Hiro'),

@@ -46,13 +46,30 @@ object RoundScale {
       r
     }
 
-    sizes.foreach { n =>
+    // triangle chain P_n^2 — edges (i,i+1) and (i,i+2): n-2 triangles in a
+    // line, diameter ~n/2. kTruss(4) peels it in a CONSTANT number of
+    // rounds at any n (round 1 drops every support-1 edge, round 2 the
+    // rest), so the diameter axis costs volume only.
+    def trianglePath(n: Long): PropertyGraph = {
+      val v = spark.range(n).select(col("id"), lit("v").as("label"))
+      val e1 = spark.range(n - 1).select(col("id"), col("id").as("src"),
+        (col("id") + 1L).as("dst"), lit("e").as("label"))
+      val e2 = spark.range(n - 2).select((col("id") + 1000000000L).as("id"),
+        col("id").as("src"), (col("id") + 2L).as("dst"), lit("e").as("label"))
+      PropertyGraph(GraphSchema(), v, e1.unionByName(e2))
+    }
+
+    val kind = sys.env.getOrElse("ROUNDSCALE_KIND", "cc,scc").split(",").map(_.trim).toSet
+
+    if (kind("cc")) sizes.foreach { n =>
       // CC on a path: one component; rounds must be ~log2(n)
       val comps = timed(s"cc_path_$n") {
         graft.olap.Analytics.connectedComponentsExact(pathGraph(n), iterations = 64)
           .select(col("component")).distinct().count()
       }
       println(s"ROUNDSCALE cc_path_$n components=$comps (expect 1)")
+    }
+    if (kind("scc")) sizes.foreach { n =>
       // SCC on a directed cycle: one SCC covering everything; the coloring
       // flood's pointer jumping is what keeps inner rounds ~log2(n)
       val sccs = timed(s"scc_cycle_$n") {
@@ -63,6 +80,38 @@ object RoundScale {
       }
       println(s"ROUNDSCALE scc_cycle_$n distinct=${sccs.getLong(0)} " +
         s"unresolved=${sccs.getLong(1)} (expect 1, 0)")
+    }
+    if (kind("ktruss")) sizes.foreach { n =>
+      // kTruss(4) on the triangle chain: peel-cascade depth (the structural
+      // round driver for truss peeling) is CONSTANT here, so rounds must not
+      // grow with n or diameter — wall scales with volume only
+      val (left, conv) = timed(s"ktruss_chain_$n") {
+        val (df, c) = graft.olap.Analytics.kTrussConverged(trianglePath(n), 4, maxRounds = 6)
+        (df.count(), c)
+      }
+      println(s"ROUNDSCALE ktruss_chain_$n survivors=$left converged=$conv (expect 0, true)")
+    }
+    if (kind("btw")) sizes.foreach { n =>
+      // betweenness is the one heavy whose round count is STRUCTURALLY
+      // diameter-linear (forward BFS + sigma + delta sweeps are each
+      // depth(maxD) keyed passes — no pointer-jumping shortcut exists for
+      // per-level dependency flows). Measure the linear axis directly on
+      // small paths (wall must grow ~10x per 10x diameter)...
+      if (n <= 5000) {
+        val full = timed(s"btw_path_full_$n") {
+          graft.olap.Analytics.betweennessSampled(pathGraph(n), Seq(0L),
+            maxIter = (n + 1).toInt).count()
+        }
+        println(s"ROUNDSCALE btw_path_full_$n rows=$full (expect $n)")
+      }
+      // ...and the production mitigation: sampled pivots + bounded depth
+      // (k-hop truncated Brandes) keeps wall FLAT in diameter — the answer
+      // at 100 TB for pathological-diameter graphs
+      val bounded = timed(s"btw_path_depth8_$n") {
+        graft.olap.Analytics.betweennessSampled(pathGraph(n),
+          Seq(0L, n / 2, n - 1), maxIter = 8).count()
+      }
+      println(s"ROUNDSCALE btw_path_depth8_$n rows=$bounded")
     }
     spark.stop()
   }
