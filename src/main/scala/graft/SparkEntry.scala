@@ -4057,6 +4057,54 @@ object SparkEntry {
             .has("time", P.gte(a)).vertices()) })
         .reduce(_ unionAll _)
     }),
+    // TinkerPop process-suite long-tail compositions (the ProcessStandardSuite
+    // shapes the r14 review listed as un-pinned): match() nested INSIDE
+    // repeat(), Pop.first/last/all over a label reused across repeat
+    // iterations, select's Pop.last default on repeated labels, and
+    // barrier() as a results-neutral bulk-sync point. Chain fixture:
+    // vertices 1..60 with m = id % 7, edges i -> i+1, mirrored by range()
+    // arithmetic in the oracle.
+    "q_ps_repeat_match_pop" -> ((s, dir) => {
+      import graft.traverse.Pop
+      val verts = s.range(1, 61).select(col("id"), lit("v").as("label"),
+        (col("id") % 7).as("m"))
+      val edges = s.range(1, 60).select((col("id") + 5000L).as("id"),
+        col("id").as("src"), (col("id") + 1L).as("dst"), lit("e").as("label"))
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(), verts, edges)
+      def row(caze: String, d: DataFrame, v: Column) =
+        d.agg(count(lit(1)).as("n"), coalesce(sum(v), lit(0L)).cast("long").as("s"))
+          .select(lit(caze).as("caze"), col("n"), col("s"))
+      // match nested in repeat: every hop re-binds c and semi-joins the
+      // m<>3 pattern on it (nested MatchStep inside RepeatStep)
+      val mr = g.traversal.V().as("a").repeat(2)(st => st.out("e").as("c")
+        .matchOn(g.traversal.V().has("m", P.neq(3L)).as("c"), "c")).toDF
+      // Pop over a label reused across 3 repeat iterations
+      val px = g.traversal.V().as("x").repeat(3)(_.out("e").as("x"))
+      Seq(
+        row("mr_survivors", mr, col("id")),
+        row("mr_origins", mr, col("_as_a_id")),
+        row("pop_first", px.selectPop("x", Pop.First), col("x_id")),
+        row("pop_last", px.selectPop("x", Pop.Last), col("x_id")),
+        row("select_last_default", px.select("x"), col("x_id")),
+        row("b_plain", g.traversal.V().out("e").out("e").toDF, col("id")),
+        row("b_barrier", g.traversal.V().out("e").barrier().out("e").toDF, col("id")),
+        row("b_dedup_plain",
+          g.traversal.V().out("e").in("e").dedup().out("e").toDF, col("id")),
+        row("b_dedup_barrier",
+          g.traversal.V().out("e").in("e").dedup().barrier().out("e").toDF, col("id")),
+      ).reduce(_ unionAll _)
+    }),
+    // Pop.ALL under a repeat-reused label: the full occurrence list, one
+    // stringified row per traverser (TinkerPop select(Pop.all, 'x'))
+    "q_ps_pop_all" -> ((s, dir) => {
+      import graft.traverse.Pop
+      val verts = s.range(1, 61).select(col("id"), lit("v").as("label"),
+        (col("id") % 7).as("m"))
+      val edges = s.range(1, 60).select((col("id") + 5000L).as("id"),
+        col("id").as("src"), (col("id") + 1L).as("dst"), lit("e").as("label"))
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(), verts, edges)
+      g.traversal.V().as("x").repeat(3)(_.out("e").as("x")).selectPop("x", Pop.All)
+    }),
     "q_ixp_matrix" -> ((s, dir) => {
       val gV = ixpVertexStore(s)
       val gE = ixpEdgeStore(s)
@@ -8409,6 +8457,23 @@ object SparkEntry {
         |UNION ALL SELECT concat('stx_w', CAST(an.k AS VARCHAR)), CAST(count(b.i) AS BIGINT),
         |  CAST(coalesce(sum(b.i),0) AS BIGINT)
         |  FROM an LEFT JOIN base b ON b.wrd = an.a % 4 AND b.i >= an.a GROUP BY an.k""".stripMargin,
+    "q_ps_repeat_match_pop" ->
+      """WITH v AS (SELECT CAST(x.range AS BIGINT) AS i FROM range(1, 61) x)
+        |SELECT 'mr_survivors' AS caze, CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(i+2),0) AS BIGINT) AS s
+        |  FROM v WHERE i <= 58 AND (i+1)%7 <> 3 AND (i+2)%7 <> 3
+        |UNION ALL SELECT 'mr_origins', CAST(count(*) AS BIGINT), CAST(coalesce(sum(i),0) AS BIGINT)
+        |  FROM v WHERE i <= 58 AND (i+1)%7 <> 3 AND (i+2)%7 <> 3
+        |UNION ALL SELECT 'pop_first', CAST(count(*) AS BIGINT), CAST(coalesce(sum(i),0) AS BIGINT) FROM v WHERE i <= 57
+        |UNION ALL SELECT 'pop_last', CAST(count(*) AS BIGINT), CAST(coalesce(sum(i+3),0) AS BIGINT) FROM v WHERE i <= 57
+        |UNION ALL SELECT 'select_last_default', CAST(count(*) AS BIGINT), CAST(coalesce(sum(i+3),0) AS BIGINT) FROM v WHERE i <= 57
+        |UNION ALL SELECT 'b_plain', CAST(count(*) AS BIGINT), CAST(coalesce(sum(i+2),0) AS BIGINT) FROM v WHERE i <= 58
+        |UNION ALL SELECT 'b_barrier', CAST(count(*) AS BIGINT), CAST(coalesce(sum(i+2),0) AS BIGINT) FROM v WHERE i <= 58
+        |UNION ALL SELECT 'b_dedup_plain', CAST(count(*) AS BIGINT), CAST(coalesce(sum(i+1),0) AS BIGINT) FROM v WHERE i <= 59
+        |UNION ALL SELECT 'b_dedup_barrier', CAST(count(*) AS BIGINT), CAST(coalesce(sum(i+1),0) AS BIGINT) FROM v WHERE i <= 59""".stripMargin,
+    "q_ps_pop_all" ->
+      """SELECT concat(CAST(x.range AS VARCHAR), ',', CAST(x.range+1 AS VARCHAR), ',',
+        |  CAST(x.range+2 AS VARCHAR), ',', CAST(x.range+3 AS VARCHAR)) AS x_ids
+        |FROM range(1, 58) x""".stripMargin,
     "q_ixp_matrix" ->
       """WITH docs AS (SELECT * FROM (VALUES
         |  (1, 'Hello world', 1001, 5.2, 48.0, 0.0, ['1','2','3'], ['1','2'], 1),

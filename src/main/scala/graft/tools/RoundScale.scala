@@ -102,7 +102,8 @@ object RoundScale {
           graft.olap.Analytics.betweennessSampled(pathGraph(n), Seq(0L),
             maxIter = (n + 1).toInt).count()
         }
-        println(s"ROUNDSCALE btw_path_full_$n rows=$full (expect $n)")
+        // endpoints-excluded estimator: the source itself carries no row
+        println(s"ROUNDSCALE btw_path_full_$n rows=$full (expect ${n - 1})")
       }
       // ...and the production mitigation: sampled pivots + bounded depth
       // (k-hop truncated Brandes) keeps wall FLAT in diameter — the answer
