@@ -767,7 +767,11 @@ object GraphIO {
       val table0 = if (cat == ElementCategory.VERTEX) g2.vertices else g2.edges
       val table = ix.onlyLabel.map(l => table0.filter(col("label") === l)).getOrElse(table0)
       val touched = df.select(ix.keys.map(col): _*).distinct()
-      val dup = table.join(broadcast(touched), ix.keys, "left_semi")
+      // no forced broadcast: a bulk-load batch's distinct key set is
+      // unbounded, and the hint would bypass autoBroadcastJoinThreshold at
+      // 100x scale (the GraphQuery gating rationale) - AQE broadcasts the
+      // small case from actual sizes
+      val dup = table.join(touched, ix.keys, "left_semi")
         .groupBy(ix.keys.map(col): _*).count().filter(col("count") > 1)
       firstId(dup).map(k => s"unique index '${ix.name}' violated at key=$k")
     }).flatten
@@ -784,7 +788,8 @@ object GraphIO {
         val touched = ae.filter(col("label") === lbl)
         def bound(side: String, lim: Long): Option[String] = {
           val keys = touched.select(col(side).as("__k")).distinct()
-          val over = base.join(broadcast(keys), col(side) === col("__k"), "left_semi")
+          // unbounded batch key set: AQE-decided join, no forced broadcast
+          val over = base.join(keys, col(side) === col("__k"), "left_semi")
             .groupBy(col(side)).count().filter(col("count") > lim)
           firstId(over).map(k => s"multiplicity ${el.multiplicity} of '$lbl' exceeded at $side=$k")
         }
@@ -792,7 +797,8 @@ object GraphIO {
         val in = el.multiplicity.inLimit.flatMap(bound("dst", _))
         val simple = if (el.multiplicity == Multiplicity.SIMPLE) {
           val pairs = touched.select(col("src").as("__s"), col("dst").as("__d")).distinct()
-          val over = base.join(broadcast(pairs),
+          // unbounded batch pair set: AQE-decided join, no forced broadcast
+          val over = base.join(pairs,
             col("src") === col("__s") && col("dst") === col("__d"), "left_semi")
             .groupBy(col("src"), col("dst")).count().filter(col("count") > 1)
           firstId(over).map(k => s"SIMPLE multiplicity of '$lbl' violated at src=$k")

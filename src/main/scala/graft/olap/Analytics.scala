@@ -52,7 +52,7 @@ object Analytics {
       .select(col("src"), col("dst")).dropDuplicates("src", "dst")
     val hubs = e.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") > maxHubDegree).select(col("dst"))
-    val light = e.join(broadcast(hubs), Seq("dst"), "left_anti")
+    val light = hubAntiJoin(g, e, hubs, Seq("dst"))
     val a = light.select(col("dst"), col("src").as("ida"))
     val b = light.select(col("dst"), col("src").as("idb"))
     a.join(b, Seq("dst")).filter(col("ida") < col("idb"))
@@ -513,7 +513,7 @@ object Analytics {
       .unionAll(e.select(col("v").as("x"), col("u").as("a")))
     val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("d"))
     val hubs = deg.filter(col("d") > maxHubDegree).select(col("x").as("a"))
-    (e, adj.join(broadcast(hubs), Seq("a"), "left_anti"), deg)
+    (e, hubAntiJoin(g, adj, hubs, Seq("a")), deg)
   }
 
   /** Common-neighbor pair counts over a hub-capped adjacency: (x < y,
@@ -2539,6 +2539,18 @@ object Analytics {
     * degrade to one exchange per round — the floor any orientation has. */
   private def broadcastMaxRows(g: PropertyGraph): Long =
     g.spark.conf.get("spark.graft.broadcast.maxRows", "10000000").toLong
+
+  /** Anti-join `df` against a hub id set WITHOUT a forced broadcast hint:
+    * #hubs <= 2|E|/maxHubDegree is usually tiny but DATA-DEPENDENT-unbounded
+    * (a low degree cap over a fat-tailed graph), and a forced hint bypasses
+    * autoBroadcastJoinThreshold - the 100x-scale OOM class. The hubs frame
+    * is a fresh (non-checkpointed) aggregate, so AQE sees its RUNTIME size
+    * and picks the broadcast itself in the typical tiny case; a count-probe
+    * gate would re-run the degree aggregate (measured +23% on
+    * q_recommend_links), so the hint-free route is also the cheaper one. */
+  private def hubAntiJoin(g: PropertyGraph, df: DataFrame, hubs: DataFrame,
+      keys: Seq[String]): DataFrame =
+    df.join(hubs, keys, "left_anti")
 
   private def toDF[T <: Product : scala.reflect.runtime.universe.TypeTag](
       spark: SparkSession, rdd: org.apache.spark.rdd.RDD[T], names: String*): DataFrame = {

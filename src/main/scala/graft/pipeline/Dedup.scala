@@ -412,7 +412,10 @@ object Dedup {
     val heavyBuckets = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
       .select(col("band"), col("bucket"))
-    val capped = banded.join(broadcast(heavyBuckets), Seq("band", "bucket"), "left_anti")
+    // no forced broadcast: #heavy buckets <= rows/maxBucketSize is
+    // data-dependent-unbounded at 100x scale; AQE broadcasts the (typical)
+    // small case from its RUNTIME size
+    val capped = banded.join(heavyBuckets, Seq("band", "bucket"), "left_anti")
     val a = capped.select(col("band"), col("bucket"), col("id").as("ida"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("idb"))
     val candidates = a.join(b, Seq("band", "bucket"))
@@ -473,7 +476,8 @@ object Dedup {
     val heavy = corpusBanded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
       .select(col("band"), col("bucket"))
-    val a = inBanded.join(broadcast(heavy), Seq("band", "bucket"), "left_anti")
+    // unbounded heavy-bucket set: AQE-decided join, no forced broadcast
+    val a = inBanded.join(heavy, Seq("band", "bucket"), "left_anti")
       .select(col("band"), col("bucket"), col("id").as("in_id"))
     val b = corpusBanded.join(broadcast(heavy), Seq("band", "bucket"), "left_anti")
       .select(col("band"), col("bucket"), col("id").as("corpus_id"))

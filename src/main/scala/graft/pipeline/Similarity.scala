@@ -790,7 +790,8 @@ object Similarity {
     val heavyBuckets = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
       .select(col("band"), col("bucket"))
-    val capped = banded.join(broadcast(heavyBuckets), Seq("band", "bucket"), "left_anti")
+    // unbounded heavy-bucket set: AQE-decided join, no forced broadcast
+    val capped = banded.join(heavyBuckets, Seq("band", "bucket"), "left_anti")
     val a = capped.select(col("band"), col("bucket"), col("id").as("ida"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("idb"))
     // candidates collapse to DISTINCT id pairs before any vector touches the
