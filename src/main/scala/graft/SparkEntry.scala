@@ -4105,6 +4105,57 @@ object SparkEntry {
       val g = graft.data.PropertyGraph(graft.core.GraphSchema(), verts, edges)
       g.traversal.V().as("x").repeat(3)(_.out("e").as("x")).selectPop("x", Pop.All)
     }),
+    // IndexProviderTest.largeTest (:447-467) limit semantics on a
+    // deterministic twin of the random-document fixture: a conjunctive
+    // numeric-range + geo-circle query where limit < matches returns EXACTLY
+    // limit and an over-sized limit returns every match.
+    "q_ixp_limit" -> ((s, dir) => {
+      val docs = s.range(3000).select((col("id") + 1L).as("id"), lit("doc").as("label"),
+        (((col("id") + 1L) % 100).cast("double") / 100.0).as("weight"),
+        graft.expr.Geo.pointCol(
+          (((col("id") + 1L) % 40) - 20).cast("double") * 0.5,
+          ((((col("id") + 1L) * 7) % 40) - 20).cast("double") * 0.5).as("location"))
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(), docs,
+        docs.limit(0).select(col("id"), col("id").as("src"), col("id").as("dst"), col("label")))
+      val circle = graft.expr.Geo.circle(0.0, 0.0, 1000.0)
+      def q = g.V().has("weight", P.gte(0.2)).has("weight", P.lt(0.6))
+        .has("location", graft.expr.Geo.geoWithin(circle))
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(caze).as("caze"), col("n"))
+      Seq(
+        n("lim_base", q.vertices()),
+        n("lim_30", q.limit(30).vertices()),
+        n("lim_over", q.limit(200000).vertices()),
+      ).reduce(_ unionAll _)
+    }),
+    // Typed collection-index comparison pinned at the ORACLE level (the
+    // round-15 ADVICE fix): double cells, an Int operand, and a half-step
+    // operand must all resolve through the inverted per-element index to
+    // exactly the scan-path answer - the index may only change the access
+    // path. force-index proves the index path engaged on every ct_ix_* row.
+    "q_collection_typed" -> ((s, dir) => {
+      val verts = s.range(50).select((col("id") + 1L).as("id"), lit("v").as("label"),
+        array(((col("id") + 1L) % 10).cast("double"),
+          ((col("id") + 1L) % 5).cast("double") + 0.5).as("nums"))
+      val schema = graft.core.GraphSchema()
+        .withPropertyKey(graft.core.PropertyKeyDef("nums",
+          org.apache.spark.sql.types.DoubleType, graft.core.Cardinality.LIST))
+        .withIndex(graft.core.IndexDef("byNums", graft.core.ElementCategory.VERTEX,
+          Seq("nums"), composite = false))
+      val g0 = graft.data.PropertyGraph(schema, verts,
+        verts.limit(0).select(col("id"), col("id").as("src"), col("id").as("dst"), col("label")))
+      val g = g0.withIndexTable("byNums",
+        graft.index.Indexes.materializeCollection(g0, schema.indexes("byNums")))
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n"), coalesce(sum(col("id")), lit(0L)).cast("long").as("s"))
+          .select(lit(caze).as("caze"), col("n"), col("s"))
+      Seq(
+        n("ct_scan_int7", g0.V().has("nums", 7).vertices()),
+        n("ct_ix_int7", g.V().has("nums", 7).forceIndex().vertices()),
+        n("ct_ix_half", g.V().has("nums", 2.5).forceIndex().vertices()),
+        n("ct_ix_miss", g.V().has("nums", 9.75).forceIndex().vertices()),
+      ).reduce(_ unionAll _)
+    }),
     "q_ixp_matrix" -> ((s, dir) => {
       val gV = ixpVertexStore(s)
       val gE = ixpEdgeStore(s)
@@ -8474,6 +8525,23 @@ object SparkEntry {
       """SELECT concat(CAST(x.range AS VARCHAR), ',', CAST(x.range+1 AS VARCHAR), ',',
         |  CAST(x.range+2 AS VARCHAR), ',', CAST(x.range+3 AS VARCHAR)) AS x_ids
         |FROM range(1, 58) x""".stripMargin,
+    "q_ixp_limit" ->
+      """WITH d AS (SELECT CAST(x.range AS BIGINT) + 1 AS i,
+        |    ((CAST(x.range AS BIGINT) + 1) % 100) / 100.0 AS w,
+        |    (((CAST(x.range AS BIGINT) + 1) % 40) - 20) * 0.5 AS lat,
+        |    ((((CAST(x.range AS BIGINT) + 1) * 7) % 40) - 20) * 0.5 AS lon
+        |  FROM range(3000) x),
+        |m AS (SELECT * FROM d WHERE w >= 0.2 AND w < 0.6 AND
+        |  2*6371.0087714*asin(sqrt(pow(sin(radians(0.0-lat)/2),2)+cos(radians(0.0))*cos(radians(lat))*pow(sin(radians(0.0-lon)/2),2))) <= 1000.0)
+        |SELECT 'lim_base' AS caze, CAST(count(*) AS BIGINT) AS n FROM m
+        |UNION ALL SELECT 'lim_30', CAST(LEAST(30, count(*)) AS BIGINT) FROM m
+        |UNION ALL SELECT 'lim_over', CAST(count(*) AS BIGINT) FROM m""".stripMargin,
+    "q_collection_typed" ->
+      """WITH d AS (SELECT CAST(x.range AS BIGINT) + 1 AS i FROM range(50) x)
+        |SELECT 'ct_scan_int7' AS caze, CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(i),0) AS BIGINT) AS s FROM d WHERE i % 10 = 7
+        |UNION ALL SELECT 'ct_ix_int7', CAST(count(*) AS BIGINT), CAST(coalesce(sum(i),0) AS BIGINT) FROM d WHERE i % 10 = 7
+        |UNION ALL SELECT 'ct_ix_half', CAST(count(*) AS BIGINT), CAST(coalesce(sum(i),0) AS BIGINT) FROM d WHERE i % 5 = 2
+        |UNION ALL SELECT 'ct_ix_miss', CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin,
     "q_ixp_matrix" ->
       """WITH docs AS (SELECT * FROM (VALUES
         |  (1, 'Hello world', 1001, 5.2, 48.0, 0.0, ['1','2','3'], ['1','2'], 1),

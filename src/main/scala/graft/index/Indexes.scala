@@ -505,4 +505,67 @@ object Indexes {
     base.join(cand.select(col("id")), Seq("id"), "left_semi")
       .filter(Geo.within(pointCol, Geo.circle(centerLat, centerLon, radiusKm), roundScale))
   }
+
+  /** Provider capability matrix — the reference's IndexProvider.supports()
+    * SPI (tc/diskstorage/indexing/IndexProvider.java; the contract pinned by
+    * IndexProviderTest.testCommonSupport:415-444, which the reference's
+    * ES and Lucene providers both satisfy). Management uses it to reject
+    * buildMixedIndex calls the backend cannot serve, so the engine exposes
+    * the same matrix even though every predicate here evaluates natively:
+    *   - types: String, the fixed-width numerics, Boolean, Date/Timestamp
+    *     (Instant), UUID-as-String and Geoshape are indexable; arbitrary
+    *     Object types are not;
+    *   - mappings: TEXT/STRING/TEXTSTRING apply to String only, everything
+    *     else takes DEFAULT;
+    *   - predicates: Cmp works on orderable types and STRING-mapped text,
+    *     Text.CONTAINS* needs a TEXT(STRING) mapping, Text.PREFIX/REGEX
+    *     need the untokenized STRING(TEXTSTRING) side, Geo.WITHIN/INTERSECT
+    *     work on Geoshape, Geo.DISJOINT is not index-servable (the
+    *     reference evaluates it in memory too — Geo.java:44-67). */
+  def supports(dt: org.apache.spark.sql.types.DataType,
+      cardinality: graft.core.Cardinality = graft.core.Cardinality.SINGLE,
+      mapping: graft.core.Mapping = graft.core.Mapping.DEFAULT): Boolean = {
+    import org.apache.spark.sql.types._
+    val isGeo = dt == graft.expr.Geo.shapeType
+    val typeOk = dt match {
+      case StringType | LongType | IntegerType | ShortType | ByteType |
+           FloatType | DoubleType | BooleanType | DateType | TimestampType => true
+      case _ => isGeo
+    }
+    val mappingOk = mapping match {
+      case graft.core.Mapping.DEFAULT => true
+      case _ => dt == StringType // TEXT/STRING/TEXTSTRING are text mappings
+    }
+    typeOk && mappingOk
+  }
+
+  /** supports(keyInfo, predicate) — predicate ops named after [[graft.expr.P]]
+    * constructors (eq/neq/lt/lte/gt/gte, textContains/textContainsPrefix/
+    * textContainsRegex, textPrefix/textRegex, geoWithin/geoIntersect/
+    * geoDisjoint). */
+  def supportsPredicate(dt: org.apache.spark.sql.types.DataType, op: String,
+      mapping: graft.core.Mapping = graft.core.Mapping.DEFAULT): Boolean = {
+    import org.apache.spark.sql.types._
+    import graft.core.Mapping
+    if (!supports(dt, mapping = mapping)) return false
+    val isGeo = dt == graft.expr.Geo.shapeType
+    val isText = dt == StringType &&
+      (mapping == Mapping.TEXT || mapping == Mapping.TEXTSTRING)
+    val isString = dt == StringType &&
+      (mapping == Mapping.STRING || mapping == Mapping.TEXTSTRING)
+    op match {
+      case "eq" | "neq" =>
+        !isGeo && (dt != StringType || isString || mapping == Mapping.DEFAULT)
+      case "lt" | "lte" | "gt" | "gte" =>
+        !isGeo && dt != StringType && dt != BooleanType
+      case "textContains" | "textContainsPrefix" | "textContainsRegex" =>
+        isText || (dt == StringType && mapping == Mapping.DEFAULT)
+      case "textPrefix" | "textRegex" =>
+        isString || (dt == StringType && mapping == Mapping.DEFAULT)
+      case "geoWithin" | "geoIntersect" => isGeo
+      case "geoDisjoint" => false
+      case _ => false
+    }
+  }
 }
+
