@@ -92,8 +92,20 @@ final class Management(initial: GraphSchema) {
       val ix = IndexDef(name, element, keys, uniq, composite = true, maps, only, SchemaStatus.ENABLED)
       staged = staged.withIndex(ix); ix
     }
-    /** Mixed index starts INSTALLED; requires REGISTER + ENABLE lifecycle. */
+    /** Mixed index starts INSTALLED; requires REGISTER + ENABLE lifecycle.
+      * Each key's (type, mapping) pair must pass the provider capability
+      * matrix — the reference rejects an unsupported addIndexKey at build
+      * time (ManagementSystem checks IndexProvider.supports(); e.g. a TEXT
+      * mapping on a Double key throws, IndexProviderTest.testCommonSupport). */
     def buildMixedIndex(): IndexDef = {
+      keys.foreach { k =>
+        staged.propertyKeys.get(k).foreach { pk =>
+          val m = maps.getOrElse(k, Mapping.DEFAULT)
+          require(graft.index.Indexes.supports(pk.dataType, pk.cardinality, m),
+            s"index '$name': key '$k' of type ${pk.dataType.simpleString} " +
+              s"does not support mapping $m")
+        }
+      }
       val ix = IndexDef(name, element, keys, unique = false, composite = false, maps, only,
         SchemaStatus.INSTALLED)
       staged = staged.withIndex(ix); ix

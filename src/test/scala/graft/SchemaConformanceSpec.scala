@@ -283,6 +283,20 @@ class SchemaConformanceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](s1.renameVertexLabel("person", "group"))
   }
 
+  test("buildMixedIndex rejects a declared key whose type cannot take the mapping") {
+    val m = new graft.mgmt.Management(GraphSchema()
+      .withPropertyKey(PropertyKeyDef("w", org.apache.spark.sql.types.DoubleType))
+      .withPropertyKey(PropertyKeyDef("t", StringType)))
+    // TEXT mapping applies to strings only (IndexProviderTest.testCommonSupport:422)
+    val ex = intercept[IllegalArgumentException] {
+      m.buildIndex("badIx", ElementCategory.VERTEX).addKey("w", Mapping.TEXT).buildMixedIndex()
+    }
+    assert(ex.getMessage.contains("does not support mapping"))
+    // the valid pairs still build
+    m.buildIndex("okIx", ElementCategory.VERTEX).addKey("t", Mapping.TEXT)
+      .addKey("w").buildMixedIndex()
+  }
+
   test("label renames cascade onlyLabel ONLY within the index's element category") {
     // a vertex label and an edge label deliberately share the name 'acme' —
     // onlyLabel names a label in the INDEX'S OWN category, so a vertex-label
