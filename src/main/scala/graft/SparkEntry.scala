@@ -4156,6 +4156,23 @@ object SparkEntry {
         n("ct_ix_miss", g.V().has("nums", 9.75).forceIndex().vertices()),
       ).reduce(_ unionAll _)
     }),
+    // The size-gated index path in its NON-BROADCAST regime, end-to-end
+    // against the oracle (PlanShapeSpec pins the plan shape; this pins the
+    // RESULTS): with the cap forced to 1 id the low-selectivity BUILDING
+    // lookup exceeds it, the forced hint drops, and the AQE-decided
+    // semi-join must return exactly the scan answer. force-index proves the
+    // index path still engaged.
+    "q_index_gated" -> ((s, dir) => {
+      val g0 = graph(s, dir)
+      val ix = graft.core.IndexDef("gatedSeg", graft.core.ElementCategory.VERTEX,
+        Seq("mktsegment"), onlyLabel = Some("customer"))
+      val g = g0.copy(schema = g0.schema.copy(indexes = g0.schema.indexes + (ix.name -> ix)))
+        .withIndexTable(ix.name, graft.index.Indexes.materialize(g0, ix))
+      s.conf.set("graft.index.broadcast.maxRows", "1")
+      try g.V().hasLabel("customer").has("mktsegment", "BUILDING").forceIndex().dataframe
+        .select(col("uid"), col("mktsegment"))
+      finally s.conf.unset("graft.index.broadcast.maxRows")
+    }),
     "q_ixp_matrix" -> ((s, dir) => {
       val gV = ixpVertexStore(s)
       val gE = ixpEdgeStore(s)
@@ -8525,6 +8542,8 @@ object SparkEntry {
       """SELECT concat(CAST(x.range AS VARCHAR), ',', CAST(x.range+1 AS VARCHAR), ',',
         |  CAST(x.range+2 AS VARCHAR), ',', CAST(x.range+3 AS VARCHAR)) AS x_ids
         |FROM range(1, 58) x""".stripMargin,
+    "q_index_gated" ->
+      "SELECT c_custkey AS uid, c_mktsegment AS mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'",
     "q_ixp_limit" ->
       """WITH d AS (SELECT CAST(x.range AS BIGINT) + 1 AS i,
         |    ((CAST(x.range AS BIGINT) + 1) % 100) / 100.0 AS w,
