@@ -27,6 +27,28 @@ class StreamMgmtSpec extends AnyFunSuite {
     assert(adds.get() === batchAdds)
   }
 
+  test("log readers are independent; each resumes from ITS OWN marker " +
+      "(KCVSLog multi-reader contract — titan-test diskstorage/log/LogTest)") {
+    // the reference's log store serves multiple named readers, each with a
+    // durable read marker: every reader sees the whole log once, a restarted
+    // reader resumes past what it consumed, and readers never disturb each
+    // other. Checkpoint locations ARE the markers here.
+    val c1 = Files.createTempDirectory("graft-reader1").toString
+    val c2 = Files.createTempDirectory("graft-reader2").toString
+    val total = ChangeStream.replay(spark, dir).count()
+    def run(cp: String): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong(0)
+      val stream = ChangeStream.readStream(spark, dir)
+      val q = ChangeStream.addListener(stream, cp) { (b, _) => n.addAndGet(b.count()) }
+      assert(q.awaitTermination(120000), "reader did not drain within 120s")
+      n.get()
+    }
+    assert(run(c1) === total, "reader 1 must see the full log")
+    assert(run(c2) === total, "reader 2 is independent and sees the full log too")
+    assert(run(c1) === 0L, "a restarted reader resumes from its marker — nothing re-delivered")
+    assert(run(c2) === 0L)
+  }
+
   test("windowed aggregation over the change stream (watermark extension)") {
     val batch = ChangeStream.replay(spark, dir)
     val windowed = batch.groupBy(window(col("ts"), "1 hour"), col("event_type"))
