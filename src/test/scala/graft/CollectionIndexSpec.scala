@@ -72,6 +72,29 @@ class CollectionIndexSpec extends AnyFunSuite {
     assert(trav == viaHasNot)
   }
 
+  test("indexed collection lookup compares TYPED timestamp cells " +
+      "(Spark cast second-fraction form vs java.sql.Timestamp.toString)") {
+    // Spark renders a whole-second timestamp cell as "... 00:00:01" while
+    // String.valueOf(new Timestamp(1000L)) gives "... 00:00:01.0" — the
+    // string-compare bug class the typed operand cast chain fixes
+    val vs = spark.range(3).select((col("id") + 1L).as("id"), lit("v").as("label"),
+      array(col("id").cast("timestamp"), (col("id") + 100L).cast("timestamp")).as("when"))
+    val schema = graft.core.GraphSchema()
+      .withPropertyKey(graft.core.PropertyKeyDef("when",
+        org.apache.spark.sql.types.TimestampType, graft.core.Cardinality.LIST))
+      .withIndex(graft.core.IndexDef("byWhen", graft.core.ElementCategory.VERTEX,
+        Seq("when"), composite = false))
+    val g0 = graft.data.PropertyGraph(schema, vs,
+      vs.limit(0).select(col("id"), col("id").as("src"), col("id").as("dst"), col("label")))
+    val g = g0.withIndexTable("byWhen",
+      graft.index.Indexes.materializeCollection(g0, schema.indexes("byWhen")))
+    val t1 = new java.sql.Timestamp(1000L) // cell for vertex id 2 (range id 1)
+    assert(String.valueOf(t1).endsWith(".0"), "precondition: Timestamp stringifies with .0")
+    val ids = g.V().has("when", t1).forceIndex().vertices()
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(2L), "typed operand must find the timestamp cell through the index")
+  }
+
   test("a scalar string table cannot masquerade as a collection index") {
     // register a SCALAR (key, value, id) layout under the collection index's
     // name: the planner must not take it as the inverted path (it has no
