@@ -79,12 +79,14 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("gs"))
       .withColumn("sz", size(col("gs")))
     val tok = sh.select(col("id"), col("sz"), explode(col("gs")).as("g"))
-    // stop-shingle removal: heavy keys are few by definition — aggregate
-    // them (map-side combinable) and broadcast an anti-join, instead of a
-    // window that would sort the entire exploded token table
+    // stop-shingle removal via an aggregate + anti-join instead of a window
+    // that would sort the entire exploded token table. The heavy set is
+    // data-dependent-unbounded (#shingles with df > maxDocFreq grows
+    // linearly with corpus size), so the join is AQE-decided — no forced
+    // broadcast.
     val heavy = tok.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq).select(col("g"))
-    val filtered = tok.join(broadcast(heavy), Seq("g"), "left_anti")
+    val filtered = tok.join(heavy, Seq("g"), "left_anti")
     val a = filtered.select(col("id").as("ida"), col("sz").as("sza"), col("g"))
     val b = filtered.select(col("id").as("idb"), col("sz").as("szb"), col("g"))
     a.join(b, Seq("g")).filter(col("ida") < col("idb"))
@@ -479,7 +481,7 @@ object Dedup {
     // unbounded heavy-bucket set: AQE-decided join, no forced broadcast
     val a = inBanded.join(heavy, Seq("band", "bucket"), "left_anti")
       .select(col("band"), col("bucket"), col("id").as("in_id"))
-    val b = corpusBanded.join(broadcast(heavy), Seq("band", "bucket"), "left_anti")
+    val b = corpusBanded.join(heavy, Seq("band", "bucket"), "left_anti")
       .select(col("band"), col("bucket"), col("id").as("corpus_id"))
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("in_id") =!= col("corpus_id"))
