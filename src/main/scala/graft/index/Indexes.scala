@@ -53,12 +53,22 @@ object Indexes {
     * > cap ⇒ plain semi-join and AQE picks the runtime strategy from actual
     * sizes. Cap via graft.index.broadcast.maxRows (rows of bare longs;
     * 100k ≈ single-digit MB in the hash relation, well under default
-    * executor budgets). */
+    * executor budgets).
+    *
+    * The ids subplan is PlanCache-persisted BEFORE the probe, so the
+    * index-filter work runs once — the probe materializes the (ids-only,
+    * cap-bounded-read) frame and the join serves from cache instead of
+    * re-executing the filter; a repeat of the same lookup (the
+    * q_ixp_matrix build-many-lookups shape) pays no second probe scan
+    * either, because the semantic-hash key hits the cached frame. */
   private[graft] def gatedIdSemiJoin(base: DataFrame, ids: DataFrame): DataFrame = {
-    val cap = base.sparkSession.conf
-      .get("graft.index.broadcast.maxRows", "100000").toLong
-    val small = ids.limit(math.min(cap + 1L, Int.MaxValue.toLong).toInt).count() <= cap
-    base.join(if (small) broadcast(ids) else ids, Seq("id"), "left_semi")
+    val spark = base.sparkSession
+    val cap = spark.conf.get("graft.index.broadcast.maxRows", "100000").toLong
+    val cachedIds = graft.core.PlanCache.cached(spark,
+      graft.core.PlanCache.key("gated-ids", ids, cap)) { ids }
+    val small =
+      cachedIds.limit(math.min(cap + 1L, Int.MaxValue.toLong).toInt).count() <= cap
+    base.join(if (small) broadcast(cachedIds) else cachedIds, Seq("id"), "left_semi")
   }
 
   /** Materialize a mixed (text) index as an inverted token table: one row per
@@ -521,9 +531,12 @@ object Indexes {
     *     Text.CONTAINS* needs a TEXT(STRING) mapping, Text.PREFIX/REGEX
     *     need the untokenized STRING(TEXTSTRING) side, Geo.WITHIN/INTERSECT
     *     work on Geoshape, Geo.DISJOINT is not index-servable (the
-    *     reference evaluates it in memory too — Geo.java:44-67). */
+    *     reference evaluates it in memory too — Geo.java:44-67).
+    * Cardinality is deliberately NOT a parameter: all cardinalities are
+    * supported uniformly (the reference's ES and Lucene providers accept
+    * SINGLE/SET/LIST alike — IndexProviderTest exercises the same matrix
+    * for every cardinality), so the matrix depends only on (type, mapping). */
   def supports(dt: org.apache.spark.sql.types.DataType,
-      cardinality: graft.core.Cardinality = graft.core.Cardinality.SINGLE,
       mapping: graft.core.Mapping = graft.core.Mapping.DEFAULT): Boolean = {
     import org.apache.spark.sql.types._
     val isGeo = dt == graft.expr.Geo.shapeType
@@ -547,7 +560,7 @@ object Indexes {
       mapping: graft.core.Mapping = graft.core.Mapping.DEFAULT): Boolean = {
     import org.apache.spark.sql.types._
     import graft.core.Mapping
-    if (!supports(dt, mapping = mapping)) return false
+    if (!supports(dt, mapping)) return false
     val isGeo = dt == graft.expr.Geo.shapeType
     val isText = dt == StringType &&
       (mapping == Mapping.TEXT || mapping == Mapping.TEXTSTRING)

@@ -99,12 +99,20 @@ final class Management(initial: GraphSchema) {
       * mapping on a Double key throws, IndexProviderTest.testCommonSupport). */
     def buildMixedIndex(): IndexDef = {
       keys.foreach { k =>
-        staged.propertyKeys.get(k).foreach { pk =>
-          val m = maps.getOrElse(k, Mapping.DEFAULT)
-          require(graft.index.Indexes.supports(pk.dataType, pk.cardinality, m),
-            s"index '$name': key '$k' of type ${pk.dataType.simpleString} " +
-              s"does not support mapping $m")
-        }
+        // The reference's addIndexKey takes a PropertyKey OBJECT, so the key
+        // necessarily exists before the index is built — an undeclared name
+        // here would skip the capability check entirely and let an
+        // unsupported (type, mapping) pair in once the default schema maker
+        // types the key later. Require the declaration up front.
+        val pk = staged.propertyKeys.getOrElse(k,
+          throw new IllegalArgumentException(
+            s"index '$name': key '$k' is not declared — make the property " +
+              "key (with its data type) before buildMixedIndex, so the " +
+              "provider capability matrix can validate the mapping"))
+        val m = maps.getOrElse(k, Mapping.DEFAULT)
+        require(graft.index.Indexes.supports(pk.dataType, m),
+          s"index '$name': key '$k' of type ${pk.dataType.simpleString} " +
+            s"does not support mapping $m")
       }
       val ix = IndexDef(name, element, keys, unique = false, composite = false, maps, only,
         SchemaStatus.INSTALLED)

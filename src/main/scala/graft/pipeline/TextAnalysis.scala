@@ -680,12 +680,19 @@ object TextAnalysis {
     * mean_logs) — the mean ln S over the document's trigram positions.
     *
     * Scale + determinism: three model-count tables (tri/bi/uni — each
-    * map-side-combinable, vocabulary-sized, built once), each pre-scored as
+    * map-side-combinable, vocabulary-sized), each pre-scored as
     * a 9-dp-rounded ln ratio and LEFT-joined onto the position stream
     * (Spark broadcasts the small ones); the backoff CASE then adds
     * DECIMAL-exact 9-dp constants (ln 0.4 pinned once), so the per-position
     * value is an exact DECIMAL and the document mean is bit-identical on
-    * any engine — the [[bigramLogProb]] recipe with a 3-level fallback. */
+    * any engine — the [[bigramLogProb]] recipe with a 3-level fallback.
+    *
+    * The model corpus is scanned ONCE: each token position emits its
+    * (w1, w2?, w3?) window (w2/w3 null at document tails), one aggregate
+    * produces per-distinct-window counts (PlanCache-persisted,
+    * vocabulary-sized), and the tri/bi/uni tables are rollups of that
+    * frame — f(abc) = the full-window count, f(ab) = Σ over w3,
+    * f(a) = Σ over w2,w3 (every token is w1 of exactly one window). */
   def stupidBackoffLogProb(docs: DataFrame, modelDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val L04 = BigDecimal(math.log(0.4)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
@@ -697,13 +704,25 @@ object TextAnalysis {
           i => struct((1 to n).map(j => element_at(w, i + j).as(s"w$j")): _*))).as("g"): _*)
         .select(carry ++ (1 to n).map(j => col(s"g.w$j").as(s"w$j")): _*)
     }
-    // model counts: trigram, bigram, unigram occurrences + total mass
-    val tri = grams(modelDocs, 3, carryId = false)
-      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("tc"))
-    val bi = grams(modelDocs, 2, carryId = false)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
-    val uni = grams(modelDocs, 1, carryId = false)
-      .groupBy(col("w1")).agg(count(lit(1)).as("uc"))
+    // model counts from ONE scan: per-position (w1, w2?, w3?) windows →
+    // one distinct-window count aggregate, persisted for the three rollups
+    val winCounts = graft.core.PlanCache.cached(modelDocs.sparkSession,
+        graft.core.PlanCache.key("sb-windows", modelDocs, textCol)) {
+      val w = tokens(col(textCol))
+      modelDocs.filter(size(w) >= 1)
+        .select(explode(transform(sequence(lit(0), size(w) - 1), i =>
+          struct(
+            element_at(w, i + 1).as("w1"),
+            when(i + 2 <= size(w), element_at(w, i + 2)).as("w2"),
+            when(i + 3 <= size(w), element_at(w, i + 3)).as("w3")))).as("g"))
+        .select(col("g.w1"), col("g.w2"), col("g.w3"))
+        .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("wc"))
+    }
+    val tri = winCounts.filter(col("w3").isNotNull)
+      .select(col("w1"), col("w2"), col("w3"), col("wc").as("tc"))
+    val bi = winCounts.filter(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("wc")).as("bc"))
+    val uni = winCounts.groupBy(col("w1")).agg(sum(col("wc")).as("uc"))
     val n = uni.agg(sum(col("uc")).as("n"))
     val dec = DecimalType(28, 12)
     // pre-scored ratio tables — one 9-dp ln per DISTINCT n-gram

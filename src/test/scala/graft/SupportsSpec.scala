@@ -15,13 +15,13 @@ class SupportsSpec extends AnyFunSuite {
 
   test("type + mapping support matrix (:417-432)") {
     assert(I.supports(StringType))
-    assert(I.supports(StringType, Cardinality.SINGLE, Mapping.TEXT))
-    assert(I.supports(StringType, Cardinality.SINGLE, Mapping.STRING))
+    assert(I.supports(StringType, Mapping.TEXT))
+    assert(I.supports(StringType, Mapping.STRING))
     assert(I.supports(DoubleType))
-    assert(!I.supports(DoubleType, Cardinality.SINGLE, Mapping.TEXT),
+    assert(!I.supports(DoubleType, Mapping.TEXT),
       "TEXT mapping applies to strings only")
     assert(I.supports(LongType))
-    assert(I.supports(LongType, Cardinality.SINGLE, Mapping.DEFAULT))
+    assert(I.supports(LongType, Mapping.DEFAULT))
     assert(I.supports(IntegerType))
     assert(I.supports(ShortType))
     assert(I.supports(ByteType))
