@@ -4105,6 +4105,98 @@ object SparkEntry {
       val g = graft.data.PropertyGraph(graft.core.GraphSchema(), verts, edges)
       g.traversal.V().as("x").repeat(3)(_.out("e").as("x")).selectPop("x", Pop.All)
     }),
+    // where() with Pop over a reused (select-all) label (TinkerPop
+    // WherePredicateStep + Scope/Pop — ProcessStandardSuite long tail,
+    // AbstractTitanGraphProvider.java:57): self-loops on multiples of 5 make
+    // the FIRST and LAST occurrence bindings genuinely diverge across 2-hop
+    // paths, so each Pop resolution filters a different path set; the last
+    // case runs select(Pop.all) AFTER the where() filter.
+    "q_ps_where_pop" -> ((s, dir) => {
+      import graft.traverse.Pop
+      val verts = s.range(1, 61).select(col("id"), lit("v").as("label"))
+      val chain = s.range(1, 60).select((col("id") + 5000L).as("id"),
+        col("id").as("src"), (col("id") + 1L).as("dst"), lit("e").as("label"))
+      val loops = s.range(1, 13).select((col("id") + 6000L).as("id"),
+        (col("id") * 5L).as("src"), (col("id") * 5L).as("dst"), lit("e").as("label"))
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(), verts,
+        chain.unionByName(loops))
+      def row(caze: String, d: DataFrame, v: Column) =
+        d.agg(count(lit(1)).as("n"), coalesce(sum(v), lit(0L)).cast("long").as("s"))
+          .select(lit(caze).as("caze"), col("n"), col("s"))
+      def px = g.traversal.V().as("x").out("e").as("x").out("e").as("x")
+      def pab = g.traversal.V().as("a").out("e").as("a").out("e").as("b")
+      Seq(
+        row("wp_first_eq_last",
+          px.whereLabels("x", _ === _, "x", Pop.First, Pop.Last).toDF, col("id")),
+        row("wp_first_neq_last",
+          px.whereLabels("x", _ =!= _, "x", Pop.First, Pop.Last).toDF, col("id")),
+        row("wp_last_default", pab.whereLabels("a", _ === _, "b").toDF, col("id")),
+        row("wp_first_explicit",
+          pab.whereLabels("a", _ === _, "b", Pop.First, Pop.Last).toDF, col("id")),
+        row("wp_filtered_pop_all",
+          px.whereLabels("x", _ === _, "x", Pop.First, Pop.Last).selectPop("x", Pop.All),
+          length(col("x_ids")).cast("long")),
+      ).reduce(_ unionAll _)
+    }),
+    // sack split/merge semantics ACROSS union branches (TinkerPop SackStep
+    // under UnionStep — ProcessStandardSuite long tail): branch clones split
+    // the sack once at entry; the declared merge aggregate coalesces ONLY
+    // traversers identical in element AND as-history, so an as-label on the
+    // origin suppresses the merge, and no merge operator keeps every clone.
+    "q_ps_sack_union_merge" -> ((s, dir) => {
+      val verts = s.range(1, 61).select(col("id"), lit("v").as("label"))
+      val edges = s.range(1, 60).select((col("id") + 5000L).as("id"),
+        col("id").as("src"), (col("id") + 1L).as("dst"), lit("e").as("label"))
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(), verts, edges)
+      def row(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n"),
+            coalesce(sum(col("_sack")), lit(0L)).cast("long").as("s"))
+          .select(lit(caze).as("caze"), col("n"), col("s"))
+      def branches(t: graft.traverse.Traversal) =
+        t.unionSteps(_.out("e"), _.out("e").out("e"))
+      val split = Some((c: Column) => c + lit(100L))
+      Seq(
+        row("su_sum", branches(g.traversal.V()
+          .withSack(col("id"), split, Some(sum(_: Column)))).toDF),
+        row("su_max", branches(g.traversal.V()
+          .withSack(col("id"), split, Some(max(_: Column)))).toDF),
+        row("su_split_only", branches(g.traversal.V()
+          .withSack(col("id"), split, None)).toDF),
+        row("su_as_no_merge", branches(g.traversal.V().as("o")
+          .withSack(col("id"), split, Some(sum(_: Column)))).toDF),
+      ).reduce(_ unionAll _)
+    }),
+    // local() scoping over (nested) group (TinkerPop LocalStep over
+    // GroupCount/GroupStep — ProcessStandardSuite long tail): a bare
+    // groupCount folds ONE global map over the frontier; local() scopes the
+    // fold per source element; group().by(outer).by(local fold) merges the
+    // local maps per outer key by summing counts. Skip-edges i→i+8 (≡ mod 7)
+    // give some sources a genuine count-2 cell, so local ≠ one-row-per-edge.
+    "q_ps_local_nested_group" -> ((s, dir) => {
+      val verts = s.range(1, 61).select(col("id"), lit("v").as("label"),
+        (col("id") % 7).as("m"))
+      val chain = s.range(1, 60).select((col("id") + 5000L).as("id"),
+        col("id").as("src"), (col("id") + 1L).as("dst"), lit("e").as("label"))
+      val skips = s.range(1, 14).select((col("id") + 6000L).as("id"),
+        (col("id") * 4L).as("src"), (col("id") * 4L + 8L).as("dst"), lit("e").as("label"))
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(), verts,
+        chain.unionByName(skips))
+      def row(caze: String, d: DataFrame, s1: Column, s2: Column) =
+        d.agg(count(lit(1)).as("n"),
+            coalesce(sum(s1), lit(0L)).cast("long").as("s"),
+            coalesce(sum(s2), lit(0L)).cast("long").as("s2"))
+          .select(lit(caze).as("caze"), col("n"), col("s"), col("s2"))
+      val glob = g.traversal.V().out("e").groupCount("m")
+      val local = g.traversal.V().localGroupCount(_.out("e"), "m")
+      val nested = local.withColumn("kcls", col("source") % 3)
+        .groupBy(col("kcls"), col("m")).agg(sum(col("count")).as("cnt"))
+      Seq(
+        row("ng_global", glob, col("count") * (col("m") + 1L), lit(0L)),
+        row("ng_local", local, col("count"), col("source") * col("count")),
+        row("ng_nested", nested, col("cnt"),
+          col("cnt") * (col("kcls") * 10L + col("m"))),
+      ).reduce(_ unionAll _)
+    }),
     // IndexProviderTest.largeTest (:447-467) limit semantics on a
     // deterministic twin of the random-document fixture: a conjunctive
     // numeric-range + geo-circle query where limit < matches returns EXACTLY
@@ -8542,6 +8634,49 @@ object SparkEntry {
       """SELECT concat(CAST(x.range AS VARCHAR), ',', CAST(x.range+1 AS VARCHAR), ',',
         |  CAST(x.range+2 AS VARCHAR), ',', CAST(x.range+3 AS VARCHAR)) AS x_ids
         |FROM range(1, 58) x""".stripMargin,
+    "q_ps_where_pop" ->
+      """WITH v AS (SELECT CAST(x.range AS BIGINT) AS i FROM range(1, 61) x),
+        |e AS (SELECT i AS s, i+1 AS d FROM v WHERE i <= 59
+        |      UNION ALL SELECT i, i FROM v WHERE i % 5 = 0),
+        |p AS (SELECT e1.s AS v0, e1.d AS v1, e2.d AS v2
+        |      FROM e e1 JOIN e e2 ON e2.s = e1.d)
+        |SELECT 'wp_first_eq_last' AS caze, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(coalesce(sum(v2),0) AS BIGINT) AS s FROM p WHERE v0 = v2
+        |UNION ALL SELECT 'wp_first_neq_last', CAST(count(*) AS BIGINT),
+        |       CAST(coalesce(sum(v2),0) AS BIGINT) FROM p WHERE v0 <> v2
+        |UNION ALL SELECT 'wp_last_default', CAST(count(*) AS BIGINT),
+        |       CAST(coalesce(sum(v2),0) AS BIGINT) FROM p WHERE v1 = v2
+        |UNION ALL SELECT 'wp_first_explicit', CAST(count(*) AS BIGINT),
+        |       CAST(coalesce(sum(v2),0) AS BIGINT) FROM p WHERE v0 = v2
+        |UNION ALL SELECT 'wp_filtered_pop_all', CAST(count(*) AS BIGINT),
+        |       CAST(coalesce(sum(length(CAST(v0 AS VARCHAR) || ',' || CAST(v1 AS VARCHAR) || ',' || CAST(v2 AS VARCHAR))),0) AS BIGINT)
+        |       FROM p WHERE v0 = v2""".stripMargin,
+    "q_ps_sack_union_merge" ->
+      """WITH v AS (SELECT CAST(x.range AS BIGINT) AS i FROM range(1, 61) x),
+        |e AS (SELECT i AS s, i+1 AS d FROM v WHERE i <= 59),
+        |b1 AS (SELECT d AS id, s+100 AS k FROM e),
+        |b2 AS (SELECT e2.d AS id, e1.s+100 AS k FROM e e1 JOIN e e2 ON e2.s = e1.d),
+        |ub AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+        |ms AS (SELECT id, sum(k) AS k FROM ub GROUP BY id),
+        |mm AS (SELECT id, max(k) AS k FROM ub GROUP BY id)
+        |SELECT 'su_sum' AS caze, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS s FROM ms
+        |UNION ALL SELECT 'su_max', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT) FROM mm
+        |UNION ALL SELECT 'su_split_only', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT) FROM ub
+        |UNION ALL SELECT 'su_as_no_merge', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT) FROM ub""".stripMargin,
+    "q_ps_local_nested_group" ->
+      """WITH v AS (SELECT CAST(x.range AS BIGINT) AS i, CAST(x.range AS BIGINT) % 7 AS m FROM range(1, 61) x),
+        |e AS (SELECT i AS s, i+1 AS d FROM v WHERE i <= 59
+        |      UNION ALL SELECT CAST(x.range AS BIGINT)*4, CAST(x.range AS BIGINT)*4+8 FROM range(1, 14) x),
+        |pairs AS (SELECT e.s AS src, vm.m AS m FROM e JOIN v vm ON vm.i = e.d),
+        |gmap AS (SELECT m, count(*) AS c FROM pairs GROUP BY m),
+        |loc AS (SELECT src, m, count(*) AS c FROM pairs GROUP BY src, m),
+        |nest AS (SELECT src % 3 AS kcls, m, sum(c) AS c FROM loc GROUP BY 1, 2)
+        |SELECT 'ng_global' AS caze, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(c*(m+1)) AS BIGINT) AS s, CAST(0 AS BIGINT) AS s2 FROM gmap
+        |UNION ALL SELECT 'ng_local', CAST(count(*) AS BIGINT),
+        |       CAST(sum(c) AS BIGINT), CAST(sum(src*c) AS BIGINT) FROM loc
+        |UNION ALL SELECT 'ng_nested', CAST(count(*) AS BIGINT),
+        |       CAST(sum(c) AS BIGINT), CAST(sum(c*(kcls*10+m)) AS BIGINT) FROM nest""".stripMargin,
     "q_index_gated" ->
       "SELECT c_custkey AS uid, c_mktsegment AS mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'",
     "q_ixp_limit" ->

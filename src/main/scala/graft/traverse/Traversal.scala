@@ -164,6 +164,47 @@ final case class Traversal(
       .drop("__sid", "__n"))
   }
 
+  /** where('a', P, 'b') — TinkerPop WherePredicateStep over two as-label
+    * BINDINGS (`where("a", P.neq("b"))`): keep traversers whose `a` binding
+    * compares true against their own `b` binding. Elements compare by id
+    * (the reference routes this through TinkerPop's element equality, which
+    * is id equality — tc/graphdb/tinkerpop/TitanBlueprintsGraph semantics).
+    * A REUSED label resolves through the given Pop — LAST by default (the
+    * scope default TinkerPop applies inside where(), same as plain select);
+    * FIRST pins the earliest occurrence (`where(select(Pop.first,'a')…)`).
+    * Pop.ALL is not a single binding and is rejected, as in the reference.
+    * Pure per-row filter on carried id columns — no join, no shuffle. */
+  def whereLabels(a: String, cmp: (Column, Column) => Column, b: String,
+      popA: Pop = Pop.Last, popB: Pop = Pop.Last): Traversal = {
+    def resolve(name: String, pop: Pop): Column = {
+      val idc = s"_as_${name}_id"
+      val allc = s"_as_${name}_ids"
+      require(df.columns.contains(idc), s"no as('$name') label in traversal")
+      pop match {
+        case Pop.All => throw new IllegalArgumentException(
+          "where() compares single bindings; Pop.ALL is a list — use selectPop")
+        case Pop.First if df.columns.contains(allc) => col(allc).getItem(0)
+        case _ => col(idc) // latest occurrence; also FIRST when never reused
+      }
+    }
+    copy(df = df.filter(cmp(resolve(a, popA), resolve(b, popB))))
+  }
+
+  /** local(step.groupCount().by(key)) — the groupCount runs in PER-SOURCE-
+    * ELEMENT scope (TinkerPop LocalStep over GroupCountStep): one
+    * (source, key, count) row per source element and key value, where a
+    * bare [[groupCount]] folds ONE global map over the whole frontier.
+    * Sources whose sub-traversal is empty yield no rows (an empty local
+    * map). Compiled as a single aggregate keyed by (carried source id,
+    * key) — provenance rides as a carry column through the hops, never a
+    * per-element subquery. */
+  def localGroupCount(step: Traversal => Traversal, key: String): DataFrame = {
+    val stepped = step(this.as("__lgc"))
+    stepped.df
+      .groupBy(col("_as___lgc_id").as("source"), col(key).as(key))
+      .agg(F.count(lit(1)).as("count"))
+  }
+
   // ---------- hops ----------
   def out(labels: String*): Traversal = hop(Direction.OUT, labels, toVertex = true)
   def in(labels: String*): Traversal = hop(Direction.IN, labels, toVertex = true)

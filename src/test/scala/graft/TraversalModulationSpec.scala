@@ -336,4 +336,38 @@ class TraversalModulationSpec extends AnyFunSuite {
     assert(tg.traversal.V().has("abcd").toDF.isEmpty)
     assert(tg.traversal.V().hasNot("abcd").toDF.count() === 2L)
   }
+
+  test("whereLabels: Pop.ALL is rejected, unknown labels are rejected, " +
+      "never-reused label resolves the same under FIRST and LAST") {
+    import graft.traverse.Pop
+    val t = g.traversal.V().hasLabel("customer").as("a").out("placed").as("b")
+    intercept[IllegalArgumentException] {
+      t.whereLabels("a", _ === _, "b", Pop.All, Pop.Last)
+    }
+    intercept[IllegalArgumentException] {
+      t.whereLabels("nope", _ === _, "b")
+    }
+    // a/b never repeat, so FIRST ≡ LAST on both sides — and a ≠ b everywhere
+    // (customer vs order ids), while a = a on every traverser
+    val n = t.toDF.count()
+    assert(t.whereLabels("a", _ === _, "b", Pop.First, Pop.Last).toDF.count() === 0L)
+    assert(t.whereLabels("a", _ === _, "a", Pop.First, Pop.Last).toDF.count() === n)
+  }
+
+  test("localGroupCount: empty local traversals yield no rows; totals match " +
+      "the global fold") {
+    // customers with no orders produce an EMPTY local map (no rows), and
+    // summing the local counts reproduces the global groupCount per key
+    val local = g.traversal.V().hasLabel("customer")
+      .localGroupCount(_.out("placed"), "orderpriority")
+    val global = g.traversal.V().hasLabel("customer").out("placed")
+      .groupCount("orderpriority")
+    val fromLocal = local.groupBy(col("orderpriority"))
+      .agg(sum(col("count")).as("count"))
+    assert(fromLocal.join(global.withColumnRenamed("count", "gcount"),
+      Seq("orderpriority")).filter(col("count") =!= col("gcount")).isEmpty)
+    val srcWithOrders = g.edges.filter(col("label") === "placed")
+      .select(col("src")).distinct().count()
+    assert(local.select(col("source")).distinct().count() === srcWithOrders)
+  }
 }
