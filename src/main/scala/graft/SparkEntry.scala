@@ -1391,6 +1391,29 @@ object SparkEntry {
       val srcs = Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong * t + _)
       graft.olap.Analytics.betweennessSampled(graph(s, dir), srcs, maxIter = 4)
     }),
+    // Sampled-betweenness estimator at FULL diameter on a fixture with
+    // exact Brandes values (r15 VERDICT task #7): depth-5 diamond chain,
+    // σ(x_j) = 2^j, so every δ ratio is genuinely fractional; the pivot set
+    // {x_0, x_2} is a strict subset of V — the estimator semantics (sum of
+    // the SAMPLED sources' dependencies only) is what the oracle pins.
+    "q_betweenness_sampled" -> ((s, dir) => {
+      val xs = s.range(6).select((col("id") + 1L).as("id"))
+      val us = s.range(5).select((col("id") + 101L).as("id"))
+      val ws = s.range(5).select((col("id") + 201L).as("id"))
+      val verts = xs.unionAll(us).unionAll(ws).select(col("id"), lit("v").as("label"))
+      val edges = Seq(
+        s.range(5).select((col("id") + 5000L).as("id"), (col("id") + 1L).as("src"),
+          (col("id") + 101L).as("dst"), lit("e").as("label")),
+        s.range(5).select((col("id") + 5100L).as("id"), (col("id") + 1L).as("src"),
+          (col("id") + 201L).as("dst"), lit("e").as("label")),
+        s.range(5).select((col("id") + 5200L).as("id"), (col("id") + 101L).as("src"),
+          (col("id") + 2L).as("dst"), lit("e").as("label")),
+        s.range(5).select((col("id") + 5300L).as("id"), (col("id") + 201L).as("src"),
+          (col("id") + 2L).as("dst"), lit("e").as("label"))
+      ).reduce(_ unionAll _)
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(), verts, edges)
+      graft.olap.Analytics.betweennessSampled(g, Seq(1L, 3L), maxIter = 12)
+    }),
     // ---- 2.K sampled harmonic centrality (Eppstein–Wang): Σ 1/dist from
     //      3 sampled sources as an exact integer, one multi-source BFS ----
     "q_harmonic" -> ((s, dir) => {
@@ -4248,6 +4271,64 @@ object SparkEntry {
         n("ct_ix_miss", g.V().has("nums", 9.75).forceIndex().vertices()),
       ).reduce(_ unionAll _)
     }),
+    // DateType cells through the collection-index path (the same
+    // stringification-divergence class as q_collection_typed's Int/double
+    // case, r15 VERDICT task #6): a java.sql.Date operand AND a bare ISO
+    // string operand must both resolve through the typed cast chain to the
+    // scan-path answer; forceIndex proves the index path engaged.
+    "q_collection_date" -> ((s, dir) => {
+      val base = to_date(lit("2024-01-01"))
+      val verts = s.range(50).select((col("id") + 1L).as("id"), lit("v").as("label"),
+        array(date_add(base, ((col("id") + 1L) % 10).cast("int")),
+          date_add(base, (((col("id") + 1L) % 5) + 10L).cast("int"))).as("dts"))
+      val schema = graft.core.GraphSchema()
+        .withPropertyKey(graft.core.PropertyKeyDef("dts",
+          org.apache.spark.sql.types.DateType, graft.core.Cardinality.LIST))
+        .withIndex(graft.core.IndexDef("byDts", graft.core.ElementCategory.VERTEX,
+          Seq("dts"), composite = false))
+      val g0 = graft.data.PropertyGraph(schema, verts,
+        verts.limit(0).select(col("id"), col("id").as("src"), col("id").as("dst"), col("label")))
+      val g = g0.withIndexTable("byDts",
+        graft.index.Indexes.materializeCollection(g0, schema.indexes("byDts")))
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n"), coalesce(sum(col("id")), lit(0L)).cast("long").as("s"))
+          .select(lit(caze).as("caze"), col("n"), col("s"))
+      Seq(
+        n("cd_scan_d7", g0.V().has("dts", java.sql.Date.valueOf("2024-01-08")).vertices()),
+        n("cd_ix_d7", g.V().has("dts", java.sql.Date.valueOf("2024-01-08")).forceIndex().vertices()),
+        n("cd_ix_d12", g.V().has("dts", java.sql.Date.valueOf("2024-01-13")).forceIndex().vertices()),
+        n("cd_ix_str", g.V().has("dts", "2024-01-08").forceIndex().vertices()),
+        n("cd_ix_miss", g.V().has("dts", java.sql.Date.valueOf("2030-01-01")).forceIndex().vertices()),
+      ).reduce(_ unionAll _)
+    }),
+    // DecimalType cells through the collection-index path: an Int operand
+    // against decimal(10,2) cells is the divergence pin ("3" vs "3.00"
+    // without the typed cast chain), plus exact-BigDecimal, double and miss
+    // operands — index answers must equal the scan path cell-for-cell.
+    "q_collection_decimal" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(10, 2)
+      val verts = s.range(50).select((col("id") + 1L).as("id"), lit("v").as("label"),
+        array((((col("id") + 1L) % 10).cast("double") + 0.25).cast(dec),
+          ((col("id") + 1L) % 7).cast(dec)).as("decs"))
+      val schema = graft.core.GraphSchema()
+        .withPropertyKey(graft.core.PropertyKeyDef("decs", dec, graft.core.Cardinality.LIST))
+        .withIndex(graft.core.IndexDef("byDecs", graft.core.ElementCategory.VERTEX,
+          Seq("decs"), composite = false))
+      val g0 = graft.data.PropertyGraph(schema, verts,
+        verts.limit(0).select(col("id"), col("id").as("src"), col("id").as("dst"), col("label")))
+      val g = g0.withIndexTable("byDecs",
+        graft.index.Indexes.materializeCollection(g0, schema.indexes("byDecs")))
+      def n(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n"), coalesce(sum(col("id")), lit(0L)).cast("long").as("s"))
+          .select(lit(caze).as("caze"), col("n"), col("s"))
+      Seq(
+        n("cc_scan_int3", g0.V().has("decs", 3).vertices()),
+        n("cc_ix_int3", g.V().has("decs", 3).forceIndex().vertices()),
+        n("cc_ix_exact", g.V().has("decs", BigDecimal("7.25")).forceIndex().vertices()),
+        n("cc_ix_dbl", g.V().has("decs", 2.25).forceIndex().vertices()),
+        n("cc_ix_miss", g.V().has("decs", 9.99).forceIndex().vertices()),
+      ).reduce(_ unionAll _)
+    }),
     // The size-gated index path in its NON-BROADCAST regime, end-to-end
     // against the oracle (PlanShapeSpec pins the plan shape; this pins the
     // RESULTS): with the cap forced to 1 id the low-selectivity BUILDING
@@ -7058,6 +7139,8 @@ object SparkEntry {
     "q_betweenness" -> betweennessOracle(
       Seq(1L, 2L, 3L).map(TpchGraph.CustomerTag.toLong *
         (1L << graft.core.GraphIds.TagBits) + _), 4),
+    "q_betweenness_sampled" ->
+      betweennessOracleOver(diamondChainCtes, Seq(1L, 3L), 10),
     "q_scc" -> sccOracle(2, 5, 4),
     "q_matching" -> matchingOracle(8),
     "q_contract" -> contractionOracle(8),
@@ -8696,6 +8779,20 @@ object SparkEntry {
         |UNION ALL SELECT 'ct_ix_int7', CAST(count(*) AS BIGINT), CAST(coalesce(sum(i),0) AS BIGINT) FROM d WHERE i % 10 = 7
         |UNION ALL SELECT 'ct_ix_half', CAST(count(*) AS BIGINT), CAST(coalesce(sum(i),0) AS BIGINT) FROM d WHERE i % 5 = 2
         |UNION ALL SELECT 'ct_ix_miss', CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin,
+    "q_collection_date" ->
+      """WITH d AS (SELECT CAST(x.range AS BIGINT) + 1 AS i FROM range(50) x)
+        |SELECT 'cd_scan_d7' AS caze, CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(i),0) AS BIGINT) AS s FROM d WHERE i % 10 = 7
+        |UNION ALL SELECT 'cd_ix_d7', CAST(count(*) AS BIGINT), CAST(coalesce(sum(i),0) AS BIGINT) FROM d WHERE i % 10 = 7
+        |UNION ALL SELECT 'cd_ix_d12', CAST(count(*) AS BIGINT), CAST(coalesce(sum(i),0) AS BIGINT) FROM d WHERE i % 5 = 2
+        |UNION ALL SELECT 'cd_ix_str', CAST(count(*) AS BIGINT), CAST(coalesce(sum(i),0) AS BIGINT) FROM d WHERE i % 10 = 7
+        |UNION ALL SELECT 'cd_ix_miss', CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin,
+    "q_collection_decimal" ->
+      """WITH d AS (SELECT CAST(x.range AS BIGINT) + 1 AS i FROM range(50) x)
+        |SELECT 'cc_scan_int3' AS caze, CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(i),0) AS BIGINT) AS s FROM d WHERE i % 7 = 3
+        |UNION ALL SELECT 'cc_ix_int3', CAST(count(*) AS BIGINT), CAST(coalesce(sum(i),0) AS BIGINT) FROM d WHERE i % 7 = 3
+        |UNION ALL SELECT 'cc_ix_exact', CAST(count(*) AS BIGINT), CAST(coalesce(sum(i),0) AS BIGINT) FROM d WHERE i % 10 = 7
+        |UNION ALL SELECT 'cc_ix_dbl', CAST(count(*) AS BIGINT), CAST(coalesce(sum(i),0) AS BIGINT) FROM d WHERE i % 10 = 2
+        |UNION ALL SELECT 'cc_ix_miss', CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin,
     "q_ixp_matrix" ->
       """WITH docs AS (SELECT * FROM (VALUES
         |  (1, 'Hello world', 1001, 5.2, 48.0, 0.0, ['1','2','3'], ['1','2'], 1),
@@ -9869,7 +9966,14 @@ object SparkEntry {
     * per source a BFS + σ forward pass, then the backward dependency sweep
     * with the 9-dp ratio / exact-DECIMAL product / 6-dp pin recipe; source
     * rows dropped, per-vertex DECIMAL sum rounded last). */
-  private def betweennessOracle(sources: Seq[Long], rounds: Int): String = {
+  private def betweennessOracle(sources: Seq[Long], rounds: Int): String =
+    betweennessOracleOver(graphCtes, sources, rounds)
+
+  /** Same layered Brandes oracle, over ANY (vg, eg) CTE block — lets a
+    * synthetic fixture pin the sampled estimator at FULL diameter, where the
+    * layered sweep is exact Brandes restricted to the pivot set. */
+  private def betweennessOracleOver(ctes: String, sources: Seq[Long],
+      rounds: Int): String = {
     val blocks = sources.zipWithIndex.map { case (src, i) =>
       val x = s"_$i"
       val layers = (1 to rounds).map { r =>
@@ -9906,12 +10010,26 @@ object SparkEntry {
     val all = sources.zipWithIndex.flatMap { case (src, i) =>
       (0 to rounds).map(r => s"SELECT id, delta FROM del${r}_$i WHERE id <> $src")
     }.mkString("\nUNION ALL ")
-    s"""WITH $graphCtes,
+    s"""WITH $ctes,
        |$blocks,
        |ball AS MATERIALIZED ($all)
        |SELECT id, ROUND(CAST(SUM(delta) AS DOUBLE), 6) AS betweenness
        |FROM ball GROUP BY 1""".stripMargin
   }
+
+  /** q_betweenness_sampled fixture as SQL CTEs: the depth-5 diamond chain
+    * (x_i → {u_i, w_i} → x_{i+1}), where σ(x_j) = 2^j from x_0 — exact
+    * Brandes dependencies with genuinely fractional σ ratios at full
+    * diameter 10. */
+  private val diamondChainCtes: String =
+    """vg AS MATERIALIZED (SELECT CAST(x.range AS BIGINT) + 1 AS id FROM range(6) x
+      |  UNION ALL SELECT CAST(x.range AS BIGINT) + 101 FROM range(5) x
+      |  UNION ALL SELECT CAST(x.range AS BIGINT) + 201 FROM range(5) x),
+      |eg AS MATERIALIZED (
+      |  SELECT CAST(x.range AS BIGINT) + 1 AS src, CAST(x.range AS BIGINT) + 101 AS dst FROM range(5) x
+      |  UNION ALL SELECT CAST(x.range AS BIGINT) + 1, CAST(x.range AS BIGINT) + 201 FROM range(5) x
+      |  UNION ALL SELECT CAST(x.range AS BIGINT) + 101, CAST(x.range AS BIGINT) + 2 FROM range(5) x
+      |  UNION ALL SELECT CAST(x.range AS BIGINT) + 201, CAST(x.range AS BIGINT) + 2 FROM range(5) x)""".stripMargin
 
   /** The q_epoch_budget mixture (ppm), shared by probe and oracle so the
     * two can never drift. */
