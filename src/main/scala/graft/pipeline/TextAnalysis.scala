@@ -655,8 +655,13 @@ object TextAnalysis {
     // occurrence-sized frame joins ONE scored table instead of two count
     // tables. (A per-(doc,bigram) pre-aggregation was measured SLOWER here:
     // bigrams rarely repeat within a document, so that grouping shuffles
-    // the same rows plus the id column for no collapse.)
-    val bc = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("bc"))
+    // the same rows plus the id column for no collapse.) The distinct-
+    // bigram counts are PlanCache-persisted (vocabulary-sized) so the ac
+    // rollup and the score join share one corpus scan instead of two.
+    val bc = graft.core.PlanCache.cached(docs.sparkSession,
+        graft.core.PlanCache.key("bigram-counts", docs, idCol, textCol)) {
+      bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("bc"))
+    }
     val ac = bc.groupBy(col("a")).agg(sum(col("bc")).as("ac"))
     val scoredBigrams = bc.join(ac, Seq("a"))
       .select(col("a"), col("b"),

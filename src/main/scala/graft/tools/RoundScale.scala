@@ -91,6 +91,46 @@ object RoundScale {
       }
       println(s"ROUNDSCALE ktruss_chain_$n survivors=$left converged=$conv (expect 0, true)")
     }
+    if (kind("skew")) sizes.foreach { n =>
+      // Supernode-skew axis (SCALE.md "skew axis"; the reference's
+      // partitioned-vertex regime, docs/partitioning.txt): n vertices, a
+      // background chain, and ONE hub of degree n/10. Measures (a) the plain
+      // single-reducer degree aggregate vs the salted two-phase one —
+      // Spark's hash aggregate is already partial+final, so both must stay
+      // flat and salting must cost only its extra shuffle; (b) the triangle
+      // and k-truss kernels, whose degree-ordered orientation keeps the
+      // hub's wedge pairs from materializing (the hub is the HIGHEST-rank
+      // endpoint, so no wedge enumerates at it).
+      val hubDeg = math.max(n / 10, 10L)
+      val v = spark.range(n).select(col("id"), lit("v").as("label"))
+      val chain = spark.range(n - 1).select(col("id"), col("id").as("src"),
+        (col("id") + 1L).as("dst"), lit("e").as("label"))
+      val hub = spark.range(1, hubDeg + 1).select((col("id") + 2000000000L).as("id"),
+        lit(0L).as("src"), col("id").as("dst"), lit("e").as("label"))
+      val g = PropertyGraph(GraphSchema(), v, chain.unionByName(hub))
+      g.edges.count() // settle the input before timing
+      val plainMax = timed(s"skew_degree_plain_$n") {
+        g.edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .agg(max(col("d"))).head.getLong(0)
+      }
+      val saltedMax = timed(s"skew_degree_salted_$n") {
+        graft.olap.GraphOps.saltedDegree(g, "out", salts = 64)
+          .agg(max(col("degree"))).head.getLong(0)
+      }
+      println(s"ROUNDSCALE skew_degree_$n plainMax=$plainMax saltedMax=$saltedMax " +
+        s"(expect ${hubDeg + 1}, ${hubDeg + 1})") // hub fans n/10 + its chain edge
+      val tri = timed(s"skew_triangles_$n") {
+        graft.olap.Analytics.triangleCountDF(g)
+          .agg(sum(col("triangles"))).head.getLong(0)
+      }
+      println(s"ROUNDSCALE skew_triangles_$n corners=$tri (expect ${3 * (hubDeg - 1)})")
+      val (left, conv) = timed(s"skew_ktruss_$n") {
+        val (df, c) = graft.olap.Analytics.kTrussConverged(g, 3, maxRounds = 8)
+        (df.count(), c)
+      }
+      println(s"ROUNDSCALE skew_ktruss_$n survivors=$left converged=$conv " +
+        s"(expect ${2 * hubDeg - 1}, true)")
+    }
     if (kind("btw")) sizes.foreach { n =>
       // betweenness is the one heavy whose round count is STRUCTURALLY
       // diameter-linear (forward BFS + sigma + delta sweeps are each
