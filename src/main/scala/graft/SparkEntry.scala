@@ -4220,6 +4220,57 @@ object SparkEntry {
           col("cnt") * (col("kcls") * 10L + col("m"))),
       ).reduce(_ unionAll _)
     }),
+    // where('a', P, 'b').by(key) — the by()-MODULATED WherePredicateStep
+    // (ProcessStandardSuite long tail): the predicate compares property
+    // VALUES of the two bindings, not the elements; combined with the
+    // id-comparing whereLabels to exclude self-pairs.
+    "q_ps_where_by" -> ((s, dir) => {
+      val g = graph(s, dir)
+      def row(caze: String, d: DataFrame, v: Column) =
+        d.agg(count(lit(1)).as("n"), coalesce(sum(v), lit(0L)).cast("long").as("s"))
+          .select(lit(caze).as("caze"), col("n"), col("s"))
+      // order pairs of one customer where the first's totalprice is lower
+      val lt = g.traversal.V().hasLabel("order").as("a")
+        .in("placed").out("placed").as("b")
+        .whereLabelsBy("a", _ < _, "b", "totalprice").toDF
+      // distinct same-nation customer pairs sharing a market segment
+      val seg = g.traversal.V().hasLabel("customer").as("a")
+        .out("in_nation").in("in_nation").hasLabel("customer").as("b")
+        .whereLabelsBy("a", _ === _, "b", "mktsegment")
+        .whereLabels("a", _ =!= _, "b").toDF
+      Seq(
+        row("wb_lt", lt, uidOf(col("id"), TpchGraph.OrderTag)),
+        row("wb_eq_seg", seg, uidOf(col("id"), TpchGraph.CustomerTag)),
+      ).reduce(_ unionAll _)
+    }),
+    // sack split/merge through choose()/chooseOption() branches (TinkerPop
+    // SackStep under ChooseStep incl. Pick.none — ProcessStandardSuite long
+    // tail): the split applies once at each branch entry; the merge
+    // coalesces cross-BRANCH traversers landing on the same element (under
+    // chooseOption, a Pick.none clone and an option clone meet on j%3==0).
+    "q_ps_sack_choose" -> ((s, dir) => {
+      val verts = s.range(1, 61).select(col("id"), lit("v").as("label"))
+      val edges = s.range(1, 60).select((col("id") + 5000L).as("id"),
+        col("id").as("src"), (col("id") + 1L).as("dst"), lit("e").as("label"))
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(), verts, edges)
+      def row(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n"),
+            coalesce(sum(col("_sack")), lit(0L)).cast("long").as("s"))
+          .select(lit(caze).as("caze"), col("n"), col("s"))
+      val split = Some((c: Column) => c + lit(100L))
+      def sacked = g.traversal.V().withSack(col("id"), split, Some(sum(_: Column)))
+      Seq(
+        row("scp_sum", sacked.choose(col("id") % 2 === 0)(
+          _.out("e").out("e"), _.out("e")).toDF),
+        row("scp_opt_sum", sacked.chooseOption(col("id") % 3,
+          Seq(0L -> ((t: graft.traverse.Traversal) => t.out("e")),
+            1L -> ((t: graft.traverse.Traversal) => t.out("e").out("e"))),
+          none = Some(_.out("e"))).toDF),
+        row("scp_opt_drop", sacked.chooseOption(col("id") % 3,
+          Seq(0L -> ((t: graft.traverse.Traversal) => t.out("e")),
+            1L -> ((t: graft.traverse.Traversal) => t.out("e").out("e")))).toDF),
+      ).reduce(_ unionAll _)
+    }),
     // IndexProviderTest.largeTest (:447-467) limit semantics on a
     // deterministic twin of the random-document fixture: a conjunctive
     // numeric-range + geo-circle query where limit < matches returns EXACTLY
@@ -8734,6 +8785,28 @@ object SparkEntry {
         |UNION ALL SELECT 'wp_filtered_pop_all', CAST(count(*) AS BIGINT),
         |       CAST(coalesce(sum(length(CAST(v0 AS VARCHAR) || ',' || CAST(v1 AS VARCHAR) || ',' || CAST(v2 AS VARCHAR))),0) AS BIGINT)
         |       FROM p WHERE v0 = v2""".stripMargin,
+    "q_ps_where_by" ->
+      """SELECT 'wb_lt' AS caze, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(coalesce(sum(o2.o_orderkey),0) AS BIGINT) AS s
+        |FROM orders o1 JOIN orders o2 ON o1.o_custkey = o2.o_custkey
+        |WHERE o1.o_totalprice < o2.o_totalprice
+        |UNION ALL SELECT 'wb_eq_seg', CAST(count(*) AS BIGINT),
+        |       CAST(coalesce(sum(c2.c_custkey),0) AS BIGINT)
+        |FROM customer c1 JOIN customer c2 ON c1.c_nationkey = c2.c_nationkey
+        |WHERE c1.c_mktsegment = c2.c_mktsegment AND c1.c_custkey <> c2.c_custkey""".stripMargin,
+    "q_ps_sack_choose" ->
+      """WITH v AS (SELECT CAST(x.range AS BIGINT) AS i FROM range(1, 61) x),
+        |bt AS (SELECT i+2 AS id, i+100 AS k FROM v WHERE i % 2 = 0 AND i <= 58),
+        |bf AS (SELECT i+1 AS id, i+100 AS k FROM v WHERE i % 2 = 1 AND i <= 59),
+        |m1 AS (SELECT id, sum(k) AS k FROM (SELECT * FROM bt UNION ALL SELECT * FROM bf) GROUP BY id),
+        |o0 AS (SELECT i+1 AS id, i+100 AS k FROM v WHERE i % 3 = 0 AND i <= 59),
+        |o1 AS (SELECT i+2 AS id, i+100 AS k FROM v WHERE i % 3 = 1 AND i <= 58),
+        |onn AS (SELECT i+1 AS id, i+100 AS k FROM v WHERE i % 3 = 2 AND i <= 59),
+        |m2 AS (SELECT id, sum(k) AS k FROM (SELECT * FROM o0 UNION ALL SELECT * FROM o1 UNION ALL SELECT * FROM onn) GROUP BY id),
+        |m3 AS (SELECT id, sum(k) AS k FROM (SELECT * FROM o0 UNION ALL SELECT * FROM o1) GROUP BY id)
+        |SELECT 'scp_sum' AS caze, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS s FROM m1
+        |UNION ALL SELECT 'scp_opt_sum', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT) FROM m2
+        |UNION ALL SELECT 'scp_opt_drop', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT) FROM m3""".stripMargin,
     "q_ps_sack_union_merge" ->
       """WITH v AS (SELECT CAST(x.range AS BIGINT) AS i FROM range(1, 61) x),
         |e AS (SELECT i AS s, i+1 AS d FROM v WHERE i <= 59),

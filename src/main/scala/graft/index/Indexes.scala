@@ -55,21 +55,37 @@ object Indexes {
     * 100k ≈ single-digit MB in the hash relation, well under default
     * executor budgets).
     *
-    * The ids subplan is PlanCache-persisted BEFORE the probe, so the
-    * index-filter work runs once — the probe materializes the (ids-only,
-    * cap-bounded-read) frame and the join serves from cache instead of
-    * re-executing the filter; a repeat of the same lookup (the
-    * q_ixp_matrix build-many-lookups shape) pays no second probe scan
-    * either, because the semantic-hash key hits the cached frame. */
+    * The probe DECISION is memoized per (session, ids-plan, cap) in a small
+    * LRU, so building many identical lookups in one pass (the q_ixp_matrix
+    * shape) pays the probe job once per distinct plan, not once per call.
+    * Only the boolean is cached — persisting the ids FRAME itself was
+    * measured SLOWER (a uniform +30-80 ms on every index-path bench query:
+    * block-manager writes on a frame whose filter re-runs in milliseconds;
+    * the same persist-vs-reprobe lesson as the r15 hub-gate experiment),
+    * so the subplan intentionally evaluates twice (probe + join) — both are
+    * pushed-filter index scans, cheaper than one materialization. Snapshot
+    * caveat as PlanCache: overwriting the underlying files mid-session
+    * keeps the old decision until the LRU turns over. */
   private[graft] def gatedIdSemiJoin(base: DataFrame, ids: DataFrame): DataFrame = {
     val spark = base.sparkSession
     val cap = spark.conf.get("graft.index.broadcast.maxRows", "100000").toLong
-    val cachedIds = graft.core.PlanCache.cached(spark,
-      graft.core.PlanCache.key("gated-ids", ids, cap)) { ids }
-    val small =
-      cachedIds.limit(math.min(cap + 1L, Int.MaxValue.toLong).toInt).count() <= cap
-    base.join(if (small) broadcast(cachedIds) else cachedIds, Seq("id"), "left_semi")
+    val key = (System.identityHashCode(spark),
+      ids.queryExecution.logical.semanticHash(), cap)
+    val small = Option(gateDecisions.synchronized(gateDecisions.get(key))).getOrElse {
+      val s = java.lang.Boolean.valueOf(
+        ids.limit(math.min(cap + 1L, Int.MaxValue.toLong).toInt).count() <= cap)
+      gateDecisions.synchronized(gateDecisions.put(key, s))
+      s
+    }
+    base.join(if (small.booleanValue) broadcast(ids) else ids, Seq("id"), "left_semi")
   }
+
+  private val gateDecisions =
+    new java.util.LinkedHashMap[(Int, Int, Long), java.lang.Boolean](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, Int, Long), java.lang.Boolean]): Boolean =
+        size() > 1024
+    }
 
   /** Materialize a mixed (text) index as an inverted token table: one row per
     * (token, element id) over the TEXT-mapped keys — the engine-internal

@@ -175,19 +175,45 @@ final case class Traversal(
     * Pop.ALL is not a single binding and is rejected, as in the reference.
     * Pure per-row filter on carried id columns — no join, no shuffle. */
   def whereLabels(a: String, cmp: (Column, Column) => Column, b: String,
-      popA: Pop = Pop.Last, popB: Pop = Pop.Last): Traversal = {
-    def resolve(name: String, pop: Pop): Column = {
-      val idc = s"_as_${name}_id"
-      val allc = s"_as_${name}_ids"
-      require(df.columns.contains(idc), s"no as('$name') label in traversal")
-      pop match {
-        case Pop.All => throw new IllegalArgumentException(
-          "where() compares single bindings; Pop.ALL is a list — use selectPop")
-        case Pop.First if df.columns.contains(allc) => col(allc).getItem(0)
-        case _ => col(idc) // latest occurrence; also FIRST when never reused
-      }
+      popA: Pop = Pop.Last, popB: Pop = Pop.Last): Traversal =
+    copy(df = df.filter(cmp(popBinding(a, popA)._1, popBinding(b, popB)._1)))
+
+  /** where('a', P, 'b').by(key) — the by()-MODULATED WherePredicateStep:
+    * the predicate compares the two bindings' `key` property values instead
+    * of the elements themselves (TinkerPop
+    * `where('a', gt('b')).by('totalprice')`). Each binding's value joins
+    * back from its element table on the carried id (the same
+    * resolve-at-use scheme as select().by()); both joins are equi-joins on
+    * ids, broadcast/AQE-planned — never a per-traverser lookup. Pop
+    * resolution as in [[whereLabels]]. */
+  def whereLabelsBy(a: String, cmp: (Column, Column) => Column, b: String,
+      key: String, popA: Pop = Pop.Last, popB: Pop = Pop.Last): Traversal = {
+    val (ca, va) = popBinding(a, popA)
+    val (cb, vb) = popBinding(b, popB)
+    def side(isV: Boolean, tag: String) =
+      (if (isV) graph.vertices else graph.edges)
+        .select(col("id").as(s"__wb${tag}_id"), col(key).as(s"__wb${tag}_v"))
+    copy(df = df
+      .join(side(va, "a"), ca === col("__wba_id"))
+      .join(side(vb, "b"), cb === col("__wbb_id"))
+      .filter(cmp(col("__wba_v"), col("__wbb_v")))
+      .drop("__wba_id", "__wba_v", "__wbb_id", "__wbb_v"))
+  }
+
+  /** Resolve one as-label binding under Pop: the occurrence's id column and
+    * whether that occurrence is a vertex. */
+  private def popBinding(name: String, pop: Pop): (Column, Boolean) = {
+    val idc = s"_as_${name}_id"
+    val allc = s"_as_${name}_ids"
+    require(df.columns.contains(idc), s"no as('$name') label in traversal")
+    pop match {
+      case Pop.All => throw new IllegalArgumentException(
+        "where() compares single bindings; Pop.ALL is a list — use selectPop")
+      case Pop.First if df.columns.contains(allc) =>
+        (col(allc).getItem(0), asFirstMeta.getOrElse(name, true))
+      case Pop.First => (col(idc), asFirstMeta.getOrElse(name, true))
+      case _ => (col(idc), asMeta.getOrElse(name, true))
     }
-    copy(df = df.filter(cmp(resolve(a, popA), resolve(b, popB))))
   }
 
   /** local(step.groupCount().by(key)) — the groupCount runs in PER-SOURCE-

@@ -113,7 +113,7 @@ class BroadcastLintSpec extends AnyFunSuite {
     Allow("olap/Analytics.scala", "broadcast(minLabelUnionFind(pairs).toSeq.toDF(\"c\", \"l\"))",
       "count-gated: driver union-find branch taken only when undRows <= spark.graft.msf.driverMergeMaxRows"),
     // ---- index, sketches, stream, zorder ----
-    Allow("index/Indexes.scala", "base.join(if (small) broadcast(cachedIds) else cachedIds, Seq(\"id\"), \"left_semi\")",
+    Allow("index/Indexes.scala", "base.join(if (small.booleanValue) broadcast(ids) else ids, Seq(\"id\"), \"left_semi\")",
       "count-gated: gatedIdSemiJoin probes |ids| <= graft.index.broadcast.maxRows"),
     Allow("functions/Sketches.scala", ".join(broadcast(bitsTable), Seq(\"word\"), \"left\")",
       "param-bounded: bloom filter register table = words rows"),

@@ -354,6 +354,24 @@ class TraversalModulationSpec extends AnyFunSuite {
     assert(t.whereLabels("a", _ === _, "a", Pop.First, Pop.Last).toDF.count() === n)
   }
 
+  test("whereLabelsBy: by()-modulated predicate compares property values, " +
+      "not elements") {
+    // order pairs of one customer: strict < is asymmetric (ties drop), so
+    // lt-pairs + gt-pairs + tie-pairs = all non-self pairs
+    val base = g.traversal.V().hasLabel("order").as("a")
+      .in("placed").out("placed").as("b")
+    val lt = base.whereLabelsBy("a", _ < _, "b", "totalprice").toDF.count()
+    val gt = base.whereLabelsBy("a", _ > _, "b", "totalprice").toDF.count()
+    val eqNonSelf = base.whereLabelsBy("a", _ === _, "b", "totalprice")
+      .whereLabels("a", _ =!= _, "b").toDF.count()
+    val nonSelf = base.whereLabels("a", _ =!= _, "b").toDF.count()
+    assert(lt === gt, "strict < and > must count the same pairs by symmetry")
+    assert(lt + gt + eqNonSelf === nonSelf)
+    // self-pairs are value-ties: the by()-predicate alone keeps them
+    val allEq = base.whereLabelsBy("a", _ === _, "b", "totalprice").toDF.count()
+    assert(allEq > eqNonSelf)
+  }
+
   test("localGroupCount: empty local traversals yield no rows; totals match " +
       "the global fold") {
     // customers with no orders produce an EMPTY local map (no rows), and
