@@ -74,4 +74,21 @@ class OperationCountingSpec extends AnyFunSuite {
     assert(counts == ((1, 2L, 1L)))
     assert(j <= 15, s"read chain cost $j jobs")
   }
+
+  test("repeating an identical index lookup skips the gate-probe job " +
+      "(decision memoized, frame NOT persisted)") {
+    // r16: gatedIdSemiJoin memoizes the small/large DECISION per
+    // (session, ids-plan, cap). The q_ixp_matrix shape — many identical
+    // lookups in one pass — must pay the probe count once, so a repeat of
+    // the same lookup costs strictly fewer jobs than its first run.
+    val g0 = chain(400)
+    val ix = graft.core.IndexDef("byUid2", graft.core.ElementCategory.VERTEX, Seq("uid"))
+    val g = g0.copy(schema = g0.schema.copy(indexes = g0.schema.indexes + (ix.name -> ix)))
+      .withIndexTable(ix.name, graft.index.Indexes.materialize(g0, ix))
+    def run(): Long = g.V().has("uid", 42L).forceIndex().vertices().count()
+    val (n1, j1) = countJobs(run())
+    val (n2, j2) = countJobs(run())
+    assert(n1 == 1L && n2 == 1L)
+    assert(j2 < j1, s"repeat lookup did not skip the probe: first=$j1 repeat=$j2")
+  }
 }
