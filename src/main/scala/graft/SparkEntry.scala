@@ -4243,6 +4243,46 @@ object SparkEntry {
         row("wb_eq_seg", seg, uidOf(col("id"), TpchGraph.CustomerTag)),
       ).reduce(_ unionAll _)
     }),
+    // dedup('a','b') — DedupGlobalStep over as-label scopes (TinkerPop
+    // process-suite long tail): one traverser per distinct binding TUPLE;
+    // the single-label form collapses further. Sums use only the binding
+    // columns (the representative's other columns are legitimately
+    // arbitrary, as with Spark's dropDuplicates).
+    "q_ps_dedup_labels" -> ((s, dir) => {
+      val g = graph(s, dir)
+      def row(caze: String, d: DataFrame, v: Column) =
+        d.agg(count(lit(1)).as("n"), coalesce(sum(v), lit(0L)).cast("long").as("s"))
+          .select(lit(caze).as("caze"), col("n"), col("s"))
+      def t = g.traversal.V().hasLabel("order").as("a").out("contains").as("b")
+      val aUid = uidOf(col("_as_a_id"), TpchGraph.OrderTag)
+      val bUid = uidOf(col("_as_b_id"), TpchGraph.PartTag)
+      Seq(
+        row("dl_pairs_all", t.toDF, aUid + bUid),
+        row("dl_pairs", t.dedupLabels("a", "b").toDF, aUid + bUid),
+        row("dl_a", t.dedupLabels("a").toDF, aUid),
+      ).reduce(_ unionAll _)
+    }),
+    // where() nested INSIDE repeat() — the per-round filtered-frontier
+    // composition (TinkerPop repeat(out().where(...)) — ProcessStandardSuite
+    // long tail): the emptiness semi-join, its negation, and the
+    // count-valued form must each apply at EVERY round, not once at the end.
+    "q_ps_repeat_where" -> ((s, dir) => {
+      val verts = s.range(1, 61).select(col("id"), lit("v").as("label"))
+      val edges = s.range(1, 60).select((col("id") + 5000L).as("id"),
+        col("id").as("src"), (col("id") + 1L).as("dst"), lit("e").as("label"))
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(), verts, edges)
+      def row(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n"), coalesce(sum(col("id")), lit(0L)).cast("long").as("s"))
+          .select(lit(caze).as("caze"), col("n"), col("s"))
+      Seq(
+        row("rw_wheresub", g.traversal.V()
+          .repeat(2)(_.out("e").whereSub(_.out("e"))).toDF),
+        row("rw_wherenot", g.traversal.V()
+          .repeat(2)(_.out("e").whereNotSub(_.out("e"))).toDF),
+        row("rw_wherecount", g.traversal.V()
+          .repeat(2)(_.out("e").whereCount(P.gte(1L))(_.out("e"))).toDF),
+      ).reduce(_ unionAll _)
+    }),
     // sack split/merge through choose()/chooseOption() branches (TinkerPop
     // SackStep under ChooseStep incl. Pick.none — ProcessStandardSuite long
     // tail): the split applies once at each branch entry; the merge
@@ -8794,6 +8834,20 @@ object SparkEntry {
         |       CAST(coalesce(sum(c2.c_custkey),0) AS BIGINT)
         |FROM customer c1 JOIN customer c2 ON c1.c_nationkey = c2.c_nationkey
         |WHERE c1.c_mktsegment = c2.c_mktsegment AND c1.c_custkey <> c2.c_custkey""".stripMargin,
+    "q_ps_dedup_labels" ->
+      """SELECT 'dl_pairs_all' AS caze, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(l_orderkey + l_partkey) AS BIGINT) AS s FROM lineitem
+        |UNION ALL SELECT 'dl_pairs', CAST(count(*) AS BIGINT), CAST(sum(o + p) AS BIGINT)
+        |  FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+        |UNION ALL SELECT 'dl_a', CAST(count(*) AS BIGINT), CAST(sum(o) AS BIGINT)
+        |  FROM (SELECT DISTINCT l_orderkey AS o FROM lineitem)""".stripMargin,
+    "q_ps_repeat_where" ->
+      """WITH v AS (SELECT CAST(x.range AS BIGINT) AS i FROM range(1, 61) x)
+        |SELECT 'rw_wheresub' AS caze, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(coalesce(sum(i),0) AS BIGINT) AS s FROM v WHERE i >= 3 AND i <= 59
+        |UNION ALL SELECT 'rw_wherenot', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'rw_wherecount', CAST(count(*) AS BIGINT),
+        |       CAST(coalesce(sum(i),0) AS BIGINT) FROM v WHERE i >= 3 AND i <= 59""".stripMargin,
     "q_ps_sack_choose" ->
       """WITH v AS (SELECT CAST(x.range AS BIGINT) AS i FROM range(1, 61) x),
         |bt AS (SELECT i+2 AS id, i+100 AS k FROM v WHERE i % 2 = 0 AND i <= 58),

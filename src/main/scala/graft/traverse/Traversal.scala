@@ -727,6 +727,23 @@ final case class Traversal(
     else copy(df = sliced)
   }
   def dedup(): Traversal = copy(df = df.dropDuplicates("id"))
+
+  /** dedup('a','b') — DedupGlobalStep over as-label SCOPES (TinkerPop
+    * `dedup("a","b")`): one traverser survives per distinct tuple of
+    * bindings. TinkerPop keeps the first by stream order; row sets here are
+    * order-free, so the relational contract is ONE representative per
+    * tuple — the binding columns themselves are deterministic, the rest of
+    * the representative row is not (same caveat as Spark's dropDuplicates).
+    * Bindings resolve Pop.last, the scope default. */
+  def dedupLabels(names: String*): Traversal = {
+    require(names.nonEmpty, "dedupLabels needs at least one label")
+    val cols = names.map { n =>
+      val idc = s"_as_${n}_id"
+      require(df.columns.contains(idc), s"no as('$n') label in traversal")
+      idc
+    }
+    copy(df = df.dropDuplicates(cols))
+  }
   def dedupBy(keys: String*): Traversal = copy(df = df.dropDuplicates(keys))
 
   // ---------- branch / merge ----------
