@@ -612,4 +612,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("partial_sum"), p)
   }
+
+  test("whereLabelsBy resolves bindings via equi-joins — no per-traverser " +
+      "lookup, nothing non-equi") {
+    val p = plan("q_ps_where_by")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the value maps join on carried ids (hash joins, broadcast or shuffled)
+    assert(p.contains("HashJoin"), p)
+  }
+
+  test("localGroupCount is ONE aggregate keyed by (source, key) — partial " +
+      "before the exchange, no window, no join-back") {
+    val local = {
+      val s = spark
+      val verts = s.range(1, 61).select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.lit("v").as("label"),
+        (org.apache.spark.sql.functions.col("id") % 7).as("m"))
+      val edges = s.range(1, 60).select(
+        (org.apache.spark.sql.functions.col("id") + 5000L).as("id"),
+        org.apache.spark.sql.functions.col("id").as("src"),
+        (org.apache.spark.sql.functions.col("id") + 1L).as("dst"),
+        org.apache.spark.sql.functions.lit("e").as("label"))
+      graft.data.PropertyGraph(graft.core.GraphSchema(), verts, edges)
+        .traversal.V().localGroupCount(_.out("e"), "m")
+    }
+    val p = local.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("dedupLabels compiles to an aggregate over the binding columns, " +
+      "not a sort or window") {
+    val p = plan("q_ps_dedup_labels")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
 }
