@@ -784,10 +784,42 @@ object TextAnalysis {
     * — the [[unigramLogProb]] recipe, so a SQL oracle matches hash-exact. */
   def importanceWeights(docs: DataFrame, targetPred: Column,
       buckets: Int = 1024, idCol: String = "doc_id", textCol: String = "text",
-      salt: String = ""): DataFrame =
-    importanceWeightsAgainst(docs,
-      dsirModel(docs, targetPred, buckets, idCol, textCol, salt),
-      buckets, idCol, textCol, salt)
+      salt: String = ""): DataFrame = {
+    require(buckets > 0, "importanceWeights: buckets must be positive")
+    // ONE corpus explode (the self-model batch form previously exploded the
+    // corpus twice — once for the model counts, once for the score stream):
+    // per-(doc, target-marker, bucket) occurrence counts, map-side
+    // combinable and bounded by |docs|·min(buckets, doc length) rows,
+    // PlanCache-persisted so the model aggregate and the scoring join share
+    // the single scan. Scores are identical bit-for-bit: Σ_occurrences λ(b)
+    // = Σ_b n(doc,b)·λ(b), both exact DECIMAL until the final 6-dp round.
+    // importanceWeightsAgainst keeps its one-aggregation occurrence shape —
+    // that variant's contract is complete-mode streaming legality.
+    val perDoc = graft.core.PlanCache.cached(docs.sparkSession,
+        graft.core.PlanCache.key("dsir-docbuckets", docs,
+          idCol, textCol, buckets, salt, targetPred.toString)) {
+      dsirFeatures(docs, Seq(col(idCol), targetPred.as("__t")), buckets, textCol, salt)
+        .groupBy(col(idCol), col("__t"), col("b")).agg(count(lit(1)).as("__n"))
+    }
+    val rawc = perDoc.groupBy(col("b")).agg(sum(col("__n")).as("cr"),
+      sum(when(col("__t"), col("__n")).otherwise(0L)).as("ct"))
+    val tot = rawc.agg(sum(col("cr")).as("totr"), sum(col("ct")).as("tott"))
+    val lam = rawc.crossJoin(broadcast(tot)).select(col("b"),
+      (round(log((col("ct") + 1L).cast(DoubleType) /
+          (col("tott") + buckets.toLong).cast(DoubleType)), 9).cast(DecimalType(28, 12)) -
+        round(log((col("cr") + 1L).cast(DoubleType) /
+          (col("totr") + buckets.toLong).cast(DoubleType)), 9).cast(DecimalType(28, 12)))
+        .as("lam"))
+    // __n cast to DECIMAL(9,0): a bare LongType operand promotes to
+    // DECIMAL(20,0) and the product's precision (28+20+1) exceeds Spark's
+    // 38 cap, which TRUNCATES the scale — the oracle catches the rounding
+    // drift. 28+9+1 = 38 exactly, scale stays 12: the product is exact and
+    // Σ λ·n ≡ Σ_occurrences λ bit-for-bit.
+    perDoc.join(broadcast(lam), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("lam") * col("__n").cast(DecimalType(9, 0)))
+        .cast(DoubleType), 6).as("log_weight"))
+  }
 
   /** The hashed uni+bigram feature stream behind the DSIR family: one
     * (carried-columns, bucket) row per feature OCCURRENCE. */

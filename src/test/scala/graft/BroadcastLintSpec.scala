@@ -73,6 +73,8 @@ class BroadcastLintSpec extends AnyFunSuite {
       "one-row aggregate"),
     Allow("pipeline/TextAnalysis.scala", "feats.join(broadcast(model), Seq(\"b\"))",
       "param-bounded: DSIR bucket-lambda table <= buckets rows"),
+    Allow("pipeline/TextAnalysis.scala", "perDoc.join(broadcast(lam), Seq(\"b\"))",
+      "param-bounded: DSIR bucket-lambda table <= buckets rows"),
     Allow("pipeline/TextAnalysis.scala", ".join(broadcast(b), col(groupCol) <=> col(\"__bg\"))",
       "category-cardinality: per-group clip bounds, one row per distinct group"),
     Allow("pipeline/TextAnalysis.scala", ".crossJoin(broadcast(n))",
