@@ -31,12 +31,27 @@ object Bench {
           System.err.println(s"[bench] warmup $name: ${e.getClass.getSimpleName}")
       }
     }
+    // COLD arm (SPARK_GRAFT_BENCH_COLD=true): drop every engine-owned cache
+    // before EACH timed query — PlanCache entries (DSIR doc-bucket counts,
+    // IVF/PQ centroids, LSH tables, analytics edge projections), Spark's
+    // own CacheManager, and the index broadcast-gate decision memo — so the
+    // timing includes the build stage a first-call user pays. The default
+    // (warm) arm measures steady-state reuse; a regression in a
+    // PlanCache-backed operator's BUILD stage is invisible warm, so the
+    // quiet-bench protocol records BOTH columns (BENCH_AB.md round 17).
+    val cold = sys.env.get("SPARK_GRAFT_BENCH_COLD").exists(_.toBoolean)
+    def dropCaches(): Unit = if (cold) {
+      graft.core.PlanCache.clear(spark)
+      spark.catalog.clearCache()
+      graft.index.Indexes.clearGateDecisions(spark)
+    }
     // Reps interleaved rounds over the full list; keep min per query across
     // rounds and report every per-rep time so the driver can see variance.
     // A query that throws is an explicit error, never a (fast-looking) timing.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val times = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     for (_ <- 1 to Reps; name <- names) {
+      dropCaches()
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir).count()
@@ -55,7 +70,8 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":$qs,"rep_times":$repsJson,"errors":$errJson,"sf":"$sfDir"}""")
+    val mode = if (cold) "cold" else "warm"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"$mode","reps":$Reps,"queries":$qs,"rep_times":$repsJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,6 +33,12 @@ object GraphIO {
     // definitions survive the round-trip instead of being re-derived weaker
     // by the first-use maker on load
     writeText(s"$path/schema.json", graft.core.SchemaJson.toJson(g.schema))
+    // close the snapshot-staleness loop: any PlanCache entry (or memoized
+    // index broadcast-gate decision) whose plan read files under this path
+    // is now stale — flush so the next same-plan call recomputes from the
+    // overwritten store instead of serving the frozen snapshot
+    graft.core.PlanCache.invalidatePath(g.spark, path)
+    graft.index.Indexes.clearGateDecisions(g.spark)
   }
 
   private def writeText(path: String, content: String): Unit = {

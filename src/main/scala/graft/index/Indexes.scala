@@ -63,28 +63,62 @@ object Indexes {
     * block-manager writes on a frame whose filter re-runs in milliseconds;
     * the same persist-vs-reprobe lesson as the r15 hub-gate experiment),
     * so the subplan intentionally evaluates twice (probe + join) — both are
-    * pushed-filter index scans, cheaper than one materialization. Snapshot
-    * caveat as PlanCache: overwriting the underlying files mid-session
-    * keeps the old decision until the LRU turns over. */
+    * pushed-filter index scans, cheaper than one materialization.
+    *
+    * Two hardenings (r17): (1) the memo stores the CANONICALIZED ids plan
+    * alongside the boolean and verifies structural equality on every hit —
+    * a 32-bit semanticHash collision between two different id-set plans
+    * would otherwise silently reuse the wrong decision and could
+    * force-broadcast an over-cap frame (the exact OOM class the broadcast
+    * lint guards); a mismatched hit re-probes and overwrites. (2) the memo
+    * has an invalidation hook ([[clearGateDecisions]]) wired to the same
+    * store sinks as PlanCache.invalidatePath, so overwriting index files
+    * mid-session flushes decisions instead of waiting for LRU turnover
+    * (perf-only staleness — the join result is identical either way — but
+    * a stale `small=true` after a data-growing overwrite is the OOM class
+    * again). */
   private[graft] def gatedIdSemiJoin(base: DataFrame, ids: DataFrame): DataFrame = {
     val spark = base.sparkSession
     val cap = spark.conf.get("graft.index.broadcast.maxRows", "100000").toLong
-    val key = (System.identityHashCode(spark),
-      ids.queryExecution.logical.semanticHash(), cap)
-    val small = Option(gateDecisions.synchronized(gateDecisions.get(key))).getOrElse {
+    val plan = ids.queryExecution.logical
+    val key = (System.identityHashCode(spark), plan.semanticHash(), cap)
+    val canon = plan.canonicalized
+    val hit = gateDecisions.synchronized(gateDecisions.get(key)) match {
+      case (stored, d: java.lang.Boolean) if stored == canon => d
+      case _ => null // miss, or a hash-collision hit on a DIFFERENT plan
+    }
+    val small = Option(hit).getOrElse {
       val s = java.lang.Boolean.valueOf(
         ids.limit(math.min(cap + 1L, Int.MaxValue.toLong).toInt).count() <= cap)
-      gateDecisions.synchronized(gateDecisions.put(key, s))
+      gateDecisions.synchronized(gateDecisions.put(key, (canon, s)))
       s
     }
     base.join(if (small.booleanValue) broadcast(ids) else ids, Seq("id"), "left_semi")
   }
 
+  // decision memo: (session, planHash, cap) → (canonicalized plan, ≤cap?).
+  // The stored plan is the collision guard; 1024 entries of (tree, boolean)
+  // is a few MB at worst and LRU-bounded.
   private val gateDecisions =
-    new java.util.LinkedHashMap[(Int, Int, Long), java.lang.Boolean](64, 0.75f, true) {
+    new java.util.LinkedHashMap[(Int, Int, Long),
+        (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Boolean)](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, Int, Long), java.lang.Boolean]): Boolean =
+          e: java.util.Map.Entry[(Int, Int, Long),
+            (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Boolean)]): Boolean =
         size() > 1024
+    }
+
+  /** Flush memoized broadcast-gate decisions for `spark` (every session when
+    * null). Wired to the engine's store sinks next to PlanCache.invalidatePath;
+    * decisions re-probe on next use (one bounded limit-count job each). */
+  def clearGateDecisions(spark: org.apache.spark.sql.SparkSession = null): Unit =
+    gateDecisions.synchronized {
+      if (spark == null) gateDecisions.clear()
+      else {
+        val sid = System.identityHashCode(spark)
+        val it = gateDecisions.keySet().iterator()
+        while (it.hasNext) if (it.next()._1 == sid) it.remove()
+      }
     }
 
   /** Materialize a mixed (text) index as an inverted token table: one row per
@@ -548,10 +582,14 @@ object Indexes {
     *     need the untokenized STRING(TEXTSTRING) side, Geo.WITHIN/INTERSECT
     *     work on Geoshape, Geo.DISJOINT is not index-servable (the
     *     reference evaluates it in memory too — Geo.java:44-67).
-    * Cardinality is deliberately NOT a parameter: all cardinalities are
-    * supported uniformly (the reference's ES and Lucene providers accept
-    * SINGLE/SET/LIST alike — IndexProviderTest exercises the same matrix
-    * for every cardinality), so the matrix depends only on (type, mapping). */
+    * Cardinality is deliberately NOT a parameter: this engine models the
+    * reference's ES provider, whose supports() ignores cardinality (every
+    * cardinality indexes through the same mapping matrix). Note the
+    * reference's LUCENE provider is stricter — LuceneIndex.supports()
+    * returns false for non-SINGLE cardinality (LuceneIndex.java:588,617) —
+    * so the parameterless signature forecloses modeling a Lucene-style
+    * backend; acceptable because the collection-index path here serves
+    * SET/LIST natively (materializeCollection). */
   def supports(dt: org.apache.spark.sql.types.DataType,
       mapping: graft.core.Mapping = graft.core.Mapping.DEFAULT): Boolean = {
     import org.apache.spark.sql.types._

@@ -453,6 +453,8 @@ object Similarity {
     import spark.implicits._
     Seq((nlist, m, codes, rounds, dim)).toDF("nlist", "m", "codes", "rounds", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // a rebuilt index invalidates any cached frame that read the OLD layout
+    graft.core.PlanCache.invalidatePath(spark, path)
   }
 
   /** INCREMENTAL index maintenance — append new vectors to a persisted
@@ -492,6 +494,8 @@ object Similarity {
     }.reduce(_.join(_, Seq(idCol)))
       .join(bucketed, Seq(idCol))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/codes")
+    // appended partitions stale any cached read of the codes layout
+    graft.core.PlanCache.invalidatePath(spark, s"$path/codes")
   }
 
   /** ANN search over a persisted [[writeIvfPqIndex]] layout: probe the

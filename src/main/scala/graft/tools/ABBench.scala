@@ -45,7 +45,18 @@ object ABBench {
     val queries = graft.SparkEntry.queries
     val missing = names.filterNot(queries.contains)
     require(missing.isEmpty, s"unknown queries: ${missing.mkString(", ")}")
+    // SPARK_GRAFT_AB_COLD=true — drop engine caches before each timed rep so
+    // PlanCache-backed operators time their BUILD stage (the first-call cost)
+    // instead of the cache hit. Uses only calls present in every tree this
+    // protocol compares (PlanCache.clear + Spark's catalog cache), so the
+    // same file drops into an older worktree unchanged.
+    val cold = sys.env.get("SPARK_GRAFT_AB_COLD").exists(_.toBoolean)
+    def dropCaches(): Unit = if (cold) {
+      graft.core.PlanCache.clear(spark)
+      spark.catalog.clearCache()
+    }
     def once(n: String): Double = {
+      dropCaches()
       val t0 = System.nanoTime()
       queries(n)(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
@@ -58,7 +69,8 @@ object ABBench {
     val body = names.map(n =>
       "\"" + n + "\":[" + times(n).map(fmt).mkString(",") + "]")
       .mkString("{", ",", "}")
-    println(s"""ABJSON {"sf":"$sfDir","reps":$reps,"times":$body}""")
+    val mode = if (cold) "cold" else "warm"
+    println(s"""ABJSON {"sf":"$sfDir","reps":$reps,"mode":"$mode","times":$body}""")
     spark.stop()
   }
 }

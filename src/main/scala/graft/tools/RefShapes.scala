@@ -131,6 +131,54 @@ object RefShapes {
     commitArc("writes_20x30k", 20, 30000L)
     commitArc("writes_20x1500", 20, 1500L)
 
+    // ---- 5. memory stability: 25 rounds × 1000-element tx + queries ----
+    // (TitanGraphPerformanceMemoryTest.java:39-65: 25 rounds × 1000 tx,
+    // asserting heap stddev stays bounded.) The snapshot-engine twin: each
+    // round applies a 1000-element mutation batch, settles it, runs a read
+    // query AND a PlanCache-backed operator with a round-distinct key (the
+    // worst churn case — every round tries to add an entry). The claim
+    // under test is the cap structure: PlanCache's LRU (≤16 entries),
+    // block-manager RDD entries (old checkpoint/cached blocks die), and
+    // heap (stddev across rounds ≈ steady state, not a ramp).
+    {
+      val rounds = 25
+      val perRound = 1000L
+      var cur = PropertyGraph(GraphSchema(),
+        spark.range(1).select(lit(-1L).as("id"), lit("v").as("label"), lit(-1L).as("uid")),
+        spark.range(0).select(col("id"), col("id").as("src"), col("id").as("dst"),
+          lit("knows").as("label")))
+      val heaps = new Array[Double](rounds)
+      val rt = Runtime.getRuntime
+      val t = System.nanoTime()
+      (0 until rounds).foreach { r =>
+        val base = r * perRound
+        val av = spark.range(base, base + perRound / 2)
+          .select(col("id"), lit("v").as("label"), col("id").as("uid"))
+        val ae = spark.range(base, base + perRound / 2)
+          .select((col("id") + 50000000L).as("id"), col("id").as("src"),
+            greatest(col("id") - 1L, lit(0L)).as("dst"), lit("knows").as("label"))
+        cur = GraphIO.applyMutations(cur, addVertices = Some(av), addEdges = Some(ae))
+        cur = cur.copy(vertices = cur.vertices.localCheckpoint(true),
+          edges = cur.edges.localCheckpoint(true))
+        // read query over the mutated graph + a round-distinct cached op
+        cur.vertices.filter(col("uid") % 7 === 0).count()
+        graft.core.PlanCache.cached(spark,
+          graft.core.PlanCache.key("memstable", cur.vertices, r)) {
+          cur.vertices.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        }.count()
+        System.gc()
+        heaps(r) = (rt.totalMemory() - rt.freeMemory()) / 1e6
+      }
+      val s = (System.nanoTime() - t) / 1e9
+      val mean = heaps.sum / rounds
+      val std = math.sqrt(heaps.map(h => (h - mean) * (h - mean)).sum / rounds)
+      val slope = (heaps.takeRight(5).sum - heaps.take(5).sum) / 5.0
+      println(f"REFSHAPES memstable_25x1000 wall=$s%.2f s heapMeanMB=$mean%.0f " +
+        f"heapStdMB=$std%.0f lastMinusFirst5MB=$slope%.0f " +
+        s"planCacheEntries=${graft.core.PlanCache.entryCount(spark)} " +
+        s"rddStorageEntries=${spark.sparkContext.getRDDStorageInfo.length}")
+    }
+
     spark.stop()
   }
 }

@@ -131,6 +131,86 @@ object RoundScale {
       println(s"ROUNDSCALE skew_ktruss_$n survivors=$left converged=$conv " +
         s"(expect ${2 * hubDeg - 1}, true)")
     }
+    // Volume axis ×10/×100 over sf0.1 (SCALE.md "volume axis, heavy
+    // kernels"): the bench tops out at ~600k rows while the design claims
+    // are 100 TB-shaped, so drive the four heaviest iterative kernels on a
+    // chain + pseudo-random + hub MIXTURE (deterministic multiplicative-
+    // hash long-range edges — a diameter-compressing, mildly-skewed shape
+    // closer to real graphs than either pure fixture) at 10⁶/10⁷ vertices
+    // (~1.5n edges). Wall + `[graft-rounds]` round counts give the scaling
+    // slope; any super-linear slope is a finding, not noise.
+    if (kind("volume")) sizes.foreach { n =>
+      def mixGraph(): PropertyGraph = {
+        val v = spark.range(n).select(col("id"), lit("v").as("label"))
+        val chain = spark.range(n - 1).select(col("id"), col("id").as("src"),
+          (col("id") + 1L).as("dst"), lit("e").as("label"))
+        val rand = spark.range(n / 2).select((col("id") + 3000000000L).as("id"),
+          col("id").as("src"),
+          pmod(col("id") * lit(2654435761L) + lit(12345L), lit(n)).as("dst"),
+          lit("e").as("label"))
+        val hubDeg = math.max(n / 100, 10L)
+        val hub = spark.range(1, hubDeg + 1).select((col("id") + 6000000000L).as("id"),
+          lit(0L).as("src"), pmod(col("id") * 37L + 11L, lit(n)).as("dst"),
+          lit("e").as("label"))
+        val e = chain.unionByName(rand).unionByName(hub).filter(col("src") =!= col("dst"))
+        PropertyGraph(GraphSchema(), v, e)
+      }
+      val g = mixGraph()
+      g.edges.count() // settle the input before timing
+      val (core, coreConv) = timed(s"vol_coreness_$n") {
+        val (df, c) = graft.olap.Analytics.corenessConverged(g, maxRounds = 40)
+        (df.agg(max(col("core"))).head.getLong(0), c)
+      }
+      println(s"ROUNDSCALE vol_coreness_$n maxCore=$core converged=$coreConv")
+      val scc = timed(s"vol_scc_$n") {
+        graft.olap.Analytics.stronglyConnectedComponents(g,
+          maxOuter = 2, maxTrim = 3, maxInner = 48)
+          .agg(count_distinct(col("scc")).as("k"),
+            sum(col("scc").isNull.cast("long")).as("nulls")).head
+      }
+      println(s"ROUNDSCALE vol_scc_$n distinct=${scc.getLong(0)} unresolved=${scc.getLong(1)}")
+      val (tleft, tconv) = timed(s"vol_ktruss_$n") {
+        val (df, c) = graft.olap.Analytics.kTrussConverged(g, 3, maxRounds = 10)
+        (df.count(), c)
+      }
+      println(s"ROUNDSCALE vol_ktruss_$n survivors=$tleft converged=$tconv")
+      val btw = timed(s"vol_btw_sampled_$n") {
+        graft.olap.Analytics.betweennessSampled(g,
+          Seq(1L, n / 3, 2 * n / 3), maxIter = 8).count()
+      }
+      println(s"ROUNDSCALE vol_btw_sampled_$n rows=$btw (3 pivots, depth 8)")
+    }
+    // classMergeMapping driver-vs-distributed crossover (VERDICT r16 "What's
+    // wrong #3"): the 5M-row driver union-find default was asserted, never
+    // measured. Two pair-set shapes bracket the regimes: a single CHAIN
+    // (depth-pathological — the distributed flood needs ~log2(n) pointer-
+    // doubling rounds) and STAR-10 clusters (the realistic dedup-pairs
+    // shape — flood converges in ~2 rounds). Time both paths at each size;
+    // the default belongs at the measured crossover.
+    if (kind("merge")) sizes.foreach { n =>
+      val prior = spark.conf.getOption("spark.graft.msf.driverMergeMaxRows")
+      def run(tag: String, und: org.apache.spark.sql.DataFrame): Unit = {
+        und.count() // settle input
+        spark.conf.set("spark.graft.msf.driverMergeMaxRows", (n + 1).toString)
+        val kd = timed(s"merge_driver_${tag}_$n") {
+          graft.olap.Analytics.classMergeMapping(und, n, maxInner = 64)
+            .agg(count_distinct(col("l"))).head.getLong(0)
+        }
+        spark.conf.set("spark.graft.msf.driverMergeMaxRows", "0")
+        val kx = timed(s"merge_dist_${tag}_$n") {
+          graft.olap.Analytics.classMergeMapping(und, n, maxInner = 64)
+            .agg(count_distinct(col("l"))).head.getLong(0)
+        }
+        println(s"ROUNDSCALE merge_${tag}_$n classesDriver=$kd classesDist=$kx (must agree)")
+      }
+      run("chain", spark.range(n).select(col("id").as("a"), (col("id") + 1L).as("b")))
+      run("star10", spark.range(n).select(col("id").as("a"),
+        (col("id") - pmod(col("id"), lit(10L))).as("b")))
+      prior match {
+        case Some(p) => spark.conf.set("spark.graft.msf.driverMergeMaxRows", p)
+        case None => spark.conf.unset("spark.graft.msf.driverMergeMaxRows")
+      }
+    }
     if (kind("btw")) sizes.foreach { n =>
       // betweenness is the one heavy whose round count is STRUCTURALLY
       // diameter-linear (forward BFS + sigma + delta sweeps are each
