@@ -4311,6 +4311,85 @@ object SparkEntry {
             1L -> ((t: graft.traverse.Traversal) => t.out("e").out("e")))).toDF),
       ).reduce(_ unionAll _)
     }),
+    // group().by(k).by(group().by(m).by(...)) — the NESTED group modulator
+    // chain (ProcessStandardSuite GroupTest map-of-maps long tail,
+    // g_V_group_byXlabelX_byXgroup...): the inner group folds over each
+    // outer bucket's traverser stream COLLECTIVELY, so the relational form
+    // is one (outerKey, innerKey) aggregate after the sub-traversal —
+    // count-valued and sum-valued inner by() arms plus a single-level
+    // groupBySub control on the same fixture.
+    "q_ps_group_nested" -> ((s, dir) => {
+      val verts = s.range(1, 61).select(col("id"), lit("v").as("label"),
+        (col("id") % 7).as("m"), (col("id") % 3).as("k"))
+      val chain = s.range(1, 60).select((col("id") + 5000L).as("id"),
+        col("id").as("src"), (col("id") + 1L).as("dst"), lit("e").as("label"))
+      val skips = s.range(1, 14).select((col("id") + 6000L).as("id"),
+        (col("id") * 4L).as("src"), (col("id") * 4L + 8L).as("dst"), lit("e").as("label"))
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(), verts,
+        chain.unionByName(skips))
+      def row(caze: String, d: DataFrame, s1: Column) =
+        d.agg(count(lit(1)).as("n"), coalesce(sum(s1), lit(0L)).cast("long").as("s"))
+          .select(lit(caze).as("caze"), col("n"), col("s"))
+      Seq(
+        row("gn_count", g.traversal.V().groupNested("k", _.out("e"), "m"),
+          col("value") * (col("key") * 100L + col("key2") + 1L)),
+        row("gn_sum", g.traversal.V().groupNested("k", _.out("e"), "m", sum(col("id"))),
+          col("value") * (col("key") * 100L + col("key2") + 1L)),
+        row("gn_ctrl", g.traversal.V().groupBySub("k", _.out("e")),
+          col("value") * (col("k") + 1L)),
+      ).reduce(_ unionAll _)
+    }),
+    // tree().by(name) — TreeStep with by()-modulation (ProcessStandardSuite
+    // TreeTest g_V_out_out_tree_byXnameX): every tree node rendered by a
+    // property; elements with a NULL name keep their slot via the id-string
+    // fallback (arity preserved, never silently shortened). Control arm:
+    // the unmodulated id-tree over the same paths.
+    "q_ps_tree_by" -> ((s, dir) => {
+      val verts = s.range(1, 61).select(col("id"), lit("v").as("label"),
+        when(col("id") % 10 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("n"), col("id"))).as("name"))
+      val chain = s.range(1, 60).select((col("id") + 5000L).as("id"),
+        col("id").as("src"), (col("id") + 1L).as("dst"), lit("e").as("label"))
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(), verts, chain)
+      def row(caze: String, d: DataFrame, s1: Column) =
+        d.agg(count(lit(1)).as("n"), coalesce(sum(s1), lit(0L)).cast("long").as("s"))
+          .select(lit(caze).as("caze"), col("n"), col("s"))
+      Seq(
+        row("tb_rendered", g.traversal.withPath.V().out("e").out("e").treeBy("name"),
+          length(col("root")) + length(array_join(col("path"), ","))),
+        row("tb_ctrl_ids", g.traversal.withPath.V().out("e").out("e").tree(),
+          col("root") + aggregate(col("path"), lit(0L), _ + _)),
+      ).reduce(_ unionAll _)
+    }),
+    // path().by(name) over repeat EMISSIONS (ProcessStandardSuite PathTest ×
+    // RepeatTest composition): emitted traversers carry paths of DIFFERENT
+    // lengths (emit surfaces every round), and the by()-rendering must
+    // preserve each arity — including the until() variant where traversers
+    // exit at their own depths.
+    "q_ps_path_by_emit" -> ((s, dir) => {
+      val verts = s.range(1, 61).select(col("id"), lit("v").as("label"),
+        when(col("id") % 10 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("n"), col("id"))).as("name"))
+      val chain = s.range(1, 60).select((col("id") + 5000L).as("id"),
+        col("id").as("src"), (col("id") + 1L).as("dst"), lit("e").as("label"))
+      val g = graft.data.PropertyGraph(graft.core.GraphSchema(), verts, chain)
+      def row(caze: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n"),
+            coalesce(sum(length(array_join(col("path"), ","))), lit(0L))
+              .cast("long").as("s"))
+          .select(lit(caze).as("caze"), col("n"), col("s"))
+      Seq(
+        // one leading hop so every emitted traverser carries a path (emit
+        // unions the post-hop source frontier + both round frontiers:
+        // lengths 2, 3, 4)
+        row("pbe_emit", g.traversal.withPath.V().out("e")
+          .repeatEmit(2)(_.out("e")).pathBy("name")),
+        // do-while until(id%5==0): traversers exit at their own depth, the
+        // round-3 survivors are emitted as-is — lengths 2..4 mixed
+        row("pbe_until", g.traversal.withPath.V()
+          .repeatUntil(col("id") % 5 === 0, 3)(_.out("e")).pathBy("name")),
+      ).reduce(_ unionAll _)
+    }),
     // IndexProviderTest.largeTest (:447-467) limit semantics on a
     // deterministic twin of the random-document fixture: a conjunctive
     // numeric-range + geo-circle query where limit < matches returns EXACTLY
@@ -8887,6 +8966,53 @@ object SparkEntry {
         |       CAST(sum(c) AS BIGINT), CAST(sum(src*c) AS BIGINT) FROM loc
         |UNION ALL SELECT 'ng_nested', CAST(count(*) AS BIGINT),
         |       CAST(sum(c) AS BIGINT), CAST(sum(c*(kcls*10+m)) AS BIGINT) FROM nest""".stripMargin,
+    "q_ps_group_nested" ->
+      """WITH v AS (SELECT CAST(x.range AS BIGINT) AS i FROM range(1, 61) x),
+        |e AS (SELECT i AS s, i+1 AS d FROM v WHERE i <= 59
+        |      UNION ALL SELECT CAST(x.range AS BIGINT)*4, CAST(x.range AS BIGINT)*4+8 FROM range(1, 14) x),
+        |p AS (SELECT e.s AS src, e.d AS dst, e.s % 3 AS k, e.d % 7 AS m FROM e),
+        |gc AS (SELECT k, m, count(*) AS c FROM p GROUP BY 1, 2),
+        |gs AS (SELECT k, m, sum(dst) AS c FROM p GROUP BY 1, 2),
+        |ct AS (SELECT k, count(*) AS c FROM p GROUP BY 1)
+        |SELECT 'gn_count' AS caze, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(c*(k*100+m+1)) AS BIGINT) AS s FROM gc
+        |UNION ALL SELECT 'gn_sum', CAST(count(*) AS BIGINT),
+        |       CAST(sum(c*(k*100+m+1)) AS BIGINT) FROM gs
+        |UNION ALL SELECT 'gn_ctrl', CAST(count(*) AS BIGINT),
+        |       CAST(sum(c*(k+1)) AS BIGINT) FROM ct""".stripMargin,
+    "q_ps_tree_by" ->
+      """WITH v AS (SELECT CAST(x.range AS BIGINT) AS i FROM range(1, 61) x),
+        |r AS (SELECT i, CASE WHEN i % 10 = 0 THEN CAST(i AS VARCHAR)
+        |                     ELSE 'n' || CAST(i AS VARCHAR) END AS nm FROM v),
+        |p AS (SELECT r0.nm AS n0, r1.nm AS n1, r2.nm AS n2,
+        |             r0.i AS i0, r1.i AS i1, r2.i AS i2
+        |      FROM r r0 JOIN r r1 ON r1.i = r0.i + 1
+        |                JOIN r r2 ON r2.i = r0.i + 2 WHERE r0.i <= 58)
+        |SELECT 'tb_rendered' AS caze, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(2*length(n0) + length(n1) + length(n2) + 2) AS BIGINT) AS s FROM p
+        |UNION ALL SELECT 'tb_ctrl_ids', CAST(count(*) AS BIGINT),
+        |       CAST(sum(2*i0 + i1 + i2) AS BIGINT) FROM p""".stripMargin,
+    "q_ps_path_by_emit" ->
+      """WITH v AS (SELECT CAST(x.range AS BIGINT) AS i FROM range(1, 61) x),
+        |L AS (SELECT i, length(CASE WHEN i % 10 = 0 THEN CAST(i AS VARCHAR)
+        |                            ELSE 'n' || CAST(i AS VARCHAR) END) AS l FROM v),
+        |e2 AS (SELECT la.l + lb.l + 1 AS s FROM L la JOIN L lb ON lb.i = la.i+1 WHERE la.i <= 59),
+        |e3 AS (SELECT la.l + lb.l + lc.l + 2 AS s FROM L la
+        |       JOIN L lb ON lb.i = la.i+1 JOIN L lc ON lc.i = la.i+2 WHERE la.i <= 58),
+        |e4 AS (SELECT la.l + lb.l + lc.l + ld.l + 3 AS s FROM L la
+        |       JOIN L lb ON lb.i = la.i+1 JOIN L lc ON lc.i = la.i+2
+        |       JOIN L ld ON ld.i = la.i+3 WHERE la.i <= 57),
+        |emit AS (SELECT s FROM e2 UNION ALL SELECT s FROM e3 UNION ALL SELECT s FROM e4),
+        |u1 AS (SELECT i FROM v WHERE i <= 59 AND (i+1) % 5 = 0),
+        |u2 AS (SELECT i FROM v WHERE i <= 58 AND (i+1) % 5 <> 0 AND (i+2) % 5 = 0),
+        |u3 AS (SELECT i FROM v WHERE i <= 57 AND (i+1) % 5 <> 0 AND (i+2) % 5 <> 0),
+        |us AS (SELECT (SELECT sum(l) FROM L WHERE L.i BETWEEN u1.i AND u1.i+1) + 1 AS s FROM u1
+        |  UNION ALL SELECT (SELECT sum(l) FROM L WHERE L.i BETWEEN u2.i AND u2.i+2) + 2 FROM u2
+        |  UNION ALL SELECT (SELECT sum(l) FROM L WHERE L.i BETWEEN u3.i AND u3.i+3) + 3 FROM u3)
+        |SELECT 'pbe_emit' AS caze, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(s) AS BIGINT) AS s FROM emit
+        |UNION ALL SELECT 'pbe_until', CAST(count(*) AS BIGINT),
+        |       CAST(sum(s) AS BIGINT) FROM us""".stripMargin,
     "q_index_gated" ->
       "SELECT c_custkey AS uid, c_mktsegment AS mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'",
     "q_ixp_limit" ->

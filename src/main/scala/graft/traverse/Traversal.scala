@@ -495,6 +495,30 @@ final case class Traversal(
       .groupBy(col("__byv").as("key"))
       .agg(groupAgg.as("value"))
 
+  /** group().by(outerKey).by(group().by(innerKey).by(valueAgg)) — the NESTED
+    * group modulator chain (TinkerPop ProcessStandardSuite GroupTest
+    * g_V_group_byXlabelX_byXgroup_byXnameX..., a map-of-maps result). The
+    * inner group is a reduce over each outer group's traverser stream
+    * COLLECTIVELY (TinkerPop folds the inner GroupStep's side-effect across
+    * the whole outer bucket), so the relational form is exact: one row per
+    * (outerKey(source), innerKey(destination)) with the folded value — a
+    * SINGLE two-key aggregate after the sub-traversal, never a per-element
+    * subquery or a map-merge loop. `value` is the inner by()-modulated fold
+    * (count by default; any aggregate over the destination frontier). */
+  def groupNested(outerKey: String, step: Traversal => Traversal,
+      innerKey: String, value: Column = F.count(lit(1))): DataFrame = {
+    val stepped = step(this.as("__gn"))
+    // recover the SOURCE element's outer key by id-join (the sub-traversal's
+    // frontier carries provenance ids, not source properties — same shape
+    // as projectSubs); then one (outer, inner) aggregate
+    val src = df.select(col("id").as("__gnid"), keyCol(outerKey).as("key"))
+    stepped.df
+      .withColumn("__gnk", stepped.keyCol(innerKey))
+      .join(src, col("_as___gn_id") === col("__gnid"))
+      .groupBy(col("key"), col("__gnk").as("key2"))
+      .agg(value.as("value"))
+  }
+
   /** project('a','b').by(subTraversal)... — one output column per named
     * field, each a per-element aggregate of its own sub-traversal (TinkerPop
     * by-modulated project). Sub-traversals run independently and join back on
@@ -619,6 +643,34 @@ final case class Traversal(
   def tree(): DataFrame = {
     require(hasPath, "tree requires withPath traversal source")
     df.select(col("_path").getItem(0).as("root"), col("_path").as("path"))
+  }
+
+  /** tree().by(key) — TreeStep with by()-modulation (TinkerPop
+    * ProcessStandardSuite TreeTest g_V_out_out_tree_byXnameX): every node of
+    * the tree rendered by a property instead of its id. Same compilation as
+    * [[pathBy]] — posexplode the bounded path array, ONE id-keyed join
+    * against the (vertex ∪ edge) id→value projection, regroup and re-sort
+    * by position — with the root kept as its own rendered column (rows
+    * (root, path) are the relational form of the nested tree map, exactly
+    * as [[tree]]). A path element missing the key keeps its slot with the
+    * id-string fallback, preserving arity. */
+  def treeBy(key: String): DataFrame = {
+    require(hasPath, "treeBy requires withPath traversal source")
+    def side(t: DataFrame) =
+      if (t.columns.contains(key))
+        Some(t.select(col("id").as("__pid"), col(key).cast("string").as("__pv")))
+      else None
+    val lookup = (side(graph.vertices) ++ side(graph.edges))
+      .reduceOption(_.unionByName(_))
+      .getOrElse(sys.error(s"treeBy: no element set carries '$key'"))
+    val rows = df.select(col("_path")).withColumn("__rid", F.monotonically_increasing_id())
+    rows.select(col("__rid"), F.posexplode(col("_path")).as(Seq("__pos", "__pid")))
+      .join(lookup, Seq("__pid"), "left")
+      .withColumn("__pv", F.coalesce(col("__pv"), col("__pid").cast("string")))
+      .groupBy(col("__rid"))
+      .agg(F.array_sort(F.collect_list(F.struct(col("__pos"), col("__pv")))).as("__s"))
+      .select(F.transform(col("__s"), s => s.getField("__pv")).as("path"))
+      .select(F.element_at(col("path"), 1).as("root"), col("path"))
   }
 
   /** project('a' -> expr, ...) — named value projection per traverser
