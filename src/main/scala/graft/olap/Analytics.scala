@@ -2379,27 +2379,6 @@ object Analytics {
       .drop("__m")
   }
 
-  /** Driver-side min-label union-find over a bounded pair list (the
-    * control-read regime shared by [[minimumSpanningForest]]'s label merge
-    * and the streaming incremental components): returns the exact
-    * old-label → min-member-of-class mapping for every label appearing in
-    * `pairs`. Union always roots at the smaller id, so the root IS the
-    * class minimum — deterministic on any input order. */
-  /** DUAL-REGIME min-label class merge over an undirected, distinct pair
-    * frame `und` (cols a, b; both orientations present) — shared by
-    * [[minimumSpanningForest]] and the streaming
-    * [[graft.stream.ChangeStream.incrementalComponents]]. At or under
-    * `spark.graft.msf.driverMergeMaxRows` (default 5M) the pair set is a
-    * bounded control read: a driver union-find produces the exact
-    * old-label → class-minimum mapping in one broadcast (per-round
-    * distributed flooding spent ~80% of q_msf's sf0.1 wall on per-job
-    * overhead for frames of a few thousand rows). Past the cap — e.g. the
-    * first micro-batch of a bulk CDC backfill, whose cross-class pair set
-    * is edge-scale — the pointer-doubled distributed min-label flood runs
-    * its `maxInner` budget instead: same fixpoint, O(log chain) rounds,
-    * nothing edge-scale ever reaches the driver. Returns the (c, l)
-    * mapping, broadcast-hinted only in the driver regime (the flood's
-    * output is class-count-sized, potentially too big to broadcast). */
   /** Bijective 64-bit mixer: xorshift64 (Marsaglia 2003 — public algorithm)
     * over an initial constant XOR. A collision-free random priority for
     * label floods: xor/shift steps are bijections on Long and — unlike a
@@ -2461,6 +2440,46 @@ object Analytics {
     }
   }
 
+  /** DUAL-REGIME min-label class merge over an undirected, distinct pair
+    * frame `und` (cols a, b), shared by [[minimumSpanningForest]]'s label
+    * merge and the streaming
+    * [[graft.stream.ChangeStream.incrementalComponents]].
+    *
+    * PRECONDITION — `und` MUST carry BOTH orientations of every pair
+    * (callers symmetrize with a swapped unionAll + distinct). The driver
+    * union-find is direction-agnostic and silently tolerates asymmetric
+    * input, but the distributed flood pulls labels through rows (a,b) in
+    * the b→a direction ONLY — on one-directional input the two regimes
+    * DIVERGE (measured: a one-directional chain converges immediately with
+    * zero merges in the flood while the driver path merges fully —
+    * RoundScale merge arm, round 17). Both engine callers symmetrize;
+    * keep that invariant at any new call site.
+    *
+    * At or under `spark.graft.msf.driverMergeMaxRows` (default 5M) the
+    * pair set is a bounded control read: a driver union-find produces the
+    * exact old-label → class-minimum mapping in one broadcast (per-round
+    * distributed flooding spent ~80% of q_msf's sf0.1 wall on per-job
+    * overhead for frames of a few thousand rows). Past the cap — e.g. the
+    * first micro-batch of a bulk CDC backfill, whose cross-class pair set
+    * is edge-scale — the pointer-doubled distributed min-label flood runs
+    * its `maxInner` budget instead: same fixpoint, O(log chain) rounds,
+    * nothing edge-scale ever reaches the driver. Returns the (c, l)
+    * mapping, broadcast-hinted only in the driver regime (the flood's
+    * output is class-count-sized, potentially too big to broadcast).
+    *
+    * THE 5M DEFAULT IS A DRIVER-MEMORY BOUND, NOT A WALL CROSSOVER — the
+    * round-17 crossover measurement (RoundScale merge arm, SCALE.md
+    * §"classMergeMapping crossover") found the wall winner is decided by
+    * merge-chain DEPTH, not row count: on deep chains the driver path wins
+    * at EVERY size through 2·10⁷ symmetrized rows (130.6 s vs the flood's
+    * 344.6 s — the flood pays log₂(depth) full-pair-set joins), while on
+    * shallow 10-member classes the flood wins from ~2·10⁶ rows (4.0 s vs
+    * 8.8 s; 20.7 s vs 116.4 s at 2·10⁷ — its round count is constant and
+    * the driver cost is pure collect+CPU volume). 5M keeps the worst
+    * measured driver-side loss ≤ ~2.2× on shallow inputs, keeps the
+    * up-to-7× win on deep chains below the cap, and bounds the collect
+    * to ~80 MB of id pairs — right for callers whose pair frames are
+    * post-aggregation (class-count-sized) with unbounded depth. */
   private[graft] def classMergeMapping(und: DataFrame, undRows: Long,
       maxInner: Int = 12, caller: String = "classMergeMapping",
       strict: Boolean = false): DataFrame = {
@@ -2516,6 +2535,11 @@ object Analytics {
     }
   }
 
+  /** Driver-side min-label union-find over a bounded pair list (the
+    * control-read regime of [[classMergeMapping]]): returns the exact
+    * old-label → min-member-of-class mapping for every label appearing in
+    * `pairs`. Union always roots at the smaller id, so the root IS the
+    * class minimum — deterministic on any input order. */
   private[graft] def minLabelUnionFind(pairs: Array[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {

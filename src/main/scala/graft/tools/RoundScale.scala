@@ -139,36 +139,28 @@ object RoundScale {
     // closer to real graphs than either pure fixture) at 10⁶/10⁷ vertices
     // (~1.5n edges). Wall + `[graft-rounds]` round counts give the scaling
     // slope; any super-linear slope is a finding, not noise.
+    def mixGraph(n: Long): PropertyGraph = {
+      val v = spark.range(n).select(col("id"), lit("v").as("label"))
+      val chain = spark.range(n - 1).select(col("id"), col("id").as("src"),
+        (col("id") + 1L).as("dst"), lit("e").as("label"))
+      val rand = spark.range(n / 2).select((col("id") + 3000000000L).as("id"),
+        col("id").as("src"),
+        pmod(col("id") * lit(2654435761L) + lit(12345L), lit(n)).as("dst"),
+        lit("e").as("label"))
+      val hubDeg = math.max(n / 100, 10L)
+      val hub = spark.range(1, hubDeg + 1).select((col("id") + 6000000000L).as("id"),
+        lit(0L).as("src"), pmod(col("id") * 37L + 11L, lit(n)).as("dst"),
+        lit("e").as("label"))
+      val e = chain.unionByName(rand).unionByName(hub).filter(col("src") =!= col("dst"))
+      PropertyGraph(GraphSchema(), v, e)
+    }
+
     if (kind("volume")) sizes.foreach { n =>
-      def mixGraph(): PropertyGraph = {
-        val v = spark.range(n).select(col("id"), lit("v").as("label"))
-        val chain = spark.range(n - 1).select(col("id"), col("id").as("src"),
-          (col("id") + 1L).as("dst"), lit("e").as("label"))
-        val rand = spark.range(n / 2).select((col("id") + 3000000000L).as("id"),
-          col("id").as("src"),
-          pmod(col("id") * lit(2654435761L) + lit(12345L), lit(n)).as("dst"),
-          lit("e").as("label"))
-        val hubDeg = math.max(n / 100, 10L)
-        val hub = spark.range(1, hubDeg + 1).select((col("id") + 6000000000L).as("id"),
-          lit(0L).as("src"), pmod(col("id") * 37L + 11L, lit(n)).as("dst"),
-          lit("e").as("label"))
-        val e = chain.unionByName(rand).unionByName(hub).filter(col("src") =!= col("dst"))
-        PropertyGraph(GraphSchema(), v, e)
-      }
-      val g = mixGraph()
+      val g = mixGraph(n)
       g.edges.count() // settle the input before timing
-      val (core, coreConv) = timed(s"vol_coreness_$n") {
-        val (df, c) = graft.olap.Analytics.corenessConverged(g, maxRounds = 40)
-        (df.agg(max(col("core"))).head.getLong(0), c)
-      }
-      println(s"ROUNDSCALE vol_coreness_$n maxCore=$core converged=$coreConv")
-      val scc = timed(s"vol_scc_$n") {
-        graft.olap.Analytics.stronglyConnectedComponents(g,
-          maxOuter = 2, maxTrim = 3, maxInner = 48)
-          .agg(count_distinct(col("scc")).as("k"),
-            sum(col("scc").isNull.cast("long")).as("nulls")).head
-      }
-      println(s"ROUNDSCALE vol_scc_$n distinct=${scc.getLong(0)} unresolved=${scc.getLong(1)}")
+      // cheap kernels FIRST: a disk-envelope blowout in a heavy kernel must
+      // not void the others' measurements (learned the hard way — the first
+      // 10⁷ run died in SCC's shuffle spill before ktruss/btw ever ran)
       val (tleft, tconv) = timed(s"vol_ktruss_$n") {
         val (df, c) = graft.olap.Analytics.kTrussConverged(g, 3, maxRounds = 10)
         (df.count(), c)
@@ -179,6 +171,29 @@ object RoundScale {
           Seq(1L, n / 3, 2 * n / 3), maxIter = 8).count()
       }
       println(s"ROUNDSCALE vol_btw_sampled_$n rows=$btw (3 pivots, depth 8)")
+      val (core, coreConv) = timed(s"vol_coreness_$n") {
+        val (df, c) = graft.olap.Analytics.corenessConverged(g, maxRounds = 40)
+        (df.agg(max(col("core"))).head.getLong(0), c)
+      }
+      println(s"ROUNDSCALE vol_coreness_$n maxCore=$core converged=$coreConv")
+    }
+    // SCC separated: its within-color edge restriction × pointer-jump inner
+    // rounds is the heaviest shuffle producer of the four — at 1.5·10⁷
+    // edges × 48 inner rounds the accumulated not-yet-cleaned shuffle files
+    // exceeded this box's ~70 GB /tmp envelope (ContextCleaner reclaims
+    // shuffles only after driver GC drops the round RDDs; the lag is the
+    // binding constraint here, not the algorithm — on a cluster the spill
+    // spreads across executors' local dirs).
+    if (kind("volscc")) sizes.foreach { n =>
+      val g = mixGraph(n)
+      g.edges.count()
+      val scc = timed(s"vol_scc_$n") {
+        graft.olap.Analytics.stronglyConnectedComponents(g,
+          maxOuter = 2, maxTrim = 3, maxInner = 48)
+          .agg(count_distinct(col("scc")).as("k"),
+            sum(col("scc").isNull.cast("long")).as("nulls")).head
+      }
+      println(s"ROUNDSCALE vol_scc_$n distinct=${scc.getLong(0)} unresolved=${scc.getLong(1)}")
     }
     // classMergeMapping driver-vs-distributed crossover (VERDICT r16 "What's
     // wrong #3"): the 5M-row driver union-find default was asserted, never
@@ -189,16 +204,20 @@ object RoundScale {
     // the default belongs at the measured crossover.
     if (kind("merge")) sizes.foreach { n =>
       val prior = spark.conf.getOption("spark.graft.msf.driverMergeMaxRows")
-      def run(tag: String, und: org.apache.spark.sql.DataFrame): Unit = {
-        und.count() // settle input
-        spark.conf.set("spark.graft.msf.driverMergeMaxRows", (n + 1).toString)
+      def run(tag: String, pairs: org.apache.spark.sql.DataFrame): Unit = {
+        // classMergeMapping's precondition: BOTH orientations present
+        // (exactly what the MSF/streaming callers do before calling)
+        val und = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+          .distinct().localCheckpoint(false)
+        val rows = und.count() // settle input; ~2n after symmetrization
+        spark.conf.set("spark.graft.msf.driverMergeMaxRows", (rows + 1).toString)
         val kd = timed(s"merge_driver_${tag}_$n") {
-          graft.olap.Analytics.classMergeMapping(und, n, maxInner = 64)
+          graft.olap.Analytics.classMergeMapping(und, rows, maxInner = 64)
             .agg(count_distinct(col("l"))).head.getLong(0)
         }
         spark.conf.set("spark.graft.msf.driverMergeMaxRows", "0")
         val kx = timed(s"merge_dist_${tag}_$n") {
-          graft.olap.Analytics.classMergeMapping(und, n, maxInner = 64)
+          graft.olap.Analytics.classMergeMapping(und, rows, maxInner = 64)
             .agg(count_distinct(col("l"))).head.getLong(0)
         }
         println(s"ROUNDSCALE merge_${tag}_$n classesDriver=$kd classesDist=$kx (must agree)")
