@@ -2401,8 +2401,30 @@ object Analytics {
     * driver-side BigInteger stats arithmetic dominates wall time from
     * ~round 12, executors idle (found by the round-14 diameter
     * measurement; full analysis in [[org.apache.spark.sql.GraftSqlBridge]]). */
+  /** Barrier-call counter for the conf-gated periodic driver GC below —
+    * JVM-global (GC is), so interleaved kernels share the cadence. */
+  private val barrierCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graft] def roundBarrier(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    // Long iterative jobs accumulate one shuffle per round on executor
+    // local disk, and Spark's ContextCleaner can only reclaim a round's
+    // shuffle files after a DRIVER GC collects the dropped round-RDD
+    // references. Reclaimability itself is what GraftSqlBridge.resetStats'
+    // round-17 fix restored (pre-fix, wrapper partition arrays chained
+    // every round past checkpoint truncation — see its scaladoc); reclaim
+    // LATENCY then still depends on GC cadence, and Spark's own safety net
+    // (spark.cleaner.periodicGC.interval) fires every 30 MINUTES by
+    // default, far behind a tight kernel loop (measured: a 10⁷-vertex SCC
+    // run filled a ~70 GB /tmp with dead shuffle files and died —
+    // SCALE.md §"Volume axis", round 17). With
+    // `spark.graft.iter.gcEveryRounds` = N > 0, every Nth barrier forces a
+    // driver GC so reclaim keeps pace with the loop; a driver System.gc()
+    // is a few-hundred-ms pause amortized over N round jobs. Default 0 =
+    // off (short loops never accumulate enough to matter; clusters spread
+    // the spill across executors' local dirs).
+    val gcEvery = spark.conf.get("spark.graft.iter.gcEveryRounds", "0").toInt
+    if (gcEvery > 0 && barrierCalls.incrementAndGet() % gcEvery == 0) System.gc()
     val ck = spark.conf.get("spark.graft.iter.barrier", "lazy") match {
       case "eager" => df.localCheckpoint(true)
       case "reliable" =>
@@ -2433,8 +2455,20 @@ object Analytics {
     def tick(round: Int): Unit = if (enabled) {
       val now = System.nanoTime()
       val j1 = jobs
+      // rdds = block-manager-registered persistent RDD count: a monotone
+      // ramp here means retired round frames are NOT being reclaimed
+      // (round-17 shuffle-envelope diagnosis)
+      val threads = {
+        import scala.jdk.CollectionConverters._
+        Thread.getAllStackTraces.keySet.asScala
+      }
+      val cleaner = threads.find(_.getName == "Spark Context Cleaner")
+        .map(t => s"${t.getState}").getOrElse("DEAD")
       System.err.println(
-        f"[graft-rounds] op=$op round=$round wall_ms=${(now - t0) / 1e6}%.1f jobs=${j1 - j0}")
+        f"[graft-rounds] op=$op round=$round wall_ms=${(now - t0) / 1e6}%.1f jobs=${j1 - j0} " +
+          s"rdds=${spark.sparkContext.getPersistentRDDs.size} cleaner=$cleaner " +
+          s"threads=${threads.size} bcast=${threads.count(_.getName.contains("broadcast"))} " +
+          s"stage=${threads.count(_.getName.contains("QueryStage"))}")
       t0 = now
       j0 = j1
     }

@@ -24,6 +24,10 @@ object RoundScale {
       .config("spark.graft.bench.roundLog", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ROUNDSCALE_GC=N → spark.graft.iter.gcEveryRounds=N (shuffle-reclaim
+    // pacing A/B for the long iterative arms; see roundBarrier's scaladoc)
+    sys.env.get("ROUNDSCALE_GC").foreach(n =>
+      spark.conf.set("spark.graft.iter.gcEveryRounds", n))
     val sizes = sys.env.getOrElse("ROUNDSCALE_SIZES", "10000,100000,1000000")
       .split(",").map(_.trim.toLong)
 
@@ -180,10 +184,13 @@ object RoundScale {
     // SCC separated: its within-color edge restriction × pointer-jump inner
     // rounds is the heaviest shuffle producer of the four — at 1.5·10⁷
     // edges × 48 inner rounds the accumulated not-yet-cleaned shuffle files
-    // exceeded this box's ~70 GB /tmp envelope (ContextCleaner reclaims
-    // shuffles only after driver GC drops the round RDDs; the lag is the
-    // binding constraint here, not the algorithm — on a cluster the spill
-    // spreads across executors' local dirs).
+    // exceeded this box's ~70 GB /tmp envelope. Root cause (found by the
+    // round-17 heap-dump hunt, SCALE.md §"Round-17 retention defect"): the
+    // pre-fix roundBarrier wrapped `queryExecution.toRdd`, whose
+    // un-truncated wrapper RDDs cache pre-checkpoint partition arrays;
+    // sort-merge-join partitions capture parent RDD references, chaining
+    // every round's shuffles past lineage truncation. Fixed in
+    // GraftSqlBridge.resetStats; ROUNDSCALE_GC=N paces reclaim on top.
     if (kind("volscc")) sizes.foreach { n =>
       val g = mixGraph(n)
       g.edges.count()

@@ -14,8 +14,17 @@ object TimeQ {
         sys.env.getOrElse("TIMEQ_ROUNDLOG", "false"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // TIMEQ_COLD=true mirrors Bench's cold arm: drop every engine-owned
+    // cache before each rep so PlanCache-backed operators time their
+    // first-call build stage (default warm: min-of-2 measures reuse).
+    val cold = sys.env.get("TIMEQ_COLD").exists(_.toBoolean)
     names.foreach { n =>
       val ts = (1 to 2).map { _ =>
+        if (cold) {
+          graft.core.PlanCache.clear(spark)
+          spark.catalog.clearCache()
+          graft.index.Indexes.clearGateDecisions(spark)
+        }
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
