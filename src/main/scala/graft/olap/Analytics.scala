@@ -289,11 +289,18 @@ object Analytics {
     var cur = e.count()
     var round = 0
     var removed = true
+    // deg0 is vertex-sized: count it once (the count also materializes the
+    // persist) and broadcast-hint the rank-attach joins while it fits —
+    // the checkpointed e frame hides stats from AQE, so without the hint
+    // round 1 plans both rank attaches as shuffle joins
+    val maxBcast = broadcastMaxRows(g)
+    def hint(df: DataFrame, n: Long): DataFrame = if (n <= maxBcast) broadcast(df) else df
     val deg0 = if (reuseRanks)
       Some(degreesOf(e).persist(StorageLevel.MEMORY_AND_DISK)) else None
+    val deg0Hinted = deg0.map(d => hint(d, d.count()))
     val rlog = new RoundLog(g.spark, "ktruss")
     while (round < maxRounds && removed && cur > 0) {
-      val oriented = (deg0 match {
+      val oriented = (deg0Hinted match {
         case Some(d) => orientEdges(e, d)
         case None => orientEdges(e)
       }).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1048,7 +1055,18 @@ object Analytics {
     val dec = DecimalType(21, 6)
     val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
     val empty = Seq.empty[(Long, Double)].toDF("id", "betweenness")
-    val e = g.edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    // laid out ONCE by the forward key; in the broadcast regime (every
+    // per-level frame is <= |sources|·|V| rows and gated below) no phase
+    // exchanges the edge frame again — broadcast joins stream it in place
+    // and the per-level aggregates ship map-combined vertex-sized frames
+    val e = g.edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // per-level frames are bounded by |distinct sources| · |V| (checkpointed
+    // frames hide size stats from AQE, so the hints are load-bearing)
+    val vBound = sources.distinct.size.toLong * g.vertices.count()
+    val maxBcast = broadcastMaxRows(g)
+    def hint(df: DataFrame): DataFrame = if (vBound <= maxBcast) broadcast(df) else df
     // forward BFS, batched: (s, id, d) — absent sources drop at the seed
     var dist = sources.distinct.toDF("s")
       .join(g.vertices.select(col("id")), col("s") === col("id"), "left_semi")
@@ -1060,9 +1078,9 @@ object Analytics {
     if (!go) { e.unpersist(false); return empty }
     val rlog = new RoundLog(g.spark, "betweenness_bfs")
     while (lvl <= maxIter && go) {
-      val next = e.join(frontier.select(col("s"), col("id").as("src")), Seq("src"))
+      val next = e.join(hint(frontier.select(col("s"), col("id").as("src"))), Seq("src"))
         .select(col("s"), col("dst").as("id")).distinct()
-        .join(dist.select(col("s"), col("id")), Seq("s", "id"), "left_anti")
+        .join(hint(dist.select(col("s"), col("id"))), Seq("s", "id"), "left_anti")
         .select(col("s"), col("id"), lit(lvl).as("d"))
         .transform(roundBarrier)
       go = next.count() > 0
@@ -1073,18 +1091,21 @@ object Analytics {
     dist = dist.localCheckpoint(true)
     val maxD = dist.agg(max(col("d"))).head.getLong(0)
     // σ forward, one layer frame per level (the backward sweep needs two
-    // adjacent levels at a time)
+    // adjacent levels at a time). No per-level action: each lazy checkpoint
+    // materializes inside the NEXT level's job (the logical plan is already
+    // truncated at the barrier, so neither Catalyst nor the stats bridge
+    // ever sees a compounded chain) — r17 measured the per-level count()s
+    // as pure job-scheduling overhead at bench scale.
     var layers = Vector(dist.filter(col("d") === 0L)
       .select(col("s"), col("id"), lit(1L).as("sigma")).transform(roundBarrier))
     (1L to maxD).foreach { r =>
-      val lv = e.join(layers.last.select(col("s"), col("id").as("src"),
-          col("sigma")), Seq("src"))
+      val lv = e.join(hint(layers.last.select(col("s"), col("id").as("src"),
+          col("sigma"))), Seq("src"))
         .select(col("s"), col("dst").as("id"), col("sigma"))
-        .join(dist.filter(col("d") === r).select(col("s"), col("id")),
+        .join(hint(dist.filter(col("d") === r).select(col("s"), col("id"))),
           Seq("s", "id"), "left_semi")
         .groupBy(col("s"), col("id")).agg(sum(col("sigma")).as("sigma"))
         .transform(roundBarrier)
-      lv.count()
       layers = layers :+ lv
     }
     // backward δ sweep: deepest layer (per source, implicitly — a source
@@ -1097,22 +1118,21 @@ object Analytics {
     while (r >= 0) {
       val nxt = layers((r + 1).toInt)
         .select(col("s"), col("id").as("dst"), col("sigma").as("__sw"))
-        .join(delta.select(col("s"), col("id").as("dst"), col("delta").as("__dw")),
+        .join(hint(delta.select(col("s"), col("id").as("dst"), col("delta").as("__dw"))),
           Seq("s", "dst"))
       val lvlS = layers(r.toInt)
         .select(col("s"), col("id").as("src"), col("sigma").as("__sv"))
-      val contrib = e.join(nxt, Seq("dst")).join(lvlS, Seq("s", "src"))
+      val contrib = e.join(hint(nxt), Seq("dst")).join(hint(lvlS), Seq("s", "src"))
         .select(col("s"), col("src").as("id"),
           round(round(col("__sv").cast("double") / col("__sw").cast("double"), 9)
               .cast(DecimalType(13, 12)) * (lit(1).cast(dec) + col("__dw")), 6)
             .cast(dec).as("c"))
         .groupBy(col("s"), col("id")).agg(sum(col("c")).as("__s"))
       delta = layers(r.toInt).select(col("s"), col("id"))
-        .join(contrib, Seq("s", "id"), "left")
+        .join(hint(contrib), Seq("s", "id"), "left")
         .select(col("s"), col("id"),
           coalesce(col("__s").cast(dec), zero).as("delta"))
         .transform(roundBarrier)
-      delta.count()
       acc = acc.unionByName(delta)
       r -= 1
     }
@@ -1437,7 +1457,7 @@ object Analytics {
       // shortcuts two hops for the price of two vertex-sized joins; the
       // |E|-sized neighbor join stays once per round.
       val m = labels.select(col("id").as("__jid"), col("l").as("__jl"))
-      val m2 = m.join(m.select(col("__jid").as("__kid"), col("__jl").as("__kl")),
+      val m2 = m.join(hint(m.select(col("__jid").as("__kid"), col("__jl").as("__kl"))),
           col("__jl") === col("__kid"), "left")
         .select(col("__jid"), least(col("__jl"), col("__kl")).as("__jl"))
       val jumped = stepped.join(hint(m2), col("l") === col("__jid"), "left")
@@ -1730,11 +1750,14 @@ object Analytics {
     * peeling variant for a single k).
     *
     * Scale: the deduped undirected edge list lays out ONCE partitioned by
-    * the neighbor key `b`, so the per-round join ships only the vertex-sized
-    * c frame; the h-index window then exchanges the (a, c_b) pair frame —
-    * 16-byte rows, the one edge-sized narrow shuffle each round costs.
-    * Convergence detection rides the per-round action: Σc is monotone
-    * non-increasing, so an unchanged sum IS the fixed point. */
+    * the window/aggregation key `a`; in the broadcast regime (|V| within
+    * `spark.graft.broadcast.maxRows`) every per-round frame that touches it
+    * (frontier, delta set, c, h) is vertex-sized and broadcast, so the edge
+    * frame is NEVER exchanged after the initial layout — the h-index window
+    * sorts within the persisted partitions. Past the cap the c-join and the
+    * window each degrade to one |E| exchange per round — the floor any
+    * layout pays. Convergence detection rides the per-round action: Σc is
+    * monotone non-increasing, so an unchanged sum IS the fixed point. */
   def coreness(g: PropertyGraph, maxRounds: Int = 10): DataFrame = {
     val (result, converged) = corenessConverged(g, maxRounds)
     if (!converged)
@@ -1746,17 +1769,31 @@ object Analytics {
 
   /** [[coreness]] with an explicit convergence flag: ((id, core), converged). */
   def corenessConverged(g: PropertyGraph, maxRounds: Int = 10): (DataFrame, Boolean) = {
+    // partition-once, iterate (see kCoreConverged): laid out by the
+    // WINDOW/AGGREGATION key `a`, so in the broadcast regime the per-round
+    // plan exchanges NO edge-sized frame at all — the frontier/c/h frames
+    // broadcast (checkpointed frames hide size stats from AQE, so the hints
+    // are load-bearing), the h-index window sorts within the persisted
+    // a-partitions, and groupBy(a) reuses the same layout. Past the
+    // broadcast cap the joins degrade to the |E| exchanges any layout pays
+    // (r17: measured 9-10 AQE stage-jobs per round at sf0.1 before, 3-4
+    // after — the b-layout shipped the edge frame three times per round).
     val und = g.edges.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(g.edges.select(col("dst").as("a"), col("src").as("b")))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .repartition(col("b"))
+      .repartition(col("a"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val ids = g.vertices.select(col("id"))
     var c = ids.join(und.groupBy(col("a")).agg(count(lit(1)).as("__c"))
         .select(col("a").as("id"), col("__c")), Seq("id"), "left")
       .select(col("id"), coalesce(col("__c"), lit(0L)).as("core"))
       .transform(roundBarrier)
+    // one static gate for every vertex-sized per-round frame (c, h, frontier,
+    // affected are all <= |V| rows)
+    val vCount = c.count()
+    val maxBcast = broadcastMaxRows(g)
+    def hint(df: DataFrame, n: Long): DataFrame = if (n <= maxBcast) broadcast(df) else df
     def sig(df: DataFrame): Long = {
       val r = df.agg(sum(col("core"))).head
       if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -1790,15 +1827,19 @@ object Analytics {
     var frontier = c.select(col("id")) // round 1: everything is "changed"
     val rlog = new RoundLog(g.spark, "coreness")
     while (round < maxRounds && changed) {
+      // und is SYMMETRIC, so "vertices with a changed neighbor" can read the
+      // b side after a semi-join on a — keyed on the persisted layout, the
+      // edge frame never moves (the b-keyed form exchanged |E| rows here)
       val affected = und
-        .join(frontier.select(col("id").as("b")), Seq("b"), "left_semi")
-        .select(col("a")).distinct()
-      val base = if (useDelta) und.join(affected, Seq("a"), "left_semi") else und
+        .join(hint(frontier.select(col("id").as("a")), vCount), Seq("a"), "left_semi")
+        .select(col("b").as("a")).distinct()
+      val base = if (useDelta)
+        und.join(hint(affected, vCount), Seq("a"), "left_semi") else und
       val withCb = base
-        .join(c.select(col("id").as("b"), col("core").as("__cb")), Seq("b"))
+        .join(hint(c.select(col("id").as("b"), col("core").as("__cb")), vCount), Seq("b"))
       val h = if (useHistogram)
         withCb
-          .join(c.select(col("id").as("a"), col("core").as("__ca")), Seq("a"))
+          .join(hint(c.select(col("id").as("a"), col("core").as("__ca")), vCount), Seq("a"))
           .select(col("a"), least(col("__cb"), col("__ca")).as("__t"))
           .groupBy(col("a"), col("__t")).agg(count(lit(1)).as("__n"))
           .groupBy(col("a"))
@@ -1817,7 +1858,8 @@ object Analytics {
           .groupBy(col("a")).agg(max(least(col("__cb"), col("__rn"))).as("__c"))
       // untouched vertices KEEP their core (their h inputs are unchanged —
       // recomputing would yield the identical value, so skipping is exact)
-      val next = c.join(h.select(col("a").as("id"), col("__c")), Seq("id"), "left")
+      val next = c.join(hint(h.select(col("a").as("id"), col("__c")), vCount),
+          Seq("id"), "left")
         .select(col("id"), coalesce(col("__c"), col("core")).as("core"),
           (col("__c").isNotNull && col("__c") =!= col("core")).as("__chg"))
         .transform(roundBarrier)
@@ -1870,6 +1912,16 @@ object Analytics {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var alive = g.vertices.select(col("id")).transform(roundBarrier)
     var aliveCount = alive.count()
+    // broadcast-regime gate (see connectedComponentsExact): every per-round
+    // frame here — alive, f, rb, the distinct endpoint sets — is bounded by
+    // the CURRENT aliveCount, which the loop maintains anyway; checkpointed
+    // frames hide size stats from AQE, so the hints are load-bearing. In the
+    // broadcast regime no |E|-sized frame is exchanged after the phase
+    // layouts (ea by dst for the coloring's groupBy(dst), eaC by src for the
+    // backward flood's groupBy(src)); past the cap every join degrades to
+    // the per-round |E| exchange any layout pays.
+    val maxBcast = broadcastMaxRows(g)
+    def hint(df: DataFrame, n: Long): DataFrame = if (n <= maxBcast) broadcast(df) else df
     var out = Vector.empty[DataFrame]
     var outer = 0
     while (outer < maxOuter && aliveCount > 0) {
@@ -1878,11 +1930,11 @@ object Analytics {
       val rlogTrim = new RoundLog(g.spark, s"scc_trim_o$outer")
       while (t < maxTrim && trimmed) {
         val ea = ed
-          .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
-          .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .join(hint(alive.select(col("id").as("src")), aliveCount), Seq("src"), "left_semi")
+          .join(hint(alive.select(col("id").as("dst")), aliveCount), Seq("dst"), "left_semi")
         val keep = alive
-          .join(ea.select(col("src").as("id")).distinct(), Seq("id"), "left_semi")
-          .join(ea.select(col("dst").as("id")).distinct(), Seq("id"), "left_semi")
+          .join(hint(ea.select(col("src").as("id")).distinct(), aliveCount), Seq("id"), "left_semi")
+          .join(hint(ea.select(col("dst").as("id")).distinct(), aliveCount), Seq("id"), "left_semi")
           .transform(roundBarrier)
         val keepCount = keep.count()
         trimmed = keepCount < aliveCount
@@ -1895,9 +1947,12 @@ object Analytics {
         rlogTrim.tick(t)
       }
       if (aliveCount > 0) {
+        // laid out by the coloring's aggregation key (dst): with f broadcast,
+        // the join preserves this layout and groupBy(dst) needs no exchange
         val ea = ed
-          .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
-          .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .join(hint(alive.select(col("id").as("src")), aliveCount), Seq("src"), "left_semi")
+          .join(hint(alive.select(col("id").as("dst")), aliveCount), Seq("dst"), "left_semi")
+          .repartition(col("dst"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         var f = alive.select(col("id"), col("id").as("f")).transform(roundBarrier)
         var fSig = decSig(f, "f")
@@ -1905,9 +1960,11 @@ object Analytics {
         var fChanged = true
         val rlogColor = new RoundLog(g.spark, s"scc_color_o$outer")
         while (i < maxInner && fChanged) {
-          val m = ea.join(f.select(col("id").as("src"), col("f").as("__fs")), Seq("src"))
+          val m = ea.join(hint(f.select(col("id").as("src"), col("f").as("__fs")), aliveCount),
+              Seq("src"))
             .groupBy(col("dst")).agg(min(col("__fs")).as("__fm"))
-          val stepped = f.join(m.select(col("dst").as("id"), col("__fm")), Seq("id"), "left")
+          val stepped = f.join(hint(m.select(col("dst").as("id"), col("__fm")), aliveCount),
+              Seq("id"), "left")
             .select(col("id"), least(col("f"), coalesce(col("__fm"), col("f"))).as("f"))
           // label composition f'(v) = min(f(v), f_prev(f(v))) — the same
           // pointer-jumping shortcut [[connectedComponentsExact]] uses.
@@ -1918,7 +1975,7 @@ object Analytics {
           // ~log(diameter) — one vertex-sized join per round, measured on
           // the directed-cycle fixture in SCALE.md (round growth +1/10×).
           val jumped = stepped
-            .join(f.select(col("id").as("__jid"), col("f").as("__jl")),
+            .join(hint(f.select(col("id").as("__jid"), col("f").as("__jl")), aliveCount),
               col("f") === col("__jid"), "left")
             .select(col("id"), least(col("f"), coalesce(col("__jl"), col("f"))).as("f"))
             .transform(roundBarrier)
@@ -1960,10 +2017,11 @@ object Analytics {
         // for the layout doubles the horizon, so monotone layouts converge
         // in ~log₂(diameter) rounds either way.
         val eaC = ea
-          .join(f.select(col("id").as("src"), col("f").as("__fs")), Seq("src"))
-          .join(f.select(col("id").as("dst"), col("f").as("__fd")), Seq("dst"))
+          .join(hint(f.select(col("id").as("src"), col("f").as("__fs")), aliveCount), Seq("src"))
+          .join(hint(f.select(col("id").as("dst"), col("f").as("__fd")), aliveCount), Seq("dst"))
           .filter(col("__fs") === col("__fd"))
           .select(col("src"), col("dst"))
+          .repartition(col("src")) // the backward flood aggregates by src
           .persist(StorageLevel.MEMORY_AND_DISK)
         // one action per round: both monotone signatures in a single agg
         def sigBS(df: DataFrame): (java.math.BigDecimal, java.math.BigDecimal) = {
@@ -1980,24 +2038,24 @@ object Analytics {
         val rlogBw = new RoundLog(g.spark, s"scc_bw_o$outer")
         while (j < maxInner && rChanged) {
           val m = eaC
-            .join(rb.select(col("id").as("dst"), col("b").as("__bd"),
-              col("s").as("__sd")), Seq("dst"))
+            .join(hint(rb.select(col("id").as("dst"), col("b").as("__bd"),
+              col("s").as("__sd")), aliveCount), Seq("dst"))
             .groupBy(col("src"))
             .agg(min(col("__bd")).as("__bm"), max(col("__sd")).as("__sm"))
-          val stepped = rb.join(m.select(col("src").as("id"), col("__bm"), col("__sm")),
-              Seq("id"), "left")
+          val stepped = rb.join(hint(m.select(col("src").as("id"), col("__bm"),
+              col("__sm")), aliveCount), Seq("id"), "left")
             .select(col("id"),
               least(col("b"), coalesce(col("__bm"), col("b"))).as("b"),
               greatest(col("s"), coalesce(col("__sm"), col("s"))).as("s"))
           val viaS = stepped
-            .join(rb.select(col("id").as("__j1"), col("b").as("__b1"),
-              col("s").as("__s1")), col("s") === col("__j1"), "left")
+            .join(hint(rb.select(col("id").as("__j1"), col("b").as("__b1"),
+              col("s").as("__s1")), aliveCount), col("s") === col("__j1"), "left")
             .select(col("id"),
               least(col("b"), coalesce(col("__b1"), col("b"))).as("b"),
               greatest(col("s"), coalesce(col("__s1"), col("s"))).as("s"))
           val viaB = viaS
-            .join(rb.select(col("id").as("__j2"), col("b").as("__b2"),
-              col("s").as("__s2")), col("b") === col("__j2"), "left")
+            .join(hint(rb.select(col("id").as("__j2"), col("b").as("__b2"),
+              col("s").as("__s2")), aliveCount), col("b") === col("__j2"), "left")
             .select(col("id"),
               least(col("b"), coalesce(col("__b2"), col("b"))).as("b"),
               greatest(col("s"), coalesce(col("__s2"), col("s"))).as("s"))
@@ -2030,12 +2088,13 @@ object Analytics {
           // v ∈ SCC(pivot) ⟺ pivot reaches v (f(v) = pivot) AND v reaches
           // the pivot within the color (b(v) = pivot = f(v))
           val resolved = rb
-            .join(f.select(col("id"), col("f")), Seq("id"))
+            .join(hint(f.select(col("id"), col("f")), aliveCount), Seq("id"))
             .filter(col("b") === col("f"))
             .select(col("id"), col("f").as("scc")).transform(roundBarrier)
           resolved.count()
           out = out :+ resolved
-          alive = alive.join(resolved.select(col("id")), Seq("id"), "left_anti")
+          alive = alive.join(hint(resolved.select(col("id")), aliveCount),
+              Seq("id"), "left_anti")
             .transform(roundBarrier)
           aliveCount = alive.count()
         }
@@ -2193,14 +2252,22 @@ object Analytics {
       .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var comp = g.vertices.select(col("id"), col("id").as("c")).transform(roundBarrier)
+    // broadcast-regime gate for the vertex-sized comp frame (checkpointed
+    // frames hide size stats from AQE — see connectedComponentsExact): in
+    // the broadcast regime the two rank-attach joins leave the persisted
+    // edge layout untouched, so the per-round |E| work is the one map-side-
+    // combinable min-selection aggregate
+    val vCount = comp.count()
+    val maxBcast = broadcastMaxRows(g)
+    def hint(df: DataFrame, n: Long): DataFrame = if (n <= maxBcast) broadcast(df) else df
     var out = Vector.empty[DataFrame]
     var outer = 0
     var merging = true
     val rlog = new RoundLog(g.spark, "msf")
     while (outer < maxOuter && merging) {
       val ec = ed
-        .join(comp.select(col("id").as("u"), col("c").as("cu")), Seq("u"))
-        .join(comp.select(col("id").as("v"), col("c").as("cv")), Seq("v"))
+        .join(hint(comp.select(col("id").as("u"), col("c").as("cu")), vCount), Seq("u"))
+        .join(hint(comp.select(col("id").as("v"), col("c").as("cv")), vCount), Seq("v"))
         .filter(col("cu") =!= col("cv"))
       val cand = ec.select(col("cu").as("comp"), col("w"), col("u"), col("v"))
         .unionAll(ec.select(col("cv").as("comp"), col("w"), col("u"), col("v")))
@@ -2209,10 +2276,13 @@ object Analytics {
         .select(col("m.u").as("u"), col("m.v").as("v"), col("m.w").as("w"))
         .distinct()
         .transform(roundBarrier)
-      merging = sel.count() > 0
+      val nSel = sel.count()
+      merging = nSel > 0
       if (merging) {
         out = out :+ sel
-        val cp = sel
+        // sel is selection-sized (one row per merging component) — broadcast
+        // it into the label-attach joins so the vertex frame never exchanges
+        val cp = hint(sel, nSel)
           .join(comp.select(col("id").as("u"), col("c").as("cu")), Seq("u"))
           .join(comp.select(col("id").as("v"), col("c").as("cv")), Seq("v"))
           .select(col("cu"), col("cv"))
@@ -2222,7 +2292,11 @@ object Analytics {
         // Label merge over the SELECTION pairs — one row per merging
         // component, far below edge scale. Dual regime shared with the
         // streaming incrementalComponents via [[classMergeMapping]].
-        val lblMap = classMergeMapping(und, und.count(), maxInner,
+        // 2·nSel bounds und's rows (each selected edge contributes at most
+        // two oriented class pairs), so the regime gate needs no extra
+        // count action; an over-estimate only errs toward the distributed
+        // regime, never toward an unbounded driver collect.
+        val lblMap = classMergeMapping(und, 2L * nSel, maxInner,
           "minimumSpanningForest")
         comp = comp.join(lblMap, Seq("c"), "left")
           .select(col("id"), coalesce(col("l"), col("c")).as("c"))

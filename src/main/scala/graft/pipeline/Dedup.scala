@@ -19,12 +19,19 @@ object Dedup {
     * than n words has NO shingles (empty array) — a truncated partial shingle
     * would make sub-n-word documents compare as near-identical. */
   def shingles(text: Column, n: Int = 3): Column = {
-    val w = words(text)
-    when(size(w) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", slice(w, i + 1, lit(n))))))
-      .otherwise(array().cast(ArrayType(StringType)))
+    // Expression-level LET: the token array is bound ONCE as a lambda
+    // variable of a 1-element transform. An expression captured inside a
+    // higher-order-function lambda is re-evaluated per element (no
+    // subexpression elimination across the lambda boundary), so the direct
+    // form re-split the text once per shingle — O(len²) splits per document
+    // across every shingle consumer (r17: the sf0.1 stupid-backoff position
+    // explode fell 9.2 s → 0.45 s from the same fix).
+    element_at(transform(array(words(text)), w =>
+      when(size(w) >= n,
+        array_distinct(transform(
+          sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + 1, lit(n))))))
+        .otherwise(array().cast(ArrayType(StringType)))), 1)
   }
 
   /** Exact dedup: group identical texts, keep the smallest id as survivor.

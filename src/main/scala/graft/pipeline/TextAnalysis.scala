@@ -175,11 +175,14 @@ object TextAnalysis {
     // most frequent word n-gram, ties broken by gram string (max struct —
     // identical to ORDER BY chars DESC, gram DESC in the oracle)
     def topGramFrac(n: Int): DataFrame = {
-      val w = tokens(col("text"))
-      val grams = transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", slice(w, i + 1, lit(n))))
-      base.filter(size(w) >= n)
-        .select(col("id"), length(col("text")).as("len"), explode(grams).as("g"))
+      // token array materialized before the lambda (see stupidBackoffLogProb.grams)
+      val wc = col("__w")
+      val grams = transform(sequence(lit(0), size(wc) - n),
+        i => concat_ws(" ", slice(wc, i + 1, lit(n))))
+      base.select(col("id"), length(col("text")).as("len"),
+          tokens(col("text")).as("__w"))
+        .filter(size(wc) >= n)
+        .select(col("id"), col("len"), explode(grams).as("g"))
         .groupBy(col("id"), col("len"), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col("id"), col("len"))
         .agg(max(struct((col("c") * length(col("g"))).as("chars"), col("g").as("g"))).as("m"))
@@ -381,13 +384,16 @@ object TextAnalysis {
     require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
       "need 0 <= overlap < maxTokens")
     val stride = maxTokens - overlap
-    val w = tokens(col(textCol))
+    // token array materialized before the window lambda (see
+    // stupidBackoffLogProb.grams — the inline form re-split per chunk)
+    val w = col("__w")
     val n = size(w)
     // index of the first chunk whose window reaches the end:
     // ceil((n - maxTokens)/stride) in integer arithmetic
     val lastIdx = when(n <= maxTokens, lit(0L))
       .otherwise(floor((n - maxTokens + (stride - 1)).cast(DoubleType) / stride).cast(LongType))
-    docs.select(col(idCol), posexplode(transform(sequence(lit(0L), lastIdx),
+    docs.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol), posexplode(transform(sequence(lit(0L), lastIdx),
         i => struct(
           concat_ws(" ", slice(w, (i * stride + 1).cast(IntegerType), lit(maxTokens))).as("chunk_text"),
           least(lit(maxTokens), n - i.cast(IntegerType) * stride).cast(LongType).as("n_tokens")))))
@@ -644,11 +650,13 @@ object TextAnalysis {
     * rounded to 6 dp. */
   def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val w = tokens(col(textCol))
-    val bi = docs.filter(size(w) >= 2)
+    // token array materialized before the lambda (see stupidBackoffLogProb.grams)
+    val wc = col("__w")
+    val bi = docs.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .filter(size(wc) >= 2)
       .select(col(idCol), explode(transform(
-        sequence(lit(0), size(w) - 2),
-        i => struct(element_at(w, i + 1).as("a"), element_at(w, i + 2).as("b")))).as("bg"))
+        sequence(lit(0), size(wc) - 2),
+        i => struct(element_at(wc, i + 1).as("a"), element_at(wc, i + 2).as("b")))).as("bg"))
       .select(col(idCol), col("bg.a").as("a"), col("bg.b").as("b"))
     // Context counts DERIVE from the bigram table (Σ_b count(a,b) =
     // count(a·)) and logp is computed once per DISTINCT bigram, so the
@@ -701,25 +709,33 @@ object TextAnalysis {
   def stupidBackoffLogProb(docs: DataFrame, modelDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val L04 = BigDecimal(math.log(0.4)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    // the token ARRAY is materialized per row BEFORE the position lambda:
+    // an expression captured inside a higher-order-function lambda is
+    // re-evaluated per element (no subexpression elimination across the
+    // lambda boundary), so the inline form re-split the document once per
+    // position × window slot — O(len²) splits per document. Measured r17:
+    // the sf0.1 position explode alone fell 9.2 s → 0.45 s (20×).
     def grams(src: DataFrame, n: Int, carryId: Boolean): DataFrame = {
-      val w = tokens(col(textCol))
       val carry = if (carryId) Seq(col(idCol)) else Seq.empty[Column]
-      src.filter(size(w) >= n)
-        .select(carry :+ explode(transform(sequence(lit(0), size(w) - n),
-          i => struct((1 to n).map(j => element_at(w, i + j).as(s"w$j")): _*))).as("g"): _*)
+      val wc = col("__w")
+      src.select(carry :+ tokens(col(textCol)).as("__w"): _*)
+        .filter(size(wc) >= n)
+        .select(carry :+ explode(transform(sequence(lit(0), size(wc) - n),
+          i => struct((1 to n).map(j => element_at(wc, i + j).as(s"w$j")): _*))).as("g"): _*)
         .select(carry ++ (1 to n).map(j => col(s"g.w$j").as(s"w$j")): _*)
     }
     // model counts from ONE scan: per-position (w1, w2?, w3?) windows →
     // one distinct-window count aggregate, persisted for the three rollups
     val winCounts = graft.core.PlanCache.cached(modelDocs.sparkSession,
         graft.core.PlanCache.key("sb-windows", modelDocs, textCol)) {
-      val w = tokens(col(textCol))
-      modelDocs.filter(size(w) >= 1)
-        .select(explode(transform(sequence(lit(0), size(w) - 1), i =>
+      val wc = col("__w")
+      modelDocs.select(tokens(col(textCol)).as("__w"))
+        .filter(size(wc) >= 1)
+        .select(explode(transform(sequence(lit(0), size(wc) - 1), i =>
           struct(
-            element_at(w, i + 1).as("w1"),
-            when(i + 2 <= size(w), element_at(w, i + 2)).as("w2"),
-            when(i + 3 <= size(w), element_at(w, i + 3)).as("w3")))).as("g"))
+            element_at(wc, i + 1).as("w1"),
+            when(i + 2 <= size(wc), element_at(wc, i + 2)).as("w2"),
+            when(i + 3 <= size(wc), element_at(wc, i + 3)).as("w3")))).as("g"))
         .select(col("g.w1"), col("g.w2"), col("g.w3"))
         .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("wc"))
     }
@@ -838,11 +854,18 @@ object TextAnalysis {
     * (carried-columns, bucket) row per feature OCCURRENCE. */
   private def dsirFeatures(docs: DataFrame, carry: Seq[Column],
       buckets: Int, textCol: String, salt: String): DataFrame = {
-    val w = tokens(col(textCol))
-    val uni = docs.select(carry :+ explode(w).as("f"): _*)
-    val big = docs.filter(size(w) >= 2)
-      .select(carry :+ explode(transform(sequence(lit(0), size(w) - 2),
-        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2)))).as("f"): _*)
+    // token array materialized BEFORE the bigram lambda — see
+    // stupidBackoffLogProb.grams: a lambda-captured expression re-evaluates
+    // per element, re-splitting the document once per position. The carry
+    // expressions evaluate once here too; downstream selects use their
+    // output names (they may reference source columns this select drops).
+    val base = docs.select(carry :+ tokens(col(textCol)).as("__w"): _*)
+    val carried = base.columns.dropRight(1).map(col).toSeq
+    val wc = col("__w")
+    val uni = base.select(carried :+ explode(wc).as("f"): _*)
+    val big = base.filter(size(wc) >= 2)
+      .select(carried :+ explode(transform(sequence(lit(0), size(wc) - 2),
+        i => concat_ws(" ", element_at(wc, i + 1), element_at(wc, i + 2)))).as("f"): _*)
     uni.unionByName(big).withColumn("b",
       pmod(conv(substring(md5(concat_ws(":", lit(salt), col("f"))), 21, 12), 16, 10)
         .cast(LongType), lit(buckets.toLong))).drop("f")
@@ -1081,10 +1104,12 @@ object TextAnalysis {
     * bounded per-row sequence (no self-join!), one map-side-combinable count,
     * TakeOrdered top-k with the bigram as tie-break — never a global sort. */
   def topBigrams(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
-    val t = tokens(col(textCol))
+    // token array materialized before the lambda (see stupidBackoffLogProb.grams)
+    val t = col("__w")
     val bigrams = transform(sequence(lit(0), size(t) - 2),
       i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)))
-    docs.filter(size(t) >= 2)
+    docs.select(tokens(col(textCol)).as("__w"))
+      .filter(size(t) >= 2)
       .select(explode(bigrams).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram").asc).limit(k)
@@ -1105,8 +1130,10 @@ object TextAnalysis {
     * 9 dp, TakeOrdered top-k. */
   def pmiCollocations(docs: DataFrame, k: Int, minCount: Long = 5L,
       textCol: String = "text"): DataFrame = {
-    val w = tokens(col(textCol))
-    val bi = docs.filter(size(w) >= 2)
+    // token array materialized before the lambda (see stupidBackoffLogProb.grams)
+    val w = col("__w")
+    val bi = docs.select(tokens(col(textCol)).as("__w"))
+      .filter(size(w) >= 2)
       .select(explode(transform(
         sequence(lit(0), size(w) - 2),
         i => struct(element_at(w, i + 1).as("a"), element_at(w, i + 2).as("b")))).as("bg"))
@@ -1344,8 +1371,12 @@ object TextAnalysis {
     var r = 1
     var exhausted = false
     while (r <= numMerges && !exhausted) {
-      val us = filter(split(col("s"), " "), u => u =!= "")
-      val top = wf.filter(size(us) >= 2)
+      // unit array materialized before the pair lambda (see
+      // stupidBackoffLogProb.grams — the inline form re-split per pair)
+      val us = col("__u")
+      val top = wf.select(col("f"),
+          filter(split(col("s"), " "), u => u =!= "").as("__u"))
+        .filter(size(us) >= 2)
         .select(col("f"), explode(transform(sequence(lit(0), size(us) - 2),
           i => struct(element_at(us, i + 1).as("a"), element_at(us, i + 2).as("b")))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(sum(col("f")).as("cnt"))
