@@ -239,13 +239,20 @@ object Analytics {
   /** Triangle instances (a, b, c) from an oriented layout, each exactly once
     * (a = lowest rank, then b, c): wedges at the low-rank corner closed by
     * one equi-join against the oriented edges. */
-  private def triangleInstancesFrom(oriented: DataFrame): DataFrame = {
+  // `attach` lets callers who KNOW the oriented frame's row count
+  // broadcast-hint the wedge and closure joins (kTruss does — its per-round
+  // edge count is already tracked): without it the closure join exchanges
+  // AND sorts the wedge frame (O(m^{3/2}) rows — r17 measured 12.5M wedge
+  // rows shipped through a SortMergeJoin per k-truss round at sf0.1, the
+  // round's dominant cost); with it the wedges never leave their partitions.
+  private def triangleInstancesFrom(oriented: DataFrame,
+      attach: DataFrame => DataFrame = identity): DataFrame = {
     val w1 = oriented.select(col("a"), col("b"), col("db"))
-    val w2 = oriented.select(col("a"), col("b").as("c"), col("db").as("dc"))
+    val w2 = attach(oriented.select(col("a"), col("b").as("c"), col("db").as("dc")))
     val wedges = w1.join(w2, Seq("a"))
       .filter(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
       .select(col("a"), col("b"), col("c"))
-    wedges.join(oriented.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+    wedges.join(attach(oriented.select(col("a").as("b"), col("b").as("c"))), Seq("b", "c"))
   }
 
   /** k-truss decomposition by synchronous support peeling: each round drops
@@ -306,8 +313,10 @@ object Analytics {
       }).persist(StorageLevel.MEMORY_AND_DISK)
       // support(edge) = triangles containing it: explode each instance into
       // its three canonical edges (orientation is by rank, so re-canonicalize
-      // by id before counting)
-      val sup = triangleInstancesFrom(oriented)
+      // by id before counting). The oriented frame is edge-count-sized (cur
+      // rows, maintained by the loop), so the wedge/closure joins broadcast
+      // it while it fits — the wedge frame then never exchanges.
+      val sup = triangleInstancesFrom(oriented, d => hint(d, cur))
         .select(explode(array(
           struct(col("a").as("x"), col("b").as("y")),
           struct(col("a").as("x"), col("c").as("y")),
@@ -1829,11 +1838,16 @@ object Analytics {
     while (round < maxRounds && changed) {
       // und is SYMMETRIC, so "vertices with a changed neighbor" can read the
       // b side after a semi-join on a — keyed on the persisted layout, the
-      // edge frame never moves (the b-keyed form exchanged |E| rows here)
-      val affected = und
+      // edge frame never moves (the b-keyed form exchanged |E| rows here).
+      // Round 1 skips the delta machinery outright: the frontier is every
+      // vertex, so affected ⊇ every edge endpoint and base ≡ und exactly
+      // (h rows for ids outside c drop at the next-join either way) — the
+      // shortcut saves two broadcast builds + a distinct in the round that
+      // touches the most data.
+      def affected = und
         .join(hint(frontier.select(col("id").as("a")), vCount), Seq("a"), "left_semi")
         .select(col("b").as("a")).distinct()
-      val base = if (useDelta)
+      val base = if (useDelta && round > 0)
         und.join(hint(affected, vCount), Seq("a"), "left_semi") else und
       val withCb = base
         .join(hint(c.select(col("id").as("b"), col("core").as("__cb")), vCount), Seq("b"))
@@ -1932,9 +1946,20 @@ object Analytics {
         val ea = ed
           .join(hint(alive.select(col("id").as("src")), aliveCount), Seq("src"), "left_semi")
           .join(hint(alive.select(col("id").as("dst")), aliveCount), Seq("dst"), "left_semi")
+        // survivors need BOTH an out- and an in-edge among the alive set:
+        // one explode pass over ea + a map-side-combinable max-flag
+        // aggregate computes both endpoint sets at once (the two separate
+        // distinct()s re-ran the ea semi-joins per round — r17 roundLog
+        // measured trim at 12–15 jobs/round from exactly that)
+        val ends = ea.select(explode(array(
+            struct(col("src").as("id"), lit(1L).as("__o"), lit(0L).as("__i")),
+            struct(col("dst").as("id"), lit(0L).as("__o"), lit(1L).as("__i")))).as("e"))
+          .select(col("e.id").as("id"), col("e.__o").as("__o"), col("e.__i").as("__i"))
+          .groupBy(col("id")).agg(max(col("__o")).as("__o"), max(col("__i")).as("__i"))
+          .filter(col("__o") === 1L && col("__i") === 1L)
+          .select(col("id"))
         val keep = alive
-          .join(hint(ea.select(col("src").as("id")).distinct(), aliveCount), Seq("id"), "left_semi")
-          .join(hint(ea.select(col("dst").as("id")).distinct(), aliveCount), Seq("id"), "left_semi")
+          .join(hint(ends, aliveCount), Seq("id"), "left_semi")
           .transform(roundBarrier)
         val keepCount = keep.count()
         trimmed = keepCount < aliveCount
@@ -2269,39 +2294,41 @@ object Analytics {
         .join(hint(comp.select(col("id").as("u"), col("c").as("cu")), vCount), Seq("u"))
         .join(hint(comp.select(col("id").as("v"), col("c").as("cv")), vCount), Seq("v"))
         .filter(col("cu") =!= col("cv"))
-      val cand = ec.select(col("cu").as("comp"), col("w"), col("u"), col("v"))
-        .unionAll(ec.select(col("cv").as("comp"), col("w"), col("u"), col("v")))
+      // one explode pass instead of a self-union (the union re-ran the two
+      // rank-attach joins — ec is not persisted); cu/cv RIDE THE MIN STRUCT,
+      // so the merge pairs need no post-selection re-attach joins — (u, v)
+      // determines (cu, cv), so the winner per component and the distinct
+      // row set project to exactly the previous (u, v, w) selection
+      val cand = ec.select(explode(array(col("cu"), col("cv"))).as("comp"),
+        col("w"), col("u"), col("v"), col("cu"), col("cv"))
       val sel = cand.groupBy(col("comp"))
-        .agg(min(struct(col("w"), col("u"), col("v"))).as("m"))
-        .select(col("m.u").as("u"), col("m.v").as("v"), col("m.w").as("w"))
+        .agg(min(struct(col("w"), col("u"), col("v"),
+          col("cu"), col("cv"))).as("m"))
+        .select(col("m.u").as("u"), col("m.v").as("v"), col("m.w").as("w"),
+          col("m.cu").as("cu"), col("m.cv").as("cv"))
         .distinct()
         .transform(roundBarrier)
       val nSel = sel.count()
       merging = nSel > 0
       if (merging) {
-        out = out :+ sel
-        // sel is selection-sized (one row per merging component) — broadcast
-        // it into the label-attach joins so the vertex frame never exchanges
-        val cp = hint(sel, nSel)
-          .join(comp.select(col("id").as("u"), col("c").as("cu")), Seq("u"))
-          .join(comp.select(col("id").as("v"), col("c").as("cv")), Seq("v"))
-          .select(col("cu"), col("cv"))
-        val und = cp.select(col("cu").as("a"), col("cv").as("b"))
-          .unionAll(cp.select(col("cv").as("a"), col("cu").as("b")))
-          .distinct().transform(roundBarrier)
+        out = out :+ sel.select(col("u"), col("v"), col("w"))
         // Label merge over the SELECTION pairs — one row per merging
         // component, far below edge scale. Dual regime shared with the
         // streaming incrementalComponents via [[classMergeMapping]].
-        // 2·nSel bounds und's rows (each selected edge contributes at most
-        // two oriented class pairs), so the regime gate needs no extra
-        // count action; an over-estimate only errs toward the distributed
-        // regime, never toward an unbounded driver collect.
+        // 2·nSel bounds und's rows (each selected edge contributes two
+        // oriented class pairs), so the regime gate needs no extra count
+        // action; duplicates are harmless to both regimes (min over dupes),
+        // so no distinct pass either.
+        val und = sel.select(col("cu").as("a"), col("cv").as("b"))
+          .unionAll(sel.select(col("cv").as("a"), col("cu").as("b")))
+          .transform(roundBarrier)
         val lblMap = classMergeMapping(und, 2L * nSel, maxInner,
           "minimumSpanningForest")
         comp = comp.join(lblMap, Seq("c"), "left")
           .select(col("id"), coalesce(col("l"), col("c")).as("c"))
           .transform(roundBarrier)
-        comp.count()
+        // no dedicated materialization: the next round's sel.count() (or the
+        // caller's action on the final frame) materializes the lazy barrier
       }
       outer += 1
       rlog.tick(outer)
