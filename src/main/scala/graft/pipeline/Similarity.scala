@@ -861,8 +861,11 @@ object Similarity {
     * dot product — at 100 TB that halves the flops of the verification
     * stage of every similarity join. */
   def l2Normalize(vec: Column): Column = {
-    val n = norm(vec)
-    when(n === 0.0, vec).otherwise(transform(vec, x => x / n))
+    // expression-level LET (see Dedup.shingles): the norm is bound once as
+    // a lambda variable — captured directly it would re-evaluate the O(dim)
+    // dot product per element, O(dim²) per row
+    element_at(transform(array(norm(vec)), n =>
+      when(n === 0.0, vec).otherwise(transform(vec, x => x / n))), 1)
   }
 
   /** Symmetric int8 quantization of a vector column: per-vector scale
@@ -872,12 +875,16 @@ object Similarity {
     * corpus scale this is the 4× storage/bandwidth cut before ANN serving;
     * dequantization is codes·s/127. Pure higher-order expressions. */
   def quantizeInt8(vec: Column): Column = {
+    // expression-level LET (see Dedup.shingles): the scale is bound once as
+    // a lambda variable — captured directly it would re-evaluate the O(dim)
+    // max-abs aggregate per element, O(dim²) per row
     val s = aggregate(transform(vec, x => abs(x)), lit(0.0d), (a, x) => greatest(a, x))
-    struct(
-      s.as("scale"),
-      when(s === 0.0, transform(vec, _ => lit(0).cast("int")))
-        .otherwise(transform(vec, x => floor(x * 127.0 / s + 0.5).cast("int")))
-        .as("codes"))
+    element_at(transform(array(s), sv =>
+      struct(
+        sv.as("scale"),
+        when(sv === 0.0, transform(vec, _ => lit(0).cast("int")))
+          .otherwise(transform(vec, x => floor(x * 127.0 / sv + 0.5).cast("int")))
+          .as("codes"))), 1)
   }
 
   /** Mean-pooled centroid per group as (group, dim, centroid) rows — the
