@@ -302,6 +302,10 @@ object Analytics {
     // round 1 plans both rank attaches as shuffle joins
     val maxBcast = broadcastMaxRows(g)
     def hint(df: DataFrame, n: Long): DataFrame = if (n <= maxBcast) broadcast(df) else df
+    // the oriented frame is EDGE-shaped and hinted at two concurrent attach
+    // sites — gate it on the tighter edge-row cap (see broadcastMaxEdgeRows)
+    val maxBcastE = broadcastMaxEdgeRows(g)
+    def hintE(df: DataFrame, n: Long): DataFrame = if (n <= maxBcastE) broadcast(df) else df
     val deg0 = if (reuseRanks)
       Some(degreesOf(e).persist(StorageLevel.MEMORY_AND_DISK)) else None
     val deg0Hinted = deg0.map(d => hint(d, d.count()))
@@ -316,7 +320,7 @@ object Analytics {
       // by id before counting). The oriented frame is edge-count-sized (cur
       // rows, maintained by the loop), so the wedge/closure joins broadcast
       // it while it fits — the wedge frame then never exchanges.
-      val sup = triangleInstancesFrom(oriented, d => hint(d, cur))
+      val sup = triangleInstancesFrom(oriented, d => hintE(d, cur))
         .select(explode(array(
           struct(col("a").as("x"), col("b").as("y")),
           struct(col("a").as("x"), col("c").as("y")),
@@ -2508,6 +2512,20 @@ object Analytics {
 
   private[graft] def roundBarrier(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    // SESSION PROPAGATION — SparkPlan nodes capture
+    // `SparkSession.getActiveSession.orNull` at CONSTRUCTION time, and
+    // SparkPlan.metrics/resetMetrics dereference that captured session. The
+    // active session is a THREAD-LOCAL: a kernel round driven from a thread
+    // that never ran a session-establishing entry point (ScalaTest pool
+    // threads, user job-submission pools per guide §2.6) can construct plan
+    // fragments with a null session, and the next localCheckpoint action
+    // then dies in resetMetrics with a Spark-internal NPE
+    // (BroadcastNestedLoopJoinExec.metrics — the r17 VERIFY failure on
+    // closenessCentrality's crossJoin(broadcast) seed). Pinning the frame's
+    // own session as the thread's active session here covers every kernel
+    // round on whatever thread runs it; setActiveSession is idempotent and
+    // a plain thread-local write.
+    SparkSession.setActiveSession(spark)
     // Long iterative jobs accumulate one shuffle per round on executor
     // local disk, and Spark's ContextCleaner can only reclaim a round's
     // shuffle files after a DRIVER GC collects the dropped round-RDD
@@ -2581,14 +2599,19 @@ object Analytics {
     * [[graft.stream.ChangeStream.incrementalComponents]].
     *
     * PRECONDITION — `und` MUST carry BOTH orientations of every pair
-    * (callers symmetrize with a swapped unionAll + distinct). The driver
-    * union-find is direction-agnostic and silently tolerates asymmetric
-    * input, but the distributed flood pulls labels through rows (a,b) in
-    * the b→a direction ONLY — on one-directional input the two regimes
-    * DIVERGE (measured: a one-directional chain converges immediately with
-    * zero merges in the flood while the driver path merges fully —
-    * RoundScale merge arm, round 17). Both engine callers symmetrize;
-    * keep that invariant at any new call site.
+    * (callers symmetrize with a swapped unionAll). The driver union-find is
+    * direction-agnostic and silently tolerates asymmetric input, but the
+    * distributed flood pulls labels through rows (a,b) in the b→a direction
+    * ONLY — on one-directional input the two regimes DIVERGE (measured: a
+    * one-directional chain converges immediately with zero merges in the
+    * flood while the driver path merges fully — RoundScale merge arm,
+    * round 17). Both engine callers symmetrize; keep that invariant at any
+    * new call site. DUPLICATE pairs are allowed (both regimes are
+    * min-over-duplicates tolerant — the union-find unions idempotently,
+    * the flood aggregates min) and `undRows` may be an UPPER BOUND on the
+    * row count, not an exact count: a conservative bound only shifts the
+    * regime gate toward the distributed flood (minimumSpanningForest passes
+    * 2·nSel without a distinct pass for exactly this reason).
     *
     * At or under `spark.graft.msf.driverMergeMaxRows` (default 5M) the
     * pair set is a bounded control read: a driver union-find produces the
@@ -2698,6 +2721,20 @@ object Analytics {
     * degrade to one exchange per round — the floor any orientation has. */
   private def broadcastMaxRows(g: PropertyGraph): Long =
     g.spark.conf.get("spark.graft.broadcast.maxRows", "10000000").toLong
+
+  /** EDGE-frame broadcast regime (`spark.graft.broadcast.maxEdgeRows`,
+    * default maxRows/4): [[broadcastMaxRows]]'s 10M-row envelope is
+    * calibrated for 16-byte vertex frames; edge-shaped build sides (kTruss's
+    * oriented (a, b, db) frame) are 24+ bytes per row AND are hinted at TWO
+    * attach sites per round, so near the vertex cap they would hold two
+    * concurrent several-hundred-MB broadcast relations — the forced-
+    * broadcast OOM class the hubAntiJoin note warns about. The /4 default
+    * keeps the worst-case concurrent edge-broadcast bytes at or under one
+    * vertex-cap relation; past it the wedge/closure joins degrade to the
+    * pre-r17 shuffle regime. */
+  private def broadcastMaxEdgeRows(g: PropertyGraph): Long =
+    g.spark.conf.get("spark.graft.broadcast.maxEdgeRows",
+      (broadcastMaxRows(g) / 4L).toString).toLong
 
   /** Anti-join `df` against a hub id set WITHOUT a forced broadcast hint:
     * #hubs <= 2|E|/maxHubDegree is usually tiny but DATA-DEPENDENT-unbounded

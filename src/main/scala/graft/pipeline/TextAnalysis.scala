@@ -12,6 +12,18 @@ import org.apache.spark.sql.types._
 object TextAnalysis {
 
   def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** The r17 token-materialization rewrites bind the token array to an
+    * internal `__w` column in selects that ALSO carry caller-named columns
+    * (idCol and friends) — a caller column named `__w` would then produce a
+    * duplicate/ambiguous reference and a confusing AnalysisException deep in
+    * the plan. Fail fast at the API boundary instead. */
+  private def requireNotReserved(api: String, names: String*): Unit = {
+    val bad = names.filter(_ == "__w")
+    require(bad.isEmpty,
+      s"TextAnalysis.$api: column name __w is reserved for the internal " +
+        "token array; rename the input column")
+  }
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count: maximal runs of letters / digits / other
@@ -383,6 +395,7 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
       "need 0 <= overlap < maxTokens")
+    requireNotReserved("chunkDocuments", idCol)
     val stride = maxTokens - overlap
     // token array materialized before the window lambda (see
     // stupidBackoffLogProb.grams — the inline form re-split per chunk)
@@ -650,6 +663,7 @@ object TextAnalysis {
     * rounded to 6 dp. */
   def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    requireNotReserved("bigramLogProb", idCol)
     // token array materialized before the lambda (see stupidBackoffLogProb.grams)
     val wc = col("__w")
     val bi = docs.select(col(idCol), tokens(col(textCol)).as("__w"))
@@ -708,6 +722,7 @@ object TextAnalysis {
     * f(a) = Σ over w2,w3 (every token is w1 of exactly one window). */
   def stupidBackoffLogProb(docs: DataFrame, modelDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    requireNotReserved("stupidBackoffLogProb", idCol)
     val L04 = BigDecimal(math.log(0.4)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
     // the token ARRAY is materialized per row BEFORE the position lambda:
     // an expression captured inside a higher-order-function lambda is
@@ -860,6 +875,12 @@ object TextAnalysis {
     // expressions evaluate once here too; downstream selects use their
     // output names (they may reference source columns this select drops).
     val base = docs.select(carry :+ tokens(col(textCol)).as("__w"): _*)
+    // carried output names re-resolve by NAME below — duplicates (including
+    // a caller column named __w) would silently mis-bind; fail fast instead
+    require(base.columns.distinct.length == base.columns.length,
+      s"TextAnalysis: carried column names must be unique and must not " +
+        s"collide with the reserved __w token column " +
+        s"(got: ${base.columns.mkString(", ")})")
     val carried = base.columns.dropRight(1).map(col).toSeq
     val wc = col("__w")
     val uni = base.select(carried :+ explode(wc).as("f"): _*)

@@ -349,6 +349,34 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("kernels survive a thread with NO active session (r17 VERIFY NPE)") {
+    // The active SparkSession is a THREAD-LOCAL. SparkPlan nodes capture
+    // getActiveSession.orNull at construction, and metrics/resetMetrics
+    // dereference it — so a kernel driven from a thread that never ran a
+    // session-establishing call used to die inside the lazy localCheckpoint
+    // barrier with a Spark-internal NPE (BroadcastNestedLoopJoinExec.metrics
+    // on closenessCentrality's crossJoin(broadcast) seed; VERIFY_r17
+    // tests_ok:false). roundBarrier now pins the frame's own session as the
+    // running thread's active session; this drives the same operator from a
+    // bare thread with the thread-local explicitly CLEARED.
+    val srcs = Seq(GraphOfTheGods.ids("hercules"), GraphOfTheGods.ids("jupiter"))
+    val expected = Analytics.closenessCentrality(gods, srcs, maxIter = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val got = new java.util.concurrent.atomic.AtomicReference[Set[(Long, Long, Long)]]()
+    val t = new Thread(() => {
+      try {
+        org.apache.spark.sql.SparkSession.clearActiveSession()
+        got.set(Analytics.closenessCentrality(gods, srcs, maxIter = 6)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+      } catch { case e: Throwable => err.set(e) }
+    }, "graft-no-active-session-repro")
+    t.start()
+    t.join(120000L)
+    assert(err.get() === null, s"kernel failed on a no-active-session thread: ${err.get()}")
+    assert(got.get() === expected)
+  }
+
   test("topologicalLayers: Kahn peeling layers a DAG; cycles land at -1") {
     import spark.implicits._
     // DAG: 1->2->3, 1->3, 4 isolated; cycle: 5<->6 feeding 7

@@ -110,6 +110,8 @@ class BroadcastLintSpec extends AnyFunSuite {
       "count-gated: caller gates bcastLabels on spark.graft.broadcast.maxRows"),
     Allow("olap/Analytics.scala", "def hint(df: DataFrame, n: Long): DataFrame = if (n <= maxBcast) broadcast(df) else df",
       "count-gated: explicit n <= maxBcast guard at every call"),
+    Allow("olap/Analytics.scala", "def hintE(df: DataFrame, n: Long): DataFrame = if (n <= maxBcastE) broadcast(df) else df",
+      "count-gated: kTruss EDGE-shaped oriented frame, n <= spark.graft.broadcast.maxEdgeRows (tighter byte envelope than the vertex cap; two concurrent attach sites per round)"),
     Allow("olap/Analytics.scala", "def hint(df: DataFrame): DataFrame = if (vBound <= maxBcast) broadcast(df) else df",
       "count-gated: betweennessSampled per-level frames <= |distinct sources| * |V| = vBound, gated on maxBcast"),
     Allow("olap/Analytics.scala", ".crossJoin(broadcast(mTot))",
