@@ -1713,40 +1713,68 @@ object Analytics {
 
   /** kCore with an explicit convergence flag: (survivors, converged). */
   def kCoreConverged(g: PropertyGraph, k: Int, maxRounds: Int = 10): (DataFrame, Boolean) = {
-    // partition-once, iterate (see connectedComponentsExact): laid out by the
-    // degree-count key so the per-round groupBy(a) never exchanges the edge
-    // list — the alive-set semi-joins broadcast (it only shrinks) or exchange
-    // the vertex-sized side only.
-    val und = g.edges.select(col("src").as("a"), col("dst").as("b"))
-      .unionAll(g.edges.select(col("dst").as("a"), col("src").as("b")))
-      .repartition(col("a"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var alive = g.vertices.select(col("id")).transform(roundBarrier)
-    var aliveCount = alive.count()
-    // aliveCount is maintained every round anyway — use it to pick the
-    // broadcast regime per round for free (checkpointed frames hide size
-    // stats from AQE, so the hint must be explicit; see connectedComponentsExact)
+    // DECREMENTAL peeling (r18, guide §2.4 — process only the delta): the
+    // r17 form re-counted EVERY live edge every round (two alive-set
+    // semi-joins + a full groupBy(a) per round). Peeling is monotone: a
+    // vertex's alive-degree changes only when a NEIGHBOR was removed last
+    // round, so each round now counts, per survivor, only the edges INTO
+    // last round's removed set — one broadcast probe over the a-partitioned
+    // layout (no exchange; the aggregate touches ~edges incident to the
+    // removals, not |E|) — and decrements the carried degree state. Round 1
+    // is the threshold cut on the degree aggregate itself. Per-round sets
+    // are identical to the re-counting form round for round (deg_r(a) =
+    // deg_{r-1}(a) − |removed neighbors|, multi-edges and self-loops
+    // counted with multiplicity in both), so the oracle recurrence is
+    // untouched. Ghost endpoints (absent from g.vertices) drop ONCE at
+    // setup — the per-round alive semi-joins that used to drop them are
+    // gone.
+    val vids = g.vertices.select(col("id"))
+    // maxRounds = 0 ran zero peeling rounds in the re-counting form: every
+    // vertex survives, unconverged — keep that contract (the decremental
+    // loop below folds the first threshold cut into its first round)
+    if (maxRounds <= 0) return (vids, false)
+    var aliveCount = vids.count()
     val maxBcast = broadcastMaxRows(g)
     def hint(df: DataFrame, n: Long): DataFrame = if (n <= maxBcast) broadcast(df) else df
+    val und = g.edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(g.edges.select(col("dst").as("a"), col("src").as("b")))
+      .join(hint(vids.select(col("id").as("a")), aliveCount), Seq("a"), "left_semi")
+      .join(hint(vids.select(col("id").as("b")), aliveCount), Seq("b"), "left_semi")
+      .repartition(col("a"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // degree state: one row per vertex with >= 1 (ghost-filtered) edge;
+    // isolated vertices never appear — exactly the re-counting form's
+    // groupBy(a) universe, so they are removed in round 1 there and here
+    var deg = und.groupBy(col("a")).agg(count(lit(1)).as("__d"))
+      .transform(roundBarrier) // lazy: the round's count materializes it
+    var removedLast = deg.filter(col("__d") < k).select(col("a").as("b"))
+    var alive = deg.filter(col("__d") >= k)
     var round = 0
     var removed = true
+    var removedCount = aliveCount // bound for the first removedLast hint
+    val rlog = new RoundLog(g.spark, "kcore")
     while (round < maxRounds && removed) {
-      val live = und
-        .join(hint(alive.select(col("id").as("__x")), aliveCount), col("a") === col("__x"), "left_semi")
-        .join(hint(alive.select(col("id").as("__y")), aliveCount), col("b") === col("__y"), "left_semi")
-      val next = live.groupBy(col("a")).agg(count(lit(1)).as("__d"))
-        .filter(col("__d") >= k).select(col("a").as("id"))
-        .transform(roundBarrier) // lazy: the count below materializes it
-      // peeling is monotone ⇒ count equality ≡ set equality; carry the prior
-      // round's count so each round runs ONE job, not two
-      val nextCount = next.count()
+      if (round > 0) {
+        val lost = und
+          .join(hint(removedLast, removedCount), Seq("b"))
+          .groupBy(col("a")).agg(count(lit(1)).as("__l"))
+        deg = alive.join(hint(lost, aliveCount), Seq("a"), "left")
+          .select(col("a"), (col("__d") - coalesce(col("__l"), lit(0L))).as("__d"))
+          .transform(roundBarrier)
+        removedLast = deg.filter(col("__d") < k).select(col("a").as("b"))
+        alive = deg.filter(col("__d") >= k)
+      }
+      // peeling is monotone ⇒ count equality ≡ set equality; the count is
+      // the round's ONE action and materializes the lazy barrier
+      val nextCount = alive.count()
       removed = nextCount < aliveCount
-      alive = next
+      removedCount = aliveCount - nextCount
       aliveCount = nextCount
       round += 1
+      rlog.tick(round)
     }
     und.unpersist(false)
-    (alive, !removed)
+    (alive.select(col("a").as("id")), !removed)
   }
 
   /** CORENESS — the per-vertex core number (the largest k such that the
@@ -1812,6 +1840,9 @@ object Analytics {
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
     var prevSig = sig(c)
+    // round-0 core = degree, so Σcore = Σdeg = und's exact row count — the
+    // adaptive-delta volume gate needs no dedicated count action
+    val undRows = prevSig
     var round = 0
     var changed = prevSig > 0L
     val w = org.apache.spark.sql.expressions.Window
@@ -1824,6 +1855,30 @@ object Analytics {
     // for a handful of updates.
     val useDelta = g.spark.conf.getOption("spark.graft.coreness.delta")
       .forall(_.toBoolean)
+    // ADAPTIVE delta (r18, guide §1.2 "the distributed algorithm" + §2.4):
+    // the delta machinery costs two broadcast builds, a distinct and a
+    // second pass over the persisted adjacency per round — which only pays
+    // when the SAVED work (the window sort over the unaffected adjacency)
+    // is larger than that fixed cost. Two data-driven gates, no extra
+    // actions for either:
+    //  - edge volume: below `deltaMinEdges` und rows a full-adjacency
+    //    window round is sub-second on any modern node and the machinery
+    //    always loses (measured at sf0.1, 1.2M und rows: never-delta 8.3 s
+    //    vs always-delta 12.8 s vs frontier-gated-only 10.1 s —
+    //    BENCH_AB.md r18). und's row count is FREE: round-0 core = degree,
+    //    so the initial Σcore signature equals Σdeg = |und rows| exactly.
+    //  - frontier fraction: early rounds change most vertices (affected ≈
+    //    V, base ≈ und), so even past the volume gate the restriction only
+    //    engages once last round's changed count (carried by the per-round
+    //    signature aggregate — no extra action) drops below
+    //    `deltaFrontierFrac` of |V|. Big-frontier rounds take the plain
+    //    full-window path; shrinking-frontier rounds at scale keep the
+    //    restriction that matters there.
+    val deltaFrac = g.spark.conf
+      .get("spark.graft.coreness.deltaFrontierFrac", "0.5").toDouble
+    val deltaMinEdges = g.spark.conf
+      .get("spark.graft.coreness.deltaMinEdges", "10000000").toLong
+    var frontierCount = vCount
     // h-index kernel selector (spark.graft.coreness.hindex = window |
     // histogram). `histogram` is the SORT-FREE form: h = max over t of
     // min(t, N≥t), computed from a per-vertex core-value histogram —
@@ -1851,25 +1906,34 @@ object Analytics {
       def affected = und
         .join(hint(frontier.select(col("id").as("a")), vCount), Seq("a"), "left_semi")
         .select(col("b").as("a")).distinct()
-      val base = if (useDelta && round > 0)
+      val base = if (useDelta && round > 0 && undRows >= deltaMinEdges &&
+          frontierCount <= (deltaFrac * vCount).toLong)
         und.join(hint(affected, vCount), Seq("a"), "left_semi") else und
       val withCb = base
         .join(hint(c.select(col("id").as("b"), col("core").as("__cb")), vCount), Seq("b"))
-      val h = if (useHistogram)
+      val h = if (useHistogram) {
+        // h off the DESCENDING CUMULATIVE COUNT (r18): after the (a, __t)
+        // pre-aggregate, cum(t) = #neighbors with clamped value >= t, and
+        // h = max over observed t of min(t, cum(t)) — restricting the max
+        // to OBSERVED t is exact (between observed values cum is constant,
+        // so min(τ, cum) is maximized at the larger observed endpoint).
+        // Replaces r17's collect_list + sort_array + aggregate-HOF: the
+        // cumulative window sorts the (a, t) HISTOGRAM frame — at most
+        // min(degree, c(a))+1 rows per vertex vs the window kernel's full
+        // (a, b) adjacency — and WindowExec spills gracefully where
+        // collect_list held a degree-sized array per hub in round 1 (the
+        // reason the window kernel was the spill-safe default). All three
+        // aggregates/windows key on `a`, the persisted layout: zero
+        // exchanges in the broadcast regime.
+        val wh = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("a")).orderBy(col("__t").desc)
         withCb
           .join(hint(c.select(col("id").as("a"), col("core").as("__ca")), vCount), Seq("a"))
           .select(col("a"), least(col("__cb"), col("__ca")).as("__t"))
           .groupBy(col("a"), col("__t")).agg(count(lit(1)).as("__n"))
-          .groupBy(col("a"))
-          .agg(sort_array(collect_list(struct(col("__t"), col("__n"))),
-            asc = false).as("__hist"))
-          .select(col("a"), expr(
-            """aggregate(__hist,
-              |named_struct('cum', CAST(0 AS BIGINT), 'h', CAST(0 AS BIGINT)),
-              |(acc, x) -> named_struct('cum', acc.cum + x.__n,
-              |  'h', greatest(acc.h, least(x.__t, acc.cum + x.__n))),
-              |acc -> acc.h)""".stripMargin).as("__c"))
-      else
+          .select(col("a"), col("__t"), sum(col("__n")).over(wh).as("__cum"))
+          .groupBy(col("a")).agg(max(least(col("__t"), col("__cum"))).as("__c"))
+      } else
         withCb
           .select(col("a"), col("b"), col("__cb"))
           .withColumn("__rn", row_number().over(w).cast("long"))
@@ -1881,7 +1945,12 @@ object Analytics {
         .select(col("id"), coalesce(col("__c"), col("core")).as("core"),
           (col("__c").isNotNull && col("__c") =!= col("core")).as("__chg"))
         .transform(roundBarrier)
-      val s = sig(next) // materializes the round; monotone ⇒ equal sum = fixed point
+      // ONE action materializes the round: the monotone Σcore signature
+      // (equal sum = fixed point) plus the changed count — next round's
+      // frontier size for the adaptive delta gate, at zero extra jobs
+      val r = next.agg(sum(col("core")), count(when(col("__chg"), lit(1)))).head
+      val s = if (r.isNullAt(0)) 0L else r.getLong(0)
+      frontierCount = if (r.isNullAt(1)) 0L else r.getLong(1)
       changed = s != prevSig
       prevSig = s
       frontier = next.filter(col("__chg")).select(col("id"))
