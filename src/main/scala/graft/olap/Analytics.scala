@@ -226,8 +226,15 @@ object Analytics {
   private def orientEdges(e: DataFrame): DataFrame = orientEdges(e, degreesOf(e))
 
   private def orientEdges(e: DataFrame, deg: DataFrame): DataFrame = {
-    e.join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
-      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+    // both degree attaches project deg IDENTICALLY so their broadcast
+    // exchanges canonicalize to ONE build per call (ReuseExchange — kTruss
+    // calls this every round with a hinted deg; the (u→du)/(v→dv)
+    // projections built it twice per round before, r18)
+    def degP = deg.select(col("id").as("__j"), col("d").as("__jd"))
+    e.join(degP, col("u") === col("__j"))
+      .select(col("u"), col("v"), col("__jd").as("du"))
+      .join(degP, col("v") === col("__j"))
+      .select(col("u"), col("v"), col("du"), col("__jd").as("dv"))
       .select(
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           struct(col("u").as("a"), col("v").as("b"), col("dv").as("db")))
@@ -527,6 +534,14 @@ object Analytics {
   private def hubCappedAdjacency(g: PropertyGraph, label: Option[String],
       maxHubDegree: Long): (DataFrame, DataFrame, DataFrame) = {
     val base = label.map(l => g.edges.filter(col("label") === l)).getOrElse(g.edges)
+    // NOTE (r18, measured): do NOT PlanCache/persist these frames. The
+    // logical plan references them 2-3× (the common-neighbor self-join reads
+    // `light` twice; recommendLinks anti-joins `e`), but Spark's exchange
+    // reuse already shares the repeated shuffle stages at runtime — caching
+    // them replaced that free reuse with a columnar InMemoryRelation build +
+    // per-row decode on the wedge join's streamed side and made
+    // q_recommend_links 2-5× SLOWER at sf0.1 (25.4 s all-cached / 8.9 s
+    // e+deg-cached vs 4.5 s uncached, same session — BENCH_AB.md r18).
     val e = simpleEdges(g.copy(edges = base))
     // adjacency, both roles: (x, a) ⇔ a ∈ N(x)
     val adj = e.select(col("u").as("x"), col("v").as("a"))
@@ -1995,13 +2010,11 @@ object Analytics {
     * BIGINT at tag-prefixed scale). */
   def stronglyConnectedComponents(g: PropertyGraph, maxOuter: Int = 3,
       maxTrim: Int = 8, maxInner: Int = 8): DataFrame = {
-    val ed = g.edges.select(col("src"), col("dst")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     var alive = g.vertices.select(col("id")).transform(roundBarrier)
     var aliveCount = alive.count()
     // broadcast-regime gate (see connectedComponentsExact): every per-round
-    // frame here — alive, f, rb, the distinct endpoint sets — is bounded by
-    // the CURRENT aliveCount, which the loop maintains anyway; checkpointed
+    // frame here — alive, f, rb, the degree state — is bounded by the
+    // CURRENT aliveCount, which the loop maintains anyway; checkpointed
     // frames hide size stats from AQE, so the hints are load-bearing. In the
     // broadcast regime no |E|-sized frame is exchanged after the phase
     // layouts (ea by dst for the coloring's groupBy(dst), eaC by src for the
@@ -2009,6 +2022,56 @@ object Analytics {
     // the per-round |E| exchange any layout pays.
     val maxBcast = broadcastMaxRows(g)
     def hint(df: DataFrame, n: Long): DataFrame = if (n <= maxBcast) broadcast(df) else df
+    // ghost endpoints (absent from g.vertices) drop ONCE at setup — the old
+    // per-trim-round alive semi-joins were the only thing dropping them
+    val ed = g.edges.select(col("src"), col("dst"))
+      .join(hint(alive.select(col("id").as("src")), aliveCount), Seq("src"), "left_semi")
+      .join(hint(alive.select(col("id").as("dst")), aliveCount), Seq("dst"), "left_semi")
+      .distinct() // ghost-filter FIRST: fewer rows into the distinct exchange
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // DECREMENTAL trim (r18, guide §2.4 — process only the delta; the kCore
+    // recipe): a survivor needs BOTH an out- and an in-edge among the alive
+    // set, and those counts change only when a NEIGHBOR leaves. Carry the
+    // per-vertex (out, in) alive-degree state across trim rounds AND outer
+    // rounds (resolved SCCs are removals too), decrementing by the edges
+    // incident to each batch of removals — one broadcast probe over ed, rows
+    // ~ edges touching the removals — instead of re-filtering and
+    // re-exploding the full alive edge set every trim round (the r17 form:
+    // two alive semi-joins + a 2|E| explode per round).
+    var degs = ed.select(explode(array(
+        struct(col("src").as("id"), lit(1L).as("__o"), lit(0L).as("__i")),
+        struct(col("dst").as("id"), lit(0L).as("__o"), lit(1L).as("__i")))).as("e"))
+      .select(col("e.id").as("id"), col("e.__o").as("__o"), col("e.__i").as("__i"))
+      .groupBy(col("id")).agg(sum(col("__o")).as("__o"), sum(col("__i")).as("__i"))
+      .transform(roundBarrier)
+    var removedLast: DataFrame = null // removals not yet folded into degs
+    var removedCount = 0L
+    def applyRemovals(): Unit = if (removedCount > 0) {
+      // one pass over ed: an edge with a removed endpoint contributes a loss
+      // to its (possibly surviving) other endpoint. The probe and the degs
+      // anti-join below project the removal frame IDENTICALLY so their
+      // broadcast exchanges canonicalize to one — built once per round
+      // (ReuseExchange), not once per reference.
+      def rP = removedLast.select(col("id").as("__r"))
+      val lost = ed.select(explode(array(
+          struct(col("src").as("id"), col("dst").as("__other"),
+            lit(1L).as("__lo"), lit(0L).as("__li")),
+          struct(col("dst").as("id"), col("src").as("__other"),
+            lit(0L).as("__lo"), lit(1L).as("__li")))).as("e"))
+        .select(col("e.id").as("id"), col("e.__other").as("__other"),
+          col("e.__lo").as("__lo"), col("e.__li").as("__li"))
+        .join(hint(rP, removedCount), col("__other") === col("__r"), "left_semi")
+        .groupBy(col("id")).agg(sum(col("__lo")).as("__lo"), sum(col("__li")).as("__li"))
+      degs = degs
+        .join(hint(rP, removedCount), col("id") === col("__r"), "left_anti")
+        .join(hint(lost, aliveCount), Seq("id"), "left")
+        .select(col("id"),
+          (col("__o") - coalesce(col("__lo"), lit(0L))).as("__o"),
+          (col("__i") - coalesce(col("__li"), lit(0L))).as("__i"))
+        .transform(roundBarrier)
+      removedLast = null
+      removedCount = 0L
+    }
     var out = Vector.empty[DataFrame]
     var outer = 0
     while (outer < maxOuter && aliveCount > 0) {
@@ -2016,29 +2079,22 @@ object Analytics {
       var trimmed = true
       val rlogTrim = new RoundLog(g.spark, s"scc_trim_o$outer")
       while (t < maxTrim && trimmed) {
-        val ea = ed
-          .join(hint(alive.select(col("id").as("src")), aliveCount), Seq("src"), "left_semi")
-          .join(hint(alive.select(col("id").as("dst")), aliveCount), Seq("dst"), "left_semi")
-        // survivors need BOTH an out- and an in-edge among the alive set:
-        // one explode pass over ea + a map-side-combinable max-flag
-        // aggregate computes both endpoint sets at once (the two separate
-        // distinct()s re-ran the ea semi-joins per round — r17 roundLog
-        // measured trim at 12–15 jobs/round from exactly that)
-        val ends = ea.select(explode(array(
-            struct(col("src").as("id"), lit(1L).as("__o"), lit(0L).as("__i")),
-            struct(col("dst").as("id"), lit(0L).as("__o"), lit(1L).as("__i")))).as("e"))
-          .select(col("e.id").as("id"), col("e.__o").as("__o"), col("e.__i").as("__i"))
-          .groupBy(col("id")).agg(max(col("__o")).as("__o"), max(col("__i")).as("__i"))
-          .filter(col("__o") === 1L && col("__i") === 1L)
+        applyRemovals() // fold pending trim peels / resolved SCCs into degs
+        // degs rows are exactly the alive vertices with >= 1 alive edge, so
+        // the survivor set reads straight off the carried state (isolated
+        // or fully-peeled-neighborhood vertices simply have no row / fail
+        // the filter — same universe the old ends aggregate produced)
+        val keep = degs.filter(col("__o") >= 1L && col("__i") >= 1L)
           .select(col("id"))
-        val keep = alive
-          .join(hint(ends, aliveCount), Seq("id"), "left_semi")
-          .transform(roundBarrier)
-        val keepCount = keep.count()
+        val keepCount = keep.count() // materializes applyRemovals' barrier
         trimmed = keepCount < aliveCount
-        if (trimmed)
-          out = out :+ alive.join(keep, Seq("id"), "left_anti")
-            .select(col("id"), col("id").as("scc")).transform(roundBarrier)
+        if (trimmed) {
+          val removedNow = alive.join(hint(keep, keepCount), Seq("id"), "left_anti")
+            .transform(roundBarrier)
+          out = out :+ removedNow.select(col("id"), col("id").as("scc"))
+          removedLast = removedNow
+          removedCount = aliveCount - keepCount
+        }
         alive = keep
         aliveCount = keepCount
         t += 1
@@ -2058,9 +2114,12 @@ object Analytics {
         var fChanged = true
         val rlogColor = new RoundLog(g.spark, s"scc_color_o$outer")
         while (i < maxInner && fChanged) {
-          val m = ea.join(hint(f.select(col("id").as("src"), col("f").as("__fs")), aliveCount),
-              Seq("src"))
-            .groupBy(col("dst")).agg(min(col("__fs")).as("__fm"))
+          // the message probe and the pointer jump project f IDENTICALLY so
+          // their broadcast exchanges canonicalize to ONE build per round
+          // (ReuseExchange) — r17 built f twice per round under two shapes
+          def fP = f.select(col("id").as("__j"), col("f").as("__l"))
+          val m = ea.join(hint(fP, aliveCount), col("src") === col("__j"))
+            .groupBy(col("dst")).agg(min(col("__l")).as("__fm"))
           val stepped = f.join(hint(m.select(col("dst").as("id"), col("__fm")), aliveCount),
               Seq("id"), "left")
             .select(col("id"), least(col("f"), coalesce(col("__fm"), col("f"))).as("f"))
@@ -2073,9 +2132,8 @@ object Analytics {
           // ~log(diameter) — one vertex-sized join per round, measured on
           // the directed-cycle fixture in SCALE.md (round growth +1/10×).
           val jumped = stepped
-            .join(hint(f.select(col("id").as("__jid"), col("f").as("__jl")), aliveCount),
-              col("f") === col("__jid"), "left")
-            .select(col("id"), least(col("f"), coalesce(col("__jl"), col("f"))).as("f"))
+            .join(hint(fP, aliveCount), col("f") === col("__j"), "left")
+            .select(col("id"), least(col("f"), coalesce(col("__l"), col("f"))).as("f"))
             .transform(roundBarrier)
           val s = decSig(jumped, "f") // min-label is monotone non-increasing
           fChanged = s.compareTo(fSig) != 0
@@ -2135,28 +2193,32 @@ object Analytics {
         var rChanged = true
         val rlogBw = new RoundLog(g.spark, s"scc_bw_o$outer")
         while (j < maxInner && rChanged) {
+          // the message probe and BOTH pointer jumps project rb IDENTICALLY
+          // so the three broadcast exchanges canonicalize to ONE build per
+          // round (ReuseExchange) — r17 built rb three times per round
+          // under three shapes. Each join's projection is consumed by the
+          // select right after it, so the repeated names never clash.
+          def rbP = rb.select(col("id").as("__j"), col("b").as("__jb"),
+            col("s").as("__js"))
           val m = eaC
-            .join(hint(rb.select(col("id").as("dst"), col("b").as("__bd"),
-              col("s").as("__sd")), aliveCount), Seq("dst"))
+            .join(hint(rbP, aliveCount), col("dst") === col("__j"))
             .groupBy(col("src"))
-            .agg(min(col("__bd")).as("__bm"), max(col("__sd")).as("__sm"))
+            .agg(min(col("__jb")).as("__bm"), max(col("__js")).as("__sm"))
           val stepped = rb.join(hint(m.select(col("src").as("id"), col("__bm"),
               col("__sm")), aliveCount), Seq("id"), "left")
             .select(col("id"),
               least(col("b"), coalesce(col("__bm"), col("b"))).as("b"),
               greatest(col("s"), coalesce(col("__sm"), col("s"))).as("s"))
           val viaS = stepped
-            .join(hint(rb.select(col("id").as("__j1"), col("b").as("__b1"),
-              col("s").as("__s1")), aliveCount), col("s") === col("__j1"), "left")
+            .join(hint(rbP, aliveCount), col("s") === col("__j"), "left")
             .select(col("id"),
-              least(col("b"), coalesce(col("__b1"), col("b"))).as("b"),
-              greatest(col("s"), coalesce(col("__s1"), col("s"))).as("s"))
+              least(col("b"), coalesce(col("__jb"), col("b"))).as("b"),
+              greatest(col("s"), coalesce(col("__js"), col("s"))).as("s"))
           val viaB = viaS
-            .join(hint(rb.select(col("id").as("__j2"), col("b").as("__b2"),
-              col("s").as("__s2")), aliveCount), col("b") === col("__j2"), "left")
+            .join(hint(rbP, aliveCount), col("b") === col("__j"), "left")
             .select(col("id"),
-              least(col("b"), coalesce(col("__b2"), col("b"))).as("b"),
-              greatest(col("s"), coalesce(col("__s2"), col("s"))).as("s"))
+              least(col("b"), coalesce(col("__jb"), col("b"))).as("b"),
+              greatest(col("s"), coalesce(col("__js"), col("s"))).as("s"))
             .transform(roundBarrier)
           // joint fixpoint: b monotone non-increasing, s non-decreasing —
           // the horizon is transitively closed only when BOTH stabilize
@@ -2189,12 +2251,18 @@ object Analytics {
             .join(hint(f.select(col("id"), col("f")), aliveCount), Seq("id"))
             .filter(col("b") === col("f"))
             .select(col("id"), col("f").as("scc")).transform(roundBarrier)
-          resolved.count()
+          // no dedicated count: the alive anti-join's broadcast build below
+          // materializes the lazy barrier as part of the same round
           out = out :+ resolved
+          val prevAlive = aliveCount
           alive = alive.join(hint(resolved.select(col("id")), aliveCount),
               Seq("id"), "left_anti")
             .transform(roundBarrier)
           aliveCount = alive.count()
+          // resolved SCCs are removals for the carried trim degree state:
+          // the next outer round's trim folds them in via applyRemovals
+          removedLast = resolved.select(col("id"))
+          removedCount = prevAlive - aliveCount
         }
         ea.unpersist(false)
       }
@@ -2363,9 +2431,16 @@ object Analytics {
     var merging = true
     val rlog = new RoundLog(g.spark, "msf")
     while (outer < maxOuter && merging) {
+      // both rank attaches project comp IDENTICALLY so their broadcast
+      // exchanges canonicalize to ONE build per round (ReuseExchange) — the
+      // intermediate select renames the first attach out of the way (r18;
+      // the (u→cu)/(v→cv) projections built comp twice per round before)
+      def compP = comp.select(col("id").as("__j"), col("c").as("__jc"))
       val ec = ed
-        .join(hint(comp.select(col("id").as("u"), col("c").as("cu")), vCount), Seq("u"))
-        .join(hint(comp.select(col("id").as("v"), col("c").as("cv")), vCount), Seq("v"))
+        .join(hint(compP, vCount), col("u") === col("__j"))
+        .select(col("u"), col("v"), col("w"), col("__jc").as("cu"))
+        .join(hint(compP, vCount), col("v") === col("__j"))
+        .select(col("u"), col("v"), col("w"), col("cu"), col("__jc").as("cv"))
         .filter(col("cu") =!= col("cv"))
       // one explode pass instead of a self-union (the union re-ran the two
       // rank-attach joins — ec is not persisted); cu/cv RIDE THE MIN STRUCT,
