@@ -1480,15 +1480,17 @@ object Analytics {
       // shortcut with the same fixed point, chosen over jumping through
       // `stepped` itself because that self-reference would either run the
       // neighbor join twice or cost a second materialization per round.
-      // The stale mapping is first compressed one step against itself
-      // (m2[x] = min(m[x], m[m[x]]) — pointer doubling), so each round
-      // shortcuts two hops for the price of two vertex-sized joins; the
-      // |E|-sized neighbor join stays once per round.
-      val m = labels.select(col("id").as("__jid"), col("l").as("__jl"))
-      val m2 = m.join(hint(m.select(col("__jid").as("__kid"), col("__jl").as("__kl"))),
-          col("__jl") === col("__kid"), "left")
-        .select(col("__jid"), least(col("__jl"), col("__kl")).as("__jl"))
-      val jumped = stepped.join(hint(m2), col("l") === col("__jid"), "left")
+      // TWO SEQUENTIAL stale jumps through one shared projection (r18):
+      // labels[x] <= x always (min-label invariant), so j2 computes exactly
+      // min(s, m[s], m[m[s]]) — value-identical per round to the old
+      // pre-joined m2 = min(m[x], m[m[x]]) doubling — while the two probes'
+      // broadcast exchanges canonicalize to ONE build per round
+      // (ReuseExchange) and the m2 self-join job disappears (the old form
+      // built m, m-renamed AND m2 as three broadcast relations per round).
+      def labP = labels.select(col("id").as("__j"), col("l").as("__jl"))
+      val j1 = stepped.join(hint(labP), col("l") === col("__j"), "left")
+        .select(col("id"), least(col("l"), col("__jl")).as("l"))
+      val jumped = j1.join(hint(labP), col("l") === col("__j"), "left")
         .select(col("id"), least(col("l"), col("__jl")).as("l"))
       // lazy checkpoint: the convergence agg on the next line is the round's
       // action and materializes it — eager would pay a second vertex-set pass

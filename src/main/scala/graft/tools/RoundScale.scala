@@ -202,6 +202,39 @@ object RoundScale {
       }
       println(s"ROUNDSCALE vol_scc_$n distinct=${scc.getLong(0)} unresolved=${scc.getLong(1)}")
     }
+    // Betweenness DEPTH axis (ADVICE r17): the σ/δ sweeps run with NO
+    // per-level action — all maxD levels materialize inside the single
+    // final job through the lazy-barrier chain. A directed path (deep BFS,
+    // one-vertex frontiers) at increasing maxIter isolates the per-LEVEL
+    // cost of that chain (plan growth / driver time) from data volume: wall
+    // must grow ~linearly in depth with a small slope; a superlinear slope
+    // or driver stall means the chain needs periodic materialization every
+    // K levels.
+    if (kind("btwdepth")) sizes.foreach { n =>
+      Seq(8, 16, 32).foreach { d =>
+        val rows = timed(s"btw_depth_${n}_d$d") {
+          graft.olap.Analytics.betweennessSampled(pathGraph(n),
+            Seq(0L, n / 2), maxIter = d).count()
+        }
+        println(s"ROUNDSCALE btw_depth_${n}_d$d rows=$rows (expect ~2*$d reached)")
+      }
+    }
+    // CC + MSF on the volume mixture (the scaling spot-check's remaining
+    // two of the top-5 kernels; same mixGraph as `volume`)
+    if (kind("volcc")) sizes.foreach { n =>
+      val g = mixGraph(n)
+      g.edges.count()
+      val cc = timed(s"vol_cc_$n") {
+        graft.olap.Analytics.connectedComponentsExact(g, iterations = 24)
+          .select(col("component")).distinct().count()
+      }
+      println(s"ROUNDSCALE vol_cc_$n components=$cc")
+      val msf = timed(s"vol_msf_$n") {
+        graft.olap.Analytics.minimumSpanningForest(g, weight = col("dst"),
+          maxOuter = 12, maxInner = 12).count()
+      }
+      println(s"ROUNDSCALE vol_msf_$n edges=$msf")
+    }
     // classMergeMapping driver-vs-distributed crossover (VERDICT r16 "What's
     // wrong #3"): the 5M-row driver union-find default was asserted, never
     // measured. Two pair-set shapes bracket the regimes: a single CHAIN
