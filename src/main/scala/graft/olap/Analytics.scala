@@ -1755,14 +1755,23 @@ object Analytics {
     def hint(df: DataFrame, n: Long): DataFrame = if (n <= maxBcast) broadcast(df) else df
     val und = g.edges.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(g.edges.select(col("dst").as("a"), col("src").as("b")))
-      .join(hint(vids.select(col("id").as("a")), aliveCount), Seq("a"), "left_semi")
-      .join(hint(vids.select(col("id").as("b")), aliveCount), Seq("b"), "left_semi")
       .repartition(col("a"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // degree state: one row per vertex with >= 1 (ghost-filtered) edge;
+    // degree state: one row per vertex with >= 1 ghost-filtered edge;
     // isolated vertices never appear — exactly the re-counting form's
-    // groupBy(a) universe, so they are removed in round 1 there and here
-    var deg = und.groupBy(col("a")).agg(count(lit(1)).as("__d"))
+    // groupBy(a) universe, so they are removed in round 1 there and here.
+    // The ghost filter (endpoints absent from g.vertices) applies HERE, not
+    // on the persisted und: a ghost-b edge then never contributes to any
+    // degree, and in the decrement rounds it can never match (removals are
+    // drawn from the degree state, which has no ghost rows), while a
+    // ghost-a row has no state row for a loss to land on — so the raw und
+    // is probe-safe and its persist does not wait on the two vertex
+    // broadcasts (measured: filtering und itself cost ~0.2-0.3 s of setup
+    // at sf0.1, BENCH_AB.md r18).
+    var deg = und
+      .join(hint(vids.select(col("id").as("a")), aliveCount), Seq("a"), "left_semi")
+      .join(hint(vids.select(col("id").as("b")), aliveCount), Seq("b"), "left_semi")
+      .groupBy(col("a")).agg(count(lit(1)).as("__d"))
       .transform(roundBarrier) // lazy: the round's count materializes it
     var removedLast = deg.filter(col("__d") < k).select(col("a").as("b"))
     var alive = deg.filter(col("__d") >= k)
